@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression converters.
+  *
+  * Spark 4 hides the classic Column constructor behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`; extension libraries that
+  * define native Catalyst expressions (see `graft.functions`) need exactly
+  * these two entry points. Living in `org.apache.spark.sql` scope is the
+  * standard pattern for Spark-native extension code (cf. public projects like
+  * qbeast/spark-excel that do the same).
+  */
+package object graftshim {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
