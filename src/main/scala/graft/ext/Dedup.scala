@@ -1,0 +1,104 @@
+package graft.ext
+
+import graft.functions.{MinHashSignature, SimHashBits}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus cleaning.
+  *
+  * Scale design: every variant reduces to hash → shuffle-on-hash → per-group
+  * resolution, the canonical distributed dedup shape. Nothing collects to the
+  * driver; candidate generation is banded so the pairwise verification join
+  * only sees documents that share a band bucket (LSH), never the full O(n²)
+  * cross product.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-text fingerprint, keep the lowest id.
+    * One shuffle on the 128-bit fingerprint; group sizes are near-1 so no
+    * skew handling needed (pathological all-identical corpora would salt). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(normText(col(textCol))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: K independent hash views of the shingle set; the
+    * minimum of hash_k over shingles estimates Jaccard similarity
+    * (Broder '97). Pure narrow projection — HOF lambdas, no shuffle. */
+  def withMinHash(df: DataFrame, textCol: String, numHashes: Int, shingleN: Int): DataFrame = {
+    ensureParallelism(df).withColumn("toks", tokens(normText(col(textCol))))
+      .withColumn("shingles", shingleSql("toks", shingleN))
+      .withColumn("sig", MinHashSignature(col("shingles"), numHashes))
+      .drop("toks", "shingles")
+  }
+
+  /** LSH banding: split the K-length signature into bands of `rowsPerBand`;
+    * docs sharing any band hash are near-dup candidates. Probability a pair
+    * with Jaccard j collides: 1-(1-j^r)^b — the (r,b) choice tunes the
+    * similarity threshold. Returns one row per (doc, band). */
+  def bandHashes(sigDf: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    sigDf.withColumn("band", explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+           |  named_struct(
+           |    'band_id', b,
+           |    'band_hash', md5(concat_ws('-', transform(sequence(b * $rowsPerBand, b * $rowsPerBand + ${rowsPerBand - 1}), i -> cast(sig[i] AS string))))))""".stripMargin)))
+      .select(col("*"), col("band.band_id"), col("band.band_hash"))
+      .drop("band")
+  }
+
+  /** Candidate pairs: self-join on (band_id, band_hash), i.e. a shuffle
+    * co-partitioned on the bucket key — each bucket joins locally. The
+    * id1 < id2 guard halves the output and kills self-pairs. */
+  def candidatePairs(banded: DataFrame, idCol: String): DataFrame = {
+    val a = banded.select(col(idCol).as("id1"), col("band_id"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id2"), col("band_id"), col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact token-set Jaccard between two token-array columns (the verify
+    * step after LSH candidate generation). Set semantics: distinct both
+    * sides; |A∪B| computed as |A|+|B|-|A∩B| to avoid a second array op. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    inter / (size(da) + size(db) - inter)
+  }
+
+  /** End-to-end MinHash-LSH near-duplicate detection: signature → bands →
+    * bucket self-join → exact shingle-Jaccard verification.
+    *
+    * The signature/shingle frame is persisted before the self-join —
+    * without it Catalyst duplicates the whole shingle+minhash subtree into
+    * BOTH join branches (and again for the verify join), turning one pass
+    * over the corpus into four. At cluster scale the same role is played by
+    * checkpointing signatures to storage; signatures are ~numHashes longs
+    * per doc, a ~1000× reduction over the corpus itself. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, shingleN: Int, minJaccard: Double): DataFrame = {
+    val sig = withMinHash(df.select(col(idCol), col(textCol)), textCol, numHashes, shingleN)
+      .withColumn("toks", tokens(normText(col(textCol))))
+      .withColumn("sh", shingleSql("toks", shingleN))
+      .select(col(idCol), col("sig"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandHashes(sig.select(col(idCol), col("sig")), numHashes, rowsPerBand)
+      .select(col(idCol), col("band_id"), col("band_hash"))
+    val pairs = candidatePairs(banded, idCol)
+    pairs
+      .join(sig.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sig.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"), round(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash (Charikar '02): 60-bit signature where bit j is the sign of
+    * sum over tokens of ±1 according to bit j of the token hash. Near-dups
+    * differ in few bits (small Hamming distance). Implemented as a single
+    * HOF fold over the token array — narrow, no explode, no shuffle. */
+  def withSimHash(df: DataFrame, textCol: String, bits: Int = 60): DataFrame =
+    ensureParallelism(df)
+      .withColumn("simhash", SimHashBits(tokens(normText(col(textCol))), bits))
+}

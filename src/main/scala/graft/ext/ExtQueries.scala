@@ -1,9 +1,295 @@
 package graft.ext
 
-import graft.QuerySpec
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** [EXT] LLM-data-pipeline operators (dedup, similarity search, text
-  * analysis, multimodal) — registry. Populated module by module. */
+/** [EXT] LLM-data-pipeline operators (BASELINE.json north star): dedup,
+  * similarity search, text analysis, multimodal plumbing — each a
+  * `QuerySpec` with a DuckDB oracle wherever DuckDB can express it.
+  *
+  * The md5-derived hashing (see `graft.ext` package doc) makes even MinHash,
+  * SimHash, and hyperplane-LSH signatures bit-reproducible in the oracle —
+  * the checks verify the actual sketch values, not just row counts.
+  */
 object ExtQueries {
-  def all: Seq[QuerySpec] = Seq.empty
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** DuckDB-side normalized text (mirror of graft.ext.normText). */
+  private val oNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+  private val oToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // ---------------------------------------------------------------- dedup: exact
+  val q21DedupExact = QuerySpec(
+    "q21_dedup_exact", "EXT-dedup-exact",
+    "exact dedup via normalized-text fingerprint groupBy (keep lowest id)",
+    (s, d) => Dedup.exact(docs(s, d), "doc_id", "text"),
+    Some(s"""SELECT md5($oNorm) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+            |FROM documents GROUP BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- fingerprints
+  val q22Fingerprint = QuerySpec(
+    "q22_fingerprint", "EXT-text-fingerprint",
+    "full + prefix document fingerprints (md5 over normalized text)",
+    (s, d) => TextAnalysis.withFingerprints(docs(s, d), "text")
+      .select("doc_id", "fp_full", "fp_prefix"),
+    Some(s"""WITH n AS (SELECT doc_id, $oNorm AS norm FROM documents)
+            |SELECT doc_id, md5(norm) AS fp_full,
+            |  md5(array_to_string((regexp_split_to_array(trim(norm), '\\s+'))[1:16], ' ')) AS fp_prefix
+            |FROM n""".stripMargin))
+
+  // ---------------------------------------------------------------- token counting
+  val q23TokenCount = QuerySpec(
+    "q23_token_count", "EXT-text-tokens",
+    "whitespace + BPE-ish regex token counts",
+    (s, d) => docs(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens")),
+    Some(s"""SELECT doc_id,
+            |  CAST(len($oToks) AS INT) AS n_ws_tokens,
+            |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish_tokens
+            |FROM documents""".stripMargin))
+
+  // ---------------------------------------------------------------- quality scoring
+  val q24TextQuality = QuerySpec(
+    "q24_text_quality", "EXT-text-quality",
+    "length/punctuation/stopword quality metrics + composite score",
+    (s, d) => TextAnalysis.withQuality(docs(s, d), "text")
+      .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "quality_score"),
+    Some(s"""WITH m AS (
+            |  SELECT doc_id,
+            |    CAST(length(text) AS DOUBLE) AS n_chars,
+            |    CAST(len($oToks) AS DOUBLE) AS n_tokens,
+            |    round(length(regexp_replace(text, '\\s+', '', 'g')) / CAST(len($oToks) AS DOUBLE), 4) AS avg_token_len,
+            |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+            |    round(len(list_filter($oToks, t -> t IN ('the','a','and','of','to','is','in'))) / CAST(len($oToks) AS DOUBLE), 4) AS stopword_ratio
+            |  FROM documents)
+            |SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+            |  round(least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio)
+            |        * (0.5 + 0.5 * least(stopword_ratio * 5.0, 1.0)), 4) AS quality_score
+            |FROM m""".stripMargin))
+
+  // ---------------------------------------------------------------- language id
+  val q25LangId = QuerySpec(
+    "q25_lang_id", "EXT-text-langid",
+    "stopword-profile language-ID heuristic vs labeled lang",
+    (s, d) => TextAnalysis.withLangId(docs(s, d), "text")
+      .select(col("doc_id"), col("pred_lang"), col("lang").as("labeled_lang"),
+        (col("pred_lang") === col("lang")).as("is_match")),
+    Some(s"""WITH sc AS (
+            |  SELECT doc_id, lang,
+            |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk,
+            |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))) AS s_en,
+            |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))) AS s_de,
+            |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des'))) AS s_fr,
+            |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','que','una','las'))) AS s_es
+            |  FROM documents)
+            |SELECT doc_id,
+            |  CASE WHEN cjk THEN 'zh'
+            |       WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+            |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            |       WHEN s_fr >= s_es THEN 'fr'
+            |       ELSE 'es' END AS pred_lang,
+            |  lang AS labeled_lang,
+            |  (CASE WHEN cjk THEN 'zh'
+            |       WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+            |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            |       WHEN s_fr >= s_es THEN 'fr'
+            |       ELSE 'es' END) = lang AS is_match
+            |FROM sc""".stripMargin))
+
+  // ---------------------------------------------------------------- MinHash signatures
+  val q26MinHashSig = QuerySpec(
+    "q26_minhash_sig", "EXT-dedup-minhash-sig",
+    "MinHash signatures (K=8, 3-gram shingles) + LSH band hashes",
+    (s, d) => {
+      val sig = Dedup.withMinHash(docs(s, d), "text", numHashes = 8, shingleN = 3)
+      sig.select(
+        col("doc_id"),
+        concat_ws("-", expr("transform(sig, x -> cast(x AS string))")).as("sig_str"),
+        md5(concat_ws("-", expr("cast(sig[0] AS string)"), expr("cast(sig[1] AS string)"))).as("band0"),
+        md5(concat_ws("-", expr("cast(sig[2] AS string)"), expr("cast(sig[3] AS string)"))).as("band1"),
+        md5(concat_ws("-", expr("cast(sig[4] AS string)"), expr("cast(sig[5] AS string)"))).as("band2"),
+        md5(concat_ws("-", expr("cast(sig[6] AS string)"), expr("cast(sig[7] AS string)"))).as("band3"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |sh AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2), i ->
+            |         concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS shingles FROM n),
+            |sg AS (SELECT doc_id, list_transform(generate_series(0, 7), k ->
+            |         list_aggregate(list_transform(shingles, s ->
+            |           CAST(concat('0x', substring(md5(concat(CAST(k AS VARCHAR), ':', s)), 1, 15)) AS BIGINT)),
+            |         'min')) AS sig FROM sh)
+            |SELECT doc_id, array_to_string(sig, '-') AS sig_str,
+            |  md5(concat(CAST(sig[1] AS VARCHAR), '-', CAST(sig[2] AS VARCHAR))) AS band0,
+            |  md5(concat(CAST(sig[3] AS VARCHAR), '-', CAST(sig[4] AS VARCHAR))) AS band1,
+            |  md5(concat(CAST(sig[5] AS VARCHAR), '-', CAST(sig[6] AS VARCHAR))) AS band2,
+            |  md5(concat(CAST(sig[7] AS VARCHAR), '-', CAST(sig[8] AS VARCHAR))) AS band3
+            |FROM sg""".stripMargin))
+
+  // ---------------------------------------------------------------- MinHash LSH near-dup pairs
+  /** Near-dup detection end-to-end: corpus is documents plus planted
+    * near-duplicates (first token dropped, id+100000); LSH banding proposes
+    * candidates, exact shingle-set Jaccard verifies. */
+  val q27MinHashPairs = QuerySpec(
+    "q27_minhash_pairs", "EXT-dedup-minhash-lsh",
+    "MinHash-LSH candidate pairs verified by shingle Jaccard (planted near-dups)",
+    (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val mutated = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(tokens(col("text")), 2, 1000000)).as("text"))
+      val corpus = base.unionByName(mutated)
+      Dedup.nearDupPairs(corpus, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, shingleN = 3, minJaccard = 0.3)
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 100000 AS doc_id,
+            |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[2:], ' ') AS text
+            |  FROM documents WHERE doc_id % 10 = 0),
+            |n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM corpus),
+            |sh AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2), i ->
+            |         concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS shingles FROM n),
+            |sg AS (SELECT doc_id, shingles, list_transform(generate_series(0, 7), k ->
+            |         list_aggregate(list_transform(shingles, s ->
+            |           CAST(concat('0x', substring(md5(concat(CAST(k AS VARCHAR), ':', s)), 1, 15)) AS BIGINT)),
+            |         'min')) AS sig FROM sh),
+            |banded AS (SELECT doc_id,
+            |    unnest(generate_series(0, 3)) AS band_id,
+            |    unnest(list_transform(generate_series(0, 3), b ->
+            |      md5(concat(CAST(sig[2*b+1] AS VARCHAR), '-', CAST(sig[2*b+2] AS VARCHAR))))) AS band_hash
+            |  FROM sg),
+            |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            |  FROM banded a JOIN banded b
+            |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+            |jac AS (SELECT id1, id2,
+            |    round(len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles)))
+            |      / CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles))
+            |             - len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles))) AS DOUBLE), 4) AS jaccard
+            |  FROM pairs JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
+            |SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.3""".stripMargin))
+
+  // ---------------------------------------------------------------- n-gram Jaccard baseline
+  val q28JaccardPairs = QuerySpec(
+    "q28_jaccard_pairs", "EXT-dedup-ngram-jaccard",
+    "exact 3-gram-shingle Jaccard between consecutive documents",
+    (s, d) => {
+      val shing = docs(s, d)
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("sh", shingleSql("toks", 3))
+        .select(col("doc_id"), col("sh"))
+      shing.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        .join(shing.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id1"))
+        .select(col("id1"), col("id2"), round(Dedup.jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i ->
+            |         concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s FROM n)
+            |SELECT a.doc_id AS id1, b.doc_id AS id2,
+            |  round(len(list_intersect(a.s, b.s))
+            |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4) AS jaccard
+            |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin))
+
+  // ---------------------------------------------------------------- SimHash
+  val q29SimHash = QuerySpec(
+    "q29_simhash", "EXT-dedup-simhash",
+    "60-bit SimHash signatures from md5-derived token hashes",
+    (s, d) => Dedup.withSimHash(docs(s, d), "text")
+      .select("doc_id", "simhash"),
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(regexp_split_to_array($oNorm, '\\s+')) AS t FROM documents),
+            |h AS (SELECT doc_id,
+            |    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok),
+            |bits AS (SELECT doc_id, j,
+            |    sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+            |  FROM h CROSS JOIN range(60) r(j) GROUP BY doc_id, j)
+            |SELECT doc_id,
+            |  string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+            |FROM bits GROUP BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- ANN brute force
+  val q30AnnCosine = QuerySpec(
+    "q30_ann_cosine", "EXT-sim-bruteforce",
+    "exact cosine top-10 neighbors of query vector (vec_id=0)",
+    (s, d) => Similarity.bruteForceTopK(
+      emb(s, d), emb(s, d).filter(col("vec_id") === 0), k = 10),
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT query_id, vec_id,
+           |  round(list_dot_product(embedding::DOUBLE[], qe)
+           |    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           |       * sqrt(list_dot_product(qe, qe))), 4) AS cos_sim
+           |FROM embeddings CROSS JOIN q
+           |WHERE vec_id <> query_id
+           |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin))
+
+  // ---------------------------------------------------------------- ANN LSH buckets
+  val q31AnnLsh = QuerySpec(
+    "q31_ann_lsh", "EXT-sim-lsh",
+    "sign-random-projection LSH bucket per vector (8 md5-derived planes)",
+    (s, d) => {
+      val b = Similarity.withLshBucket(emb(s, d), numPlanes = 8, dims = 64)
+        .select("vec_id", "lsh_bucket")
+      b.join(b.groupBy("lsh_bucket").agg(count(lit(1)).as("bucket_size")), Seq("lsh_bucket"))
+        .select("vec_id", "lsh_bucket", "bucket_size")
+    },
+    Some("""WITH planes AS (
+           |  SELECT list_transform(generate_series(0, 7), p ->
+           |    list_transform(generate_series(0, 63), d ->
+           |      CASE WHEN CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) & 1 = 1
+           |           THEN 1.0 ELSE -1.0 END)) AS pl),
+           |b AS (SELECT vec_id,
+           |    list_aggregate(list_transform(pl, plane ->
+           |      CASE WHEN list_dot_product(embedding::DOUBLE[], plane) > 0 THEN '1' ELSE '0' END), 'string_agg', '') AS lsh_bucket
+           |  FROM embeddings CROSS JOIN planes)
+           |SELECT vec_id, lsh_bucket, count(*) OVER (PARTITION BY lsh_bucket) AS bucket_size
+           |FROM b""".stripMargin))
+
+  // ---------------------------------------------------------------- embedding near-dup
+  val q32EmbedNearDup = QuerySpec(
+    "q32_embed_neardup", "EXT-dedup-embedding",
+    "embedding-cosine similarity between consecutive vectors (near-dup scan)",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      e.select(col("vec_id").as("id1"), col("e").as("e1"))
+        .join(e.select((col("vec_id") - 1).as("id1"), col("vec_id").as("id2"), col("e").as("e2")), Seq("id1"))
+        .select(col("id1"), col("id2"),
+          round(Similarity.cosine(col("e1"), col("e2")), 4).as("cos_sim"))
+    },
+    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+           |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin))
+
+  // ---------------------------------------------------------------- multimodal plumbing
+  val q33Multimodal = QuerySpec(
+    "q33_multimodal", "EXT-multimodal",
+    "binary payload column + typed metadata + deterministic stub features",
+    (s, d) => Multimodal.fromDocuments(docs(s, d))
+      .select(
+        col("media_id"), col("kind"), col("width"), col("height"),
+        length(col("payload")).as("payload_len"),
+        lower(substring(hex(col("payload")), 1, 16)).as("head_hex"),
+        md5(col("payload")).as("payload_md5")),
+    Some("""SELECT doc_id AS media_id,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           |  CAST(n_chars % 640 AS INT) AS width,
+           |  CAST(n_chars % 480 AS INT) AS height,
+           |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
+           |  lower(substring(hex(encode(text)), 1, 16)) AS head_hex,
+           |  md5(text) AS payload_md5
+           |FROM documents""".stripMargin))
+
+  def all: Seq[QuerySpec] = Seq(
+    q21DedupExact, q22Fingerprint, q23TokenCount, q24TextQuality, q25LangId,
+    q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
+    q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal)
 }

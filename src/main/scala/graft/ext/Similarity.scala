@@ -1,0 +1,85 @@
+package graft.ext
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers, as a production ANN stack would have:
+  *  - brute-force cosine top-k: exact, one scan + TakeOrderedAndProject;
+  *    the right baseline and the verifier for anything approximate.
+  *  - random-hyperplane LSH bucketing: signature bits from sign(v·plane);
+  *    co-bucketed vectors are candidates, turning O(n²) search into a
+  *    bucket-local join. Planes are derived deterministically from md5 so
+  *    signatures are reproducible across engines and runs (at production
+  *    scale you'd materialize the planes as broadcast literals instead of
+  *    recomputing the derivation per row — same plan shape).
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns via the native
+    * DotProduct expression (compiled loop, no per-element interpretation). */
+  def cosine(a: Column, b: Column): Column =
+    DotProduct(a, b) / (sqrt(DotProduct(a, a)) * sqrt(DotProduct(b, b)))
+
+  /** Exact top-k neighbors of one query vector: broadcast the 1-row query,
+    * scan the corpus once, TakeOrderedAndProject keeps k. */
+  def bruteForceTopK(corpus: DataFrame, query: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(query.select(
+      col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb")))
+    corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("emb"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane p, dim d): the low bit
+    * of md5("p:d")'s 15-hex-digit prefix — identical to what the SQL
+    * `conv(substring(md5(..),1,15),16,10) & 1` computes, but evaluated ONCE
+    * on the driver and shipped as a literal. Doing the md5 derivation
+    * per-row (512 hashes/vector) cost ~10× the dot products themselves. */
+  private[ext] def planeLiterals(numPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dims).map { d =>
+        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+        if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Sign-random-projection LSH: `numPlanes`-bit bucket signature per
+    * vector. Vectors in the same bucket are near-duplicate / high-cosine
+    * candidates (Charikar SimHash for real vectors). Planes are embedded as
+    * a literal constant array — per row only numPlanes dot-product folds. */
+  def withLshBucket(df: DataFrame, numPlanes: Int, dims: Int): DataFrame = {
+    val planes = planeLiterals(numPlanes, dims)
+    val bitCols = planes.map(p =>
+      when(DotProduct(col("emb_d"), typedLit(p)) > 0, "1").otherwise("0"))
+    ensureParallelism(df)
+      .withColumn("emb_d", col("embedding").cast("array<double>"))
+      .withColumn("lsh_bucket", concat(bitCols: _*))
+      .drop("emb_d")
+  }
+
+  /** Bucketed ANN: candidates = same-bucket pairs, verified by exact cosine.
+    * The join shuffles on the bucket key only; each bucket joins locally. */
+  def lshCandidates(df: DataFrame, numPlanes: Int, dims: Int, minCosine: Double): DataFrame = {
+    val b = withLshBucket(df, numPlanes, dims)
+      .select(col("vec_id"), col("lsh_bucket"), col("embedding").cast("array<double>").as("emb"))
+    val l = b.select(col("vec_id").as("id1"), col("lsh_bucket"), col("emb").as("emb1"))
+    val r = b.select(col("vec_id").as("id2"), col("lsh_bucket"), col("emb").as("emb2"))
+    l.join(r, Seq("lsh_bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("lsh_bucket"), col("id1"), col("id2"),
+        round(cosine(col("emb1"), col("emb2")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+}

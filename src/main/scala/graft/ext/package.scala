@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared [EXT] text/hash primitives.
+  *
+  * Everything is built from engine-portable building blocks (md5, regex,
+  * higher-order array functions) so each operator has a DuckDB-expressible
+  * oracle: the hash `h(s) = int(md5(s)[0:15 hex])` is bit-identical in any
+  * engine with md5, unlike murmur/xxhash whose seeds differ engine to engine.
+  * All of it runs inside Catalyst (no UDFs): HOF lambdas evaluate on the
+  * executors over the array columns, so the operators scale exactly like any
+  * other projection — narrow, partition-local, no shuffle.
+  */
+package object ext {
+
+  /** Guarantee CPU-bound per-row operators (hashing, sketching) actually run
+    * in parallel: a small parquet file scans as ONE partition, serializing
+    * millions of md5 calls onto one core. At cluster scale inputs already
+    * split ≥ cores and this is a no-op; it only round-robins when the scan
+    * under-partitions. */
+  def ensureParallelism(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Deterministic 60-bit positive hash from md5 — portable across engines. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokenization (reference F7 generalized). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Aggressive text normalization for fingerprinting/dedup:
+    * lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Word n-gram shingles over a token-array column (0-based Spark array
+    * subscripts; the DuckDB oracles use 1-based lists — both produce the
+    * identical shingle strings). Guarded so short docs yield an empty array
+    * (unguarded `sequence(0, size-n)` would run DESCENDING for short docs). */
+  def shingleSql(toksCol: String, n: Int): Column = {
+    val parts = (0 until n).map(j => s"$toksCol[i+$j]").mkString(", ")
+    expr(
+      s"""IF(size($toksCol) >= $n,
+         |   transform(sequence(0, size($toksCol) - $n), i -> concat_ws(' ', $parts)),
+         |   array())""".stripMargin)
+  }
+}
