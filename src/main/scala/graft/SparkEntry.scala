@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every verifiable query the engine exposes. */
   def specs: Seq[QuerySpec] =
     operators.CoreQueries.all ++
-      ext.ExtQueries.all
+      ext.ExtQueries.all ++
+      operators.SystemQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

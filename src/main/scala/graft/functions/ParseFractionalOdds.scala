@@ -54,22 +54,25 @@ case class ParseFractionalOdds(child: Expression)
 }
 
 object ParseFractionalOdds {
-  /** Shared evaluator; returns null (boxed) when the string is unparseable. */
+  /** Shared evaluator; returns null (boxed) when the string is unparseable.
+    * Mirrors the reference exactly: `i.split('/')` then parts [0] and [1] —
+    * so `"2019/08/10"` → (2019+8)/2, and a trailing-slash string (one part)
+    * fails like Python's IndexError → pass-through (NULL here). */
   def parse(s: UTF8String): java.lang.Double = {
     if (s == null) return null
     val str = s.toString.trim
-    val slash = str.indexOf('/')
     try {
-      if (slash >= 0) {
-        val a = java.lang.Double.parseDouble(str.substring(0, slash).trim)
-        val b = java.lang.Double.parseDouble(str.substring(slash + 1).trim)
+      if (str.indexOf('/') >= 0) {
+        val parts = str.split("/")
+        val a = java.lang.Double.parseDouble(parts(0).trim)
+        val b = java.lang.Double.parseDouble(parts(1).trim)
         java.lang.Double.valueOf((a + b) / 2.0)
       } else {
         java.lang.Double.valueOf(java.lang.Double.parseDouble(str))
       }
     } catch {
       case _: NumberFormatException => null
-      case _: StringIndexOutOfBoundsException => null
+      case _: ArrayIndexOutOfBoundsException => null
     }
   }
 

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.sources.Sinks
+import graft.streaming.EventsPipeline
+import org.apache.spark.sql.functions._
+
+/** Streaming, upsert-sink, and ML-lifecycle queries — the system-level
+  * capabilities beyond pure relational operators. */
+object SystemQueries {
+
+  /** §2.6 [EXT]: the REAL Structured Streaming plan (file source →
+    * watermark → tumbling window agg → memory sink, run to completion) —
+    * checked against the same DuckDB oracle as the batch twin q20. */
+  val q34StreamWindow = QuerySpec(
+    "q34_stream_window", "EXT-streaming-window",
+    "Structured Streaming tumbling-window aggregation (oracle = batch twin)",
+    (s, d) => EventsPipeline.runToMemoryTable(
+      s, EventsPipeline.windowedAgg(EventsPipeline.readEventsStream(s, d)), "q34_out"),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+           |  count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** S3: upsert-by-PK semantics on an append-only store — batch merge with
+    * newest-version-wins key resolution (vs the reference's one round-trip
+    * per row). */
+  val q35Upsert = QuerySpec(
+    "q35_upsert", "S3",
+    "upsert merge: updates overwrite existing rows by primary key",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val existing = orders.select(col("o_orderkey"), col("o_orderstatus"), lit(1).as("version"))
+      val updates = orders.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"), lit(2).as("version"))
+      Sinks.upsert(existing, updates, Seq("o_orderkey"), "version")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH ex AS (SELECT o_orderkey, o_orderstatus, 1 AS version, 0 AS src FROM orders),
+           |up AS (SELECT o_orderkey, 'U' AS o_orderstatus, 2 AS version, 1 AS src
+           |       FROM orders WHERE o_totalprice > 150000),
+           |merged AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+           |             ORDER BY version DESC, src DESC) AS rn
+           |           FROM (SELECT * FROM ex UNION ALL SELECT * FROM up))
+           |SELECT o_orderstatus, count(*) AS n FROM merged WHERE rn = 1 GROUP BY 1""".stripMargin))
+
+  /** M1-M4 capability on the driver testdata: gradient-boosted classifier
+    * over aggregated order features (has-urgent-order label), distributed
+    * train + predict. Not SQL-expressible → rows-only check. */
+  val q36MlGbt = QuerySpec(
+    "q36_ml_gbt", "M1 M2 M3 M4",
+    "GBT pipeline: assemble features, randomSplit, fit, batch predict",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val feats = orders.groupBy("o_custkey").agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        round(avg("o_totalprice"), 2).as("avg_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        max(when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0)).as("has_urgent"))
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.classification.GBTClassifier
+      import org.apache.spark.ml.feature.VectorAssembler
+      val pipe = new Pipeline().setStages(Array(
+        new VectorAssembler()
+          .setInputCols(Array("n_orders", "avg_price", "max_price")).setOutputCol("features"),
+        new GBTClassifier().setLabelCol("has_urgent").setFeaturesCol("features")
+          .setMaxDepth(2).setMaxIter(5).setStepSize(0.1).setSeed(2)))
+      val Array(train, test) = feats.randomSplit(Array(0.7, 0.3), seed = 2)
+      val model = pipe.fit(train)
+      model.transform(test)
+        .groupBy(col("prediction"), col("has_urgent"))
+        .agg(count(lit(1)).as("n"))
+    },
+    None)
+
+  def all: Seq[QuerySpec] = Seq(q34StreamWindow, q35Upsert, q36MlGbt)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.EventsPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals the batch computation") {
+    val streamed = EventsPipeline.runToMemoryTable(
+      spark, EventsPipeline.windowedAgg(EventsPipeline.readEventsStream(spark, dir)), "spec_stream")
+    val batch = Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("sessionize closes sessions on gap and aggregates within them") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val events = Seq(
+      // user 1: two sessions separated by a 120-minute gap
+      (1L, at(0), 1L, "click", 1.0), (2L, at(5), 1L, "view", 2.0), (3L, at(10), 1L, "click", 3.0),
+      (4L, at(130), 1L, "click", 4.0), (5L, at(135), 1L, "view", 5.0),
+      // user 2: one session
+      (6L, at(0), 2L, "view", 10.0),
+      // watermark pusher: a far-future event so earlier sessions time out
+      (7L, at(10000), 99L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet("/tmp/graft-stream-spec/events")
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet("/tmp/graft-stream-spec/events")
+    val sessions = EventsPipeline.sessionize(spark, stream, gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("spec_sessions").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("spec_sessions")
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    // user 1 session A: 3 events totalling 6.0; session B: 2 events, 9.0;
+    // user 2: 1 event, 10.0 (the far-future user's session stays open)
+    assert(got.contains((1L, 3, 6.0)))
+    assert(got.contains((1L, 2, 9.0)))
+    assert(got.contains((2L, 1, 10.0)))
+  }
+}
