@@ -14,7 +14,8 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     operators.CoreQueries.all ++
       ext.ExtQueries.all ++
-      operators.SystemQueries.all
+      operators.SystemQueries.all ++
+      operators.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Analytics extensions: cube / grouping sets, exact percentiles,
+  * multi-distinct aggregation, as-of join, and the SQL surface with the
+  * engine's registered native functions. */
+object AnalyticsQueries {
+
+  // ---------------------------------------------------------------- cube
+  val q37Cube = QuerySpec(
+    "q37_cube", "§2.4-cube",
+    "CUBE over two dimensions with grouping_id",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("sum_price")),
+    Some("""SELECT l_returnflag, l_linestatus, grouping(l_returnflag, l_linestatus) AS gid,
+           |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
+
+  // ---------------------------------------------------------------- grouping sets (SQL surface)
+  val q38GroupingSets = QuerySpec(
+    "q38_grouping_sets", "§2.4-gsets SQL-surface",
+    "GROUPING SETS via the spark.sql surface over a temp view",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS total
+              |FROM orders_v
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS total
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
+
+  // ---------------------------------------------------------------- exact percentiles
+  val q39Percentile = QuerySpec(
+    "q39_percentile", "§2.4-percentile",
+    "exact percentiles (median/p90) per group",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          round(min("o_totalprice"), 2).as("min_price"),
+          round(max("o_totalprice"), 2).as("max_price")),
+    Some("""SELECT o_orderpriority,
+           |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           |  round(min(o_totalprice), 2) AS min_price,
+           |  round(max(o_totalprice), 2) AS max_price
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  // ---------------------------------------------------------------- multi-distinct agg
+  val q40CountDistinct = QuerySpec(
+    "q40_count_distinct", "§2.4-distinct-agg",
+    "multiple exact count-distincts in one aggregation (Expand-based)",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_suppkey").as("n_supp"),
+          countDistinct("l_partkey").as("n_part"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+           |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  // ---------------------------------------------------------------- as-of join
+  /** For every purchase event, the most recent prior error by the same
+    * user — the union+window as-of composition (see [[AsOf]]). */
+  val q41AsOfJoin = QuerySpec(
+    "q41_asof_join", "§2.3-asof",
+    "as-of join: latest error at-or-before each purchase, per user",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts")
+      AsOf.lastTimestampBefore(purchases, errors, Seq("user_id"), "ts", "last_error_ts")
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("last_error_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"))
+    },
+    Some("""WITH tagged AS (
+           |  SELECT event_id, user_id, ts, 1 AS side FROM events WHERE event_type = 'purchase'
+           |  UNION ALL
+           |  SELECT NULL AS event_id, user_id, ts, 0 AS side FROM events WHERE event_type = 'error'),
+           |w AS (
+           |  SELECT *, max(CASE WHEN side = 0 THEN ts END)
+           |    OVER (PARTITION BY user_id ORDER BY ts ASC, side ASC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_ts
+           |  FROM tagged)
+           |SELECT event_id, user_id,
+           |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           |  strftime(last_error_ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+           |FROM w WHERE side = 1""".stripMargin))
+
+  // ---------------------------------------------------------------- SQL surface + registered natives
+  val q42SqlNative = QuerySpec(
+    "q42_sql_native", "SQL-surface F1-registry",
+    "spark.sql using the engine's registered native functions",
+    (s, d) => {
+      graft.functions.Registry.register(s)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+              |  parse_odds(concat(cast(l_linenumber AS string), '/', cast(cast(l_quantity AS int) AS string))) AS parsed
+              |FROM lineitem_v WHERE l_quantity > 40""".stripMargin)
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  (l_linenumber + CAST(floor(l_quantity) AS INT)) / 2.0 AS parsed
+           |FROM lineitem WHERE l_quantity > 40""".stripMargin))
+
+  def all: Seq[QuerySpec] = Seq(
+    q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative)
+}
