@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.{DotProduct, MinHashSignature, ParseFractionalOdds, SimHashBits}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: makes the engine's native functions
+  * available in ANY session via config, no code changes —
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * This is the standard plug-in mechanism for Spark-native libraries
+  * (Delta, Iceberg, Sedona use the same hook); cluster operators enable the
+  * engine fleet-wide with one conf line.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("parse_odds"),
+      info("parse_odds", "parse_odds(str) - fractional-odds mean: 'a/b' -> (a+b)/2"),
+      (exprs: Seq[Expression]) => ParseFractionalOdds(exprs.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k) - MinHash signature array"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs(0), intArg(exprs(1), "minhash_sig"))))
+    e.injectFunction((FunctionIdentifier("simhash_bits"),
+      info("simhash_bits", "simhash_bits(tokens, bits) - SimHash bit-string"),
+      (exprs: Seq[Expression]) => SimHashBits(exprs(0), intArg(exprs(1), "simhash_bits"))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - double-array dot product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: stress the EXT operators at ~20-200× the bench corpus to
+  * observe scaling behavior (wall-clock should grow ~linearly; any
+  * super-linear jump means a candidate-pair explosion or a recompute). */
+object StressTest {
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.nonEmpty) args(0).toInt else 20
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.driver.memory", "24g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // corpus: sf0.1 documents × mult with id offsets and per-copy token prefix
+    val base = Tables.documents(spark, "/root/testdata/sf0.1").select("doc_id", "text")
+    val copies = spark.range(mult).select(col("id").as("copy"))
+    val corpus = base.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("copy") * 1000000).as("doc_id"),
+        // each copy mutates the text slightly so near-dup structure is real
+        concat(lit("c"), col("copy"), lit(" "), col("text")).as("text"))
+      .repartition(64)
+    val n = time("materialize corpus")(corpus.persist().count())
+    println(s"[stress] corpus docs: $n")
+
+    time("exact dedup")(ext.Dedup.exact(corpus, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save())
+    time("minhash signatures")(ext.Dedup.withMinHash(corpus, "text", 8, 3)
+      .write.format("noop").mode("overwrite").save())
+    time("simhash")(ext.Dedup.withSimHash(corpus, "text")
+      .write.format("noop").mode("overwrite").save())
+    val pairs = time("nearDupPairs end-to-end")(
+      ext.Dedup.nearDupPairs(corpus, "doc_id", "text", 8, 2, 3, 0.3).count())
+    println(s"[stress] near-dup pairs: $pairs")
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val embBig = emb.crossJoin(copies)
+      .select((col("vec_id") + col("copy") * 1000000).as("vec_id"), col("embedding"))
+      .repartition(64).persist()
+    println(s"[stress] vectors: ${embBig.count()}")
+    time("ann brute top-k")(ext.Similarity.bruteForceTopK(
+      embBig, embBig.filter(col("vec_id") === 0), 10).collect())
+    time("lsh buckets")(ext.Similarity.withLshBucket(embBig, 8, 64)
+      .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}

