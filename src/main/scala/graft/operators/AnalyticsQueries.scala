@@ -118,6 +118,68 @@ object AnalyticsQueries {
            |  (l_linenumber + CAST(floor(l_quantity) AS INT)) / 2.0 AS parsed
            |FROM lineitem WHERE l_quantity > 40""".stripMargin))
 
+  // ---------------------------------------------------------------- datetime functions
+  val q43Datetime = QuerySpec(
+    "q43_datetime", "§2.7-datetime",
+    "temporal extraction + date arithmetic (year/month/day, datediff)",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate"))).as("age_days"))
+        .groupBy("y", "m")
+        .agg(count(lit(1)).as("n"), min("age_days").as("min_age"), max("dom").as("max_dom")),
+    Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
+           |  CAST(min(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS INT) AS min_age,
+           |  CAST(max(day(o_orderdate)) AS INT) AS max_dom
+           |FROM orders GROUP BY 1, 2""".stripMargin))
+
+  // ---------------------------------------------------------------- explode / word count
+  val q44WordCount = QuerySpec(
+    "q44_wordcount", "§2.7-explode",
+    "explode(split(text)) word count, top-20 with stable tie-break",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.ext.tokens(graft.ext.normText(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20),
+    Some("""SELECT token, count(*) AS n FROM (
+           |  SELECT unnest(regexp_split_to_array(
+           |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+           |    '\s+')) AS token
+           |  FROM documents)
+           |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin))
+
+  // ---------------------------------------------------------------- IVF ANN (rows-only: KMeans)
+  val q45AnnIvf = QuerySpec(
+    "q45_ann_ivf", "EXT-sim-ivf",
+    "IVF ANN: k-means cells + nprobe partition-pruned search",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val index = graft.ext.Ivf.build(emb.filter(col("vec_id") =!= 0), numCells = 16)
+      graft.ext.Ivf.search(s, index, query, k = 10, nprobe = 4)
+    },
+    None)
+
+  // ---------------------------------------------------------------- approximate sketches (rows-only)
+  val q46Approx = QuerySpec(
+    "q46_approx_sketches", "§2.4-approx",
+    "HLL approx count-distinct + approximate percentile sketches",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")),
+    None)
+
   def all: Seq[QuerySpec] = Seq(
-    q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative)
+    q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative,
+    q43Datetime, q44WordCount, q45AnnIvf, q46Approx)
 }

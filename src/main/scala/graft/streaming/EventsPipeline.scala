@@ -86,6 +86,12 @@ object EventsPipeline {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids within the watermark
+    * horizon — state stays bounded (keys older than the watermark are
+    * evicted), the streaming half of the batch Dedup.exact operator. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming DataFrame to completion over the (finite) file source
     * and return the materialized result — used by the verify path so the
     * STREAMING plan itself (not a batch twin) produces the checked rows. */

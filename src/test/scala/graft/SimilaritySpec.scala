@@ -57,6 +57,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(cands(0).getDouble(2) === 1.0)
   }
 
+  test("IVF ANN: nprobe search recalls most of brute-force top-k") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val query = emb.filter(col("vec_id") === 0)
+    val qArr = query.select("embedding").collect()(0).getSeq[Float](0).toArray
+    val exact = Similarity.bruteForceTopK(emb, query, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val index = graft.ext.Ivf.build(emb.filter(col("vec_id") =!= 0), numCells = 8)
+    val approx = graft.ext.Ivf.search(spark, index, qArr, k = 10, nprobe = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.5, s"IVF recall $recall too low (got $approx vs $exact)")
+    // full probe = exact: nprobe == numCells must recover everything
+    val full = graft.ext.Ivf.search(spark, index, qArr, k = 10, nprobe = 8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(full === exact)
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import graft.streaming.EventsPipeline
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    Seq((1L, at(0), 1L, "click", 1.0), (1L, at(1), 1L, "click", 1.0), // dup id
+        (2L, at(2), 1L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/graft-dedup-spec/events")
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet("/tmp/graft-dedup-spec/events")
+    val q = EventsPipeline.dedupStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("spec_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("spec_dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
   test("multimodal: stub decode batch plumbing produces typed features") {
     val docs = Seq((10L, "hello world", "en", "src1", 11L), (11L, "abc", "en", "src1", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
