@@ -26,9 +26,19 @@ object Scratch {
     val withSize = b.join(b.groupBy("lsh_bucket").agg(count(lit(1)).as("bucket_size")), Seq("lsh_bucket"))
     time("join count")(withSize.count())
     time("join count2")(withSize.count())
-    val sig = ext.Dedup.withMinHash(Tables.documents(spark, d), "text", 8, 3)
-    time("minhash sig count")(sig.count())
-    time("minhash sig count2")(sig.count())
+    // custom TopK vs window row_number, steady state (2nd run each)
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, d)
+    def windowTopK() = li.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc, col("l_orderkey").asc)))
+      .filter(col("rn") <= 5).drop("rn")
+    def customTopK() = plans.TopK.perGroup(li, Seq("l_suppkey"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true)), 5)
+    def noop(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("noop").mode("overwrite").save()
+    noop(windowTopK()); noop(customTopK())
+    time("window topk per suppkey")(noop(windowTopK()))
+    time("custom topk per suppkey")(noop(customTopK()))
     spark.stop()
   }
 }

@@ -179,7 +179,28 @@ object AnalyticsQueries {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")),
     None)
 
+  // ---------------------------------------------------------------- custom top-k-per-group operator
+  /** The custom LogicalPlan+Strategy+SparkPlan operator (graft.plans.TopK):
+    * bounded per-group heaps in a partial/final pair instead of the window
+    * form's full sort — oracle-checked against the row_number equivalent. */
+  val q47TopKPerGroup = QuerySpec(
+    "q47_topk_per_group", "§2.5-custom-plan",
+    "custom two-phase heap top-k-per-group physical operator",
+    (s, d) =>
+      graft.plans.TopK.perGroup(
+        Tables.lineitem(s, d),
+        Seq("l_returnflag"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
+        k = 5)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+           |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+           |  FROM lineitem)
+           |WHERE rn <= 5""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative,
-    q43Datetime, q44WordCount, q45AnnIvf, q46Approx)
+    q43Datetime, q44WordCount, q45AnnIvf, q46Approx, q47TopKPerGroup)
 }

@@ -14,4 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a custom LogicalPlan (Dataset.ofRows is
+    * private[sql]) — needed by graft.plans' custom operators. */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

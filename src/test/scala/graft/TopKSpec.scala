@@ -1,0 +1,47 @@
+package graft
+
+import graft.plans.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+
+  test("TopK.perGroup equals the window row_number form") {
+    val custom = TopK.perGroup(li,
+      Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)),
+      k = 5)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val viaWindow = li
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    assert(custom.count() === viaWindow.count())
+    assert(custom.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(custom).count() === 0)
+  }
+
+  test("plan contains the two-phase custom exec and no Sort/Window") {
+    val df = TopK.perGroup(li, Seq("l_returnflag"), Seq(("l_quantity", true)), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("sort "), plan)
+  }
+
+  test("handles ties, k larger than group, and empty input") {
+    val tiny = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
+    val got = TopK.perGroup(tiny, Seq("g"), Seq(("v", true)), 10)
+    assert(got.count() === 4) // k > group size keeps everything
+    val top1 = TopK.perGroup(tiny, Seq("g"), Seq(("v", true)), 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(top1 === Map("a" -> 1, "b" -> 9))
+    val empty = TopK.perGroup(tiny.filter(col("v") > 100), Seq("g"), Seq(("v", true)), 2)
+    assert(empty.count() === 0)
+  }
+}
