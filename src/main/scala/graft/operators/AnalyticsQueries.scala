@@ -200,7 +200,48 @@ object AnalyticsQueries {
            |  FROM lineitem)
            |WHERE rn <= 5""".stripMargin))
 
+  // ---------------------------------------------------------------- correlated subquery
+  val q48Subquery = QuerySpec(
+    "q48_subquery", "SQL-surface-subquery",
+    "correlated scalar subquery: orders above their customer's average",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v2")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+              |FROM orders_v2 o
+              |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders_v2 i
+              |                            WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders o
+           |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders i
+           |                            WHERE i.o_custkey = o.o_custkey)""".stripMargin))
+
+  // ---------------------------------------------------------------- array functions
+  val q49Arrays = QuerySpec(
+    "q49_arrays", "§2.7-arrays",
+    "array construction / sort / containment / flatten over token arrays",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          graft.ext.tokens(graft.ext.normText(col("text"))).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          element_at(sort_array(array_distinct(col("toks"))), 1).as("first_alpha")),
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(
+           |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+           |    '\s+') AS toks FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(toks) AS INT) AS n,
+           |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           |  list_contains(toks, 'spark') AS has_spark,
+           |  list_sort(list_distinct(toks))[1] AS first_alpha
+           |FROM t""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative,
-    q43Datetime, q44WordCount, q45AnnIvf, q46Approx, q47TopKPerGroup)
+    q43Datetime, q44WordCount, q45AnnIvf, q46Approx, q47TopKPerGroup, q48Subquery, q49Arrays)
 }

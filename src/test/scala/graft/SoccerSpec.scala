@@ -78,6 +78,20 @@ class SoccerSpec extends AnyFunSuite with SparkTestBase {
     assert(res.accuracy >= 0.0 && res.accuracy <= 1.0)
   }
 
+  test("facade: SoccerPredictor train/persist/predict over a data directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-soccer").toString
+    record.write.mode("overwrite").parquet(s"$dir/data/game_record")
+    odds.write.mode("overwrite").parquet(s"$dir/data/game_odds")
+    ou.write.mode("overwrite").parquet(s"$dir/data/game_overunder")
+    val sp = new graft.soccer.SoccerPredictor(spark, s"$dir/data", s"$dir/models")
+    val acc = sp.trainFlat("Arsenal", "19", hg = 0, maxIter = 3)
+    assert(acc >= 0.0 && acc <= 1.0)
+    val preds = sp.predictFlat("19", hg = 0, idCutoff = 1600000)
+    assert(preds.count() > 0)
+    assert(preds.columns.toSeq === Seq("id", "prediction"))
+    assert(preds.select("id").collect().forall(_.getString(0).toInt > 1600000))
+  }
+
   test("E2: inference features use the TRAINING company list (drift bug fixed)") {
     val companies = Features.topCompanies(odds, 10)
     val inf = Features.inferenceFeatures(odds, companies, Features.oddsValueCols, 0, idCutoff = 1600000)
