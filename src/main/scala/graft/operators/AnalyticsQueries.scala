@@ -241,7 +241,43 @@ object AnalyticsQueries {
            |  list_sort(list_distinct(toks))[1] AS first_alpha
            |FROM t""".stripMargin))
 
+  // ---------------------------------------------------------------- range (interval) join
+  /** Equi+range join: error events followed by a purchase by the same user
+    * within 10 minutes. The equi key (user_id) carries the shuffle; the
+    * range predicate filters inside each key group — NOT a cartesian
+    * product (check: plan shows a hash/merge join on user_id, no
+    * BroadcastNestedLoopJoin on the big sides). */
+  val q50RangeJoin = QuerySpec(
+    "q50_range_join", "§2.3-range",
+    "interval join: purchase within 10 minutes after an error, same user",
+    (s, d) => {
+      // second-truncated timestamps: Spark reads the nanos column as micros
+      // while DuckDB keeps nanos — sub-second bits would flip boundary
+      // comparisons between engines
+      val ev = Tables.events(s, d).withColumn("ts", date_trunc("second", col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      errors.join(purchases,
+        errors("user_id") === purchases("user_id") &&
+          col("purchase_ts") > col("error_ts") &&
+          col("purchase_ts") <= col("error_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(errors("user_id"), col("error_id"), col("purchase_id"),
+          date_format(col("error_ts"), "yyyy-MM-dd HH:mm:ss").as("err_t"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_t"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts FROM events)
+           |SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
+           |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_t,
+           |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS buy_t
+           |FROM ev e JOIN ev p
+           |  ON e.user_id = p.user_id
+           | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+           |WHERE e.event_type = 'error' AND p.event_type = 'purchase'""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative,
-    q43Datetime, q44WordCount, q45AnnIvf, q46Approx, q47TopKPerGroup, q48Subquery, q49Arrays)
+    q43Datetime, q44WordCount, q45AnnIvf, q46Approx, q47TopKPerGroup, q48Subquery, q49Arrays,
+    q50RangeJoin)
 }
