@@ -81,6 +81,18 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(mismatch(0).isNullAt(0))
   }
 
+  test("native expressions stay inside whole-stage codegen (no fallback)") {
+    val df = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(parseOdds(concat_ws("/", col("l_linenumber"), col("l_suppkey"))).as("p"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected WholeStageCodegen span:\n$plan")
+    val sketch = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(DotProduct(typedLit(Seq(1.0, 2.0)), typedLit(Seq(3.0, 4.0))).as("d"),
+        SimHashBits(split(col("text"), " "), 60).as("sh"))
+    val plan2 = sketch.queryExecution.executedPlan.toString
+    assert(plan2.contains("*("), s"expected WholeStageCodegen span:\n$plan2")
+  }
+
   test("hash60 equals the SQL conv(substring(md5,1,15),16,10) derivation") {
     val strs = Seq("abc", "", "shingle one two", "0:x")
     val viaSql = strs.toDF("s")
