@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // custom-operator stack: auto-rewrite window row_number<=k into the
+    // bounded-heap TopK operator, and the strategy that plans it
+    e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((FunctionIdentifier("parse_odds"),
       info("parse_odds", "parse_odds(str) - fractional-odds mean: 'a/b' -> (a+b)/2"),
       (exprs: Seq[Expression]) => ParseFractionalOdds(exprs.head)))

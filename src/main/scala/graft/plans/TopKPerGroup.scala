@@ -106,6 +106,18 @@ case class TopKPerGroupExec(
 
 /** API entry point. */
 object TopK {
+
+  /** Enable the automatic window→TopK rewrite on a session built without
+    * [[graft.GraftExtensions]] (which injects both pieces via conf). */
+  def enableAutoRewrite(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(RewriteWindowTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteWindowTopK
+    }
+  }
   /** Top-k rows per group ordered by `orderBy` columns (name, ascending) —
     * ascending=false for largest-first. Columns resolve by name against the
     * input's analyzed output (already-resolved attributes; the analyzer

@@ -50,6 +50,18 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("partitionBy write prunes partitions at read (PartitionFilters, not data scan)") {
+    import graft.sources.PartitionedWrite
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    PartitionedWrite.write(ev, "/tmp/graft-part-spec/events", Seq("event_type"))
+    val back = PartitionedWrite.read(spark, "/tmp/graft-part-spec/events")
+      .filter(col("event_type") === "purchase")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(2000))
+    val expected = ev.filter(col("event_type") === "purchase").count()
+    assert(back.count() === expected)
+  }
+
   test("GraftExtensions registers all native functions via the injection hook") {
     // can't build a second SparkSession in-suite (getOrCreate returns the
     // shared one, skipping extensions), so drive the hook directly: apply

@@ -34,6 +34,37 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.toLowerCase.contains("sort "), plan)
   }
 
+  test("auto-rewrite: window row_number<=k + drop(rn) becomes TopKPerGroup") {
+    TopK.enableAutoRewrite(spark)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val idiom = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .drop("rn")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    // and it still computes the right answer
+    val direct = TopK.perGroup(li, Seq("l_returnflag"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 5)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    assert(idiom.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(idiom).count() === 0)
+  }
+
+  test("auto-rewrite does NOT fire when rn stays in the output (q13 shape)") {
+    TopK.enableAutoRewrite(spark)
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_orderkey").asc)
+    val keepsRank = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_returnflag", "l_orderkey", "rn")
+    val plan = keepsRank.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("TopKPerGroup"), plan.take(1500))
+    assert(keepsRank.count() === 9) // 3 groups x 3
+  }
+
   test("handles ties, k larger than group, and empty input") {
     val tiny = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
     val got = TopK.perGroup(tiny, Seq("g"), Seq(("v", true)), 10)
