@@ -40,6 +40,10 @@ object StressTest {
     val pairs = time("nearDupPairs end-to-end")(
       ext.Dedup.nearDupPairs(corpus, "doc_id", "text", 8, 2, 3, 0.3).count())
     println(s"[stress] near-dup pairs: $pairs")
+    val clusters = time("nearDupClusters end-to-end")(
+      ext.Dedup.nearDupClusters(corpus, "doc_id", "text", 8, 2, 3, 0.3)
+        .filter(col("id") =!= col("cluster_id")).count())
+    println(s"[stress] docs assigned to another cluster: $clusters")
 
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val embBig = emb.crossJoin(copies)

@@ -288,8 +288,39 @@ object ExtQueries {
            |  md5(text) AS payload_md5
            |FROM documents""".stripMargin))
 
+  // ---------------------------------------------------------------- SimHash hamming near-dup scan
+  /** Hamming distance between consecutive docs' SimHash signatures — the
+    * near-dup DETECTION step over the sketch (small distance = near-dup).
+    * Spark computes popcount(xor) on the numeric signature; the oracle
+    * compares bit-strings positionally. Same integers either way. */
+  val q51SimHashHamming = QuerySpec(
+    "q51_simhash_hamming", "EXT-dedup-simhash-hamming",
+    "SimHash hamming distance between consecutive documents",
+    (s, d) => {
+      val sh = Dedup.withSimHash(docs(s, d), "text")
+        .select(col("doc_id"), conv(col("simhash"), 2, 10).cast("long").as("sig"))
+      sh.select(col("doc_id").as("id1"), col("sig").as("s1"))
+        .join(sh.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"), col("sig").as("s2")), Seq("id1"))
+        .select(col("id1"), col("id2"),
+          bit_count(expr("s1 ^ s2")).cast("int").as("hamming"))
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(regexp_split_to_array($oNorm, '\\s+')) AS t FROM documents),
+            |h AS (SELECT doc_id,
+            |    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok),
+            |bits AS (SELECT doc_id, j,
+            |    sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+            |  FROM h CROSS JOIN range(60) r(j) GROUP BY doc_id, j),
+            |sh AS (SELECT doc_id,
+            |    string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+            |  FROM bits GROUP BY doc_id)
+            |SELECT a.doc_id AS id1, b.doc_id AS id2,
+            |  CAST(len(list_filter(generate_series(1, 60), i ->
+            |    substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS INT) AS hamming
+            |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q21DedupExact, q22Fingerprint, q23TokenCount, q24TextQuality, q25LangId,
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
-    q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal)
+    q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming)
 }

@@ -67,6 +67,12 @@ object ScrapeIngest {
       .schema(graft.soccer.Schemas.gameRecord)
       .csv(path)
 
+  /** P10 (`GameSpider.py:88,174,182`): keep only rows whose split array has
+    * exactly the expected arity — scraped rows with missing cells drop out
+    * distributed instead of crashing a parse. */
+  def filterValidRows(df: DataFrame, arrCol: String, expectedLen: Int): DataFrame =
+    df.filter(size(col(arrCol)) === expectedLen)
+
   /** Extract the numeric match id from an analysis-page URL column. */
   def withMatchId(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("match_id", regexp_extract(col(urlCol), "analysis/(\\d+)", 1))

@@ -51,6 +51,14 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Map("CompA" -> ("2.1", "2.0"), "CompB" -> ("3.0", "2.9")))
   }
 
+  test("P10: row-arity guard keeps only complete scraped rows") {
+    val rows = Seq("a b c", "a b", "x y z").toDF("line")
+      .withColumn("parts", split(col("line"), " "))
+    val kept = ScrapeIngest.filterValidRows(rows, "parts", 3)
+      .select("line").collect().map(_.getString(0))
+    assert(kept.toSeq === Seq("a b c", "x y z"))
+  }
+
   test("F5: match-id regex extraction from analysis URLs") {
     val df = Seq("http://site/analysis/1646984.html", "http://site/other/x")
       .toDF("analysis_page")
