@@ -319,8 +319,60 @@ object ExtQueries {
             |    substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS INT) AS hamming
             |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin))
 
+  // ---------------------------------------------------------------- corpus curation capstone
+  /** The operators composed as a real curation pipeline: quality-score the
+    * corpus, keep docs above threshold whose predicted language is English,
+    * exact-dedup survivors (keep lowest id), report per-source stats. One
+    * narrow projection chain + one dedup shuffle + one stats aggregation. */
+  val q52Curation = QuerySpec(
+    "q52_curation", "EXT-pipeline",
+    "curation pipeline: quality filter -> lang filter -> dedup -> stats",
+    (s, d) => {
+      val scored = TextAnalysis.withLangId(
+        TextAnalysis.withQuality(docs(s, d), "text"), "text")
+        .filter(col("quality_score") >= 0.2 && col("pred_lang") === "en")
+      val kept = scored.join(
+        Dedup.exact(scored, "doc_id", "text").select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      kept.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("quality_score"), 4).as("avg_quality"),
+        round(sum("n_tokens"), 2).as("total_tokens"))
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id, source,
+            |    CAST(len($oToks) AS DOUBLE) AS n_tokens,
+            |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+            |    round(len(list_filter($oToks, t -> t IN ('the','a','and','of','to','is','in'))) / CAST(len($oToks) AS DOUBLE), 4) AS stopword_ratio,
+            |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk,
+            |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))) AS s_en,
+            |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))) AS s_de,
+            |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('le','la','et','les','des'))) AS s_fr,
+            |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('el','los','que','una','las'))) AS s_es,
+            |    $oNorm AS norm
+            |  FROM documents),
+            |scored AS (
+            |  SELECT *,
+            |    round(least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio)
+            |          * (0.5 + 0.5 * least(stopword_ratio * 5.0, 1.0)), 4) AS quality_score,
+            |    CASE WHEN cjk THEN 'zh'
+            |         WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+            |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            |         WHEN s_fr >= s_es THEN 'fr'
+            |         ELSE 'es' END AS pred_lang
+            |  FROM m),
+            |filt AS (SELECT * FROM scored WHERE quality_score >= 0.2 AND pred_lang = 'en'),
+            |keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(norm))
+            |SELECT source, count(*) AS n_docs,
+            |  round(avg(quality_score), 4) AS avg_quality,
+            |  round(sum(n_tokens), 2) AS total_tokens
+            |FROM filt WHERE doc_id IN (SELECT doc_id FROM keep)
+            |GROUP BY source""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q21DedupExact, q22Fingerprint, q23TokenCount, q24TextQuality, q25LangId,
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
-    q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming)
+    q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
+    q52Curation)
 }
