@@ -95,7 +95,7 @@ object Dedup {
     pairs
       .join(sig.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sig.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .select(col("id1"), col("id2"), round(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+      .select(col("id1"), col("id2"), graft.functions.roundStable(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -65,13 +65,13 @@ object ExtQueries {
             |  SELECT doc_id,
             |    CAST(length(text) AS DOUBLE) AS n_chars,
             |    CAST(len($oToks) AS DOUBLE) AS n_tokens,
-            |    round(length(regexp_replace(text, '\\s+', '', 'g')) / CAST(len($oToks) AS DOUBLE), 4) AS avg_token_len,
-            |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-            |    round(len(list_filter($oToks, t -> t IN ('the','a','and','of','to','is','in'))) / CAST(len($oToks) AS DOUBLE), 4) AS stopword_ratio
+            |    round(length(regexp_replace(text, '\\s+', '', 'g')) / CAST(len($oToks) AS DOUBLE) + 1e-9, 4) AS avg_token_len,
+            |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio,
+            |    round(len(list_filter($oToks, t -> t IN ('the','a','and','of','to','is','in'))) / CAST(len($oToks) AS DOUBLE) + 1e-9, 4) AS stopword_ratio
             |  FROM documents)
             |SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
             |  round(least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio)
-            |        * (0.5 + 0.5 * least(stopword_ratio * 5.0, 1.0)), 4) AS quality_score
+            |        * (0.5 + 0.5 * least(stopword_ratio * 5.0, 1.0)) + 1e-9, 4) AS quality_score
             |FROM m""".stripMargin))
 
   // ---------------------------------------------------------------- language id
@@ -173,7 +173,7 @@ object ExtQueries {
             |jac AS (SELECT id1, id2,
             |    round(len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles)))
             |      / CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles))
-            |             - len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles))) AS DOUBLE), 4) AS jaccard
+            |             - len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles))) AS DOUBLE) + 1e-9, 4) AS jaccard
             |  FROM pairs JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
             |SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.3""".stripMargin))
 
@@ -188,14 +188,14 @@ object ExtQueries {
         .select(col("doc_id"), col("sh"))
       shing.select(col("doc_id").as("id1"), col("sh").as("sh1"))
         .join(shing.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id1"))
-        .select(col("id1"), col("id2"), round(Dedup.jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+        .select(col("id1"), col("id2"), graft.functions.roundStable(Dedup.jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
     },
     Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
             |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2), i ->
             |         concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s FROM n)
             |SELECT a.doc_id AS id1, b.doc_id AS id2,
             |  round(len(list_intersect(a.s, b.s))
-            |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 4) AS jaccard
+            |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) + 1e-9, 4) AS jaccard
             |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin))
 
   // ---------------------------------------------------------------- SimHash
@@ -336,14 +336,14 @@ object ExtQueries {
         Seq("doc_id"), "left_semi")
       kept.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
-        round(avg("quality_score"), 4).as("avg_quality"),
+        graft.functions.roundStable(avg("quality_score"), 4).as("avg_quality"),
         round(sum("n_tokens"), 2).as("total_tokens"))
     },
     Some(s"""WITH m AS (
             |  SELECT doc_id, source,
             |    CAST(len($oToks) AS DOUBLE) AS n_tokens,
-            |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-            |    round(len(list_filter($oToks, t -> t IN ('the','a','and','of','to','is','in'))) / CAST(len($oToks) AS DOUBLE), 4) AS stopword_ratio,
+            |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio,
+            |    round(len(list_filter($oToks, t -> t IN ('the','a','and','of','to','is','in'))) / CAST(len($oToks) AS DOUBLE) + 1e-9, 4) AS stopword_ratio,
             |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk,
             |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('the','and','of','to','is'))) AS s_en,
             |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ('der','die','und','das','ist'))) AS s_de,
@@ -354,7 +354,7 @@ object ExtQueries {
             |scored AS (
             |  SELECT *,
             |    round(least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio)
-            |          * (0.5 + 0.5 * least(stopword_ratio * 5.0, 1.0)), 4) AS quality_score,
+            |          * (0.5 + 0.5 * least(stopword_ratio * 5.0, 1.0)) + 1e-9, 4) AS quality_score,
             |    CASE WHEN cjk THEN 'zh'
             |         WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
             |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
@@ -365,7 +365,7 @@ object ExtQueries {
             |filt AS (SELECT * FROM scored WHERE quality_score >= 0.2 AND pred_lang = 'en'),
             |keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(norm))
             |SELECT source, count(*) AS n_docs,
-            |  round(avg(quality_score), 4) AS avg_quality,
+            |  round(avg(quality_score) + 1e-9, 4) AS avg_quality,
             |  round(sum(n_tokens), 2) AS total_tokens
             |FROM filt WHERE doc_id IN (SELECT doc_id FROM keep)
             |GROUP BY source""".stripMargin))

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.roundStable
 
 /** Text-analysis operators for corpus curation: token counting, quality
   * scoring, language identification, fingerprinting.
@@ -33,13 +34,13 @@ object TextAnalysis {
       .withColumn("n_chars", length(col(textCol)).cast("double"))
       .withColumn("n_tokens", size(col("toks")).cast("double"))
       .withColumn("avg_token_len",
-        round(length(regexp_replace(col(textCol), "\\s+", "")) / col("n_tokens"), 4))
+        roundStable(length(regexp_replace(col(textCol), "\\s+", "")) / col("n_tokens"), 4))
       .withColumn("punct_ratio",
-        round((col("n_chars") - length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))) / col("n_chars"), 4))
+        roundStable((col("n_chars") - length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))) / col("n_chars"), 4))
       .withColumn("stopword_ratio",
-        round(expr(s"size(filter(toks, t -> ${inList("t", stopEn)}))") / col("n_tokens"), 4))
+        roundStable(expr(s"size(filter(toks, t -> ${inList("t", stopEn)}))") / col("n_tokens"), 4))
       .withColumn("quality_score",
-        round(least(col("n_tokens") / 100.0, lit(1.0)) * (lit(1.0) - col("punct_ratio"))
+        roundStable(least(col("n_tokens") / 100.0, lit(1.0)) * (lit(1.0) - col("punct_ratio"))
           * (lit(0.5) + lit(0.5) * least(col("stopword_ratio") * 5.0, lit(1.0))), 4))
       .drop("toks")
   }

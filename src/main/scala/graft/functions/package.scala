@@ -42,6 +42,14 @@ package object functions {
   def encodeOverUnder(c: Column): Column =
     when(c === "Under", "0").when(c === "Over", "1")
 
+  /** Engine-stable rounding for cross-engine comparison: averages, ratios,
+    * and percentile midpoints of short-decimal inputs land EXACTLY on the
+    * round-half boundary (e.g. 0.7 × 0.8215 = 0.57505), where Spark and
+    * DuckDB round differently. A +1e-9 nudge (≫ double ULP, ≪ the rounding
+    * gap) pushes boundary values consistently up in both engines; off-lattice
+    * values are unaffected. The oracle SQL applies the same nudge. */
+  def roundStable(c: Column, scale: Int): Column = round(c + lit(1e-9), scale)
+
   /** F9 (reference `XGBoost/Predictor.py:185-186`): deterministic pivoted
     * feature column name `{value}_{flag}_{company}`. */
   def pivotColName(value: String, flag: Int, company: String): String =

@@ -45,13 +45,13 @@ object AnalyticsQueries {
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          graft.functions.roundStable(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          graft.functions.roundStable(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
           round(min("o_totalprice"), 2).as("min_price"),
           round(max("o_totalprice"), 2).as("max_price")),
     Some("""SELECT o_orderpriority,
-           |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           |  round(quantile_cont(o_totalprice, 0.5) + 1e-9, 2) AS p50,
+           |  round(quantile_cont(o_totalprice, 0.9) + 1e-9, 2) AS p90,
            |  round(min(o_totalprice), 2) AS min_price,
            |  round(max(o_totalprice), 2) AS max_price
            |FROM orders GROUP BY o_orderpriority""".stripMargin))

@@ -38,13 +38,13 @@ object CoreQueries {
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
+          roundStable(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order")),
     Some("""SELECT l_returnflag, l_linestatus,
            |  round(sum(l_quantity), 2) AS sum_qty,
            |  round(sum(l_extendedprice), 2) AS sum_base_price,
            |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
            |  count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -159,15 +159,24 @@ object CoreQueries {
         .groupBy("l_suppkey")
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 2).as("avg_price")),
+          roundStable(avg("l_quantity"), 4).as("avg_qty"),
+          // money avg over EXACT integer cents: the double sum of 2dp values
+          // carries ~1e-9 engine-order noise (same scale as the rounding
+          // nudge); integer sums are exact and IEEE division of exact
+          // operands is deterministic in every engine
+          roundStable(
+            sum(round(col("l_extendedprice") * 100).cast("long")) /
+              count(col("l_extendedprice")) / lit(100.0), 2).as("avg_price")),
     Some("""SELECT l_suppkey,
-           |  round(avg(l_quantity)      FILTER (WHERE l_returnflag='A'), 4) AS A_avg_qty,
-           |  round(avg(l_extendedprice) FILTER (WHERE l_returnflag='A'), 2) AS A_avg_price,
-           |  round(avg(l_quantity)      FILTER (WHERE l_returnflag='N'), 4) AS N_avg_qty,
-           |  round(avg(l_extendedprice) FILTER (WHERE l_returnflag='N'), 2) AS N_avg_price,
-           |  round(avg(l_quantity)      FILTER (WHERE l_returnflag='R'), 4) AS R_avg_qty,
-           |  round(avg(l_extendedprice) FILTER (WHERE l_returnflag='R'), 2) AS R_avg_price
+           |  round(avg(l_quantity)      FILTER (WHERE l_returnflag='A') + 1e-9, 4) AS A_avg_qty,
+           |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_returnflag='A')
+           |        / count(l_extendedprice) FILTER (WHERE l_returnflag='A') / 100.0 + 1e-9, 2) AS A_avg_price,
+           |  round(avg(l_quantity)      FILTER (WHERE l_returnflag='N') + 1e-9, 4) AS N_avg_qty,
+           |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_returnflag='N')
+           |        / count(l_extendedprice) FILTER (WHERE l_returnflag='N') / 100.0 + 1e-9, 2) AS N_avg_price,
+           |  round(avg(l_quantity)      FILTER (WHERE l_returnflag='R') + 1e-9, 4) AS R_avg_qty,
+           |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_returnflag='R')
+           |        / count(l_extendedprice) FILTER (WHERE l_returnflag='R') / 100.0 + 1e-9, 2) AS R_avg_price
            |FROM lineitem GROUP BY l_suppkey""".stripMargin))
 
   // ---------------------------------------------------------------- J1/J2: multi-way join
