@@ -81,7 +81,13 @@ object Dedup {
     * BOTH join branches (and again for the verify join), turning one pass
     * over the corpus into four. At cluster scale the same role is played by
     * checkpointing signatures to storage; signatures are ~numHashes longs
-    * per doc, a ~1000× reduction over the corpus itself. */
+    * per doc, a ~1000× reduction over the corpus itself.
+    *
+    * The result is materialized (and persisted) before returning so the
+    * internal signature cache can be released immediately — repeated calls
+    * in a long-lived session don't accumulate cached blocks. Callers should
+    * `unpersist()` the RETURNED frame once consumed; it is tiny (one row
+    * per verified near-dup pair) compared to the signature frame. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleN: Int, minJaccard: Double): DataFrame = {
     val sig = withMinHash(df.select(col(idCol), col(textCol)), textCol, numHashes, shingleN)
@@ -89,14 +95,19 @@ object Dedup {
       .withColumn("sh", shingleSql("toks", shingleN))
       .select(col(idCol), col("sig"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandHashes(sig.select(col(idCol), col("sig")), numHashes, rowsPerBand)
-      .select(col(idCol), col("band_id"), col("band_hash"))
-    val pairs = candidatePairs(banded, idCol)
-    pairs
-      .join(sig.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sig.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
-      .select(col("id1"), col("id2"), graft.functions.roundStable(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    try {
+      val banded = bandHashes(sig.select(col(idCol), col("sig")), numHashes, rowsPerBand)
+        .select(col(idCol), col("band_id"), col("band_hash"))
+      val pairs = candidatePairs(banded, idCol)
+      val out = pairs
+        .join(sig.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+        .join(sig.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .select(col("id1"), col("id2"), graft.functions.roundStable(jaccard(col("sh1"), col("sh2")), 4).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize while sig is still cached
+      out
+    } finally sig.unpersist(blocking = false)
   }
 
 
@@ -115,33 +126,36 @@ object Dedup {
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleN: Int, minJaccard: Double,
       maxIters: Int = 5): DataFrame = {
+    // nearDupPairs returns an already-persisted, already-materialized frame
     val pairs = nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, shingleN, minJaccard)
-      .select(col("id1"), col("id2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs
-      .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .toDF("src", "dst")
-    var labels = df.select(col(idCol).as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var iter = 0
-    var changed = 1L
-    while (iter < maxIters && changed > 0) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
-        .groupBy("src").agg(min("nbr_label").as("nbr_min"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+    try {
+      val edges = pairs.select(col("id1"), col("id2"))
+        .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        .toDF("src", "dst")
+      var labels = df.select(col(idCol).as("id")).distinct()
+        .withColumn("cluster_id", col("id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    labels
+      var iter = 0
+      var changed = 1L
+      while (iter < maxIters && changed > 0) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
+          .groupBy("src").agg(min("nbr_label").as("nbr_min"))
+        val next = labels
+          .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+          .filter(col("cluster_id") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      // labels was materialized by the last convergence count; callers
+      // unpersist the returned frame once consumed (one row per document)
+      labels
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** SimHash (Charikar '02): 60-bit signature where bit j is the sign of

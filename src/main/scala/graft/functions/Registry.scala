@@ -17,6 +17,8 @@ object Registry {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotent per session: re-registering logs a noisy WARN per function
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("parse_odds"))) return
     reg.createOrReplaceTempFunction(
       "parse_odds", exprs => ParseFractionalOdds(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(

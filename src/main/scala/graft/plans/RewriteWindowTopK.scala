@@ -32,6 +32,15 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Memory-safety gate: [[TopKPerGroupExec]] holds O(groups-per-partition
+    * × k) rows on the JVM heap and never spills, unlike Spark's sort-based
+    * window path. The rewrite therefore only fires for k up to this bound
+    * (default 1000); larger k keeps the spill-capable built-in plan. */
+  val MaxKKey = "spark.graft.topk.maxK"
+  private def maxK: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(MaxKKey, "1000").toInt
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond,
@@ -41,7 +50,7 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       val rn = alias.toAttribute
       val refsRn = projectList.exists(_.references.contains(rn))
       rankBound(cond, rn) match {
-        case Some(k) if k > 0 && !refsRn =>
+        case Some(k) if k > 0 && k <= maxK && !refsRn =>
           // by the time user rules run, Spark's InferWindowGroupLimit has
           // usually inserted a WindowGroupLimit (sort-based group pruning)
           // below the Window — absorb it, our operator subsumes the limit

@@ -122,7 +122,15 @@ object TopK {
     * ascending=false for largest-first. Columns resolve by name against the
     * input's analyzed output (already-resolved attributes; the analyzer
     * needn't look inside the custom node). Registers the planner strategy
-    * on the session idempotently. */
+    * on the session idempotently.
+    *
+    * MEMORY CONTRACT: execution holds O(groups-per-partition × k) boxed rows
+    * on the JVM heap and never spills (unlike Spark's sort-based window
+    * path). Intended for small k (top-10s/100s/1000s). For very large k or
+    * pathological group cardinality per partition, prefer the window idiom —
+    * the automatic rewrite ([[graft.plans.RewriteWindowTopK]]) enforces this
+    * with its `spark.graft.topk.maxK` bound (default 1000); this direct API
+    * trusts the caller. */
   def perGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark: SparkSession = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {

@@ -55,12 +55,18 @@ object Features {
       .pivot("odds_company", companies)
       .agg(aggs.head, aggs.tail: _*)
     // Spark names multi-agg pivot columns "{company}_{value}"; re-alias to
-    // the reference's "{value}_{hg}_{company}" scheme.
+    // the reference's "{value}_{hg}_{company}" scheme. The company list is
+    // known here, so match each column against it (longest company first)
+    // rather than splitting on '_' — a bookmaker named "Bet_365" must not
+    // be mis-parsed as company "Bet" + value "365_...".
+    val byLength = companies.sortBy(-_.length)
     val renamed = pivoted.columns.map {
       case "id" => col("id")
       case c =>
-        val Array(comp, value) = c.split("_", 2)
-        col(c).as(s"${value}_${hg}_$comp")
+        val comp = byLength.find(co => c.startsWith(co + "_")).getOrElse(
+          throw new IllegalStateException(s"pivot column '$c' matches no known company"))
+        val value = c.drop(comp.length + 1)
+        pivoted(c).as(s"${value}_${hg}_$comp")
     }
     pivoted.select(renamed: _*)
   }

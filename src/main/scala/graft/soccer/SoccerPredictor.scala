@@ -50,8 +50,20 @@ class SoccerPredictor(spark: SparkSession, dataDir: String, modelDir: String) {
     val assembler = model.stages.collectFirst {
       case a: org.apache.spark.ml.feature.VectorAssembler => a
     }.getOrElse(throw new IllegalStateException("model has no VectorAssembler stage"))
+    // input cols are "{value}_{hg}_{company}" — strip the known value-col
+    // prefix + the hg digit instead of splitting on '_', so company names
+    // containing underscores (e.g. "Bet_365") round-trip intact
+    val knownValues = (Features.oddsValueCols ++ Features.ouValueCols).sortBy(-_.length)
     assembler.getInputCols.toSeq
-      .map(_.split("_").last)
+      .map { c =>
+        knownValues.find(v => c.startsWith(v + "_")) match {
+          case Some(v) =>
+            val rest = c.drop(v.length + 1) // "{hg}_{company}"
+            rest.dropWhile(_.isDigit).stripPrefix("_")
+          case None =>
+            throw new IllegalStateException(s"feature column '$c' matches no known value column")
+        }
+      }
       .distinct
   }
 }

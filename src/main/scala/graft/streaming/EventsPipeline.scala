@@ -80,7 +80,11 @@ object EventsPipeline {
               } else cur = cur.copy(n = cur.n + 1, last = math.max(cur.last, t), total = cur.total + e.value)
             }
             state.update(cur)
-            state.setTimeoutTimestamp(cur.last + gapMs)
+            // a late-but-within-watermark batch can leave cur.last + gapMs
+            // at-or-below the current watermark, which Spark rejects — clamp
+            // the timeout strictly past the watermark (fires next trigger)
+            state.setTimeoutTimestamp(
+              math.max(cur.last + gapMs, state.getCurrentWatermarkMs() + 1))
             closed.reverseIterator
           }
       }

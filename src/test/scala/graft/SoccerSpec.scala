@@ -47,6 +47,22 @@ class SoccerSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got - expected) < 1e-9)
   }
 
+  test("A2: pivot handles company names containing underscores (Bet_365)") {
+    import spark.implicits._
+    val oddsU = Seq(
+      ("g1", "Bet_365", "2.10", "3.20", "3.50", "2.00", "3.10", "3.40"),
+      ("g1", "Plain", "1.90", "3.00", "4.00", "1.85", "3.05", "4.10"))
+      .toDF("id", "odds_company",
+        "final_win", "final_draw", "final_lose",
+        "initial_win", "initial_draw", "initial_lose")
+    val pivoted = Features.pivotFeatures(oddsU, Seq("Bet_365", "Plain"), Features.oddsValueCols, hg = 1)
+    // value and company must round-trip intact, not split at the first '_'
+    assert(pivoted.columns.contains("final_win_1_Bet_365"), pivoted.columns.mkString(","))
+    assert(pivoted.columns.contains("initial_lose_1_Plain"))
+    val v = pivoted.select("final_win_1_Bet_365").collect()(0).getDouble(0)
+    assert(math.abs(v - 2.10) < 1e-9)
+  }
+
   test("E1: flat training set assembles with labels and no nulls") {
     val ts = Features.flatTrainingSet(record, odds, "Arsenal", hg = 0)
     assert(ts.columns.contains("flat"))

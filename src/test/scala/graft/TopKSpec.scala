@@ -65,6 +65,23 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(keepsRank.count() === 9) // 3 groups x 3
   }
 
+  test("auto-rewrite does NOT fire above spark.graft.topk.maxK (memory gate)") {
+    TopK.enableAutoRewrite(spark)
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_orderkey").asc)
+    def idiom = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50).drop("rn")
+      .select("l_returnflag", "l_orderkey")
+    spark.conf.set("spark.graft.topk.maxK", "10")
+    try {
+      val gated = idiom.queryExecution.executedPlan.toString
+      assert(!gated.contains("TopKPerGroup"), gated.take(1500))
+      assert(gated.contains("Window") || gated.contains("WindowGroupLimit"), gated.take(1500))
+    } finally spark.conf.unset("spark.graft.topk.maxK")
+    // default bound (1000) lets k=50 through
+    val open = idiom.queryExecution.executedPlan.toString
+    assert(open.contains("TopKPerGroup"), open.take(1500))
+  }
+
   test("handles ties, k larger than group, and empty input") {
     val tiny = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
     val got = TopK.perGroup(tiny, Seq("g"), Seq(("v", true)), 10)
