@@ -15,7 +15,8 @@ object SparkEntry {
     operators.CoreQueries.all ++
       ext.ExtQueries.all ++
       operators.SystemQueries.all ++
-      operators.AnalyticsQueries.all
+      operators.AnalyticsQueries.all ++
+      operators.RelationalDepthQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
