@@ -72,5 +72,33 @@ object SystemQueries {
     },
     None)
 
-  def all: Seq[QuerySpec] = Seq(q34StreamWindow, q35Upsert, q36MlGbt)
+  /** DataSourceV2 surface: the engine's own `graft-synth` source
+    * ([[graft.sources.v2.SynthSource]]) — zero-storage deterministic row
+    * generation with range-pushdown on `id` and column pruning. The DuckDB
+    * oracle replicates the generator arithmetic over `range()`, so this
+    * checks the DSv2 read path end-to-end (partition planning, pushdown,
+    * pruned row assembly) against an independent engine. */
+  val q62Dsv2Synth = QuerySpec(
+    "q62_dsv2_synth", "S-dsv2-custom-source",
+    "custom DSv2 source: pushed id-range scan + per-category aggregate",
+    (s, _) =>
+      s.read.format("graft-synth")
+        .option("rows", "200000").option("parts", "16").load()
+        .filter(col("id") >= 150000L && col("bucket") =!= 7)
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), sum("bucket").as("sum_bucket"),
+          round(sum("value"), 2).as("sum_value")),
+    Some("""WITH t AS (
+           |  SELECT range AS id,
+           |    CAST(range % 32 AS INT) AS bucket,
+           |    'c' || CAST(range % 7 AS VARCHAR) AS category,
+           |    ((range * 2654435761) % 10000) / 100.0 AS value
+           |  FROM range(200000))
+           |SELECT category, count(*) AS n,
+           |  CAST(sum(bucket) AS BIGINT) AS sum_bucket,
+           |  round(sum(value), 2) AS sum_value
+           |FROM t WHERE id >= 150000 AND bucket <> 7
+           |GROUP BY category""".stripMargin))
+
+  def all: Seq[QuerySpec] = Seq(q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth)
 }
