@@ -9,36 +9,25 @@ object Scratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // force-enable runtime bloom filters with tiny thresholds so local-scale
+      // plans show what a 100TB plan would do
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      .config("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val e = Tables.embeddings(spark, d)
-    time("count raw")(e.count())
-    time("count raw again")(e.count())
-    val b = ext.Similarity.withLshBucket(e, 8, 64).select("vec_id", "lsh_bucket")
-    time("plan b")(b.queryExecution.executedPlan)
-    time("bucket only count")(b.count())
-    time("bucket only count2")(b.count())
-    val withSize = b.join(b.groupBy("lsh_bucket").agg(count(lit(1)).as("bucket_size")), Seq("lsh_bucket"))
-    time("join count")(withSize.count())
-    time("join count2")(withSize.count())
-    // custom TopK vs window row_number, steady state (2nd run each)
-    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(spark, d)
-    def windowTopK() = li.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-        Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc, col("l_orderkey").asc)))
-      .filter(col("rn") <= 5).drop("rn")
-    def customTopK() = plans.TopK.perGroup(li, Seq("l_suppkey"),
-      Seq(("l_extendedprice", false), ("l_orderkey", true)), 5)
-    def noop(df: org.apache.spark.sql.DataFrame) =
-      df.write.format("noop").mode("overwrite").save()
-    noop(windowTopK()); noop(customTopK())
-    time("window topk per suppkey")(noop(windowTopK()))
-    time("custom topk per suppkey")(noop(customTopK()))
+    val ord = Tables.orders(spark, d).filter(col("o_totalprice") > 450000)
+    // disable broadcast so the join is a shuffle join (runtime filter target)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    j.explain("formatted")
+    println("---- optimized ----")
+    println(j.queryExecution.optimizedPlan.toString.take(4000))
     spark.stop()
   }
 }

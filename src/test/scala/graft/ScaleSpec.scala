@@ -62,6 +62,31 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() === expected)
   }
 
+  test("runtime bloom filter prunes the fact side before the shuffle") {
+    import graft.operators.RuntimeFilters
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val ord = Tables.orders(spark, d).filter(col("o_totalprice") > 450000)
+    def join() = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val baseline = join().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a shuffle join (broadcast joins don't need a runtime filter)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    RuntimeFilters.enableAtAnyScale(spark)
+    try {
+      val pruned = join()
+      val opt = pruned.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), opt.take(2000))
+      assert(opt.contains("bloom_filter_agg"), opt.take(2000))
+      val got = pruned.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === baseline)
+    } finally {
+      RuntimeFilters.restoreDefaults(spark)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("GraftExtensions registers all native functions via the injection hook") {
     // can't build a second SparkSession in-suite (getOrCreate returns the
     // shared one, skipping extensions), so drive the hook directly: apply
