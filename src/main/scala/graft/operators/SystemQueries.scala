@@ -100,5 +100,29 @@ object SystemQueries {
            |FROM t WHERE id >= 150000 AND bucket <> 7
            |GROUP BY category""".stripMargin))
 
-  def all: Seq[QuerySpec] = Seq(q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth)
+  /** EXT-dedup streaming: incremental MinHash-LSH near-dup candidates over
+    * the documents table replayed as a file stream — the stateful streaming
+    * formulation of q27's batch LSH (see
+    * [[graft.streaming.StreamingNearDup]]). flatMapGroupsWithState isn't
+    * SQL-expressible → rows-only check; the spec proves candidates ⊆ the
+    * batch pipeline's pairs on the same parameters. */
+  val q63StreamNearDup = QuerySpec(
+    "q63_stream_neardup", "EXT-dedup-streaming",
+    "streaming MinHash-LSH near-dup candidates (stateful, incremental)",
+    (s, d) => {
+      val docs = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, quality_score DOUBLE")
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(d)
+      val hits = graft.streaming.StreamingNearDup
+        .candidates(s, docs, "doc_id", "text", numHashes = 64, rowsPerBand = 8, shingleN = 3)
+      EventsPipeline.runToMemoryTable(s, hits.toDF(), "q63_out",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .select("doc_id", "dup_of").distinct()
+        .orderBy("doc_id", "dup_of")
+    },
+    None)
+
+  def all: Seq[QuerySpec] = Seq(q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup)
 }
