@@ -16,7 +16,8 @@ object SparkEntry {
       ext.ExtQueries.all ++
       operators.SystemQueries.all ++
       operators.AnalyticsQueries.all ++
-      operators.RelationalDepthQueries.all
+      operators.RelationalDepthQueries.all ++
+      operators.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
