@@ -119,5 +119,88 @@ object PipelineQueries {
            |SELECT f.format, a.n, a.sum_key, a.sum_price
            |FROM (VALUES ('orc'), ('csv'), ('json')) f(format) CROSS JOIN agg a""".stripMargin))
 
-  def all: Seq[QuerySpec] = Seq(q64SessionizeBatch, q65Profile, q66MultiFormat)
+  // ---------------------------------------------------------------- TF-IDF
+  /** Corpus TF-IDF, fully distributed: term frequencies per (doc, token)
+    * and document frequencies per token are two hash aggregations over the
+    * exploded token stream; idf joins back on token (broadcastable — the
+    * vocabulary is tiny relative to the corpus). Top-20 with a total
+    * tie-break on the ROUNDED score so cross-engine ordering is exact. */
+  val q67Tfidf = QuerySpec(
+    "q67_tfidf", "EXT-text-tfidf",
+    "distributed TF-IDF: top-20 (doc, token) scores",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.ext.tokens(graft.ext.normText(col("text")))).as("token"))
+      val n = toks.select("doc_id").distinct().count()
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "token")
+        .select(col("doc_id"), col("token"),
+          graft.functions.roundStable(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id").asc, col("token").asc)
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(
+           |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+           |    '\s+')) AS token
+           |  FROM documents),
+           |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+           |n AS (SELECT count(DISTINCT doc_id) AS n FROM toks)
+           |SELECT tf.doc_id, tf.token,
+           |  round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) + 1e-9, 6) AS tfidf
+           |FROM tf JOIN df USING (token) CROSS JOIN n
+           |ORDER BY tfidf DESC, doc_id ASC, token ASC LIMIT 20""".stripMargin))
+
+  // ---------------------------------------------------------------- reproducible sampling
+  /** Hash-modulo sampling: a ~5% sample selected by deterministic integer
+    * arithmetic on the key, NOT by RNG — the same rows are sampled on every
+    * engine, every run, every cluster size (TABLESAMPLE/`df.sample` are
+    * seed-and-partitioning dependent, useless for reproducible pipeline
+    * experiments). The predicate is a pure row-local filter: it pushes to
+    * the scan and samples 100 TB without a shuffle. */
+  val q68SampleHash = QuerySpec(
+    "q68_sample_hash", "EXT-sample",
+    "deterministic hash-modulo 5% sample + per-group aggregate",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey") * 2654435761L + col("l_linenumber") * 97L, lit(100L)) < 5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"), round(sum("l_extendedprice"), 2).as("sum_price")),
+    Some("""SELECT l_returnflag, count(*) AS n_sampled,
+           |  round(sum(l_extendedprice), 2) AS sum_price
+           |FROM lineitem
+           |WHERE (l_orderkey * 2654435761 + l_linenumber * 97) % 100 < 5
+           |GROUP BY l_returnflag""".stripMargin))
+
+  // ---------------------------------------------------------------- rolling range-frame window
+  /** Event-time rolling aggregates: per user, events and value in the
+    * trailing hour — a RANGE frame over epoch seconds (value-based bounds),
+    * not a ROWS frame. Shuffles once on user_id, sorts within partitions. */
+  val q69RollingWindow = QuerySpec(
+    "q69_rolling_window", "§2.6-range-frame",
+    "rolling 1-hour per-user aggregates via RANGE window frame",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy(col("epoch_s").asc)
+        .rangeBetween(-3600L, 0L)
+      ev.select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum("value").over(w), 2).as("value_1h"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, value,
+           |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s FROM events)
+           |SELECT user_id, event_id,
+           |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           |  round(sum(value) OVER w, 2) AS value_1h
+           |FROM ev
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s ASC
+           |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin))
+
+  def all: Seq[QuerySpec] = Seq(
+    q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow)
 }
