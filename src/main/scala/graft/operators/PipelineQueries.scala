@@ -201,6 +201,55 @@ object PipelineQueries {
            |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s ASC
            |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin))
 
+  // ---------------------------------------------------------------- runtime bloom-filter join
+  /** The fact-side-pruned shuffle join ([[RuntimeFilters]]): a bloom filter
+    * built from the filtered dim side's keys drops non-joining fact rows
+    * BEFORE the exchange. The physical plan is pinned while the tuned confs
+    * are in effect (planning is cached on the QueryExecution), then session
+    * confs are restored so no other query inherits them. Results are
+    * byte-identical to the plain join — only the shuffle volume changes. */
+  val q70BloomJoin = QuerySpec(
+    "q70_bloom_join", "§2.3-runtime-filter",
+    "shuffle join with runtime bloom-filter fact-side pruning",
+    (s, d) => {
+      RuntimeFilters.enableAtAnyScale(s)
+      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        val out = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .groupBy("l_returnflag", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        out.queryExecution.executedPlan // pin the bloom-filtered plan now
+        out
+      } finally {
+        RuntimeFilters.restoreDefaults(s)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      }
+    },
+    Some("""SELECT l_returnflag, o_orderpriority, count(*) AS n,
+           |  round(sum(l_extendedprice), 2) AS sum_price
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |WHERE o_totalprice > 450000
+           |GROUP BY l_returnflag, o_orderpriority""".stripMargin))
+
+  // ---------------------------------------------------------------- salted skew aggregation
+  /** Two-phase salted aggregation ([[Skew.saltedSumCount]]): hot keys fan
+    * out over `saltFactor` partial buckets (phase 1 combines locally per
+    * salt), then partials merge per real key — the straggler-killer for
+    * skewed group-bys. Algebraically identical to the direct aggregation,
+    * which is exactly what the oracle checks. */
+  val q71SaltedAgg = QuerySpec(
+    "q71_salted_agg", "scale-skew-salting",
+    "two-phase salted aggregation equals direct group-by (skew path)",
+    (s, d) =>
+      Skew.saltedSumCount(Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity", saltFactor = 8)
+        .select(col("l_returnflag"), round(col("sum_value"), 2).as("sum_qty"), col("n")),
+    Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
-    q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow)
+    q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
+    q70BloomJoin, q71SaltedAgg)
 }
