@@ -9,25 +9,28 @@ object Scratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      // force-enable runtime bloom filters with tiny thresholds so local-scale
-      // plans show what a 100TB plan would do
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      .config("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
-    val li = Tables.lineitem(spark, d)
-    val ord = Tables.orders(spark, d).filter(col("o_totalprice") > 450000)
-    // disable broadcast so the join is a shuffle join (runtime filter target)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-    j.explain("formatted")
-    println("---- optimized ----")
-    println(j.queryExecution.optimizedPlan.toString.take(4000))
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // (a) batch: minhash + banding only
+    val docs = Tables.documents(spark, d)
+    val banded = streaming.StreamingNearDup.bandedStream(docs, "doc_id", "text", 64, 8, 3)
+    time("batch banding warm")(banded.write.format("noop").mode("overwrite").save())
+    time("batch banding")(banded.write.format("noop").mode("overwrite").save())
+    // (b) streaming run, default state store
+    def runStreaming(label: String): Unit = time(label) {
+      operators.SystemQueries.q63StreamNearDup.fn(spark, d).count()
+    }
+    runStreaming("stream neardup 1")
+    runStreaming("stream neardup 2")
+    // (c) with fewer shuffle partitions for state
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    runStreaming("stream neardup p8")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.stop()
   }
 }

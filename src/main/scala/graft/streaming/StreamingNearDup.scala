@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One (doc, band) row of the streaming LSH index. */
-case class BandDoc(band_id: Int, band_hash: String, doc_id: Long)
+case class BandDoc(band_id: Int, band_hash: Long, doc_id: Long)
 
 /** A near-duplicate candidate: `doc_id` collided with the bucket's
   * canonical (first-seen) document in band `band_id`. */
@@ -47,11 +47,16 @@ case class BucketState(firstId: Long)
 object StreamingNearDup {
 
   /** Per-row signature + banding for a streaming docs frame
-    * (`idCol` LONG, `textCol` STRING) — no ensureParallelism repartition
-    * here (a streaming frame's parallelism follows its source). */
+    * (`idCol` LONG, `textCol` STRING). The input is hash-repartitioned on
+    * the id FIRST: a small file scans as one partition (batch or
+    * micro-batch alike) and K×shingles hashing is the CPU hot spot — the
+    * cheap early shuffle buys full-core parallelism for it (the batch
+    * pipeline's ensureParallelism can't be used here: it inspects `.rdd`,
+    * which streaming frames forbid). */
   def bandedStream(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleN: Int): DataFrame = {
     val sig = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .withColumn("toks", tokens(normText(col(textCol))))
       .withColumn("shingles", shingleSql("toks", shingleN))
       .withColumn("sig", MinHashSignature(col("shingles"), numHashes))
@@ -72,7 +77,7 @@ object StreamingNearDup {
       .groupByKey(b => (b.band_id, b.band_hash))
       .flatMapGroupsWithState[BucketState, NearDupHit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, String), rows: Iterator[BandDoc], state: GroupState[BucketState]) =>
+        (_: (Int, Long), rows: Iterator[BandDoc], state: GroupState[BucketState]) =>
           // lowest doc_id first makes intra-batch canonical choice deterministic
           val sorted = rows.toSeq.sortBy(_.doc_id)
           var first = state.getOption.map(_.firstId).getOrElse(-1L)
