@@ -16,21 +16,17 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    // (a) batch: minhash + banding only
-    val docs = Tables.documents(spark, d)
-    val banded = streaming.StreamingNearDup.bandedStream(docs, "doc_id", "text", 64, 8, 3)
-    time("batch banding warm")(banded.write.format("noop").mode("overwrite").save())
-    time("batch banding")(banded.write.format("noop").mode("overwrite").save())
-    // (b) streaming run, default state store
-    def runStreaming(label: String): Unit = time(label) {
-      operators.SystemQueries.q63StreamNearDup.fn(spark, d).count()
-    }
-    runStreaming("stream neardup 1")
-    runStreaming("stream neardup 2")
-    // (c) with fewer shuffle partitions for state
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    runStreaming("stream neardup p8")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    def noop(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("noop").mode("overwrite").save()
+    val orders = Tables.orders(spark, d)
+    println("[scratch] orders partitions: " + orders.rdd.getNumPartitions)
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val p1 = ext.Profiler.profile(orders, cols)
+    noop(p1); time("profile as-is")(noop(p1))
+    val p2 = ext.Profiler.profile(ext.ensureParallelism(orders), cols)
+    noop(p2); time("profile repartitioned")(noop(p2))
+    val p3 = ext.Profiler.profile(orders.coalesce(1), Seq("o_orderkey"))
+    noop(p3); time("profile single col")(noop(p3))
     spark.stop()
   }
 }

@@ -36,7 +36,9 @@ object Profiler {
         render(min(col(c)), c).as(s"${c}__min"),
         render(max(col(c)), c).as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // small files scan as one partition; the Expand-based multi-distinct
+    // is CPU-bound, so guarantee parallelism before it
+    val wide = ensureParallelism(df).agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
       s"'$c', `${c}__n`, `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`").mkString(", ")
     wide.selectExpr(
