@@ -249,7 +249,32 @@ object PipelineQueries {
     Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
+  // ---------------------------------------------------------------- heavy hitters (sketch + recount)
+  /** Exact frequent tokens via the custom Misra-Gries TypedImperativeAggregate
+    * + broadcast recount ([[graft.ext.HeavyHitters]]). The sketch pass
+    * shuffles O(k) summaries instead of the token stream; the recount pass
+    * makes the result exact and deterministic — which is why a DuckDB
+    * hash-check is possible for a sketch-based operator at all. */
+  val q72HeavyHitters = QuerySpec(
+    "q72_heavy_hitters", "EXT-heavy-hitters custom-agg",
+    "frequent tokens >= 0.5% of corpus: Misra-Gries sketch + exact recount",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.ext.tokens(graft.ext.normText(col("text")))).as("token"))
+      graft.ext.HeavyHitters.frequentItems(toks, "token", phi = 0.005)
+    },
+    Some("""WITH toks AS (
+           |  SELECT unnest(regexp_split_to_array(
+           |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+           |    '\s+')) AS token
+           |  FROM documents),
+           |tot AS (SELECT count(*) AS n FROM toks)
+           |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM toks CROSS JOIN tot
+           |GROUP BY token, tot.n
+           |HAVING count(*) >= 0.005 * tot.n""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
-    q70BloomJoin, q71SaltedAgg)
+    q70BloomJoin, q71SaltedAgg, q72HeavyHitters)
 }
