@@ -114,23 +114,61 @@ object Ivf {
 
   /** Top-k cosine within the nprobe nearest cells to the query vector. */
   def search(spark: SparkSession, index: Index, query: Array[Float],
-      k: Int, nprobe: Int): DataFrame = {
-    val centroids = index.model.clusterCenters
+      k: Int, nprobe: Int): DataFrame =
+    searchAssigned(index.assigned,
+      index.model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) },
+      query, k, nprobe)
+
+  /** Search over any (vec_id, cell, embedding) posting frame + centroid
+    * table: probe-cell choice is driver-side (centroid count is small by
+    * construction); the scan touches only the probed cells. */
+  def searchAssigned(assigned: DataFrame, centroids: Array[(Int, Array[Double])],
+      query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
     val qd = query.map(_.toDouble)
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (i, cos(qd, c.toArray)) }
+    val probeCells = centroids
+      .map { case (i, c) => (i, cos(qd, c)) }
       .sortBy(-_._2).take(nprobe).map(_._1).toSeq
     val qLit = typedLit(qd.toSeq)
-    index.assigned
+    assigned
       .filter(col("cell").isin(probeCells: _*))  // partition-pruned scan
       .select(col("vec_id"), col("cell"),
         round(Similarity.cosine(col("embedding").cast("array<double>"), qLit), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  // ------------------------------------------------------------ persistence
+  /** Persisted layout: posting lists partitioned BY CELL — on disk each
+    * cell is its own partition directory, so a probe of `nprobe` cells is a
+    * PartitionFilters-pruned read of nprobe/numCells of the index, never a
+    * full scan (the scale contract of IVF). Centroids are a tiny parquet
+    * (numCells rows) read to the driver at load. */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+    val rows = index.model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    import spark.implicits._
+    rows.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  case class LoadedIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+
+  def load(spark: SparkSession, path: String): LoadedIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    LoadedIndex(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
+  def search(spark: SparkSession, index: LoadedIndex, query: Array[Float],
+      k: Int, nprobe: Int): DataFrame =
+    searchAssigned(index.assigned, index.centroids, query, k, nprobe)
 }

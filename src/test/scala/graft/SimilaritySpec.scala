@@ -74,6 +74,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full === exact)
   }
 
+  test("IVF persistence: save/load round-trips and probes prune partitions") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qArr = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val index = graft.ext.Ivf.build(emb.filter(col("vec_id") =!= 0), numCells = 8)
+    val path = "/tmp/graft-ivf-spec/index"
+    graft.ext.Ivf.save(index, path)
+    val loaded = graft.ext.Ivf.load(spark, path)
+    // loaded search = in-memory search, row for row
+    val mem = graft.ext.Ivf.search(spark, index, qArr, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val disk = graft.ext.Ivf.search(spark, loaded, qArr, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(disk === mem)
+    // the probe reads only the probed cells: partition pruning, not data filter
+    val probed = graft.ext.Ivf.search(spark, loaded, qArr, k = 10, nprobe = 2)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     import graft.streaming.EventsPipeline
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
