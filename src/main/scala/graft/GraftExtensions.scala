@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature, ParseFractionalOdds, SimHashBits}
+import graft.functions.{DotProduct, MinHashSignature, MisraGriesAgg, ParseFractionalOdds, SimHashBits}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -44,5 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - double-array dot product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // aggregate functions register the same way: the analyzer wraps a bare
+    // AggregateFunction into an AggregateExpression
+    e.injectFunction((FunctionIdentifier("mg_topk"),
+      info("mg_topk", "mg_topk(col, k) - Misra-Gries heavy-hitter candidates (array<string>)"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), intArg(exprs(1), "mg_topk"))))
   }
 }

@@ -15,17 +15,20 @@ object Registry {
       s"$fn expects a literal int argument, got $other")
   }
 
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "parse_odds" -> (exprs => ParseFractionalOdds(exprs.head)),
+    "minhash_sig" -> (exprs => MinHashSignature(exprs(0), intArg(exprs(1), "minhash_sig"))),
+    "simhash_bits" -> (exprs => SimHashBits(exprs(0), intArg(exprs(1), "simhash_bits"))),
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    // bare AggregateFunction: the analyzer wraps it into an AggregateExpression
+    "mg_topk" -> (exprs => MisraGriesAgg(exprs(0), intArg(exprs(1), "mg_topk"))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    // idempotent per session: re-registering logs a noisy WARN per function
-    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("parse_odds"))) return
-    reg.createOrReplaceTempFunction(
-      "parse_odds", exprs => ParseFractionalOdds(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSignature(exprs(0), intArg(exprs(1), "minhash_sig")), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "simhash_bits", exprs => SimHashBits(exprs(0), intArg(exprs(1), "simhash_bits")), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    builders.foreach { case (name, builder) =>
+      // per-function idempotence: re-registering logs a noisy WARN each time
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -39,6 +39,14 @@ class MisraGriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mg_topk is callable from SQL via the registry (analyzer wraps the aggregate)") {
+    graft.functions.Registry.register(spark)
+    skewed.createOrReplaceTempView("mg_items")
+    val cands = spark.sql("SELECT mg_topk(item, 64) AS c FROM mg_items")
+      .collect()(0).getSeq[String](0).toSet
+    (0 until 5).foreach(i => assert(cands.contains(s"h$i"), cands.toString))
+  }
+
   test("null inputs are ignored; empty input yields empty summary") {
     import spark.implicits._
     val withNulls = Seq(Some("a"), None, Some("a"), None, Some("b")).toDF("item")
