@@ -62,6 +62,41 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() === expected)
   }
 
+  test("AQE splits skewed join partitions at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // 90% of left rows share one hot key — one shuffle partition dwarfs the rest
+    val left = ((0 until 180000).map(i => (0L, i.toLong)) ++
+      (0 until 20000).map(i => ((i % 50).toLong + 1, i.toLong))).toDF("k", "v").repartition(8)
+    val right = (0L to 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val prev = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    try {
+      val joined = left.join(right, "k")
+      // execute THIS frame's QueryExecution (count() would build a new one
+      // and the inspected adaptive plan would never finalize)
+      val n = joined.collect().length
+      assert(n === 200000)
+      // AQE finalizes the plan during execution; the skewed partition must
+      // have been split (SortMergeJoin/ShuffledHashJoin prints skew=true)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side before the shuffle") {
     import graft.operators.RuntimeFilters
     val d = "/root/testdata/sf0.001"

@@ -56,6 +56,25 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains(13L), got.toString)
   }
 
+  test("RocksDB state store produces identical candidates (large-state path)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/tmp/graft-neardup-spec/rocksdb"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      writeDocs(dir, Seq(1L -> A, 2L -> A2, 3L -> B, 4L -> A3, 5L -> C))
+      val got = runStream(dir, "neardup_rocksdb")
+      assert(got.get(2L).contains(1L), got.toString)
+      assert(got.get(4L).contains(1L), got.toString)
+      assert(!got.contains(3L) && !got.contains(5L), got.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming candidates ⊆ batch candidate pairs (same LSH parameters)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
