@@ -220,7 +220,105 @@ object RelationalDepthQueries {
     Some("""SELECT o_orderkey, o_orderstatus AS st, round(o_totalprice, 2) AS tp
            |FROM orders WHERE o_totalprice > 450000""".stripMargin))
 
+  // ---------------------------------------------------------------- posexplode (ordinality)
+  /** Position-aware explode: token position survives the flatten —
+    * the UDTF surface (generator functions) with ordinal semantics. */
+  val q73Posexplode = QuerySpec(
+    "q73_posexplode", "§2.7-generator-ordinality",
+    "posexplode: token positions for the first 3 tokens of each doc",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.ext.tokens(graft.ext.normText(col("text")))).as(Seq("pos", "token")))
+        .filter(col("pos") < 3)
+        .select(col("doc_id"), col("pos"), col("token")),
+    Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(
+           |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+           |    '\s+') AS toks FROM documents),
+           |u AS (SELECT doc_id, unnest(list_transform(generate_series(1, least(3, len(toks))),
+           |        i -> struct_pack(i := i, tok := toks[i]))) AS p FROM t)
+           |SELECT doc_id, CAST(p.i - 1 AS INT) AS pos, p.tok AS token FROM u""".stripMargin))
+
+  // ---------------------------------------------------------------- unpivot / melt
+  /** Native UNPIVOT (melt): wide per-row measures → long (measure, value)
+    * rows — the inverse of pivot, a metadata-only Expand (no shuffle). */
+  val q74Unpivot = QuerySpec(
+    "q74_unpivot", "§2.4-unpivot",
+    "unpivot wide measures to long rows, aggregated per measure",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total")),
+    Some("""WITH u AS (
+           |  SELECT l_orderkey, l_linenumber, measure, value
+           |  FROM lineitem
+           |  UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax)))
+           |SELECT measure, count(*) AS n, round(sum(value), 2) AS total
+           |FROM u GROUP BY measure""".stripMargin))
+
+  // ---------------------------------------------------------------- window value functions
+  /** first_value / last_value / nth_value with explicit frames +
+    * percent_rank / cume_dist — the remaining window-function families. */
+  val q75WindowValues = QuerySpec(
+    "q75_window_values", "§2.6-value-fns",
+    "first/last/nth_value over full frames, percent_rank, cume_dist",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          first(col("o_orderkey")).over(full).as("cheapest_key"),
+          last(col("o_orderkey")).over(full).as("priciest_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+          graft.functions.roundStable(percent_rank().over(w), 6).as("pct_rank"),
+          graft.functions.roundStable(cume_dist().over(w), 6).as("cdist"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |  first_value(o_orderkey) OVER wf AS cheapest_key,
+           |  last_value(o_orderkey) OVER wf AS priciest_key,
+           |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+           |  round(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+           |  round(cume_dist() OVER w + 1e-9, 6) AS cdist
+           |FROM orders WHERE o_totalprice > 400000
+           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC),
+           |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))
+
+  // ---------------------------------------------------------------- levenshtein fuzzy match
+  /** Edit-distance fuzzy matching — entity-resolution style near-match of
+    * part names within a brand (the equi-key carries the shuffle; the
+    * quadratic distance check runs only within brand groups). */
+  val q76FuzzyMatch = QuerySpec(
+    "q76_fuzzy_match", "§2.7-editdistance",
+    "levenshtein near-matches of part names within each brand",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"), col("p_name"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("p_brand"), col("key_a"), col("key_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .filter(col("dist") <= 8)
+    },
+    Some("""SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+           |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+           |FROM part a JOIN part b
+           |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           |WHERE levenshtein(a.p_name, b.p_name) <= 8""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q53FullOuter, q54NullSafeJoin, q55Exists, q56ConditionalAgg, q57StatsAgg,
-    q58MinByMaxBy, q59LeadLag, q60CollectSorted, q61Struct)
+    q58MinByMaxBy, q59LeadLag, q60CollectSorted, q61Struct,
+    q73Posexplode, q74Unpivot, q75WindowValues, q76FuzzyMatch)
 }
