@@ -18,15 +18,13 @@ object Scratch {
     }
     def noop(df: org.apache.spark.sql.DataFrame) =
       df.write.format("noop").mode("overwrite").save()
-    val orders = Tables.orders(spark, d)
-    println("[scratch] orders partitions: " + orders.rdd.getNumPartitions)
-    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
-    val p1 = ext.Profiler.profile(orders, cols)
-    noop(p1); time("profile as-is")(noop(p1))
-    val p2 = ext.Profiler.profile(ext.ensureParallelism(orders), cols)
-    noop(p2); time("profile repartitioned")(noop(p2))
-    val p3 = ext.Profiler.profile(orders.coalesce(1), Seq("o_orderkey"))
-    noop(p3); time("profile single col")(noop(p3))
+    def q = operators.RelationalDepthQueries.q76FuzzyMatch.fn(spark, d)
+    noop(q); time("fuzzy as-is")(noop(q))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    noop(q); time("fuzzy no-coalesce")(noop(q))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    noop(q); time("fuzzy 1MB advisory")(noop(q))
     spark.stop()
   }
 }
