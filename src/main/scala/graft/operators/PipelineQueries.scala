@@ -274,7 +274,43 @@ object PipelineQueries {
            |GROUP BY token, tot.n
            |HAVING count(*) >= 0.005 * tot.n""".stripMargin))
 
+  // ---------------------------------------------------------------- time-series gap fill (LOCF)
+  /** Resampling with last-observation-carried-forward: per user, an hourly
+    * grid spans min..max observed hour (sequence + explode — generated
+    * distributed, never on the driver), missing hours left-join to NULL,
+    * and `last(v, ignoreNulls)` over the time order fills forward. The
+    * shuffle key is user_id throughout; grid generation is narrow. */
+  val q77GapFill = QuerySpec(
+    "q77_gap_fill", "EXT-resample-locf",
+    "hourly resample per user with last-observation-carried-forward",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(round(sum("value"), 2).as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"),
+          date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour_s"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+          col("v").isNotNull.as("is_observed"))
+    },
+    Some("""WITH hourly AS (
+           |  SELECT user_id, date_trunc('hour', ts) AS hour, round(sum(value), 2) AS v
+           |  FROM events GROUP BY 1, 2),
+           |spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+           |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM spans),
+           |j AS (SELECT g.user_id, g.hour, h.v
+           |      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour)
+           |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M') AS hour_s,
+           |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour) AS v_filled,
+           |  v IS NOT NULL AS is_observed
+           |FROM j""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
-    q70BloomJoin, q71SaltedAgg, q72HeavyHitters)
+    q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill)
 }
