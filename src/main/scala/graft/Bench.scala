@@ -19,6 +19,10 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      // some operators return persisted frames (documented contract: caller
+      // unpersists); a 77-query × 2-pass session would otherwise accumulate
+      // cached blocks and degrade later queries via GC pressure
+      spark.catalog.clearCache()
     }
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = selected.map { case (name, fn) =>
@@ -33,7 +37,9 @@ object Bench {
           false
         }
       // a failed query reports -1, never a bogus partial time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      spark.catalog.clearCache() // untimed: hygiene between measurements
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
