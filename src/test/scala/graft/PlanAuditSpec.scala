@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits: the properties that make these queries scale are
+  * asserted, not assumed — pushdown reaching the scan, broadcasts where a
+  * side is small, struct overhead optimized away, the custom operator
+  * actually planned. A regression that silently changes plan shape (e.g. a
+  * broadcast threshold bump, an optimizer rule ordering change) fails here
+  * even while results stay correct. */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.optimizedPlan.toString
+
+  test("q01: filter pushed to parquet scan, schema pruned") {
+    val p = executed("q01_scan_agg")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.contains("l_comment"), "ReadSchema must not include unused columns")
+  }
+
+  test("q09: dimension joins broadcast (no shuffle for small sides)") {
+    val p = executed("q09_join3")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q61: struct build+access collapses to plain column references") {
+    val p = optimized("q61_struct")
+    assert(!p.contains("named_struct"), p.take(2000))
+  }
+
+  test("q67: idf vocabulary joins back via broadcast") {
+    val p = executed("q67_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q47: custom TopKPerGroup operator is planned (no Window/sort path)") {
+    val p = executed("q47_topk_per_group")
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q18: global sort+limit plans as TakeOrderedAndProject, not a full sort") {
+    val p = executed("q18_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q68: hash-modulo sample stays a scan-side filter (no shuffle before agg)") {
+    val p = executed("q68_sample_hash")
+    // exactly one exchange: the final group-by; the sample predicate must
+    // not induce anything earlier
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 Exchange (agg + AQE read), got $exchanges:\n${p.take(2000)}")
+    assert(p.contains("pmod"), p.take(2000))
+  }
+}
