@@ -29,6 +29,30 @@ object Skew {
       .agg(sum("_psum").as("sum_value"), sum("_pcnt").as("n"))
   }
 
+  /** Two-phase salted pivot-average for a skewed grouping key: pivoting
+    * `groupBy(key).pivot(p).avg(v)` shuffles every row of a hot key into
+    * one reducer. Phase 1 aggregates (key, salt) × pivot-value partial
+    * sums+counts — the hot key spreads over `saltFactor` reducers and the
+    * pivot happens there; phase 2 merges `saltFactor` tiny partial rows per
+    * key and divides. Output schema matches the direct pivot-avg
+    * (`{pivotValue}` columns), NULL where a (key, pivotValue) cell has no
+    * rows. Averages are decomposable (sum, count), which is what makes the
+    * two-phase form algebraically exact. */
+  def saltedPivotAvg(df: DataFrame, key: String, pivotCol: String,
+      pivotValues: Seq[String], valueCol: String, saltFactor: Int): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(saltFactor)))
+    val partial = salted
+      .groupBy(col(key), col("_salt"))
+      .pivot(pivotCol, pivotValues)
+      .agg(sum(valueCol).as("s"), count(valueCol).as("c"))
+    val merged = partial.groupBy(col(key)).agg(
+      sum(s"${pivotValues.head}_s").as(s"${pivotValues.head}_s"),
+      pivotValues.tail.flatMap(v => Seq(sum(s"${v}_s").as(s"${v}_s"))) ++
+        pivotValues.map(v => sum(s"${v}_c").as(s"${v}_c")): _*)
+    merged.select(col(key) +: pivotValues.map(v =>
+      (col(s"${v}_s") / col(s"${v}_c")).as(v)): _*)
+  }
+
   /** Salted join for a skewed LEFT side against a moderate RIGHT side:
     * left rows get a deterministic salt in [0, saltFactor); the right side
     * is replicated saltFactor times (explode), so each (key, salt) bucket

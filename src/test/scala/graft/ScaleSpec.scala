@@ -30,6 +30,26 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.exceptAll(plain).count() === 0)
   }
 
+  test("saltedPivotAvg equals direct pivot-avg on skewed data (incl. empty cells)") {
+    import graft.operators.Skew
+    import spark.implicits._
+    // key "hot" dominates; company B never appears for key "cold" (NULL cell)
+    val rows = (0 until 3000).map(i => ("hot", if (i % 3 == 0) "A" else "B", i.toDouble)) ++
+      (0 until 10).map(i => ("cold", "A", i * 2.0))
+    val df = rows.toDF("k", "company", "v").repartition(8)
+    val direct = df.groupBy("k").pivot("company", Seq("A", "B")).avg("v")
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]), Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val salted = Skew.saltedPivotAvg(df, "k", "company", Seq("A", "B"), "v", saltFactor = 8)
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]), Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    // averages of exact integers: no fp tolerance needed beyond ordering —
+    // compare after rounding to 9 decimals to absorb summation-order noise
+    def canon(s: Set[(String, Option[Double], Option[Double])]) =
+      s.map { case (k, a, b) => (k, a.map(x => math.rint(x * 1e9) / 1e9), b.map(x => math.rint(x * 1e9) / 1e9)) }
+    assert(canon(salted) === canon(direct))
+  }
+
   test("bucketed join plans with no Exchange (co-located, shuffle-free)") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     try {
