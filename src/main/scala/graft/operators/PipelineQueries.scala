@@ -310,7 +310,50 @@ object PipelineQueries {
            |  v IS NOT NULL AS is_observed
            |FROM j""".stripMargin))
 
+  // ---------------------------------------------------------------- vector column math
+  /** Per-vector statistics over the embedding column — norm via the native
+    * codegen'd DotProduct, component fold via `aggregate` (both
+    * left-to-right, matching DuckDB's list fold order so cross-engine
+    * sums agree bit-for-bit before rounding). All narrow per-row math:
+    * zero shuffles before the noop sink. */
+  val q78VectorStats = QuerySpec(
+    "q78_vector_stats", "EXT-vector-math",
+    "per-embedding L2 norm, component mean/min/max (narrow vector math)",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("e", col("embedding").cast("array<double>"))
+      emb.select(
+        col("vec_id"),
+        graft.functions.roundStable(
+          sqrt(graft.functions.DotProduct(col("e"), col("e"))), 4).as("l2"),
+        graft.functions.roundStable(
+          expr("aggregate(e, 0D, (a, x) -> a + x)") / size(col("e")), 4).as("mean_c"),
+        graft.functions.roundStable(array_min(col("e")), 4).as("min_c"),
+        graft.functions.roundStable(array_max(col("e")), 4).as("max_c"))
+    },
+    Some("""SELECT vec_id,
+           |  round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*x), 'sum')) + 1e-9, 4) AS l2,
+           |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / len(embedding) + 1e-9, 4) AS mean_c,
+           |  round(CAST(list_aggregate(embedding, 'min') AS DOUBLE) + 1e-9, 4) AS min_c,
+           |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE) + 1e-9, 4) AS max_c
+           |FROM embeddings""".stripMargin))
+
+  // ---------------------------------------------------------------- histogram binning
+  /** Fixed-width histogram: bin id is row-local arithmetic (scan-side,
+    * pushdown-friendly), one aggregation — the standard distributed
+    * histogram shape. */
+  val q79Histogram = QuerySpec(
+    "q79_histogram", "§2.4-histogram",
+    "fixed-width price histogram (5000-wide bins) with per-bin stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select((floor(col("l_extendedprice") / 5000) * 5000).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n")),
+    Some("""SELECT CAST(floor(l_extendedprice / 5000) * 5000 AS BIGINT) AS bin, count(*) AS n
+           |FROM lineitem GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
-    q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill)
+    q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill, q78VectorStats, q79Histogram)
 }
