@@ -18,13 +18,22 @@ object Scratch {
     }
     def noop(df: org.apache.spark.sql.DataFrame) =
       df.write.format("noop").mode("overwrite").save()
-    def q = operators.RelationalDepthQueries.q76FuzzyMatch.fn(spark, d)
-    noop(q); time("fuzzy as-is")(noop(q))
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    noop(q); time("fuzzy no-coalesce")(noop(q))
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
-    noop(q); time("fuzzy 1MB advisory")(noop(q))
+    val docs = Tables.documents(spark, d)
+    val q = ext.TextAnalysis.withQuality(ext.ensureParallelism(docs), "text")
+    noop(q); time("quality only")(noop(q))
+    val l = ext.TextAnalysis.withLangId(ext.ensureParallelism(docs), "text")
+    noop(l); time("langid only")(noop(l))
+    val ql = ext.TextAnalysis.withLangId(ext.TextAnalysis.withQuality(ext.ensureParallelism(docs), "text"), "text")
+    noop(ql); time("quality+langid")(noop(ql))
+    val filt = ql.filter(col("quality_score") >= 0.2 && col("pred_lang") === "en")
+      .withColumn("fp", md5(ext.normText(col("text"))))
+    noop(filt); time("+filter+fp")(noop(filt))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy(col("doc_id").asc)
+    val kept = filt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    noop(kept); time("+window")(noop(kept))
+    def full = operators.PipelineQueries.all.head // placeholder not used
+    val q52 = ext.ExtQueries.q52Curation.fn(spark, d)
+    noop(q52); time("q52 full")(noop(q52))
     spark.stop()
   }
 }

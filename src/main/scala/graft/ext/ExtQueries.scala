@@ -328,12 +328,20 @@ object ExtQueries {
     "q52_curation", "EXT-pipeline",
     "curation pipeline: quality filter -> lang filter -> dedup -> stats",
     (s, d) => {
+      // the scoring subtree (regex-heavy) must appear ONCE in the plan: a
+      // semi-join against Dedup.exact(scored) duplicates it wholesale
+      // (Catalyst clones shared subtrees into both join branches — the
+      // round-1 self-join lesson). Keep-lowest-id-per-fingerprint is a
+      // window rank, which the RewriteWindowTopK rule turns into the
+      // bounded-heap TopK operator: one pass, one shuffle on fingerprint.
       val scored = TextAnalysis.withLangId(
-        TextAnalysis.withQuality(docs(s, d), "text"), "text")
+        TextAnalysis.withQuality(ensureParallelism(docs(s, d)), "text"), "text")
         .filter(col("quality_score") >= 0.2 && col("pred_lang") === "en")
-      val kept = scored.join(
-        Dedup.exact(scored, "doc_id", "text").select(col("keep_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+        .withColumn("fp", md5(normText(col("text"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy(col("doc_id").asc)
+      val kept = scored
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       kept.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         graft.functions.roundStable(avg("quality_score"), 4).as("avg_quality"),

@@ -7,9 +7,11 @@ import graft.functions.roundStable
 /** Text-analysis operators for corpus curation: token counting, quality
   * scoring, language identification, fingerprinting.
   *
-  * All pure narrow projections (regex + HOF lambdas inside codegen) — they
-  * run at parquet-scan speed and never shuffle, which is the property that
-  * matters when the corpus is 100 TB.
+  * All pure narrow projections — they run at parquet-scan speed and never
+  * shuffle, which is the property that matters when the corpus is 100 TB.
+  * Stopword/profile counting uses the native [[graft.functions.TokensInSet]]
+  * expression (compiled loop + UTF8String set) instead of
+  * `size(filter(...))` HOFs, which evaluate interpreted per element.
   */
 object TextAnalysis {
 
@@ -23,8 +25,6 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   private val stopEn = Seq("the", "a", "and", "of", "to", "is", "in")
-  private def inList(t: String, words: Seq[String]): String =
-    words.map(w => s"$t = '$w'").mkString(" OR ")
 
   /** Quality metrics per document: length, token stats, punctuation ratio,
     * stopword ratio, and a composite [0,1] score. Mirrors the usual
@@ -38,7 +38,7 @@ object TextAnalysis {
       .withColumn("punct_ratio",
         roundStable((col("n_chars") - length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))) / col("n_chars"), 4))
       .withColumn("stopword_ratio",
-        roundStable(expr(s"size(filter(toks, t -> ${inList("t", stopEn)}))") / col("n_tokens"), 4))
+        roundStable(graft.functions.TokensInSet(col("toks"), stopEn).cast("double") / col("n_tokens"), 4))
       .withColumn("quality_score",
         roundStable(least(col("n_tokens") / 100.0, lit(1.0)) * (lit(1.0) - col("punct_ratio"))
           * (lit(0.5) + lit(0.5) * least(col("stopword_ratio") * 5.0, lit(1.0))), 4))
@@ -57,7 +57,7 @@ object TextAnalysis {
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
     val scored = profiles.foldLeft(
       df.withColumn("toks", tokens(lower(col(textCol))))) { case (acc, (lang, words)) =>
-        acc.withColumn(s"s_$lang", expr(s"size(filter(toks, t -> ${inList("t", words)}))"))
+        acc.withColumn(s"s_$lang", graft.functions.TokensInSet(col("toks"), words))
     }
     val Seq(en, de, fr, es) = profiles.map { case (l, _) => col(s"s_$l") }
     scored
