@@ -288,6 +288,25 @@ object ExtQueries {
            |  md5(text) AS payload_md5
            |FROM documents""".stripMargin))
 
+  /** Frame sampling over the binary payload ([[Multimodal.frameSample]]):
+    * every 4th full 32-byte frame, content-hashed — codegen'd byte slicing,
+    * the keyframe-sampling plumbing with the codec call stubbed as a slice.
+    * The docs corpus is ASCII, so the oracle mirrors byte offsets with
+    * string offsets exactly. */
+  val q80FrameSample = QuerySpec(
+    "q80_frame_sample", "EXT-multimodal-frames",
+    "binary frame sampling: every 4th 32-byte frame, content-hashed",
+    (s, d) => Multimodal.frameSample(
+      Multimodal.fromDocuments(docs(s, d)), "media_id", "payload",
+      frameSize = 32, stride = 4),
+    Some("""WITH m AS (SELECT doc_id AS media_id, text,
+           |            CAST(floor(octet_length(encode(text)) / 32) AS INT) AS n_frames
+           |          FROM documents)
+           |SELECT media_id, CAST(u.f AS INT) AS frame_idx,
+           |  md5(substring(text, u.f * 32 + 1, 32)) AS frame_md5
+           |FROM m, unnest(generate_series(0, n_frames - 1, 4)) AS u(f)
+           |WHERE n_frames >= 1""".stripMargin))
+
   // ---------------------------------------------------------------- SimHash hamming near-dup scan
   /** Hamming distance between consecutive docs' SimHash signatures — the
     * near-dup DETECTION step over the sketch (small distance = near-dup).
@@ -382,5 +401,5 @@ object ExtQueries {
     q21DedupExact, q22Fingerprint, q23TokenCount, q24TextQuality, q25LangId,
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
-    q52Curation)
+    q52Curation, q80FrameSample)
 }

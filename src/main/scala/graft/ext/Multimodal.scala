@@ -52,6 +52,25 @@ object Multimodal {
       payload.take(16).map(b => f"${b & 0xff}%02x").mkString
   }
 
+  /** Frame sampling over a binary payload: every `stride`-th full frame of
+    * `frameSize` bytes, identified by its content hash. Pure column ops —
+    * `sequence`+`explode` generate frame indices distributed, `substring`
+    * slices the payload bytes inside whole-stage codegen, no UDF and no
+    * per-row driver work. This is the video-keyframe-sampling shape: a real
+    * decoder swaps the byte-slice for a codec call, the plumbing
+    * (index generation, slicing, hashing, output schema) is unchanged. */
+  def frameSample(media: DataFrame, idCol: String, payloadCol: String,
+      frameSize: Int, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames", floor(length(col(payloadCol)) / frameSize).cast("int"))
+      .filter(col("n_frames") >= 1) // only payloads with at least one full frame
+      .select(col(idCol),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"),
+        col(payloadCol))
+      .select(col(idCol), col("frame_idx"),
+        md5(expr(s"substring($payloadCol, frame_idx * $frameSize + 1, $frameSize)"))
+          .as("frame_md5"))
+
   /** Partition-local batched feature extraction — the mapInPandas shape:
     * rows are pulled in batches of `batchSize`, the (stub) decoder runs once
     * per batch, and features stream out. No shuffle; scales linearly with
