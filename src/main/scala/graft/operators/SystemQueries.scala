@@ -124,5 +124,26 @@ object SystemQueries {
     },
     None)
 
-  def all: Seq[QuerySpec] = Seq(q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup)
+  /** §2.6 [EXT]: REAL stream-stream watermarked interval join run to
+    * completion over the events file stream — oracle is the same SQL as the
+    * batch range join q50, so the two-stream join path gets a full DuckDB
+    * hash check. */
+  val q81StreamStreamJoin = QuerySpec(
+    "q81_stream_stream_join", "EXT-streaming-join",
+    "stream-stream watermarked interval join (oracle = batch range join)",
+    (s, d) => EventsPipeline.runToMemoryTable(
+      s,
+      EventsPipeline.errorPurchaseJoin(EventsPipeline.readEventsStream(s, d)),
+      "q81_out", org.apache.spark.sql.streaming.OutputMode.Append()),
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts FROM events)
+           |SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
+           |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_t,
+           |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS buy_t
+           |FROM ev e JOIN ev p
+           |  ON e.user_id = p.user_id
+           | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+           |WHERE e.event_type = 'error' AND p.event_type = 'purchase'""".stripMargin))
+
+  def all: Seq[QuerySpec] = Seq(
+    q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup, q81StreamStreamJoin)
 }

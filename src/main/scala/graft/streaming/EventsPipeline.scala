@@ -96,6 +96,31 @@ object EventsPipeline {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases within `windowMinutes` after an
+    * error by the same user — BOTH sides unbounded streams. The watermarks
+    * bound each side's join state: a buffered error can be evicted once the
+    * purchase-side watermark passes error_ts + window (no match can arrive
+    * anymore), which is what makes an unbounded two-stream join feasible at
+    * all. Equi-key user_id carries the shuffle; the time-range predicate
+    * prunes state inside each key group — the streaming twin of the batch
+    * range join (q50). */
+  def errorPurchaseJoin(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val base = events.withColumn("ts", date_trunc("second", col("ts")))
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", "30 minutes")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    errors.join(purchases, expr(
+      s"""user_id = p_user AND purchase_ts > error_ts
+         |AND purchase_ts <= error_ts + INTERVAL $windowMinutes MINUTES""".stripMargin))
+      .select(col("user_id"), col("error_id"), col("purchase_id"),
+        date_format(col("error_ts"), "yyyy-MM-dd HH:mm:ss").as("err_t"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_t"))
+  }
+
   /** Run a streaming DataFrame to completion over the (finite) file source
     * and return the materialized result — used by the verify path so the
     * STREAMING plan itself (not a batch twin) produces the checked rows. */

@@ -21,6 +21,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val streamed = EventsPipeline.runToMemoryTable(
+      spark,
+      EventsPipeline.errorPurchaseJoin(EventsPipeline.readEventsStream(spark, dir)),
+      "spec_ss_join", org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = SparkEntry.queries("q50_range_join")(spark, dir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("sessionize closes sessions on gap and aggregates within them") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
