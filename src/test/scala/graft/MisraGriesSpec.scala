@@ -58,6 +58,40 @@ class MisraGriesSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.isEmpty)
   }
 
+  test("property sweep: superset guarantee holds for random streams, splits and merge orders") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    (1 to 100).foreach { trial =>
+      val k = 4 + rnd.nextInt(40)
+      val nItems = 200 + rnd.nextInt(2000)
+      // zipf-ish: item id = floor of pareto draw → few hot items, long tail
+      val stream = Seq.fill(nItems)(s"i${(1.0 / math.pow(rnd.nextDouble().max(1e-9), 0.7)).toInt}")
+      val agg = MisraGriesAgg(BoundReference(0, StringType, nullable = true), k)
+      // random partitioning + random merge order, exactly like a shuffle
+      val parts = stream.grouped(1 + rnd.nextInt(stream.size)).toSeq
+      val summaries = parts.map { p =>
+        p.foldLeft(agg.createAggregationBuffer()) { (buf, item) =>
+          agg.update(buf, InternalRow(UTF8String.fromString(item)))
+        }
+      }
+      val merged = rnd.shuffle(summaries).reduceLeft { (a, b) =>
+        // serde through the shuffle, as execution would
+        agg.merge(a, agg.deserialize(agg.serialize(b)))
+      }
+      val counts = stream.groupBy(identity).view.mapValues(_.size)
+      val mustHave = counts.filter(_._2 > nItems.toDouble / (k + 1)).keys
+      val got = merged.keySet.map(_.toString)
+      mustHave.foreach { item =>
+        assert(got.contains(item),
+          s"trial $trial: heavy item $item (${counts(item)}/$nItems, k=$k) lost; got $got")
+      }
+      assert(merged.size <= k, s"trial $trial: summary exceeded k=$k")
+    }
+  }
+
   test("k bounds the summary size even under adversarial distinct-heavy input") {
     import spark.implicits._
     val allDistinct = (0 until 5000).map(i => s"u$i").toDF("item").repartition(8)
