@@ -49,5 +49,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("mg_topk"),
       info("mg_topk", "mg_topk(col, k) - Misra-Gries heavy-hitter candidates (array<string>)"),
       (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), intArg(exprs(1), "mg_topk"))))
+    e.injectFunction((FunctionIdentifier("tokens_in_set"),
+      info("tokens_in_set", "tokens_in_set(toks, array('w',...)) - count of tokens in the word set"),
+      (exprs: Seq[Expression]) => graft.functions.TokensInSet(exprs(0),
+        exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+            items.map {
+              case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+              case other => throw new IllegalArgumentException(
+                s"tokens_in_set expects string literals, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"tokens_in_set expects a literal array(...), got $other")
+        })))
   }
 }

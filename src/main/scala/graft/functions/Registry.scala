@@ -15,13 +15,25 @@ object Registry {
       s"$fn expects a literal int argument, got $other")
   }
 
+  private def stringArrayArg(e: Expression, fn: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+      items.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn expects an array of string literals, got element $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal array(...) argument, got $other")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "parse_odds" -> (exprs => ParseFractionalOdds(exprs.head)),
     "minhash_sig" -> (exprs => MinHashSignature(exprs(0), intArg(exprs(1), "minhash_sig"))),
     "simhash_bits" -> (exprs => SimHashBits(exprs(0), intArg(exprs(1), "simhash_bits"))),
     "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
     // bare AggregateFunction: the analyzer wraps it into an AggregateExpression
-    "mg_topk" -> (exprs => MisraGriesAgg(exprs(0), intArg(exprs(1), "mg_topk"))))
+    "mg_topk" -> (exprs => MisraGriesAgg(exprs(0), intArg(exprs(1), "mg_topk"))),
+    "tokens_in_set" -> (exprs => TokensInSet(exprs(0), stringArrayArg(exprs(1), "tokens_in_set"))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

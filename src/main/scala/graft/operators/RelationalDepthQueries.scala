@@ -322,8 +322,31 @@ object RelationalDepthQueries {
            | AND a.p_partkey < b.p_partkey
            |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin))
 
+  // ---------------------------------------------------------------- null handling (fill / replace)
+  /** The DataFrameNaFunctions surface: synthesize NULLs, fill them with
+    * typed defaults, value-replace a category — row-local, scan-speed. */
+  val q82FillReplace = QuerySpec(
+    "q82_fill_replace", "§2.2-na-fill",
+    "na.fill typed defaults + na.replace category remap",
+    (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .withColumn("bal", when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+        .na.fill(Map("seg" -> "UNKNOWN", "bal" -> 0.0))
+        .na.replace("seg", Map("MACHINERY" -> "MACH"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("sum_bal")),
+    Some("""WITH t AS (
+           |  SELECT CASE COALESCE(nullif(c_mktsegment, 'BUILDING'), 'UNKNOWN')
+           |           WHEN 'MACHINERY' THEN 'MACH'
+           |           ELSE COALESCE(nullif(c_mktsegment, 'BUILDING'), 'UNKNOWN') END AS seg,
+           |    CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal
+           |  FROM customer)
+           |SELECT seg, count(*) AS n, round(sum(bal), 2) AS sum_bal
+           |FROM t GROUP BY seg""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q53FullOuter, q54NullSafeJoin, q55Exists, q56ConditionalAgg, q57StatsAgg,
     q58MinByMaxBy, q59LeadLag, q60CollectSorted, q61Struct,
-    q73Posexplode, q74Unpivot, q75WindowValues, q76FuzzyMatch)
+    q73Posexplode, q74Unpivot, q75WindowValues, q76FuzzyMatch, q82FillReplace)
 }

@@ -150,8 +150,10 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     new GraftExtensions().apply(exts)
     graft.functions.Registry.register(spark) // same builders, session registry
     val r = spark.sql(
-      "SELECT parse_odds('1/2') AS p, dot_product(array(2.0D), array(3.0D)) AS d").collect()(0)
+      """SELECT parse_odds('1/2') AS p, dot_product(array(2.0D), array(3.0D)) AS d,
+        |  tokens_in_set(array('the','fox','the'), array('the','a')) AS t""".stripMargin).collect()(0)
     assert(r.getDouble(0) === 1.5)
     assert(r.getDouble(1) === 6.0)
+    assert(r.getInt(2) === 2)
   }
 }
