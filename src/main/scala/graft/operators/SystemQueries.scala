@@ -131,10 +131,20 @@ object SystemQueries {
   val q81StreamStreamJoin = QuerySpec(
     "q81_stream_stream_join", "EXT-streaming-join",
     "stream-stream watermarked interval join (oracle = batch range join)",
-    (s, d) => EventsPipeline.runToMemoryTable(
-      s,
-      EventsPipeline.errorPurchaseJoin(EventsPipeline.readEventsStream(s, d)),
-      "q81_out", org.apache.spark.sql.streaming.OutputMode.Append()),
+    (s, d) => {
+      // a stream-stream join keeps FOUR state stores per shuffle partition;
+      // at this data scale the per-partition commit overhead dominates, so
+      // run the streaming query with fewer state partitions (results are
+      // partitioning-independent; a real deployment sizes this to state
+      // volume). Conf restored after the bounded run completes.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try EventsPipeline.runToMemoryTable(
+        s,
+        EventsPipeline.errorPurchaseJoin(EventsPipeline.readEventsStream(s, d)),
+        "q81_out", org.apache.spark.sql.streaming.OutputMode.Append())
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    },
     Some("""WITH ev AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts FROM events)
            |SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
            |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_t,
