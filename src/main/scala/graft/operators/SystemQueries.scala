@@ -9,14 +9,27 @@ import org.apache.spark.sql.functions._
   * capabilities beyond pure relational operators. */
 object SystemQueries {
 
+  /** Run `body` with `n` shuffle (= state store) partitions, restoring the
+    * session conf after. Streaming results are partitioning-independent;
+    * at test-scale state volume the per-partition state-store commit
+    * overhead dominates, so streaming queries size this down — the same
+    * knob a real deployment tunes to state volume. */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** §2.6 [EXT]: the REAL Structured Streaming plan (file source →
     * watermark → tumbling window agg → memory sink, run to completion) —
     * checked against the same DuckDB oracle as the batch twin q20. */
   val q34StreamWindow = QuerySpec(
     "q34_stream_window", "EXT-streaming-window",
     "Structured Streaming tumbling-window aggregation (oracle = batch twin)",
-    (s, d) => EventsPipeline.runToMemoryTable(
-      s, EventsPipeline.windowedAgg(EventsPipeline.readEventsStream(s, d)), "q34_out"),
+    (s, d) => withStatePartitions(s, 8) {
+      EventsPipeline.runToMemoryTable(
+        s, EventsPipeline.windowedAgg(EventsPipeline.readEventsStream(s, d)), "q34_out")
+    },
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
            |  count(*) AS n, round(sum(value), 2) AS sum_value
            |FROM events GROUP BY 1, 2""".stripMargin))
@@ -109,7 +122,10 @@ object SystemQueries {
   val q63StreamNearDup = QuerySpec(
     "q63_stream_neardup", "EXT-dedup-streaming",
     "streaming MinHash-LSH near-dup candidates (stateful, incremental)",
-    (s, d) => {
+    (s, d) => withStatePartitions(s, 8) {
+      // note: signature hashing still runs at full parallelism — the
+      // bandedStream repartition targets defaultParallelism (32); only the
+      // stateful groupByKey shuffle uses the reduced state partition count
       val docs = s.readStream
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, quality_score DOUBLE")
         .format("parquet")
@@ -132,18 +148,14 @@ object SystemQueries {
     "q81_stream_stream_join", "EXT-streaming-join",
     "stream-stream watermarked interval join (oracle = batch range join)",
     (s, d) => {
-      // a stream-stream join keeps FOUR state stores per shuffle partition;
-      // at this data scale the per-partition commit overhead dominates, so
-      // run the streaming query with fewer state partitions (results are
-      // partitioning-independent; a real deployment sizes this to state
-      // volume). Conf restored after the bounded run completes.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try EventsPipeline.runToMemoryTable(
-        s,
-        EventsPipeline.errorPurchaseJoin(EventsPipeline.readEventsStream(s, d)),
-        "q81_out", org.apache.spark.sql.streaming.OutputMode.Append())
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // a stream-stream join keeps FOUR state stores per shuffle partition —
+      // the strongest case for sizing state partitions down (11.4s → 3.4s)
+      withStatePartitions(s, 8) {
+        EventsPipeline.runToMemoryTable(
+          s,
+          EventsPipeline.errorPurchaseJoin(EventsPipeline.readEventsStream(s, d)),
+          "q81_out", org.apache.spark.sql.streaming.OutputMode.Append())
+      }
     },
     Some("""WITH ev AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts FROM events)
            |SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
