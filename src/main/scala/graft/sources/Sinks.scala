@@ -76,4 +76,33 @@ object ScrapeIngest {
   /** Extract the numeric match id from an analysis-page URL column. */
   def withMatchId(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("match_id", regexp_extract(col(urlCol), "analysis/(\\d+)", 1))
+
+  /** Quarantine-style permissive CSV ingestion: malformed rows (wrong
+    * arity, unparseable cells under the typed schema) land in a corrupt-
+    * record column instead of failing the job — at web-scrape scale some
+    * fraction of rows is ALWAYS malformed, and one bad line must not kill
+    * a 100 TB load. Returns the parsed frame with a `_corrupt` column;
+    * split with [[splitCorrupt]] to route the quarantine to a dead-letter
+    * sink while clean rows continue. */
+  def readCsvPermissive(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(withCorrupt)
+      .csv(path)
+  }
+
+  /** (clean rows without the corrupt column, quarantined raw lines).
+    * Spark refuses queries that reference ONLY the corrupt-record column of
+    * a raw file scan (the parser would have to re-run ambiguously), so the
+    * parsed frame is cached first — callers unpersist either half once the
+    * dead-letter write and the main pipeline have consumed them. */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    (cached.filter(col("_corrupt").isNull).drop("_corrupt"),
+      cached.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw_line")))
+  }
 }

@@ -7,6 +7,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class SinksSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("permissive CSV ingestion quarantines malformed rows, keeps clean ones") {
+    import graft.sources.ScrapeIngest
+    val dir = "/tmp/graft-sinks-spec/permissive"
+    val lines = Seq(
+      "id,score,name",
+      "1,2.5,alpha",
+      "2,not_a_number,beta", // unparseable double under the typed schema
+      "3,4.5,gamma")
+    spark.createDataset(lines).coalesce(1).write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val (clean, quarantine) = ScrapeIngest.splitCorrupt(
+      ScrapeIngest.readCsvPermissive(spark, dir, schema))
+    val got = clean.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === Set((1L, 2.5, "alpha"), (3L, 4.5, "gamma")))
+    val bad = quarantine.collect().map(_.getString(0))
+    assert(bad.length === 1)
+    assert(bad(0).contains("not_a_number"))
+    assert(!clean.columns.contains("_corrupt"))
+  }
+
   test("upsert: inserts new keys, newest version wins, update beats existing on tie") {
     val existing = Seq(("a", "old", 1), ("b", "keep", 5)).toDF("k", "v", "version")
     val updates = Seq(("a", "new", 2), ("b", "stale", 1), ("c", "ins", 1), ("b", "tie", 5))
