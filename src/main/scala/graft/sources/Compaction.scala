@@ -33,7 +33,15 @@ object Compaction {
   }
 
   /** Rewrite the parquet directory at `dir` into ceil(bytes/targetBytes)
-    * files. Returns the new file count. */
+    * files. Returns the new file count.
+    *
+    * Swap order is crash-safe for the data: live is renamed ASIDE first
+    * (dir -> dir__old), then the compacted temp renamed in, then the old
+    * copy deleted. A crash between the renames leaves both full copies on
+    * disk (recover by renaming either back); at no point is the data only
+    * in a temp directory. A concurrent reader can still catch the brief
+    * missing-path window between the two renames — full reader isolation
+    * needs a manifest/table format (the documented non-goal here). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
     val bytes = dataBytes(spark, dir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -43,8 +51,11 @@ object Compaction {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__old")
+    fs.delete(old, true) // stale leftover from a previous crash, if any
+    fs.rename(dst, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
     dataFileCount(spark, dir)
   }
 }

@@ -22,7 +22,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # normalize cell values to comparable primitives
+    # Sort RAW, exactly like the driver does — no ndarray->tuple conversion
+    # before the sort. A query that returns a raw array column must crash
+    # here the same way it crashes in the driver (r2's q60 lesson: the local
+    # checker masked a driver failure by canonicalizing arrays pre-sort).
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    # normalize cell values to comparable primitives (post-sort, compare only)
     def norm(v):
         if isinstance(v, float):
             return round(v, 9)
@@ -34,8 +39,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return tuple(norm(x) for x in v)
         return v
-    out = df.map(norm)
-    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return df.map(norm)
 
 
 def main():
