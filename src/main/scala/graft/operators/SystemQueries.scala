@@ -113,6 +113,28 @@ object SystemQueries {
            |FROM t WHERE id >= 150000 AND bucket <> 7
            |GROUP BY category""".stripMargin))
 
+  /** DSv2 WRITE surface: the engine's own `graft-store` format
+    * ([[graft.sources.v2.GraftStore]]) — per-attempt task files, driver-side
+    * commit with a versioned-manifest publication, snapshot reads. The query
+    * round-trips a customer projection through the format and aggregates
+    * what came back; the oracle runs the same aggregate on the ORIGINAL
+    * parquet, so any row lost/duplicated/corrupted by the write-commit-read
+    * cycle breaks the hash. */
+  val q83Dsv2Store = QuerySpec(
+    "q83_dsv2_store", "S-dsv2-write",
+    "custom DSv2 write path: manifest-committed round-trip + aggregate",
+    (s, d) => {
+      val path = "/tmp/graft_store_q83"
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      s.read.format("graft-store").load(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+           |FROM customer GROUP BY 1""".stripMargin))
+
   /** EXT-dedup streaming: incremental MinHash-LSH near-dup candidates over
     * the documents table replayed as a file stream — the stateful streaming
     * formulation of q27's batch LSH (see
@@ -167,5 +189,6 @@ object SystemQueries {
            |WHERE e.event_type = 'error' AND p.event_type = 'purchase'""".stripMargin))
 
   def all: Seq[QuerySpec] = Seq(
-    q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup, q81StreamStreamJoin)
+    q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
+    q81StreamStreamJoin, q83Dsv2Store)
 }

@@ -1,0 +1,348 @@
+package graft.sources.v2
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, ObjectInputStream, ObjectOutputStream}
+import java.util
+import java.util.{OptionalLong, UUID}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 read+WRITE source (`graft-store`) — the write half of the
+  * custom-source tier, demonstrating the full DSv2 commit protocol.
+  *
+  * Storage model (manifest-committed row files):
+  *   - data files `part-<writeId>-<partition>-<task>.gsf` hold length-framed
+  *     binary rows; every task attempt writes a UNIQUE file under
+  *     `_tmp/<writeId>/`, so speculative / retried tasks never collide;
+  *   - only `commit()` (driver, exactly once, with the commit messages of
+  *     the SUCCESSFUL attempts) moves files live and publishes a NEW
+  *     versioned manifest `_manifest-<millis>-<uuid>` listing exactly the
+  *     committed files with their row counts;
+  *   - readers resolve the lexicographically-latest manifest and read ONLY
+  *     files it lists: uncommitted stragglers, aborted writes and
+  *     not-yet-cleaned old files are invisible — a reader always sees one
+  *     consistent snapshot, and there is no missing-manifest window because
+  *     publication is a single file CREATE, never delete+rename.
+  *
+  * Why this matters at 100 TB: job-level atomicity on an object store
+  * cannot come from renames of thousands of task files (non-atomic, O(n)
+  * metadata ops at the commit point); it comes from making the COMMIT a
+  * single manifest publication, which is exactly the mechanism here (the
+  * same one table formats like Iceberg/Delta build on). Assumption: one
+  * writer at a time per table path (concurrent appends would need a
+  * compare-and-swap on the manifest pointer — out of scope, documented).
+  *
+  * The scan reports EXACT statistics (rows from the manifest, bytes from
+  * file status) via `SupportsReportStatistics`, so Catalyst can e.g. pick a
+  * broadcast join for a small graft-store table without a config hint.
+  * Column pruning is honored in the reader output; being a row format,
+  * pruned columns are still decoded to advance the stream (a columnar
+  * layout would skip the I/O — parquet's job, not this format's).
+  *
+  * Supported field types: long, int, double, float, boolean, string,
+  * date (int days), timestamp (long micros).
+  */
+class GraftStore extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-store"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-store requires a path"))
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-store: no manifest at $path (write first, or pass a schema)"))
+      .schema
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftStoreTable(properties.get("path"), schema)
+}
+
+// ------------------------------------------------------------------ format
+
+private[v2] case class GraftManifest(schema: StructType, files: Seq[(String, Long)])
+
+private[v2] object GraftStoreFormat {
+  /** Manifest file body: line 1 = schema DDL; then one `file\trows` line per
+    * committed data file. Name sorts by publication time. */
+  def manifestName(): String =
+    f"_manifest-${System.currentTimeMillis()}%020d-${UUID.randomUUID().toString.take(8)}"
+
+  def fs(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  def listManifests(path: String, conf: Configuration): Seq[Path] = {
+    val dir = new Path(path)
+    val f = fs(path, conf)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("_manifest-")).sortBy(_.getName).toSeq
+  }
+
+  def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
+    listManifests(path, conf).lastOption.map { p =>
+      val in = fs(path, conf).open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val lines = body.split("\n").filter(_.nonEmpty)
+      GraftManifest(
+        StructType.fromDDL(lines.head),
+        lines.tail.toSeq.map { l =>
+          val Array(name, rows) = l.split("\t"); (name, rows.toLong)
+        })
+    }
+
+  /** Publish a new manifest (single atomic CREATE), then best-effort clean
+    * superseded manifest files. Readers between the two see the new one. */
+  def writeManifest(path: String, conf: Configuration, m: GraftManifest): Unit = {
+    val f = fs(path, conf)
+    val old = listManifests(path, conf)
+    val out = f.create(new Path(path, manifestName()), false)
+    try out.write(
+      (m.schema.toDDL + "\n" + m.files.map { case (n, r) => s"$n\t$r" }.mkString("\n"))
+        .getBytes("UTF-8"))
+    finally out.close()
+    old.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
+  }
+
+  // --- row codec: per row one 0x01 marker byte, then per field a null byte
+  //     + the value; strings are UTF-8 length-prefixed. EOF = clean row end.
+  def writeRow(out: DataOutputStream, row: InternalRow, schema: StructType): Unit = {
+    out.writeByte(1)
+    var i = 0
+    while (i < schema.length) {
+      if (row.isNullAt(i)) out.writeByte(1)
+      else {
+        out.writeByte(0)
+        schema.fields(i).dataType match {
+          case LongType | TimestampType => out.writeLong(row.getLong(i))
+          case IntegerType | DateType   => out.writeInt(row.getInt(i))
+          case DoubleType               => out.writeDouble(row.getDouble(i))
+          case FloatType                => out.writeFloat(row.getFloat(i))
+          case BooleanType              => out.writeBoolean(row.getBoolean(i))
+          case StringType =>
+            val b = row.getUTF8String(i).getBytes
+            out.writeInt(b.length); out.write(b)
+          case other => throw new UnsupportedOperationException(
+            s"graft-store: unsupported type $other")
+        }
+      }
+      i += 1
+    }
+  }
+
+  /** Reads one row of `schema`, returns null at EOF. */
+  def readRow(in: DataInputStream, schema: StructType): Array[Any] = {
+    val marker = in.read()
+    if (marker == -1) return null
+    require(marker == 1, s"graft-store: corrupt row marker $marker")
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      if (in.readByte() == 1) vals(i) = null
+      else vals(i) = schema.fields(i).dataType match {
+        case LongType | TimestampType => in.readLong()
+        case IntegerType | DateType   => in.readInt()
+        case DoubleType               => in.readDouble()
+        case FloatType                => in.readFloat()
+        case BooleanType              => in.readBoolean()
+        case StringType =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          UTF8String.fromBytes(b)
+        case other => throw new UnsupportedOperationException(
+          s"graft-store: unsupported type $other")
+      }
+      i += 1
+    }
+    vals
+  }
+}
+
+/** Hadoop Configuration is not Serializable; standard wrapper (same shape
+  * as Spark's private[spark] SerializableConfiguration). */
+private[v2] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
+
+// ------------------------------------------------------------------- table
+
+private[v2] class GraftStoreTable(path: String, schema0: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_store($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftStoreScanBuilder(path,
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftStoreWriteBuilder(path, info.schema(),
+      SparkSession.active.sparkContext.hadoopConfiguration, truncate = false)
+}
+
+// ------------------------------------------------------------------- write
+
+private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
+    conf: Configuration, truncate: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new GraftStoreWriteBuilder(path, schema, conf, truncate = true)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftStoreBatchWrite(path, schema, conf, truncate)
+  }
+}
+
+private[v2] case class GraftCommitMessage(file: String, rows: Long)
+    extends WriterCommitMessage
+
+private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
+    conf: Configuration, truncate: Boolean) extends BatchWrite {
+  private val writeId = UUID.randomUUID().toString.take(8)
+  private def tmpDir = new Path(path, s"_tmp/$writeId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf))
+
+  /** Driver-side, exactly once, only with messages of successful attempts:
+    * move the committed attempts' files live, publish the new manifest. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = GraftStoreFormat.fs(path, conf)
+    val committed = messages.map(_.asInstanceOf[GraftCommitMessage]).toSeq
+    committed.foreach { m =>
+      fs.rename(new Path(tmpDir, m.file), new Path(path, m.file))
+    }
+    val prev =
+      if (truncate) Seq.empty
+      else GraftStoreFormat.readLatestManifest(path, conf).map(_.files).getOrElse(Seq.empty)
+    GraftStoreFormat.writeManifest(path, conf,
+      GraftManifest(schema, prev ++ committed.map(m => (m.file, m.rows))))
+    if (truncate) {
+      // old snapshot's files are now unreferenced; readers already only see
+      // the new manifest, so this cleanup is safe and best-effort
+      val keep = committed.map(_.file).toSet
+      fs.listStatus(new Path(path)).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && !keep.contains(p.getName))
+        .foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
+    }
+    fs.delete(tmpDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = GraftStoreFormat.fs(path, conf)
+    fs.delete(tmpDir, true) // manifest untouched: the old snapshot stays live
+  }
+}
+
+private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
+    schema: StructType, conf: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftStoreDataWriter(path, writeId, partitionId, taskId, schema, conf.value)
+}
+
+private[v2] class GraftStoreDataWriter(path: String, writeId: String,
+    partitionId: Int, taskId: Long, schema: StructType, conf: Configuration)
+    extends DataWriter[InternalRow] {
+  // taskId distinguishes attempts: a speculative twin writes its own file,
+  // and only the attempt whose commit message reaches the driver is published
+  private val file = s"part-$writeId-$partitionId-$taskId.gsf"
+  private val fs = GraftStoreFormat.fs(path, conf)
+  private val out = new DataOutputStream(new BufferedOutputStream(
+    fs.create(new Path(new Path(path, s"_tmp/$writeId"), file), true), 1 << 16))
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    GraftStoreFormat.writeRow(out, record, schema); rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close(); GraftCommitMessage(file, rows)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    try fs.delete(new Path(new Path(path, s"_tmp/$writeId"), file), false)
+    catch { case _: Throwable => () }
+  }
+  override def close(): Unit = ()
+}
+
+// -------------------------------------------------------------------- read
+
+private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private val manifest = GraftStoreFormat.readLatestManifest(path, conf)
+    .getOrElse(GraftManifest(new StructType(), Seq.empty))
+  private var required: StructType = manifest.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan =
+    new GraftStoreScan(path, manifest, required, new SerializableHadoopConf(conf))
+}
+
+private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
+    required: StructType, conf: SerializableHadoopConf)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-store $path files=${manifest.files.size} cols=${required.fieldNames.mkString(",")}"
+
+  /** Exact stats from the manifest — lets Catalyst make size-based planning
+    * decisions (e.g. auto-broadcast a small graft-store dimension). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long = {
+      val fs = GraftStoreFormat.fs(path, conf.value)
+      manifest.files.map { case (f, _) =>
+        try fs.getFileStatus(new Path(path, f)).getLen catch { case _: Throwable => 0L }
+      }.sum
+    }
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(manifest.files.map(_._2).sum)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    manifest.files.map { case (f, _) =>
+      GraftFilePartition(new Path(path, f).toString): InputPartition
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStoreReaderFactory(manifest.schema, required, conf)
+}
+
+private[v2] case class GraftFilePartition(file: String) extends InputPartition
+
+private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftFilePartition].file
+    val fs = new Path(file).getFileSystem(conf.value)
+    val in = new DataInputStream(new BufferedInputStream(fs.open(new Path(file)), 1 << 16))
+    val keep: Array[Int] = required.fieldNames.map(full.fieldIndex)
+    new PartitionReader[InternalRow] {
+      private var cur: Array[Any] = _
+      override def next(): Boolean = {
+        cur = GraftStoreFormat.readRow(in, full); cur != null
+      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(keep.toSeq.map(cur(_)))
+      override def close(): Unit = in.close()
+    }
+  }
+}

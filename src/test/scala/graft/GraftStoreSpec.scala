@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 WRITE path (`graft-store`): commit protocol, snapshot reads,
+  * exact statistics, pruning. */
+class GraftStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-store-spec").toString
+
+  private def sample = {
+    import spark.implicits._
+    Seq(
+      (1L, Some("alpha"), Some(1.5), true),
+      (2L, None, Some(-2.25), false),
+      (3L, Some("gamma"), None, true))
+      .toDF("id", "name", "score", "flag")
+  }
+
+  test("write → read round-trip preserves rows, types and nulls") {
+    val dir = tmpDir()
+    sample.write.format("graft-store").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.schema === sample.schema)
+    assert(back.orderBy("id").collect().toSeq === sample.orderBy("id").collect().toSeq)
+  }
+
+  test("append mode accumulates; overwrite replaces the snapshot") {
+    import spark.implicits._
+    val dir = tmpDir()
+    sample.write.format("graft-store").mode("overwrite").save(dir)
+    Seq((4L, Some("delta"), Some(9.0), false)).toDF("id", "name", "score", "flag")
+      .write.format("graft-store").mode("append").save(dir)
+    assert(spark.read.format("graft-store").load(dir).count() === 4)
+    Seq((9L, Some("omega"), Some(0.0), true)).toDF("id", "name", "score", "flag")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val after = spark.read.format("graft-store").load(dir)
+    assert(after.count() === 1)
+    assert(after.collect()(0).getLong(0) === 9L)
+  }
+
+  test("readers see only manifest-listed files: orphans are invisible") {
+    val dir = tmpDir()
+    sample.write.format("graft-store").mode("overwrite").save(dir)
+    // simulate an uncommitted straggler / crashed attempt: a data file that
+    // never made it into any manifest
+    val orphan = new java.io.File(dir, "part-deadbeef-0-999.gsf")
+    Files.write(orphan.toPath, Array.fill[Byte](64)(1))
+    assert(spark.read.format("graft-store").load(dir).count() === 3)
+  }
+
+  test("scan reports exact statistics (rows from manifest, bytes from files)") {
+    val dir = tmpDir()
+    sample.write.format("graft-store").mode("overwrite").save(dir)
+    val stats = spark.read.format("graft-store").load(dir)
+      .queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec =>
+          b.scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+      }.get
+    assert(stats.numRows().getAsLong === 3L)
+    assert(stats.sizeInBytes().getAsLong > 0L)
+  }
+
+  test("column pruning reaches the reader output schema") {
+    val dir = tmpDir()
+    sample.write.format("graft-store").mode("overwrite").save(dir)
+    val df = spark.read.format("graft-store").load(dir).select("id", "flag")
+    val desc = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString
+    assert(desc.contains("cols=id,flag"), desc)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("one input partition per committed file (parallel writers → parallel readers)") {
+    val dir = tmpDir()
+    sample.repartition(3).write.format("graft-store").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.rdd.getNumPartitions === 3)
+    assert(back.count() === 3)
+  }
+
+  test("dates and timestamps survive the codec") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-05-17"), java.sql.Timestamp.valueOf("2024-05-17 10:30:00")))
+      .toDF("id", "d", "ts")
+    df.write.format("graft-store").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-store").load(dir).collect()(0)
+    assert(back.getDate(1) === java.sql.Date.valueOf("2024-05-17"))
+    assert(back.getTimestamp(2) === java.sql.Timestamp.valueOf("2024-05-17 10:30:00"))
+  }
+}
