@@ -32,10 +32,12 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Memory-safety gate: [[TopKPerGroupExec]] holds O(groups-per-partition
-    * × k) rows on the JVM heap and never spills, unlike Spark's sort-based
-    * window path. The rewrite therefore only fires for k up to this bound
-    * (default 1000); larger k keeps the spill-capable built-in plan. */
+  /** Plan-choice gate: [[TopKPerGroupExec]] is memory-safe at any k (its
+    * partial phase flushes at `spark.graft.topk.flushRows` held rows, its
+    * final phase streams over a spill-capable sort of the pruned data), but
+    * at large k per-row heap admission churn loses to the window path's
+    * single sort and the shuffle-volume win evaporates (k·groups approaches
+    * n). The rewrite fires only for k up to this bound (default 1000). */
   val MaxKKey = "spark.graft.topk.maxK"
   private def maxK: Int =
     org.apache.spark.sql.internal.SQLConf.get

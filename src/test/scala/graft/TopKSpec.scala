@@ -26,12 +26,39 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(viaWindow.exceptAll(custom).count() === 0)
   }
 
-  test("plan contains the two-phase custom exec and no Sort/Window") {
+  test("plan: two-phase custom exec, no Window, sort only over pruned data") {
     val df = TopK.perGroup(li, Seq("l_returnflag"), Seq(("l_quantity", true)), 3)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), plan)
     assert(!plan.contains("Window"), plan)
-    assert(!plan.toLowerCase.contains("sort "), plan)
+    // the final phase's spillable sort sits ABOVE the exchange: it sorts
+    // the k·groups·partitions survivors, never the input (no sort below
+    // the exchange / above the scan)
+    val sortIdx = plan.indexOf("Sort ")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(sortIdx >= 0 && exchangeIdx >= 0, plan)
+    assert(sortIdx < exchangeIdx, s"sort must be above the exchange:\n$plan")
+    assert(plan.indexOf("Sort ", sortIdx + 1) === -1, s"exactly one sort:\n$plan")
+  }
+
+  test("partial-phase flush bound: tiny flushRows still yields exact results") {
+    // many groups per partition × low flush threshold → the partial phase
+    // flushes repeatedly mid-stream; extra partial survivors must be
+    // re-pruned by the final phase to the identical answer
+    import spark.implicits._
+    val n = 100000
+    val df = (0 until n).map(i => ((i * 2654435761L % 9973L), i.toLong, (i % 7).toDouble))
+      .toDF("g", "id", "v")
+    spark.conf.set("spark.graft.topk.flushRows", "1000")
+    try {
+      val custom = TopK.perGroup(df, Seq("g"), Seq(("v", false), ("id", true)), 3)
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+      assert(custom.count() === viaWindow.count())
+      assert(custom.exceptAll(viaWindow).count() === 0)
+      assert(viaWindow.exceptAll(custom).count() === 0)
+    } finally spark.conf.unset("spark.graft.topk.flushRows")
   }
 
   test("auto-rewrite: window row_number<=k + drop(rn) becomes TopKPerGroup") {
