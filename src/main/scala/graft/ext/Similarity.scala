@@ -119,6 +119,27 @@ object Ivf {
       index.model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) },
       query, k, nprobe)
 
+  /** Nearest-centroid cell assignment as a PURE codegen expression — no
+    * model object, no UDF — so the same index serves batch writes AND
+    * Structured Streaming plans (model-serving on a stream without the ML
+    * runtime in the per-row hot path).
+    *
+    * argmin_i ||v − c_i||² = argmin_i (||c_i||² − 2·v·c_i), since ||v||² is
+    * constant within a row — one native [[DotProduct]] fold per cell, with
+    * ||c_i||² precomputed on the driver and shipped as a literal. Ties
+    * break to the lower cell id (struct lexicographic `least`), matching
+    * KMeans' first-minimum convention. */
+  def assignCell(embedding: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "assignCell needs at least one centroid")
+    val v = embedding.cast("array<double>")
+    val scored = centroids.map { case (i, c) =>
+      struct(
+        (lit(c.map(x => x * x).sum) - lit(2.0) * DotProduct(v, typedLit(c.toSeq))).as("score"),
+        lit(i).as("cell"))
+    }
+    (if (scored.length == 1) scored.head else least(scored.toSeq: _*)).getField("cell")
+  }
+
   /** Search over any (vec_id, cell, embedding) posting frame + centroid
     * table: probe-cell choice is driver-side (centroid count is small by
     * construction); the scan touches only the probed cells. */

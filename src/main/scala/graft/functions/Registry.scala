@@ -33,6 +33,8 @@ object Registry {
     "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
     // bare AggregateFunction: the analyzer wraps it into an AggregateExpression
     "mg_topk" -> (exprs => MisraGriesAgg(exprs(0), intArg(exprs(1), "mg_topk"))),
+    "cms_sketch" -> (exprs => CountMinAgg(exprs(0),
+      intArg(exprs(1), "cms_sketch"), intArg(exprs(2), "cms_sketch"))),
     "tokens_in_set" -> (exprs => TokensInSet(exprs(0), stringArrayArg(exprs(1), "tokens_in_set"))))
 
   def register(spark: SparkSession): Unit = {

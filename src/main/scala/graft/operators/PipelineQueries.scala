@@ -281,6 +281,45 @@ object PipelineQueries {
            |GROUP BY token, tot.n
            |HAVING count(*) >= 0.005 * tot.n""".stripMargin))
 
+  // ---------------------------------------------------------------- count-min sketch
+  /** The second custom aggregate ([[graft.functions.CountMinAgg]]), checked
+    * with the same sketch+exact pattern as q72/q46: the query emits exact
+    * top-20 token counts (oracle-recomputable) plus two booleans pinning the
+    * CMS guarantees — estimates never undercount (structural invariant; a
+    * probe/update hash mismatch would break it) and overshoot stays within
+    * the ~3n/width collision bound. The sketch itself is bit-deterministic
+    * under any partitioning (merge = elementwise add), the probe is a pure
+    * codegen expression over the sketch literal. */
+  val q85CountMin = QuerySpec(
+    "q85_count_min", "EXT-count-min custom-agg",
+    "count-min sketch estimates bound-checked against exact top-20 counts",
+    (s, d) => {
+      val depth = 4; val width = 2048
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.ext.tokens(graft.ext.normText(col("text")))).as("token"))
+      val first = graft.ext.ensureParallelism(toks)
+        .agg(graft.functions.CountMinAgg(col("token"), depth, width).as("sk"),
+          count(lit(1)).as("n"))
+        .collect()(0) // bounded: one 64 KiB sketch + one count
+      val sketch = first.getSeq[Long](0)
+      val bound = math.ceil(3.0 * first.getLong(1) / width).toLong
+      def est = graft.functions.CountMinAgg.estimate(sketch, col("token"), depth, width)
+      toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token").asc).limit(20)
+        .select(col("token"), col("n_exact"),
+          (est >= col("n_exact")).as("never_undercounts"),
+          (est - col("n_exact") <= lit(bound)).as("within_bound"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT unnest(regexp_split_to_array(
+           |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+           |    '\s+')) AS token
+           |  FROM documents),
+           |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+           |       GROUP BY 1 ORDER BY n_exact DESC, token ASC LIMIT 20)
+           |SELECT token, n_exact, TRUE AS never_undercounts, TRUE AS within_bound
+           |FROM tf""".stripMargin))
+
   // ---------------------------------------------------------------- time-series gap fill (LOCF)
   /** Resampling with last-observation-carried-forward: per user, an hourly
     * grid spans min..max observed hour (sequence + explode — generated
@@ -362,5 +401,6 @@ object PipelineQueries {
 
   def all: Seq[QuerySpec] = Seq(
     q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
-    q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill, q78VectorStats, q79Histogram)
+    q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill, q78VectorStats, q79Histogram,
+    q85CountMin)
 }

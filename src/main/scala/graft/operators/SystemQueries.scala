@@ -162,6 +162,32 @@ object SystemQueries {
     },
     None)
 
+  /** EXT-sim-ivf streaming: new vectors arriving on a stream are assigned
+    * to the BATCH-FIT IVF centroids ([[graft.ext.Ivf.assignCell]] — a pure
+    * codegen expression, no UDF / ML runtime per row), then counted per
+    * cell. This is the index-maintenance half of streaming ANN: assignments
+    * can be appended straight into the cell-partitioned posting layout that
+    * `Ivf.save` defines. KMeans makes it rows-only; the spec proves the
+    * streaming assignment equals the batch model's predictions. */
+  val q84StreamIvf = QuerySpec(
+    "q84_stream_ivf", "EXT-sim-ivf-streaming",
+    "streaming IVF cell assignment against batch-fit centroids",
+    (s, d) => withStatePartitions(s, 8) {
+      val index = graft.ext.Ivf.build(Tables.embeddings(s, d), numCells = 16)
+      val centroids = index.model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+      val stream = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(d)
+      val assigned = stream
+        .select(col("vec_id"), graft.ext.Ivf.assignCell(col("embedding"), centroids).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+      EventsPipeline.runToMemoryTable(s, assigned, "q84_out").orderBy("cell")
+    },
+    None)
+
   /** §2.6 [EXT]: REAL stream-stream watermarked interval join run to
     * completion over the events file stream — oracle is the same SQL as the
     * batch range join q50, so the two-stream join path gets a full DuckDB
@@ -190,5 +216,5 @@ object SystemQueries {
 
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
-    q81StreamStreamJoin, q83Dsv2Store)
+    q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf)
 }

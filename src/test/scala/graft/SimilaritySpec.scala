@@ -74,6 +74,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(full === exact)
   }
 
+  test("streaming IVF: assignCell matches the batch model prediction, batch and stream") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val index = graft.ext.Ivf.build(emb, numCells = 8)
+    val centroids = index.model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    // batch: the pure-expression assignment equals KMeansModel.transform
+    val viaExpr = emb.select(col("vec_id"),
+        graft.ext.Ivf.assignCell(col("embedding"), centroids).as("cell"))
+    val mismatches = viaExpr.alias("e")
+      .join(index.assigned.select(col("vec_id"), col("cell").as("model_cell")), "vec_id")
+      .filter(col("cell") =!= col("model_cell")).count()
+    assert(mismatches === 0)
+    // streaming: same expression inside a Structured Streaming plan yields
+    // the same assignment for every vector (stream run to completion)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      .format("parquet").option("pathGlobFilter", "embeddings.parquet").load(dir)
+    val streamed = graft.streaming.EventsPipeline.runToMemoryTable(
+      spark,
+      stream.select(col("vec_id"),
+        graft.ext.Ivf.assignCell(col("embedding"), centroids).as("cell")),
+      "ivf_assign_spec", org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamMap = streamed.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchMap = viaExpr.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamMap === batchMap)
+  }
+
   test("IVF persistence: save/load round-trips and probes prune partitions") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qArr = emb.filter(col("vec_id") === 0)
