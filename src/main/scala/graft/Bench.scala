@@ -47,15 +47,29 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
-    // Stdout has proven lossy two rounds running (sbt prefixes, tail
-    // truncation), so also persist the full JSON where the driver / a human
-    // can always recover it.
+    // Persist the full-precision JSON where the driver / a human can always
+    // recover it (stdout has proven lossy three rounds running).
     for (p <- Seq("/tmp/bench.json", "BENCH_LOCAL.json")) {
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))
         try w.println(json) finally w.close()
       } catch { case _: Throwable => () }
     }
+    // The full line above is ~2.9 KB for 85 queries; the driver's stdout
+    // capture keeps only a ~2000-char TAIL, so the line's head (with
+    // "metric":"total") is cut off and every round's BENCH_r{N}.json came
+    // back "parsed": null. Emit a compact line LAST — abbreviated "qNN"
+    // keys, 3-decimal seconds, ~1.1 KB — so a COMPLETE JSON object always
+    // sits inside the tail window regardless of how the driver parses it.
+    def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val prefixes = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    val shortKeys = prefixes.distinct.size == prefixes.size
+    val qsCompact = results.map { case (k, v) =>
+      val key = if (shortKeys) k.takeWhile(_ != '_') else k
+      "\"" + key + "\":" + (if (v < 0) "-1" else s3(v))
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qsCompact,"errors":$errs,"sf":"$sfDir","note":"full query names in BENCH_LOCAL.json"}"""
+    println(compact)
     spark.stop()
   }
 }

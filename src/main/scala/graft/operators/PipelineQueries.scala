@@ -329,22 +329,31 @@ object PipelineQueries {
     * grid spans min..max observed hour (sequence + explode — generated
     * distributed, never on the driver), missing hours left-join to NULL,
     * and `last(v, ignoreNulls)` over the time order fills forward. The
-    * shuffle key is user_id throughout; grid generation is narrow. */
+    * shuffle key is user_id throughout; grid generation is narrow.
+    *
+    * The grid, join key and window order all run on epoch-HOUR longs, not
+    * timestamps: `sequence(ts0, ts1, INTERVAL 1 HOUR)` does calendar
+    * arithmetic per element and a timestamp join key hashes wider — an
+    * integer `sequence(h0, h1)` is a flat counted loop and the rest is
+    * long equality/comparison. Truncation stays `date_trunc`-based (then
+    * `unix_timestamp`, exact ÷3600) and rendering round-trips through
+    * `timestamp_seconds`, so the semantics are timezone-identical to the
+    * timestamp form. */
   val q77GapFill = QuerySpec(
     "q77_gap_fill", "EXT-resample-locf",
     "hourly resample per user with last-observation-carried-forward",
     (s, d) => {
       val hourly = Tables.events(s, d)
-        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .groupBy(col("user_id"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("h"))
         .agg(round(sum("value"), 2).as("v"))
       val grid = hourly.groupBy("user_id")
-        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+      grid.join(hourly, Seq("user_id", "h"), "left")
         .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
-      val w = Window.partitionBy("user_id").orderBy("hour")
-      grid.join(hourly, Seq("user_id", "hour"), "left")
-        .select(col("user_id"),
-          date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour_s"),
+          date_format(timestamp_seconds(col("h") * 3600L), "yyyy-MM-dd HH:mm").as("hour_s"),
           last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
           col("v").isNotNull.as("is_observed"))
     },
