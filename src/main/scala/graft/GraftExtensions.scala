@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal int argument, got $other")
   }
 
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")
 
@@ -49,6 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("mg_topk"),
       info("mg_topk", "mg_topk(col, k) - Misra-Gries heavy-hitter candidates (array<string>)"),
       (exprs: Seq[Expression]) => MisraGriesAgg(exprs(0), intArg(exprs(1), "mg_topk"))))
+    // Spark's internal bloom primitives on the SQL surface (OSS Spark only
+    // uses them inside InjectRuntimeFilter) — see graft.operators.BloomPrune
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(xxhash64(col), n_items) - bloom-filter sketch of the key set (binary)"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), longArg(exprs(1), "bloom_agg"))))
+    e.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain", "might_contain(bloom, xxhash64(col)) - bloom membership probe"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("tokens_in_set"),
       info("tokens_in_set", "tokens_in_set(toks, array('w',...)) - count of tokens in the word set"),
       (exprs: Seq[Expression]) => graft.functions.TokensInSet(exprs(0),

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] LLM-data-pipeline operators (BASELINE.json north star): dedup,
@@ -176,6 +177,67 @@ object ExtQueries {
             |             - len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles))) AS DOUBLE) + 1e-9, 4) AS jaccard
             |  FROM pairs JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2)
             |SELECT id1, id2, jaccard FROM jac WHERE jaccard >= 0.3""".stripMargin))
+
+  // ---------------------------------------------------------------- near-dup connected components
+  /** Connected components over the verified near-dup graph — the cluster
+    * form a dedup pipeline actually consumes ("keep cluster_id == doc_id").
+    * Spark side: [[Dedup.nearDupClusters]] — iterative min-label propagation
+    * to FIXPOINT (each iteration one co-partitioned join + agg, persisted to
+    * truncate lineage; early-exits when no label changes). Oracle side:
+    * DuckDB computes the same fixpoint declaratively with a recursive CTE
+    * (min reachable id over symmetrized edges), so the iterative distributed
+    * algorithm is hash-checked against an independent transitive-closure
+    * formulation — not against itself. */
+  val q86Components = QuerySpec(
+    "q86_components", "EXT-dedup-components",
+    "connected components of the near-dup pair graph (min-label fixpoint vs recursive-CTE oracle)",
+    (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val mutated = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(tokens(col("text")), 2, 1000000)).as("text"))
+      val corpus = base.unionByName(mutated)
+      val labels = Dedup.nearDupClusters(corpus, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, shingleN = 3, minJaccard = 0.3, maxIters = 20)
+      labels.select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 100000 AS doc_id,
+            |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[2:], ' ') AS text
+            |  FROM documents WHERE doc_id % 10 = 0),
+            |n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM corpus),
+            |sh AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2), i ->
+            |         concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS shingles FROM n),
+            |sg AS (SELECT doc_id, shingles, list_transform(generate_series(0, 7), k ->
+            |         list_aggregate(list_transform(shingles, s ->
+            |           CAST(concat('0x', substring(md5(concat(CAST(k AS VARCHAR), ':', s)), 1, 15)) AS BIGINT)),
+            |         'min')) AS sig FROM sh),
+            |banded AS (SELECT doc_id,
+            |    unnest(generate_series(0, 3)) AS band_id,
+            |    unnest(list_transform(generate_series(0, 3), b ->
+            |      md5(concat(CAST(sig[2*b+1] AS VARCHAR), '-', CAST(sig[2*b+2] AS VARCHAR))))) AS band_hash
+            |  FROM sg),
+            |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            |  FROM banded a JOIN banded b
+            |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+            |jac AS (SELECT id1, id2,
+            |    round(len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles)))
+            |      / CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles))
+            |             - len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles))) AS DOUBLE) + 1e-9, 4) AS jaccard
+            |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2),
+            |edges AS (SELECT id1 AS src, id2 AS dst FROM jac WHERE jaccard >= 0.3
+            |  UNION ALL
+            |  SELECT id2 AS src, id1 AS dst FROM jac WHERE jaccard >= 0.3),
+            |reach AS (SELECT doc_id AS id, doc_id AS lbl FROM corpus
+            |  UNION
+            |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+            |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+            |SELECT doc_id, cluster_id,
+            |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+            |FROM comp""".stripMargin))
 
   // ---------------------------------------------------------------- n-gram Jaccard baseline
   val q28JaccardPairs = QuerySpec(
@@ -401,5 +463,5 @@ object ExtQueries {
     q21DedupExact, q22Fingerprint, q23TokenCount, q24TextQuality, q25LangId,
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
-    q52Curation, q80FrameSample)
+    q52Curation, q80FrameSample, q86Components)
 }

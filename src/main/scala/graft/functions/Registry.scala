@@ -15,6 +15,13 @@ object Registry {
       s"$fn expects a literal int argument, got $other")
   }
 
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
   private def stringArrayArg(e: Expression, fn: String): Seq[String] = e match {
     case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
       items.map {
@@ -35,7 +42,16 @@ object Registry {
     "mg_topk" -> (exprs => MisraGriesAgg(exprs(0), intArg(exprs(1), "mg_topk"))),
     "cms_sketch" -> (exprs => CountMinAgg(exprs(0),
       intArg(exprs(1), "cms_sketch"), intArg(exprs(2), "cms_sketch"))),
-    "tokens_in_set" -> (exprs => TokensInSet(exprs(0), stringArrayArg(exprs(1), "tokens_in_set"))))
+    "tokens_in_set" -> (exprs => TokensInSet(exprs(0), stringArrayArg(exprs(1), "tokens_in_set"))),
+    // Spark's internal bloom-filter primitives, surfaced for manual
+    // semi-join pruning (see graft.operators.BloomPrune): OSS Spark only
+    // wires them through the InjectRuntimeFilter rule, not the SQL/Column
+    // API, so shapes the rule can't see have no way to use them.
+    "bloom_agg" -> (exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), longArg(exprs(1), "bloom_agg"))),
+    "might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -245,6 +245,32 @@ object PipelineQueries {
            |WHERE o_totalprice > 450000
            |GROUP BY l_returnflag, o_orderpriority""".stripMargin))
 
+  // ---------------------------------------------------------------- manual bloom semi-join pruning
+  /** MANUAL bloom-filter pruning ([[BloomPrune]]): the filtering key set is
+    * built as an explicit `bloom_agg` and probed via a scalar-subquery
+    * `might_contain` on the fact scan — the pattern for semi-join shapes
+    * `InjectRuntimeFilter` can't see (separately-computed id lists, filters
+    * reused across queries, stats-less tables). The bloom only PRUNES; the
+    * trailing exact semi join makes the result identical to a plain semi
+    * join, which is what the oracle checks. */
+  val q87BloomPrune = QuerySpec(
+    "q87_bloom_prune", "§2.3-manual-bloom",
+    "manual bloom_agg + might_contain semi-join pruning (exact via trailing semi join)",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000)
+      BloomPrune.semiJoin(li, urgent, "l_orderkey", "o_orderkey", expectedItems = 100000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |  round(sum(l_extendedprice), 2) AS sum_price
+           |FROM lineitem
+           |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+           |                     WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000)
+           |GROUP BY l_returnflag""".stripMargin))
+
   // ---------------------------------------------------------------- salted skew aggregation
   /** Two-phase salted aggregation ([[Skew.saltedSumCount]]): hot keys fan
     * out over `saltFactor` partial buckets (phase 1 combines locally per
@@ -415,5 +441,6 @@ object PipelineQueries {
   def all: Seq[QuerySpec] = Seq(
     q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
     q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill, q78VectorStats, q79Histogram,
+    q87BloomPrune,
     q85CountMin)
 }

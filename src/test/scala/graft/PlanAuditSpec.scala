@@ -48,6 +48,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q87: manual bloom probe lands as a fact-side filter before the semi join") {
+    val p = executed("q87_bloom_prune")
+    assert(p.contains("might_contain"), p.take(2000))
+    // the probe must sit on the lineitem side as a Filter, not after the join
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(joinIdx >= 0, p.take(2000))
+    assert(filterIdx > joinIdx,
+      "bloom probe should appear below (deeper than) the semi join in the plan tree")
+  }
+
   test("q68: hash-modulo sample stays a scan-side filter (no shuffle before agg)") {
     val p = executed("q68_sample_hash")
     // exactly one exchange: the final group-by; the sample predicate must
