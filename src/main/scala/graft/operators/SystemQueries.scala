@@ -135,6 +135,40 @@ object SystemQueries {
     Some("""SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
            |FROM customer GROUP BY 1""".stripMargin))
 
+  /** Snapshot time travel on the engine's own table format: two commits
+    * (append, append), then one read pinned to `snapshot 0` and one read of
+    * the latest snapshot — every retained manifest is a full file listing,
+    * so the old read sees EXACTLY the first commit's rows even though the
+    * directory now holds both commits' files. The oracle reconstructs both
+    * states from the original parquet; a reader that leaked
+    * newer-snapshot files into the pinned read breaks the hash. See
+    * [[graft.sources.v2.GraftStoreOps]] for history/retention. */
+  val q88TimeTravel = QuerySpec(
+    "q88_time_travel", "S-dsv2-time-travel",
+    "graft-store snapshot pinning: read v0 and latest after two commits",
+    (s, d) => {
+      val path = "/tmp/graft_store_q88"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      nat.filter(col("n_regionkey") <= 1).write.format("graft-store").mode("append").save(path)
+      nat.filter(col("n_regionkey") >= 2).write.format("graft-store").mode("append").save(path)
+      def agg(df: org.apache.spark.sql.DataFrame, snap: Int) =
+        df.agg(count(lit(1)).as("n"), sum("n_nationkey").as("sum_key"),
+            min("n_name").as("first_name"))
+          .select(lit(snap).as("snapshot"), col("n"), col("sum_key"), col("first_name"))
+      agg(s.read.format("graft-store").option("snapshot", 0).load(path), 0)
+        .unionByName(agg(s.read.format("graft-store").load(path), 1))
+    },
+    Some("""SELECT CAST(0 AS INT) AS snapshot, count(*) AS n,
+           |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key, min(n_name) AS first_name
+           |FROM nation WHERE n_regionkey <= 1
+           |UNION ALL
+           |SELECT CAST(1 AS INT) AS snapshot, count(*) AS n,
+           |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key, min(n_name) AS first_name
+           |FROM nation""".stripMargin))
+
   /** EXT-dedup streaming: incremental MinHash-LSH near-dup candidates over
     * the documents table replayed as a file stream — the stateful streaming
     * formulation of q27's batch LSH (see
@@ -216,5 +250,5 @@ object SystemQueries {
 
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
-    q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf)
+    q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel)
 }

@@ -59,7 +59,8 @@ class GraftStore extends TableProvider with DataSourceRegister {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-store requires a path"))
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    GraftStoreFormat.readLatestManifest(path, conf)
+    // honor time-travel options: an old snapshot may predate a schema change
+    GraftStoreFormat.selectManifest(path, conf, options)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-store: no manifest at $path (write first, or pass a schema)"))
       .schema
@@ -75,7 +76,10 @@ private[v2] case class GraftManifest(schema: StructType, files: Seq[(String, Lon
 
 private[v2] object GraftStoreFormat {
   /** Manifest file body: line 1 = schema DDL; then one `file\trows` line per
-    * committed data file. Name sorts by publication time. */
+    * committed data file. Name sorts by publication time; [[writeManifest]]
+    * guarantees each new name sorts strictly after every existing one (two
+    * publications inside the same millisecond would otherwise order by the
+    * random uuid suffix). */
   def manifestName(): String =
     f"_manifest-${System.currentTimeMillis()}%020d-${UUID.randomUUID().toString.take(8)}"
 
@@ -90,29 +94,65 @@ private[v2] object GraftStoreFormat {
       .filter(_.getName.startsWith("_manifest-")).sortBy(_.getName).toSeq
   }
 
-  def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
-    listManifests(path, conf).lastOption.map { p =>
-      val in = fs(path, conf).open(p)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val lines = body.split("\n").filter(_.nonEmpty)
-      GraftManifest(
-        StructType.fromDDL(lines.head),
-        lines.tail.toSeq.map { l =>
-          val Array(name, rows) = l.split("\t"); (name, rows.toLong)
-        })
-    }
+  def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
+    val in = fs(path, conf).open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = body.split("\n").filter(_.nonEmpty)
+    GraftManifest(
+      StructType.fromDDL(lines.head),
+      lines.tail.toSeq.map { l =>
+        val Array(name, rows) = l.split("\t"); (name, rows.toLong)
+      })
+  }
 
-  /** Publish a new manifest (single atomic CREATE), then best-effort clean
-    * superseded manifest files. Readers between the two see the new one. */
+  def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
+    listManifests(path, conf).lastOption.map(readManifestFile(path, conf, _))
+
+  /** Publication millis embedded in a manifest name. */
+  def manifestMillis(p: Path): Long =
+    p.getName.stripPrefix("_manifest-").takeWhile(_ != '-').toLong
+
+  /** Time travel: resolve the manifest a read should see. Every manifest is
+    * a FULL file listing, so any retained one is a complete, consistent
+    * snapshot on its own — selection is just picking a file.
+    *   - `snapshot`   read option: 0-based snapshot index in publication
+    *     order (0 = oldest retained);
+    *   - `asOfMillis` read option: latest snapshot published at or before
+    *     the given epoch-millis;
+    *   - neither: the latest snapshot (normal read). */
+  def selectManifest(path: String, conf: Configuration,
+      options: CaseInsensitiveStringMap): Option[GraftManifest] = {
+    val ms = listManifests(path, conf)
+    if (ms.isEmpty) return None
+    val chosen = (Option(options.get("snapshot")), Option(options.get("asOfMillis"))) match {
+      case (Some(i), _) =>
+        require(i.toInt >= 0 && i.toInt < ms.size,
+          s"graft-store: snapshot $i out of range [0, ${ms.size})")
+        ms(i.toInt)
+      case (_, Some(t)) =>
+        val atOrBefore = ms.filter(p => manifestMillis(p) <= t.toLong)
+        require(atOrBefore.nonEmpty,
+          s"graft-store: no snapshot at or before $t (oldest is ${manifestMillis(ms.head)})")
+        atOrBefore.last
+      case _ => ms.last
+    }
+    Some(readManifestFile(path, conf, chosen))
+  }
+
+  /** Publish a new manifest — a single atomic file CREATE. Superseded
+    * manifests are RETAINED: they are the table's snapshot history (time
+    * travel reads them); [[GraftStoreOps.expireSnapshots]] is the explicit
+    * retention/vacuum step. */
   def writeManifest(path: String, conf: Configuration, m: GraftManifest): Unit = {
     val f = fs(path, conf)
-    val old = listManifests(path, conf)
-    val out = f.create(new Path(path, manifestName()), false)
+    val existing = listManifests(path, conf).map(_.getName)
+    var name = manifestName()
+    while (existing.exists(_ >= name)) { Thread.sleep(1); name = manifestName() }
+    val out = f.create(new Path(path, name), false)
     try out.write(
       (m.schema.toDDL + "\n" + m.files.map { case (n, r) => s"$n\t$r" }.mkString("\n"))
         .getBytes("UTF-8"))
     finally out.close()
-    old.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
   }
 
   // --- row codec: per row one 0x01 marker byte, then per field a null byte
@@ -192,7 +232,7 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftStoreScanBuilder(path,
-      SparkSession.active.sparkContext.hadoopConfiguration)
+      SparkSession.active.sparkContext.hadoopConfiguration, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(),
@@ -236,14 +276,9 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       else GraftStoreFormat.readLatestManifest(path, conf).map(_.files).getOrElse(Seq.empty)
     GraftStoreFormat.writeManifest(path, conf,
       GraftManifest(schema, prev ++ committed.map(m => (m.file, m.rows))))
-    if (truncate) {
-      // old snapshot's files are now unreferenced; readers already only see
-      // the new manifest, so this cleanup is safe and best-effort
-      val keep = committed.map(_.file).toSet
-      fs.listStatus(new Path(path)).map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") && !keep.contains(p.getName))
-        .foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
-    }
+    // NO data-file cleanup here, even on truncate: superseded files are
+    // still referenced by RETAINED snapshot manifests (time travel).
+    // Physical deletion is the explicit GraftStoreOps.expireSnapshots step.
     fs.delete(tmpDir, true)
   }
 
@@ -286,9 +321,10 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
 
 // -------------------------------------------------------------------- read
 
-private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration)
+private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
+    options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private val manifest = GraftStoreFormat.readLatestManifest(path, conf)
+  private val manifest = GraftStoreFormat.selectManifest(path, conf, options)
     .getOrElse(GraftManifest(new StructType(), Seq.empty))
   private var required: StructType = manifest.schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -324,6 +360,50 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(manifest.schema, required, conf)
+}
+
+/** Table-maintenance surface for graft-store snapshots — the ops half of
+  * time travel (cf. Iceberg's `history` metadata table + `expire_snapshots`).
+  *
+  * Retention model: every manifest is a self-contained snapshot (full file
+  * listing), so history costs only the superseded manifests (bytes) plus
+  * whatever data files newer snapshots no longer reference. At 100 TB the
+  * discipline is: time-box retention (e.g. keep 7 days), run
+  * [[expireSnapshots]] on that schedule, and size the physical overhead by
+  * churn rate — append-mostly tables retain near-zero extra data bytes
+  * because old snapshots' files are subsets of new ones. */
+object GraftStoreOps {
+
+  /** Snapshot history, oldest first: (snapshot index, publication millis,
+    * file count, total rows). Driver-side metadata only — the listing is
+    * O(#snapshots), never touches data files. */
+  def history(spark: SparkSession, path: String): Seq[(Int, Long, Int, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    GraftStoreFormat.listManifests(path, conf).zipWithIndex.map { case (p, i) =>
+      val m = GraftStoreFormat.readManifestFile(path, conf, p)
+      (i, GraftStoreFormat.manifestMillis(p), m.files.size, m.files.map(_._2).sum)
+    }
+  }
+
+  /** Drop all but the newest `keepLast` snapshots, then delete data files no
+    * retained snapshot references. Order matters for crash safety: manifests
+    * are deleted FIRST, so a crash mid-way can orphan data files (invisible,
+    * re-collected by the next run) but can never leave a live manifest
+    * pointing at deleted data. Returns (#manifests, #data files) removed. */
+  def expireSnapshots(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = GraftStoreFormat.fs(path, conf)
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    val (drop, keep) = ms.splitAt(math.max(0, ms.size - keepLast))
+    val referenced = keep
+      .flatMap(p => GraftStoreFormat.readManifestFile(path, conf, p).files.map(_._1)).toSet
+    drop.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
+    val orphans = f.listStatus(new Path(path)).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && !referenced.contains(p.getName))
+    orphans.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
+    (drop.size, orphans.length)
+  }
 }
 
 private[v2] case class GraftFilePartition(file: String) extends InputPartition

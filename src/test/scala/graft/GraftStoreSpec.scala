@@ -86,6 +86,55 @@ class GraftStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() === 3)
   }
 
+  test("time travel: snapshot index and asOfMillis pin historical reads") {
+    import spark.implicits._
+    val dir = tmpDir()
+    sample.write.format("graft-store").mode("overwrite").save(dir)
+    val hist0 = graft.sources.v2.GraftStoreOps.history(spark, dir)
+    assert(hist0.map(h => (h._1, h._4)) === Seq((0, 3L)))
+    Seq((4L, Some("delta"), Some(9.0), false)).toDF("id", "name", "score", "flag")
+      .write.format("graft-store").mode("append").save(dir)
+    Seq((9L, Some("omega"), Some(0.0), true)).toDF("id", "name", "score", "flag")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    // latest = snapshot 2 (the overwrite); history retains all three
+    assert(spark.read.format("graft-store").load(dir).count() === 1)
+    assert(spark.read.format("graft-store").option("snapshot", 0).load(dir).count() === 3)
+    assert(spark.read.format("graft-store").option("snapshot", 1).load(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    val hist = graft.sources.v2.GraftStoreOps.history(spark, dir)
+    assert(hist.map(_._1) === Seq(0, 1, 2))
+    assert(hist.map(_._4) === Seq(3L, 4L, 1L))
+    // asOfMillis at snapshot 1's publication time sees snapshot 1
+    assert(spark.read.format("graft-store").option("asOfMillis", hist(1)._2)
+      .load(dir).count() === 4)
+    // before the first snapshot: explicit error, not an empty read
+    val err = intercept[Exception] {
+      spark.read.format("graft-store").option("asOfMillis", hist(0)._2 - 1)
+        .load(dir).count()
+    }
+    assert(err.getMessage.contains("no snapshot"), err.getMessage)
+  }
+
+  test("expireSnapshots drops history and unreferenced files; latest still reads") {
+    import spark.implicits._
+    val dir = tmpDir()
+    sample.write.format("graft-store").mode("overwrite").save(dir)
+    Seq((9L, Some("omega"), Some(0.0), true)).toDF("id", "name", "score", "flag")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    // both snapshots' files physically present pre-expiry
+    val gsf = new java.io.File(dir).listFiles().count(_.getName.endsWith(".gsf"))
+    assert(gsf >= 2, s"expected files of both snapshots, saw $gsf")
+    val (manifests, files) = graft.sources.v2.GraftStoreOps.expireSnapshots(spark, dir, keepLast = 1)
+    assert(manifests === 1 && files >= 1)
+    assert(graft.sources.v2.GraftStoreOps.history(spark, dir).size === 1)
+    val after = spark.read.format("graft-store").load(dir)
+    assert(after.count() === 1 && after.collect()(0).getLong(0) === 9L)
+    // the expired snapshot is gone
+    assertThrows[Exception] {
+      spark.read.format("graft-store").option("snapshot", 1).load(dir).count()
+    }
+  }
+
   test("dates and timestamps survive the codec") {
     import spark.implicits._
     val dir = tmpDir()
