@@ -186,6 +186,70 @@ object PipelineQueries {
            |WHERE ((l_orderkey % 100) * 61 + (l_linenumber % 100) * 97) % 100 < 5
            |GROUP BY l_returnflag""".stripMargin))
 
+  // ---------------------------------------------------------------- stratified sampling
+  /** Stratified deterministic sampling: per-CLASS rates (the class-
+    * rebalancing shape of training-data pipelines — downsample the majority
+    * class, keep more of the rare ones), selected by the same overflow-safe
+    * modular-hash selector as q68. Still a pure row-local scan-side
+    * predicate: the per-stratum rate is just a CASE on the class column, so
+    * 100 TB samples with zero shuffles and the SAME rows on every engine,
+    * run, and cluster size — `df.stat.sampleBy` (seeded RNG per partition)
+    * can guarantee neither. */
+  val q89StratifiedSample = QuerySpec(
+    "q89_stratified_sample", "EXT-sample-stratified",
+    "per-stratum deterministic hash sampling with class-specific rates",
+    (s, d) => {
+      val sel = pmod(pmod(col("l_orderkey"), lit(100L)) * 61L
+        + pmod(col("l_linenumber"), lit(100L)) * 97L, lit(100L))
+      val rate = when(col("l_returnflag") === "A", 3)
+        .when(col("l_returnflag") === "N", 7)
+        .otherwise(20)
+      Tables.lineitem(s, d)
+        .filter(sel < rate)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"), round(sum("l_extendedprice"), 2).as("sum_price"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_sampled,
+           |  round(sum(l_extendedprice), 2) AS sum_price
+           |FROM lineitem
+           |WHERE ((l_orderkey % 100) * 61 + (l_linenumber % 100) * 97) % 100 <
+           |  CASE l_returnflag WHEN 'A' THEN 3 WHEN 'N' THEN 7 ELSE 20 END
+           |GROUP BY l_returnflag""".stripMargin))
+
+  // ---------------------------------------------------------------- native session windows
+  /** Spark's NATIVE `session_window` operator — the built-in form of the
+    * gap-based sessionization q64 hand-rolls with lag+running-sum. One
+    * shuffle on user_id, sessions merged inside each group; the same
+    * expression runs unchanged in Structured Streaming with state-store
+    * backed merging (StreamingSpec proves stream==batch parity). Boundary
+    * semantics pinned by the oracle: the window end is EXCLUSIVE, so an
+    * event exactly `gap` after its predecessor starts a NEW session
+    * (`>= 1800` in the oracle, vs q64's `> 1800` convention). */
+  val q90SessionWindow = QuerySpec(
+    "q90_session_window", "§2.6-session-window",
+    "native session_window aggregation (30-minute gap) per user",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts", date_trunc("second", col("ts")))
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("sum_value"))
+    },
+    Some("""WITH ev AS (SELECT user_id, value, date_trunc('second', ts) AS ts FROM events),
+           |g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+           |        OR CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) >= 1800
+           |        THEN 1 ELSE 0 END AS is_start
+           |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+           |sess AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+           |SELECT user_id,
+           |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+           |FROM sess GROUP BY user_id, sid""".stripMargin))
+
   // ---------------------------------------------------------------- rolling range-frame window
   /** Event-time rolling aggregates: per user, events and value in the
     * trailing hour — a RANGE frame over epoch seconds (value-based bounds),
@@ -441,6 +505,6 @@ object PipelineQueries {
   def all: Seq[QuerySpec] = Seq(
     q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
     q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill, q78VectorStats, q79Histogram,
-    q87BloomPrune,
+    q87BloomPrune, q89StratifiedSample, q90SessionWindow,
     q85CountMin)
 }

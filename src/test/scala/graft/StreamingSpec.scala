@@ -32,6 +32,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming session_window equals the batch session_window query") {
+    val ev = EventsPipeline.readEventsStream(spark, dir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val agg = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+    val streamed = EventsPipeline.runToMemoryTable(spark, agg, "spec_session_window")
+    val batch = SparkEntry.queries("q90_session_window")(spark, dir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("sessionize closes sessions on gap and aggregates within them") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
