@@ -103,6 +103,51 @@ object AnalyticsQueries {
            |  strftime(last_error_ts, '%Y-%m-%d %H:%M:%S') AS error_ts
            |FROM w WHERE side = 1""".stripMargin))
 
+  // ---------------------------------------------------------------- as-of join with tolerance
+  /** The tolerance variant of the as-of join ([[AsOf.lastTimestampWithin]]):
+    * a match older than 1 hour is nulled out — the standard
+    * point-in-time-join contract for feature lookup (a stale feature is
+    * worse than no feature). Same single-shuffle union+window plan as q41;
+    * the tolerance is a row-local post-filter on the carried timestamp, in
+    * truncated epoch seconds on BOTH engines. */
+  val q92AsOfTolerance = QuerySpec(
+    "q92_asof_tolerance", "§2.3-asof-tolerance",
+    "as-of join with 1-hour tolerance: stale matches nulled, per user",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts")
+      AsOf.lastTimestampWithin(purchases, errors, Seq("user_id"), "ts",
+          "last_error_ts", toleranceSec = 3600)
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("last_error_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+          col("last_error_ts").isNotNull.as("has_recent_error"))
+    },
+    Some("""WITH tagged AS (
+           |  SELECT event_id, user_id, ts, 1 AS side FROM events WHERE event_type = 'purchase'
+           |  UNION ALL
+           |  SELECT NULL AS event_id, user_id, ts, 0 AS side FROM events WHERE event_type = 'error'),
+           |w AS (
+           |  SELECT *, max(CASE WHEN side = 0 THEN ts END)
+           |    OVER (PARTITION BY user_id ORDER BY ts ASC, side ASC
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_ts
+           |  FROM tagged),
+           |tol AS (
+           |  SELECT event_id, user_id, ts,
+           |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+           |           - CAST(floor(epoch(last_error_ts)) AS BIGINT) <= 3600
+           |         THEN last_error_ts END AS last_error_ts
+           |  FROM w WHERE side = 1)
+           |SELECT event_id, user_id,
+           |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           |  strftime(last_error_ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           |  last_error_ts IS NOT NULL AS has_recent_error
+           |FROM tol""".stripMargin))
+
   // ---------------------------------------------------------------- SQL surface + registered natives
   val q42SqlNative = QuerySpec(
     "q42_sql_native", "SQL-surface F1-registry",
@@ -307,6 +352,7 @@ object AnalyticsQueries {
 
   def all: Seq[QuerySpec] = Seq(
     q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative,
+    q92AsOfTolerance,
     q43Datetime, q44WordCount, q45AnnIvf, q46Approx, q47TopKPerGroup, q48Subquery, q49Arrays,
     q50RangeJoin)
 }

@@ -186,6 +186,41 @@ object PipelineQueries {
            |WHERE ((l_orderkey % 100) * 61 + (l_linenumber % 100) * 97) % 100 < 5
            |GROUP BY l_returnflag""".stripMargin))
 
+  // ---------------------------------------------------------------- incremental aggregate maintenance
+  /** Incremental view maintenance ([[Incremental]]): the customer order
+    * summary is maintained as base-partial + delta-partial merged by
+    * union-and-re-aggregate — the run only scans the DELTA plus the (tiny)
+    * base aggregate, never the raw history. The oracle aggregates the whole
+    * table directly, so the check proves partial-merge == full recompute;
+    * `avg_price` is derived from maintained sum+count (avg itself is not
+    * decomposable). */
+  val q91IncrementalAgg = QuerySpec(
+    "q91_incremental_agg", "EXT-incremental-agg",
+    "incremental aggregate maintenance: merged partials == full recompute",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) = df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"),
+          min("o_orderdate").as("first_order"), max("o_orderdate").as("last_order"))
+      // base = the summary as of "yesterday"; delta = today's partition
+      val base = partial(orders.filter(col("o_orderkey") % 10 =!= 0))
+      val delta = partial(orders.filter(col("o_orderkey") % 10 === 0))
+      Incremental.mergePartials(base, delta, Seq("o_custkey"),
+          sums = Seq("n_orders", "sum_price"),
+          mins = Seq("first_order"), maxs = Seq("last_order"))
+        .select(col("o_custkey"), col("n_orders"),
+          round(col("sum_price"), 2).as("sum_price"),
+          graft.functions.roundStable(col("sum_price") / col("n_orders"), 2).as("avg_price"),
+          date_format(col("first_order"), "yyyy-MM-dd").as("first_order"),
+          date_format(col("last_order"), "yyyy-MM-dd").as("last_order"))
+    },
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  round(sum(o_totalprice) / count(*) + 1e-9, 2) AS avg_price,
+           |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+           |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
+           |FROM orders GROUP BY o_custkey""".stripMargin))
+
   // ---------------------------------------------------------------- stratified sampling
   /** Stratified deterministic sampling: per-CLASS rates (the class-
     * rebalancing shape of training-data pipelines — downsample the majority
@@ -505,6 +540,6 @@ object PipelineQueries {
   def all: Seq[QuerySpec] = Seq(
     q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
     q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill, q78VectorStats, q79Histogram,
-    q87BloomPrune, q89StratifiedSample, q90SessionWindow,
+    q87BloomPrune, q89StratifiedSample, q90SessionWindow, q91IncrementalAgg,
     q85CountMin)
 }
