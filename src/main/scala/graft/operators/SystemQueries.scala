@@ -169,6 +169,54 @@ object SystemQueries {
            |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key, min(n_name) AS first_name
            |FROM nation""".stripMargin))
 
+  /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
+    * per-key table in graft-store — read current snapshot, merge the batch
+    * (latest wins by event time, event_id tie-break), publish as a new
+    * snapshot. The read-merge-overwrite cycle is SAFE precisely because of
+    * snapshot retention: the in-flight batch reads manifest N while the
+    * commit publishes N+1, and N's files are never deleted under it (see
+    * [[graft.sources.v2.GraftStoreOps]]). Latest-wins merging is
+    * associative, so the final state is independent of how the stream was
+    * batched — which is what lets the DuckDB oracle check a STREAMING
+    * pipeline's result exactly. At scale the full-table rewrite becomes a
+    * keyed partition overwrite; every batch is also a time-travelable
+    * snapshot (per-batch audit/rollback for free). */
+  val q93StreamUpsertStore = QuerySpec(
+    "q93_stream_upsert_store", "S3-streaming-upsert",
+    "streaming foreachBatch upsert into graft-store: latest event per user",
+    (s, d) => {
+      val path = "/tmp/graft_store_q93"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val stream = EventsPipeline.readEventsStream(s, d)
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .select("user_id", "event_id", "ts", "event_type", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val existing =
+            try s.read.format("graft-store").load(path)
+            catch { case _: IllegalArgumentException => batch.limit(0).toDF() }
+          existing.toDF().unionByName(batch.toDF())
+            .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+            .write.format("graft-store").mode("overwrite").save(path)
+          ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-store").load(path)
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("event_type"), col("value"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts,
+           |         event_type, value FROM events),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id
+           |             ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+           |SELECT user_id, event_id,
+           |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type, value
+           |FROM ranked WHERE rn = 1""".stripMargin))
+
   /** EXT-dedup streaming: incremental MinHash-LSH near-dup candidates over
     * the documents table replayed as a file stream — the stateful streaming
     * formulation of q27's batch LSH (see
@@ -250,5 +298,6 @@ object SystemQueries {
 
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
-    q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel)
+    q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
+    q93StreamUpsertStore)
 }
