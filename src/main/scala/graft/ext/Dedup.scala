@@ -148,20 +148,30 @@ object Dedup {
         val nbrMin = edges
           .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
           .groupBy("src").agg(min("nbr_label").as("nbr_min"))
+        // the convergence flag rides ON the propagation join — one cached
+        // frame serves both the next labels and the changed-count, instead
+        // of a separate next-vs-old join per iteration (halves the
+        // per-iteration shuffles; on near-clique dedup graphs the loop is
+        // job-overhead-bound, not data-bound)
         val next = labels
           .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
           .select(col("id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("_improved"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-          .filter(col("cluster_id") =!= col("old")).count()
+        changed = next.filter(col("_improved")).count()
         labels.unpersist()
         labels = next
         iter += 1
       }
-      // labels was materialized by the last convergence count; callers
-      // unpersist the returned frame once consumed (one row per document)
-      labels
+      // hand back a frame that is ITSELF the persisted one (callers
+      // unpersist it once consumed): re-cache the trimmed projection and
+      // release the loop frame
+      val out = labels.select("id", "cluster_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      labels.unpersist()
+      out
     } finally pairs.unpersist(blocking = false)
   }
 
