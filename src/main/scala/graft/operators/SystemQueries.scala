@@ -217,6 +217,31 @@ object SystemQueries {
            |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type, value
            |FROM ranked WHERE rn = 1""".stripMargin))
 
+  /** Streaming EXACT dedup ([[EventsPipeline.dedupStream]]):
+    * `dropDuplicatesWithinWatermark` over a deliberately DUPLICATED replay
+    * (the same source unioned with itself — every event arrives twice, the
+    * at-least-once delivery failure mode). State is bounded by the
+    * watermark horizon: a key older than the watermark can be evicted
+    * because its duplicate can no longer arrive. Exactly one row per
+    * event_id survives, so the per-type counts equal the batch DISTINCT —
+    * a stateful STREAMING operator with a full DuckDB hash check. */
+  val q96StreamDedup = QuerySpec(
+    "q96_stream_dedup", "EXT-streaming-exact-dedup",
+    "streaming dropDuplicatesWithinWatermark over an at-least-once (2x) replay",
+    (s, d) => withStatePartitions(s, 8) {
+      val doubled = EventsPipeline.readEventsStream(s, d)
+        .unionByName(EventsPipeline.readEventsStream(s, d))
+      val deduped = EventsPipeline.dedupStream(doubled)
+        .select("event_id", "event_type", "value")
+      EventsPipeline.runToMemoryTable(s, deduped, "q96_out",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique"), round(sum("value"), 2).as("sum_value"))
+    },
+    Some("""WITH u AS (SELECT DISTINCT event_id, event_type, value FROM events)
+           |SELECT event_type, count(*) AS n_unique, round(sum(value), 2) AS sum_value
+           |FROM u GROUP BY event_type""".stripMargin))
+
   /** EXT-dedup streaming: incremental MinHash-LSH near-dup candidates over
     * the documents table replayed as a file stream — the stateful streaming
     * formulation of q27's batch LSH (see
@@ -299,5 +324,5 @@ object SystemQueries {
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
-    q93StreamUpsertStore)
+    q93StreamUpsertStore, q96StreamDedup)
 }
