@@ -169,6 +169,37 @@ object SystemQueries {
            |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key, min(n_name) AS first_name
            |FROM nation""".stripMargin))
 
+  /** Data skipping on the engine's own format: the store is range-laid-out
+    * on o_orderkey (repartitionByRange → near-disjoint per-file key
+    * ranges), every committed file carries min/max stats in the manifest,
+    * and the selective key predicate prunes whole FILES at plan time
+    * (`SupportsPushDownFilters` + manifest stats — the Iceberg/Delta
+    * data-skipping mechanism in miniature). Skipped files are never opened;
+    * surviving files still re-apply the exact predicate row-by-row, so
+    * results are identical with or without skipping — which is what the
+    * oracle checks. GraftStoreSpec asserts the plan-time partition count
+    * actually drops. */
+  val q97StoreSkipping = QuerySpec(
+    "q97_store_skipping", "S-dsv2-data-skipping",
+    "graft-store manifest-stats file skipping under a selective key range",
+    (s, d) => {
+      val path = "/tmp/graft_store_q97"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      s.read.format("graft-store").load(path)
+        .filter(col("o_orderkey") < 5000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price
+           |FROM orders WHERE o_orderkey < 5000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
     * per-key table in graft-store — read current snapshot, merge the batch
     * (latest wins by event time, event_id tie-break), publish as a new
@@ -324,5 +355,5 @@ object SystemQueries {
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
-    q93StreamUpsertStore, q96StreamDedup)
+    q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping)
 }

@@ -27,12 +27,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - only `commit()` (driver, exactly once, with the commit messages of
   *     the SUCCESSFUL attempts) moves files live and publishes a NEW
   *     versioned manifest `_manifest-<millis>-<uuid>` listing exactly the
-  *     committed files with their row counts;
+  *     committed files with their row counts and per-field min/max stats;
   *   - readers resolve the lexicographically-latest manifest and read ONLY
   *     files it lists: uncommitted stragglers, aborted writes and
   *     not-yet-cleaned old files are invisible — a reader always sees one
   *     consistent snapshot, and there is no missing-manifest window because
-  *     publication is a single file CREATE, never delete+rename.
+  *     publication is a single file CREATE, never delete+rename;
+  *   - superseded manifests are RETAINED as the snapshot history: reads can
+  *     pin `snapshot`/`asOfMillis` (time travel), and physical cleanup is
+  *     the explicit [[GraftStoreOps.expireSnapshots]] step;
+  *   - pushed filters prune whole files against the manifest's min/max
+  *     stats at plan time (data skipping) and are re-applied row-by-row in
+  *     surviving files.
   *
   * Why this matters at 100 TB: job-level atomicity on an object store
   * cannot come from renames of thousands of task files (non-atomic, O(n)
@@ -72,7 +78,14 @@ class GraftStore extends TableProvider with DataSourceRegister {
 
 // ------------------------------------------------------------------ format
 
-private[v2] case class GraftManifest(schema: StructType, files: Seq[(String, Long)])
+/** One committed data file: name, row count, and per-field min/max stats
+  * (keyed by field INDEX in the table schema; values kept as exact decimal
+  * strings so long stats never round-trip through doubles). Stats are
+  * optional per field — a field with only nulls (or NaNs) has none. */
+private[v2] case class GraftFileEntry(name: String, rows: Long,
+    stats: Map[Int, (String, String)])
+
+private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry])
 
 private[v2] object GraftStoreFormat {
   /** Manifest file body: line 1 = schema DDL; then one `file\trows` line per
@@ -94,6 +107,15 @@ private[v2] object GraftStoreFormat {
       .filter(_.getName.startsWith("_manifest-")).sortBy(_.getName).toSeq
   }
 
+  def statsToString(stats: Map[Int, (String, String)]): String =
+    stats.toSeq.sortBy(_._1).map { case (i, (mn, mx)) => s"$i:$mn:$mx" }.mkString("|")
+
+  def statsFromString(s: String): Map[Int, (String, String)] =
+    if (s == null || s.isEmpty) Map.empty
+    else s.split('|').map { part =>
+      val Array(i, mn, mx) = part.split(':'); i.toInt -> (mn, mx)
+    }.toMap
+
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
     val in = fs(path, conf).open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -101,7 +123,10 @@ private[v2] object GraftStoreFormat {
     GraftManifest(
       StructType.fromDDL(lines.head),
       lines.tail.toSeq.map { l =>
-        val Array(name, rows) = l.split("\t"); (name, rows.toLong)
+        // third field (stats) is optional: pre-stats manifests stay readable
+        val parts = l.split("\t", -1)
+        GraftFileEntry(parts(0), parts(1).toLong,
+          if (parts.length > 2) statsFromString(parts(2)) else Map.empty)
       })
   }
 
@@ -150,7 +175,8 @@ private[v2] object GraftStoreFormat {
     while (existing.exists(_ >= name)) { Thread.sleep(1); name = manifestName() }
     val out = f.create(new Path(path, name), false)
     try out.write(
-      (m.schema.toDDL + "\n" + m.files.map { case (n, r) => s"$n\t$r" }.mkString("\n"))
+      (m.schema.toDDL + "\n" + m.files.map(e =>
+        s"${e.name}\t${e.rows}\t${statsToString(e.stats)}").mkString("\n"))
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -252,7 +278,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   }
 }
 
-private[v2] case class GraftCommitMessage(file: String, rows: Long)
+private[v2] case class GraftCommitMessage(file: String, rows: Long, stats: String)
     extends WriterCommitMessage
 
 private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
@@ -275,7 +301,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       if (truncate) Seq.empty
       else GraftStoreFormat.readLatestManifest(path, conf).map(_.files).getOrElse(Seq.empty)
     GraftStoreFormat.writeManifest(path, conf,
-      GraftManifest(schema, prev ++ committed.map(m => (m.file, m.rows))))
+      GraftManifest(schema, prev ++ committed.map(m =>
+        GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats)))))
     // NO data-file cleanup here, even on truncate: superseded files are
     // still referenced by RETAINED snapshot manifests (time travel).
     // Physical deletion is the explicit GraftStoreOps.expireSnapshots step.
@@ -305,11 +332,53 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     fs.create(new Path(new Path(path, s"_tmp/$writeId"), file), true), 1 << 16))
   private var rows = 0L
 
+  // per-file min/max stats, tracked inline while writing (free: the row is
+  // already decoded). Integral types in exact Long math; floating in Double
+  // with NaN poisoning the column's stats (skipping must stay conservative).
+  private val n = schema.length
+  private val lMin = Array.fill(n)(Long.MaxValue)
+  private val lMax = Array.fill(n)(Long.MinValue)
+  private val dMin = Array.fill(n)(Double.PositiveInfinity)
+  private val dMax = Array.fill(n)(Double.NegativeInfinity)
+  private val seen = new Array[Boolean](n)
+  private val sawNaN = new Array[Boolean](n)
+
   override def write(record: InternalRow): Unit = {
     GraftStoreFormat.writeRow(out, record, schema); rows += 1
+    var i = 0
+    while (i < n) {
+      if (!record.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType | TimestampType =>
+          val v = record.getLong(i)
+          if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
+        case IntegerType | DateType =>
+          val v = record.getInt(i).toLong
+          if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
+        case DoubleType | FloatType =>
+          val v = if (schema.fields(i).dataType == FloatType) record.getFloat(i).toDouble
+                  else record.getDouble(i)
+          if (java.lang.Double.isNaN(v)) sawNaN(i) = true
+          else {
+            if (v < dMin(i)) dMin(i) = v; if (v > dMax(i)) dMax(i) = v; seen(i) = true
+          }
+        case _ => ()
+      }
+      i += 1
+    }
   }
   override def commit(): WriterCommitMessage = {
-    out.close(); GraftCommitMessage(file, rows)
+    out.close()
+    val stats = (0 until n).flatMap { i =>
+      if (!seen(i) || sawNaN(i)) None
+      else schema.fields(i).dataType match {
+        case LongType | TimestampType | IntegerType | DateType =>
+          Some(i -> (lMin(i).toString, lMax(i).toString))
+        case DoubleType | FloatType =>
+          Some(i -> (dMin(i).toString, dMax(i).toString))
+        case _ => None
+      }
+    }.toMap
+    GraftCommitMessage(file, rows, GraftStoreFormat.statsToString(stats))
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
@@ -323,40 +392,97 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
 
 private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private val manifest = GraftStoreFormat.selectManifest(path, conf, options)
     .getOrElse(GraftManifest(new StructType(), Seq.empty))
   private var required: StructType = manifest.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  /** Filters are accepted for FILE SKIPPING only (manifest min/max stats),
+    * so every filter is also returned as a residual for Spark to
+    * re-evaluate row-by-row — skipping prunes whole files, rows inside a
+    * surviving file still get the exact predicate. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = { pushed = filters; filters }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    new GraftStoreScan(path, manifest, required, new SerializableHadoopConf(conf))
+    new GraftStoreScan(path, manifest, required, pushed, new SerializableHadoopConf(conf))
 }
 
 private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
-    required: StructType, conf: SerializableHadoopConf)
+    required: StructType, pushed: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-store $path files=${manifest.files.size} cols=${required.fieldNames.mkString(",")}"
+    s"graft-store $path files=${selected.size}/${manifest.files.size} " +
+      s"cols=${required.fieldNames.mkString(",")} skipBy=[${pushed.mkString(",")}]"
 
-  /** Exact stats from the manifest — lets Catalyst make size-based planning
-    * decisions (e.g. auto-broadcast a small graft-store dimension). */
+  /** Data skipping: a file survives only if NO pushed filter proves its
+    * [min,max] range disjoint from the predicate. Conservative by
+    * construction — unknown filter shapes, non-numeric fields, null
+    * semantics and NaN-poisoned stats all answer "may match". Integral
+    * stats compare in exact Long math (a 2^53+ key would round in doubles
+    * and could skip a matching file). */
+  private def mayMatch(e: GraftFileEntry, f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def rng(c: String): Option[(String, String, DataType)] = {
+      val idx = manifest.schema.fieldNames.indexOf(c)
+      if (idx < 0) None
+      else e.stats.get(idx).map { case (mn, mx) =>
+        (mn, mx, manifest.schema.fields(idx).dataType)
+      }
+    }
+    def test(c: String, v: Any)(longOk: (Long, Long, Long) => Boolean,
+        dblOk: (Double, Double, Double) => Boolean): Boolean =
+      rng(c) match {
+        case Some((mn, mx, LongType | IntegerType)) => v match {
+          case num: java.lang.Number => longOk(mn.toLong, mx.toLong, num.longValue())
+          case _ => true
+        }
+        case Some((mn, mx, DoubleType | FloatType)) => v match {
+          case num: java.lang.Number => dblOk(mn.toDouble, mx.toDouble, num.doubleValue())
+          case _ => true
+        }
+        case _ => true
+      }
+    f match {
+      case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
+      case Or(l, r) => mayMatch(e, l) || mayMatch(e, r)
+      case EqualTo(c, v) => test(c, v)((mn, mx, x) => x >= mn && x <= mx,
+        (mn, mx, x) => x >= mn && x <= mx)
+      case GreaterThan(c, v) => test(c, v)((_, mx, x) => mx > x, (_, mx, x) => mx > x)
+      case GreaterThanOrEqual(c, v) => test(c, v)((_, mx, x) => mx >= x, (_, mx, x) => mx >= x)
+      case LessThan(c, v) => test(c, v)((mn, _, x) => mn < x, (mn, _, x) => mn < x)
+      case LessThanOrEqual(c, v) => test(c, v)((mn, _, x) => mn <= x, (mn, _, x) => mn <= x)
+      case In(c, vs) => vs.isEmpty || vs.exists(v => mayMatch(e, EqualTo(c, v)))
+      case _ => true
+    }
+  }
+
+  private lazy val selected: Seq[GraftFileEntry] =
+    manifest.files.filter(e => pushed.forall(f => mayMatch(e, f)))
+
+  /** Exact stats from the manifest (post-skipping) — lets Catalyst make
+    * size-based planning decisions (e.g. auto-broadcast a small
+    * graft-store dimension). */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val bytes: Long = {
       val fs = GraftStoreFormat.fs(path, conf.value)
-      manifest.files.map { case (f, _) =>
-        try fs.getFileStatus(new Path(path, f)).getLen catch { case _: Throwable => 0L }
+      selected.map { e =>
+        try fs.getFileStatus(new Path(path, e.name)).getLen catch { case _: Throwable => 0L }
       }.sum
     }
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
     override def numRows(): OptionalLong =
-      OptionalLong.of(manifest.files.map(_._2).sum)
+      OptionalLong.of(selected.map(_.rows).sum)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    manifest.files.map { case (f, _) =>
-      GraftFilePartition(new Path(path, f).toString): InputPartition
+    selected.map { e =>
+      GraftFilePartition(new Path(path, e.name).toString): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(manifest.schema, required, conf)
@@ -381,7 +507,7 @@ object GraftStoreOps {
     val conf = spark.sparkContext.hadoopConfiguration
     GraftStoreFormat.listManifests(path, conf).zipWithIndex.map { case (p, i) =>
       val m = GraftStoreFormat.readManifestFile(path, conf, p)
-      (i, GraftStoreFormat.manifestMillis(p), m.files.size, m.files.map(_._2).sum)
+      (i, GraftStoreFormat.manifestMillis(p), m.files.size, m.files.map(_.rows).sum)
     }
   }
 
@@ -397,7 +523,7 @@ object GraftStoreOps {
     val ms = GraftStoreFormat.listManifests(path, conf)
     val (drop, keep) = ms.splitAt(math.max(0, ms.size - keepLast))
     val referenced = keep
-      .flatMap(p => GraftStoreFormat.readManifestFile(path, conf, p).files.map(_._1)).toSet
+      .flatMap(p => GraftStoreFormat.readManifestFile(path, conf, p).files.map(_.name)).toSet
     drop.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
     val orphans = f.listStatus(new Path(path)).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && !referenced.contains(p.getName))

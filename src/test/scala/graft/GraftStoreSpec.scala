@@ -135,6 +135,35 @@ class GraftStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("manifest min/max stats skip files the predicate cannot match") {
+    val dir = tmpDir()
+    spark.range(0, 1000)
+      .selectExpr("id", "cast(id % 10 as double) as v")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val all = spark.read.format("graft-store").load(dir)
+    assert(all.rdd.getNumPartitions === 4)
+    // disjoint id ranges per file -> a selective range predicate must plan
+    // strictly fewer input partitions (files), with identical results
+    val filtered = spark.read.format("graft-store").load(dir)
+      .filter(org.apache.spark.sql.functions.col("id") >= 750)
+    assert(filtered.rdd.getNumPartitions < 4,
+      s"expected file skipping, planned ${filtered.rdd.getNumPartitions} of 4")
+    assert(filtered.count() === 250)
+    assert(filtered.agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0)
+      === (750L until 1000L).sum)
+    // residual evaluation: inside the surviving file(s), rows below the
+    // bound are still filtered row-by-row
+    val partial = spark.read.format("graft-store").load(dir)
+      .filter(org.apache.spark.sql.functions.col("id") === 990)
+    assert(partial.count() === 1)
+    // a predicate matching nothing skips every file
+    val none = spark.read.format("graft-store").load(dir)
+      .filter(org.apache.spark.sql.functions.col("id") > 5000)
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0)
+  }
+
   test("dates and timestamps survive the codec") {
     import spark.implicits._
     val dir = tmpDir()
