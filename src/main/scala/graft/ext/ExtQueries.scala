@@ -331,6 +331,31 @@ object ExtQueries {
            |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
            |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin))
 
+  // ---------------------------------------------------------------- feature hashing
+  /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
+    * feature space by hash, no vocabulary pass, no driver-side dictionary —
+    * the featurizer that works on a corpus too large to enumerate. Bucket =
+    * md5-derived hash mod 64 (engine-portable, unlike murmur seeds), so the
+    * oracle reproduces the exact bucketing. One explode + one aggregation;
+    * at 100 TB the shuffle carries (bucket, partial counts), never the
+    * token stream. */
+  val q98FeatureHash = QuerySpec(
+    "q98_feature_hash", "EXT-feature-hashing",
+    "hashing-trick featurizer: md5-bucketed token features, 64-bucket histogram",
+    (s, d) =>
+      ensureParallelism(docs(s, d))
+        .select(col("doc_id"), explode(tokens(normText(col("text")))).as("tok"))
+        .withColumn("bucket", pmod(md5Long(col("tok")), lit(64L)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("doc_id").as("n_docs")),
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(regexp_split_to_array($oNorm, '\\s+')) AS tok FROM documents),
+            |b AS (SELECT doc_id,
+            |    CAST(CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 64 AS INT) AS bucket
+            |  FROM tok)
+            |SELECT bucket, count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+            |FROM b GROUP BY bucket""".stripMargin))
+
   // ---------------------------------------------------------------- embedding quantization
   /** Int8 scalar quantization of the embedding column — the compression
     * path of a large vector store (4× smaller than float32, 8× smaller
@@ -554,5 +579,5 @@ object ExtQueries {
     q21DedupExact, q22Fingerprint, q23TokenCount, q24TextQuality, q25LangId,
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
-    q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn)
+    q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash)
 }

@@ -169,6 +169,27 @@ object SystemQueries {
            |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key, min(n_name) AS first_name
            |FROM nation""".stripMargin))
 
+  /** Scan-level lineage via the hidden `_metadata` struct: which input FILE
+    * produced each row, plus the within-file `row_index` — the debugging
+    * surface for 100 TB jobs ("which of the million files holds the bad
+    * rows"). Zero-cost: metadata columns are populated by the file reader,
+    * no extra I/O or shuffle. The oracle pins the semantics arithmetically:
+    * row_index enumerates 0..n-1 within the file, so its sum must equal
+    * n(n-1)/2. */
+  val q99FileLineage = QuerySpec(
+    "q99_file_lineage", "S-scan-metadata",
+    "hidden _metadata columns: per-file row counts + row_index contract",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("file_name"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"), sum("ri").as("sum_row_index")),
+    Some("""SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows,
+           |  CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS sum_row_index
+           |FROM lineitem""".stripMargin))
+
   /** Data skipping on the engine's own format: the store is range-laid-out
     * on o_orderkey (repartitionByRange → near-disjoint per-file key
     * ranges), every committed file carries min/max stats in the manifest,
@@ -355,5 +376,5 @@ object SystemQueries {
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
-    q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping)
+    q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage)
 }

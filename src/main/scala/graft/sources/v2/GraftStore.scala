@@ -511,6 +511,29 @@ object GraftStoreOps {
     }
   }
 
+  /** Compact the CURRENT snapshot into ~`targetBytes`-sized files,
+    * published as a NEW snapshot — compaction is just another commit, so it
+    * is crash-safe (manifest CREATE), non-blocking for readers (they hold
+    * older manifests whose files are retained), and fully time-travelable
+    * (the pre-compaction layout stays readable until [[expireSnapshots]]).
+    * This is the table-format way to compact; contrast
+    * [[graft.sources.Compaction]], which swaps raw directories and has a
+    * documented reader-visible window. Returns the new file count. */
+  def compactSnapshot(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = GraftStoreFormat.fs(path, conf)
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    val bytes = m.files.map { e =>
+      try f.getFileStatus(new Path(path, e.name)).getLen catch { case _: Throwable => 0L }
+    }.sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.format("graft-store").load(path)
+      .repartition(n)
+      .write.format("graft-store").mode("overwrite").save(path)
+    GraftStoreFormat.readLatestManifest(path, conf).map(_.files.size).getOrElse(0)
+  }
+
   /** Drop all but the newest `keepLast` snapshots, then delete data files no
     * retained snapshot references. Order matters for crash safety: manifests
     * are deleted FIRST, so a crash mid-way can orphan data files (invisible,

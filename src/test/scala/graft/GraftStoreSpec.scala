@@ -164,6 +164,28 @@ class GraftStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(none.count() === 0)
   }
 
+  test("compactSnapshot publishes a compacted snapshot; history keeps the old layout") {
+    val dir = tmpDir()
+    spark.range(0, 1000).selectExpr("id", "cast(id as double) as v")
+      .repartition(8)
+      .write.format("graft-store").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-store").load(dir).rdd.getNumPartitions === 8)
+    val nFiles = graft.sources.v2.GraftStoreOps.compactSnapshot(spark, dir, targetBytes = 1L << 30)
+    assert(nFiles === 1, s"1 GiB target should compact to one file, got $nFiles")
+    val after = spark.read.format("graft-store").load(dir)
+    assert(after.rdd.getNumPartitions === 1)
+    assert(after.agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0)
+      === (0L until 1000L).sum)
+    // pre-compaction snapshot still time-travelable with its original layout
+    val before = spark.read.format("graft-store").option("snapshot", 0).load(dir)
+    assert(before.rdd.getNumPartitions === 8)
+    assert(before.count() === 1000)
+    // vacuum: keep only the compacted snapshot; the 8 old files get removed
+    val (ms, files) = graft.sources.v2.GraftStoreOps.expireSnapshots(spark, dir, keepLast = 1)
+    assert(ms === 1 && files === 8)
+    assert(spark.read.format("graft-store").load(dir).count() === 1000)
+  }
+
   test("dates and timestamps survive the codec") {
     import spark.implicits._
     val dir = tmpDir()
