@@ -239,6 +239,88 @@ object ExtQueries {
             |  count(*) OVER (PARTITION BY cluster_id) AS n_members
             |FROM comp""".stripMargin))
 
+  // ---------------------------------------------------------------- cluster-based curation
+  /** The decision a dedup pipeline actually ships: per near-dup CLUSTER,
+    * keep the highest-quality member, drop the rest — connected components
+    * (q86) joined with quality scoring (q24), best member by
+    * (rounded quality desc, doc_id asc) per cluster. One extra shuffle on
+    * cluster_id over the q86 plan. The oracle rebuilds the entire chain —
+    * LSH pairs → recursive-CTE components → quality formula → per-cluster
+    * argmax — so the end-to-end curation decision is hash-checked. */
+  val q101ClusterCuration = QuerySpec(
+    "q101_cluster_curation", "EXT-dedup-cluster-curation",
+    "keep best-quality doc per near-dup cluster (components + quality argmax)",
+    (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val mutated = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(tokens(col("text")), 2, 1000000)).as("text"))
+      val corpus = base.unionByName(mutated)
+      val labels = Dedup.nearDupClusters(corpus, "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleN = 3, minJaccard = 0.3, maxIters = 20)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val quality = TextAnalysis.withQuality(corpus, "text")
+        .select(col("doc_id"),
+          graft.functions.roundStable(col("quality_score"), 4).as("q"))
+      val w = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id").asc)
+      labels.join(quality, Seq("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("q").as("keep_quality"), col("n_members"))
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 100000 AS doc_id,
+            |    array_to_string((regexp_split_to_array(trim(text), '\\s+'))[2:], ' ') AS text
+            |  FROM documents WHERE doc_id % 10 = 0),
+            |n AS (SELECT doc_id, regexp_split_to_array(${oNorm}, '\\s+') AS tk FROM corpus),
+            |sh AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2), i ->
+            |         concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS shingles FROM n),
+            |sg AS (SELECT doc_id, shingles, list_transform(generate_series(0, 7), k ->
+            |         list_aggregate(list_transform(shingles, s ->
+            |           CAST(concat('0x', substring(md5(concat(CAST(k AS VARCHAR), ':', s)), 1, 15)) AS BIGINT)),
+            |         'min')) AS sig FROM sh),
+            |banded AS (SELECT doc_id,
+            |    unnest(generate_series(0, 3)) AS band_id,
+            |    unnest(list_transform(generate_series(0, 3), b ->
+            |      md5(concat(CAST(sig[2*b+1] AS VARCHAR), '-', CAST(sig[2*b+2] AS VARCHAR))))) AS band_hash
+            |  FROM sg),
+            |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            |  FROM banded a JOIN banded b
+            |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+            |jac AS (SELECT id1, id2,
+            |    round(len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles)))
+            |      / CAST(len(list_distinct(s1.shingles)) + len(list_distinct(s2.shingles))
+            |             - len(list_intersect(list_distinct(s1.shingles), list_distinct(s2.shingles))) AS DOUBLE) + 1e-9, 4) AS jaccard
+            |  FROM cand JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2),
+            |edges AS (SELECT id1 AS src, id2 AS dst FROM jac WHERE jaccard >= 0.3
+            |  UNION ALL
+            |  SELECT id2 AS src, id1 AS dst FROM jac WHERE jaccard >= 0.3),
+            |reach AS (SELECT doc_id AS id, doc_id AS lbl FROM corpus
+            |  UNION
+            |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+            |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+            |qual0 AS (SELECT doc_id,
+            |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+            |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+            |      / CAST(length(text) AS DOUBLE) + 1e-9, 4) AS punct_ratio,
+            |    round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            |        t -> t IN ('the','a','and','of','to','is','in')))
+            |      / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) + 1e-9, 4) AS stopword_ratio
+            |  FROM corpus),
+            |qual AS (SELECT doc_id,
+            |    round(least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio)
+            |      * (0.5 + 0.5 * least(stopword_ratio * 5.0, 1.0)) + 1e-9, 4) AS q
+            |  FROM qual0),
+            |j AS (SELECT c.cluster_id, c.doc_id, q.q,
+            |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+            |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.q DESC, c.doc_id ASC) AS rn
+            |  FROM comp c JOIN qual q USING (doc_id))
+            |SELECT cluster_id, doc_id AS keep_id, q AS keep_quality, n_members
+            |FROM j WHERE rn = 1""".stripMargin))
+
   // ---------------------------------------------------------------- n-gram Jaccard baseline
   val q28JaccardPairs = QuerySpec(
     "q28_jaccard_pairs", "EXT-dedup-ngram-jaccard",
@@ -579,5 +661,6 @@ object ExtQueries {
     q21DedupExact, q22Fingerprint, q23TokenCount, q24TextQuality, q25LangId,
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
-    q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash)
+    q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash,
+    q101ClusterCuration)
 }

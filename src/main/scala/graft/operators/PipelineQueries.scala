@@ -221,6 +221,33 @@ object PipelineQueries {
            |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
            |FROM orders GROUP BY o_custkey""".stripMargin))
 
+  // ---------------------------------------------------------------- SCD2 dimension merge
+  /** SCD2 historized-dimension maintenance ([[Scd2]]): an update batch
+    * closes the changed current rows (`valid_to` = batch id) and appends
+    * new versions; untouched rows pass through. Here: customers above an
+    * account-balance threshold move to an UPGRADED segment. The oracle
+    * reconstructs the full post-merge dimension (closed originals + new
+    * versions) directly from the base table. */
+  val q100Scd2 = QuerySpec(
+    "q100_scd2", "EXT-scd2",
+    "SCD2 merge: close changed dimension rows, append new versions",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val dim = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = cust.filter(col("c_acctbal") > 8000)
+        .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"))
+      Scd2.merge(dim, updates, "c_custkey", Seq("c_mktsegment"), batchId = 1L)
+    },
+    Some("""SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+           |  CAST(CASE WHEN c_acctbal > 8000 THEN 1 END AS BIGINT) AS valid_to,
+           |  c_acctbal <= 8000 AS is_current
+           |FROM customer
+           |UNION ALL
+           |SELECT c_custkey, 'UPGRADED', CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+           |FROM customer WHERE c_acctbal > 8000""".stripMargin))
+
   // ---------------------------------------------------------------- stratified sampling
   /** Stratified deterministic sampling: per-CLASS rates (the class-
     * rebalancing shape of training-data pipelines — downsample the majority
@@ -540,6 +567,6 @@ object PipelineQueries {
   def all: Seq[QuerySpec] = Seq(
     q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
     q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill, q78VectorStats, q79Histogram,
-    q87BloomPrune, q89StratifiedSample, q90SessionWindow, q91IncrementalAgg,
+    q87BloomPrune, q89StratifiedSample, q90SessionWindow, q91IncrementalAgg, q100Scd2,
     q85CountMin)
 }
