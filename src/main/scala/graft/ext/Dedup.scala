@@ -135,7 +135,17 @@ object Dedup {
       maxIters: Int = 5): DataFrame = {
     // nearDupPairs returns an already-persisted, already-materialized frame
     val pairs = nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, shingleN, minJaccard)
+    // The propagation loop shuffles label frames of ~numHashes bytes per
+    // document — orders of magnitude smaller than the corpus the signature
+    // stage just processed at full parallelism. Size the loop's shuffles to
+    // the label volume (the streaming state-sizing lesson applied to an
+    // iterative algorithm): at test scale this halves per-iteration task
+    // overhead; on a real cluster the same knob is sized to label bytes.
+    val session = df.sparkSession
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
     try {
+      session.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prevParts.toInt).toString)
       val edges = pairs.select(col("id1"), col("id2"))
         .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
         .toDF("src", "dst")
@@ -172,7 +182,10 @@ object Dedup {
       out.count()
       labels.unpersist()
       out
-    } finally pairs.unpersist(blocking = false)
+    } finally {
+      session.conf.set("spark.sql.shuffle.partitions", prevParts)
+      pairs.unpersist(blocking = false)
+    }
   }
 
   /** SimHash (Charikar '02): 60-bit signature where bit j is the sign of
