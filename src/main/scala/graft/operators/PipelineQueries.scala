@@ -221,6 +221,69 @@ object PipelineQueries {
            |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
            |FROM orders GROUP BY o_custkey""".stripMargin))
 
+  // ---------------------------------------------------------------- observed metrics
+  /** Pipeline observability via `Dataset.observe` + `Observation`: quality
+    * metrics of a curation pass are collected DURING the job (accumulator-
+    * backed, zero extra scan) — at 100 TB this is the difference between
+    * monitoring a pipeline and re-running it. The query materializes the
+    * observed metrics as its result; the oracle recomputes the same
+    * aggregates with plain SQL, so the observe channel itself is what gets
+    * hash-checked. */
+  val q102ObservedMetrics = QuerySpec(
+    "q102_observed_metrics", "S-observability",
+    "Dataset.observe metrics collected during a filter pass (no extra scan)",
+    (s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation("q102")
+      val filtered = Tables.lineitem(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_in"),
+          sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("n_kept"),
+          round(sum("l_extendedprice"), 2).as("sum_price_in"))
+        .filter(col("l_quantity") > 45)
+      filtered.write.format("noop").mode("overwrite").save() // the observed action
+      val m = obs.get
+      Seq((m("n_in").asInstanceOf[Long], m("n_kept").asInstanceOf[Long],
+        m("sum_price_in").asInstanceOf[Double]))
+        .toDF("n_in", "n_kept", "sum_price_in")
+    },
+    Some("""SELECT count(*) AS n_in,
+           |  CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  round(sum(l_extendedprice), 2) AS sum_price_in
+           |FROM lineitem""".stripMargin))
+
+  // ---------------------------------------------------------------- mergeable HLL partials
+  /** Incremental DISTINCT maintenance — the sketch complement to q91's
+    * decomposable sums: exact distinct is NOT mergeable, but HLL sketch
+    * partials are (register-wise max), so per-batch sketches union into a
+    * corpus-wide estimate without ever re-scanning history. HLL state is
+    * order- and partitioning-independent, so the merged estimate is
+    * deterministic; the oracle recomputes the EXACT distinct count and the
+    * emitted relative-error bound booleans pin the estimate to it (the
+    * q46/q72 sketch-checking pattern). */
+  val q103HllPartials = QuerySpec(
+    "q103_hll_partials", "EXT-incremental-distinct",
+    "HLL sketch partials merged across batches vs exact distinct (rtol bound)",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      // the q91 base/delta split: sketch each slice independently...
+      val parts = orders
+        .withColumn("slice", (col("o_orderkey") % 10 === 0).cast("int"))
+        .groupBy("slice")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      // ...then merge the partials and estimate — no re-scan of the slices
+      val merged = parts.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = orders.agg(countDistinct("o_custkey").as("n_exact"))
+      merged.crossJoin(exact)
+        .select(col("n_exact"),
+          (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05).as("within_5pct"),
+          (col("est") > 0).as("nonzero"))
+    },
+    Some("""SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           |  TRUE AS within_5pct, TRUE AS nonzero
+           |FROM orders""".stripMargin))
+
   // ---------------------------------------------------------------- SCD2 dimension merge
   /** SCD2 historized-dimension maintenance ([[Scd2]]): an update batch
     * closes the changed current rows (`valid_to` = batch id) and appends
@@ -568,5 +631,6 @@ object PipelineQueries {
     q64SessionizeBatch, q65Profile, q66MultiFormat, q67Tfidf, q68SampleHash, q69RollingWindow,
     q70BloomJoin, q71SaltedAgg, q72HeavyHitters, q77GapFill, q78VectorStats, q79Histogram,
     q87BloomPrune, q89StratifiedSample, q90SessionWindow, q91IncrementalAgg, q100Scd2,
+    q102ObservedMetrics, q103HllPartials,
     q85CountMin)
 }
