@@ -299,7 +299,17 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     }
     val prev =
       if (truncate) Seq.empty
-      else GraftStoreFormat.readLatestManifest(path, conf).map(_.files).getOrElse(Seq.empty)
+      else GraftStoreFormat.readLatestManifest(path, conf).map { m =>
+        // one schema governs every file a manifest lists (the row codec is
+        // schema-dependent): an append under a different schema would make
+        // readers decode the old files wrongly — fail loudly instead
+        // (schema EVOLUTION would need per-file schemas; documented
+        // non-goal). Overwrite (truncate) may change the schema freely.
+        require(m.schema.toDDL == schema.toDDL,
+          s"graft-store: append schema ${schema.toDDL} does not match " +
+            s"table schema ${m.schema.toDDL}; overwrite to change schemas")
+        m.files
+      }.getOrElse(Seq.empty)
     GraftStoreFormat.writeManifest(path, conf,
       GraftManifest(schema, prev ++ committed.map(m =>
         GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats)))))

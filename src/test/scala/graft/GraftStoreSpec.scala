@@ -45,6 +45,19 @@ class GraftStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(after.collect()(0).getLong(0) === 9L)
   }
 
+  test("append under a different schema fails loudly (codec is schema-dependent)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    sample.write.format("graft-store").mode("overwrite").save(dir)
+    val err = intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "other")
+        .write.format("graft-store").mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("does not match"), err.getMessage)
+    // the failed append published nothing: table still reads as before
+    assert(spark.read.format("graft-store").load(dir).count() === 3)
+  }
+
   test("readers see only manifest-listed files: orphans are invisible") {
     val dir = tmpDir()
     sample.write.format("graft-store").mode("overwrite").save(dir)
