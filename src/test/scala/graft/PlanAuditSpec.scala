@@ -59,6 +59,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "bloom probe should appear below (deeper than) the semi join in the plan tree")
   }
 
+  test("q90: session_window plans one aggregation shuffle, no extra sort passes") {
+    val p = executed("q90_session_window")
+    assert(p.contains("SessionWindow") || p.contains("session_window"), p.take(2000))
+    // one Exchange for the user_id aggregation (AQE may add a read stage)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash Exchange, got $exchanges:\n${p.take(2000)}")
+  }
+
+  test("q95: the 1-row query vector broadcasts; corpus scans once") {
+    val p = executed("q95_quantized_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q97: graft-store scan reports pushed skip filters in the plan") {
+    val p = executed("q97_store_skipping")
+    assert(p.contains("skipBy=[") && p.contains("LessThan(o_orderkey,5000)"), p.take(3000))
+  }
+
   test("q68: hash-modulo sample stays a scan-side filter (no shuffle before agg)") {
     val p = executed("q68_sample_hash")
     // exactly one exchange: the final group-by; the sample predicate must
