@@ -119,73 +119,26 @@ object Dedup {
 
 
   /** Near-duplicate CLUSTERS: connected components over the near-dup pair
-    * graph via iterative min-label propagation. Pair output is O(k²) per
-    * k-sized duplicate group (a 20-copy document yields 190 pairs); cluster
-    * output is O(k) — the form a dedup pipeline actually consumes
-    * ("keep cluster_id == doc_id, drop the rest").
+    * graph ([[graft.operators.Graph.connectedComponents]]). Pair output is
+    * O(k²) per k-sized duplicate group (a 20-copy document yields 190
+    * pairs); cluster output is O(k) — the form a dedup pipeline actually
+    * consumes ("keep cluster_id == doc_id, drop the rest").
     *
-    * Each iteration is one join + aggregation, persisted to truncate
-    * lineage; duplicate clusters from LSH banding are near-cliques, so
-    * labels converge in 2-3 iterations (maxIters bounds pathological
-    * chains). At extreme scale swap the loop for GraphX/GraphFrames
-    * connected components with checkpointing — the per-iteration plan is
-    * identical. */
+    * LSH duplicate clusters are near-cliques (diameter ≤ 3), so the
+    * pointer-jumping shortcut is disabled — the jump join costs more than
+    * the iteration it would save; GraphSpec covers the long-chain case
+    * where the shortcut matters. */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleN: Int, minJaccard: Double,
       maxIters: Int = 5): DataFrame = {
     // nearDupPairs returns an already-persisted, already-materialized frame
     val pairs = nearDupPairs(df, idCol, textCol, numHashes, rowsPerBand, shingleN, minJaccard)
-    // The propagation loop shuffles label frames of ~numHashes bytes per
-    // document — orders of magnitude smaller than the corpus the signature
-    // stage just processed at full parallelism. Size the loop's shuffles to
-    // the label volume (the streaming state-sizing lesson applied to an
-    // iterative algorithm): at test scale this halves per-iteration task
-    // overhead; on a real cluster the same knob is sized to label bytes.
-    val session = df.sparkSession
-    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
     try {
-      session.conf.set("spark.sql.shuffle.partitions",
-        math.min(8, prevParts.toInt).toString)
-      val edges = pairs.select(col("id1"), col("id2"))
-        .unionByName(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-        .toDF("src", "dst")
-      var labels = df.select(col(idCol).as("id")).distinct()
-        .withColumn("cluster_id", col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var iter = 0
-      var changed = 1L
-      while (iter < maxIters && changed > 0) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
-          .groupBy("src").agg(min("nbr_label").as("nbr_min"))
-        // the convergence flag rides ON the propagation join — one cached
-        // frame serves both the next labels and the changed-count, instead
-        // of a separate next-vs-old join per iteration (halves the
-        // per-iteration shuffles; on near-clique dedup graphs the loop is
-        // job-overhead-bound, not data-bound)
-        val next = labels
-          .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("_improved"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.filter(col("_improved")).count()
-        labels.unpersist()
-        labels = next
-        iter += 1
-      }
-      // hand back a frame that is ITSELF the persisted one (callers
-      // unpersist it once consumed): re-cache the trimmed projection and
-      // release the loop frame
-      val out = labels.select("id", "cluster_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      labels.unpersist()
-      out
-    } finally {
-      session.conf.set("spark.sql.shuffle.partitions", prevParts)
-      pairs.unpersist(blocking = false)
-    }
+      graft.operators.Graph.connectedComponents(
+        df.select(col(idCol).as("id")),
+        pairs.select(col("id1").as("src"), col("id2").as("dst")),
+        maxIters, shortcut = false)
+    } finally pairs.unpersist(blocking = false)
   }
 
   /** SimHash (Charikar '02): 60-bit signature where bit j is the sign of

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an arbitrary edge frame —
+  * iterative min-label propagation run to FIXPOINT, the general operator
+  * behind near-dup clustering ([[graft.ext.Dedup.nearDupClusters]]), entity
+  * resolution, and householding.
+  *
+  * Algorithm per iteration (labels start as the vertex id):
+  *   1. neighbor step: label(v) := min(label(v), min over neighbors u of
+  *      label(u)) — one co-partitioned join + aggregation;
+  *   2. optional pointer jumping (`shortcut`): label(v) := min(label(v),
+  *      label(label(v))) — labels are vertex ids, so the lookup is a self
+  *      join; this contracts label chains and drops convergence from
+  *      O(diameter) to O(log diameter) iterations, the Large-Star/
+  *      Small-Star idea in two joins.
+  * Convergence is detected from a flag computed IN the propagation pass
+  * (no extra old-vs-new join). Every iteration `localCheckpoint`s: persist
+  * alone does NOT truncate the ANALYZED plan (cache substitution happens
+  * at physical planning), so each iteration would reference the previous
+  * labels twice (neighbor join + update join — and the jump SELF-join
+  * doubles it again), growing the logical plan exponentially until plan
+  * stringification itself OOMs. Checkpointing replaces the plan with the
+  * materialized RDD — O(1) plan size per iteration, the same reason GraphX
+  * checkpoints Pregel state. On a cluster, swap local for reliable
+  * checkpoints (executor loss kills local-checkpoint blocks).
+  *
+  * Scale notes: label frames are a few bytes per vertex — orders of
+  * magnitude below the edge data — so the loop's shuffles are sized to
+  * label volume, and restored after. Near-clique graphs (dedup) converge
+  * in 2-3 iterations and should pass `shortcut = false` (the jump join
+  * costs more than it saves at diameter ≤ 3); long-chain graphs keep the
+  * default.
+  */
+object Graph {
+
+  /** Component labels for every vertex: `(id, cluster_id)` with cluster_id
+    * = the component's minimum vertex id. `edges` is treated as undirected
+    * (symmetrized internally). Returns an already-materialized frame
+    * (eagerly checkpointed — unpersist is not required). */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 20, shortcut: Boolean = true): DataFrame = {
+    val session = vertices.sparkSession
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    try {
+      session.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prevParts.toInt).toString)
+      val sym = edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      var labels = vertices.select(col("id")).distinct()
+        .withColumn("cluster_id", col("id"))
+        .localCheckpoint(true)
+      var iter = 0
+      var changed = 1L
+      while (iter < maxIters && changed > 0) {
+        val nbrMin = sym
+          .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr_label")), "dst")
+          .groupBy("src").agg(min("nbr_label").as("nbr_min"))
+        val stepped = labels
+          .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+          .select(col("id"), col("cluster_id").as("_old"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid"))
+          .localCheckpoint(true) // checkpoint BEFORE the self join below
+        val jumped =
+          if (shortcut)
+            stepped.join(
+              stepped.select(col("id").as("mid"), col("mid").as("_jump")),
+              Seq("mid"), "left")
+              .select(col("id"), col("_old"),
+                least(col("mid"), coalesce(col("_jump"), col("mid"))).as("cluster_id"))
+          else stepped.withColumnRenamed("mid", "cluster_id")
+        val next = jumped
+          .select(col("id"), col("cluster_id"),
+            (col("cluster_id") < col("_old")).as("_improved"))
+          .localCheckpoint(true)
+        changed = next.filter(col("_improved")).count()
+        labels = next
+        iter += 1
+      }
+      // already materialized by the eager checkpoint — the projection is a
+      // free plan over the checkpointed RDD (ContextCleaner reclaims loop
+      // blocks once the intermediate frames go out of scope)
+      labels.select("id", "cluster_id")
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components on graph shapes the dedup pipeline never
+  * produces: long chains (diameter >> 3), cycles, isolated vertices, and
+  * the pointer-jumping convergence contrast. */
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.unpersist()
+    m
+  }
+
+  test("chain, cycle, clique and isolated vertices all label to component min") {
+    import spark.implicits._
+    // chain 0-1-2-3-4; cycle 10-11-12-10; clique 20,21,22; isolated 30
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val vertices = (Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 22L, 30L))
+      .toDF("id")
+    val got = labelsOf(Graph.connectedComponents(vertices, edges))
+    assert(got === Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L))
+  }
+
+  test("pointer jumping converges a long chain where plain propagation cannot") {
+    import spark.implicits._
+    val n = 24
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val vertices = (0L until n).toDF("id")
+    // min-label travels one hop per iteration: 6 iterations cannot close a
+    // 24-node chain without the shortcut...
+    val plain = labelsOf(Graph.connectedComponents(vertices, edges,
+      maxIters = 6, shortcut = false))
+    assert(plain(n - 1) > 0L, "plain propagation should NOT have converged in 6 iters")
+    // ...but pointer jumping contracts label chains to O(log diameter)
+    val jumped = labelsOf(Graph.connectedComponents(vertices, edges,
+      maxIters = 6, shortcut = true))
+    assert(jumped.values.toSet === Set(0L), jumped.toString)
+  }
+
+  test("edge direction is irrelevant (symmetrized internally)") {
+    import spark.implicits._
+    val fwd = Seq((5L, 1L), (1L, 9L)).toDF("src", "dst")
+    val rev = Seq((1L, 5L), (9L, 1L)).toDF("src", "dst")
+    val vertices = Seq(1L, 5L, 9L).toDF("id")
+    assert(labelsOf(Graph.connectedComponents(vertices, fwd))
+      === labelsOf(Graph.connectedComponents(vertices, rev)))
+  }
+}
