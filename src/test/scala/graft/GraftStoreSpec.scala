@@ -199,6 +199,21 @@ class GraftStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.format("graft-store").load(dir).count() === 1000)
   }
 
+  test("SQL surface: CREATE TEMPORARY VIEW ... USING graft-store with time travel") {
+    import spark.implicits._
+    val dir = tmpDir()
+    sample.write.format("graft-store").mode("overwrite").save(dir)
+    Seq((9L, Some("omega"), Some(0.0), true)).toDF("id", "name", "score", "flag")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gs_latest USING `graft-store` OPTIONS (path '$dir')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gs_v0 USING `graft-store` OPTIONS (path '$dir', snapshot '0')")
+    assert(spark.sql("SELECT count(*) FROM gs_latest").collect()(0).getLong(0) === 1)
+    assert(spark.sql("SELECT count(*) FROM gs_v0").collect()(0).getLong(0) === 3)
+    assert(spark.sql("SELECT sum(id) FROM gs_v0 WHERE flag").collect()(0).getLong(0) === 4L)
+    spark.catalog.dropTempView("gs_latest")
+    spark.catalog.dropTempView("gs_v0")
+  }
+
   test("dates and timestamps survive the codec") {
     import spark.implicits._
     val dir = tmpDir()

@@ -48,6 +48,25 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(jumped.values.toSet === Set(0L), jumped.toString)
   }
 
+  test("plain and shortcut labelings agree on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 2000
+    val edges = (0 until 3000)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val vertices = (0L until n.toLong).toDF("id")
+    // two independently-converging formulations of the same fixpoint
+    val plain = labelsOf(Graph.connectedComponents(vertices, edges,
+      maxIters = 50, shortcut = false))
+    val jumped = labelsOf(Graph.connectedComponents(vertices, edges,
+      maxIters = 50, shortcut = true))
+    assert(plain === jumped)
+    // sanity: a random graph at this density has a giant component
+    assert(plain.values.groupBy(identity).map(_._2.size).max > n / 2)
+  }
+
   test("edge direction is irrelevant (symmetrized internally)") {
     import spark.implicits._
     val fwd = Seq((5L, 1L), (1L, 9L)).toDF("src", "dst")
