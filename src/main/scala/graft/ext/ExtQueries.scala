@@ -413,6 +413,134 @@ object ExtQueries {
            |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
            |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin))
 
+  // ---------------------------------------------------------------- chunking
+  /** RAG/context-window chunking: each document splits into overlapping
+    * token windows (size 32, stride 24 → 8-token overlap), the op every
+    * retrieval/training pipeline runs before embedding. Pure row-local
+    * array math — `sequence` for the starts, `posexplode` for chunk ids,
+    * `slice` for the window — no shuffle at all until a consumer
+    * aggregates; chunk ids are (doc_id, ordinal), stable under any
+    * partitioning. The md5 of each chunk's text is emitted so the oracle
+    * checks the CONTENT of every window, not just counts. */
+  val q104Chunking = QuerySpec(
+    "q104_chunking", "EXT-text-chunking",
+    "overlapping token-window chunking (size 32, stride 24) with content hashes",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr("sequence(0, greatest(n - 1, 0), 24)")).as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id"),
+          expr("slice(toks, start + 1, 32)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_tokens"),
+          element_at(col("chunk"), 1).as("first_token"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5")),
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |st AS (SELECT doc_id, tk,
+            |    unnest(generate_series(0, greatest(len(tk) - 1, 0), 24)) AS start,
+            |    generate_subscripts(generate_series(0, greatest(len(tk) - 1, 0), 24), 1) - 1 AS chunk_id
+            |  FROM n),
+            |ch AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+            |    tk[start + 1 : start + 32] AS chunk FROM st)
+            |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
+            |  chunk[1] AS first_token,
+            |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+            |FROM ch""".stripMargin))
+
+  // ---------------------------------------------------------------- sequence packing
+  /** Sequence packing (concat-and-cut): documents are laid end-to-end in
+    * doc_id order and cut into fixed token budgets — the packing form
+    * pretraining pipelines actually use (true bin-packing is NP-hard and
+    * order-dependent). A document's pack is where its first token lands:
+    * floor(tokens_before / budget).
+    *
+    * The global running token count is computed as a DISTRIBUTED prefix
+    * sum — per-range-partition totals, a tiny cumulative offset per
+    * partition, then a partition-local window — never a single global
+    * window partition (the classic 100 TB cumsum trap: `Window.orderBy`
+    * with no partitionBy funnels the corpus through ONE task). The result
+    * depends only on the doc_id order, not on partition boundaries, which
+    * is what makes it oracle-checkable. */
+  val q105Packing = QuerySpec(
+    "q105_packing", "EXT-seq-packing",
+    "sequence packing via distributed prefix-sum (256-token budget)",
+    (s, d) => {
+      val budget = 256L
+      val base = docs(s, d)
+        .select(col("doc_id"), size(tokens(normText(col("text")))).cast("long").as("n_tokens"))
+        .repartitionByRange(8, col("doc_id"))
+        .withColumn("_part", spark_partition_id())
+      val local = base.withColumn("local_cum",
+        sum("n_tokens").over(Window.partitionBy("_part").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val offsets = local.groupBy("_part").agg(max("local_cum").as("part_total"))
+        .withColumn("offset",
+          coalesce(sum("part_total").over(Window.orderBy("_part")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("_part", "offset") // one row per partition — broadcast-sized
+      local.join(broadcast(offsets), Seq("_part"))
+        .withColumn("pack_id",
+          floor((col("offset") + col("local_cum") - col("n_tokens")) / budget).cast("long"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id,
+            |    CAST(len(regexp_split_to_array($oNorm, '\\s+')) AS BIGINT) AS n_tokens
+            |  FROM documents),
+            |c AS (SELECT doc_id, n_tokens,
+            |    sum(n_tokens) OVER (ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            |  FROM n)
+            |SELECT CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS pack_id,
+            |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+            |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            |FROM c GROUP BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- decontamination
+  /** Benchmark decontamination: drop training documents that share any
+    * 5-gram with the held-out set — the overlap-removal step every honest
+    * training corpus runs (cf. GPT-3 §C / PaLM dedup appendices). Both
+    * sides explode to (shingle → doc) and meet in a LEFT SEMI join on the
+    * shingle hash: at 100 TB the benchmark side is tiny so the semi join
+    * broadcasts, and the train side's shingle stream never materializes —
+    * it is generated, hashed, probed, and discarded inside one stage. */
+  val q106Decontaminate = QuerySpec(
+    "q106_decontaminate", "EXT-decontamination",
+    "drop train docs sharing any 5-gram with the benchmark split",
+    (s, d) => {
+      val all = docs(s, d)
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("sh", shingleSql("toks", 5))
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val train = all.filter(col("doc_id") % 50 =!= 0)
+      val benchShingles = bench.select(explode(col("sh")).as("g")).distinct()
+      val trainShingles = train.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+      val contaminated = trainShingles
+        .join(broadcast(benchShingles), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_clean"))
+        .join(train.groupBy("source").agg(count(lit(1)).as("n_train")), Seq("source"))
+        .select(col("source"), col("n_clean"), (col("n_train") - col("n_clean")).as("n_dropped"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, source, regexp_split_to_array($oNorm, '\\s+') AS tk
+            |  FROM documents),
+            |sh AS (SELECT doc_id, source, list_transform(generate_series(1, len(tk) - 4), i ->
+            |    concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])) AS s FROM n),
+            |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+            |train AS (SELECT doc_id, source, s FROM sh WHERE doc_id % 50 <> 0),
+            |contaminated AS (SELECT DISTINCT t.doc_id FROM train t, unnest(t.s) u(g)
+            |  WHERE g IN (SELECT g FROM bench)),
+            |clean AS (SELECT source, count(*) AS n_clean FROM train
+            |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated) GROUP BY source),
+            |tot AS (SELECT source, count(*) AS n_train FROM train GROUP BY source)
+            |SELECT source, clean.n_clean, tot.n_train - clean.n_clean AS n_dropped
+            |FROM clean JOIN tot USING (source)""".stripMargin))
+
   // ---------------------------------------------------------------- feature hashing
   /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
     * feature space by hash, no vocabulary pass, no driver-side dictionary —
@@ -662,5 +790,5 @@ object ExtQueries {
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
     q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash,
-    q101ClusterCuration)
+    q101ClusterCuration, q104Chunking, q105Packing, q106Decontaminate)
 }
