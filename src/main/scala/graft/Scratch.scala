@@ -16,23 +16,23 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    def noop(df: org.apache.spark.sql.DataFrame) =
-      df.write.format("noop").mode("overwrite").save()
-    val docs = Tables.documents(spark, d)
-    val q = ext.TextAnalysis.withQuality(ext.ensureParallelism(docs), "text")
-    noop(q); time("quality only")(noop(q))
-    val l = ext.TextAnalysis.withLangId(ext.ensureParallelism(docs), "text")
-    noop(l); time("langid only")(noop(l))
-    val ql = ext.TextAnalysis.withLangId(ext.TextAnalysis.withQuality(ext.ensureParallelism(docs), "text"), "text")
-    noop(ql); time("quality+langid")(noop(ql))
-    val filt = ql.filter(col("quality_score") >= 0.2 && col("pred_lang") === "en")
-      .withColumn("fp", md5(ext.normText(col("text"))))
-    noop(filt); time("+filter+fp")(noop(filt))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy(col("doc_id").asc)
-    val kept = filt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    noop(kept); time("+window")(noop(kept))
-    val q52 = ext.ExtQueries.q52Curation.fn(spark, d)
-    noop(q52); time("q52 full")(noop(q52))
+    val all = Tables.documents(spark, d)
+      .withColumn("toks", ext.tokens(ext.normText(col("text"))))
+      .withColumn("sh", ext.shingleSql("toks", 5))
+    val bench = all.filter(col("doc_id") % 50 === 0)
+    val train = all.filter(col("doc_id") % 50 =!= 0)
+    time("shingles only")(all.select(col("doc_id"), size(col("sh"))).write.format("noop").mode("overwrite").save())
+    val benchShingles = bench.select(explode(col("sh")).as("g")).distinct()
+    time("bench shingles count")(println(benchShingles.count()))
+    val trainShingles = train.select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+    time("train shingles count")(println(trainShingles.count()))
+    val contaminated = trainShingles
+      .join(broadcast(benchShingles), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    time("semi join + distinct")(println(contaminated.count()))
+    val out = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_clean"))
+    time("anti join agg")(out.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

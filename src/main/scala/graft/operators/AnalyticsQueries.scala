@@ -350,9 +350,61 @@ object AnalyticsQueries {
            | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
            |WHERE e.event_type = 'error' AND p.event_type = 'purchase'""".stripMargin))
 
+  // ---------------------------------------------------------------- KLL quantile sketch
+  /** Third custom TypedImperativeAggregate (graft.functions.KllQuantilesAgg):
+    * mergeable quantile summaries. Hash-checkable via the q46/q72
+    * sketch-vs-exact pattern — the output carries the EXACT interpolated
+    * percentiles (oracle recomputes them) plus a boolean per quantile
+    * asserting the sketch estimate's true rank is within 5% of the target
+    * rank. The rank of each estimate is computed DISTRIBUTEDLY: the 12
+    * (flag, p, estimate) rows broadcast back onto lineitem and a single
+    * aggregation counts rows at-or-below each estimate — no sort, no
+    * collect. */
+  val q107KllQuantiles = QuerySpec(
+    "q107_kll_quantiles", "EXT-sketch-kll",
+    "KLL-style mergeable quantile sketch, rank-error-checked vs exact percentiles",
+    (s, d) => {
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val psArr = array(ps.map(lit): _*)
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val agg = li.groupBy("l_returnflag").agg(
+        graft.functions.KllQuantilesAgg(col("l_extendedprice"), ps, 200).as("ests"),
+        percentile(col("l_extendedprice"), psArr).as("exacts"),
+        count(lit(1)).as("n"))
+      val ex = agg
+        .select(col("l_returnflag"), col("n"),
+          posexplode(arrays_zip(col("ests"), col("exacts"))).as(Seq("i", "z")))
+        .select(col("l_returnflag"), col("n"), col("i"),
+          col("z.ests").as("est"), col("z.exacts").as("exact_v"))
+      li.join(broadcast(ex), Seq("l_returnflag"))
+        .groupBy("l_returnflag", "i", "n", "est", "exact_v")
+        .agg(sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L)).as("rk"))
+        .select(
+          col("l_returnflag"),
+          element_at(psArr, col("i") + 1).as("p"),
+          graft.functions.roundStable(col("exact_v"), 2).as("exact_q"),
+          (abs(col("rk").cast("double") / col("n").cast("double")
+            - element_at(psArr, col("i") + 1)) <= lit(0.05)).as("rank_ok"))
+    },
+    Some("""SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS p,
+           |  round(quantile_cont(l_extendedprice, 0.25) + 1e-9, 2) AS exact_q, TRUE AS rank_ok
+           |FROM lineitem GROUP BY l_returnflag
+           |UNION ALL
+           |SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS p,
+           |  round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS exact_q, TRUE AS rank_ok
+           |FROM lineitem GROUP BY l_returnflag
+           |UNION ALL
+           |SELECT l_returnflag, CAST(0.75 AS DOUBLE) AS p,
+           |  round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 2) AS exact_q, TRUE AS rank_ok
+           |FROM lineitem GROUP BY l_returnflag
+           |UNION ALL
+           |SELECT l_returnflag, CAST(0.95 AS DOUBLE) AS p,
+           |  round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 2) AS exact_q, TRUE AS rank_ok
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative,
     q92AsOfTolerance,
     q43Datetime, q44WordCount, q45AnnIvf, q46Approx, q47TopKPerGroup, q48Subquery, q49Arrays,
-    q50RangeJoin)
+    q50RangeJoin, q107KllQuantiles)
 }
