@@ -505,15 +505,27 @@ object ExtQueries {
     * training corpus runs (cf. GPT-3 §C / PaLM dedup appendices). Both
     * sides explode to (shingle → doc) and meet in a LEFT SEMI join on the
     * shingle hash: at 100 TB the benchmark side is tiny so the semi join
-    * broadcasts, and the train side's shingle stream never materializes —
-    * it is generated, hashed, probed, and discarded inside one stage. */
+    * broadcasts, and the exploded shingle stream never hits storage — it
+    * is generated, hashed, probed, and discarded inside one stage.
+    *
+    * The shingled corpus itself IS materialized, exactly once, before any
+    * explode: the plan references it four times (bench side, train side,
+    * anti join, per-source totals), and without the checkpoint Catalyst
+    * inlines the 2-regex + split + transform shingler into every Generate,
+    * re-evaluating it per exploded OUTPUT row — measured at 146 s on
+    * 584 KB (≈50× recompute) vs ~2 s materialized. Same pattern as
+    * [[Dedup.nearDupPairs]]'s signature cache; at cluster scale this is
+    * "write the normalized corpus to the shuffle/cache tier once, then
+    * run every downstream pass against it". */
   val q106Decontaminate = QuerySpec(
     "q106_decontaminate", "EXT-decontamination",
     "drop train docs sharing any 5-gram with the benchmark split",
     (s, d) => {
-      val all = docs(s, d)
+      val all = ensureParallelism(docs(s, d))
         .withColumn("toks", tokens(normText(col("text"))))
         .withColumn("sh", shingleSql("toks", 5))
+        .select("doc_id", "source", "sh")
+        .localCheckpoint(true) // one shingling pass; 4 downstream consumers
       val bench = all.filter(col("doc_id") % 50 === 0)
       val train = all.filter(col("doc_id") % 50 =!= 0)
       val benchShingles = bench.select(explode(col("sh")).as("g")).distinct()
@@ -553,8 +565,7 @@ object ExtQueries {
     "q98_feature_hash", "EXT-feature-hashing",
     "hashing-trick featurizer: md5-bucketed token features, 64-bucket histogram",
     (s, d) =>
-      ensureParallelism(docs(s, d))
-        .select(col("doc_id"), explode(tokens(normText(col("text")))).as("tok"))
+      explodedTokens(docs(s, d), "text", as = "tok", keep = Seq("doc_id"))
         .withColumn("bucket", pmod(md5Long(col("tok")), lit(64L)).cast("int"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_tokens"), countDistinct("doc_id").as("n_docs")),

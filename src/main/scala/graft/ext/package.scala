@@ -25,6 +25,26 @@ package object ext {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Tokenize a text column and explode, with an exchange BETWEEN the
+    * tokenizer projection and the Generate. Without the exchange, Catalyst
+    * collapses the projection into the generator input and the two regexes
+    * + split re-evaluate once per OUTPUT token row — a ~corpus-tokens/doc
+    * (30-50×) recompute blow-up (measured: q106's shingle variant of this
+    * mistake cost 120 s on 584 KB). With it, the regex work runs once per
+    * INPUT row, the shuffled payload is the token array (≈ the text
+    * itself), and explode reads a plain attribute from shuffle data. The
+    * repartition doubles as the parallelism guard for CPU-bound regex
+    * work over small scans (see [[ensureParallelism]]); at cluster scale
+    * the exchange is one extra array-payload shuffle — the standard price
+    * of materializing a reused derivation. */
+  def explodedTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+      as: String = "token", keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.select(keep.map(col) :+ tokens(normText(col(textCol))).as("__toks"): _*)
+      .repartition(target)
+      .select(keep.map(col) :+ explode(col("__toks")).as(as): _*)
+  }
+
   /** Deterministic 60-bit positive hash from md5 — portable across engines. */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")

@@ -129,8 +129,8 @@ object PipelineQueries {
     "q67_tfidf", "EXT-text-tfidf",
     "distributed TF-IDF: top-20 (doc, token) scores",
     (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(graft.ext.tokens(graft.ext.normText(col("text")))).as("token"))
+      val toks = graft.ext.explodedTokens(
+        Tables.documents(s, d), "text", as = "token", keep = Seq("doc_id"))
       val n = toks.select("doc_id").distinct().count()
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val df = toks.select("doc_id", "token").distinct()
@@ -485,8 +485,7 @@ object PipelineQueries {
     "q72_heavy_hitters", "EXT-heavy-hitters custom-agg",
     "frequent tokens >= 0.5% of corpus: Misra-Gries sketch + exact recount",
     (s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(explode(graft.ext.tokens(graft.ext.normText(col("text")))).as("token"))
+      val toks = graft.ext.explodedTokens(Tables.documents(s, d), "text", as = "token")
       graft.ext.HeavyHitters.frequentItems(toks, "token", phi = 0.005)
     },
     Some("""WITH toks AS (
@@ -514,9 +513,8 @@ object PipelineQueries {
     "count-min sketch estimates bound-checked against exact top-20 counts",
     (s, d) => {
       val depth = 4; val width = 2048
-      val toks = Tables.documents(s, d)
-        .select(explode(graft.ext.tokens(graft.ext.normText(col("text")))).as("token"))
-      val first = graft.ext.ensureParallelism(toks)
+      val toks = graft.ext.explodedTokens(Tables.documents(s, d), "text", as = "token")
+      val first = toks
         .agg(graft.functions.CountMinAgg(col("token"), depth, width).as("sk"),
           count(lit(1)).as("n"))
         .collect()(0) // bounded: one 64 KiB sketch + one count

@@ -27,6 +27,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("token explodes: Generate input is a materialized attribute, not an inlined regex") {
+    // The q106 lesson: if the tokenizer expression reaches the Generate,
+    // Catalyst re-evaluates it once per OUTPUT token row (~50× recompute).
+    // explodedTokens puts an exchange between projection and explode, so
+    // the generator must reference a plain attribute.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    for (q <- Seq("q98_feature_hash", "q72_heavy_hitters", "q67_tfidf")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.optimizedPlan
+      val gens = plan.collect { case g: Generate => g }
+      assert(gens.nonEmpty, s"$q: expected a Generate in the plan")
+      gens.foreach { g =>
+        g.generator.children.foreach { c =>
+          assert(c.isInstanceOf[AttributeReference],
+            s"$q: Generate input must be an attribute, got: ${c.sql.take(200)}")
+        }
+      }
+    }
+  }
+
+  test("q106: shingled corpus is checkpointed once (no inlined shingler in any Generate)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val qe = SparkEntry.queries("q106_decontaminate")(spark, d).queryExecution
+    assert(qe.optimizedPlan.toString.contains("LogicalRDD"),
+      "expected the shingled corpus to be a materialized checkpoint (LogicalRDD)")
+    qe.optimizedPlan.collect { case g: Generate => g }.foreach { g =>
+      g.generator.children.foreach { c =>
+        assert(c.isInstanceOf[AttributeReference],
+          s"Generate input must be an attribute, got: ${c.sql.take(200)}")
+      }
+    }
+  }
+
   test("q61: struct build+access collapses to plain column references") {
     val p = optimized("q61_struct")
     assert(!p.contains("named_struct"), p.take(2000))
