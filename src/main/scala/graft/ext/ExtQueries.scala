@@ -553,6 +553,64 @@ object ExtQueries {
             |SELECT source, clean.n_clean, tot.n_train - clean.n_clean AS n_dropped
             |FROM clean JOIN tot USING (source)""".stripMargin))
 
+  // ------------------------------------------------- decontamination (thresholded)
+  /** PaLM-style thresholded decontamination: q106 drops a training doc on
+    * ANY shared 5-gram — aggressive, and on noisy corpora it over-drops
+    * boilerplate collisions. The production rule (PaLM App. / GPT-3 §C
+    * variants) flags a doc only when ≥ K DISTINCT n-grams collide with the
+    * benchmark. Same checkpointed shingle corpus as q106; the only new
+    * work is a (doc_id → distinct colliding shingles) count — one extra
+    * partial-aggregated shuffle keyed by doc, still bounded by the
+    * contaminated subset, never the corpus. Output contrasts both rules
+    * per source, so the query doubles as the over-drop audit. */
+  val q108DecontaminateK = QuerySpec(
+    "q108_decontaminate_k", "EXT-decontamination-threshold",
+    "thresholded decontamination: drop train docs with >= 3 distinct benchmark 5-grams",
+    (s, d) => {
+      val K = 3
+      val all = ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("sh", shingleSql("toks", 5))
+        .select("doc_id", "source", "sh")
+        .localCheckpoint(true) // one shingling pass (the q106 lesson)
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val train = all.filter(col("doc_id") % 50 =!= 0)
+      val benchShingles = bench.select(explode(col("sh")).as("g")).distinct()
+      val collisions = train.select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(benchShingles), Seq("g"), "left_semi")
+        .groupBy("doc_id")
+        .agg(countDistinct("g").as("n_hits"))
+      val droppedK = collisions.filter(col("n_hits") >= K).select("doc_id")
+      train.join(droppedK, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_clean_k"))
+        .join(train.groupBy("source").agg(count(lit(1)).as("n_train")), Seq("source"))
+        .join(train.join(collisions, Seq("doc_id"), "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("n_any_hit")), Seq("source"), "left")
+        .select(col("source"), col("n_train"), col("n_clean_k"),
+          (col("n_train") - col("n_clean_k")).as("n_dropped_k"),
+          coalesce(col("n_any_hit"), lit(0L)).as("n_dropped_any"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, source, regexp_split_to_array($oNorm, '\\s+') AS tk
+            |  FROM documents),
+            |sh AS (SELECT doc_id, source, list_transform(generate_series(1, len(tk) - 4), i ->
+            |    concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])) AS s FROM n),
+            |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+            |train AS (SELECT doc_id, source, s FROM sh WHERE doc_id % 50 <> 0),
+            |hits AS (SELECT t.doc_id, count(DISTINCT g) AS n_hits
+            |  FROM train t, unnest(t.s) u(g)
+            |  WHERE g IN (SELECT g FROM bench) GROUP BY t.doc_id),
+            |tot AS (SELECT source, count(*) AS n_train FROM train GROUP BY source),
+            |cleank AS (SELECT source, count(*) AS n_clean_k FROM train
+            |  WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 3)
+            |  GROUP BY source),
+            |anyhit AS (SELECT source, count(*) AS n_dropped_any FROM train
+            |  WHERE doc_id IN (SELECT doc_id FROM hits) GROUP BY source)
+            |SELECT tot.source, tot.n_train, cleank.n_clean_k,
+            |  tot.n_train - cleank.n_clean_k AS n_dropped_k,
+            |  coalesce(anyhit.n_dropped_any, 0) AS n_dropped_any
+            |FROM tot JOIN cleank USING (source) LEFT JOIN anyhit USING (source)""".stripMargin))
+
   // ---------------------------------------------------------------- feature hashing
   /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
     * feature space by hash, no vocabulary pass, no driver-side dictionary —
@@ -801,5 +859,6 @@ object ExtQueries {
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
     q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash,
-    q101ClusterCuration, q104Chunking, q105Packing, q106Decontaminate)
+    q101ClusterCuration, q104Chunking, q105Packing, q106Decontaminate,
+    q108DecontaminateK)
 }

@@ -199,18 +199,62 @@ object AnalyticsQueries {
            |  FROM documents)
            |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin))
 
-  // ---------------------------------------------------------------- IVF ANN (rows-only: KMeans)
+  // ---------------------------------------------------------------- IVF ANN
+  /** IVF ANN, hash-checked with the q46 sketch+exact pattern: KMeans cell
+    * assignment isn't SQL-expressible, so the returned ID SET can't be the
+    * oracle contract — instead the output carries (a) EXACT brute-force
+    * top-10 cosine statistics, which DuckDB recomputes from the embeddings
+    * (q30's arithmetic), and (b) booleans pinning the IVF guarantees:
+    * k results returned, recall@10 ≥ 0.5 vs brute force (SimilaritySpec's
+    * proven bound), and every IVF-reported cosine bit-equal to the exact
+    * cosine of that id (the probe scan reads TRUE vectors — a silent switch
+    * to reconstructed/approximated vectors flips it). The oracle emits TRUE
+    * literals; a recall or arithmetic regression fails the hash. */
   val q45AnnIvf = QuerySpec(
     "q45_ann_ivf", "EXT-sim-ivf",
-    "IVF ANN: k-means cells + nprobe partition-pruned search",
+    "IVF ANN: k-means cells + nprobe pruned search, recall/cosine bound-checked",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val qArr = query.select("embedding").collect()(0).getSeq[Float](0).toArray
       val index = graft.ext.Ivf.build(emb.filter(col("vec_id") =!= 0), numCells = 16)
-      graft.ext.Ivf.search(s, index, query, k = 10, nprobe = 4)
+      // both sides are k=10 rows — checkpoint so the joins below don't
+      // re-run KMeans transform / the corpus scan per consumer
+      // nprobe/numCells = 1/2, the ratio SimilaritySpec proves recall ≥ 0.5
+      // at (synthetic uniform embeddings cluster weakly; real corpora allow
+      // far more aggressive pruning)
+      val ivf = graft.ext.Ivf.search(s, index, qArr, k = 10, nprobe = 8)
+        .select(col("vec_id"), col("cos_sim")).localCheckpoint(true)
+      val bf = graft.ext.Similarity.bruteForceTopK(emb, query, k = 10)
+        .select(col("vec_id"), col("cos_sim").as("bf_cos")).localCheckpoint(true)
+      val kReturned = ivf.count()
+      val recallHits = ivf.join(bf, Seq("vec_id"), "left_semi").count()
+      // exact cosine of every RETURNED id (returned ids need not be in the
+      // brute-force top-10, so compare against the full cosine frame)
+      val qLit = typedLit(qArr.map(_.toDouble).toSeq)
+      val allCos = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(graft.ext.Similarity.cosine(col("embedding").cast("array<double>"), qLit), 4)
+            .as("exact_cos"))
+      val mismatches = ivf.join(allCos, Seq("vec_id"))
+        .filter(col("cos_sim") =!= col("exact_cos")).count()
+      bf.agg(max("bf_cos").as("bf_top1_cos"), min("bf_cos").as("bf_top10_min_cos"))
+        .select(
+          lit(kReturned.toInt).as("k_returned"),
+          col("bf_top1_cos"), col("bf_top10_min_cos"),
+          lit(recallHits >= 5L).as("recall_ok"),
+          lit(mismatches == 0L).as("cos_exact"))
     },
-    None)
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+           |cos AS (SELECT vec_id,
+           |    round(list_dot_product(embedding::DOUBLE[], qe)
+           |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           |         * sqrt(list_dot_product(qe, qe))), 4) AS c
+           |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+           |top AS (SELECT c FROM cos ORDER BY c DESC, vec_id ASC LIMIT 10)
+           |SELECT 10 AS k_returned, max(c) AS bf_top1_cos, min(c) AS bf_top10_min_cos,
+           |  TRUE AS recall_ok, TRUE AS cos_exact
+           |FROM top""".stripMargin))
 
   // ---------------------------------------------------------------- approximate sketches
   /** Hash-checkable via the sketch+recount pattern (see HeavyHitters): the

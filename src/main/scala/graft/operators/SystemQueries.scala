@@ -298,8 +298,15 @@ object SystemQueries {
     * the documents table replayed as a file stream — the stateful streaming
     * formulation of q27's batch LSH (see
     * [[graft.streaming.StreamingNearDup]]). flatMapGroupsWithState isn't
-    * SQL-expressible → rows-only check; the spec proves candidates ⊆ the
-    * batch pipeline's pairs on the same parameters. */
+    * SQL-expressible, but its OUTPUT here is: the replay is one file in one
+    * micro-batch (`processAllAvailable`), so the canonical doc of every LSH
+    * bucket is deterministically the bucket's MINIMUM doc_id (intra-batch
+    * arrivals sort by id), and the emitted pair set equals "each non-min
+    * doc pairs with its bucket's min, per band". The oracle rebuilds the
+    * 64-hash md5 MinHash signatures and buckets by the raw 8-value band
+    * slice (bucket equality ⇔ slice equality; the engine-side xxhash64 is
+    * just a compressed bucket key). Multi-batch behavior (first-seen
+    * canonical across batches) is covered by StreamingNearDupSpec. */
   val q63StreamNearDup = QuerySpec(
     "q63_stream_neardup", "EXT-dedup-streaming",
     "streaming MinHash-LSH near-dup candidates (stateful, incremental)",
@@ -319,7 +326,26 @@ object SystemQueries {
         .select("doc_id", "dup_of").distinct()
         .orderBy("doc_id", "dup_of")
     },
-    None)
+    Some("""WITH n AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text),
+           |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), '\s+') AS tk
+           |  FROM documents),
+           |sh AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2), i ->
+           |    concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS shingles FROM n),
+           |sg AS (SELECT doc_id, list_transform(generate_series(0, 63), k ->
+           |    list_aggregate(list_transform(shingles, s ->
+           |      CAST(concat('0x', substring(md5(concat(CAST(k AS VARCHAR), ':', s)), 1, 15)) AS BIGINT)),
+           |    'min')) AS sig FROM sh),
+           |banded AS (SELECT doc_id,
+           |    unnest(generate_series(0, 7)) AS band_id,
+           |    unnest(list_transform(generate_series(0, 7), b ->
+           |      array_to_string(sig[8*b+1 : 8*b+8], '-'))) AS bucket
+           |  FROM sg),
+           |canon AS (SELECT band_id, bucket, min(doc_id) AS canonical
+           |  FROM banded GROUP BY 1, 2)
+           |SELECT DISTINCT d.doc_id, c.canonical AS dup_of
+           |FROM banded d JOIN canon c USING (band_id, bucket)
+           |WHERE d.doc_id <> c.canonical""".stripMargin))
 
   /** EXT-sim-ivf streaming: new vectors arriving on a stream are assigned
     * to the BATCH-FIT IVF centroids ([[graft.ext.Ivf.assignCell]] — a pure
