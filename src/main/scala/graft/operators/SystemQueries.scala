@@ -169,6 +169,53 @@ object SystemQueries {
            |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key, min(n_name) AS first_name
            |FROM nation""".stripMargin))
 
+  /** The SQL-text surface of q88's time travel: Spark's own grammar parses
+    * `VERSION AS OF n` / `TIMESTAMP AS OF ts` and routes them to
+    * [[graft.sources.v2.GraftCatalog]]'s `loadTable(ident, version |
+    * timestampMicros)` overloads, which pin the existing `snapshot` /
+    * `asOfMillis` read options into the table (no parser extension — the
+    * Delta/Iceberg wiring). Three reads: snapshot 0 by VERSION, snapshot 1
+    * by TIMESTAMP (its exact publication millis — the inclusive boundary),
+    * and the unpinned head; the oracle reconstructs all three states from
+    * the original parquet. A reader that leaked head files into a pinned
+    * read, or an off-by-one in the asOf boundary, breaks the hash. */
+  val q109SqlTimeTravel = QuerySpec(
+    "q109_sql_time_travel", "S-dsv2-sql-time-travel",
+    "SQL VERSION AS OF / TIMESTAMP AS OF over graft-store via a TableCatalog",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q109"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.base", base)
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      nat.filter(col("n_regionkey") <= 1)
+        .write.format("graft-store").mode("append").save(s"$base/nat")
+      nat.filter(col("n_regionkey") >= 2)
+        .write.format("graft-store").mode("append").save(s"$base/nat")
+      val t1 = graft.sources.v2.GraftStoreOps.history(s, s"$base/nat")(1)._2
+      s.sql(
+        s"""SELECT CAST(0 AS INT) AS snapshot, count(*) AS n,
+           |  sum(n_nationkey) AS sum_key, min(n_name) AS first_name
+           |FROM graft.nat VERSION AS OF 0
+           |UNION ALL
+           |SELECT CAST(1 AS INT), count(*), sum(n_nationkey), min(n_name)
+           |FROM graft.nat TIMESTAMP AS OF timestamp_millis($t1)
+           |UNION ALL
+           |SELECT CAST(2 AS INT), count(*), sum(n_nationkey), min(n_name)
+           |FROM graft.nat""".stripMargin)
+    },
+    Some("""SELECT CAST(0 AS INT) AS snapshot, count(*) AS n,
+           |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key, min(n_name) AS first_name
+           |FROM nation WHERE n_regionkey <= 1
+           |UNION ALL
+           |SELECT CAST(1 AS INT), count(*), CAST(sum(n_nationkey) AS BIGINT), min(n_name)
+           |FROM nation
+           |UNION ALL
+           |SELECT CAST(2 AS INT), count(*), CAST(sum(n_nationkey) AS BIGINT), min(n_name)
+           |FROM nation""".stripMargin))
+
   /** Scan-level lineage via the hidden `_metadata` struct: which input FILE
     * produced each row, plus the within-file `row_index` — the debugging
     * surface for 100 TB jobs ("which of the million files holds the bad
@@ -402,5 +449,6 @@ object SystemQueries {
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
-    q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage)
+    q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
+    q109SqlTimeTravel)
 }

@@ -85,16 +85,32 @@ class GraftStore extends TableProvider with DataSourceRegister {
 private[v2] case class GraftFileEntry(name: String, rows: Long,
     stats: Map[Int, (String, String)])
 
-private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry])
+private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
+    millis: Long = 0L)
 
 private[v2] object GraftStoreFormat {
-  /** Manifest file body: line 1 = schema DDL; then one `file\trows` line per
-    * committed data file. Name sorts by publication time; [[writeManifest]]
-    * guarantees each new name sorts strictly after every existing one (two
-    * publications inside the same millisecond would otherwise order by the
-    * random uuid suffix). */
-  def manifestName(): String =
-    f"_manifest-${System.currentTimeMillis()}%020d-${UUID.randomUUID().toString.take(8)}"
+  /** Manifest file body: optional `#millis=<epoch>` header (v2 — publication
+    * time, kept strictly increasing across snapshots), then schema DDL, then
+    * one `file\trows\tstats` line per committed data file.
+    *
+    * The NAME is the snapshot SEQUENCE NUMBER, zero-padded so lexicographic
+    * listing order == commit order. The name doubles as the optimistic-
+    * concurrency token: a commit claims `_manifest-{seq}` with an EXCLUSIVE
+    * create (overwrite=false — atomic on HDFS/object-store committers;
+    * check-then-create on RawLocalFileSystem, a documented local-only
+    * window), so of two writers that both read snapshot seq-1, exactly one
+    * wins seq and the loser must re-read table state and retry
+    * ([[commitManifest]] returning false). Pre-OCC tables (millis-named
+    * manifests, no header) stay readable: millis falls back to the name. */
+  def manifestName(seq: Long): String = f"_manifest-$seq%020d"
+
+  /** Sequence number embedded in a manifest name. (For a pre-OCC manifest
+    * this yields its publication millis — still monotone in commit order,
+    * so `nextSeq` on a mixed table keeps sorting after the old names.) */
+  def manifestSeq(p: Path): Long =
+    p.getName.stripPrefix("_manifest-").takeWhile(_ != '-').toLong
+
+  def nextSeq(ms: Seq[Path]): Long = ms.lastOption.map(manifestSeq(_) + 1L).getOrElse(0L)
 
   def fs(path: String, conf: Configuration): FileSystem =
     new Path(path).getFileSystem(conf)
@@ -119,7 +135,12 @@ private[v2] object GraftStoreFormat {
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
     val in = fs(path, conf).open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = body.split("\n").filter(_.nonEmpty)
+    val all = body.split("\n").filter(_.nonEmpty)
+    // `#millis=` header is optional: pre-OCC manifests carried millis in the
+    // file NAME instead — fall back to it so old tables stay time-travelable
+    val (millis, lines) =
+      if (all.head.startsWith("#millis=")) (all.head.stripPrefix("#millis=").toLong, all.tail)
+      else (manifestSeq(p), all)
     GraftManifest(
       StructType.fromDDL(lines.head),
       lines.tail.toSeq.map { l =>
@@ -127,15 +148,18 @@ private[v2] object GraftStoreFormat {
         val parts = l.split("\t", -1)
         GraftFileEntry(parts(0), parts(1).toLong,
           if (parts.length > 2) statsFromString(parts(2)) else Map.empty)
-      })
+      },
+      millis)
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
     listManifests(path, conf).lastOption.map(readManifestFile(path, conf, _))
 
-  /** Publication millis embedded in a manifest name. */
-  def manifestMillis(p: Path): Long =
-    p.getName.stripPrefix("_manifest-").takeWhile(_ != '-').toLong
+  /** Publication millis of a manifest: the `#millis=` header, or (pre-OCC
+    * manifests) the millis embedded in the name. O(1) manifest read —
+    * snapshot counts are small by construction (bounded by retention). */
+  def manifestMillis(path: String, conf: Configuration, p: Path): Long =
+    readManifestFile(path, conf, p).millis
 
   /** Time travel: resolve the manifest a read should see. Every manifest is
     * a FULL file listing, so any retained one is a complete, consistent
@@ -155,30 +179,54 @@ private[v2] object GraftStoreFormat {
           s"graft-store: snapshot $i out of range [0, ${ms.size})")
         ms(i.toInt)
       case (_, Some(t)) =>
-        val atOrBefore = ms.filter(p => manifestMillis(p) <= t.toLong)
+        val atOrBefore = ms.filter(p => manifestMillis(path, conf, p) <= t.toLong)
         require(atOrBefore.nonEmpty,
-          s"graft-store: no snapshot at or before $t (oldest is ${manifestMillis(ms.head)})")
+          s"graft-store: no snapshot at or before $t " +
+            s"(oldest is ${manifestMillis(path, conf, ms.head)})")
         atOrBefore.last
       case _ => ms.last
     }
     Some(readManifestFile(path, conf, chosen))
   }
 
-  /** Publish a new manifest — a single atomic file CREATE. Superseded
-    * manifests are RETAINED: they are the table's snapshot history (time
-    * travel reads them); [[GraftStoreOps.expireSnapshots]] is the explicit
+  /** Optimistic-concurrency commit: publish `m` as snapshot `expectedSeq`
+    * via an EXCLUSIVE create of the seq-named manifest. Returns false when a
+    * concurrent writer already claimed that seq — the caller must re-read
+    * table state (the winner may have added files) and retry against the
+    * new head. Publication millis is pinned strictly above the previous
+    * snapshot's so `asOfMillis` time travel stays a total order even for
+    * commits inside one millisecond. Superseded manifests are RETAINED
+    * (snapshot history); [[GraftStoreOps.expireSnapshots]] is the explicit
     * retention/vacuum step. */
-  def writeManifest(path: String, conf: Configuration, m: GraftManifest): Unit = {
+  def commitManifest(path: String, conf: Configuration, m: GraftManifest,
+      expectedSeq: Long): Boolean = {
     val f = fs(path, conf)
-    val existing = listManifests(path, conf).map(_.getName)
-    var name = manifestName()
-    while (existing.exists(_ >= name)) { Thread.sleep(1); name = manifestName() }
-    val out = f.create(new Path(path, name), false)
+    val target = new Path(path, manifestName(expectedSeq))
+    val prevMillis = listManifests(path, conf).lastOption
+      .map(manifestMillis(path, conf, _)).getOrElse(0L)
+    val millis = math.max(System.currentTimeMillis(), prevMillis + 1L)
+    val out =
+      try f.create(target, false) // overwrite=false: the CAS
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case e: java.io.IOException if f.exists(target) => return false
+      }
     try out.write(
-      (m.schema.toDDL + "\n" + m.files.map(e =>
+      (s"#millis=$millis\n" + m.schema.toDDL + "\n" + m.files.map(e =>
         s"${e.name}\t${e.rows}\t${statsToString(e.stats)}").mkString("\n"))
         .getBytes("UTF-8"))
     finally out.close()
+    true
+  }
+
+  /** Last-wins publish for callers whose manifest does NOT depend on the
+    * previous snapshot's content (overwrite/truncate): retry the CAS with a
+    * fresh seq until it lands. Content-dependent commits (append's
+    * read-merge) must NOT use this — they re-merge per attempt in
+    * [[GraftStoreBatchWrite.commit]]. */
+  def writeManifest(path: String, conf: Configuration, m: GraftManifest): Unit = {
+    var done = false
+    while (!done) done = commitManifest(path, conf, m, nextSeq(listManifests(path, conf)))
   }
 
   // --- row codec: per row one 0x01 marker byte, then per field a null byte
@@ -248,7 +296,8 @@ private[v2] class SerializableHadoopConf(@transient var value: Configuration)
 
 // ------------------------------------------------------------------- table
 
-private[v2] class GraftStoreTable(path: String, schema0: StructType)
+private[v2] class GraftStoreTable(path: String, schema0: StructType,
+    pinned: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = schema0
@@ -256,9 +305,20 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `pinned` carries snapshot options resolved at catalog loadTable time
+    // (SQL VERSION AS OF / TIMESTAMP AS OF); it wins over reader options so
+    // a time-travel relation cannot be silently re-pointed at the head
+    val merged =
+      if (pinned.isEmpty) options
+      else {
+        val m = new util.HashMap[String, String](options)
+        pinned.foreach { case (k, v) => m.put(k, v) }
+        new CaseInsensitiveStringMap(m)
+      }
     new GraftStoreScanBuilder(path,
-      SparkSession.active.sparkContext.hadoopConfiguration, options)
+      SparkSession.active.sparkContext.hadoopConfiguration, merged)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(),
@@ -290,29 +350,42 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf))
 
   /** Driver-side, exactly once, only with messages of successful attempts:
-    * move the committed attempts' files live, publish the new manifest. */
+    * move the committed attempts' files live, publish the new manifest.
+    *
+    * Concurrency: append is a READ-MERGE commit (new manifest = head's
+    * files + ours), so it runs the full OCC loop — read head, merge,
+    * attempt the seq CAS, and on loss re-read the NEW head and re-merge
+    * before retrying. Two concurrent appenders thus serialize: the loser's
+    * retry folds the winner's files in, and no snapshot is lost. Only the
+    * manifest merge repeats on conflict; data files were already moved
+    * live and are referenced unchanged by whichever attempt lands. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = GraftStoreFormat.fs(path, conf)
     val committed = messages.map(_.asInstanceOf[GraftCommitMessage]).toSeq
     committed.foreach { m =>
       fs.rename(new Path(tmpDir, m.file), new Path(path, m.file))
     }
-    val prev =
-      if (truncate) Seq.empty
-      else GraftStoreFormat.readLatestManifest(path, conf).map { m =>
-        // one schema governs every file a manifest lists (the row codec is
-        // schema-dependent): an append under a different schema would make
-        // readers decode the old files wrongly — fail loudly instead
-        // (schema EVOLUTION would need per-file schemas; documented
-        // non-goal). Overwrite (truncate) may change the schema freely.
-        require(m.schema.toDDL == schema.toDDL,
-          s"graft-store: append schema ${schema.toDDL} does not match " +
-            s"table schema ${m.schema.toDDL}; overwrite to change schemas")
-        m.files
-      }.getOrElse(Seq.empty)
-    GraftStoreFormat.writeManifest(path, conf,
-      GraftManifest(schema, prev ++ committed.map(m =>
-        GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats)))))
+    val newEntries = committed.map(m =>
+      GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats)))
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      val prev =
+        if (truncate) Seq.empty
+        else head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _)).map { m =>
+          // one schema governs every file a manifest lists (the row codec is
+          // schema-dependent): an append under a different schema would make
+          // readers decode the old files wrongly — fail loudly instead
+          // (schema EVOLUTION would need per-file schemas; documented
+          // non-goal). Overwrite (truncate) may change the schema freely.
+          require(m.schema.toDDL == schema.toDDL,
+            s"graft-store: append schema ${schema.toDDL} does not match " +
+              s"table schema ${m.schema.toDDL}; overwrite to change schemas")
+          m.files
+        }.getOrElse(Seq.empty)
+      done = GraftStoreFormat.commitManifest(path, conf,
+        GraftManifest(schema, prev ++ newEntries), GraftStoreFormat.nextSeq(head))
+    }
     // NO data-file cleanup here, even on truncate: superseded files are
     // still referenced by RETAINED snapshot manifests (time travel).
     // Physical deletion is the explicit GraftStoreOps.expireSnapshots step.
@@ -517,7 +590,7 @@ object GraftStoreOps {
     val conf = spark.sparkContext.hadoopConfiguration
     GraftStoreFormat.listManifests(path, conf).zipWithIndex.map { case (p, i) =>
       val m = GraftStoreFormat.readManifestFile(path, conf, p)
-      (i, GraftStoreFormat.manifestMillis(p), m.files.size, m.files.map(_.rows).sum)
+      (i, m.millis, m.files.size, m.files.map(_.rows).sum)
     }
   }
 

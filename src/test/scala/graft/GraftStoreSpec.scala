@@ -214,6 +214,35 @@ class GraftStoreSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.dropTempView("gs_v0")
   }
 
+  test("catalog: SQL VERSION AS OF / TIMESTAMP AS OF resolve through GraftCatalog") {
+    import spark.implicits._
+    val base = tmpDir()
+    spark.conf.set("spark.sql.catalog.gcat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.base", base)
+    Seq((1L, Some("a"), Some(1.0), true), (2L, Some("b"), Some(2.0), false))
+      .toDF("id", "name", "score", "flag")
+      .write.format("graft-store").mode("append").save(s"$base/t")
+    Seq((3L, Some("c"), Some(3.0), true)).toDF("id", "name", "score", "flag")
+      .write.format("graft-store").mode("append").save(s"$base/t")
+    // VERSION AS OF pins the snapshot index
+    assert(spark.sql("SELECT count(*) FROM gcat.t VERSION AS OF 0").collect()(0).getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM gcat.t").collect()(0).getLong(0) === 3)
+    // TIMESTAMP AS OF at snapshot 0's exact publication millis (inclusive)
+    val h = graft.sources.v2.GraftStoreOps.history(spark, s"$base/t")
+    assert(spark.sql(
+      s"SELECT sum(id) FROM gcat.t TIMESTAMP AS OF timestamp_millis(${h(0)._2})")
+      .collect()(0).getLong(0) === 3L)
+    // before the first snapshot → no snapshot to read
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM gcat.t TIMESTAMP AS OF timestamp_millis(${h(0)._2 - 1})").collect()
+    }
+    // a missing table surfaces as analysis-time TABLE_OR_VIEW_NOT_FOUND
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gcat.nope").collect()
+    }
+  }
+
   test("dates and timestamps survive the codec") {
     import spark.implicits._
     val dir = tmpDir()
