@@ -25,24 +25,34 @@ package object ext {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Tokenize a text column and explode, with an exchange BETWEEN the
-    * tokenizer projection and the Generate. Without the exchange, Catalyst
-    * collapses the projection into the generator input and the two regexes
-    * + split re-evaluate once per OUTPUT token row — a ~corpus-tokens/doc
-    * (30-50×) recompute blow-up (measured: q106's shingle variant of this
-    * mistake cost 120 s on 584 KB). With it, the regex work runs once per
-    * INPUT row, the shuffled payload is the token array (≈ the text
-    * itself), and explode reads a plain attribute from shuffle data. The
-    * repartition doubles as the parallelism guard for CPU-bound regex
-    * work over small scans (see [[ensureParallelism]]); at cluster scale
-    * the exchange is one extra array-payload shuffle — the standard price
-    * of materializing a reused derivation. */
+  /** Tokenize a text column, MATERIALIZE the token arrays (eager local
+    * checkpoint), then explode. Two properties this buys, both measured:
+    *
+    *   - the Generate's input is a plain attribute over materialized rows,
+    *     so the 2-regex + split tokenizer can never be inlined into (and
+    *     re-evaluated inside) any consumer — the q106 failure mode, where
+    *     the inlined shingler cost 146 s on 584 KB;
+    *   - consumers that walk the token stream MORE THAN ONCE (TF+DF+vocab
+    *     in q67, sketch pass + exact recount in q72/q85) read the cached
+    *     blocks instead of re-running the regexes per pass.
+    *
+    * A repartition-based variant (exchange between projection and explode)
+    * was measured 2× SLOWER than even the inlined form at sf0.1: Spark's
+    * round-robin repartition locally sorts whole rows for retry
+    * determinism, and separate actions (collect passes) rebuild the
+    * exchange. The checkpoint is one memory-speed write of ≈corpus bytes
+    * and is the same persist-before-reuse boundary as
+    * [[graft.ext.Dedup.nearDupPairs]]'s signature cache; at cluster scale
+    * this is "write the tokenized corpus to the cache tier once, run every
+    * downstream pass against it". Parallelism is preserved from the scan
+    * ([[ensureParallelism]] first, so the regex work spreads across cores
+    * even for a one-file input). */
   def explodedTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
       as: String = "token", keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    df.select(keep.map(col) :+ tokens(normText(col(textCol))).as("__toks"): _*)
-      .repartition(target)
-      .select(keep.map(col) :+ explode(col("__toks")).as(as): _*)
+    val toks = ensureParallelism(df)
+      .select(keep.map(col) :+ tokens(normText(col(textCol))).as("__toks"): _*)
+      .localCheckpoint(true)
+    toks.select(keep.map(col) :+ explode(col("__toks")).as(as): _*)
   }
 
   /** Deterministic 60-bit positive hash from md5 — portable across engines. */
