@@ -239,6 +239,37 @@ object ExtQueries {
             |  count(*) OVER (PARTITION BY cluster_id) AS n_members
             |FROM comp""".stripMargin))
 
+  // ------------------------------------------- near-dup components (Large/Small-Star)
+  /** The SAME clustering as q86 computed by a structurally different
+    * distributed algorithm — [[graft.operators.Graph.connectedComponentsStars]]
+    * (Kiveris et al. SoCC '14 edge rewriting, O(log n) rounds independent
+    * of diameter) instead of min-label propagation — and hash-checked
+    * against the SAME recursive-CTE oracle. Three independent formulations
+    * of one fixpoint (label loop, star rewriting, declarative transitive
+    * closure) must collide on every row; GraphSpec additionally proves the
+    * two Spark algorithms agree on adversarial shapes (long chains) the
+    * dedup graph never produces. */
+  val q110ComponentsStars = QuerySpec(
+    "q110_components_stars", "EXT-dedup-components-stars",
+    "near-dup components via Large-Star/Small-Star edge rewriting (q86's oracle)",
+    (s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val mutated = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(tokens(col("text")), 2, 1000000)).as("text"))
+      val corpus = base.unionByName(mutated)
+      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, shingleN = 3, minJaccard = 0.3)
+      try {
+        graft.operators.Graph.connectedComponentsStars(
+            corpus.select(col("doc_id").as("id")),
+            pairs.select(col("id1").as("src"), col("id2").as("dst")))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      } finally pairs.unpersist(blocking = false)
+    },
+    q86Components.oracle) // byte-identical contract: the algorithms must agree
+
   // ---------------------------------------------------------------- cluster-based curation
   /** The decision a dedup pipeline actually ships: per near-dup CLUSTER,
     * keep the highest-quality member, drop the rest — connected components
@@ -860,5 +891,5 @@ object ExtQueries {
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
     q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash,
     q101ClusterCuration, q104Chunking, q105Packing, q106Decontaminate,
-    q108DecontaminateK)
+    q108DecontaminateK, q110ComponentsStars)
 }

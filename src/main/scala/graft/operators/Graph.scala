@@ -86,4 +86,89 @@ object Graph {
       labels.select("id", "cluster_id")
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  /** Connected components by Large-Star / Small-Star EDGE REWRITING
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC '14) — the alternative to
+    * [[connectedComponents]]'s label propagation for HIGH-DIAMETER graphs.
+    *
+    * Instead of carrying a (vertex → label) frame and joining it against
+    * the edges every iteration, each round REWRITES the edge set itself:
+    *
+    *   - large-star: every node u connects its LARGER neighbors to
+    *     m = min(Γ(u) ∪ {u})   — emit (v, m) for v ∈ Γ(u), v > u;
+    *   - small-star: orient edges toward the larger endpoint, then every
+    *     node u connects its smaller neighbors AND ITSELF to
+    *     m = min(Γ≤(u) ∪ {u}) — emit (w, m) for w ∈ Γ≤(u) ∪ {u}, w ≠ m.
+    *
+    * Each operation is one aggregation + one co-partitioned join on the
+    * CURRENT edge set — no vertex-table join — and the edge set contracts
+    * toward star graphs centered at component minima in O(log n) rounds
+    * regardless of diameter (label propagation needs O(diameter) without
+    * pointer jumping, and its jump join still touches every vertex every
+    * iteration). At 100 TB-scale graphs the shuffle volume per round is
+    * the (shrinking) edge set — the better trade when edges ≪ vertices ×
+    * iterations, i.e. sparse wide graphs.
+    *
+    * Convergence = the canonical edge multiset reaches a fixed point,
+    * detected by (count, xxhash64-sum) — two scalars per round, no
+    * edge-set diff join. The same per-round `localCheckpoint` discipline
+    * as the label loop applies (each round references the previous edge
+    * frame 2-3×; an uncheckpointed plan grows exponentially). */
+  def connectedComponentsStars(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val session = vertices.sparkSession
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    try {
+      session.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prevParts.toInt).toString)
+      // canonical orientation (bigger, smaller); self loops dropped
+      var e = edges
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
+
+      def signature(df: DataFrame): (Long, Long) = {
+        // bit_xor fold: order-independent, overflow-free (ANSI-safe) edge-set
+        // fingerprint; distinct() upstream guarantees multiset == set
+        val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+
+      var sig = signature(e)
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        // large-star over the SYMMETRIZED neighborhood
+        val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        val mFull = sym.groupBy("src").agg(min("dst").as("_mn"))
+          .select(col("src"), least(col("src"), col("_mn")).as("m"))
+        val large = sym.filter(col("dst") > col("src"))
+          .join(mFull, "src")
+          .select(col("dst").as("src"), col("m").as("dst")) // v > u ≥ m ⇒ no self loop
+          .distinct()
+          .localCheckpoint(true)
+        // small-star over the larger-endpoint orientation (already canonical)
+        val mSmall = large.groupBy("src").agg(min("dst").as("m"))
+        val small = large.join(mSmall, "src")
+          .select(col("dst").as("src"), col("m").as("dst")) // smaller nbr → m
+          .filter(col("src") =!= col("dst"))
+          .unionByName(mSmall.select(col("src"), col("m").as("dst"))) // u itself → m
+          .distinct()
+          .localCheckpoint(true)
+        val nextSig = signature(small)
+        converged = nextSig == sig
+        sig = nextSig
+        e = small
+        iter += 1
+      }
+      // converged edges are stars (child, component-min); min vertices and
+      // isolated vertices label themselves
+      vertices.select(col("id")).distinct()
+        .join(e.groupBy(col("src").as("id")).agg(min("dst").as("_m")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("_m"), col("id")).as("cluster_id"))
+        .localCheckpoint(true)
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }

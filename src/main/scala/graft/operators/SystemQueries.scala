@@ -58,10 +58,19 @@ object SystemQueries {
 
   /** M1-M4 capability on the driver testdata: gradient-boosted classifier
     * over aggregated order features (has-urgent-order label), distributed
-    * train + predict. Not SQL-expressible → rows-only check. */
+    * train + predict.
+    *
+    * The model isn't SQL-expressible and the seeded randomSplit is a Spark
+    * sampler (not reproducible in DuckDB), so per-row predictions stay out
+    * of the contract; the output carries the EXACT feature-table size
+    * (oracle-recomputable) plus booleans pinning the pipeline guarantees:
+    * the split partitions the features exactly, predictions stay in the
+    * binary label domain, and test accuracy clears 0.60 — comfortably above
+    * the majority-class rate, so a silently broken feature column or a
+    * degenerate model flips it. Oracle emits TRUE literals (q46 pattern). */
   val q36MlGbt = QuerySpec(
     "q36_ml_gbt", "M1 M2 M3 M4",
-    "GBT pipeline: assemble features, randomSplit, fit, batch predict",
+    "GBT pipeline: assemble, randomSplit, fit, predict — invariants bound-checked",
     (s, d) => {
       val orders = Tables.orders(s, d)
       val feats = orders.groupBy("o_custkey").agg(
@@ -79,11 +88,23 @@ object SystemQueries {
           .setMaxDepth(2).setMaxIter(5).setStepSize(0.1).setSeed(2)))
       val Array(train, test) = feats.randomSplit(Array(0.7, 0.3), seed = 2)
       val model = pipe.fit(train)
-      model.transform(test)
+      // confusion matrix is tiny (≤ 4 cells) — bounded collect, q85 pattern
+      val cm = model.transform(test)
         .groupBy(col("prediction"), col("has_urgent"))
         .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+      val nTest = cm.values.sum
+      val nTrain = train.count()
+      val correct = cm.collect { case ((p, l), n) if p == l => n }.sum
+      import s.implicits._
+      Seq((nTrain + nTest,
+        cm.keys.map(_._1).forall(p => p == 0.0 || p == 1.0),
+        nTest > 0L && correct.toDouble / nTest >= 0.60))
+        .toDF("n_features", "preds_binary", "accuracy_ok")
     },
-    None)
+    Some("""SELECT count(DISTINCT o_custkey) AS n_features,
+           |  TRUE AS preds_binary, TRUE AS accuracy_ok
+           |FROM orders""".stripMargin))
 
   /** DataSourceV2 surface: the engine's own `graft-synth` source
     * ([[graft.sources.v2.SynthSource]]) — zero-storage deterministic row
@@ -399,11 +420,20 @@ object SystemQueries {
     * codegen expression, no UDF / ML runtime per row), then counted per
     * cell. This is the index-maintenance half of streaming ANN: assignments
     * can be appended straight into the cell-partitioned posting layout that
-    * `Ivf.save` defines. KMeans makes it rows-only; the spec proves the
-    * streaming assignment equals the batch model's predictions. */
+    * `Ivf.save` defines.
+    *
+    * KMeans cell IDS aren't SQL-expressible, so (q45's pattern) the cell
+    * histogram stays out of the oracle contract: the output carries the
+    * EXACT vector count (oracle-recomputable) plus booleans pinning the
+    * guarantees — every vector assigned exactly once, cell domain within
+    * [0, 16), and the streaming histogram EQUAL to the batch model's
+    * `transform` histogram (the codegen [[graft.ext.Ivf.assignCell]] must
+    * reproduce the ML-runtime prediction bit-for-bit; a tie-break or
+    * distance-arithmetic drift flips it). The oracle emits TRUE literals —
+    * a silent assignment regression fails the hash. */
   val q84StreamIvf = QuerySpec(
     "q84_stream_ivf", "EXT-sim-ivf-streaming",
-    "streaming IVF cell assignment against batch-fit centroids",
+    "streaming IVF cell assignment against batch-fit centroids, equality-checked",
     (s, d) => withStatePartitions(s, 8) {
       val index = graft.ext.Ivf.build(Tables.embeddings(s, d), numCells = 16)
       val centroids = index.model.clusterCenters.zipWithIndex
@@ -416,9 +446,20 @@ object SystemQueries {
       val assigned = stream
         .select(col("vec_id"), graft.ext.Ivf.assignCell(col("embedding"), centroids).as("cell"))
         .groupBy("cell").agg(count(lit(1)).as("n"))
-      EventsPipeline.runToMemoryTable(s, assigned, "q84_out").orderBy("cell")
+      val streamHist = EventsPipeline.runToMemoryTable(s, assigned, "q84_out")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ numCells rows
+      val batchHist = index.assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nVectors = streamHist.values.sum
+      import s.implicits._
+      Seq((nVectors,
+        streamHist.keys.forall(c => c >= 0 && c < 16),
+        streamHist == batchHist))
+        .toDF("n_vectors", "cells_in_range", "stream_matches_batch")
     },
-    None)
+    Some("""SELECT count(*) AS n_vectors, TRUE AS cells_in_range,
+           |  TRUE AS stream_matches_batch
+           |FROM embeddings""".stripMargin))
 
   /** §2.6 [EXT]: REAL stream-stream watermarked interval join run to
     * completion over the events file stream — oracle is the same SQL as the

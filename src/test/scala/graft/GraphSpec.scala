@@ -67,6 +67,46 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(plain.values.groupBy(identity).map(_._2.size).max > n / 2)
   }
 
+  test("large-star/small-star labels every shape to the component min") {
+    import spark.implicits._
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val vertices = Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 22L, 30L).toDF("id")
+    val got = labelsOf(Graph.connectedComponentsStars(vertices, edges))
+    assert(got === Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L))
+  }
+
+  test("large-star/small-star closes a 200-node chain in O(log n) rounds") {
+    import spark.implicits._
+    val n = 200
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val vertices = (0L until n).toDF("id")
+    // a 200-diameter chain needs ~200 label-propagation iterations; the
+    // edge-rewriting form must land inside a log-ish round budget
+    val got = labelsOf(Graph.connectedComponentsStars(vertices, edges, maxIters = 12))
+    assert(got.values.toSet === Set(0L), got.filter(_._2 != 0L).take(5).toString)
+  }
+
+  test("large-star/small-star agrees with label propagation on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 2000
+    val edges = (0 until 2500)
+      .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val vertices = (0L until n.toLong).toDF("id")
+    val stars = labelsOf(Graph.connectedComponentsStars(vertices, edges, maxIters = 30))
+    val labels = labelsOf(Graph.connectedComponents(vertices, edges, maxIters = 50))
+    assert(stars === labels)
+  }
+
   test("edge direction is irrelevant (symmetrized internally)") {
     import spark.implicits._
     val fwd = Seq((5L, 1L), (1L, 9L)).toDF("src", "dst")
