@@ -444,6 +444,62 @@ object ExtQueries {
            |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
            |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin))
 
+  // ------------------------------------------------------- semantic dedup clusters
+  /** End-to-end SEMANTIC dedup — the embedding-space counterpart of the
+    * q27→q86 text pipeline: sign-random-projection LSH buckets (q31's
+    * md5-derived hyperplanes, so the bucketing is oracle-reproducible) →
+    * bucket-local candidate join (never all-pairs: the join key is the
+    * 8-bit bucket, ~n²/256 of the cartesian) → exact-cosine verification
+    * at ≥ 0.25 → Large-Star/Small-Star components. At 100 TB this is the
+    * standard SemDeDup-style shape: narrow signatures, one bucket-keyed
+    * shuffle, cosine math only inside buckets, then a component pass over
+    * the (tiny) verified-pair graph. The oracle rebuilds the whole chain
+    * — planes, buckets, pairs, cosine filter, recursive-CTE components —
+    * so bucketing, verification and clustering are all hash-checked. */
+  val q111SemanticClusters = QuerySpec(
+    "q111_semantic_clusters", "EXT-dedup-semantic",
+    "semantic near-dup clusters: LSH buckets → cosine≥0.25 pairs → components",
+    (s, d) => {
+      val withB = Similarity.withLshBucket(emb(s, d), numPlanes = 8, dims = 64)
+        .select(col("vec_id"), col("lsh_bucket"), col("embedding").cast("array<double>").as("e"))
+        .localCheckpoint(true) // hyperplane projections once; both join sides reuse
+      val pairs = withB.select(col("vec_id").as("id1"), col("lsh_bucket"), col("e").as("e1"))
+        .join(withB.select(col("vec_id").as("id2"), col("lsh_bucket"), col("e").as("e2")),
+          Seq("lsh_bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(Similarity.cosine(col("e1"), col("e2")), 4).as("cos"))
+        .filter(col("cos") >= 0.25)
+      graft.operators.Graph.connectedComponentsStars(
+          withB.select(col("vec_id").as("id")),
+          pairs.select(col("id1").as("src"), col("id2").as("dst")))
+        .select(col("id").as("vec_id"), col("cluster_id"))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+    },
+    Some("""WITH RECURSIVE planes AS (
+           |  SELECT list_transform(generate_series(0, 7), p ->
+           |    list_transform(generate_series(0, 63), d ->
+           |      CASE WHEN CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), ':', CAST(d AS VARCHAR))), 1, 15)) AS BIGINT) & 1 = 1
+           |           THEN 1.0 ELSE -1.0 END)) AS pl),
+           |b AS (SELECT vec_id, embedding,
+           |    list_aggregate(list_transform(pl, plane ->
+           |      CASE WHEN list_dot_product(embedding::DOUBLE[], plane) > 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+           |  FROM embeddings CROSS JOIN planes),
+           |pairs AS (SELECT a.vec_id AS id1, b2.vec_id AS id2
+           |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+           |  WHERE round(list_dot_product(a.embedding::DOUBLE[], b2.embedding::DOUBLE[])
+           |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           |         * sqrt(list_dot_product(b2.embedding::DOUBLE[], b2.embedding::DOUBLE[]))), 4) >= 0.25),
+           |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           |  UNION ALL SELECT id2, id1 FROM pairs),
+           |reach AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+           |  UNION
+           |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           |comp AS (SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+           |SELECT vec_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+           |FROM comp""".stripMargin))
+
   // ---------------------------------------------------------------- chunking
   /** RAG/context-window chunking: each document splits into overlapping
     * token windows (size 32, stride 24 → 8-token overlap), the op every
@@ -891,5 +947,5 @@ object ExtQueries {
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
     q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash,
     q101ClusterCuration, q104Chunking, q105Packing, q106Decontaminate,
-    q108DecontaminateK, q110ComponentsStars)
+    q108DecontaminateK, q110ComponentsStars, q111SemanticClusters)
 }
