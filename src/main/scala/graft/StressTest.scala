@@ -45,6 +45,26 @@ object StressTest {
         .filter(col("id") =!= col("cluster_id")).count())
     println(s"[stress] docs assigned to another cluster: $clusters")
 
+    // CC algorithm face-off on a HIGH-DIAMETER graph (the shape where the
+    // two algorithms genuinely differ): one chain of length `mult*10000`
+    // plus the random near-clique edges above. Label propagation needs
+    // O(diameter) iterations (pointer jumping: O(log d) but re-joins the
+    // full vertex set every round); star rewriting shuffles only the
+    // shrinking edge set.
+    {
+      val chainN = mult * 10000L
+      val verts = spark.range(chainN).select(col("id"))
+      val chain = spark.range(chainN - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val jumped = time("chain CC: label prop + pointer jumping")(
+        operators.Graph.connectedComponents(verts, chain, maxIters = 40, shortcut = true)
+          .filter(col("cluster_id") =!= 0L).count())
+      val stars = time("chain CC: large-star/small-star")(
+        operators.Graph.connectedComponentsStars(verts, chain, maxIters = 40)
+          .filter(col("cluster_id") =!= 0L).count())
+      println(s"[stress] unconverged labels — jumped: $jumped, stars: $stars (0 = fully converged)")
+    }
+
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val embBig = emb.crossJoin(copies)
       .select((col("vec_id") + col("copy") * 1000000).as("vec_id"), col("embedding"))
