@@ -237,6 +237,40 @@ object SystemQueries {
            |SELECT CAST(2 AS INT), count(*), CAST(sum(n_nationkey) AS BIGINT), min(n_name)
            |FROM nation""".stripMargin))
 
+  /** graft-store as a STREAMING SOURCE (the table-format half of q93's
+    * streaming SINK): two commits build the table, then a `readStream`
+    * tails the snapshot log — each micro-batch is the file DIFF between
+    * manifests (see [[graft.sources.v2.GraftStoreMicroBatchStream]]), so
+    * history replays incrementally with no directory diffing. The replayed
+    * rows aggregate to exactly the table's content; the oracle rebuilds
+    * that from the original parquet, so a source that dropped, duplicated
+    * or re-emitted files across offsets breaks the hash. Live-append
+    * incrementality (rows arriving AFTER stream start) is GraftStoreSpec's
+    * streaming-source test. */
+  val q112StoreStream = QuerySpec(
+    "q112_store_stream", "S-dsv2-stream-source",
+    "graft-store streaming source: snapshot-tail replay aggregates to table content",
+    (s, d) => withStatePartitions(s, 8) {
+      val path = "/tmp/graft_store_q112"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      nat.filter(col("n_regionkey") <= 1)
+        .write.format("graft-store").mode("append").save(path)
+      nat.filter(col("n_regionkey") >= 2)
+        .write.format("graft-store").mode("append").save(path)
+      val stream = s.readStream.format("graft-store").load(path)
+      EventsPipeline.runToMemoryTable(s, stream, "q112_out",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), sum("n_nationkey").as("sum_key"),
+          min("n_name").as("first_name"))
+    },
+    Some("""SELECT n_regionkey, count(*) AS n,
+           |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key, min(n_name) AS first_name
+           |FROM nation GROUP BY 1""".stripMargin))
+
   /** Scan-level lineage via the hidden `_metadata` struct: which input FILE
     * produced each row, plus the within-file `row_index` — the debugging
     * surface for 100 TB jobs ("which of the million files holds the bad
@@ -491,5 +525,5 @@ object SystemQueries {
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
-    q109SqlTimeTravel)
+    q109SqlTimeTravel, q112StoreStream)
 }

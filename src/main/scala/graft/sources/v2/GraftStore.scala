@@ -303,7 +303,7 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `pinned` carries snapshot options resolved at catalog loadTable time
@@ -569,6 +569,72 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(manifest.schema, required, conf)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftStoreMicroBatchStream(path, manifest.schema, required, conf)
+}
+
+/** Streaming offset = snapshot SEQUENCE NUMBER (-1 = before the first
+  * snapshot). Total order, restart-safe (the seq is durable in manifest
+  * names), and trivially JSON-serializable for the checkpoint log. */
+private[v2] case class GraftSnapshotOffset(seq: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = seq.toString
+}
+
+/** graft-store as a STREAMING SOURCE: each micro-batch reads the data
+  * files ADDED between two snapshots — incremental snapshot tailing, the
+  * Delta-style "table as a stream" surface, built directly on the
+  * manifest log:
+  *
+  *   - offsets are snapshot seqs; every manifest is a full file listing,
+  *     so batch (s, e] = files(e) ∖ files(s) — computed from two manifest
+  *     reads, no file-system diffing or notification service;
+  *   - exactly-once: offsets are committed to the sink's checkpoint, and
+  *     a replanned batch (s, e] always yields the same file set (manifests
+  *     are immutable) — deterministic replay at the file level;
+  *   - appends stream naturally. An OVERWRITE emits its (entirely new)
+  *     files and the replaced rows are NOT retracted — append-mode
+  *     semantics, the same contract as Delta's streaming reads without
+  *     `readChangeData`. Schema is pinned at stream start (the append
+  *     guard keeps it stable; streaming across a schema-changing
+  *     overwrite is unsupported);
+  *   - expireSnapshots past an active stream's committed offset makes the
+  *     start manifest unreadable — the stream then conservatively
+  *     re-emits the full end snapshot (at-least-once under vacuum, the
+  *     standard retention/streaming interaction; keep retention longer
+  *     than stream lag). */
+private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
+    required: StructType, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def manifests = GraftStoreFormat.listManifests(path, conf.value)
+
+  override def initialOffset(): Offset = GraftSnapshotOffset(-1L)
+  override def latestOffset(): Offset = GraftSnapshotOffset(
+    manifests.lastOption.map(GraftStoreFormat.manifestSeq).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    GraftSnapshotOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftSnapshotOffset].seq
+    val e = end.asInstanceOf[GraftSnapshotOffset].seq
+    if (e <= s) return Array.empty
+    val ms = manifests
+    def filesAt(seq: Long): Set[String] =
+      ms.find(p => GraftStoreFormat.manifestSeq(p) == seq)
+        .map(p => GraftStoreFormat.readManifestFile(path, conf.value, p).files.map(_.name).toSet)
+        .getOrElse(Set.empty)
+    val added = (filesAt(e) -- (if (s < 0) Set.empty[String] else filesAt(s))).toSeq.sorted
+    added.map(n => GraftFilePartition(new Path(path, n).toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStoreReaderFactory(full, required, conf)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Table-maintenance surface for graft-store snapshots — the ops half of

@@ -243,6 +243,34 @@ class GraftStoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming source: snapshots tail incrementally across live appends") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, Some("a"), Some(1.0), true), (2L, Some("b"), Some(2.0), false))
+      .toDF("id", "name", "score", "flag")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val q = spark.readStream.format("graft-store").load(dir)
+      .writeStream.format("memory").queryName("gs_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gs_tail").count() === 2)
+      // a LIVE append after the stream started must arrive incrementally
+      Seq((3L, Some("c"), Some(3.0), true)).toDF("id", "name", "score", "flag")
+        .write.format("graft-store").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("gs_tail").orderBy("id").select("id").as[Long].collect().toSeq
+        === Seq(1L, 2L, 3L))
+      // second append: only the delta is re-read (no duplicate old rows)
+      Seq((4L, Some("d"), Option.empty[Double], false)).toDF("id", "name", "score", "flag")
+        .write.format("graft-store").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("gs_tail").count() === 4)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("gs_tail")
+    }
+  }
+
   test("dates and timestamps survive the codec") {
     import spark.implicits._
     val dir = tmpDir()
