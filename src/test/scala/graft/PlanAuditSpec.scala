@@ -61,6 +61,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q111: semantic-dedup candidate join is bucket-keyed, never a cartesian") {
+    // q111's final plan is the (already-materialized) component window; the
+    // join shape to pin is the candidate-pair stage, built here exactly as
+    // the query builds it
+    import org.apache.spark.sql.functions._
+    val withB = graft.ext.Similarity
+      .withLshBucket(Tables.embeddings(spark, d), numPlanes = 8, dims = 64)
+      .select(col("vec_id"), col("lsh_bucket"), col("embedding").cast("array<double>").as("e"))
+    val pairs = withB.select(col("vec_id").as("id1"), col("lsh_bucket"), col("e").as("e1"))
+      .join(withB.select(col("vec_id").as("id2"), col("lsh_bucket"), col("e").as("e2")),
+        Seq("lsh_bucket"))
+      .filter(col("id1") < col("id2"))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("lsh_bucket"), "join must key on the LSH bucket")
+  }
+
+  test("q108: thresholded decontamination reads the checkpointed shingles (no re-shingling)") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val qe = SparkEntry.queries("q108_decontaminate_k")(spark, d).queryExecution
+    assert(qe.optimizedPlan.toString.contains("LogicalRDD"))
+    qe.optimizedPlan.collect { case g: Generate => g }.foreach { g =>
+      g.generator.children.foreach(c => assert(c.isInstanceOf[AttributeReference], c.sql))
+    }
+  }
+
   test("q61: struct build+access collapses to plain column references") {
     val p = optimized("q61_struct")
     assert(!p.contains("named_struct"), p.take(2000))
