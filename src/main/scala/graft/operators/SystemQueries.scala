@@ -323,6 +323,41 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 5000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** CLUSTERED write into the engine's own format: the `clusterBy` write
+    * option makes [[graft.sources.v2.GraftStore]] demand a hash distribution
+    * + in-partition sort on `source` via DSv2 `RequiresDistributionAndOrdering`
+    * — Spark plans the exchange, the writer just records per-file min/max
+    * STRING stats, and an equality predicate on the cluster column then
+    * prunes whole files at plan time (the q97 skipping mechanism extended to
+    * strings; empty partitions are dropped at the commit point). The query
+    * itself checks pruning honestly: `files_read` is the planned partition
+    * count of the filtered scan and must undercut the manifest's file count
+    * for `files_pruned` to hold; the aggregate is oracle-checked against the
+    * original parquet, so clustering must not lose/dup/corrupt rows either. */
+  val q113StoreClustered = QuerySpec(
+    "q113_store_clustered", "S-dsv2-clustered-write",
+    "clusterBy write: sink-required distribution + string-stat file pruning",
+    (s, d) => {
+      val path = "/tmp/graft_store_q113"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.documents(s, d)
+        .select("doc_id", "source", "lang", "n_chars")
+        .write.format("graft-store").option("clusterBy", "source")
+        .option("clusterFiles", "8") // pin file count: AQE would coalesce 500 rows to 1 file
+        .mode("overwrite").save(path)
+      val filesTotal = graft.sources.v2.GraftStoreOps.history(s, path).last._3
+      val filtered = s.read.format("graft-store").load(path)
+        .filter(col("source") === "src7")
+      val filesRead = filtered.rdd.getNumPartitions // = surviving files, plan-time
+      filtered.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .withColumn("files_pruned", lit(filesRead > 0 && filesRead < filesTotal))
+    },
+    Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  TRUE AS files_pruned
+           |FROM documents WHERE source = 'src7' GROUP BY lang""".stripMargin))
+
   /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
     * per-key table in graft-store — read current snapshot, merge the batch
     * (latest wins by event time, event_id tie-break), publish as a new
@@ -525,5 +560,5 @@ object SystemQueries {
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
-    q109SqlTimeTravel, q112StoreStream)
+    q109SqlTimeTravel, q112StoreStream, q113StoreClustered)
 }

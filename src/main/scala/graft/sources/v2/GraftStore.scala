@@ -123,13 +123,37 @@ private[v2] object GraftStoreFormat {
       .filter(_.getName.startsWith("_manifest-")).sortBy(_.getName).toSeq
   }
 
+  /** Stat values are percent-encoded so STRING min/max can ride the same
+    * `i:mn:mx|...` wire format as numerics: the five structural bytes
+    * (`%`, `:`, `|`, tab, newline/CR) become %XX. Numeric stats contain
+    * none of them, so pre-string manifests decode unchanged (decoding a
+    * plain number is the identity). */
+  private def escStat(v: String): String = v.flatMap {
+    case c @ ('%' | ':' | '|' | '\t' | '\n' | '\r') => f"%%${c.toInt}%02X"
+    case c => c.toString
+  }
+  private def unescStat(v: String): String = {
+    if (!v.contains('%')) return v
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '%' && i + 2 < v.length) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   def statsToString(stats: Map[Int, (String, String)]): String =
-    stats.toSeq.sortBy(_._1).map { case (i, (mn, mx)) => s"$i:$mn:$mx" }.mkString("|")
+    stats.toSeq.sortBy(_._1)
+      .map { case (i, (mn, mx)) => s"$i:${escStat(mn)}:${escStat(mx)}" }.mkString("|")
 
   def statsFromString(s: String): Map[Int, (String, String)] =
     if (s == null || s.isEmpty) Map.empty
     else s.split('|').map { part =>
-      val Array(i, mn, mx) = part.split(':'); i.toInt -> (mn, mx)
+      // limit -1 keeps empty min/max fields (an empty string is a valid stat)
+      val Array(i, mn, mx) = part.split(":", -1)
+      i.toInt -> (unescStat(mn), unescStat(mx))
     }.toMap
 
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
@@ -322,17 +346,49 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(),
-      SparkSession.active.sparkContext.hadoopConfiguration, truncate = false)
+      SparkSession.active.sparkContext.hadoopConfiguration, truncate = false,
+      clusterBy = Option(info.options.get("clusterBy"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty),
+      clusterFiles = Option(info.options.get("clusterFiles")).map(_.toInt).getOrElse(0))
 }
 
 // ------------------------------------------------------------------- write
 
+/** `clusterBy` (write option, comma-separated columns) turns a write into a
+  * RANGE-CLUSTERED write via DSv2 [[RequiresDistributionAndOrdering]]: the
+  * sink demands an ORDERED distribution + in-partition sort on the cluster
+  * keys, and Spark itself plans the range exchange (sampled boundaries,
+  * AQE-sized) before rows reach the writer — the engine declares WHAT
+  * layout it needs and Catalyst owns HOW. Files then hold DISJOINT sorted
+  * key ranges (a hash-clustered layout would leave every file's [min,max]
+  * spanning the key space, pruning nothing), so the manifest skipper
+  * prunes equality / range / IN predicates on the cluster columns down to
+  * the few files that actually hold them — Hive-style partition pruning
+  * without the directory-per-value small-files explosion: low-cardinality
+  * neighbours share a file, and stats, not paths, carry the pruning
+  * information.
+  *
+  * File sizing: by default the exchange is AQE-sized (at toy volumes AQE
+  * coalesces everything into ONE file — correct for the data size, useless
+  * for demonstrating pruning); `clusterFiles=N` pins the partition count
+  * via `requiredNumPartitions`, the knob a production table sets from its
+  * target file size instead. */
 private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
-    conf: Configuration, truncate: Boolean)
+    conf: Configuration, truncate: Boolean, clusterBy: Array[String] = Array.empty,
+    clusterFiles: Int = 0)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftStoreWriteBuilder(path, schema, conf, truncate = true)
-  override def build(): Write = new Write {
+    new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy, clusterFiles)
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+    private def orders: Array[SortOrder] =
+      clusterBy.map(c => Expressions.sort(
+        Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+    override def requiredDistribution(): Distribution =
+      if (clusterBy.isEmpty) Distributions.unspecified() else Distributions.ordered(orders)
+    override def requiredOrdering(): Array[SortOrder] = orders
+    override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(path, schema, conf, truncate)
   }
@@ -361,7 +417,12 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     * live and are referenced unchanged by whichever attempt lands. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = GraftStoreFormat.fs(path, conf)
-    val committed = messages.map(_.asInstanceOf[GraftCommitMessage]).toSeq
+    // empty task files are dropped at the commit point (their bytes die with
+    // _tmp below): a clustered/skewed write leaves empty partitions, and an
+    // empty file has no stats, so it could NEVER be pruned — committing it
+    // would tax every future scan with a guaranteed-useless file open
+    val committed = messages.map(_.asInstanceOf[GraftCommitMessage])
+      .filter(_.rows > 0L).toSeq
     committed.foreach { m =>
       fs.rename(new Path(tmpDir, m.file), new Path(path, m.file))
     }
@@ -417,12 +478,15 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
 
   // per-file min/max stats, tracked inline while writing (free: the row is
   // already decoded). Integral types in exact Long math; floating in Double
-  // with NaN poisoning the column's stats (skipping must stay conservative).
+  // with NaN poisoning the column's stats (skipping must stay conservative);
+  // strings in UTF8 BINARY order (the same order the skipper compares in).
   private val n = schema.length
   private val lMin = Array.fill(n)(Long.MaxValue)
   private val lMax = Array.fill(n)(Long.MinValue)
   private val dMin = Array.fill(n)(Double.PositiveInfinity)
   private val dMax = Array.fill(n)(Double.NegativeInfinity)
+  private val sMin = new Array[UTF8String](n)
+  private val sMax = new Array[UTF8String](n)
   private val seen = new Array[Boolean](n)
   private val sawNaN = new Array[Boolean](n)
 
@@ -444,6 +508,12 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
           else {
             if (v < dMin(i)) dMin(i) = v; if (v > dMax(i)) dMax(i) = v; seen(i) = true
           }
+        case StringType =>
+          // clone: an UnsafeRow's UTF8String points into a reused buffer
+          val v = record.getUTF8String(i)
+          if (sMin(i) == null || v.compareTo(sMin(i)) < 0) sMin(i) = v.clone()
+          if (sMax(i) == null || v.compareTo(sMax(i)) > 0) sMax(i) = v.clone()
+          seen(i) = true
         case _ => ()
       }
       i += 1
@@ -458,6 +528,14 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
           Some(i -> (lMin(i).toString, lMax(i).toString))
         case DoubleType | FloatType =>
           Some(i -> (dMin(i).toString, dMax(i).toString))
+        case StringType =>
+          // long strings are dropped rather than truncated: a truncated MAX
+          // is not an upper bound (Iceberg solves this by incrementing the
+          // last byte; a 64-char cap keeps manifests small with no such
+          // subtlety — skipping just degrades to "may match")
+          if (sMin(i).numChars <= 64 && sMax(i).numChars <= 64)
+            Some(i -> (sMin(i).toString, sMax(i).toString))
+          else None
         case _ => None
       }
     }.toMap
@@ -527,6 +605,23 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
         }
         case Some((mn, mx, DoubleType | FloatType)) => v match {
           case num: java.lang.Number => dblOk(mn.toDouble, mx.toDouble, num.doubleValue())
+          case _ => true
+        }
+        case Some((mn, mx, StringType)) => v match {
+          // compare in UTF8 BINARY order — the exact order the writer
+          // tracked min/max in (UTF8String.compareTo), NOT Java's UTF-16
+          // code-unit order, which diverges on supplementary characters.
+          // The Long comparator is reused by collapsing the string ordering
+          // to sign space: with x' = 0, mn' = sign(mn - x), mx' = sign(mx - x),
+          // every order relation r satisfies (x' r mn') ⇔ (x r mn) and
+          // (x' r mx') ⇔ (x r mx) — and longOk only ever compares x against
+          // the bounds, never the bounds against each other.
+          case str: String =>
+            val x = UTF8String.fromString(str)
+            longOk(
+              math.signum(UTF8String.fromString(mn).compareTo(x)).toLong,
+              math.signum(UTF8String.fromString(mx).compareTo(x)).toLong,
+              0L)
           case _ => true
         }
         case _ => true

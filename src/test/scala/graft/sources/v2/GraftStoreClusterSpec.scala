@@ -1,0 +1,100 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Range-clustered graft-store writes (`clusterBy`): the sink demands an
+  * ordered distribution + sort via DSv2 RequiresDistributionAndOrdering, so
+  * files hold disjoint sorted key ranges and the manifest's min/max stats —
+  * now including STRING stats — prune equality/range/IN predicates on the
+  * cluster column to the few files that hold them. */
+class GraftStoreClusterSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-store-cluster").toString
+
+  // cluster-key values that exercise every structural byte of the stats
+  // wire format (`:` `|` tab newline `%`) — they must round-trip the
+  // manifest AND still prune
+  private val cats = Seq(
+    "ap:ple", "ban|ana", "cherry\tred", "date%20",
+    "elder\nberry", "fig", "grape", "kiwi")
+
+  test("stat serialization round-trips structural bytes exactly") {
+    val stats = Map(
+      0 -> ("a:b|c\td", "x%y\nz\r!"),
+      1 -> ("", "plain"),
+      2 -> ("-12.5", "99"))
+    val wire = GraftStoreFormat.statsToString(stats)
+    assert(!wire.contains('\t') && !wire.contains('\n') && !wire.contains('\r'),
+      s"structural bytes leaked into the wire form: $wire")
+    assert(GraftStoreFormat.statsFromString(wire) === stats)
+    // pre-string manifests (plain numeric stats) decode unchanged
+    assert(GraftStoreFormat.statsFromString("0:1:42|3:-2.5:7.25")
+      === Map(0 -> ("1", "42"), 3 -> ("-2.5", "7.25")))
+  }
+
+  test("clusterBy: disjoint file ranges, string-stat pruning, exact results") {
+    import spark.implicits._
+    val dir = tmpDir()
+    (0 until 800).map(i => (i.toLong, cats(i % 8))).toDF("id", "cat")
+      .write.format("graft-store")
+      .option("clusterBy", "cat").option("clusterFiles", "4")
+      .mode("overwrite").save(dir)
+    val all = spark.read.format("graft-store").load(dir)
+    assert(all.rdd.getNumPartitions === 4, "clusterFiles must pin the file count")
+    assert(all.count() === 800)
+
+    // equality on a cluster value prunes to fewer files, exact rows survive
+    val one = all.filter(col("cat") === "fig")
+    assert(one.rdd.getNumPartitions < 4,
+      s"expected pruning, planned ${one.rdd.getNumPartitions} of 4")
+    assert(one.count() === 100)
+
+    // a value carrying manifest-structural bytes prunes just the same
+    val evil = all.filter(col("cat") === "ban|ana")
+    assert(evil.rdd.getNumPartitions < 4)
+    assert(evil.count() === 100)
+    val tabbed = all.filter(col("cat") === "cherry\tred")
+    assert(tabbed.count() === 100)
+
+    // range predicate on the cluster key: only top-of-range files survive
+    val top = all.filter(col("cat") >= "kiwi")
+    assert(top.rdd.getNumPartitions < 4)
+    assert(top.count() === 100)
+
+    // nothing-matches prunes every file at plan time
+    val none = all.filter(col("cat") === "zzz")
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0)
+  }
+
+  test("empty partitions are dropped at the commit point") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // hash-repartition on a constant: 1 of 8 partitions holds every row
+    spark.range(0, 10).toDF("id").repartition(8, lit(0))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.rdd.getNumPartitions === 1, "7 empty task files must not be committed")
+    assert(back.count() === 10)
+  }
+
+  test("non-ASCII cluster keys: binary-order stats stay consistent with scans") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val words = Seq("zebra", "Ångström", "éclair", "愛", "apple")
+    (0 until 100).map(i => (i.toLong, words(i % 5))).toDF("id", "w")
+      .write.format("graft-store")
+      .option("clusterBy", "w").option("clusterFiles", "3")
+      .mode("overwrite").save(dir)
+    val all = spark.read.format("graft-store").load(dir)
+    // every value still fully readable — UTF8 binary min/max must never
+    // exclude a file that holds matching rows
+    words.foreach { w =>
+      assert(all.filter(col("w") === w).count() === 20, s"lost rows for $w")
+    }
+  }
+}
