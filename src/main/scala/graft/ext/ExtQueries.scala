@@ -698,6 +698,70 @@ object ExtQueries {
             |  coalesce(anyhit.n_dropped_any, 0) AS n_dropped_any
             |FROM tot JOIN cleank USING (source) LEFT JOIN anyhit USING (source)""".stripMargin))
 
+  // ------------------------------------------------- decontamination (streaming)
+  /** STREAMING decontamination: the corpus arrives as a stream and every
+    * micro-batch is scrubbed against a FIXED benchmark before it lands —
+    * the ingest-time formulation of q106 (decontaminate-on-arrival instead
+    * of a corpus-wide batch pass). Static side, built once: the benchmark's
+    * distinct 5-gram set plus a [[graft.operators.BloomPrune]] bloom over
+    * its hashes. Per batch (`foreachBatch`): shingle the batch (checkpointed
+    * once — the q106 lesson), explode, PRE-FILTER with the bloom's
+    * `might_contain` (a few-MB sketch broadcast as a scalar subquery kills
+    * ~99% of shingles before any join work), exact-verify survivors with a
+    * broadcast semi join (false positives die here, so results equal the
+    * batch rule exactly), anti-join the contaminated ids, count per source.
+    *
+    * Per-doc decisions depend only on the STATIC benchmark, so per-source
+    * counts sum associatively across batches — the output is identical for
+    * ANY batching of the stream, which is what lets the DuckDB oracle (the
+    * same SQL as q106) check a streaming pipeline hash-exactly. At 100 TB:
+    * the benchmark sketch rides the closure to every executor once; each
+    * arriving batch pays one narrow shingle+probe pass, no corpus-wide
+    * reshuffle, and clean batches append straight to the training store. */
+  val q114StreamDecontaminate = QuerySpec(
+    "q114_stream_decontaminate", "EXT-decontamination-streaming",
+    "foreachBatch decontamination: bloom pre-filter + exact semi join per arriving batch",
+    (s, d) => {
+      val (benchShingles, bloom) =
+        Decontamination.benchSide(docs(s, d), col("doc_id") % 50 === 0)
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(d)
+        .filter(col("doc_id") % 50 =!= 0) // the benchmark split never trains
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // ≤ #sources rows per batch — bounded collect, q85 pattern
+          Decontamination.scrubBatch(batch.toDF(), benchShingles, bloom)
+            .collect()
+            .foreach(r => acc.add((r.getString(0), r.getLong(1), r.getLong(2))))
+          ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toSeq.toDF("source", "n_clean", "n_train")
+        .groupBy("source")
+        .agg(sum("n_clean").as("n_clean"), sum("n_train").as("n_train"))
+        .select(col("source"), col("n_clean"), (col("n_train") - col("n_clean")).as("n_dropped"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, source, regexp_split_to_array($oNorm, '\\s+') AS tk
+            |  FROM documents),
+            |sh AS (SELECT doc_id, source, list_transform(generate_series(1, len(tk) - 4), i ->
+            |    concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])) AS s FROM n),
+            |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+            |train AS (SELECT doc_id, source, s FROM sh WHERE doc_id % 50 <> 0),
+            |contaminated AS (SELECT DISTINCT t.doc_id FROM train t, unnest(t.s) u(g)
+            |  WHERE g IN (SELECT g FROM bench)),
+            |clean AS (SELECT source, count(*) AS n_clean FROM train
+            |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated) GROUP BY source),
+            |tot AS (SELECT source, count(*) AS n_train FROM train GROUP BY source)
+            |SELECT source, coalesce(clean.n_clean, 0) AS n_clean,
+            |  tot.n_train - coalesce(clean.n_clean, 0) AS n_dropped
+            |FROM tot LEFT JOIN clean USING (source)""".stripMargin))
+
   // ---------------------------------------------------------------- feature hashing
   /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
     * feature space by hash, no vocabulary pass, no driver-side dictionary —
@@ -947,5 +1011,6 @@ object ExtQueries {
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,
     q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash,
     q101ClusterCuration, q104Chunking, q105Packing, q106Decontaminate,
-    q108DecontaminateK, q110ComponentsStars, q111SemanticClusters)
+    q108DecontaminateK, q110ComponentsStars, q111SemanticClusters,
+    q114StreamDecontaminate)
 }

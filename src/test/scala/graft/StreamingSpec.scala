@@ -98,6 +98,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(v0.select("user_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("streaming decontamination totals are independent of batching") {
+    import spark.implicits._
+    import graft.ext.Decontamination
+    val src = "/tmp/graft-stream-spec/decon-src"
+    val hp = new org.apache.hadoop.fs.Path(src)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // the real corpus split into 3 files -> 3 triggers with maxFilesPerTrigger=1
+    val docsAll = Tables.documents(spark, dir)
+    docsAll.filter(col("doc_id") % 3 === 0).coalesce(1).write.mode("append").parquet(src)
+    docsAll.filter(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(src)
+    docsAll.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(src)
+    val (benchShingles, bloom) =
+      Decontamination.benchSide(docsAll, col("doc_id") % 50 === 0)
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    var batches = 0
+    val stream = spark.readStream
+      .schema(docsAll.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .filter(col("doc_id") % 50 =!= 0)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1
+        Decontamination.scrubBatch(batch.toDF(), benchShingles, bloom)
+          .collect().foreach(r => acc.add((r.getString(0), r.getLong(1), r.getLong(2))))
+        ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches === 3, s"expected 3 triggers, got $batches")
+    import scala.jdk.CollectionConverters._
+    val streamed = acc.asScala.toSeq.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    // batch rule over the whole corpus at once — one "batch" of everything
+    val wholeCorpus = Decontamination
+      .scrubBatch(docsAll.filter(col("doc_id") % 50 =!= 0), benchShingles, bloom)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === wholeCorpus,
+      "per-batch scrub totals must sum to the whole-corpus batch rule")
+  }
+
   test("sessionize closes sessions on gap and aggregates within them") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
