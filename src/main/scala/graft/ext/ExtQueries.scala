@@ -762,6 +762,127 @@ object ExtQueries {
             |  tot.n_train - coalesce(clean.n_clean, 0) AS n_dropped
             |FROM tot LEFT JOIN clean USING (source)""".stripMargin))
 
+  // ---------------------------------------------------------------- span dedup
+  /** Sub-document duplicated-span detection — the C4-rule shape ("discard
+    * any span seen more than once in the corpus", Raffel et al. §2.2)
+    * adapted to fixed 8-token windows since the synthetic corpus has no
+    * sentence boundaries. Whole-doc dedup (q21) misses boilerplate shared
+    * BETWEEN otherwise-distinct documents; this flags it at span
+    * granularity: non-overlapping token windows per doc (row-local
+    * `sequence`+`slice`, q104's chunking idiom, no shuffle), span md5,
+    * then one hash-aggregation per span counting DISTINCT holding docs,
+    * joined back to score each doc's duplicated-span fraction.
+    *
+    * At 100 TB: the span table is corpus-sized, so the per-span doc count
+    * cannot broadcast — both sides shuffle on the span hash (the agg
+    * output is already hash-partitioned by `h`, so the join adds one
+    * exchange for the probe side only), and the final per-doc rollup is a
+    * second partial-aggregated shuffle. Nothing is quadratic; the spans
+    * are generated, hashed, counted and discarded without touching
+    * storage. The shingled frame is checkpointed once (the q106 lesson:
+    * never leave a regex-bearing generator input unmaterialized). */
+  val q115SpanDedup = QuerySpec(
+    "q115_span_dedup", "EXT-dedup-span",
+    "duplicated 8-token spans across the corpus: per-doc dup-span counts",
+    (s, d) => {
+      // tokenize ONCE before any explode (the q106 lesson): downstream the
+      // slice reads a materialized array attribute, never re-runs a regex
+      val toksDf = ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("n", size(col("toks")))
+        .select("doc_id", "toks", "n")
+        .localCheckpoint(true)
+      val spans = toksDf
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr("sequence(0, greatest(n - 1, 0), 8)")).as(Seq("span_id", "start")))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", expr("slice(toks, start + 1, 8)"))).as("h"))
+        .localCheckpoint(true) // narrow span table; count side + probe side reuse
+      val docsPerSpan = spans.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      spans.join(docsPerSpan, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |st AS (SELECT doc_id, tk,
+            |    unnest(generate_series(0, greatest(len(tk) - 1, 0), 8)) AS start FROM n),
+            |sp AS (SELECT doc_id, md5(array_to_string(tk[start + 1 : start + 8], ' ')) AS h
+            |  FROM st),
+            |dc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+            |SELECT doc_id, count(*) AS n_spans,
+            |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+            |FROM sp JOIN dc USING (h) GROUP BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- PII masking
+  /** PII/anonymization pass — the compliance step every dataset release
+    * runs before training, as the four standard treatments on the one
+    * table with person-shaped identifiers: SUPPRESSION (the embedded
+    * 9-digit customer id is masked to its last 3 digits —
+    * format-preserving, joinability destroyed), PSEUDONYMIZATION (a
+    * deterministic md5 pseudonym — stable across runs, so downstream
+    * joins on the pseudonym still work; GDPR-style), GENERALIZATION
+    * (account balance coarsened to $500 bands, the k-anonymity move for
+    * quasi-identifying numerics), and an AUDIT bit (regex detector for
+    * surviving ≥4-digit runs, proven true pre-mask / false post-mask row
+    * by row). All row-local codegen'd projections — no shuffle,
+    * scan-bound at any scale. */
+  val q116PiiMask = QuerySpec(
+    "q116_pii_mask", "EXT-pii-masking",
+    "anonymization pass: suppress, pseudonymize, generalize, audit leaks",
+    (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "#[0-9]{6}", "#XXXXXX").as("name_masked"),
+        md5(col("c_name")).as("name_pseudo"),
+        (floor(col("c_acctbal") / 500) * 500).cast("long").as("acctbal_band"),
+        col("c_nationkey"),
+        col("c_name").rlike("[0-9]{4}").as("leak_before"),
+        regexp_replace(col("c_name"), "#[0-9]{6}", "#XXXXXX")
+          .rlike("[0-9]{4}").as("leak_after")),
+    Some("""SELECT c_custkey,
+           |  regexp_replace(c_name, '#[0-9]{6}', '#XXXXXX') AS name_masked,
+           |  md5(c_name) AS name_pseudo,
+           |  CAST(floor(c_acctbal / 500) * 500 AS BIGINT) AS acctbal_band,
+           |  c_nationkey,
+           |  regexp_matches(c_name, '[0-9]{4}') AS leak_before,
+           |  regexp_matches(regexp_replace(c_name, '#[0-9]{6}', '#XXXXXX'),
+           |    '[0-9]{4}') AS leak_after
+           |FROM customer""".stripMargin))
+
+  // ---------------------------------------------------------------- mixing weights
+  /** Training-mixture weighting: per-source token counts smoothed with a
+    * temperature exponent (sqrt = alpha 0.5, the XLM/mT5-style rebalance
+    * that up-samples small sources without letting a huge crawl drown
+    * them), normalized into sampling weights and an integer per-source
+    * budget out of 100k draws. One partial-aggregated shuffle over the
+    * corpus; the weight normalization runs on the ~|sources| aggregated
+    * rows (an empty-frame window — single task by construction, but over
+    * 20 rows, not the corpus; the 100 TB cost is the token-count scan). */
+  val q117MixingWeights = QuerySpec(
+    "q117_mixing_weights", "EXT-mixture-weighting",
+    "temperature-smoothed source sampling weights from per-source token counts",
+    (s, d) => {
+      val bySource = docs(s, d)
+        .withColumn("nt", size(tokens(normText(col("text")))).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      bySource
+        .withColumn("weight", round(
+          sqrt(col("n_tokens").cast("double")) /
+            sum(sqrt(col("n_tokens").cast("double"))).over(Window.partitionBy()), 6))
+        .withColumn("n_sample", floor(col("weight") * 100000).cast("long"))
+        .select("source", "n_docs", "n_tokens", "weight", "n_sample")
+    },
+    Some(s"""WITH t AS (SELECT source, count(*) AS n_docs,
+            |    CAST(sum(len(regexp_split_to_array($oNorm, '\\s+'))) AS BIGINT) AS n_tokens
+            |  FROM documents GROUP BY source),
+            |w AS (SELECT source, n_docs, n_tokens,
+            |    round(sqrt(CAST(n_tokens AS DOUBLE))
+            |      / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight FROM t)
+            |SELECT source, n_docs, n_tokens, weight,
+            |  CAST(floor(weight * 100000) AS BIGINT) AS n_sample FROM w""".stripMargin))
+
   // ---------------------------------------------------------------- feature hashing
   /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
     * feature space by hash, no vocabulary pass, no driver-side dictionary —
@@ -1012,5 +1133,5 @@ object ExtQueries {
     q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash,
     q101ClusterCuration, q104Chunking, q105Packing, q106Decontaminate,
     q108DecontaminateK, q110ComponentsStars, q111SemanticClusters,
-    q114StreamDecontaminate)
+    q114StreamDecontaminate, q115SpanDedup, q116PiiMask, q117MixingWeights)
 }

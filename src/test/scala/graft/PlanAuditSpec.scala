@@ -61,6 +61,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q115: span-dedup Generates carry no regex work; span join is hash-keyed") {
+    import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val qe = SparkEntry.queries("q115_span_dedup")(spark, d).queryExecution
+    assert(qe.optimizedPlan.toString.contains("LogicalRDD"),
+      "expected the tokenized/span frames to be materialized checkpoints")
+    // the posexplode generator input is integer sequence arithmetic over a
+    // materialized attribute — a regex under any Generate would mean the
+    // tokenizer got inlined back into the explode (the q106 recompute bug)
+    qe.optimizedPlan.collect { case g: Generate => g }.foreach { g =>
+      g.generator.children.foreach { c =>
+        assert(c.find(_.isInstanceOf[RegExpReplace]).isEmpty,
+          s"regex reached a Generate input: ${c.sql.take(200)}")
+      }
+    }
+    val phys = qe.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      "span-count join must stay hash-keyed")
+  }
+
   test("q111: semantic-dedup candidate join is bucket-keyed, never a cartesian") {
     // q111's final plan is the (already-materialized) component window; the
     // join shape to pin is the candidate-pair stage, built here exactly as
