@@ -814,6 +814,60 @@ object ExtQueries {
             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
             |FROM sp JOIN dc USING (h) GROUP BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- span scrub
+  /** The REMOVAL half of q115 (detection): the C4 rule proper — a span
+    * duplicated across documents is kept ONLY in its lowest-doc_id holder
+    * and scrubbed from every other document, which is then reassembled
+    * from its surviving spans in order. Same span table and per-span
+    * ownership aggregate as q115 (min holder rides the same shuffle as
+    * the distinct-doc count — zero extra passes); removal is a filter on
+    * the joined span stream, reassembly a per-doc sort-and-concat
+    * (`sort_array` on (span_id, text) structs — deterministic, no window).
+    * The output carries the rebuilt text's md5 so the oracle checks the
+    * reconstructed CONTENT, not just counts. At 100 TB this is one
+    * span-hash shuffle + one per-doc shuffle, both partial-aggregated;
+    * the corpus text itself never moves twice. */
+  val q118SpanScrub = QuerySpec(
+    "q118_span_scrub", "EXT-dedup-span-scrub",
+    "C4-style span removal: keep duplicated spans in lowest holder, rebuild docs",
+    (s, d) => {
+      val toksDf = ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("n", size(col("toks")))
+        .select("doc_id", "toks", "n")
+        .localCheckpoint(true) // tokenize once (q106 lesson)
+      val spans = toksDf
+        .select(col("doc_id"), col("toks"),
+          posexplode(expr("sequence(0, greatest(n - 1, 0), 8)")).as(Seq("span_id", "start")))
+        .select(col("doc_id"), col("span_id"),
+          concat_ws(" ", expr("slice(toks, start + 1, 8)")).as("sp"))
+        .localCheckpoint(true)
+      val owner = spans.groupBy("sp").agg(
+        countDistinct("doc_id").as("nd"), min("doc_id").as("keeper"))
+      spans.join(owner, Seq("sp"))
+        .filter(col("nd") === 1 || col("doc_id") === col("keeper"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_kept_spans"),
+          md5(concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(span_id, sp))), x -> x.sp)")))
+            .as("clean_md5"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |st AS (SELECT doc_id, tk,
+            |    unnest(generate_series(0, greatest(len(tk) - 1, 0), 8)) AS start,
+            |    generate_subscripts(generate_series(0, greatest(len(tk) - 1, 0), 8), 1) - 1 AS span_id
+            |  FROM n),
+            |sp AS (SELECT doc_id, CAST(span_id AS INT) AS span_id,
+            |    array_to_string(tk[start + 1 : start + 8], ' ') AS sp FROM st),
+            |own AS (SELECT sp, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+            |  FROM sp GROUP BY sp),
+            |kept AS (SELECT doc_id, span_id, sp.sp FROM sp JOIN own USING (sp)
+            |  WHERE nd = 1 OR doc_id = keeper)
+            |SELECT doc_id, count(*) AS n_kept_spans,
+            |  md5(string_agg(sp, ' ' ORDER BY span_id)) AS clean_md5
+            |FROM kept GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- PII masking
   /** PII/anonymization pass — the compliance step every dataset release
     * runs before training, as the four standard treatments on the one
@@ -849,6 +903,78 @@ object ExtQueries {
            |  regexp_matches(regexp_replace(c_name, '#[0-9]{6}', '#XXXXXX'),
            |    '[0-9]{4}') AS leak_after
            |FROM customer""".stripMargin))
+
+  // ---------------------------------------------------------------- quality filter
+  /** Rule-based quality FILTERING with reasons — the Gopher/C4-style
+    * keep/drop gate (Rae et al. App. A: length, mean word length,
+    * stop-word presence), emitted as a decision LOG: every doc carries its
+    * metrics, the keep verdict, and the FIRST failing rule ('pass'
+    * otherwise), so drop rates are auditable per rule and per source —
+    * curation runs need the why, not just the survivors. One narrow
+    * projection per doc (array metrics computed inline via
+    * aggregate/filter higher-order functions, no explode, no shuffle);
+    * the only data movement is whatever the consumer aggregates. */
+  val q119QualityFilter = QuerySpec(
+    "q119_quality_filter", "EXT-quality-filter",
+    "Gopher-style keep/drop gate with per-doc metrics and first-failing-rule reasons",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", tokens(normText(col("text"))))
+        .select(
+          col("doc_id"), col("source"),
+          size(col("toks")).as("n_tokens"),
+          expr("round(aggregate(toks, 0, (a, t) -> a + length(t)) / cast(size(toks) as double), 4)")
+            .as("mean_wl"),
+          expr("round(size(filter(toks, t -> t in ('the','a','of','to','and'))) / cast(size(toks) as double), 4)")
+            .as("stop_ratio"))
+        .withColumn("keep",
+          col("n_tokens") >= 25 && col("mean_wl").between(3.8, 5.2) && col("stop_ratio") >= 0.02)
+        .withColumn("fail_reason",
+          when(col("n_tokens") < 25, "too_short")
+            .when(col("mean_wl") < 3.8 || col("mean_wl") > 5.2, "word_length")
+            .when(col("stop_ratio") < 0.02, "low_stopwords")
+            .otherwise("pass")),
+    Some(s"""WITH n AS (SELECT doc_id, source, regexp_split_to_array($oNorm, '\\s+') AS tk
+            |  FROM documents),
+            |m AS (SELECT doc_id, source, CAST(len(tk) AS INT) AS n_tokens,
+            |    round(list_aggregate(list_transform(tk, t -> len(t)), 'sum')
+            |      / CAST(len(tk) AS DOUBLE), 4) AS mean_wl,
+            |    round(len(list_filter(tk, t -> t IN ('the','a','of','to','and')))
+            |      / CAST(len(tk) AS DOUBLE), 4) AS stop_ratio
+            |  FROM n)
+            |SELECT doc_id, source, n_tokens, mean_wl, stop_ratio,
+            |  (n_tokens >= 25 AND mean_wl BETWEEN 3.8 AND 5.2 AND stop_ratio >= 0.02) AS keep,
+            |  CASE WHEN n_tokens < 25 THEN 'too_short'
+            |       WHEN mean_wl < 3.8 OR mean_wl > 5.2 THEN 'word_length'
+            |       WHEN stop_ratio < 0.02 THEN 'low_stopwords'
+            |       ELSE 'pass' END AS fail_reason
+            |FROM m""".stripMargin))
+
+  // ---------------------------------------------------------------- source capping
+  /** Per-source contribution cap — the anti-domination step of corpus
+    * curation (no source may contribute more than K documents, best
+    * first). Ranking runs through the engine's own
+    * [[graft.plans.TopK]] custom physical operator: bounded per-group
+    * HEAPS in a partial/final pair, so each source's cap costs O(K) state
+    * per partition instead of the window form's full per-source sort —
+    * at 100 TB the difference between a bounded-memory pass and a
+    * sort-spill of the whole corpus. Oracle = the row_number formulation
+    * (two independent definitions of the same top-K). */
+  val q120SourceCap = QuerySpec(
+    "q120_source_cap", "EXT-source-capping",
+    "cap each source at its 15 longest docs via the custom heap top-k operator",
+    (s, d) =>
+      graft.plans.TopK.perGroup(
+        docs(s, d).select("doc_id", "source", "n_chars"),
+        Seq("source"),
+        Seq(("n_chars", false), ("doc_id", true)),
+        k = 15),
+    Some("""SELECT doc_id, source, n_chars FROM (
+           |  SELECT doc_id, source, n_chars,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+           |  FROM documents)
+           |WHERE rn <= 15""".stripMargin))
 
   // ---------------------------------------------------------------- mixing weights
   /** Training-mixture weighting: per-source token counts smoothed with a
@@ -1133,5 +1259,6 @@ object ExtQueries {
     q52Curation, q80FrameSample, q86Components, q94Quantize, q95QuantizedAnn, q98FeatureHash,
     q101ClusterCuration, q104Chunking, q105Packing, q106Decontaminate,
     q108DecontaminateK, q110ComponentsStars, q111SemanticClusters,
-    q114StreamDecontaminate, q115SpanDedup, q116PiiMask, q117MixingWeights)
+    q114StreamDecontaminate, q115SpanDedup, q116PiiMask, q117MixingWeights,
+    q118SpanScrub, q119QualityFilter, q120SourceCap)
 }
