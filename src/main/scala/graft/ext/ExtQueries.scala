@@ -1009,6 +1009,133 @@ object ExtQueries {
             |SELECT source, n_docs, n_tokens, weight,
             |  CAST(floor(weight * 100000) AS BIGINT) AS n_sample FROM w""".stripMargin))
 
+  // ---------------------------------------------------------------- repetition filter
+  /** Intra-document repetition filter — the Gopher "repetitious text" rule
+    * family (Rae et al. App. A: fraction of the doc covered by its most
+    * common n-gram): a doc whose single most frequent 2-gram accounts for
+    * more than 6% of all its 2-grams is template/boilerplate-shaped, not
+    * prose. Complements the CORPUS-level span dedup (q115/q118) — this one
+    * flags repetition WITHIN a doc. Tokens checkpointed once; then one
+    * partial-aggregated shuffle keyed (doc, gram) and a per-doc rollup —
+    * the gram stream itself never hits storage. Only counts and ratios are
+    * emitted (never "the" most frequent gram — ties would make that
+    * nondeterministic). */
+  val q121Repetition = QuerySpec(
+    "q121_repetition", "EXT-quality-repetition",
+    "intra-doc repetition: most-frequent-2-gram share per doc, flag > 6%",
+    (s, d) => {
+      val toksDf = ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .select("doc_id", "toks")
+        .localCheckpoint(true) // tokenize once (q106 lesson)
+      toksDf.select(col("doc_id"), explode(shingleSql("toks", 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_2grams"), max("c").as("max_2gram"))
+        .withColumn("rep_ratio",
+          round(col("max_2gram").cast("double") / col("n_2grams"), 4))
+        .withColumn("repetitious", col("rep_ratio") > 0.06)
+    },
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1), i ->
+            |    concat_ws(' ', tk[i], tk[i+1]))) AS g FROM n),
+            |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+            |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+            |  CAST(max(c) AS BIGINT) AS max_2gram,
+            |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_ratio,
+            |  (round(CAST(max(c) AS DOUBLE) / sum(c), 4) > 0.06) AS repetitious
+            |FROM c GROUP BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- BM25 scoring
+  /** BM25 relevance scoring (Robertson/Lucene form, k1=1.2 b=0.75) for a
+    * fixed query-term set — the retrieval scorer a RAG corpus runs next to
+    * its ANN index, and the parameterized upgrade of q67's TF-IDF. Shape at
+    * 100 TB: per-doc term frequencies are row-local higher-order `filter`
+    * calls (no explode of the corpus), document frequencies are one tiny
+    * per-term aggregate broadcast back, and the corpus-level (N, avgdl)
+    * scalars ride a broadcast 1-row cross join — the only shuffle is the
+    * |terms|-row df aggregate. The oracle recomputes every score from the
+    * same closed formula, so idf/tf/length-normalization arithmetic is
+    * hash-checked to 4 decimals. */
+  val q122Bm25 = QuerySpec(
+    "q122_bm25", "EXT-bm25",
+    "BM25 scoring of a fixed term set (k1=1.2, b=0.75), closed-form oracle",
+    (s, d) => {
+      val toksDf = ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("dl", size(col("toks")))
+        .select("doc_id", "toks", "dl")
+        .localCheckpoint(true)
+      val stats = toksDf.agg(count(lit(1)).as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"))
+      val terms = toksDf
+        .select(col("doc_id"), col("toks"), col("dl"),
+          explode(array(lit("data"), lit("spark"), lit("table"))).as("term"))
+        .withColumn("tf", expr("size(filter(toks, x -> x = term))"))
+        .filter(col("tf") > 0).drop("toks")
+      val dfreq = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      terms.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(stats))
+        .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+        .withColumn("bm25", round(
+          col("idf") * col("tf") /
+            (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))), 4))
+        .select("doc_id", "term", "tf", "bm25")
+    },
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |b AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS dl FROM n),
+            |s AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM b),
+            |t AS (SELECT doc_id, dl, term,
+            |    CAST(len(list_filter(tk, x -> x = term)) AS INT) AS tf
+            |  FROM b, unnest(['data', 'spark', 'table']) u(term)),
+            |tp AS (SELECT * FROM t WHERE tf > 0),
+            |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tp GROUP BY term)
+            |SELECT doc_id, term, tf,
+            |  round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf
+            |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS bm25
+            |FROM tp JOIN dfq USING (term) CROSS JOIN s""".stripMargin))
+
+  // ---------------------------------------------------------------- winnowing
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD '03 — the
+    * MOSS algorithm): hash every 3-gram, slide a window of 4 hashes, keep
+    * each window's MINIMUM; the distinct minima are the doc's fingerprint
+    * set. Guarantees any shared run of ≥ 6 tokens between two docs shares
+    * a fingerprint, at a fraction of full-shingle cost — the
+    * position-robust middle ground between q22's whole-doc md5 (brittle)
+    * and q26's MinHash (set-similarity, no locality). Entirely row-local
+    * array math over the checkpointed token arrays — no shuffle, no
+    * explode; at 100 TB the fingerprint table is the only thing that moves.
+    * Emitted as count + order-independent bit_xor so the SET of selected
+    * hashes is hash-checked without depending on list order. */
+  val q123Winnowing = QuerySpec(
+    "q123_winnowing", "EXT-fingerprint-winnowing",
+    "winnowing fingerprints: window-min of 3-gram hashes (w=4), xor-checked set",
+    (s, d) =>
+      ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("sh3", shingleSql("toks", 3))
+        .withColumn("h", expr(
+          "transform(sh3, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+        .withColumn("fps", expr(
+          """array_distinct(IF(size(h) >= 4,
+            |  transform(sequence(0, size(h) - 4), i -> array_min(slice(h, i + 1, 4))),
+            |  array()))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("h")).as("n_grams"),
+          size(col("fps")).as("n_fps"),
+          expr("aggregate(fps, cast(0 as bigint), (a, x) -> a ^ x)").as("fp_xor")),
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |g3 AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2), i ->
+            |    concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS sh FROM n),
+            |h AS (SELECT doc_id, list_transform(sh, x ->
+            |    CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)) AS h FROM g3),
+            |m AS (SELECT doc_id, len(h) AS n_grams,
+            |    list_distinct(list_transform(generate_series(1, len(h) - 3), i ->
+            |      list_min(h[i : i + 3]))) AS fps FROM h)
+            |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+            |  CAST(len(fps) AS INT) AS n_fps,
+            |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, b) -> xor(a, b)) AS fp_xor
+            |FROM m""".stripMargin))
+
   // ---------------------------------------------------------------- feature hashing
   /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
     * feature space by hash, no vocabulary pass, no driver-side dictionary —
@@ -1260,5 +1387,6 @@ object ExtQueries {
     q101ClusterCuration, q104Chunking, q105Packing, q106Decontaminate,
     q108DecontaminateK, q110ComponentsStars, q111SemanticClusters,
     q114StreamDecontaminate, q115SpanDedup, q116PiiMask, q117MixingWeights,
-    q118SpanScrub, q119QualityFilter, q120SourceCap)
+    q118SpanScrub, q119QualityFilter, q120SourceCap, q121Repetition,
+    q122Bm25, q123Winnowing)
 }
