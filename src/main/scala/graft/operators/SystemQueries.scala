@@ -358,6 +358,58 @@ object SystemQueries {
            |  TRUE AS files_pruned
            |FROM documents WHERE source = 'src7' GROUP BY lang""".stripMargin))
 
+  /** Z-ORDERED layout inside the engine's own table format — composing two
+    * engine pieces: [[graft.sources.ZOrder.mortonCode]] interleaves the
+    * bits of two bucketized keys, and q113's `clusterBy` range-clustering
+    * lays the store out by the Morton code, so every file covers a small
+    * RECTANGLE of (custkey, price) space and the manifest's min/max stats
+    * prune files for a selective filter on EITHER dimension — the
+    * Delta/Iceberg OPTIMIZE ZORDER capability on graft-store, as pure
+    * column arithmetic. The query proves both prunings honestly
+    * (plan-time partition counts vs the manifest file count) and
+    * oracle-checks both filtered aggregates against the original parquet.
+    * The Morton column rides along in the schema (16 files × a long —
+    * negligible; dropping it would need sink-side computed-column
+    * support, a documented non-goal). */
+  val q124StoreZorder = QuerySpec(
+    "q124_store_zorder", "S-dsv2-zorder",
+    "Z-order clustered graft-store: either-dimension file pruning, both oracle-checked",
+    (s, d) => {
+      val path = "/tmp/graft_store_q124"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val r = o.agg(min(col("o_custkey")).cast("double"), max(col("o_custkey")).cast("double"),
+        min(col("o_totalprice")), max(col("o_totalprice"))).collect()(0) // 1 row — bounded
+      def bucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65535.0).cast("long")
+      val z = graft.sources.ZOrder.mortonCode(
+        bucket(col("o_custkey"), r.getDouble(0), r.getDouble(1)),
+        bucket(col("o_totalprice"), r.getDouble(2), r.getDouble(3)))
+      o.withColumn("z", z)
+        .write.format("graft-store")
+        .option("clusterBy", "z").option("clusterFiles", "16")
+        .mode("overwrite").save(path)
+      val filesTotal = graft.sources.v2.GraftStoreOps.history(s, path).last._3
+      val store = s.read.format("graft-store").load(path)
+      val byCust = store.filter(col("o_custkey") < 100)
+      val byPrice = store.filter(col("o_totalprice") > 400000)
+      val prunedCust = byCust.rdd.getNumPartitions
+      val prunedPrice = byPrice.rdd.getNumPartitions
+      byCust.agg(count(lit(1)).as("n_cust"),
+          round(sum("o_totalprice"), 2).as("sum_price_cust"))
+        .crossJoin(byPrice.agg(count(lit(1)).as("n_price")))
+        .select(col("n_cust"), col("sum_price_cust"), col("n_price"),
+          lit(prunedCust > 0 && prunedCust < filesTotal).as("pruned_custkey"),
+          lit(prunedPrice > 0 && prunedPrice < filesTotal).as("pruned_price"))
+    },
+    Some("""SELECT
+           |  (SELECT count(*) FROM orders WHERE o_custkey < 100) AS n_cust,
+           |  (SELECT round(sum(o_totalprice), 2) FROM orders WHERE o_custkey < 100)
+           |    AS sum_price_cust,
+           |  (SELECT count(*) FROM orders WHERE o_totalprice > 400000) AS n_price,
+           |  TRUE AS pruned_custkey, TRUE AS pruned_price""".stripMargin))
+
   /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
     * per-key table in graft-store — read current snapshot, merge the batch
     * (latest wins by event time, event_id tie-break), publish as a new
@@ -560,5 +612,5 @@ object SystemQueries {
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
-    q109SqlTimeTravel, q112StoreStream, q113StoreClustered)
+    q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder)
 }
