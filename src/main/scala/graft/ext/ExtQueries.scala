@@ -1136,6 +1136,93 @@ object ExtQueries {
             |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, b) -> xor(a, b)) AS fp_xor
             |FROM m""".stripMargin))
 
+  // ---------------------------------------------------------------- group split
+  /** Leakage-safe train/val/test assignment: documents are split by a
+    * deterministic hash of their GROUP (source), not of the row — every
+    * doc of a source lands in the same split, so near-duplicates and
+    * templates inside one source can never straddle the train/eval
+    * boundary (the group-aware split sklearn's GroupShuffleSplit encodes;
+    * the md5 hash makes it portable, seedless and stable under
+    * re-partitioning). 80/10/10 by hash bucket; the output carries
+    * per-split doc/source counts plus a leakage_free bit proven from the
+    * data: total distinct sources must equal the sum of per-split
+    * distinct sources (any source in two splits breaks the equality).
+    * Scan + one tiny aggregate — assignment itself is a row-local hash,
+    * usable as a WHERE clause at any scale with no precomputed split
+    * table. */
+  val q125GroupSplit = QuerySpec(
+    "q125_group_split", "EXT-group-split",
+    "group-hash 80/10/10 split: all docs of a source share a split, leakage-checked",
+    (s, d) => {
+      val withSplit = docs(s, d).select(col("doc_id"), col("source"))
+        .withColumn("b", pmod(md5Long(col("source")), lit(10L)))
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
+      val perSplit = withSplit.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"))
+      perSplit
+        .crossJoin(broadcast(withSplit.agg(countDistinct("source").as("_tot"))))
+        .withColumn("leakage_free",
+          sum("n_sources").over(Window.partitionBy()) === col("_tot"))
+        .select("split", "n_docs", "n_sources", "leakage_free")
+    },
+    Some("""WITH w AS (SELECT doc_id, source,
+           |    CAST(concat('0x', substring(md5(source), 1, 15)) AS BIGINT) % 10 AS b
+           |  FROM documents),
+           |sp AS (SELECT doc_id, source,
+           |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+           |  FROM w),
+           |per AS (SELECT split, count(*) AS n_docs,
+           |    count(DISTINCT source) AS n_sources FROM sp GROUP BY split)
+           |SELECT split, n_docs, n_sources,
+           |  (sum(n_sources) OVER () = (SELECT count(DISTINCT source) FROM sp))
+           |    AS leakage_free
+           |FROM per""".stripMargin))
+
+  // ---------------------------------------------------------------- label cohesion
+  /** Embedding-space label quality: per-label CENTROID norm and COHESION
+    * (mean cosine of each member to its label centroid) — the
+    * cluster-cohesion diagnostic run before trusting labels or centroids
+    * for IVF/classifier training (a label whose cohesion ≈ 0 is noise).
+    * Shape at 100 TB: the embedding stream explodes to (label, pos, v)
+    * once; centroids are a (labels × dims) aggregate — BROADCAST back, so
+    * the member-to-centroid dot products ride the same narrow stream with
+    * no second corpus shuffle; per-(label, vec) partials then roll up per
+    * label. Cosines round at 4 decimals (the summation-order contract all
+    * double aggregates here follow). */
+  val q126LabelCohesion = QuerySpec(
+    "q126_label_cohesion", "EXT-embedding-cohesion",
+    "per-label centroid norm + mean member-to-centroid cosine (broadcast centroids)",
+    (s, d) => {
+      val x = emb(s, d).select(col("label"), col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      val c = x.groupBy("label", "pos").agg(avg("v").as("cv"))
+      val cn = c.groupBy("label").agg(sqrt(sum(col("cv") * col("cv"))).as("cnorm"))
+      val dot = x.join(broadcast(c), Seq("label", "pos"))
+        .groupBy("label", "vec_id")
+        .agg(sum(col("v") * col("cv")).as("dot"),
+          sqrt(sum(col("v") * col("v"))).as("vnorm"))
+      dot.join(broadcast(cn), Seq("label"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(first("cnorm"), 4).as("centroid_norm"),
+          round(avg(col("dot") / (col("vnorm") * col("cnorm"))), 4).as("cohesion"))
+    },
+    Some("""WITH x AS (SELECT label, vec_id,
+           |    CAST(unnest(embedding) AS DOUBLE) AS v,
+           |    generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |c AS (SELECT label, pos, avg(v) AS cv FROM x GROUP BY 1, 2),
+           |cn AS (SELECT label, sqrt(sum(cv * cv)) AS cnorm FROM c GROUP BY 1),
+           |d AS (SELECT x.label, x.vec_id, sum(x.v * c.cv) AS dot,
+           |    sqrt(sum(x.v * x.v)) AS vnorm
+           |  FROM x JOIN c ON x.label = c.label AND x.pos = c.pos GROUP BY 1, 2)
+           |SELECT d.label, count(*) AS n_vecs,
+           |  round(any_value(cn.cnorm), 4) AS centroid_norm,
+           |  round(avg(d.dot / (d.vnorm * cn.cnorm)), 4) AS cohesion
+           |FROM d JOIN cn ON d.label = cn.label
+           |GROUP BY d.label""".stripMargin))
+
   // ---------------------------------------------------------------- feature hashing
   /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
     * feature space by hash, no vocabulary pass, no driver-side dictionary —
@@ -1388,5 +1475,5 @@ object ExtQueries {
     q108DecontaminateK, q110ComponentsStars, q111SemanticClusters,
     q114StreamDecontaminate, q115SpanDedup, q116PiiMask, q117MixingWeights,
     q118SpanScrub, q119QualityFilter, q120SourceCap, q121Repetition,
-    q122Bm25, q123Winnowing)
+    q122Bm25, q123Winnowing, q125GroupSplit, q126LabelCohesion)
 }
