@@ -39,6 +39,53 @@ object Decontamination {
     (shingles, bloom)
   }
 
+  /** One-pass ingest CURATION of a (micro-)batch: every quality rule a
+    * training pipeline gates on, evaluated together so the batch's text is
+    * tokenized exactly once — decontamination (any benchmark 5-gram,
+    * bloom-prefiltered + exactly verified), the Gopher-style metric gates
+    * (length, mean word length, stop-word ratio) and the intra-doc
+    * repetition rule (most-frequent-2-gram share; computed row-locally
+    * over the doc's own gram array — O(g²) in a ~10²-token doc, a
+    * constant, vs a corpus shuffle in the batch formulation q121). Returns
+    * per-(source, verdict) counts — tiny and associative, so totals are
+    * independent of how the stream was batched. Verdict is the FIRST
+    * failing rule, checked in fixed order: contaminated → too_short →
+    * word_length → low_stopwords → repetitious → pass. */
+  def curateBatch(batch: DataFrame, benchShingles: DataFrame, bloom: DataFrame): DataFrame = {
+    graft.functions.Registry.register(batch.sparkSession)
+    val b = batch
+      .withColumn("toks", tokens(normText(col("text"))))
+      .withColumn("sh", shingleSql("toks", 5))
+      .withColumn("sh2", shingleSql("toks", 2))
+      .select("doc_id", "source", "toks", "sh", "sh2")
+      .localCheckpoint(true) // one tokenization; contamination probe + metrics reuse
+    val contaminated = b.select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(call_function("might_contain", bloom.scalar(), xxhash64(col("g"))))
+      .join(broadcast(benchShingles), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    b.join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(
+        col("source"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        size(col("toks")).as("n_tokens"),
+        expr("round(aggregate(toks, 0, (a, t) -> a + length(t)) / cast(size(toks) as double), 4)")
+          .as("mean_wl"),
+        expr("round(size(filter(toks, t -> t in ('the','a','of','to','and'))) / cast(size(toks) as double), 4)")
+          .as("stop_ratio"),
+        expr("""round(IF(size(sh2) = 0, 0D,
+                array_max(transform(array_distinct(sh2), g ->
+                  size(filter(sh2, x -> x = g)))) / cast(size(sh2) as double)), 4)""")
+          .as("rep_ratio"))
+      .withColumn("verdict",
+        when(col("contaminated"), "contaminated")
+          .when(col("n_tokens") < 25, "too_short")
+          .when(col("mean_wl") < 3.8 || col("mean_wl") > 5.2, "word_length")
+          .when(col("stop_ratio") < 0.02, "low_stopwords")
+          .when(col("rep_ratio") > 0.06, "repetitious")
+          .otherwise("pass"))
+      .groupBy("source", "verdict").agg(count(lit(1)).as("n"))
+  }
+
   /** Scrub one (micro-)batch of training docs against the static benchmark:
     * returns per-source `(source, n_clean, n_train)` — tiny, associative,
     * safe to collect and sum across batches. */

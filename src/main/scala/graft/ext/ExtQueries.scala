@@ -1223,6 +1223,134 @@ object ExtQueries {
            |FROM d JOIN cn ON d.label = cn.label
            |GROUP BY d.label""".stripMargin))
 
+  // ---------------------------------------------------------------- winnowing pairs
+  /** Winnowing fingerprints doing their actual job (q123 builds them, this
+    * query JOINS on them): documents sharing ≥ 2 window-min fingerprints
+    * are overlap candidates — the MOSS plagiarism/near-dup detector, and
+    * the locality-based alternative to MinHash banding (q27): winnowing
+    * guarantees any shared ≥ 6-token run yields a shared fingerprint,
+    * where MinHash only bounds whole-set Jaccard. Same scale shape as
+    * LSH: one shuffle keyed by fingerprint, bucket-local pair generation,
+    * never all-pairs. The skew guard is explicit: fingerprints held by
+    * > 50 docs (boilerplate) are dropped BEFORE the self-join — the
+    * stop-fingerprint move that keeps one viral n-gram from creating a
+    * quadratic bucket at corpus scale. Fingerprint frame checkpointed
+    * once; explode reads a materialized array attribute. */
+  val q127WinnowingPairs = QuerySpec(
+    "q127_winnowing_pairs", "EXT-dedup-winnowing",
+    "overlap candidates: docs sharing >= 2 winnowing fingerprints (freq-capped)",
+    (s, d) => {
+      val fps = ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("sh3", shingleSql("toks", 3))
+        .withColumn("h", expr(
+          "transform(sh3, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+        .withColumn("fps", expr(
+          """array_distinct(IF(size(h) >= 4,
+            |  transform(sequence(0, size(h) - 4), i -> array_min(slice(h, i + 1, 4))),
+            |  array()))""".stripMargin))
+        .select("doc_id", "fps")
+        .localCheckpoint(true)
+      val ex = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val rare = ex.groupBy("fp").agg(countDistinct("doc_id").as("ndocs"))
+        .filter(col("ndocs") <= 50).select("fp")
+      val exf = ex.join(rare, Seq("fp"), "left_semi")
+      exf.select(col("doc_id").as("id1"), col("fp"))
+        .join(exf.select(col("doc_id").as("id2"), col("fp")), Seq("fp"))
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    },
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |g3 AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2), i ->
+            |    concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS sh FROM n),
+            |h AS (SELECT doc_id, list_transform(sh, x ->
+            |    CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)) AS h FROM g3),
+            |m AS (SELECT doc_id,
+            |    list_distinct(list_transform(generate_series(1, len(h) - 3), i ->
+            |      list_min(h[i : i + 3]))) AS fps FROM h),
+            |e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+            |rare AS (SELECT fp FROM e GROUP BY fp HAVING count(DISTINCT doc_id) <= 50),
+            |ef AS (SELECT * FROM e WHERE fp IN (SELECT fp FROM rare))
+            |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+            |FROM ef a JOIN ef b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin))
+
+  // ------------------------------------------------- streaming ingest curation
+  /** ONE-PASS streaming ingest curation — the composition the other rules
+    * exist for: every arriving micro-batch is tokenized once and gated
+    * through decontamination (q106's rule, bloom-prefiltered), the Gopher
+    * metric gates (q119's thresholds) and the repetition rule (q121's
+    * 2-gram share, computed row-locally inside the batch) in a single
+    * [[Decontamination.curateBatch]] kernel, emitting per-(source,
+    * verdict) counts with the FIRST failing rule as the verdict. Counts
+    * sum associatively (each doc's verdict depends only on its own text
+    * and the static benchmark), so totals are batching-independent and
+    * the whole streaming pipeline is DuckDB-hash-checked. This is the
+    * shape an ingest tier actually runs at 100 TB: one narrow pass per
+    * batch, one broadcast sketch, no corpus-wide state. */
+  val q128StreamCuration = QuerySpec(
+    "q128_stream_curation", "EXT-streaming-curation",
+    "one-pass foreachBatch curation: decontaminate + quality gates + repetition",
+    (s, d) => {
+      val (benchShingles, bloom) =
+        Decontamination.benchSide(docs(s, d), col("doc_id") % 50 === 0)
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(d)
+        .filter(col("doc_id") % 50 =!= 0)
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // ≤ #sources × #verdicts rows per batch — bounded collect
+          Decontamination.curateBatch(batch.toDF(), benchShingles, bloom)
+            .collect()
+            .foreach(r => acc.add((r.getString(0), r.getString(1), r.getLong(2))))
+          ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toSeq.toDF("source", "verdict", "n")
+        .groupBy("source", "verdict").agg(sum("n").as("n"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, source, regexp_split_to_array($oNorm, '\\s+') AS tk
+            |  FROM documents),
+            |sh AS (SELECT doc_id, source, tk,
+            |    list_transform(generate_series(1, len(tk) - 4), i ->
+            |      concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])) AS s5,
+            |    list_transform(generate_series(1, len(tk) - 1), i ->
+            |      concat_ws(' ', tk[i], tk[i+1])) AS s2
+            |  FROM n),
+            |bench AS (SELECT DISTINCT unnest(s5) AS g FROM sh WHERE doc_id % 50 = 0),
+            |train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+            |cont AS (SELECT DISTINCT t.doc_id FROM train t, unnest(t.s5) u(g)
+            |  WHERE g IN (SELECT g FROM bench)),
+            |m AS (SELECT source,
+            |    (doc_id IN (SELECT doc_id FROM cont)) AS contaminated,
+            |    CAST(len(tk) AS INT) AS n_tokens,
+            |    round(list_aggregate(list_transform(tk, t -> len(t)), 'sum')
+            |      / CAST(len(tk) AS DOUBLE), 4) AS mean_wl,
+            |    round(len(list_filter(tk, t -> t IN ('the','a','of','to','and')))
+            |      / CAST(len(tk) AS DOUBLE), 4) AS stop_ratio,
+            |    round(CASE WHEN len(s2) = 0 THEN 0
+            |      ELSE list_max(list_transform(list_distinct(s2), g ->
+            |        len(list_filter(s2, x -> x = g)))) / CAST(len(s2) AS DOUBLE) END, 4)
+            |      AS rep_ratio
+            |  FROM train),
+            |v AS (SELECT source,
+            |    CASE WHEN contaminated THEN 'contaminated'
+            |         WHEN n_tokens < 25 THEN 'too_short'
+            |         WHEN mean_wl < 3.8 OR mean_wl > 5.2 THEN 'word_length'
+            |         WHEN stop_ratio < 0.02 THEN 'low_stopwords'
+            |         WHEN rep_ratio > 0.06 THEN 'repetitious'
+            |         ELSE 'pass' END AS verdict
+            |  FROM m)
+            |SELECT source, verdict, count(*) AS n FROM v GROUP BY 1, 2""".stripMargin))
+
   // ---------------------------------------------------------------- feature hashing
   /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
     * feature space by hash, no vocabulary pass, no driver-side dictionary —
@@ -1475,5 +1603,6 @@ object ExtQueries {
     q108DecontaminateK, q110ComponentsStars, q111SemanticClusters,
     q114StreamDecontaminate, q115SpanDedup, q116PiiMask, q117MixingWeights,
     q118SpanScrub, q119QualityFilter, q120SourceCap, q121Repetition,
-    q122Bm25, q123Winnowing, q125GroupSplit, q126LabelCohesion)
+    q122Bm25, q123Winnowing, q125GroupSplit, q126LabelCohesion,
+    q127WinnowingPairs, q128StreamCuration)
 }
