@@ -410,6 +410,59 @@ object SystemQueries {
            |  (SELECT count(*) FROM orders WHERE o_totalprice > 400000) AS n_price,
            |  TRUE AS pruned_custkey, TRUE AS pruned_price""".stripMargin))
 
+  /** STORAGE-PARTITIONED JOIN on the engine's own format: both sides are
+    * written `partitionBy` their join key (one file per key value, the
+    * value provable from min==max stats), the scans report
+    * `KeyGroupedPartitioning`, and Spark plans the join with ZERO shuffle
+    * exchange on either side — the Iceberg/Delta SPJ capability
+    * (SPARK-37375) on graft-store. At 100 TB this is the difference
+    * between shuffling both fact tables and reading them pre-aligned:
+    * the join cost collapses to a co-located merge per key group. The
+    * no_exchange bit is computed from the EXECUTED plan, and the joined
+    * aggregate is oracle-checked against the original parquet, so both
+    * the planning claim and the data path are verified. */
+  val q129StoreSpj = QuerySpec(
+    "q129_store_spj", "S-dsv2-spj",
+    "storage-partitioned join: co-partitioned graft-store tables, zero exchange",
+    (s, d) => {
+      val dirC = "/tmp/graft_store_q129_c"
+      val dirS = "/tmp/graft_store_q129_s"
+      for (p <- Seq(dirC, dirS)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+        .write.format("graft-store").option("partitionBy", "c_nationkey")
+        .mode("overwrite").save(dirC)
+      Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
+        .write.format("graft-store").option("partitionBy", "s_nationkey")
+        .mode("overwrite").save(dirS)
+      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val c = s.read.format("graft-store").load(dirC)
+        val sup = s.read.format("graft-store").load(dirS)
+        val j = c.join(sup, col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(col("c_acctbal") + col("s_acctbal")), 2).as("sum_bal"))
+        val noExchange = !j.queryExecution.executedPlan.toString.contains("Exchange")
+        j.withColumn("no_exchange", lit(noExchange))
+      } finally {
+        prevBucketing.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          v => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+        prevBroadcast.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      }
+    },
+    Some("""SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
+           |  round(sum(c_acctbal + s_acctbal), 2) AS sum_bal,
+           |  TRUE AS no_exchange
+           |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+           |GROUP BY c_nationkey""".stripMargin))
+
   /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
     * per-key table in graft-store — read current snapshot, merge the batch
     * (latest wins by event time, event_id tie-break), publish as a new
@@ -612,5 +665,6 @@ object SystemQueries {
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
-    q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder)
+    q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
+    q129StoreSpj)
 }

@@ -86,7 +86,7 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
     stats: Map[Int, (String, String)])
 
 private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
-    millis: Long = 0L)
+    millis: Long = 0L, partitionCol: Option[String] = None)
 
 private[v2] object GraftStoreFormat {
   /** Manifest file body: optional `#millis=<epoch>` header (v2 — publication
@@ -162,9 +162,16 @@ private[v2] object GraftStoreFormat {
     val all = body.split("\n").filter(_.nonEmpty)
     // `#millis=` header is optional: pre-OCC manifests carried millis in the
     // file NAME instead — fall back to it so old tables stay time-travelable
-    val (millis, lines) =
+    val (millis, rest) =
       if (all.head.startsWith("#millis=")) (all.head.stripPrefix("#millis=").toLong, all.tail)
       else (manifestSeq(p), all)
+    // `#partition=` header (optional): the table is identity-partitioned on
+    // this column — every data file holds exactly ONE value of it, which is
+    // what lets the scan report KeyGroupedPartitioning for shuffle-free joins
+    val (partCol, lines) =
+      if (rest.head.startsWith("#partition="))
+        (Some(rest.head.stripPrefix("#partition=")), rest.tail)
+      else (None, rest)
     GraftManifest(
       StructType.fromDDL(lines.head),
       lines.tail.toSeq.map { l =>
@@ -173,7 +180,7 @@ private[v2] object GraftStoreFormat {
         GraftFileEntry(parts(0), parts(1).toLong,
           if (parts.length > 2) statsFromString(parts(2)) else Map.empty)
       },
-      millis)
+      millis, partCol)
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
@@ -236,7 +243,9 @@ private[v2] object GraftStoreFormat {
         case e: java.io.IOException if f.exists(target) => return false
       }
     try out.write(
-      (s"#millis=$millis\n" + m.schema.toDDL + "\n" + m.files.map(e =>
+      (s"#millis=$millis\n" +
+        m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
+        m.schema.toDDL + "\n" + m.files.map(e =>
         s"${e.name}\t${e.rows}\t${statsToString(e.stats)}").mkString("\n"))
         .getBytes("UTF-8"))
     finally out.close()
@@ -349,7 +358,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       SparkSession.active.sparkContext.hadoopConfiguration, truncate = false,
       clusterBy = Option(info.options.get("clusterBy"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty),
-      clusterFiles = Option(info.options.get("clusterFiles")).map(_.toInt).getOrElse(0))
+      clusterFiles = Option(info.options.get("clusterFiles")).map(_.toInt).getOrElse(0),
+      partitionBy = Option(info.options.get("partitionBy")))
 }
 
 // ------------------------------------------------------------------- write
@@ -375,10 +385,13 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
   * target file size instead. */
 private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, clusterBy: Array[String] = Array.empty,
-    clusterFiles: Int = 0)
+    clusterFiles: Int = 0, partitionBy: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
+  require(clusterBy.isEmpty || partitionBy.isEmpty,
+    "graft-store: clusterBy and partitionBy are mutually exclusive layouts")
   override def truncate(): WriteBuilder =
-    new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy, clusterFiles)
+    new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
+      clusterFiles, partitionBy)
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -386,24 +399,36 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
       clusterBy.map(c => Expressions.sort(
         Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
     override def requiredDistribution(): Distribution =
-      if (clusterBy.isEmpty) Distributions.unspecified() else Distributions.ordered(orders)
+      if (partitionBy.isDefined)
+        // identity partitioning: a CLUSTERED (hash) distribution is enough —
+        // it guarantees a partition-key value never spans two tasks; the
+        // DataWriter then splits each task's rows into one file PER VALUE
+        Distributions.clustered(Array(
+          Expressions.identity(partitionBy.get): org.apache.spark.sql.connector.expressions.Expression))
+      else if (clusterBy.isEmpty) Distributions.unspecified()
+      else Distributions.ordered(orders)
     override def requiredOrdering(): Array[SortOrder] = orders
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
-      new GraftStoreBatchWrite(path, schema, conf, truncate)
+      new GraftStoreBatchWrite(path, schema, conf, truncate, partitionBy)
   }
 }
 
-private[v2] case class GraftCommitMessage(file: String, rows: Long, stats: String)
+/** One finished task file: (name, rows, encoded stats). A task emits ONE
+  * entry normally, one PER PARTITION VALUE under `partitionBy`. */
+private[v2] case class GraftCommitEntry(file: String, rows: Long, stats: String)
+private[v2] case class GraftCommitMessage(entries: Seq[GraftCommitEntry])
     extends WriterCommitMessage
 
 private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
-    conf: Configuration, truncate: Boolean) extends BatchWrite {
+    conf: Configuration, truncate: Boolean, partitionBy: Option[String] = None)
+    extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf))
+    new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
+      partitionBy.map(schema.fieldIndex).getOrElse(-1))
 
   /** Driver-side, exactly once, only with messages of successful attempts:
     * move the committed attempts' files live, publish the new manifest.
@@ -421,7 +446,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     // _tmp below): a clustered/skewed write leaves empty partitions, and an
     // empty file has no stats, so it could NEVER be pruned — committing it
     // would tax every future scan with a guaranteed-useless file open
-    val committed = messages.map(_.asInstanceOf[GraftCommitMessage])
+    val committed = messages.flatMap(_.asInstanceOf[GraftCommitMessage].entries)
       .filter(_.rows > 0L).toSeq
     committed.foreach { m =>
       fs.rename(new Path(tmpDir, m.file), new Path(path, m.file))
@@ -442,10 +467,16 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
           require(m.schema.toDDL == schema.toDDL,
             s"graft-store: append schema ${schema.toDDL} does not match " +
               s"table schema ${m.schema.toDDL}; overwrite to change schemas")
+          // same discipline for the partition layout: mixed layouts would
+          // silently break the one-value-per-file invariant SPJ relies on
+          require(m.partitionCol == partitionBy,
+            s"graft-store: append partitionBy=$partitionBy does not match " +
+              s"table partition ${m.partitionCol}; overwrite to change layout")
           m.files
         }.getOrElse(Seq.empty)
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(schema, prev ++ newEntries), GraftStoreFormat.nextSeq(head))
+        GraftManifest(schema, prev ++ newEntries, partitionCol = partitionBy),
+        GraftStoreFormat.nextSeq(head))
     }
     // NO data-file cleanup here, even on truncate: superseded files are
     // still referenced by RETAINED snapshot manifests (time travel).
@@ -460,92 +491,140 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
 }
 
 private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
-    schema: StructType, conf: SerializableHadoopConf) extends DataWriterFactory {
+    schema: StructType, conf: SerializableHadoopConf, partitionIdx: Int = -1)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftStoreDataWriter(path, writeId, partitionId, taskId, schema, conf.value)
+    new GraftStoreDataWriter(path, writeId, partitionId, taskId, schema, conf.value,
+      partitionIdx)
 }
 
+/** Task-side writer. Normally one file per task attempt; under `partitionBy`
+  * (`partitionIdx >= 0`) rows are ROUTED to one file per distinct partition
+  * value seen by the task (the Hive dynamic-partition writer shape) — the
+  * write-side half of the one-value-per-file invariant that lets the scan
+  * report KeyGroupedPartitioning for storage-partitioned joins. The
+  * distribution contract (clustered on the partition column) keeps any
+  * value inside one task, so per-task routing yields per-TABLE uniqueness.
+  * Open-file count = the task's distinct values, capped to fail loudly
+  * rather than exhaust descriptors on a mis-chosen high-cardinality key. */
 private[v2] class GraftStoreDataWriter(path: String, writeId: String,
-    partitionId: Int, taskId: Long, schema: StructType, conf: Configuration)
+    partitionId: Int, taskId: Long, schema: StructType, conf: Configuration,
+    partitionIdx: Int = -1)
     extends DataWriter[InternalRow] {
-  // taskId distinguishes attempts: a speculative twin writes its own file,
-  // and only the attempt whose commit message reaches the driver is published
-  private val file = s"part-$writeId-$partitionId-$taskId.gsf"
   private val fs = GraftStoreFormat.fs(path, conf)
-  private val out = new DataOutputStream(new BufferedOutputStream(
-    fs.create(new Path(new Path(path, s"_tmp/$writeId"), file), true), 1 << 16))
-  private var rows = 0L
-
-  // per-file min/max stats, tracked inline while writing (free: the row is
-  // already decoded). Integral types in exact Long math; floating in Double
-  // with NaN poisoning the column's stats (skipping must stay conservative);
-  // strings in UTF8 BINARY order (the same order the skipper compares in).
   private val n = schema.length
-  private val lMin = Array.fill(n)(Long.MaxValue)
-  private val lMax = Array.fill(n)(Long.MinValue)
-  private val dMin = Array.fill(n)(Double.PositiveInfinity)
-  private val dMax = Array.fill(n)(Double.NegativeInfinity)
-  private val sMin = new Array[UTF8String](n)
-  private val sMax = new Array[UTF8String](n)
-  private val seen = new Array[Boolean](n)
-  private val sawNaN = new Array[Boolean](n)
 
-  override def write(record: InternalRow): Unit = {
-    GraftStoreFormat.writeRow(out, record, schema); rows += 1
-    var i = 0
-    while (i < n) {
-      if (!record.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType | TimestampType =>
-          val v = record.getLong(i)
-          if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
-        case IntegerType | DateType =>
-          val v = record.getInt(i).toLong
-          if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
-        case DoubleType | FloatType =>
-          val v = if (schema.fields(i).dataType == FloatType) record.getFloat(i).toDouble
-                  else record.getDouble(i)
-          if (java.lang.Double.isNaN(v)) sawNaN(i) = true
-          else {
-            if (v < dMin(i)) dMin(i) = v; if (v > dMax(i)) dMax(i) = v; seen(i) = true
-          }
-        case StringType =>
-          // clone: an UnsafeRow's UTF8String points into a reused buffer
-          val v = record.getUTF8String(i)
-          if (sMin(i) == null || v.compareTo(sMin(i)) < 0) sMin(i) = v.clone()
-          if (sMax(i) == null || v.compareTo(sMax(i)) > 0) sMax(i) = v.clone()
-          seen(i) = true
-        case _ => ()
+  /** One open output file + its inline min/max stats. Integral types in
+    * exact Long math; floating in Double with NaN poisoning the column's
+    * stats (skipping must stay conservative); strings in UTF8 BINARY order
+    * (the same order the skipper compares in). */
+  private class FileSink(suffix: String) {
+    // taskId distinguishes attempts: a speculative twin writes its own file,
+    // and only the attempt whose commit message reaches the driver is published
+    val file = s"part-$writeId-$partitionId-$taskId$suffix.gsf"
+    val out = new DataOutputStream(new BufferedOutputStream(
+      fs.create(new Path(new Path(path, s"_tmp/$writeId"), file), true), 1 << 16))
+    var rows = 0L
+    val lMin = Array.fill(n)(Long.MaxValue)
+    val lMax = Array.fill(n)(Long.MinValue)
+    val dMin = Array.fill(n)(Double.PositiveInfinity)
+    val dMax = Array.fill(n)(Double.NegativeInfinity)
+    val sMin = new Array[UTF8String](n)
+    val sMax = new Array[UTF8String](n)
+    val seen = new Array[Boolean](n)
+    val sawNaN = new Array[Boolean](n)
+
+    def write(record: InternalRow): Unit = {
+      GraftStoreFormat.writeRow(out, record, schema); rows += 1
+      var i = 0
+      while (i < n) {
+        if (!record.isNullAt(i)) schema.fields(i).dataType match {
+          case LongType | TimestampType =>
+            val v = record.getLong(i)
+            if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
+          case IntegerType | DateType =>
+            val v = record.getInt(i).toLong
+            if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
+          case DoubleType | FloatType =>
+            val v = if (schema.fields(i).dataType == FloatType) record.getFloat(i).toDouble
+                    else record.getDouble(i)
+            if (java.lang.Double.isNaN(v)) sawNaN(i) = true
+            else {
+              if (v < dMin(i)) dMin(i) = v; if (v > dMax(i)) dMax(i) = v; seen(i) = true
+            }
+          case StringType =>
+            // clone: an UnsafeRow's UTF8String points into a reused buffer
+            val v = record.getUTF8String(i)
+            if (sMin(i) == null || v.compareTo(sMin(i)) < 0) sMin(i) = v.clone()
+            if (sMax(i) == null || v.compareTo(sMax(i)) > 0) sMax(i) = v.clone()
+            seen(i) = true
+          case _ => ()
+        }
+        i += 1
       }
-      i += 1
+    }
+
+    def entry(): GraftCommitEntry = {
+      out.close()
+      val stats = (0 until n).flatMap { i =>
+        if (!seen(i) || sawNaN(i)) None
+        else schema.fields(i).dataType match {
+          case LongType | TimestampType | IntegerType | DateType =>
+            Some(i -> (lMin(i).toString, lMax(i).toString))
+          case DoubleType | FloatType =>
+            Some(i -> (dMin(i).toString, dMax(i).toString))
+          case StringType =>
+            // long strings are dropped rather than truncated: a truncated MAX
+            // is not an upper bound (Iceberg solves this by incrementing the
+            // last byte; a 64-char cap keeps manifests small with no such
+            // subtlety — skipping just degrades to "may match")
+            if (sMin(i).numChars <= 64 && sMax(i).numChars <= 64)
+              Some(i -> (sMin(i).toString, sMax(i).toString))
+            else None
+          case _ => None
+        }
+      }.toMap
+      GraftCommitEntry(file, rows, GraftStoreFormat.statsToString(stats))
+    }
+
+    def abort(): Unit = {
+      try out.close() catch { case _: Throwable => () }
+      try fs.delete(new Path(new Path(path, s"_tmp/$writeId"), file), false)
+      catch { case _: Throwable => () }
     }
   }
-  override def commit(): WriterCommitMessage = {
-    out.close()
-    val stats = (0 until n).flatMap { i =>
-      if (!seen(i) || sawNaN(i)) None
-      else schema.fields(i).dataType match {
-        case LongType | TimestampType | IntegerType | DateType =>
-          Some(i -> (lMin(i).toString, lMax(i).toString))
-        case DoubleType | FloatType =>
-          Some(i -> (dMin(i).toString, dMax(i).toString))
-        case StringType =>
-          // long strings are dropped rather than truncated: a truncated MAX
-          // is not an upper bound (Iceberg solves this by incrementing the
-          // last byte; a 64-char cap keeps manifests small with no such
-          // subtlety — skipping just degrades to "may match")
-          if (sMin(i).numChars <= 64 && sMax(i).numChars <= 64)
-            Some(i -> (sMin(i).toString, sMax(i).toString))
-          else None
-        case _ => None
-      }
-    }.toMap
-    GraftCommitMessage(file, rows, GraftStoreFormat.statsToString(stats))
-  }
-  override def abort(): Unit = {
-    try out.close() catch { case _: Throwable => () }
-    try fs.delete(new Path(new Path(path, s"_tmp/$writeId"), file), false)
-    catch { case _: Throwable => () }
-  }
+
+  private lazy val single = new FileSink("")
+  private val byValue = scala.collection.mutable.LinkedHashMap.empty[Any, FileSink]
+  private object NullKey
+
+  private def partitionKey(record: InternalRow): Any =
+    if (record.isNullAt(partitionIdx)) NullKey
+    else schema.fields(partitionIdx).dataType match {
+      case LongType | TimestampType => record.getLong(partitionIdx)
+      case IntegerType | DateType => record.getInt(partitionIdx)
+      case StringType => record.getUTF8String(partitionIdx).clone()
+      case other => throw new UnsupportedOperationException(
+        s"graft-store: partitionBy unsupported for type $other")
+    }
+
+  override def write(record: InternalRow): Unit =
+    if (partitionIdx < 0) single.write(record)
+    else {
+      val sink = byValue.getOrElseUpdate(partitionKey(record), {
+        require(byValue.size < 1000,
+          "graft-store: partitionBy key exceeds 1000 distinct values per task " +
+            "— identity partitioning needs a low-cardinality key (use clusterBy)")
+        new FileSink(s"-v${byValue.size}")
+      })
+      sink.write(record)
+    }
+
+  override def commit(): WriterCommitMessage =
+    if (partitionIdx < 0) GraftCommitMessage(Seq(single.entry()))
+    else GraftCommitMessage(byValue.values.map(_.entry()).toSeq)
+  override def abort(): Unit =
+    if (partitionIdx < 0) single.abort() else byValue.values.foreach(_.abort())
   override def close(): Unit = ()
 }
 
@@ -574,7 +653,8 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
 private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     required: StructType, pushed: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableHadoopConf)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -658,10 +738,67 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
       OptionalLong.of(selected.map(_.rows).sum)
   }
 
+  /** Identity-partitioned read groups: for a `partitionBy` table, every
+    * file holds exactly ONE value of the partition column, recovered from
+    * its min==max stats — files sharing the value form one input
+    * partition keyed by it ([[HasPartitionKey]]), and the scan reports
+    * [[KeyGroupedPartitioning]], which is what lets Spark plan a
+    * STORAGE-PARTITIONED JOIN (zero exchange on either side) between two
+    * graft-store tables partitioned on their join keys
+    * (`spark.sql.sources.v2.bucketing.enabled=true`). `None` when the
+    * table isn't partitioned or any surviving file can't prove its single
+    * value (all-null or long-string stats) — reporting then stays
+    * conservative (unknown partitioning), never wrong. */
+  private lazy val keyedGroups: Option[Seq[(Any, Seq[GraftFileEntry])]] =
+    manifest.partitionCol.flatMap { c =>
+      val idx = manifest.schema.fieldNames.indexOf(c)
+      if (idx < 0) None
+      else {
+        val keyed = selected.map { e =>
+          e.stats.get(idx) match {
+            case Some((mn, mx)) if mn == mx => Some(mn -> e)
+            case _ => None // can't prove one-value-per-file: report nothing
+          }
+        }
+        if (keyed.exists(_.isEmpty)) None
+        else Some(keyed.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (v, es) => (typedKey(idx, v), es.map(_._2)) })
+      }
+    }
+
+  private def typedKey(idx: Int, v: String): Any =
+    manifest.schema.fields(idx).dataType match {
+      case LongType | TimestampType => v.toLong
+      case IntegerType | DateType => v.toInt
+      case StringType => UTF8String.fromString(v)
+      case _ => v
+    }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedGroups match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(manifest.partitionCol.get)),
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          selected.size)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    selected.map { e =>
-      GraftFilePartition(new Path(path, e.name).toString): InputPartition
-    }.toArray
+    keyedGroups match {
+      case Some(groups) =>
+        groups.map { case (key, es) =>
+          GraftKeyedFilesPartition(
+            es.map(e => new Path(path, e.name).toString),
+            InternalRow(key)): InputPartition
+        }.toArray
+      case None =>
+        selected.map { e =>
+          GraftFilePartition(new Path(path, e.name).toString): InputPartition
+        }.toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(manifest.schema, required, conf)
 
@@ -801,21 +938,47 @@ object GraftStoreOps {
 
 private[v2] case class GraftFilePartition(file: String) extends InputPartition
 
+/** One identity-partition read group: all files holding one partition-key
+  * value. `HasPartitionKey` is what Spark's storage-partitioned-join
+  * planner consumes. */
+private[v2] case class GraftKeyedFilesPartition(files: Seq[String], key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftFilePartition].file
-    val fs = new Path(file).getFileSystem(conf.value)
-    val in = new DataInputStream(new BufferedInputStream(fs.open(new Path(file)), 1 << 16))
+    val files = partition match {
+      case GraftFilePartition(f) => Seq(f)
+      case GraftKeyedFilesPartition(fs, _) => fs
+    }
     val keep: Array[Int] = required.fieldNames.map(full.fieldIndex)
     new PartitionReader[InternalRow] {
+      private var remaining = files
+      private var in: DataInputStream = _
       private var cur: Array[Any] = _
+      private def openNext(): Boolean = remaining match {
+        case f +: rest =>
+          remaining = rest
+          val fs = new Path(f).getFileSystem(conf.value)
+          in = new DataInputStream(new BufferedInputStream(fs.open(new Path(f)), 1 << 16))
+          true
+        case _ => false
+      }
       override def next(): Boolean = {
-        cur = GraftStoreFormat.readRow(in, full); cur != null
+        if (in == null && !openNext()) return false
+        cur = GraftStoreFormat.readRow(in, full)
+        while (cur == null) {
+          in.close(); in = null
+          if (!openNext()) return false
+          cur = GraftStoreFormat.readRow(in, full)
+        }
+        true
       }
       override def get(): InternalRow =
         InternalRow.fromSeq(keep.toSeq.map(cur(_)))
-      override def close(): Unit = in.close()
+      override def close(): Unit = if (in != null) in.close()
     }
   }
 }

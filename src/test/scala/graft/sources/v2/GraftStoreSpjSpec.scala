@@ -1,0 +1,91 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins over graft-store: `partitionBy` writes one
+  * file per partition-key value (identity partitioning), the scan recovers
+  * each file's single value from its min==max stats and reports
+  * KeyGroupedPartitioning, and Spark then joins two co-partitioned tables
+  * with ZERO shuffle exchange on either side — the Iceberg/Delta SPJ
+  * capability on the engine's own format. */
+class GraftStoreSpjSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-store-spj").toString
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("partitionBy write: one file per value, partition-pruned reads") {
+    val dir = tmpDir()
+    spark.range(0, 1000)
+      .selectExpr("id", "cast(id % 8 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft-store").load(dir)
+    // 8 values -> 8 keyed input partitions regardless of task layout
+    assert(back.rdd.getNumPartitions === 8)
+    assert(back.count() === 1000)
+    // stats carry the single value -> equality filter reads exactly one group
+    val one = back.filter(col("k") === 3)
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.count() === 125)
+  }
+
+  test("append must keep the table's partition layout") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, 1)).toDF("id", "k").write.format("graft-store")
+      .option("partitionBy", "k").mode("overwrite").save(dir)
+    val err = intercept[Exception] {
+      Seq((2L, 2)).toDF("id", "k").write.format("graft-store")
+        .mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("partition"), err.getMessage)
+  }
+
+  test("co-partitioned tables join with zero shuffle exchange (SPJ)") {
+    val dirA = tmpDir()
+    val dirB = tmpDir()
+    spark.range(0, 1000)
+      .selectExpr("id as ida", "cast(id % 20 as int) as k", "id * 2 as va")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dirA)
+    spark.range(0, 500)
+      .selectExpr("id as idb", "cast(id % 20 as int) as k", "id * 3 as vb")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dirB)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = spark.read.format("graft-store").load(dirA)
+      val b = spark.read.format("graft-store").load(dirB)
+      val j = a.join(b, Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(col("va") + col("vb")).as("s"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a storage-partitioned join with no exchange:\n${plan.take(3000)}")
+      // correctness: 50 x 25 pairs per key, 20 keys; sums must equal the
+      // plain (shuffled, non-store) computation row for row
+      val rows = j.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.size === 20)
+      assert(rows.forall(_._2 === 50L * 25L))
+      val expected = spark.range(0, 1000)
+        .selectExpr("cast(id % 20 as int) as k", "id * 2 as va")
+        .join(spark.range(0, 500).selectExpr("cast(id % 20 as int) as k", "id * 3 as vb"), Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(col("va") + col("vb")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === expected)
+    }
+  }
+}
