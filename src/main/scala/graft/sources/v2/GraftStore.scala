@@ -909,9 +909,19 @@ object GraftStoreOps {
       try f.getFileStatus(new Path(path, e.name)).getLen catch { case _: Throwable => 0L }
     }.sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.format("graft-store").load(path)
-      .repartition(n)
-      .write.format("graft-store").mode("overwrite").save(path)
+    // a partitioned table keeps its layout through compaction (files merge
+    // WITHIN a key value) — otherwise the overwrite would silently drop the
+    // one-value-per-file invariant and with it SPJ capability
+    m.partitionCol match {
+      case Some(c) =>
+        spark.read.format("graft-store").load(path)
+          .write.format("graft-store").option("partitionBy", c)
+          .mode("overwrite").save(path)
+      case None =>
+        spark.read.format("graft-store").load(path)
+          .repartition(n)
+          .write.format("graft-store").mode("overwrite").save(path)
+    }
     GraftStoreFormat.readLatestManifest(path, conf).map(_.files.size).getOrElse(0)
   }
 

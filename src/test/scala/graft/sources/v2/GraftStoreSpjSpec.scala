@@ -88,4 +88,52 @@ class GraftStoreSpjSpec extends AnyFunSuite with graft.SparkTestBase {
       assert(rows === expected)
     }
   }
+
+  test("SPJ survives partially-overlapping partition value sets") {
+    val dirA = tmpDir()
+    val dirB = tmpDir()
+    // A holds keys 0..19, B only 0..9 — Spark must align the value sets
+    // (pushPartValues) instead of falling back to a shuffle
+    spark.range(0, 400)
+      .selectExpr("id as ida", "cast(id % 20 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dirA)
+    spark.range(0, 200)
+      .selectExpr("id as idb", "cast(id % 10 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dirB)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.read.format("graft-store").load(dirA)
+        .join(spark.read.format("graft-store").load(dirB), Seq("k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"partial overlap should still plan SPJ:\n${plan.take(3000)}")
+      // inner join keeps only B's 10 keys: 20 (A rows/key) x 20 (B rows/key) x 10
+      assert(j.count() === 20L * 20L * 10L)
+    }
+  }
+
+  test("compaction preserves the partition layout (and SPJ capability)") {
+    val dir = tmpDir()
+    val df = spark.range(0, 400).selectExpr("id", "cast(id % 5 as int) as k")
+    // two appends -> 2 files per key value
+    df.filter(col("id") < 200).write.format("graft-store")
+      .option("partitionBy", "k").mode("overwrite").save(dir)
+    df.filter(col("id") >= 200).write.format("graft-store")
+      .option("partitionBy", "k").mode("append").save(dir)
+    val before = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(before.files.size === 10)
+    GraftStoreOps.compactSnapshot(spark, dir, targetBytes = 1L << 30)
+    val after = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(after.partitionCol === Some("k"), "compaction must keep the layout")
+    assert(after.files.size === 5, "files must merge WITHIN key values")
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.rdd.getNumPartitions === 5)
+    assert(back.count() === 400)
+  }
 }
