@@ -1351,6 +1351,69 @@ object ExtQueries {
             |  FROM m)
             |SELECT source, verdict, count(*) AS n FROM v GROUP BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- winnowing extents
+  /** POSITIONAL winnowing — q127 told you WHICH documents overlap; this
+    * tells you WHERE. Each window keeps (min hash, its leftmost position),
+    * so a shared fingerprint pins a shared ≥ 6-token run to token
+    * coordinates in BOTH documents; per candidate pair the matched
+    * positions aggregate to overlap EXTENTS (start/end token index per
+    * side) — the span you'd highlight in a plagiarism report or cut in
+    * surgical dedup. Leftmost-min tie-break keeps selection deterministic
+    * (winnowing proper takes rightmost; with 60-bit hashes ties are
+    * theoretical, the tie-break just pins the oracle). Same scale shape
+    * and > 50-doc stop-fingerprint guard as q127; positions ride the same
+    * shuffle as the hashes, nothing new moves. */
+  val q130WinnowingExtents = QuerySpec(
+    "q130_winnowing_extents", "EXT-dedup-winnowing-extents",
+    "overlap extents: token spans of shared winnowing fingerprints per doc pair",
+    (s, d) => {
+      val fps = ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("sh3", shingleSql("toks", 3))
+        .withColumn("h", expr(
+          "transform(sh3, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+        .withColumn("w", expr(
+          """IF(size(h) >= 4,
+            |  transform(sequence(0, size(h) - 4), i -> struct(
+            |    i + array_position(slice(h, i + 1, 4), array_min(slice(h, i + 1, 4))) AS pos,
+            |    array_min(slice(h, i + 1, 4)) AS fp)),
+            |  array())""".stripMargin))
+        .select("doc_id", "w")
+        .localCheckpoint(true)
+      val ex = fps.select(col("doc_id"), explode(col("w")).as("s"))
+        .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
+        .distinct()
+      val rare = ex.groupBy("fp").agg(countDistinct("doc_id").as("ndocs"))
+        .filter(col("ndocs") <= 50).select("fp")
+      val exf = ex.join(rare, Seq("fp"), "left_semi")
+      exf.select(col("doc_id").as("id1"), col("fp"), col("pos").as("pa"))
+        .join(exf.select(col("doc_id").as("id2"), col("fp"), col("pos").as("pb")), Seq("fp"))
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2")
+        .agg(countDistinct("fp").as("n_shared"),
+          min("pa").as("a_start"), (max("pa") + 2).as("a_end"),
+          min("pb").as("b_start"), (max("pb") + 2).as("b_end"))
+        .filter(col("n_shared") >= 2)
+    },
+    Some(s"""WITH n AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk FROM documents),
+            |g3 AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2), i ->
+            |    concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS sh FROM n),
+            |hh AS (SELECT doc_id, list_transform(sh, x ->
+            |    CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT)) AS h FROM g3),
+            |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(h) - 3), i ->
+            |    {'pos': i + list_position(h[i : i + 3], list_min(h[i : i + 3])) - 1,
+            |     'fp': list_min(h[i : i + 3])})) AS u
+            |  FROM hh WHERE len(h) >= 4),
+            |e AS (SELECT DISTINCT doc_id, u.fp AS fp, u.pos AS pos FROM w),
+            |rare AS (SELECT fp FROM e GROUP BY fp HAVING count(DISTINCT doc_id) <= 50),
+            |ef AS (SELECT * FROM e WHERE fp IN (SELECT fp FROM rare))
+            |SELECT a.doc_id AS id1, b.doc_id AS id2,
+            |  count(DISTINCT a.fp) AS n_shared,
+            |  min(a.pos) AS a_start, max(a.pos) + 2 AS a_end,
+            |  min(b.pos) AS b_start, max(b.pos) + 2 AS b_end
+            |FROM ef a JOIN ef b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin))
+
   // ---------------------------------------------------------------- feature hashing
   /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
     * feature space by hash, no vocabulary pass, no driver-side dictionary —
@@ -1604,5 +1667,5 @@ object ExtQueries {
     q114StreamDecontaminate, q115SpanDedup, q116PiiMask, q117MixingWeights,
     q118SpanScrub, q119QualityFilter, q120SourceCap, q121Repetition,
     q122Bm25, q123Winnowing, q125GroupSplit, q126LabelCohesion,
-    q127WinnowingPairs, q128StreamCuration)
+    q127WinnowingPairs, q128StreamCuration, q130WinnowingExtents)
 }

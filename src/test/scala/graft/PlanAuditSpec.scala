@@ -81,6 +81,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       "span-count join must stay hash-keyed")
   }
 
+  test("q127: winnowing pair join is fingerprint-keyed; no regex under Generates") {
+    import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val qe = SparkEntry.queries("q127_winnowing_pairs")(spark, d).queryExecution
+    assert(qe.optimizedPlan.toString.contains("LogicalRDD"),
+      "expected the fingerprint frame to be a materialized checkpoint")
+    qe.optimizedPlan.collect { case g: Generate => g }.foreach { g =>
+      g.generator.children.foreach { c =>
+        assert(c.find(_.isInstanceOf[RegExpReplace]).isEmpty,
+          s"regex reached a Generate input: ${c.sql.take(200)}")
+      }
+    }
+    val phys = qe.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      "candidate self-join must stay keyed on the fingerprint")
+  }
+
   test("q111: semantic-dedup candidate join is bucket-keyed, never a cartesian") {
     // q111's final plan is the (already-materialized) component window; the
     // join shape to pin is the candidate-pair stage, built here exactly as
