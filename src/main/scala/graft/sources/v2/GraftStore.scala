@@ -165,9 +165,10 @@ private[v2] object GraftStoreFormat {
     val (millis, rest) =
       if (all.head.startsWith("#millis=")) (all.head.stripPrefix("#millis=").toLong, all.tail)
       else (manifestSeq(p), all)
-    // `#partition=` header (optional): the table is identity-partitioned on
-    // this column — every data file holds exactly ONE value of it, which is
-    // what lets the scan report KeyGroupedPartitioning for shuffle-free joins
+    // `#partition=` header (optional, comma-separated): the table is
+    // identity-partitioned on these columns — every data file holds exactly
+    // ONE value combination, which is what lets the scan report
+    // KeyGroupedPartitioning for shuffle-free joins
     val (partCol, lines) =
       if (rest.head.startsWith("#partition="))
         (Some(rest.head.stripPrefix("#partition=")), rest.tail)
@@ -401,10 +402,12 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredDistribution(): Distribution =
       if (partitionBy.isDefined)
         // identity partitioning: a CLUSTERED (hash) distribution is enough —
-        // it guarantees a partition-key value never spans two tasks; the
-        // DataWriter then splits each task's rows into one file PER VALUE
-        Distributions.clustered(Array(
-          Expressions.identity(partitionBy.get): org.apache.spark.sql.connector.expressions.Expression))
+        // it guarantees a partition-key value (combination) never spans two
+        // tasks; the DataWriter then splits each task's rows into one file
+        // PER VALUE combination
+        Distributions.clustered(
+          partitionBy.get.split(",").map(_.trim).map(c =>
+            Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression))
       else if (clusterBy.isEmpty) Distributions.unspecified()
       else Distributions.ordered(orders)
     override def requiredOrdering(): Array[SortOrder] = orders
@@ -428,7 +431,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
-      partitionBy.map(schema.fieldIndex).getOrElse(-1))
+      partitionBy.map(_.split(",").map(s => schema.fieldIndex(s.trim)))
+        .getOrElse(Array.empty))
 
   /** Driver-side, exactly once, only with messages of successful attempts:
     * move the committed attempts' files live, publish the new manifest.
@@ -491,7 +495,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
 }
 
 private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
-    schema: StructType, conf: SerializableHadoopConf, partitionIdx: Int = -1)
+    schema: StructType, conf: SerializableHadoopConf,
+    partitionIdx: Array[Int] = Array.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftStoreDataWriter(path, writeId, partitionId, taskId, schema, conf.value,
@@ -509,7 +514,7 @@ private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
   * rather than exhaust descriptors on a mis-chosen high-cardinality key. */
 private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     partitionId: Int, taskId: Long, schema: StructType, conf: Configuration,
-    partitionIdx: Int = -1)
+    partitionIdx: Array[Int] = Array.empty)
     extends DataWriter[InternalRow] {
   private val fs = GraftStoreFormat.fs(path, conf)
   private val n = schema.length
@@ -595,21 +600,23 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
   }
 
   private lazy val single = new FileSink("")
-  private val byValue = scala.collection.mutable.LinkedHashMap.empty[Any, FileSink]
+  private val byValue = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], FileSink]
   private object NullKey
 
-  private def partitionKey(record: InternalRow): Any =
-    if (record.isNullAt(partitionIdx)) NullKey
-    else schema.fields(partitionIdx).dataType match {
-      case LongType | TimestampType => record.getLong(partitionIdx)
-      case IntegerType | DateType => record.getInt(partitionIdx)
-      case StringType => record.getUTF8String(partitionIdx).clone()
-      case other => throw new UnsupportedOperationException(
-        s"graft-store: partitionBy unsupported for type $other")
+  private def partitionKey(record: InternalRow): Seq[Any] =
+    partitionIdx.toSeq.map { idx =>
+      if (record.isNullAt(idx)) NullKey
+      else schema.fields(idx).dataType match {
+        case LongType | TimestampType => record.getLong(idx)
+        case IntegerType | DateType => record.getInt(idx)
+        case StringType => record.getUTF8String(idx).clone()
+        case other => throw new UnsupportedOperationException(
+          s"graft-store: partitionBy unsupported for type $other")
+      }
     }
 
   override def write(record: InternalRow): Unit =
-    if (partitionIdx < 0) single.write(record)
+    if (partitionIdx.isEmpty) single.write(record)
     else {
       val sink = byValue.getOrElseUpdate(partitionKey(record), {
         require(byValue.size < 1000,
@@ -621,10 +628,10 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     }
 
   override def commit(): WriterCommitMessage =
-    if (partitionIdx < 0) GraftCommitMessage(Seq(single.entry()))
+    if (partitionIdx.isEmpty) GraftCommitMessage(Seq(single.entry()))
     else GraftCommitMessage(byValue.values.map(_.entry()).toSeq)
   override def abort(): Unit =
-    if (partitionIdx < 0) single.abort() else byValue.values.foreach(_.abort())
+    if (partitionIdx.isEmpty) single.abort() else byValue.values.foreach(_.abort())
   override def close(): Unit = ()
 }
 
@@ -749,20 +756,25 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     * table isn't partitioned or any surviving file can't prove its single
     * value (all-null or long-string stats) — reporting then stays
     * conservative (unknown partitioning), never wrong. */
-  private lazy val keyedGroups: Option[Seq[(Any, Seq[GraftFileEntry])]] =
-    manifest.partitionCol.flatMap { c =>
-      val idx = manifest.schema.fieldNames.indexOf(c)
-      if (idx < 0) None
+  private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
+    manifest.partitionCol.flatMap { cs =>
+      val idxs = cs.split(",").map(c => manifest.schema.fieldNames.indexOf(c.trim))
+      if (idxs.exists(_ < 0)) None
       else {
         val keyed = selected.map { e =>
-          e.stats.get(idx) match {
-            case Some((mn, mx)) if mn == mx => Some(mn -> e)
-            case _ => None // can't prove one-value-per-file: report nothing
+          // every partition column must prove its single value via min==max
+          val vals = idxs.toSeq.map { idx =>
+            e.stats.get(idx) match {
+              case Some((mn, mx)) if mn == mx => Some(typedKey(idx, mn))
+              case _ => None // can't prove one-value-per-file: report nothing
+            }
           }
+          if (vals.exists(_.isEmpty)) None else Some(vals.flatten -> e)
         }
         if (keyed.exists(_.isEmpty)) None
-        else Some(keyed.flatten.groupBy(_._1).toSeq.sortBy(_._1)
-          .map { case (v, es) => (typedKey(idx, v), es.map(_._2)) })
+        else Some(keyed.flatten.groupBy(_._1).toSeq
+          .sortBy(_._1.map(_.toString).mkString(" "))
+          .map { case (v, es) => (v, es.map(_._2)) })
       }
     }
 
@@ -778,8 +790,9 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     keyedGroups match {
       case Some(groups) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(manifest.partitionCol.get)),
+          manifest.partitionCol.get.split(",").map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c.trim):
+              org.apache.spark.sql.connector.expressions.Expression),
           groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
@@ -792,7 +805,7 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
         groups.map { case (key, es) =>
           GraftKeyedFilesPartition(
             es.map(e => new Path(path, e.name).toString),
-            InternalRow(key)): InputPartition
+            InternalRow.fromSeq(key)): InputPartition
         }.toArray
       case None =>
         selected.map { e =>

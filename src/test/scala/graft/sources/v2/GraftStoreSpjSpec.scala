@@ -116,6 +116,32 @@ class GraftStoreSpjSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
+  test("multi-column partition keys: SPJ on a composite key, zero exchange") {
+    val dirA = tmpDir()
+    val dirB = tmpDir()
+    spark.range(0, 600)
+      .selectExpr("id as ida", "cast(id % 4 as int) as k1", "cast(id % 3 as int) as k2")
+      .write.format("graft-store").option("partitionBy", "k1,k2")
+      .mode("overwrite").save(dirA)
+    spark.range(0, 300)
+      .selectExpr("id as idb", "cast(id % 4 as int) as k1", "cast(id % 3 as int) as k2")
+      .write.format("graft-store").option("partitionBy", "k1,k2")
+      .mode("overwrite").save(dirB)
+    val a = spark.read.format("graft-store").load(dirA)
+    // 4 x 3 value combinations -> 12 keyed groups
+    assert(a.rdd.getNumPartitions === 12)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = a.join(spark.read.format("graft-store").load(dirB), Seq("k1", "k2"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"composite-key SPJ should be exchange-free:\n${plan.take(3000)}")
+      // id % 12 determines (k1,k2): 50 A-rows and 25 B-rows per combination
+      assert(j.count() === 50L * 25L * 12L)
+    }
+  }
+
   test("compaction preserves the partition layout (and SPJ capability)") {
     val dir = tmpDir()
     val df = spark.range(0, 400).selectExpr("id", "cast(id % 5 as int) as k")
