@@ -1414,6 +1414,96 @@ object ExtQueries {
             |FROM ef a JOIN ef b ON a.fp = b.fp AND a.doc_id < b.doc_id
             |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2""".stripMargin))
 
+  // ---------------------------------------------------------------- curation funnel
+  /** The WHOLE curation pipeline as one DAG — the capstone composition: a
+    * raw corpus flows through exact dedup (q21's fingerprint rule, keep
+    * lowest doc_id), benchmark decontamination (q106's rule), and the
+    * quality gate (q119's thresholds), and the output is the FUNNEL
+    * REPORT every dataset release publishes: per-source survivor counts
+    * at each stage plus the final token yield. Everything derives from
+    * ONE checkpointed tokenization (fingerprint = md5 of the joined
+    * tokens ≡ q21's normalized-text md5; shingles and metrics reuse the
+    * same arrays), so the corpus text is read and normalized exactly
+    * once — at 100 TB the pipeline is one scan, two broadcast-semi
+    * probes, and per-source aggregates; no stage re-reads storage. */
+  val q131CurationFunnel = QuerySpec(
+    "q131_curation_funnel", "EXT-curation-funnel",
+    "full pipeline funnel: raw → exact-dedup → decontaminated → quality, per source",
+    (s, d) => {
+      val base = ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("sh", shingleSql("toks", 5))
+        .withColumn("fp", md5(concat_ws(" ", col("toks"))))
+        .select("doc_id", "source", "toks", "sh", "fp")
+        .localCheckpoint(true) // one tokenization; every stage reuses it
+      val bench = base.filter(col("doc_id") % 50 === 0)
+      val train = base.filter(col("doc_id") % 50 =!= 0)
+      // stage 1: exact dedup (keep the lowest doc_id per fingerprint)
+      val s1 = train
+        .join(train.groupBy("fp").agg(min("doc_id").as("keep")), Seq("fp"))
+        .filter(col("doc_id") === col("keep")).drop("keep")
+      // stage 2: decontamination against the benchmark split
+      val benchShingles = bench.select(explode(col("sh")).as("g")).distinct()
+      val contaminated = s1.select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(benchShingles), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 3: quality gate (q119 thresholds)
+      val s3 = s2
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("mean_wl", expr(
+          "round(aggregate(toks, 0, (a, t) -> a + length(t)) / cast(size(toks) as double), 4)"))
+        .withColumn("stop_ratio", expr(
+          "round(size(filter(toks, t -> t in ('the','a','of','to','and'))) / cast(size(toks) as double), 4)"))
+        .filter(col("n_tokens") >= 25 && col("mean_wl").between(3.8, 5.2)
+          && col("stop_ratio") >= 0.02)
+      def cnt(df: DataFrame, as: String) =
+        df.groupBy("source").agg(count(lit(1)).as(as))
+      cnt(train, "n_raw")
+        .join(cnt(s1, "n_dedup"), Seq("source"), "left")
+        .join(cnt(s2, "n_decon"), Seq("source"), "left")
+        .join(s3.groupBy("source").agg(count(lit(1)).as("n_final"),
+          sum(size(col("toks")).cast("long")).as("tokens_final")), Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_decon"), lit(0L)).as("n_decon"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, source, regexp_split_to_array($oNorm, '\\s+') AS tk
+            |  FROM documents),
+            |b AS (SELECT doc_id, source, tk,
+            |    list_transform(generate_series(1, len(tk) - 4), i ->
+            |      concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])) AS s5,
+            |    md5(array_to_string(tk, ' ')) AS fp
+            |  FROM n),
+            |bench AS (SELECT DISTINCT unnest(s5) AS g FROM b WHERE doc_id % 50 = 0),
+            |train AS (SELECT * FROM b WHERE doc_id % 50 <> 0),
+            |s1 AS (SELECT t.* FROM train t
+            |  JOIN (SELECT fp, min(doc_id) AS keep FROM train GROUP BY fp) k
+            |    ON t.fp = k.fp AND t.doc_id = k.keep),
+            |cont AS (SELECT DISTINCT t.doc_id FROM s1 t, unnest(t.s5) u(g)
+            |  WHERE g IN (SELECT g FROM bench)),
+            |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+            |s3 AS (SELECT * FROM s2
+            |  WHERE CAST(len(tk) AS INT) >= 25
+            |    AND round(list_aggregate(list_transform(tk, t -> len(t)), 'sum')
+            |      / CAST(len(tk) AS DOUBLE), 4) BETWEEN 3.8 AND 5.2
+            |    AND round(len(list_filter(tk, t -> t IN ('the','a','of','to','and')))
+            |      / CAST(len(tk) AS DOUBLE), 4) >= 0.02),
+            |raw AS (SELECT source, count(*) AS n_raw FROM train GROUP BY source),
+            |d1 AS (SELECT source, count(*) AS n_dedup FROM s1 GROUP BY source),
+            |d2 AS (SELECT source, count(*) AS n_decon FROM s2 GROUP BY source),
+            |d3 AS (SELECT source, count(*) AS n_final,
+            |    CAST(sum(len(tk)) AS BIGINT) AS tokens_final FROM s3 GROUP BY source)
+            |SELECT raw.source, raw.n_raw,
+            |  coalesce(d1.n_dedup, 0) AS n_dedup,
+            |  coalesce(d2.n_decon, 0) AS n_decon,
+            |  coalesce(d3.n_final, 0) AS n_final,
+            |  coalesce(d3.tokens_final, 0) AS tokens_final
+            |FROM raw LEFT JOIN d1 USING (source) LEFT JOIN d2 USING (source)
+            |LEFT JOIN d3 USING (source)""".stripMargin))
+
   // ---------------------------------------------------------------- feature hashing
   /** The hashing trick (Weinberger '09 / HashingTF): tokens map to a FIXED
     * feature space by hash, no vocabulary pass, no driver-side dictionary —
@@ -1667,5 +1757,6 @@ object ExtQueries {
     q114StreamDecontaminate, q115SpanDedup, q116PiiMask, q117MixingWeights,
     q118SpanScrub, q119QualityFilter, q120SourceCap, q121Repetition,
     q122Bm25, q123Winnowing, q125GroupSplit, q126LabelCohesion,
-    q127WinnowingPairs, q128StreamCuration, q130WinnowingExtents)
+    q127WinnowingPairs, q128StreamCuration, q130WinnowingExtents,
+    q131CurationFunnel)
 }
