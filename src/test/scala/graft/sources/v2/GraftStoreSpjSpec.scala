@@ -142,6 +142,24 @@ class GraftStoreSpjSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
+  test("pruning the partition column out of the read schema stays safe") {
+    val dir = tmpDir()
+    spark.range(0, 100).selectExpr("id", "cast(id % 4 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    val t = spark.read.format("graft-store").load(dir)
+    // the scan still REPORTS KeyGroupedPartitioning on k; Spark must not
+    // trip over the reference being absent from the pruned read schema
+    assert(t.selectExpr("sum(id)").collect()(0).getLong(0) === (0L until 100L).sum)
+    assert(t.count() === 100)
+    // and grouping on the partition column reuses the partitioning
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val g = t.groupBy("k").count()
+      assert(g.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        === (0 until 4).map(_ -> 25L).toMap)
+    }
+  }
+
   test("compaction preserves the partition layout (and SPJ capability)") {
     val dir = tmpDir()
     val df = spark.range(0, 400).selectExpr("id", "cast(id % 5 as int) as k")
