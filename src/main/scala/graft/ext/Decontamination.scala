@@ -35,9 +35,27 @@ object Decontamination {
       .select(explode(shingleSql("toks", shingleN)).as("g"))
       .distinct()
       .localCheckpoint(true)
-    val bloom = graft.operators.BloomPrune.bloomOf(shingles, col("g"), expectedShingles)
+    // the bloom is ALSO materialized: bloomOf returns a lazy 1-row
+    // aggregate, and an unmaterialized sketch would re-run
+    // bloom_filter_agg over the whole benchmark once per micro-batch —
+    // the per-batch recompute this builder exists to avoid
+    val bloom = graft.operators.BloomPrune
+      .bloomOf(shingles, col("g"), expectedShingles)
+      .localCheckpoint(true)
     (shingles, bloom)
   }
+
+  /** Doc ids of `b` (a checkpointed (doc_id, …, sh) frame) sharing any
+    * shingle with the benchmark: bloom pre-filter kills ~99% of shingles
+    * before the exact broadcast semi join removes false positives. The one
+    * probe kernel both [[scrubBatch]] and [[curateBatch]] gate on — shared
+    * so the two paths can never silently diverge. */
+  private def contaminatedIds(b: DataFrame, benchShingles: DataFrame,
+      bloom: DataFrame): DataFrame =
+    b.select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(call_function("might_contain", bloom.scalar(), xxhash64(col("g"))))
+      .join(broadcast(benchShingles), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
 
   /** One-pass ingest CURATION of a (micro-)batch: every quality rule a
     * training pipeline gates on, evaluated together so the batch's text is
@@ -59,10 +77,7 @@ object Decontamination {
       .withColumn("sh2", shingleSql("toks", 2))
       .select("doc_id", "source", "toks", "sh", "sh2")
       .localCheckpoint(true) // one tokenization; contamination probe + metrics reuse
-    val contaminated = b.select(col("doc_id"), explode(col("sh")).as("g"))
-      .filter(call_function("might_contain", bloom.scalar(), xxhash64(col("g"))))
-      .join(broadcast(benchShingles), Seq("g"), "left_semi")
-      .select("doc_id").distinct()
+    val contaminated = contaminatedIds(b, benchShingles, bloom)
     b.join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
       .select(
         col("source"),
@@ -97,10 +112,7 @@ object Decontamination {
       .withColumn("sh", shingleSql("toks", shingleN))
       .select("doc_id", "source", "sh")
       .localCheckpoint(true) // one shingling pass; 3 downstream consumers
-    val contaminated = b.select(col("doc_id"), explode(col("sh")).as("g"))
-      .filter(call_function("might_contain", bloom.scalar(), xxhash64(col("g"))))
-      .join(broadcast(benchShingles), Seq("g"), "left_semi")
-      .select("doc_id").distinct()
+    val contaminated = contaminatedIds(b, benchShingles, bloom)
     b.select("doc_id", "source").join(contaminated, Seq("doc_id"), "left_anti")
       .groupBy("source").agg(count(lit(1)).as("n_clean"))
       .join(b.groupBy("source").agg(count(lit(1)).as("n_train")), Seq("source"), "right")

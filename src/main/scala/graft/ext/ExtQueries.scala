@@ -724,7 +724,10 @@ object ExtQueries {
     (s, d) => {
       val (benchShingles, bloom) =
         Decontamination.benchSide(docs(s, d), col("doc_id") % 50 === 0)
-      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+      // keyed by batchId: foreachBatch is AT-LEAST-once, so a replayed
+      // batch must overwrite its own prior contribution, never append —
+      // otherwise a task retry would silently double-count
+      val acc = new java.util.concurrent.ConcurrentHashMap[Long, Array[(String, Long, Long)]]()
       val stream = s.readStream
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .format("parquet")
@@ -732,17 +735,17 @@ object ExtQueries {
         .load(d)
         .filter(col("doc_id") % 50 =!= 0) // the benchmark split never trains
       val q = stream.writeStream.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           // ≤ #sources rows per batch — bounded collect, q85 pattern
-          Decontamination.scrubBatch(batch.toDF(), benchShingles, bloom)
+          acc.put(batchId, Decontamination.scrubBatch(batch.toDF(), benchShingles, bloom)
             .collect()
-            .foreach(r => acc.add((r.getString(0), r.getLong(1), r.getLong(2))))
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
           ()
       }.start()
       try q.processAllAvailable() finally q.stop()
       import s.implicits._
       import scala.jdk.CollectionConverters._
-      acc.asScala.toSeq.toDF("source", "n_clean", "n_train")
+      acc.values.asScala.toSeq.flatten.toDF("source", "n_clean", "n_train")
         .groupBy("source")
         .agg(sum("n_clean").as("n_clean"), sum("n_train").as("n_train"))
         .select(col("source"), col("n_clean"), (col("n_train") - col("n_clean")).as("n_dropped"))
@@ -1296,7 +1299,9 @@ object ExtQueries {
     (s, d) => {
       val (benchShingles, bloom) =
         Decontamination.benchSide(docs(s, d), col("doc_id") % 50 === 0)
-      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+      // keyed by batchId: a replayed (at-least-once) batch overwrites its
+      // own prior contribution instead of double-counting — q114's contract
+      val acc = new java.util.concurrent.ConcurrentHashMap[Long, Array[(String, String, Long)]]()
       val stream = s.readStream
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .format("parquet")
@@ -1304,17 +1309,17 @@ object ExtQueries {
         .load(d)
         .filter(col("doc_id") % 50 =!= 0)
       val q = stream.writeStream.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           // ≤ #sources × #verdicts rows per batch — bounded collect
-          Decontamination.curateBatch(batch.toDF(), benchShingles, bloom)
+          acc.put(batchId, Decontamination.curateBatch(batch.toDF(), benchShingles, bloom)
             .collect()
-            .foreach(r => acc.add((r.getString(0), r.getString(1), r.getLong(2))))
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2))))
           ()
       }.start()
       try q.processAllAvailable() finally q.stop()
       import s.implicits._
       import scala.jdk.CollectionConverters._
-      acc.asScala.toSeq.toDF("source", "verdict", "n")
+      acc.values.asScala.toSeq.flatten.toDF("source", "verdict", "n")
         .groupBy("source", "verdict").agg(sum("n").as("n"))
     },
     Some(s"""WITH n AS (SELECT doc_id, source, regexp_split_to_array($oNorm, '\\s+') AS tk

@@ -188,10 +188,18 @@ private[v2] object GraftStoreFormat {
     listManifests(path, conf).lastOption.map(readManifestFile(path, conf, _))
 
   /** Publication millis of a manifest: the `#millis=` header, or (pre-OCC
-    * manifests) the millis embedded in the name. O(1) manifest read —
-    * snapshot counts are small by construction (bounded by retention). */
-  def manifestMillis(path: String, conf: Configuration, p: Path): Long =
-    readManifestFile(path, conf, p).millis
+    * manifests) the millis embedded in the name. Reads ONLY the first
+    * header line — `asOfMillis` time travel scans every retained
+    * manifest's millis, and paying a full file-listing parse per snapshot
+    * would make a timestamp lookup O(snapshots × files). */
+  def manifestMillis(path: String, conf: Configuration, p: Path): Long = {
+    val in = fs(path, conf).open(p)
+    val first =
+      try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    if (first != null && first.startsWith("#millis=")) first.stripPrefix("#millis=").toLong
+    else manifestSeq(p)
+  }
 
   /** Time travel: resolve the manifest a read should see. Every manifest is
     * a FULL file listing, so any retained one is a complete, consistent
@@ -221,28 +229,34 @@ private[v2] object GraftStoreFormat {
     Some(readManifestFile(path, conf, chosen))
   }
 
-  /** Optimistic-concurrency commit: publish `m` as snapshot `expectedSeq`
-    * via an EXCLUSIVE create of the seq-named manifest. Returns false when a
-    * concurrent writer already claimed that seq — the caller must re-read
-    * table state (the winner may have added files) and retry against the
-    * new head. Publication millis is pinned strictly above the previous
-    * snapshot's so `asOfMillis` time travel stays a total order even for
-    * commits inside one millisecond. Superseded manifests are RETAINED
-    * (snapshot history); [[GraftStoreOps.expireSnapshots]] is the explicit
+  /** Optimistic-concurrency commit: publish `m` as snapshot `expectedSeq`.
+    * The body is first written COMPLETELY to a uniquely-named temp file,
+    * then RENAMED (no-overwrite) onto the seq name — the rename is both
+    * the CAS claim and the publication, and because rename is atomic a
+    * concurrent reader (or the CAS loser's re-read) can never observe a
+    * partially-written manifest; a create-then-write publication would
+    * expose an empty/truncated head mid-write, which for the loser's
+    * read-merge-retry means a silently LOST winner file. Rename-without-
+    * overwrite is atomic on HDFS; on RawLocalFileSystem the
+    * exists-then-rename is a documented local-only window (same caveat the
+    * exclusive-create CAS had). Returns false when a concurrent writer
+    * already claimed the seq — the caller must re-read table state (the
+    * winner may have added files) and retry against the new head.
+    * Publication millis is pinned strictly above the previous snapshot's
+    * so `asOfMillis` time travel stays a total order even for commits
+    * inside one millisecond. Superseded manifests are RETAINED (snapshot
+    * history); [[GraftStoreOps.expireSnapshots]] is the explicit
     * retention/vacuum step. */
   def commitManifest(path: String, conf: Configuration, m: GraftManifest,
       expectedSeq: Long): Boolean = {
     val f = fs(path, conf)
     val target = new Path(path, manifestName(expectedSeq))
+    if (f.exists(target)) return false // fast-path CAS check before any I/O
     val prevMillis = listManifests(path, conf).lastOption
       .map(manifestMillis(path, conf, _)).getOrElse(0L)
     val millis = math.max(System.currentTimeMillis(), prevMillis + 1L)
-    val out =
-      try f.create(target, false) // overwrite=false: the CAS
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-        case e: java.io.IOException if f.exists(target) => return false
-      }
+    val tmp = new Path(path, s"_tmp/manifest-${UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, true)
     try out.write(
       (s"#millis=$millis\n" +
         m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
@@ -250,7 +264,17 @@ private[v2] object GraftStoreFormat {
         s"${e.name}\t${e.rows}\t${statsToString(e.stats)}").mkString("\n"))
         .getBytes("UTF-8"))
     finally out.close()
-    true
+    // atomic publication: rename(tmp -> seq name) without overwrite
+    try {
+      if (f.exists(target) || !f.rename(tmp, target)) {
+        f.delete(tmp, false); false
+      } else true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, false); false
+      case e: java.io.IOException if f.exists(target) =>
+        f.delete(tmp, false); false
+    }
   }
 
   /** Last-wins publish for callers whose manifest does NOT depend on the
@@ -599,7 +623,12 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     }
   }
 
-  private lazy val single = new FileSink("")
+  // lazy + touched flag: a task that fails before its first write must not
+  // have abort() CREATE the file just to delete it — if the filesystem is
+  // the failure cause, the create would throw from inside abort and mask
+  // the original task error
+  private var singleTouched = false
+  private lazy val single = { singleTouched = true; new FileSink("") }
   private val byValue = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], FileSink]
   private object NullKey
 
@@ -631,7 +660,8 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     if (partitionIdx.isEmpty) GraftCommitMessage(Seq(single.entry()))
     else GraftCommitMessage(byValue.values.map(_.entry()).toSeq)
   override def abort(): Unit =
-    if (partitionIdx.isEmpty) single.abort() else byValue.values.foreach(_.abort())
+    if (partitionIdx.isEmpty) { if (singleTouched) single.abort() }
+    else byValue.values.foreach(_.abort())
   override def close(): Unit = ()
 }
 
@@ -773,7 +803,7 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
         }
         if (keyed.exists(_.isEmpty)) None
         else Some(keyed.flatten.groupBy(_._1).toSeq
-          .sortBy(_._1.map(_.toString).mkString(" "))
+          .sortBy(_._1.map(_.toString).mkString("\u0000"))
           .map { case (v, es) => (v, es.map(_._2)) })
       }
     }
@@ -918,19 +948,21 @@ object GraftStoreOps {
     val f = GraftStoreFormat.fs(path, conf)
     val m = GraftStoreFormat.readLatestManifest(path, conf)
       .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
-    val bytes = m.files.map { e =>
-      try f.getFileStatus(new Path(path, e.name)).getLen catch { case _: Throwable => 0L }
-    }.sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // a partitioned table keeps its layout through compaction (files merge
-    // WITHIN a key value) — otherwise the overwrite would silently drop the
-    // one-value-per-file invariant and with it SPJ capability
+    // WITHIN a key value, one per value — targetBytes does not apply, and
+    // the per-file size scan is skipped) — otherwise the overwrite would
+    // silently drop the one-value-per-file invariant and with it SPJ
+    // capability
     m.partitionCol match {
       case Some(c) =>
         spark.read.format("graft-store").load(path)
           .write.format("graft-store").option("partitionBy", c)
           .mode("overwrite").save(path)
       case None =>
+        val bytes = m.files.map { e =>
+          try f.getFileStatus(new Path(path, e.name)).getLen catch { case _: Throwable => 0L }
+        }.sum
+        val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         spark.read.format("graft-store").load(path)
           .repartition(n)
           .write.format("graft-store").mode("overwrite").save(path)
