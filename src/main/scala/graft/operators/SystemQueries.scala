@@ -463,6 +463,45 @@ object SystemQueries {
            |FROM customer JOIN supplier ON c_nationkey = s_nationkey
            |GROUP BY c_nationkey""".stripMargin))
 
+  /** Copy-on-write DELETE on the engine's own format
+    * ([[graft.sources.v2.GraftStoreOps.deleteWhere]]): the table is laid
+    * out with disjoint per-file key ranges, so the delete predicate's
+    * stats check proves most files untouched — they are CARRIED into the
+    * new snapshot with zero I/O, and only the files that may hold
+    * matching rows are read back and rewritten (the Delta/Iceberg COW
+    * DML economics). The pruning claim is emitted as a bit (carried > 0
+    * and rewritten < total), the surviving data is oracle-checked
+    * against the original parquet, and the pre-delete snapshot stays
+    * time-travelable (checked via snapshot-0 count). */
+  val q132StoreDelete = QuerySpec(
+    "q132_store_delete", "S-dsv2-cow-delete",
+    "copy-on-write DELETE: stats-pruned rewrite set, carried files untouched",
+    (s, d) => {
+      val path = "/tmp/graft_store_q132"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      val rawRows = Tables.orders(s, d).count() // sf-independent history check
+      val (rewritten, carried) =
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, path, col("o_orderkey") < 2000)
+      val preDeleteRows = s.read.format("graft-store").option("snapshot", 0)
+        .load(path).count()
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("rewrite_pruned",
+          lit(rewritten > 0 && carried > 0 && rewritten < rewritten + carried))
+        .withColumn("history_intact", lit(preDeleteRows == rawRows))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS rewrite_pruned, TRUE AS history_intact
+           |FROM orders WHERE o_orderkey >= 2000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
     * per-key table in graft-store — read current snapshot, merge the batch
     * (latest wins by event time, event_id tie-break), publish as a new
@@ -666,5 +705,5 @@ object SystemQueries {
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
-    q129StoreSpj)
+    q129StoreSpj, q132StoreDelete)
 }

@@ -287,6 +287,67 @@ private[v2] object GraftStoreFormat {
     while (!done) done = commitManifest(path, conf, m, nextSeq(listManifests(path, conf)))
   }
 
+  /** Data skipping: a file survives only if NO pushed filter proves its
+    * [min,max] range disjoint from the predicate. Conservative by
+    * construction — unknown filter shapes, non-numeric fields, null
+    * semantics and NaN-poisoned stats all answer "may match". Integral
+    * stats compare in exact Long math (a 2^53+ key would round in doubles
+    * and could skip a matching file). Shared by the scan's pushed-filter
+    * pruning and [[GraftStoreOps.deleteWhere]]'s rewrite-set planning. */
+  def mayMatch(schema: StructType, e: GraftFileEntry,
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def rng(c: String): Option[(String, String, DataType)] = {
+      val idx = schema.fieldNames.indexOf(c)
+      if (idx < 0) None
+      else e.stats.get(idx).map { case (mn, mx) =>
+        (mn, mx, schema.fields(idx).dataType)
+      }
+    }
+    def test(c: String, v: Any)(longOk: (Long, Long, Long) => Boolean,
+        dblOk: (Double, Double, Double) => Boolean): Boolean =
+      rng(c) match {
+        case Some((mn, mx, LongType | IntegerType)) => v match {
+          case num: java.lang.Number => longOk(mn.toLong, mx.toLong, num.longValue())
+          case _ => true
+        }
+        case Some((mn, mx, DoubleType | FloatType)) => v match {
+          case num: java.lang.Number => dblOk(mn.toDouble, mx.toDouble, num.doubleValue())
+          case _ => true
+        }
+        case Some((mn, mx, StringType)) => v match {
+          // compare in UTF8 BINARY order — the exact order the writer
+          // tracked min/max in (UTF8String.compareTo), NOT Java's UTF-16
+          // code-unit order, which diverges on supplementary characters.
+          // The Long comparator is reused by collapsing the string ordering
+          // to sign space: with x' = 0, mn' = sign(mn - x), mx' = sign(mx - x),
+          // every order relation r satisfies (x' r mn') ⇔ (x r mn) and
+          // (x' r mx') ⇔ (x r mx) — and longOk only ever compares x against
+          // the bounds, never the bounds against each other.
+          case str: String =>
+            val x = UTF8String.fromString(str)
+            longOk(
+              math.signum(UTF8String.fromString(mn).compareTo(x)).toLong,
+              math.signum(UTF8String.fromString(mx).compareTo(x)).toLong,
+              0L)
+          case _ => true
+        }
+        case _ => true
+      }
+    f match {
+      case And(l, r) => mayMatch(schema, e, l) && mayMatch(schema, e, r)
+      case Or(l, r) => mayMatch(schema, e, l) || mayMatch(schema, e, r)
+      case EqualTo(c, v) => test(c, v)((mn, mx, x) => x >= mn && x <= mx,
+        (mn, mx, x) => x >= mn && x <= mx)
+      case GreaterThan(c, v) => test(c, v)((_, mx, x) => mx > x, (_, mx, x) => mx > x)
+      case GreaterThanOrEqual(c, v) => test(c, v)((_, mx, x) => mx >= x, (_, mx, x) => mx >= x)
+      case LessThan(c, v) => test(c, v)((mn, _, x) => mn < x, (mn, _, x) => mn < x)
+      case LessThanOrEqual(c, v) => test(c, v)((mn, _, x) => mn <= x, (mn, _, x) => mn <= x)
+      case In(c, vs) => vs.isEmpty || vs.exists(v => mayMatch(schema, e, EqualTo(c, v)))
+      case _ => true
+    }
+  }
+
   // --- row codec: per row one 0x01 marker byte, then per field a null byte
   //     + the value; strings are UTF-8 length-prefixed. EOF = clean row end.
   def writeRow(out: DataOutputStream, row: InternalRow, schema: StructType): Unit = {
@@ -671,8 +732,19 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
-  private val manifest = GraftStoreFormat.selectManifest(path, conf, options)
-    .getOrElse(GraftManifest(new StructType(), Seq.empty))
+  private val manifest = {
+    val m = GraftStoreFormat.selectManifest(path, conf, options)
+      .getOrElse(GraftManifest(new StructType(), Seq.empty))
+    // `files` read option: restrict the scan to a named subset of the
+    // snapshot's files — the surgical-read surface deleteWhere uses to
+    // rewrite only affected files (and a debugging aid)
+    Option(options.get("files")) match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        m.copy(files = m.files.filter(e => keep.contains(e.name)))
+      case None => m
+    }
+  }
   private var required: StructType = manifest.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
@@ -698,68 +770,11 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     s"graft-store $path files=${selected.size}/${manifest.files.size} " +
       s"cols=${required.fieldNames.mkString(",")} skipBy=[${pushed.mkString(",")}]"
 
-  /** Data skipping: a file survives only if NO pushed filter proves its
-    * [min,max] range disjoint from the predicate. Conservative by
-    * construction — unknown filter shapes, non-numeric fields, null
-    * semantics and NaN-poisoned stats all answer "may match". Integral
-    * stats compare in exact Long math (a 2^53+ key would round in doubles
-    * and could skip a matching file). */
-  private def mayMatch(e: GraftFileEntry, f: org.apache.spark.sql.sources.Filter): Boolean = {
-    import org.apache.spark.sql.sources._
-    def rng(c: String): Option[(String, String, DataType)] = {
-      val idx = manifest.schema.fieldNames.indexOf(c)
-      if (idx < 0) None
-      else e.stats.get(idx).map { case (mn, mx) =>
-        (mn, mx, manifest.schema.fields(idx).dataType)
-      }
-    }
-    def test(c: String, v: Any)(longOk: (Long, Long, Long) => Boolean,
-        dblOk: (Double, Double, Double) => Boolean): Boolean =
-      rng(c) match {
-        case Some((mn, mx, LongType | IntegerType)) => v match {
-          case num: java.lang.Number => longOk(mn.toLong, mx.toLong, num.longValue())
-          case _ => true
-        }
-        case Some((mn, mx, DoubleType | FloatType)) => v match {
-          case num: java.lang.Number => dblOk(mn.toDouble, mx.toDouble, num.doubleValue())
-          case _ => true
-        }
-        case Some((mn, mx, StringType)) => v match {
-          // compare in UTF8 BINARY order — the exact order the writer
-          // tracked min/max in (UTF8String.compareTo), NOT Java's UTF-16
-          // code-unit order, which diverges on supplementary characters.
-          // The Long comparator is reused by collapsing the string ordering
-          // to sign space: with x' = 0, mn' = sign(mn - x), mx' = sign(mx - x),
-          // every order relation r satisfies (x' r mn') ⇔ (x r mn) and
-          // (x' r mx') ⇔ (x r mx) — and longOk only ever compares x against
-          // the bounds, never the bounds against each other.
-          case str: String =>
-            val x = UTF8String.fromString(str)
-            longOk(
-              math.signum(UTF8String.fromString(mn).compareTo(x)).toLong,
-              math.signum(UTF8String.fromString(mx).compareTo(x)).toLong,
-              0L)
-          case _ => true
-        }
-        case _ => true
-      }
-    f match {
-      case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
-      case Or(l, r) => mayMatch(e, l) || mayMatch(e, r)
-      case EqualTo(c, v) => test(c, v)((mn, mx, x) => x >= mn && x <= mx,
-        (mn, mx, x) => x >= mn && x <= mx)
-      case GreaterThan(c, v) => test(c, v)((_, mx, x) => mx > x, (_, mx, x) => mx > x)
-      case GreaterThanOrEqual(c, v) => test(c, v)((_, mx, x) => mx >= x, (_, mx, x) => mx >= x)
-      case LessThan(c, v) => test(c, v)((mn, _, x) => mn < x, (mn, _, x) => mn < x)
-      case LessThanOrEqual(c, v) => test(c, v)((mn, _, x) => mn <= x, (mn, _, x) => mn <= x)
-      case In(c, vs) => vs.isEmpty || vs.exists(v => mayMatch(e, EqualTo(c, v)))
-      case _ => true
-    }
-  }
+  private def mayMatch(e: GraftFileEntry, f: org.apache.spark.sql.sources.Filter): Boolean =
+    GraftStoreFormat.mayMatch(manifest.schema, e, f)
 
   private lazy val selected: Seq[GraftFileEntry] =
     manifest.files.filter(e => pushed.forall(f => mayMatch(e, f)))
-
   /** Exact stats from the manifest (post-skipping) — lets Catalyst make
     * size-based planning decisions (e.g. auto-broadcast a small
     * graft-store dimension). */
@@ -968,6 +983,123 @@ object GraftStoreOps {
           .write.format("graft-store").mode("overwrite").save(path)
     }
     GraftStoreFormat.readLatestManifest(path, conf).map(_.files.size).getOrElse(0)
+  }
+
+  /** Copy-on-write DELETE (`DELETE WHERE cond`, the Delta/Iceberg COW DML
+    * shape): files whose min/max stats PROVE they hold no matching row are
+    * carried into the new snapshot untouched — zero read, zero write —
+    * and only the possibly-affected files are read back (via the `files`
+    * scan option) and rewritten without the matching rows. SQL DELETE
+    * semantics: a row is removed iff `cond` is TRUE (null-cond rows are
+    * kept). Published as a normal snapshot: crash-safe, time-travelable
+    * (the pre-delete state remains readable until expireSnapshots), and a
+    * partitioned table keeps its layout (the rewrite re-applies
+    * `partitionBy`). At 100 TB this is the difference between rewriting a
+    * table and rewriting the handful of files a selective predicate
+    * touches.
+    *
+    * Concurrency: the rewrite set is planned against the head read at
+    * entry; the OCC publish retries against newer heads by carrying over
+    * any files a concurrent APPEND added (they were not scanned, so the
+    * predicate does not apply to them — delete-as-of-start semantics).
+    * Returns (files rewritten, files carried). */
+  def deleteWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column): (Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = GraftStoreFormat.fs(path, conf)
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    val df = spark.read.format("graft-store").load(path)
+    // resolve cond through the analyzer, then translate to V1 filters for
+    // the stats check; an untranslatable predicate yields None -> every
+    // file "may match" (conservative: more rewriting, never a missed row)
+    val resolved = df.filter(cond).queryExecution.analyzed.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt.condition
+    }
+    val v1 = resolved.flatMap(toV1Filter)
+    val affected = m.files.filter(e => v1.forall(GraftStoreFormat.mayMatch(m.schema, e, _)))
+    val affectedNames = affected.map(_.name).toSet
+    if (affected.isEmpty) return (0, m.files.size)
+    // rewrite ONLY the affected files, into a scratch store under the table
+    // path (its manifests are invisible to the table's own listing)
+    val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
+    val kept = spark.read.format("graft-store")
+      .option("files", affected.map(_.name).mkString(","))
+      .load(path)
+      .filter(not(coalesce(cond, lit(false)))) // SQL DELETE: null cond keeps the row
+    val keptWriter = kept.write.format("graft-store").mode("overwrite")
+    m.partitionCol.fold(keptWriter)(c => keptWriter.option("partitionBy", c))
+      .save(scratch)
+    val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
+      .getOrElse(GraftManifest(m.schema, Seq.empty))
+    sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      val headM = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(m)
+      // carry = head's files minus the rewritten originals (a concurrent
+      // append's new files ride along untouched)
+      val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
+      done = GraftStoreFormat.commitManifest(path, conf,
+        GraftManifest(m.schema, carried ++ sm.files, partitionCol = m.partitionCol),
+        GraftStoreFormat.nextSeq(head))
+    }
+    f.delete(new Path(scratch), true)
+    (affected.size, m.files.size - affected.size)
+  }
+
+  /** Catalyst → V1 filter translation for [[deleteWhere]]'s rewrite-set
+    * planning — deliberately PARTIAL and conservative: only the shapes the
+    * stats skipper understands translate, anything else drops out. In an
+    * AND, an untranslatable side may be dropped (widens the may-match set
+    * — more files rewritten, never a missed row); in an OR it may not
+    * (dropping a disjunct would NARROW the set), so an OR with an unknown
+    * side translates to None. This asymmetry is exactly the
+    * may-match-planning contract; it would be WRONG for pushdown. */
+  private def toV1Filter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.{sources => sf}
+    def ext(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case other => other
+    }
+    // any FOLDABLE side is a constant: evaluating it collapses the casts
+    // the analyzer inserts for type coercion (`id < 250` arrives as
+    // `id < cast(250 as bigint)` in the analyzed plan)
+    object Const {
+      def unapply(expr: Expression): Option[Any] =
+        if (expr.foldable) Some(ext(expr.eval(null))) else None
+    }
+    e match {
+      case And(l, r) => (toV1Filter(l), toV1Filter(r)) match {
+        case (Some(a), Some(b)) => Some(sf.And(a, b))
+        case (Some(a), None) => Some(a)
+        case (None, Some(b)) => Some(b)
+        case _ => None
+      }
+      case Or(l, r) =>
+        for { a <- toV1Filter(l); b <- toV1Filter(r) } yield sf.Or(a, b)
+      case EqualTo(a: Attribute, Const(v)) => Some(sf.EqualTo(a.name, v))
+      case EqualTo(Const(v), a: Attribute) => Some(sf.EqualTo(a.name, v))
+      case GreaterThan(a: Attribute, Const(v)) => Some(sf.GreaterThan(a.name, v))
+      case GreaterThan(Const(v), a: Attribute) => Some(sf.LessThan(a.name, v))
+      case GreaterThanOrEqual(a: Attribute, Const(v)) =>
+        Some(sf.GreaterThanOrEqual(a.name, v))
+      case GreaterThanOrEqual(Const(v), a: Attribute) =>
+        Some(sf.LessThanOrEqual(a.name, v))
+      case LessThan(a: Attribute, Const(v)) => Some(sf.LessThan(a.name, v))
+      case LessThan(Const(v), a: Attribute) => Some(sf.GreaterThan(a.name, v))
+      case LessThanOrEqual(a: Attribute, Const(v)) =>
+        Some(sf.LessThanOrEqual(a.name, v))
+      case LessThanOrEqual(Const(v), a: Attribute) =>
+        Some(sf.GreaterThanOrEqual(a.name, v))
+      case In(a: Attribute, vs) if vs.forall(_.foldable) =>
+        Some(sf.In(a.name, vs.map(v => ext(v.eval(null))).toArray))
+      case _ => None
+    }
   }
 
   /** Drop all but the newest `keepLast` snapshots, then delete data files no

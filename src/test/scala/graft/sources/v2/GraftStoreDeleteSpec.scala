@@ -1,0 +1,86 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Copy-on-write DELETE on graft-store: stats-pruned rewrite sets, SQL
+  * null semantics, snapshot history, and partition-layout retention. */
+class GraftStoreDeleteSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-store-delete").toString
+
+  test("delete rewrites only the files the predicate can touch") {
+    val dir = tmpDir()
+    spark.range(0, 1000).selectExpr("id", "id * 2 as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    // disjoint id ranges per file: id < 250 touches exactly 1 of 4 files
+    val (rewritten, carried) =
+      GraftStoreOps.deleteWhere(spark, dir, col("id") < 250)
+    assert(rewritten === 1, s"expected 1 rewritten file, got $rewritten")
+    assert(carried === 3)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 750)
+    assert(back.agg(min("id")).collect()(0).getLong(0) === 250L)
+    // the pre-delete snapshot is still time-travelable
+    val before = spark.read.format("graft-store").option("snapshot", 0).load(dir)
+    assert(before.count() === 1000)
+  }
+
+  test("delete matching nothing carries every file") {
+    val dir = tmpDir()
+    spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val (rewritten, carried) =
+      GraftStoreOps.deleteWhere(spark, dir, col("id") > 5000)
+    assert(rewritten === 0 && carried === 4)
+    assert(spark.read.format("graft-store").load(dir).count() === 100)
+  }
+
+  test("SQL DELETE null semantics: null predicate keeps the row") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, Some(1.0)), (2L, None), (3L, Some(9.0)))
+      .toDF("id", "score")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    GraftStoreOps.deleteWhere(spark, dir, col("score") > 5.0)
+    val back = spark.read.format("graft-store").load(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // row 3 deleted (cond TRUE); row 2's NULL cond keeps it
+    assert(back === Seq(1L, 2L))
+  }
+
+  test("delete on a partitioned table keeps the layout and SPJ grouping") {
+    val dir = tmpDir()
+    spark.range(0, 400).selectExpr("id", "cast(id % 4 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    val (rewritten, carried) = GraftStoreOps.deleteWhere(spark, dir, col("k") === 2)
+    // k's per-file min==max stats prune the rewrite to exactly that file
+    assert(rewritten === 1 && carried === 3)
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.partitionCol === Some("k"), "delete must keep the partition layout")
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 300)
+    assert(back.rdd.getNumPartitions === 3, "3 remaining key groups")
+    assert(back.filter(col("k") === 2).count() === 0)
+  }
+
+  test("untranslatable predicates fall back to rewriting every file, correctly") {
+    val dir = tmpDir()
+    spark.range(0, 100).selectExpr("id", "cast(id as string) as s")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    // length(s) > 1 has no stats translation -> every file may match
+    val (rewritten, carried) =
+      GraftStoreOps.deleteWhere(spark, dir, length(col("s")) > 1)
+    assert(rewritten === 4 && carried === 0)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 10) // ids 0..9 survive
+  }
+}
