@@ -502,6 +502,47 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey >= 2000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** Copy-on-write UPDATE — [[graft.sources.v2.GraftStoreOps.updateWhere]],
+    * the DML companion of q132's DELETE on the same stats-pruned rewrite
+    * kernel: a selective predicate touches one of the range-laid-out
+    * files, so every other file carries over with zero I/O while matching
+    * rows get the SET expressions applied (here: a 10% price cut and a
+    * priority stamp for the low-key orders). Row counts are invariant
+    * under UPDATE, carried rows must be byte-identical, and the oracle
+    * recomputes the post-update table from the original parquet. */
+  val q133StoreUpdate = QuerySpec(
+    "q133_store_update", "S-dsv2-cow-update",
+    "copy-on-write UPDATE: set expressions on matching rows, carried files untouched",
+    (s, d) => {
+      val path = "/tmp/graft_store_q133"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      // the repriced value stays an unrounded double: per-row round() is
+      // where Spark (BigDecimal HALF_UP) and DuckDB (binary) diverge on
+      // half-boundaries — rounding happens once, on the final aggregate
+      val (rewritten, carried) = graft.sources.v2.GraftStoreOps.updateWhere(
+        s, path, col("o_orderkey") < 1500,
+        Map("o_totalprice" -> (col("o_totalprice") * 0.9),
+          "o_orderpriority" -> lit("X-REPRICED")))
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("rewrite_pruned", lit(rewritten > 0 && carried > 0))
+    },
+    Some("""WITH u AS (SELECT o_orderkey,
+           |    CASE WHEN o_orderkey < 1500 THEN o_totalprice * 0.9
+           |         ELSE o_totalprice END AS o_totalprice,
+           |    CASE WHEN o_orderkey < 1500 THEN 'X-REPRICED'
+           |         ELSE o_orderpriority END AS o_orderpriority
+           |  FROM orders)
+           |SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS rewrite_pruned
+           |FROM u GROUP BY o_orderpriority""".stripMargin))
+
   /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
     * per-key table in graft-store — read current snapshot, merge the batch
     * (latest wins by event time, event_id tie-break), publish as a new
@@ -705,5 +746,5 @@ object SystemQueries {
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
-    q129StoreSpj, q132StoreDelete)
+    q129StoreSpj, q132StoreDelete, q133StoreUpdate)
 }

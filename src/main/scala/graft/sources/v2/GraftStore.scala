@@ -1006,6 +1006,37 @@ object GraftStoreOps {
   def deleteWhere(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column): (Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    // SQL DELETE: a row is removed iff cond is TRUE — null cond keeps it
+    cowRewrite(spark, path, cond, _.filter(not(coalesce(cond, lit(false)))))
+  }
+
+  /** Copy-on-write UPDATE (`UPDATE SET col = expr WHERE cond`): same
+    * stats-pruned rewrite machinery as [[deleteWhere]] — untouched files
+    * carry over with zero I/O; in rewritten files, rows where `cond` is
+    * TRUE get the `set` expressions applied, every other row is copied
+    * bit-for-bit. The updated values may move a file's min/max, which the
+    * rewrite recomputes for free (writer-side stats). Returns
+    * (files rewritten, files carried). */
+  def updateWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): (Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    cowRewrite(spark, path, cond, df =>
+      df.select(df.columns.map { c =>
+        set.get(c) match {
+          case Some(v) => when(coalesce(cond, lit(false)), v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }.toSeq: _*))
+  }
+
+  /** Shared COW kernel: plan the may-match file set from stats, rewrite
+    * ONLY those files through `rewrite`, publish carried ++ new with the
+    * OCC retry. See [[deleteWhere]] for the concurrency contract. */
+  private def cowRewrite(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = GraftStoreFormat.fs(path, conf)
     val m = GraftStoreFormat.readLatestManifest(path, conf)
@@ -1024,10 +1055,9 @@ object GraftStoreOps {
     // rewrite ONLY the affected files, into a scratch store under the table
     // path (its manifests are invisible to the table's own listing)
     val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
-    val kept = spark.read.format("graft-store")
+    val kept = rewrite(spark.read.format("graft-store")
       .option("files", affected.map(_.name).mkString(","))
-      .load(path)
-      .filter(not(coalesce(cond, lit(false)))) // SQL DELETE: null cond keeps the row
+      .load(path))
     val keptWriter = kept.write.format("graft-store").mode("overwrite")
     m.partitionCol.fold(keptWriter)(c => keptWriter.option("partitionBy", c))
       .save(scratch)

@@ -71,6 +71,39 @@ class GraftStoreDeleteSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(back.filter(col("k") === 2).count() === 0)
   }
 
+  test("update rewrites only may-match files and applies set expressions") {
+    val dir = tmpDir()
+    spark.range(0, 1000).selectExpr("id", "id * 2 as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val (rewritten, carried) = GraftStoreOps.updateWhere(
+      spark, dir, col("id") < 250, Map("v" -> lit(-1L)))
+    assert(rewritten === 1 && carried === 3)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 1000, "UPDATE must not change row counts")
+    assert(back.filter(col("v") === -1L).count() === 250)
+    assert(back.filter(col("id") >= 250 && col("v") =!= col("id") * 2).count() === 0,
+      "unmatched rows must be byte-identical copies")
+  }
+
+  test("updating the partition column itself keeps one-value-per-file") {
+    val dir = tmpDir()
+    spark.range(0, 400).selectExpr("id", "cast(id % 4 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    // fold partition 3 into partition 0 — rows MOVE between key values
+    GraftStoreOps.updateWhere(spark, dir, col("k") === 3, Map("k" -> lit(0)))
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 400)
+    assert(back.filter(col("k") === 3).count() === 0)
+    assert(back.filter(col("k") === 0).count() === 200)
+    // the rewrite re-applied partitionBy: still one keyed group per value
+    assert(back.rdd.getNumPartitions === 3)
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.partitionCol === Some("k"))
+  }
+
   test("untranslatable predicates fall back to rewriting every file, correctly") {
     val dir = tmpDir()
     spark.range(0, 100).selectExpr("id", "cast(id as string) as s")
