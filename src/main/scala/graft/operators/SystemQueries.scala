@@ -543,6 +543,58 @@ object SystemQueries {
            |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS rewrite_pruned
            |FROM u GROUP BY o_orderpriority""".stripMargin))
 
+  /** Copy-on-write MERGE ([[graft.sources.v2.GraftStoreOps.mergeInto]],
+    * upsert-merge: WHEN MATCHED UPDATE SET *, WHEN NOT MATCHED INSERT *)
+    * completing the DML trio on the COW kernel. Two merges prove the two
+    * pruning regimes: an UPDATE merge whose narrow source key range
+    * touches one of eight range-laid files (update_pruned), and an
+    * INSERT-only merge whose keys sit beyond every file's range —
+    * REWRITING NOTHING, the inserts just become new files
+    * (insert_zero_rewrite). The final table is oracle-checked against
+    * the merge semantics recomputed in SQL. */
+  val q134StoreMerge = QuerySpec(
+    "q134_store_merge", "S-dsv2-cow-merge",
+    "copy-on-write MERGE: pruned update-merge + zero-rewrite insert-merge",
+    (s, d) => {
+      val path = "/tmp/graft_store_q134"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      base.repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      val updates = base.filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"), // unrounded: q133 lesson
+          lit("X-MERGED").as("o_orderpriority"))
+      val inserts = base.filter(col("o_orderkey") < 500)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+          lit(1.0).as("o_totalprice"), lit("X-NEW").as("o_orderpriority"))
+      val (r1, c1) = graft.sources.v2.GraftStoreOps.mergeInto(s, path, updates, "o_orderkey")
+      val (r2, _) = graft.sources.v2.GraftStoreOps.mergeInto(s, path, inserts, "o_orderkey")
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("update_pruned", lit(r1 > 0 && c1 > 0))
+        .withColumn("insert_zero_rewrite", lit(r2 == 0))
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+           |    'X-MERGED' AS o_orderpriority
+           |  FROM orders WHERE o_orderkey < 1000
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000, o_custkey, 1.0, 'X-NEW'
+           |  FROM orders WHERE o_orderkey < 500),
+           |merged AS (
+           |  SELECT * FROM src
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+           |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+           |SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS update_pruned, TRUE AS insert_zero_rewrite
+           |FROM merged GROUP BY o_orderpriority""".stripMargin))
+
   /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
     * per-key table in graft-store — read current snapshot, merge the batch
     * (latest wins by event time, event_id tie-break), publish as a new
@@ -746,5 +798,5 @@ object SystemQueries {
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
-    q129StoreSpj, q132StoreDelete, q133StoreUpdate)
+    q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge)
 }

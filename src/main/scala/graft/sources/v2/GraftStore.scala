@@ -1030,12 +1030,56 @@ object GraftStoreOps {
       }.toSeq: _*))
   }
 
+  /** Copy-on-write MERGE (upsert-merge: `MERGE ... WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical Delta
+    * shape) on the same stats-pruned kernel: the SOURCE's key range (one
+    * tiny aggregate) becomes the pruning predicate, so only files that
+    * may hold a source key are rewritten; everything else carries over
+    * with zero I/O. Inside the rewrite, a full-outer join on the key
+    * updates matched rows from the source (including to nulls — a
+    * presence flag, not coalesce, decides the side), keeps unmatched
+    * target rows bit-identical, and folds source-only rows in as inserts
+    * — which is CORRECT against the pruned subset because a carried file
+    * provably contains no source key. Source keys must be unique
+    * (duplicate-key merges are ambiguous — rejected, the Delta rule);
+    * null source keys never match and become inserts. Returns
+    * (files rewritten, files carried). */
+  def mergeInto(spark: SparkSession, path: String, source: org.apache.spark.sql.DataFrame,
+      key: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    require(source.schema.fieldNames.sorted.sameElements(m.schema.fieldNames.sorted),
+      s"graft-store: merge source columns ${source.schema.fieldNames.mkString(",")} " +
+        s"must match table columns ${m.schema.fieldNames.mkString(",")}")
+    val src = source.select(m.schema.fieldNames.map(col).toSeq: _*).localCheckpoint(true)
+    val stats = src.agg(min(col(key)), max(col(key)), count(col(key)),
+      org.apache.spark.sql.functions.countDistinct(col(key))).collect()(0)
+    require(stats.getLong(2) == stats.getLong(3),
+      "graft-store: merge source has duplicate keys — ambiguous, rejected")
+    val cond =
+      if (stats.isNullAt(0)) lit(false) // all-null keys: nothing can match
+      else col(key) >= lit(stats.get(0)) && col(key) <= lit(stats.get(1))
+    val flagged = src.withColumn("_m", lit(true))
+    // forceWhenEmpty: even if NO target file can match a source key, the
+    // source-only rows must still be INSERTED — the rewrite then runs
+    // against an empty target subset
+    cowRewrite(spark, path, cond, t => {
+      val joined = t.join(flagged, t(key) === flagged(key), "full_outer")
+      joined.select(m.schema.fieldNames.map { c =>
+        when(flagged("_m"), flagged(c)).otherwise(t(c)).as(c)
+      }.toSeq: _*)
+    }, forceWhenEmpty = true)
+  }
+
   /** Shared COW kernel: plan the may-match file set from stats, rewrite
     * ONLY those files through `rewrite`, publish carried ++ new with the
     * OCC retry. See [[deleteWhere]] for the concurrency contract. */
   private def cowRewrite(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column,
-      rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      forceWhenEmpty: Boolean = false)
       : (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = GraftStoreFormat.fs(path, conf)
@@ -1051,7 +1095,7 @@ object GraftStoreOps {
     val v1 = resolved.flatMap(toV1Filter)
     val affected = m.files.filter(e => v1.forall(GraftStoreFormat.mayMatch(m.schema, e, _)))
     val affectedNames = affected.map(_.name).toSet
-    if (affected.isEmpty) return (0, m.files.size)
+    if (affected.isEmpty && !forceWhenEmpty) return (0, m.files.size)
     // rewrite ONLY the affected files, into a scratch store under the table
     // path (its manifests are invisible to the table's own listing)
     val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"

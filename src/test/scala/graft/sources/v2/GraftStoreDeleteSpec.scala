@@ -104,6 +104,65 @@ class GraftStoreDeleteSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(m.partitionCol === Some("k"))
   }
 
+  test("merge: updates matched rows, inserts new keys, prunes by source key range") {
+    import spark.implicits._
+    val dir = tmpDir()
+    spark.range(0, 1000).selectExpr("id", "id * 2 as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    // source keys 100..109 (updates, in file 0's range) + 5000..5004 (inserts)
+    val source = ((100L until 110L) ++ (5000L until 5005L)).map(k => (k, -k))
+      .toDF("id", "v")
+    val (rewritten, carried) = GraftStoreOps.mergeInto(spark, dir, source, "id")
+    // the source key RANGE [100, 5004] spans all 4 files here — but a
+    // narrow-range source prunes (next assertion block)
+    assert(rewritten + carried === 4)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 1005)
+    assert(back.filter(col("id") === 105L).collect()(0).getAs[Long]("v") === -105L)
+    assert(back.filter(col("id") === 5002L).count() === 1)
+    assert(back.filter(col("id") === 500L).collect()(0).getAs[Long]("v") === 1000L)
+
+    // narrow-range source against a FRESH range-laid table (the merge above
+    // rewrote and AQE-coalesced the first table's layout): only the file
+    // holding [0, 250) is touched
+    val dir2 = tmpDir()
+    spark.range(0, 1000).selectExpr("id", "id * 2 as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(dir2)
+    val source2 = Seq((10L, 111L), (20L, 222L)).toDF("id", "v")
+    val (r2, c2) = GraftStoreOps.mergeInto(spark, dir2, source2, "id")
+    assert(r2 === 1, s"expected 1 rewritten file, got $r2")
+    assert(c2 === 3)
+    val after = spark.read.format("graft-store").load(dir2)
+    assert(after.count() === 1000)
+    assert(after.filter(col("id") === 10L).collect()(0).getAs[Long]("v") === 111L)
+  }
+
+  test("merge with keys beyond every file range still inserts") {
+    import spark.implicits._
+    val dir = tmpDir()
+    spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val source = Seq((90000L, 1L), (90001L, 2L)).toDF("id", "v")
+    GraftStoreOps.mergeInto(spark, dir, source, "id")
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 102)
+    assert(back.filter(col("id") >= 90000L).count() === 2)
+  }
+
+  test("merge rejects duplicate source keys") {
+    import spark.implicits._
+    val dir = tmpDir()
+    spark.range(0, 10).selectExpr("id", "id as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val dup = Seq((1L, 7L), (1L, 8L)).toDF("id", "v")
+    val err = intercept[IllegalArgumentException] {
+      GraftStoreOps.mergeInto(spark, dir, dup, "id")
+    }
+    assert(err.getMessage.contains("duplicate"), err.getMessage)
+  }
+
   test("untranslatable predicates fall back to rewriting every file, correctly") {
     val dir = tmpDir()
     spark.range(0, 100).selectExpr("id", "cast(id as string) as s")
