@@ -595,6 +595,37 @@ object SystemQueries {
            |  TRUE AS update_pruned, TRUE AS insert_zero_rewrite
            |FROM merged GROUP BY o_orderpriority""".stripMargin))
 
+  /** The SQL surface of the COW delete: Spark's own `DELETE FROM` routes
+    * the WHERE clause to DSv2 `SupportsDelete.deleteWhere` as exact V1
+    * filters, which [[graft.sources.v2.FilterToColumn]] rebuilds and runs
+    * through the stats-pruned COW kernel — the whole DML path (parse →
+    * catalog → filters → pruned rewrite → snapshot publish) exercised
+    * from SQL text, and the post-delete table read back through the same
+    * catalog. Oracle = the surviving rows recomputed from the original
+    * parquet. */
+  val q135SqlDelete = QuerySpec(
+    "q135_sql_delete", "S-dsv2-sql-delete",
+    "SQL DELETE FROM via SupportsDelete: parsed WHERE -> COW pruned rewrite",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q135"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.graftq135", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq135.base", base)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(s"$base/ord")
+      s.sql("DELETE FROM graftq135.ord WHERE o_orderkey < 3000")
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS sum_price
+              |FROM graftq135.ord GROUP BY o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price
+           |FROM orders WHERE o_orderkey >= 3000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
     * per-key table in graft-store — read current snapshot, merge the batch
     * (latest wins by event time, event_id tie-break), publish as a new
@@ -798,5 +829,6 @@ object SystemQueries {
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
-    q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge)
+    q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
+    q135SqlDelete)
 }

@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -415,9 +415,50 @@ private[v2] class SerializableHadoopConf(@transient var value: Configuration)
 
 // ------------------------------------------------------------------- table
 
+/** V1 Filter → Column reconstruction for the SQL `DELETE FROM` surface:
+  * Spark's DSv2 [[SupportsDelete]] hands the WHERE clause over as exact
+  * V1 filters; the supported shapes rebuild into a Column and run through
+  * the same COW [[GraftStoreOps.deleteWhere]] kernel. `canDeleteWhere`
+  * answers false for anything unconvertible, so Spark fails the statement
+  * loudly instead of deleting the wrong rows. */
+private[v2] object FilterToColumn {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+  def convert(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for { a <- convert(l); b <- convert(r) } yield a && b
+    case Or(l, r) => for { a <- convert(l); b <- convert(r) } yield a || b
+    case Not(c) => convert(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
 private[v2] class GraftStoreTable(path: String, schema0: StructType,
     pinned: Map[String, String] = Map.empty)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** SQL `DELETE FROM <catalog>.<table> WHERE ...`: Spark calls these with
+    * the WHERE clause as exact V1 filters; the conjunction routes through
+    * the stats-pruned COW delete. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(FilterToColumn.convert(_).isDefined)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond = filters.flatMap(FilterToColumn.convert(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)) // bare DELETE FROM t
+    GraftStoreOps.deleteWhere(SparkSession.active, path, cond)
+    ()
+  }
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =

@@ -163,6 +163,20 @@ class GraftStoreDeleteSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(err.getMessage.contains("duplicate"), err.getMessage)
   }
 
+  test("SQL DELETE FROM routes through the COW kernel via the catalog") {
+    val base = tmpDir()
+    spark.conf.set("spark.sql.catalog.graftdel", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftdel.base", base)
+    spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      .write.format("graft-store").mode("overwrite").save(s"$base/t")
+    spark.sql("DELETE FROM graftdel.t WHERE id < 40")
+    assert(spark.sql("SELECT count(*) FROM graftdel.t").collect()(0).getLong(0) === 60)
+    assert(spark.sql("SELECT min(id) FROM graftdel.t").collect()(0).getLong(0) === 40L)
+    // the delete is a snapshot: VERSION AS OF 0 still sees all 100 rows
+    assert(spark.sql("SELECT count(*) FROM graftdel.t VERSION AS OF 0")
+      .collect()(0).getLong(0) === 100)
+  }
+
   test("untranslatable predicates fall back to rewriting every file, correctly") {
     val dir = tmpDir()
     spark.range(0, 100).selectExpr("id", "cast(id as string) as s")
