@@ -626,6 +626,38 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey >= 3000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** NATIVE streaming sink for the table format
+    * ([[graft.sources.v2.GraftStoreStreamingWrite]]): `writeStream
+    * .format("graft-store")` with no foreachBatch glue — each epoch
+    * commits one snapshot through the normal manifest protocol, with a
+    * `#txn=queryId-epoch` token making replayed commits no-ops
+    * (exactly-once, the Delta txn mechanism in miniature). This closes
+    * the format's streaming story: q112 streams OUT of the store, q136
+    * streams INTO it. The replayed corpus must equal the batch table
+    * exactly — any dropped/duplicated epoch breaks the hash. */
+  val q136StreamSink = QuerySpec(
+    "q136_stream_sink", "S-dsv2-stream-sink",
+    "native streaming sink: per-epoch snapshot commits, content equals batch",
+    (s, d) => withStatePartitions(s, 8) {
+      val path = "/tmp/graft_store_q136"
+      val ckpt = "/tmp/graft_store_q136_ckpt"
+      for (p <- Seq(path, ckpt)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      val q = EventsPipeline.readEventsStream(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("graft-store")
+        .option("checkpointLocation", ckpt)
+        .start(path)
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-store").load(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY event_type""".stripMargin))
+
   /** Streaming upsert sink: a `foreachBatch` loop maintains a latest-row-
     * per-key table in graft-store — read current snapshot, merge the batch
     * (latest wins by event time, event_id tie-break), publish as a new
@@ -830,5 +862,5 @@ object SystemQueries {
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
-    q135SqlDelete)
+    q135SqlDelete, q136StreamSink)
 }

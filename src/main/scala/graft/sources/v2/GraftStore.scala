@@ -86,7 +86,8 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
     stats: Map[Int, (String, String)])
 
 private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
-    millis: Long = 0L, partitionCol: Option[String] = None)
+    millis: Long = 0L, partitionCol: Option[String] = None,
+    txn: Option[String] = None)
 
 private[v2] object GraftStoreFormat {
   /** Manifest file body: optional `#millis=<epoch>` header (v2 — publication
@@ -169,10 +170,17 @@ private[v2] object GraftStoreFormat {
     // identity-partitioned on these columns — every data file holds exactly
     // ONE value combination, which is what lets the scan report
     // KeyGroupedPartitioning for shuffle-free joins
-    val (partCol, lines) =
+    val (partCol, rest2) =
       if (rest.head.startsWith("#partition="))
         (Some(rest.head.stripPrefix("#partition=")), rest.tail)
       else (None, rest)
+    // `#txn=` header (optional): the streaming-epoch token of the commit
+    // that published this snapshot — the idempotency check a replayed
+    // epoch commit is deduplicated against
+    val (txn, lines) =
+      if (rest2.head.startsWith("#txn="))
+        (Some(rest2.head.stripPrefix("#txn=")), rest2.tail)
+      else (None, rest2)
     GraftManifest(
       StructType.fromDDL(lines.head),
       lines.tail.toSeq.map { l =>
@@ -181,7 +189,7 @@ private[v2] object GraftStoreFormat {
         GraftFileEntry(parts(0), parts(1).toLong,
           if (parts.length > 2) statsFromString(parts(2)) else Map.empty)
       },
-      millis, partCol)
+      millis, partCol, txn)
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
@@ -260,6 +268,7 @@ private[v2] object GraftStoreFormat {
     try out.write(
       (s"#millis=$millis\n" +
         m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
+        m.txn.map(t => s"#txn=$t\n").getOrElse("") +
         m.schema.toDDL + "\n" + m.files.map(e =>
         s"${e.name}\t${e.rows}\t${statsToString(e.stats)}").mkString("\n"))
         .getBytes("UTF-8"))
@@ -463,7 +472,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `pinned` carries snapshot options resolved at catalog loadTable time
@@ -486,7 +496,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       clusterBy = Option(info.options.get("clusterBy"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty),
       clusterFiles = Option(info.options.get("clusterFiles")).map(_.toInt).getOrElse(0),
-      partitionBy = Option(info.options.get("partitionBy")))
+      partitionBy = Option(info.options.get("partitionBy")),
+      queryId = info.queryId())
 }
 
 // ------------------------------------------------------------------- write
@@ -512,13 +523,13 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
   * target file size instead. */
 private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, clusterBy: Array[String] = Array.empty,
-    clusterFiles: Int = 0, partitionBy: Option[String] = None)
+    clusterFiles: Int = 0, partitionBy: Option[String] = None, queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
   require(clusterBy.isEmpty || partitionBy.isEmpty,
     "graft-store: clusterBy and partitionBy are mutually exclusive layouts")
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
-      clusterFiles, partitionBy)
+      clusterFiles, partitionBy, queryId)
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -540,7 +551,90 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(path, schema, conf, truncate, partitionBy)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStoreStreamingWrite(path, schema, conf, queryId)
   }
+}
+
+/** Native STREAMING SINK (`writeStream.format("graft-store")`, append
+  * mode): every micro-batch epoch commits as one table SNAPSHOT through
+  * the same manifest protocol as batch appends — so a stream lands as a
+  * time-travelable, OCC-serialized sequence of snapshots with no
+  * foreachBatch glue (contrast q93, the hand-rolled form).
+  *
+  * Exactly-once: epoch commits REPLAY after failures (Spark re-runs the
+  * epoch from the checkpointed offset), so the commit is made idempotent
+  * with a transaction token `queryId-epochId` recorded in the manifest
+  * header (`#txn=`) — a replayed commit that finds its own token in the
+  * retained history drops its files instead of appending twice. The Delta
+  * txnAppId/txnVersion mechanism in miniature; the token includes the
+  * queryId so two different streams appending to one table never collide
+  * on epoch numbers. (Caveat, documented: expiring ALL of a stream's
+  * snapshots past its last commit would forget the token and a very late
+  * replay could double-append — keep retention above checkpoint lag, the
+  * same rule the streaming SOURCE already imposes.) */
+private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
+    conf: Configuration, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+  private val writeId = UUID.randomUUID().toString.take(8)
+  private def tmpDir = new Path(path, s"_tmp/$writeId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStoreStreamingWriterFactory(path, writeId, schema,
+      new SerializableHadoopConf(conf))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = GraftStoreFormat.fs(path, conf)
+    val token = s"$queryId-$epochId"
+    val committed = messages.flatMap(_.asInstanceOf[GraftCommitMessage].entries)
+      .filter(_.rows > 0L).toSeq
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      // idempotency: if ANY retained snapshot carries this epoch's token,
+      // the epoch already committed — a replay must be a no-op
+      val alreadyCommitted = head.exists(p =>
+        GraftStoreFormat.readManifestFile(path, conf, p).txn.contains(token))
+      if (alreadyCommitted) {
+        fs.delete(tmpDir, true)
+        return
+      }
+      committed.foreach { m =>
+        val live = new Path(path, m.file)
+        if (!fs.exists(live)) fs.rename(new Path(tmpDir, m.file), live)
+      }
+      val prev = head.lastOption
+        .map(GraftStoreFormat.readManifestFile(path, conf, _)).map { m =>
+          require(m.schema.toDDL == schema.toDDL,
+            s"graft-store: streaming append schema ${schema.toDDL} does not " +
+              s"match table schema ${m.schema.toDDL}")
+          m.files
+        }.getOrElse(Seq.empty)
+      val newEntries = committed.map(m =>
+        GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats)))
+      done = GraftStoreFormat.commitManifest(path, conf,
+        GraftManifest(schema, prev ++ newEntries, txn = Some(token)),
+        GraftStoreFormat.nextSeq(head))
+    }
+    fs.delete(tmpDir, true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = GraftStoreFormat.fs(path, conf)
+    fs.delete(tmpDir, true) // manifest untouched: the old snapshot stays live
+  }
+}
+
+private[v2] class GraftStoreStreamingWriterFactory(path: String, writeId: String,
+    schema: StructType, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    // epoch folded into the attempt id: a replayed epoch's files never
+    // collide with the originals' names
+    new GraftStoreDataWriter(path, writeId, partitionId,
+      taskId ^ (epochId * 2654435761L), schema, conf.value)
 }
 
 /** One finished task file: (name, rows, encoded stats). A task emits ONE
