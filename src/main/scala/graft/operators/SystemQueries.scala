@@ -856,11 +856,70 @@ object SystemQueries {
            | AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
            |WHERE e.event_type = 'error' AND p.event_type = 'purchase'""".stripMargin))
 
+  /** BUCKETED storage-partitioned join — q129's high-cardinality sibling.
+    * Identity partitioning (q129) needs one file per key VALUE, which the
+    * writer caps at 1000 values/task: right for nationkey (25 values),
+    * fatal for custkey (1.5M at SF100). `partitionBy=bucket(8,custkey)`
+    * instead routes rows to `murmur3(key) mod 8` bucket files
+    * ([[graft.sources.v2.GraftBucket]]), so file count is bounded by the
+    * bucket count for ANY key cardinality — the Iceberg bucket-transform
+    * layout. The scan reports `KeyGroupedPartitioning(bucket(8, key))`,
+    * and the read comes through [[graft.sources.v2.GraftCatalog]] because
+    * only its FunctionCatalog face can resolve the bucket transform for
+    * the planner (path-based reads have no function catalog and stay
+    * conservative). With both tables co-bucketed, Spark plans the
+    * orders⋈customer join AND the following per-custkey aggregate with
+    * ZERO exchanges — at 100 TB this is the difference between shuffling
+    * the fact table twice and not shuffling it at all. The no-exchange
+    * claim is emitted as a bit; the data path is fully oracle-checked. */
+  val q137StoreBucketJoin = QuerySpec(
+    "q137_store_bucket_join", "S-dsv2-spj-bucket",
+    "bucketed SPJ: high-cardinality co-bucketed join + agg, zero exchange",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q137"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      s.conf.set("spark.sql.catalog.graftb", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftb.base", base)
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .write.format("graft-store").option("partitionBy", "bucket(8,c_custkey)")
+        .mode("overwrite").save(s"$base/cust")
+      Tables.orders(s, d).select("o_custkey", "o_totalprice")
+        .write.format("graft-store").option("partitionBy", "bucket(8,o_custkey)")
+        .mode("overwrite").save(s"$base/ords")
+      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // grouping on the bucketed join key: the key-grouped distribution
+        // satisfies join AND aggregate — the whole pipeline is shuffle-free
+        val j = s.sql(
+          """SELECT c_custkey AS custkey, min(c_mktsegment) AS segment,
+            |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+            |FROM graftb.ords JOIN graftb.cust ON o_custkey = c_custkey
+            |GROUP BY c_custkey""".stripMargin)
+        val noExchange = !j.queryExecution.executedPlan.toString.contains("Exchange")
+        j.withColumn("no_exchange", lit(noExchange))
+      } finally {
+        prevBucketing.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          v => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+        prevBroadcast.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      }
+    },
+    Some("""SELECT c_custkey AS custkey, min(c_mktsegment) AS segment,
+           |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS no_exchange
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_custkey""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
-    q135SqlDelete, q136StreamSink)
+    q135SqlDelete, q136StreamSink, q137StoreBucketJoin)
 }

@@ -3,8 +3,9 @@ package graft.sources.v2
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,8 +33,17 @@ import scala.jdk.CollectionConverters._
   * relation at the head. DDL is intentionally unsupported: graft-store
   * tables are created/replaced by DataFrame writes to the path (the
   * format's commit protocol is the transaction layer; catalog-side CREATE
-  * would add a second, racing metadata root). */
-class GraftCatalog extends TableCatalog {
+  * would add a second, racing metadata root).
+  *
+  * The catalog is ALSO a [[FunctionCatalog]] exposing the `bucket`
+  * transform function — the missing piece for BUCKETED storage-partitioned
+  * joins: a scan reporting `KeyGroupedPartitioning(bucket(n, col))` only
+  * becomes plannable once Catalyst can resolve the named transform against
+  * the relation's function catalog (V2ScanPartitioningAndOrdering), and
+  * path-loaded relations (`spark.read.format(...)`) have none — so bucket
+  * SPJ reads MUST come through `SELECT ... FROM <cat>.<tbl>`. Identity
+  * layouts need no function and work either way. */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catName: String = _
   private var base: String = _
 
@@ -90,4 +100,12 @@ class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = false
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: rename not supported")
+
+  // ---- FunctionCatalog: the `bucket` transform (see GraftBucketFunction)
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket")) else Array.empty
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
 }

@@ -1,0 +1,134 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Physical layout declared by a graft-store table's `#partition=` header.
+  *
+  *   - [[IdentityLayout]] — one file per VALUE COMBINATION of the columns
+  *     (Hive-style identity partitioning). Right for low-cardinality keys;
+  *     the writer fails loudly past 1000 values/task.
+  *   - [[BucketLayout]] — one file per `murmur3(value) mod n` BUCKET
+  *     (Iceberg-style bucket transform). This is the HIGH-CARDINALITY
+  *     storage-partitioned-join path: a 10^9-key join co-locates on n
+  *     buckets instead of 10^9 directories, file count is bounded by n
+  *     regardless of key cardinality, and two tables bucketed (same n,
+  *     join key) join with ZERO exchange on either side.
+  *
+  * The header string is the canonical serialized form (`a,b` or
+  * `bucket(n,col)`), compared verbatim by the append layout guard — so
+  * parse → render must normalize whitespace. */
+private[v2] sealed trait GraftLayout {
+  def render: String
+  def columns: Seq[String]
+}
+private[v2] case class IdentityLayout(cols: Seq[String]) extends GraftLayout {
+  override def render: String = cols.mkString(",")
+  override def columns: Seq[String] = cols
+}
+private[v2] case class BucketLayout(n: Int, col: String) extends GraftLayout {
+  require(n > 0, s"graft-store: bucket count must be positive, got $n")
+  override def render: String = s"bucket($n,$col)"
+  override def columns: Seq[String] = Seq(col)
+}
+
+private[v2] object GraftLayout {
+  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+  def parse(s: String): GraftLayout = s.trim match {
+    case BucketRe(n, col) => BucketLayout(n.toInt, col)
+    case cols => IdentityLayout(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+}
+
+/** The bucket hash — ONE definition shared by the write-side router, the
+  * scan's partition-value typing, and the catalog's V2 `bucket` function,
+  * so every component that ever computes a bucket id agrees bit-for-bit
+  * (a writer/function mismatch would silently break storage-partitioned
+  * joins when Spark re-shuffles one side with the V2 function).
+  *
+  * Int/date values widen to long before hashing so `bucket(n, int_col)`
+  * and `bucket(n, bigint_col)` agree on equal keys — joins routinely
+  * compare int keys against bigint keys. Strings hash their UTF-8 bytes.
+  * Null hashes to NO bucket (the caller keeps a dedicated null partition);
+  * equi-joins never match nulls, so a null partition never co-locates
+  * with anything and that is correct. */
+object GraftBucket {
+  import scala.util.hashing.MurmurHash3
+  private val Seed = 0x5f5e1f3
+
+  def ofLong(v: Long, n: Int): Int = {
+    val bytes = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { bytes(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+    math.floorMod(MurmurHash3.bytesHash(bytes, Seed), n)
+  }
+  def ofString(v: UTF8String, n: Int): Int =
+    math.floorMod(MurmurHash3.bytesHash(v.getBytes, Seed), n)
+
+  /** Bucket id for a non-null value of the given type. */
+  def of(v: Any, dt: DataType, n: Int): Int = dt match {
+    case LongType | TimestampType => ofLong(v.asInstanceOf[Long], n)
+    case IntegerType | DateType => ofLong(v.asInstanceOf[Int].toLong, n)
+    case StringType => ofString(v.asInstanceOf[UTF8String], n)
+    case other => throw new UnsupportedOperationException(
+      s"graft-store: bucket layout unsupported for type $other")
+  }
+
+  def supports(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | IntegerType | DateType | StringType => true
+    case _ => false
+  }
+}
+
+/** The `bucket(n, col)` V2 function exposed through [[GraftCatalog]]'s
+  * FunctionCatalog face. This is the piece that makes BUCKETED
+  * storage-partitioned joins plannable: a scan reporting
+  * `KeyGroupedPartitioning(bucket(n, col))` is only usable once Catalyst
+  * can resolve the named transform to a bound function
+  * (V2ScanPartitioningAndOrdering resolves it against the relation's
+  * function catalog — exactly how Iceberg's bucket SPJ works), and the
+  * SPJ compatibility check then matches both sides on the function's
+  * `canonicalName` + bucket count. `produceResult` delegates to
+  * [[GraftBucket]] so a runtime evaluation (e.g. Spark hashing the
+  * un-partitioned side of a join into our buckets) lands rows in exactly
+  * the buckets the writer used. */
+private[v2] object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): murmur3 bucket id in [0, n) — graft-store bucket layout"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket expects (numBuckets int, value), got ${inputType.simpleString}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket: numBuckets must be int, got ${inputType.fields(0).dataType.simpleString}")
+    val dt = inputType.fields(1).dataType
+    require(GraftBucket.supports(dt),
+      s"bucket: unsupported value type ${dt.simpleString}")
+    new GraftBoundBucket(dt)
+  }
+}
+
+private[v2] class GraftBoundBucket(dt: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  // canonicalName ignores the value type: int and bigint keys hash alike
+  // (GraftBucket widens), so bucket(n, int_col) and bucket(n, long_col)
+  // are genuinely the same partitioning and may SPJ against each other
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = true
+  override def isDeterministic: Boolean = true
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(1)) return null
+    val n = input.getInt(0)
+    val v: Any = dt match {
+      case LongType | TimestampType => input.getLong(1)
+      case IntegerType | DateType => input.getInt(1)
+      case StringType => input.getUTF8String(1)
+      case _ => throw new UnsupportedOperationException(dt.simpleString)
+    }
+    Int.box(GraftBucket.of(v, dt, n))
+  }
+}

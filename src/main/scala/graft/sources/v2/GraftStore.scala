@@ -81,9 +81,17 @@ class GraftStore extends TableProvider with DataSourceRegister {
 /** One committed data file: name, row count, and per-field min/max stats
   * (keyed by field INDEX in the table schema; values kept as exact decimal
   * strings so long stats never round-trip through doubles). Stats are
-  * optional per field — a field with only nulls (or NaNs) has none. */
+  * optional per field — a field with only nulls (or NaNs) has none.
+  *
+  * `partVals` (partitioned tables, manifest v3+): the file's EXPLICIT
+  * partition-key values, one per layout column, `None` = SQL NULL. Written
+  * by the routing writer, so the scan's KeyGroupedPartitioning no longer
+  * has to INFER the value from min==max stats — which made all-null and
+  * long-string (>64 char) partition values degrade the whole table to
+  * UnknownPartitioning — and bucket layouts (where the partition value is
+  * a computed bucket id, not any column's stats) become possible at all. */
 private[v2] case class GraftFileEntry(name: String, rows: Long,
-    stats: Map[Int, (String, String)])
+    stats: Map[Int, (String, String)], partVals: Option[Seq[Option[String]]] = None)
 
 private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
     millis: Long = 0L, partitionCol: Option[String] = None,
@@ -149,6 +157,21 @@ private[v2] object GraftStoreFormat {
     stats.toSeq.sortBy(_._1)
       .map { case (i, (mn, mx)) => s"$i:${escStat(mn)}:${escStat(mx)}" }.mkString("|")
 
+  /** Partition-value list wire format (4th manifest field): values joined
+    * by `|`; NULL is the bare marker `~`, a value is `=` + percent-escaped
+    * text. The `=` prefix keeps a literal value "~" unambiguous, and
+    * escStat already escapes the joiner. Empty string = field absent
+    * (unpartitioned file / pre-v3 manifest). */
+  def partValsToString(vs: Seq[Option[String]]): String =
+    vs.map { case None => "~"; case Some(v) => "=" + escStat(v) }.mkString("|")
+
+  def partValsFromString(s: String): Option[Seq[Option[String]]] =
+    if (s == null || s.isEmpty) None
+    else Some(s.split("\\|", -1).toSeq.map {
+      case "~" => None
+      case v => Some(unescStat(v.stripPrefix("=")))
+    })
+
   def statsFromString(s: String): Map[Int, (String, String)] =
     if (s == null || s.isEmpty) Map.empty
     else s.split('|').map { part =>
@@ -184,10 +207,12 @@ private[v2] object GraftStoreFormat {
     GraftManifest(
       StructType.fromDDL(lines.head),
       lines.tail.toSeq.map { l =>
-        // third field (stats) is optional: pre-stats manifests stay readable
+        // third field (stats) and fourth (partition values) are optional:
+        // pre-stats / pre-partition-value manifests stay readable
         val parts = l.split("\t", -1)
         GraftFileEntry(parts(0), parts(1).toLong,
-          if (parts.length > 2) statsFromString(parts(2)) else Map.empty)
+          if (parts.length > 2) statsFromString(parts(2)) else Map.empty,
+          if (parts.length > 3) partValsFromString(parts(3)) else None)
       },
       millis, partCol, txn)
   }
@@ -270,7 +295,9 @@ private[v2] object GraftStoreFormat {
         m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
         m.schema.toDDL + "\n" + m.files.map(e =>
-        s"${e.name}\t${e.rows}\t${statsToString(e.stats)}").mkString("\n"))
+        s"${e.name}\t${e.rows}\t${statsToString(e.stats)}" +
+          e.partVals.map(vs => s"\t${partValsToString(vs)}").getOrElse(""))
+        .mkString("\n"))
         .getBytes("UTF-8"))
     finally out.close()
     // atomic publication: rename(tmp -> seq name) without overwrite
@@ -527,6 +554,10 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     extends WriteBuilder with SupportsTruncate {
   require(clusterBy.isEmpty || partitionBy.isEmpty,
     "graft-store: clusterBy and partitionBy are mutually exclusive layouts")
+  // parse once: validates bucket syntax/count at plan time, and the
+  // canonical `render` form is what the manifest header and the append
+  // layout guard compare, so `bucket( 8 , k )` and `bucket(8,k)` unify
+  private val layout: Option[GraftLayout] = partitionBy.map(GraftLayout.parse)
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
       clusterFiles, partitionBy, queryId)
@@ -536,21 +567,25 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     private def orders: Array[SortOrder] =
       clusterBy.map(c => Expressions.sort(
         Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
-    override def requiredDistribution(): Distribution =
-      if (partitionBy.isDefined)
-        // identity partitioning: a CLUSTERED (hash) distribution is enough —
-        // it guarantees a partition-key value (combination) never spans two
-        // tasks; the DataWriter then splits each task's rows into one file
-        // PER VALUE combination
-        Distributions.clustered(
-          partitionBy.get.split(",").map(_.trim).map(c =>
-            Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression))
-      else if (clusterBy.isEmpty) Distributions.unspecified()
-      else Distributions.ordered(orders)
+    override def requiredDistribution(): Distribution = layout match {
+      // both layouts demand a CLUSTERED (hash) distribution on the layout
+      // COLUMNS: a partition-key value (combination) then never spans two
+      // tasks, and the DataWriter splits each task's rows into one file per
+      // value (identity) / per bucket id (bucket — value-level clustering
+      // refines bucket-level, and identity(col) stays resolvable on the
+      // path-based write where no FunctionCatalog exists to resolve a
+      // bucket transform)
+      case Some(l) =>
+        Distributions.clustered(l.columns.map(c =>
+          Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+      case None =>
+        if (clusterBy.isEmpty) Distributions.unspecified()
+        else Distributions.ordered(orders)
+    }
     override def requiredOrdering(): Array[SortOrder] = orders
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
-      new GraftStoreBatchWrite(path, schema, conf, truncate, partitionBy)
+      new GraftStoreBatchWrite(path, schema, conf, truncate, layout)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId)
   }
@@ -612,7 +647,8 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
           m.files
         }.getOrElse(Seq.empty)
       val newEntries = committed.map(m =>
-        GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats)))
+        GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
+        GraftStoreFormat.partValsFromString(m.partVals)))
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(schema, prev ++ newEntries, txn = Some(token)),
         GraftStoreFormat.nextSeq(head))
@@ -637,22 +673,35 @@ private[v2] class GraftStoreStreamingWriterFactory(path: String, writeId: String
       taskId ^ (epochId * 2654435761L), schema, conf.value)
 }
 
-/** One finished task file: (name, rows, encoded stats). A task emits ONE
-  * entry normally, one PER PARTITION VALUE under `partitionBy`. */
-private[v2] case class GraftCommitEntry(file: String, rows: Long, stats: String)
+/** One finished task file: (name, rows, encoded stats, encoded partition
+  * values — "" when unpartitioned). A task emits ONE entry normally, one
+  * PER PARTITION VALUE (identity) / PER BUCKET (bucket) under
+  * `partitionBy`. */
+private[v2] case class GraftCommitEntry(file: String, rows: Long, stats: String,
+    partVals: String = "")
 private[v2] case class GraftCommitMessage(entries: Seq[GraftCommitEntry])
     extends WriterCommitMessage
 
 private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
-    conf: Configuration, truncate: Boolean, partitionBy: Option[String] = None)
+    conf: Configuration, truncate: Boolean, layout: Option[GraftLayout] = None)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
+  private val partitionBy: Option[String] = layout.map(_.render)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
-      partitionBy.map(_.split(",").map(s => schema.fieldIndex(s.trim)))
-        .getOrElse(Array.empty))
+      layout match {
+        case None => NoRoute
+        case Some(IdentityLayout(cols)) =>
+          IdentityRoute(cols.map(schema.fieldIndex).toArray)
+        case Some(BucketLayout(n, col)) =>
+          val idx = schema.fieldIndex(col)
+          require(GraftBucket.supports(schema.fields(idx).dataType),
+            s"graft-store: bucket layout unsupported for " +
+              s"${schema.fields(idx).dataType.simpleString} column $col")
+          BucketRoute(n, idx)
+      })
 
   /** Driver-side, exactly once, only with messages of successful attempts:
     * move the committed attempts' files live, publish the new manifest.
@@ -676,7 +725,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       fs.rename(new Path(tmpDir, m.file), new Path(path, m.file))
     }
     val newEntries = committed.map(m =>
-      GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats)))
+      GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
+        GraftStoreFormat.partValsFromString(m.partVals)))
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
@@ -714,27 +764,39 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
   }
 }
 
+/** Task-side row routing under `partitionBy`: none, one file per identity
+  * value combination, or one file per murmur3 bucket id. */
+private[v2] sealed trait GraftRoute extends Serializable
+private[v2] case object NoRoute extends GraftRoute
+private[v2] case class IdentityRoute(idx: Array[Int]) extends GraftRoute
+private[v2] case class BucketRoute(n: Int, idx: Int) extends GraftRoute
+
 private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
     schema: StructType, conf: SerializableHadoopConf,
-    partitionIdx: Array[Int] = Array.empty)
+    route: GraftRoute = NoRoute)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftStoreDataWriter(path, writeId, partitionId, taskId, schema, conf.value,
-      partitionIdx)
+      route)
 }
 
 /** Task-side writer. Normally one file per task attempt; under `partitionBy`
-  * (`partitionIdx >= 0`) rows are ROUTED to one file per distinct partition
-  * value seen by the task (the Hive dynamic-partition writer shape) — the
-  * write-side half of the one-value-per-file invariant that lets the scan
-  * report KeyGroupedPartitioning for storage-partitioned joins. The
-  * distribution contract (clustered on the partition column) keeps any
-  * value inside one task, so per-task routing yields per-TABLE uniqueness.
+  * rows are ROUTED to one file per distinct partition value seen by the
+  * task (identity layout — the Hive dynamic-partition writer shape) or one
+  * file per bucket id (bucket layout), and each file's commit entry carries
+  * its EXPLICIT partition values — the write-side half of the
+  * one-value-per-file invariant that lets the scan report
+  * KeyGroupedPartitioning for storage-partitioned joins. The distribution
+  * contract (clustered on the layout columns) keeps any value inside one
+  * task, so per-task routing yields per-TABLE uniqueness for identity;
+  * buckets may span tasks (several values, one bucket), which is fine —
+  * the scan groups all of a bucket's files into one input partition.
   * Open-file count = the task's distinct values, capped to fail loudly
-  * rather than exhaust descriptors on a mis-chosen high-cardinality key. */
+  * rather than exhaust descriptors on a mis-chosen high-cardinality key
+  * (bucket layouts are bounded by n and are the high-cardinality answer). */
 private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     partitionId: Int, taskId: Long, schema: StructType, conf: Configuration,
-    partitionIdx: Array[Int] = Array.empty)
+    route: GraftRoute = NoRoute)
     extends DataWriter[InternalRow] {
   private val fs = GraftStoreFormat.fs(path, conf)
   private val n = schema.length
@@ -743,7 +805,7 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     * exact Long math; floating in Double with NaN poisoning the column's
     * stats (skipping must stay conservative); strings in UTF8 BINARY order
     * (the same order the skipper compares in). */
-  private class FileSink(suffix: String) {
+  private class FileSink(suffix: String, partVals: String = "") {
     // taskId distinguishes attempts: a speculative twin writes its own file,
     // and only the attempt whose commit message reaches the driver is published
     val file = s"part-$writeId-$partitionId-$taskId$suffix.gsf"
@@ -809,7 +871,7 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
           case _ => None
         }
       }.toMap
-      GraftCommitEntry(file, rows, GraftStoreFormat.statsToString(stats))
+      GraftCommitEntry(file, rows, GraftStoreFormat.statsToString(stats), partVals)
     }
 
     def abort(): Unit = {
@@ -828,35 +890,52 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
   private val byValue = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], FileSink]
   private object NullKey
 
-  private def partitionKey(record: InternalRow): Seq[Any] =
-    partitionIdx.toSeq.map { idx =>
-      if (record.isNullAt(idx)) NullKey
-      else schema.fields(idx).dataType match {
-        case LongType | TimestampType => record.getLong(idx)
-        case IntegerType | DateType => record.getInt(idx)
-        case StringType => record.getUTF8String(idx).clone()
-        case other => throw new UnsupportedOperationException(
-          s"graft-store: partitionBy unsupported for type $other")
-      }
+  private def typedValue(record: InternalRow, idx: Int): Any =
+    schema.fields(idx).dataType match {
+      case LongType | TimestampType => record.getLong(idx)
+      case IntegerType | DateType => record.getInt(idx)
+      case StringType => record.getUTF8String(idx).clone()
+      case other => throw new UnsupportedOperationException(
+        s"graft-store: partitionBy unsupported for type $other")
     }
 
+  private def partitionKey(record: InternalRow): Seq[Any] = route match {
+    case IdentityRoute(idx) =>
+      idx.toSeq.map(i => if (record.isNullAt(i)) NullKey else typedValue(record, i))
+    case BucketRoute(n, i) =>
+      // nulls get a dedicated file (no bucket): equi-joins never match
+      // null, so a null partition has nothing to co-locate with
+      if (record.isNullAt(i)) Seq(NullKey)
+      else Seq(GraftBucket.of(typedValue(record, i),
+        schema.fields(i).dataType, n))
+    case NoRoute => Seq.empty
+  }
+
+  /** Manifest-encoded partition values for a routed file — what the scan
+    * groups on, instead of re-deriving values from min/max stats. */
+  private def renderKey(key: Seq[Any]): String =
+    GraftStoreFormat.partValsToString(key.map {
+      case NullKey => None
+      case v => Some(v.toString)
+    })
+
   override def write(record: InternalRow): Unit =
-    if (partitionIdx.isEmpty) single.write(record)
+    if (route == NoRoute) single.write(record)
     else {
       val sink = byValue.getOrElseUpdate(partitionKey(record), {
         require(byValue.size < 1000,
           "graft-store: partitionBy key exceeds 1000 distinct values per task " +
-            "— identity partitioning needs a low-cardinality key (use clusterBy)")
-        new FileSink(s"-v${byValue.size}")
+            "— identity partitioning needs a low-cardinality key (use bucket(n,col))")
+        new FileSink(s"-v${byValue.size}", renderKey(partitionKey(record)))
       })
       sink.write(record)
     }
 
   override def commit(): WriterCommitMessage =
-    if (partitionIdx.isEmpty) GraftCommitMessage(Seq(single.entry()))
+    if (route == NoRoute) GraftCommitMessage(Seq(single.entry()))
     else GraftCommitMessage(byValue.values.map(_.entry()).toSeq)
   override def abort(): Unit =
-    if (partitionIdx.isEmpty) { if (singleTouched) single.abort() }
+    if (route == NoRoute) { if (singleTouched) single.abort() }
     else byValue.values.foreach(_.abort())
   override def close(): Unit = ()
 }
@@ -936,27 +1015,54 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     * table isn't partitioned or any surviving file can't prove its single
     * value (all-null or long-string stats) — reporting then stays
     * conservative (unknown partitioning), never wrong. */
+  private lazy val layout: Option[GraftLayout] =
+    manifest.partitionCol.map(GraftLayout.parse)
+
   private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
-    manifest.partitionCol.flatMap { cs =>
-      val idxs = cs.split(",").map(c => manifest.schema.fieldNames.indexOf(c.trim))
-      if (idxs.exists(_ < 0)) None
-      else {
-        val keyed = selected.map { e =>
-          // every partition column must prove its single value via min==max
-          val vals = idxs.toSeq.map { idx =>
-            e.stats.get(idx) match {
-              case Some((mn, mx)) if mn == mx => Some(typedKey(idx, mn))
-              case _ => None // can't prove one-value-per-file: report nothing
-            }
+    layout.flatMap {
+      case IdentityLayout(cols) =>
+        val idxs = cols.map(c => manifest.schema.fieldNames.indexOf(c))
+        if (idxs.exists(_ < 0)) None
+        else grouped(selected.map { e =>
+          e.partVals match {
+            // explicit manifest partition values (v3+ writers): exact,
+            // null-safe, and immune to the >64-char string-stat cap
+            case Some(vs) if vs.length == idxs.length =>
+              Some(vs.zip(idxs).map { case (ov, idx) =>
+                ov.map(typedKey(idx, _)).orNull } -> e)
+            case _ =>
+              // legacy manifest: prove the single value via min==max stats
+              val vals = idxs.map { idx =>
+                e.stats.get(idx) match {
+                  case Some((mn, mx)) if mn == mx => Some(typedKey(idx, mn))
+                  case _ => None // can't prove one-value-per-file
+                }
+              }
+              if (vals.exists(_.isEmpty)) None else Some(vals.flatten -> e)
           }
-          if (vals.exists(_.isEmpty)) None else Some(vals.flatten -> e)
-        }
-        if (keyed.exists(_.isEmpty)) None
-        else Some(keyed.flatten.groupBy(_._1).toSeq
-          .sortBy(_._1.map(_.toString).mkString("\u0000"))
-          .map { case (v, es) => (v, es.map(_._2)) })
-      }
+        })
+      case BucketLayout(_, _) =>
+        // bucket ids exist only as explicit partition values (no column's
+        // stats could carry a COMPUTED id); a null-keyed file rides along
+        // as its own partition — equi-joins never match it anyway
+        grouped(selected.map { e =>
+          e.partVals match {
+            case Some(Seq(ov)) =>
+              Some(Seq[Any](ov.map(v => Int.box(v.toInt)).orNull) -> e)
+            case _ => None
+          }
+        })
     }
+
+  private def grouped(keyed: Seq[Option[(Seq[Any], GraftFileEntry)]])
+      : Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
+    if (keyed.exists(_.isEmpty)) None
+    else Some(keyed.flatten.groupBy(_._1).toSeq
+      // deterministic partition order; a null key sorts first (its sort
+      // token is "\u0000", never a toString on null)
+      .sortBy(_._1.map(v => if (v == null) "\u0000" else "\u0001" + v.toString)
+        .mkString("\u0000"))
+      .map { case (v, es) => (v, es.map(_._2)) })
 
   private def typedKey(idx: Int, v: String): Any =
     manifest.schema.fields(idx).dataType match {
@@ -967,14 +1073,20 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     }
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    keyedGroups match {
-      case Some(groups) =>
+    (layout, keyedGroups) match {
+      case (Some(l), Some(groups)) =>
+        import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+        val keys: Array[Expression] = l match {
+          case IdentityLayout(cols) =>
+            cols.map(c => Expressions.identity(c): Expression).toArray
+          case BucketLayout(n, col) =>
+            // a named transform: resolvable (hence SPJ-plannable) only when
+            // the relation came through GraftCatalog's FunctionCatalog
+            Array(Expressions.bucket(n, col): Expression)
+        }
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          manifest.partitionCol.get.split(",").map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c.trim):
-              org.apache.spark.sql.connector.expressions.Expression),
-          groups.size)
-      case None =>
+          keys, groups.size)
+      case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           selected.size)
     }

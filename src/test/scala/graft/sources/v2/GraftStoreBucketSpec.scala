@@ -1,0 +1,205 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucket-transform layout (`partitionBy=bucket(n,col)`) — the
+  * HIGH-CARDINALITY storage-partitioned-join path: identity partitioning
+  * caps at ~1000 values/task (one file per value), while bucketing bounds
+  * file count by n for ANY key cardinality and still lets two co-bucketed
+  * tables join with zero exchange, provided the read comes through
+  * [[GraftCatalog]] so its FunctionCatalog resolves the bucket transform.
+  * Also covers the explicit-partition-value manifests that carry bucket
+  * ids (and fix null identity keys, see GraftStoreSpjSpec's sibling). */
+class GraftStoreBucketSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-store-bucket").toString
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucket write: file count bounded by n on a high-cardinality key") {
+    val dir = tmpDir()
+    // 10k DISTINCT keys — identity partitioning would refuse (1000/task cap)
+    spark.range(0, 10000).selectExpr("id", "id * 7 as key")
+      .write.format("graft-store").option("partitionBy", "bucket(8,key)")
+      .mode("overwrite").save(dir)
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.partitionCol === Some("bucket(8,key)"))
+    // every file claims exactly one bucket id in [0, 8)
+    val ids = m.files.map(_.partVals.get.head.get.toInt)
+    assert(ids.forall(b => b >= 0 && b < 8))
+    val back = spark.read.format("graft-store").load(dir)
+    // distinct buckets present -> that many keyed input partitions
+    assert(back.rdd.getNumPartitions === ids.distinct.size)
+    assert(back.count() === 10000)
+    assert(back.agg(sum("key")).collect()(0).getLong(0)
+      === (0L until 10000L).map(_ * 7).sum)
+  }
+
+  test("writer-side bucket ids agree with the catalog's V2 bucket function") {
+    // one shared hash: the writer routes with GraftBucket, Spark (when it
+    // hashes the un-partitioned side of a join) evaluates GraftBoundBucket
+    val f = GraftBucketFunction.bind(
+      StructType(Seq(StructField("n", IntegerType), StructField("v", LongType))))
+      .asInstanceOf[GraftBoundBucket]
+    for (v <- Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 123456789L)) {
+      val viaWriter = GraftBucket.of(v, LongType, 16)
+      val viaFunction = f.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(16, v))
+      assert(viaFunction === viaWriter, s"value $v")
+      assert(viaWriter >= 0 && viaWriter < 16)
+    }
+    // int keys widen to long: bucket(n, int) == bucket(n, bigint) on equal keys
+    assert(GraftBucket.of(42, IntegerType, 16) === GraftBucket.of(42L, LongType, 16))
+    val g = GraftBucketFunction.bind(
+      StructType(Seq(StructField("n", IntegerType), StructField("v", StringType))))
+      .asInstanceOf[GraftBoundBucket]
+    val s = UTF8String.fromString("abc")
+    assert(g.produceResult(org.apache.spark.sql.catalyst.InternalRow(8, s))
+      === GraftBucket.of(s, StringType, 8))
+  }
+
+  test("co-bucketed tables join with zero exchange through the catalog") {
+    val base = tmpDir()
+    spark.range(0, 2000)
+      .selectExpr("id as ka", "id * 2 as va")
+      .write.format("graft-store").option("partitionBy", "bucket(8,ka)")
+      .mode("overwrite").save(s"$base/ta")
+    spark.range(0, 1000)
+      .selectExpr("id as kb", "id * 3 as vb")
+      .write.format("graft-store").option("partitionBy", "bucket(8,kb)")
+      .mode("overwrite").save(s"$base/tb")
+    withConf(
+      "spark.sql.catalog.gbkt" -> classOf[GraftCatalog].getName,
+      "spark.sql.catalog.gbkt.base" -> base,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT ka, va + vb AS v
+          |FROM gbkt.ta JOIN gbkt.tb ON ka = kb""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed SPJ should be exchange-free:\n${plan.take(3000)}")
+      val rows = j.collect()
+      assert(rows.length === 1000)
+      assert(rows.map(_.getLong(1)).sum === (0L until 1000L).map(_ * 5).sum)
+    }
+  }
+
+  test("aggregate on the bucket key after the join stays exchange-free") {
+    val base = tmpDir()
+    spark.range(0, 3000)
+      .selectExpr("id % 500 as k", "id as va")
+      .write.format("graft-store").option("partitionBy", "bucket(4,k)")
+      .mode("overwrite").save(s"$base/fa")
+    spark.range(0, 500)
+      .selectExpr("id as k", "id * 10 as vb")
+      .write.format("graft-store").option("partitionBy", "bucket(4,k)")
+      .mode("overwrite").save(s"$base/fb")
+    withConf(
+      "spark.sql.catalog.gbk2" -> classOf[GraftCatalog].getName,
+      "spark.sql.catalog.gbk2.base" -> base,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // grouping by the bucketed join key: the key-grouped distribution
+      // satisfies the aggregate too — the whole pipeline is shuffle-free
+      val g = spark.sql(
+        """SELECT fa.k, count(*) AS n, sum(va + vb) AS s
+          |FROM gbk2.fa JOIN gbk2.fb ON fa.k = fb.k
+          |GROUP BY fa.k""".stripMargin)
+      val plan = g.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"join+agg on the bucket key should be exchange-free:\n${plan.take(3000)}")
+      val rows = g.collect()
+      assert(rows.length === 500)
+      assert(rows.forall(_.getLong(1) === 6L)) // 3000/500 rows per key in fa
+    }
+  }
+
+  test("null keys bucket to a dedicated partition and never join") {
+    val base = tmpDir()
+    spark.range(0, 100)
+      .selectExpr("if(id % 10 = 0, null, id) as k", "id as v")
+      .write.format("graft-store").option("partitionBy", "bucket(4,k)")
+      .mode("overwrite").save(s"$base/tn")
+    val m = GraftStoreFormat.readLatestManifest(
+      s"$base/tn", spark.sparkContext.hadoopConfiguration).get
+    // exactly the null-key files carry the null partition value
+    val nullFiles = m.files.filter(_.partVals.get.head.isEmpty)
+    assert(nullFiles.nonEmpty)
+    assert(nullFiles.map(_.rows).sum === 10)
+    val back = spark.read.format("graft-store").load(s"$base/tn")
+    assert(back.count() === 100)
+    assert(back.filter(col("k").isNull).count() === 10)
+    withConf(
+      "spark.sql.catalog.gbkn" -> classOf[GraftCatalog].getName,
+      "spark.sql.catalog.gbkn.base" -> base,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      // an equi self-join drops the null partition's rows, as SQL demands
+      val j = spark.sql(
+        "SELECT count(*) AS n FROM gbkn.tn a JOIN gbkn.tn b ON a.k = b.k")
+      assert(j.collect()(0).getLong(0) === 90L)
+    }
+  }
+
+  test("append keeps the bucket layout; a different layout is rejected") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, 10L)).toDF("id", "k").write.format("graft-store")
+      .option("partitionBy", "bucket(4,k)").mode("overwrite").save(dir)
+    // whitespace variants normalize to the same canonical layout
+    Seq((2L, 20L)).toDF("id", "k").write.format("graft-store")
+      .option("partitionBy", "bucket( 4 , k )").mode("append").save(dir)
+    assert(spark.read.format("graft-store").load(dir).count() === 2)
+    val err = intercept[Exception] {
+      Seq((3L, 30L)).toDF("id", "k").write.format("graft-store")
+        .option("partitionBy", "bucket(8,k)").mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("partition"), err.getMessage)
+  }
+
+  test("compaction preserves the bucket layout") {
+    val dir = tmpDir()
+    val df = spark.range(0, 400).selectExpr("id", "id * 13 as k")
+    df.filter(col("id") < 200).write.format("graft-store")
+      .option("partitionBy", "bucket(4,k)").mode("overwrite").save(dir)
+    df.filter(col("id") >= 200).write.format("graft-store")
+      .option("partitionBy", "bucket(4,k)").mode("append").save(dir)
+    GraftStoreOps.compactSnapshot(spark, dir, targetBytes = 1L << 30)
+    val after = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(after.partitionCol === Some("bucket(4,k)"),
+      "compaction must keep the bucket layout")
+    assert(after.files.size === 4, "files must merge WITHIN buckets")
+    assert(spark.read.format("graft-store").load(dir).count() === 400)
+  }
+
+  test("identity layout with NULL partition values keeps SPJ grouping") {
+    val dir = tmpDir()
+    spark.range(0, 90)
+      .selectExpr("id", "if(id % 3 = 0, null, cast(id % 3 as int)) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("graft-store").load(dir)
+    // pre-partition-value manifests degraded to UnknownPartitioning here
+    // (a null value has no min/max stats); explicit values keep the three
+    // groups: null, 1, 2
+    assert(back.rdd.getNumPartitions === 3)
+    assert(back.count() === 90)
+    assert(back.filter(col("k").isNull).count() === 30)
+  }
+}
