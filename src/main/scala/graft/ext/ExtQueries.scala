@@ -1752,6 +1752,132 @@ object ExtQueries {
             |FROM filt WHERE doc_id IN (SELECT doc_id FROM keep)
             |GROUP BY source""".stripMargin))
 
+  // ---------------------------------------------------------------- weighted sampling
+  /** Distributed WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis '06): each row draws `u ∈ (0,1)` and keeps key `u^(1/w)`;
+    * the k largest keys are exactly a weight-proportional sample without
+    * replacement. Here `u` is DETERMINISTIC — the md5-derived 60-bit hash
+    * of the doc id mapped to (0,1) — so the "random" draw is reproducible
+    * in any engine with md5 and the oracle can check the SELECTED ROWS,
+    * not just the sample size. Weights = n_chars (longer docs
+    * proportionally likelier — the mixture-sampling shape used when
+    * upsampling long documents).
+    *
+    * Shape at 100 TB: key computation is row-local (hash + one pow); the
+    * top-k is TakeOrderedAndProject — per-partition bounded heaps, no
+    * global sort, no shuffle of the corpus. Contrast reservoir sampling,
+    * which needs a sequential pass: the E-S key trick is what makes
+    * weighted sampling embarrassingly parallel and mergeable (union two
+    * samples = take top-k of their keys again). */
+  val q139WeightedSample = QuerySpec(
+    "q139_weighted_sample", "EXT-weighted-sample",
+    "Efraimidis-Spirakis weighted top-k sample, deterministic md5 draws",
+    (s, d) => {
+      val w = docs(s, d).filter(col("n_chars") > 0)
+        .withColumn("u",
+          (pmod(md5Long(col("doc_id").cast("string")), lit(1000000L)) + 0.5) / 1000000.0)
+        .withColumn("k", pow(col("u"), lit(1.0) / col("n_chars")))
+      w.orderBy(col("k").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"), round(col("k"), 4).as("skey"))
+    },
+    Some("""WITH w AS (SELECT doc_id, n_chars,
+           |    (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           |       % 1000000 + 0.5) / 1000000.0 AS u
+           |  FROM documents WHERE n_chars > 0)
+           |SELECT doc_id, n_chars, round(pow(u, 1.0 / n_chars), 4) AS skey
+           |FROM w ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 50""".stripMargin))
+
+  // ---------------------------------------------------------------- n-gram LM scoring
+  /** Bigram language-model PERPLEXITY scoring (the CCNet/KenLM quality
+    * gate in miniature): train add-one-smoothed bigram statistics on the
+    * corpus itself, score every document by its mean bigram log-likelihood
+    * `ln((c(w1,w2)+1)/(c(w1)+V))`, and surface the 20 LOWEST-scoring
+    * (most surprising) documents — the gibberish/outlier candidates a
+    * quality pipeline drops or down-weights.
+    *
+    * Shape at 100 TB: tokenization is checkpointed ONCE and feeds all
+    * three passes (bigram counts, vocabulary, scoring) — the q106 lesson
+    * institutionalized; counts are hash aggregates on (w1,w2)/(w1); the
+    * scoring join shuffles on the bigram key (inherent — the model IS
+    * corpus-global state) and AQE broadcast-izes it when the model fits.
+    * Vocabulary size rides along as a broadcast 1-row frame, never a
+    * driver collect. */
+  val q140BigramLm = QuerySpec(
+    "q140_bigram_lm", "EXT-lm-quality",
+    "bigram LM perplexity scoring: 20 most-surprising docs under add-one smoothing",
+    (s, d) => {
+      val tk = ensureParallelism(docs(s, d))
+        .select(col("doc_id"), tokens(normText(col("text"))).as("tk"))
+        .localCheckpoint(true)
+      val bg = tk.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(shingleSql("tk", 2)).as("b"))
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+      val c12 = bg.groupBy("b").agg(count(lit(1)).as("c12"))
+      val c1 = c12.withColumn("w1", substring_index(col("b"), " ", 1))
+        .groupBy("w1").agg(sum("c12").as("c1")) // c(w1) from the smaller table
+      val vocab = tk.select(explode(col("tk")).as("t"))
+        .agg(countDistinct("t").as("v"))
+      bg.join(c12, "b").join(c1, "w1")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("c12") + 1.0) / (col("c1") + col("v")))), 4).as("score"))
+        .orderBy(col("score"), col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, regexp_split_to_array($oNorm, '\\s+') AS tk
+            |  FROM documents),
+            |bg AS (SELECT doc_id,
+            |    unnest(list_transform(generate_series(1, len(tk) - 1), i ->
+            |      concat_ws(' ', tk[i], tk[i+1]))) AS b
+            |  FROM tk WHERE len(tk) >= 2),
+            |c12 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+            |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c12) AS c1
+            |  FROM c12 GROUP BY 1),
+            |v AS (SELECT count(DISTINCT t.t) AS v
+            |  FROM (SELECT unnest(tk) AS t FROM tk) t)
+            |SELECT doc_id, count(*) AS n_bigrams,
+            |  round(avg(ln((c12.c12 + 1.0) / (c1.c1 + v.v))), 4) AS score
+            |FROM bg JOIN c12 USING (b)
+            |  JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1
+            |  CROSS JOIN v
+            |GROUP BY doc_id
+            |ORDER BY score, doc_id LIMIT 20""".stripMargin))
+
+  // ---------------------------------------------------------------- embedding covariance
+  /** Distributed COVARIANCE MATRIX over embedding dimensions (upper
+    * triangle of the first 8 dims) — the statistics behind PCA /
+    * whitening / drift detection on embedding corpora. One narrow pass:
+    * each vector expands to its 36 (i≤j) coordinate pairs and
+    * `covar_pop` aggregates per cell — partial aggregation does the
+    * map-side combine, so the shuffle carries 36 running moments per
+    * partition, NOT the corpus (the Gramian-accumulation pattern; a full
+    * d×d matrix is the same plan with d²/2 cells). Cosines/covariances
+    * round at 4 decimals, the repo-wide double-aggregate contract. */
+  val q141EmbedCovariance = QuerySpec(
+    "q141_embed_covariance", "EXT-embedding-covariance",
+    "single-pass covariance matrix (upper triangle, 8 dims) over embeddings",
+    (s, d) => {
+      val x = emb(s, d).select(col("embedding").cast("array<double>").as("e"))
+      x.select(explode(expr(
+          """flatten(transform(sequence(0, 7), i ->
+            |  transform(sequence(i, 7), j ->
+            |    struct(i AS i, j AS j, e[i] AS xi, e[j] AS xj))))""".stripMargin))
+          .as("p"))
+        .select(col("p.i"), col("p.j"), col("p.xi"), col("p.xj"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), round(covar_pop(col("xi"), col("xj")), 4).as("cov"))
+    },
+    Some("""WITH p AS (SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j
+           |  FROM generate_series(0, 7) a(i) CROSS JOIN generate_series(0, 7) b(j)
+           |  WHERE b.j >= a.i)
+           |SELECT p.i, p.j, count(*) AS n,
+           |  round(covar_pop(CAST(embedding[p.i + 1] AS DOUBLE),
+           |                  CAST(embedding[p.j + 1] AS DOUBLE)), 4) AS cov
+           |FROM embeddings CROSS JOIN p
+           |GROUP BY p.i, p.j""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q21DedupExact, q22Fingerprint, q23TokenCount, q24TextQuality, q25LangId,
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
@@ -1763,5 +1889,5 @@ object ExtQueries {
     q118SpanScrub, q119QualityFilter, q120SourceCap, q121Repetition,
     q122Bm25, q123Winnowing, q125GroupSplit, q126LabelCohesion,
     q127WinnowingPairs, q128StreamCuration, q130WinnowingExtents,
-    q131CurationFunnel)
+    q131CurationFunnel, q139WeightedSample, q140BigramLm, q141EmbedCovariance)
 }

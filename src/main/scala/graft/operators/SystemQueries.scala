@@ -915,11 +915,61 @@ object SystemQueries {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_custkey""".stripMargin))
 
+  /** CHANGE FEED between snapshots
+    * ([[graft.sources.v2.GraftStoreOps.changesBetween]] — the Delta CDF
+    * surface, derived from the manifest log instead of a change journal):
+    * snapshot 0 seeds the table, then the full COW DML trio runs — a
+    * stats-pruned DELETE, an append, and a stats-pruned UPDATE — and the
+    * feed 0→head must read back exactly the net row-level difference:
+    * deletes, inserts, and update pre/post image pairs, with every
+    * carried-identical row cancelled out (a COW rewrite copies untouched
+    * rows into new files; a change feed that reported them would be
+    * useless). File-level diffing means only rewritten/added files are
+    * ever read — at 100 TB the feed costs the churn, not the table. The
+    * oracle reconstructs all four change classes from the raw parquet. */
+  val q138StoreChanges = QuerySpec(
+    "q138_store_changes", "S-dsv2-change-feed",
+    "snapshot change feed: net insert/delete/update images from the manifest diff",
+    (s, d) => {
+      val path = "/tmp/graft_store_q138"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      base.filter(col("o_orderkey") < 4000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path) // snapshot 0
+      graft.sources.v2.GraftStoreOps.deleteWhere(s, path,
+        col("o_orderkey") < 1000) // snapshot 1
+      base.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 6000)
+        .write.format("graft-store").mode("append").save(path) // snapshot 2
+      graft.sources.v2.GraftStoreOps.updateWhere(s, path,
+        col("o_orderkey") >= 2000 && col("o_orderkey") < 3000,
+        Map("o_totalprice" -> (col("o_totalprice") + 10))) // snapshot 3
+      graft.sources.v2.GraftStoreOps.changesBetween(s, path, 0, 3, "o_orderkey")
+        .select(col("o_orderkey"), col("change_type"),
+          round(col("o_totalprice"), 2).as("price"), col("o_orderpriority"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+           |  FROM orders WHERE o_orderkey < 4000)
+           |SELECT o_orderkey, 'delete' AS change_type,
+           |  round(o_totalprice, 2) AS price, o_orderpriority
+           |FROM base WHERE o_orderkey < 1000
+           |UNION ALL
+           |SELECT o_orderkey, 'insert', round(o_totalprice, 2), o_orderpriority
+           |FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 6000
+           |UNION ALL
+           |SELECT o_orderkey, 'update_preimage', round(o_totalprice, 2), o_orderpriority
+           |FROM base WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+           |UNION ALL
+           |SELECT o_orderkey, 'update_postimage', round(o_totalprice + 10, 2), o_orderpriority
+           |FROM base WHERE o_orderkey >= 2000 AND o_orderkey < 3000""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
-    q135SqlDelete, q136StreamSink, q137StoreBucketJoin)
+    q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges)
 }

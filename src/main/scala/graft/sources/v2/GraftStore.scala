@@ -1423,6 +1423,63 @@ object GraftStoreOps {
     }
   }
 
+  /** CHANGE FEED between two retained snapshots (Delta CDF semantics,
+    * without a change log): every row of the result is tagged
+    * `change_type` ∈ {insert, delete, update_preimage, update_postimage},
+    * and the feed is the NET row-level difference `fromSnap → toSnap`
+    * (intermediate snapshots don't matter; delete-then-reinsert of an
+    * identical row is no change).
+    *
+    * The scale trick is that manifests are FULL file listings, so the diff
+    * starts at the FILE level: files present in both snapshots cannot
+    * contribute changes and are never read — only `from∖to` (removed) and
+    * `to∖from` (added) files are scanned, which for stats-pruned COW DML
+    * is exactly the handful of rewritten files, not the table. Rows
+    * identical on both sides (carried through a rewrite) cancel in the
+    * full-outer join on `key`; the join itself is sized by the CHANGED
+    * file bytes. Requires `key` to be unique per snapshot (the merge
+    * rule) and an unchanged schema across the range. */
+  def changesBetween(spark: SparkSession, path: String, fromSnap: Int, toSnap: Int,
+      key: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, not, struct}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    require(fromSnap >= 0 && toSnap < ms.size && fromSnap <= toSnap,
+      s"graft-store: snapshot range [$fromSnap, $toSnap] outside [0, ${ms.size})")
+    val mFrom = GraftStoreFormat.readManifestFile(path, conf, ms(fromSnap))
+    val mTo = GraftStoreFormat.readManifestFile(path, conf, ms(toSnap))
+    require(mFrom.schema.toDDL == mTo.schema.toDDL,
+      "graft-store: change feed across a schema change is not defined")
+    val fromNames = mFrom.files.map(_.name).toSet
+    val toNames = mTo.files.map(_.name).toSet
+    val removed = mFrom.files.map(_.name).filterNot(toNames)
+    val added = mTo.files.map(_.name).filterNot(fromNames)
+    val cols = mFrom.schema.fieldNames.toSeq
+    def readSubset(names: Seq[String], snap: Int) =
+      if (names.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mFrom.schema)
+      else spark.read.format("graft-store").option("snapshot", snap)
+        .option("files", names.mkString(",")).load(path)
+    val pre = readSubset(removed, fromSnap)
+      .select(struct(cols.map(col): _*).as("pre"))
+    val post = readSubset(added, toSnap)
+      .select(struct(cols.map(col): _*).as("post"))
+    // materialize the join once — four classification passes read it below
+    // (the persist-before-reuse boundary, not four joins)
+    val j = pre.join(post, col(s"pre.$key") === col(s"post.$key"), "full_outer")
+      .filter(not(col("pre") <=> col("post"))) // carried-identical rows cancel
+      .localCheckpoint(true)
+    def tagged(side: String, cond: org.apache.spark.sql.Column, tag: String) =
+      j.filter(cond).select(col(s"$side.*")).withColumn("change_type", lit(tag))
+    tagged("post", col("pre").isNull, "insert")
+      .unionByName(tagged("pre", col("post").isNull, "delete"))
+      .unionByName(tagged("pre",
+        col("pre").isNotNull && col("post").isNotNull, "update_preimage"))
+      .unionByName(tagged("post",
+        col("pre").isNotNull && col("post").isNotNull, "update_postimage"))
+  }
+
   /** Drop all but the newest `keepLast` snapshots, then delete data files no
     * retained snapshot references. Order matters for crash safety: manifests
     * are deleted FIRST, so a crash mid-way can orphan data files (invisible,
