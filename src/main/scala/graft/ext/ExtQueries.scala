@@ -1878,7 +1878,135 @@ object ExtQueries {
            |FROM embeddings CROSS JOIN p
            |GROUP BY p.i, p.j""".stripMargin))
 
+  // ---------------------------------------------------------------- source overlap
+  /** Pairwise CROSS-SOURCE contamination matrix: for every source pair,
+    * the number of distinct 5-gram hashes both sources contain — the
+    * curation diagnostic behind "which crawls/datasets duplicate each
+    * other" that decides dedup ordering and mixture double-counting
+    * corrections (cf. the q106 train/bench decontamination, generalized
+    * to all-pairs between sources).
+    *
+    * Shape at 100 TB: shingles are hashed and DISTINCTED per source first
+    * (the corpus-sized step, one shuffle keyed by (source, hash)), so the
+    * self-join runs over the deduplicated hash sets — proportional to
+    * shared vocabulary, never corpus². The shingled corpus and the
+    * distinct hash set are both checkpointed: the first because explode
+    * must never inline the regex tokenizer (the q106 lesson), the second
+    * because the self-join would otherwise recompute the whole chain
+    * twice (the Dedup.nearDupPairs pattern). */
+  val q143SourceOverlap = QuerySpec(
+    "q143_source_overlap", "EXT-source-overlap",
+    "pairwise cross-source 5-gram overlap matrix (distinct hash intersection)",
+    (s, d) => {
+      val shArr = ensureParallelism(docs(s, d))
+        .withColumn("toks", tokens(normText(col("text"))))
+        .withColumn("sh", shingleSql("toks", 5))
+        .select("source", "sh")
+        .localCheckpoint(true)
+      val sh = shArr.select(col("source"), explode(col("sh")).as("g"))
+        .select(col("source"), md5Long(col("g")).as("h"))
+        .distinct()
+        .localCheckpoint(true) // self-joined below: materialize, don't recompute
+      sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some(s"""WITH n AS (SELECT source, regexp_split_to_array($oNorm, '\\s+') AS tk
+            |  FROM documents),
+            |g AS (SELECT source, unnest(list_transform(generate_series(1, len(tk) - 4),
+            |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS g
+            |  FROM n),
+            |sh AS (SELECT DISTINCT source,
+            |    CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) AS h FROM g)
+            |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+            |FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            |GROUP BY 1, 2""".stripMargin))
+
+  // ---------------------------------------------------------------- IVF + quantized codes
+  /** IVF-PQ-style TWO-STAGE retrieval — the production vector-index
+    * architecture (FAISS IVF+SQ8): the coarse quantizer prunes the scan to
+    * `nprobe` cells, the APPROXIMATE stage scores int8-reconstructed codes
+    * (4-8× fewer scan bytes — within the probed cells the index never
+    * touches full-precision vectors), and a small candidate pool is
+    * RESCORED exactly before returning top-k. At 100 TB the read cost is
+    * `nprobe/numCells × 1/4 bytes` of the corpus plus an O(candidates)
+    * exact pass — each stage cuts the next stage's input by an order of
+    * magnitude.
+    *
+    * Contract (the q45/q46 sketch+exact pattern): KMeans cells aren't
+    * SQL-expressible, so the output carries oracle-recomputable EXACT
+    * values (brute-force top-1/top-10 cosines) plus bound booleans —
+    * recall@10 ≥ 0.5 vs brute force, rescored cosines exactly equal to
+    * full-precision cosines (rescoring must really be exact), and the
+    * approximate stage within its quantization error budget. */
+  val q146IvfPq = QuerySpec(
+    "q146_ivf_pq", "EXT-sim-ivf-pq",
+    "IVF + int8 codes: probed-cell approx search, exact rescore, bound-checked",
+    (s, d) => {
+      val embAll = emb(s, d)
+      val query = embAll.filter(col("vec_id") === 0)
+      val qArr = query.select("embedding").collect()(0).getSeq[Float](0).toArray
+      val corpus = embAll.filter(col("vec_id") =!= 0)
+      val index = Ivf.build(corpus, numCells = 16)
+      val centroids = index.model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+      val qd = qArr.map(_.toDouble)
+      def cosA(a: Array[Double], b: Array[Double]): Double = {
+        var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dd / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val probeCells = centroids.map { case (i, c) => (i, cosA(qd, c)) }
+        .sortBy(-_._2).take(8).map(_._1).toSeq
+      val qLit = typedLit(qd.toSeq)
+      // approx stage: int8 reconstruction (q94's row-local codebook) scored
+      // ONLY inside the probed cells; exact cosine rides along for the
+      // rescore + error audit
+      val scored = index.assigned.filter(col("cell").isin(probeCells: _*))
+        .withColumn("e", col("embedding").cast("array<double>"))
+        .withColumn("mn", array_min(col("e")))
+        .withColumn("mx", array_max(col("e")))
+        .withColumn("scale",
+          when(col("mx") > col("mn"), (col("mx") - col("mn")) / 255.0).otherwise(lit(1.0)))
+        .withColumn("r",
+          expr("transform(e, x -> mn + cast(round((x - mn) / scale, 0) as int) * scale)"))
+        .withColumn("approx_cos", Similarity.cosine(col("r"), qLit))
+        .withColumn("exact_cos", Similarity.cosine(col("e"), qLit))
+      val candidates = scored
+        .orderBy(col("approx_cos").desc, col("vec_id").asc).limit(30)
+        .select("vec_id", "approx_cos", "exact_cos")
+        .localCheckpoint(true) // consumed 3x below (top-k, err audit, count)
+      val top = candidates
+        .orderBy(col("exact_cos").desc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), round(col("exact_cos"), 4).as("cos_sim"))
+        .localCheckpoint(true)
+      val bf = Similarity.bruteForceTopK(embAll, query, k = 10)
+        .select(col("vec_id"), col("cos_sim").as("bf_cos")).localCheckpoint(true)
+      val recallHits = top.join(bf, Seq("vec_id"), "left_semi").count()
+      val maxErr = candidates
+        .agg(max(abs(col("approx_cos") - col("exact_cos")))).collect()(0).getDouble(0)
+      bf.agg(max("bf_cos").as("bf_top1_cos"), min("bf_cos").as("bf_top10_min_cos"))
+        .select(
+          lit(top.count().toInt).as("k_returned"),
+          col("bf_top1_cos"), col("bf_top10_min_cos"),
+          lit(recallHits >= 5L).as("recall_ok"),
+          lit(maxErr <= 0.05).as("approx_close"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           |  FROM embeddings WHERE vec_id = 0),
+           |cos AS (SELECT vec_id,
+           |    round(list_dot_product(embedding::DOUBLE[], qe)
+           |      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           |         * sqrt(list_dot_product(qe, qe))), 4) AS c
+           |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+           |top AS (SELECT c FROM cos ORDER BY c DESC, vec_id ASC LIMIT 10)
+           |SELECT 10 AS k_returned, max(c) AS bf_top1_cos, min(c) AS bf_top10_min_cos,
+           |  TRUE AS recall_ok, TRUE AS approx_close
+           |FROM top""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
+    q143SourceOverlap, q146IvfPq,
     q21DedupExact, q22Fingerprint, q23TokenCount, q24TextQuality, q25LangId,
     q26MinHashSig, q27MinHashPairs, q28JaccardPairs, q29SimHash,
     q30AnnCosine, q31AnnLsh, q32EmbedNearDup, q33Multimodal, q51SimHashHamming,

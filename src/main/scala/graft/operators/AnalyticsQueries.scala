@@ -446,9 +446,98 @@ object AnalyticsQueries {
            |  round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 2) AS exact_q, TRUE AS rank_ok
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
+  // ---------------------------------------------------------------- robust outliers
+  /** Median/MAD robust outlier detection per group — the data-cleaning
+    * gate that survives what z-scores don't: mean and stddev are
+    * themselves dragged by the outliers they are supposed to find, while
+    * the median and the median-absolute-deviation have a 50% breakdown
+    * point. A value is flagged when `|x - med| > 4.4478 · MAD` (3σ under
+    * the 1.4826 normal-consistency constant).
+    *
+    * Shape at 100 TB: two exact-percentile aggregations with the group
+    * medians BROADCAST back between them — the corpus is scanned twice
+    * but shuffled zero times (percentile partials merge map-side; the
+    * joins are broadcast). Exact medians at that scale would switch to
+    * the KLL sketch (q107) — this operator is the exact-tier sibling. */
+  val q142RobustOutliers = QuerySpec(
+    "q142_robust_outliers", "EXT-robust-outliers",
+    "median/MAD outlier gate per group (50% breakdown, broadcast medians)",
+    (s, d) => {
+      val o = Tables.orders(s, d).select("o_orderpriority", "o_totalprice")
+      val med = o.groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      val withDev = o.join(broadcast(med), "o_orderpriority")
+        .withColumn("adev", abs(col("o_totalprice") - col("med")))
+      val mad = withDev.groupBy("o_orderpriority")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      withDev.join(broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("adev") > lit(4.4478) * col("mad"), 1)).as("n_outliers"),
+          graft.functions.roundStable(first("med"), 2).as("med"),
+          graft.functions.roundStable(first("mad"), 2).as("mad"))
+    },
+    Some("""WITH med AS (SELECT o_orderpriority,
+           |    quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1),
+           |a AS (SELECT o.o_orderpriority, m.med,
+           |    abs(o.o_totalprice - m.med) AS adev
+           |  FROM orders o JOIN med m USING (o_orderpriority)),
+           |mad AS (SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+           |  FROM a GROUP BY 1)
+           |SELECT a.o_orderpriority, count(*) AS n,
+           |  count(CASE WHEN adev > 4.4478 * mad.mad THEN 1 END) AS n_outliers,
+           |  round(any_value(a.med) + 1e-9, 2) AS med,
+           |  round(any_value(mad.mad) + 1e-9, 2) AS mad
+           |FROM a JOIN mad USING (o_orderpriority)
+           |GROUP BY a.o_orderpriority""".stripMargin))
+
+  // ---------------------------------------------------------------- pagerank
+  /** PageRank ([[Graph.pageRank]], 3 iterations, d = 0.85) over a
+    * deterministic directed graph derived from orders (customer residue →
+    * order residue classes — a dense reference graph the oracle can
+    * rebuild). The oracle UNROLLS the three iterations as chained CTEs,
+    * so the engine's iterative join/aggregate loop is value-checked
+    * against a closed-form recomputation, not just row-counted. Ranks
+    * scale ×100 before the repo-standard round(…, 4): raw ranks sit at
+    * 1/N where four decimals would carry only two significant digits. */
+  val q144PageRank = QuerySpec(
+    "q144_pagerank", "EXT-graph-pagerank",
+    "3-iteration PageRank on a derived graph, oracle-unrolled iterations",
+    (s, d) => {
+      val e = Tables.orders(s, d)
+        .select((col("o_custkey") % 50).as("src"), (col("o_orderkey") % 50).as("dst"))
+        .distinct()
+      val v = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+      Graph.pageRank(v, e, iters = 3, damping = 0.85)
+        .select(col("id").as("node"), round(col("rank") * 100, 4).as("rank_pct"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+           |  FROM orders),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |n AS (SELECT count(*) AS n FROM v),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+           |r0 AS (SELECT id, 1.0 / n.n AS rank FROM v CROSS JOIN n),
+           |r1 AS (SELECT v.id, 0.15 / n.n + 0.85 * coalesce(f.inflow, 0) AS rank
+           |  FROM v CROSS JOIN n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r0.rank / deg.outdeg) AS inflow
+           |    FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+           |    GROUP BY e.dst) f ON f.id = v.id),
+           |r2 AS (SELECT v.id, 0.15 / n.n + 0.85 * coalesce(f.inflow, 0) AS rank
+           |  FROM v CROSS JOIN n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r1.rank / deg.outdeg) AS inflow
+           |    FROM e JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+           |    GROUP BY e.dst) f ON f.id = v.id),
+           |r3 AS (SELECT v.id, 0.15 / n.n + 0.85 * coalesce(f.inflow, 0) AS rank
+           |  FROM v CROSS JOIN n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r2.rank / deg.outdeg) AS inflow
+           |    FROM e JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+           |    GROUP BY e.dst) f ON f.id = v.id)
+           |SELECT id AS node, round(rank * 100, 4) AS rank_pct FROM r3""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative,
     q92AsOfTolerance,
     q43Datetime, q44WordCount, q45AnnIvf, q46Approx, q47TopKPerGroup, q48Subquery, q49Arrays,
-    q50RangeJoin, q107KllQuantiles)
+    q50RangeJoin, q107KllQuantiles, q142RobustOutliers, q144PageRank)
 }

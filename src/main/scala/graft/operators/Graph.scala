@@ -87,6 +87,49 @@ object Graph {
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** PAGERANK over a directed edge frame, fixed iteration count — the
+    * link-analysis centrality used by web-scale curation pipelines to
+    * weight documents by their position in the reference graph (the
+    * quality signal behind "rank hosts by link authority").
+    *
+    * Per iteration: rank flows along edges as `rank(u)/outdeg(u)`,
+    * aggregates per target (one co-partitioned join + partial-aggregated
+    * shuffle sized to the VERTEX frame, not the corpus), and the teleport
+    * term `(1-d)/N` re-seeds every vertex via a LEFT join so sinks and
+    * sources keep a rank. Dangling mass (vertices with no out-edges) is
+    * not redistributed — the simple formulation; both the engine and any
+    * oracle must agree on one convention and this is the documented one.
+    * The per-iteration `localCheckpoint` is the same plan-growth guard as
+    * the component loops above. `vertices.count()` is one bounded scalar
+    * (the teleport denominator), the GraphX convention. */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val session = vertices.sparkSession
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    try {
+      session.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prevParts.toInt).toString)
+      val v = vertices.select(col("id")).distinct().localCheckpoint(true)
+      val n = v.count()
+      val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+      var ranks = v.withColumn("rank", lit(1.0 / n))
+      for (_ <- 0 until iters) {
+        val inflow = e
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+          .groupBy("id").agg(sum("c").as("inflow"))
+        ranks = v.join(inflow, Seq("id"), "left")
+          .select(col("id"),
+            (lit((1.0 - damping) / n)
+              + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Connected components by Large-Star / Small-Star EDGE REWRITING
     * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
     * Components in MapReduce and Beyond", SoCC '14) — the alternative to

@@ -965,11 +965,51 @@ object SystemQueries {
            |SELECT o_orderkey, 'update_postimage', round(o_totalprice + 10, 2), o_orderpriority
            |FROM base WHERE o_orderkey >= 2000 AND o_orderkey < 3000""".stripMargin))
 
+  /** Snapshot RESTORE ([[graft.sources.v2.GraftStoreOps.restoreSnapshot]]
+    * — Delta `RESTORE TABLE` semantics): a COW DELETE damages the table,
+    * the restore rolls the head back to snapshot 0 as a METADATA-ONLY
+    * commit (the old files still exist under retention — zero data I/O),
+    * and the head read must equal the original content exactly. The
+    * rolled-back state stays time-travelable (the bad snapshot is audit
+    * history, checked via its pinned row count), and the restore is
+    * itself a new snapshot, not a history rewrite. */
+  val q145StoreRestore = QuerySpec(
+    "q145_store_restore", "S-dsv2-restore",
+    "snapshot restore: metadata-only rollback of a COW delete, history intact",
+    (s, d) => {
+      val path = "/tmp/graft_store_q145"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val slice = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") < 3000)
+      slice.repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path) // snapshot 0
+      graft.sources.v2.GraftStoreOps.deleteWhere(s, path,
+        col("o_orderkey") < 1500) // snapshot 1: the damage
+      val headIdx = graft.sources.v2.GraftStoreOps.restoreSnapshot(s, path, 0)
+      val damagedRows = s.read.format("graft-store").option("snapshot", 1)
+        .load(path).count() // the bad state stays auditable
+      val sliceRows = slice.count()
+      val deletedRows = slice.filter(col("o_orderkey") < 1500).count()
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("restored_exact", lit(headIdx == 2))
+        .withColumn("history_intact", lit(damagedRows == sliceRows - deletedRows))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS restored_exact, TRUE AS history_intact
+           |FROM orders WHERE o_orderkey < 3000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
     q93StreamUpsertStore, q96StreamDedup, q97StoreSkipping, q99FileLineage,
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
-    q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges)
+    q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
+    q145StoreRestore)
 }

@@ -95,7 +95,7 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
 
 private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
     millis: Long = 0L, partitionCol: Option[String] = None,
-    txn: Option[String] = None)
+    txn: Option[String] = None, clusterCols: Option[String] = None)
 
 private[v2] object GraftStoreFormat {
   /** Manifest file body: optional `#millis=<epoch>` header (v2 — publication
@@ -197,13 +197,22 @@ private[v2] object GraftStoreFormat {
       if (rest.head.startsWith("#partition="))
         (Some(rest.head.stripPrefix("#partition=")), rest.tail)
       else (None, rest)
+    // `#cluster=` header (optional, comma-separated): the table's DECLARED
+    // sort clustering (range/Z-order layouts) — advisory, like Iceberg's
+    // sort-order property: per-file min/max stats stay correct either way,
+    // but compaction and COW rewrites re-apply this ordering so the
+    // disjoint-range pruning the layout was built for survives maintenance
+    val (clusterCols, rest3) =
+      if (rest2.head.startsWith("#cluster="))
+        (Some(rest2.head.stripPrefix("#cluster=")), rest2.tail)
+      else (None, rest2)
     // `#txn=` header (optional): the streaming-epoch token of the commit
     // that published this snapshot — the idempotency check a replayed
     // epoch commit is deduplicated against
     val (txn, lines) =
-      if (rest2.head.startsWith("#txn="))
-        (Some(rest2.head.stripPrefix("#txn=")), rest2.tail)
-      else (None, rest2)
+      if (rest3.head.startsWith("#txn="))
+        (Some(rest3.head.stripPrefix("#txn=")), rest3.tail)
+      else (None, rest3)
     GraftManifest(
       StructType.fromDDL(lines.head),
       lines.tail.toSeq.map { l =>
@@ -214,7 +223,7 @@ private[v2] object GraftStoreFormat {
           if (parts.length > 2) statsFromString(parts(2)) else Map.empty,
           if (parts.length > 3) partValsFromString(parts(3)) else None)
       },
-      millis, partCol, txn)
+      millis, partCol, txn, clusterCols)
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
@@ -293,6 +302,7 @@ private[v2] object GraftStoreFormat {
     try out.write(
       (s"#millis=$millis\n" +
         m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
+        m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
         m.schema.toDDL + "\n" + m.files.map(e =>
         s"${e.name}\t${e.rows}\t${statsToString(e.stats)}" +
@@ -585,7 +595,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredOrdering(): Array[SortOrder] = orders
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
-      new GraftStoreBatchWrite(path, schema, conf, truncate, layout)
+      new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId)
   }
@@ -639,18 +649,26 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
         val live = new Path(path, m.file)
         if (!fs.exists(live)) fs.rename(new Path(tmpDir, m.file), live)
       }
-      val prev = head.lastOption
-        .map(GraftStoreFormat.readManifestFile(path, conf, _)).map { m =>
-          require(m.schema.toDDL == schema.toDDL,
-            s"graft-store: streaming append schema ${schema.toDDL} does not " +
-              s"match table schema ${m.schema.toDDL}")
-          m.files
-        }.getOrElse(Seq.empty)
+      val prevManifest = head.lastOption
+        .map(GraftStoreFormat.readManifestFile(path, conf, _))
+      prevManifest.foreach { m =>
+        require(m.schema.toDDL == schema.toDDL,
+          s"graft-store: streaming append schema ${schema.toDDL} does not " +
+            s"match table schema ${m.schema.toDDL}")
+      }
+      val prev = prevManifest.map(_.files).getOrElse(Seq.empty)
       val newEntries = committed.map(m =>
         GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
         GraftStoreFormat.partValsFromString(m.partVals)))
+      // layout headers CARRY THROUGH a streaming append (dropping them
+      // would silently strip the table's declared layout): streamed files
+      // have no partition values, so scans degrade conservatively to
+      // UnknownPartitioning until compaction re-routes them — declared
+      // layout preserved, correctness never at risk
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(schema, prev ++ newEntries, txn = Some(token)),
+        GraftManifest(schema, prev ++ newEntries, txn = Some(token),
+          partitionCol = prevManifest.flatMap(_.partitionCol),
+          clusterCols = prevManifest.flatMap(_.clusterCols)),
         GraftStoreFormat.nextSeq(head))
     }
     fs.delete(tmpDir, true)
@@ -683,11 +701,14 @@ private[v2] case class GraftCommitMessage(entries: Seq[GraftCommitEntry])
     extends WriterCommitMessage
 
 private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
-    conf: Configuration, truncate: Boolean, layout: Option[GraftLayout] = None)
+    conf: Configuration, truncate: Boolean, layout: Option[GraftLayout] = None,
+    clusterBy: Array[String] = Array.empty)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
   private val partitionBy: Option[String] = layout.map(_.render)
+  private val declaredCluster: Option[String] =
+    if (clusterBy.isEmpty) None else Some(clusterBy.mkString(","))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
@@ -730,26 +751,35 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
-      val prev =
-        if (truncate) Seq.empty
-        else head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _)).map { m =>
-          // one schema governs every file a manifest lists (the row codec is
-          // schema-dependent): an append under a different schema would make
-          // readers decode the old files wrongly — fail loudly instead
-          // (schema EVOLUTION would need per-file schemas; documented
-          // non-goal). Overwrite (truncate) may change the schema freely.
-          require(m.schema.toDDL == schema.toDDL,
-            s"graft-store: append schema ${schema.toDDL} does not match " +
-              s"table schema ${m.schema.toDDL}; overwrite to change schemas")
-          // same discipline for the partition layout: mixed layouts would
-          // silently break the one-value-per-file invariant SPJ relies on
-          require(m.partitionCol == partitionBy,
-            s"graft-store: append partitionBy=$partitionBy does not match " +
-              s"table partition ${m.partitionCol}; overwrite to change layout")
-          m.files
-        }.getOrElse(Seq.empty)
+      val prevManifest =
+        if (truncate) None
+        else head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+      prevManifest.foreach { m =>
+        // one schema governs every file a manifest lists (the row codec is
+        // schema-dependent): an append under a different schema would make
+        // readers decode the old files wrongly — fail loudly instead
+        // (schema EVOLUTION would need per-file schemas; documented
+        // non-goal). Overwrite (truncate) may change the schema freely.
+        require(m.schema.toDDL == schema.toDDL,
+          s"graft-store: append schema ${schema.toDDL} does not match " +
+            s"table schema ${m.schema.toDDL}; overwrite to change schemas")
+        // same discipline for the partition layout: mixed layouts would
+        // silently break the one-value-per-file invariant SPJ relies on
+        require(m.partitionCol == partitionBy,
+          s"graft-store: append partitionBy=$partitionBy does not match " +
+            s"table partition ${m.partitionCol}; overwrite to change layout")
+      }
+      val prev = prevManifest.map(_.files).getOrElse(Seq.empty)
+      // declared clustering is a TABLE PROPERTY (advisory, Iceberg
+      // sort-order style): an overwrite (re)declares it from the writer's
+      // clusterBy; an append keeps the table's — an unclustered append
+      // only makes its own files less prunable, maintenance re-sorts
+      val cluster =
+        if (truncate) declaredCluster
+        else prevManifest.flatMap(_.clusterCols).orElse(declaredCluster)
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(schema, prev ++ newEntries, partitionCol = partitionBy),
+        GraftManifest(schema, prev ++ newEntries, partitionCol = partitionBy,
+          clusterCols = cluster),
         GraftStoreFormat.nextSeq(head))
     }
     // NO data-file cleanup here, even on truncate: superseded files are
@@ -1215,12 +1245,25 @@ object GraftStoreOps {
     // the per-file size scan is skipped) — otherwise the overwrite would
     // silently drop the one-value-per-file invariant and with it SPJ
     // capability
-    m.partitionCol match {
-      case Some(c) =>
+    (m.partitionCol, m.clusterCols) match {
+      case (Some(c), _) =>
         spark.read.format("graft-store").load(path)
           .write.format("graft-store").option("partitionBy", c)
           .mode("overwrite").save(path)
-      case None =>
+      case (None, Some(cl)) =>
+        // a declared sort clustering is re-applied THROUGH compaction:
+        // merged files come out range-disjoint on the cluster keys again
+        // (streamed/unsorted appends since the layout write get folded
+        // back into it — this is the OPTIMIZE step that repairs pruning)
+        val bytes = m.files.map { e =>
+          try f.getFileStatus(new Path(path, e.name)).getLen catch { case _: Throwable => 0L }
+        }.sum
+        val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        spark.read.format("graft-store").load(path)
+          .write.format("graft-store")
+          .option("clusterBy", cl).option("clusterFiles", n.toString)
+          .mode("overwrite").save(path)
+      case (None, None) =>
         val bytes = m.files.map { e =>
           try f.getFileStatus(new Path(path, e.name)).getLen catch { case _: Throwable => 0L }
         }.sum
@@ -1349,9 +1392,18 @@ object GraftStoreOps {
     val kept = rewrite(spark.read.format("graft-store")
       .option("files", affected.map(_.name).mkString(","))
       .load(path))
+    // the rewrite keeps the table's declared layout: identity/bucket
+    // routing via partitionBy, or the sort clustering re-applied so the
+    // rewritten files stay range-disjoint (clusterFiles pins the rewrite
+    // to the original file granularity instead of one AQE-coalesced file)
     val keptWriter = kept.write.format("graft-store").mode("overwrite")
-    m.partitionCol.fold(keptWriter)(c => keptWriter.option("partitionBy", c))
-      .save(scratch)
+    val withLayout = (m.partitionCol, m.clusterCols) match {
+      case (Some(c), _) => keptWriter.option("partitionBy", c)
+      case (None, Some(cl)) => keptWriter.option("clusterBy", cl)
+        .option("clusterFiles", math.max(1, affected.size).toString)
+      case _ => keptWriter
+    }
+    withLayout.save(scratch)
     val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
       .getOrElse(GraftManifest(m.schema, Seq.empty))
     sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
@@ -1364,7 +1416,8 @@ object GraftStoreOps {
       // append's new files ride along untouched)
       val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(m.schema, carried ++ sm.files, partitionCol = m.partitionCol),
+        GraftManifest(m.schema, carried ++ sm.files, partitionCol = m.partitionCol,
+          clusterCols = m.clusterCols),
         GraftStoreFormat.nextSeq(head))
     }
     f.delete(new Path(scratch), true)
@@ -1421,6 +1474,32 @@ object GraftStoreOps {
         Some(sf.In(a.name, vs.map(v => ext(v.eval(null))).toArray))
       case _ => None
     }
+  }
+
+  /** RESTORE the table head to a retained snapshot (Delta `RESTORE TABLE
+    * ... VERSION AS OF` semantics): publishes a NEW snapshot whose file
+    * listing is the old snapshot's — a metadata-only commit, zero data
+    * I/O, because every manifest is a full listing and the old snapshot's
+    * files are still on disk (retention). History is preserved: the
+    * rolled-back states stay time-travelable, the restore itself is one
+    * more auditable commit (its change feed vs the pre-restore head is
+    * exactly the undo), and a concurrent append loses nothing — the OCC
+    * loop re-reads the head but intentionally OVERRIDES it with the
+    * restored listing (restore wins; that is the command's contract).
+    * Returns the new head's snapshot index. */
+  def restoreSnapshot(spark: SparkSession, path: String, snapshot: Int): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var ms = GraftStoreFormat.listManifests(path, conf)
+    require(snapshot >= 0 && snapshot < ms.size,
+      s"graft-store: snapshot $snapshot outside [0, ${ms.size})")
+    val target = GraftStoreFormat.readManifestFile(path, conf, ms(snapshot))
+    var done = false
+    while (!done) {
+      ms = GraftStoreFormat.listManifests(path, conf)
+      done = GraftStoreFormat.commitManifest(path, conf,
+        target.copy(txn = None), GraftStoreFormat.nextSeq(ms))
+    }
+    GraftStoreFormat.listManifests(path, conf).size - 1
   }
 
   /** CHANGE FEED between two retained snapshots (Delta CDF semantics,

@@ -115,4 +115,24 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(labelsOf(Graph.connectedComponents(vertices, fwd))
       === labelsOf(Graph.connectedComponents(vertices, rev)))
   }
+
+  test("pagerank: star hub out-ranks leaves; mass conserved on a cycle") {
+    import spark.implicits._
+    // star: every leaf points at the hub
+    val star = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
+    val starV = (0L to 9L).toDF("id")
+    val ranks = Graph.pageRank(starV, star, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(0L) > ranks(1L) * 5, "hub must dominate leaves")
+    assert((1L to 9L).map(ranks).distinct.size === 1, "leaves are symmetric")
+    // cycle: perfectly symmetric, every vertex keeps exactly 1/n — and the
+    // total mass is conserved (no dangling vertices)
+    val n = 6L
+    val cyc = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val cycV = (0L until n).toDF("id")
+    val cr = Graph.pageRank(cycV, cyc, iters = 4)
+      .collect().map(_.getDouble(1))
+    assert(cr.forall(r => math.abs(r - 1.0 / n) < 1e-12))
+    assert(math.abs(cr.sum - 1.0) < 1e-9)
+  }
 }

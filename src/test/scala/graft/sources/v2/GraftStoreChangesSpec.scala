@@ -66,6 +66,27 @@ class GraftStoreChangesSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(feed(dir, 0, 0) === Set.empty)
   }
 
+  test("restore rolls the head back metadata-only; feed shows the undo") {
+    val dir = tmpDir()
+    spark.range(0, 30).selectExpr("id", "id as v")
+      .write.format("graft-store").mode("overwrite").save(dir) // snap 0
+    GraftStoreOps.deleteWhere(spark, dir, col("id") < 10L) // snap 1
+    val headIdx = GraftStoreOps.restoreSnapshot(spark, dir, 0) // snap 2
+    assert(headIdx === 2)
+    assert(spark.read.format("graft-store").load(dir).count() === 30)
+    // the damaged state remains auditable
+    assert(spark.read.format("graft-store").option("snapshot", 1)
+      .load(dir).count() === 20)
+    // change feed across the restore is exactly the undo (re-inserts)
+    assert(feed(dir, 1, 2) === (0L until 10L).map(i => (i, i, "insert")).toSet)
+    // and end-to-end (0 -> 2) the table never changed
+    assert(feed(dir, 0, 2) === Set.empty)
+    // a restored streaming txn token must not dedupe future epochs
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.txn.isEmpty)
+  }
+
   test("schema change across the range is rejected loudly") {
     val dir = tmpDir()
     spark.range(0, 5).selectExpr("id", "id as v")

@@ -97,4 +97,93 @@ class GraftStoreClusterSpec extends AnyFunSuite with graft.SparkTestBase {
       assert(all.filter(col("w") === w).count() === 20, s"lost rows for $w")
     }
   }
+
+  /** Per-file [min,max] ranges of a long column must be pairwise disjoint —
+    * the property range clustering exists for, and what maintenance ops
+    * must PRESERVE. */
+  private def disjointLongRanges(dir: String, fieldIdx: Int): Boolean = {
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    val ranges = m.files.flatMap(_.stats.get(fieldIdx))
+      .map { case (mn, mx) => (mn.toLong, mx.toLong) }.sortBy(_._1)
+    ranges.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax < bMin
+      case _ => true
+    }
+  }
+
+  test("declared clustering survives compaction (OPTIMIZE repairs layout)") {
+    val dir = tmpDir()
+    val df = spark.range(0, 1000).selectExpr("id", "id * 3 as v")
+    df.filter(col("id") < 500).write.format("graft-store")
+      .option("clusterBy", "id").option("clusterFiles", "4")
+      .mode("overwrite").save(dir)
+    // an UNCLUSTERED append: its files overlap the clustered ones...
+    df.filter(col("id") >= 500).write.format("graft-store")
+      .mode("append").save(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(GraftStoreFormat.readLatestManifest(dir, conf).get.clusterCols
+      === Some("id"), "append must keep the declared clustering")
+    // ...and compaction folds everything back into disjoint sorted ranges
+    GraftStoreOps.compactSnapshot(spark, dir, targetBytes = 4L << 10)
+    val after = GraftStoreFormat.readLatestManifest(dir, conf).get
+    assert(after.clusterCols === Some("id"))
+    assert(after.files.size > 1, "need >1 file to prove disjointness")
+    assert(disjointLongRanges(dir, 0), "compacted files must be range-disjoint")
+    assert(spark.read.format("graft-store").load(dir).count() === 1000)
+  }
+
+  test("COW delete keeps the clustered layout range-disjoint") {
+    val dir = tmpDir()
+    spark.range(0, 1000).selectExpr("id", "id * 7 as v")
+      .write.format("graft-store")
+      .option("clusterBy", "id").option("clusterFiles", "5")
+      .mode("overwrite").save(dir)
+    val (rewritten, carried) =
+      GraftStoreOps.deleteWhere(spark, dir, col("id") >= 100 && col("id") < 150)
+    assert(rewritten >= 1 && carried >= 1, "delete should be stats-pruned")
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.clusterCols === Some("id"), "COW rewrite must keep the declaration")
+    assert(disjointLongRanges(dir, 0), "rewritten files must stay range-disjoint")
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 950)
+    // pruning still works post-delete: a point read plans few files
+    assert(back.filter(col("id") === 900).rdd.getNumPartitions === 1)
+  }
+
+  test("streaming append carries the partition header; compaction restores SPJ") {
+    import spark.implicits._
+    val src = tmpDir()
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    val seed = tmpDir() + "/seed"
+    // seed through parquet so batch and stream agree on (nullable) schema
+    spark.range(0, 40).selectExpr("id", "cast(id % 4 as int) as k")
+      .write.parquet(seed)
+    spark.read.parquet(seed)
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    assert(spark.read.format("graft-store").load(dir).rdd.getNumPartitions === 4)
+    Seq((100L, 0), (101L, 1), (102L, 2)).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = spark.readStream.schema("id BIGINT, k INT").parquet(src)
+      .writeStream.format("graft-store")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    try q.processAllAvailable() finally q.stop()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(dir, conf).get
+    assert(m.partitionCol === Some("k"),
+      "streaming append must not strip the partition header")
+    // streamed files can't prove per-file keys -> conservative degrade,
+    // but every row stays readable
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 43)
+    // ...and compaction re-routes everything into one file per key value
+    GraftStoreOps.compactSnapshot(spark, dir, targetBytes = 1L << 30)
+    val fixed = spark.read.format("graft-store").load(dir)
+    assert(fixed.rdd.getNumPartitions === 4, "SPJ grouping restored")
+    assert(fixed.count() === 43)
+  }
 }
