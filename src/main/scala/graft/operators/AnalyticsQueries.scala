@@ -535,9 +535,44 @@ object AnalyticsQueries {
            |    GROUP BY e.dst) f ON f.id = v.id)
            |SELECT id AS node, round(rank * 100, 4) AS rank_pct FROM r3""".stripMargin))
 
+  // ---------------------------------------------------------------- recursive CTE
+  /** SQL `WITH RECURSIVE` (new in Spark 4.x — executed as an iterative
+    * UnionLoop, each step a distributed self-union): ancestor-chain walk
+    * over a derived binary hierarchy (parent = key DIV 2), the org-chart /
+    * BOM / path-expansion query shape. Contrast q144: PageRank iterates in
+    * ENGINE code (checkpointed DataFrame loop) because it re-weights every
+    * vertex each round; a recursive CTE is the right tool when the
+    * recursion only EXTENDS rows until a predicate dies out. DuckDB runs
+    * the identical recursion, so the whole iterative execution is
+    * hash-checked. */
+  val q147RecursiveCte = QuerySpec(
+    "q147_recursive_cte", "§2.5-recursive-cte",
+    "WITH RECURSIVE ancestor walk (iterative UnionLoop execution)",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""WITH RECURSIVE anc(node, a, depth) AS (
+              |  SELECT c_custkey AS node, c_custkey DIV 2 AS a, 1 AS depth
+              |  FROM customer_v WHERE c_custkey BETWEEN 2 AND 200
+              |  UNION ALL
+              |  SELECT node, a DIV 2, depth + 1 FROM anc WHERE a > 1
+              |)
+              |SELECT node, count(*) AS n_ancestors, max(depth) AS root_depth,
+              |  sum(a) AS anc_sum
+              |FROM anc GROUP BY node""".stripMargin)
+    },
+    Some("""WITH RECURSIVE anc(node, a, depth) AS (
+           |  SELECT c_custkey AS node, c_custkey // 2 AS a, 1 AS depth
+           |  FROM customer WHERE c_custkey BETWEEN 2 AND 200
+           |  UNION ALL
+           |  SELECT node, a // 2, depth + 1 FROM anc WHERE a > 1
+           |)
+           |SELECT node, count(*) AS n_ancestors, max(depth) AS root_depth,
+           |  CAST(sum(a) AS BIGINT) AS anc_sum
+           |FROM anc GROUP BY node""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q37Cube, q38GroupingSets, q39Percentile, q40CountDistinct, q41AsOfJoin, q42SqlNative,
     q92AsOfTolerance,
     q43Datetime, q44WordCount, q45AnnIvf, q46Approx, q47TopKPerGroup, q48Subquery, q49Arrays,
-    q50RangeJoin, q107KllQuantiles, q142RobustOutliers, q144PageRank)
+    q50RangeJoin, q107KllQuantiles, q142RobustOutliers, q144PageRank, q147RecursiveCte)
 }

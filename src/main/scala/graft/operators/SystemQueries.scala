@@ -1004,6 +1004,50 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 3000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** Additive SCHEMA EVOLUTION (`mergeSchema=true` append — the Delta/
+    * Iceberg ADD COLUMN shape): the graft-store row codec is positional,
+    * so a pre-evolution file is exactly a PREFIX of the evolved schema —
+    * the evolving commit re-lists old files with their physical width
+    * (`ncols`, manifest field 5) and the reader null-extends them; ZERO
+    * data is rewritten, which at 100 TB is the difference between a
+    * metadata commit and rewriting the table to add a column. The
+    * zero-rewrite claim is emitted as a bit (every snapshot-0 file carried
+    * byte-identical, widths recorded); the mixed-width read is fully
+    * oracle-checked, with pre-evolution rows surfacing NULL in the new
+    * column. */
+  val q148SchemaEvolution = QuerySpec(
+    "q148_schema_evolution", "S-dsv2-schema-evolution",
+    "additive ADD COLUMN: mergeSchema append, zero rewrite, null-extended reads",
+    (s, d) => {
+      val path = "/tmp/graft_store_q148"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 3000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path) // snapshot 0
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 6000)
+        .write.format("graft-store").option("mergeSchema", "true")
+        .mode("append").save(path) // snapshot 1: ADD COLUMN o_orderpriority
+      val snap0 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path, 0)
+      val headFiles = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path, 1)
+      val carried = headFiles.filter(e => snap0.exists(_._1 == e._1))
+      val zeroRewrite = carried.size == snap0.size &&
+        carried.forall(_._3.contains(2)) &&
+        graft.sources.v2.GraftStoreOps.tableSchema(s, path).length == 3
+      s.read.format("graft-store").load(path)
+        .groupBy(coalesce(col("o_orderpriority"), lit("PRE-EVOLUTION")).as("priority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("zero_rewrite", lit(zeroRewrite))
+    },
+    Some("""SELECT CASE WHEN o_orderkey < 3000 THEN 'PRE-EVOLUTION'
+           |    ELSE o_orderpriority END AS priority,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS zero_rewrite
+           |FROM orders WHERE o_orderkey < 6000
+           |GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1011,5 +1055,5 @@ object SystemQueries {
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
     q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
-    q145StoreRestore)
+    q145StoreRestore, q148SchemaEvolution)
 }

@@ -89,9 +89,18 @@ class GraftStore extends TableProvider with DataSourceRegister {
   * has to INFER the value from min==max stats — which made all-null and
   * long-string (>64 char) partition values degrade the whole table to
   * UnknownPartitioning — and bucket layouts (where the partition value is
-  * a computed bucket id, not any column's stats) become possible at all. */
+  * a computed bucket id, not any column's stats) become possible at all.
+  *
+  * `ncols` (manifest v4+): how many leading columns of the TABLE schema
+  * this file physically holds — the additive-schema-evolution hook. The
+  * row codec writes fields in schema order, so a file written before an
+  * ADD COLUMN is exactly a PREFIX of the evolved schema: the reader
+  * decodes `ncols` fields and nulls the rest, no data rewrite. `None` =
+  * the file matches the manifest schema in full (every pre-evolution
+  * manifest and every freshly written file). */
 private[v2] case class GraftFileEntry(name: String, rows: Long,
-    stats: Map[Int, (String, String)], partVals: Option[Seq[Option[String]]] = None)
+    stats: Map[Int, (String, String)], partVals: Option[Seq[Option[String]]] = None,
+    ncols: Option[Int] = None)
 
 private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
     millis: Long = 0L, partitionCol: Option[String] = None,
@@ -180,6 +189,14 @@ private[v2] object GraftStoreFormat {
       i.toInt -> (unescStat(mn), unescStat(mx))
     }.toMap
 
+  /** Positional name+type schema equality — nullability-INSENSITIVE, the
+    * append-compatibility notion: writing non-null values into a nullable
+    * column is always safe, and declared nullability only ever widens. */
+  def sameCols(a: StructType, b: StructType): Boolean =
+    a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
+      x.name == y.name && x.dataType == y.dataType
+    }
+
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
     val in = fs(path, conf).open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -221,7 +238,8 @@ private[v2] object GraftStoreFormat {
         val parts = l.split("\t", -1)
         GraftFileEntry(parts(0), parts(1).toLong,
           if (parts.length > 2) statsFromString(parts(2)) else Map.empty,
-          if (parts.length > 3) partValsFromString(parts(3)) else None)
+          if (parts.length > 3) partValsFromString(parts(3)) else None,
+          if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None)
       },
       millis, partCol, txn, clusterCols)
   }
@@ -304,10 +322,17 @@ private[v2] object GraftStoreFormat {
         m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
         m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
-        m.schema.toDDL + "\n" + m.files.map(e =>
-        s"${e.name}\t${e.rows}\t${statsToString(e.stats)}" +
-          e.partVals.map(vs => s"\t${partValsToString(vs)}").getOrElse(""))
-        .mkString("\n"))
+        m.schema.toDDL + "\n" + m.files.map { e =>
+          val pv = e.partVals.map(partValsToString).getOrElse("")
+          val base = s"${e.name}\t${e.rows}\t${statsToString(e.stats)}"
+          // trailing optional fields: partVals (4th), ncols (5th) — only
+          // written when needed, so pre-evolution manifests stay byte-stable
+          e.ncols match {
+            case Some(n) => s"$base\t$pv\t$n"
+            case None if pv.nonEmpty => s"$base\t$pv"
+            case None => base
+          }
+        }.mkString("\n"))
         .getBytes("UTF-8"))
     finally out.close()
     // atomic publication: rename(tmp -> seq name) without overwrite
@@ -534,7 +559,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
         .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty),
       clusterFiles = Option(info.options.get("clusterFiles")).map(_.toInt).getOrElse(0),
       partitionBy = Option(info.options.get("partitionBy")),
-      queryId = info.queryId())
+      queryId = info.queryId(),
+      mergeSchema = Option(info.options.get("mergeSchema")).exists(_.toBoolean))
 }
 
 // ------------------------------------------------------------------- write
@@ -560,7 +586,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
   * target file size instead. */
 private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, clusterBy: Array[String] = Array.empty,
-    clusterFiles: Int = 0, partitionBy: Option[String] = None, queryId: String = "")
+    clusterFiles: Int = 0, partitionBy: Option[String] = None, queryId: String = "",
+    mergeSchema: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   require(clusterBy.isEmpty || partitionBy.isEmpty,
     "graft-store: clusterBy and partitionBy are mutually exclusive layouts")
@@ -570,7 +597,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   private val layout: Option[GraftLayout] = partitionBy.map(GraftLayout.parse)
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
-      clusterFiles, partitionBy, queryId)
+      clusterFiles, partitionBy, queryId, mergeSchema)
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -595,7 +622,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredOrdering(): Array[SortOrder] = orders
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
-      new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy)
+      new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy,
+        mergeSchema)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId)
   }
@@ -652,7 +680,7 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
       val prevManifest = head.lastOption
         .map(GraftStoreFormat.readManifestFile(path, conf, _))
       prevManifest.foreach { m =>
-        require(m.schema.toDDL == schema.toDDL,
+        require(GraftStoreFormat.sameCols(m.schema, schema),
           s"graft-store: streaming append schema ${schema.toDDL} does not " +
             s"match table schema ${m.schema.toDDL}")
       }
@@ -666,7 +694,10 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
       // UnknownPartitioning until compaction re-routes them — declared
       // layout preserved, correctness never at risk
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(schema, prev ++ newEntries, txn = Some(token),
+        // the table's DECLARED schema wins (its nullability may be wider
+        // than this stream's): carried + streamed files all decode with it
+        GraftManifest(prevManifest.map(_.schema).getOrElse(schema),
+          prev ++ newEntries, txn = Some(token),
           partitionCol = prevManifest.flatMap(_.partitionCol),
           clusterCols = prevManifest.flatMap(_.clusterCols)),
         GraftStoreFormat.nextSeq(head))
@@ -702,7 +733,7 @@ private[v2] case class GraftCommitMessage(entries: Seq[GraftCommitEntry])
 
 private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, layout: Option[GraftLayout] = None,
-    clusterBy: Array[String] = Array.empty)
+    clusterBy: Array[String] = Array.empty, mergeSchema: Boolean = false)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
@@ -755,21 +786,43 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
         if (truncate) None
         else head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
       prevManifest.foreach { m =>
-        // one schema governs every file a manifest lists (the row codec is
-        // schema-dependent): an append under a different schema would make
-        // readers decode the old files wrongly — fail loudly instead
-        // (schema EVOLUTION would need per-file schemas; documented
-        // non-goal). Overwrite (truncate) may change the schema freely.
-        require(m.schema.toDDL == schema.toDDL,
+        // one schema governs a manifest's files EXCEPT through additive
+        // evolution: `mergeSchema=true` lets an append ADD trailing
+        // nullable columns — old files become PREFIXES of the new schema
+        // and are re-listed with their physical column count (`ncols`),
+        // which the reader null-extends. Anything non-additive (rename,
+        // retype, drop, reorder, non-null add) still fails loudly — the
+        // row codec is positional and those would decode old files
+        // wrongly. Overwrite (truncate) may change the schema freely.
+        require(GraftStoreFormat.sameCols(m.schema, schema) ||
+            (mergeSchema && additiveSuperset(m.schema, schema)),
           s"graft-store: append schema ${schema.toDDL} does not match " +
-            s"table schema ${m.schema.toDDL}; overwrite to change schemas")
+            s"table schema ${m.schema.toDDL}; overwrite to change schemas, " +
+            "or mergeSchema=true for additive (trailing nullable) evolution")
         // same discipline for the partition layout: mixed layouts would
         // silently break the one-value-per-file invariant SPJ relies on
         require(m.partitionCol == partitionBy,
           s"graft-store: append partitionBy=$partitionBy does not match " +
             s"table partition ${m.partitionCol}; overwrite to change layout")
       }
-      val prev = prevManifest.map(_.files).getOrElse(Seq.empty)
+      // evolving append: carried files record their physical width (kept
+      // through further evolutions — the FIRST recording wins), and the
+      // TABLE schema marks every added column nullable (old rows hold no
+      // value for it) while keeping the prefix's declared nullability,
+      // widened if the append relaxes it
+      val evolving = prevManifest.exists(m => m.schema.length != schema.length)
+      val tableSchema = prevManifest match {
+        case Some(m) =>
+          StructType(
+            m.schema.fields.zip(schema.fields).map { case (o, n) =>
+              o.copy(nullable = o.nullable || n.nullable)
+            } ++ schema.fields.drop(m.schema.length).map(_.copy(nullable = true)))
+        case _ => schema
+      }
+      val prev = prevManifest.map { m =>
+        if (!evolving) m.files
+        else m.files.map(e => e.copy(ncols = e.ncols.orElse(Some(m.schema.length))))
+      }.getOrElse(Seq.empty)
       // declared clustering is a TABLE PROPERTY (advisory, Iceberg
       // sort-order style): an overwrite (re)declares it from the writer's
       // clusterBy; an append keeps the table's — an unclustered append
@@ -778,7 +831,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
         if (truncate) declaredCluster
         else prevManifest.flatMap(_.clusterCols).orElse(declaredCluster)
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(schema, prev ++ newEntries, partitionCol = partitionBy,
+        GraftManifest(tableSchema, prev ++ newEntries, partitionCol = partitionBy,
           clusterCols = cluster),
         GraftStoreFormat.nextSeq(head))
     }
@@ -787,6 +840,18 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     // Physical deletion is the explicit GraftStoreOps.expireSnapshots step.
     fs.delete(tmpDir, true)
   }
+
+  /** Additive-evolution check: the old schema must be a PREFIX of the new
+    * one by name and type (the codec is positional). Nullability is NOT
+    * compared — writing non-null values into a nullable column is always
+    * safe, and the commit widens the table's declared nullability instead
+    * of rejecting; added columns become nullable in the table schema
+    * regardless (old rows have no value for them). */
+  private def additiveSuperset(old: StructType, next: StructType): Boolean =
+    next.length > old.length &&
+      old.fields.zip(next.fields).forall { case (o, n) =>
+        o.name == n.name && o.dataType == n.dataType
+      }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = GraftStoreFormat.fs(path, conf)
@@ -1121,17 +1186,20 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
           selected.size)
     }
 
+  private def widthOf(e: GraftFileEntry): Int =
+    e.ncols.getOrElse(manifest.schema.length)
+
   override def planInputPartitions(): Array[InputPartition] =
     keyedGroups match {
       case Some(groups) =>
         groups.map { case (key, es) =>
           GraftKeyedFilesPartition(
-            es.map(e => new Path(path, e.name).toString),
+            es.map(e => (new Path(path, e.name).toString, widthOf(e))),
             InternalRow.fromSeq(key)): InputPartition
         }.toArray
       case None =>
         selected.map { e =>
-          GraftFilePartition(new Path(path, e.name).toString): InputPartition
+          GraftFilePartition(new Path(path, e.name).toString, widthOf(e)): InputPartition
         }.toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1190,12 +1258,26 @@ private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
     val e = end.asInstanceOf[GraftSnapshotOffset].seq
     if (e <= s) return Array.empty
     val ms = manifests
-    def filesAt(seq: Long): Set[String] =
+    def manifestAt(seq: Long): Option[GraftManifest] =
       ms.find(p => GraftStoreFormat.manifestSeq(p) == seq)
-        .map(p => GraftStoreFormat.readManifestFile(path, conf.value, p).files.map(_.name).toSet)
-        .getOrElse(Set.empty)
-    val added = (filesAt(e) -- (if (s < 0) Set.empty[String] else filesAt(s))).toSeq.sorted
-    added.map(n => GraftFilePartition(new Path(path, n).toString): InputPartition).toArray
+        .map(p => GraftStoreFormat.readManifestFile(path, conf.value, p))
+    val before: Set[String] =
+      if (s < 0) Set.empty
+      else manifestAt(s).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+    val endM = manifestAt(e)
+    val added = endM.map(_.files.filterNot(f => before.contains(f.name)))
+      .getOrElse(Seq.empty).sortBy(_.name)
+    added.map { f =>
+      // the stream's schema is pinned at start: files written AFTER an
+      // additive evolution are WIDER than the pinned schema and cannot be
+      // decoded under it — fail loudly (restart the stream to pick up the
+      // evolved schema); narrower (pre-evolution) files null-extend fine
+      val w = f.ncols.getOrElse(endM.get.schema.length)
+      require(w <= full.length,
+        s"graft-store: file ${f.name} was written under an evolved schema " +
+          s"($w cols > pinned ${full.length}); restart the stream to adopt it")
+      GraftFilePartition(new Path(path, f.name).toString, w): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1476,6 +1558,28 @@ object GraftStoreOps {
     }
   }
 
+  /** Metadata inspection: (file name, rows, physical column count) of a
+    * snapshot's files — `ncols` None = the file matches the snapshot
+    * schema in full (see [[GraftFileEntry.ncols]]). Driver-side manifest
+    * read only. */
+  def snapshotFiles(spark: SparkSession, path: String, snapshot: Int)
+      : Seq[(String, Long, Option[Int])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    require(snapshot >= 0 && snapshot < ms.size,
+      s"graft-store: snapshot $snapshot outside [0, ${ms.size})")
+    GraftStoreFormat.readManifestFile(path, conf, ms(snapshot))
+      .files.map(e => (e.name, e.rows, e.ncols))
+  }
+
+  /** The head snapshot's declared schema. */
+  def tableSchema(spark: SparkSession, path: String): StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+      .schema
+  }
+
   /** RESTORE the table head to a retained snapshot (Delta `RESTORE TABLE
     * ... VERSION AS OF` semantics): publishes a NEW snapshot whose file
     * listing is the old snapshot's — a metadata-only commit, zero data
@@ -1580,12 +1684,15 @@ object GraftStoreOps {
   }
 }
 
-private[v2] case class GraftFilePartition(file: String) extends InputPartition
+/** `ncols` per file = how many leading table-schema columns the file
+  * physically holds (additive schema evolution): the reader decodes that
+  * prefix and null-extends the rest. */
+private[v2] case class GraftFilePartition(file: String, ncols: Int) extends InputPartition
 
 /** One identity-partition read group: all files holding one partition-key
   * value. `HasPartitionKey` is what Spark's storage-partitioned-join
   * planner consumes. */
-private[v2] case class GraftKeyedFilesPartition(files: Seq[String], key: InternalRow)
+private[v2] case class GraftKeyedFilesPartition(files: Seq[(String, Int)], key: InternalRow)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -1593,35 +1700,42 @@ private[v2] case class GraftKeyedFilesPartition(files: Seq[String], key: Interna
 private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition match {
-      case GraftFilePartition(f) => Seq(f)
+    val files: Seq[(String, Int)] = partition match {
+      case GraftFilePartition(f, n) => Seq((f, n))
       case GraftKeyedFilesPartition(fs, _) => fs
     }
     val keep: Array[Int] = required.fieldNames.map(full.fieldIndex)
     new PartitionReader[InternalRow] {
       private var remaining = files
       private var in: DataInputStream = _
+      private var fileSchema: StructType = _
+      private var fileWidth: Int = _
       private var cur: Array[Any] = _
       private def openNext(): Boolean = remaining match {
-        case f +: rest =>
+        case (f, n) +: rest =>
           remaining = rest
           val fs = new Path(f).getFileSystem(conf.value)
           in = new DataInputStream(new BufferedInputStream(fs.open(new Path(f)), 1 << 16))
+          // a pre-evolution file decodes with its own (prefix) schema;
+          // columns it never held read as null below
+          fileWidth = n
+          fileSchema =
+            if (n >= full.length) full else StructType(full.fields.take(n))
           true
         case _ => false
       }
       override def next(): Boolean = {
         if (in == null && !openNext()) return false
-        cur = GraftStoreFormat.readRow(in, full)
+        cur = GraftStoreFormat.readRow(in, fileSchema)
         while (cur == null) {
           in.close(); in = null
           if (!openNext()) return false
-          cur = GraftStoreFormat.readRow(in, full)
+          cur = GraftStoreFormat.readRow(in, fileSchema)
         }
         true
       }
       override def get(): InternalRow =
-        InternalRow.fromSeq(keep.toSeq.map(cur(_)))
+        InternalRow.fromSeq(keep.toSeq.map(i => if (i < fileWidth) cur(i) else null))
       override def close(): Unit = if (in != null) in.close()
     }
   }

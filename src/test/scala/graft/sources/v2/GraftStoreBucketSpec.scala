@@ -188,6 +188,25 @@ class GraftStoreBucketSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(spark.read.format("graft-store").load(dir).count() === 400)
   }
 
+  test("bucket is SQL-callable through the catalog and matches the writer") {
+    val base = tmpDir()
+    withConf(
+      "spark.sql.catalog.gbfn" -> classOf[GraftCatalog].getName,
+      "spark.sql.catalog.gbfn.base" -> base) {
+      // user-facing invocation of the V2 function — the same bound function
+      // the SPJ planner resolves; null in, null out
+      val rows = spark.sql(
+        """SELECT id, gbfn.bucket(16, id) AS b,
+          |  gbfn.bucket(4, CAST(NULL AS BIGINT)) AS nb
+          |FROM range(0, 100)""".stripMargin).collect()
+      rows.foreach { r =>
+        assert(r.getInt(1) === GraftBucket.of(r.getLong(0),
+          org.apache.spark.sql.types.LongType, 16))
+        assert(r.isNullAt(2))
+      }
+    }
+  }
+
   test("identity layout with NULL partition values keeps SPJ grouping") {
     val dir = tmpDir()
     spark.range(0, 90)
