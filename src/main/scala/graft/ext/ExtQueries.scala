@@ -1807,11 +1807,14 @@ object ExtQueries {
     "q140_bigram_lm", "EXT-lm-quality",
     "bigram LM perplexity scoring: 20 most-surprising docs under add-one smoothing",
     (s, d) => {
+      // bigram arrays are MATERIALIZED alongside the tokens: an inlined
+      // shingle expression in the Generate would rebuild the whole array
+      // per output row (O(tokens²) per doc — the q106 recompute family)
       val tk = ensureParallelism(docs(s, d))
         .select(col("doc_id"), tokens(normText(col("text"))).as("tk"))
+        .withColumn("bg", shingleSql("tk", 2))
         .localCheckpoint(true)
-      val bg = tk.filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(shingleSql("tk", 2)).as("b"))
+      val bg = tk.select(col("doc_id"), explode(col("bg")).as("b"))
         .withColumn("w1", substring_index(col("b"), " ", 1))
       val c12 = bg.groupBy("b").agg(count(lit(1)).as("c12"))
       val c1 = c12.withColumn("w1", substring_index(col("b"), " ", 1))

@@ -1048,6 +1048,95 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 6000
            |GROUP BY 1""".stripMargin))
 
+  /** METADATA TABLES through the catalog (the Iceberg `tbl$history` /
+    * `tbl$files` surface): the snapshot log queried as plain SQL. They
+    * plan as LocalTableScan — manifest metadata already lives on the
+    * driver, so no executor work for an O(snapshots) inspection; this is
+    * the SQL face of GraftStoreOps.history/snapshotFiles. Two pinned
+    * commits (range-partitioned to exactly 2 files each) make file and
+    * row counts deterministic; publication millis is excluded (wall
+    * clock). The oracle reconstructs both snapshots' row counts from the
+    * raw parquet. */
+  val q149StoreHistory = QuerySpec(
+    "q149_store_history", "S-dsv2-metadata-tables",
+    "snapshot history as a SQL metadata table (cat.`t\\$history`)",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q149"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      s.conf.set("spark.sql.catalog.graftm", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftm.base", base)
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      orders.filter(col("o_orderkey") < 2000)
+        .repartitionByRange(2, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(s"$base/t")
+      orders.filter(col("o_orderkey") >= 2000 && col("o_orderkey") < 4000)
+        .repartitionByRange(2, col("o_orderkey"))
+        .write.format("graft-store").mode("append").save(s"$base/t")
+      s.sql("SELECT snapshot, n_files, n_rows FROM graftm.`t$history`")
+    },
+    Some("""SELECT CAST(0 AS INT) AS snapshot, CAST(2 AS INT) AS n_files,
+           |  (SELECT count(*) FROM orders WHERE o_orderkey < 2000) AS n_rows
+           |UNION ALL
+           |SELECT CAST(1 AS INT), CAST(4 AS INT),
+           |  (SELECT count(*) FROM orders WHERE o_orderkey < 4000)""".stripMargin))
+
+  /** CHECK CONSTRAINTS (Delta constraint semantics): declared once as a
+    * write option, persisted in the manifest (`#check=`), then inherited
+    * and enforced row-by-row by every later append AND by COW rewrites —
+    * an UPDATE cannot sneak a violating value in. A violation fails the
+    * whole write before any manifest publish, so enforcement is atomic:
+    * the two rejected writes here leave zero trace (snapshot count
+    * checked). NULL constraint results pass (SQL CHECK). The surviving
+    * data path is fully oracle-checked; the enforcement outcomes ride as
+    * bits. */
+  val q150StoreCheck = QuerySpec(
+    "q150_store_check", "S-dsv2-check-constraint",
+    "CHECK constraint: persisted, inherited, enforced on appends and COW updates",
+    (s, d) => {
+      val path = "/tmp/graft_store_q150"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") < 4000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").option("check", "o_totalprice >= 0")
+        .mode("overwrite").save(path)
+      // a violating BARE append (constraint inherited, not re-declared)
+      val appendRejected =
+        try {
+          Tables.orders(s, d)
+            .select(col("o_orderkey") + 1000000, lit(-5.0).as("o_totalprice"),
+              col("o_orderpriority"))
+            .limit(10)
+            .write.format("graft-store").mode("append").save(path)
+          false
+        } catch { case e: Throwable => e.getMessage != null }
+      // a violating COW UPDATE
+      val updateRejected =
+        try {
+          graft.sources.v2.GraftStoreOps.updateWhere(s, path,
+            col("o_orderkey") === 7L, Map("o_totalprice" -> lit(-1.0)))
+          false
+        } catch { case e: Throwable => e.getMessage.contains("CHECK") }
+      // both rejections were ATOMIC: still exactly one snapshot
+      val atomic = graft.sources.v2.GraftStoreOps.history(s, path).size == 1
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("append_rejected", lit(appendRejected))
+        .withColumn("update_rejected", lit(updateRejected))
+        .withColumn("rejections_atomic", lit(atomic))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS append_rejected, TRUE AS update_rejected,
+           |  TRUE AS rejections_atomic
+           |FROM orders WHERE o_orderkey < 4000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1055,5 +1144,5 @@ object SystemQueries {
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
     q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
-    q145StoreRestore, q148SchemaEvolution)
+    q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck)
 }

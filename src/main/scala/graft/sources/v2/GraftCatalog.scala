@@ -69,7 +69,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     new GraftStoreTable(path, m.schema, pinned)
   }
 
-  override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `tbl$history` / `tbl$files` resolve
+    // to driver-local snapshot-log / file-inventory tables (SQL needs the
+    // name backquoted: SELECT ... FROM cat.`tbl$history`)
+    val name = ident.name()
+    val dollar = name.lastIndexOf('$')
+    if (dollar > 0) {
+      val basePath = pathOf(Identifier.of(ident.namespace(), name.substring(0, dollar)))
+      if (GraftStoreFormat.listManifests(basePath, conf).isEmpty)
+        throw new NoSuchTableException(ident)
+      name.substring(dollar + 1) match {
+        case "history" => GraftMetaTables.history(basePath, conf)
+        case "files" => GraftMetaTables.files(basePath, conf)
+        case _ => throw new NoSuchTableException(ident)
+      }
+    } else load(ident, Map.empty)
+  }
 
   /** `VERSION AS OF <n>`: n is the 0-based snapshot index. */
   override def loadTable(ident: Identifier, version: String): Table =

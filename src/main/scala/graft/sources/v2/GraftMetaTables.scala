@@ -1,0 +1,81 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES for graft-store, addressed through the
+  * catalog as `cat.` + "tbl$history" / "tbl$files": snapshot log and
+  * current file inventory as queryable DataFrames. Both are driver-side
+  * manifest reads (metadata is O(snapshots + files), never data bytes), so
+  * they surface as [[LocalScan]]s — Spark plans them as LocalTableScan,
+  * no executor round trip for information that already sits on the
+  * driver. This is the SQL face of [[GraftStoreOps.history]] /
+  * [[GraftStoreOps.snapshotFiles]]. */
+private[v2] object GraftMetaTables {
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("snapshot", IntegerType, nullable = false),
+    StructField("millis", LongType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("partition", StringType),
+    StructField("cluster", StringType),
+    StructField("txn", StringType)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    // physical column count; null = full table width (see GraftFileEntry)
+    StructField("ncols", IntegerType),
+    StructField("part_vals", StringType)))
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  def history(path: String, conf: Configuration): Table = {
+    val rows = GraftStoreFormat.listManifests(path, conf).zipWithIndex.map {
+      case (p, i) =>
+        val m = GraftStoreFormat.readManifestFile(path, conf, p)
+        InternalRow(i, m.millis, m.files.size, m.files.map(_.rows).sum,
+          m.partitionCol.map(utf8).orNull, m.clusterCols.map(utf8).orNull,
+          m.txn.map(utf8).orNull)
+    }
+    new GraftLocalTable(s"graft_history($path)", historySchema, rows.toArray)
+  }
+
+  def files(path: String, conf: Configuration): Table = {
+    val rows = GraftStoreFormat.readLatestManifest(path, conf)
+      .map(_.files).getOrElse(Seq.empty).map { e =>
+        InternalRow(utf8(e.name), e.rows,
+          e.ncols.map(Int.box).orNull,
+          e.partVals.map(vs => utf8(GraftStoreFormat.partValsToString(vs))).orNull)
+      }
+    new GraftLocalTable(s"graft_files($path)", filesSchema, rows.toArray)
+  }
+}
+
+/** A read-only table whose content is a driver-local row array. */
+private[v2] class GraftLocalTable(tableName: String, tableSchema: StructType,
+    content: Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = tableSchema
+        // NB: the field must not be named `rows` — inside this anonymous
+        // class an unqualified `rows` resolves to the method itself and
+        // recurses forever (found the hard way: a spinning planner)
+        override def rows(): Array[InternalRow] = content
+        override def description(): String = tableName
+      }
+    }
+}

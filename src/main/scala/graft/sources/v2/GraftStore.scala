@@ -104,7 +104,8 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
 
 private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
     millis: Long = 0L, partitionCol: Option[String] = None,
-    txn: Option[String] = None, clusterCols: Option[String] = None)
+    txn: Option[String] = None, clusterCols: Option[String] = None,
+    check: Option[String] = None)
 
 private[v2] object GraftStoreFormat {
   /** Manifest file body: optional `#millis=<epoch>` header (v2 — publication
@@ -223,13 +224,20 @@ private[v2] object GraftStoreFormat {
       if (rest2.head.startsWith("#cluster="))
         (Some(rest2.head.stripPrefix("#cluster=")), rest2.tail)
       else (None, rest2)
+    // `#check=` header (optional, percent-escaped SQL text): the table's
+    // CHECK constraint — a table property enforced row-by-row on every
+    // write, batch, streaming, and COW rewrite alike
+    val (check, rest4) =
+      if (rest3.head.startsWith("#check="))
+        (Some(unescStat(rest3.head.stripPrefix("#check="))), rest3.tail)
+      else (None, rest3)
     // `#txn=` header (optional): the streaming-epoch token of the commit
     // that published this snapshot — the idempotency check a replayed
     // epoch commit is deduplicated against
     val (txn, lines) =
-      if (rest3.head.startsWith("#txn="))
-        (Some(rest3.head.stripPrefix("#txn=")), rest3.tail)
-      else (None, rest3)
+      if (rest4.head.startsWith("#txn="))
+        (Some(rest4.head.stripPrefix("#txn=")), rest4.tail)
+      else (None, rest4)
     GraftManifest(
       StructType.fromDDL(lines.head),
       lines.tail.toSeq.map { l =>
@@ -241,7 +249,7 @@ private[v2] object GraftStoreFormat {
           if (parts.length > 3) partValsFromString(parts(3)) else None,
           if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None)
       },
-      millis, partCol, txn, clusterCols)
+      millis, partCol, txn, clusterCols, check)
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
@@ -321,6 +329,7 @@ private[v2] object GraftStoreFormat {
       (s"#millis=$millis\n" +
         m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
         m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
+        m.check.map(c => s"#check=${escStat(c)}\n").getOrElse("") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
         m.schema.toDDL + "\n" + m.files.map { e =>
           val pv = e.partVals.map(partValsToString).getOrElse("")
@@ -560,7 +569,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       clusterFiles = Option(info.options.get("clusterFiles")).map(_.toInt).getOrElse(0),
       partitionBy = Option(info.options.get("partitionBy")),
       queryId = info.queryId(),
-      mergeSchema = Option(info.options.get("mergeSchema")).exists(_.toBoolean))
+      mergeSchema = Option(info.options.get("mergeSchema")).exists(_.toBoolean),
+      checkOption = Option(info.options.get("check")))
 }
 
 // ------------------------------------------------------------------- write
@@ -587,7 +597,7 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
 private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, clusterBy: Array[String] = Array.empty,
     clusterFiles: Int = 0, partitionBy: Option[String] = None, queryId: String = "",
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false, checkOption: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   require(clusterBy.isEmpty || partitionBy.isEmpty,
     "graft-store: clusterBy and partitionBy are mutually exclusive layouts")
@@ -595,9 +605,46 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   // canonical `render` form is what the manifest header and the append
   // layout guard compare, so `bucket( 8 , k )` and `bucket(8,k)` unify
   private val layout: Option[GraftLayout] = partitionBy.map(GraftLayout.parse)
+
+  /** CHECK constraint in force for this write (Delta constraint
+    * semantics): an overwrite (re)declares it from the `check` option; an
+    * append INHERITS the table's stored constraint — it may declare one
+    * on a table that has none, but changing an existing constraint
+    * requires an overwrite (it is a table property, not a write knob). */
+  private lazy val effectiveCheck: Option[String] = {
+    val stored =
+      if (truncate) None
+      else GraftStoreFormat.readLatestManifest(path, conf).flatMap(_.check)
+    checkOption.foreach { c =>
+      require(stored.forall(_ == c),
+        s"graft-store: check option '$c' conflicts with the table " +
+          s"constraint '${stored.get}'; overwrite to change constraints")
+    }
+    stored.orElse(checkOption)
+  }
+
+  /** The constraint parsed, analyzed against the write schema (type
+    * coercion included) and BOUND positionally — evaluable straight on
+    * the writer's InternalRows, shipped to tasks as a serialized
+    * expression. SQL CHECK semantics downstream: only FALSE rejects. */
+  private lazy val compiledCheck: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    effectiveCheck.map { text =>
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+      val spark = SparkSession.active
+      val parsed = spark.sessionState.sqlParser.parseExpression(text)
+      val attrs = schema.fields.toSeq.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)())
+      val analyzed = spark.sessionState.analyzer.execute(LFilter(parsed, LocalRelation(attrs)))
+      val cond = analyzed.collectFirst { case f: LFilter => f.condition }
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-store: cannot analyze check constraint '$text'"))
+      BindReferences.bindReference(cond, attrs)
+    }
+
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
-      clusterFiles, partitionBy, queryId, mergeSchema)
+      clusterFiles, partitionBy, queryId, mergeSchema, checkOption)
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -623,9 +670,9 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy,
-        mergeSchema)
+        mergeSchema, effectiveCheck, compiledCheck)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStoreStreamingWrite(path, schema, conf, queryId)
+      new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck)
   }
 }
 
@@ -647,7 +694,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   * replay could double-append — keep retention above checkpoint lag, the
   * same rule the streaming SOURCE already imposes.) */
 private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
-    conf: Configuration, queryId: String)
+    conf: Configuration, queryId: String,
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   private val writeId = UUID.randomUUID().toString.take(8)
@@ -655,7 +703,7 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStoreStreamingWriterFactory(path, writeId, schema,
-      new SerializableHadoopConf(conf))
+      new SerializableHadoopConf(conf), check)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = GraftStoreFormat.fs(path, conf)
@@ -699,7 +747,8 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
         GraftManifest(prevManifest.map(_.schema).getOrElse(schema),
           prev ++ newEntries, txn = Some(token),
           partitionCol = prevManifest.flatMap(_.partitionCol),
-          clusterCols = prevManifest.flatMap(_.clusterCols)),
+          clusterCols = prevManifest.flatMap(_.clusterCols),
+          check = prevManifest.flatMap(_.check)),
         GraftStoreFormat.nextSeq(head))
     }
     fs.delete(tmpDir, true)
@@ -712,14 +761,15 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
 }
 
 private[v2] class GraftStoreStreamingWriterFactory(path: String, writeId: String,
-    schema: StructType, conf: SerializableHadoopConf)
+    schema: StructType, conf: SerializableHadoopConf,
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     // epoch folded into the attempt id: a replayed epoch's files never
     // collide with the originals' names
     new GraftStoreDataWriter(path, writeId, partitionId,
-      taskId ^ (epochId * 2654435761L), schema, conf.value)
+      taskId ^ (epochId * 2654435761L), schema, conf.value, NoRoute, check)
 }
 
 /** One finished task file: (name, rows, encoded stats, encoded partition
@@ -733,7 +783,9 @@ private[v2] case class GraftCommitMessage(entries: Seq[GraftCommitEntry])
 
 private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, layout: Option[GraftLayout] = None,
-    clusterBy: Array[String] = Array.empty, mergeSchema: Boolean = false)
+    clusterBy: Array[String] = Array.empty, mergeSchema: Boolean = false,
+    checkText: Option[String] = None,
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
@@ -753,7 +805,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
             s"graft-store: bucket layout unsupported for " +
               s"${schema.fields(idx).dataType.simpleString} column $col")
           BucketRoute(n, idx)
-      })
+      }, check)
 
   /** Driver-side, exactly once, only with messages of successful attempts:
     * move the committed attempts' files live, publish the new manifest.
@@ -832,7 +884,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
         else prevManifest.flatMap(_.clusterCols).orElse(declaredCluster)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema, prev ++ newEntries, partitionCol = partitionBy,
-          clusterCols = cluster),
+          clusterCols = cluster, check = checkText),
         GraftStoreFormat.nextSeq(head))
     }
     // NO data-file cleanup here, even on truncate: superseded files are
@@ -868,11 +920,12 @@ private[v2] case class BucketRoute(n: Int, idx: Int) extends GraftRoute
 
 private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
     schema: StructType, conf: SerializableHadoopConf,
-    route: GraftRoute = NoRoute)
+    route: GraftRoute = NoRoute,
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftStoreDataWriter(path, writeId, partitionId, taskId, schema, conf.value,
-      route)
+      route, check)
 }
 
 /** Task-side writer. Normally one file per task attempt; under `partitionBy`
@@ -891,7 +944,8 @@ private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
   * (bucket layouts are bounded by n and are the high-cardinality answer). */
 private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     partitionId: Int, taskId: Long, schema: StructType, conf: Configuration,
-    route: GraftRoute = NoRoute)
+    route: GraftRoute = NoRoute,
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
     extends DataWriter[InternalRow] {
   private val fs = GraftStoreFormat.fs(path, conf)
   private val n = schema.length
@@ -1014,7 +1068,34 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
       case v => Some(v.toString)
     })
 
-  override def write(record: InternalRow): Unit =
+  /** SQL CHECK semantics: a row is rejected only when the constraint
+    * evaluates to FALSE — NULL (unknown) passes, as in every SQL engine.
+    * Throwing here fails the task, the job, and the write; abort() runs
+    * and the manifest is never touched — constraint violations can never
+    * partially commit. */
+  private def enforceCheck(record: InternalRow): Unit =
+    check.foreach { c =>
+      val r = c.eval(record)
+      if (r != null && !r.asInstanceOf[Boolean])
+        throw new IllegalArgumentException(
+          s"graft-store: CHECK constraint violated by row " +
+            s"${InternalRow.fromSeq((0 until schema.length).map(i =>
+              if (record.isNullAt(i)) null else typedValueForError(record, i)))}")
+    }
+
+  private def typedValueForError(record: InternalRow, i: Int): Any =
+    try schema.fields(i).dataType match {
+      case LongType | TimestampType => record.getLong(i)
+      case IntegerType | DateType => record.getInt(i)
+      case DoubleType => record.getDouble(i)
+      case FloatType => record.getFloat(i)
+      case BooleanType => record.getBoolean(i)
+      case StringType => record.getUTF8String(i)
+      case _ => "?"
+    } catch { case _: Throwable => "?" }
+
+  override def write(record: InternalRow): Unit = {
+    enforceCheck(record)
     if (route == NoRoute) single.write(record)
     else {
       val sink = byValue.getOrElseUpdate(partitionKey(record), {
@@ -1025,6 +1106,7 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
       })
       sink.write(record)
     }
+  }
 
   override def commit(): WriterCommitMessage =
     if (route == NoRoute) GraftCommitMessage(Seq(single.entry()))
@@ -1485,7 +1567,9 @@ object GraftStoreOps {
         .option("clusterFiles", math.max(1, affected.size).toString)
       case _ => keptWriter
     }
-    withLayout.save(scratch)
+    // the table's CHECK constraint applies to COW rewrites too: an UPDATE
+    // that would set a violating value must fail, like Delta's constraints
+    m.check.fold(withLayout)(c => withLayout.option("check", c)).save(scratch)
     val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
       .getOrElse(GraftManifest(m.schema, Seq.empty))
     sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
@@ -1499,7 +1583,7 @@ object GraftStoreOps {
       val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(m.schema, carried ++ sm.files, partitionCol = m.partitionCol,
-          clusterCols = m.clusterCols),
+          clusterCols = m.clusterCols, check = m.check),
         GraftStoreFormat.nextSeq(head))
     }
     f.delete(new Path(scratch), true)

@@ -34,7 +34,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // the generator must reference a plain attribute.
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.plans.logical.Generate
-    for (q <- Seq("q98_feature_hash", "q72_heavy_hitters", "q67_tfidf")) {
+    // (q143_source_overlap explodes BEFORE its checkpoint, so its returned
+    // plan is all LogicalRDD — nothing left to audit there)
+    for (q <- Seq("q98_feature_hash", "q72_heavy_hitters", "q67_tfidf",
+        "q140_bigram_lm")) {
       val plan = SparkEntry.queries(q)(spark, d).queryExecution.optimizedPlan
       val gens = plan.collect { case g: Generate => g }
       assert(gens.nonEmpty, s"$q: expected a Generate in the plan")

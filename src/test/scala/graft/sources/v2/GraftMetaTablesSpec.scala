@@ -1,0 +1,83 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata tables (`cat.tbl$history` / `cat.tbl$files`): snapshot log and
+  * current file inventory as SQL-queryable driver-local tables. */
+class GraftMetaTablesSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-meta").toString
+
+  private def withCatalog[T](catName: String, base: String)(body: => T): T = {
+    spark.conf.set(s"spark.sql.catalog.$catName", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.base", base)
+    try body
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$catName")
+      spark.conf.unset(s"spark.sql.catalog.$catName.base")
+    }
+  }
+
+  test("$history reflects commits, layouts, and streaming txn tokens") {
+    val base = tmpDir()
+    spark.range(0, 40).selectExpr("id", "cast(id % 4 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(s"$base/t")
+    spark.range(40, 60).selectExpr("id", "cast(id % 4 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("append").save(s"$base/t")
+    withCatalog("gmeta1", base) {
+      val h = spark.sql(
+        "SELECT snapshot, n_files, n_rows, partition FROM gmeta1.`t$history`")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      assert(h.toSeq === Seq((0, 4, 40L, "k"), (1, 8, 60L, "k")))
+      // millis strictly increase across snapshots
+      val ms = spark.sql("SELECT millis FROM gmeta1.`t$history`")
+        .collect().map(_.getLong(0))
+      assert(ms.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+      // plans as a LocalTableScan: driver metadata, no source scan
+      val plan = spark.sql("SELECT * FROM gmeta1.`t$history`")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan"), plan.take(500))
+    }
+  }
+
+  test("$files lists the head inventory with widths and partition values") {
+    val base = tmpDir()
+    spark.range(0, 30).selectExpr("id", "cast(id % 3 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(s"$base/t")
+    // additive evolution tags pre-evolution files with their width
+    spark.range(30, 33)
+      .selectExpr("id", "cast(id % 3 as int) as k", "concat('x', id) as tag")
+      .write.format("graft-store")
+      .option("partitionBy", "k").option("mergeSchema", "true")
+      .mode("append").save(s"$base/t")
+    withCatalog("gmeta2", base) {
+      val f = spark.sql(
+        "SELECT file, n_rows, ncols, part_vals FROM gmeta2.`t$files`").collect()
+      assert(f.length === 6) // 3 original + 3 evolved files
+      val old = f.filter(!_.isNullAt(2))
+      assert(old.length === 3)
+      assert(old.forall(_.getInt(2) === 2))
+      assert(f.forall(r => !r.isNullAt(3)), "partitioned files carry values")
+      assert(f.map(_.getLong(1)).sum === 33L)
+    }
+  }
+
+  test("unknown metadata suffix and missing tables fail loudly") {
+    val base = tmpDir()
+    spark.range(0, 5).selectExpr("id").write.format("graft-store")
+      .mode("overwrite").save(s"$base/t")
+    withCatalog("gmeta3", base) {
+      intercept[Exception] { spark.sql("SELECT * FROM gmeta3.`t$bogus`").collect() }
+      intercept[Exception] { spark.sql("SELECT * FROM gmeta3.`nope$history`").collect() }
+      // the data table itself still resolves normally alongside
+      assert(spark.sql("SELECT count(*) FROM gmeta3.t").collect()(0).getLong(0) === 5L)
+    }
+  }
+}
