@@ -1104,16 +1104,20 @@ object SystemQueries {
         .repartitionByRange(4, col("o_orderkey"))
         .write.format("graft-store").option("check", "o_totalprice >= 0")
         .mode("overwrite").save(path)
-      // a violating BARE append (constraint inherited, not re-declared)
+      // a violating BARE append (constraint inherited, not re-declared);
+      // the bit is true ONLY for a CHECK rejection — any other failure
+      // (e.g. a schema-guard trip) must not masquerade as enforcement
       val appendRejected =
         try {
           Tables.orders(s, d)
-            .select(col("o_orderkey") + 1000000, lit(-5.0).as("o_totalprice"),
-              col("o_orderpriority"))
+            .select((col("o_orderkey") + 1000000).as("o_orderkey"),
+              lit(-5.0).as("o_totalprice"), col("o_orderpriority"))
             .limit(10)
             .write.format("graft-store").mode("append").save(path)
           false
-        } catch { case e: Throwable => e.getMessage != null }
+        } catch { case e: Throwable =>
+          e.getMessage != null && e.getMessage.contains("CHECK")
+        }
       // a violating COW UPDATE
       val updateRejected =
         try {

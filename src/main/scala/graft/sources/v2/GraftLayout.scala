@@ -35,9 +35,16 @@ private[v2] case class BucketLayout(n: Int, col: String) extends GraftLayout {
 }
 
 private[v2] object GraftLayout {
-  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^),\s]+)\s*\)""".r
   def parse(s: String): GraftLayout = s.trim match {
     case BucketRe(n, col) => BucketLayout(n.toInt, col)
+    case other if other.toLowerCase.startsWith("bucket") =>
+      // a malformed/unsupported bucket spec must not silently become an
+      // identity layout on a column literally named "bucket(...)" —
+      // bucket(4,a,b) (multi-column) and bucket(8) (no column) land here
+      throw new IllegalArgumentException(
+        s"graft-store: cannot parse bucket layout '$s' — expected " +
+          "bucket(<n>,<single column>)")
     case cols => IdentityLayout(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
   }
 }

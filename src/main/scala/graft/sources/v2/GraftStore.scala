@@ -672,7 +672,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
       new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy,
         mergeSchema, effectiveCheck, compiledCheck)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck)
+      new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck,
+        effectiveCheck)
   }
 }
 
@@ -695,7 +696,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   * same rule the streaming SOURCE already imposes.) */
 private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
     conf: Configuration, queryId: String,
-    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+    checkText: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   private val writeId = UUID.randomUUID().toString.take(8)
@@ -748,7 +750,9 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
           prev ++ newEntries, txn = Some(token),
           partitionCol = prevManifest.flatMap(_.partitionCol),
           clusterCols = prevManifest.flatMap(_.clusterCols),
-          check = prevManifest.flatMap(_.check)),
+          // a stream DECLARING a constraint on a fresh table must persist
+          // it, not just enforce it in-memory for this query's lifetime
+          check = prevManifest.flatMap(_.check).orElse(checkText)),
         GraftStoreFormat.nextSeq(head))
     }
     fs.delete(tmpDir, true)
@@ -852,8 +856,10 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
             s"table schema ${m.schema.toDDL}; overwrite to change schemas, " +
             "or mergeSchema=true for additive (trailing nullable) evolution")
         // same discipline for the partition layout: mixed layouts would
-        // silently break the one-value-per-file invariant SPJ relies on
-        require(m.partitionCol == partitionBy,
+        // silently break the one-value-per-file invariant SPJ relies on.
+        // Both sides normalize through parse→render so a header written
+        // with whitespace (e.g. "a, b") still matches its canonical form
+        require(m.partitionCol.map(c => GraftLayout.parse(c).render) == partitionBy,
           s"graft-store: append partitionBy=$partitionBy does not match " +
             s"table partition ${m.partitionCol}; overwrite to change layout")
       }
@@ -1409,10 +1415,15 @@ object GraftStoreOps {
     // the per-file size scan is skipped) — otherwise the overwrite would
     // silently drop the one-value-per-file invariant and with it SPJ
     // capability
+    // compaction is an overwrite, and an overwrite (re)declares table
+    // properties — so the CHECK constraint must be re-passed explicitly
+    // or routine maintenance would silently drop it
+    def withCheck(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      m.check.fold(w)(c => w.option("check", c))
     (m.partitionCol, m.clusterCols) match {
       case (Some(c), _) =>
-        spark.read.format("graft-store").load(path)
-          .write.format("graft-store").option("partitionBy", c)
+        withCheck(spark.read.format("graft-store").load(path)
+          .write.format("graft-store").option("partitionBy", c))
           .mode("overwrite").save(path)
       case (None, Some(cl)) =>
         // a declared sort clustering is re-applied THROUGH compaction:
@@ -1423,18 +1434,18 @@ object GraftStoreOps {
           try f.getFileStatus(new Path(path, e.name)).getLen catch { case _: Throwable => 0L }
         }.sum
         val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        spark.read.format("graft-store").load(path)
+        withCheck(spark.read.format("graft-store").load(path)
           .write.format("graft-store")
-          .option("clusterBy", cl).option("clusterFiles", n.toString)
+          .option("clusterBy", cl).option("clusterFiles", n.toString))
           .mode("overwrite").save(path)
       case (None, None) =>
         val bytes = m.files.map { e =>
           try f.getFileStatus(new Path(path, e.name)).getLen catch { case _: Throwable => 0L }
         }.sum
         val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        spark.read.format("graft-store").load(path)
+        withCheck(spark.read.format("graft-store").load(path)
           .repartition(n)
-          .write.format("graft-store").mode("overwrite").save(path)
+          .write.format("graft-store")).mode("overwrite").save(path)
     }
     GraftStoreFormat.readLatestManifest(path, conf).map(_.files.size).getOrElse(0)
   }
@@ -1578,12 +1589,33 @@ object GraftStoreOps {
       val head = GraftStoreFormat.listManifests(path, conf)
       val headM = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
         .getOrElse(m)
+      // a concurrent OVERWRITE (or second rewrite) that removed any of the
+      // planned files invalidates this rewrite wholesale: committing would
+      // resurrect rows the other writer replaced — abort loudly instead
+      val headNames = headM.files.map(_.name).toSet
+      if (!affectedNames.subsetOf(headNames))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: table was overwritten/rewritten concurrently with a " +
+            "COW operation; re-run the operation against the new head")
+      // a concurrent ADDITIVE EVOLUTION may have widened the schema: the
+      // commit must publish the HEAD's schema (publishing the entry-time
+      // schema would decode the evolved full-width files at a stale
+      // narrower width — a misaligned row stream), and this rewrite's own
+      // files get tagged with the width they were physically written at
+      require(GraftStoreFormat.sameCols(
+          StructType(headM.schema.fields.take(m.schema.length)), m.schema),
+        "graft-store: concurrent incompatible schema change detected")
+      val rewritten =
+        if (headM.schema.length == m.schema.length) sm.files
+        else sm.files.map(e => e.copy(ncols = e.ncols.orElse(Some(m.schema.length))))
       // carry = head's files minus the rewritten originals (a concurrent
       // append's new files ride along untouched)
       val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(m.schema, carried ++ sm.files, partitionCol = m.partitionCol,
-          clusterCols = m.clusterCols, check = m.check),
+        GraftManifest(headM.schema, carried ++ rewritten,
+          partitionCol = headM.partitionCol.orElse(m.partitionCol),
+          clusterCols = headM.clusterCols.orElse(m.clusterCols),
+          check = headM.check.orElse(m.check)),
         GraftStoreFormat.nextSeq(head))
     }
     f.delete(new Path(scratch), true)
@@ -1682,12 +1714,17 @@ object GraftStoreOps {
       s"graft-store: snapshot $snapshot outside [0, ${ms.size})")
     val target = GraftStoreFormat.readManifestFile(path, conf, ms(snapshot))
     var done = false
+    var committedSeq = -1L
     while (!done) {
       ms = GraftStoreFormat.listManifests(path, conf)
+      committedSeq = GraftStoreFormat.nextSeq(ms)
       done = GraftStoreFormat.commitManifest(path, conf,
-        target.copy(txn = None), GraftStoreFormat.nextSeq(ms))
+        target.copy(txn = None), committedSeq)
     }
-    GraftStoreFormat.listManifests(path, conf).size - 1
+    // index of the seq WE committed — re-listing the head here would race
+    // a concurrent commit landing right after ours
+    GraftStoreFormat.listManifests(path, conf)
+      .indexWhere(p => GraftStoreFormat.manifestSeq(p) == committedSeq)
   }
 
   /** CHANGE FEED between two retained snapshots (Delta CDF semantics,

@@ -69,6 +69,27 @@ class GraftMetaTablesSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
+  test("SQL INSERT INTO appends through the catalog (DML surface)") {
+    val base = tmpDir()
+    spark.range(0, 10).selectExpr("id", "id * 2 as v")
+      .write.format("graft-store").option("check", "v >= 0")
+      .mode("overwrite").save(s"$base/t")
+    withCatalog("gins", base) {
+      spark.sql("INSERT INTO gins.t VALUES (100, 200), (101, 202)")
+      assert(spark.sql("SELECT count(*) FROM gins.t").collect()(0).getLong(0) === 12L)
+      assert(spark.sql("SELECT v FROM gins.t WHERE id = 101")
+        .collect()(0).getLong(0) === 202L)
+      // the SQL insert is a real snapshot commit, and the table's CHECK
+      // constraint gates it like any other append
+      assert(GraftStoreOps.history(spark, s"$base/t").size === 2)
+      val err = intercept[Exception] {
+        spark.sql("INSERT INTO gins.t VALUES (102, -1)")
+      }
+      assert(err.getMessage.contains("CHECK"), err.getMessage.take(300))
+      assert(spark.sql("SELECT count(*) FROM gins.t").collect()(0).getLong(0) === 12L)
+    }
+  }
+
   test("unknown metadata suffix and missing tables fail loudly") {
     val base = tmpDir()
     spark.range(0, 5).selectExpr("id").write.format("graft-store")

@@ -207,6 +207,17 @@ class GraftStoreBucketSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
+  test("malformed bucket specs are rejected, never silently identity") {
+    import spark.implicits._
+    for (bad <- Seq("bucket(4,a,b)", "bucket(8)", "bucket()", "BUCKET(x,k)")) {
+      val err = intercept[Exception] {
+        Seq((1L, 2L)).toDF("id", "k").write.format("graft-store")
+          .option("partitionBy", bad).mode("overwrite").save(tmpDir())
+      }
+      assert(err.getMessage.contains("bucket"), s"$bad: ${err.getMessage}")
+    }
+  }
+
   test("identity layout with NULL partition values keeps SPJ grouping") {
     val dir = tmpDir()
     spark.range(0, 90)

@@ -112,6 +112,44 @@ class GraftStoreCheckSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(spark.read.format("graft-store").load(dir).count() === 10)
   }
 
+  test("compaction preserves the constraint (maintenance must not drop it)") {
+    val dir = tmpDir()
+    spark.range(0, 100).selectExpr("id", "id as v")
+      .write.format("graft-store").option("check", "v >= 0")
+      .mode("overwrite").save(dir)
+    spark.range(100, 200).selectExpr("id", "id as v")
+      .write.format("graft-store").mode("append").save(dir)
+    GraftStoreOps.compactSnapshot(spark, dir, targetBytes = 1L << 30)
+    // post-compaction appends are still gated
+    val err = intercept[Exception] {
+      spark.range(0, 1).selectExpr("id", "id - 10 as v")
+        .write.format("graft-store").mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("CHECK"), err.getMessage.take(300))
+    assert(spark.read.format("graft-store").load(dir).count() === 200)
+  }
+
+  test("a constraint declared by a STREAM on a fresh table is persisted") {
+    import spark.implicits._
+    val src = tmpDir()
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = spark.readStream.schema("id BIGINT, v BIGINT").parquet(src)
+      .writeStream.format("graft-store").option("check", "v >= 0")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.format("graft-store").load(dir).count() === 2)
+    // the constraint outlives the stream: a later batch append is gated
+    val err = intercept[Exception] {
+      spark.range(0, 1).selectExpr("id", "id - 10 as v")
+        .write.format("graft-store").mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("CHECK"), err.getMessage.take(300))
+  }
+
   test("type coercion works in constraints (int literal vs double column)") {
     val dir = tmpDir()
     spark.range(0, 5).selectExpr("id", "cast(id as double) / 2 as ratio")
