@@ -1141,6 +1141,72 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 4000
            |GROUP BY o_orderpriority""".stripMargin))
 
+
+  /** INCREMENTAL VIEW MAINTENANCE from the change feed: an aggregate
+    * (count + sum per group) is maintained by applying q138's CDC deltas
+    * — insert adds, delete subtracts, update applies post−pre — instead
+    * of recomputing over the table. At 100 TB the refresh costs the
+    * CHURN (the changed files the feed reads), not the table: this is
+    * the materialized-view economics CDC exists for, and the reason the
+    * feed emits pre AND post images. The maintained view is compared
+    * against the oracle's direct recompute of the final state — a sign
+    * error, a missed image class, or a leaked carried row all break the
+    * hash. */
+  val q151CdcIvm = QuerySpec(
+    "q151_cdc_ivm", "S-dsv2-cdc-ivm",
+    "incremental view maintenance: base aggregate + CDC deltas == recompute",
+    (s, d) => {
+      val path = "/tmp/graft_store_q151"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      base.filter(col("o_orderkey") < 4000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path) // snapshot 0
+      // the view as of snapshot 0 — in production this is the stored MV
+      val view0 = s.read.format("graft-store").option("snapshot", 0).load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"))
+        .localCheckpoint(true)
+      // churn: delete, append, update
+      graft.sources.v2.GraftStoreOps.deleteWhere(s, path,
+        col("o_orderkey") < 1000)
+      base.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 6000)
+        .write.format("graft-store").mode("append").save(path)
+      graft.sources.v2.GraftStoreOps.updateWhere(s, path,
+        col("o_orderkey") >= 2000 && col("o_orderkey") < 3000,
+        Map("o_totalprice" -> (col("o_totalprice") + 10)))
+      val headSnap = graft.sources.v2.GraftStoreOps.history(s, path).size - 1
+      // signed deltas: +1 for arriving images, -1 for departing images
+      val deltas = graft.sources.v2.GraftStoreOps
+        .changesBetween(s, path, 0, headSnap, "o_orderkey")
+        .withColumn("sign",
+          when(col("change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("sign")).as("dn"),
+          sum(col("sign") * col("o_totalprice")).as("dsum"))
+      // merged view = base + delta (full outer: groups may appear/vanish)
+      view0.join(deltas, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          round(coalesce(col("sum_price"), lit(0.0))
+            + coalesce(col("dsum"), lit(0.0)), 2).as("sum_price"))
+        .filter(col("n") > 0)
+    },
+    Some("""WITH final AS (
+           |  SELECT o_orderkey, o_totalprice, o_orderpriority
+           |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 6000),
+           |adjusted AS (
+           |  SELECT o_orderpriority,
+           |    CASE WHEN o_orderkey >= 2000 AND o_orderkey < 3000
+           |      THEN o_totalprice + 10 ELSE o_totalprice END AS price
+           |  FROM final)
+           |SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(price), 2) AS sum_price
+           |FROM adjusted GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1148,5 +1214,6 @@ object SystemQueries {
     q109SqlTimeTravel, q112StoreStream, q113StoreClustered, q124StoreZorder,
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
     q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
-    q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck)
+    q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck,
+    q151CdcIvm)
 }

@@ -207,6 +207,46 @@ class GraftStoreBucketSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
+  test("string keys bucket and SPJ like numeric ones") {
+    val base = tmpDir()
+    spark.range(0, 600).selectExpr("concat('user-', id % 200) as k", "id as va")
+      .write.format("graft-store").option("partitionBy", "bucket(4,k)")
+      .mode("overwrite").save(s"$base/sa")
+    spark.range(0, 200).selectExpr("concat('user-', id) as k", "id * 10 as vb")
+      .write.format("graft-store").option("partitionBy", "bucket(4,k)")
+      .mode("overwrite").save(s"$base/sb")
+    withConf(
+      "spark.sql.catalog.gbks" -> classOf[GraftCatalog].getName,
+      "spark.sql.catalog.gbks.base" -> base,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT sa.k, va + vb AS v FROM gbks.sa JOIN gbks.sb ON sa.k = sb.k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"string-key bucketed SPJ should be exchange-free:\n${plan.take(2000)}")
+      assert(j.count() === 600) // 3 sa rows per key value
+    }
+  }
+
+  test("additive evolution on a partitioned table keeps SPJ grouping") {
+    val dir = tmpDir()
+    spark.range(0, 40).selectExpr("id", "cast(id % 4 as int) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    spark.range(40, 48)
+      .selectExpr("id", "cast(id % 4 as int) as k", "concat('t', id) as tag")
+      .write.format("graft-store")
+      .option("partitionBy", "k").option("mergeSchema", "true")
+      .mode("append").save(dir)
+    val back = spark.read.format("graft-store").load(dir)
+    // both generations carry explicit partition values -> 4 keyed groups
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.count() === 48)
+    assert(back.filter(col("tag").isNull).count() === 40)
+    assert(back.filter(col("k") === 2 && col("tag").isNotNull).count() === 2)
+  }
+
   test("malformed bucket specs are rejected, never silently identity") {
     import spark.implicits._
     for (bad <- Seq("bucket(4,a,b)", "bucket(8)", "bucket()", "BUCKET(x,k)")) {
