@@ -927,26 +927,37 @@ object SystemQueries {
     * useless). File-level diffing means only rewritten/added files are
     * ever read — at 100 TB the feed costs the churn, not the table. The
     * oracle reconstructs all four change classes from the raw parquet. */
+  /** Shared churn fixture for the change-feed queries (q138, q151): seed
+    * orders < 4000 as snapshot 0, then run the COW DML trio — delete
+    * < 1000, append [4000, 6000), update [2000, 3000) price +10. Both
+    * hand-written DuckDB oracles encode EXACTLY this sequence; change it
+    * in one place or not at all. Returns the head snapshot index. */
+  private def churnedOrdersStore(s: org.apache.spark.sql.SparkSession,
+      d: String, path: String): Int = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    base.filter(col("o_orderkey") < 4000)
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("graft-store").mode("overwrite").save(path) // snapshot 0
+    graft.sources.v2.GraftStoreOps.deleteWhere(s, path,
+      col("o_orderkey") < 1000) // snapshot 1
+    base.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 6000)
+      .write.format("graft-store").mode("append").save(path) // snapshot 2
+    graft.sources.v2.GraftStoreOps.updateWhere(s, path,
+      col("o_orderkey") >= 2000 && col("o_orderkey") < 3000,
+      Map("o_totalprice" -> (col("o_totalprice") + 10))) // snapshot 3
+    graft.sources.v2.GraftStoreOps.snapshotCount(s, path) - 1
+  }
+
   val q138StoreChanges = QuerySpec(
     "q138_store_changes", "S-dsv2-change-feed",
     "snapshot change feed: net insert/delete/update images from the manifest diff",
     (s, d) => {
       val path = "/tmp/graft_store_q138"
-      val fsPath = new org.apache.hadoop.fs.Path(path)
-      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
-      val base = Tables.orders(s, d)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-      base.filter(col("o_orderkey") < 4000)
-        .repartitionByRange(4, col("o_orderkey"))
-        .write.format("graft-store").mode("overwrite").save(path) // snapshot 0
-      graft.sources.v2.GraftStoreOps.deleteWhere(s, path,
-        col("o_orderkey") < 1000) // snapshot 1
-      base.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 6000)
-        .write.format("graft-store").mode("append").save(path) // snapshot 2
-      graft.sources.v2.GraftStoreOps.updateWhere(s, path,
-        col("o_orderkey") >= 2000 && col("o_orderkey") < 3000,
-        Map("o_totalprice" -> (col("o_totalprice") + 10))) // snapshot 3
-      graft.sources.v2.GraftStoreOps.changesBetween(s, path, 0, 3, "o_orderkey")
+      val head = churnedOrdersStore(s, d, path)
+      graft.sources.v2.GraftStoreOps.changesBetween(s, path, 0, head, "o_orderkey")
         .select(col("o_orderkey"), col("change_type"),
           round(col("o_totalprice"), 2).as("price"), col("o_orderpriority"))
     },
@@ -1157,27 +1168,13 @@ object SystemQueries {
     "incremental view maintenance: base aggregate + CDC deltas == recompute",
     (s, d) => {
       val path = "/tmp/graft_store_q151"
-      val fsPath = new org.apache.hadoop.fs.Path(path)
-      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
-      val base = Tables.orders(s, d)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-      base.filter(col("o_orderkey") < 4000)
-        .repartitionByRange(4, col("o_orderkey"))
-        .write.format("graft-store").mode("overwrite").save(path) // snapshot 0
-      // the view as of snapshot 0 — in production this is the stored MV
+      val headSnap = churnedOrdersStore(s, d, path)
+      // the view as of snapshot 0 — in production this is the stored MV,
+      // maintained BEFORE the churn; time travel reconstructs it here
       val view0 = s.read.format("graft-store").option("snapshot", 0).load(path)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"))
         .localCheckpoint(true)
-      // churn: delete, append, update
-      graft.sources.v2.GraftStoreOps.deleteWhere(s, path,
-        col("o_orderkey") < 1000)
-      base.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 6000)
-        .write.format("graft-store").mode("append").save(path)
-      graft.sources.v2.GraftStoreOps.updateWhere(s, path,
-        col("o_orderkey") >= 2000 && col("o_orderkey") < 3000,
-        Map("o_totalprice" -> (col("o_totalprice") + 10)))
-      val headSnap = graft.sources.v2.GraftStoreOps.history(s, path).size - 1
       // signed deltas: +1 for arriving images, -1 for departing images
       val deltas = graft.sources.v2.GraftStoreOps
         .changesBetween(s, path, 0, headSnap, "o_orderkey")

@@ -1688,6 +1688,13 @@ object GraftStoreOps {
       .files.map(e => (e.name, e.rows, e.ncols))
   }
 
+  /** Number of retained snapshots — one directory LISTING, no manifest
+    * parses (contrast [[history]], which reads every manifest body; use
+    * this in refresh loops where only the head index matters). */
+  def snapshotCount(spark: SparkSession, path: String): Int =
+    GraftStoreFormat.listManifests(path,
+      spark.sparkContext.hadoopConfiguration).size
+
   /** The head snapshot's declared schema. */
   def tableSchema(spark: SparkSession, path: String): StructType = {
     val conf = spark.sparkContext.hadoopConfiguration
