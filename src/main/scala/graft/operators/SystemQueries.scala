@@ -1204,6 +1204,74 @@ object SystemQueries {
            |  round(sum(price), 2) AS sum_price
            |FROM adjusted GROUP BY o_orderpriority""".stripMargin))
 
+  /** COMPOSITE partition spec — the canonical lakehouse layout
+    * `partitionBy="o_orderdate,bucket(8,o_custkey)"` (partition specs are
+    * TRANSFORM LISTS, Iceberg's model): files group by (date value,
+    * bucket id), so the identity element prunes date predicates at plan
+    * time while the bucket element co-locates the join key at ANY
+    * cardinality. Two co-laid-out orders slices self-join on
+    * (date, custkey) with ZERO exchanges through the catalog. At 100 TB
+    * this single layout serves both the time-range scans and the
+    * customer-keyed joins — no second copy of the data. */
+  val q152CompositeLayout = QuerySpec(
+    "q152_composite_layout", "S-dsv2-composite-spec",
+    "identity+bucket composite layout: date pruning plus zero-exchange SPJ",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q152"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      s.conf.set("spark.sql.catalog.graftc", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftc.base", base)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        // keep the identity element low-cardinality: month bucket the date
+        .withColumn("o_month", (month(col("o_orderdate")) % 4).cast("int"))
+        .drop("o_orderdate")
+      orders.filter(col("o_orderkey") < 8000)
+        .write.format("graft-store")
+        .option("partitionBy", "o_month,bucket(8,o_custkey)")
+        .mode("overwrite").save(s"$base/oa")
+      orders.filter(col("o_orderkey") >= 8000)
+        .write.format("graft-store")
+        .option("partitionBy", "o_month,bucket(8,o_custkey)")
+        .mode("overwrite").save(s"$base/ob")
+      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // grouping on the FULL key pair keeps the aggregate inside the
+        // key-grouped distribution (grouping by month alone would need a
+        // re-shuffle — a month spans every bucket)
+        val j = s.sql(
+          """SELECT oa.o_month AS mth, oa.o_custkey AS custkey,
+            |  count(*) AS n_pairs,
+            |  round(sum(oa.o_totalprice + ob.o_totalprice), 2) AS sum_price
+            |FROM graftc.oa oa JOIN graftc.ob ob
+            |  ON oa.o_month = ob.o_month AND oa.o_custkey = ob.o_custkey
+            |GROUP BY oa.o_month, oa.o_custkey""".stripMargin)
+        val noExchange = !j.queryExecution.executedPlan.toString.contains("Exchange")
+        j.withColumn("no_exchange", lit(noExchange))
+      } finally {
+        prevBucketing.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          v => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+        prevBroadcast.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      }
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+           |    CAST(month(o_orderdate) % 4 AS INT) AS o_month, o_totalprice
+           |  FROM orders)
+           |SELECT oa.o_month AS mth, oa.o_custkey AS custkey,
+           |  count(*) AS n_pairs,
+           |  round(sum(oa.o_totalprice + ob.o_totalprice), 2) AS sum_price,
+           |  TRUE AS no_exchange
+           |FROM o oa JOIN o ob
+           |  ON oa.o_month = ob.o_month AND oa.o_custkey = ob.o_custkey
+           |WHERE oa.o_orderkey < 8000 AND ob.o_orderkey >= 8000
+           |GROUP BY oa.o_month, oa.o_custkey""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1212,5 +1280,5 @@ object SystemQueries {
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
     q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
     q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck,
-    q151CdcIvm)
+    q151CdcIvm, q152CompositeLayout)
 }

@@ -5,48 +5,73 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Physical layout declared by a graft-store table's `#partition=` header.
+/** Physical layout declared by a graft-store table's `#partition=` header:
+  * a LIST of partition transforms, Iceberg's partition-spec model. Each
+  * element is either
   *
-  *   - [[IdentityLayout]] — one file per VALUE COMBINATION of the columns
-  *     (Hive-style identity partitioning). Right for low-cardinality keys;
-  *     the writer fails loudly past 1000 values/task.
-  *   - [[BucketLayout]] — one file per `murmur3(value) mod n` BUCKET
-  *     (Iceberg-style bucket transform). This is the HIGH-CARDINALITY
+  *   - an IDENTITY transform (a bare column name) — one file per value
+  *     (Hive-style). Right for low-cardinality keys; the writer fails
+  *     loudly past 1000 combinations/task;
+  *   - a BUCKET transform `bucket(n,col)` — one file per
+  *     `murmur3(value) mod n` bucket. This is the HIGH-CARDINALITY
   *     storage-partitioned-join path: a 10^9-key join co-locates on n
-  *     buckets instead of 10^9 directories, file count is bounded by n
-  *     regardless of key cardinality, and two tables bucketed (same n,
-  *     join key) join with ZERO exchange on either side.
+  *     buckets instead of 10^9 directories, and two tables bucketed
+  *     (same n, join key) join with ZERO exchange on either side.
   *
-  * The header string is the canonical serialized form (`a,b` or
-  * `bucket(n,col)`), compared verbatim by the append layout guard — so
-  * parse → render must normalize whitespace. */
-private[v2] sealed trait GraftLayout {
+  * Composites mix freely — `date,bucket(8,key)` is the canonical
+  * lakehouse layout (time-partitioned + key-bucketed): files group by
+  * (date value, bucket id), so date predicates prune AND key joins
+  * co-locate. The header string is the canonical serialized form,
+  * compared by the append layout guard after parse → render
+  * normalization. */
+private[v2] sealed trait PartSpec {
+  def col: String
   def render: String
-  def columns: Seq[String]
 }
-private[v2] case class IdentityLayout(cols: Seq[String]) extends GraftLayout {
-  override def render: String = cols.mkString(",")
-  override def columns: Seq[String] = cols
+private[v2] case class IdentitySpec(col: String) extends PartSpec {
+  override def render: String = col
 }
-private[v2] case class BucketLayout(n: Int, col: String) extends GraftLayout {
+private[v2] case class BucketSpec(n: Int, col: String) extends PartSpec {
   require(n > 0, s"graft-store: bucket count must be positive, got $n")
   override def render: String = s"bucket($n,$col)"
-  override def columns: Seq[String] = Seq(col)
+}
+
+private[v2] case class GraftLayout(specs: Seq[PartSpec]) {
+  require(specs.nonEmpty, "graft-store: empty partition layout")
+  def render: String = specs.map(_.render).mkString(",")
+  def columns: Seq[String] = specs.map(_.col)
 }
 
 private[v2] object GraftLayout {
   private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^),\s]+)\s*\)""".r
-  def parse(s: String): GraftLayout = s.trim match {
-    case BucketRe(n, col) => BucketLayout(n.toInt, col)
-    case other if other.toLowerCase.startsWith("bucket") =>
-      // a malformed/unsupported bucket spec must not silently become an
-      // identity layout on a column literally named "bucket(...)" —
-      // bucket(4,a,b) (multi-column) and bucket(8) (no column) land here
-      throw new IllegalArgumentException(
-        s"graft-store: cannot parse bucket layout '$s' — expected " +
-          "bucket(<n>,<single column>)")
-    case cols => IdentityLayout(cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+  /** Split on commas NOT inside parentheses (bucket(8,k) is one token). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; sb.append('(')
+      case ')' => depth -= 1; sb.append(')')
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  def parse(s: String): GraftLayout =
+    GraftLayout(splitTop(s.trim).map {
+      case BucketRe(n, col) => BucketSpec(n.toInt, col)
+      case other if other.toLowerCase.startsWith("bucket") =>
+        // a malformed bucket spec must not silently become an identity
+        // layout on a column literally named "bucket(...)" —
+        // bucket(4,a,b) (multi-column) and bucket(8) (no column) land here
+        throw new IllegalArgumentException(
+          s"graft-store: cannot parse bucket spec '$other' — expected " +
+            "bucket(<n>,<single column>)")
+      case col => IdentitySpec(col)
+    })
 }
 
 /** The bucket hash — ONE definition shared by the write-side router, the

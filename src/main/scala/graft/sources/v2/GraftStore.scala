@@ -801,14 +801,19 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
       layout match {
         case None => NoRoute
-        case Some(IdentityLayout(cols)) =>
-          IdentityRoute(cols.map(schema.fieldIndex).toArray)
-        case Some(BucketLayout(n, col)) =>
-          val idx = schema.fieldIndex(col)
-          require(GraftBucket.supports(schema.fields(idx).dataType),
-            s"graft-store: bucket layout unsupported for " +
-              s"${schema.fields(idx).dataType.simpleString} column $col")
-          BucketRoute(n, idx)
+        case Some(l) =>
+          val idx = l.specs.map(sp => schema.fieldIndex(sp.col)).toArray
+          val buckets = l.specs.map {
+            case IdentitySpec(_) => 0
+            case BucketSpec(n, col) =>
+              require(GraftBucket.supports(
+                  schema.fields(schema.fieldIndex(col)).dataType),
+                s"graft-store: bucket layout unsupported for " +
+                  s"${schema.fields(schema.fieldIndex(col)).dataType.simpleString} " +
+                  s"column $col")
+              n
+          }.toArray
+          SpecRoute(idx, buckets)
       }, check)
 
   /** Driver-side, exactly once, only with messages of successful attempts:
@@ -917,12 +922,13 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
   }
 }
 
-/** Task-side row routing under `partitionBy`: none, one file per identity
-  * value combination, or one file per murmur3 bucket id. */
+/** Task-side row routing under `partitionBy`: none, or one file per
+  * partition-KEY combination, where each key element is the column value
+  * (identity transform, `buckets(j) == 0`) or its murmur3 bucket id
+  * (bucket transform, `buckets(j) = n`). */
 private[v2] sealed trait GraftRoute extends Serializable
 private[v2] case object NoRoute extends GraftRoute
-private[v2] case class IdentityRoute(idx: Array[Int]) extends GraftRoute
-private[v2] case class BucketRoute(n: Int, idx: Int) extends GraftRoute
+private[v2] case class SpecRoute(idx: Array[Int], buckets: Array[Int]) extends GraftRoute
 
 private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
     schema: StructType, conf: SerializableHadoopConf,
@@ -1055,14 +1061,17 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     }
 
   private def partitionKey(record: InternalRow): Seq[Any] = route match {
-    case IdentityRoute(idx) =>
-      idx.toSeq.map(i => if (record.isNullAt(i)) NullKey else typedValue(record, i))
-    case BucketRoute(n, i) =>
-      // nulls get a dedicated file (no bucket): equi-joins never match
-      // null, so a null partition has nothing to co-locate with
-      if (record.isNullAt(i)) Seq(NullKey)
-      else Seq(GraftBucket.of(typedValue(record, i),
-        schema.fields(i).dataType, n))
+    case SpecRoute(idx, buckets) =>
+      // nulls get a dedicated key element (no value / no bucket):
+      // equi-joins never match null, so a null partition has nothing to
+      // co-locate with
+      idx.indices.map { j =>
+        val i = idx(j)
+        if (record.isNullAt(i)) NullKey
+        else if (buckets(j) == 0) typedValue(record, i)
+        else GraftBucket.of(typedValue(record, i),
+          schema.fields(i).dataType, buckets(j))
+      }
     case NoRoute => Seq.empty
   }
 
@@ -1202,39 +1211,40 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     manifest.partitionCol.map(GraftLayout.parse)
 
   private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
-    layout.flatMap {
-      case IdentityLayout(cols) =>
-        val idxs = cols.map(c => manifest.schema.fieldNames.indexOf(c))
-        if (idxs.exists(_ < 0)) None
-        else grouped(selected.map { e =>
-          e.partVals match {
-            // explicit manifest partition values (v3+ writers): exact,
-            // null-safe, and immune to the >64-char string-stat cap
-            case Some(vs) if vs.length == idxs.length =>
-              Some(vs.zip(idxs).map { case (ov, idx) =>
-                ov.map(typedKey(idx, _)).orNull } -> e)
-            case _ =>
-              // legacy manifest: prove the single value via min==max stats
-              val vals = idxs.map { idx =>
-                e.stats.get(idx) match {
-                  case Some((mn, mx)) if mn == mx => Some(typedKey(idx, mn))
-                  case _ => None // can't prove one-value-per-file
+    layout.flatMap { l =>
+      val idxs = l.specs.map(sp => manifest.schema.fieldNames.indexOf(sp.col))
+      if (idxs.exists(_ < 0)) None
+      else grouped(selected.map { e =>
+        e.partVals match {
+          // explicit manifest partition values (v3+ writers): exact,
+          // null-safe, and immune to the >64-char string-stat cap.
+          // Identity elements carry the column value (typed by the
+          // column); bucket elements carry the COMPUTED bucket id (int)
+          case Some(vs) if vs.length == l.specs.length =>
+            Some(vs.lazyZip(l.specs).lazyZip(idxs).map { (ov, sp, idx) =>
+              ov.map { v =>
+                sp match {
+                  case IdentitySpec(_) => typedKey(idx, v)
+                  case BucketSpec(_, _) => Int.box(v.toInt): Any
                 }
+              }.orNull
+            }.toSeq -> e)
+          case _ if l.specs.exists(_.isInstanceOf[BucketSpec]) =>
+            // bucket ids exist only as explicit values (no column's stats
+            // could carry a COMPUTED id) — a bucket layout without them
+            // can't prove its keys
+            None
+          case _ =>
+            // legacy identity manifest: prove values via min==max stats
+            val vals = idxs.map { idx =>
+              e.stats.get(idx) match {
+                case Some((mn, mx)) if mn == mx => Some(typedKey(idx, mn))
+                case _ => None // can't prove one-value-per-file
               }
-              if (vals.exists(_.isEmpty)) None else Some(vals.flatten -> e)
-          }
-        })
-      case BucketLayout(_, _) =>
-        // bucket ids exist only as explicit partition values (no column's
-        // stats could carry a COMPUTED id); a null-keyed file rides along
-        // as its own partition — equi-joins never match it anyway
-        grouped(selected.map { e =>
-          e.partVals match {
-            case Some(Seq(ov)) =>
-              Some(Seq[Any](ov.map(v => Int.box(v.toInt)).orNull) -> e)
-            case _ => None
-          }
-        })
+            }
+            if (vals.exists(_.isEmpty)) None else Some(vals.flatten -> e)
+        }
+      })
     }
 
   private def grouped(keyed: Seq[Option[(Seq[Any], GraftFileEntry)]])
@@ -1259,14 +1269,12 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     (layout, keyedGroups) match {
       case (Some(l), Some(groups)) =>
         import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
-        val keys: Array[Expression] = l match {
-          case IdentityLayout(cols) =>
-            cols.map(c => Expressions.identity(c): Expression).toArray
-          case BucketLayout(n, col) =>
-            // a named transform: resolvable (hence SPJ-plannable) only when
-            // the relation came through GraftCatalog's FunctionCatalog
-            Array(Expressions.bucket(n, col): Expression)
-        }
+        // bucket transforms are resolvable (hence SPJ-plannable) only when
+        // the relation came through GraftCatalog's FunctionCatalog
+        val keys: Array[Expression] = l.specs.map {
+          case IdentitySpec(c) => Expressions.identity(c): Expression
+          case BucketSpec(n, c) => Expressions.bucket(n, c): Expression
+        }.toArray
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           keys, groups.size)
       case _ =>

@@ -247,6 +247,46 @@ class GraftStoreBucketSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(back.filter(col("k") === 2 && col("tag").isNotNull).count() === 2)
   }
 
+  test("composite spec (identity + bucket): pruning AND zero-exchange SPJ") {
+    val base = tmpDir()
+    // the canonical lakehouse layout: partition by day, bucket by key
+    spark.range(0, 1200)
+      .selectExpr("cast(id % 3 as int) as day", "id % 300 as k", "id as va")
+      .write.format("graft-store")
+      .option("partitionBy", "day,bucket(4,k)")
+      .mode("overwrite").save(s"$base/ca")
+    spark.range(0, 600)
+      .selectExpr("cast(id % 3 as int) as day", "id % 300 as k", "id * 2 as vb")
+      .write.format("graft-store")
+      .option("partitionBy", "day,bucket(4,k)")
+      .mode("overwrite").save(s"$base/cb")
+    val a = spark.read.format("graft-store").load(s"$base/ca")
+    // 3 days x 4 buckets -> 12 keyed groups
+    assert(a.rdd.getNumPartitions === 12)
+    assert(a.count() === 1200)
+    // identity element still prunes: one day -> 4 of 12 groups
+    val oneDay = a.filter(col("day") === 1)
+    assert(oneDay.rdd.getNumPartitions === 4)
+    assert(oneDay.count() === 400)
+    withConf(
+      "spark.sql.catalog.gbkc" -> classOf[GraftCatalog].getName,
+      "spark.sql.catalog.gbkc.base" -> base,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT ca.day, ca.k, va + vb AS v
+          |FROM gbkc.ca JOIN gbkc.cb ON ca.day = cb.day AND ca.k = cb.k""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"composite identity+bucket SPJ should be exchange-free:\n${plan.take(3000)}")
+      // per (day, k): ids with id%3==day and id%300==k — k determines
+      // id%3 via id ≡ k (mod 300)? no: id = k + 300m, id%3 = (k+300m)%3 =
+      // k%3 — so only day == k%3 pairs exist: 1200/300=4 a-rows and 2
+      // b-rows per existing (day,k)
+      assert(j.count() === 300L * 4L * 2L)
+    }
+  }
+
   test("malformed bucket specs are rejected, never silently identity") {
     import spark.implicits._
     for (bad <- Seq("bucket(4,a,b)", "bucket(8)", "bucket()", "BUCKET(x,k)")) {
