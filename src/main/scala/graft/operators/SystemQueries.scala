@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
   * capabilities beyond pure relational operators. */
 object SystemQueries {
 
+  /** Run `body` with storage-partitioned-join planning enabled (and
+    * auto-broadcast disabled so the join shape is actually exercised),
+    * restoring the session confs after. `body` must MATERIALIZE any
+    * result whose plan shape matters (localCheckpoint) — a lazily
+    * returned Dataset re-plans AFTER the confs are restored, silently
+    * executing a different (shuffled) plan than the one inspected. */
+  private def withSpjConfs[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      prevBucketing.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        v => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      prevBroadcast.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    }
+  }
+
   /** Run `body` with `n` shuffle (= state store) partitions, restoring the
     * session conf after. Streaming results are partitioning-independent;
     * at test-scale state volume the per-partition state-store commit
@@ -437,24 +457,18 @@ object SystemQueries {
       Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
         .write.format("graft-store").option("partitionBy", "s_nationkey")
         .mode("overwrite").save(dirS)
-      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+      withSpjConfs(s) {
         val c = s.read.format("graft-store").load(dirC)
         val sup = s.read.format("graft-store").load(dirS)
         val j = c.join(sup, col("c_nationkey") === col("s_nationkey"))
           .groupBy(col("c_nationkey").as("nationkey"))
           .agg(count(lit(1)).as("n_pairs"),
             round(sum(col("c_acctbal") + col("s_acctbal")), 2).as("sum_bal"))
+        // materialize INSIDE the conf window: the checkpoint executes the
+        // SPJ plan, and the flag describes the plan that actually ran
+        val materialized = j.localCheckpoint(true)
         val noExchange = !j.queryExecution.executedPlan.toString.contains("Exchange")
-        j.withColumn("no_exchange", lit(noExchange))
-      } finally {
-        prevBucketing.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
-          v => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
-        prevBroadcast.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
-          v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+        materialized.withColumn("no_exchange", lit(noExchange))
       }
     },
     Some("""SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
@@ -888,11 +902,7 @@ object SystemQueries {
       Tables.orders(s, d).select("o_custkey", "o_totalprice")
         .write.format("graft-store").option("partitionBy", "bucket(8,o_custkey)")
         .mode("overwrite").save(s"$base/ords")
-      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+      withSpjConfs(s) {
         // grouping on the bucketed join key: the key-grouped distribution
         // satisfies join AND aggregate — the whole pipeline is shuffle-free
         val j = s.sql(
@@ -900,13 +910,9 @@ object SystemQueries {
             |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
             |FROM graftb.ords JOIN graftb.cust ON o_custkey = c_custkey
             |GROUP BY c_custkey""".stripMargin)
+        val materialized = j.localCheckpoint(true) // executes the SPJ plan
         val noExchange = !j.queryExecution.executedPlan.toString.contains("Exchange")
-        j.withColumn("no_exchange", lit(noExchange))
-      } finally {
-        prevBucketing.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
-          v => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
-        prevBroadcast.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
-          v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+        materialized.withColumn("no_exchange", lit(noExchange))
       }
     },
     Some("""SELECT c_custkey AS custkey, min(c_mktsegment) AS segment,
@@ -1236,11 +1242,7 @@ object SystemQueries {
         .write.format("graft-store")
         .option("partitionBy", "o_month,bucket(8,o_custkey)")
         .mode("overwrite").save(s"$base/ob")
-      val prevBucketing = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-      val prevBroadcast = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+      withSpjConfs(s) {
         // grouping on the FULL key pair keeps the aggregate inside the
         // key-grouped distribution (grouping by month alone would need a
         // re-shuffle — a month spans every bucket)
@@ -1251,13 +1253,9 @@ object SystemQueries {
             |FROM graftc.oa oa JOIN graftc.ob ob
             |  ON oa.o_month = ob.o_month AND oa.o_custkey = ob.o_custkey
             |GROUP BY oa.o_month, oa.o_custkey""".stripMargin)
+        val materialized = j.localCheckpoint(true) // executes the SPJ plan
         val noExchange = !j.queryExecution.executedPlan.toString.contains("Exchange")
-        j.withColumn("no_exchange", lit(noExchange))
-      } finally {
-        prevBucketing.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
-          v => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
-        prevBroadcast.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
-          v => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+        materialized.withColumn("no_exchange", lit(noExchange))
       }
     },
     Some("""WITH o AS (SELECT o_orderkey, o_custkey,

@@ -63,10 +63,12 @@ private[v2] object GraftLayout {
   def parse(s: String): GraftLayout =
     GraftLayout(splitTop(s.trim).map {
       case BucketRe(n, col) => BucketSpec(n.toInt, col)
-      case other if other.toLowerCase.startsWith("bucket") =>
-        // a malformed bucket spec must not silently become an identity
+      case other if other.toLowerCase.matches("""bucket\s*\(.*""") =>
+        // a malformed bucket CALL must not silently become an identity
         // layout on a column literally named "bucket(...)" —
-        // bucket(4,a,b) (multi-column) and bucket(8) (no column) land here
+        // bucket(4,a,b) (multi-column) and bucket(8) (no column) land
+        // here. A plain column that merely STARTS with "bucket"
+        // (bucket_tier) is a legitimate identity column and falls through
         throw new IllegalArgumentException(
           s"graft-store: cannot parse bucket spec '$other' — expected " +
             "bucket(<n>,<single column>)")

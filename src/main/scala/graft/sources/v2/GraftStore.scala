@@ -803,14 +803,12 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
         case None => NoRoute
         case Some(l) =>
           val idx = l.specs.map(sp => schema.fieldIndex(sp.col)).toArray
-          val buckets = l.specs.map {
-            case IdentitySpec(_) => 0
-            case BucketSpec(n, col) =>
-              require(GraftBucket.supports(
-                  schema.fields(schema.fieldIndex(col)).dataType),
+          val buckets = l.specs.zip(idx).map {
+            case (IdentitySpec(_), _) => 0
+            case (BucketSpec(n, col), i) =>
+              require(GraftBucket.supports(schema.fields(i).dataType),
                 s"graft-store: bucket layout unsupported for " +
-                  s"${schema.fields(schema.fieldIndex(col)).dataType.simpleString} " +
-                  s"column $col")
+                  s"${schema.fields(i).dataType.simpleString} column $col")
               n
           }.toArray
           SpecRoute(idx, buckets)
@@ -1207,8 +1205,13 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
     * table isn't partitioned or any surviving file can't prove its single
     * value (all-null or long-string stats) — reporting then stays
     * conservative (unknown partitioning), never wrong. */
+  // READS stay lenient: a header this parser cannot understand (written
+  // by a different version, hand-edited, empty) degrades the scan to
+  // UnknownPartitioning instead of bricking the table; WRITES parse
+  // strictly and fail loudly
   private lazy val layout: Option[GraftLayout] =
-    manifest.partitionCol.map(GraftLayout.parse)
+    manifest.partitionCol.flatMap(c =>
+      scala.util.Try(GraftLayout.parse(c)).toOption)
 
   private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
     layout.flatMap { l =>
