@@ -525,7 +525,27 @@ private[v2] object FilterToColumn {
 
 private[v2] class GraftStoreTable(path: String, schema0: StructType,
     pinned: Map[String, String] = Map.empty)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE <catalog>.<table>`: publishes an EMPTY snapshot —
+    * a metadata-only commit, mirroring every other graft-store operation:
+    * the data files stay on disk for the retained history (pre-truncate
+    * snapshots remain time-travelable; restoreSnapshot undoes it), and
+    * physical deletion stays the explicit expireSnapshots step. */
+  override def truncateTable(): Boolean = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(return false)
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      done = GraftStoreFormat.commitManifest(path, conf,
+        m.copy(files = Seq.empty, txn = None),
+        GraftStoreFormat.nextSeq(head))
+    }
+    true
+  }
 
   /** SQL `DELETE FROM <catalog>.<table> WHERE ...`: Spark calls these with
     * the WHERE clause as exact V1 filters; the conjunction routes through

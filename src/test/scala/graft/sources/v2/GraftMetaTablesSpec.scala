@@ -90,6 +90,22 @@ class GraftMetaTablesSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
+  test("SQL TRUNCATE TABLE empties the head, history stays travelable") {
+    val base = tmpDir()
+    spark.range(0, 25).selectExpr("id", "id as v")
+      .write.format("graft-store").mode("overwrite").save(s"$base/t")
+    withCatalog("gtrunc", base) {
+      spark.sql("TRUNCATE TABLE gtrunc.t")
+      assert(spark.sql("SELECT count(*) FROM gtrunc.t").collect()(0).getLong(0) === 0L)
+      // metadata-only: the pre-truncate snapshot is still readable...
+      assert(spark.read.format("graft-store").option("snapshot", 0)
+        .load(s"$base/t").count() === 25)
+      // ...and restore undoes the truncate entirely
+      GraftStoreOps.restoreSnapshot(spark, s"$base/t", 0)
+      assert(spark.sql("SELECT count(*) FROM gtrunc.t").collect()(0).getLong(0) === 25L)
+    }
+  }
+
   test("unknown metadata suffix and missing tables fail loudly") {
     val base = tmpDir()
     spark.range(0, 5).selectExpr("id").write.format("graft-store")
