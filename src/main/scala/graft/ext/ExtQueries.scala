@@ -181,13 +181,17 @@ object ExtQueries {
   // ---------------------------------------------------------------- near-dup connected components
   /** Connected components over the verified near-dup graph — the cluster
     * form a dedup pipeline actually consumes ("keep cluster_id == doc_id").
-    * Spark side: [[Dedup.nearDupClusters]] — iterative min-label propagation
-    * to FIXPOINT (each iteration one co-partitioned join + agg, persisted to
-    * truncate lineage; early-exits when no label changes). Oracle side:
-    * DuckDB computes the same fixpoint declaratively with a recursive CTE
-    * (min reachable id over symmetrized edges), so the iterative distributed
-    * algorithm is hash-checked against an independent transitive-closure
-    * formulation — not against itself. */
+    * Spark side: [[graft.operators.Graph.connectedComponents]] — iterative
+    * min-label propagation to FIXPOINT (each iteration one co-partitioned
+    * join + agg, checkpointed to truncate lineage; early-exits when no label
+    * changes), called directly on the LSH pair graph (the production
+    * [[Dedup.nearDupClusters]] path routes through the faster stars
+    * algorithm — q101 exercises that; this query keeps the label-prop
+    * formulation under oracle check). Oracle side: DuckDB computes the same
+    * fixpoint declaratively with a recursive CTE (min reachable id over
+    * symmetrized edges), so the iterative distributed algorithm is
+    * hash-checked against an independent transitive-closure formulation —
+    * not against itself. */
   val q86Components = QuerySpec(
     "q86_components", "EXT-dedup-components",
     "connected components of the near-dup pair graph (min-label fixpoint vs recursive-CTE oracle)",
@@ -197,8 +201,17 @@ object ExtQueries {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat_ws(" ", slice(tokens(col("text")), 2, 1000000)).as("text"))
       val corpus = base.unionByName(mutated)
-      val labels = Dedup.nearDupClusters(corpus, "doc_id", "text",
-        numHashes = 8, rowsPerBand = 2, shingleN = 3, minJaccard = 0.3, maxIters = 20)
+      val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, shingleN = 3, minJaccard = 0.3)
+      val labels =
+        try {
+          // near-cliques (diameter ≤ 3): the pointer-jumping shortcut's
+          // self-join costs more than the iteration it would save
+          graft.operators.Graph.connectedComponents(
+            corpus.select(col("doc_id").as("id")),
+            pairs.select(col("id1").as("src"), col("id2").as("dst")),
+            maxIters = 20, shortcut = false)
+        } finally pairs.unpersist(blocking = false)
       labels.select(col("id").as("doc_id"), col("cluster_id"))
         .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
     },

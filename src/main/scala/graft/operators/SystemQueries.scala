@@ -1141,7 +1141,9 @@ object SystemQueries {
           graft.sources.v2.GraftStoreOps.updateWhere(s, path,
             col("o_orderkey") === 7L, Map("o_totalprice" -> lit(-1.0)))
           false
-        } catch { case e: Throwable => e.getMessage.contains("CHECK") }
+        } catch { case e: Throwable =>
+          e.getMessage != null && e.getMessage.contains("CHECK")
+        }
       // both rejections were ATOMIC: still exactly one snapshot
       val atomic = graft.sources.v2.GraftStoreOps.history(s, path).size == 1
       s.read.format("graft-store").load(path)

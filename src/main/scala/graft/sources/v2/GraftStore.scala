@@ -535,11 +535,17 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
     * physical deletion stays the explicit expireSnapshots step. */
   override def truncateTable(): Boolean = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val m = GraftStoreFormat.readLatestManifest(path, conf)
-      .getOrElse(return false)
+    if (GraftStoreFormat.readLatestManifest(path, conf).isEmpty) return false
     var done = false
     while (!done) {
+      // re-read the HEAD manifest inside the retry loop: a concurrent
+      // commit that wins the CAS between our read and our publish (an
+      // evolving append's widened schema, a new CHECK, a layout change)
+      // must not be reverted by republishing a stale metadata copy
       val head = GraftStoreFormat.listManifests(path, conf)
+      val m = head.lastOption
+        .map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(return false)
       done = GraftStoreFormat.commitManifest(path, conf,
         m.copy(files = Seq.empty, txn = None),
         GraftStoreFormat.nextSeq(head))
@@ -763,10 +769,19 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
       // have no partition values, so scans degrade conservatively to
       // UnknownPartitioning until compaction re-routes them — declared
       // layout preserved, correctness never at risk
+      // declared nullability only ever WIDENS (mirror of the batch path):
+      // a stream whose schema marks a column nullable can legally write
+      // nulls, so republishing the stored non-null contract unchanged would
+      // let the optimizer simplify IsNotNull over data that now holds nulls
+      val tableSchema = prevManifest match {
+        case Some(m) =>
+          StructType(m.schema.fields.zip(schema.fields).map { case (o, n) =>
+            o.copy(nullable = o.nullable || n.nullable)
+          })
+        case _ => schema
+      }
       done = GraftStoreFormat.commitManifest(path, conf,
-        // the table's DECLARED schema wins (its nullability may be wider
-        // than this stream's): carried + streamed files all decode with it
-        GraftManifest(prevManifest.map(_.schema).getOrElse(schema),
+        GraftManifest(tableSchema,
           prev ++ newEntries, txn = Some(token),
           partitionCol = prevManifest.flatMap(_.partitionCol),
           clusterCols = prevManifest.flatMap(_.clusterCols),
@@ -911,9 +926,16 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       val cluster =
         if (truncate) declaredCluster
         else prevManifest.flatMap(_.clusterCols).orElse(declaredCluster)
+      // like clusterCols, the CHECK constraint re-derives from the freshly
+      // read head on every OCC retry: a constraint declared concurrently by
+      // another writer between plan time and this commit must survive an
+      // append (an overwrite may still redeclare/clear it)
+      val effCheck =
+        if (truncate) checkText
+        else prevManifest.flatMap(_.check).orElse(checkText)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema, prev ++ newEntries, partitionCol = partitionBy,
-          clusterCols = cluster, check = checkText),
+          clusterCols = cluster, check = effCheck),
         GraftStoreFormat.nextSeq(head))
     }
     // NO data-file cleanup here, even on truncate: superseded files are
