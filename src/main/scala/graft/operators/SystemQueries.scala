@@ -1272,6 +1272,117 @@ object SystemQueries {
            |WHERE oa.o_orderkey < 8000 AND ob.o_orderkey >= 8000
            |GROUP BY oa.o_month, oa.o_custkey""".stripMargin))
 
+  /** Row-level CDC as a STREAMING SOURCE (`readChangeFeed=true` — the
+    * Delta `readChangeData` analogue, completing q138's batch feed + q112's
+    * snapshot tail): COW DML commits carry WRITER-EMITTED change stores
+    * (the rewrite has both row images in hand — a streaming source emits
+    * partitions and cannot join, so pre/post pairing must happen at write
+    * time), pure appends synthesize inserts reader-side from their added
+    * files, and offsets are durable snapshot seqs. The streamed feed is
+    * proven row-exact against the batch CDC read (`stream_exact`), and a
+    * checkpoint restart replays NOTHING (`no_replay` — manifests and change
+    * stores are immutable, so committed offsets never re-emit). The oracle
+    * rebuilds all four change classes per commit from the raw parquet. */
+  val q153CdcStream = QuerySpec(
+    "q153_cdc_stream", "S-dsv2-cdc-stream",
+    "CDC streaming source: writer-emitted change files, exactly-once restart",
+    (s, d) => withStatePartitions(s, 8) {
+      val path = "/tmp/graft_store_q153"
+      churnedOrdersStore(s, d, path)
+      val ckpt = "/tmp/graft_ckpt_q153"
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckptPath, true)
+      // each run counts streamed rows per batch — a bounded scalar per
+      // batch, never a row collect
+      def run(): Long = {
+        val n = new java.util.concurrent.atomic.AtomicLong(0L)
+        val q = s.readStream.format("graft-store").option("readChangeFeed", "true")
+          .load(path)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            n.addAndGet(b.count()); ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        n.get()
+      }
+      val n1 = run()
+      val n2 = run() // restart from the checkpoint: must replay nothing
+      val feed = s.read.format("graft-store").option("readChangeFeed", "true")
+        .load(path)
+      val batchCount = feed.count()
+      feed.groupBy(col("change_type"), col("_commit_snapshot").as("snap"))
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("stream_exact", lit(n1 == batchCount))
+        .withColumn("no_replay", lit(n2 == 0L))
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_totalprice
+           |  FROM orders WHERE o_orderkey < 4000),
+           |feed AS (
+           |  SELECT o_orderkey, o_totalprice, 'insert' AS change_type,
+           |    CAST(0 AS BIGINT) AS snap FROM base
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice, 'delete', 1 FROM base
+           |  WHERE o_orderkey < 1000
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice, 'insert', 2 FROM orders
+           |  WHERE o_orderkey >= 4000 AND o_orderkey < 6000
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice, 'update_preimage', 3 FROM base
+           |  WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice + 10, 'update_postimage', 3 FROM base
+           |  WHERE o_orderkey >= 2000 AND o_orderkey < 3000)
+           |SELECT change_type, snap, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS stream_exact, TRUE AS no_replay
+           |FROM feed GROUP BY change_type, snap""".stripMargin))
+
+  /** CONTINUOUS incremental view maintenance: q151's maintained aggregate
+    * driven by the CDC STREAM in foreachBatch — the materialized-view
+    * refresh loop the change feed exists for, now running as a live
+    * pipeline instead of a batch diff. Each micro-batch folds its signed
+    * deltas (+1 arriving image, −1 departing) into the view state; the
+    * per-batch collect is bounded by the GROUP count (≤ #priorities), the
+    * q128 accumulator discipline. Sums commute, so the result is
+    * batching-independent; the oracle recomputes the final state directly
+    * — a missed image class or a sign error breaks the hash. */
+  val q154CdcStreamIvm = QuerySpec(
+    "q154_cdc_stream_ivm", "S-dsv2-cdc-stream-ivm",
+    "continuous IVM: maintained aggregate fed by the CDC stream",
+    (s, d) => withStatePartitions(s, 8) {
+      val path = "/tmp/graft_store_q154"
+      churnedOrdersStore(s, d, path)
+      val state = new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+      val q = s.readStream.format("graft-store").option("readChangeFeed", "true")
+        .load(path)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val deltas = b.withColumn("sign",
+              when(col("change_type").isin("insert", "update_postimage"), 1L)
+                .otherwise(-1L))
+            .groupBy("o_orderpriority")
+            .agg(sum(col("sign")).as("dn"),
+              sum(col("sign") * col("o_totalprice")).as("dsum"))
+            .collect() // bounded: one row per priority group
+          deltas.foreach { r =>
+            state.merge(r.getString(0), (r.getLong(1), r.getDouble(2)),
+              (a, d0) => (a._1 + d0._1, a._2 + d0._2))
+          }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      state.asScala.toSeq
+        .map { case (k, (n, sp)) => (k, n, sp) }
+        .filter(_._2 > 0)
+        .toDF("o_orderpriority", "n", "sum_price")
+        .withColumn("sum_price", round(col("sum_price"), 2))
+    },
+    q151CdcIvm.oracle) // identical contract: maintained view == recompute
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1280,5 +1391,5 @@ object SystemQueries {
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
     q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
     q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck,
-    q151CdcIvm, q152CompositeLayout)
+    q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm)
 }

@@ -66,10 +66,14 @@ class GraftStore extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-store requires a path"))
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     // honor time-travel options: an old snapshot may predate a schema change
-    GraftStoreFormat.selectManifest(path, conf, options)
+    val t = GraftStoreFormat.selectManifest(path, conf, options)
       .getOrElse(throw new IllegalArgumentException(
         s"graft-store: no manifest at $path (write first, or pass a schema)"))
       .schema
+    // `readChangeFeed=true`: the relation's schema is the CDC shape
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      GraftCdc.cdcSchema(t)
+    else t
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -102,10 +106,16 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
     stats: Map[Int, (String, String)], partVals: Option[Seq[Option[String]]] = None,
     ncols: Option[Int] = None)
 
+/** `cdc` (manifest v5+): id of the change-data store under `_cdc/<id>`
+  * recorded by the COW DML commit that PUBLISHED this snapshot — the
+  * writer-emitted row-level change log (Delta CDF's `_change_data` files).
+  * Strictly PER-COMMIT metadata, never a table property: every other
+  * commit path (append, overwrite, truncate, restore, compaction) must
+  * leave it None. */
 private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
     millis: Long = 0L, partitionCol: Option[String] = None,
     txn: Option[String] = None, clusterCols: Option[String] = None,
-    check: Option[String] = None)
+    check: Option[String] = None, cdc: Option[String] = None)
 
 private[v2] object GraftStoreFormat {
   /** Manifest file body: optional `#millis=<epoch>` header (v2 — publication
@@ -231,13 +241,20 @@ private[v2] object GraftStoreFormat {
       if (rest3.head.startsWith("#check="))
         (Some(unescStat(rest3.head.stripPrefix("#check="))), rest3.tail)
       else (None, rest3)
+    // `#cdc=` header (optional): id of the change-data store under
+    // `_cdc/<id>` holding this COMMIT's writer-emitted row-level changes
+    // (see [[GraftManifest.cdc]])
+    val (cdc, rest5) =
+      if (rest4.head.startsWith("#cdc="))
+        (Some(rest4.head.stripPrefix("#cdc=")), rest4.tail)
+      else (None, rest4)
     // `#txn=` header (optional): the streaming-epoch token of the commit
     // that published this snapshot — the idempotency check a replayed
     // epoch commit is deduplicated against
     val (txn, lines) =
-      if (rest4.head.startsWith("#txn="))
-        (Some(rest4.head.stripPrefix("#txn=")), rest4.tail)
-      else (None, rest4)
+      if (rest5.head.startsWith("#txn="))
+        (Some(rest5.head.stripPrefix("#txn=")), rest5.tail)
+      else (None, rest5)
     GraftManifest(
       StructType.fromDDL(lines.head),
       lines.tail.toSeq.map { l =>
@@ -249,7 +266,7 @@ private[v2] object GraftStoreFormat {
           if (parts.length > 3) partValsFromString(parts(3)) else None,
           if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None)
       },
-      millis, partCol, txn, clusterCols, check)
+      millis, partCol, txn, clusterCols, check, cdc)
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
@@ -330,6 +347,7 @@ private[v2] object GraftStoreFormat {
         m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
         m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
         m.check.map(c => s"#check=${escStat(c)}\n").getOrElse("") +
+        m.cdc.map(c => s"#cdc=$c\n").getOrElse("") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
         m.schema.toDDL + "\n" + m.files.map { e =>
           val pv = e.partVals.map(partValsToString).getOrElse("")
@@ -547,7 +565,7 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
         .map(GraftStoreFormat.readManifestFile(path, conf, _))
         .getOrElse(return false)
       done = GraftStoreFormat.commitManifest(path, conf,
-        m.copy(files = Seq.empty, txn = None),
+        m.copy(files = Seq.empty, txn = None, cdc = None),
         GraftStoreFormat.nextSeq(head))
     }
     true
@@ -583,7 +601,10 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
         pinned.foreach { case (k, v) => m.put(k, v) }
         new CaseInsensitiveStringMap(m)
       }
-    new GraftStoreScanBuilder(path,
+    if (Option(merged.get("readChangeFeed")).exists(_.toBoolean))
+      new GraftStoreCdcScanBuilder(path,
+        SparkSession.active.sparkContext.hadoopConfiguration, merged)
+    else new GraftStoreScanBuilder(path,
       SparkSession.active.sparkContext.hadoopConfiguration, merged)
   }
 
@@ -1427,6 +1448,228 @@ private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
   override def stop(): Unit = ()
 }
 
+// ------------------------------------------------------------------- CDC
+
+/** Row-level change-data-capture read surface (`readChangeFeed=true` —
+  * Delta's `readChangeData` analogue), batch AND streaming, built on two
+  * complementary mechanisms:
+  *
+  *   - COW DML commits (delete/update/merge) carry WRITER-EMITTED change
+  *     stores (`_cdc/<id>`, stamped `#cdc=` in the manifest): the rewrite
+  *     had both row images in hand, so update_preimage/update_postimage
+  *     pairs exist physically — which is what a streaming source needs,
+  *     since it emits partitions and cannot join;
+  *   - pure-append commits need no change files at all: their ADDED data
+  *     files ARE the inserts, synthesized reader-side with a constant
+  *     `change_type` (Delta does exactly this — CDC files only for DML).
+  *
+  * A commit that REMOVES files without a change log (overwrite, truncate,
+  * restore, compaction) cannot be reconstructed row-level: the feed FAILS
+  * LOUDLY there unless `skipChangeCommits=true` (Delta's flag) — silent
+  * wrong answers are never on the menu. Output schema = table schema +
+  * `change_type` string + `_commit_snapshot` long (the commit's snapshot
+  * seq, for ordering/windowing downstream).
+  *
+  * Scale shape: planning is manifest-only (driver metadata); each batch
+  * reads exactly the churn — change files sized by rewritten rows, insert
+  * files by appended rows — never the table. */
+private[v2] object GraftCdc {
+  val TypeCol = "change_type"
+  val SnapCol = "_commit_snapshot"
+
+  def cdcSchema(table: StructType): StructType =
+    StructType(table.fields :+ StructField(TypeCol, StringType, nullable = false) :+
+      StructField(SnapCol, LongType, nullable = false))
+
+  /** Plan the feed for commits with seq in (fromSeq, toSeq]. Walks the
+    * retained manifests oldest-first carrying the previous listing. A
+    * commit whose PREDECESSOR is unknown (expired past retention) is only
+    * emittable when self-contained: a cdc-bearing commit's change store
+    * fully describes it; the table's first-ever snapshot (seq 0) diffs
+    * against empty. Anything else fails loudly — a partial feed that
+    * silently dropped expired history would be a wrong answer. `pinned`
+    * is the table schema at stream/scan start: files written under a
+    * WIDER (evolved) schema fail loudly, narrower ones null-extend. */
+  def planPartitions(path: String, conf: Configuration, pinned: StructType,
+      fromSeq: Long, toSeq: Long, skipChangeCommits: Boolean): Array[InputPartition] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var prevFiles: Set[String] = Set.empty
+    var prevKnown = false
+    for (p <- GraftStoreFormat.listManifests(path, conf)
+         if GraftStoreFormat.manifestSeq(p) <= toSeq) {
+      val seq = GraftStoreFormat.manifestSeq(p)
+      val m = GraftStoreFormat.readManifestFile(path, conf, p)
+      if (seq > fromSeq) {
+        m.cdc match {
+          case Some(id) =>
+            val cdcPath = s"$path/_cdc/$id"
+            val cm = GraftStoreFormat.readLatestManifest(cdcPath, conf)
+              .getOrElse(throw new IllegalStateException(
+                s"graft-store: snapshot $seq references missing change store $id " +
+                  "(expired past an active feed? increase retention)"))
+            cm.files.sortBy(_.name).foreach { e =>
+              val w = e.ncols.getOrElse(cm.schema.length)
+              require(w - 1 <= pinned.length,
+                s"graft-store: change file ${e.name} was written under an evolved " +
+                  s"schema (${w - 1} cols > pinned ${pinned.length}); restart the feed")
+              out += GraftCdcPartition(
+                new Path(cdcPath, e.name).toString, w, null, seq)
+            }
+          case None =>
+            if (!prevKnown && seq != 0L)
+              throw new IllegalStateException(
+                s"graft-store: feed start predates retained history (snapshot " +
+                  s"$seq's predecessor expired); start the feed at a retained " +
+                  "snapshot (startSnapshot) or increase retention")
+            val added = m.files.filterNot(e => prevFiles.contains(e.name)).sortBy(_.name)
+            val removed = prevFiles.diff(m.files.map(_.name).toSet)
+            if (removed.nonEmpty && !skipChangeCommits)
+              throw new IllegalStateException(
+                s"graft-store: snapshot $seq removed files without a change log " +
+                  "(overwrite/truncate/restore/compaction); row-level changes " +
+                  "cannot be reconstructed — set skipChangeCommits=true to ignore " +
+                  "such commits, or use changesBetween for a net snapshot diff")
+            if (removed.isEmpty) added.foreach { e =>
+              val w = e.ncols.getOrElse(m.schema.length)
+              require(w <= pinned.length,
+                s"graft-store: file ${e.name} was written under an evolved schema " +
+                  s"($w cols > pinned ${pinned.length}); restart the feed")
+              out += GraftCdcPartition(
+                new Path(path, e.name).toString, w, "insert", seq)
+            }
+        }
+      }
+      prevFiles = m.files.map(_.name).toSet
+      prevKnown = true
+    }
+    out.toArray
+  }
+}
+
+/** One CDC read unit. `tag == null`: a change-store file whose LAST column
+  * is `change_type` (physical width `ncols` = data prefix + 1); otherwise a
+  * plain data file of width `ncols` whose every row is synthesized as
+  * `change_type = tag`. `seq` populates `_commit_snapshot`. */
+private[v2] case class GraftCdcPartition(file: String, ncols: Int, tag: String,
+    seq: Long) extends InputPartition
+
+private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val GraftCdcPartition(file, ncols, tag, seq) =
+      partition.asInstanceOf[GraftCdcPartition]
+    // physical decode schema: the table-prefix the file holds, plus the
+    // trailing change_type column for change-store files
+    val dataWidth = if (tag == null) ncols - 1 else ncols
+    val fileSchema = StructType(
+      table.fields.take(dataWidth) ++
+        (if (tag == null) Array(StructField(GraftCdc.TypeCol, StringType)) else Array.empty[StructField]))
+    // output index map: table column i -> decoded i (null-extended), the
+    // two CDC columns -> synthesized/last-decoded
+    val getters: Array[Array[Any] => Any] = required.fieldNames.map {
+      case GraftCdc.TypeCol =>
+        if (tag == null) (cur: Array[Any]) => cur(dataWidth)
+        else { val t = UTF8String.fromString(tag); (_: Array[Any]) => t }
+      case GraftCdc.SnapCol => (_: Array[Any]) => seq
+      case name =>
+        val i = table.fieldIndex(name)
+        if (i < dataWidth) (cur: Array[Any]) => cur(i)
+        else (_: Array[Any]) => null
+    }
+    new PartitionReader[InternalRow] {
+      private val fs = new Path(file).getFileSystem(conf.value)
+      private val in = new DataInputStream(
+        new BufferedInputStream(fs.open(new Path(file)), 1 << 16))
+      private var cur: Array[Any] = _
+      override def next(): Boolean = {
+        cur = GraftStoreFormat.readRow(in, fileSchema)
+        cur != null
+      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(getters.toSeq.map(g => g(cur)))
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** Scan for `readChangeFeed=true`: batch reads a snapshot-index range
+  * (`startSnapshot` inclusive, default 0; `endSnapshot` inclusive, default
+  * head), streaming tails the commit log per-commit. */
+private[v2] class GraftStoreCdcScanBuilder(path: String, conf: Configuration,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private val table: StructType = GraftStoreFormat.selectManifest(path, conf, options)
+    .getOrElse(throw new IllegalArgumentException(
+      s"graft-store: no manifest at $path"))
+    .schema
+  private var required: StructType = GraftCdc.cdcSchema(table)
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GraftStoreCdcScan(path, table, required,
+    new SerializableHadoopConf(conf), options)
+}
+
+private[v2] class GraftStoreCdcScan(path: String, table: StructType,
+    required: StructType, conf: SerializableHadoopConf,
+    options: CaseInsensitiveStringMap) extends Scan with Batch {
+  private def skipChangeCommits: Boolean =
+    Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-store-cdc $path"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ms = GraftStoreFormat.listManifests(path, conf.value)
+    require(ms.nonEmpty, s"graft-store: no manifest at $path")
+    val seqs = ms.map(GraftStoreFormat.manifestSeq)
+    def at(opt: String, default: Long, inclusiveFrom: Boolean): Long =
+      Option(options.get(opt)) match {
+        case Some(i) =>
+          require(i.toInt >= 0 && i.toInt < seqs.size,
+            s"graft-store: $opt $i outside [0, ${seqs.size})")
+          if (inclusiveFrom) seqs(i.toInt) - 1 else seqs(i.toInt)
+        case None => default
+      }
+    GraftCdc.planPartitions(path, conf.value, table,
+      at("startSnapshot", -1L, inclusiveFrom = true),
+      at("endSnapshot", seqs.last, inclusiveFrom = false), skipChangeCommits)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdcReaderFactory(table, required, conf)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftStoreCdcMicroBatchStream(path, table, required, conf, skipChangeCommits)
+}
+
+/** The CDC STREAM: offsets are snapshot seqs (exactly like the plain
+  * snapshot-tail stream — durable, restart-safe, deterministic replay);
+  * each micro-batch replays the per-commit row-level changes in (s, e].
+  * Restarting from a checkpoint replays nothing: manifests and change
+  * stores are immutable, so batch (s, e] always plans the same files. */
+private[v2] class GraftStoreCdcMicroBatchStream(path: String, table: StructType,
+    required: StructType, conf: SerializableHadoopConf, skipChangeCommits: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftSnapshotOffset(-1L)
+  override def latestOffset(): Offset = GraftSnapshotOffset(
+    GraftStoreFormat.listManifests(path, conf.value).lastOption
+      .map(GraftStoreFormat.manifestSeq).getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset =
+    GraftSnapshotOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftSnapshotOffset].seq
+    val e = end.asInstanceOf[GraftSnapshotOffset].seq
+    if (e <= s) Array.empty
+    else GraftCdc.planPartitions(path, conf.value, table, s, e, skipChangeCommits)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdcReaderFactory(table, required, conf)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 /** Table-maintenance surface for graft-store snapshots — the ops half of
   * time travel (cf. Iceberg's `history` metadata table + `expire_snapshots`).
   *
@@ -1525,7 +1768,10 @@ object GraftStoreOps {
       cond: org.apache.spark.sql.Column): (Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     // SQL DELETE: a row is removed iff cond is TRUE — null cond keeps it
-    cowRewrite(spark, path, cond, _.filter(not(coalesce(cond, lit(false)))))
+    cowRewrite(spark, path, cond, _.filter(not(coalesce(cond, lit(false)))),
+      // change log: exactly the removed rows
+      changes = Some(sub => sub.filter(coalesce(cond, lit(false)))
+        .withColumn("change_type", lit("delete"))))
   }
 
   /** Copy-on-write UPDATE (`UPDATE SET col = expr WHERE cond`): same
@@ -1538,14 +1784,31 @@ object GraftStoreOps {
   def updateWhere(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column]): (Int, Int) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not, struct, when}
     cowRewrite(spark, path, cond, df =>
       df.select(df.columns.map { c =>
         set.get(c) match {
           case Some(v) => when(coalesce(cond, lit(false)), v).otherwise(col(c)).as(c)
           case None => col(c)
         }
-      }.toSeq: _*))
+      }.toSeq: _*),
+      // change log: pre/post image pairs for rows the condition hit AND the
+      // SET actually changed (a no-op assignment is not a change — matching
+      // the net-diff semantics of changesBetween). Post values cast to the
+      // column's declared type so the change store's schema stays the
+      // table's schema exactly.
+      changes = Some { sub =>
+        val cols = sub.columns.toSeq
+        val hit = sub.filter(coalesce(cond, lit(false)))
+          .withColumn("_post", struct(cols.map { c =>
+            set.get(c).map(_.cast(sub.schema(c).dataType).as(c)).getOrElse(col(c))
+          }: _*))
+          .filter(not(struct(cols.map(col): _*) <=> col("_post")))
+        hit.select(cols.map(col) :+ lit("update_preimage").as("change_type"): _*)
+          .unionByName(hit.select(
+            cols.map(c => col(s"_post.$c").as(c)) :+
+              lit("update_postimage").as("change_type"): _*))
+      })
   }
 
   /** Copy-on-write MERGE (upsert-merge: `MERGE ... WHEN MATCHED THEN
@@ -1588,16 +1851,49 @@ object GraftStoreOps {
       joined.select(m.schema.fieldNames.map { c =>
         when(flagged("_m"), flagged(c)).otherwise(t(c)).as(c)
       }.toSeq: _*)
-    }, forceWhenEmpty = true)
+    }, forceWhenEmpty = true,
+      // change log: matched-and-changed rows yield pre/post image pairs,
+      // source-only rows (including null-key sources, which never match)
+      // yield inserts; untouched target rows yield nothing. An identical-
+      // valued upsert is a no-op (net-diff semantics, like changesBetween).
+      changes = Some { t =>
+        import org.apache.spark.sql.functions.{not, struct}
+        val cols = m.schema.fieldNames.toSeq
+        val joined = t.join(flagged, t(key) === flagged(key), "full_outer")
+        val preS = struct(cols.map(c => t(c).as(c)): _*)
+        val postS = struct(cols.map(c => flagged(c).as(c)): _*)
+        val matched = joined
+          .filter(flagged("_m") && t(key).isNotNull && not(preS <=> postS))
+        val ins = joined.filter(flagged("_m") && t(key).isNull)
+        matched.select(cols.map(c => t(c).as(c)) :+
+            lit("update_preimage").as("change_type"): _*)
+          .unionByName(matched.select(cols.map(c => flagged(c).as(c)) :+
+            lit("update_postimage").as("change_type"): _*))
+          .unionByName(ins.select(cols.map(c => flagged(c).as(c)) :+
+            lit("insert").as("change_type"): _*))
+      })
   }
 
   /** Shared COW kernel: plan the may-match file set from stats, rewrite
     * ONLY those files through `rewrite`, publish carried ++ new with the
-    * OCC retry. See [[deleteWhere]] for the concurrency contract. */
+    * OCC retry. See [[deleteWhere]] for the concurrency contract.
+    *
+    * `changes`: the DML op's row-level change computation over the SAME
+    * affected subset (rows = table columns + `change_type`). When present,
+    * the kernel writes them as a change-data store under `_cdc/<id>` BEFORE
+    * the manifest commit and stamps the committed manifest with `#cdc=<id>`
+    * — so by the time a reader can see the snapshot, its change log is
+    * already durable (the Delta CDF `_change_data` discipline). Writer-
+    * emitted change files are what make a row-level CDC STREAM possible at
+    * all: a streaming source emits partitions and cannot join, so
+    * update_pre/post pairing must happen at write time, where the rewrite
+    * has both images in hand. Cost: one extra pass over the affected subset
+    * — proportional to the churn, never the table. */
   private def cowRewrite(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column,
       rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      forceWhenEmpty: Boolean = false)
+      forceWhenEmpty: Boolean = false,
+      changes: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None)
       : (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = GraftStoreFormat.fs(path, conf)
@@ -1617,9 +1913,10 @@ object GraftStoreOps {
     // rewrite ONLY the affected files, into a scratch store under the table
     // path (its manifests are invisible to the table's own listing)
     val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
-    val kept = rewrite(spark.read.format("graft-store")
+    val sub = spark.read.format("graft-store")
       .option("files", affected.map(_.name).mkString(","))
-      .load(path))
+      .load(path)
+    val kept = rewrite(sub)
     // the rewrite keeps the table's declared layout: identity/bucket
     // routing via partitionBy, or the sort clustering re-applied so the
     // rewritten files stay range-disjoint (clusterFiles pins the rewrite
@@ -1637,6 +1934,15 @@ object GraftStoreOps {
     val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
       .getOrElse(GraftManifest(m.schema, Seq.empty))
     sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
+    // the change log is durable BEFORE the manifest that points at it: a
+    // reader that can resolve the new snapshot can always read its changes.
+    // A crash here orphans an unreferenced _cdc dir — invisible, reclaimed
+    // by expireSnapshots.
+    val cdcId = changes.map { chg =>
+      val id = UUID.randomUUID().toString.take(12)
+      chg(sub).write.format("graft-store").mode("overwrite").save(s"$path/_cdc/$id")
+      id
+    }
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
@@ -1668,7 +1974,7 @@ object GraftStoreOps {
         GraftManifest(headM.schema, carried ++ rewritten,
           partitionCol = headM.partitionCol.orElse(m.partitionCol),
           clusterCols = headM.clusterCols.orElse(m.clusterCols),
-          check = headM.check.orElse(m.check)),
+          check = headM.check.orElse(m.check), cdc = cdcId),
         GraftStoreFormat.nextSeq(head))
     }
     f.delete(new Path(scratch), true)
@@ -1779,7 +2085,7 @@ object GraftStoreOps {
       ms = GraftStoreFormat.listManifests(path, conf)
       committedSeq = GraftStoreFormat.nextSeq(ms)
       done = GraftStoreFormat.commitManifest(path, conf,
-        target.copy(txn = None), committedSeq)
+        target.copy(txn = None, cdc = None), committedSeq)
     }
     // index of the seq WE committed — re-listing the head here would race
     // a concurrent commit landing right after ours
@@ -1855,9 +2161,19 @@ object GraftStoreOps {
     val f = GraftStoreFormat.fs(path, conf)
     val ms = GraftStoreFormat.listManifests(path, conf)
     val (drop, keep) = ms.splitAt(math.max(0, ms.size - keepLast))
-    val referenced = keep
-      .flatMap(p => GraftStoreFormat.readManifestFile(path, conf, p).files.map(_.name)).toSet
+    val keepM = keep.map(p => GraftStoreFormat.readManifestFile(path, conf, p))
+    val referenced = keepM.flatMap(_.files.map(_.name)).toSet
+    // change stores referenced by DROPPED snapshots go with them — but only
+    // those (an UNREFERENCED _cdc dir might belong to an in-flight COW
+    // commit whose manifest hasn't landed yet; crash orphans linger, tiny
+    // and invisible, rather than racing a live writer)
+    val keepCdc = keepM.flatMap(_.cdc).toSet
+    val dropCdc = drop
+      .flatMap(p => GraftStoreFormat.readManifestFile(path, conf, p).cdc)
+      .filterNot(keepCdc).distinct
     drop.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
+    dropCdc.foreach(id =>
+      try f.delete(new Path(path, s"_cdc/$id"), true) catch { case _: Throwable => () })
     val orphans = f.listStatus(new Path(path)).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && !referenced.contains(p.getName))
     orphans.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
