@@ -1383,6 +1383,110 @@ object SystemQueries {
     },
     q151CdcIvm.oracle) // identical contract: maintained view == recompute
 
+  /** SQL `UPDATE` through `SupportsRowLevelOperations` (group-based
+    * ReplaceData — [[graft.sources.v2.GraftRowLevelOperation]]): the parsed
+    * statement's WHERE reaches the operation's scan as pushed filters used
+    * for STATS PRUNING (Spark's group-based scan planning deliberately
+    * ignores residuals — a group read returns all its rows), the rewrite
+    * projection applies the SET clauses, and the commit REPLACES exactly
+    * the scanned files (head − scanned + new, OCC-retried). Same scenario
+    * as q133's programmatic kernel, now driven end-to-end from SQL text;
+    * the `rewrite_pruned` bit proves files outside the key range carried
+    * over untouched at the manifest level. */
+  val q155SqlUpdate = QuerySpec(
+    "q155_sql_update", "S-dsv2-sql-update",
+    "SQL UPDATE via SupportsRowLevelOperations: pruned group rewrite from SQL text",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q155"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.graftq155", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq155.base", base)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(s"$base/ord")
+      // unrounded per-row value (q133 lesson): rounding happens once, on
+      // the final aggregate, where Spark and DuckDB agree
+      s.sql("""UPDATE graftq155.ord
+              |SET o_totalprice = o_totalprice * 0.9,
+              |    o_orderpriority = 'X-REPRICED'
+              |WHERE o_orderkey < 1500""".stripMargin)
+      val f0 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, s"$base/ord", 0)
+        .map(_._1).toSet
+      val f1 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, s"$base/ord", 1)
+        .map(_._1).toSet
+      val pruned = (f0 & f1).nonEmpty && (f1 -- f0).nonEmpty
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS sum_price
+              |FROM graftq155.ord GROUP BY o_orderpriority""".stripMargin)
+        .withColumn("rewrite_pruned", lit(pruned))
+    },
+    Some("""WITH u AS (SELECT o_orderkey,
+           |    CASE WHEN o_orderkey < 1500 THEN o_totalprice * 0.9
+           |         ELSE o_totalprice END AS o_totalprice,
+           |    CASE WHEN o_orderkey < 1500 THEN 'X-REPRICED'
+           |         ELSE o_orderpriority END AS o_orderpriority
+           |  FROM orders)
+           |SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS rewrite_pruned
+           |FROM u GROUP BY o_orderpriority""".stripMargin))
+
+  /** SQL `MERGE INTO` through the same row-level machinery: Spark rewrites
+    * the statement into a full-outer-join ReplaceData over the operation's
+    * scan, and the commit swaps the scanned files for the merged output.
+    * Mirrors q134's upsert scenario (matched rows repriced, unmatched
+    * source keys inserted) from SQL text, plus a WHEN-MATCHED-DELETE
+    * clause exercised in GraftRowLevelSpec. Documented tradeoff vs q134:
+    * the SQL merge pushes no static condition (the match key references
+    * source attributes), so every file is scanned — correct, with the
+    * programmatic `mergeInto`'s source-key-range pruning as the selective
+    * path. */
+  val q156SqlMerge = QuerySpec(
+    "q156_sql_merge", "S-dsv2-sql-merge",
+    "SQL MERGE INTO via SupportsRowLevelOperations: upsert from SQL text",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q156"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.graftq156", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq156.base", base)
+      val baseDf = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      baseDf.repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(s"$base/ord")
+      baseDf.filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"), // unrounded: q133 lesson
+          lit("X-MERGED").as("o_orderpriority"))
+        .unionByName(baseDf.filter(col("o_orderkey") < 500)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+            lit(1.0).as("o_totalprice"), lit("X-NEW").as("o_orderpriority")))
+        .createOrReplaceTempView("q156_src")
+      s.sql("""MERGE INTO graftq156.ord t USING q156_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS sum_price
+              |FROM graftq156.ord GROUP BY o_orderpriority""".stripMargin)
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+           |    'X-MERGED' AS o_orderpriority
+           |  FROM orders WHERE o_orderkey < 1000
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000, o_custkey, 1.0, 'X-NEW'
+           |  FROM orders WHERE o_orderkey < 500),
+           |merged AS (
+           |  SELECT * FROM src
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+           |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+           |SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price
+           |FROM merged GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1391,5 +1495,6 @@ object SystemQueries {
     q129StoreSpj, q132StoreDelete, q133StoreUpdate, q134StoreMerge,
     q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
     q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck,
-    q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm)
+    q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm,
+    q155SqlUpdate, q156SqlMerge)
 }

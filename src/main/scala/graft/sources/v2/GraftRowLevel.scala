@@ -1,0 +1,203 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL `UPDATE cat.tbl SET ... WHERE ...` and `MERGE INTO cat.tbl USING
+  * ...` through Spark's GROUP-BASED row-level operation API
+  * (`SupportsRowLevelOperations` → `RewriteUpdateTable` /
+  * `RewriteMergeIntoTable` → `ReplaceData`) — the honest DSv2 wiring, not
+  * a parser hack:
+  *
+  *   - Spark rewrites the command into "read every row of the affected
+  *     GROUPS, apply the modification in a projection (update) or join
+  *     (merge), write the groups back in full";
+  *   - our group = one data file. The command's condition reaches the
+  *     operation's scan as pushed filters used for STATS PRUNING ONLY
+  *     (`GroupBasedRowLevelOperationScanPlanning` deliberately ignores
+  *     residuals — a group read must return all its rows), so a selective
+  *     UPDATE reads and rewrites the handful of may-match files, exactly
+  *     the [[GraftStoreOps.updateWhere]] economics;
+  *   - scan and write of one command share ONE [[GraftRowLevelOperation]]
+  *     instance — the API's designed rendezvous: at commit the write
+  *     replaces exactly the files the plan read (head − scanned + new),
+  *     OCC-retried, with the same concurrent-overwrite abort as the
+  *     programmatic COW kernel;
+  *   - the table's declared layout (identity/bucket routing) is re-applied
+  *     through the rewrite via the shared writer factory, and the CHECK
+  *     constraint is compiled and enforced row-by-row, so SQL DML cannot
+  *     corrupt a layout or dodge a constraint.
+  *
+  * Scale note (documented tradeoff): SQL MERGE pushes no static condition
+  * (the match condition references source attributes), so its scan selects
+  * every file — correct, but the programmatic [[GraftStoreOps.mergeInto]]
+  * additionally prunes by the source key range and stays the better plan
+  * for selective upserts. Runtime group filtering
+  * (`SupportsRuntimeV2Filtering`) is the upstream mechanism to close that
+  * gap from SQL. SQL row-level commits carry no `_cdc` change store (the
+  * group rewrite has no key notion to pair images with); the CDC stream
+  * fails loudly on them, `changesBetween` still diffs them. */
+private[v2] class GraftRowLevelOperation(path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** The scan Spark built for this command — captured at build() so
+    * commit() can replace exactly the file set the plan read. */
+  @volatile private var captured: Option[GraftStoreScan] = None
+  private[v2] def scannedFiles: Seq[String] = captured match {
+    case Some(s) => s.selectedFileNames
+    case None => throw new IllegalStateException(
+      "graft-store: row-level write committed before its scan was planned")
+  }
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-store row-level $cmd $path"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    new GraftStoreScanBuilder(path, conf, options) {
+      override def build(): Scan = {
+        val s = super.build().asInstanceOf[GraftStoreScan]
+        captured = Some(s)
+        s
+      }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val m = GraftStoreFormat.readLatestManifest(path, conf)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-store: no manifest at $path"))
+      val schema = info.schema()
+      val layout = m.partitionCol.map(GraftLayout.parse)
+      val clusterBy = m.clusterCols
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
+      val check = m.check.map(GraftCheck.compile(schema, _))
+      new Write with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+        private def orders: Array[SortOrder] =
+          clusterBy.map(c => Expressions.sort(
+            Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+        // same discipline as the main write builder: a partition layout
+        // demands value clustering (one file per key combination), a sort
+        // clustering demands a range sort so rewritten files stay
+        // range-disjoint and prunable
+        override def requiredDistribution(): Distribution = layout match {
+          case Some(l) =>
+            Distributions.clustered(l.columns.map(c =>
+              Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+          case None =>
+            if (clusterBy.isEmpty) Distributions.unspecified()
+            else Distributions.ordered(orders)
+        }
+        override def requiredOrdering(): Array[SortOrder] = orders
+        override def requiredNumPartitions(): Int = 0
+        override def toBatch: BatchWrite =
+          new GraftRowLevelBatchWrite(path, schema, conf,
+            GraftRowLevelOperation.this, layout, check)
+      }
+    }
+  }
+}
+
+/** The REPLACE-groups commit: files the operation's scan selected are
+  * swapped for the rewrite's output in one OCC-retried manifest publish.
+  * Concurrency contract mirrors the programmatic COW kernel: a concurrent
+  * APPEND's files ride along untouched (they were not scanned, so the
+  * command's semantics never applied to them); a concurrent overwrite/
+  * rewrite that removed any scanned file aborts loudly (committing would
+  * resurrect replaced rows); a concurrent schema change aborts loudly. */
+private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
+    conf: Configuration, op: GraftRowLevelOperation, layout: Option[GraftLayout],
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends BatchWrite {
+  private val writeId = UUID.randomUUID().toString.take(8)
+  private def tmpDir = new Path(path, s"_tmp/$writeId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftRowLevelWriterFactory(
+      new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
+        GraftRoute.forLayout(layout, schema), check), schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = GraftStoreFormat.fs(path, conf)
+    val committed = messages.flatMap(_.asInstanceOf[GraftCommitMessage].entries)
+      .filter(_.rows > 0L).toSeq
+    committed.foreach(m => fs.rename(new Path(tmpDir, m.file), new Path(path, m.file)))
+    val newEntries = committed.map(m =>
+      GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
+        GraftStoreFormat.partValsFromString(m.partVals)))
+    val replaced = op.scannedFiles.toSet
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      val headM = head.lastOption
+        .map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(throw new IllegalStateException(
+          s"graft-store: no manifest at $path"))
+      if (!replaced.subsetOf(headM.files.map(_.name).toSet))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: table was overwritten/rewritten concurrently with a " +
+            "row-level operation; re-run the statement against the new head")
+      require(GraftStoreFormat.sameCols(headM.schema, schema),
+        "graft-store: concurrent schema change during a row-level operation")
+      val carried = headM.files.filterNot(e => replaced.contains(e.name))
+      done = GraftStoreFormat.commitManifest(path, conf,
+        GraftManifest(headM.schema, carried ++ newEntries,
+          partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
+          check = headM.check),
+        GraftStoreFormat.nextSeq(head))
+    }
+    fs.delete(tmpDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = GraftStoreFormat.fs(path, conf)
+    fs.delete(tmpDir, true) // manifest untouched: the old snapshot stays live
+  }
+}
+
+/** Adapter for the ReplaceData row contract: when the operation declares no
+  * `requiredMetadataAttributes`, Spark's plain writing task hands the
+  * writer the RAW rewrite rows — `[__row_operation int, <table columns>]`
+  * — WITHOUT applying the row projection (`ReplaceDataExec.writingTask`
+  * only projects on the metadata path). This wrapper strips the leading
+  * marker: `WRITE` / `WRITE_WITH_METADATA` rows project to the table
+  * columns (offset 1), any other marker is a loud error (ReplaceData
+  * emits only to-be-written rows), and a row already shaped to the write
+  * schema passes through untouched (future-proofing against Spark
+  * projecting upstream). */
+private[v2] class GraftRowLevelWriterFactory(delegate: DataWriterFactory,
+    schema: StructType) extends DataWriterFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val inner = delegate.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+      private val proj = new org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, (1 to schema.length).toIndexedSeq)
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == schema.length) inner.write(row)
+        else {
+          val op = row.getInt(0)
+          require(op == RowDeltaUtils.WRITE_OPERATION ||
+              op == RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+            s"graft-store: unexpected row operation marker $op in a group-based rewrite")
+          proj.project(row)
+          inner.write(proj)
+        }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -544,7 +544,19 @@ private[v2] object FilterToColumn {
 private[v2] class GraftStoreTable(path: String, schema0: StructType,
     pinned: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` (and non-filter-convertible `DELETE`)
+    * via Spark's group-based row-level operation API: the analyzer
+    * rewrites the command into a ReplaceData plan over this operation's
+    * scan + write pair ([[GraftRowLevelOperation]]). Simple DELETEs still
+    * collapse to the [[SupportsDelete]] metadata path via Spark's
+    * OptimizeMetadataOnlyDeleteFromTable. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(path, info.command())
 
   /** SQL `TRUNCATE TABLE <catalog>.<table>`: publishes an EMPTY snapshot —
     * a metadata-only commit, mirroring every other graft-store operation:
@@ -641,6 +653,27 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
   * for demonstrating pruning); `clusterFiles=N` pins the partition count
   * via `requiredNumPartitions`, the knob a production table sets from its
   * target file size instead. */
+private[v2] object GraftCheck {
+  /** Parse + analyze a CHECK constraint against a write schema (type
+    * coercion included) and BIND it positionally — evaluable straight on
+    * writer InternalRows. Shared by the batch/streaming write builder and
+    * the row-level (SQL UPDATE/MERGE) write. */
+  def compile(schema: StructType, text: String)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+    val spark = SparkSession.active
+    val parsed = spark.sessionState.sqlParser.parseExpression(text)
+    val attrs = schema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val analyzed = spark.sessionState.analyzer.execute(LFilter(parsed, LocalRelation(attrs)))
+    val cond = analyzed.collectFirst { case f: LFilter => f.condition }
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-store: cannot analyze check constraint '$text'"))
+    BindReferences.bindReference(cond, attrs)
+  }
+}
+
 private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, clusterBy: Array[String] = Array.empty,
     clusterFiles: Int = 0, partitionBy: Option[String] = None, queryId: String = "",
@@ -675,19 +708,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     * the writer's InternalRows, shipped to tasks as a serialized
     * expression. SQL CHECK semantics downstream: only FALSE rejects. */
   private lazy val compiledCheck: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-    effectiveCheck.map { text =>
-      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
-      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
-      val spark = SparkSession.active
-      val parsed = spark.sessionState.sqlParser.parseExpression(text)
-      val attrs = schema.fields.toSeq.map(f =>
-        AttributeReference(f.name, f.dataType, f.nullable)())
-      val analyzed = spark.sessionState.analyzer.execute(LFilter(parsed, LocalRelation(attrs)))
-      val cond = analyzed.collectFirst { case f: LFilter => f.condition }
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft-store: cannot analyze check constraint '$text'"))
-      BindReferences.bindReference(cond, attrs)
-    }
+    effectiveCheck.map(GraftCheck.compile(schema, _))
 
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
@@ -855,20 +876,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
-      layout match {
-        case None => NoRoute
-        case Some(l) =>
-          val idx = l.specs.map(sp => schema.fieldIndex(sp.col)).toArray
-          val buckets = l.specs.zip(idx).map {
-            case (IdentitySpec(_), _) => 0
-            case (BucketSpec(n, col), i) =>
-              require(GraftBucket.supports(schema.fields(i).dataType),
-                s"graft-store: bucket layout unsupported for " +
-                  s"${schema.fields(i).dataType.simpleString} column $col")
-              n
-          }.toArray
-          SpecRoute(idx, buckets)
-      }, check)
+      GraftRoute.forLayout(layout, schema), check)
 
   /** Driver-side, exactly once, only with messages of successful attempts:
     * move the committed attempts' files live, publish the new manifest.
@@ -990,6 +998,27 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
 private[v2] sealed trait GraftRoute extends Serializable
 private[v2] case object NoRoute extends GraftRoute
 private[v2] case class SpecRoute(idx: Array[Int], buckets: Array[Int]) extends GraftRoute
+
+private[v2] object GraftRoute {
+  /** Writer-side routing spec for a declared partition layout: per-spec
+    * column index + bucket count (0 = identity). Shared by the batch write
+    * and the row-level (SQL UPDATE/MERGE) write. */
+  def forLayout(layout: Option[GraftLayout], schema: StructType): GraftRoute =
+    layout match {
+      case None => NoRoute
+      case Some(l) =>
+        val idx = l.specs.map(sp => schema.fieldIndex(sp.col)).toArray
+        val buckets = l.specs.zip(idx).map {
+          case (IdentitySpec(_), _) => 0
+          case (BucketSpec(n, col), i) =>
+            require(GraftBucket.supports(schema.fields(i).dataType),
+              s"graft-store: bucket layout unsupported for " +
+                s"${schema.fields(i).dataType.simpleString} column $col")
+            n
+        }.toArray
+        SpecRoute(idx, buckets)
+    }
+}
 
 private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
     schema: StructType, conf: SerializableHadoopConf,
@@ -1242,6 +1271,9 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
 
   private lazy val selected: Seq[GraftFileEntry] =
     manifest.files.filter(e => pushed.forall(f => mayMatch(e, f)))
+  /** The stats-pruned file set this scan reads — the "groups" a row-level
+    * operation's commit replaces ([[GraftRowLevelBatchWrite]]). */
+  private[v2] def selectedFileNames: Seq[String] = selected.map(_.name)
   /** Exact stats from the manifest (post-skipping) — lets Catalyst make
     * size-based planning decisions (e.g. auto-broadcast a small
     * graft-store dimension). */
