@@ -1487,6 +1487,75 @@ object SystemQueries {
            |  round(sum(o_totalprice), 2) AS sum_price
            |FROM merged GROUP BY o_orderpriority""".stripMargin))
 
+  /** MULTI-COLUMN bucket layout `bucket(8, o_custkey, o_orderpriority)`
+    * (Hive-bucketing style, [[graft.sources.v2.BucketSpec]] with 1+
+    * columns): one file per murmur3 bucket of the (long, string) column
+    * TUPLE — a composite join key co-locates at a file count bounded by n,
+    * where a grid of single-column buckets would only prune one axis per
+    * equality. Probe result shipped as documentation (Spark 4.1,
+    * GraftStoreMultiBucketSpec): the multi-arg transform RESOLVES through
+    * the function catalog but Spark's SPJ machinery only extracts
+    * single-reference buckets, so no zero-exchange join yet — the layout's
+    * value today is bounded file counts + deterministic cross-table
+    * co-location, which the `co_located` bit PROVES (per-bucket tagged
+    * reads of two independently written tables joined on the key tuple:
+    * zero bucket-id mismatches). */
+  val q157MultiBucket = QuerySpec(
+    "q157_multi_bucket", "S-dsv2-multi-bucket",
+    "multi-column bucket(n,a,b) layout: composite-key co-location, bounded files",
+    (s, d) => {
+      val pa = "/tmp/graft_store_q157a"
+      val pb = "/tmp/graft_store_q157b"
+      for (p <- Seq(pa, pb)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      base.filter(col("o_orderkey") < 8000)
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(sum("o_totalprice").as("price_a"), count(lit(1)).as("n_a"))
+        .write.format("graft-store")
+        .option("partitionBy", "bucket(8,o_custkey,o_orderpriority)")
+        .mode("overwrite").save(pa)
+      base.filter(col("o_orderkey") >= 8000)
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(sum("o_totalprice").as("price_b"), count(lit(1)).as("n_b"))
+        .write.format("graft-store")
+        .option("partitionBy", "bucket(8,o_custkey,o_orderpriority)")
+        .mode("overwrite").save(pb)
+      // tag each row with its file's bucket id (per-bucket subset reads —
+      // ≤ n bounded unions, fully distributed) and prove equal key tuples
+      // landed in equal buckets across the two independent writes
+      def taggedByBucket(p: String, idAs: String) =
+        graft.sources.v2.GraftStoreOps.filesByPartition(s, p)
+          .map { case (id, names) =>
+            s.read.format("graft-store").option("files", names.mkString(","))
+              .load(p)
+              .select(col("o_custkey"), col("o_orderpriority"), lit(id).as(idAs))
+          }.reduce(_ unionByName _)
+      val mism = taggedByBucket(pa, "ba").join(taggedByBucket(pb, "bb"),
+          Seq("o_custkey", "o_orderpriority"))
+        .filter(col("ba") =!= col("bb")).count()
+      val ta = s.read.format("graft-store").load(pa)
+      val tb = s.read.format("graft-store").load(pb)
+      ta.join(tb, Seq("o_custkey", "o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("price_a") + col("price_b")), 2).as("sum_price"))
+        .withColumn("co_located", lit(mism == 0L))
+    },
+    Some("""WITH a AS (
+           |  SELECT o_custkey, o_orderpriority, sum(o_totalprice) AS price_a
+           |  FROM orders WHERE o_orderkey < 8000 GROUP BY 1, 2),
+           |b AS (
+           |  SELECT o_custkey, o_orderpriority, sum(o_totalprice) AS price_b
+           |  FROM orders WHERE o_orderkey >= 8000 GROUP BY 1, 2)
+           |SELECT o_orderpriority, count(*) AS n_pairs,
+           |  round(sum(price_a + price_b), 2) AS sum_price, TRUE AS co_located
+           |FROM a JOIN b USING (o_custkey, o_orderpriority)
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1496,5 +1565,5 @@ object SystemQueries {
     q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
     q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck,
     q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm,
-    q155SqlUpdate, q156SqlMerge)
+    q155SqlUpdate, q156SqlMerge, q157MultiBucket)
 }

@@ -25,25 +25,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * compared by the append layout guard after parse → render
   * normalization. */
 private[v2] sealed trait PartSpec {
-  def col: String
+  /** Every table column this transform reads (identity: one; bucket: 1+). */
+  def cols: Seq[String]
   def render: String
 }
 private[v2] case class IdentitySpec(col: String) extends PartSpec {
+  override def cols: Seq[String] = Seq(col)
   override def render: String = col
 }
-private[v2] case class BucketSpec(n: Int, col: String) extends PartSpec {
+/** `bucket(n, a[, b, ...])`: one file per murmur3 bucket of the column
+  * tuple. Multi-column buckets (Hive-bucketing style) co-locate a
+  * COMPOSITE join key at bounded file count — `bucket(16, a, b)` is 16
+  * files where `bucket(4,a),bucket(4,b)` would be 16 as a grid with each
+  * single-key equality only pruning one axis. */
+private[v2] case class BucketSpec(n: Int, bucketCols: Seq[String]) extends PartSpec {
   require(n > 0, s"graft-store: bucket count must be positive, got $n")
-  override def render: String = s"bucket($n,$col)"
+  require(bucketCols.nonEmpty, "graft-store: bucket spec needs at least one column")
+  override def cols: Seq[String] = bucketCols
+  override def render: String = s"bucket($n,${bucketCols.mkString(",")})"
+}
+private[v2] object BucketSpec {
+  /** Single-column convenience (the overwhelmingly common call shape). */
+  def apply(n: Int, col: String): BucketSpec = BucketSpec(n, Seq(col))
 }
 
 private[v2] case class GraftLayout(specs: Seq[PartSpec]) {
   require(specs.nonEmpty, "graft-store: empty partition layout")
   def render: String = specs.map(_.render).mkString(",")
-  def columns: Seq[String] = specs.map(_.col)
+  def columns: Seq[String] = specs.flatMap(_.cols)
 }
 
 private[v2] object GraftLayout {
-  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^),\s]+)\s*\)""".r
+  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^)]+)\)""".r
 
   /** Split on commas NOT inside parentheses (bucket(8,k) is one token). */
   private def splitTop(s: String): Seq[String] = {
@@ -62,16 +75,20 @@ private[v2] object GraftLayout {
 
   def parse(s: String): GraftLayout =
     GraftLayout(splitTop(s.trim).map {
-      case BucketRe(n, col) => BucketSpec(n.toInt, col)
+      case BucketRe(n, colList) =>
+        val cs = colList.split(",").map(_.trim).toSeq
+        require(cs.nonEmpty && cs.forall(c => c.nonEmpty && !c.exists(_.isWhitespace)),
+          s"graft-store: cannot parse bucket column list '$colList'")
+        BucketSpec(n.toInt, cs)
       case other if other.toLowerCase.matches("""bucket\s*\(.*""") =>
         // a malformed bucket CALL must not silently become an identity
-        // layout on a column literally named "bucket(...)" —
-        // bucket(4,a,b) (multi-column) and bucket(8) (no column) land
-        // here. A plain column that merely STARTS with "bucket"
-        // (bucket_tier) is a legitimate identity column and falls through
+        // layout on a column literally named "bucket(...)" — bucket(8)
+        // (no column) and bucket(x,a) (non-numeric count) land here. A
+        // plain column that merely STARTS with "bucket" (bucket_tier) is
+        // a legitimate identity column and falls through
         throw new IllegalArgumentException(
           s"graft-store: cannot parse bucket spec '$other' — expected " +
-            "bucket(<n>,<single column>)")
+            "bucket(<n>,<col>[,<col>...])")
       case col => IdentitySpec(col)
     })
 }
@@ -92,22 +109,42 @@ object GraftBucket {
   import scala.util.hashing.MurmurHash3
   private val Seed = 0x5f5e1f3
 
-  def ofLong(v: Long, n: Int): Int = {
+  /** Raw (pre-mod) murmur3 of one value — the building block both the
+    * single-column bucket (mod n directly, byte-stable with every manifest
+    * ever written) and the multi-column combine below share. */
+  private def rawLong(v: Long): Int = {
     val bytes = new Array[Byte](8)
     var i = 0
     while (i < 8) { bytes(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
-    math.floorMod(MurmurHash3.bytesHash(bytes, Seed), n)
+    MurmurHash3.bytesHash(bytes, Seed)
   }
-  def ofString(v: UTF8String, n: Int): Int =
-    math.floorMod(MurmurHash3.bytesHash(v.getBytes, Seed), n)
-
-  /** Bucket id for a non-null value of the given type. */
-  def of(v: Any, dt: DataType, n: Int): Int = dt match {
-    case LongType | TimestampType => ofLong(v.asInstanceOf[Long], n)
-    case IntegerType | DateType => ofLong(v.asInstanceOf[Int].toLong, n)
-    case StringType => ofString(v.asInstanceOf[UTF8String], n)
+  private def rawString(v: UTF8String): Int = MurmurHash3.bytesHash(v.getBytes, Seed)
+  private def raw(v: Any, dt: DataType): Int = dt match {
+    case LongType | TimestampType => rawLong(v.asInstanceOf[Long])
+    case IntegerType | DateType => rawLong(v.asInstanceOf[Int].toLong)
+    case StringType => rawString(v.asInstanceOf[UTF8String])
     case other => throw new UnsupportedOperationException(
       s"graft-store: bucket layout unsupported for type $other")
+  }
+
+  def ofLong(v: Long, n: Int): Int = math.floorMod(rawLong(v), n)
+  def ofString(v: UTF8String, n: Int): Int = math.floorMod(rawString(v), n)
+
+  /** Bucket id for a non-null value of the given type. */
+  def of(v: Any, dt: DataType, n: Int): Int = math.floorMod(raw(v, dt), n)
+
+  /** Multi-column bucket id over a value TUPLE (null elements hash to a
+    * fixed sentinel — a composite equi-join never matches a null element,
+    * so where those rows land cannot break co-location, and keeping them
+    * in ordinary buckets avoids a null-partition explosion across the
+    * column combinations). Ordered mix: bucket(n, a, b) ≠ bucket(n, b, a)
+    * by construction, matching the declared spec's column order. */
+  def ofTuple(vs: Seq[Option[(Any, DataType)]], n: Int): Int = {
+    var h = Seed
+    vs.foreach { ov =>
+      h = MurmurHash3.mix(h, ov.map { case (v, dt) => raw(v, dt) }.getOrElse(0))
+    }
+    math.floorMod(MurmurHash3.finalizeHash(h, vs.length), n)
   }
 
   def supports(dt: DataType): Boolean = dt match {
@@ -131,16 +168,44 @@ object GraftBucket {
 private[v2] object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
-    "bucket(n, col): murmur3 bucket id in [0, n) — graft-store bucket layout"
+    "bucket(n, col[, col...]): murmur3 bucket id in [0, n) — graft-store bucket layout"
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.length == 2,
-      s"bucket expects (numBuckets int, value), got ${inputType.simpleString}")
+    require(inputType.length >= 2,
+      s"bucket expects (numBuckets int, value[, value...]), got ${inputType.simpleString}")
     require(inputType.fields(0).dataType == IntegerType,
       s"bucket: numBuckets must be int, got ${inputType.fields(0).dataType.simpleString}")
-    val dt = inputType.fields(1).dataType
-    require(GraftBucket.supports(dt),
-      s"bucket: unsupported value type ${dt.simpleString}")
-    new GraftBoundBucket(dt)
+    val dts = inputType.fields.drop(1).map(_.dataType).toSeq
+    dts.foreach(dt => require(GraftBucket.supports(dt),
+      s"bucket: unsupported value type ${dt.simpleString}"))
+    if (dts.length == 1) new GraftBoundBucket(dts.head)
+    else new GraftBoundMultiBucket(dts)
+  }
+}
+
+/** Bound multi-column bucket: hashes the argument TUPLE with the same
+  * ordered-mix combine the write router uses ([[GraftBucket.ofTuple]]),
+  * null elements included (sentinel hash) — so a runtime evaluation lands
+  * rows in exactly the files the writer routed them to. */
+private[v2] class GraftBoundMultiBucket(dts: Seq[DataType]) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = (IntegerType +: dts).toArray
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = s"graft.bucket.${dts.length}"
+  override def isResultNullable: Boolean = false
+  override def isDeterministic: Boolean = true
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val vs = dts.zipWithIndex.map { case (dt, j) =>
+      val i = j + 1
+      if (input.isNullAt(i)) None
+      else Some(((dt match {
+        case LongType | TimestampType => input.getLong(i)
+        case IntegerType | DateType => input.getInt(i)
+        case StringType => input.getUTF8String(i)
+        case _ => throw new UnsupportedOperationException(dt.simpleString)
+      }): Any, dt))
+    }
+    Int.box(GraftBucket.ofTuple(vs, n))
   }
 }
 

@@ -997,23 +997,28 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
   * (bucket transform, `buckets(j) = n`). */
 private[v2] sealed trait GraftRoute extends Serializable
 private[v2] case object NoRoute extends GraftRoute
-private[v2] case class SpecRoute(idx: Array[Int], buckets: Array[Int]) extends GraftRoute
+/** Per-spec routing: `idx(j)` = the spec's column indices (identity: one;
+  * bucket: 1+), `buckets(j)` = bucket count (0 = identity). */
+private[v2] case class SpecRoute(idx: Array[Array[Int]], buckets: Array[Int])
+    extends GraftRoute
 
 private[v2] object GraftRoute {
-  /** Writer-side routing spec for a declared partition layout: per-spec
-    * column index + bucket count (0 = identity). Shared by the batch write
-    * and the row-level (SQL UPDATE/MERGE) write. */
+  /** Writer-side routing spec for a declared partition layout. Shared by
+    * the batch write and the row-level (SQL UPDATE/MERGE) write. */
   def forLayout(layout: Option[GraftLayout], schema: StructType): GraftRoute =
     layout match {
       case None => NoRoute
       case Some(l) =>
-        val idx = l.specs.map(sp => schema.fieldIndex(sp.col)).toArray
-        val buckets = l.specs.zip(idx).map {
-          case (IdentitySpec(_), _) => 0
-          case (BucketSpec(n, col), i) =>
-            require(GraftBucket.supports(schema.fields(i).dataType),
-              s"graft-store: bucket layout unsupported for " +
-                s"${schema.fields(i).dataType.simpleString} column $col")
+        val idx = l.specs.map(_.cols.map(schema.fieldIndex).toArray).toArray
+        val buckets = l.specs.map {
+          case IdentitySpec(_) => 0
+          case BucketSpec(n, cs) =>
+            cs.foreach { c =>
+              val dt = schema.fields(schema.fieldIndex(c)).dataType
+              require(GraftBucket.supports(dt),
+                s"graft-store: bucket layout unsupported for " +
+                  s"${dt.simpleString} column $c")
+            }
             n
         }.toArray
         SpecRoute(idx, buckets)
@@ -1152,15 +1157,28 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
 
   private def partitionKey(record: InternalRow): Seq[Any] = route match {
     case SpecRoute(idx, buckets) =>
-      // nulls get a dedicated key element (no value / no bucket):
-      // equi-joins never match null, so a null partition has nothing to
-      // co-locate with
+      // nulls get a dedicated key element (no value / no bucket) for
+      // identity and single-column buckets: equi-joins never match null,
+      // so a null partition has nothing to co-locate with. Multi-column
+      // buckets hash null elements to a sentinel instead (ofTuple) — a
+      // per-combination null-partition grid would explode, and a composite
+      // equi-join never matches a null element either way
       idx.indices.map { j =>
-        val i = idx(j)
-        if (record.isNullAt(i)) NullKey
-        else if (buckets(j) == 0) typedValue(record, i)
-        else GraftBucket.of(typedValue(record, i),
-          schema.fields(i).dataType, buckets(j))
+        val cols = idx(j)
+        if (buckets(j) == 0) {
+          val i = cols(0)
+          if (record.isNullAt(i)) NullKey else typedValue(record, i)
+        } else if (cols.length == 1) {
+          val i = cols(0)
+          if (record.isNullAt(i)) NullKey
+          else GraftBucket.of(typedValue(record, i),
+            schema.fields(i).dataType, buckets(j))
+        } else {
+          GraftBucket.ofTuple(cols.toSeq.map { i =>
+            if (record.isNullAt(i)) None
+            else Some((typedValue(record, i), schema.fields(i).dataType))
+          }, buckets(j))
+        }
       }
     case NoRoute => Seq.empty
   }
@@ -1310,7 +1328,12 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
 
   private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
     layout.flatMap { l =>
-      val idxs = l.specs.map(sp => manifest.schema.fieldNames.indexOf(sp.col))
+      // identity elements need their column's index (to type the key);
+      // bucket elements carry COMPUTED ids in partVals — index unused
+      val idxs = l.specs.map {
+        case IdentitySpec(c) => manifest.schema.fieldNames.indexOf(c)
+        case _: BucketSpec => Int.MaxValue
+      }
       if (idxs.exists(_ < 0)) None
       else grouped(selected.map { e =>
         e.partVals match {
@@ -1371,7 +1394,7 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
         // the relation came through GraftCatalog's FunctionCatalog
         val keys: Array[Expression] = l.specs.map {
           case IdentitySpec(c) => Expressions.identity(c): Expression
-          case BucketSpec(n, c) => Expressions.bucket(n, c): Expression
+          case BucketSpec(n, cs) => Expressions.bucket(n, cs: _*): Expression
         }.toArray
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           keys, groups.size)
@@ -2077,6 +2100,19 @@ object GraftStoreOps {
       s"graft-store: snapshot $snapshot outside [0, ${ms.size})")
     GraftStoreFormat.readManifestFile(path, conf, ms(snapshot))
       .files.map(e => (e.name, e.rows, e.ncols))
+  }
+
+  /** Head-snapshot files grouped by their manifest PARTITION VALUES
+    * (rendered wire string, "" = unpartitioned) — the inspection surface
+    * for layout-aware reads: each group can be read back via the `files`
+    * scan option tagged with its key. Driver-side manifest read only. */
+  def filesByPartition(spark: SparkSession, path: String): Seq[(String, Seq[String])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    m.files.groupBy(_.partVals.map(GraftStoreFormat.partValsToString).getOrElse(""))
+      .toSeq.sortBy(_._1)
+      .map { case (k, es) => (k, es.map(_.name)) }
   }
 
   /** Number of retained snapshots — one directory LISTING, no manifest

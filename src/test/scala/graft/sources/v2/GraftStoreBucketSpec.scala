@@ -289,7 +289,9 @@ class GraftStoreBucketSpec extends AnyFunSuite with graft.SparkTestBase {
 
   test("malformed bucket specs are rejected, never silently identity") {
     import spark.implicits._
-    for (bad <- Seq("bucket(4,a,b)", "bucket(8)", "bucket()", "BUCKET(x,k)")) {
+    // bucket(4,a,b) is no longer malformed — multi-column buckets are a
+    // real layout (GraftStoreMultiBucketSpec); the remaining shapes stay bad
+    for (bad <- Seq("bucket(8)", "bucket()", "BUCKET(x,k)")) {
       val err = intercept[Exception] {
         Seq((1L, 2L)).toDF("id", "k").write.format("graft-store")
           .option("partitionBy", bad).mode("overwrite").save(tmpDir())
