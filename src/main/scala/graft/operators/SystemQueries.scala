@@ -1556,6 +1556,56 @@ object SystemQueries {
            |FROM a JOIN b USING (o_custkey, o_orderpriority)
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** PARTITION-SPEC EVOLUTION
+    * ([[graft.sources.v2.GraftStoreOps.evolvePartitionSpec]] — Iceberg
+    * spec-versioning): re-key a live table's layout as one METADATA-ONLY
+    * commit. The manifest gains a `#specs=` history, existing files are
+    * stamped with the spec they were written under, and future writes
+    * route by the new spec — zero data rewrite, proven by the
+    * `zero_rewrite` bit (snapshot 0's files carried byte-identical through
+    * the evolution commit) and the `mixed_specs` bit (the head holds files
+    * from BOTH specs). Reads across the mix are fully oracle-checked:
+    * partition values never touch row decode and stats skipping is
+    * spec-agnostic, so only SPJ grouping degrades until compaction
+    * re-unifies (GraftStoreLayoutEvolutionSpec proves that restoration).
+    * At 100 TB: re-partitioning a table is one manifest commit, not a
+    * table rewrite. */
+  val q158SpecEvolution = QuerySpec(
+    "q158_spec_evolution", "S-dsv2-spec-evolution",
+    "partition-spec evolution: metadata-only re-layout, mixed-spec reads exact",
+    (s, d) => {
+      val path = "/tmp/graft_store_q158"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      base.filter(col("o_orderkey") < 6000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path) // snap 0
+      graft.sources.v2.GraftStoreOps.evolvePartitionSpec(
+        s, path, Some("bucket(4,o_custkey)")) // snap 1: metadata-only
+      base.filter(col("o_orderkey") >= 6000 && col("o_orderkey") < 12000)
+        .write.format("graft-store").option("partitionBy", "bucket(4,o_custkey)")
+        .mode("append").save(path) // snap 2: routed under the NEW spec
+      val f0 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path, 0).map(_._1).toSet
+      val f1 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path, 1).map(_._1).toSet
+      val (specs, ids) = graft.sources.v2.GraftStoreOps.fileSpecIds(s, path)
+      val zeroRewrite = f0 == f1
+      val mixedSpecs = specs == Seq("", "bucket(4,o_custkey)") &&
+        ids.exists(_._2.contains(0)) && ids.exists(_._2.contains(1)) &&
+        ids.forall(_._2.isDefined)
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("zero_rewrite", lit(zeroRewrite))
+        .withColumn("mixed_specs", lit(mixedSpecs))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS zero_rewrite, TRUE AS mixed_specs
+           |FROM orders WHERE o_orderkey < 12000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1565,5 +1615,5 @@ object SystemQueries {
     q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
     q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck,
     q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm,
-    q155SqlUpdate, q156SqlMerge, q157MultiBucket)
+    q155SqlUpdate, q156SqlMerge, q157MultiBucket, q158SpecEvolution)
 }

@@ -151,10 +151,13 @@ private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
       require(GraftStoreFormat.sameCols(headM.schema, schema),
         "graft-store: concurrent schema change during a row-level operation")
       val carried = headM.files.filterNot(e => replaced.contains(e.name))
+      // evolved table: replacement files were routed under the CURRENT spec
+      val stamped = headM.partitionSpecs.map(_.length - 1)
+        .fold(newEntries)(id => newEntries.map(_.copy(specId = Some(id))))
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(headM.schema, carried ++ newEntries,
+        GraftManifest(headM.schema, carried ++ stamped,
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
-          check = headM.check),
+          check = headM.check, partitionSpecs = headM.partitionSpecs),
         GraftStoreFormat.nextSeq(head))
     }
     fs.delete(tmpDir, true)

@@ -102,9 +102,13 @@ class GraftStore extends TableProvider with DataSourceRegister {
   * decodes `ncols` fields and nulls the rest, no data rewrite. `None` =
   * the file matches the manifest schema in full (every pre-evolution
   * manifest and every freshly written file). */
+/** `specId` (manifest v6+, partition-spec evolution): index into the
+  * manifest's spec history (`#specs=`) identifying the layout this file
+  * was WRITTEN under. `None` on unevolved tables (single implicit spec).
+  * Invariant: a manifest carrying `#specs=` stamps EVERY file. */
 private[v2] case class GraftFileEntry(name: String, rows: Long,
     stats: Map[Int, (String, String)], partVals: Option[Seq[Option[String]]] = None,
-    ncols: Option[Int] = None)
+    ncols: Option[Int] = None, specId: Option[Int] = None)
 
 /** `cdc` (manifest v5+): id of the change-data store under `_cdc/<id>`
   * recorded by the COW DML commit that PUBLISHED this snapshot — the
@@ -112,10 +116,15 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
   * Strictly PER-COMMIT metadata, never a table property: every other
   * commit path (append, overwrite, truncate, restore, compaction) must
   * leave it None. */
+/** `partitionSpecs` (manifest v6+): the table's ordered PARTITION-SPEC
+  * HISTORY ("" = unpartitioned), Iceberg's spec-versioning. The LAST entry
+  * is always the current spec (== `partitionCol`); files reference their
+  * spec by index ([[GraftFileEntry.specId]]). `None` on unevolved tables. */
 private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
     millis: Long = 0L, partitionCol: Option[String] = None,
     txn: Option[String] = None, clusterCols: Option[String] = None,
-    check: Option[String] = None, cdc: Option[String] = None)
+    check: Option[String] = None, cdc: Option[String] = None,
+    partitionSpecs: Option[Seq[String]] = None)
 
 private[v2] object GraftStoreFormat {
   /** Manifest file body: optional `#millis=<epoch>` header (v2 — publication
@@ -225,15 +234,22 @@ private[v2] object GraftStoreFormat {
       if (rest.head.startsWith("#partition="))
         (Some(rest.head.stripPrefix("#partition=")), rest.tail)
       else (None, rest)
+    // `#specs=` header (optional, `;`-joined, "" = unpartitioned): the
+    // partition-spec HISTORY (Iceberg spec-versioning); last entry = the
+    // current spec. Present only on tables that evolved their layout
+    val (specs, rest2b) =
+      if (rest2.head.startsWith("#specs="))
+        (Some(rest2.head.stripPrefix("#specs=").split(";", -1).toSeq), rest2.tail)
+      else (None, rest2)
     // `#cluster=` header (optional, comma-separated): the table's DECLARED
     // sort clustering (range/Z-order layouts) — advisory, like Iceberg's
     // sort-order property: per-file min/max stats stay correct either way,
     // but compaction and COW rewrites re-apply this ordering so the
     // disjoint-range pruning the layout was built for survives maintenance
     val (clusterCols, rest3) =
-      if (rest2.head.startsWith("#cluster="))
-        (Some(rest2.head.stripPrefix("#cluster=")), rest2.tail)
-      else (None, rest2)
+      if (rest2b.head.startsWith("#cluster="))
+        (Some(rest2b.head.stripPrefix("#cluster=")), rest2b.tail)
+      else (None, rest2b)
     // `#check=` header (optional, percent-escaped SQL text): the table's
     // CHECK constraint — a table property enforced row-by-row on every
     // write, batch, streaming, and COW rewrite alike
@@ -264,9 +280,10 @@ private[v2] object GraftStoreFormat {
         GraftFileEntry(parts(0), parts(1).toLong,
           if (parts.length > 2) statsFromString(parts(2)) else Map.empty,
           if (parts.length > 3) partValsFromString(parts(3)) else None,
-          if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None)
+          if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None,
+          if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5).toInt) else None)
       },
-      millis, partCol, txn, clusterCols, check, cdc)
+      millis, partCol, txn, clusterCols, check, cdc, specs)
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
@@ -345,6 +362,7 @@ private[v2] object GraftStoreFormat {
     try out.write(
       (s"#millis=$millis\n" +
         m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
+        m.partitionSpecs.map(ss => s"#specs=${ss.mkString(";")}\n").getOrElse("") +
         m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
         m.check.map(c => s"#check=${escStat(c)}\n").getOrElse("") +
         m.cdc.map(c => s"#cdc=$c\n").getOrElse("") +
@@ -352,12 +370,14 @@ private[v2] object GraftStoreFormat {
         m.schema.toDDL + "\n" + m.files.map { e =>
           val pv = e.partVals.map(partValsToString).getOrElse("")
           val base = s"${e.name}\t${e.rows}\t${statsToString(e.stats)}"
-          // trailing optional fields: partVals (4th), ncols (5th) — only
-          // written when needed, so pre-evolution manifests stay byte-stable
-          e.ncols match {
-            case Some(n) => s"$base\t$pv\t$n"
-            case None if pv.nonEmpty => s"$base\t$pv"
-            case None => base
+          // trailing optional fields: partVals (4th), ncols (5th), specId
+          // (6th) — only written when needed, so pre-evolution manifests
+          // stay byte-stable
+          (e.ncols, e.specId) match {
+            case (nc, Some(sid)) => s"$base\t$pv\t${nc.fold("")(_.toString)}\t$sid"
+            case (Some(n), None) => s"$base\t$pv\t$n"
+            case (None, None) if pv.nonEmpty => s"$base\t$pv"
+            case _ => base
           }
         }.mkString("\n"))
         .getBytes("UTF-8"))
@@ -822,14 +842,21 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
           })
         case _ => schema
       }
+      // evolved table: streamed files (no partition values — scans already
+      // degrade conservatively on them) still stamp the current spec id so
+      // the "specs defined => every file stamped" invariant holds
+      val specs = prevManifest.flatMap(_.partitionSpecs)
+      val stamped = specs.map(_.length - 1)
+        .fold(newEntries)(id => newEntries.map(_.copy(specId = Some(id))))
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema,
-          prev ++ newEntries, txn = Some(token),
+          prev ++ stamped, txn = Some(token),
           partitionCol = prevManifest.flatMap(_.partitionCol),
           clusterCols = prevManifest.flatMap(_.clusterCols),
           // a stream DECLARING a constraint on a fresh table must persist
           // it, not just enforce it in-memory for this query's lifetime
-          check = prevManifest.flatMap(_.check).orElse(checkText)),
+          check = prevManifest.flatMap(_.check).orElse(checkText),
+          partitionSpecs = specs),
         GraftStoreFormat.nextSeq(head))
     }
     fs.delete(tmpDir, true)
@@ -962,9 +989,15 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       val effCheck =
         if (truncate) checkText
         else prevManifest.flatMap(_.check).orElse(checkText)
+      // partition-spec evolution: an append on an evolved table carries the
+      // spec history and stamps its files with the CURRENT spec id; an
+      // overwrite resets history (a fresh table state declares layout anew)
+      val specs = if (truncate) None else prevManifest.flatMap(_.partitionSpecs)
+      val stamped = specs.map(_.length - 1)
+        .fold(newEntries)(id => newEntries.map(_.copy(specId = Some(id))))
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(tableSchema, prev ++ newEntries, partitionCol = partitionBy,
-          clusterCols = cluster, check = effCheck),
+        GraftManifest(tableSchema, prev ++ stamped, partitionCol = partitionBy,
+          clusterCols = cluster, check = effCheck, partitionSpecs = specs),
         GraftStoreFormat.nextSeq(head))
     }
     // NO data-file cleanup here, even on truncate: superseded files are
@@ -1328,13 +1361,22 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
 
   private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
     layout.flatMap { l =>
+      // partition-spec evolution: grouping files by partition values is
+      // only valid for files written under the CURRENT spec — a selected
+      // set containing older-spec files degrades to UnknownPartitioning
+      // (stats-based skipping is spec-agnostic and unaffected); compaction
+      // re-unifies the layout and restores SPJ capability
+      val allCurrentSpec = manifest.partitionSpecs match {
+        case Some(ss) => selected.forall(_.specId.contains(ss.length - 1))
+        case None => true
+      }
       // identity elements need their column's index (to type the key);
       // bucket elements carry COMPUTED ids in partVals — index unused
       val idxs = l.specs.map {
         case IdentitySpec(c) => manifest.schema.fieldNames.indexOf(c)
         case _: BucketSpec => Int.MaxValue
       }
-      if (idxs.exists(_ < 0)) None
+      if (!allCurrentSpec || idxs.exists(_ < 0)) None
       else grouped(selected.map { e =>
         e.partVals match {
           // explicit manifest partition values (v3+ writers): exact,
@@ -2019,9 +2061,12 @@ object GraftStoreOps {
       require(GraftStoreFormat.sameCols(
           StructType(headM.schema.fields.take(m.schema.length)), m.schema),
         "graft-store: concurrent incompatible schema change detected")
-      val rewritten =
+      val rewritten0 =
         if (headM.schema.length == m.schema.length) sm.files
         else sm.files.map(e => e.copy(ncols = e.ncols.orElse(Some(m.schema.length))))
+      // evolved table: rewritten files were routed under the CURRENT spec
+      val rewritten = headM.partitionSpecs.map(_.length - 1)
+        .fold(rewritten0)(id => rewritten0.map(_.copy(specId = Some(id))))
       // carry = head's files minus the rewritten originals (a concurrent
       // append's new files ride along untouched)
       val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
@@ -2029,7 +2074,8 @@ object GraftStoreOps {
         GraftManifest(headM.schema, carried ++ rewritten,
           partitionCol = headM.partitionCol.orElse(m.partitionCol),
           clusterCols = headM.clusterCols.orElse(m.clusterCols),
-          check = headM.check.orElse(m.check), cdc = cdcId),
+          check = headM.check.orElse(m.check), cdc = cdcId,
+          partitionSpecs = headM.partitionSpecs),
         GraftStoreFormat.nextSeq(head))
     }
     f.delete(new Path(scratch), true)
@@ -2100,6 +2146,67 @@ object GraftStoreOps {
       s"graft-store: snapshot $snapshot outside [0, ${ms.size})")
     GraftStoreFormat.readManifestFile(path, conf, ms(snapshot))
       .files.map(e => (e.name, e.rows, e.ncols))
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg spec-versioning): declare a NEW
+    * layout for all FUTURE writes as a METADATA-ONLY commit — zero data
+    * rewrite. The manifest gains (or extends) a `#specs=` history whose
+    * last entry is the new current spec, and every existing file is
+    * stamped with the spec id it was WRITTEN under; subsequent appends /
+    * COW rewrites route by the new spec and stamp its id.
+    *
+    * Read semantics on a mixed-spec table: row correctness is untouched
+    * (partition values never participate in row decode) and stats-based
+    * file skipping is spec-agnostic, so pruning survives; only the scan's
+    * KeyGroupedPartitioning degrades to unknown while old-spec files
+    * remain selected — SPJ capability returns once compaction (or churn)
+    * rewrites everything under the current spec. At 100 TB this is the
+    * difference between re-keying a table's layout as one manifest commit
+    * and rewriting the table to change `partitionBy`.
+    *
+    * `newSpec` None = evolve to unpartitioned. Appends must declare the
+    * CURRENT spec exactly (same guard as any partitioned table). Returns
+    * the new spec id. */
+  def evolvePartitionSpec(spark: SparkSession, path: String,
+      newSpec: Option[String]): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val newRender = newSpec.map(s => GraftLayout.parse(s).render).getOrElse("")
+    var newId = -1
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      val m = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-store: no manifest at $path"))
+      val oldSpecs = m.partitionSpecs.getOrElse(
+        Seq(m.partitionCol.map(c => GraftLayout.parse(c).render).getOrElse("")))
+      require(oldSpecs.last != newRender,
+        s"graft-store: '$newRender' is already the current partition spec")
+      val curId = oldSpecs.length - 1
+      newId = oldSpecs.length
+      // existing files keep the spec they were written under (first
+      // stamping wins through repeated evolutions)
+      val files = m.files.map(e => e.copy(specId = e.specId.orElse(Some(curId))))
+      done = GraftStoreFormat.commitManifest(path, conf,
+        m.copy(files = files,
+          partitionCol = if (newRender.isEmpty) None else Some(newRender),
+          partitionSpecs = Some(oldSpecs :+ newRender),
+          txn = None, cdc = None),
+        GraftStoreFormat.nextSeq(head))
+    }
+    newId
+  }
+
+  /** Head snapshot's (file name, partition-spec id) pairs plus the spec
+    * history — the inspection surface for layout evolution (specId None =
+    * unevolved table, single implicit spec). Driver-side manifest read. */
+  def fileSpecIds(spark: SparkSession, path: String)
+      : (Seq[String], Seq[(String, Option[Int])]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    (m.partitionSpecs.getOrElse(Seq(m.partitionCol.getOrElse(""))),
+      m.files.map(e => (e.name, e.specId)))
   }
 
   /** Head-snapshot files grouped by their manifest PARTITION VALUES
