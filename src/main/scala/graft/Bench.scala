@@ -48,8 +48,13 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Persist the full-precision JSON where the driver / a human can always
-    // recover it (stdout has proven lossy three rounds running).
-    for (p <- Seq("/tmp/bench.json", "BENCH_LOCAL.json")) {
+    // recover it (stdout has proven lossy three rounds running). A SUBSET
+    // run (SPARK_GRAFT_ONLY) must not clobber the committed full-run
+    // snapshot — it goes to /tmp only (learned the hard way).
+    val sinks =
+      if (only.isDefined) Seq("/tmp/bench.json")
+      else Seq("/tmp/bench.json", "BENCH_LOCAL.json")
+    for (p <- sinks) {
       try {
         val w = new java.io.PrintWriter(new java.io.File(p))
         try w.println(json) finally w.close()
