@@ -76,7 +76,9 @@ private[v2] object GraftLayout {
   def parse(s: String): GraftLayout =
     GraftLayout(splitTop(s.trim).map {
       case BucketRe(n, colList) =>
-        val cs = colList.split(",").map(_.trim).toSeq
+        // limit -1 keeps trailing empty tokens: "bucket(4,a,)" must trip
+        // the require below, not silently become bucket(4,a)
+        val cs = colList.split(",", -1).map(_.trim).toSeq
         require(cs.nonEmpty && cs.forall(c => c.nonEmpty && !c.exists(_.isWhitespace)),
           s"graft-store: cannot parse bucket column list '$colList'")
         BucketSpec(n.toInt, cs)

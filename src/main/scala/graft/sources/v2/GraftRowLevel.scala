@@ -152,8 +152,7 @@ private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
         "graft-store: concurrent schema change during a row-level operation")
       val carried = headM.files.filterNot(e => replaced.contains(e.name))
       // evolved table: replacement files were routed under the CURRENT spec
-      val stamped = headM.partitionSpecs.map(_.length - 1)
-        .fold(newEntries)(id => newEntries.map(_.copy(specId = Some(id))))
+      val stamped = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, newEntries)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(headM.schema, carried ++ stamped,
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,

@@ -217,6 +217,15 @@ private[v2] object GraftStoreFormat {
       x.name == y.name && x.dataType == y.dataType
     }
 
+  /** Stamp entries with the CURRENT spec id when the table has an evolved
+    * spec history — ONE definition of the "specs defined ⇒ every file
+    * stamped" invariant, shared by every commit path (batch, streaming,
+    * COW, row-level). */
+  def stampCurrentSpec(specs: Option[Seq[String]],
+      entries: Seq[GraftFileEntry]): Seq[GraftFileEntry] =
+    specs.map(_.length - 1)
+      .fold(entries)(id => entries.map(_.copy(specId = Some(id))))
+
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
     val in = fs(path, conf).open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -846,8 +855,7 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
       // degrade conservatively on them) still stamp the current spec id so
       // the "specs defined => every file stamped" invariant holds
       val specs = prevManifest.flatMap(_.partitionSpecs)
-      val stamped = specs.map(_.length - 1)
-        .fold(newEntries)(id => newEntries.map(_.copy(specId = Some(id))))
+      val stamped = GraftStoreFormat.stampCurrentSpec(specs, newEntries)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema,
           prev ++ stamped, txn = Some(token),
@@ -993,8 +1001,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       // spec history and stamps its files with the CURRENT spec id; an
       // overwrite resets history (a fresh table state declares layout anew)
       val specs = if (truncate) None else prevManifest.flatMap(_.partitionSpecs)
-      val stamped = specs.map(_.length - 1)
-        .fold(newEntries)(id => newEntries.map(_.copy(specId = Some(id))))
+      val stamped = GraftStoreFormat.stampCurrentSpec(specs, newEntries)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema, prev ++ stamped, partitionCol = partitionBy,
           clusterCols = cluster, check = effCheck, partitionSpecs = specs),
@@ -1590,15 +1597,37 @@ private[v2] object GraftCdc {
   def planPartitions(path: String, conf: Configuration, pinned: StructType,
       fromSeq: Long, toSeq: Long, skipChangeCommits: Boolean): Array[InputPartition] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    var prevFiles: Set[String] = Set.empty
-    var prevKnown = false
-    for (p <- GraftStoreFormat.listManifests(path, conf)
-         if GraftStoreFormat.manifestSeq(p) <= toSeq) {
+    val ms = GraftStoreFormat.listManifests(path, conf)
+      .filter(p => GraftStoreFormat.manifestSeq(p) <= toSeq)
+    // seed the previous listing from the manifest AT fromSeq when retained:
+    // a steady-state micro-batch then reads O(commits in range) manifests,
+    // not O(total history) per batch (the fallback full walk below only
+    // runs for from-the-beginning reads or expired starts)
+    val startIdx = ms.indexWhere(p => GraftStoreFormat.manifestSeq(p) == fromSeq)
+    var prevKnown = startIdx >= 0
+    var prevFiles: Set[String] =
+      if (prevKnown)
+        GraftStoreFormat.readManifestFile(path, conf, ms(startIdx))
+          .files.map(_.name).toSet
+      else Set.empty
+    for (p <- if (prevKnown) ms.drop(startIdx + 1) else ms) {
       val seq = GraftStoreFormat.manifestSeq(p)
       val m = GraftStoreFormat.readManifestFile(path, conf, p)
       if (seq > fromSeq) {
+        // expired-history guard, BOTH branches: a cdc-bearing commit is
+        // self-contained only when the caller explicitly starts AT it
+        // (fromSeq == seq-1 — e.g. a stream resuming from its checkpoint
+        // offset); anything else with an unknown predecessor would
+        // silently drop the expired prefix of the feed
+        def requireReconstructable(selfContained: Boolean): Unit =
+          if (!prevKnown && seq != 0L && !(selfContained && fromSeq == seq - 1))
+            throw new IllegalStateException(
+              s"graft-store: feed start predates retained history (snapshot " +
+                s"$seq's predecessor expired); start the feed at a retained " +
+                "snapshot (startSnapshot) or increase retention")
         m.cdc match {
           case Some(id) =>
+            requireReconstructable(selfContained = true)
             val cdcPath = s"$path/_cdc/$id"
             val cm = GraftStoreFormat.readLatestManifest(cdcPath, conf)
               .getOrElse(throw new IllegalStateException(
@@ -1613,11 +1642,7 @@ private[v2] object GraftCdc {
                 new Path(cdcPath, e.name).toString, w, null, seq)
             }
           case None =>
-            if (!prevKnown && seq != 0L)
-              throw new IllegalStateException(
-                s"graft-store: feed start predates retained history (snapshot " +
-                  s"$seq's predecessor expired); start the feed at a retained " +
-                  "snapshot (startSnapshot) or increase retention")
+            requireReconstructable(selfContained = false)
             val added = m.files.filterNot(e => prevFiles.contains(e.name)).sortBy(_.name)
             val removed = prevFiles.diff(m.files.map(_.name).toSet)
             if (removed.nonEmpty && !skipChangeCommits)
@@ -1885,7 +1910,13 @@ object GraftStoreOps {
     cowRewrite(spark, path, cond, df =>
       df.select(df.columns.map { c =>
         set.get(c) match {
-          case Some(v) => when(coalesce(cond, lit(false)), v).otherwise(col(c)).as(c)
+          // cast to the column's DECLARED type: an uncast wider SET
+          // expression (long into int) would coerce the whole projection
+          // and publish long-encoded files under an int-declared schema —
+          // misaligned row decode, silent garbage (cowRewrite also guards)
+          case Some(v) =>
+            when(coalesce(cond, lit(false)), v.cast(df.schema(c).dataType))
+              .otherwise(col(c)).as(c)
           case None => col(c)
         }
       }.toSeq: _*),
@@ -1932,6 +1963,11 @@ object GraftStoreOps {
       s"graft-store: merge source columns ${source.schema.fieldNames.mkString(",")} " +
         s"must match table columns ${m.schema.fieldNames.mkString(",")}")
     val src = source.select(m.schema.fieldNames.map(col).toSeq: _*).localCheckpoint(true)
+    // types must match too: a wider source (long into int) would coerce the
+    // merge projection and corrupt the positional row codec on read
+    require(GraftStoreFormat.sameCols(src.schema, m.schema),
+      s"graft-store: merge source types ${src.schema.simpleString} must match " +
+        s"table types ${m.schema.simpleString}")
     val stats = src.agg(min(col(key)), max(col(key)), count(col(key)),
       org.apache.spark.sql.functions.countDistinct(col(key))).collect()(0)
     require(stats.getLong(2) == stats.getLong(3),
@@ -2030,6 +2066,13 @@ object GraftStoreOps {
     m.check.fold(withLayout)(c => withLayout.option("check", c)).save(scratch)
     val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
       .getOrElse(GraftManifest(m.schema, Seq.empty))
+    // backstop against silent type drift: the rewrite must produce EXACTLY
+    // the table's column types — publishing differently-encoded files under
+    // the table schema would misalign the positional row decode
+    require(sm.files.isEmpty || GraftStoreFormat.sameCols(sm.schema, m.schema),
+      s"graft-store: COW rewrite changed column types " +
+        s"(${sm.schema.simpleString} vs ${m.schema.simpleString}) — " +
+        "cast SET/source expressions to the declared types")
     sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
     // the change log is durable BEFORE the manifest that points at it: a
     // reader that can resolve the new snapshot can always read its changes.
@@ -2065,8 +2108,7 @@ object GraftStoreOps {
         if (headM.schema.length == m.schema.length) sm.files
         else sm.files.map(e => e.copy(ncols = e.ncols.orElse(Some(m.schema.length))))
       // evolved table: rewritten files were routed under the CURRENT spec
-      val rewritten = headM.partitionSpecs.map(_.length - 1)
-        .fold(rewritten0)(id => rewritten0.map(_.copy(specId = Some(id))))
+      val rewritten = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, rewritten0)
       // carry = head's files minus the rewritten originals (a concurrent
       // append's new files ride along untouched)
       val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
@@ -2170,18 +2212,45 @@ object GraftStoreOps {
   def evolvePartitionSpec(spark: SparkSession, path: String,
       newSpec: Option[String]): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val newRender = newSpec.map(s => GraftLayout.parse(s).render).getOrElse("")
+    val parsed = newSpec.map(GraftLayout.parse)
+    val newRender = parsed.map(_.render).getOrElse("")
     var newId = -1
     var done = false
+    var firstRead = true
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
       val m = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
         .getOrElse(throw new IllegalArgumentException(
           s"graft-store: no manifest at $path"))
+      // fail FAST on a spec the table cannot satisfy — committing it would
+      // brick every future append (the layout guard demands the current
+      // spec, but routing would throw resolving its columns)
+      parsed.foreach(_.specs.foreach { sp =>
+        sp.cols.foreach { c =>
+          require(m.schema.fieldNames.contains(c),
+            s"graft-store: partition spec column '$c' is not a table column " +
+              s"(${m.schema.fieldNames.mkString(",")})")
+          sp match {
+            case _: BucketSpec =>
+              val dt = m.schema(c).dataType
+              require(GraftBucket.supports(dt),
+                s"graft-store: bucket layout unsupported for ${dt.simpleString} column $c")
+            case _ => ()
+          }
+        }
+      })
       val oldSpecs = m.partitionSpecs.getOrElse(
         Seq(m.partitionCol.map(c => GraftLayout.parse(c).render).getOrElse("")))
-      require(oldSpecs.last != newRender,
-        s"graft-store: '$newRender' is already the current partition spec")
+      if (oldSpecs.last == newRender) {
+        // on the FIRST read this is a caller error (evolving to the spec
+        // already in force); on a RETRY it means a concurrent identical
+        // evolution won the CAS — the intended end state holds, succeed
+        // idempotently with the winner's id
+        require(!firstRead,
+          s"graft-store: '$newRender' is already the current partition spec")
+        return oldSpecs.length - 1
+      }
+      firstRead = false
       val curId = oldSpecs.length - 1
       newId = oldSpecs.length
       // existing files keep the spec they were written under (first

@@ -156,8 +156,17 @@ class GraftStoreCdcSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(cdcDirs.size === 2)
     GraftStoreOps.expireSnapshots(spark, dir, keepLast = 1) // drops snaps 0,1
     assert(cdcDirs.size === 1, "snap 1's change store must go with it")
-    // the retained snapshot's change store still reads
+    // a from-the-beginning read now fails LOUDLY (snaps 0-1 expired — a
+    // partial feed that silently dropped them would be a wrong answer)
+    val err = intercept[Exception] {
+      spark.read.format("graft-store").option("readChangeFeed", "true")
+        .load(dir).collect()
+    }
+    assert(err.getMessage.contains("retained history"))
+    // an EXPLICIT start at the retained head still reads its change store
+    // (a cdc-bearing commit is self-contained)
     assert(rows(spark.read.format("graft-store")
-      .option("readChangeFeed", "true").load(dir)).nonEmpty)
+      .option("readChangeFeed", "true").option("startSnapshot", "0")
+      .load(dir)) === Set((1L, 1L, "delete", 2L)))
   }
 }

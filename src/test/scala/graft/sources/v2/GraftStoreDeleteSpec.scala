@@ -177,6 +177,34 @@ class GraftStoreDeleteSpec extends AnyFunSuite with graft.SparkTestBase {
       .collect()(0).getLong(0) === 100)
   }
 
+  test("UPDATE with a wider-typed SET value keeps the declared column type") {
+    val dir = tmpDir()
+    spark.range(0, 50).selectExpr("id", "cast(id as int) as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    // a LONG literal into an INT column: the kernel casts to the declared
+    // type — publishing long-encoded files under an int schema would
+    // misalign the positional row decode into silent garbage
+    GraftStoreOps.updateWhere(spark, dir, col("id") === 7L, Map("v" -> lit(99L)))
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.schema("v").dataType === org.apache.spark.sql.types.IntegerType)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.filter(col("id") === 7L).collect()(0).getInt(1) === 99)
+    assert(back.count() === 50)
+  }
+
+  test("MERGE with a mismatched source column type is rejected loudly") {
+    import spark.implicits._
+    val dir = tmpDir()
+    spark.range(0, 10).selectExpr("id", "cast(id as int) as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val err = intercept[IllegalArgumentException] {
+      GraftStoreOps.mergeInto(spark, dir,
+        Seq((3L, 5000000000L)).toDF("id", "v"), "id") // v: LONG vs table INT
+    }
+    assert(err.getMessage.contains("types"))
+  }
+
   test("untranslatable predicates fall back to rewriting every file, correctly") {
     val dir = tmpDir()
     spark.range(0, 100).selectExpr("id", "cast(id as string) as s")

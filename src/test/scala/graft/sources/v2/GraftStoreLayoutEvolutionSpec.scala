@@ -98,6 +98,29 @@ class GraftStoreLayoutEvolutionSpec extends AnyFunSuite with graft.SparkTestBase
     }
   }
 
+  test("evolving to a spec the schema cannot satisfy fails fast, commits nothing") {
+    val dir = tmpDir()
+    spark.range(0, 20).selectExpr("id", "id % 3 as k", "cast(id as double) as d")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val before = GraftStoreOps.snapshotCount(spark, dir)
+    // unknown column: committing it would brick every future append
+    val e1 = intercept[IllegalArgumentException] {
+      GraftStoreOps.evolvePartitionSpec(spark, dir, Some("bucket(4,kk)"))
+    }
+    assert(e1.getMessage.contains("not a table column"))
+    // bucket on an unsupported type
+    val e2 = intercept[IllegalArgumentException] {
+      GraftStoreOps.evolvePartitionSpec(spark, dir, Some("bucket(4,d)"))
+    }
+    assert(e2.getMessage.contains("unsupported"))
+    // trailing comma is a malformed spec, not a silent single-column bucket
+    intercept[IllegalArgumentException] {
+      GraftStoreOps.evolvePartitionSpec(spark, dir, Some("bucket(4,k,)"))
+    }
+    assert(GraftStoreOps.snapshotCount(spark, dir) === before,
+      "rejected evolutions must not commit")
+  }
+
   test("repeated evolutions chain; first stamping wins for old files") {
     val dir = tmpDir()
     spark.range(0, 60).selectExpr("id", "id % 6 as k", "id % 3 as grp")
