@@ -1437,11 +1437,13 @@ object SystemQueries {
     * scan, and the commit swaps the scanned files for the merged output.
     * Mirrors q134's upsert scenario (matched rows repriced, unmatched
     * source keys inserted) from SQL text, plus a WHEN-MATCHED-DELETE
-    * clause exercised in GraftRowLevelSpec. Documented tradeoff vs q134:
-    * the SQL merge pushes no static condition (the match key references
-    * source attributes), so every file is scanned — correct, with the
-    * programmatic `mergeInto`'s source-key-range pruning as the selective
-    * path. */
+    * clause exercised in GraftRowLevelSpec. The match condition pushes
+    * nothing statically (it references source attributes) — RUNTIME GROUP
+    * FILTERING ([[graft.sources.v2.GraftRowLevelScan]],
+    * `SupportsRuntimeV2Filtering`) closes that gap: Spark's dynamic
+    * subquery collects the matching keys and the scan prunes to the files
+    * whose stats may hold one, so a selective SQL merge rewrites the
+    * churn, not the table (GraftRowLevelSpec proves 3-of-4 files carry). */
   val q156SqlMerge = QuerySpec(
     "q156_sql_merge", "S-dsv2-sql-merge",
     "SQL MERGE INTO via SupportsRowLevelOperations: upsert from SQL text",

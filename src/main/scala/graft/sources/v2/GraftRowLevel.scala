@@ -35,15 +35,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     constraint is compiled and enforced row-by-row, so SQL DML cannot
   *     corrupt a layout or dodge a constraint.
   *
-  * Scale note (documented tradeoff): SQL MERGE pushes no static condition
-  * (the match condition references source attributes), so its scan selects
-  * every file — correct, but the programmatic [[GraftStoreOps.mergeInto]]
-  * additionally prunes by the source key range and stays the better plan
-  * for selective upserts. Runtime group filtering
-  * (`SupportsRuntimeV2Filtering`) is the upstream mechanism to close that
-  * gap from SQL. SQL row-level commits carry no `_cdc` change store (the
-  * group rewrite has no key notion to pair images with); the CDC stream
-  * fails loudly on them, `changesBetween` still diffs them. */
+  * SQL MERGE pushes no static condition (the match condition references
+  * source attributes) — RUNTIME GROUP FILTERING ([[GraftRowLevelScan]],
+  * `SupportsRuntimeV2Filtering`) closes that gap: the dynamic subquery
+  * over matching rows delivers their key values back as an IN predicate
+  * before partitions are planned, so a selective merge (or a
+  * non-translatable UPDATE predicate) rewrites only the may-match files.
+  * SQL row-level commits carry no `_cdc` change store (the group rewrite
+  * has no key notion to pair images with); the CDC stream fails loudly on
+  * them, `changesBetween` still diffs them. */
 private[v2] class GraftRowLevelOperation(path: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
@@ -62,8 +62,11 @@ private[v2] class GraftRowLevelOperation(path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     new GraftStoreScanBuilder(path, conf, options) {
-      override def build(): Scan = {
-        val s = super.build().asInstanceOf[GraftStoreScan]
+      override protected def newScan(path: String, manifest: GraftManifest,
+          required: org.apache.spark.sql.types.StructType,
+          pushed: Array[org.apache.spark.sql.sources.Filter],
+          conf: SerializableHadoopConf): GraftStoreScan = {
+        val s = new GraftRowLevelScan(path, manifest, required, pushed, conf)
         captured = Some(s)
         s
       }
@@ -107,6 +110,74 @@ private[v2] class GraftRowLevelOperation(path: String,
       }
     }
   }
+}
+
+/** The row-level operation's scan: a normal stats-pruned graft-store scan
+  * plus RUNTIME GROUP FILTERING (`SupportsRuntimeV2Filtering` — the
+  * Iceberg copy-on-write mechanism). Spark's
+  * RowLevelOperationRuntimeGroupFiltering rule plans a subquery over the
+  * MATCHING rows of the command (for MERGE: the join with the source) and
+  * delivers the distinct values of our filter attributes back through
+  * `filter(...)` as IN predicates before partitions are planned — so a
+  * SQL MERGE whose condition pushes nothing statically (the match key
+  * references source attributes) still rewrites only the files whose
+  * stats may hold a matching key, and a non-translatable UPDATE predicate
+  * prunes at runtime instead of rewriting every file.
+  *
+  * Key-grouped reporting is deliberately OFF here: a ReplaceData read
+  * gains nothing from SPJ grouping, and a runtime filter narrowing the
+  * file set mid-execution must never contradict a partitioning claimed at
+  * plan time — per-file partitions, unknown partitioning, always safe. */
+private[v2] class GraftRowLevelScan(path: String, manifest: GraftManifest,
+    required: StructType, pushed: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf)
+    extends GraftStoreScan(path, manifest, required, pushed, conf)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(selected.size)
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    selected.map { e =>
+      GraftFilePartition(new Path(path, e.name).toString, widthOf(e))
+        : org.apache.spark.sql.connector.read.InputPartition
+    }.toArray
+
+  /** ONE attribute, chosen deliberately: declaring several makes Spark
+    * build the dynamic predicate as an IN over a named_struct of all of
+    * them, which has no V1 conversion — the filter would arrive
+    * unconvertible and prune nothing (probed empirically). A single
+    * column keeps the predicate a plain convertible IN. Preference: the
+    * leading column of the declared layout (partition spec, then sort
+    * clustering — the axis files are actually organized by), else the
+    * first stats-capable column (tables conventionally lead with their
+    * key, and the fallback costs at most pruning effectiveness, never
+    * correctness). */
+  override def filterAttributes(): Array[NamedReference] = {
+    def usable(c: String): Boolean =
+      manifest.schema.fieldNames.contains(c) &&
+        GraftStoreFormat.statsCapable(manifest.schema(c).dataType)
+    val declared = manifest.partitionCol
+      .flatMap(c => scala.util.Try(GraftLayout.parse(c)).toOption)
+      .flatMap(_.columns.headOption)
+      .orElse(manifest.clusterCols
+        .flatMap(_.split(",").map(_.trim).find(_.nonEmpty)))
+      .filter(usable)
+    declared
+      .orElse(manifest.schema.fields
+        .find(f => GraftStoreFormat.statsCapable(f.dataType)).map(_.name))
+      .map(Expressions.column)
+      .toArray
+  }
+
+  /** Runtime predicates arrive as V2 INs over the matching rows' values;
+    * the V1 conversion feeds the same manifest-stats skipper the static
+    * pushdown uses. Unconvertible shapes drop out (conservative: more
+    * files rewritten, never a missed row). */
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    setRuntimeFilters(org.apache.spark.sql.graftshim.predicatesToV1(predicates))
 }
 
 /** The REPLACE-groups commit: files the operation's scan selected are

@@ -217,6 +217,14 @@ private[v2] object GraftStoreFormat {
       x.name == y.name && x.dataType == y.dataType
     }
 
+  /** Types the file writer tracks min/max stats for — the columns runtime
+    * group filtering can usefully collect values of. */
+  def statsCapable(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | IntegerType | DateType |
+         DoubleType | FloatType | StringType => true
+    case _ => false
+  }
+
   /** Stamp entries with the CURRENT spec id when the table has an evolved
     * spec history — ONE definition of the "specs defined ⇒ every file
     * stamped" invariant, shared by every commit path (batch, streaming,
@@ -1310,12 +1318,19 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
       : Array[org.apache.spark.sql.sources.Filter] = { pushed = filters; filters }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan =
-    new GraftStoreScan(path, manifest, required, pushed, new SerializableHadoopConf(conf))
+    newScan(path, manifest, required, pushed, new SerializableHadoopConf(conf))
+  /** Scan factory — the row-level operation's builder overrides this to
+    * produce a [[GraftRowLevelScan]] (runtime group filtering). */
+  protected def newScan(path: String, manifest: GraftManifest, required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter],
+      conf: SerializableHadoopConf): GraftStoreScan =
+    new GraftStoreScan(path, manifest, required, pushed, conf)
 }
 
-private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
+private[v2] class GraftStoreScan(protected val path: String,
+    protected[v2] val manifest: GraftManifest,
     required: StructType, pushed: Array[org.apache.spark.sql.sources.Filter],
-    conf: SerializableHadoopConf)
+    protected val conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -1327,8 +1342,27 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
   private def mayMatch(e: GraftFileEntry, f: org.apache.spark.sql.sources.Filter): Boolean =
     GraftStoreFormat.mayMatch(manifest.schema, e, f)
 
-  private lazy val selected: Seq[GraftFileEntry] =
-    manifest.files.filter(e => pushed.forall(f => mayMatch(e, f)))
+  // RUNTIME filters (set post-planning by [[GraftRowLevelScan.filter]])
+  // participate in file skipping exactly like pushed filters; setting them
+  // invalidates the cached selection so planInputPartitions — which Spark
+  // re-invokes after runtime filtering — sees the narrowed set. Only the
+  // row-level scan ever sets these, and it opts out of key-grouped
+  // reporting, so the keyedGroups cache below cannot go stale.
+  @volatile private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  @volatile private var selectedCache: Seq[GraftFileEntry] = null
+  protected def setRuntimeFilters(fs: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    runtimeFilters = fs
+    selectedCache = null
+  }
+  protected def selected: Seq[GraftFileEntry] = {
+    var s = selectedCache
+    if (s == null) {
+      s = manifest.files.filter(e => (pushed ++ runtimeFilters).forall(f => mayMatch(e, f)))
+      selectedCache = s
+    }
+    s
+  }
   /** The stats-pruned file set this scan reads — the "groups" a row-level
     * operation's commit replaces ([[GraftRowLevelBatchWrite]]). */
   private[v2] def selectedFileNames: Seq[String] = selected.map(_.name)
@@ -1452,7 +1486,7 @@ private[v2] class GraftStoreScan(path: String, manifest: GraftManifest,
           selected.size)
     }
 
-  private def widthOf(e: GraftFileEntry): Int =
+  protected def widthOf(e: GraftFileEntry): Int =
     e.ncols.getOrElse(manifest.schema.length)
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -2264,6 +2298,56 @@ object GraftStoreOps {
         GraftStoreFormat.nextSeq(head))
     }
     newId
+  }
+
+  /** Spec-aware re-layout (Iceberg `rewrite_data_files` economics): rewrite
+    * ONLY the files written under OLD partition specs into the current
+    * layout, carrying current-spec files untouched — after an evolution,
+    * the cost of restoring full SPJ capability is the OLD data, not the
+    * table. Published as one OCC-retried snapshot with the spec history
+    * PRESERVED (unlike `compactSnapshot`, whose overwrite resets it) and
+    * every file now stamped current. Returns (files rewritten, carried). */
+  def rewriteOldSpecFiles(spark: SparkSession, path: String): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = GraftStoreFormat.fs(path, conf)
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    val specs = m.partitionSpecs.getOrElse(return (0, m.files.size))
+    val curId = specs.length - 1
+    val old = m.files.filterNot(_.specId.contains(curId))
+    if (old.isEmpty) return (0, m.files.size)
+    val oldNames = old.map(_.name).toSet
+    val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
+    val sub = spark.read.format("graft-store")
+      .option("files", old.map(_.name).mkString(",")).load(path)
+    val writer = sub.write.format("graft-store").mode("overwrite")
+    val withLayout = m.partitionCol.fold(writer)(c => writer.option("partitionBy", c))
+    m.check.fold(withLayout)(c => withLayout.option("check", c)).save(scratch)
+    val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
+      .getOrElse(GraftManifest(m.schema, Seq.empty))
+    require(sm.files.isEmpty || GraftStoreFormat.sameCols(sm.schema, m.schema),
+      "graft-store: re-layout changed column types")
+    sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      val headM = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(m)
+      if (!oldNames.subsetOf(headM.files.map(_.name).toSet))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: table was rewritten concurrently with a re-layout; re-run")
+      require(GraftStoreFormat.sameCols(headM.schema, m.schema),
+        "graft-store: concurrent schema change during a re-layout")
+      val carried = headM.files.filterNot(e => oldNames.contains(e.name))
+      val rewritten = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, sm.files)
+      done = GraftStoreFormat.commitManifest(path, conf,
+        GraftManifest(headM.schema, carried ++ rewritten,
+          partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
+          check = headM.check, partitionSpecs = headM.partitionSpecs),
+        GraftStoreFormat.nextSeq(head))
+    }
+    f.delete(new Path(scratch), true)
+    (old.size, m.files.size - old.size)
   }
 
   /** Head snapshot's (file name, partition-spec id) pairs plus the spec

@@ -19,4 +19,11 @@ package object graftshim {
     * private[sql]) — needed by graft.plans' custom operators. */
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** V2 Predicate → V1 Filter conversion (PredicateUtils is private[sql])
+    * — needed by the row-level scan's runtime group filtering to feed
+    * dynamic IN predicates into the manifest-stats skipper. */
+  def predicatesToV1(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    internal.connector.PredicateUtils.toV1(predicates)
 }

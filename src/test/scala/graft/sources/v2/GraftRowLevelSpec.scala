@@ -119,6 +119,47 @@ class GraftRowLevelSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(m.check.contains("price >= 0"))
   }
 
+  test("SQL MERGE prunes its rewrite set via runtime group filtering") {
+    val base = freshCat()
+    spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(s"$base/t8")
+    // source keys 5 and 7 both live in the FIRST range file: the merge
+    // condition pushes nothing statically (it references source attrs),
+    // so without runtime group filtering all 4 files would rewrite
+    spark.range(0, 2).selectExpr("id * 2 + 5 as id", "id + 900 as v")
+      .createOrReplaceTempView("rl_src8")
+    spark.sql(
+      """MERGE INTO rlcat.t8 t USING rl_src8 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val carried = fileNames(base + "/t8", 0).intersect(fileNames(base + "/t8", 1))
+    assert(carried.size === 3,
+      s"runtime group filter should carry the 3 untouched files, carried=$carried")
+    val rows = spark.sql("SELECT id, v FROM rlcat.t8").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size === 100)
+    assert(rows(5L) === 900L && rows(7L) === 901L && rows(6L) === 12L)
+  }
+
+  test("non-translatable UPDATE predicates prune at runtime, not rewrite-all") {
+    val base = freshCat()
+    spark.range(0, 100).selectExpr("id", "id as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(s"$base/t9")
+    // id % 97 = 7 has no stats translation (static pushdown gets nothing);
+    // the runtime subquery finds the matching rows' id values and the IN
+    // filter prunes the 3 files whose ranges exclude them
+    spark.sql("UPDATE rlcat.t9 SET v = -1 WHERE id % 97 = 7")
+    val carried = fileNames(base + "/t9", 0).intersect(fileNames(base + "/t9", 1))
+    assert(carried.size === 3,
+      s"expected 3 carried files via runtime pruning, carried=$carried")
+    val got = spark.sql("SELECT id FROM rlcat.t9 WHERE v = -1").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(7L))
+    assert(spark.sql("SELECT count(*) FROM rlcat.t9").collect()(0).getLong(0) === 100)
+  }
+
   test("SQL DELETE still collapses to the metadata path (filter-convertible)") {
     val base = freshCat()
     spark.range(0, 20).selectExpr("id", "id as v")

@@ -159,6 +159,34 @@ class GraftStoreLayoutEvolutionSpec extends AnyFunSuite with graft.SparkTestBase
     assert(spark.read.format("graft-store").load(dir).count() === 90)
   }
 
+  test("rewriteOldSpecFiles re-layouts ONLY old-spec files, keeps history") {
+    val dir = tmpDir()
+    spark.range(0, 100).selectExpr("id", "id % 8 as k")
+      .repartition(2)
+      .write.format("graft-store").mode("overwrite").save(dir)
+    GraftStoreOps.evolvePartitionSpec(spark, dir, Some("bucket(4,k)"))
+    spark.range(100, 200).selectExpr("id", "id % 8 as k")
+      .write.format("graft-store").option("partitionBy", "bucket(4,k)")
+      .mode("append").save(dir)
+    val preNames = manifest(dir).files.filter(_.specId.contains(1)).map(_.name).toSet
+    val (rewritten, carried) = GraftStoreOps.rewriteOldSpecFiles(spark, dir)
+    assert(rewritten === 2 && carried === preNames.size,
+      "only the two pre-evolution files rewrite; current-spec files carry")
+    val m = manifest(dir)
+    assert(m.partitionSpecs === Some(Seq("", "bucket(4,k)")),
+      "spec history survives the re-layout (unlike compaction's overwrite)")
+    assert(m.files.forall(_.specId.contains(1)), "every file now current")
+    assert(preNames.subsetOf(m.files.map(_.name).toSet), "carried files untouched")
+    // SPJ grouping returns: one input partition per bucket
+    val back = spark.read.format("graft-store").load(dir)
+    val buckets = m.files.flatMap(_.partVals.map(_.head.get.toInt)).distinct
+    assert(back.rdd.getNumPartitions === buckets.size)
+    assert(back.count() === 200)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) === (0L until 200L).sum)
+    // idempotent: nothing left to rewrite
+    assert(GraftStoreOps.rewriteOldSpecFiles(spark, dir)._1 === 0)
+  }
+
   test("time travel to a pre-evolution snapshot reads the old layout intact") {
     val dir = tmpDir()
     spark.range(0, 90).selectExpr("id", "cast(id % 3 as int) as grp")
