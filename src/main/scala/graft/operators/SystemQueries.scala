@@ -1608,6 +1608,44 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 12000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** `_file` METADATA COLUMN on the native format
+    * ([[graft.sources.v2.GraftFileColumn]], `SupportsMetadataColumns` —
+    * q99's parquet `_metadata` lineage, now on graft-store): which data
+    * file produced each row, served by the reader at zero cost. Beyond
+    * lineage it is the currency of EXACT runtime group filtering (the
+    * row-level scan collects matching rows' `_file` paths — only files
+    * physically holding a match rewrite, independent of stats overlap;
+    * GraftRowLevelSpec proves it on odd/even files whose min/max fully
+    * overlap). The `files_exact` bit pins per-file row counts to the
+    * manifest's. */
+  val q159StoreFileLineage = QuerySpec(
+    "q159_store_file_lineage", "S-dsv2-file-lineage",
+    "_file metadata column: native-format scan lineage matches the manifest",
+    (s, d) => {
+      val path = "/tmp/graft_store_q159"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") < 4000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      val manifestCounts = graft.sources.v2.GraftStoreOps
+        .snapshotFiles(s, path, 0).map(e => (e._1, e._2)).toMap
+      val perFile = s.read.format("graft-store").load(path)
+        .groupBy(col("_file")).agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0).split("/").last, r.getLong(1))).toMap
+      val filesExact = perFile == manifestCounts
+      s.read.format("graft-store").load(path)
+        .agg(countDistinct(col("_file")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("files_exact", lit(filesExact))
+    },
+    Some("""SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
+           |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS files_exact
+           |FROM orders WHERE o_orderkey < 4000""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1617,5 +1655,6 @@ object SystemQueries {
     q135SqlDelete, q136StreamSink, q137StoreBucketJoin, q138StoreChanges,
     q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck,
     q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm,
-    q155SqlUpdate, q156SqlMerge, q157MultiBucket, q158SpecEvolution)
+    q155SqlUpdate, q156SqlMerge, q157MultiBucket, q158SpecEvolution,
+    q159StoreFileLineage)
 }

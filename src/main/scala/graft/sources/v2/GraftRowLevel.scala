@@ -59,6 +59,18 @@ private[v2] class GraftRowLevelOperation(path: String,
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-store row-level $cmd $path"
 
+  /** `_file` must ride through the rewritten plan for runtime group
+    * filtering to resolve it (the dynamic-pruning rule resolves filter
+    * attributes against the relation OUTPUT, and metadata columns only
+    * join it when the operation requires them — the Iceberg wiring).
+    * Declaring metadata also flips Spark to the metadata writing task,
+    * which projects data rows properly before handing them to the
+    * writer. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftFileColumn.Name))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     new GraftStoreScanBuilder(path, conf, options) {
@@ -145,32 +157,15 @@ private[v2] class GraftRowLevelScan(path: String, manifest: GraftManifest,
         : org.apache.spark.sql.connector.read.InputPartition
     }.toArray
 
-  /** ONE attribute, chosen deliberately: declaring several makes Spark
-    * build the dynamic predicate as an IN over a named_struct of all of
-    * them, which has no V1 conversion — the filter would arrive
-    * unconvertible and prune nothing (probed empirically). A single
-    * column keeps the predicate a plain convertible IN. Preference: the
-    * leading column of the declared layout (partition spec, then sort
-    * clustering — the axis files are actually organized by), else the
-    * first stats-capable column (tables conventionally lead with their
-    * key, and the fallback costs at most pruning effectiveness, never
-    * correctness). */
-  override def filterAttributes(): Array[NamedReference] = {
-    def usable(c: String): Boolean =
-      manifest.schema.fieldNames.contains(c) &&
-        GraftStoreFormat.statsCapable(manifest.schema(c).dataType)
-    val declared = manifest.partitionCol
-      .flatMap(c => scala.util.Try(GraftLayout.parse(c)).toOption)
-      .flatMap(_.columns.headOption)
-      .orElse(manifest.clusterCols
-        .flatMap(_.split(",").map(_.trim).find(_.nonEmpty)))
-      .filter(usable)
-    declared
-      .orElse(manifest.schema.fields
-        .find(f => GraftStoreFormat.statsCapable(f.dataType)).map(_.name))
-      .map(Expressions.column)
-      .toArray
-  }
+  /** The `_file` metadata column, exactly one (Iceberg's design, for two
+    * reasons probed empirically): several attributes make Spark build the
+    * dynamic predicate as an IN over a named_struct, which has no V1
+    * conversion and silently prunes nothing; and collecting matching FILE
+    * PATHS makes the pruning EXACT — only files physically containing a
+    * matching row are rewritten, independent of stats quality, overlap,
+    * or which data column would have pruned best. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftFileColumn.Name))
 
   /** Runtime predicates arrive as V2 INs over the matching rows' values;
     * the V1 conversion feeds the same manifest-stats skipper the static
@@ -268,6 +263,12 @@ private[v2] class GraftRowLevelWriterFactory(delegate: DataWriterFactory,
           proj.project(row)
           inner.write(proj)
         }
+      // the metadata writing task (engaged because the operation requires
+      // `_file`) hands metadata and data as separate pre-projected rows;
+      // the replace commit works at file granularity and needs no per-row
+      // metadata — write the data row
+      override def write(metadata: InternalRow, row: InternalRow): Unit =
+        write(row)
       override def commit(): WriterCommitMessage = inner.commit()
       override def abort(): Unit = inner.abort()
       override def close(): Unit = inner.close()

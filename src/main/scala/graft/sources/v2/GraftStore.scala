@@ -578,11 +578,30 @@ private[v2] object FilterToColumn {
   }
 }
 
+/** The `_file` metadata column (Iceberg/parquet `_metadata.file_path`
+  * parity): absolute path of the data file each row came from — scan-level
+  * lineage on the native format, and the EXACT-pruning currency of runtime
+  * group filtering (collecting matching FILE NAMES beats collecting key
+  * values: no dependence on stats or attribute choice). Zero-cost: the
+  * reader already knows its file. */
+private[v2] object GraftFileColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val Name = "_file"
+  override def name(): String = Name
+  override def dataType(): org.apache.spark.sql.types.DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String = "absolute path of the row's data file"
+}
+
 private[v2] class GraftStoreTable(path: String, schema0: StructType,
     pinned: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.TruncatableTable
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftFileColumn)
 
   /** SQL `UPDATE` / `MERGE INTO` (and non-filter-convertible `DELETE`)
     * via Spark's group-based row-level operation API: the analyzer
@@ -1358,7 +1377,18 @@ private[v2] class GraftStoreScan(protected val path: String,
   protected def selected: Seq[GraftFileEntry] = {
     var s = selectedCache
     if (s == null) {
-      s = manifest.files.filter(e => (pushed ++ runtimeFilters).forall(f => mayMatch(e, f)))
+      s = manifest.files.filter { e =>
+        lazy val abs = new Path(path, e.name).toString
+        (pushed ++ runtimeFilters).forall {
+          // `_file` filters prune EXACTLY (runtime group filtering
+          // collects matching files' paths); stats know nothing of them
+          case org.apache.spark.sql.sources.In(GraftFileColumn.Name, vs) =>
+            vs.contains(abs)
+          case org.apache.spark.sql.sources.EqualTo(GraftFileColumn.Name, v) =>
+            v == abs
+          case f => mayMatch(e, f)
+        }
+      }
       selectedCache = s
     }
     s
@@ -1727,6 +1757,8 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
         if (tag == null) (cur: Array[Any]) => cur(dataWidth)
         else { val t = UTF8String.fromString(tag); (_: Array[Any]) => t }
       case GraftCdc.SnapCol => (_: Array[Any]) => seq
+      case GraftFileColumn.Name =>
+        val f = UTF8String.fromString(file); (_: Array[Any]) => f
       case name =>
         val i = table.fieldIndex(name)
         if (i < dataWidth) (cur: Array[Any]) => cur(i)
@@ -2529,13 +2561,19 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       case GraftFilePartition(f, n) => Seq((f, n))
       case GraftKeyedFilesPartition(fs, _) => fs
     }
-    val keep: Array[Int] = required.fieldNames.map(full.fieldIndex)
+    // -1 = the `_file` metadata column (served from the reader's position,
+    // no decode); anything else indexes the decoded data row
+    val keep: Array[Int] = required.fieldNames.map {
+      case GraftFileColumn.Name => -1
+      case n => full.fieldIndex(n)
+    }
     new PartitionReader[InternalRow] {
       private var remaining = files
       private var in: DataInputStream = _
       private var fileSchema: StructType = _
       private var fileWidth: Int = _
       private var cur: Array[Any] = _
+      private var curFile: UTF8String = _
       private def openNext(): Boolean = remaining match {
         case (f, n) +: rest =>
           remaining = rest
@@ -2546,6 +2584,7 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
           fileWidth = n
           fileSchema =
             if (n >= full.length) full else StructType(full.fields.take(n))
+          curFile = UTF8String.fromString(f)
           true
         case _ => false
       }
@@ -2560,7 +2599,9 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
         true
       }
       override def get(): InternalRow =
-        InternalRow.fromSeq(keep.toSeq.map(i => if (i < fileWidth) cur(i) else null))
+        InternalRow.fromSeq(keep.toSeq.map { i =>
+          if (i == -1) curFile else if (i < fileWidth) cur(i) else null
+        })
       override def close(): Unit = if (in != null) in.close()
     }
   }

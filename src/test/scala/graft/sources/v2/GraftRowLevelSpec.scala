@@ -160,6 +160,36 @@ class GraftRowLevelSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM rlcat.t9").collect()(0).getLong(0) === 100)
   }
 
+  test("_file metadata column: scan-level lineage matches the manifest") {
+    val base = freshCat()
+    spark.range(0, 80).selectExpr("id", "id as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(s"$base/t10")
+    val m = GraftStoreFormat.readLatestManifest(
+      s"$base/t10", spark.sparkContext.hadoopConfiguration).get
+    val perFile = spark.read.format("graft-store").load(s"$base/t10")
+      .groupBy(col("_file")).count().collect()
+      .map(r => (r.getString(0).split("/").last, r.getLong(1))).toMap
+    assert(perFile === m.files.map(e => (e.name, e.rows)).toMap,
+      "_file row counts must match the manifest exactly")
+  }
+
+  test("runtime group filtering is file-exact, beyond what stats can prune") {
+    val base = freshCat()
+    // two files with FULLY OVERLAPPING id ranges but disjoint values:
+    // evens in one, odds in the other — min/max stats cannot separate them
+    spark.range(0, 100).selectExpr("id * 2 as id", "id as v").coalesce(1)
+      .write.format("graft-store").mode("append").save(s"$base/t11")
+    spark.range(0, 100).selectExpr("id * 2 + 1 as id", "id as v").coalesce(1)
+      .write.format("graft-store").mode("append").save(s"$base/t11")
+    spark.sql("UPDATE rlcat.t11 SET v = -1 WHERE id = 4") // an EVEN key
+    val carried = fileNames(base + "/t11", 1).intersect(fileNames(base + "/t11", 2))
+    assert(carried.size === 1,
+      s"_file-based runtime pruning must carry the odd-keys file (stats overlap), carried=$carried")
+    assert(spark.sql("SELECT count(*) FROM rlcat.t11").collect()(0).getLong(0) === 200)
+    assert(spark.sql("SELECT v FROM rlcat.t11 WHERE id = 4").collect()(0).getLong(0) === -1L)
+  }
+
   test("SQL DELETE still collapses to the metadata path (filter-convertible)") {
     val base = freshCat()
     spark.range(0, 20).selectExpr("id", "id as v")
