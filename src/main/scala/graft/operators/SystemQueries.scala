@@ -1646,6 +1646,62 @@ object SystemQueries {
            |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS files_exact
            |FROM orders WHERE o_orderkey < 4000""".stripMargin))
 
+  /** SQL DDL on the table format ([[graft.sources.v2.GraftCatalog]]
+    * `alterTable`): `ALTER TABLE ADD COLUMNS` runs the additive schema
+    * evolution as one METADATA-ONLY commit (q148's mergeSchema semantics
+    * from SQL text — existing files re-listed with their physical width,
+    * reader null-extends, zero rewrite, proven by the bit), and
+    * `SET TBLPROPERTIES('check'=...)` declares a CHECK constraint with
+    * Delta ADD CONSTRAINT semantics — EXISTING rows validated first, then
+    * every future write gated (the rejected-append bit; non-CHECK failures
+    * must not masquerade, q150's discipline). */
+  val q160SqlAlter = QuerySpec(
+    "q160_sql_alter", "S-dsv2-sql-ddl",
+    "SQL ALTER TABLE: metadata-only ADD COLUMNS + validated CHECK declaration",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q160"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.graftq160", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq160.base", base)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 3000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(s"$base/ord") // snap 0
+      s.sql("ALTER TABLE graftq160.ord ADD COLUMNS (o_orderpriority STRING)") // snap 1
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 6000)
+        .write.format("graft-store").mode("append").save(s"$base/ord") // snap 2
+      val f0 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, s"$base/ord", 0)
+      val f1 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, s"$base/ord", 1)
+      val zeroRewrite = f1.map(_._1) == f0.map(_._1) &&
+        f1.forall(_._3.contains(2)) // pre-widening width recorded
+      s.sql("ALTER TABLE graftq160.ord " +
+        "SET TBLPROPERTIES ('check'='o_totalprice >= 0')") // validates existing
+      val appendRejected =
+        try {
+          Tables.orders(s, d)
+            .select((col("o_orderkey") + 1000000).as("o_orderkey"),
+              lit(-5.0).as("o_totalprice"), col("o_orderpriority"))
+            .limit(5)
+            .write.format("graft-store").mode("append").save(s"$base/ord")
+          false
+        } catch { case e: Throwable =>
+          e.getMessage != null && e.getMessage.contains("CHECK")
+        }
+      s.sql("""SELECT coalesce(o_orderpriority, 'PRE-EVOLUTION') AS priority,
+              |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+              |FROM graftq160.ord GROUP BY 1""".stripMargin)
+        .withColumn("zero_rewrite", lit(zeroRewrite))
+        .withColumn("check_gates", lit(appendRejected))
+    },
+    Some("""SELECT CASE WHEN o_orderkey < 3000 THEN 'PRE-EVOLUTION'
+           |    ELSE o_orderpriority END AS priority,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS zero_rewrite, TRUE AS check_gates
+           |FROM orders WHERE o_orderkey < 6000
+           |GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1656,5 +1712,5 @@ object SystemQueries {
     q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck,
     q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm,
     q155SqlUpdate, q156SqlMerge, q157MultiBucket, q158SpecEvolution,
-    q159StoreFileLineage)
+    q159StoreFileLineage, q160SqlAlter)
 }

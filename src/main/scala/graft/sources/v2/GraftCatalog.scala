@@ -110,9 +110,78 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "graft catalog: tables are created by DataFrame writes to the table path")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: tables are altered by writes (schema changes via overwrite)")
+  /** SQL DDL on the manifest, metadata-only:
+    *
+    *   - `ALTER TABLE cat.t ADD COLUMNS (c TYPE)` — additive schema
+    *     evolution as one commit: the row codec is positional, so existing
+    *     files become PREFIXES of the widened schema (re-listed with their
+    *     physical width `ncols`; the reader null-extends) — the SQL face of
+    *     the `mergeSchema=true` append path, with zero data involved.
+    *     Added columns must be top-level, trailing, nullable, and of a
+    *     codec-supported type; anything non-additive (drop/rename/retype/
+    *     reposition) fails loudly — it would decode old files wrongly.
+    *   - `ALTER TABLE cat.t SET TBLPROPERTIES ('check'='<expr>')` —
+    *     declare the table's CHECK constraint. EXISTING rows are validated
+    *     first (one scan, count of violators — Delta's ADD CONSTRAINT
+    *     semantics: a constraint the data already violates must not
+    *     declare); `UNSET TBLPROPERTIES ('check')` clears it.
+    *
+    * OCC-retried like every commit; `txn`/`cdc` are per-commit and clear. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    val path = pathOf(ident)
+    val spark = SparkSession.active
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      val m = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(throw new NoSuchTableException(ident))
+      val origWidth = m.schema.length
+      var schema = m.schema
+      var files = m.files
+      var check = m.check
+      changes.foreach {
+        case add: AddColumn =>
+          require(add.fieldNames().length == 1,
+            "graft catalog: nested column additions are unsupported")
+          val colName = add.fieldNames()(0)
+          require(!schema.fieldNames.contains(colName),
+            s"graft catalog: column $colName already exists")
+          require(add.isNullable,
+            "graft catalog: added columns must be nullable (existing rows hold no value)")
+          require(add.position() == null,
+            "graft catalog: column positions are unsupported (the codec is " +
+              "positional; new columns append)")
+          require(GraftStoreFormat.codecSupports(add.dataType()),
+            s"graft catalog: unsupported column type ${add.dataType().simpleString}")
+          // existing files keep their PRE-widening width (first record wins
+          // through repeated evolutions)
+          files = files.map(e => e.copy(ncols = e.ncols.orElse(Some(origWidth))))
+          schema = schema.add(colName, add.dataType(), nullable = true)
+        case set: SetProperty if set.property() == "check" =>
+          GraftCheck.compile(schema, set.value()) // analyzable against the schema
+          // Delta ADD CONSTRAINT semantics: existing rows must already
+          // satisfy it — one scan, proportional to the table, explicit
+          val violations = spark.read.format("graft-store").load(path)
+            .filter(s"NOT coalesce((${set.value()}), true)").count()
+          require(violations == 0L,
+            s"graft catalog: $violations existing rows violate CHECK '${set.value()}'")
+          check = Some(set.value())
+        case rm: RemoveProperty if rm.property() == "check" =>
+          check = None
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft catalog: unsupported table change $other — the row codec " +
+              "is positional: only trailing nullable ADD COLUMN and the " +
+              "'check' property alter in place; anything else needs an overwrite")
+      }
+      done = GraftStoreFormat.commitManifest(path, conf,
+        m.copy(schema = schema, files = files, check = check,
+          txn = None, cdc = None),
+        GraftStoreFormat.nextSeq(head))
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = false
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog: rename not supported")

@@ -225,6 +225,10 @@ private[v2] object GraftStoreFormat {
     case _ => false
   }
 
+  /** Types the row codec can encode at all (stats-capable plus boolean). */
+  def codecSupports(dt: DataType): Boolean =
+    statsCapable(dt) || dt == BooleanType
+
   /** Stamp entries with the CURRENT spec id when the table has an evolved
     * spec history — ONE definition of the "specs defined ⇒ every file
     * stamped" invariant, shared by every commit path (batch, streaming,
