@@ -1702,6 +1702,138 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 6000
            |GROUP BY 1""".stripMargin))
 
+  /** MERGE-ON-READ DELETE — [[graft.sources.v2.GraftStoreOps.deleteWhereMor]],
+    * the write-amplification dual of q132's COW: instead of rewriting the
+    * files that hold matching rows, the commit publishes POSITION-DELETE
+    * files (`(target file, row ordinal)` — the Iceberg positional-delete
+    * shape) and every data file stays byte-identical on disk. Reads merge
+    * the masks back out. At 100 TB this is what makes frequent selective
+    * deletes viable: a DELETE costs its churn (delete files sized by
+    * matched rows), not file-sized rewrites; [[GraftStoreOps.purgeDeletes]]
+    * (q163) repays the read debt when it accumulates. Bound bits prove the
+    * mechanism: the data-file set is unchanged across the DELETE, the
+    * manifest's delete entries account for exactly the deleted rows, and
+    * the pre-delete snapshot still time-travels unmasked. */
+  val q161MorDelete = QuerySpec(
+    "q161_mor_delete", "S-dsv2-mor-delete",
+    "merge-on-read DELETE: position-delete masks, data files untouched",
+    (s, d) => {
+      val path = "/tmp/graft_store_q161"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").option("dmlMode", "mor")
+        .mode("overwrite").save(path)
+      val rawRows = Tables.orders(s, d).count() // sf-independent history check
+      val filesBefore = graft.sources.v2.GraftStoreOps
+        .snapshotFiles(s, path, 0).map(_._1).toSet
+      val (deleted, delFiles) = graft.sources.v2.GraftStoreOps
+        .deleteWhereMor(s, path, col("o_orderkey") < 2000)
+      val filesAfter = graft.sources.v2.GraftStoreOps
+        .snapshotFiles(s, path, 1).map(_._1).toSet
+      val preDeleteRows = s.read.format("graft-store").option("snapshot", 0)
+        .load(path).count()
+      val debt = graft.sources.v2.GraftStoreOps.liveDeletes(s, path)
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("files_untouched", lit(filesAfter == filesBefore))
+        .withColumn("debt_matches",
+          lit(deleted > 0 && debt.map(_._2).sum == deleted && debt.size == delFiles))
+        .withColumn("history_intact", lit(preDeleteRows == rawRows))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS files_untouched, TRUE AS debt_matches,
+           |  TRUE AS history_intact
+           |FROM orders WHERE o_orderkey >= 2000
+           |GROUP BY o_orderpriority""".stripMargin))
+
+  /** CDC over merge-on-read DML — the change feed needs NO writer-emitted
+    * change store for a MOR DELETE: the commit's position-delete files
+    * record `(target, ordinal)` refs, and the deleted rows' VALUES are
+    * still physically present in the (immutable, still-listed) target
+    * files, so the feed resolves the refs at read time. Contrast q153's
+    * COW feed, which must persist pre-images at write time because the
+    * rewrite destroys them. Cost stays churn-proportional: one feed
+    * partition per delete file, reading only covered targets. */
+  val q162MorCdc = QuerySpec(
+    "q162_mor_cdc", "S-dsv2-mor-cdc",
+    "CDC over merge-on-read: delete refs resolve from live target files",
+    (s, d) => {
+      val path = "/tmp/graft_store_q162"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 4000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").option("dmlMode", "mor")
+        .mode("append").save(path) // snap 0
+      graft.sources.v2.GraftStoreOps.deleteWhereMor(s, path,
+        col("o_orderkey") < 1000) // snap 1
+      graft.sources.v2.GraftStoreOps.deleteWhereMor(s, path,
+        col("o_orderkey") >= 2000 && col("o_orderkey") < 3000) // snap 2
+      s.read.format("graft-store").option("readChangeFeed", "true").load(path)
+        .groupBy(col("change_type"), col("_commit_snapshot").as("snap"))
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_totalprice
+           |  FROM orders WHERE o_orderkey < 4000),
+           |feed AS (
+           |  SELECT o_orderkey, o_totalprice, 'insert' AS change_type,
+           |    CAST(0 AS BIGINT) AS snap FROM base
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice, 'delete', 1 FROM base
+           |  WHERE o_orderkey < 1000
+           |  UNION ALL
+           |  SELECT o_orderkey, o_totalprice, 'delete', 2 FROM base
+           |  WHERE o_orderkey >= 2000 AND o_orderkey < 3000)
+           |SELECT change_type, snap, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           |  round(sum(o_totalprice), 2) AS sum_price
+           |FROM feed GROUP BY change_type, snap""".stripMargin))
+
+  /** Position-delete PURGE — [[graft.sources.v2.GraftStoreOps.purgeDeletes]],
+    * Iceberg's `rewrite_position_delete_files` economics: rewrite ONLY the
+    * data files the live masks cover (applying them), drop the dead delete
+    * entries, leave every uncovered file byte-identical. The read-debt
+    * repayment costs the COVERED files, not the table — contrast full
+    * compaction. Bound bits prove the pruning (covered files rewritten,
+    * the rest carried) and the cleared manifest. */
+  val q163MorPurge = QuerySpec(
+    "q163_mor_purge", "S-dsv2-mor-maintenance",
+    "position-delete purge: read-debt repayment costs covered files only",
+    (s, d) => {
+      val path = "/tmp/graft_store_q163"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").option("dmlMode", "mor")
+        .mode("overwrite").save(path)
+      graft.sources.v2.GraftStoreOps.deleteWhereMor(s, path,
+        col("o_orderkey") < 1000) // snap 1
+      graft.sources.v2.GraftStoreOps.deleteWhereMor(s, path,
+        col("o_orderkey") >= 1000 && col("o_orderkey") < 2000) // snap 2
+      val (rewritten, carried) =
+        graft.sources.v2.GraftStoreOps.purgeDeletes(s, path)
+      val cleared = graft.sources.v2.GraftStoreOps.liveDeletes(s, path).isEmpty
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("purge_pruned", lit(rewritten > 0 && carried > 0))
+        .withColumn("masks_cleared", lit(cleared))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS purge_pruned, TRUE AS masks_cleared
+           |FROM orders WHERE o_orderkey >= 2000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1712,5 +1844,6 @@ object SystemQueries {
     q145StoreRestore, q148SchemaEvolution, q149StoreHistory, q150StoreCheck,
     q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm,
     q155SqlUpdate, q156SqlMerge, q157MultiBucket, q158SpecEvolution,
-    q159StoreFileLineage, q160SqlAlter)
+    q159StoreFileLineage, q160SqlAlter, q161MorDelete, q162MorCdc,
+    q163MorPurge)
 }

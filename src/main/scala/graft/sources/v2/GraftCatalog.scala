@@ -140,6 +140,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       var schema = m.schema
       var files = m.files
       var check = m.check
+      var dml = m.dml
       changes.foreach {
         case add: AddColumn =>
           require(add.fieldNames().length == 1,
@@ -169,6 +170,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           check = Some(set.value())
         case rm: RemoveProperty if rm.property() == "check" =>
           check = None
+        // row-level DML storage mode (Delta's enableDeletionVectors knob in
+        // spirit): flipping cow<->mor is metadata-only — existing position
+        // deletes stay live either way (reads always apply them; only
+        // FUTURE DML picks its strategy by this property)
+        case set: SetProperty if set.property() == "dmlMode" =>
+          require(set.value() == "cow" || set.value() == "mor",
+            s"graft catalog: dmlMode must be 'cow' or 'mor', got '${set.value()}'")
+          dml = Some(set.value())
+        case rm: RemoveProperty if rm.property() == "dmlMode" =>
+          dml = None
         case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: unsupported table change $other — the row codec " +
@@ -176,7 +187,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
               "'check' property alter in place; anything else needs an overwrite")
       }
       done = GraftStoreFormat.commitManifest(path, conf,
-        m.copy(schema = schema, files = files, check = check,
+        m.copy(schema = schema, files = files, check = check, dml = dml,
           txn = None, cdc = None),
         GraftStoreFormat.nextSeq(head))
     }

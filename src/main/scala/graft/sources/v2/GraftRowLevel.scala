@@ -55,6 +55,13 @@ private[v2] class GraftRowLevelOperation(path: String,
     case None => throw new IllegalStateException(
       "graft-store: row-level write committed before its scan was planned")
   }
+  /** The manifest the operation's scan was planned against — the commit's
+    * entry-time view for the merge-on-read delete race guard. */
+  private[v2] def scanManifest: GraftManifest = captured match {
+    case Some(s) => s.manifest
+    case None => throw new IllegalStateException(
+      "graft-store: row-level write committed before its scan was planned")
+  }
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-store row-level $cmd $path"
@@ -153,7 +160,7 @@ private[v2] class GraftRowLevelScan(path: String, manifest: GraftManifest,
 
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
     selected.map { e =>
-      GraftFilePartition(new Path(path, e.name).toString, widthOf(e))
+      GraftFilePartition(sliceOf(e))
         : org.apache.spark.sql.connector.read.InputPartition
     }.toArray
 
@@ -216,13 +223,25 @@ private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
             "row-level operation; re-run the statement against the new head")
       require(GraftStoreFormat.sameCols(headM.schema, schema),
         "graft-store: concurrent schema change during a row-level operation")
+      // a merge-on-read delete that landed on a scanned file after the scan
+      // was planned would be silently undone by this rewrite (the rewrite
+      // applied only the scan-time masks) — abort loudly, like COW
+      val entryDels = op.scanManifest.deletes.map(_.name).toSet
+      if (headM.deletes.exists(d => !entryDels.contains(d.name) &&
+          replaced.exists(d.covers)))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: a merge-on-read delete landed on a file this " +
+            "row-level operation rewrites; re-run against the new head")
       val carried = headM.files.filterNot(e => replaced.contains(e.name))
+      // rewritten groups had their masks applied — drop dead delete entries
+      val liveDels = headM.deletes.filter(d => carried.exists(e => d.covers(e.name)))
       // evolved table: replacement files were routed under the CURRENT spec
       val stamped = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, newEntries)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(headM.schema, carried ++ stamped,
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
-          check = headM.check, partitionSpecs = headM.partitionSpecs),
+          check = headM.check, partitionSpecs = headM.partitionSpecs,
+          deletes = liveDels, dml = headM.dml),
         GraftStoreFormat.nextSeq(head))
     }
     fs.delete(tmpDir, true)

@@ -110,6 +110,25 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
     stats: Map[Int, (String, String)], partVals: Option[Seq[Option[String]]] = None,
     ncols: Option[Int] = None, specId: Option[Int] = None)
 
+/** One POSITION-DELETE file (manifest v7+, merge-on-read): a data file in
+  * the table directory holding sorted `(file string, pos long)` rows — the
+  * Iceberg positional-delete shape — where `file` is the target data
+  * file's NAME and `pos` its 0-based physical row ordinal. A read of data
+  * file F applies every delete file whose `[minTarget, maxTarget]` name
+  * range covers F (the range is the writer's min/max stats on the `file`
+  * column; delete writes cluster by target file, so ranges stay tight).
+  * Deleting never rewrites data: a MOR DELETE commits churn-sized delete
+  * files + one manifest, and reads merge them back out — the economics
+  * that make frequent small deletes viable at 100 TB. Delete files are
+  * dropped when maintenance rewrites their targets ([[GraftStoreOps
+  * .purgeDeletes]], compaction) and positions are keyed by exact file
+  * NAME, so a stale entry can never touch a rewritten file (fresh names). */
+private[v2] case class GraftDeleteEntry(name: String, rows: Long,
+    minTarget: String, maxTarget: String) {
+  def covers(fileName: String): Boolean =
+    minTarget <= fileName && fileName <= maxTarget
+}
+
 /** `cdc` (manifest v5+): id of the change-data store under `_cdc/<id>`
   * recorded by the COW DML commit that PUBLISHED this snapshot — the
   * writer-emitted row-level change log (Delta CDF's `_change_data` files).
@@ -120,11 +139,20 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
   * HISTORY ("" = unpartitioned), Iceberg's spec-versioning. The LAST entry
   * is always the current spec (== `partitionCol`); files reference their
   * spec by index ([[GraftFileEntry.specId]]). `None` on unevolved tables. */
+/** `deletes` (manifest v7+): the snapshot's live POSITION-DELETE files
+  * ([[GraftDeleteEntry]]). `dml` (v7+): the table's row-level DML storage
+  * mode — `None`/`"cow"` = copy-on-write (default), `"mor"` = merge-on-read
+  * (DELETE/UPDATE/MERGE write position deletes + new data files instead of
+  * rewriting groups). A table PROPERTY like check/clusterCols: declared at
+  * overwrite (`dmlMode` option) or ALTER TABLE, inherited by appends. */
 private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEntry],
     millis: Long = 0L, partitionCol: Option[String] = None,
     txn: Option[String] = None, clusterCols: Option[String] = None,
     check: Option[String] = None, cdc: Option[String] = None,
-    partitionSpecs: Option[Seq[String]] = None)
+    partitionSpecs: Option[Seq[String]] = None,
+    deletes: Seq[GraftDeleteEntry] = Seq.empty, dml: Option[String] = None) {
+  def isMor: Boolean = dml.contains("mor")
+}
 
 private[v2] object GraftStoreFormat {
   /** Manifest file body: optional `#millis=<epoch>` header (v2 — publication
@@ -229,6 +257,20 @@ private[v2] object GraftStoreFormat {
   def codecSupports(dt: DataType): Boolean =
     statsCapable(dt) || dt == BooleanType
 
+  /** Schema of a position-delete store file: target data-file NAME (not
+    * path — names are short enough that writer stats always exist, which
+    * is what makes the per-entry `[minTarget, maxTarget]` covering range
+    * work) and the 0-based physical row ordinal. */
+  val DeleteSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** ABSOLUTE paths of the delete files a read of `fileName` must apply. */
+  def coveringDeletes(path: String, m: GraftManifest, fileName: String): Seq[String] =
+    if (m.deletes.isEmpty) Nil
+    else m.deletes.filter(_.covers(fileName))
+      .map(d => new Path(path, d.name).toString)
+
   /** Stamp entries with the CURRENT spec id when the table has an evolved
     * spec history — ONE definition of the "specs defined ⇒ every file
     * stamped" invariant, shared by every commit path (batch, streaming,
@@ -285,16 +327,25 @@ private[v2] object GraftStoreFormat {
       if (rest4.head.startsWith("#cdc="))
         (Some(rest4.head.stripPrefix("#cdc=")), rest4.tail)
       else (None, rest4)
+    // `#dml=` header (optional): row-level DML storage mode ("mor" =
+    // merge-on-read; absent/"cow" = copy-on-write)
+    val (dml, rest5b) =
+      if (rest5.head.startsWith("#dml="))
+        (Some(rest5.head.stripPrefix("#dml=")), rest5.tail)
+      else (None, rest5)
     // `#txn=` header (optional): the streaming-epoch token of the commit
     // that published this snapshot — the idempotency check a replayed
     // epoch commit is deduplicated against
     val (txn, lines) =
-      if (rest5.head.startsWith("#txn="))
-        (Some(rest5.head.stripPrefix("#txn=")), rest5.tail)
-      else (None, rest5)
+      if (rest5b.head.startsWith("#txn="))
+        (Some(rest5b.head.stripPrefix("#txn=")), rest5b.tail)
+      else (None, rest5b)
+    // `~del` lines (v7+, merge-on-read) carry position-delete files; the
+    // `~` sigil can never open a data-file name (those are `part-…`)
+    val (delLines, fileLines) = lines.tail.toSeq.partition(_.startsWith("~del\t"))
     GraftManifest(
       StructType.fromDDL(lines.head),
-      lines.tail.toSeq.map { l =>
+      fileLines.map { l =>
         // third field (stats) and fourth (partition values) are optional:
         // pre-stats / pre-partition-value manifests stay readable
         val parts = l.split("\t", -1)
@@ -304,7 +355,12 @@ private[v2] object GraftStoreFormat {
           if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None,
           if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5).toInt) else None)
       },
-      millis, partCol, txn, clusterCols, check, cdc, specs)
+      millis, partCol, txn, clusterCols, check, cdc, specs,
+      delLines.map { l =>
+        val parts = l.split("\t", -1)
+        GraftDeleteEntry(parts(1), parts(2).toLong,
+          unescStat(parts(3)), unescStat(parts(4)))
+      }, dml)
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
@@ -387,8 +443,12 @@ private[v2] object GraftStoreFormat {
         m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
         m.check.map(c => s"#check=${escStat(c)}\n").getOrElse("") +
         m.cdc.map(c => s"#cdc=$c\n").getOrElse("") +
+        m.dml.map(d => s"#dml=$d\n").getOrElse("") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
-        m.schema.toDDL + "\n" + m.files.map { e =>
+        m.schema.toDDL + "\n" +
+        m.deletes.map(d =>
+          s"~del\t${d.name}\t${d.rows}\t${escStat(d.minTarget)}\t${escStat(d.maxTarget)}\n")
+          .mkString + m.files.map { e =>
           val pv = e.partVals.map(partValsToString).getOrElse("")
           val base = s"${e.name}\t${e.rows}\t${statsToString(e.stats)}"
           // trailing optional fields: partVals (4th), ncols (5th), specId
@@ -597,6 +657,21 @@ private[v2] object GraftFileColumn
   override def comment(): String = "absolute path of the row's data file"
 }
 
+/** The `_pos` metadata column (Iceberg `_pos` parity): 0-based PHYSICAL row
+  * ordinal within the row's data file — counted over all stored rows,
+  * including ones masked by position deletes, so (`_file`, `_pos`) is a
+  * stable row id on immutable files. Zero-cost (the reader counts rows it
+  * already decodes); together with `_file` it is the row id the
+  * merge-on-read delta write path deletes/updates by. */
+private[v2] object GraftPosColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val Name = "_pos"
+  override def name(): String = Name
+  override def dataType(): org.apache.spark.sql.types.DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = "0-based physical row ordinal within _file"
+}
+
 private[v2] class GraftStoreTable(path: String, schema0: StructType,
     pinned: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
@@ -605,7 +680,7 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftFileColumn)
+    Array(GraftFileColumn, GraftPosColumn)
 
   /** SQL `UPDATE` / `MERGE INTO` (and non-filter-convertible `DELETE`)
     * via Spark's group-based row-level operation API: the analyzer
@@ -637,7 +712,7 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
         .map(GraftStoreFormat.readManifestFile(path, conf, _))
         .getOrElse(return false)
       done = GraftStoreFormat.commitManifest(path, conf,
-        m.copy(files = Seq.empty, txn = None, cdc = None),
+        m.copy(files = Seq.empty, txn = None, cdc = None, deletes = Seq.empty),
         GraftStoreFormat.nextSeq(head))
     }
     true
@@ -645,14 +720,20 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
 
   /** SQL `DELETE FROM <catalog>.<table> WHERE ...`: Spark calls these with
     * the WHERE clause as exact V1 filters; the conjunction routes through
-    * the stats-pruned COW delete. */
+    * the table's declared DML mode — the stats-pruned COW rewrite
+    * (default) or the merge-on-read position-delete commit (`dmlMode=mor`:
+    * data files untouched, churn-sized delete files published). */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(FilterToColumn.convert(_).isDefined)
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = SparkSession.active
     val cond = filters.flatMap(FilterToColumn.convert(_))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true)) // bare DELETE FROM t
-    GraftStoreOps.deleteWhere(SparkSession.active, path, cond)
+    val mor = GraftStoreFormat.readLatestManifest(
+      path, spark.sparkContext.hadoopConfiguration).exists(_.isMor)
+    if (mor) GraftStoreOps.deleteWhereMor(spark, path, cond)
+    else GraftStoreOps.deleteWhere(spark, path, cond)
     ()
   }
   override def name(): String = s"graft_store($path)"
@@ -689,7 +770,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       partitionBy = Option(info.options.get("partitionBy")),
       queryId = info.queryId(),
       mergeSchema = Option(info.options.get("mergeSchema")).exists(_.toBoolean),
-      checkOption = Option(info.options.get("check")))
+      checkOption = Option(info.options.get("check")),
+      dmlMode = Option(info.options.get("dmlMode")))
 }
 
 // ------------------------------------------------------------------- write
@@ -737,10 +819,13 @@ private[v2] object GraftCheck {
 private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, clusterBy: Array[String] = Array.empty,
     clusterFiles: Int = 0, partitionBy: Option[String] = None, queryId: String = "",
-    mergeSchema: Boolean = false, checkOption: Option[String] = None)
+    mergeSchema: Boolean = false, checkOption: Option[String] = None,
+    dmlMode: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   require(clusterBy.isEmpty || partitionBy.isEmpty,
     "graft-store: clusterBy and partitionBy are mutually exclusive layouts")
+  dmlMode.foreach(m => require(m == "cow" || m == "mor",
+    s"graft-store: dmlMode must be 'cow' or 'mor', got '$m'"))
   // parse once: validates bucket syntax/count at plan time, and the
   // canonical `render` form is what the manifest header and the append
   // layout guard compare, so `bucket( 8 , k )` and `bucket(8,k)` unify
@@ -772,7 +857,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
 
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
-      clusterFiles, partitionBy, queryId, mergeSchema, checkOption)
+      clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode)
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -798,7 +883,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy,
-        mergeSchema, effectiveCheck, compiledCheck)
+        mergeSchema, effectiveCheck, compiledCheck, dmlMode)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck,
         effectiveCheck)
@@ -895,7 +980,11 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
           // a stream DECLARING a constraint on a fresh table must persist
           // it, not just enforce it in-memory for this query's lifetime
           check = prevManifest.flatMap(_.check).orElse(checkText),
-          partitionSpecs = specs),
+          partitionSpecs = specs,
+          // table properties/state carry through a streaming append like a
+          // batch append: live position deletes and the DML mode
+          deletes = prevManifest.map(_.deletes).getOrElse(Seq.empty),
+          dml = prevManifest.flatMap(_.dml)),
         GraftStoreFormat.nextSeq(head))
     }
     fs.delete(tmpDir, true)
@@ -932,7 +1021,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, layout: Option[GraftLayout] = None,
     clusterBy: Array[String] = Array.empty, mergeSchema: Boolean = false,
     checkText: Option[String] = None,
-    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+    dmlMode: Option[String] = None)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
@@ -1033,9 +1123,19 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       // overwrite resets history (a fresh table state declares layout anew)
       val specs = if (truncate) None else prevManifest.flatMap(_.partitionSpecs)
       val stamped = GraftStoreFormat.stampCurrentSpec(specs, newEntries)
+      // merge-on-read: an append carries the table's live position deletes
+      // (they mask rows of OLDER files; appended files have fresh names no
+      // entry can cover); an overwrite starts clean. The DML mode is a
+      // table property: overwrite (re)declares it from the `dmlMode`
+      // option, append inherits (declaring on a fresh table is fine)
+      val dels = if (truncate) Seq.empty[GraftDeleteEntry]
+                 else prevManifest.map(_.deletes).getOrElse(Seq.empty)
+      val dml = if (truncate) dmlMode
+                else prevManifest.flatMap(_.dml).orElse(dmlMode)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema, prev ++ stamped, partitionCol = partitionBy,
-          clusterCols = cluster, check = effCheck, partitionSpecs = specs),
+          clusterCols = cluster, check = effCheck, partitionSpecs = specs,
+          deletes = dels, dml = dml),
         GraftStoreFormat.nextSeq(head))
     }
     // NO data-file cleanup here, even on truncate: superseded files are
@@ -1411,8 +1511,16 @@ private[v2] class GraftStoreScan(protected val path: String,
       }.sum
     }
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
-    override def numRows(): OptionalLong =
-      OptionalLong.of(selected.map(_.rows).sum)
+    override def numRows(): OptionalLong = {
+      // merge-on-read: subtract the rows masked by delete files covering
+      // the selection (an estimate — coverage is a name range — but the
+      // full-table case is exact, keeping broadcast decisions honest)
+      val masked =
+        if (manifest.deletes.isEmpty) 0L
+        else manifest.deletes
+          .filter(d => selected.exists(e => d.covers(e.name))).map(_.rows).sum
+      OptionalLong.of(math.max(0L, selected.map(_.rows).sum - masked))
+    }
   }
 
   /** Identity-partitioned read groups: for a `partitionBy` table, every
@@ -1523,18 +1631,21 @@ private[v2] class GraftStoreScan(protected val path: String,
   protected def widthOf(e: GraftFileEntry): Int =
     e.ncols.getOrElse(manifest.schema.length)
 
+  /** Read unit for one data file: path, width, covering position-delete
+    * files (merge-on-read — empty on COW tables). */
+  protected def sliceOf(e: GraftFileEntry): GraftFileSlice =
+    GraftFileSlice(new Path(path, e.name).toString, widthOf(e),
+      GraftStoreFormat.coveringDeletes(path, manifest, e.name))
+
   override def planInputPartitions(): Array[InputPartition] =
     keyedGroups match {
       case Some(groups) =>
         groups.map { case (key, es) =>
-          GraftKeyedFilesPartition(
-            es.map(e => (new Path(path, e.name).toString, widthOf(e))),
+          GraftKeyedFilesPartition(es.map(sliceOf),
             InternalRow.fromSeq(key)): InputPartition
         }.toArray
       case None =>
-        selected.map { e =>
-          GraftFilePartition(new Path(path, e.name).toString, widthOf(e)): InputPartition
-        }.toArray
+        selected.map(e => GraftFilePartition(sliceOf(e)): InputPartition).toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(manifest.schema, required, conf)
@@ -1610,7 +1721,10 @@ private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
       require(w <= full.length,
         s"graft-store: file ${f.name} was written under an evolved schema " +
           s"($w cols > pinned ${full.length}); restart the stream to adopt it")
-      GraftFilePartition(new Path(path, f.name).toString, w): InputPartition
+      // append-mode semantics: the snapshot-tail stream emits added files
+      // as-is and never retracts — position deletes (merge-on-read DML)
+      // are NOT applied here, same contract as overwrites above
+      GraftFilePartition(GraftFileSlice(new Path(path, f.name).toString, w)): InputPartition
     }.toArray
   }
 
@@ -1673,11 +1787,13 @@ private[v2] object GraftCdc {
     // runs for from-the-beginning reads or expired starts)
     val startIdx = ms.indexWhere(p => GraftStoreFormat.manifestSeq(p) == fromSeq)
     var prevKnown = startIdx >= 0
-    var prevFiles: Set[String] =
-      if (prevKnown)
-        GraftStoreFormat.readManifestFile(path, conf, ms(startIdx))
-          .files.map(_.name).toSet
-      else Set.empty
+    var prevFiles: Set[String] = Set.empty
+    var prevDels: Set[String] = Set.empty
+    if (prevKnown) {
+      val pm = GraftStoreFormat.readManifestFile(path, conf, ms(startIdx))
+      prevFiles = pm.files.map(_.name).toSet
+      prevDels = pm.deletes.map(_.name).toSet
+    }
     for (p <- if (prevKnown) ms.drop(startIdx + 1) else ms) {
       val seq = GraftStoreFormat.manifestSeq(p)
       val m = GraftStoreFormat.readManifestFile(path, conf, p)
@@ -1719,17 +1835,41 @@ private[v2] object GraftCdc {
                   "(overwrite/truncate/restore/compaction); row-level changes " +
                   "cannot be reconstructed — set skipChangeCommits=true to ignore " +
                   "such commits, or use changesBetween for a net snapshot diff")
-            if (removed.isEmpty) added.foreach { e =>
-              val w = e.ncols.getOrElse(m.schema.length)
-              require(w <= pinned.length,
-                s"graft-store: file ${e.name} was written under an evolved schema " +
-                  s"($w cols > pinned ${pinned.length}); restart the feed")
-              out += GraftCdcPartition(
-                new Path(path, e.name).toString, w, "insert", seq)
+            if (removed.isEmpty) {
+              added.foreach { e =>
+                val w = e.ncols.getOrElse(m.schema.length)
+                require(w <= pinned.length,
+                  s"graft-store: file ${e.name} was written under an evolved schema " +
+                    s"($w cols > pinned ${pinned.length}); restart the feed")
+                out += GraftCdcPartition(
+                  new Path(path, e.name).toString, w, "insert", seq)
+              }
+              // MERGE-ON-READ DELETE commits need no change store at all:
+              // the commit's delete files record (target, position), and
+              // the deleted rows' VALUES are still physically present in
+              // the (immutable, still-listed) target files — the feed
+              // resolves the refs at read time, one partition per delete
+              // file. Cost = the covered files, i.e. the commit's churn.
+              val newDels = m.deletes.filterNot(d => prevDels.contains(d.name))
+                .sortBy(_.name)
+              if (newDels.nonEmpty) {
+                val widths = m.files
+                  .filter(e => newDels.exists(_.covers(e.name)))
+                  .map(e => e.name -> e.ncols.getOrElse(m.schema.length)).toMap
+                require(widths.values.forall(_ <= pinned.length),
+                  s"graft-store: snapshot $seq's delete targets were written " +
+                    s"under an evolved schema (> pinned ${pinned.length} cols); " +
+                    "restart the feed")
+                newDels.foreach { d =>
+                  out += GraftCdcRefPartition(
+                    new Path(path, d.name).toString, path, widths, seq)
+                }
+              }
             }
         }
       }
       prevFiles = m.files.map(_.name).toSet
+      prevDels = m.deletes.map(_.name).toSet
       prevKnown = true
     }
     out.toArray
@@ -1743,11 +1883,106 @@ private[v2] object GraftCdc {
 private[v2] case class GraftCdcPartition(file: String, ncols: Int, tag: String,
     seq: Long) extends InputPartition
 
+/** A POSITION-REF CDC read unit (merge-on-read DELETE commits): `delFile`
+  * is a position-delete store (rows `(target name, pos)`); the deleted
+  * rows' values are resolved by re-reading each covered target file under
+  * `dir` (width per target in `widths`) and emitting the rows at the
+  * masked ordinals as `change_type = "delete"`. Valid while the commit is
+  * retained: MOR keeps target files LISTED (only masked), so expiry can't
+  * reclaim them before the manifest that references the delete file. */
+private[v2] case class GraftCdcRefPartition(delFile: String, dir: String,
+    widths: Map[String, Int], seq: Long) extends InputPartition
+
 private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val GraftCdcPartition(file, ncols, tag, seq) =
-      partition.asInstanceOf[GraftCdcPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GraftCdcRefPartition => refReader(p)
+      case p: GraftCdcPartition => fileReader(p)
+    }
+
+  /** Resolve a MOR delete store's refs into full `delete` rows: load the
+    * (target, pos) pairs grouped per target, then stream each target file
+    * once, emitting rows whose ordinal is masked — a merge-walk against
+    * the sorted positions, same discipline as the data reader's skip. */
+  private def refReader(p: GraftCdcRefPartition): PartitionReader[InternalRow] = {
+    val GraftCdcRefPartition(delFile, dir, widths, seq) = p
+    val byTarget: Seq[(String, Array[Long])] = {
+      val fs = new Path(delFile).getFileSystem(conf.value)
+      val in = new DataInputStream(
+        new BufferedInputStream(fs.open(new Path(delFile)), 1 << 16))
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      try {
+        var r = GraftStoreFormat.readRow(in, GraftStoreFormat.DeleteSchema)
+        while (r != null) {
+          acc.getOrElseUpdate(r(0).toString,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += r(1).asInstanceOf[Long]
+          r = GraftStoreFormat.readRow(in, GraftStoreFormat.DeleteSchema)
+        }
+      } finally in.close()
+      acc.toSeq.map { case (t, ps) => (t, ps.distinct.sorted.toArray) }
+    }
+    new PartitionReader[InternalRow] {
+      private var remaining = byTarget
+      private var in: DataInputStream = _
+      private var fileSchema: StructType = _
+      private var fileWidth = 0
+      private var curFile: UTF8String = _
+      private var masked: Array[Long] = Array.emptyLongArray
+      private var maskIdx = 0
+      private var pos = -1L
+      private var cur: Array[Any] = _
+      private def openNext(): Boolean = remaining match {
+        case (t, ps) +: rest =>
+          remaining = rest
+          val abs = new Path(dir, t)
+          val fs = abs.getFileSystem(conf.value)
+          in = new DataInputStream(new BufferedInputStream(fs.open(abs), 1 << 16))
+          fileWidth = widths.getOrElse(t, table.length)
+          fileSchema =
+            if (fileWidth >= table.length) table
+            else StructType(table.fields.take(fileWidth))
+          curFile = UTF8String.fromString(abs.toString)
+          masked = ps; maskIdx = 0; pos = -1L
+          true
+        case _ => false
+      }
+      override def next(): Boolean = {
+        if (in == null && !openNext()) return false
+        while (true) {
+          if (maskIdx >= masked.length) { // emitted every masked row: stop
+            in.close(); in = null         // reading the rest of the target
+            if (!openNext()) return false
+          } else {
+            cur = GraftStoreFormat.readRow(in, fileSchema)
+            if (cur == null) {
+              in.close(); in = null
+              if (!openNext()) return false
+            } else {
+              pos += 1
+              if (masked(maskIdx) == pos) { maskIdx += 1; return true }
+            }
+          }
+        }
+        false // unreachable
+      }
+      private val tag = UTF8String.fromString("delete")
+      override def get(): InternalRow =
+        InternalRow.fromSeq(required.fieldNames.toSeq.map {
+          case GraftCdc.TypeCol => tag
+          case GraftCdc.SnapCol => seq
+          case GraftFileColumn.Name => curFile
+          case name =>
+            val i = table.fieldIndex(name)
+            if (i < fileWidth) cur(i) else null
+        })
+      override def close(): Unit = if (in != null) in.close()
+    }
+  }
+
+  private def fileReader(partition: GraftCdcPartition): PartitionReader[InternalRow] = {
+    val GraftCdcPartition(file, ncols, tag, seq) = partition
     // physical decode schema: the table-prefix the file holds, plus the
     // trailing change_type column for change-store files
     val dataWidth = if (tag == null) ncols - 1 else ncols
@@ -1904,10 +2139,15 @@ object GraftStoreOps {
     // silently drop the one-value-per-file invariant and with it SPJ
     // capability
     // compaction is an overwrite, and an overwrite (re)declares table
-    // properties — so the CHECK constraint must be re-passed explicitly
-    // or routine maintenance would silently drop it
-    def withCheck(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
-      m.check.fold(w)(c => w.option("check", c))
+    // properties — so the CHECK constraint and DML mode must be re-passed
+    // explicitly or routine maintenance would silently drop them. (On a
+    // merge-on-read table the scan below APPLIES the position deletes, so
+    // compaction doubles as the full read-debt repayment — the fresh
+    // snapshot carries no delete entries.)
+    def withCheck(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+      val w1 = m.check.fold(w)(c => w.option("check", c))
+      m.dml.fold(w1)(d => w1.option("dmlMode", d))
+    }
     (m.partitionCol, m.clusterCols) match {
       case (Some(c), _) =>
         withCheck(spark.read.format("graft-store").load(path)
@@ -1964,6 +2204,95 @@ object GraftStoreOps {
       // change log: exactly the removed rows
       changes = Some(sub => sub.filter(coalesce(cond, lit(false)))
         .withColumn("change_type", lit("delete"))))
+  }
+
+  /** MERGE-ON-READ DELETE: instead of rewriting the files that hold
+    * matching rows (COW), commit POSITION-DELETE files recording
+    * `(target file name, row ordinal)` of every matching row — data files
+    * untouched, reads merge the masks back out ([[GraftFileSlice]]).
+    * The write is churn-sized: stats pruning keeps the scan to may-match
+    * files (pushed filters), and the delete store clusters by target file
+    * so each delete file's `[minTarget, maxTarget]` covering range stays
+    * tight. SQL DELETE semantics: a row is deleted iff `cond` is TRUE.
+    *
+    * At 100 TB this is the write-amplification trade: COW pays file-sized
+    * rewrites per DELETE and keeps reads pristine; MOR pays churn-sized
+    * delete files per DELETE and a merge at read time — the right choice
+    * for frequent selective deletes, with [[purgeDeletes]]/compaction as
+    * the read-debt repayment. Concurrency: the commit OCC-retries; it
+    * aborts loudly if any TARGET file left the head listing (its positions
+    * would be stale), and rides along with concurrent appends untouched.
+    * Returns (rows deleted, delete files added). */
+  def deleteWhereMor(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column): (Long, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, substring_index}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = GraftStoreFormat.fs(path, conf)
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    val df = spark.read.format("graft-store").load(path)
+    // matching rows' ids: (file NAME, physical ordinal) via the metadata
+    // columns — the scan prunes to may-match files off the pushed cond,
+    // and already-deleted rows can't match again (the scan masks them)
+    val ids = df.filter(coalesce(cond, lit(false)))
+      .select(
+        substring_index(df.metadataColumn(GraftFileColumn.Name), "/", -1).as("file"),
+        df.metadataColumn(GraftPosColumn.Name).as("pos"))
+    // cluster by target file and sort: each delete file then covers a
+    // narrow name range, so reads of untouched files never open it
+    val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
+    ids.repartition(col("file")).sortWithinPartitions("file", "pos")
+      .write.format("graft-store").mode("overwrite").save(scratch)
+    val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
+      .getOrElse(GraftManifest(GraftStoreFormat.DeleteSchema, Seq.empty))
+    if (sm.files.isEmpty) { f.delete(new Path(scratch), true); return (0L, 0) }
+    val entries = sm.files.map { e =>
+      // file names are short (< the 64-char stat cap), so min/max stats on
+      // the `file` column always exist — they ARE the covering range
+      val (mn, mx) = e.stats.getOrElse(0, throw new IllegalStateException(
+        s"graft-store: delete store file ${e.name} has no target-name stats"))
+      GraftDeleteEntry(e.name, e.rows, mn, mx)
+    }
+    // exact target set (bounded by the table's file count) for the
+    // concurrency guard — read back from the churn-sized store, not by
+    // re-running the match
+    val targets = spark.read.format("graft-store").load(scratch)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val deletedRows = entries.map(_.rows).sum
+    sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      val headM = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(m)
+      // a concurrent rewrite/overwrite that replaced any TARGET file makes
+      // these positions meaningless — abort loudly (same contract as COW)
+      if (!targets.subsetOf(headM.files.map(_.name).toSet))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: a target file was rewritten concurrently with a " +
+            "merge-on-read delete; re-run the operation against the new head")
+      done = GraftStoreFormat.commitManifest(path, conf,
+        headM.copy(deletes = headM.deletes ++ entries, txn = None, cdc = None),
+        GraftStoreFormat.nextSeq(head))
+    }
+    f.delete(new Path(scratch), true)
+    (deletedRows, entries.size)
+  }
+
+  /** Maintenance: REWRITE the data files position deletes cover (masks
+    * applied by the scan) and drop the dead delete entries — Iceberg's
+    * `rewrite_position_delete_files` economics: the read-debt repayment
+    * costs the COVERED files, not the table (contrast [[compactSnapshot]],
+    * which rewrites everything). Layout re-applied, history retained.
+    * Returns (files rewritten, files carried). */
+  def purgeDeletes(spark: SparkSession, path: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.lit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    if (m.deletes.isEmpty) return (0, m.files.size)
+    cowRewrite(spark, path, lit(true), identity,
+      affectedOverride = Some(m.files.filter(e => m.deletes.exists(_.covers(e.name)))))
   }
 
   /** Copy-on-write UPDATE (`UPDATE SET col = expr WHERE cond`): same
@@ -2096,7 +2425,8 @@ object GraftStoreOps {
       cond: org.apache.spark.sql.Column,
       rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       forceWhenEmpty: Boolean = false,
-      changes: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None)
+      changes: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None,
+      affectedOverride: Option[Seq[GraftFileEntry]] = None)
       : (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = GraftStoreFormat.fs(path, conf)
@@ -2110,7 +2440,8 @@ object GraftStoreOps {
       case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt.condition
     }
     val v1 = resolved.flatMap(toV1Filter)
-    val affected = m.files.filter(e => v1.forall(GraftStoreFormat.mayMatch(m.schema, e, _)))
+    val affected = affectedOverride.getOrElse(
+      m.files.filter(e => v1.forall(GraftStoreFormat.mayMatch(m.schema, e, _))))
     val affectedNames = affected.map(_.name).toSet
     if (affected.isEmpty && !forceWhenEmpty) return (0, m.files.size)
     // rewrite ONLY the affected files, into a scratch store under the table
@@ -2166,6 +2497,16 @@ object GraftStoreOps {
         throw new java.util.ConcurrentModificationException(
           "graft-store: table was overwritten/rewritten concurrently with a " +
             "COW operation; re-run the operation against the new head")
+      // a concurrent MERGE-ON-READ DELETE that recorded positions against
+      // any affected file is equally fatal: this rewrite applied only the
+      // entry-time masks, so committing would resurrect the newly-deleted
+      // rows (their positions point at files this commit replaces)
+      val entryDels = m.deletes.map(_.name).toSet
+      if (headM.deletes.exists(d => !entryDels.contains(d.name) &&
+          affected.exists(e => d.covers(e.name))))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: a merge-on-read delete landed on a file this COW " +
+            "operation rewrites; re-run the operation against the new head")
       // a concurrent ADDITIVE EVOLUTION may have widened the schema: the
       // commit must publish the HEAD's schema (publishing the entry-time
       // schema would decode the evolved full-width files at a stale
@@ -2182,12 +2523,18 @@ object GraftStoreOps {
       // carry = head's files minus the rewritten originals (a concurrent
       // append's new files ride along untouched)
       val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
+      // rewritten files have their masks APPLIED (the subset scan merges
+      // position deletes), so entries covering no remaining live file are
+      // dead — drop them; kept entries can never touch the new files
+      // (positions are keyed by exact name, and names are fresh)
+      val liveDels = headM.deletes.filter(d => carried.exists(e => d.covers(e.name)))
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(headM.schema, carried ++ rewritten,
           partitionCol = headM.partitionCol.orElse(m.partitionCol),
           clusterCols = headM.clusterCols.orElse(m.clusterCols),
           check = headM.check.orElse(m.check), cdc = cdcId,
-          partitionSpecs = headM.partitionSpecs),
+          partitionSpecs = headM.partitionSpecs,
+          deletes = liveDels, dml = headM.dml.orElse(m.dml)),
         GraftStoreFormat.nextSeq(head))
     }
     f.delete(new Path(scratch), true)
@@ -2374,12 +2721,22 @@ object GraftStoreOps {
           "graft-store: table was rewritten concurrently with a re-layout; re-run")
       require(GraftStoreFormat.sameCols(headM.schema, m.schema),
         "graft-store: concurrent schema change during a re-layout")
+      // same merge-on-read race contract as the COW kernel: a delete that
+      // landed on a rewritten file after entry would be silently undone
+      val entryDels = m.deletes.map(_.name).toSet
+      if (headM.deletes.exists(d => !entryDels.contains(d.name) &&
+          old.exists(e => d.covers(e.name))))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: a merge-on-read delete landed on a file this " +
+            "re-layout rewrites; re-run against the new head")
       val carried = headM.files.filterNot(e => oldNames.contains(e.name))
+      val liveDels = headM.deletes.filter(d => carried.exists(e => d.covers(e.name)))
       val rewritten = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, sm.files)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(headM.schema, carried ++ rewritten,
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
-          check = headM.check, partitionSpecs = headM.partitionSpecs),
+          check = headM.check, partitionSpecs = headM.partitionSpecs,
+          deletes = liveDels, dml = headM.dml),
         GraftStoreFormat.nextSeq(head))
     }
     f.delete(new Path(scratch), true)
@@ -2417,6 +2774,16 @@ object GraftStoreOps {
   def snapshotCount(spark: SparkSession, path: String): Int =
     GraftStoreFormat.listManifests(path,
       spark.sparkContext.hadoopConfiguration).size
+
+  /** The head snapshot's live POSITION-DELETE files as `(name, masked
+    * rows)` — the merge-on-read table's READ DEBT: how many masked rows
+    * every scan pays to merge out until [[purgeDeletes]] or compaction
+    * repays it. Empty on COW tables. */
+  def liveDeletes(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    GraftStoreFormat.readLatestManifest(path, conf)
+      .map(_.deletes.map(d => (d.name, d.rows))).getOrElse(Seq.empty)
+  }
 
   /** The head snapshot's declared schema. */
   def tableSchema(spark: SparkSession, path: String): StructType = {
@@ -2486,8 +2853,18 @@ object GraftStoreOps {
       "graft-store: change feed across a schema change is not defined")
     val fromNames = mFrom.files.map(_.name).toSet
     val toNames = mTo.files.map(_.name).toSet
-    val removed = mFrom.files.map(_.name).filterNot(toNames)
-    val added = mTo.files.map(_.name).filterNot(fromNames)
+    // merge-on-read: a file present in BOTH snapshots still changed
+    // EFFECTIVELY if its covering delete set differs (a MOR DELETE commits
+    // masks, not file swaps). Such files are read at both ends — the scan
+    // applies each snapshot's masks — and surviving rows cancel in the
+    // join; the cost stays churn-proportional (only changed-coverage files
+    // re-read)
+    def delSig(mf: GraftManifest, name: String): Seq[String] =
+      mf.deletes.filter(_.covers(name)).map(_.name).sorted
+    val masked = mFrom.files.map(_.name).filter(toNames)
+      .filter(n => delSig(mFrom, n) != delSig(mTo, n))
+    val removed = mFrom.files.map(_.name).filterNot(toNames) ++ masked
+    val added = mTo.files.map(_.name).filterNot(fromNames) ++ masked
     val cols = mFrom.schema.fieldNames.toSeq
     def readSubset(names: Seq[String], snap: Int) =
       if (names.isEmpty)
@@ -2526,7 +2903,10 @@ object GraftStoreOps {
     val ms = GraftStoreFormat.listManifests(path, conf)
     val (drop, keep) = ms.splitAt(math.max(0, ms.size - keepLast))
     val keepM = keep.map(p => GraftStoreFormat.readManifestFile(path, conf, p))
-    val referenced = keepM.flatMap(_.files.map(_.name)).toSet
+    // position-delete files are `part-` named like data files — a retained
+    // snapshot's delete entries are references too
+    val referenced =
+      keepM.flatMap(m => m.files.map(_.name) ++ m.deletes.map(_.name)).toSet
     // change stores referenced by DROPPED snapshots go with them — but only
     // those (an UNREFERENCED _cdc dir might belong to an in-flight COW
     // commit whose manifest hasn't landed yet; crash orphans linger, tiny
@@ -2545,15 +2925,20 @@ object GraftStoreOps {
   }
 }
 
-/** `ncols` per file = how many leading table-schema columns the file
-  * physically holds (additive schema evolution): the reader decodes that
-  * prefix and null-extends the rest. */
-private[v2] case class GraftFilePartition(file: String, ncols: Int) extends InputPartition
+/** One data file to read: absolute path, physical column width (`ncols` =
+  * how many leading table-schema columns it holds — additive schema
+  * evolution; the reader decodes that prefix and null-extends the rest),
+  * and the ABSOLUTE paths of the position-delete files covering it
+  * (merge-on-read; empty on COW tables — zero overhead). */
+private[v2] case class GraftFileSlice(file: String, ncols: Int,
+    deletes: Seq[String] = Nil)
+
+private[v2] case class GraftFilePartition(slice: GraftFileSlice) extends InputPartition
 
 /** One identity-partition read group: all files holding one partition-key
   * value. `HasPartitionKey` is what Spark's storage-partitioned-join
   * planner consumes. */
-private[v2] case class GraftKeyedFilesPartition(files: Seq[(String, Int)], key: InternalRow)
+private[v2] case class GraftKeyedFilesPartition(files: Seq[GraftFileSlice], key: InternalRow)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -2561,14 +2946,15 @@ private[v2] case class GraftKeyedFilesPartition(files: Seq[(String, Int)], key: 
 private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files: Seq[(String, Int)] = partition match {
-      case GraftFilePartition(f, n) => Seq((f, n))
+    val files: Seq[GraftFileSlice] = partition match {
+      case GraftFilePartition(s) => Seq(s)
       case GraftKeyedFilesPartition(fs, _) => fs
     }
-    // -1 = the `_file` metadata column (served from the reader's position,
-    // no decode); anything else indexes the decoded data row
+    // -1 = the `_file` metadata column, -2 = `_pos` (both served from the
+    // reader's position, no decode); anything else indexes the decoded row
     val keep: Array[Int] = required.fieldNames.map {
       case GraftFileColumn.Name => -1
+      case GraftPosColumn.Name => -2
       case n => full.fieldIndex(n)
     }
     new PartitionReader[InternalRow] {
@@ -2578,33 +2964,75 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       private var fileWidth: Int = _
       private var cur: Array[Any] = _
       private var curFile: UTF8String = _
+      // merge-on-read state: sorted deleted positions for the CURRENT file,
+      // a cursor into them, and the physical row ordinal (counts every
+      // stored row, so (_file, _pos) stays a stable row id)
+      private var deleted: Array[Long] = Array.emptyLongArray
+      private var delIdx = 0
+      private var pos = -1L
       private def openNext(): Boolean = remaining match {
-        case (f, n) +: rest =>
+        case s +: rest =>
           remaining = rest
-          val fs = new Path(f).getFileSystem(conf.value)
-          in = new DataInputStream(new BufferedInputStream(fs.open(new Path(f)), 1 << 16))
+          val fs = new Path(s.file).getFileSystem(conf.value)
+          in = new DataInputStream(new BufferedInputStream(fs.open(new Path(s.file)), 1 << 16))
           // a pre-evolution file decodes with its own (prefix) schema;
           // columns it never held read as null below
-          fileWidth = n
+          fileWidth = s.ncols
           fileSchema =
-            if (n >= full.length) full else StructType(full.fields.take(n))
-          curFile = UTF8String.fromString(f)
+            if (s.ncols >= full.length) full else StructType(full.fields.take(s.ncols))
+          curFile = UTF8String.fromString(s.file)
+          deleted = loadDeletes(s)
+          delIdx = 0
+          pos = -1L
           true
         case _ => false
       }
+      /** Positions of this file's rows masked by its covering delete files:
+        * each covering store is scanned once, rows keyed to OTHER targets
+        * are skipped, and the result is sorted+deduped (two concurrent MOR
+        * deletes may both record the same position) — applied below as a
+        * single merge-walk against the naturally increasing read ordinal. */
+      private def loadDeletes(s: GraftFileSlice): Array[Long] = {
+        if (s.deletes.isEmpty) return Array.emptyLongArray
+        val myName = UTF8String.fromString(
+          s.file.substring(s.file.lastIndexOf('/') + 1))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        s.deletes.foreach { d =>
+          val fs = new Path(d).getFileSystem(conf.value)
+          val din = new DataInputStream(
+            new BufferedInputStream(fs.open(new Path(d)), 1 << 16))
+          try {
+            var r = GraftStoreFormat.readRow(din, GraftStoreFormat.DeleteSchema)
+            while (r != null) {
+              if (r(0).asInstanceOf[UTF8String] == myName)
+                buf += r(1).asInstanceOf[Long]
+              r = GraftStoreFormat.readRow(din, GraftStoreFormat.DeleteSchema)
+            }
+          } finally din.close()
+        }
+        buf.distinct.sorted.toArray
+      }
       override def next(): Boolean = {
         if (in == null && !openNext()) return false
-        cur = GraftStoreFormat.readRow(in, fileSchema)
-        while (cur == null) {
-          in.close(); in = null
-          if (!openNext()) return false
+        while (true) {
           cur = GraftStoreFormat.readRow(in, fileSchema)
+          if (cur == null) {
+            in.close(); in = null
+            if (!openNext()) return false
+          } else {
+            pos += 1
+            // skip rows whose ordinal a covering delete file masks
+            if (delIdx < deleted.length && deleted(delIdx) == pos) delIdx += 1
+            else return true
+          }
         }
-        true
+        false // unreachable
       }
       override def get(): InternalRow =
         InternalRow.fromSeq(keep.toSeq.map { i =>
-          if (i == -1) curFile else if (i < fileWidth) cur(i) else null
+          if (i == -1) curFile
+          else if (i == -2) pos
+          else if (i < fileWidth) cur(i) else null
         })
       override def close(): Unit = if (in != null) in.close()
     }
