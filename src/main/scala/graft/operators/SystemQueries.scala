@@ -1834,6 +1834,127 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey >= 2000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** SQL UPDATE as a DELTA commit — [[graft.sources.v2.GraftDeltaOperation]]
+    * (`SupportsDelta` → WriteDelta), planned automatically because the
+    * table declares `dmlMode=mor`: matching rows become position-delete
+    * masks + appended new versions, and every pre-existing data file stays
+    * listed byte-identical — q155's scenario at churn cost instead of
+    * group-rewrite cost. The bound bits prove the mechanism: no data file
+    * left the listing, and the manifest's new masks account for exactly
+    * the matched row count. At 100 TB this is the difference between a
+    * repricing UPDATE that writes ~1/8 of the table (q155's group path)
+    * and one that writes just the changed rows. */
+  val q164MorSqlUpdate = QuerySpec(
+    "q164_mor_sql_update", "S-dsv2-mor-sql-update",
+    "SQL UPDATE via SupportsDelta on a MOR table: churn-sized delta commit",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q164"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.graftq164", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq164.base", base)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").option("dmlMode", "mor")
+        .mode("overwrite").save(s"$base/ord")
+      val matched = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1500).count()
+      s.sql("""UPDATE graftq164.ord
+              |SET o_totalprice = o_totalprice * 0.9,
+              |    o_orderpriority = 'X-REPRICED'
+              |WHERE o_orderkey < 1500""".stripMargin)
+      val f0 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, s"$base/ord", 0)
+        .map(_._1).toSet
+      val f1 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, s"$base/ord", 1)
+        .map(_._1).toSet
+      val debt = graft.sources.v2.GraftStoreOps.liveDeletes(s, s"$base/ord")
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS sum_price
+              |FROM graftq164.ord GROUP BY o_orderpriority""".stripMargin)
+        .withColumn("files_untouched", lit(f0.subsetOf(f1)))
+        .withColumn("masks_match",
+          lit(matched > 0 && debt.map(_._2).sum == matched))
+    },
+    Some("""WITH u AS (SELECT o_orderkey,
+           |    CASE WHEN o_orderkey < 1500 THEN o_totalprice * 0.9
+           |         ELSE o_totalprice END AS o_totalprice,
+           |    CASE WHEN o_orderkey < 1500 THEN 'X-REPRICED'
+           |         ELSE o_orderpriority END AS o_orderpriority
+           |  FROM orders)
+           |SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS files_untouched, TRUE AS masks_match
+           |FROM u GROUP BY o_orderpriority""".stripMargin))
+
+  /** SQL MERGE INTO as a DELTA commit, and the CDC payoff the group-based
+    * path cannot deliver: q156's upsert scenario on a `dmlMode=mor` table
+    * commits position deletes + appended versions, so the CHANGE FEED
+    * streams the SQL merge as delete+insert net-change pairs with NO
+    * writer-side change store (delete refs resolve from the still-listed
+    * target files; added files read as inserts). The `cdc_streams` bit
+    * proves it: the feed's per-type counts equal the merge's churn —
+    * matched rows once as deletes (old versions) and once as inserts (new
+    * versions), unmatched source keys once as inserts. Contrast q155/q156,
+    * whose group rewrites fail the feed loudly by design. */
+  val q165MorSqlMerge = QuerySpec(
+    "q165_mor_sql_merge", "S-dsv2-mor-sql-merge",
+    "SQL MERGE via SupportsDelta on a MOR table; CDC streams it change-store-free",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q165"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.graftq165", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq165.base", base)
+      val baseDf = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      baseDf.repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").option("dmlMode", "mor")
+        .mode("overwrite").save(s"$base/ord")
+      baseDf.filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit("X-MERGED").as("o_orderpriority"))
+        .unionByName(baseDf.filter(col("o_orderkey") < 500)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+            lit(1.0).as("o_totalprice"), lit("X-NEW").as("o_orderpriority")))
+        .createOrReplaceTempView("q165_src")
+      s.sql("""MERGE INTO graftq165.ord t USING q165_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val matched = baseDf.filter(col("o_orderkey") < 1000).count()
+      val fresh = baseDf.filter(col("o_orderkey") < 500).count()
+      // the merge commit streams with no change store: per-type feed
+      // counts must equal the churn exactly (bounded collect: 2 rows)
+      val byType = s.read.format("graft-store")
+        .option("readChangeFeed", "true").option("startSnapshot", "1")
+        .load(s"$base/ord")
+        .groupBy("change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cdcStreams = byType.get("delete").contains(matched) &&
+        byType.get("insert").contains(matched + fresh)
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS sum_price
+              |FROM graftq165.ord GROUP BY o_orderpriority""".stripMargin)
+        .withColumn("cdc_streams", lit(cdcStreams))
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+           |    'X-MERGED' AS o_orderpriority
+           |  FROM orders WHERE o_orderkey < 1000
+           |  UNION ALL
+           |  SELECT o_orderkey + 10000000, o_custkey, 1.0, 'X-NEW'
+           |  FROM orders WHERE o_orderkey < 500),
+           |merged AS (
+           |  SELECT * FROM src
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+           |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+           |SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS cdc_streams
+           |FROM merged GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1845,5 +1966,5 @@ object SystemQueries {
     q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm,
     q155SqlUpdate, q156SqlMerge, q157MultiBucket, q158SpecEvolution,
     q159StoreFileLineage, q160SqlAlter, q161MorDelete, q162MorCdc,
-    q163MorPurge)
+    q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge)
 }

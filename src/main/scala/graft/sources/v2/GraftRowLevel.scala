@@ -131,6 +131,274 @@ private[v2] class GraftRowLevelOperation(path: String,
   }
 }
 
+/** DELTA-BASED row-level operations ([[SupportsDelta]] → `WriteDelta`) —
+  * the merge-on-read dual of [[GraftRowLevelOperation]]'s group rewrite,
+  * planned automatically when the table declares `dmlMode=mor`:
+  *
+  *   - Spark rewrites UPDATE / MERGE / (non-metadata) DELETE into a plan
+  *     emitting PER-ROW deltas tagged delete/update/insert, with the row
+  *     id `(_file, _pos)` — exactly the stable physical row id the MOR
+  *     read path defines — instead of re-reading and rewriting whole
+  *     groups;
+  *   - the writer turns removed row versions into POSITION-DELETE store
+  *     rows and new row versions into ordinary routed data files, so a
+  *     selective SQL UPDATE on a 100 TB table commits churn-sized delete
+  *     files + churn-sized new files — never file-sized rewrites (the
+  *     group-based path's cost), with [[GraftStoreOps.purgeDeletes]] as
+  *     the read-debt repayment;
+  *   - the commit APPENDS to the head listing (files + masks), so
+  *     concurrent appends ride along; a concurrent overwrite/rewrite or
+  *     DELTA commit touching a scanned file aborts loudly (recorded
+  *     positions and scan-time masks would be stale);
+  *   - CDC needs no change store: the feed resolves the commit's delete
+  *     refs from still-listed targets and tags added files as inserts, so
+  *     SQL UPDATE / MERGE on a MOR table STREAM (as delete+insert pairs,
+  *     the net-change form) — the group-based COW SQL path cannot (no key
+  *     to pair images with; it fails the feed loudly by design).
+  *
+  * The scan is the same [[GraftRowLevelScan]] (masks applied — an
+  * already-deleted row can never re-match). Probed: Spark 4.1's
+  * RowLevelOperationRuntimeGroupFiltering matches ONLY ReplaceData, so a
+  * delta MERGE reads every file the STATIC stats pruning keeps (UPDATE/
+  * DELETE conditions prune; merge conditions don't) — acceptable because
+  * the read is the only table-sized cost, the WRITE stays churn-sized
+  * (the group path pays both). The declared CHECK constraint is compiled
+  * and enforced on every inserted row version. Updates arrive as
+  * update(id, row) and are written as delete+insert; the row-id
+  * projections are position-stable because the plan reads `_file`/`_pos`
+  * straight from the scan. */
+private[v2] class GraftDeltaOperation(path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  @volatile private var captured: Option[GraftStoreScan] = None
+  private[v2] def scannedFiles: Seq[String] = captured match {
+    case Some(s) => s.selectedFileNames
+    case None => throw new IllegalStateException(
+      "graft-store: delta write committed before its scan was planned")
+  }
+  private[v2] def scanManifest: GraftManifest = captured match {
+    case Some(s) => s.manifest
+    case None => throw new IllegalStateException(
+      "graft-store: delta write committed before its scan was planned")
+  }
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-store delta $cmd $path"
+
+  /** The row id IS the MOR read path's stable physical address. */
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftFileColumn.Name),
+      Expressions.column(GraftPosColumn.Name))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    new GraftStoreScanBuilder(path, conf, options) {
+      override protected def newScan(path: String, manifest: GraftManifest,
+          required: org.apache.spark.sql.types.StructType,
+          pushed: Array[org.apache.spark.sql.sources.Filter],
+          conf: SerializableHadoopConf): GraftStoreScan = {
+        val s = new GraftRowLevelScan(path, manifest, required, pushed, conf)
+        captured = Some(s)
+        s
+      }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        val conf = SparkSession.active.sparkContext.hadoopConfiguration
+        val m = GraftStoreFormat.readLatestManifest(path, conf)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-store: no manifest at $path"))
+        val schema = info.schema()
+        val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+          new IllegalStateException(
+            "graft-store: delta write planned without a row-id schema"))
+        // a pure-DELETE delta plan carries NO data columns (info.schema()
+        // is empty — only row ids flow), so nothing can be inserted:
+        // layout routing and the CHECK constraint are moot, and compiling
+        // either against the empty schema would fail
+        val isDelete = cmd == RowLevelOperation.Command.DELETE
+        val layout = if (isDelete) None else m.partitionCol.map(GraftLayout.parse)
+        val clusterBy =
+          if (isDelete) Array.empty[String]
+          else m.clusterCols
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Array.empty[String])
+        val check = if (isDelete) None else m.check.map(GraftCheck.compile(schema, _))
+        new DeltaWrite with RequiresDistributionAndOrdering {
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder}
+          private def orders: Array[SortOrder] =
+            clusterBy.map(c => Expressions.sort(
+              Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+          /** A pure-DELETE plan carries no data columns, so layout
+            * distribution is unresolvable (and unneeded — deletes route
+            * nowhere); UPDATE/MERGE keep the table's write discipline so
+            * new row versions land value-clustered / range-sorted. Delta
+            * rows whose layout columns are null (the delete legs of a
+            * merge) all cluster together — acceptable skew for DML churn. */
+          override def requiredDistribution(): Distribution =
+            if (cmd == RowLevelOperation.Command.DELETE) Distributions.unspecified()
+            else layout match {
+              case Some(l) =>
+                Distributions.clustered(l.columns.map(c =>
+                  Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+              case None =>
+                if (clusterBy.isEmpty) Distributions.unspecified()
+                else Distributions.ordered(orders)
+            }
+          override def requiredOrdering(): Array[SortOrder] =
+            if (cmd == RowLevelOperation.Command.DELETE) Array.empty else orders
+          override def requiredNumPartitions(): Int = 0
+          override def toBatch: DeltaBatchWrite =
+            new GraftDeltaBatchWrite(path, schema, rowIdSchema, conf,
+              GraftDeltaOperation.this, layout, check)
+        }
+      }
+    }
+}
+
+/** Commit message of one delta task: data-file entries (new row versions)
+  * + delete-store entries (removed row versions). */
+private[v2] case class GraftDeltaCommitMessage(data: Seq[GraftCommitEntry],
+    dels: Seq[GraftCommitEntry]) extends WriterCommitMessage
+
+/** The APPEND-deltas commit: new data files and new position-delete files
+  * join the head listing in one OCC-retried manifest publish — no file is
+  * ever replaced. Concurrency contract: concurrent appends ride along; a
+  * concurrent overwrite/rewrite that removed any SCANNED file aborts
+  * loudly (our recorded positions would point at dead files); a concurrent
+  * delete/delta commit that masked a scanned file after our scan aborts
+  * loudly (this command matched rows against stale masks — proceeding
+  * could re-delete or resurrect a concurrently-changed row version). */
+private[v2] class GraftDeltaBatchWrite(path: String, schema: StructType,
+    rowIdSchema: StructType, conf: Configuration, op: GraftDeltaOperation,
+    layout: Option[GraftLayout],
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends DeltaBatchWrite {
+  private val writeId = UUID.randomUUID().toString.take(8)
+  // two scratch roots: data files under writeId, delete stores under
+  // writeId+"d" (the task writers derive file names from their writeId,
+  // so the suffix keeps the two streams collision-free)
+  private def dataTmp = new Path(path, s"_tmp/$writeId")
+  private def delTmp = new Path(path, s"_tmp/${writeId}d")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(path, writeId, schema, rowIdSchema,
+      new SerializableHadoopConf(conf), GraftRoute.forLayout(layout, schema), check)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = GraftStoreFormat.fs(path, conf)
+    val msgs = messages.map(_.asInstanceOf[GraftDeltaCommitMessage])
+    val dataCommitted = msgs.flatMap(_.data).filter(_.rows > 0L).toSeq
+    val delCommitted = msgs.flatMap(_.dels).filter(_.rows > 0L).toSeq
+    if (dataCommitted.isEmpty && delCommitted.isEmpty) {
+      // nothing matched and nothing inserted: no new snapshot
+      fs.delete(dataTmp, true); fs.delete(delTmp, true)
+      return
+    }
+    dataCommitted.foreach(m => fs.rename(new Path(dataTmp, m.file), new Path(path, m.file)))
+    delCommitted.foreach(m => fs.rename(new Path(delTmp, m.file), new Path(path, m.file)))
+    val newEntries = dataCommitted.map(m =>
+      GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
+        GraftStoreFormat.partValsFromString(m.partVals)))
+    val delEntries = delCommitted.map { m =>
+      // the delete store's col-0 (target name) min/max stats ARE the
+      // covering range; names are short so writer stats always exist
+      val (mn, mx) = GraftStoreFormat.statsFromString(m.stats).getOrElse(0,
+        throw new IllegalStateException(
+          s"graft-store: delta delete store ${m.file} has no target-name stats"))
+      GraftDeleteEntry(m.file, m.rows, mn, mx)
+    }
+    val scanned = op.scannedFiles.toSet
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      val headM = head.lastOption
+        .map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(throw new IllegalStateException(
+          s"graft-store: no manifest at $path"))
+      if (!scanned.subsetOf(headM.files.map(_.name).toSet))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: table was overwritten/rewritten concurrently with a " +
+            "delta operation; re-run the statement against the new head")
+      // pure-DELETE plans carry an empty data schema — nothing to compare
+      require(schema.isEmpty || GraftStoreFormat.sameCols(headM.schema, schema),
+        "graft-store: concurrent schema change during a delta operation")
+      val entryDels = op.scanManifest.deletes.map(_.name).toSet
+      if (headM.deletes.exists(d => !entryDels.contains(d.name) &&
+          scanned.exists(d.covers)))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: a concurrent delete masked a file this delta " +
+            "operation scanned; re-run the statement against the new head")
+      val stamped = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, newEntries)
+      done = GraftStoreFormat.commitManifest(path, conf,
+        headM.copy(files = headM.files ++ stamped,
+          deletes = headM.deletes ++ delEntries, txn = None, cdc = None),
+        GraftStoreFormat.nextSeq(head))
+    }
+    fs.delete(dataTmp, true); fs.delete(delTmp, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = GraftStoreFormat.fs(path, conf)
+    fs.delete(dataTmp, true); fs.delete(delTmp, true)
+  }
+}
+
+private[v2] class GraftDeltaWriterFactory(path: String, writeId: String,
+    schema: StructType, rowIdSchema: StructType, conf: SerializableHadoopConf,
+    route: GraftRoute, check: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends DeltaWriterFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    // two inner task writers sharing the machinery of an ordinary write:
+    // new row versions route through the table layout with the CHECK
+    // enforced; removed row versions stream into a (file, pos) delete
+    // store whose writer-computed col-0 stats become the covering range
+    val dataWriter = new GraftStoreDataWriter(path, writeId, partitionId, taskId,
+      schema, conf.value, route, check)
+    val delWriter = new GraftStoreDataWriter(path, s"${writeId}d", partitionId,
+      taskId, GraftStoreFormat.DeleteSchema, conf.value)
+    val fileIdx = rowIdSchema.fieldIndex(GraftFileColumn.Name)
+    val posIdx = rowIdSchema.fieldIndex(GraftPosColumn.Name)
+    new DeltaWriter[InternalRow] {
+      private val delRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        // `_file` arrives as the absolute path the reader served; the
+        // delete store keys by NAME (manifest entries are names, and the
+        // short-string guarantee is what keeps covering stats existent)
+        val abs = id.getUTF8String(fileIdx).toString
+        delRow.update(0,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            abs.substring(abs.lastIndexOf('/') + 1)))
+        delRow.update(1, id.getLong(posIdx))
+        delWriter.write(delRow)
+      }
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        delete(metadata, id)
+        insert(row)
+      }
+      override def insert(row: InternalRow): Unit = dataWriter.write(row)
+
+      override def commit(): WriterCommitMessage = {
+        val d = dataWriter.commit().asInstanceOf[GraftCommitMessage]
+        val x = delWriter.commit().asInstanceOf[GraftCommitMessage]
+        GraftDeltaCommitMessage(d.entries, x.entries)
+      }
+      override def abort(): Unit = { dataWriter.abort(); delWriter.abort() }
+      override def close(): Unit = { dataWriter.close(); delWriter.close() }
+    }
+  }
+}
+
 /** The row-level operation's scan: a normal stats-pruned graft-store scan
   * plus RUNTIME GROUP FILTERING (`SupportsRuntimeV2Filtering` — the
   * Iceberg copy-on-write mechanism). Spark's

@@ -106,9 +106,18 @@ class GraftStore extends TableProvider with DataSourceRegister {
   * manifest's spec history (`#specs=`) identifying the layout this file
   * was WRITTEN under. `None` on unevolved tables (single implicit spec).
   * Invariant: a manifest carrying `#specs=` stamps EVERY file. */
+/** `addedSeq` (manifest v8+): the snapshot sequence of the commit that
+  * ADDED this file — the Iceberg data-sequence-number analogue that scopes
+  * EQUALITY deletes: an equality delete masks rows of files with strictly
+  * smaller addedSeq, so a single upsert commit (equality delete + new row
+  * versions, both at the same seq) deletes old versions without touching
+  * its own. Absent on pre-v8 entries = -1 (older than every delete). */
 private[v2] case class GraftFileEntry(name: String, rows: Long,
     stats: Map[Int, (String, String)], partVals: Option[Seq[Option[String]]] = None,
-    ncols: Option[Int] = None, specId: Option[Int] = None)
+    ncols: Option[Int] = None, specId: Option[Int] = None,
+    addedSeq: Option[Long] = None) {
+  def seqOrOld: Long = addedSeq.getOrElse(-1L)
+}
 
 /** One POSITION-DELETE file (manifest v7+, merge-on-read): a data file in
   * the table directory holding sorted `(file string, pos long)` rows — the
@@ -127,6 +136,23 @@ private[v2] case class GraftDeleteEntry(name: String, rows: Long,
     minTarget: String, maxTarget: String) {
   def covers(fileName: String): Boolean =
     minTarget <= fileName && fileName <= maxTarget
+}
+
+/** One EQUALITY-DELETE file (manifest v8+, merge-on-read): a data file in
+  * the table directory holding the KEY VALUES of deleted rows (schema =
+  * the named key columns, in order, at their table types) — the Iceberg
+  * equality-delete shape. A row is masked iff its key tuple appears in an
+  * equality delete whose `seq` is STRICTLY greater than the row's file's
+  * `addedSeq` (null key fields match null, structural equality). This is
+  * the ZERO-READ delete: committing one never scans the table — the
+  * mechanics of streaming upserts ([[GraftStoreOps.upsertMor]], the
+  * Flink→Iceberg CDC-ingest mode), where each batch commits delete-by-key
+  * + new versions at one seq and old versions die by the strict-< rule.
+  * Read debt = a hash probe per row; [[GraftStoreOps.purgeDeletes]] /
+  * compaction repay it. */
+private[v2] case class GraftEqDeleteEntry(name: String, rows: Long,
+    seq: Long, keyCols: Seq[String]) {
+  def covers(e: GraftFileEntry): Boolean = e.seqOrOld < seq
 }
 
 /** `cdc` (manifest v5+): id of the change-data store under `_cdc/<id>`
@@ -150,8 +176,10 @@ private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEnt
     txn: Option[String] = None, clusterCols: Option[String] = None,
     check: Option[String] = None, cdc: Option[String] = None,
     partitionSpecs: Option[Seq[String]] = None,
-    deletes: Seq[GraftDeleteEntry] = Seq.empty, dml: Option[String] = None) {
+    deletes: Seq[GraftDeleteEntry] = Seq.empty, dml: Option[String] = None,
+    eqDeletes: Seq[GraftEqDeleteEntry] = Seq.empty) {
   def isMor: Boolean = dml.contains("mor")
+  def hasDeletes: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty
 }
 
 private[v2] object GraftStoreFormat {
@@ -683,15 +711,23 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
     Array(GraftFileColumn, GraftPosColumn)
 
   /** SQL `UPDATE` / `MERGE INTO` (and non-filter-convertible `DELETE`)
-    * via Spark's group-based row-level operation API: the analyzer
-    * rewrites the command into a ReplaceData plan over this operation's
-    * scan + write pair ([[GraftRowLevelOperation]]). Simple DELETEs still
-    * collapse to the [[SupportsDelete]] metadata path via Spark's
-    * OptimizeMetadataOnlyDeleteFromTable. */
+    * via Spark's row-level operation API, with the STRATEGY picked by the
+    * table's declared DML mode: copy-on-write tables get the group-based
+    * ReplaceData rewrite ([[GraftRowLevelOperation]]); `dmlMode=mor`
+    * tables get DELTA-BASED WriteDelta ([[GraftDeltaOperation]] —
+    * position deletes + appended row versions, churn-sized commits).
+    * Simple DELETEs still collapse to the [[SupportsDelete]] metadata
+    * path via Spark's OptimizeMetadataOnlyDeleteFromTable (which itself
+    * routes by mode in deleteWhere). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(path, info.command())
+    () => {
+      val mor = GraftStoreFormat.readLatestManifest(path,
+        SparkSession.active.sparkContext.hadoopConfiguration).exists(_.isMor)
+      if (mor) new GraftDeltaOperation(path, info.command())
+      else new GraftRowLevelOperation(path, info.command())
+    }
 
   /** SQL `TRUNCATE TABLE <catalog>.<table>`: publishes an EMPTY snapshot —
     * a metadata-only commit, mirroring every other graft-store operation:
