@@ -1955,6 +1955,119 @@ object SystemQueries {
            |  round(sum(o_totalprice), 2) AS sum_price, TRUE AS cdc_streams
            |FROM merged GROUP BY o_orderpriority""".stripMargin))
 
+  /** ZERO-READ CDC upsert — [[graft.sources.v2.GraftStoreOps.upsertMor]]
+    * (EQUALITY deletes, manifest v8): each batch commits its key tuples as
+    * an equality-delete store + its rows as new files, both at one
+    * sequence; old versions die by the strict `addedSeq < seq` scope rule
+    * and the batch's own rows survive it. THE TABLE IS NEVER SCANNED —
+    * contrast q93 (read-union-overwrite per batch, O(table)) and SQL MERGE
+    * (table-sized read): this is the Flink→Iceberg CDC-ingest
+    * architecture, the only upsert shape that sustains thousands of
+    * batches/day into a 100 TB table. Three overlapping batches simulate
+    * the feed; last writer wins per key; the bound bits prove no
+    * pre-existing file was touched and each batch was exactly one
+    * commit. */
+  val q166MorUpsert = QuerySpec(
+    "q166_mor_upsert", "S-dsv2-mor-upsert",
+    "zero-read CDC upsert batches via equality deletes: last writer wins",
+    (s, d) => {
+      val path = "/tmp/graft_store_q166"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      base.repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").option("dmlMode", "mor")
+        .mode("overwrite").save(path)
+      def batch(lo: Long, hi: Long, mult: Double, tag: String) =
+        base.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * mult).as("o_totalprice"),
+            lit(tag).as("o_orderpriority"))
+      val f0 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path, 0)
+        .map(_._1).toSet
+      val snaps0 = graft.sources.v2.GraftStoreOps.snapshotCount(s, path)
+      val ops = graft.sources.v2.GraftStoreOps
+      ops.upsertMor(s, path, batch(0, 1000, 1.1, "X-U1"), Seq("o_orderkey"))
+      ops.upsertMor(s, path, batch(500, 1500, 1.2, "X-U2"), Seq("o_orderkey"))
+      ops.upsertMor(s, path, batch(750, 1250, 1.3, "X-U3"), Seq("o_orderkey"))
+      val mNow = ops.snapshotFiles(s, path,
+        ops.snapshotCount(s, path) - 1).map(_._1).toSet
+      val commitPerBatch =
+        ops.snapshotCount(s, path) == snaps0 + 3
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("files_untouched", lit(f0.subsetOf(mNow)))
+        .withColumn("commit_per_batch", lit(commitPerBatch))
+    },
+    Some("""WITH u AS (SELECT o_orderkey,
+           |    CASE WHEN o_orderkey >= 750 AND o_orderkey < 1250
+           |           THEN o_totalprice * 1.3
+           |         WHEN o_orderkey >= 500 AND o_orderkey < 1500
+           |           THEN o_totalprice * 1.2
+           |         WHEN o_orderkey < 1000 THEN o_totalprice * 1.1
+           |         ELSE o_totalprice END AS o_totalprice,
+           |    CASE WHEN o_orderkey >= 750 AND o_orderkey < 1250 THEN 'X-U3'
+           |         WHEN o_orderkey >= 500 AND o_orderkey < 1500 THEN 'X-U2'
+           |         WHEN o_orderkey < 1000 THEN 'X-U1'
+           |         ELSE o_orderpriority END AS o_orderpriority
+           |  FROM orders)
+           |SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS files_untouched, TRUE AS commit_per_batch
+           |FROM u GROUP BY o_orderpriority""".stripMargin))
+
+  /** STREAMING DELETE-BY-KEY — the right-to-be-forgotten feed
+    * ([[graft.sources.v2.GraftStoreOps.deleteByKeyMor]]): a live stream of
+    * keys to forget lands as equality-delete commits, each O(batch keys),
+    * NEVER scanning the table — the GDPR-deletion architecture for a
+    * 100 TB store (a COW delete per erasure request would rewrite files
+    * per batch; a full-scan anti-join would read the table per batch).
+    * Masks apply at read (hash probe), purge/compaction repay. The result
+    * is batching-independent: the final table equals "users with no
+    * purchase event" however the stream was chopped. */
+  val q167StreamForget = QuerySpec(
+    "q167_stream_forget", "S-dsv2-mor-stream-delete",
+    "streaming key-deletion feed via equality deletes: O(batch) erasure commits",
+    (s, d) => {
+      val path = "/tmp/graft_store_q167"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .repartitionByRange(4, col("user_id"))
+        .write.format("graft-store").option("dmlMode", "mor")
+        .mode("overwrite").save(path)
+      val f0 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path, 0)
+        .map(_._1).toSet
+      val q = graft.streaming.EventsPipeline.readEventsStream(s, d)
+        .filter(col("event_type") === "purchase" && col("value") > 200)
+        .select("user_id")
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.sources.v2.GraftStoreOps.deleteByKeyMor(s, path, b.toDF())
+            ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val mNow = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path,
+        graft.sources.v2.GraftStoreOps.snapshotCount(s, path) - 1).map(_._1).toSet
+      val masks = graft.sources.v2.GraftStoreOps.liveEqDeletes(s, path)
+      s.read.format("graft-store").load(path)
+        .select("user_id", "n_events", "sum_value")
+        .withColumn("files_untouched", lit(mNow == f0))
+        .withColumn("masks_live", lit(masks.nonEmpty))
+    },
+    Some("""WITH agg AS (SELECT user_id, count(*) AS n_events,
+           |    round(sum(value), 2) AS sum_value FROM events GROUP BY user_id)
+           |SELECT user_id, n_events, sum_value,
+           |  TRUE AS files_untouched, TRUE AS masks_live
+           |FROM agg WHERE user_id NOT IN
+           |  (SELECT DISTINCT user_id FROM events
+           |   WHERE event_type = 'purchase' AND value > 200)
+           |""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -1966,5 +2079,6 @@ object SystemQueries {
     q151CdcIvm, q152CompositeLayout, q153CdcStream, q154CdcStreamIvm,
     q155SqlUpdate, q156SqlMerge, q157MultiBucket, q158SpecEvolution,
     q159StoreFileLineage, q160SqlAlter, q161MorDelete, q162MorCdc,
-    q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge)
+    q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge, q166MorUpsert,
+    q167StreamForget)
 }

@@ -82,6 +82,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       name.substring(dollar + 1) match {
         case "history" => GraftMetaTables.history(basePath, conf)
         case "files" => GraftMetaTables.files(basePath, conf)
+        case "deletes" => GraftMetaTables.deletes(basePath, conf)
         case _ => throw new NoSuchTableException(ident)
       }
     } else load(ident, Map.empty)

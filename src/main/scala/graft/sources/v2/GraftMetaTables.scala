@@ -58,6 +58,32 @@ private[v2] object GraftMetaTables {
       }
     new GraftLocalTable(s"graft_files($path)", filesSchema, rows.toArray)
   }
+
+  /** `tbl$deletes`: the head snapshot's live delete files of BOTH kinds —
+    * the merge-on-read read debt, queryable (Iceberg's
+    * `all_delete_files`). `kind` = position|equality; position rows carry
+    * the covering name range, equality rows the scope seq + key columns. */
+  val deletesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("min_target", StringType),
+    StructField("max_target", StringType),
+    StructField("scope_seq", LongType),
+    StructField("key_cols", StringType)))
+
+  def deletes(path: String, conf: Configuration): Table = {
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+    val pos = m.map(_.deletes).getOrElse(Seq.empty).map { d =>
+      InternalRow(utf8(d.name), utf8("position"), d.rows,
+        utf8(d.minTarget), utf8(d.maxTarget), null, null)
+    }
+    val eq = m.map(_.eqDeletes).getOrElse(Seq.empty).map { d =>
+      InternalRow(utf8(d.name), utf8("equality"), d.rows,
+        null, null, Long.box(d.seq), utf8(d.keyCols.mkString(",")))
+    }
+    new GraftLocalTable(s"graft_deletes($path)", deletesSchema, (pos ++ eq).toArray)
+  }
 }
 
 /** A read-only table whose content is a driver-local row array. */

@@ -334,11 +334,20 @@ private[v2] class GraftDeltaBatchWrite(path: String, schema: StructType,
         throw new java.util.ConcurrentModificationException(
           "graft-store: a concurrent delete masked a file this delta " +
             "operation scanned; re-run the statement against the new head")
-      val stamped = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, newEntries)
+      // same contract for concurrent EQUALITY deletes over scanned files
+      val entryEq = op.scanManifest.eqDeletes.map(_.name).toSet
+      val scannedEntries = headM.files.filter(e => scanned.contains(e.name))
+      if (headM.eqDeletes.exists(q => !entryEq.contains(q.name) &&
+          scannedEntries.exists(q.covers)))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: a concurrent equality delete masked a file this " +
+            "delta operation scanned; re-run the statement against the new head")
+      val seq = GraftStoreFormat.nextSeq(head)
+      val stamped = GraftStoreFormat.stampNew(headM.partitionSpecs, seq, newEntries)
       done = GraftStoreFormat.commitManifest(path, conf,
         headM.copy(files = headM.files ++ stamped,
           deletes = headM.deletes ++ delEntries, txn = None, cdc = None),
-        GraftStoreFormat.nextSeq(head))
+        seq)
     }
     fs.delete(dataTmp, true); fs.delete(delTmp, true)
   }
@@ -500,17 +509,28 @@ private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
         throw new java.util.ConcurrentModificationException(
           "graft-store: a merge-on-read delete landed on a file this " +
             "row-level operation rewrites; re-run against the new head")
+      // same contract for concurrent EQUALITY deletes over scanned files
+      val entryEq = op.scanManifest.eqDeletes.map(_.name).toSet
+      val replacedEntries = headM.files.filter(e => replaced.contains(e.name))
+      if (headM.eqDeletes.exists(q => !entryEq.contains(q.name) &&
+          replacedEntries.exists(q.covers)))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: an equality delete landed on a file this " +
+            "row-level operation rewrites; re-run against the new head")
       val carried = headM.files.filterNot(e => replaced.contains(e.name))
       // rewritten groups had their masks applied — drop dead delete entries
+      // (rewritten files' fresh addedSeq also outruns every eq delete)
       val liveDels = headM.deletes.filter(d => carried.exists(e => d.covers(e.name)))
+      val liveEq = headM.eqDeletes.filter(q => carried.exists(q.covers))
       // evolved table: replacement files were routed under the CURRENT spec
-      val stamped = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, newEntries)
+      val seq = GraftStoreFormat.nextSeq(head)
+      val stamped = GraftStoreFormat.stampNew(headM.partitionSpecs, seq, newEntries)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(headM.schema, carried ++ stamped,
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
           check = headM.check, partitionSpecs = headM.partitionSpecs,
-          deletes = liveDels, dml = headM.dml),
-        GraftStoreFormat.nextSeq(head))
+          deletes = liveDels, dml = headM.dml, eqDeletes = liveEq),
+        seq)
     }
     fs.delete(tmpDir, true)
   }

@@ -303,10 +303,17 @@ private[v2] object GraftStoreFormat {
     * spec history — ONE definition of the "specs defined ⇒ every file
     * stamped" invariant, shared by every commit path (batch, streaming,
     * COW, row-level). */
-  def stampCurrentSpec(specs: Option[Seq[String]],
-      entries: Seq[GraftFileEntry]): Seq[GraftFileEntry] =
-    specs.map(_.length - 1)
+  /** Stamp NEW entries with the commit's identity: the current partition
+    * spec id (when the table has an evolved spec history) and the commit's
+    * snapshot sequence (`addedSeq` — the equality-delete scope; see
+    * [[GraftEqDeleteEntry]]). ONE definition shared by every commit path,
+    * called inside the OCC loop with that attempt's candidate seq. */
+  def stampNew(specs: Option[Seq[String]], seq: Long,
+      entries: Seq[GraftFileEntry]): Seq[GraftFileEntry] = {
+    val specced = specs.map(_.length - 1)
       .fold(entries)(id => entries.map(_.copy(specId = Some(id))))
+    specced.map(_.copy(addedSeq = Some(seq)))
+  }
 
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
     val in = fs(path, conf).open(p)
@@ -368,9 +375,11 @@ private[v2] object GraftStoreFormat {
       if (rest5b.head.startsWith("#txn="))
         (Some(rest5b.head.stripPrefix("#txn=")), rest5b.tail)
       else (None, rest5b)
-    // `~del` lines (v7+, merge-on-read) carry position-delete files; the
-    // `~` sigil can never open a data-file name (those are `part-…`)
-    val (delLines, fileLines) = lines.tail.toSeq.partition(_.startsWith("~del\t"))
+    // `~del` (v7+) / `~eqdel` (v8+) lines carry position- and equality-
+    // delete files; the `~` sigil can never open a data-file name (those
+    // are `part-…`)
+    val (tildeLines, fileLines) = lines.tail.toSeq.partition(_.startsWith("~"))
+    val (eqLines, delLines) = tildeLines.partition(_.startsWith("~eqdel\t"))
     GraftManifest(
       StructType.fromDDL(lines.head),
       fileLines.map { l =>
@@ -381,14 +390,20 @@ private[v2] object GraftStoreFormat {
           if (parts.length > 2) statsFromString(parts(2)) else Map.empty,
           if (parts.length > 3) partValsFromString(parts(3)) else None,
           if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None,
-          if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5).toInt) else None)
+          if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5).toInt) else None,
+          if (parts.length > 6 && parts(6).nonEmpty) Some(parts(6).toLong) else None)
       },
       millis, partCol, txn, clusterCols, check, cdc, specs,
       delLines.map { l =>
         val parts = l.split("\t", -1)
         GraftDeleteEntry(parts(1), parts(2).toLong,
           unescStat(parts(3)), unescStat(parts(4)))
-      }, dml)
+      }, dml,
+      eqLines.map { l =>
+        val parts = l.split("\t", -1)
+        GraftEqDeleteEntry(parts(1), parts(2).toLong, parts(3).toLong,
+          unescStat(parts(4)).split(",").toSeq)
+      })
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
@@ -476,16 +491,21 @@ private[v2] object GraftStoreFormat {
         m.schema.toDDL + "\n" +
         m.deletes.map(d =>
           s"~del\t${d.name}\t${d.rows}\t${escStat(d.minTarget)}\t${escStat(d.maxTarget)}\n")
+          .mkString +
+        m.eqDeletes.map(d =>
+          s"~eqdel\t${d.name}\t${d.rows}\t${d.seq}\t${escStat(d.keyCols.mkString(","))}\n")
           .mkString + m.files.map { e =>
           val pv = e.partVals.map(partValsToString).getOrElse("")
           val base = s"${e.name}\t${e.rows}\t${statsToString(e.stats)}"
           // trailing optional fields: partVals (4th), ncols (5th), specId
-          // (6th) — only written when needed, so pre-evolution manifests
-          // stay byte-stable
-          (e.ncols, e.specId) match {
-            case (nc, Some(sid)) => s"$base\t$pv\t${nc.fold("")(_.toString)}\t$sid"
-            case (Some(n), None) => s"$base\t$pv\t$n"
-            case (None, None) if pv.nonEmpty => s"$base\t$pv"
+          // (6th), addedSeq (7th) — only written when needed, so
+          // pre-evolution manifests stay byte-stable
+          (e.ncols, e.specId, e.addedSeq) match {
+            case (nc, sid, Some(sq)) =>
+              s"$base\t$pv\t${nc.fold("")(_.toString)}\t${sid.fold("")(_.toString)}\t$sq"
+            case (nc, Some(sid), None) => s"$base\t$pv\t${nc.fold("")(_.toString)}\t$sid"
+            case (Some(n), None, None) => s"$base\t$pv\t$n"
+            case (None, None, None) if pv.nonEmpty => s"$base\t$pv"
             case _ => base
           }
         }.mkString("\n"))
@@ -748,7 +768,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
         .map(GraftStoreFormat.readManifestFile(path, conf, _))
         .getOrElse(return false)
       done = GraftStoreFormat.commitManifest(path, conf,
-        m.copy(files = Seq.empty, txn = None, cdc = None, deletes = Seq.empty),
+        m.copy(files = Seq.empty, txn = None, cdc = None, deletes = Seq.empty,
+          eqDeletes = Seq.empty),
         GraftStoreFormat.nextSeq(head))
     }
     true
@@ -1007,7 +1028,8 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
       // degrade conservatively on them) still stamp the current spec id so
       // the "specs defined => every file stamped" invariant holds
       val specs = prevManifest.flatMap(_.partitionSpecs)
-      val stamped = GraftStoreFormat.stampCurrentSpec(specs, newEntries)
+      val seq = GraftStoreFormat.nextSeq(head)
+      val stamped = GraftStoreFormat.stampNew(specs, seq, newEntries)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema,
           prev ++ stamped, txn = Some(token),
@@ -1018,10 +1040,11 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
           check = prevManifest.flatMap(_.check).orElse(checkText),
           partitionSpecs = specs,
           // table properties/state carry through a streaming append like a
-          // batch append: live position deletes and the DML mode
+          // batch append: live deletes (both kinds) and the DML mode
           deletes = prevManifest.map(_.deletes).getOrElse(Seq.empty),
-          dml = prevManifest.flatMap(_.dml)),
-        GraftStoreFormat.nextSeq(head))
+          dml = prevManifest.flatMap(_.dml),
+          eqDeletes = prevManifest.map(_.eqDeletes).getOrElse(Seq.empty)),
+        seq)
     }
     fs.delete(tmpDir, true)
   }
@@ -1158,21 +1181,25 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       // spec history and stamps its files with the CURRENT spec id; an
       // overwrite resets history (a fresh table state declares layout anew)
       val specs = if (truncate) None else prevManifest.flatMap(_.partitionSpecs)
-      val stamped = GraftStoreFormat.stampCurrentSpec(specs, newEntries)
-      // merge-on-read: an append carries the table's live position deletes
-      // (they mask rows of OLDER files; appended files have fresh names no
-      // entry can cover); an overwrite starts clean. The DML mode is a
-      // table property: overwrite (re)declares it from the `dmlMode`
-      // option, append inherits (declaring on a fresh table is fine)
+      val seq = GraftStoreFormat.nextSeq(head)
+      val stamped = GraftStoreFormat.stampNew(specs, seq, newEntries)
+      // merge-on-read: an append carries the table's live deletes (position
+      // masks key older files by NAME; equality masks scope by addedSeq,
+      // and the appended files' fresh seq outruns every retained eq
+      // delete); an overwrite starts clean. The DML mode is a table
+      // property: overwrite (re)declares it from the `dmlMode` option,
+      // append inherits (declaring on a fresh table is fine)
       val dels = if (truncate) Seq.empty[GraftDeleteEntry]
                  else prevManifest.map(_.deletes).getOrElse(Seq.empty)
+      val eqDels = if (truncate) Seq.empty[GraftEqDeleteEntry]
+                   else prevManifest.map(_.eqDeletes).getOrElse(Seq.empty)
       val dml = if (truncate) dmlMode
                 else prevManifest.flatMap(_.dml).orElse(dmlMode)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema, prev ++ stamped, partitionCol = partitionBy,
           clusterCols = cluster, check = effCheck, partitionSpecs = specs,
-          deletes = dels, dml = dml),
-        GraftStoreFormat.nextSeq(head))
+          deletes = dels, dml = dml, eqDeletes = eqDels),
+        seq)
     }
     // NO data-file cleanup here, even on truncate: superseded files are
     // still referenced by RETAINED snapshot manifests (time travel).
@@ -1668,10 +1695,14 @@ private[v2] class GraftStoreScan(protected val path: String,
     e.ncols.getOrElse(manifest.schema.length)
 
   /** Read unit for one data file: path, width, covering position-delete
-    * files (merge-on-read — empty on COW tables). */
+    * files, scoping equality-delete stores (merge-on-read — empty on COW
+    * tables). */
   protected def sliceOf(e: GraftFileEntry): GraftFileSlice =
     GraftFileSlice(new Path(path, e.name).toString, widthOf(e),
-      GraftStoreFormat.coveringDeletes(path, manifest, e.name))
+      GraftStoreFormat.coveringDeletes(path, manifest, e.name),
+      manifest.eqDeletes.filter(_.covers(e)).map(q =>
+        GraftEqSlice(new Path(path, q.name).toString,
+          q.keyCols.map(manifest.schema.fieldIndex))))
 
   override def planInputPartitions(): Array[InputPartition] =
     keyedGroups match {
@@ -1825,10 +1856,12 @@ private[v2] object GraftCdc {
     var prevKnown = startIdx >= 0
     var prevFiles: Set[String] = Set.empty
     var prevDels: Set[String] = Set.empty
+    var prevEq: Set[String] = Set.empty
     if (prevKnown) {
       val pm = GraftStoreFormat.readManifestFile(path, conf, ms(startIdx))
       prevFiles = pm.files.map(_.name).toSet
       prevDels = pm.deletes.map(_.name).toSet
+      prevEq = pm.eqDeletes.map(_.name).toSet
     }
     for (p <- if (prevKnown) ms.drop(startIdx + 1) else ms) {
       val seq = GraftStoreFormat.manifestSeq(p)
@@ -1871,7 +1904,19 @@ private[v2] object GraftCdc {
                   "(overwrite/truncate/restore/compaction); row-level changes " +
                   "cannot be reconstructed — set skipChangeCommits=true to ignore " +
                   "such commits, or use changesBetween for a net snapshot diff")
-            if (removed.isEmpty) {
+            // EQUALITY-delete commits (upsert/delete-by-key) are key-
+            // addressed: which rows died is unknowable without probing
+            // every scoped file — a table-sized read the feed must not
+            // silently pay. Loud by design; changesBetween still diffs.
+            val newEq = m.eqDeletes.map(_.name).toSet.diff(prevEq)
+            if (newEq.nonEmpty && !skipChangeCommits)
+              throw new IllegalStateException(
+                s"graft-store: snapshot $seq committed equality deletes; " +
+                  "row-level changes are key-addressed and cannot be " +
+                  "reconstructed without scanning the table — set " +
+                  "skipChangeCommits=true to ignore such commits, or use " +
+                  "changesBetween for a net snapshot diff")
+            if (removed.isEmpty && newEq.isEmpty) {
               added.foreach { e =>
                 val w = e.ncols.getOrElse(m.schema.length)
                 require(w <= pinned.length,
@@ -1906,6 +1951,7 @@ private[v2] object GraftCdc {
       }
       prevFiles = m.files.map(_.name).toSet
       prevDels = m.deletes.map(_.name).toSet
+      prevEq = m.eqDeletes.map(_.name).toSet
       prevKnown = true
     }
     out.toArray
@@ -2326,9 +2372,143 @@ object GraftStoreOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = GraftStoreFormat.readLatestManifest(path, conf)
       .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
-    if (m.deletes.isEmpty) return (0, m.files.size)
+    if (!m.hasDeletes) return (0, m.files.size)
+    // covered = position masks (by name range) ∪ equality masks (by seq
+    // scope); the rewrite applies both and its commit drops dead entries
     cowRewrite(spark, path, lit(true), identity,
-      affectedOverride = Some(m.files.filter(e => m.deletes.exists(_.covers(e.name)))))
+      affectedOverride = Some(m.files.filter(e =>
+        m.deletes.exists(_.covers(e.name)) || m.eqDeletes.exists(_.covers(e)))))
+  }
+
+  /** ZERO-READ upsert via EQUALITY deletes (the Flink→Iceberg CDC-ingest
+    * mode): ONE commit publishes (a) an equality-delete store holding the
+    * source's key tuples and (b) the source rows as new data files, both
+    * at the commit's sequence N. Old row versions die by the strict
+    * `addedSeq < N` scope rule ([[GraftEqDeleteEntry]]); the new files
+    * (addedSeq == N) survive it. The table is NEVER scanned — write cost
+    * is O(batch), which is the entire point at 100 TB: a MERGE pays a
+    * table-sized read and COW pays file-sized rewrites per batch; the
+    * equality upsert pays neither, so a CDC stream can land thousands of
+    * batches a day into a petabyte table. Read debt = one hash probe per
+    * row per scoping store; [[purgeDeletes]]/compaction repay it.
+    * Last-writer-wins at key granularity; duplicate keys within one batch
+    * are rejected (ambiguous). The table layout is re-applied to the new
+    * files and the CHECK constraint enforced. Returns (rows upserted,
+    * key tuples recorded). */
+  def upsertMor(spark: SparkSession, path: String,
+      source: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    require(source.schema.fieldNames.sorted.sameElements(m.schema.fieldNames.sorted),
+      s"graft-store: upsert source columns ${source.schema.fieldNames.mkString(",")} " +
+        s"must match table columns ${m.schema.fieldNames.mkString(",")}")
+    val src = source.select(m.schema.fieldNames.map(col).toSeq: _*).localCheckpoint(true)
+    require(GraftStoreFormat.sameCols(src.schema, m.schema),
+      s"graft-store: upsert source types ${src.schema.simpleString} must match " +
+        s"table types ${m.schema.simpleString}")
+    val n = src.count()
+    val nk = src.select(keyCols.map(col).toSeq: _*).distinct().count()
+    require(n == nk,
+      "graft-store: upsert source has duplicate keys — ambiguous, rejected")
+    if (n == 0L) return (0L, 0L)
+    // new row versions: written through the table's layout with CHECK
+    // enforced — an upsert must not degrade the layout or dodge the gate
+    val dataScratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
+    val w0 = src.write.format("graft-store").mode("overwrite")
+    val w1 = m.check.fold(w0)(c => w0.option("check", c))
+    ((m.partitionCol, m.clusterCols) match {
+      case (Some(c), _) => w1.option("partitionBy", c)
+      case (None, Some(cc)) =>
+        w1.option("clusterBy", cc).option("clusterFiles",
+          math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
+      case _ => w1
+    }).save(dataScratch)
+    eqDeltaCommit(spark, path, m, keyCols,
+      src.select(keyCols.map(col).toSeq: _*), Some(dataScratch))
+    (n, nk)
+  }
+
+  /** DELETE-BY-KEY without scanning (equality deletes, no new rows): the
+    * streaming-deletion dual of [[upsertMor]] — `keys`' columns name the
+    * key; every live row whose key tuple appears in `keys` is masked.
+    * Null key fields match null (structural equality). Returns the number
+    * of key tuples recorded (matching ROWS are unknown by design — that
+    * would cost the scan this operation exists to avoid). */
+  def deleteByKeyMor(spark: SparkSession, path: String,
+      keys: org.apache.spark.sql.DataFrame): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    val keyCols = keys.schema.fieldNames.toSeq
+    val distinctKeys = keys.distinct().localCheckpoint(true)
+    val nk = distinctKeys.count()
+    if (nk == 0L) return 0L
+    eqDeltaCommit(spark, path, m, keyCols, distinctKeys, None)
+    nk
+  }
+
+  /** Shared equality-delta commit: write the key store (and rename any
+    * pre-written data scratch in), then OCC-publish files+masks at one
+    * sequence. Key columns must exist at matching types and be codec-
+    * atomic (the equality probe decodes them positionally). */
+  private def eqDeltaCommit(spark: SparkSession, path: String, m: GraftManifest,
+      keyCols: Seq[String], keyRows: org.apache.spark.sql.DataFrame,
+      dataScratch: Option[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = GraftStoreFormat.fs(path, conf)
+    keyCols.foreach { k =>
+      require(m.schema.fieldNames.contains(k),
+        s"graft-store: equality-delete key column $k is not a table column")
+      val dt = m.schema(k).dataType
+      require(GraftStoreFormat.codecSupports(dt),
+        s"graft-store: equality-delete key $k has unsupported type ${dt.simpleString}")
+      require(GraftStoreFormat.sameCols(
+          StructType(Seq(keyRows.schema(k))), StructType(Seq(m.schema(k)))),
+        s"graft-store: equality-delete key $k type ${keyRows.schema(k).dataType.simpleString} " +
+          s"must match table type ${dt.simpleString}")
+    }
+    val keyScratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}k"
+    keyRows.select(keyCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .write.format("graft-store").mode("overwrite").save(keyScratch)
+    val km = GraftStoreFormat.readLatestManifest(keyScratch, conf)
+      .getOrElse(GraftManifest(new StructType(), Seq.empty))
+    val dm = dataScratch.map(s => GraftStoreFormat.readLatestManifest(s, conf)
+      .getOrElse(GraftManifest(new StructType(), Seq.empty)))
+    km.files.foreach(e => f.rename(new Path(keyScratch, e.name), new Path(path, e.name)))
+    dataScratch.foreach { s =>
+      dm.get.files.foreach(e => f.rename(new Path(s, e.name), new Path(path, e.name)))
+    }
+    var done = false
+    while (!done) {
+      val head = GraftStoreFormat.listManifests(path, conf)
+      val headM = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(m)
+      require(GraftStoreFormat.sameCols(headM.schema, m.schema),
+        "graft-store: concurrent schema change during an equality-delete commit")
+      val seq = GraftStoreFormat.nextSeq(head)
+      val eqEntries = km.files.map(e => GraftEqDeleteEntry(e.name, e.rows, seq, keyCols))
+      val stamped = GraftStoreFormat.stampNew(headM.partitionSpecs, seq,
+        dm.map(_.files).getOrElse(Seq.empty))
+      done = GraftStoreFormat.commitManifest(path, conf,
+        headM.copy(files = headM.files ++ stamped,
+          eqDeletes = headM.eqDeletes ++ eqEntries, txn = None, cdc = None),
+        seq)
+    }
+    f.delete(new Path(keyScratch), true)
+    dataScratch.foreach(s => f.delete(new Path(s), true))
+  }
+
+  /** The head snapshot's live EQUALITY-DELETE stores as `(name, key
+    * tuples, seq, key columns)` — the hash-probe read debt a
+    * merge-on-read table carries until purge/compaction. */
+  def liveEqDeletes(spark: SparkSession, path: String)
+      : Seq[(String, Long, Long, Seq[String])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    GraftStoreFormat.readLatestManifest(path, conf)
+      .map(_.eqDeletes.map(d => (d.name, d.rows, d.seq, d.keyCols)))
+      .getOrElse(Seq.empty)
   }
 
   /** Copy-on-write UPDATE (`UPDATE SET col = expr WHERE cond`): same
@@ -2543,6 +2723,14 @@ object GraftStoreOps {
         throw new java.util.ConcurrentModificationException(
           "graft-store: a merge-on-read delete landed on a file this COW " +
             "operation rewrites; re-run the operation against the new head")
+      // same contract for a concurrent EQUALITY delete scoping any
+      // affected file (rewriting applies entry-time masks only)
+      val entryEq = m.eqDeletes.map(_.name).toSet
+      if (headM.eqDeletes.exists(q => !entryEq.contains(q.name) &&
+          affected.exists(q.covers)))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: an equality delete landed on a file this COW " +
+            "operation rewrites; re-run the operation against the new head")
       // a concurrent ADDITIVE EVOLUTION may have widened the schema: the
       // commit must publish the HEAD's schema (publishing the entry-time
       // schema would decode the evolved full-width files at a stale
@@ -2554,24 +2742,27 @@ object GraftStoreOps {
       val rewritten0 =
         if (headM.schema.length == m.schema.length) sm.files
         else sm.files.map(e => e.copy(ncols = e.ncols.orElse(Some(m.schema.length))))
+      val seq = GraftStoreFormat.nextSeq(head)
       // evolved table: rewritten files were routed under the CURRENT spec
-      val rewritten = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, rewritten0)
+      val rewritten = GraftStoreFormat.stampNew(headM.partitionSpecs, seq, rewritten0)
       // carry = head's files minus the rewritten originals (a concurrent
       // append's new files ride along untouched)
       val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
       // rewritten files have their masks APPLIED (the subset scan merges
-      // position deletes), so entries covering no remaining live file are
+      // both delete kinds), so entries covering no remaining live file are
       // dead — drop them; kept entries can never touch the new files
-      // (positions are keyed by exact name, and names are fresh)
+      // (positions key by exact fresh name; eq scopes by fresh addedSeq)
       val liveDels = headM.deletes.filter(d => carried.exists(e => d.covers(e.name)))
+      val liveEq = headM.eqDeletes.filter(q => carried.exists(q.covers))
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(headM.schema, carried ++ rewritten,
           partitionCol = headM.partitionCol.orElse(m.partitionCol),
           clusterCols = headM.clusterCols.orElse(m.clusterCols),
           check = headM.check.orElse(m.check), cdc = cdcId,
           partitionSpecs = headM.partitionSpecs,
-          deletes = liveDels, dml = headM.dml.orElse(m.dml)),
-        GraftStoreFormat.nextSeq(head))
+          deletes = liveDels, dml = headM.dml.orElse(m.dml),
+          eqDeletes = liveEq),
+        seq)
     }
     f.delete(new Path(scratch), true)
     (affected.size, m.files.size - affected.size)
@@ -2765,15 +2956,23 @@ object GraftStoreOps {
         throw new java.util.ConcurrentModificationException(
           "graft-store: a merge-on-read delete landed on a file this " +
             "re-layout rewrites; re-run against the new head")
+      val entryEq = m.eqDeletes.map(_.name).toSet
+      if (headM.eqDeletes.exists(q => !entryEq.contains(q.name) &&
+          old.exists(q.covers)))
+        throw new java.util.ConcurrentModificationException(
+          "graft-store: an equality delete landed on a file this " +
+            "re-layout rewrites; re-run against the new head")
       val carried = headM.files.filterNot(e => oldNames.contains(e.name))
       val liveDels = headM.deletes.filter(d => carried.exists(e => d.covers(e.name)))
-      val rewritten = GraftStoreFormat.stampCurrentSpec(headM.partitionSpecs, sm.files)
+      val liveEq = headM.eqDeletes.filter(q => carried.exists(q.covers))
+      val seq = GraftStoreFormat.nextSeq(head)
+      val rewritten = GraftStoreFormat.stampNew(headM.partitionSpecs, seq, sm.files)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(headM.schema, carried ++ rewritten,
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
           check = headM.check, partitionSpecs = headM.partitionSpecs,
-          deletes = liveDels, dml = headM.dml),
-        GraftStoreFormat.nextSeq(head))
+          deletes = liveDels, dml = headM.dml, eqDeletes = liveEq),
+        seq)
     }
     f.delete(new Path(scratch), true)
     (old.size, m.files.size - old.size)
@@ -2895,10 +3094,17 @@ object GraftStoreOps {
     // applies each snapshot's masks — and surviving rows cancel in the
     // join; the cost stays churn-proportional (only changed-coverage files
     // re-read)
-    def delSig(mf: GraftManifest, name: String): Seq[String] =
-      mf.deletes.filter(_.covers(name)).map(_.name).sorted
-    val masked = mFrom.files.map(_.name).filter(toNames)
-      .filter(n => delSig(mFrom, n) != delSig(mTo, n))
+    // the signature includes EQUALITY deletes scoping the file: an upsert
+    // makes every older file changed-coverage, so the diff re-reads them
+    // all — the honest cost of key-addressed deletion (which rows died is
+    // unknowable without the probe)
+    def delSig(mf: GraftManifest, e: GraftFileEntry): Seq[String] =
+      (mf.deletes.filter(_.covers(e.name)).map(_.name) ++
+        mf.eqDeletes.filter(_.covers(e)).map(_.name)).sorted
+    val toEntries = mTo.files.map(e => e.name -> e).toMap
+    val masked = mFrom.files.filter(e => toNames.contains(e.name))
+      .filter(e => delSig(mFrom, e) != delSig(mTo, toEntries(e.name)))
+      .map(_.name)
     val removed = mFrom.files.map(_.name).filterNot(toNames) ++ masked
     val added = mTo.files.map(_.name).filterNot(fromNames) ++ masked
     val cols = mFrom.schema.fieldNames.toSeq
@@ -2939,10 +3145,11 @@ object GraftStoreOps {
     val ms = GraftStoreFormat.listManifests(path, conf)
     val (drop, keep) = ms.splitAt(math.max(0, ms.size - keepLast))
     val keepM = keep.map(p => GraftStoreFormat.readManifestFile(path, conf, p))
-    // position-delete files are `part-` named like data files — a retained
-    // snapshot's delete entries are references too
+    // position- and equality-delete files are `part-` named like data
+    // files — a retained snapshot's delete entries are references too
     val referenced =
-      keepM.flatMap(m => m.files.map(_.name) ++ m.deletes.map(_.name)).toSet
+      keepM.flatMap(m => m.files.map(_.name) ++ m.deletes.map(_.name) ++
+        m.eqDeletes.map(_.name)).toSet
     // change stores referenced by DROPPED snapshots go with them — but only
     // those (an UNREFERENCED _cdc dir might belong to an in-flight COW
     // commit whose manifest hasn't landed yet; crash orphans linger, tiny
@@ -2961,13 +3168,21 @@ object GraftStoreOps {
   }
 }
 
+/** One EQUALITY-DELETE store a read unit must apply: absolute path of the
+  * key-values file plus the key columns' indices in the TABLE schema (the
+  * store's decode schema and the row-side key projection both derive from
+  * them — key column types can never change, so indices stay valid across
+  * additive evolution). */
+private[v2] case class GraftEqSlice(store: String, keyIdxs: Seq[Int])
+
 /** One data file to read: absolute path, physical column width (`ncols` =
   * how many leading table-schema columns it holds — additive schema
   * evolution; the reader decodes that prefix and null-extends the rest),
-  * and the ABSOLUTE paths of the position-delete files covering it
-  * (merge-on-read; empty on COW tables — zero overhead). */
+  * the ABSOLUTE paths of the position-delete files covering it, and the
+  * equality-delete stores scoping it (merge-on-read; both empty on COW
+  * tables — zero overhead). */
 private[v2] case class GraftFileSlice(file: String, ncols: Int,
-    deletes: Seq[String] = Nil)
+    deletes: Seq[String] = Nil, eqDeletes: Seq[GraftEqSlice] = Nil)
 
 private[v2] case class GraftFilePartition(slice: GraftFileSlice) extends InputPartition
 
@@ -3001,11 +3216,17 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       private var cur: Array[Any] = _
       private var curFile: UTF8String = _
       // merge-on-read state: sorted deleted positions for the CURRENT file,
-      // a cursor into them, and the physical row ordinal (counts every
-      // stored row, so (_file, _pos) stays a stable row id)
+      // a cursor into them, the physical row ordinal (counts every stored
+      // row, so (_file, _pos) stays a stable row id), and the equality
+      // masks scoping the file — (key indices, key-tuple set) pairs
       private var deleted: Array[Long] = Array.emptyLongArray
       private var delIdx = 0
       private var pos = -1L
+      private var eqMasks: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] = Nil
+      // an equality store is loaded ONCE per reader even when it scopes
+      // every file of a keyed group (the common shape after an upsert)
+      private val eqCache =
+        scala.collection.mutable.Map.empty[String, java.util.HashSet[Seq[Any]]]
       private def openNext(): Boolean = remaining match {
         case s +: rest =>
           remaining = rest
@@ -3020,8 +3241,35 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
           deleted = loadDeletes(s)
           delIdx = 0
           pos = -1L
+          eqMasks = s.eqDeletes.map(q =>
+            (q.keyIdxs.toArray, eqCache.getOrElseUpdate(q.store, loadEqKeys(q))))
           true
         case _ => false
+      }
+      /** Key tuples of one equality-delete store, decoded at the key
+        * columns' table types (indices into the table schema — key column
+        * types never change across additive evolution). */
+      private def loadEqKeys(q: GraftEqSlice): java.util.HashSet[Seq[Any]] = {
+        val keySchema = StructType(q.keyIdxs.map(full.fields).toArray)
+        val set = new java.util.HashSet[Seq[Any]]()
+        val fs = new Path(q.store).getFileSystem(conf.value)
+        val din = new DataInputStream(
+          new BufferedInputStream(fs.open(new Path(q.store)), 1 << 16))
+        try {
+          var r = GraftStoreFormat.readRow(din, keySchema)
+          while (r != null) {
+            set.add(r.toSeq)
+            r = GraftStoreFormat.readRow(din, keySchema)
+          }
+        } finally din.close()
+        set
+      }
+      /** Equality-mask check for the decoded current row: masked iff its
+        * key tuple appears in ANY scoping store (null fields match null —
+        * structural equality, the Iceberg equality-delete contract). */
+      private def eqMasked(): Boolean = eqMasks.nonEmpty && eqMasks.exists {
+        case (idxs, set) =>
+          set.contains(idxs.map(i => if (i < fileWidth) cur(i) else null).toSeq)
       }
       /** Positions of this file's rows masked by its covering delete files:
         * each covering store is scanned once, rows keyed to OTHER targets
@@ -3057,9 +3305,10 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
             if (!openNext()) return false
           } else {
             pos += 1
-            // skip rows whose ordinal a covering delete file masks
+            // skip rows whose ordinal a covering delete file masks, then
+            // rows whose key tuple a scoping equality delete names
             if (delIdx < deleted.length && deleted(delIdx) == pos) delIdx += 1
-            else return true
+            else if (!eqMasked()) return true
           }
         }
         false // unreachable

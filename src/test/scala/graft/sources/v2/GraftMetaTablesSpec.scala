@@ -106,6 +106,35 @@ class GraftMetaTablesSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
+  test("$deletes exposes the merge-on-read read debt, both kinds") {
+    import spark.implicits._
+    val base = tmpDir()
+    spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").option("dmlMode", "mor")
+      .mode("overwrite").save(s"$base/t")
+    GraftStoreOps.deleteWhereMor(spark, s"$base/t", col("id") < 10)
+    GraftStoreOps.deleteByKeyMor(spark, s"$base/t", Seq(50L, 51L).toDF("id"))
+    withCatalog("gmeta4", base) {
+      val rows = spark.sql(
+        """SELECT kind, n_rows, min_target, scope_seq, key_cols
+          |FROM gmeta4.`t$deletes` ORDER BY kind""".stripMargin).collect()
+      assert(rows.length === 2)
+      assert(rows(0).getString(0) === "equality")
+      assert(rows(0).getLong(1) === 2L)
+      assert(rows(0).isNullAt(2) && rows(0).getLong(3) === 2L)
+      assert(rows(0).getString(4) === "id")
+      assert(rows(1).getString(0) === "position")
+      assert(rows(1).getLong(1) === 10L)
+      assert(!rows(1).isNullAt(2) && rows(1).isNullAt(3))
+      // purge clears the debt; the metadata table reflects it
+      GraftStoreOps.purgeDeletes(spark, s"$base/t")
+      assert(spark.sql("SELECT count(*) FROM gmeta4.`t$deletes`")
+        .collect()(0).getLong(0) === 0L)
+      assert(spark.sql("SELECT count(*) FROM gmeta4.t").collect()(0).getLong(0) === 88L)
+    }
+  }
+
   test("unknown metadata suffix and missing tables fail loudly") {
     val base = tmpDir()
     spark.range(0, 5).selectExpr("id").write.format("graft-store")
