@@ -2068,6 +2068,53 @@ object SystemQueries {
            |   WHERE event_type = 'purchase' AND value > 200)
            |""".stripMargin))
 
+  /** METADATA-ONLY AGGREGATES
+    * ([[graft.sources.v2.GraftStoreScanBuilder]]
+    * `SupportsPushDownAggregates` — Iceberg's manifest-served COUNT/MIN/MAX):
+    * an unfiltered global `count(*)` / `min` / `max` on the native format is
+    * answered entirely from the manifest's per-file row counts and min/max
+    * stats — the executed plan is a one-row LocalTableScan; ZERO data files
+    * open, zero tasks launch. The `pushed` bit pins that plan shape, and a
+    * deliberately-filtered twin recomputes the same values through the
+    * ordinary scan (`agree` bit) so the pushdown's EXACTNESS is
+    * oracle-checked, not assumed. Pushdown declines — never approximates —
+    * under residual filters, GROUP BY, live MOR deletes, stats-less columns
+    * (NaN floats, >64-char strings, post-evolution columns)
+    * (GraftStoreAggPushdownSpec). At 100 TB the most common sanity queries
+    * (`how many rows? what's the key range?`) become manifest reads. */
+  val q168AggPushdown = QuerySpec(
+    "q168_agg_pushdown", "S-dsv2-agg-pushdown",
+    "metadata-only count/min/max: manifest-served aggregates, zero files read",
+    (s, d) => {
+      val path = "/tmp/graft_store_q168"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(6, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      val t = s.read.format("graft-store").load(path)
+      val agg = t.agg(
+        count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        min("o_orderpriority").as("min_prio"), max("o_orderpriority").as("max_prio"))
+      val plan = agg.queryExecution.executedPlan.toString
+      val pushed = plan.contains("LocalTableScan") && !plan.contains("BatchScan")
+      // the declined twin (WHERE forces the ordinary scan) must agree on
+      // every value — exactness proven through the independent path
+      val full = t.filter(col("o_orderkey") >= Long.MinValue).agg(
+        count(lit(1)), min("o_orderkey"), max("o_orderkey"),
+        min("o_orderpriority"), max("o_orderpriority")).collect()(0)
+      val fast = agg.collect()(0)
+      val agree = (0 until 5).forall(i => fast.get(i) == full.get(i))
+      agg.withColumn("pushed", lit(pushed)).withColumn("agree", lit(agree))
+    },
+    Some("""SELECT count(*) AS n_rows,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio,
+           |  TRUE AS pushed, TRUE AS agree
+           |FROM orders""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2080,5 +2127,5 @@ object SystemQueries {
     q155SqlUpdate, q156SqlMerge, q157MultiBucket, q158SpecEvolution,
     q159StoreFileLineage, q160SqlAlter, q161MorDelete, q162MorCdc,
     q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge, q166MorUpsert,
-    q167StreamForget)
+    q167StreamForget, q168AggPushdown)
 }

@@ -81,6 +81,9 @@ private[v2] class GraftRowLevelOperation(path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     new GraftStoreScanBuilder(path, conf, options) {
+      // the rewrite plan consumes this scan's ROWS — a manifest-only
+      // aggregate result would starve it
+      override protected def aggregatesAllowed: Boolean = false
       override protected def newScan(path: String, manifest: GraftManifest,
           required: org.apache.spark.sql.types.StructType,
           pushed: Array[org.apache.spark.sql.sources.Filter],
@@ -194,6 +197,8 @@ private[v2] class GraftDeltaOperation(path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     new GraftStoreScanBuilder(path, conf, options) {
+      // see the group-based builder: the delta rewrite needs rows
+      override protected def aggregatesAllowed: Boolean = false
       override protected def newScan(path: String, manifest: GraftManifest,
           required: org.apache.spark.sql.types.StructType,
           pushed: Array[org.apache.spark.sql.sources.Filter],

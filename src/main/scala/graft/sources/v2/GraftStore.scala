@@ -1479,7 +1479,7 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
 private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private val manifest = {
     val m = GraftStoreFormat.selectManifest(path, conf, options)
       .getOrElse(GraftManifest(new StructType(), Seq.empty))
@@ -1503,14 +1503,138 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = { pushed = filters; filters }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan =
-    newScan(path, manifest, required, pushed, new SerializableHadoopConf(conf))
+
+  /** METADATA-ONLY AGGREGATES (Iceberg's `COUNT(*)`-from-manifest trick):
+    * an unfiltered global `count(*)` / `min(col)` / `max(col)` is answered
+    * entirely from the manifest's row counts and per-file min/max stats —
+    * the scan plans as a driver-local one-row result and reads ZERO data
+    * files. At 100 TB that turns the most common sanity queries from a
+    * full-table scan into a manifest read.
+    *
+    * The pushdown is EXACT or declined — never approximate:
+    *   - declined when any filter is pushed (our filters are always
+    *     returned as residuals, so Spark never plans aggregate pushdown
+    *     under a WHERE anyway — this guard is defense in depth), when a
+    *     GROUP BY is present, or on the row-level DML scan;
+    *   - declined when the snapshot carries live position/equality deletes
+    *     (merge-on-read masks falsify manifest row counts and may mask the
+    *     extreme value; `purgeDeletes`/compaction restore pushdown);
+    *   - `min`/`max` require EVERY selected file with rows to carry stats
+    *     for the column. Writers drop stats exactly when they cannot be
+    *     trusted as exact bounds (>64-char strings, NaN floats) or when the
+    *     column was all-null / not yet born (schema evolution null-extends),
+    *     and those cases are indistinguishable in the manifest — so a
+    *     single stats-less file declines the whole pushdown;
+    *   - `count(col)` is declined outright (per-file null counts are not
+    *     recorded), as is anything DISTINCT. */
+  private var aggResult: Option[(StructType, InternalRow)] = None
+  /** The row-level DML scan must keep producing rows for the rewrite plan. */
+  protected def aggregatesAllowed: Boolean = true
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    computeAgg(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = computeAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (!aggregatesAllowed || pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+      manifest.hasDeletes) return None
+    val files = manifest.files
+
+    // column index for a single-part reference into the TABLE schema
+    // (metadata columns like `_file` have no stats and fall out here)
+    def colIdx(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          val i = manifest.schema.fieldNames.indexOf(nr.fieldNames.head)
+          if (i >= 0) Some(i) else None
+        case _ => None
+      }
+
+    // exact file-level bound, decoded to the column's INTERNAL value;
+    // None = file has rows but no stats for the column → decline
+    def bound(idx: Int, wantMin: Boolean): Option[Seq[Any]] = {
+      val dt = manifest.schema.fields(idx).dataType
+      val vs = files.filter(_.rows > 0).map { e =>
+        e.stats.get(idx).map { case (mn, mx) =>
+          val raw = if (wantMin) mn else mx
+          dt match {
+            case LongType | TimestampType => java.lang.Long.valueOf(raw.toLong): Any
+            case IntegerType | DateType => java.lang.Integer.valueOf(raw.toInt): Any
+            case DoubleType => java.lang.Double.valueOf(raw.toDouble): Any
+            case FloatType => java.lang.Float.valueOf(raw.toFloat): Any
+            case StringType => UTF8String.fromString(raw): Any
+            case _ => null // unsupported type → treated as missing stats
+          }
+        }.filter(_ != null)
+      }
+      if (vs.exists(_.isEmpty)) None else Some(vs.flatten)
+    }
+
+    def extreme(idx: Int, wantMin: Boolean): Option[Any] =
+      bound(idx, wantMin).map { vs =>
+        if (vs.isEmpty) null // only empty files → SQL min/max of nothing
+        else vs.reduce { (a, b) =>
+          val c = (a, b) match {
+            case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+            case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+            case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+            case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+            case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+            case _ => 0
+          }
+          if ((c <= 0) == wantMin) a else b
+        }
+      }
+
+    val out = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          java.lang.Long.valueOf(files.map(_.rows).sum): Any))
+      case m: Min =>
+        colIdx(m.column).flatMap(i => extreme(i, wantMin = true).map(v =>
+          (StructField(s"min_$i", manifest.schema.fields(i).dataType), v)))
+      case m: Max =>
+        colIdx(m.column).flatMap(i => extreme(i, wantMin = false).map(v =>
+          (StructField(s"max_$i", manifest.schema.fields(i).dataType), v)))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else {
+      val pairs = out.flatten
+      Some((StructType(pairs.map(_._1)), InternalRow.fromSeq(pairs.map(_._2).toSeq)))
+    }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) => GraftLocalAggScan(aggSchema, Array(row))
+    case None =>
+      newScan(path, manifest, required, pushed, new SerializableHadoopConf(conf))
+  }
   /** Scan factory — the row-level operation's builder overrides this to
     * produce a [[GraftRowLevelScan]] (runtime group filtering). */
   protected def newScan(path: String, manifest: GraftManifest, required: StructType,
       pushed: Array[org.apache.spark.sql.sources.Filter],
       conf: SerializableHadoopConf): GraftStoreScan =
     new GraftStoreScan(path, manifest, required, pushed, conf)
+}
+
+/** One-row driver-local scan carrying a completely pushed aggregation's
+  * result ([[org.apache.spark.sql.connector.read.LocalScan]] — Spark plans
+  * it as a LocalTableScan; no file is opened, no task is launched). */
+private[v2] case class GraftLocalAggScan(aggSchema: StructType,
+    result: Array[InternalRow]) extends LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def rows(): Array[InternalRow] = result
+  override def description(): String =
+    s"graft-store manifest-only aggregate ${aggSchema.fieldNames.mkString(",")}"
 }
 
 private[v2] class GraftStoreScan(protected val path: String,
