@@ -24,15 +24,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read nanos as long (session-scoped legacy conf) and
-    * convert to TimestampType (micros) — DuckDB's TIMESTAMP_NS truncates to
-    * the same micros, so oracle comparisons line up. */
+  /** `events.ts` normalizes to TimestampType (session TZ is pinned UTC
+    * everywhere) regardless of how the driver generated the parquet:
+    *   - TIMESTAMP(NANOS): Spark 4 refuses to read as a timestamp — read
+    *     nanos as long (session-scoped legacy conf) and convert to micros;
+    *   - TIMESTAMP_NTZ (pandas `timestamp[us]` without a zone): cast —
+    *     under a UTC session the wall-clock micros are unchanged;
+    *   - TIMESTAMP: already the target type.
+    * DuckDB reads the same file as a naive timestamp at micros either way,
+    * so oracle comparisons line up in every generation. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

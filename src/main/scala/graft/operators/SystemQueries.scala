@@ -2115,6 +2115,187 @@ object SystemQueries {
            |  TRUE AS pushed, TRUE AS agree
            |FROM orders""".stripMargin))
 
+  /** FIELD-ID SCHEMA EVOLUTION (Iceberg's design, via
+    * [[graft.sources.v2.GraftCatalog]]): `RENAME COLUMN` and `DROP COLUMN`
+    * as METADATA-ONLY commits. At first rename/drop the manifest pins every
+    * column to an immutable numeric id; renames edit only the DDL name
+    * (decode positions never depended on names), drops remove the id from
+    * the logical schema and record the shrunk layout — ZERO data files are
+    * rewritten (the zero_rewrite bit), and readers map each file's recorded
+    * layout to the current schema by id, seeking past dropped columns'
+    * bytes with the prune-skipping decoder. Re-adding a dropped column's
+    * NAME takes a FRESH id, so old files read it as null instead of
+    * resurrecting dead bytes (the fresh_id bit: count(o_custkey) counts
+    * only post-re-add appends). At 100 TB this turns the most routine
+    * schema operations — rename a column, retire a column — from full-table
+    * rewrites into one manifest commit. */
+  val q169FieldIdEvolution = QuerySpec(
+    "q169_fieldid_evolution", "S-dsv2-fieldid-evolution",
+    "RENAME/DROP COLUMN as metadata-only commits: field-id evolution",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q169"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.graftq169", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq169.base", base)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") < 4000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(s"$base/ord") // snap 0
+      s.sql("ALTER TABLE graftq169.ord RENAME COLUMN o_totalprice TO price") // snap 1
+      s.sql("ALTER TABLE graftq169.ord DROP COLUMN o_custkey") // snap 2
+      val f0 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, s"$base/ord", 0)
+      val f2 = graft.sources.v2.GraftStoreOps.snapshotFiles(s, s"$base/ord", 2)
+      val zeroRewrite = f2.map(_._1) == f0.map(_._1)
+      // post-drop append writes the 3-column layout
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderpriority"))
+        .filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 8000)
+        .write.format("graft-store").mode("append").save(s"$base/ord") // snap 3
+      // re-added NAME takes a fresh id: pre-existing files must read null
+      s.sql("ALTER TABLE graftq169.ord ADD COLUMNS (o_custkey BIGINT)") // snap 4
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderpriority"), col("o_custkey"))
+        .filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+        .write.format("graft-store").mode("append").save(s"$base/ord") // snap 5
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(sum(price), 2) AS sum_price,
+              |  count(o_custkey) AS n_cust
+              |FROM graftq169.ord GROUP BY 1""".stripMargin)
+        .withColumn("zero_rewrite", lit(zeroRewrite))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  count(CASE WHEN o_orderkey >= 8000 THEN o_custkey END) AS n_cust,
+           |  TRUE AS zero_rewrite
+           |FROM orders WHERE o_orderkey < 10000
+           |GROUP BY 1""".stripMargin))
+
+  /** PER-FILE NULL COUNTS (manifest v10): the writer tracks exact
+    * per-column null counts, closing the two declines q168 documented —
+    * `count(col)` now answers from the manifest (count = Σ rows − nulls;
+    * a file that predates the column scores 0, exactly null-extension
+    * semantics), and `IS [NOT] NULL` predicates SKIP files proven
+    * all-non-null / all-null (safe under MOR masks: deletes only remove
+    * rows). The pushed bit proves the plan is a LocalTableScan (zero
+    * files read); the null_skip bit proves an IS NOT NULL filter pruned
+    * the null-extending pre-evolution file from the scan; the agree bit
+    * re-derives every value through a forced ordinary scan. At 100 TB a
+    * `count(col)` completeness probe — the single most common data-quality
+    * query — becomes a manifest read. */
+  val q170NullStats = QuerySpec(
+    "q170_null_stats", "S-dsv2-null-stats",
+    "per-file null counts: count(col) pushdown + IS NULL file skipping",
+    (s, d) => {
+      val path = "/tmp/graft_store_q170"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      // two eras: pre-evolution files lack o_comment entirely (IS NOT NULL
+      // skips them wholesale); post-evolution files carry a nullable
+      // derived column with real nulls
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 3000)
+        .repartitionByRange(3, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          when(col("o_totalprice") > 100000, col("o_orderpriority"))
+            .as("big_prio"))
+        .filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 6000)
+        .repartitionByRange(3, col("o_orderkey"))
+        .write.format("graft-store").option("mergeSchema", "true")
+        .mode("append").save(path)
+      val t = s.read.format("graft-store").load(path)
+      val agg = t.agg(count(lit(1)).as("n_rows"),
+        count(col("big_prio")).as("n_big"),
+        count(col("o_totalprice")).as("n_price"))
+      val pushed = {
+        val p = agg.queryExecution.executedPlan.toString
+        p.contains("LocalTableScan") && !p.contains("BatchScan")
+      }
+      // IS NOT NULL skips every pre-evolution file (the column is
+      // null-extended there — no row can match)
+      val skipQ = t.filter(col("big_prio").isNotNull)
+      val nullSkip = skipQ.queryExecution.executedPlan.toString.contains("files=3/6")
+      val full = t.filter(col("o_orderkey") >= Long.MinValue).agg(
+        count(lit(1)), count(col("big_prio")), count(col("o_totalprice"))).collect()(0)
+      val fast = agg.collect()(0)
+      val agree = (0 until 3).forall(i => fast.get(i) == full.get(i))
+      agg.withColumn("pushed", lit(pushed))
+        .withColumn("null_skip", lit(nullSkip))
+        .withColumn("agree", lit(agree))
+    },
+    Some("""SELECT count(*) AS n_rows,
+           |  count(CASE WHEN o_orderkey >= 3000 AND o_totalprice > 100000
+           |             THEN o_orderpriority END) AS n_big,
+           |  count(*) AS n_price,
+           |  TRUE AS pushed, TRUE AS null_skip, TRUE AS agree
+           |FROM orders WHERE o_orderkey < 6000""".stripMargin))
+
+  /** SNAPSHOT TAGS + WRITE-AUDIT-PUBLISH (Iceberg's refs + WAP flow):
+    * `tagSnapshot` pins a snapshot under a name — `VERSION AS OF
+    * 'baseline'` resolves it in SQL and `expireSnapshots` retains it past
+    * keepLast (the "this exact training-set cut" anchor). A WAP stage
+    * (`option("wapId", ...)`) commits a REAL but INVISIBLE snapshot: head
+    * reads, streams, and feeds ignore it (the staged_invisible bit) while
+    * an explicit-snapshot audit read sees head+stage; `publishWap`
+    * cherry-picks the staged files onto the current head as one
+    * METADATA-ONLY commit (the zero_copy bit: the published head lists
+    * exactly the old head's files plus the staged names — no bytes moved,
+    * no files rewritten). This is the standard curation gate at 100 TB:
+    * land a candidate batch, run quality checks against the audit view,
+    * publish or abandon without ever rewriting data. */
+  val q171TagsWap = QuerySpec(
+    "q171_tags_wap", "S-dsv2-tags-wap",
+    "snapshot tags (VERSION AS OF 'name') + write-audit-publish staging",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q171"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.graftq171", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq171.base", base)
+      val dir = s"$base/ord"
+      def slice(lo: Long, hi: Long) = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      slice(0, 3000).write.format("graft-store").mode("overwrite").save(dir) // snap 0
+      graft.sources.v2.GraftStoreOps.tagSnapshot(s, dir, "baseline", 0)
+      slice(3000, 6000).write.format("graft-store").mode("append").save(dir)
+      val preStage = s.read.format("graft-store").load(dir).count()
+      slice(6000, 9000).write.format("graft-store")
+        .option("wapId", "q171-audit").mode("append").save(dir) // staged
+      val stagedInvisible =
+        s.read.format("graft-store").load(dir).count() == preStage
+      val headBefore = graft.sources.v2.GraftStoreOps
+        .snapshotFiles(s, dir,
+          graft.sources.v2.GraftStoreOps.stagedSnapshot(s, dir, "q171-audit").get - 1)
+        .map(_._1).toSet
+      graft.sources.v2.GraftStoreOps.publishWap(s, dir, "q171-audit")
+      val headAfterFiles = graft.sources.v2.GraftStoreOps
+        .snapshotFiles(s, dir,
+          graft.sources.v2.GraftStoreOps.snapshotCount(s, dir) - 1)
+      val zeroCopy = headBefore.subsetOf(headAfterFiles.map(_._1).toSet)
+      val taggedN = s.sql(
+        "SELECT count(*) AS n FROM graftq171.ord VERSION AS OF 'baseline'")
+        .collect()(0).getLong(0)
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS sum_price
+              |FROM graftq171.ord GROUP BY 1""".stripMargin)
+        .withColumn("tagged_n", lit(taggedN))
+        .withColumn("staged_invisible", lit(stagedInvisible))
+        .withColumn("zero_copy", lit(zeroCopy))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  (SELECT count(*) FROM orders WHERE o_orderkey < 3000) AS tagged_n,
+           |  TRUE AS staged_invisible, TRUE AS zero_copy
+           |FROM orders WHERE o_orderkey < 9000
+           |GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2127,5 +2308,6 @@ object SystemQueries {
     q155SqlUpdate, q156SqlMerge, q157MultiBucket, q158SpecEvolution,
     q159StoreFileLineage, q160SqlAlter, q161MorDelete, q162MorCdc,
     q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge, q166MorUpsert,
-    q167StreamForget, q168AggPushdown)
+    q167StreamForget, q168AggPushdown, q169FieldIdEvolution, q170NullStats,
+    q171TagsWap)
 }

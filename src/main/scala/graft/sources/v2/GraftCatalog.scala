@@ -89,8 +89,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   }
 
   /** `VERSION AS OF <n>`: n is the 0-based snapshot index. */
+  /** `VERSION AS OF n` (numeric = 0-based snapshot index) or
+    * `VERSION AS OF 'name'` (a TAG from [[GraftStoreOps.tagSnapshot]],
+    * resolved through the `ref` read option against the head's ref
+    * table — Iceberg's named-ref time travel). */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Map("snapshot" -> version))
+    if (version.nonEmpty && version.forall(_.isDigit))
+      load(ident, Map("snapshot" -> version))
+    else load(ident, Map("ref" -> version))
 
   /** `TIMESTAMP AS OF <ts>`: Spark hands epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -132,16 +138,75 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     import org.apache.spark.sql.connector.catalog.TableChange._
     val path = pathOf(ident)
     val spark = SparkSession.active
+    // CHECK validation memo: the full-table violation scan runs ONCE per
+    // distinct (expr, visible data) state, not once per OCC retry — a CAS
+    // loss to a metadata-only commit (property set, spec evolution) re-enters
+    // the loop with identical visible data and must stay metadata-only. The
+    // signature covers everything that changes which rows the scan sees:
+    // schema, live files, and MOR delete masks.
+    var checkValidated: String = null
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
-      val m = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val m = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(throw new NoSuchTableException(ident))
       val origWidth = m.schema.length
       var schema = m.schema
       var files = m.files
       var check = m.check
       var dml = m.dml
+      var fieldMeta = m.fieldMeta
+      // materialize field-id metadata (first RENAME/DROP): ids become the
+      // ordinals of the schema as it stands, the lone recorded layout.
+      // Every existing file is an ordinal prefix by construction (history
+      // was purely additive until now), frozen by stamping its physical
+      // width — [[GraftFieldMeta]] documents the invariant
+      def materializedFieldMeta(): GraftFieldMeta = fieldMeta.getOrElse {
+        files = files.map(e => e.copy(ncols = e.ncols.orElse(Some(schema.length))))
+        val ids = schema.indices.toSeq
+        val fm = GraftFieldMeta(
+          schema.fields.toSeq.zipWithIndex.map { case (f, i) => (i, f.name, f.dataType) },
+          ids, Seq(ids))
+        fieldMeta = Some(fm)
+        fm
+      }
+      // a column woven into the table's OTHER metadata cannot be renamed
+      // or dropped in place: layout/constraint/eq-delete references are by
+      // NAME and would silently dangle
+      def requireUnreferenced(col: String, what: String): Unit = {
+        def inList(s: String): Boolean =
+          s.split(",").map(_.trim).contains(col)
+        require(!m.partitionCol.exists(p =>
+            GraftLayout.parse(p).specs.exists {
+              case IdentitySpec(c) => c == col
+              case BucketSpec(_, cs) => cs.contains(col)
+            }),
+          s"graft catalog: cannot $what column $col — it is part of the " +
+            "table's partition layout (re-layout first)")
+        require(!m.partitionSpecs.exists(_.filter(_.nonEmpty).exists(s =>
+            GraftLayout.parse(s).specs.exists {
+              case IdentitySpec(c) => c == col
+              case BucketSpec(_, cs) => cs.contains(col)
+            })),
+          s"graft catalog: cannot $what column $col — it appears in the " +
+            "partition-spec history")
+        require(!m.clusterCols.exists(inList),
+          s"graft catalog: cannot $what column $col — it is a declared " +
+            "cluster column (re-cluster first)")
+        require(!check.exists { c =>
+            // referenced iff the parsed constraint names the column
+            // (case-insensitive, like Spark's default resolution)
+            spark.sessionState.sqlParser.parseExpression(c).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.nameParts.last
+            }.exists(_.equalsIgnoreCase(col))
+          },
+          s"graft catalog: cannot $what column $col — the CHECK constraint " +
+            "references it (drop the constraint first)")
+        require(!m.eqDeletes.exists(_.keyCols.contains(col)),
+          s"graft catalog: cannot $what column $col — live equality deletes " +
+            "key on it (purgeDeletes first)")
+      }
       changes.foreach {
         case add: AddColumn =>
           require(add.fieldNames().length == 1,
@@ -160,14 +225,72 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           // through repeated evolutions)
           files = files.map(e => e.copy(ncols = e.ncols.orElse(Some(origWidth))))
           schema = schema.add(colName, add.dataType(), nullable = true)
+          // id-evolved table: the added column takes a fresh, never-reused
+          // id and the widened id list becomes the new current layout
+          fieldMeta = fieldMeta.map { fm =>
+            val id = fm.nextId
+            val newIds = fm.ids :+ id
+            GraftFieldMeta(fm.fields :+ ((id, colName, add.dataType())),
+              newIds, fm.layouts :+ newIds)
+          }
+        case rn: RenameColumn =>
+          require(rn.fieldNames().length == 1,
+            "graft catalog: nested column renames are unsupported")
+          val old = rn.fieldNames()(0)
+          val nw = rn.newName()
+          val t = schema.fieldNames.indexOf(old)
+          require(t >= 0, s"graft catalog: no such column $old")
+          require(!schema.fieldNames.contains(nw),
+            s"graft catalog: column $nw already exists")
+          requireUnreferenced(old, "RENAME")
+          // Iceberg-style rename: METADATA-ONLY. Field ids pin decode
+          // positions, so only the DDL name (and the id table's display
+          // name) changes — zero data files touched, old files keep
+          // reading through their recorded layouts
+          val fm = materializedFieldMeta()
+          val id = fm.ids(t)
+          fieldMeta = Some(fm.copy(fields = fm.fields.map {
+            case (fid, _, dt) if fid == id => (fid, nw, dt)
+            case f => f
+          }))
+          schema = StructType(
+            schema.fields.updated(t, schema.fields(t).copy(name = nw)))
+        case del: DeleteColumn =>
+          require(del.fieldNames().length == 1,
+            "graft catalog: nested column drops are unsupported")
+          val colName = del.fieldNames()(0)
+          val t = schema.fieldNames.indexOf(colName)
+          require(t >= 0, s"graft catalog: no such column $colName")
+          require(schema.length > 1,
+            "graft catalog: cannot drop a table's only column")
+          requireUnreferenced(colName, "DROP")
+          // Iceberg-style drop: METADATA-ONLY. The field's id leaves the
+          // logical schema and the shrunk id list becomes the new current
+          // layout; the id stays in the field table (its TYPE is what
+          // lets readers seek past the dropped bytes in old files) and is
+          // never reused. Zero data files touched — the column's bytes
+          // are reclaimed lazily as rewrites (compaction, COW DML)
+          // rewrite files under the current layout
+          val fm = materializedFieldMeta()
+          val newIds = fm.ids.patch(t, Nil, 1)
+          fieldMeta = Some(fm.copy(ids = newIds, layouts = fm.layouts :+ newIds))
+          schema = StructType(schema.fields.patch(t, Nil, 1))
         case set: SetProperty if set.property() == "check" =>
           GraftCheck.compile(schema, set.value()) // analyzable against the schema
           // Delta ADD CONSTRAINT semantics: existing rows must already
-          // satisfy it — one scan, proportional to the table, explicit
-          val violations = spark.read.format("graft-store").load(path)
-            .filter(s"NOT coalesce((${set.value()}), true)").count()
-          require(violations == 0L,
-            s"graft catalog: $violations existing rows violate CHECK '${set.value()}'")
+          // satisfy it — one scan, proportional to the table, explicit;
+          // skipped on an OCC retry whose visible data is unchanged
+          val sig = set.value() + " " + m.schema.json + " " +
+            m.files.map(_.name).mkString(",") + " " +
+            m.deletes.map(_.name).mkString(",") + " " +
+            m.eqDeletes.map(_.name).mkString(",")
+          if (checkValidated != sig) {
+            val violations = spark.read.format("graft-store").load(path)
+              .filter(s"NOT coalesce((${set.value()}), true)").count()
+            require(violations == 0L,
+              s"graft catalog: $violations existing rows violate CHECK '${set.value()}'")
+            checkValidated = sig
+          }
           check = Some(set.value())
         case rm: RemoveProperty if rm.property() == "check" =>
           check = None
@@ -183,13 +306,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           dml = None
         case other =>
           throw new UnsupportedOperationException(
-            s"graft catalog: unsupported table change $other — the row codec " +
-              "is positional: only trailing nullable ADD COLUMN and the " +
-              "'check' property alter in place; anything else needs an overwrite")
+            s"graft catalog: unsupported table change $other — trailing " +
+              "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN (field-id " +
+              "evolution) and the 'check'/'dmlMode' properties alter in " +
+              "place; retype/reposition needs an overwrite")
       }
       done = GraftStoreFormat.commitManifest(path, conf,
         m.copy(schema = schema, files = files, check = check, dml = dml,
-          txn = None, cdc = None),
+          fieldMeta = fieldMeta, txn = None, cdc = None),
         GraftStoreFormat.nextSeq(head))
     }
     loadTable(ident)

@@ -239,14 +239,29 @@ private[v2] class GraftDeltaOperation(path: String,
           private def orders: Array[SortOrder] =
             clusterBy.map(c => Expressions.sort(
               Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
-          /** A pure-DELETE plan carries no data columns, so layout
-            * distribution is unresolvable (and unneeded — deletes route
-            * nowhere); UPDATE/MERGE keep the table's write discipline so
-            * new row versions land value-clustered / range-sorted. Delta
-            * rows whose layout columns are null (the delete legs of a
-            * merge) all cluster together — acceptable skew for DML churn. */
+          /** A pure-DELETE plan carries no data columns, so the TABLE
+            * layout is unresolvable — but its output is position-delete
+            * stores whose `[minTarget, maxTarget]` covering range decides
+            * how many stores a later read must open. Range-distributing
+            * the delete rows by the `_file` row-id column (+ `_pos` order
+            * within) hands each task a CONTIGUOUS, DISJOINT slice of the
+            * target-file name space, so per-task stores cover narrow
+            * ranges and a read of any one file opens ~one store instead
+            * of all of them (the same tight-range discipline the
+            * programmatic deleteWhereMor path enforces by repartitioning
+            * on target file). UPDATE/MERGE keep the table's write
+            * discipline so new row versions land value-clustered /
+            * range-sorted; delta rows whose layout columns are null (the
+            * delete legs of a merge) all cluster together — acceptable
+            * skew for DML churn. */
+          private def deleteOrders: Array[SortOrder] = Array(
+            Expressions.sort(Expressions.identity(GraftFileColumn.Name),
+              SortDirection.ASCENDING, NullOrdering.NULLS_FIRST),
+            Expressions.sort(Expressions.identity(GraftPosColumn.Name),
+              SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
           override def requiredDistribution(): Distribution =
-            if (cmd == RowLevelOperation.Command.DELETE) Distributions.unspecified()
+            if (cmd == RowLevelOperation.Command.DELETE)
+              Distributions.ordered(deleteOrders)
             else layout match {
               case Some(l) =>
                 Distributions.clustered(l.columns.map(c =>
@@ -256,7 +271,7 @@ private[v2] class GraftDeltaOperation(path: String,
                 else Distributions.ordered(orders)
             }
           override def requiredOrdering(): Array[SortOrder] =
-            if (cmd == RowLevelOperation.Command.DELETE) Array.empty else orders
+            if (cmd == RowLevelOperation.Command.DELETE) deleteOrders else orders
           override def requiredNumPartitions(): Int = 0
           override def toBatch: DeltaBatchWrite =
             new GraftDeltaBatchWrite(path, schema, rowIdSchema, conf,
@@ -309,7 +324,8 @@ private[v2] class GraftDeltaBatchWrite(path: String, schema: StructType,
     delCommitted.foreach(m => fs.rename(new Path(delTmp, m.file), new Path(path, m.file)))
     val newEntries = dataCommitted.map(m =>
       GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
-        GraftStoreFormat.partValsFromString(m.partVals)))
+        GraftStoreFormat.partValsFromString(m.partVals),
+        nullCounts = GraftStoreFormat.nullsFromString(m.nulls)))
     val delEntries = delCommitted.map { m =>
       // the delete store's col-0 (target name) min/max stats ARE the
       // covering range; names are short so writer stats always exist
@@ -322,8 +338,7 @@ private[v2] class GraftDeltaBatchWrite(path: String, schema: StructType,
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
-      val headM = head.lastOption
-        .map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val headM = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(throw new IllegalStateException(
           s"graft-store: no manifest at $path"))
       if (!scanned.subsetOf(headM.files.map(_.name).toSet))
@@ -348,7 +363,8 @@ private[v2] class GraftDeltaBatchWrite(path: String, schema: StructType,
           "graft-store: a concurrent equality delete masked a file this " +
             "delta operation scanned; re-run the statement against the new head")
       val seq = GraftStoreFormat.nextSeq(head)
-      val stamped = GraftStoreFormat.stampNew(headM.partitionSpecs, seq, newEntries)
+      val stamped = GraftStoreFormat.stampLayout(headM.fieldMeta, headM.schema, schema,
+        GraftStoreFormat.stampNew(headM.partitionSpecs, seq, newEntries))
       done = GraftStoreFormat.commitManifest(path, conf,
         headM.copy(files = headM.files ++ stamped,
           deletes = headM.deletes ++ delEntries, txn = None, cdc = None),
@@ -490,13 +506,13 @@ private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
     committed.foreach(m => fs.rename(new Path(tmpDir, m.file), new Path(path, m.file)))
     val newEntries = committed.map(m =>
       GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
-        GraftStoreFormat.partValsFromString(m.partVals)))
+        GraftStoreFormat.partValsFromString(m.partVals),
+        nullCounts = GraftStoreFormat.nullsFromString(m.nulls)))
     val replaced = op.scannedFiles.toSet
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
-      val headM = head.lastOption
-        .map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val headM = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(throw new IllegalStateException(
           s"graft-store: no manifest at $path"))
       if (!replaced.subsetOf(headM.files.map(_.name).toSet))
@@ -528,13 +544,16 @@ private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
       val liveDels = headM.deletes.filter(d => carried.exists(e => d.covers(e.name)))
       val liveEq = headM.eqDeletes.filter(q => carried.exists(q.covers))
       // evolved table: replacement files were routed under the CURRENT spec
+      // (and stamp the current layout on field-id tables)
       val seq = GraftStoreFormat.nextSeq(head)
-      val stamped = GraftStoreFormat.stampNew(headM.partitionSpecs, seq, newEntries)
+      val stamped = GraftStoreFormat.stampLayout(headM.fieldMeta, headM.schema, schema,
+        GraftStoreFormat.stampNew(headM.partitionSpecs, seq, newEntries))
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(headM.schema, carried ++ stamped,
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
           check = headM.check, partitionSpecs = headM.partitionSpecs,
-          deletes = liveDels, dml = headM.dml, eqDeletes = liveEq),
+          deletes = liveDels, dml = headM.dml, eqDeletes = liveEq,
+          fieldMeta = headM.fieldMeta, refs = headM.refs),
         seq)
     }
     fs.delete(tmpDir, true)

@@ -44,16 +44,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * cannot come from renames of thousands of task files (non-atomic, O(n)
   * metadata ops at the commit point); it comes from making the COMMIT a
   * single manifest publication, which is exactly the mechanism here (the
-  * same one table formats like Iceberg/Delta build on). Assumption: one
-  * writer at a time per table path (concurrent appends would need a
-  * compare-and-swap on the manifest pointer — out of scope, documented).
+  * same one table formats like Iceberg/Delta build on). Concurrency:
+  * MULTIPLE writers are supported via optimistic concurrency — a commit
+  * claims the next `_manifest-<seq>` with an exclusive create (the CAS;
+  * see [[GraftStoreFormat.manifestName]] and `commitManifest`), losers
+  * re-read table state and retry. Exercised by GraftStoreOccSpec's
+  * 4-thread contention suite; the only caveat is RawLocalFileSystem's
+  * check-then-create window, documented at the commit site.
   *
   * The scan reports EXACT statistics (rows from the manifest, bytes from
   * file status) via `SupportsReportStatistics`, so Catalyst can e.g. pick a
   * broadcast join for a small graft-store table without a config hint.
-  * Column pruning is honored in the reader output; being a row format,
-  * pruned columns are still decoded to advance the stream (a columnar
-  * layout would skip the I/O — parquet's job, not this format's).
+  * Column pruning reaches the DECODER, not just the output: being a row
+  * format every field must still be ADVANCED past, but pruned fields are
+  * seeked byte-wise ([[GraftStoreFormat.readRowPruned]] — strings skip
+  * their UTF-8 body without materializing, fixed-width fields seek), so a
+  * narrow projection of a wide store pays decode CPU only for the columns
+  * it asked for. (Skipping the I/O itself would need a columnar layout —
+  * parquet's job, not this format's.)
   *
   * Supported field types: long, int, double, float, boolean, string,
   * date (int days), timestamp (long micros).
@@ -112,11 +120,53 @@ class GraftStore extends TableProvider with DataSourceRegister {
   * smaller addedSeq, so a single upsert commit (equality delete + new row
   * versions, both at the same seq) deletes old versions without touching
   * its own. Absent on pre-v8 entries = -1 (older than every delete). */
+/** `nullCounts` (manifest v10+): exact per-column null counts keyed by the
+  * file's PHYSICAL column index, SPARSE (missing key = zero nulls).
+  * `None` = written before null counts existed → unknown, every consumer
+  * declines. Serve `count(col)` pushdown and `IS [NOT] NULL` skipping;
+  * [[GraftStoreFormat.logicalStatsView]] re-keys them to logical indices
+  * and DENSIFIES (every physically-present live column gets an entry, so
+  * "no entry" unambiguously means "column not in this file" there). */
 private[v2] case class GraftFileEntry(name: String, rows: Long,
     stats: Map[Int, (String, String)], partVals: Option[Seq[Option[String]]] = None,
     ncols: Option[Int] = None, specId: Option[Int] = None,
-    addedSeq: Option[Long] = None) {
+    addedSeq: Option[Long] = None, layoutId: Option[Int] = None,
+    nullCounts: Option[Map[Int, Long]] = None) {
   def seqOrOld: Long = addedSeq.getOrElse(-1L)
+}
+
+/** FIELD-ID metadata (manifest v9+, Iceberg's schema-evolution design):
+  * present only on tables that evolved beyond additive-at-end (RENAME /
+  * DROP COLUMN). Columns are identified by immutable numeric ids, never
+  * by name or position:
+  *
+  *   - `fields`: every field EVER created — `(id, lastName, type)` in
+  *     creation order, append-only (a dropped field stays listed: its
+  *     TYPE is what lets the reader seek past its bytes in old files;
+  *     ids are never reused, so `max(id)+1` is always fresh);
+  *   - `ids`: the CURRENT logical schema's field ids, positionally
+  *     parallel to the manifest's schema DDL line;
+  *   - `layouts`: the PHYSICAL-LAYOUT history — each entry is the id
+  *     list of one historical write schema, in the positional order rows
+  *     of that era encode fields. Append-only; the LAST entry always
+  *     equals `ids` (writers write the current logical order). A file's
+  *     [[GraftFileEntry.layoutId]] indexes this list; a file WITHOUT one
+  *     predates materialization and reads as ids `0..ncols-1` (ids are
+  *     assigned as ordinals of the schema current at materialization, so
+  *     every pre-materialization file is an ordinal prefix by
+  *     construction — alterTable stamps `ncols` on all files then).
+  *
+  * RENAME is then a pure DDL edit (ids and layouts untouched — decode
+  * positions never depended on names); DROP removes the id from `ids`,
+  * appends the shrunk layout, and touches ZERO data files: readers skip
+  * the dropped field's bytes via the prune-skipping decoder. Per-file
+  * stats stay keyed by PHYSICAL position (the writer's indices);
+  * [[GraftStoreFormat.logicalStatsView]] re-keys them to current logical
+  * indices for skipping and aggregate pushdown. */
+private[v2] case class GraftFieldMeta(fields: Seq[(Int, String, DataType)],
+    ids: Seq[Int], layouts: Seq[Seq[Int]]) {
+  def typeOf: Map[Int, DataType] = fields.map(f => f._1 -> f._3).toMap
+  def nextId: Int = fields.map(_._1).max + 1
 }
 
 /** One POSITION-DELETE file (manifest v7+, merge-on-read): a data file in
@@ -134,8 +184,19 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
   * NAME, so a stale entry can never touch a rewritten file (fresh names). */
 private[v2] case class GraftDeleteEntry(name: String, rows: Long,
     minTarget: String, maxTarget: String) {
-  def covers(fileName: String): Boolean =
-    minTarget <= fileName && fileName <= maxTarget
+  /** Coverage compares in UTF8String BINARY order — the same ordering the
+    * writer's min/max stats on the `file` column were computed in. Java
+    * String (UTF-16) ordering diverges from UTF-8 byte ordering for
+    * supplementary characters, which would silently exclude targets from
+    * coverage and resurrect deleted rows; generated names are pure ASCII
+    * today (the orderings agree), but coverage is a correctness boundary,
+    * so it uses the stats' own ordering rather than trusting that
+    * invariant. */
+  def covers(fileName: String): Boolean = {
+    val f = UTF8String.fromString(fileName)
+    UTF8String.fromString(minTarget).compareTo(f) <= 0 &&
+      f.compareTo(UTF8String.fromString(maxTarget)) <= 0
+  }
 }
 
 /** One EQUALITY-DELETE file (manifest v8+, merge-on-read): a data file in
@@ -177,9 +238,23 @@ private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEnt
     check: Option[String] = None, cdc: Option[String] = None,
     partitionSpecs: Option[Seq[String]] = None,
     deletes: Seq[GraftDeleteEntry] = Seq.empty, dml: Option[String] = None,
-    eqDeletes: Seq[GraftEqDeleteEntry] = Seq.empty) {
+    eqDeletes: Seq[GraftEqDeleteEntry] = Seq.empty,
+    fieldMeta: Option[GraftFieldMeta] = None,
+    refs: Map[String, Long] = Map.empty, wap: Option[String] = None) {
   def isMor: Boolean = dml.contains("mor")
   def hasDeletes: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty
+  /** Physical layout (field ids, positional) of one file's rows; None =
+    * the table never evolved beyond prefixes (plain `ncols` semantics). */
+  def layoutIdsOf(e: GraftFileEntry): Option[Seq[Int]] = fieldMeta.map { fm =>
+    e.layoutId match {
+      case Some(li) => fm.layouts(li)
+      // no layoutId = ordinal-prefix file: either pre-materialization
+      // (alterTable stamped ncols on every file then) or written under a
+      // pure-ordinal-prefix schema (resolveLayout's fallback, which also
+      // stamps ncols) — ids are ordinals by construction either way
+      case None => 0 until e.ncols.getOrElse(fm.layouts.head.length)
+    }
+  }
 }
 
 private[v2] object GraftStoreFormat {
@@ -218,12 +293,14 @@ private[v2] object GraftStoreFormat {
   }
 
   /** Stat values are percent-encoded so STRING min/max can ride the same
-    * `i:mn:mx|...` wire format as numerics: the five structural bytes
-    * (`%`, `:`, `|`, tab, newline/CR) become %XX. Numeric stats contain
-    * none of them, so pre-string manifests decode unchanged (decoding a
-    * plain number is the identity). */
+    * `i:mn:mx|...` wire format as numerics: the structural bytes
+    * (`%`, `:`, `|`, tab, newline/CR — plus `,` and `;`, the `#fields=`
+    * header's separators) become %XX. Numeric stats contain none of them,
+    * so pre-string manifests decode unchanged (decoding a plain number is
+    * the identity); widening the escaped set only changes what NEW
+    * manifests emit — unescStat decodes any %XX regardless of vintage. */
   private def escStat(v: String): String = v.flatMap {
-    case c @ ('%' | ':' | '|' | '\t' | '\n' | '\r') => f"%%${c.toInt}%02X"
+    case c @ ('%' | ':' | '|' | '\t' | '\n' | '\r' | ',' | ';') => f"%%${c.toInt}%02X"
     case c => c.toString
   }
   private def unescStat(v: String): String = {
@@ -264,6 +341,27 @@ private[v2] object GraftStoreFormat {
       val Array(i, mn, mx) = part.split(":", -1)
       i.toInt -> (unescStat(mn), unescStat(mx))
     }.toMap
+
+  /** Per-file NULL-COUNT wire format (v10, per-file 9th field): sparse
+    * `i:count|...` over the file's PHYSICAL column indices — zero counts
+    * are omitted, and a file with no nulls at all writes the sentinel `-`
+    * (an empty string must keep meaning "pre-null-count manifest", i.e.
+    * unknown). Exact counts, maintained by the writer cell-by-cell; they
+    * serve `count(col)` aggregate pushdown and `IS [NOT] NULL` file
+    * skipping. */
+  def nullsToString(nulls: Map[Int, Long]): String = {
+    val nz = nulls.filter(_._2 > 0L)
+    if (nz.isEmpty) "-"
+    else nz.toSeq.sortBy(_._1).map { case (i, c) => s"$i:$c" }.mkString("|")
+  }
+
+  def nullsFromString(s: String): Option[Map[Int, Long]] =
+    if (s == null || s.isEmpty) None
+    else if (s == "-") Some(Map.empty)
+    else Some(s.split('|').map { part =>
+      val Array(i, c) = part.split(":", -1)
+      i.toInt -> c.toLong
+    }.toMap)
 
   /** Positional name+type schema equality — nullability-INSENSITIVE, the
     * append-compatibility notion: writing non-null values into a nullable
@@ -315,6 +413,94 @@ private[v2] object GraftStoreFormat {
     specced.map(_.copy(addedSeq = Some(seq)))
   }
 
+  /** Stamp NEW entries with the physical-layout id their rows were written
+    * under — the field-id dual of [[stampNew]]'s spec stamping, a no-op on
+    * tables without [[GraftFieldMeta]]. `writeSchema` is the schema the
+    * writing tasks encoded rows with (the logical schema the operation
+    * planned against); it resolves to field ids against the HEAD manifest
+    * being committed — by name+type, so a concurrent RENAME/DROP between
+    * plan time and this commit attempt fails LOUDLY instead of stamping a
+    * layout the bytes don't have. A write schema that is an ordinal
+    * prefix but matches no historical layout (a pre-materialization write
+    * racing the materializing ALTER) falls back to `ncols` semantics,
+    * which the reader interprets as ids `0..ncols-1` — exactly what an
+    * ordinal-prefix file is. */
+  def stampLayout(fieldMeta: Option[GraftFieldMeta], tableSchema: StructType,
+      writeSchema: StructType,
+      entries: Seq[GraftFileEntry]): Seq[GraftFileEntry] = fieldMeta match {
+    case None => entries
+    case Some(fm) =>
+      val ids: Seq[Int] = writeSchema.fields.toSeq.map { f =>
+        val t = tableSchema.fieldNames.indexOf(f.name)
+        if (t < 0 || tableSchema.fields(t).dataType != f.dataType)
+          throw new java.util.ConcurrentModificationException(
+            s"graft-store: column '${f.name}' of this write's schema is " +
+              "missing or retyped in the committed table (a concurrent " +
+              "RENAME/DROP COLUMN?); re-run the write against the new schema")
+        fm.ids(t)
+      }
+      fm.layouts.indexOf(ids) match {
+        case -1 if ids == (0 until ids.length) =>
+          entries.map(e => e.copy(ncols = e.ncols.orElse(Some(ids.length))))
+        case -1 => throw new IllegalStateException(
+          s"graft-store: write layout $ids matches no recorded layout " +
+            s"history ${fm.layouts} — manifest corruption?")
+        case li => entries.map(_.copy(layoutId = Some(li)))
+      }
+  }
+
+  /** Streaming tails and CDC feeds pin a fixed POSITIONAL schema at start
+    * and decode files against it by width alone — a file written under a
+    * rename/drop-evolved layout (non-ordinal field ids) cannot be decoded
+    * that way and must fail LOUDLY rather than misalign. Ordinal-prefix
+    * layouts — the only kind on never-evolved tables, and everything
+    * before the first DROP (RENAME keeps ids ordinal) — pass. */
+  def requireOrdinalLayout(m: GraftManifest, e: GraftFileEntry, what: String): Unit =
+    m.layoutIdsOf(e).foreach { lids =>
+      if (lids != (0 until lids.length))
+        throw new IllegalStateException(
+          s"graft-store: $what ${e.name} was written under a rename/drop-" +
+            "evolved layout; streams/feeds pin a fixed positional schema — " +
+            "restart the feed at a snapshot at or after the evolution")
+    }
+
+  /** A file entry's stats re-keyed from PHYSICAL (writer) column indices
+    * to CURRENT LOGICAL indices — what manifest-stats skipping and
+    * aggregate pushdown compare against. Min/max stats stay SPARSE
+    * (identity on tables without field-id metadata; entries for dropped
+    * fields fall out). Null counts additionally DENSIFY: in the returned
+    * view every live column the file PHYSICALLY holds has an entry (the
+    * on-disk form omits zeros), so a missing key unambiguously means
+    * "column not in this file — every row null-extends", which is what
+    * lets IS NOT NULL skip such files and count(col) score them 0. */
+  def logicalStatsView(m: GraftManifest, e: GraftFileEntry): GraftFileEntry = {
+    // physical position -> current logical index (identity prefix when the
+    // table never renamed/dropped)
+    val physToLogical: Int => Int = m.layoutIdsOf(e) match {
+      case Some(lids) =>
+        val fm = m.fieldMeta.get
+        (p: Int) => if (p >= lids.length) -1 else fm.ids.indexOf(lids(p))
+      case None =>
+        val w = e.ncols.getOrElse(m.schema.length)
+        (p: Int) => if (p < w && p < m.schema.length) p else -1
+    }
+    val physWidth = m.layoutIdsOf(e).map(_.length)
+      .getOrElse(math.min(e.ncols.getOrElse(m.schema.length), m.schema.length))
+    val stats2 =
+      if (m.fieldMeta.isEmpty) e.stats
+      else e.stats.flatMap { case (phys, mnmx) =>
+        val logical = physToLogical(phys)
+        if (logical < 0) None else Some(logical -> mnmx)
+      }
+    val nulls2 = e.nullCounts.map { nc =>
+      (0 until physWidth).flatMap { p =>
+        val logical = physToLogical(p)
+        if (logical < 0) None else Some(logical -> nc.getOrElse(p, 0L))
+      }.toMap
+    }
+    e.copy(stats = stats2, nullCounts = nulls2)
+  }
+
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
     val in = fs(path, conf).open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -335,10 +521,24 @@ private[v2] object GraftStoreFormat {
     // `#specs=` header (optional, `;`-joined, "" = unpartitioned): the
     // partition-spec HISTORY (Iceberg spec-versioning); last entry = the
     // current spec. Present only on tables that evolved their layout
-    val (specs, rest2b) =
+    val (specs, rest2a) =
       if (rest2.head.startsWith("#specs="))
         (Some(rest2.head.stripPrefix("#specs=").split(";", -1).toSeq), rest2.tail)
       else (None, rest2)
+    // `#fields=` / `#fieldids=` / `#layouts=` (v9, always together): the
+    // field-id metadata of rename/drop schema evolution (see
+    // [[GraftFieldMeta]])
+    val (fieldMeta, rest2b) =
+      if (rest2a.head.startsWith("#fields=")) {
+        val fields = rest2a.head.stripPrefix("#fields=").split(",", -1).toSeq.map { p =>
+          val Array(id, n, t) = p.split(":", 3)
+          (id.toInt, unescStat(n), DataType.fromDDL(t))
+        }
+        val ids = rest2a(1).stripPrefix("#fieldids=").split(",").toSeq.map(_.toInt)
+        val layouts = rest2a(2).stripPrefix("#layouts=").split(";", -1).toSeq
+          .map(_.split(",").toSeq.map(_.toInt))
+        (Some(GraftFieldMeta(fields, ids, layouts)), rest2a.drop(3))
+      } else (None, rest2a)
     // `#cluster=` header (optional, comma-separated): the table's DECLARED
     // sort clustering (range/Z-order layouts) — advisory, like Iceberg's
     // sort-order property: per-file min/max stats stay correct either way,
@@ -368,13 +568,29 @@ private[v2] object GraftStoreFormat {
       if (rest5.head.startsWith("#dml="))
         (Some(rest5.head.stripPrefix("#dml=")), rest5.tail)
       else (None, rest5)
+    // `#refs=` header (optional, v11): named snapshot refs — TAGS pinning
+    // a snapshot SEQ for `VERSION AS OF '<name>'` and expiry retention
+    val (refs, rest5c) =
+      if (rest5b.head.startsWith("#refs="))
+        (rest5b.head.stripPrefix("#refs=").split(",", -1).toSeq.map { p =>
+          val i = p.lastIndexOf(':')
+          unescStat(p.substring(0, i)) -> p.substring(i + 1).toLong
+        }.toMap, rest5b.tail)
+      else (Map.empty[String, Long], rest5b)
+    // `#wap=` header (optional, v11): this snapshot is a STAGED
+    // write-audit-publish commit — invisible to head resolution until
+    // published (Iceberg's WAP flow)
+    val (wap, rest5d) =
+      if (rest5c.head.startsWith("#wap="))
+        (Some(rest5c.head.stripPrefix("#wap=")), rest5c.tail)
+      else (None, rest5c)
     // `#txn=` header (optional): the streaming-epoch token of the commit
     // that published this snapshot — the idempotency check a replayed
     // epoch commit is deduplicated against
     val (txn, lines) =
-      if (rest5b.head.startsWith("#txn="))
-        (Some(rest5b.head.stripPrefix("#txn=")), rest5b.tail)
-      else (None, rest5b)
+      if (rest5d.head.startsWith("#txn="))
+        (Some(rest5d.head.stripPrefix("#txn=")), rest5d.tail)
+      else (None, rest5d)
     // `~del` (v7+) / `~eqdel` (v8+) lines carry position- and equality-
     // delete files; the `~` sigil can never open a data-file name (those
     // are `part-…`)
@@ -391,7 +607,9 @@ private[v2] object GraftStoreFormat {
           if (parts.length > 3) partValsFromString(parts(3)) else None,
           if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None,
           if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5).toInt) else None,
-          if (parts.length > 6 && parts(6).nonEmpty) Some(parts(6).toLong) else None)
+          if (parts.length > 6 && parts(6).nonEmpty) Some(parts(6).toLong) else None,
+          if (parts.length > 7 && parts(7).nonEmpty) Some(parts(7).toInt) else None,
+          if (parts.length > 8) nullsFromString(parts(8)) else None)
       },
       millis, partCol, txn, clusterCols, check, cdc, specs,
       delLines.map { l =>
@@ -403,11 +621,25 @@ private[v2] object GraftStoreFormat {
         val parts = l.split("\t", -1)
         GraftEqDeleteEntry(parts(1), parts(2).toLong, parts(3).toLong,
           unescStat(parts(4)).split(",").toSeq)
-      })
+      }, fieldMeta, refs, wap)
+  }
+
+  /** The table's HEAD: the newest manifest that is NOT a staged
+    * write-audit-publish commit (`#wap=` — invisible until published).
+    * Walks back from the end; the loop body almost never runs twice (a
+    * staged head exists only between stage and publish/expiry). */
+  def readHead(path: String, conf: Configuration, ms: Seq[Path]): Option[GraftManifest] = {
+    var i = ms.length - 1
+    while (i >= 0) {
+      val m = readManifestFile(path, conf, ms(i))
+      if (m.wap.isEmpty) return Some(m)
+      i -= 1
+    }
+    None
   }
 
   def readLatestManifest(path: String, conf: Configuration): Option[GraftManifest] =
-    listManifests(path, conf).lastOption.map(readManifestFile(path, conf, _))
+    readHead(path, conf, listManifests(path, conf))
 
   /** Publication millis of a manifest: the `#millis=` header, or (pre-OCC
     * manifests) the millis embedded in the name. Reads ONLY the first
@@ -435,18 +667,31 @@ private[v2] object GraftStoreFormat {
       options: CaseInsensitiveStringMap): Option[GraftManifest] = {
     val ms = listManifests(path, conf)
     if (ms.isEmpty) return None
-    val chosen = (Option(options.get("snapshot")), Option(options.get("asOfMillis"))) match {
-      case (Some(i), _) =>
+    val chosen = (Option(options.get("snapshot")), Option(options.get("asOfMillis")),
+        Option(options.get("ref"))) match {
+      case (Some(i), _, _) =>
+        // an EXPLICIT index may target a staged (wap) snapshot — that IS
+        // the audit read of write-audit-publish
         require(i.toInt >= 0 && i.toInt < ms.size,
           s"graft-store: snapshot $i out of range [0, ${ms.size})")
         ms(i.toInt)
-      case (_, Some(t)) =>
+      case (_, Some(t), _) =>
         val atOrBefore = ms.filter(p => manifestMillis(path, conf, p) <= t.toLong)
         require(atOrBefore.nonEmpty,
           s"graft-store: no snapshot at or before $t " +
             s"(oldest is ${manifestMillis(path, conf, ms.head)})")
-        atOrBefore.last
-      case _ => ms.last
+        // a staged commit is not table history — walk back past it
+        return readHead(path, conf, atOrBefore)
+      case (_, _, Some(r)) =>
+        // named ref (tag): resolved against the HEAD's ref table to a
+        // snapshot SEQ (stable across expiry, unlike indices)
+        val refs = readHead(path, conf, ms).map(_.refs).getOrElse(Map.empty)
+        val seq = refs.getOrElse(r, throw new NoSuchElementException(
+          s"graft-store: no ref '$r' (known: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+        ms.find(p => manifestSeq(p) == seq).getOrElse(
+          throw new IllegalStateException(
+            s"graft-store: ref '$r' points at expired snapshot seq $seq"))
+      case _ => return readHead(path, conf, ms)
     }
     Some(readManifestFile(path, conf, chosen))
   }
@@ -483,10 +728,19 @@ private[v2] object GraftStoreFormat {
       (s"#millis=$millis\n" +
         m.partitionCol.map(c => s"#partition=$c\n").getOrElse("") +
         m.partitionSpecs.map(ss => s"#specs=${ss.mkString(";")}\n").getOrElse("") +
+        m.fieldMeta.map(fm =>
+          s"#fields=${fm.fields.map { case (id, n, t) =>
+            s"$id:${escStat(n)}:${t.catalogString}" }.mkString(",")}\n" +
+          s"#fieldids=${fm.ids.mkString(",")}\n" +
+          s"#layouts=${fm.layouts.map(_.mkString(",")).mkString(";")}\n").getOrElse("") +
         m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
         m.check.map(c => s"#check=${escStat(c)}\n").getOrElse("") +
         m.cdc.map(c => s"#cdc=$c\n").getOrElse("") +
         m.dml.map(d => s"#dml=$d\n").getOrElse("") +
+        (if (m.refs.isEmpty) "" else
+          s"#refs=${m.refs.toSeq.sortBy(_._1).map { case (n2, sq) =>
+            s"${escStat(n2)}:$sq" }.mkString(",")}\n") +
+        m.wap.map(w => s"#wap=$w\n").getOrElse("") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
         m.schema.toDDL + "\n" +
         m.deletes.map(d =>
@@ -495,19 +749,19 @@ private[v2] object GraftStoreFormat {
         m.eqDeletes.map(d =>
           s"~eqdel\t${d.name}\t${d.rows}\t${d.seq}\t${escStat(d.keyCols.mkString(","))}\n")
           .mkString + m.files.map { e =>
-          val pv = e.partVals.map(partValsToString).getOrElse("")
           val base = s"${e.name}\t${e.rows}\t${statsToString(e.stats)}"
           // trailing optional fields: partVals (4th), ncols (5th), specId
-          // (6th), addedSeq (7th) — only written when needed, so
-          // pre-evolution manifests stay byte-stable
-          (e.ncols, e.specId, e.addedSeq) match {
-            case (nc, sid, Some(sq)) =>
-              s"$base\t$pv\t${nc.fold("")(_.toString)}\t${sid.fold("")(_.toString)}\t$sq"
-            case (nc, Some(sid), None) => s"$base\t$pv\t${nc.fold("")(_.toString)}\t$sid"
-            case (Some(n), None, None) => s"$base\t$pv\t$n"
-            case (None, None, None) if pv.nonEmpty => s"$base\t$pv"
-            case _ => base
-          }
+          // (6th), addedSeq (7th), layoutId (8th), nullCounts (9th) —
+          // written only through the LAST present one, so pre-evolution
+          // manifests stay byte-stable
+          val opts = Seq(
+            e.partVals.map(partValsToString).getOrElse(""),
+            e.ncols.fold("")(_.toString),
+            e.specId.fold("")(_.toString),
+            e.addedSeq.fold("")(_.toString),
+            e.layoutId.fold("")(_.toString),
+            e.nullCounts.fold("")(nullsToString))
+          (base +: opts.reverse.dropWhile(_.isEmpty).reverse).mkString("\t")
         }.mkString("\n"))
         .getBytes("UTF-8"))
     finally out.close()
@@ -591,6 +845,18 @@ private[v2] object GraftStoreFormat {
       case LessThan(c, v) => test(c, v)((mn, _, x) => mn < x, (mn, _, x) => mn < x)
       case LessThanOrEqual(c, v) => test(c, v)((mn, _, x) => mn <= x, (mn, _, x) => mn <= x)
       case In(c, vs) => vs.isEmpty || vs.exists(v => mayMatch(schema, e, EqualTo(c, v)))
+      // null-count skipping (v10 stats, via logicalStatsView's DENSE view):
+      // IS NULL skips files proven all-non-null (tracked count == 0);
+      // IS NOT NULL skips files proven all-null (count == rows, or the
+      // column physically absent — every row null-extends). Safe under
+      // merge-on-read masks: deletes only REMOVE rows, which cannot create
+      // a null in a no-null file or a value in an all-null one.
+      case IsNull(c) =>
+        val idx = schema.fieldNames.indexOf(c)
+        idx < 0 || e.nullCounts.forall(nc => nc.get(idx).forall(_ > 0L))
+      case IsNotNull(c) =>
+        val idx = schema.fieldNames.indexOf(c)
+        idx < 0 || e.nullCounts.forall(nc => nc.get(idx).exists(_ < e.rows))
       case _ => true
     }
   }
@@ -644,6 +910,75 @@ private[v2] object GraftStoreFormat {
       }
       i += 1
     }
+    vals
+  }
+
+  /** Diagnostic counter: payload bytes SKIPPED (advanced without decoding)
+    * by [[readRowPruned]] in this JVM. Executor-local by nature — on a real
+    * cluster each executor counts its own share; it exists so specs and
+    * local benches can PROVE a narrow projection does less decode work,
+    * not as a distributed metric. A per-row local tally is added once per
+    * row, so the hot loop touches the adder at most once per row. */
+  val prunedBytesSkipped = new java.util.concurrent.atomic.LongAdder
+
+  /** `skipBytes` contract-safe full skip (it may skip fewer — loop, and a
+    * short skip at stream end is a truncated row, not a clean EOF). */
+  private def skipFully(in: DataInputStream, n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      val k = in.skipBytes(left)
+      if (k <= 0) throw new EOFException(
+        "graft-store: truncated row while skipping a pruned field")
+      left -= k
+    }
+  }
+
+  /** Reads one row of `schema` decoding ONLY the fields whose index is set
+    * in `wanted`; every other non-null field is advanced BYTE-WISE — fixed
+    * width types seek past their payload, strings read the length prefix
+    * and skip the UTF-8 body without materializing it. This is the row
+    * format's prune-skipping decode: column pruning used to be honored
+    * only in the OUTPUT (every field was still decoded to advance the
+    * stream); now a 2-column projection of a wide store pays decode CPU
+    * for 2 columns plus a seek per pruned field. `wanted` may be longer
+    * than `schema` (prefix-evolved files). Returns null at EOF; pruned
+    * entries of the returned array stay null — callers must only index
+    * positions they asked for (or the metadata pseudo-columns). */
+  def readRowPruned(in: DataInputStream, schema: StructType,
+      wanted: Array[Boolean]): Array[Any] = {
+    val marker = in.read()
+    if (marker == -1) return null
+    require(marker == 1, s"graft-store: corrupt row marker $marker")
+    val vals = new Array[Any](schema.length)
+    var skipped = 0L
+    var i = 0
+    while (i < schema.length) {
+      if (in.readByte() == 1) () // null field: nothing on the wire
+      else if (wanted(i)) vals(i) = schema.fields(i).dataType match {
+        case LongType | TimestampType => in.readLong()
+        case IntegerType | DateType   => in.readInt()
+        case DoubleType               => in.readDouble()
+        case FloatType                => in.readFloat()
+        case BooleanType              => in.readBoolean()
+        case StringType =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          UTF8String.fromBytes(b)
+        case other => throw new UnsupportedOperationException(
+          s"graft-store: unsupported type $other")
+      } else {
+        schema.fields(i).dataType match {
+          case LongType | TimestampType | DoubleType => skipFully(in, 8); skipped += 8
+          case IntegerType | DateType | FloatType    => skipFully(in, 4); skipped += 4
+          case BooleanType                           => skipFully(in, 1); skipped += 1
+          case StringType =>
+            val len = in.readInt(); skipFully(in, len); skipped += len
+          case other => throw new UnsupportedOperationException(
+            s"graft-store: unsupported type $other")
+        }
+      }
+      i += 1
+    }
+    if (skipped > 0) prunedBytesSkipped.add(skipped)
     vals
   }
 }
@@ -764,8 +1099,7 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       // evolving append's widened schema, a new CHECK, a layout change)
       // must not be reverted by republishing a stale metadata copy
       val head = GraftStoreFormat.listManifests(path, conf)
-      val m = head.lastOption
-        .map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val m = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(return false)
       done = GraftStoreFormat.commitManifest(path, conf,
         m.copy(files = Seq.empty, txn = None, cdc = None, deletes = Seq.empty,
@@ -828,7 +1162,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       queryId = info.queryId(),
       mergeSchema = Option(info.options.get("mergeSchema")).exists(_.toBoolean),
       checkOption = Option(info.options.get("check")),
-      dmlMode = Option(info.options.get("dmlMode")))
+      dmlMode = Option(info.options.get("dmlMode")),
+      wapId = Option(info.options.get("wapId")))
 }
 
 // ------------------------------------------------------------------- write
@@ -877,8 +1212,10 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, clusterBy: Array[String] = Array.empty,
     clusterFiles: Int = 0, partitionBy: Option[String] = None, queryId: String = "",
     mergeSchema: Boolean = false, checkOption: Option[String] = None,
-    dmlMode: Option[String] = None)
+    dmlMode: Option[String] = None, wapId: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
+  require(wapId.isEmpty || !truncate,
+    "graft-store: write-audit-publish stages APPENDS; an overwrite cannot be staged")
   require(clusterBy.isEmpty || partitionBy.isEmpty,
     "graft-store: clusterBy and partitionBy are mutually exclusive layouts")
   dmlMode.foreach(m => require(m == "cow" || m == "mor",
@@ -914,7 +1251,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
 
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
-      clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode)
+      clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId)
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -940,7 +1277,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy,
-        mergeSchema, effectiveCheck, compiledCheck, dmlMode)
+        mergeSchema, effectiveCheck, compiledCheck, dmlMode, wapId)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck,
         effectiveCheck)
@@ -997,8 +1334,7 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
         val live = new Path(path, m.file)
         if (!fs.exists(live)) fs.rename(new Path(tmpDir, m.file), live)
       }
-      val prevManifest = head.lastOption
-        .map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val prevManifest = GraftStoreFormat.readHead(path, conf, head)
       prevManifest.foreach { m =>
         require(GraftStoreFormat.sameCols(m.schema, schema),
           s"graft-store: streaming append schema ${schema.toDDL} does not " +
@@ -1007,7 +1343,8 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
       val prev = prevManifest.map(_.files).getOrElse(Seq.empty)
       val newEntries = committed.map(m =>
         GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
-        GraftStoreFormat.partValsFromString(m.partVals)))
+        GraftStoreFormat.partValsFromString(m.partVals),
+        nullCounts = GraftStoreFormat.nullsFromString(m.nulls)))
       // layout headers CARRY THROUGH a streaming append (dropping them
       // would silently strip the table's declared layout): streamed files
       // have no partition values, so scans degrade conservatively to
@@ -1029,7 +1366,11 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
       // the "specs defined => every file stamped" invariant holds
       val specs = prevManifest.flatMap(_.partitionSpecs)
       val seq = GraftStoreFormat.nextSeq(head)
-      val stamped = GraftStoreFormat.stampNew(specs, seq, newEntries)
+      val stamped0 = GraftStoreFormat.stampNew(specs, seq, newEntries)
+      // field-id tables: streamed files carry the current layout id (the
+      // stream's schema passed sameCols above, so names resolve)
+      val fieldMeta = prevManifest.flatMap(_.fieldMeta)
+      val stamped = GraftStoreFormat.stampLayout(fieldMeta, tableSchema, schema, stamped0)
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema,
           prev ++ stamped, txn = Some(token),
@@ -1043,7 +1384,9 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
           // batch append: live deletes (both kinds) and the DML mode
           deletes = prevManifest.map(_.deletes).getOrElse(Seq.empty),
           dml = prevManifest.flatMap(_.dml),
-          eqDeletes = prevManifest.map(_.eqDeletes).getOrElse(Seq.empty)),
+          eqDeletes = prevManifest.map(_.eqDeletes).getOrElse(Seq.empty),
+          fieldMeta = fieldMeta,
+          refs = prevManifest.map(_.refs).getOrElse(Map.empty)),
         seq)
     }
     fs.delete(tmpDir, true)
@@ -1072,7 +1415,7 @@ private[v2] class GraftStoreStreamingWriterFactory(path: String, writeId: String
   * PER PARTITION VALUE (identity) / PER BUCKET (bucket) under
   * `partitionBy`. */
 private[v2] case class GraftCommitEntry(file: String, rows: Long, stats: String,
-    partVals: String = "")
+    partVals: String = "", nulls: String = "")
 private[v2] case class GraftCommitMessage(entries: Seq[GraftCommitEntry])
     extends WriterCommitMessage
 
@@ -1081,7 +1424,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     clusterBy: Array[String] = Array.empty, mergeSchema: Boolean = false,
     checkText: Option[String] = None,
     check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
-    dmlMode: Option[String] = None)
+    dmlMode: Option[String] = None, wapId: Option[String] = None)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
@@ -1116,13 +1459,14 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     }
     val newEntries = committed.map(m =>
       GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
-        GraftStoreFormat.partValsFromString(m.partVals)))
+        GraftStoreFormat.partValsFromString(m.partVals),
+        nullCounts = GraftStoreFormat.nullsFromString(m.nulls)))
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
       val prevManifest =
         if (truncate) None
-        else head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+        else GraftStoreFormat.readHead(path, conf, head)
       prevManifest.foreach { m =>
         // one schema governs a manifest's files EXCEPT through additive
         // evolution: `mergeSchema=true` lets an append ADD trailing
@@ -1195,10 +1539,38 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
                    else prevManifest.map(_.eqDeletes).getOrElse(Seq.empty)
       val dml = if (truncate) dmlMode
                 else prevManifest.flatMap(_.dml).orElse(dmlMode)
+      // field-id metadata: an overwrite resets it (all data rewritten
+      // under the fresh schema — plain prefix semantics again); an append
+      // carries it, and a mergeSchema append EXTENDS it — fresh never-used
+      // ids for the added columns, the widened id list becoming the new
+      // current layout
+      val fieldMeta: Option[GraftFieldMeta] =
+        if (truncate) None
+        else prevManifest.flatMap(_.fieldMeta).map { fm =>
+          val addedCols = schema.fields.drop(prevManifest.get.schema.length)
+          if (addedCols.isEmpty) fm
+          else {
+            val newFields = addedCols.zipWithIndex.map { case (f, i) =>
+              (fm.nextId + i, f.name, f.dataType)
+            }.toSeq
+            val newIds = fm.ids ++ newFields.map(_._1)
+            GraftFieldMeta(fm.fields ++ newFields, newIds, fm.layouts :+ newIds)
+          }
+        }
+      val layoutStamped =
+        GraftStoreFormat.stampLayout(fieldMeta, tableSchema, schema, stamped)
+      // named refs are TABLE-level metadata (tags pin retained history):
+      // they survive every commit, including an overwrite — which must
+      // read the head it is replacing just for them
+      val refs =
+        if (truncate)
+          GraftStoreFormat.readHead(path, conf, head).map(_.refs).getOrElse(Map.empty)
+        else prevManifest.map(_.refs).getOrElse(Map.empty)
       done = GraftStoreFormat.commitManifest(path, conf,
-        GraftManifest(tableSchema, prev ++ stamped, partitionCol = partitionBy,
+        GraftManifest(tableSchema, prev ++ layoutStamped, partitionCol = partitionBy,
           clusterCols = cluster, check = effCheck, partitionSpecs = specs,
-          deletes = dels, dml = dml, eqDeletes = eqDels),
+          deletes = dels, dml = dml, eqDeletes = eqDels, fieldMeta = fieldMeta,
+          refs = refs, wap = wapId),
         seq)
     }
     // NO data-file cleanup here, even on truncate: superseded files are
@@ -1310,11 +1682,15 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     val sMax = new Array[UTF8String](n)
     val seen = new Array[Boolean](n)
     val sawNaN = new Array[Boolean](n)
+    // exact per-column null counts (one increment per null cell) — the
+    // stat behind count(col) pushdown and IS [NOT] NULL file skipping
+    val nullCnt = new Array[Long](n)
 
     def write(record: InternalRow): Unit = {
       GraftStoreFormat.writeRow(out, record, schema); rows += 1
       var i = 0
       while (i < n) {
+        if (record.isNullAt(i)) nullCnt(i) += 1
         if (!record.isNullAt(i)) schema.fields(i).dataType match {
           case LongType | TimestampType =>
             val v = record.getLong(i)
@@ -1361,7 +1737,8 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
           case _ => None
         }
       }.toMap
-      GraftCommitEntry(file, rows, GraftStoreFormat.statsToString(stats), partVals)
+      GraftCommitEntry(file, rows, GraftStoreFormat.statsToString(stats), partVals,
+        GraftStoreFormat.nullsToString((0 until n).map(i => i -> nullCnt(i)).toMap))
     }
 
     def abort(): Unit = {
@@ -1530,12 +1907,24 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
   private var aggResult: Option[(StructType, InternalRow)] = None
   /** The row-level DML scan must keep producing rows for the rewrite plan. */
   protected def aggregatesAllowed: Boolean = true
+  /** Spark probes `supportCompletePushDown` and then calls
+    * `pushAggregation` with the SAME Aggregation instance; the manifest
+    * reduction runs once and the second call reuses it (reference-keyed —
+    * a different instance just recomputes, still correct). */
+  private var aggMemo: (AnyRef, Option[(StructType, InternalRow)]) = null
+  private def computeAggMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    val m = aggMemo
+    if (m != null && (m._1 eq agg)) m._2
+    else { val r = computeAgg(agg); aggMemo = (agg, r); r }
+  }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    computeAgg(agg).isDefined
+    computeAggMemo(agg).isDefined
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggResult = computeAgg(agg)
+    aggResult = computeAggMemo(agg)
     aggResult.isDefined
   }
 
@@ -1546,7 +1935,10 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (!aggregatesAllowed || pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
       manifest.hasDeletes) return None
-    val files = manifest.files
+    // field-id-evolved tables serve min/max from stats re-keyed to current
+    // logical indices; a file whose layout lacks the column (dropped /
+    // born later) simply has no stat for it → declined, exact-or-nothing
+    val files = manifest.files.map(e => GraftStoreFormat.logicalStatsView(manifest, e))
 
     // column index for a single-part reference into the TABLE schema
     // (metadata columns like `_file` have no stats and fall out here)
@@ -1598,6 +1990,21 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
       case _: CountStar =>
         Some((StructField("count_star", LongType, nullable = false),
           java.lang.Long.valueOf(files.map(_.rows).sum): Any))
+      // count(col) = Σ (rows − nulls): exact iff EVERY file carries null
+      // counts (v10 writers). The logical view is dense, so a file that
+      // physically lacks the column scores rows − rows = 0 — precisely
+      // the null-extension semantics the real scan would produce.
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct =>
+        colIdx(c.column).flatMap { i =>
+          val per = files.map { e =>
+            if (e.rows == 0) Some(0L)
+            else e.nullCounts.map(nc => e.rows - nc.getOrElse(i, e.rows))
+          }
+          if (per.exists(_.isEmpty)) None
+          else Some((StructField(s"count_$i", LongType, nullable = false),
+            java.lang.Long.valueOf(per.flatten.sum): Any))
+        }
       case m: Min =>
         colIdx(m.column).flatMap(i => extreme(i, wantMin = true).map(v =>
           (StructField(s"min_$i", manifest.schema.fields(i).dataType), v)))
@@ -1670,6 +2077,9 @@ private[v2] class GraftStoreScan(protected val path: String,
     if (s == null) {
       s = manifest.files.filter { e =>
         lazy val abs = new Path(path, e.name).toString
+        // stats skip against the file's stats RE-KEYED to current logical
+        // indices (identity on never-evolved tables)
+        lazy val eL = GraftStoreFormat.logicalStatsView(manifest, e)
         (pushed ++ runtimeFilters).forall {
           // `_file` filters prune EXACTLY (runtime group filtering
           // collects matching files' paths); stats know nothing of them
@@ -1677,7 +2087,7 @@ private[v2] class GraftStoreScan(protected val path: String,
             vs.contains(abs)
           case org.apache.spark.sql.sources.EqualTo(GraftFileColumn.Name, v) =>
             v == abs
-          case f => mayMatch(e, f)
+          case f => mayMatch(eL, f)
         }
       }
       selectedCache = s
@@ -1826,7 +2236,14 @@ private[v2] class GraftStoreScan(protected val path: String,
       GraftStoreFormat.coveringDeletes(path, manifest, e.name),
       manifest.eqDeletes.filter(_.covers(e)).map(q =>
         GraftEqSlice(new Path(path, q.name).toString,
-          q.keyCols.map(manifest.schema.fieldIndex))))
+          q.keyCols.map(manifest.schema.fieldIndex))),
+      // field-id-evolved table: ship the file's physical layout (types in
+      // row order) and its physical→current-table index map
+      manifest.layoutIdsOf(e).map { lids =>
+        val fm = manifest.fieldMeta.get
+        val tmap = fm.typeOf
+        GraftColRemap(lids.map(tmap), lids.map(id => fm.ids.indexOf(id)))
+      })
 
   override def planInputPartitions(): Array[InputPartition] =
     keyedGroups match {
@@ -1884,8 +2301,19 @@ private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
   private def manifests = GraftStoreFormat.listManifests(path, conf.value)
 
   override def initialOffset(): Offset = GraftSnapshotOffset(-1L)
-  override def latestOffset(): Offset = GraftSnapshotOffset(
-    manifests.lastOption.map(GraftStoreFormat.manifestSeq).getOrElse(-1L))
+  /** Latest NON-STAGED snapshot: a pending write-audit-publish commit is
+    * not table history and must not advance the stream (its files emit
+    * once, at publish). Costs one small manifest read per poll only while
+    * a stage is actually pending. */
+  override def latestOffset(): Offset = {
+    val ms = manifests
+    var i = ms.length - 1
+    while (i >= 0 &&
+        GraftStoreFormat.readManifestFile(path, conf.value, ms(i)).wap.isDefined)
+      i -= 1
+    GraftSnapshotOffset(
+      if (i >= 0) GraftStoreFormat.manifestSeq(ms(i)) else -1L)
+  }
   override def deserializeOffset(json: String): Offset =
     GraftSnapshotOffset(json.toLong)
 
@@ -1912,6 +2340,7 @@ private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
       require(w <= full.length,
         s"graft-store: file ${f.name} was written under an evolved schema " +
           s"($w cols > pinned ${full.length}); restart the stream to adopt it")
+      GraftStoreFormat.requireOrdinalLayout(endM.get, f, "file")
       // append-mode semantics: the snapshot-tail stream emits added files
       // as-is and never retracts — position deletes (merge-on-read DML)
       // are NOT applied here, same contract as overwrites above
@@ -1990,7 +2419,12 @@ private[v2] object GraftCdc {
     for (p <- if (prevKnown) ms.drop(startIdx + 1) else ms) {
       val seq = GraftStoreFormat.manifestSeq(p)
       val m = GraftStoreFormat.readManifestFile(path, conf, p)
-      if (seq > fromSeq) {
+      // a STAGED (write-audit-publish) commit is not table history: its
+      // rows enter the feed once, at PUBLISH (whose diff vs the prior
+      // non-staged state lists them as adds) — skip it entirely, without
+      // updating the prev-state trackers
+      if (m.wap.isDefined) ()
+      else if (seq > fromSeq) {
         // expired-history guard, BOTH branches: a cdc-bearing commit is
         // self-contained only when the caller explicitly starts AT it
         // (fromSeq == seq-1 — e.g. a stream resuming from its checkpoint
@@ -2046,6 +2480,7 @@ private[v2] object GraftCdc {
                 require(w <= pinned.length,
                   s"graft-store: file ${e.name} was written under an evolved schema " +
                     s"($w cols > pinned ${pinned.length}); restart the feed")
+                GraftStoreFormat.requireOrdinalLayout(m, e, "file")
                 out += GraftCdcPartition(
                   new Path(path, e.name).toString, w, "insert", seq)
               }
@@ -2058,8 +2493,10 @@ private[v2] object GraftCdc {
               val newDels = m.deletes.filterNot(d => prevDels.contains(d.name))
                 .sortBy(_.name)
               if (newDels.nonEmpty) {
-                val widths = m.files
-                  .filter(e => newDels.exists(_.covers(e.name)))
+                val covered = m.files.filter(e => newDels.exists(_.covers(e.name)))
+                covered.foreach(e =>
+                  GraftStoreFormat.requireOrdinalLayout(m, e, "delete target"))
+                val widths = covered
                   .map(e => e.name -> e.ncols.getOrElse(m.schema.length)).toMap
                 require(widths.values.forall(_ <= pinned.length),
                   s"graft-store: snapshot $seq's delete targets were written " +
@@ -2073,10 +2510,12 @@ private[v2] object GraftCdc {
             }
         }
       }
-      prevFiles = m.files.map(_.name).toSet
-      prevDels = m.deletes.map(_.name).toSet
-      prevEq = m.eqDeletes.map(_.name).toSet
-      prevKnown = true
+      if (m.wap.isEmpty) {
+        prevFiles = m.files.map(_.name).toSet
+        prevDels = m.deletes.map(_.name).toSet
+        prevEq = m.eqDeletes.map(_.name).toSet
+        prevKnown = true
+      }
     }
     out.toArray
   }
@@ -2129,6 +2568,17 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
       } finally in.close()
       acc.toSeq.map { case (t, ps) => (t, ps.distinct.sorted.toArray) }
     }
+    // prune-skipping decode set: only columns the CDC projection names are
+    // decoded from the target files (the rest seek past — same discipline
+    // as the data reader)
+    val wanted: Array[Boolean] = {
+      val w = new Array[Boolean](table.length)
+      required.fieldNames.foreach {
+        case GraftCdc.TypeCol | GraftCdc.SnapCol | GraftFileColumn.Name => ()
+        case name => w(table.fieldIndex(name)) = true
+      }
+      w
+    }
     new PartitionReader[InternalRow] {
       private var remaining = byTarget
       private var in: DataInputStream = _
@@ -2161,7 +2611,7 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
             in.close(); in = null         // reading the rest of the target
             if (!openNext()) return false
           } else {
-            cur = GraftStoreFormat.readRow(in, fileSchema)
+            cur = GraftStoreFormat.readRowPruned(in, fileSchema, wanted)
             if (cur == null) {
               in.close(); in = null
               if (!openNext()) return false
@@ -2209,13 +2659,26 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
         if (i < dataWidth) (cur: Array[Any]) => cur(i)
         else (_: Array[Any]) => null
     }
+    // decode only what a getter reads: projected data columns, plus the
+    // trailing change_type field of change-store files
+    val wanted: Array[Boolean] = {
+      val w = new Array[Boolean](fileSchema.length)
+      required.fieldNames.foreach {
+        case GraftCdc.TypeCol => if (tag == null) w(dataWidth) = true
+        case GraftCdc.SnapCol | GraftFileColumn.Name => ()
+        case name =>
+          val i = table.fieldIndex(name)
+          if (i < dataWidth) w(i) = true
+      }
+      w
+    }
     new PartitionReader[InternalRow] {
       private val fs = new Path(file).getFileSystem(conf.value)
       private val in = new DataInputStream(
         new BufferedInputStream(fs.open(new Path(file)), 1 << 16))
       private var cur: Array[Any] = _
       override def next(): Boolean = {
-        cur = GraftStoreFormat.readRow(in, fileSchema)
+        cur = GraftStoreFormat.readRowPruned(in, fileSchema, wanted)
         cur != null
       }
       override def get(): InternalRow =
@@ -2469,7 +2932,7 @@ object GraftStoreOps {
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
-      val headM = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val headM = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(m)
       // a concurrent rewrite/overwrite that replaced any TARGET file makes
       // these positions meaningless — abort loudly (same contract as COW)
@@ -2607,14 +3070,15 @@ object GraftStoreOps {
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
-      val headM = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val headM = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(m)
       require(GraftStoreFormat.sameCols(headM.schema, m.schema),
         "graft-store: concurrent schema change during an equality-delete commit")
       val seq = GraftStoreFormat.nextSeq(head)
       val eqEntries = km.files.map(e => GraftEqDeleteEntry(e.name, e.rows, seq, keyCols))
-      val stamped = GraftStoreFormat.stampNew(headM.partitionSpecs, seq,
-        dm.map(_.files).getOrElse(Seq.empty))
+      val stamped = GraftStoreFormat.stampLayout(headM.fieldMeta, headM.schema, m.schema,
+        GraftStoreFormat.stampNew(headM.partitionSpecs, seq,
+          dm.map(_.files).getOrElse(Seq.empty)))
       done = GraftStoreFormat.commitManifest(path, conf,
         headM.copy(files = headM.files ++ stamped,
           eqDeletes = headM.eqDeletes ++ eqEntries, txn = None, cdc = None),
@@ -2781,7 +3245,10 @@ object GraftStoreOps {
     }
     val v1 = resolved.flatMap(toV1Filter)
     val affected = affectedOverride.getOrElse(
-      m.files.filter(e => v1.forall(GraftStoreFormat.mayMatch(m.schema, e, _))))
+      m.files.filter { e =>
+        val eL = GraftStoreFormat.logicalStatsView(m, e)
+        v1.forall(GraftStoreFormat.mayMatch(m.schema, eL, _))
+      })
     val affectedNames = affected.map(_.name).toSet
     if (affected.isEmpty && !forceWhenEmpty) return (0, m.files.size)
     // rewrite ONLY the affected files, into a scratch store under the table
@@ -2827,7 +3294,7 @@ object GraftStoreOps {
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
-      val headM = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val headM = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(m)
       // a concurrent OVERWRITE (or second rewrite) that removed any of the
       // planned files invalidates this rewrite wholesale: committing would
@@ -2868,7 +3335,9 @@ object GraftStoreOps {
         else sm.files.map(e => e.copy(ncols = e.ncols.orElse(Some(m.schema.length))))
       val seq = GraftStoreFormat.nextSeq(head)
       // evolved table: rewritten files were routed under the CURRENT spec
-      val rewritten = GraftStoreFormat.stampNew(headM.partitionSpecs, seq, rewritten0)
+      // (and, on field-id tables, written under the entry-time layout)
+      val rewritten = GraftStoreFormat.stampLayout(headM.fieldMeta, headM.schema,
+        m.schema, GraftStoreFormat.stampNew(headM.partitionSpecs, seq, rewritten0))
       // carry = head's files minus the rewritten originals (a concurrent
       // append's new files ride along untouched)
       val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
@@ -2885,7 +3354,7 @@ object GraftStoreOps {
           check = headM.check.orElse(m.check), cdc = cdcId,
           partitionSpecs = headM.partitionSpecs,
           deletes = liveDels, dml = headM.dml.orElse(m.dml),
-          eqDeletes = liveEq),
+          eqDeletes = liveEq, fieldMeta = headM.fieldMeta, refs = headM.refs),
         seq)
     }
     f.delete(new Path(scratch), true)
@@ -2987,7 +3456,7 @@ object GraftStoreOps {
     var firstRead = true
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
-      val m = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val m = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(throw new IllegalArgumentException(
           s"graft-store: no manifest at $path"))
       // fail FAST on a spec the table cannot satisfy — committing it would
@@ -3065,7 +3534,7 @@ object GraftStoreOps {
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
-      val headM = head.lastOption.map(GraftStoreFormat.readManifestFile(path, conf, _))
+      val headM = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(m)
       if (!oldNames.subsetOf(headM.files.map(_.name).toSet))
         throw new java.util.ConcurrentModificationException(
@@ -3090,12 +3559,14 @@ object GraftStoreOps {
       val liveDels = headM.deletes.filter(d => carried.exists(e => d.covers(e.name)))
       val liveEq = headM.eqDeletes.filter(q => carried.exists(q.covers))
       val seq = GraftStoreFormat.nextSeq(head)
-      val rewritten = GraftStoreFormat.stampNew(headM.partitionSpecs, seq, sm.files)
+      val rewritten = GraftStoreFormat.stampLayout(headM.fieldMeta, headM.schema,
+        m.schema, GraftStoreFormat.stampNew(headM.partitionSpecs, seq, sm.files))
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(headM.schema, carried ++ rewritten,
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
           check = headM.check, partitionSpecs = headM.partitionSpecs,
-          deletes = liveDels, dml = headM.dml, eqDeletes = liveEq),
+          deletes = liveDels, dml = headM.dml, eqDeletes = liveEq,
+          fieldMeta = headM.fieldMeta, refs = headM.refs),
         seq)
     }
     f.delete(new Path(scratch), true)
@@ -3163,6 +3634,113 @@ object GraftStoreOps {
     * loop re-reads the head but intentionally OVERRIDES it with the
     * restored listing (restore wins; that is the command's contract).
     * Returns the new head's snapshot index. */
+  /** TAG a retained snapshot with a name (Iceberg tags): a metadata-only
+    * commit adding `name -> seq` to the table's ref table. Tags resolve in
+    * SQL via `VERSION AS OF '<name>'` (through [[GraftCatalog]]) or the
+    * `ref` read option, and [[expireSnapshots]] RETAINS tagged snapshots
+    * regardless of keepLast — a tag is a retention pin, the curation
+    * workflow's "this exact training set" anchor. */
+  def tagSnapshot(spark: SparkSession, path: String, name: String,
+      snapshot: Int): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"graft-store: ref name '$name' must be non-numeric (numeric VERSION " +
+        "AS OF means a snapshot index)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seqOfTarget = {
+      val ms = GraftStoreFormat.listManifests(path, conf)
+      require(snapshot >= 0 && snapshot < ms.size,
+        s"graft-store: snapshot $snapshot outside [0, ${ms.size})")
+      GraftStoreFormat.manifestSeq(ms(snapshot))
+    }
+    var done = false
+    while (!done) {
+      val ms = GraftStoreFormat.listManifests(path, conf)
+      val head = GraftStoreFormat.readHead(path, conf, ms)
+        .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+      require(!head.refs.contains(name) || head.refs(name) == seqOfTarget,
+        s"graft-store: ref '$name' already points at seq ${head.refs(name)}; " +
+          "dropRef first to retag")
+      done = GraftStoreFormat.commitManifest(path, conf,
+        head.copy(refs = head.refs + (name -> seqOfTarget), txn = None, cdc = None),
+        GraftStoreFormat.nextSeq(ms))
+    }
+  }
+
+  /** Remove a named ref. The snapshot it pinned becomes expirable again. */
+  def dropRef(spark: SparkSession, path: String, name: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var done = false
+    while (!done) {
+      val ms = GraftStoreFormat.listManifests(path, conf)
+      val head = GraftStoreFormat.readHead(path, conf, ms)
+        .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+      if (!head.refs.contains(name)) return
+      done = GraftStoreFormat.commitManifest(path, conf,
+        head.copy(refs = head.refs - name, txn = None, cdc = None),
+        GraftStoreFormat.nextSeq(ms))
+    }
+  }
+
+  /** PUBLISH a staged write-audit-publish commit (Iceberg's WAP flow,
+    * cherry-pick semantics). The stage — `df.write...option("wapId", id)
+    * .mode("append")` — committed a REAL snapshot marked `#wap=<id>`,
+    * invisible to head resolution, streams, and feeds; its data files
+    * live in the table directory but no published snapshot lists them.
+    * Audit it via the explicit-snapshot read ([[stagedSnapshot]] returns
+    * the index). Publish is METADATA-ONLY: the staged files (diff vs the
+    * stage's parent head) join the CURRENT head in one OCC commit, with
+    * `addedSeq` restamped to the publish seq (the rows are new AS OF
+    * publication — equality-delete scoping follows). Zero data bytes
+    * move. Returns the number of files published.
+    *
+    * Schema changes between stage and publish fail loudly (the staged
+    * bytes were written under the stage-time schema); a second publish of
+    * the same id fails the already-listed guard. A never-published stage
+    * dies with [[expireSnapshots]] like any expired snapshot, its files
+    * collected as orphans. */
+  def publishWap(spark: SparkSession, path: String, wapId: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ms0 = GraftStoreFormat.listManifests(path, conf)
+    val stagedIdx = stagedSnapshot(spark, path, wapId).getOrElse(
+      throw new NoSuchElementException(
+        s"graft-store: no staged commit with wapId '$wapId'"))
+    val staged = GraftStoreFormat.readManifestFile(path, conf, ms0(stagedIdx))
+    // the stage merged exactly its parent head's files; the diff is the
+    // stage's own additions
+    val parent = GraftStoreFormat.readHead(path, conf, ms0.take(stagedIdx))
+    val parentNames = parent.map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+    val adds = staged.files.filterNot(e => parentNames.contains(e.name))
+    var done = false
+    while (!done) {
+      val ms = GraftStoreFormat.listManifests(path, conf)
+      val head = GraftStoreFormat.readHead(path, conf, ms)
+        .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+      require(GraftStoreFormat.sameCols(head.schema, staged.schema),
+        "graft-store: table schema changed between stage and publish; " +
+          "re-stage against the current schema")
+      val headNames = head.files.map(_.name).toSet
+      require(!adds.exists(e => headNames.contains(e.name)),
+        s"graft-store: wapId '$wapId' is already published")
+      val seq = GraftStoreFormat.nextSeq(ms)
+      done = GraftStoreFormat.commitManifest(path, conf,
+        head.copy(files = head.files ++ adds.map(_.copy(addedSeq = Some(seq))),
+          txn = None, cdc = None),
+        seq)
+    }
+    adds.size
+  }
+
+  /** Snapshot INDEX of the staged commit with the given wapId (for the
+    * audit read: `.option("snapshot", idx)`), or None. */
+  def stagedSnapshot(spark: SparkSession, path: String, wapId: String): Option[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    // staged commits are recent by construction — scan from the end
+    (ms.indices.reverse).find { i =>
+      GraftStoreFormat.readManifestFile(path, conf, ms(i)).wap.contains(wapId)
+    }
+  }
+
   def restoreSnapshot(spark: SparkSession, path: String, snapshot: Int): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     var ms = GraftStoreFormat.listManifests(path, conf)
@@ -3174,8 +3752,13 @@ object GraftStoreOps {
     while (!done) {
       ms = GraftStoreFormat.listManifests(path, conf)
       committedSeq = GraftStoreFormat.nextSeq(ms)
+      // refs are TABLE metadata (tags live outside history) — the restored
+      // state keeps the CURRENT ref table, and restoring a staged (wap)
+      // snapshot publishes it (the marker must not survive into the head)
+      val refs = GraftStoreFormat.readHead(path, conf, ms)
+        .map(_.refs).getOrElse(target.refs)
       done = GraftStoreFormat.commitManifest(path, conf,
-        target.copy(txn = None, cdc = None), committedSeq)
+        target.copy(txn = None, cdc = None, refs = refs, wap = None), committedSeq)
     }
     // index of the seq WE committed — re-listing the head here would race
     // a concurrent commit landing right after ours
@@ -3267,7 +3850,15 @@ object GraftStoreOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = GraftStoreFormat.fs(path, conf)
     val ms = GraftStoreFormat.listManifests(path, conf)
-    val (drop, keep) = ms.splitAt(math.max(0, ms.size - keepLast))
+    // TAGGED snapshots are retention pins: a ref in the head's ref table
+    // keeps its snapshot (and therefore its files) alive past keepLast —
+    // that is the point of tagging a training-set cut
+    val pinned: Set[Long] = GraftStoreFormat.readHead(path, conf, ms)
+      .map(_.refs.values.toSet).getOrElse(Set.empty)
+    val (drop0, keep0) = ms.splitAt(math.max(0, ms.size - keepLast))
+    val (keepPinned, drop) =
+      drop0.partition(p => pinned.contains(GraftStoreFormat.manifestSeq(p)))
+    val keep = keepPinned ++ keep0
     val keepM = keep.map(p => GraftStoreFormat.readManifestFile(path, conf, p))
     // position- and equality-delete files are `part-` named like data
     // files — a retained snapshot's delete entries are references too
@@ -3299,14 +3890,25 @@ object GraftStoreOps {
   * additive evolution). */
 private[v2] case class GraftEqSlice(store: String, keyIdxs: Seq[Int])
 
+/** Physical→logical column remap of one data file on a field-id-evolved
+  * table (RENAME/DROP COLUMN history): `physTypes` is the file's decode
+  * schema in the positional order its rows encode fields; `physToTable(p)`
+  * is the CURRENT table index serving physical position `p`, or -1 for a
+  * field the table since dropped (its bytes are seeked past, never
+  * decoded). Absent on never-evolved tables, where physical == a prefix
+  * of the table schema (`ncols`). */
+private[v2] case class GraftColRemap(physTypes: Seq[DataType], physToTable: Seq[Int])
+
 /** One data file to read: absolute path, physical column width (`ncols` =
   * how many leading table-schema columns it holds — additive schema
   * evolution; the reader decodes that prefix and null-extends the rest),
-  * the ABSOLUTE paths of the position-delete files covering it, and the
+  * the ABSOLUTE paths of the position-delete files covering it, the
   * equality-delete stores scoping it (merge-on-read; both empty on COW
-  * tables — zero overhead). */
+  * tables — zero overhead), and the field-id remap on rename/drop-evolved
+  * tables (overrides `ncols`). */
 private[v2] case class GraftFileSlice(file: String, ncols: Int,
-    deletes: Seq[String] = Nil, eqDeletes: Seq[GraftEqSlice] = Nil)
+    deletes: Seq[String] = Nil, eqDeletes: Seq[GraftEqSlice] = Nil,
+    remap: Option[GraftColRemap] = None)
 
 private[v2] case class GraftFilePartition(slice: GraftFileSlice) extends InputPartition
 
@@ -3332,11 +3934,23 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       case GraftPosColumn.Name => -2
       case n => full.fieldIndex(n)
     }
+    // prune-skipping decode: only projected columns are decoded; the rest
+    // are seeked past byte-wise. Residual filters are Spark's (every pushed
+    // filter is returned as residual, and Spark folds filter attributes
+    // into the required schema), so `required` is the complete decode set —
+    // EXCEPT equality-delete key columns, which the mask probe reads from
+    // the decoded row even when the projection dropped them (per-slice
+    // union below).
+    val baseWanted: Array[Boolean] = {
+      val w = new Array[Boolean](full.length)
+      keep.foreach(i => if (i >= 0) w(i) = true)
+      w
+    }
     new PartitionReader[InternalRow] {
       private var remaining = files
       private var in: DataInputStream = _
       private var fileSchema: StructType = _
-      private var fileWidth: Int = _
+      private var tableToPhys: Array[Int] = _
       private var cur: Array[Any] = _
       private var curFile: UTF8String = _
       // merge-on-read state: sorted deleted positions for the CURRENT file,
@@ -3347,6 +3961,7 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       private var delIdx = 0
       private var pos = -1L
       private var eqMasks: Seq[(Array[Int], java.util.HashSet[Seq[Any]])] = Nil
+      private var wanted: Array[Boolean] = baseWanted
       // an equality store is loaded ONCE per reader even when it scopes
       // every file of a keyed group (the common shape after an upsert)
       private val eqCache =
@@ -3356,17 +3971,48 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
           remaining = rest
           val fs = new Path(s.file).getFileSystem(conf.value)
           in = new DataInputStream(new BufferedInputStream(fs.open(new Path(s.file)), 1 << 16))
-          // a pre-evolution file decodes with its own (prefix) schema;
-          // columns it never held read as null below
-          fileWidth = s.ncols
-          fileSchema =
-            if (s.ncols >= full.length) full else StructType(full.fields.take(s.ncols))
+          // a file decodes with its own PHYSICAL schema: on never-evolved
+          // tables a prefix of the table schema (columns it never held
+          // read as null below); on field-id-evolved tables the remap's
+          // layout, with renamed columns re-pointed and dropped columns'
+          // positions mapped nowhere (seeked past, never decoded)
+          s.remap match {
+            case Some(r) =>
+              fileSchema = StructType(r.physTypes.zipWithIndex.map {
+                case (dt, p) => StructField(s"_c$p", dt)
+              }.toArray)
+              val t2p = Array.fill(full.length)(-1)
+              r.physToTable.zipWithIndex.foreach { case (t, p) => if (t >= 0) t2p(t) = p }
+              tableToPhys = t2p
+            case None =>
+              fileSchema =
+                if (s.ncols >= full.length) full
+                else StructType(full.fields.take(s.ncols))
+              tableToPhys =
+                Array.tabulate(full.length)(t => if (t < s.ncols) t else -1)
+          }
           curFile = UTF8String.fromString(s.file)
           deleted = loadDeletes(s)
           delIdx = 0
           pos = -1L
           eqMasks = s.eqDeletes.map(q =>
             (q.keyIdxs.toArray, eqCache.getOrElseUpdate(q.store, loadEqKeys(q))))
+          // decode set in PHYSICAL positions: projected table columns that
+          // this file physically holds, plus eq-mask key columns (the mask
+          // probe reads them even when the projection dropped them)
+          wanted = {
+            val w = new Array[Boolean](fileSchema.length)
+            var t = 0
+            while (t < full.length) {
+              val p = tableToPhys(t)
+              if (p >= 0 && baseWanted(t)) w(p) = true
+              t += 1
+            }
+            s.eqDeletes.foreach(_.keyIdxs.foreach { i =>
+              if (i < full.length && tableToPhys(i) >= 0) w(tableToPhys(i)) = true
+            })
+            w
+          }
           true
         case _ => false
       }
@@ -3393,7 +4039,10 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
         * structural equality, the Iceberg equality-delete contract). */
       private def eqMasked(): Boolean = eqMasks.nonEmpty && eqMasks.exists {
         case (idxs, set) =>
-          set.contains(idxs.map(i => if (i < fileWidth) cur(i) else null).toSeq)
+          set.contains(idxs.map { i =>
+            val p = if (i < tableToPhys.length) tableToPhys(i) else -1
+            if (p >= 0) cur(p) else null
+          }.toSeq)
       }
       /** Positions of this file's rows masked by its covering delete files:
         * each covering store is scanned once, rows keyed to OTHER targets
@@ -3423,7 +4072,7 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       override def next(): Boolean = {
         if (in == null && !openNext()) return false
         while (true) {
-          cur = GraftStoreFormat.readRow(in, fileSchema)
+          cur = GraftStoreFormat.readRowPruned(in, fileSchema, wanted)
           if (cur == null) {
             in.close(); in = null
             if (!openNext()) return false
@@ -3441,7 +4090,10 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
         InternalRow.fromSeq(keep.toSeq.map { i =>
           if (i == -1) curFile
           else if (i == -2) pos
-          else if (i < fileWidth) cur(i) else null
+          else {
+            val p = tableToPhys(i)
+            if (p >= 0) cur(p) else null
+          }
         })
       override def close(): Unit = if (in != null) in.close()
     }

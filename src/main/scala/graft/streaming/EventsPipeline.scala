@@ -25,17 +25,31 @@ case class SessionState(n: Int, start: Long, last: Long, total: Double)
 
 object EventsPipeline {
 
-  /** The events schema as `graft.Tables.events` exposes it (ts already
-    * converted from parquet nanos to TimestampType). */
+  /** The events schema as `graft.Tables.events` exposes it: ts normalized
+    * to TimestampType. The file-stream source needs an explicit schema, so
+    * the PHYSICAL ts type is probed from a one-off batch read of the same
+    * file (nanos-as-long legacy generations read BIGINT; `timestamp[us]`
+    * generations read TIMESTAMP_NTZ) and the matching conversion applied —
+    * mirroring [[graft.Tables.events]]. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    val physTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .fields.patch(1, Seq(org.apache.spark.sql.types.StructField("ts", physTs)), 0)))
       .format("parquet")
       // file-stream source wants a directory; glob-filter to the one table
       .option("pathGlobFilter", "events.parquet")
       .load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    physTs match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling event-time window aggregation with a watermark: counts and

@@ -64,15 +64,17 @@ class GraftStoreAggPushdownSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(0) === 3L && r.getLong(1) === 9L)
   }
 
-  test("GROUP BY declines; count(col) and distinct decline") {
+  test("GROUP BY declines; count(col) pushes via null counts; distinct declines") {
     val dir = tmpDir()
     sample.write.format("graft-store").mode("overwrite").save(dir)
     val t = spark.read.format("graft-store").load(dir)
     val grouped = t.groupBy("qty").agg(count(lit(1)).as("n"))
     assert(!pushedToManifest(grouped))
     assert(grouped.count() === 4L)
+    // count(col) is manifest-served since per-file null counts (v10) —
+    // GraftStoreNullStatsSpec covers the decline ladder for pre-v10 files
     val cnt = t.agg(count(col("name")).as("n"))
-    assert(!pushedToManifest(cnt))
+    assert(pushedToManifest(cnt))
     assert(cnt.collect()(0).getLong(0) === 4L)
     val dis = t.agg(countDistinct(col("qty")).as("n"))
     assert(!pushedToManifest(dis))
