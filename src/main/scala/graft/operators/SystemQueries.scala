@@ -2296,6 +2296,54 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 9000
            |GROUP BY 1""".stripMargin))
 
+  /** OPT-IN CDC RESOLUTION FOR EQUALITY DELETES (`resolveEqDeletes=true`):
+    * q166's zero-read upserts commit key-addressed deletes that the feed
+    * refuses to resolve silently (which rows died is unknowable without
+    * reading the covered files). The opt-in accepts exactly that cost:
+    * one partition per covered PRE-COMMIT file, prior masks applied,
+    * new-store keys probed — surviving matches emit as delete PRE-IMAGES
+    * (old values; the sum over deleted rows proves it), the batch's new
+    * versions as inserts. The streaming upsert-ingest pipeline becomes
+    * fully CDC-streamable; the loud-fail default is unchanged. */
+  val q172EqCdcResolve = QuerySpec(
+    "q172_eq_cdc_resolve", "S-dsv2-eq-cdc-resolve",
+    "equality-delete CDC resolution: upsert feeds as delete pre-images + inserts",
+    (s, d) => {
+      val path = "/tmp/graft_store_q172"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 5000)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft-store").option("dmlMode", "mor")
+        .mode("overwrite").save(path)
+      graft.sources.v2.GraftStoreOps.upsertMor(s, path,
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("o_totalprice"))
+          .filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 6000),
+        Seq("o_orderkey"))
+      s.read.format("graft-store")
+        .option("readChangeFeed", "true").option("startSnapshot", "0")
+        .option("resolveEqDeletes", "true")
+        .load(path)
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+    },
+    Some("""SELECT 'insert' AS change_type,
+           |  CAST((SELECT count(*) FROM orders WHERE o_orderkey < 5000)
+           |     + (SELECT count(*) FROM orders
+           |        WHERE o_orderkey >= 4000 AND o_orderkey < 6000) AS BIGINT) AS n,
+           |  round((SELECT sum(o_totalprice) FROM orders WHERE o_orderkey < 5000)
+           |      + (SELECT sum(o_totalprice + 1000) FROM orders
+           |         WHERE o_orderkey >= 4000 AND o_orderkey < 6000), 2) AS sum_price
+           |UNION ALL
+           |SELECT 'delete' AS change_type,
+           |  CAST((SELECT count(*) FROM orders
+           |        WHERE o_orderkey >= 4000 AND o_orderkey < 5000) AS BIGINT) AS n,
+           |  round((SELECT sum(o_totalprice) FROM orders
+           |         WHERE o_orderkey >= 4000 AND o_orderkey < 5000), 2) AS sum_price
+           |""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2309,5 +2357,5 @@ object SystemQueries {
     q159StoreFileLineage, q160SqlAlter, q161MorDelete, q162MorCdc,
     q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge, q166MorUpsert,
     q167StreamForget, q168AggPushdown, q169FieldIdEvolution, q170NullStats,
-    q171TagsWap)
+    q171TagsWap, q172EqCdcResolve)
 }

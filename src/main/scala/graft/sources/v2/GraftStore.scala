@@ -2397,7 +2397,8 @@ private[v2] object GraftCdc {
     * is the table schema at stream/scan start: files written under a
     * WIDER (evolved) schema fail loudly, narrower ones null-extend. */
   def planPartitions(path: String, conf: Configuration, pinned: StructType,
-      fromSeq: Long, toSeq: Long, skipChangeCommits: Boolean): Array[InputPartition] = {
+      fromSeq: Long, toSeq: Long, skipChangeCommits: Boolean,
+      resolveEqDeletes: Boolean = false): Array[InputPartition] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val ms = GraftStoreFormat.listManifests(path, conf)
       .filter(p => GraftStoreFormat.manifestSeq(p) <= toSeq)
@@ -2410,11 +2411,15 @@ private[v2] object GraftCdc {
     var prevFiles: Set[String] = Set.empty
     var prevDels: Set[String] = Set.empty
     var prevEq: Set[String] = Set.empty
+    // the previous manifest in FULL — what resolveEqDeletes probes (it
+    // needs the pre-commit file entries and masks, not just names)
+    var prevM: Option[GraftManifest] = None
     if (prevKnown) {
       val pm = GraftStoreFormat.readManifestFile(path, conf, ms(startIdx))
       prevFiles = pm.files.map(_.name).toSet
       prevDels = pm.deletes.map(_.name).toSet
       prevEq = pm.eqDeletes.map(_.name).toSet
+      prevM = Some(pm)
     }
     for (p <- if (prevKnown) ms.drop(startIdx + 1) else ms) {
       val seq = GraftStoreFormat.manifestSeq(p)
@@ -2465,16 +2470,51 @@ private[v2] object GraftCdc {
             // EQUALITY-delete commits (upsert/delete-by-key) are key-
             // addressed: which rows died is unknowable without probing
             // every scoped file — a table-sized read the feed must not
-            // silently pay. Loud by design; changesBetween still diffs.
+            // SILENTLY pay. Loud by default; `resolveEqDeletes=true` opts
+            // into the probe: one partition per covered PRE-COMMIT file,
+            // each applying the file's PRIOR masks and key-probing the
+            // commit's new stores, emitting matching (still-live) rows as
+            // delete pre-images. Cost = the covered-file bytes, accepted
+            // explicitly. Makes the zero-read upsert path fully
+            // CDC-streamable (delete pre-images + added-file inserts).
             val newEq = m.eqDeletes.map(_.name).toSet.diff(prevEq)
-            if (newEq.nonEmpty && !skipChangeCommits)
+            if (newEq.nonEmpty && !skipChangeCommits && !resolveEqDeletes)
               throw new IllegalStateException(
                 s"graft-store: snapshot $seq committed equality deletes; " +
                   "row-level changes are key-addressed and cannot be " +
-                  "reconstructed without scanning the table — set " +
+                  "reconstructed without scanning the covered files — set " +
+                  "resolveEqDeletes=true to accept that read, " +
                   "skipChangeCommits=true to ignore such commits, or use " +
                   "changesBetween for a net snapshot diff")
-            if (removed.isEmpty && newEq.isEmpty) {
+            if (removed.isEmpty && newEq.nonEmpty && resolveEqDeletes) {
+              val pm = prevM.getOrElse(throw new IllegalStateException(
+                s"graft-store: snapshot $seq's predecessor expired; equality " +
+                  "deletes cannot be resolved without the pre-commit state"))
+              val newEqEntries = m.eqDeletes.filter(q => newEq.contains(q.name))
+              val keyStores = newEqEntries.map(q =>
+                (new Path(path, q.name).toString,
+                  q.keyCols.map(pinned.fieldNames.indexOf(_))))
+              require(keyStores.forall(_._2.forall(_ >= 0)),
+                s"graft-store: snapshot $seq's equality-delete key columns are " +
+                  s"not all in the pinned schema; restart the feed")
+              val covered = pm.files.filter(e => newEqEntries.exists(_.covers(e)))
+              covered.foreach { e =>
+                GraftStoreFormat.requireOrdinalLayout(pm, e, "equality-delete target")
+                val w = e.ncols.getOrElse(pm.schema.length)
+                require(w <= pinned.length,
+                  s"graft-store: equality-delete target ${e.name} was written " +
+                    s"under an evolved schema ($w cols > pinned " +
+                    s"${pinned.length}); restart the feed")
+                out += GraftCdcEqRefPartition(
+                  new Path(path, e.name).toString, w, keyStores,
+                  GraftStoreFormat.coveringDeletes(path, pm, e.name),
+                  pm.eqDeletes.filter(_.covers(e)).map(q =>
+                    (new Path(path, q.name).toString,
+                      q.keyCols.map(pinned.fieldNames.indexOf(_)))),
+                  seq)
+              }
+            }
+            if (removed.isEmpty && (newEq.isEmpty || resolveEqDeletes)) {
               added.foreach { e =>
                 val w = e.ncols.getOrElse(m.schema.length)
                 require(w <= pinned.length,
@@ -2514,6 +2554,7 @@ private[v2] object GraftCdc {
         prevFiles = m.files.map(_.name).toSet
         prevDels = m.deletes.map(_.name).toSet
         prevEq = m.eqDeletes.map(_.name).toSet
+        prevM = Some(m)
         prevKnown = true
       }
     }
@@ -2538,11 +2579,24 @@ private[v2] case class GraftCdcPartition(file: String, ncols: Int, tag: String,
 private[v2] case class GraftCdcRefPartition(delFile: String, dir: String,
     widths: Map[String, Int], seq: Long) extends InputPartition
 
+/** An EQUALITY-REF CDC read unit (opt-in `resolveEqDeletes=true`): one
+  * covered PRE-COMMIT target file, key-probed against the commit's NEW
+  * equality-delete stores. The target's PRIOR masks — position deletes
+  * and OLDER equality stores from the pre-commit snapshot — are applied
+  * first, so a row that was already dead never re-emits; surviving rows
+  * whose key tuple appears in a new store emit as `change_type = "delete"`
+  * pre-images. Valid while the commit is retained (targets stay LISTED
+  * under merge-on-read, only masked). */
+private[v2] case class GraftCdcEqRefPartition(target: String, width: Int,
+    keyStores: Seq[(String, Seq[Int])], priorDeletes: Seq[String],
+    priorEq: Seq[(String, Seq[Int])], seq: Long) extends InputPartition
+
 private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GraftCdcRefPartition => refReader(p)
+      case p: GraftCdcEqRefPartition => eqRefReader(p)
       case p: GraftCdcPartition => fileReader(p)
     }
 
@@ -2637,6 +2691,99 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
     }
   }
 
+  /** Opt-in equality-delete resolution: scan ONE covered pre-commit file,
+    * apply its prior masks, key-probe the commit's new stores, emit
+    * surviving matches as delete pre-images (see
+    * [[GraftCdcEqRefPartition]]). */
+  private def eqRefReader(p: GraftCdcEqRefPartition): PartitionReader[InternalRow] = {
+    val GraftCdcEqRefPartition(target, width, keyStores, priorDeletes, priorEq, seq) = p
+    val fileSchema =
+      if (width >= table.length) table else StructType(table.fields.take(width))
+    // decode set: projected columns plus every key column any store probes
+    val wanted: Array[Boolean] = {
+      val w = new Array[Boolean](fileSchema.length)
+      required.fieldNames.foreach {
+        case GraftCdc.TypeCol | GraftCdc.SnapCol | GraftFileColumn.Name => ()
+        case name =>
+          val i = table.fieldIndex(name)
+          if (i < fileSchema.length) w(i) = true
+      }
+      (keyStores ++ priorEq).foreach(_._2.foreach(i =>
+        if (i < fileSchema.length) w(i) = true))
+      w
+    }
+    def loadKeys(store: String, keyIdxs: Seq[Int]): java.util.HashSet[Seq[Any]] = {
+      val keySchema = StructType(keyIdxs.map(table.fields).toArray)
+      val set = new java.util.HashSet[Seq[Any]]()
+      val fs = new Path(store).getFileSystem(conf.value)
+      val din = new DataInputStream(
+        new BufferedInputStream(fs.open(new Path(store)), 1 << 16))
+      try {
+        var r = GraftStoreFormat.readRow(din, keySchema)
+        while (r != null) { set.add(r.toSeq); r = GraftStoreFormat.readRow(din, keySchema) }
+      } finally din.close()
+      set
+    }
+    new PartitionReader[InternalRow] {
+      private val abs = new Path(target)
+      private val fs = abs.getFileSystem(conf.value)
+      private val in = new DataInputStream(
+        new BufferedInputStream(fs.open(abs), 1 << 16))
+      private val curFile = UTF8String.fromString(target)
+      private val newMasks = keyStores.map { case (s, ks) => (ks.toArray, loadKeys(s, ks)) }
+      private val oldMasks = priorEq.map { case (s, ks) => (ks.toArray, loadKeys(s, ks)) }
+      private val deleted: Array[Long] = {
+        val myName = UTF8String.fromString(
+          target.substring(target.lastIndexOf('/') + 1))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        priorDeletes.foreach { d =>
+          val dfs = new Path(d).getFileSystem(conf.value)
+          val din = new DataInputStream(
+            new BufferedInputStream(dfs.open(new Path(d)), 1 << 16))
+          try {
+            var r = GraftStoreFormat.readRow(din, GraftStoreFormat.DeleteSchema)
+            while (r != null) {
+              if (r(0).asInstanceOf[UTF8String] == myName)
+                buf += r(1).asInstanceOf[Long]
+              r = GraftStoreFormat.readRow(din, GraftStoreFormat.DeleteSchema)
+            }
+          } finally din.close()
+        }
+        buf.distinct.sorted.toArray
+      }
+      private var delIdx = 0
+      private var pos = -1L
+      private var cur: Array[Any] = _
+      private def keyOf(idxs: Array[Int]): Seq[Any] =
+        idxs.map(i => if (i < fileSchema.length) cur(i) else null).toSeq
+      override def next(): Boolean = {
+        while (true) {
+          cur = GraftStoreFormat.readRowPruned(in, fileSchema, wanted)
+          if (cur == null) return false
+          pos += 1
+          // prior position mask, then prior equality masks: rows already
+          // dead before this commit never re-emit
+          if (delIdx < deleted.length && deleted(delIdx) == pos) delIdx += 1
+          else if (!oldMasks.exists { case (ks, set) => set.contains(keyOf(ks)) } &&
+            newMasks.exists { case (ks, set) => set.contains(keyOf(ks)) })
+            return true
+        }
+        false // unreachable
+      }
+      private val tag = UTF8String.fromString("delete")
+      override def get(): InternalRow =
+        InternalRow.fromSeq(required.fieldNames.toSeq.map {
+          case GraftCdc.TypeCol => tag
+          case GraftCdc.SnapCol => seq
+          case GraftFileColumn.Name => curFile
+          case name =>
+            val i = table.fieldIndex(name)
+            if (i < fileSchema.length) cur(i) else null
+        })
+      override def close(): Unit = in.close()
+    }
+  }
+
   private def fileReader(partition: GraftCdcPartition): PartitionReader[InternalRow] = {
     val GraftCdcPartition(file, ncols, tag, seq) = partition
     // physical decode schema: the table-prefix the file holds, plus the
@@ -2709,6 +2856,8 @@ private[v2] class GraftStoreCdcScan(path: String, table: StructType,
     options: CaseInsensitiveStringMap) extends Scan with Batch {
   private def skipChangeCommits: Boolean =
     Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+  private def resolveEqDeletes: Boolean =
+    Option(options.get("resolveEqDeletes")).exists(_.toBoolean)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft-store-cdc $path"
@@ -2727,14 +2876,16 @@ private[v2] class GraftStoreCdcScan(path: String, table: StructType,
       }
     GraftCdc.planPartitions(path, conf.value, table,
       at("startSnapshot", -1L, inclusiveFrom = true),
-      at("endSnapshot", seqs.last, inclusiveFrom = false), skipChangeCommits)
+      at("endSnapshot", seqs.last, inclusiveFrom = false), skipChangeCommits,
+      resolveEqDeletes)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCdcReaderFactory(table, required, conf)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftStoreCdcMicroBatchStream(path, table, required, conf, skipChangeCommits)
+    new GraftStoreCdcMicroBatchStream(path, table, required, conf, skipChangeCommits,
+      resolveEqDeletes)
 }
 
 /** The CDC STREAM: offsets are snapshot seqs (exactly like the plain
@@ -2743,7 +2894,8 @@ private[v2] class GraftStoreCdcScan(path: String, table: StructType,
   * Restarting from a checkpoint replays nothing: manifests and change
   * stores are immutable, so batch (s, e] always plans the same files. */
 private[v2] class GraftStoreCdcMicroBatchStream(path: String, table: StructType,
-    required: StructType, conf: SerializableHadoopConf, skipChangeCommits: Boolean)
+    required: StructType, conf: SerializableHadoopConf, skipChangeCommits: Boolean,
+    resolveEqDeletes: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -2758,7 +2910,8 @@ private[v2] class GraftStoreCdcMicroBatchStream(path: String, table: StructType,
     val s = start.asInstanceOf[GraftSnapshotOffset].seq
     val e = end.asInstanceOf[GraftSnapshotOffset].seq
     if (e <= s) Array.empty
-    else GraftCdc.planPartitions(path, conf.value, table, s, e, skipChangeCommits)
+    else GraftCdc.planPartitions(path, conf.value, table, s, e, skipChangeCommits,
+      resolveEqDeletes)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftCdcReaderFactory(table, required, conf)
