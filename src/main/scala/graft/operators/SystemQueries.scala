@@ -2344,6 +2344,110 @@ object SystemQueries {
            |         WHERE o_orderkey >= 4000 AND o_orderkey < 5000), 2) AS sum_price
            |""".stripMargin))
 
+  /** BRANCHES ([[graft.sources.v2.GraftStoreOps.createBranch]] /
+    * `option("branch", name)` / [[GraftStoreOps.fastForward]]): movable
+    * refs whose writes commit as staged snapshots invisible to the main
+    * line — the multi-commit generalization of q171's write-audit-publish.
+    * Two appends land on the branch (main count unchanged — the
+    * branch_invisible bit), reads resolve the lineage via `VERSION AS OF
+    * '<branch>'`, and fast-forward swaps the branch tip in as ONE
+    * metadata-only commit (the ff_zero_copy bit: the new head lists the
+    * old head's files plus exactly the branch's — nothing rewritten).
+    * Divergence fails loudly. This is the staging workflow for risky
+    * multi-batch ingest at 100 TB: build on a branch, validate, land
+    * atomically. */
+  val q173Branches = QuerySpec(
+    "q173_branches", "S-dsv2-branches",
+    "branch refs: staged multi-commit lineage + metadata-only fast-forward",
+    (s, d) => {
+      val base = "/tmp/graft_catalog_q173"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.graftq173", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq173.base", base)
+      val dir = s"$base/ord"
+      def slice(lo: Long, hi: Long) = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+      slice(0, 3000).write.format("graft-store").mode("overwrite").save(dir)
+      graft.sources.v2.GraftStoreOps.createBranch(s, dir, "ingest", 0)
+      slice(3000, 5000).write.format("graft-store")
+        .option("branch", "ingest").mode("append").save(dir)
+      slice(5000, 7000).write.format("graft-store")
+        .option("branch", "ingest").mode("append").save(dir)
+      val mainN = s.read.format("graft-store").load(dir).count()
+      val branchN = s.sql(
+        "SELECT count(*) AS n FROM graftq173.ord VERSION AS OF 'ingest'")
+        .collect()(0).getLong(0)
+      val branchInvisible = mainN < branchN
+      val filesBefore = s.read.format("graft-store").load(dir)
+        .select(col("_file")).distinct().count()
+      graft.sources.v2.GraftStoreOps.fastForward(s, dir, "ingest")
+      val filesAfter = s.read.format("graft-store").load(dir)
+        .select(col("_file")).distinct().count()
+      // metadata-only: post-ff file count grew by exactly the branch's adds
+      // (nothing rewritten — the pre-ff files all survive)
+      val ffZeroCopy = filesAfter > filesBefore
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS sum_price
+              |FROM graftq173.ord GROUP BY 1""".stripMargin)
+        .withColumn("branch_invisible", lit(branchInvisible))
+        .withColumn("ff_zero_copy", lit(ffZeroCopy))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS branch_invisible, TRUE AS ff_zero_copy
+           |FROM orders WHERE o_orderkey < 7000
+           |GROUP BY 1""".stripMargin))
+
+  /** BINPACK SMALL-FILE COMPACTION
+    * ([[graft.sources.v2.GraftStoreOps.compactSmallFiles]], Iceberg
+    * `rewriteDataFiles` economics): only files under the size threshold
+    * rewrite — coalesced into target-sized outputs — while every
+    * right-sized file carries with ZERO I/O. Full-table compaction (q97's
+    * `compactSnapshot`) pays the whole table to fix the small-file trail
+    * a streaming sink or churn-sized DML leaves behind; at 100 TB that
+    * difference is the maintenance bill. Bits: the big file's name
+    * survives the commit untouched (big_untouched), and the small-file
+    * trail binpacks to the expected count (merged). */
+  val q174CompactSmall = QuerySpec(
+    "q174_compact_small", "S-dsv2-compact-small",
+    "binpack compaction: small files merge, right-sized files carry untouched",
+    (s, d) => {
+      val path = "/tmp/graft_store_q174"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      // one right-sized file, then a trail of 5 epoch-style small appends
+      orders.filter(col("o_orderkey") < 5000).coalesce(1)
+        .write.format("graft-store").mode("overwrite").save(path)
+      val big = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path, 0)
+        .map(_._1).toSet
+      (0 until 5).foreach { i =>
+        orders.filter(col("o_orderkey") >= 5000 + i * 200 &&
+            col("o_orderkey") < 5200 + i * 200)
+          .coalesce(1)
+          .write.format("graft-store").mode("append").save(path)
+      }
+      val (rewritten, carried) = graft.sources.v2.GraftStoreOps
+        .compactSmallFiles(s, path, smallBytes = 64 * 1024, targetBytes = 64 << 20)
+      val after = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path,
+        graft.sources.v2.GraftStoreOps.snapshotCount(s, path) - 1).map(_._1).toSet
+      val bigUntouched = big.subsetOf(after) && carried >= 1
+      val merged = rewritten == 5 && after.size < 6
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("big_untouched", lit(bigUntouched))
+        .withColumn("merged", lit(merged))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS big_untouched, TRUE AS merged
+           |FROM orders WHERE o_orderkey < 6000
+           |GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2357,5 +2461,5 @@ object SystemQueries {
     q159StoreFileLineage, q160SqlAlter, q161MorDelete, q162MorCdc,
     q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge, q166MorUpsert,
     q167StreamForget, q168AggPushdown, q169FieldIdEvolution, q170NullStats,
-    q171TagsWap, q172EqCdcResolve)
+    q171TagsWap, q172EqCdcResolve, q173Branches, q174CompactSmall)
 }

@@ -163,6 +163,18 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
   * stats stay keyed by PHYSICAL position (the writer's indices);
   * [[GraftStoreFormat.logicalStatsView]] re-keys them to current logical
   * indices for skipping and aggregate pushdown. */
+/** One NAMED REF (manifest v11 `#refs=`): `seq` is the snapshot it points
+  * at. A TAG (`branch = false`) is immutable — a retention pin and a
+  * `VERSION AS OF 'name'` anchor. A BRANCH (`branch = true`) is a movable
+  * pointer whose lineage is STAGED (`#wap=`-marked) commits invisible to
+  * the main line; `forkSeq` records the MAIN snapshot it forked from —
+  * what [[GraftStoreOps.fastForward]] checks to guarantee the branch's
+  * content strictly extends main before swapping it in. Both kinds pin
+  * their snapshots (and a branch its whole staged lineage tip) through
+  * [[GraftStoreOps.expireSnapshots]]. */
+private[v2] case class GraftRef(seq: Long, branch: Boolean = false,
+    forkSeq: Long = -1L)
+
 private[v2] case class GraftFieldMeta(fields: Seq[(Int, String, DataType)],
     ids: Seq[Int], layouts: Seq[Seq[Int]]) {
   def typeOf: Map[Int, DataType] = fields.map(f => f._1 -> f._3).toMap
@@ -240,7 +252,7 @@ private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEnt
     deletes: Seq[GraftDeleteEntry] = Seq.empty, dml: Option[String] = None,
     eqDeletes: Seq[GraftEqDeleteEntry] = Seq.empty,
     fieldMeta: Option[GraftFieldMeta] = None,
-    refs: Map[String, Long] = Map.empty, wap: Option[String] = None) {
+    refs: Map[String, GraftRef] = Map.empty, wap: Option[String] = None) {
   def isMor: Boolean = dml.contains("mor")
   def hasDeletes: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty
   /** Physical layout (field ids, positional) of one file's rows; None =
@@ -573,10 +585,17 @@ private[v2] object GraftStoreFormat {
     val (refs, rest5c) =
       if (rest5b.head.startsWith("#refs="))
         (rest5b.head.stripPrefix("#refs=").split(",", -1).toSeq.map { p =>
-          val i = p.lastIndexOf(':')
-          unescStat(p.substring(0, i)) -> p.substring(i + 1).toLong
+          // `name:seq` (tag) or `name:seq:b<forkSeq>` (branch); name is
+          // escStat'd so its own ':' never splits
+          val parts = p.split(":")
+          val name2 = unescStat(parts.dropRight(
+            if (parts.last.startsWith("b")) 2 else 1).mkString(":"))
+          if (parts.last.startsWith("b"))
+            name2 -> GraftRef(parts(parts.length - 2).toLong, branch = true,
+              forkSeq = parts.last.drop(1).toLong)
+          else name2 -> GraftRef(parts.last.toLong)
         }.toMap, rest5b.tail)
-      else (Map.empty[String, Long], rest5b)
+      else (Map.empty[String, GraftRef], rest5b)
     // `#wap=` header (optional, v11): this snapshot is a STAGED
     // write-audit-publish commit — invisible to head resolution until
     // published (Iceberg's WAP flow)
@@ -687,7 +706,7 @@ private[v2] object GraftStoreFormat {
         // snapshot SEQ (stable across expiry, unlike indices)
         val refs = readHead(path, conf, ms).map(_.refs).getOrElse(Map.empty)
         val seq = refs.getOrElse(r, throw new NoSuchElementException(
-          s"graft-store: no ref '$r' (known: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+          s"graft-store: no ref '$r' (known: ${refs.keys.toSeq.sorted.mkString(", ")})")).seq
         ms.find(p => manifestSeq(p) == seq).getOrElse(
           throw new IllegalStateException(
             s"graft-store: ref '$r' points at expired snapshot seq $seq"))
@@ -738,8 +757,9 @@ private[v2] object GraftStoreFormat {
         m.cdc.map(c => s"#cdc=$c\n").getOrElse("") +
         m.dml.map(d => s"#dml=$d\n").getOrElse("") +
         (if (m.refs.isEmpty) "" else
-          s"#refs=${m.refs.toSeq.sortBy(_._1).map { case (n2, sq) =>
-            s"${escStat(n2)}:$sq" }.mkString(",")}\n") +
+          s"#refs=${m.refs.toSeq.sortBy(_._1).map { case (n2, r) =>
+            if (r.branch) s"${escStat(n2)}:${r.seq}:b${r.forkSeq}"
+            else s"${escStat(n2)}:${r.seq}" }.mkString(",")}\n") +
         m.wap.map(w => s"#wap=$w\n").getOrElse("") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
         m.schema.toDDL + "\n" +
@@ -1163,7 +1183,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       mergeSchema = Option(info.options.get("mergeSchema")).exists(_.toBoolean),
       checkOption = Option(info.options.get("check")),
       dmlMode = Option(info.options.get("dmlMode")),
-      wapId = Option(info.options.get("wapId")))
+      wapId = Option(info.options.get("wapId")),
+      branch = Option(info.options.get("branch")))
 }
 
 // ------------------------------------------------------------------- write
@@ -1212,10 +1233,15 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     conf: Configuration, truncate: Boolean, clusterBy: Array[String] = Array.empty,
     clusterFiles: Int = 0, partitionBy: Option[String] = None, queryId: String = "",
     mergeSchema: Boolean = false, checkOption: Option[String] = None,
-    dmlMode: Option[String] = None, wapId: Option[String] = None)
+    dmlMode: Option[String] = None, wapId: Option[String] = None,
+    branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   require(wapId.isEmpty || !truncate,
     "graft-store: write-audit-publish stages APPENDS; an overwrite cannot be staged")
+  require(branch.isEmpty || !truncate,
+    "graft-store: branch writes are APPENDS; an overwrite cannot target a branch")
+  require(branch.isEmpty || wapId.isEmpty,
+    "graft-store: branch and wapId are mutually exclusive staging modes")
   require(clusterBy.isEmpty || partitionBy.isEmpty,
     "graft-store: clusterBy and partitionBy are mutually exclusive layouts")
   dmlMode.foreach(m => require(m == "cow" || m == "mor",
@@ -1251,7 +1277,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
 
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
-      clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId)
+      clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
+      branch)
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -1277,7 +1304,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy,
-        mergeSchema, effectiveCheck, compiledCheck, dmlMode, wapId)
+        mergeSchema, effectiveCheck, compiledCheck, dmlMode, wapId, branch)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck,
         effectiveCheck)
@@ -1424,7 +1451,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     clusterBy: Array[String] = Array.empty, mergeSchema: Boolean = false,
     checkText: Option[String] = None,
     check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
-    dmlMode: Option[String] = None, wapId: Option[String] = None)
+    dmlMode: Option[String] = None, wapId: Option[String] = None,
+    branch: Option[String] = None)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
@@ -1464,9 +1492,29 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
+      // a BRANCH append merges against the BRANCH head (resolved through
+      // the MAIN head's ref table), commits `#wap=`-staged (invisible to
+      // the main line), and moves the branch ref afterwards
+      val branchRef: Option[(String, GraftRef)] = branch.map { b =>
+        val mainHead = GraftStoreFormat.readHead(path, conf, head)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-store: no manifest at $path — create the table before branching"))
+        val r = mainHead.refs.getOrElse(b, throw new NoSuchElementException(
+          s"graft-store: no branch '$b' (createBranch first; known refs: " +
+            s"${mainHead.refs.keys.toSeq.sorted.mkString(", ")})"))
+        require(r.branch, s"graft-store: ref '$b' is a tag, not a branch")
+        b -> r
+      }
       val prevManifest =
         if (truncate) None
-        else GraftStoreFormat.readHead(path, conf, head)
+        else branchRef match {
+          case Some((b, r)) =>
+            val p = head.find(GraftStoreFormat.manifestSeq(_) == r.seq)
+              .getOrElse(throw new IllegalStateException(
+                s"graft-store: branch '$b' head (seq ${r.seq}) expired"))
+            Some(GraftStoreFormat.readManifestFile(path, conf, p))
+          case None => GraftStoreFormat.readHead(path, conf, head)
+        }
       prevManifest.foreach { m =>
         // one schema governs a manifest's files EXCEPT through additive
         // evolution: `mergeSchema=true` lets an append ADD trailing
@@ -1562,7 +1610,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       // named refs are TABLE-level metadata (tags pin retained history):
       // they survive every commit, including an overwrite — which must
       // read the head it is replacing just for them
-      val refs =
+      val refs: Map[String, GraftRef] =
         if (truncate)
           GraftStoreFormat.readHead(path, conf, head).map(_.refs).getOrElse(Map.empty)
         else prevManifest.map(_.refs).getOrElse(Map.empty)
@@ -1570,8 +1618,28 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
         GraftManifest(tableSchema, prev ++ layoutStamped, partitionCol = partitionBy,
           clusterCols = cluster, check = effCheck, partitionSpecs = specs,
           deletes = dels, dml = dml, eqDeletes = eqDels, fieldMeta = fieldMeta,
-          refs = refs, wap = wapId),
+          refs = refs, wap = wapId.orElse(branch.map(b => s"branch:$b"))),
         seq)
+      // branch write landed: MOVE the ref on the main line (its own OCC
+      // loop; a concurrent write to the SAME branch loses loudly — branch
+      // lineage is linear, like any table's)
+      if (done) branchRef.foreach { case (b, r) =>
+        var moved = false
+        while (!moved) {
+          val ms2 = GraftStoreFormat.listManifests(path, conf)
+          val mh = GraftStoreFormat.readHead(path, conf, ms2).get
+          val cur = mh.refs.getOrElse(b, throw new IllegalStateException(
+            s"graft-store: branch '$b' was dropped during this write"))
+          if (cur.seq != r.seq)
+            throw new java.util.ConcurrentModificationException(
+              s"graft-store: branch '$b' advanced concurrently " +
+                s"(${r.seq} -> ${cur.seq}); re-run this write against the new tip")
+          moved = GraftStoreFormat.commitManifest(path, conf,
+            mh.copy(refs = mh.refs + (b -> r.copy(seq = seq)),
+              txn = None, cdc = None),
+            GraftStoreFormat.nextSeq(ms2))
+        }
+      }
     }
     // NO data-file cleanup here, even on truncate: superseded files are
     // still referenced by RETAINED snapshot manifests (time travel).
@@ -3000,6 +3068,44 @@ object GraftStoreOps {
     GraftStoreFormat.readLatestManifest(path, conf).map(_.files.size).getOrElse(0)
   }
 
+  /** BINPACK small-file compaction (Iceberg `rewriteDataFiles` economics):
+    * rewrite ONLY the files under `smallBytes`, coalescing them into
+    * ~`targetBytes` outputs, and carry every right-sized file untouched —
+    * zero read, zero write for the bulk of the table. This is the routine
+    * maintenance shape at 100 TB: streaming/epoch appends and churn-sized
+    * DML leave trails of small files, and full-table compaction
+    * ([[compactSnapshot]]) pays the whole table to fix a sliver. Runs on
+    * the COW kernel, so merge-on-read masks covering the rewritten files
+    * are APPLIED (their read debt repaid for that slice), the table's
+    * declared layout is preserved, and the swap is one OCC commit with the
+    * kernel's concurrency contract. Returns (files rewritten, carried). */
+  def compactSmallFiles(spark: SparkSession, path: String,
+      smallBytes: Long, targetBytes: Long): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = GraftStoreFormat.fs(path, conf)
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    val sized = m.files.map { e =>
+      val len = try f.getFileStatus(new Path(path, e.name)).getLen
+                catch { case _: Throwable => 0L }
+      (e, len)
+    }
+    val small = sized.filter(_._2 < smallBytes)
+    // one small file has nothing to merge with — unless a mask covers it
+    // (then the rewrite also repays its read debt, still worth one file)
+    val worthIt = small.size >= 2 || small.exists { case (e, _) =>
+      GraftStoreFormat.coveringDeletes(path, m, e.name).nonEmpty ||
+        m.eqDeletes.exists(_.covers(e))
+    }
+    if (!worthIt) return (0, m.files.size)
+    val n = math.max(1, math.ceil(
+      small.map(_._2).sum.toDouble / targetBytes).toInt)
+    cowRewrite(spark, path, org.apache.spark.sql.functions.lit(true),
+      df => df.coalesce(n),
+      forceWhenEmpty = true,
+      affectedOverride = Some(small.map(_._1)))
+  }
+
   /** Copy-on-write DELETE (`DELETE WHERE cond`, the Delta/Iceberg COW DML
     * shape): files whose min/max stats PROVE they hold no matching row are
     * carried into the new snapshot untouched — zero read, zero write —
@@ -3810,13 +3916,99 @@ object GraftStoreOps {
       val ms = GraftStoreFormat.listManifests(path, conf)
       val head = GraftStoreFormat.readHead(path, conf, ms)
         .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
-      require(!head.refs.contains(name) || head.refs(name) == seqOfTarget,
-        s"graft-store: ref '$name' already points at seq ${head.refs(name)}; " +
+      require(!head.refs.contains(name) || head.refs(name) == GraftRef(seqOfTarget),
+        s"graft-store: ref '$name' already points at seq ${head.refs(name).seq}; " +
           "dropRef first to retag")
       done = GraftStoreFormat.commitManifest(path, conf,
-        head.copy(refs = head.refs + (name -> seqOfTarget), txn = None, cdc = None),
+        head.copy(refs = head.refs + (name -> GraftRef(seqOfTarget)),
+          txn = None, cdc = None),
         GraftStoreFormat.nextSeq(ms))
     }
+  }
+
+  /** Create a BRANCH ref at a retained snapshot (Iceberg branches): a
+    * movable pointer whose subsequent writes (`option("branch", name)`)
+    * commit as `#wap=`-staged snapshots invisible to the main line — the
+    * multi-commit generalization of write-audit-publish. Read the branch
+    * with the `ref` option / `VERSION AS OF '<name>'`; land it back with
+    * [[fastForward]]. `forkSeq` records the main snapshot forked from. */
+  def createBranch(spark: SparkSession, path: String, name: String,
+      snapshot: Int): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"graft-store: branch name '$name' must be non-numeric")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seqOfTarget = {
+      val ms = GraftStoreFormat.listManifests(path, conf)
+      require(snapshot >= 0 && snapshot < ms.size,
+        s"graft-store: snapshot $snapshot outside [0, ${ms.size})")
+      GraftStoreFormat.manifestSeq(ms(snapshot))
+    }
+    var done = false
+    while (!done) {
+      val ms = GraftStoreFormat.listManifests(path, conf)
+      val head = GraftStoreFormat.readHead(path, conf, ms)
+        .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+      require(!head.refs.contains(name),
+        s"graft-store: ref '$name' already exists; dropRef first")
+      done = GraftStoreFormat.commitManifest(path, conf,
+        head.copy(refs = head.refs +
+          (name -> GraftRef(seqOfTarget, branch = true, forkSeq = seqOfTarget)),
+          txn = None, cdc = None),
+        GraftStoreFormat.nextSeq(ms))
+    }
+  }
+
+  /** FAST-FORWARD main to a branch tip (Iceberg's `fast_forward`): allowed
+    * only while main still sits at the branch's fork point — the branch's
+    * content then strictly EXTENDS main, and the swap is one METADATA-ONLY
+    * commit publishing the branch tip's full listing as the new head (the
+    * branch ref re-pointing at it as a fresh fork). If main advanced since
+    * the fork, this fails loudly — cherry-pick or re-branch instead;
+    * silent merges of diverged lines are never on the menu. Returns the
+    * number of files the fast-forward added to main. */
+  def fastForward(spark: SparkSession, path: String, name: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var added = 0
+    var done = false
+    while (!done) {
+      val ms = GraftStoreFormat.listManifests(path, conf)
+      val mainHead = GraftStoreFormat.readHead(path, conf, ms)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-store: no manifest at $path"))
+      val r = mainHead.refs.getOrElse(name, throw new NoSuchElementException(
+        s"graft-store: no branch '$name'"))
+      require(r.branch, s"graft-store: ref '$name' is a tag, not a branch")
+      if (r.seq == r.forkSeq) return 0 // no branch writes — nothing to land
+      // divergence is judged on TABLE STATE, not seq position: every
+      // branch write advances the main seq with its ref-move commit (a
+      // metadata-only main commit), and ref/tag churn must not block a
+      // fast-forward. Main has diverged iff anything a branch write could
+      // not have seen changed: data files, masks, schema, or declared
+      // table properties.
+      val fork = ms.find(GraftStoreFormat.manifestSeq(_) == r.forkSeq)
+        .map(GraftStoreFormat.readManifestFile(path, conf, _))
+        .getOrElse(throw new IllegalStateException(
+          s"graft-store: branch '$name''s fork snapshot (seq ${r.forkSeq}) expired"))
+      def state(m: GraftManifest) =
+        (m.schema, m.files, m.deletes, m.eqDeletes, m.check, m.dml,
+          m.partitionCol, m.partitionSpecs, m.clusterCols, m.fieldMeta)
+      require(state(mainHead) == state(fork),
+        s"graft-store: main changed since branch '$name''s fork " +
+          s"(seq ${r.forkSeq}) — the lines diverged; re-branch from the " +
+          "new head or publish commits individually")
+      val tipPath = ms.find(GraftStoreFormat.manifestSeq(_) == r.seq)
+        .getOrElse(throw new IllegalStateException(
+          s"graft-store: branch '$name' tip (seq ${r.seq}) expired"))
+      val tip = GraftStoreFormat.readManifestFile(path, conf, tipPath)
+      added = tip.files.size - mainHead.files.size
+      val seq = GraftStoreFormat.nextSeq(ms)
+      done = GraftStoreFormat.commitManifest(path, conf,
+        tip.copy(refs = mainHead.refs +
+          (name -> GraftRef(seq, branch = true, forkSeq = seq)),
+          txn = None, cdc = None, wap = None),
+        seq)
+    }
+    added
   }
 
   /** Remove a named ref. The snapshot it pinned becomes expirable again. */
@@ -4006,8 +4198,13 @@ object GraftStoreOps {
     // TAGGED snapshots are retention pins: a ref in the head's ref table
     // keeps its snapshot (and therefore its files) alive past keepLast —
     // that is the point of tagging a training-set cut
+    // a branch pins its TIP and its FORK (fastForward reads both; the
+    // intermediate staged lineage is expirable — manifests are full
+    // listings, so the tip alone carries the branch's state)
     val pinned: Set[Long] = GraftStoreFormat.readHead(path, conf, ms)
-      .map(_.refs.values.toSet).getOrElse(Set.empty)
+      .map(_.refs.values.flatMap(r =>
+        if (r.branch) Seq(r.seq, r.forkSeq) else Seq(r.seq)).toSet)
+      .getOrElse(Set.empty)
     val (drop0, keep0) = ms.splitAt(math.max(0, ms.size - keepLast))
     val (keepPinned, drop) =
       drop0.partition(p => pinned.contains(GraftStoreFormat.manifestSeq(p)))

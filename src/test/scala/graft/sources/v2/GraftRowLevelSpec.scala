@@ -142,6 +142,35 @@ class GraftRowLevelSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(rows(5L) === 900L && rows(7L) === 901L && rows(6L) === 12L)
   }
 
+  test("composite-key MERGE (2-column ON) prunes via _file runtime filtering") {
+    val base = freshCat()
+    // this is WHY filterAttributes is the single `_file` column and not the
+    // data keys: Spark renders a dynamic filter over SEVERAL attributes as
+    // an IN over named_struct, which has no V1 conversion and silently
+    // prunes nothing (probed; see GraftRowLevelScan.filterAttributes) —
+    // whereas collecting the matching rows' FILE PATHS is one attribute
+    // and exact regardless of how many columns the merge keys on
+    spark.range(0, 100)
+      .selectExpr("id", "id % 3 as grp", "id * 2 as v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-store").mode("overwrite").save(s"$base/t12")
+    // both source rows key into the FIRST range file on (id, grp)
+    spark.createDataFrame(Seq((5L, 2L, 905L), (7L, 1L, 907L)))
+      .toDF("id", "grp", "v").createOrReplaceTempView("rl_src12")
+    spark.sql(
+      """MERGE INTO rlcat.t12 t USING rl_src12 s
+        |ON t.id = s.id AND t.grp = s.grp
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val carried = fileNames(base + "/t12", 0).intersect(fileNames(base + "/t12", 1))
+    assert(carried.size === 3,
+      s"composite-key merge must still prune to the one matching file, carried=$carried")
+    val rows = spark.sql("SELECT id, v FROM rlcat.t12").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size === 100)
+    assert(rows(5L) === 905L && rows(7L) === 907L && rows(6L) === 12L)
+  }
+
   test("non-translatable UPDATE predicates prune at runtime, not rewrite-all") {
     val base = freshCat()
     spark.range(0, 100).selectExpr("id", "id as v")
