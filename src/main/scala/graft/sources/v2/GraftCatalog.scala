@@ -83,6 +83,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         case "history" => GraftMetaTables.history(basePath, conf)
         case "files" => GraftMetaTables.files(basePath, conf)
         case "deletes" => GraftMetaTables.deletes(basePath, conf)
+        case "refs" => GraftMetaTables.refs(basePath, conf)
         case _ => throw new NoSuchTableException(ident)
       }
     } else load(ident, Map.empty)

@@ -59,6 +59,23 @@ private[v2] object GraftMetaTables {
     new GraftLocalTable(s"graft_files($path)", filesSchema, rows.toArray)
   }
 
+  val refsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false), // "tag" | "branch"
+    StructField("seq", LongType, nullable = false),
+    StructField("fork_seq", LongType))) // null for tags
+
+  /** `tbl$refs`: the head's named refs — tags and branches with their
+    * pinned seqs (the SQL face of tagSnapshot/createBranch state). */
+  def refs(path: String, conf: Configuration): Table = {
+    val rows = GraftStoreFormat.readLatestManifest(path, conf)
+      .map(_.refs).getOrElse(Map.empty).toSeq.sortBy(_._1).map { case (n, r) =>
+        InternalRow(utf8(n), utf8(if (r.branch) "branch" else "tag"),
+          r.seq, if (r.branch) Long.box(r.forkSeq) else null)
+      }
+    new GraftLocalTable(s"graft_refs($path)", refsSchema, rows.toArray)
+  }
+
   /** `tbl$deletes`: the head snapshot's live delete files of BOTH kinds —
     * the merge-on-read read debt, queryable (Iceberg's
     * `all_delete_files`). `kind` = position|equality; position rows carry

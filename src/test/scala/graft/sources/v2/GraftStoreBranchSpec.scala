@@ -92,6 +92,22 @@ class GraftStoreBranchSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(inserts() === 16, "fast-forward lands the branch rows in the feed once")
   }
 
+  test("tbl$refs metadata table lists tags and branches") {
+    val dir0 = tmpDir()
+    val base = new java.io.File(dir0).getParent
+    val name = new java.io.File(dir0).getName
+    spark.conf.set("spark.sql.catalog.refmcat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.refmcat.base", base)
+    spark.range(0, 5).toDF("id").write.format("graft-store")
+      .mode("overwrite").save(dir0)
+    GraftStoreOps.tagSnapshot(spark, dir0, "t1", 0)
+    GraftStoreOps.createBranch(spark, dir0, "b1", 0)
+    val rows = spark.sql(s"SELECT name, kind, seq, fork_seq FROM refmcat.`$name$$refs`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows === Set(("b1", "branch", 0L, 0L), ("t1", "tag", 0L, -1L)))
+  }
+
   test("expiry keeps the branch tip alive past keepLast") {
     val dir = tmpDir()
     spark.range(0, 10).toDF("id").write.format("graft-store")
