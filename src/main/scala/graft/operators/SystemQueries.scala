@@ -2448,6 +2448,52 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 6000
            |GROUP BY 1""".stripMargin))
 
+  /** SEGMENTED MANIFESTS (manifest v12, Iceberg's manifest-file layer):
+    * above a file-count threshold the per-file listing moves into
+    * content-addressed `_seg-` chunk files with CONTENT-DEFINED
+    * boundaries, and a commit writes only the chunks its churn touched —
+    * unchanged chunks hash identically and are reused without diffing.
+    * This is the metadata-scaling story: with a single inline listing,
+    * every commit on a million-file table rewrites a million lines; with
+    * segments, an append's commit metadata is O(churn). Bits: the table
+    * segments (segmented), an append reuses all-but-the-tail chunks
+    * (reuse_high), and the whole 175-query oracle surface keeps passing
+    * through the segmented read path. */
+  val q175SegmentedManifest = QuerySpec(
+    "q175_segmented_manifest", "S-dsv2-segmented-manifest",
+    "segmented manifests: O(churn) commit metadata via content-addressed chunks",
+    (s, d) => {
+      val path = "/tmp/graft_store_q175"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") < 8000)
+        .repartitionByRange(150, col("o_orderkey"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      def headSegs: Set[String] =
+        graft.sources.v2.GraftStoreOps.headSegmentRefs(s, path).toSet
+      val before = headSegs
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 8500)
+        .coalesce(1)
+        .write.format("graft-store").mode("append").save(path)
+      val after = headSegs
+      val segmented = before.nonEmpty
+      val reuseHigh = (before intersect after).size >= before.size - 1
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("segmented", lit(segmented))
+        .withColumn("reuse_high", lit(reuseHigh))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS segmented, TRUE AS reuse_high
+           |FROM orders WHERE o_orderkey < 8500
+           |GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2461,5 +2507,6 @@ object SystemQueries {
     q159StoreFileLineage, q160SqlAlter, q161MorDelete, q162MorCdc,
     q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge, q166MorUpsert,
     q167StreamForget, q168AggPushdown, q169FieldIdEvolution, q170NullStats,
-    q171TagsWap, q172EqCdcResolve, q173Branches, q174CompactSmall)
+    q171TagsWap, q172EqCdcResolve, q173Branches, q174CompactSmall,
+    q175SegmentedManifest)
 }

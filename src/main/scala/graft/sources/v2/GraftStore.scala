@@ -613,7 +613,22 @@ private[v2] object GraftStoreFormat {
     // `~del` (v7+) / `~eqdel` (v8+) lines carry position- and equality-
     // delete files; the `~` sigil can never open a data-file name (those
     // are `part-…`)
-    val (tildeLines, fileLines) = lines.tail.toSeq.partition(_.startsWith("~"))
+    val (tildeLines, fileLines0) = lines.tail.toSeq.partition(_.startsWith("~"))
+    // `@seg` refs (v12, segmented manifests): expand each referenced
+    // content-addressed segment file in place — order preserved
+    val fileLines =
+      if (!fileLines0.exists(_.startsWith("@seg\t"))) fileLines0
+      else fileLines0.flatMap { l =>
+        if (!l.startsWith("@seg\t")) Seq(l)
+        else {
+          val segName = l.split("\t")(1)
+          val sin = fs(path, conf).open(new Path(path, segName))
+          val segBody =
+            try scala.io.Source.fromInputStream(sin, "UTF-8").mkString
+            finally sin.close()
+          segBody.split("\n").filter(_.nonEmpty).toSeq
+        }
+      }
     val (eqLines, delLines) = tildeLines.partition(_.startsWith("~eqdel\t"))
     GraftManifest(
       StructType.fromDDL(lines.head),
@@ -733,6 +748,91 @@ private[v2] object GraftStoreFormat {
     * inside one millisecond. Superseded manifests are RETAINED (snapshot
     * history); [[GraftStoreOps.expireSnapshots]] is the explicit
     * retention/vacuum step. */
+  /** SEGMENTED MANIFESTS (v12): above this file count, the per-file lines
+    * move out of the manifest body into content-addressed SEGMENT files
+    * (`_seg-<md5>`), referenced by `@seg` lines — Iceberg's manifest-file
+    * layer. The point is COMMIT COST AT SCALE: a full inline listing makes
+    * every commit O(total files) metadata, which at 100 TB file counts is
+    * the real bottleneck; with segments a commit writes only the chunks
+    * its churn touched (content-addressing skips every unchanged chunk —
+    * no diffing against the previous manifest needed, reuse falls out of
+    * identical bytes hashing identically).
+    *
+    * Chunk boundaries are CONTENT-DEFINED: a file line starts a new chunk
+    * iff a hash of its NAME hits the boundary mask (expected chunk ≈ 64
+    * entries, hard cap 4096). Boundaries depend only on the lines
+    * themselves, so an append (lines added at the END of the
+    * insertion-ordered listing) or a COW rewrite (lines removed/added
+    * mid-list) re-chunks only the neighborhoods it touched; every other
+    * chunk re-hashes identically and is reused. Losers of the commit CAS
+    * may orphan freshly-written segments — content-addressed and tiny,
+    * they are reused by the retry or collected by [[GraftStoreOps
+    * .expireSnapshots]] (which drops segments no retained manifest
+    * references). */
+  val SegmentThreshold = 64
+  private val SegBoundaryMask = 63
+  private val SegMaxChunk = 4096
+
+  private[v2] def renderFileLine(e: GraftFileEntry): String = {
+    val base = s"${e.name}\t${e.rows}\t${statsToString(e.stats)}"
+    // trailing optional fields: partVals (4th), ncols (5th), specId (6th),
+    // addedSeq (7th), layoutId (8th), nullCounts (9th) — written only
+    // through the LAST present one, so pre-evolution manifests stay
+    // byte-stable
+    val opts = Seq(
+      e.partVals.map(partValsToString).getOrElse(""),
+      e.ncols.fold("")(_.toString),
+      e.specId.fold("")(_.toString),
+      e.addedSeq.fold("")(_.toString),
+      e.layoutId.fold("")(_.toString),
+      e.nullCounts.fold("")(nullsToString))
+    (base +: opts.reverse.dropWhile(_.isEmpty).reverse).mkString("\t")
+  }
+
+  /** Render the per-file section: inline below the threshold, `@seg`
+    * references above it (writing any segment that does not already
+    * exist). */
+  private def renderFileSection(path: String, f: FileSystem,
+      lines: Seq[String]): String = {
+    if (lines.size <= SegmentThreshold) return lines.mkString("\n")
+    // content-defined chunking on the insertion-ordered lines
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines.foreach { l =>
+      val name = l.substring(0, l.indexOf('\t'))
+      if (cur.nonEmpty &&
+          ((name.hashCode & SegBoundaryMask) == 0 || cur.size >= SegMaxChunk)) {
+        chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      }
+      cur += l
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    chunks.map { c =>
+      val bytes = (c.mkString("\n") + "\n").getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val hex = md.map("%02x".format(_)).mkString
+      val segName = s"_seg-$hex"
+      val seg = new Path(path, segName)
+      if (!f.exists(seg)) {
+        val tmp = new Path(path, s"_tmp/seg-${UUID.randomUUID().toString.take(12)}")
+        val o = f.create(tmp, true)
+        try o.write(bytes) finally o.close()
+        // a racing writer of the SAME content loses the rename harmlessly
+        try { if (!f.rename(tmp, seg)) f.delete(tmp, false) }
+        catch { case _: Throwable => try f.delete(tmp, false) catch { case _: Throwable => () } }
+      }
+      s"@seg\t$segName\t${c.size}"
+    }.mkString("\n")
+  }
+
+  /** Segment names referenced by one manifest's raw body (for expiry's
+    * segment garbage collection) — cheap header-free scan. */
+  def manifestSegmentRefs(path: String, conf: Configuration, p: Path): Seq[String] = {
+    val in = fs(path, conf).open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    body.split("\n").filter(_.startsWith("@seg\t")).map(_.split("\t")(1)).toSeq
+  }
+
   def commitManifest(path: String, conf: Configuration, m: GraftManifest,
       expectedSeq: Long): Boolean = {
     val f = fs(path, conf)
@@ -768,21 +868,8 @@ private[v2] object GraftStoreFormat {
           .mkString +
         m.eqDeletes.map(d =>
           s"~eqdel\t${d.name}\t${d.rows}\t${d.seq}\t${escStat(d.keyCols.mkString(","))}\n")
-          .mkString + m.files.map { e =>
-          val base = s"${e.name}\t${e.rows}\t${statsToString(e.stats)}"
-          // trailing optional fields: partVals (4th), ncols (5th), specId
-          // (6th), addedSeq (7th), layoutId (8th), nullCounts (9th) —
-          // written only through the LAST present one, so pre-evolution
-          // manifests stay byte-stable
-          val opts = Seq(
-            e.partVals.map(partValsToString).getOrElse(""),
-            e.ncols.fold("")(_.toString),
-            e.specId.fold("")(_.toString),
-            e.addedSeq.fold("")(_.toString),
-            e.layoutId.fold("")(_.toString),
-            e.nullCounts.fold("")(nullsToString))
-          (base +: opts.reverse.dropWhile(_.isEmpty).reverse).mkString("\t")
-        }.mkString("\n"))
+          .mkString +
+        renderFileSection(path, f, m.files.map(renderFileLine)))
         .getBytes("UTF-8"))
     finally out.close()
     // atomic publication: rename(tmp -> seq name) without overwrite
@@ -4075,6 +4162,16 @@ object GraftStoreOps {
     adds.size
   }
 
+  /** Segment files the HEAD manifest references (empty = inline listing;
+    * see the segmented-manifest notes at [[GraftStoreFormat
+    * .commitManifest]]) — the public face for verifying chunk reuse. */
+  def headSegmentRefs(spark: SparkSession, path: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    if (ms.isEmpty) Seq.empty
+    else GraftStoreFormat.manifestSegmentRefs(path, conf, ms.last)
+  }
+
   /** Snapshot INDEX of the staged commit with the given wapId (for the
     * audit read: `.option("snapshot", idx)`), or None. */
   def stagedSnapshot(spark: SparkSession, path: String, wapId: String): Option[Int] = {
@@ -4223,13 +4320,21 @@ object GraftStoreOps {
     val dropCdc = drop
       .flatMap(p => GraftStoreFormat.readManifestFile(path, conf, p).cdc)
       .filterNot(keepCdc).distinct
+    // manifest SEGMENTS (v12) are content-addressed and shared across
+    // snapshots — keep every segment a retained manifest references,
+    // collect the rest with the dropped history
+    val keptSegs = keep.flatMap(p =>
+      GraftStoreFormat.manifestSegmentRefs(path, conf, p)).toSet
     drop.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
     dropCdc.foreach(id =>
       try f.delete(new Path(path, s"_cdc/$id"), true) catch { case _: Throwable => () })
     val orphans = f.listStatus(new Path(path)).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && !referenced.contains(p.getName))
+      .filter { p =>
+        (p.getName.startsWith("part-") && !referenced.contains(p.getName)) ||
+        (p.getName.startsWith("_seg-") && !keptSegs.contains(p.getName))
+      }
     orphans.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
-    (drop.size, orphans.length)
+    (drop.size, orphans.count(_.getName.startsWith("part-")))
   }
 }
 
