@@ -84,6 +84,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         case "files" => GraftMetaTables.files(basePath, conf)
         case "deletes" => GraftMetaTables.deletes(basePath, conf)
         case "refs" => GraftMetaTables.refs(basePath, conf)
+        case "segments" => GraftMetaTables.segments(basePath, conf)
         case _ => throw new NoSuchTableException(ident)
       }
     } else load(ident, Map.empty)

@@ -59,6 +59,30 @@ private[v2] object GraftMetaTables {
     new GraftLocalTable(s"graft_files($path)", filesSchema, rows.toArray)
   }
 
+  val segmentsSchema: StructType = StructType(Seq(
+    StructField("segment", StringType, nullable = false),
+    StructField("n_entries", LongType, nullable = false)))
+
+  /** `tbl$segments`: the HEAD manifest's chunk references (empty below the
+    * segmentation threshold) — visibility into the O(churn) commit
+    * economics of segmented manifests. */
+  def segments(path: String, conf: Configuration): Table = {
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    // entry counts ride the @seg lines — one raw body read of the head
+    val rows =
+      if (ms.isEmpty) Seq.empty
+      else {
+        val in = GraftStoreFormat.fs(path, conf).open(ms.last)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        body.split("\n").filter(_.startsWith("@seg\t")).toSeq.map { l =>
+          val parts = l.split("\t")
+          InternalRow(utf8(parts(1)), parts(2).toLong)
+        }
+      }
+    new GraftLocalTable(s"graft_segments($path)", segmentsSchema, rows.toArray)
+  }
+
   val refsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("kind", StringType, nullable = false), // "tag" | "branch"

@@ -615,18 +615,40 @@ private[v2] object GraftStoreFormat {
     // are `part-…`)
     val (tildeLines, fileLines0) = lines.tail.toSeq.partition(_.startsWith("~"))
     // `@seg` refs (v12, segmented manifests): expand each referenced
-    // content-addressed segment file in place — order preserved
+    // content-addressed segment file in place — order preserved. Segments
+    // fetch CONCURRENTLY (bounded pool): a manifest listing a large table
+    // references many chunks, and on an object store their latency would
+    // otherwise serialize into the driver's planning time
     val fileLines =
       if (!fileLines0.exists(_.startsWith("@seg\t"))) fileLines0
-      else fileLines0.flatMap { l =>
-        if (!l.startsWith("@seg\t")) Seq(l)
-        else {
-          val segName = l.split("\t")(1)
-          val sin = fs(path, conf).open(new Path(path, segName))
+      else {
+        val fsys = fs(path, conf)
+        def readSeg(segName: String): Seq[String] = {
+          val sin = fsys.open(new Path(path, segName))
           val segBody =
             try scala.io.Source.fromInputStream(sin, "UTF-8").mkString
             finally sin.close()
           segBody.split("\n").filter(_.nonEmpty).toSeq
+        }
+        val segNames = fileLines0.collect {
+          case l if l.startsWith("@seg\t") => l.split("\t")(1)
+        }
+        val fetched: Map[String, Seq[String]] =
+          if (segNames.size <= 2) segNames.map(n => n -> readSeg(n)).toMap
+          else {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(8, segNames.size))
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+            try Await.result(
+              Future.sequence(segNames.map(n => Future(n -> readSeg(n)))),
+              Duration.Inf).toMap
+            finally pool.shutdown()
+          }
+        fileLines0.flatMap { l =>
+          if (!l.startsWith("@seg\t")) Seq(l)
+          else fetched(l.split("\t")(1))
         }
       }
     val (eqLines, delLines) = tildeLines.partition(_.startsWith("~eqdel\t"))
@@ -4287,6 +4309,21 @@ object GraftStoreOps {
     * are deleted FIRST, so a crash mid-way can orphan data files (invisible,
     * re-collected by the next run) but can never leave a live manifest
     * pointing at deleted data. Returns (#manifests, #data files) removed. */
+  /** Time-based retention (Iceberg `expire_snapshots(older_than)`): drop
+    * snapshots published strictly before `olderThanMillis`, always keeping
+    * at least the head (and everything refs pin, like the count-based
+    * form). The operational shape at 100 TB: "keep 7 days" as a scheduled
+    * job, independent of commit rate. */
+  def expireOlderThan(spark: SparkSession, path: String,
+      olderThanMillis: Long): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    if (ms.isEmpty) return (0, 0)
+    val young = ms.count(p =>
+      GraftStoreFormat.manifestMillis(path, conf, p) >= olderThanMillis)
+    expireSnapshots(spark, path, math.max(1, young))
+  }
+
   def expireSnapshots(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration

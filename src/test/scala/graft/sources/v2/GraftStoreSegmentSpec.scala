@@ -94,6 +94,42 @@ class GraftStoreSegmentSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(spark.read.format("graft-store").load(dir).count() === 1000)
   }
 
+  test("tbl$segments metadata table exposes the chunk map") {
+    val dir0 = tmpDir()
+    val base = new java.io.File(dir0).getParent
+    val name = new java.io.File(dir0).getName
+    spark.conf.set("spark.sql.catalog.segcat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.segcat.base", base)
+    spark.range(0, 1000).repartition(100).selectExpr("id")
+      .write.format("graft-store").mode("overwrite").save(dir0)
+    val rows = spark.sql(
+      s"SELECT segment, n_entries FROM segcat.`$name$$segments`").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum === 100,
+      "chunk entry counts must sum to the file count")
+    assert(rows.forall(_.getString(0).startsWith("_seg-")))
+  }
+
+  test("expireOlderThan keeps everything at-or-after the cut, at least the head") {
+    val dir = tmpDir()
+    spark.range(0, 10).selectExpr("id")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    spark.range(10, 20).selectExpr("id")
+      .write.format("graft-store").mode("append").save(dir)
+    val cut = System.currentTimeMillis() + 1
+    Thread.sleep(5)
+    spark.range(20, 30).selectExpr("id")
+      .write.format("graft-store").mode("append").save(dir)
+    val (dropped, _) = GraftStoreOps.expireOlderThan(spark, dir, cut)
+    assert(dropped === 2, s"both pre-cut snapshots should drop, dropped=$dropped")
+    assert(spark.read.format("graft-store").load(dir).count() === 30)
+    // a cut in the future still keeps the head
+    val (dropped2, _) = GraftStoreOps.expireOlderThan(
+      spark, dir, System.currentTimeMillis() + 60000)
+    assert(dropped2 === 0)
+    assert(spark.read.format("graft-store").load(dir).count() === 30)
+  }
+
   test("small tables stay inline (no segments)") {
     val dir = tmpDir()
     spark.range(0, 100).repartition(4).selectExpr("id")
