@@ -2494,6 +2494,90 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 8500
            |GROUP BY 1""".stripMargin))
 
+  /** Layout-value file pruning ([[graft.sources.v2.GraftStoreScan]]
+    * companion): equality predicates on BUCKET layout columns prune files
+    * by the predicate values' COMPUTED bucket ids, read from the
+    * manifest's explicit partVals — where min/max stats (hash-scattered
+    * values) prune nothing at all. `k IN (…)` on a `bucket(16, k)` table
+    * reads only the keys' buckets: at 100 TB the difference between a
+    * point lookup scanning the table and scanning ~1/16th of it. The
+    * `bucket_pruned` bit pins the selection EXACTLY: files read ==
+    * manifest files whose bucket id ∈ the keys' ids (< total). */
+  val q176BucketPrune = QuerySpec(
+    "q176_bucket_prune", "S-dsv2-bucket-prune",
+    "bucket-layout point lookup: file selection prunes to the keys' buckets",
+    (s, d) => {
+      val path = "/tmp/graft_store_q176"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.format("graft-store").option("partitionBy", "bucket(16,o_orderkey)")
+        .mode("overwrite").save(path)
+      val keys = Seq(7L, 1001L, 4966L, 9988L)
+      val admissible = keys.map(k => graft.sources.v2.GraftBucket
+        .of(k, org.apache.spark.sql.types.LongType, 16).toString).toSet
+      val entries = graft.sources.v2.GraftStoreOps.headFilePartVals(s, path)
+      val expectFiles = entries.count(_.headOption.flatten.exists(admissible))
+      val total = entries.size
+      val q = s.read.format("graft-store").load(path)
+        .filter(col("o_orderkey").isin(keys: _*))
+      val rows = q.count() // forces execution; plan description now live
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      val pruned = m.exists(g =>
+        g.group(1).toInt == expectFiles && g.group(1).toInt < g.group(2).toInt &&
+          g.group(2).toInt == total) && rows > 0
+      q.select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .withColumn("bucket_pruned", lit(pruned))
+    },
+    Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           |  TRUE AS bucket_pruned
+           |FROM orders WHERE o_orderkey IN (7, 1001, 4966, 9988)""".stripMargin))
+
+  /** RUNTIME file skipping on the regular scan
+    * (`SupportsRuntimeV2Filtering` — Iceberg's runtime filtering / DPP
+    * analogue on the native format): for `fact JOIN dim` on a layout
+    * column, Spark plans an IN subquery over dim's surviving join keys
+    * (free next to the broadcast it already builds) and the scan prunes
+    * fact FILES from those values at execution time — bucket partVals
+    * prune structurally, cluster columns by min/max, with wide INs
+    * collapsed to ranges for the stats probe. The `runtime_pruned` bit
+    * pins it: after execution the fact scan's live selection reads
+    * STRICTLY fewer files than the table holds, with no static predicate
+    * on the fact side at all. */
+  val q177RuntimePrune = QuerySpec(
+    "q177_runtime_prune", "S-dsv2-runtime-prune",
+    "join-driven runtime file skipping: dim keys prune fact files at execution",
+    (s, d) => {
+      val path = "/tmp/graft_store_q177"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .write.format("graft-store").option("partitionBy", "bucket(16,l_suppkey)")
+        .mode("overwrite").save(path)
+      val fact = s.read.format("graft-store").load(path)
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 3).select("s_suppkey", "s_name")
+      val j = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+      j.collect() // execute: BatchScanExec feeds dim's keys into the scan
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(j.queryExecution.executedPlan.toString)
+      val pruned = m.exists(g => g.group(1).toInt < g.group(2).toInt)
+      j.withColumn("runtime_pruned", lit(pruned))
+    },
+    Some("""SELECT s_name, count(*) AS n,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |  TRUE AS runtime_pruned
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE s_nationkey = 3
+           |GROUP BY s_name""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2508,5 +2592,5 @@ object SystemQueries {
     q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge, q166MorUpsert,
     q167StreamForget, q168AggPushdown, q169FieldIdEvolution, q170NullStats,
     q171TagsWap, q172EqCdcResolve, q173Branches, q174CompactSmall,
-    q175SegmentedManifest)
+    q175SegmentedManifest, q176BucketPrune, q177RuntimePrune)
 }

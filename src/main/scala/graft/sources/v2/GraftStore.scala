@@ -2221,43 +2221,232 @@ private[v2] case class GraftLocalAggScan(aggSchema: StructType,
     s"graft-store manifest-only aggregate ${aggSchema.fieldNames.mkString(",")}"
 }
 
+/** Layout-value file pruning: partVals are EXACT (explicit per-file in the
+  * manifest), so equality predicates on layout columns prune STRUCTURALLY —
+  * identity elements by the value itself (works where min/max stats are
+  * capped away, e.g. >64-char strings), bucket elements by the predicate
+  * values' COMPUTED bucket ids, where min/max over hash-scattered values
+  * prunes nothing at all. The same machinery serves pushed (static) and
+  * runtime (join-driven) filters. */
+private[v2] object GraftStoreScan {
+  import org.apache.spark.sql.sources._
+
+  /** Top-level conjunct equality sets: column → the only values a kept row
+    * can take there (EqualTo / non-null In values; two conjuncts on one
+    * column intersect). Null values drop out — equality never matches null,
+    * and a file's null partition is handled at the probe site. */
+  def eqSets(fs: Seq[Filter]): Map[String, Set[Any]] = {
+    val m = scala.collection.mutable.Map.empty[String, Set[Any]]
+    def add(c: String, vs: Set[Any]): Unit =
+      m(c) = m.get(c).map(_.intersect(vs)).getOrElse(vs)
+    fs.foreach {
+      case EqualTo(c, v) if v != null => add(c, Set(v))
+      case In(c, vs) if vs.exists(_ != null) =>
+        add(c, vs.filter(_ != null).toSet)
+      case _ => ()
+    }
+    m.toMap
+  }
+
+  /** External (filter-side) value → the INTERNAL representation the writer
+    * hashed / rendered: the exact types [[GraftBucket]] and the partition
+    * router consume. Unknown combinations answer None — the element then
+    * never prunes (conservative). */
+  private def internalOf(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (LongType, n: java.lang.Number) => Some(n.longValue)
+    case (IntegerType, n: java.lang.Number) => Some(n.intValue)
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case (DateType, d: java.sql.Date) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay.toInt)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case (TimestampType, t: java.time.Instant) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+    case _ => None
+  }
+
+  /** For one spec under one conjunct-equality map: per element, the
+    * partVal strings a surviving row could land in (None = element
+    * unconstrained / unresolvable — never prunes). A file then survives
+    * iff every element's partVal is admissible: one hash probe per
+    * element, independent of predicate width. */
+  def admissibleOf(schema: StructType, l: GraftLayout,
+      eqs: Map[String, Set[Any]]): Seq[Option[Set[String]]] = {
+    def dtOf(c: String): Option[DataType] = {
+      val i = schema.fieldNames.indexOf(c)
+      if (i < 0) None else Some(schema.fields(i).dataType)
+    }
+    l.specs.map {
+      case IdentitySpec(c) =>
+        for {
+          dt <- dtOf(c)
+          vs <- eqs.get(c)
+          rendered <- traverse(vs.toSeq)(v => internalOf(dt, v).map(_.toString))
+        } yield rendered.toSet
+      case BucketSpec(n, cs) if cs.length == 1 =>
+        val c = cs.head
+        for {
+          dt <- dtOf(c)
+          vs <- eqs.get(c)
+          ids <- traverse(vs.toSeq)(v =>
+            internalOf(dt, v).map(iv => GraftBucket.of(iv, dt, n).toString))
+        } yield ids.toSet
+      case BucketSpec(n, cs) =>
+        // multi-column bucket: per-column eq sets are INDEPENDENT, so the
+        // admissible ids come from their cartesian product — a SUPERSET of
+        // the true tuple set, hence conservative. Bounded to keep the
+        // driver's work trivial; wider products just skip pruning.
+        val colSets = traverse(cs)(c =>
+          for {
+            dt <- dtOf(c)
+            vs <- eqs.get(c)
+            ivs <- traverse(vs.toSeq)(v => internalOf(dt, v).map(iv => (iv, dt)))
+          } yield ivs)
+        colSets.filter(_.map(_.size.toLong).product <= 256L).map { sets =>
+          sets.foldLeft(Seq(Seq.empty[(Any, DataType)])) { (acc, set) =>
+            acc.flatMap(prefix => set.map(prefix :+ _))
+          }.map(tuple =>
+            GraftBucket.ofTuple(tuple.map(Some(_)), n).toString).toSet
+        }
+    }
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val ys = xs.map(f)
+    if (ys.exists(_.isEmpty)) None else Some(ys.flatten)
+  }
+
+  /** A runtime IN can carry thousands of build-side join keys; probing
+    * every value against every file's min/max is O(files × keys) driver
+    * work. For the per-file STATS check a wide IN collapses to its value
+    * RANGE — same skipping power on clustered/range-sorted columns, O(1)
+    * per file. Exact membership still applies through layout pruning
+    * (which probes a hash set) and, of course, through the join itself.
+    * Strings compare in UTF8 binary order — the order the stats are in. */
+  def collapseWideIn(f: Filter): Filter = f match {
+    // `_file` INs (runtime group filtering) are probed EXACTLY against
+    // each file's path, never against stats — collapsing would turn exact
+    // pruning into no pruning
+    case In(c, vs) if vs.length > 64 && c != GraftFileColumn.Name =>
+      val nn = vs.filter(_ != null)
+      if (nn.isEmpty) f
+      else if (nn.forall(v => v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Long])) {
+        val ls = nn.map(_.asInstanceOf[java.lang.Number].longValue)
+        And(GreaterThanOrEqual(c, ls.min), LessThanOrEqual(c, ls.max))
+      } else if (nn.forall(_.isInstanceOf[String])) {
+        val us = nn.map(s => UTF8String.fromString(s.asInstanceOf[String]))
+        val mn = us.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
+        val mx = us.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+        And(GreaterThanOrEqual(c, mn.toString), LessThanOrEqual(c, mx.toString))
+      } else f
+    case other => other
+  }
+}
+
 private[v2] class GraftStoreScan(protected val path: String,
     protected[v2] val manifest: GraftManifest,
     required: StructType, pushed: Array[org.apache.spark.sql.sources.Filter],
     protected val conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-store $path files=${selected.size}/${manifest.files.size} " +
-      s"cols=${required.fieldNames.mkString(",")} skipBy=[${pushed.mkString(",")}]"
+      s"cols=${required.fieldNames.mkString(",")} skipBy=[${pushed.mkString(",")}]" +
+      (if (runtimeFilters.nonEmpty) s" runtimeSkipBy=[${runtimeFilters.mkString(",")}]" else "")
 
   private def mayMatch(e: GraftFileEntry, f: org.apache.spark.sql.sources.Filter): Boolean =
     GraftStoreFormat.mayMatch(manifest.schema, e, f)
 
-  // RUNTIME filters (set post-planning by [[GraftRowLevelScan.filter]])
-  // participate in file skipping exactly like pushed filters; setting them
-  // invalidates the cached selection so planInputPartitions — which Spark
-  // re-invokes after runtime filtering — sees the narrowed set. Only the
-  // row-level scan ever sets these, and it opts out of key-grouped
-  // reporting, so the keyedGroups cache below cannot go stale.
+  // RUNTIME filters (set post-planning by `filter` below, or by
+  // [[GraftRowLevelScan.filter]]'s `_file` group filtering) participate in
+  // file skipping exactly like pushed filters; setting them invalidates the
+  // cached selection AND the keyed-group cache so planInputPartitions —
+  // which Spark re-invokes after runtime filtering — sees the narrowed set
+  // (for a key-grouped scan the re-grouped keys are a SUBSET of the ones
+  // reported at planning, which BatchScanExec accepts and back-fills with
+  // empty partitions).
   @volatile private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  @volatile private var runtimeStatsFilters: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
   @volatile private var selectedCache: Seq[GraftFileEntry] = null
   protected def setRuntimeFilters(fs: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     runtimeFilters = fs
+    runtimeStatsFilters = fs.map(GraftStoreScan.collapseWideIn)
     selectedCache = null
+    keyedGroupsCache = null
   }
+
+  /** Runtime (join-driven) FILE skipping — `SupportsRuntimeV2Filtering` on
+    * the regular scan, the analogue of Iceberg's runtime filtering /
+    * dynamic partition pruning for the native format. Declared attributes
+    * are the table's layout columns (identity partition + bucket sources)
+    * plus its declared cluster columns: for `fact JOIN dim` on one of
+    * them, Spark's DPP rule plans an IN subquery over dim's join keys
+    * (free when dim broadcasts — the exchange is reused) and BatchScanExec
+    * feeds the values here before planInputPartitions re-runs. Identity /
+    * bucket elements then prune STRUCTURALLY via partVals (`k IN (…)` on a
+    * `bucket(64, k)` table reads only the keys' buckets); cluster columns
+    * prune by per-file min/max. At 100 TB this is the difference between
+    * scanning the fact table and scanning the handful of files that can
+    * hold the dim's keys. Scans with neither layout nor cluster columns
+    * declare nothing — Spark never plans a useless subquery against them. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val layoutCols = layout.toSeq.flatMap(_.specs.flatMap {
+      case IdentitySpec(c) => Seq(c)
+      case BucketSpec(_, cs) => cs
+    })
+    val cluster = manifest.clusterCols.toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    (layoutCols ++ cluster).distinct
+      .filter(manifest.schema.fieldNames.contains)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .toArray
+  }
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    setRuntimeFilters(org.apache.spark.sql.graftshim.predicatesToV1(predicates))
+
   protected def selected: Seq[GraftFileEntry] = {
     var s = selectedCache
     if (s == null) {
+      // equality sets over layout columns (pushed ∧ runtime conjuncts)
+      // resolve to admissible partVal strings ONCE per selection, keyed by
+      // each file's own spec (partition-spec evolution) — then every file
+      // is one hash probe, independent of IN-list width
+      val eqs = GraftStoreScan.eqSets(pushed ++ runtimeFilters)
+      val admCache = scala.collection.mutable.Map.empty[String, Option[Seq[Option[Set[String]]]]]
+      def layoutSurvives(e: GraftFileEntry): Boolean =
+        if (eqs.isEmpty) true
+        else specStrOf(e) match {
+          case Some(spec) =>
+            admCache.getOrElseUpdate(spec,
+              scala.util.Try(GraftLayout.parse(spec)).toOption
+                .map(l => GraftStoreScan.admissibleOf(manifest.schema, l, eqs))) match {
+              case Some(adm) => e.partVals match {
+                case Some(vs) if vs.length == adm.length =>
+                  vs.lazyZip(adm).forall {
+                    case (_, None) => true
+                    case (Some(v), Some(set)) => set.contains(v)
+                    // a null partition value can never equality-match
+                    case (None, Some(_)) => false
+                  }
+                case _ => true
+              }
+              case None => true
+            }
+          case None => true
+        }
       s = manifest.files.filter { e =>
         lazy val abs = new Path(path, e.name).toString
         // stats skip against the file's stats RE-KEYED to current logical
         // indices (identity on never-evolved tables)
         lazy val eL = GraftStoreFormat.logicalStatsView(manifest, e)
-        (pushed ++ runtimeFilters).forall {
+        layoutSurvives(e) && (pushed ++ runtimeStatsFilters).forall {
           // `_file` filters prune EXACTLY (runtime group filtering
           // collects matching files' paths); stats know nothing of them
           case org.apache.spark.sql.sources.In(GraftFileColumn.Name, vs) =>
@@ -2271,6 +2460,17 @@ private[v2] class GraftStoreScan(protected val path: String,
     }
     s
   }
+
+  /** The spec string a FILE was written under: its partVals are positional
+    * in THAT spec's elements, not the current one (partition-spec
+    * evolution). Spec-history columns can never be renamed or dropped
+    * (GraftCatalog.requireUnreferenced), so name-keyed resolution cannot
+    * dangle. */
+  private def specStrOf(e: GraftFileEntry): Option[String] =
+    manifest.partitionSpecs match {
+      case Some(hist) => e.specId.flatMap(hist.lift).filter(_.nonEmpty)
+      case None => manifest.partitionCol
+    }
   /** The stats-pruned file set this scan reads — the "groups" a row-level
     * operation's commit replaces ([[GraftRowLevelBatchWrite]]). */
   private[v2] def selectedFileNames: Seq[String] = selected.map(_.name)
@@ -2316,7 +2516,17 @@ private[v2] class GraftStoreScan(protected val path: String,
     manifest.partitionCol.flatMap(c =>
       scala.util.Try(GraftLayout.parse(c)).toOption)
 
-  private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
+  // cached-var rather than lazy val: runtime filtering narrows `selected`
+  // post-planning, and the re-grouping must see the narrowed set (the
+  // resulting keys are a subset of the planned ones — Spark back-fills
+  // missing keys with empty partitions)
+  @volatile private var keyedGroupsCache: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] = null
+  private def keyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] = {
+    var g = keyedGroupsCache
+    if (g == null) { g = computeKeyedGroups; keyedGroupsCache = g }
+    g
+  }
+  private def computeKeyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
     layout.flatMap { l =>
       // partition-spec evolution: grouping files by partition values is
       // only valid for files written under the CURRENT spec — a selected
@@ -3793,6 +4003,17 @@ object GraftStoreOps {
       s"graft-store: snapshot $snapshot outside [0, ${ms.size})")
     GraftStoreFormat.readManifestFile(path, conf, ms(snapshot))
       .files.map(e => (e.name, e.rows, e.ncols))
+  }
+
+  /** Metadata inspection: each head file's explicit partition values
+    * (positional in the file's spec; None element = null partition value;
+    * empty seq = no partVals recorded). Driver-side manifest read only —
+    * what layout-value file pruning probes (see [[GraftStoreScan]]). */
+  def headFilePartVals(spark: SparkSession, path: String): Seq[Seq[Option[String]]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    GraftStoreFormat.readLatestManifest(path, conf)
+      .map(_.files.map(_.partVals.getOrElse(Seq.empty)))
+      .getOrElse(Seq.empty)
   }
 
   /** PARTITION-SPEC EVOLUTION (Iceberg spec-versioning): declare a NEW
