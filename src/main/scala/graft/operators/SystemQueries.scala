@@ -2578,6 +2578,45 @@ object SystemQueries {
            |WHERE s_nationkey = 3
            |GROUP BY s_name""".stripMargin))
 
+  /** Bloom sidecar indexes (`bloomCols` — [[graft.sources.v2
+    * .GraftBloomFilter]], the Iceberg-Puffin / Delta-bloom-index shape):
+    * per-(file, column) bloom filters written TASK-side into per-commit
+    * sidecar files, recorded in the manifest as name + covering
+    * data-file range. Min/max stats prune range-clustered columns; the
+    * bloom prunes equality lookups on high-cardinality UNSORTED columns
+    * (`repartition` scatters o_orderkey across every file here, so each
+    * file's [min,max] spans the domain and stats skip NOTHING — any
+    * pruning observed is the bloom's). Sidecars load lazily: only under
+    * an equality predicate on an indexed column, only those covering
+    * still-candidate files. The `bloom_skipped` bit pins that the point
+    * lookup read strictly fewer files than the table holds. */
+  val q178BloomSkip = QuerySpec(
+    "q178_bloom_skip", "S-dsv2-bloom-index",
+    "bloom sidecar index: point lookup on an unsorted column skips files",
+    (s, d) => {
+      val path = "/tmp/graft_store_q178"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .repartition(8) // hash-scatter: every file spans the key domain
+        .write.format("graft-store").option("bloomCols", "o_orderkey")
+        .mode("overwrite").save(path)
+      val keys = Seq(11L, 2500L, 7777L)
+      val q = s.read.format("graft-store").load(path)
+        .filter(col("o_orderkey").isin(keys: _*))
+      val n = q.count()
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      val skipped = n > 0 && m.exists(g => g.group(1).toInt < g.group(2).toInt &&
+        g.group(2).toInt == 8)
+      q.select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .withColumn("bloom_skipped", lit(skipped))
+    },
+    Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           |  TRUE AS bloom_skipped
+           |FROM orders WHERE o_orderkey IN (11, 2500, 7777)""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2592,5 +2631,5 @@ object SystemQueries {
     q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge, q166MorUpsert,
     q167StreamForget, q168AggPushdown, q169FieldIdEvolution, q170NullStats,
     q171TagsWap, q172EqCdcResolve, q173Branches, q174CompactSmall,
-    q175SegmentedManifest, q176BucketPrune, q177RuntimePrune)
+    q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip)
 }

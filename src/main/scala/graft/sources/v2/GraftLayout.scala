@@ -233,3 +233,97 @@ private[v2] class GraftBoundBucket(dt: DataType) extends ScalarFunction[Integer]
     Int.box(GraftBucket.of(v, dt, n))
   }
 }
+
+/** Per-file BLOOM FILTER for point-lookup file skipping — the sidecar
+  * index behind a table's `bloomCols` option (Iceberg's Puffin blobs /
+  * Delta's bloom filter indexes, re-expressed for the graft-store
+  * manifest). Min/max stats prune range-clustered columns; a bloom prunes
+  * equality lookups on HIGH-CARDINALITY, UNSORTED columns (ids, uuids,
+  * join keys written in arrival order) where every file's [min,max] spans
+  * the whole domain and stats skip nothing.
+  *
+  * Contract: `mightContain == false` is DEFINITE absence (safe to skip
+  * the file); `true` means "read it". A false positive therefore costs a
+  * file read, never a wrong answer. Hashing follows [[GraftBucket]]'s
+  * widening rules (int==bigint on equal keys, strings hash UTF-8 bytes),
+  * with k probe positions derived Kirsch–Mitzenmacher style from two
+  * independent 32-bit murmurs: g_i = h1 + i*h2 (mod m).
+  *
+  * Sizing: m defaults to 2^17 bits (16 KiB) per column per file — at the
+  * ~16k rows/file the default file sizing produces, that is ~8 bits/key
+  * (k=5, ~2% fpp); larger files degrade fpp gracefully (skipping weakens,
+  * correctness is untouched). */
+object GraftBloomFilter {
+  val DefaultBits: Int = 1 << 17
+  val K: Int = 5
+  private val Seed1 = 0x9747b28c
+  private val Seed2 = 0x1b873593
+
+  import scala.util.hashing.MurmurHash3
+
+  private def bytesOf(v: Any, dt: DataType): Option[Array[Byte]] = (dt, v) match {
+    // internal (writer-side) representations
+    case (LongType | TimestampType, l: java.lang.Long) => Some(longBytes(l))
+    case (IntegerType | DateType, i: java.lang.Integer) => Some(longBytes(i.toLong))
+    case (StringType, s: UTF8String) => Some(s.getBytes)
+    // external (filter-side) representations, widened identically
+    case (LongType | IntegerType, n: java.lang.Number) => Some(longBytes(n.longValue))
+    case (StringType, s: String) => Some(UTF8String.fromString(s).getBytes)
+    case (DateType, d: java.sql.Date) =>
+      Some(longBytes(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
+    case (DateType, d: java.time.LocalDate) => Some(longBytes(d.toEpochDay))
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(longBytes(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+    case (TimestampType, t: java.time.Instant) =>
+      Some(longBytes(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)))
+    case _ => None
+  }
+  private def longBytes(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+    b
+  }
+
+  /** (h1, h2) probe seeds of one value, or None for unhashable shapes
+    * (those columns simply never participate in bloom skipping). */
+  def hashes(v: Any, dt: DataType): Option[(Int, Int)] =
+    bytesOf(v, dt).map(b => (MurmurHash3.bytesHash(b, Seed1), MurmurHash3.bytesHash(b, Seed2)))
+
+  def supports(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | IntegerType | DateType | StringType => true
+    case _ => false
+  }
+
+  def set(bits: Array[Long], h: (Int, Int)): Unit = {
+    val m = bits.length * 64
+    var i = 0
+    while (i < K) {
+      val pos = math.floorMod(h._1 + i * h._2, m)
+      bits(pos >> 6) |= (1L << (pos & 63))
+      i += 1
+    }
+  }
+
+  def mightContain(bits: Array[Long], h: (Int, Int)): Boolean = {
+    val m = bits.length * 64
+    var i = 0
+    while (i < K) {
+      val pos = math.floorMod(h._1 + i * h._2, m)
+      if ((bits(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def toBase64(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+  def fromBase64(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+}

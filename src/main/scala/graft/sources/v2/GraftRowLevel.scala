@@ -553,7 +553,8 @@ private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
           check = headM.check, partitionSpecs = headM.partitionSpecs,
           deletes = liveDels, dml = headM.dml, eqDeletes = liveEq,
-          fieldMeta = headM.fieldMeta, refs = headM.refs),
+          fieldMeta = headM.fieldMeta, refs = headM.refs,
+          bloomCols = headM.bloomCols, blooms = headM.blooms),
         seq)
     }
     fs.delete(tmpDir, true)

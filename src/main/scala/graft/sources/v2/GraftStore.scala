@@ -228,6 +228,30 @@ private[v2] case class GraftEqDeleteEntry(name: String, rows: Long,
   def covers(e: GraftFileEntry): Boolean = e.seqOrOld < seq
 }
 
+/** One BLOOM SIDECAR file (manifest v13+, `~bloom` lines): a text file in
+  * the table directory holding per-(data file, column) bloom filters for
+  * the table's declared `bloomCols` (see [[GraftBloomFilter]]). Written
+  * task-side at data-write time — the driver's commit only records the
+  * name and the `[minFile, maxFile]` data-file-NAME range the sidecar
+  * covers, so commit metadata stays O(tasks). A scan loads a sidecar ONLY
+  * when (a) an equality predicate on a bloom column survives to file
+  * selection and (b) the sidecar's range covers a still-candidate file —
+  * point lookups on a million-file table touch a handful of sidecars, and
+  * full scans / range queries never open one. Entries are keyed by exact
+  * file NAME (fresh names on rewrite ⇒ stale entries can never match a
+  * live file); an entry whose range covers no live file is dropped at the
+  * next manifest render. Name ordering is UTF8/byte order, same as
+  * [[GraftDeleteEntry]] — generated names are ASCII so it equals the
+  * writer's String min/max. */
+private[v2] case class GraftBloomSidecarEntry(name: String,
+    minFile: String, maxFile: String) {
+  def covers(fileName: String): Boolean = {
+    val f = UTF8String.fromString(fileName)
+    UTF8String.fromString(minFile).compareTo(f) <= 0 &&
+      f.compareTo(UTF8String.fromString(maxFile)) <= 0
+  }
+}
+
 /** `cdc` (manifest v5+): id of the change-data store under `_cdc/<id>`
   * recorded by the COW DML commit that PUBLISHED this snapshot — the
   * writer-emitted row-level change log (Delta CDF's `_change_data` files).
@@ -252,7 +276,9 @@ private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEnt
     deletes: Seq[GraftDeleteEntry] = Seq.empty, dml: Option[String] = None,
     eqDeletes: Seq[GraftEqDeleteEntry] = Seq.empty,
     fieldMeta: Option[GraftFieldMeta] = None,
-    refs: Map[String, GraftRef] = Map.empty, wap: Option[String] = None) {
+    refs: Map[String, GraftRef] = Map.empty, wap: Option[String] = None,
+    bloomCols: Option[String] = None,
+    blooms: Seq[GraftBloomSidecarEntry] = Seq.empty) {
   def isMor: Boolean = dml.contains("mor")
   def hasDeletes: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty
   /** Physical layout (field ids, positional) of one file's rows; None =
@@ -603,13 +629,19 @@ private[v2] object GraftStoreFormat {
       if (rest5c.head.startsWith("#wap="))
         (Some(rest5c.head.stripPrefix("#wap=")), rest5c.tail)
       else (None, rest5c)
+    // `#bloomcols=` header (optional, v13): the table's declared bloom-
+    // index columns (a property inherited by appends, like #cluster)
+    val (bloomCols, rest5e) =
+      if (rest5d.head.startsWith("#bloomcols="))
+        (Some(rest5d.head.stripPrefix("#bloomcols=")), rest5d.tail)
+      else (None, rest5d)
     // `#txn=` header (optional): the streaming-epoch token of the commit
     // that published this snapshot — the idempotency check a replayed
     // epoch commit is deduplicated against
     val (txn, lines) =
-      if (rest5d.head.startsWith("#txn="))
-        (Some(rest5d.head.stripPrefix("#txn=")), rest5d.tail)
-      else (None, rest5d)
+      if (rest5e.head.startsWith("#txn="))
+        (Some(rest5e.head.stripPrefix("#txn=")), rest5e.tail)
+      else (None, rest5e)
     // `~del` (v7+) / `~eqdel` (v8+) lines carry position- and equality-
     // delete files; the `~` sigil can never open a data-file name (those
     // are `part-…`)
@@ -651,7 +683,8 @@ private[v2] object GraftStoreFormat {
           else fetched(l.split("\t")(1))
         }
       }
-    val (eqLines, delLines) = tildeLines.partition(_.startsWith("~eqdel\t"))
+    val (bloomLines, tildeRest) = tildeLines.partition(_.startsWith("~bloom\t"))
+    val (eqLines, delLines) = tildeRest.partition(_.startsWith("~eqdel\t"))
     GraftManifest(
       StructType.fromDDL(lines.head),
       fileLines.map { l =>
@@ -677,7 +710,12 @@ private[v2] object GraftStoreFormat {
         val parts = l.split("\t", -1)
         GraftEqDeleteEntry(parts(1), parts(2).toLong, parts(3).toLong,
           unescStat(parts(4)).split(",").toSeq)
-      }, fieldMeta, refs, wap)
+      }, fieldMeta, refs, wap,
+      bloomCols,
+      bloomLines.map { l =>
+        val parts = l.split("\t", -1)
+        GraftBloomSidecarEntry(parts(1), unescStat(parts(2)), unescStat(parts(3)))
+      })
   }
 
   /** The table's HEAD: the newest manifest that is NOT a staged
@@ -855,8 +893,16 @@ private[v2] object GraftStoreFormat {
     body.split("\n").filter(_.startsWith("@seg\t")).map(_.split("\t")(1)).toSeq
   }
 
-  def commitManifest(path: String, conf: Configuration, m: GraftManifest,
+  def commitManifest(path: String, conf: Configuration, m0: GraftManifest,
       expectedSeq: Long): Boolean = {
+    // drop bloom sidecar entries whose covering range intersects no live
+    // file — after a compaction/rewrite cycle replaces every covered file
+    // (fresh names), the entry can never match again and carrying it would
+    // grow the manifest without bound. The sidecar FILE stays on disk for
+    // older snapshots that still reference it (expiry reclaims it).
+    val m =
+      if (m0.blooms.isEmpty) m0
+      else m0.copy(blooms = m0.blooms.filter(b => m0.files.exists(e => b.covers(e.name))))
     val f = fs(path, conf)
     val target = new Path(path, manifestName(expectedSeq))
     if (f.exists(target)) return false // fast-path CAS check before any I/O
@@ -883,8 +929,12 @@ private[v2] object GraftStoreFormat {
             if (r.branch) s"${escStat(n2)}:${r.seq}:b${r.forkSeq}"
             else s"${escStat(n2)}:${r.seq}" }.mkString(",")}\n") +
         m.wap.map(w => s"#wap=$w\n").getOrElse("") +
+        m.bloomCols.map(b => s"#bloomcols=$b\n").getOrElse("") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
         m.schema.toDDL + "\n" +
+        m.blooms.map(b =>
+          s"~bloom\t${b.name}\t${escStat(b.minFile)}\t${escStat(b.maxFile)}\n")
+          .mkString +
         m.deletes.map(d =>
           s"~del\t${d.name}\t${d.rows}\t${escStat(d.minTarget)}\t${escStat(d.maxTarget)}\n")
           .mkString +
@@ -1293,7 +1343,10 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       checkOption = Option(info.options.get("check")),
       dmlMode = Option(info.options.get("dmlMode")),
       wapId = Option(info.options.get("wapId")),
-      branch = Option(info.options.get("branch")))
+      branch = Option(info.options.get("branch")),
+      bloomColsOpt = Option(info.options.get("bloomCols")),
+      bloomBits = Option(info.options.get("bloomBits")).map(_.toInt)
+        .getOrElse(GraftBloomFilter.DefaultBits))
 }
 
 // ------------------------------------------------------------------- write
@@ -1343,7 +1396,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     clusterFiles: Int = 0, partitionBy: Option[String] = None, queryId: String = "",
     mergeSchema: Boolean = false, checkOption: Option[String] = None,
     dmlMode: Option[String] = None, wapId: Option[String] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None, bloomColsOpt: Option[String] = None,
+    bloomBits: Int = GraftBloomFilter.DefaultBits)
     extends WriteBuilder with SupportsTruncate {
   require(wapId.isEmpty || !truncate,
     "graft-store: write-audit-publish stages APPENDS; an overwrite cannot be staged")
@@ -1384,10 +1438,34 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   private lazy val compiledCheck: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
     effectiveCheck.map(GraftCheck.compile(schema, _))
 
+  /** Bloom-index columns in force for this write — a table property with
+    * the same declare/inherit discipline as CHECK: an overwrite
+    * (re)declares from the `bloomCols` option, an append inherits the
+    * stored property (or declares one on a table that has none). Columns
+    * validated against the write schema and [[GraftBloomFilter]]'s
+    * hashable types — a typo'd bloom column that silently indexed nothing
+    * would read as "no skipping" forever. */
+  private lazy val effectiveBloomCols: Option[String] = {
+    val stored =
+      if (truncate) None
+      else GraftStoreFormat.readLatestManifest(path, conf).flatMap(_.bloomCols)
+    val effective = if (truncate) bloomColsOpt else bloomColsOpt.orElse(stored)
+    effective.foreach { bc =>
+      bc.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+        val i = schema.fieldNames.indexOf(c)
+        require(i >= 0, s"graft-store: bloomCols column '$c' not in write schema")
+        require(GraftBloomFilter.supports(schema.fields(i).dataType),
+          s"graft-store: bloomCols unsupported for type " +
+            s"${schema.fields(i).dataType.simpleString} (column '$c')")
+      }
+    }
+    effective
+  }
+
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
       clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
-      branch)
+      branch, bloomColsOpt, bloomBits)
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -1413,7 +1491,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy,
-        mergeSchema, effectiveCheck, compiledCheck, dmlMode, wapId, branch)
+        mergeSchema, effectiveCheck, compiledCheck, dmlMode, wapId, branch,
+        effectiveBloomCols, bloomBits)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck,
         effectiveCheck)
@@ -1522,7 +1601,11 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
           dml = prevManifest.flatMap(_.dml),
           eqDeletes = prevManifest.map(_.eqDeletes).getOrElse(Seq.empty),
           fieldMeta = fieldMeta,
-          refs = prevManifest.map(_.refs).getOrElse(Map.empty)),
+          refs = prevManifest.map(_.refs).getOrElse(Map.empty),
+          // bloom sidecars carry like deletes (streamed files simply are
+          // not indexed — they never skip, never lie)
+          bloomCols = prevManifest.flatMap(_.bloomCols),
+          blooms = prevManifest.map(_.blooms).getOrElse(Seq.empty)),
         seq)
     }
     fs.delete(tmpDir, true)
@@ -1552,7 +1635,10 @@ private[v2] class GraftStoreStreamingWriterFactory(path: String, writeId: String
   * `partitionBy`. */
 private[v2] case class GraftCommitEntry(file: String, rows: Long, stats: String,
     partVals: String = "", nulls: String = "")
-private[v2] case class GraftCommitMessage(entries: Seq[GraftCommitEntry])
+/** `bloomSidecar`: (name, minFile, maxFile) of the task's bloom sidecar
+  * (one per TASK, not per file — commit metadata stays O(tasks)). */
+private[v2] case class GraftCommitMessage(entries: Seq[GraftCommitEntry],
+    bloomSidecar: Option[(String, String, String)] = None)
     extends WriterCommitMessage
 
 private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
@@ -1561,17 +1647,23 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     checkText: Option[String] = None,
     check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
     dmlMode: Option[String] = None, wapId: Option[String] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None, bloomCols: Option[String] = None,
+    bloomBits: Int = GraftBloomFilter.DefaultBits)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
   private val partitionBy: Option[String] = layout.map(_.render)
   private val declaredCluster: Option[String] =
     if (clusterBy.isEmpty) None else Some(clusterBy.mkString(","))
+  private val bloomSpec: Option[GraftBloomWriteSpec] =
+    bloomCols.map { bc =>
+      GraftBloomWriteSpec(bc.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0), bloomBits)
+    }.filter(_.colIdx.nonEmpty)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
-      GraftRoute.forLayout(layout, schema), check)
+      GraftRoute.forLayout(layout, schema), check, bloomSpec)
 
   /** Driver-side, exactly once, only with messages of successful attempts:
     * move the committed attempts' files live, publish the new manifest.
@@ -1594,6 +1686,14 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     committed.foreach { m =>
       fs.rename(new Path(tmpDir, m.file), new Path(path, m.file))
     }
+    // task-written bloom sidecars ride the same move; the manifest records
+    // name + covering data-file range only (commit metadata stays O(tasks))
+    val sidecars = messages
+      .flatMap(_.asInstanceOf[GraftCommitMessage].bloomSidecar).toSeq
+    sidecars.foreach { case (n, _, _) =>
+      fs.rename(new Path(tmpDir, n), new Path(path, n))
+    }
+    val newBlooms = sidecars.map { case (n, mn, mx) => GraftBloomSidecarEntry(n, mn, mx) }
     val newEntries = committed.map(m =>
       GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
         GraftStoreFormat.partValsFromString(m.partVals),
@@ -1678,6 +1778,14 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       val effCheck =
         if (truncate) checkText
         else prevManifest.flatMap(_.check).orElse(checkText)
+      // bloom-index columns: same property discipline; an append also
+      // carries the table's accumulated sidecar entries forward
+      val effBloomCols =
+        if (truncate) bloomCols
+        else prevManifest.flatMap(_.bloomCols).orElse(bloomCols)
+      val prevBlooms =
+        if (truncate) Seq.empty[GraftBloomSidecarEntry]
+        else prevManifest.map(_.blooms).getOrElse(Seq.empty)
       // partition-spec evolution: an append on an evolved table carries the
       // spec history and stamps its files with the CURRENT spec id; an
       // overwrite resets history (a fresh table state declares layout anew)
@@ -1727,7 +1835,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
         GraftManifest(tableSchema, prev ++ layoutStamped, partitionCol = partitionBy,
           clusterCols = cluster, check = effCheck, partitionSpecs = specs,
           deletes = dels, dml = dml, eqDeletes = eqDels, fieldMeta = fieldMeta,
-          refs = refs, wap = wapId.orElse(branch.map(b => s"branch:$b"))),
+          refs = refs, wap = wapId.orElse(branch.map(b => s"branch:$b")),
+          bloomCols = effBloomCols, blooms = prevBlooms ++ newBlooms),
         seq)
       // branch write landed: MOVE the ref on the main line (its own OCC
       // loop; a concurrent write to the SAME branch loses loudly — branch
@@ -1778,6 +1887,13 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
   * partition-KEY combination, where each key element is the column value
   * (identity transform, `buckets(j) == 0`) or its murmur3 bucket id
   * (bucket transform, `buckets(j) = n`). */
+/** Task-side bloom-index instructions: which column ordinals to index and
+  * the per-filter bit width (see [[GraftBloomFilter]]). */
+private[v2] case class GraftBloomWriteSpec(colIdx: Array[Int], bits: Int)
+    extends Serializable {
+  def words: Int = (bits + 63) / 64
+}
+
 private[v2] sealed trait GraftRoute extends Serializable
 private[v2] case object NoRoute extends GraftRoute
 /** Per-spec routing: `idx(j)` = the spec's column indices (identity: one;
@@ -1811,11 +1927,12 @@ private[v2] object GraftRoute {
 private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
     schema: StructType, conf: SerializableHadoopConf,
     route: GraftRoute = NoRoute,
-    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+    bloom: Option[GraftBloomWriteSpec] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftStoreDataWriter(path, writeId, partitionId, taskId, schema, conf.value,
-      route, check)
+      route, check, bloom)
 }
 
 /** Task-side writer. Normally one file per task attempt; under `partitionBy`
@@ -1835,7 +1952,8 @@ private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
 private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     partitionId: Int, taskId: Long, schema: StructType, conf: Configuration,
     route: GraftRoute = NoRoute,
-    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+    bloom: Option[GraftBloomWriteSpec] = None)
     extends DataWriter[InternalRow] {
   private val fs = GraftStoreFormat.fs(path, conf)
   private val n = schema.length
@@ -1862,9 +1980,31 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     // exact per-column null counts (one increment per null cell) — the
     // stat behind count(col) pushdown and IS [NOT] NULL file skipping
     val nullCnt = new Array[Long](n)
+    // per-bloom-column filter bits (empty when the table declares none)
+    val bloomWords: Array[Array[Long]] =
+      bloom.map(b => Array.fill(b.colIdx.length)(new Array[Long](b.words)))
+        .getOrElse(Array.empty)
 
     def write(record: InternalRow): Unit = {
       GraftStoreFormat.writeRow(out, record, schema); rows += 1
+      bloom.foreach { b =>
+        var j = 0
+        while (j < b.colIdx.length) {
+          val ci = b.colIdx(j)
+          if (!record.isNullAt(ci)) {
+            val dt = schema.fields(ci).dataType
+            val v: Any = dt match {
+              case LongType | TimestampType => Long.box(record.getLong(ci))
+              case IntegerType | DateType => Int.box(record.getInt(ci))
+              case StringType => record.getUTF8String(ci)
+              case _ => null
+            }
+            if (v != null) GraftBloomFilter.hashes(v, dt)
+              .foreach(GraftBloomFilter.set(bloomWords(j), _))
+          }
+          j += 1
+        }
+      }
       var i = 0
       while (i < n) {
         if (record.isNullAt(i)) nullCnt(i) += 1
@@ -2019,9 +2159,35 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     }
   }
 
-  override def commit(): WriterCommitMessage =
-    if (route == NoRoute) GraftCommitMessage(Seq(single.entry()))
-    else GraftCommitMessage(byValue.values.map(_.entry()).toSeq)
+  override def commit(): WriterCommitMessage = {
+    val sinks: Seq[FileSink] =
+      if (route == NoRoute) Seq(single) else byValue.values.toSeq
+    val entries = sinks.map(_.entry())
+    // one sidecar per TASK holding every non-empty file's per-column bloom
+    // bits; the message carries only its name + covering data-file range
+    // (generated names are pure ASCII, so String min/max == byte order)
+    val sidecar = bloom.flatMap { b =>
+      val indexed = sinks.filter(_.rows > 0L)
+      if (indexed.isEmpty) None
+      else {
+        val name = s"bloom-$writeId-$partitionId-$taskId.gsb"
+        val out = new DataOutputStream(new BufferedOutputStream(
+          fs.create(new Path(new Path(path, s"_tmp/$writeId"), name), true), 1 << 16))
+        try indexed.foreach { sk =>
+          var j = 0
+          while (j < b.colIdx.length) {
+            out.write((s"${schema.fields(b.colIdx(j)).name}\t${sk.file}\t" +
+              s"${GraftBloomFilter.K}\t${GraftBloomFilter.toBase64(sk.bloomWords(j))}\n")
+              .getBytes("UTF-8"))
+            j += 1
+          }
+        } finally out.close()
+        val names = indexed.map(_.file)
+        Some((name, names.min, names.max))
+      }
+    }
+    GraftCommitMessage(entries, sidecar)
+  }
   override def abort(): Unit =
     if (route == NoRoute) { if (singleTouched) single.abort() }
     else byValue.values.foreach(_.abort())
@@ -2402,7 +2568,10 @@ private[v2] class GraftStoreScan(protected val path: String,
     })
     val cluster = manifest.clusterCols.toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    (layoutCols ++ cluster).distinct
+    // bloom-indexed columns prune runtime INs too (hash-probe per file)
+    val bloomIdx = manifest.bloomCols.toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    (layoutCols ++ cluster ++ bloomIdx).distinct
       .filter(manifest.schema.fieldNames.contains)
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c))
       .toArray
@@ -2456,10 +2625,68 @@ private[v2] class GraftStoreScan(protected val path: String,
           case f => mayMatch(eL, f)
         }
       }
+      s = bloomPrune(s, eqs)
       selectedCache = s
     }
     s
   }
+
+  // ---- bloom sidecar probing (see [[GraftBloomSidecarEntry]]) ----------
+  // loaded lazily and ONLY for sidecars covering still-candidate files:
+  // a point lookup on a million-file table touches a handful of sidecars,
+  // a full scan or range query never opens one
+  private val bloomCache =
+    scala.collection.mutable.Map.empty[String, Map[(String, String), Array[Long]]]
+  private def bloomPrune(files: Seq[GraftFileEntry],
+      eqs: Map[String, Set[Any]]): Seq[GraftFileEntry] = {
+    val cols = manifest.bloomCols.toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    if (files.isEmpty || manifest.blooms.isEmpty || cols.isEmpty || eqs.isEmpty)
+      return files
+    // per constrained bloom column: the values' probe hashes. Bounded —
+    // probing a massive runtime IN against every candidate would cost more
+    // driver time than the reads it saves
+    val probes: Map[String, Seq[(Int, Int)]] = cols.flatMap { c =>
+      val idx = manifest.schema.fieldNames.indexOf(c)
+      if (idx < 0) None
+      else eqs.get(c).filter(_.size <= 1024).flatMap { vs =>
+        val dt = manifest.schema.fields(idx).dataType
+        val hs = vs.toSeq.map(v => GraftBloomFilter.hashes(v, dt))
+        if (hs.exists(_.isEmpty)) None else Some(c -> hs.flatten)
+      }
+    }.toMap
+    if (probes.isEmpty) return files
+    val needed = manifest.blooms.filter(b => files.exists(e => b.covers(e.name)))
+    needed.foreach(b =>
+      if (!bloomCache.contains(b.name)) bloomCache(b.name) = loadBloomSidecar(b.name))
+    files.filter { e =>
+      probes.forall { case (c, hs) =>
+        // first sidecar carrying (file, col) wins; none recorded = keep
+        // (files written before the index was declared never skip)
+        needed.iterator.filter(_.covers(e.name))
+          .flatMap(b => bloomCache(b.name).get((e.name, c)))
+          .nextOption() match {
+          case Some(bits) => hs.exists(h => GraftBloomFilter.mightContain(bits, h))
+          case None => true
+        }
+      }
+    }
+  }
+  private def loadBloomSidecar(name: String): Map[(String, String), Array[Long]] =
+    try {
+      val f = GraftStoreFormat.fs(path, conf.value)
+      val in = f.open(new Path(path, name))
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.split("\n").filter(_.nonEmpty).map { l =>
+        val parts = l.split("\t", -1)
+        (parts(1), parts(0)) -> GraftBloomFilter.fromBase64(parts(3))
+      }.toMap
+    } catch {
+      // an unreadable sidecar degrades to "no skipping", never to an error
+      case _: Throwable => Map.empty
+    }
 
   /** The spec string a FILE was written under: its partVals are positional
     * in THAT spec's elements, not the current one (partition-spec
@@ -3932,7 +4159,8 @@ object GraftStoreOps {
           check = headM.check.orElse(m.check), cdc = cdcId,
           partitionSpecs = headM.partitionSpecs,
           deletes = liveDels, dml = headM.dml.orElse(m.dml),
-          eqDeletes = liveEq, fieldMeta = headM.fieldMeta, refs = headM.refs),
+          eqDeletes = liveEq, fieldMeta = headM.fieldMeta, refs = headM.refs,
+          bloomCols = headM.bloomCols, blooms = headM.blooms),
         seq)
     }
     f.delete(new Path(scratch), true)
@@ -4155,7 +4383,8 @@ object GraftStoreOps {
           partitionCol = headM.partitionCol, clusterCols = headM.clusterCols,
           check = headM.check, partitionSpecs = headM.partitionSpecs,
           deletes = liveDels, dml = headM.dml, eqDeletes = liveEq,
-          fieldMeta = headM.fieldMeta, refs = headM.refs),
+          fieldMeta = headM.fieldMeta, refs = headM.refs,
+          bloomCols = headM.bloomCols, blooms = headM.blooms),
         seq)
     }
     f.delete(new Path(scratch), true)
@@ -4570,6 +4799,9 @@ object GraftStoreOps {
     val referenced =
       keepM.flatMap(m => m.files.map(_.name) ++ m.deletes.map(_.name) ++
         m.eqDeletes.map(_.name)).toSet
+    // bloom sidecars (`bloom-` named) referenced by retained snapshots
+    // survive; the rest go with the dropped history
+    val keptBlooms = keepM.flatMap(_.blooms.map(_.name)).toSet
     // change stores referenced by DROPPED snapshots go with them — but only
     // those (an UNREFERENCED _cdc dir might belong to an in-flight COW
     // commit whose manifest hasn't landed yet; crash orphans linger, tiny
@@ -4589,7 +4821,8 @@ object GraftStoreOps {
     val orphans = f.listStatus(new Path(path)).map(_.getPath)
       .filter { p =>
         (p.getName.startsWith("part-") && !referenced.contains(p.getName)) ||
-        (p.getName.startsWith("_seg-") && !keptSegs.contains(p.getName))
+        (p.getName.startsWith("_seg-") && !keptSegs.contains(p.getName)) ||
+        (p.getName.startsWith("bloom-") && !keptBlooms.contains(p.getName))
       }
     orphans.foreach(p => try f.delete(p, false) catch { case _: Throwable => () })
     (drop.size, orphans.count(_.getName.startsWith("part-")))
