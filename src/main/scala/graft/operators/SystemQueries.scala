@@ -2617,6 +2617,51 @@ object SystemQueries {
            |  TRUE AS bloom_skipped
            |FROM orders WHERE o_orderkey IN (11, 2500, 7777)""".stripMargin))
 
+  /** Streaming ADMISSION CONTROL on the graft-store source
+    * (`maxFilesPerTrigger` — [[graft.sources.v2
+    * .GraftStoreMicroBatchStream]], the Delta/file-source backfill knob):
+    * a stream starting over a populated table must not plan the whole
+    * backlog as one giant micro-batch (checkpoint progress hostage to the
+    * slowest task, memory spiked, sink flooded). The end offset advances
+    * file by file via `seq:part` sub-offsets, so even one massive
+    * backfill commit streams in bounded slices. The `bounded_batches`
+    * bit pins it: draining the 6-file backlog at 1 file/trigger takes
+    * ≥6 non-empty batches, and the drained content still aggregates to
+    * exactly the table (nothing lost, nothing doubled at the batch
+    * seams). */
+  val q179StreamRateLimit = QuerySpec(
+    "q179_stream_ratelimit", "S-dsv2-stream-ratelimit",
+    "admission control: backlog drains in bounded per-trigger batches, content exact",
+    (s, d) => withStatePartitions(s, 8) {
+      val path = "/tmp/graft_store_q179"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
+        .repartition(4)
+        .write.format("graft-store").mode("append").save(path)
+      Tables.supplier(s, d)
+        .select((col("s_suppkey") + 1000000).as("s_suppkey"),
+          col("s_nationkey"), col("s_acctbal"))
+        .repartition(2)
+        .write.format("graft-store").mode("append").save(path)
+      val stream = s.readStream.format("graft-store")
+        .option("maxFilesPerTrigger", "1").load(path)
+      val q = stream.writeStream
+        .format("memory").queryName("q179_out")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      s.table("q179_out")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("sum_bal"))
+        .withColumn("bounded_batches", lit(batches >= 6))
+    },
+    Some("""SELECT s_nationkey, CAST(count(*) * 2 AS BIGINT) AS n,
+           |  round(sum(s_acctbal) * 2, 2) AS sum_bal, TRUE AS bounded_batches
+           |FROM supplier GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2631,5 +2676,6 @@ object SystemQueries {
     q163MorPurge, q164MorSqlUpdate, q165MorSqlMerge, q166MorUpsert,
     q167StreamForget, q168AggPushdown, q169FieldIdEvolution, q170NullStats,
     q171TagsWap, q172EqCdcResolve, q173Branches, q174CompactSmall,
-    q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip)
+    q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip,
+    q179StreamRateLimit)
 }

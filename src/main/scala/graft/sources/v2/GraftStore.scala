@@ -2366,7 +2366,10 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
   override def build(): Scan = aggResult match {
     case Some((aggSchema, row)) => GraftLocalAggScan(aggSchema, Array(row))
     case None =>
-      newScan(path, manifest, required, pushed, new SerializableHadoopConf(conf))
+      val s = newScan(path, manifest, required, pushed, new SerializableHadoopConf(conf))
+      s.streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+      s.streamMaxRows = Option(options.get("maxRowsPerTrigger")).map(_.toLong)
+      s
   }
   /** Scan factory — the row-level operation's builder overrides this to
     * produce a [[GraftRowLevelScan]] (runtime group filtering). */
@@ -2872,18 +2875,41 @@ private[v2] class GraftStoreScan(protected val path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(manifest.schema, required, conf)
 
+  // streaming admission-control knobs (read options), injected by the
+  // scan builder — plumbing only, the stream owns the semantics
+  private[v2] var streamMaxFiles: Option[Int] = None
+  private[v2] var streamMaxRows: Option[Long] = None
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftStoreMicroBatchStream(path, manifest.schema, required, conf)
+    new GraftStoreMicroBatchStream(path, manifest.schema, required, conf,
+      streamMaxFiles, streamMaxRows)
 }
 
 /** Streaming offset = snapshot SEQUENCE NUMBER (-1 = before the first
   * snapshot). Total order, restart-safe (the seq is durable in manifest
   * names), and trivially JSON-serializable for the checkpoint log. */
-private[v2] case class GraftSnapshotOffset(seq: Long)
+/** `part` (admission control, -1 = snapshot fully consumed): how many of
+  * snapshot `seq`'s added files (in their stable name-sorted order) the
+  * stream has emitted — the sub-snapshot position a rate-limited stream
+  * checkpoints mid-backfill. Legacy checkpoints ("12") parse as complete
+  * snapshots; complete offsets keep rendering the legacy form, so turning
+  * rate limiting on or off never invalidates a checkpoint. */
+private[v2] case class GraftSnapshotOffset(seq: Long, part: Long = -1L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = seq.toString
+  override def json(): String = if (part < 0) seq.toString else s"$seq:$part"
 }
+private[v2] object GraftSnapshotOffset {
+  def parse(json: String): GraftSnapshotOffset = json.split(":") match {
+    case Array(s) => GraftSnapshotOffset(s.toLong)
+    case Array(s, p) => GraftSnapshotOffset(s.toLong, p.toLong)
+    case _ => throw new IllegalArgumentException(s"bad graft-store offset: $json")
+  }
+}
+
+/** Composite read limit carrying both trigger knobs (Spark's built-in
+  * ReadLimit factories are single-dimension). */
+private[v2] case class GraftReadLimit(maxFiles: Option[Int], maxRows: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.ReadLimit
 
 /** graft-store as a STREAMING SOURCE: each micro-batch reads the data
   * files ADDED between two snapshots — incremental snapshot tailing, the
@@ -2908,11 +2934,67 @@ private[v2] case class GraftSnapshotOffset(seq: Long)
   *     standard retention/streaming interaction; keep retention longer
   *     than stream lag). */
 private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
-    required: StructType, conf: SerializableHadoopConf)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    required: StructType, conf: SerializableHadoopConf,
+    maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit,
+    ReadMaxFiles, ReadMaxRows}
+
+  maxFilesPerTrigger.foreach(n => require(n >= 1,
+    s"graft-store: maxFilesPerTrigger must be >= 1, got $n"))
+  maxRowsPerTrigger.foreach(n => require(n >= 1,
+    s"graft-store: maxRowsPerTrigger must be >= 1, got $n"))
 
   private def manifests = GraftStoreFormat.listManifests(path, conf.value)
+
+  // manifests are IMMUTABLE once published — cache reads (bounded FIFO:
+  // a tailing stream only revisits a recent window)
+  private val mCache = scala.collection.mutable.LinkedHashMap.empty[Long, GraftManifest]
+  private def manifestAt(ms: Seq[Path], seq: Long): Option[GraftManifest] =
+    mCache.get(seq).orElse {
+      val m = ms.find(p => GraftStoreFormat.manifestSeq(p) == seq)
+        .map(p => GraftStoreFormat.readManifestFile(path, conf.value, p))
+      m.foreach { mm =>
+        mCache(seq) = mm
+        if (mCache.size > 32) mCache -= mCache.head._1
+      }
+      m
+    }
+
+  /** Added files of snapshot `k` vs the nearest NON-STAGED snapshot before
+    * it in the retained listing, name-sorted — the stable sub-snapshot
+    * order partial offsets index into. An expired diff base degrades to
+    * "everything is new" (the documented at-least-once-under-vacuum
+    * contract); a staged (`#wap=`) base is skipped so a published stage's
+    * files emit exactly at publish, never early. */
+  private def addedOf(ms: Seq[Path], k: Long): Seq[GraftFileEntry] =
+    manifestAt(ms, k) match {
+      case None => Seq.empty
+      case Some(mk) =>
+        val baseSeq = ms.map(p => GraftStoreFormat.manifestSeq(p))
+          .filter(_ < k).sorted.reverse
+          .find(s => manifestAt(ms, s).exists(_.wap.isEmpty))
+        val before: Set[String] = baseSeq.flatMap(manifestAt(ms, _))
+          .map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+        mk.files.filterNot(f => before.contains(f.name)).sortBy(_.name)
+    }
+
+  private def slice(m: GraftManifest, f: GraftFileEntry): InputPartition = {
+    // the stream's schema is pinned at start: files written AFTER an
+    // additive evolution are WIDER than the pinned schema and cannot be
+    // decoded under it — fail loudly (restart the stream to pick up the
+    // evolved schema); narrower (pre-evolution) files null-extend fine
+    val w = f.ncols.getOrElse(m.schema.length)
+    require(w <= full.length,
+      s"graft-store: file ${f.name} was written under an evolved schema " +
+        s"($w cols > pinned ${full.length}); restart the stream to adopt it")
+    GraftStoreFormat.requireOrdinalLayout(m, f, "file")
+    // append-mode semantics: the snapshot-tail stream emits added files
+    // as-is and never retracts — position deletes (merge-on-read DML)
+    // are NOT applied here, same contract as overwrites
+    GraftFilePartition(GraftFileSlice(new Path(path, f.name).toString, w))
+  }
 
   override def initialOffset(): Offset = GraftSnapshotOffset(-1L)
   /** Latest NON-STAGED snapshot: a pending write-audit-publish commit is
@@ -2928,38 +3010,105 @@ private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
     GraftSnapshotOffset(
       if (i >= 0) GraftStoreFormat.manifestSeq(ms(i)) else -1L)
   }
+
+  /** ADMISSION CONTROL (`maxFilesPerTrigger` / `maxRowsPerTrigger` read
+    * options — the Delta/file-source backfill knob): a freshly started
+    * stream over a large table, or one resuming after downtime, must not
+    * plan the whole backlog as ONE micro-batch (a single giant batch
+    * holds checkpoint progress hostage to its slowest task and spikes
+    * executor memory; bounded batches give steady progress, retryable
+    * units, and a throttle the sink can absorb). The end offset advances
+    * snapshot by snapshot until the budget is spent; INSIDE a snapshot it
+    * advances file by file (`part` sub-offsets), so even a million-file
+    * backfill commit streams in bounded slices. Row budget is
+    * manifest-served (exact per-file rows, no file-system I/O); a single
+    * file larger than the budget still ships whole — progress is
+    * guaranteed, the limit is a target not a straitjacket. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val so = start.asInstanceOf[GraftSnapshotOffset]
+    val (mf, mr) = limit match {
+      case g: GraftReadLimit => (g.maxFiles, g.maxRows)
+      case rm: ReadMaxFiles => (Some(rm.maxFiles()), None)
+      case rr: ReadMaxRows => (None, Some(rr.maxRows()))
+      case _ => (None, None)
+    }
+    if (mf.isEmpty && mr.isEmpty) return latestOffset()
+    val ms = manifests
+    var filesLeft = mf.map(_.toLong).getOrElse(Long.MaxValue)
+    var rowsLeft = mr.getOrElse(Long.MaxValue)
+    var result: GraftSnapshotOffset = so
+    var done = false
+    // consume: from `startIdx` into snapshot k's added files, as far as
+    // the budget reaches (the budget check ADMITS the first file and
+    // subtracts after — oversized single files make progress)
+    def take(k: Long, startIdx: Int): Unit = {
+      val added = addedOf(ms, k)
+      var idx = startIdx
+      while (idx < added.length && filesLeft > 0 && rowsLeft > 0) {
+        filesLeft -= 1; rowsLeft -= added(idx).rows; idx += 1
+      }
+      if (idx >= added.length) result = GraftSnapshotOffset(k)
+      else {
+        if (idx > startIdx || startIdx > 0) result = GraftSnapshotOffset(k, idx.toLong)
+        done = true
+      }
+      if (filesLeft <= 0 || rowsLeft <= 0) done = true
+    }
+    if (so.part >= 0) take(so.seq, so.part.toInt)
+    val newer = ms.map(p => GraftStoreFormat.manifestSeq(p)).filter(_ > so.seq).sorted
+    for (k <- newer if !done)
+      if (manifestAt(ms, k).exists(_.wap.isEmpty)) take(k, 0)
+    result
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger.isEmpty && maxRowsPerTrigger.isEmpty)
+      ReadLimit.allAvailable()
+    else GraftReadLimit(maxFilesPerTrigger, maxRowsPerTrigger)
+
   override def deserializeOffset(json: String): Offset =
-    GraftSnapshotOffset(json.toLong)
+    GraftSnapshotOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftSnapshotOffset].seq
-    val e = end.asInstanceOf[GraftSnapshotOffset].seq
-    if (e <= s) return Array.empty
+    val so = start.asInstanceOf[GraftSnapshotOffset]
+    val eo = end.asInstanceOf[GraftSnapshotOffset]
     val ms = manifests
-    def manifestAt(seq: Long): Option[GraftManifest] =
-      ms.find(p => GraftStoreFormat.manifestSeq(p) == seq)
-        .map(p => GraftStoreFormat.readManifestFile(path, conf.value, p))
-    val before: Set[String] =
-      if (s < 0) Set.empty
-      else manifestAt(s).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
-    val endM = manifestAt(e)
-    val added = endM.map(_.files.filterNot(f => before.contains(f.name)))
-      .getOrElse(Seq.empty).sortBy(_.name)
-    added.map { f =>
-      // the stream's schema is pinned at start: files written AFTER an
-      // additive evolution are WIDER than the pinned schema and cannot be
-      // decoded under it — fail loudly (restart the stream to pick up the
-      // evolved schema); narrower (pre-evolution) files null-extend fine
-      val w = f.ncols.getOrElse(endM.get.schema.length)
-      require(w <= full.length,
-        s"graft-store: file ${f.name} was written under an evolved schema " +
-          s"($w cols > pinned ${full.length}); restart the stream to adopt it")
-      GraftStoreFormat.requireOrdinalLayout(endM.get, f, "file")
-      // append-mode semantics: the snapshot-tail stream emits added files
-      // as-is and never retracts — position deletes (merge-on-read DML)
-      // are NOT applied here, same contract as overwrites above
-      GraftFilePartition(GraftFileSlice(new Path(path, f.name).toString, w)): InputPartition
-    }.toArray
+    if (so.part < 0 && eo.part < 0) {
+      // legacy whole-snapshot batch: ONE diff, end vs start listing —
+      // byte-identical behavior to pre-admission-control checkpoints
+      val s = so.seq
+      val e = eo.seq
+      if (e <= s) return Array.empty
+      val before: Set[String] =
+        if (s < 0) Set.empty
+        else manifestAt(ms, s).map(_.files.map(_.name).toSet).getOrElse(Set.empty)
+      val endM = manifestAt(ms, e)
+      val added = endM.map(_.files.filterNot(f => before.contains(f.name)))
+        .getOrElse(Seq.empty).sortBy(_.name)
+      added.map(f => slice(endM.get, f)).toArray
+    } else {
+      // rate-limited batch: walk non-staged snapshots in (start, end],
+      // slicing the boundary snapshots by their sub-offsets. Replay is
+      // deterministic: manifests are immutable and the added order is
+      // name-sorted.
+      if (eo.seq < so.seq || (eo.seq == so.seq && eo.part >= 0 &&
+          so.part >= 0 && eo.part <= so.part)) return Array.empty
+      val seqs = ms.map(p => GraftStoreFormat.manifestSeq(p))
+        .filter(k => k >= so.seq && k <= eo.seq).sorted
+      seqs.flatMap { k =>
+        val include =
+          if (k == so.seq) so.part >= 0 // resume inside a partial snapshot
+          else manifestAt(ms, k).exists(_.wap.isEmpty)
+        if (!include) Seq.empty
+        else {
+          val added = addedOf(ms, k)
+          val from = if (k == so.seq && so.part >= 0) so.part.toInt else 0
+          val until =
+            if (k == eo.seq && eo.part >= 0) eo.part.toInt else added.length
+          val m = manifestAt(ms, k).get
+          added.slice(from, until).map(f => slice(m, f))
+        }
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
