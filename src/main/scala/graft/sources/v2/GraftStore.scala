@@ -1160,6 +1160,80 @@ private[v2] object GraftStoreFormat {
     if (skipped > 0) prunedBytesSkipped.add(skipped)
     vals
   }
+
+  /** Compact per-column type codes for the hot decode loop — collapses the
+    * per-field DataType pattern match into a byte switch:
+    * 0=long 1=int 2=double 3=float 4=bool 5=string. */
+  def typeCodes(schema: StructType): Array[Byte] = schema.fields.map(_.dataType match {
+    case LongType | TimestampType => 0: Byte
+    case IntegerType | DateType   => 1: Byte
+    case DoubleType               => 2: Byte
+    case FloatType                => 3: Byte
+    case BooleanType              => 4: Byte
+    case StringType               => 5: Byte
+    case other => throw new UnsupportedOperationException(
+      s"graft-store: unsupported type $other")
+  })
+}
+
+/** BUFFERED row decoder — the data reader's hot path. The stream-based
+  * [[GraftStoreFormat.readRowPruned]] pays two synchronized
+  * BufferedInputStream calls plus a DataType pattern match PER FIELD; at
+  * scan speed that is the bottleneck, not I/O. This decoder works off the
+  * whole file read into one array (task-sized files — the same buffering
+  * discipline as a Parquet row group): absolute ByteBuffer reads
+  * (intrinsified, big-endian like the writer), a byte-switch on
+  * precomputed type codes, ZERO-COPY strings (`UTF8String.fromBytes`
+  * wraps the buffer region — safe: the buffer is read-only and Spark
+  * copies rows on materialization), and pruned fields advance by pure
+  * cursor arithmetic. Contract matches the stream decoder: clean EOF
+  * exactly at buffer end, loud failure mid-row. */
+private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[Byte]) {
+  private val bb = java.nio.ByteBuffer.wrap(buf)
+  private var pos = 0
+  private var skipped = 0L
+
+  /** Decode the next row's `wanted` fields into `vals` (pruned slots are
+    * nulled); false at clean EOF. `vals` is caller-owned and reused — the
+    * values it holds are invalidated by the next call. */
+  def readPruned(wanted: Array[Boolean], vals: Array[Any]): Boolean = {
+    if (pos >= buf.length) { flushSkipped(); return false }
+    require(buf(pos) == 1, s"graft-store: corrupt row marker ${buf(pos)}")
+    pos += 1
+    var i = 0
+    while (i < codes.length) {
+      if (buf(pos) == 1) { vals(i) = null; pos += 1 }
+      else {
+        pos += 1
+        if (wanted(i)) codes(i) match {
+          case 0 => vals(i) = bb.getLong(pos); pos += 8
+          case 1 => vals(i) = bb.getInt(pos); pos += 4
+          case 2 => vals(i) = bb.getDouble(pos); pos += 8
+          case 3 => vals(i) = bb.getFloat(pos); pos += 4
+          case 4 => vals(i) = buf(pos) != 0; pos += 1
+          case _ =>
+            val len = bb.getInt(pos); pos += 4
+            vals(i) = UTF8String.fromBytes(buf, pos, len); pos += len
+        } else {
+          vals(i) = null
+          codes(i) match {
+            case 0 | 2 => pos += 8; skipped += 8
+            case 1 | 3 => pos += 4; skipped += 4
+            case 4 => pos += 1; skipped += 1
+            case _ => val len = bb.getInt(pos); pos += 4 + len; skipped += len
+          }
+        }
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Fold locally-tallied pruned bytes into the JVM counter (EOF/close —
+    * once per file, not once per row). */
+  def flushSkipped(): Unit = {
+    if (skipped > 0) { GraftStoreFormat.prunedBytesSkipped.add(skipped); skipped = 0 }
+  }
 }
 
 /** Hadoop Configuration is not Serializable; standard wrapper (same shape
@@ -5043,7 +5117,9 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
     }
     new PartitionReader[InternalRow] {
       private var remaining = files
-      private var in: DataInputStream = _
+      private var in: DataInputStream = _           // stream fallback (>1 GiB files)
+      private var bufr: GraftBufferedRowReader = _  // buffered hot path
+      private var vals: Array[Any] = _              // reused decode target
       private var fileSchema: StructType = _
       private var tableToPhys: Array[Int] = _
       private var cur: Array[Any] = _
@@ -5065,7 +5141,23 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
         case s +: rest =>
           remaining = rest
           val fs = new Path(s.file).getFileSystem(conf.value)
-          in = new DataInputStream(new BufferedInputStream(fs.open(new Path(s.file)), 1 << 16))
+          // whole-file buffer (the Parquet row-group buffering discipline:
+          // files are task-sized); a pathological >1 GiB file falls back
+          // to the stream decoder rather than a 2 GB array
+          val fLen = fs.getFileStatus(new Path(s.file)).getLen
+          if (fLen <= (1L << 30)) {
+            val bytes = new Array[Byte](fLen.toInt)
+            val din = fs.open(new Path(s.file))
+            try din.readFully(0L, bytes) finally din.close()
+            in = null
+            bufr = null // type codes need fileSchema, set below
+            vals = null
+            // defer reader construction until fileSchema is known
+            pendingBuf = bytes
+          } else {
+            pendingBuf = null
+            in = new DataInputStream(new BufferedInputStream(fs.open(new Path(s.file)), 1 << 16))
+          }
           // a file decodes with its own PHYSICAL schema: on never-evolved
           // tables a prefix of the table schema (columns it never held
           // read as null below); on field-id-evolved tables the remap's
@@ -5108,9 +5200,16 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
             })
             w
           }
+          if (pendingBuf != null) {
+            bufr = new GraftBufferedRowReader(pendingBuf,
+              GraftStoreFormat.typeCodes(fileSchema))
+            vals = new Array[Any](fileSchema.length)
+            pendingBuf = null
+          }
           true
         case _ => false
       }
+      private var pendingBuf: Array[Byte] = _
       /** Key tuples of one equality-delete store, decoded at the key
         * columns' table types (indices into the table schema — key column
         * types never change across additive evolution). */
@@ -5165,11 +5264,19 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
         buf.distinct.sorted.toArray
       }
       override def next(): Boolean = {
-        if (in == null && !openNext()) return false
+        if (in == null && bufr == null && !openNext()) return false
         while (true) {
-          cur = GraftStoreFormat.readRowPruned(in, fileSchema, wanted)
-          if (cur == null) {
-            in.close(); in = null
+          val got =
+            if (bufr != null) {
+              if (bufr.readPruned(wanted, vals)) { cur = vals; true }
+              else { cur = null; false }
+            } else {
+              cur = GraftStoreFormat.readRowPruned(in, fileSchema, wanted)
+              cur != null
+            }
+          if (!got) {
+            if (in != null) { in.close(); in = null }
+            bufr = null
             if (!openNext()) return false
           } else {
             pos += 1
@@ -5181,16 +5288,31 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
         }
         false // unreachable
       }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(keep.toSeq.map { i =>
-          if (i == -1) curFile
-          else if (i == -2) pos
-          else {
-            val p = tableToPhys(i)
-            if (p >= 0) cur(p) else null
-          }
-        })
-      override def close(): Unit = if (in != null) in.close()
+      // reused output row (standard source-reader contract: the returned
+      // row is invalidated by the next call to next(); Spark materializes
+      // before buffering)
+      private val outVals = new Array[Any](keep.length)
+      private val outRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(outVals)
+      override def get(): InternalRow = {
+        var j = 0
+        while (j < keep.length) {
+          val i = keep(j)
+          outVals(j) =
+            if (i == -1) curFile
+            else if (i == -2) pos
+            else {
+              val p = tableToPhys(i)
+              if (p >= 0) cur(p) else null
+            }
+          j += 1
+        }
+        outRow
+      }
+      override def close(): Unit = {
+        if (in != null) in.close()
+        if (bufr != null) bufr.flushSkipped()
+      }
     }
   }
 }
