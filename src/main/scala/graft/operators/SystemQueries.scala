@@ -2662,6 +2662,137 @@ object SystemQueries {
            |  round(sum(s_acctbal) * 2, 2) AS sum_bal, TRUE AS bounded_batches
            |FROM supplier GROUP BY 1""".stripMargin))
 
+  /** Target-file-size ROLLING writes (`targetFileBytes` —
+    * [[graft.sources.v2.GraftStoreDataWriter]], Iceberg's
+    * write.target-file-size-bytes): a sink crossing the target finalizes
+    * and a fresh file opens for the same route key, so file sizes stay
+    * bounded regardless of task skew. Bounded files keep the READ side
+    * healthy at 100 TB: whole-file read buffers stay modest, scan
+    * parallelism tracks data volume (one skewed 50 GB task no longer
+    * yields one unsplittable 50 GB file), rewrite units stay retryable.
+    * The `bounded_files` bit pins both directions: rolling produced
+    * strictly more files than tasks AND no file exceeds target+slack. */
+  val q180RollingWrite = QuerySpec(
+    "q180_rolling_write", "S-dsv2-target-file-size",
+    "targetFileBytes rolling write: bounded file sizes under task skew",
+    (s, d) => {
+      val path = "/tmp/graft_store_q180"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsPath, true)
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+        .coalesce(2) // skew the tasks: ~30k rows each at sf0.01
+        .write.format("graft-store")
+        .option("targetFileBytes", (128 * 1024).toString)
+        .mode("overwrite").save(path)
+      val m = graft.sources.v2.GraftStoreOps.snapshotFiles(s, path, 0)
+      val sizesOk = m.forall { case (name, _, _) =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(path, name))
+          .getLen <= 128 * 1024 + 1024
+      }
+      val bounded = m.size > 2 && sizesOk
+      s.read.format("graft-store").load(path)
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_key"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .withColumn("bounded_files", lit(bounded))
+    },
+    Some("""SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+           |  round(sum(l_extendedprice), 2) AS sum_price,
+           |  TRUE AS bounded_files
+           |FROM lineitem""".stripMargin))
+
+  /** Orphan-file cleanup ([[graft.sources.v2.GraftStoreOps
+    * .removeOrphans]] — Iceberg's `remove_orphan_files`): a commit moves
+    * data files live BEFORE its manifest publishes, so a crash in that
+    * window strands live-named files no snapshot lists, plus `_tmp`
+    * scratch. The op reclaims exactly those — referenced by NO manifest,
+    * OLDER than the grace period — and drops zero history. Bits:
+    * fabricated debris removed (`debris_gone`), every snapshot reads
+    * unchanged afterwards (`history_intact` + the oracle's agg). */
+  val q181RemoveOrphans = QuerySpec(
+    "q181_remove_orphans", "S-dsv2-orphan-cleanup",
+    "orphan cleanup: crash debris reclaimed, no history dropped",
+    (s, d) => {
+      val path = "/tmp/graft_store_q181"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsPath, true)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 5000).repartition(2)
+        .write.format("graft-store").mode("overwrite").save(path) // snap 0
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") >= 5000).coalesce(1)
+        .write.format("graft-store").mode("append").save(path) // snap 1
+      val snap0 = s.read.format("graft-store").option("snapshot", "0")
+        .load(path).count()
+      fs.create(new org.apache.hadoop.fs.Path(path, "part-orphan-0-0.gsf"), true).close()
+      fs.mkdirs(new org.apache.hadoop.fs.Path(path, "_tmp/orphanwrite"))
+      Thread.sleep(50)
+      val (removed, dirs) =
+        graft.sources.v2.GraftStoreOps.removeOrphans(s, path, olderThanMillis = 1)
+      val debrisGone = removed == 1 && dirs == 1 &&
+        !fs.exists(new org.apache.hadoop.fs.Path(path, "part-orphan-0-0.gsf"))
+      val historyIntact = s.read.format("graft-store").option("snapshot", "0")
+        .load(path).count() == snap0
+      s.read.format("graft-store").load(path)
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("debris_gone", lit(debrisGone))
+        .withColumn("history_intact", lit(historyIntact))
+    },
+    Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS debris_gone, TRUE AS history_intact
+           |FROM orders""".stripMargin))
+
+  /** `tbl$partitions` metadata table ([[graft.sources.v2.GraftMetaTables
+    * .partitions]] — Iceberg's `partitions` table): per-partition file
+    * and row counts straight from the manifest's explicit partVals, zero
+    * data reads (a LocalScan). The operational lens at 100 TB: which
+    * buckets are skewed, where small files collect, whether spec
+    * evolution left mixed layouts. The oracle pins the row counts per
+    * bucket against a DuckDB recomputation of the SAME murmur3 bucket
+    * function — the manifest's metadata must agree with the data. */
+  val q182PartitionsMeta = QuerySpec(
+    "q182_partitions_meta", "S-dsv2-partitions-table",
+    "tbl$partitions: manifest-served per-partition rows match the data",
+    (s, d) => {
+      val base = "/tmp/graft_store_q182"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .write.format("graft-store").option("partitionBy", "bucket(8,o_orderkey)")
+        .mode("overwrite").save(s"$base/ord")
+      s.conf.set("spark.sql.catalog.gq182", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq182.base", base)
+      try {
+        val meta = s.sql(
+          """SELECT CAST(partition AS INT) AS bucket,
+            |  CAST(sum(n_rows) AS BIGINT) AS n_rows
+            |FROM gq182.`ord$partitions` GROUP BY 1""".stripMargin)
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        // DuckDB cannot compute murmur3 bucket ids, so the data-side
+        // recomputation runs HERE with the writer's own hash; the oracle
+        // then only needs the invariant bit + an oracle-stable aggregate
+        val bucketOf = udf((k: Long) =>
+          graft.sources.v2.GraftBucket.of(k, org.apache.spark.sql.types.LongType, 8))
+        val data = s.read.format("graft-store").load(s"$base/ord")
+          .groupBy(bucketOf(col("o_orderkey")).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val metaMatches = meta.nonEmpty && (meta sameElements data)
+        s.read.format("graft-store").load(s"$base/ord")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+          .withColumn("meta_matches", lit(metaMatches))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq182")
+        s.conf.unset("spark.sql.catalog.gq182.base")
+      }
+    },
+    Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS meta_matches
+           |FROM orders""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2677,5 +2808,5 @@ object SystemQueries {
     q167StreamForget, q168AggPushdown, q169FieldIdEvolution, q170NullStats,
     q171TagsWap, q172EqCdcResolve, q173Branches, q174CompactSmall,
     q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip,
-    q179StreamRateLimit)
+    q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta)
 }

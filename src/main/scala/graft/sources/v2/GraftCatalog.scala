@@ -85,6 +85,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         case "deletes" => GraftMetaTables.deletes(basePath, conf)
         case "refs" => GraftMetaTables.refs(basePath, conf)
         case "segments" => GraftMetaTables.segments(basePath, conf)
+        case "partitions" => GraftMetaTables.partitions(basePath, conf)
         case _ => throw new NoSuchTableException(ident)
       }
     } else load(ident, Map.empty)

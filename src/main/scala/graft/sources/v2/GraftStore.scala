@@ -1420,7 +1420,8 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       branch = Option(info.options.get("branch")),
       bloomColsOpt = Option(info.options.get("bloomCols")),
       bloomBits = Option(info.options.get("bloomBits")).map(_.toInt)
-        .getOrElse(GraftBloomFilter.DefaultBits))
+        .getOrElse(GraftBloomFilter.DefaultBits),
+      targetFileBytes = Option(info.options.get("targetFileBytes")).map(_.toLong))
 }
 
 // ------------------------------------------------------------------- write
@@ -1471,8 +1472,11 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     mergeSchema: Boolean = false, checkOption: Option[String] = None,
     dmlMode: Option[String] = None, wapId: Option[String] = None,
     branch: Option[String] = None, bloomColsOpt: Option[String] = None,
-    bloomBits: Int = GraftBloomFilter.DefaultBits)
+    bloomBits: Int = GraftBloomFilter.DefaultBits,
+    targetFileBytes: Option[Long] = None)
     extends WriteBuilder with SupportsTruncate {
+  targetFileBytes.foreach(t => require(t >= 1024,
+    s"graft-store: targetFileBytes must be >= 1024, got $t"))
   require(wapId.isEmpty || !truncate,
     "graft-store: write-audit-publish stages APPENDS; an overwrite cannot be staged")
   require(branch.isEmpty || !truncate,
@@ -1539,7 +1543,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
       clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
-      branch, bloomColsOpt, bloomBits)
+      branch, bloomColsOpt, bloomBits, targetFileBytes)
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -1566,7 +1570,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite =
       new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy,
         mergeSchema, effectiveCheck, compiledCheck, dmlMode, wapId, branch,
-        effectiveBloomCols, bloomBits)
+        effectiveBloomCols, bloomBits, targetFileBytes)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck,
         effectiveCheck)
@@ -1722,7 +1726,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
     dmlMode: Option[String] = None, wapId: Option[String] = None,
     branch: Option[String] = None, bloomCols: Option[String] = None,
-    bloomBits: Int = GraftBloomFilter.DefaultBits)
+    bloomBits: Int = GraftBloomFilter.DefaultBits,
+    targetFileBytes: Option[Long] = None)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
@@ -1737,7 +1742,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
-      GraftRoute.forLayout(layout, schema), check, bloomSpec)
+      GraftRoute.forLayout(layout, schema), check, bloomSpec, targetFileBytes)
 
   /** Driver-side, exactly once, only with messages of successful attempts:
     * move the committed attempts' files live, publish the new manifest.
@@ -2002,11 +2007,12 @@ private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
     schema: StructType, conf: SerializableHadoopConf,
     route: GraftRoute = NoRoute,
     check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
-    bloom: Option[GraftBloomWriteSpec] = None)
+    bloom: Option[GraftBloomWriteSpec] = None,
+    targetFileBytes: Option[Long] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftStoreDataWriter(path, writeId, partitionId, taskId, schema, conf.value,
-      route, check, bloom)
+      route, check, bloom, targetFileBytes)
 }
 
 /** Task-side writer. Normally one file per task attempt; under `partitionBy`
@@ -2027,7 +2033,8 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     partitionId: Int, taskId: Long, schema: StructType, conf: Configuration,
     route: GraftRoute = NoRoute,
     check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
-    bloom: Option[GraftBloomWriteSpec] = None)
+    bloom: Option[GraftBloomWriteSpec] = None,
+    targetFileBytes: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val fs = GraftStoreFormat.fs(path, conf)
   private val n = schema.length
@@ -2144,9 +2151,45 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
   // the failure cause, the create would throw from inside abort and mask
   // the original task error
   private var singleTouched = false
-  private lazy val single = { singleTouched = true; new FileSink("") }
+  private var singleSink: FileSink = _
+  private def single: FileSink = {
+    if (singleSink == null) { singleTouched = true; singleSink = new FileSink("") }
+    singleSink
+  }
   private val byValue = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], FileSink]
   private object NullKey
+
+  // TARGET-FILE-SIZE ROLLING (`targetFileBytes` write option — Iceberg's
+  // write.target-file-size-bytes): once a sink crosses the target it is
+  // finalized and a fresh file opens for the same route key, so file
+  // sizes stay bounded regardless of task skew. Bounded files are what
+  // keep the READ side healthy at 100 TB: whole-file read buffers stay
+  // modest, scan parallelism tracks data volume (a 50 GB task no longer
+  // produces one unsplittable 50 GB file), and compaction/rewrite units
+  // stay retryable. Rolled files keep their partVals — identity layouts
+  // already tolerate several files per value (the scan groups them).
+  private val rolledSinks = scala.collection.mutable.ArrayBuffer.empty[FileSink]
+  private val rolledEntries = scala.collection.mutable.ArrayBuffer.empty[GraftCommitEntry]
+  private var rolls = 0
+  private def maybeRoll(key: Option[Seq[Any]]): Unit =
+    targetFileBytes.foreach { t =>
+      val sink = key match {
+        case None => singleSink
+        case Some(k) => byValue(k)
+      }
+      if (sink.out.size() >= t) {
+        rolledEntries += sink.entry()
+        rolledSinks += sink
+        rolls += 1
+        val fresh = key match {
+          case None =>
+            val s = new FileSink(s"-r$rolls"); singleSink = s; s
+          case Some(k) =>
+            val s = new FileSink(s"-r$rolls", renderKey(k)); byValue(k) = s; s
+        }
+        fresh
+      }
+    }
 
   private def typedValue(record: InternalRow, idx: Int): Any =
     schema.fields(idx).dataType match {
@@ -2219,24 +2262,31 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
       case _ => "?"
     } catch { case _: Throwable => "?" }
 
+  private var distinctKeys = 0
   override def write(record: InternalRow): Unit = {
     enforceCheck(record)
-    if (route == NoRoute) single.write(record)
-    else {
-      val sink = byValue.getOrElseUpdate(partitionKey(record), {
-        require(byValue.size < 1000,
+    if (route == NoRoute) {
+      single.write(record)
+      maybeRoll(None)
+    } else {
+      val key = partitionKey(record)
+      val sink = byValue.getOrElseUpdate(key, {
+        require(distinctKeys < 1000,
           "graft-store: partitionBy key exceeds 1000 distinct values per task " +
             "— identity partitioning needs a low-cardinality key (use bucket(n,col))")
-        new FileSink(s"-v${byValue.size}", renderKey(partitionKey(record)))
+        distinctKeys += 1
+        new FileSink(s"-v${distinctKeys - 1}", renderKey(key))
       })
       sink.write(record)
+      maybeRoll(Some(key))
     }
   }
 
   override def commit(): WriterCommitMessage = {
-    val sinks: Seq[FileSink] =
+    val open: Seq[FileSink] =
       if (route == NoRoute) Seq(single) else byValue.values.toSeq
-    val entries = sinks.map(_.entry())
+    val entries = rolledEntries.toSeq ++ open.map(_.entry())
+    val sinks: Seq[FileSink] = rolledSinks.toSeq ++ open
     // one sidecar per TASK holding every non-empty file's per-column bloom
     // bits; the message carries only its name + covering data-file range
     // (generated names are pure ASCII, so String min/max == byte order)
@@ -2262,9 +2312,11 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     }
     GraftCommitMessage(entries, sidecar)
   }
-  override def abort(): Unit =
-    if (route == NoRoute) { if (singleTouched) single.abort() }
+  override def abort(): Unit = {
+    rolledSinks.foreach(_.abort())
+    if (route == NoRoute) { if (singleTouched) singleSink.abort() }
     else byValue.values.foreach(_.abort())
+  }
   override def close(): Unit = ()
 }
 
@@ -4995,6 +5047,62 @@ object GraftStoreOps {
     val young = ms.count(p =>
       GraftStoreFormat.manifestMillis(path, conf, p) >= olderThanMillis)
     expireSnapshots(spark, path, math.max(1, young))
+  }
+
+  /** ORPHAN-FILE cleanup (Iceberg's `remove_orphan_files` procedure):
+    * delete files in the table directory that NO manifest references at
+    * all — crash debris. The window is real: a commit moves its data
+    * files live BEFORE the manifest publishes, so a driver crash in
+    * between leaves live-named files no snapshot will ever list, and
+    * abandoned `_tmp/<writeId>` scratch dirs / unstamped `_cdc` stores
+    * linger the same way. Unlike [[expireSnapshots]] this drops NO
+    * history — every snapshot keeps reading exactly as before; it only
+    * reclaims bytes no read could ever touch. The GRACE PERIOD is the
+    * correctness boundary (same contract as Iceberg's `older_than`): a
+    * file younger than `olderThanMillis` may belong to an IN-FLIGHT
+    * commit whose manifest is about to land, so it is never touched —
+    * run with hours-to-days of grace. Returns (top-level files removed,
+    * scratch dirs removed). */
+  def removeOrphans(spark: SparkSession, path: String,
+      olderThanMillis: Long): (Int, Int) = {
+    require(olderThanMillis >= 0, "olderThanMillis must be >= 0")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = GraftStoreFormat.fs(path, conf)
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    val all = ms.map(p => GraftStoreFormat.readManifestFile(path, conf, p))
+    // referenced by ANY snapshot, staged or published — orphan means
+    // unreachable from every manifest that exists
+    val referenced = all.flatMap(m =>
+      m.files.map(_.name) ++ m.deletes.map(_.name) ++
+        m.eqDeletes.map(_.name) ++ m.blooms.map(_.name)).toSet
+    val segs = ms.flatMap(p =>
+      GraftStoreFormat.manifestSegmentRefs(path, conf, p)).toSet
+    val cdcIds = all.flatMap(_.cdc).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    var removed = 0
+    f.listStatus(new Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      val orphan =
+        ((n.startsWith("part-") || n.startsWith("bloom-")) && !referenced.contains(n)) ||
+          (n.startsWith("_seg-") && !segs.contains(n))
+      if (orphan && st.getModificationTime < cutoff)
+        try { if (f.delete(st.getPath, false)) removed += 1 }
+        catch { case _: Throwable => () }
+    }
+    var dirs = 0
+    val tmp = new Path(path, "_tmp")
+    if (f.exists(tmp)) f.listStatus(tmp).foreach { st =>
+      if (st.getModificationTime < cutoff)
+        try { if (f.delete(st.getPath, true)) dirs += 1 }
+        catch { case _: Throwable => () }
+    }
+    val cdc = new Path(path, "_cdc")
+    if (f.exists(cdc)) f.listStatus(cdc).foreach { st =>
+      if (!cdcIds.contains(st.getPath.getName) && st.getModificationTime < cutoff)
+        try { if (f.delete(st.getPath, true)) dirs += 1 }
+        catch { case _: Throwable => () }
+    }
+    (removed, dirs)
   }
 
   def expireSnapshots(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
