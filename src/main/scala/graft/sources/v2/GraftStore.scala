@@ -1234,6 +1234,74 @@ private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[By
   def flushSkipped(): Unit = {
     if (skipped > 0) { GraftStoreFormat.prunedBytesSkipped.add(skipped); skipped = 0 }
   }
+
+  /** UNSAFE fast path: decode the next row STRAIGHT into an
+    * [[org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter]]
+    * — zero boxing (the generic path allocates a `java.lang.Long` per
+    * bigint cell), and downstream codegen reads the produced UnsafeRow
+    * with direct memory accesses instead of unboxing an `Array[Any]`
+    * slot. `outOf(phys)` = output ordinal (-1 = pruned); the caller owns
+    * reset()/zeroOutNullBytes() per row and any metadata ordinals.
+    * Variable-length writes at arbitrary ordinals are fine — the writer
+    * appends bytes and records (offset, len) in the fixed slot. False at
+    * clean EOF. */
+  def readRowUnsafe(outOf: Array[Int],
+      w: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter): Boolean = {
+    if (pos >= buf.length) { flushSkipped(); return false }
+    require(buf(pos) == 1, s"graft-store: corrupt row marker ${buf(pos)}")
+    pos += 1
+    var i = 0
+    while (i < codes.length) {
+      val out = outOf(i)
+      if (buf(pos) == 1) {
+        pos += 1
+        if (out >= 0) w.setNullAt(out)
+      } else {
+        pos += 1
+        if (out >= 0) codes(i) match {
+          case 0 => w.write(out, bb.getLong(pos)); pos += 8
+          case 1 => w.write(out, bb.getInt(pos)); pos += 4
+          case 2 => w.write(out, bb.getDouble(pos)); pos += 8
+          case 3 => w.write(out, bb.getFloat(pos)); pos += 4
+          case 4 => w.write(out, buf(pos) != 0); pos += 1
+          case _ =>
+            val len = bb.getInt(pos); pos += 4
+            w.write(out, UTF8String.fromBytes(buf, pos, len)); pos += len
+        } else codes(i) match {
+          case 0 | 2 => pos += 8; skipped += 8
+          case 1 | 3 => pos += 4; skipped += 4
+          case 4 => pos += 1; skipped += 1
+          case _ => val len = bb.getInt(pos); pos += 4 + len; skipped += len
+        }
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Advance past one whole row with NO decode — how position-masked rows
+    * are skipped on the unsafe path (a deleted row's bytes never
+    * materialize). False at clean EOF. */
+  def skipRow(): Boolean = {
+    if (pos >= buf.length) { flushSkipped(); return false }
+    require(buf(pos) == 1, s"graft-store: corrupt row marker ${buf(pos)}")
+    pos += 1
+    var i = 0
+    while (i < codes.length) {
+      if (buf(pos) == 1) pos += 1
+      else {
+        pos += 1
+        codes(i) match {
+          case 0 | 2 => pos += 8
+          case 1 | 3 => pos += 4
+          case 4 => pos += 1
+          case _ => pos += 4 + bb.getInt(pos)
+        }
+      }
+      i += 1
+    }
+    true
+  }
 }
 
 /** Hadoop Configuration is not Serializable; standard wrapper (same shape
@@ -5253,6 +5321,18 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       // every file of a keyed group (the common shape after an upsert)
       private val eqCache =
         scala.collection.mutable.Map.empty[String, java.util.HashSet[Seq[Any]]]
+      // UNSAFE fast path (mask-free buffered files — the common case):
+      // decode straight into an UnsafeRowWriter, zero boxing, downstream
+      // codegen reads direct memory. Equality masks need decoded key
+      // values (possibly outside the projection), so eq-scoped files keep
+      // the generic path; position masks skip BEFORE decode (skipRow).
+      private val unsafeWriter =
+        new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(keep.length)
+      private val metaFileOrd = keep.indexOf(-1)
+      private val metaPosOrd = keep.indexOf(-2)
+      private var usingUnsafe = false
+      private var outOf: Array[Int] = _          // physical col -> output ordinal
+      private var missingOrds: Array[Int] = _    // outputs the file never holds
       private def openNext(): Boolean = remaining match {
         case s +: rest =>
           remaining = rest
@@ -5322,6 +5402,22 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
             vals = new Array[Any](fileSchema.length)
             pendingBuf = null
           }
+          usingUnsafe = bufr != null && eqMasks.isEmpty
+          if (usingUnsafe) {
+            val o = Array.fill(fileSchema.length)(-1)
+            val miss = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var j = 0
+            while (j < keep.length) {
+              val src = keep(j)
+              if (src >= 0) {
+                val p = tableToPhys(src)
+                if (p >= 0) o(p) = j else miss += j
+              }
+              j += 1
+            }
+            outOf = o
+            missingOrds = miss.toArray
+          }
           true
         case _ => false
       }
@@ -5382,24 +5478,46 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       override def next(): Boolean = {
         if (in == null && bufr == null && !openNext()) return false
         while (true) {
-          val got =
-            if (bufr != null) {
-              if (bufr.readPruned(wanted, vals)) { cur = vals; true }
-              else { cur = null; false }
+          if (usingUnsafe) {
+            // position-masked rows skip WITHOUT decode; live rows land
+            // straight in the UnsafeRow
+            if (delIdx < deleted.length && deleted(delIdx) == pos + 1) {
+              if (bufr.skipRow()) { pos += 1; delIdx += 1 }
+              else { bufr = null; if (!openNext()) return false }
             } else {
-              cur = GraftStoreFormat.readRowPruned(in, fileSchema, wanted)
-              cur != null
+              unsafeWriter.reset()
+              unsafeWriter.zeroOutNullBytes()
+              if (bufr.readRowUnsafe(outOf, unsafeWriter)) {
+                pos += 1
+                var k = 0
+                while (k < missingOrds.length) {
+                  unsafeWriter.setNullAt(missingOrds(k)); k += 1
+                }
+                if (metaFileOrd >= 0) unsafeWriter.write(metaFileOrd, curFile)
+                if (metaPosOrd >= 0) unsafeWriter.write(metaPosOrd, pos)
+                return true
+              } else { bufr = null; if (!openNext()) return false }
             }
-          if (!got) {
-            if (in != null) { in.close(); in = null }
-            bufr = null
-            if (!openNext()) return false
           } else {
-            pos += 1
-            // skip rows whose ordinal a covering delete file masks, then
-            // rows whose key tuple a scoping equality delete names
-            if (delIdx < deleted.length && deleted(delIdx) == pos) delIdx += 1
-            else if (!eqMasked()) return true
+            val got =
+              if (bufr != null) {
+                if (bufr.readPruned(wanted, vals)) { cur = vals; true }
+                else { cur = null; false }
+              } else {
+                cur = GraftStoreFormat.readRowPruned(in, fileSchema, wanted)
+                cur != null
+              }
+            if (!got) {
+              if (in != null) { in.close(); in = null }
+              bufr = null
+              if (!openNext()) return false
+            } else {
+              pos += 1
+              // skip rows whose ordinal a covering delete file masks, then
+              // rows whose key tuple a scoping equality delete names
+              if (delIdx < deleted.length && deleted(delIdx) == pos) delIdx += 1
+              else if (!eqMasked()) return true
+            }
           }
         }
         false // unreachable
@@ -5411,6 +5529,7 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       private val outRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(outVals)
       override def get(): InternalRow = {
+        if (usingUnsafe) return unsafeWriter.getRow
         var j = 0
         while (j < keep.length) {
           val i = keep(j)
