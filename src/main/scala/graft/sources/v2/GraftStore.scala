@@ -1176,6 +1176,80 @@ private[v2] object GraftStoreFormat {
   })
 }
 
+/** BUFFERED row ENCODER — the write-side twin of
+  * [[GraftBufferedRowReader]]. `writeRow` through a DataOutputStream pays
+  * two synchronized BufferedOutputStream calls plus a DataType pattern
+  * match per field; this encoder appends into a local growable byte
+  * buffer with a byte-switch over precomputed type codes and drains to
+  * the file stream in 64 KiB slabs. Byte layout is IDENTICAL to
+  * [[GraftStoreFormat.writeRow]] (big-endian, marker/null bytes,
+  * length-prefixed UTF-8 strings) — the reader cannot tell them apart. */
+private[v2] final class GraftRowEncoder(schema: StructType) {
+  private val codes = GraftStoreFormat.typeCodes(schema)
+  private val n = schema.length
+  private var buf = new Array[Byte](1 << 16)
+  private var len = 0
+  private var drained = 0L
+
+  /** Bytes encoded since creation (buffered + drained) — the rolling
+    * trigger's size signal. */
+  def bytesWritten: Long = drained + len
+
+  private def ensure(more: Int): Unit =
+    if (len + more > buf.length) {
+      var cap = buf.length
+      while (cap < len + more) cap <<= 1
+      buf = java.util.Arrays.copyOf(buf, cap)
+    }
+  private def putLong(v: Long): Unit = {
+    val p = len
+    buf(p) = (v >>> 56).toByte; buf(p + 1) = (v >>> 48).toByte
+    buf(p + 2) = (v >>> 40).toByte; buf(p + 3) = (v >>> 32).toByte
+    buf(p + 4) = (v >>> 24).toByte; buf(p + 5) = (v >>> 16).toByte
+    buf(p + 6) = (v >>> 8).toByte; buf(p + 7) = v.toByte
+    len += 8
+  }
+  private def putInt(v: Int): Unit = {
+    val p = len
+    buf(p) = (v >>> 24).toByte; buf(p + 1) = (v >>> 16).toByte
+    buf(p + 2) = (v >>> 8).toByte; buf(p + 3) = v.toByte
+    len += 4
+  }
+
+  def encode(row: InternalRow): Unit = {
+    ensure(2 + n) // marker + null bytes (values ensure as they go)
+    buf(len) = 1; len += 1
+    var i = 0
+    while (i < n) {
+      if (row.isNullAt(i)) { ensure(1); buf(len) = 1; len += 1 }
+      else {
+        ensure(9)
+        buf(len) = 0; len += 1
+        codes(i) match {
+          case 0 => putLong(row.getLong(i))
+          case 1 => putInt(row.getInt(i))
+          case 2 => putLong(java.lang.Double.doubleToLongBits(row.getDouble(i)))
+          case 3 => putInt(java.lang.Float.floatToIntBits(row.getFloat(i)))
+          case 4 => buf(len) = if (row.getBoolean(i)) 1 else 0; len += 1
+          case _ =>
+            val b = row.getUTF8String(i).getBytes
+            ensure(4 + b.length)
+            putInt(b.length)
+            System.arraycopy(b, 0, buf, len, b.length)
+            len += b.length
+        }
+      }
+      i += 1
+    }
+  }
+
+  def maybeDrain(out: java.io.OutputStream): Unit =
+    if (len >= (1 << 16)) drain(out)
+  def drain(out: java.io.OutputStream): Unit = {
+    if (len > 0) { out.write(buf, 0, len); drained += len; len = 0 }
+  }
+}
+
 /** BUFFERED row decoder — the data reader's hot path. The stream-based
   * [[GraftStoreFormat.readRowPruned]] pays two synchronized
   * BufferedInputStream calls plus a DataType pattern match PER FIELD; at
@@ -2115,8 +2189,12 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     // taskId distinguishes attempts: a speculative twin writes its own file,
     // and only the attempt whose commit message reaches the driver is published
     val file = s"part-$writeId-$partitionId-$taskId$suffix.gsf"
-    val out = new DataOutputStream(new BufferedOutputStream(
-      fs.create(new Path(new Path(path, s"_tmp/$writeId"), file), true), 1 << 16))
+    val out = fs.create(new Path(new Path(path, s"_tmp/$writeId"), file), true)
+    // buffered encoder: rows append into a local slab drained in 64 KiB
+    // writes — same bytes as GraftStoreFormat.writeRow, none of the
+    // per-field synchronized stream calls
+    private val enc = new GraftRowEncoder(schema)
+    def bytesWritten: Long = enc.bytesWritten
     var rows = 0L
     val lMin = Array.fill(n)(Long.MaxValue)
     val lMax = Array.fill(n)(Long.MinValue)
@@ -2135,7 +2213,7 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
         .getOrElse(Array.empty)
 
     def write(record: InternalRow): Unit = {
-      GraftStoreFormat.writeRow(out, record, schema); rows += 1
+      enc.encode(record); enc.maybeDrain(out); rows += 1
       bloom.foreach { b =>
         var j = 0
         while (j < b.colIdx.length) {
@@ -2184,6 +2262,7 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     }
 
     def entry(): GraftCommitEntry = {
+      enc.drain(out)
       out.close()
       val stats = (0 until n).flatMap { i =>
         if (!seen(i) || sawNaN(i)) None
@@ -2245,7 +2324,7 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
         case None => singleSink
         case Some(k) => byValue(k)
       }
-      if (sink.out.size() >= t) {
+      if (sink.bytesWritten >= t) {
         rolledEntries += sink.entry()
         rolledSinks += sink
         rolls += 1

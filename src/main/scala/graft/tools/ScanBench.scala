@@ -31,6 +31,14 @@ object ScanBench {
       val s = (System.nanoTime() - t0) / 1e9 / reps
       println(f"[scanbench] $label: $s%.3f s  (${n / s / 1e6}%.2f M rows/s)")
     }
+    val src = graft.Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus", "l_tax")
+      .repartition(8).cache()
+    src.count() // materialize the cache so write timing isolates the sink
+    time("write 9-col table")(
+      src.write.format("graft-store").mode("overwrite").save(dir + "_w"))
+    src.unpersist()
     val df = spark.read.format("graft-store").load(dir)
     time("full-width agg")(
       df.agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)),
