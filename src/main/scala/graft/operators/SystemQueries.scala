@@ -2793,6 +2793,47 @@ object SystemQueries {
            |  TRUE AS meta_matches
            |FROM orders""".stripMargin))
 
+  /** Temporal partition transforms ([[graft.sources.v2.TemporalSpec]] —
+    * the Iceberg transform family completed): `days(ts)` declares the
+    * canonical lakehouse event layout (identity on a raw timestamp would
+    * explode past the 1000-value cap), and because the transform is
+    * MONOTONIC, `ts >= A AND ts < B` projects to a partition-value WINDOW
+    * — files prune by day before stats are even consulted (Iceberg's
+    * predicate projection). At 100 TB this is the time-series table:
+    * every dashboard query carries a time range, and the range touches
+    * days, not the table. The `day_pruned` bit pins a 7-of-30-day window
+    * reading strictly fewer files than the table holds. */
+  val q183TemporalLayout = QuerySpec(
+    "q183_temporal_layout", "S-dsv2-temporal-layout",
+    "days(ts) layout: time-range predicates prune files by partition value",
+    (s, d) => {
+      val path = "/tmp/graft_store_q183"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.events(s, d).select("ts", "event_type", "value")
+        .coalesce(2)
+        .write.format("graft-store").option("partitionBy", "days(ts)")
+        .mode("overwrite").save(path)
+      val q = s.read.format("graft-store").load(path)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-17 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      q.collect()
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+      // 7 of ~30 days: the window's files, not the table's
+      val pruned = m.exists(g =>
+        g.group(1).toInt < g.group(2).toInt && g.group(2).toInt >= 25)
+      q.withColumn("day_pruned", lit(pruned))
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           |  TRUE AS day_pruned
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
+           |GROUP BY event_type""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2808,5 +2849,6 @@ object SystemQueries {
     q167StreamForget, q168AggPushdown, q169FieldIdEvolution, q170NullStats,
     q171TagsWap, q172EqCdcResolve, q173Branches, q174CompactSmall,
     q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip,
-    q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta)
+    q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
+    q183TemporalLayout)
 }

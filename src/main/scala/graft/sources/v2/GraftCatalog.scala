@@ -179,18 +179,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       def requireUnreferenced(col: String, what: String): Unit = {
         def inList(s: String): Boolean =
           s.split(",").map(_.trim).contains(col)
+        // `cols` covers every transform kind (identity, bucket, temporal,
+        // truncate) — no per-kind match to fall out of date
         require(!m.partitionCol.exists(p =>
-            GraftLayout.parse(p).specs.exists {
-              case IdentitySpec(c) => c == col
-              case BucketSpec(_, cs) => cs.contains(col)
-            }),
+            GraftLayout.parse(p).specs.exists(_.cols.contains(col))),
           s"graft catalog: cannot $what column $col — it is part of the " +
             "table's partition layout (re-layout first)")
         require(!m.partitionSpecs.exists(_.filter(_.nonEmpty).exists(s =>
-            GraftLayout.parse(s).specs.exists {
-              case IdentitySpec(c) => c == col
-              case BucketSpec(_, cs) => cs.contains(col)
-            })),
+            GraftLayout.parse(s).specs.exists(_.cols.contains(col)))),
           s"graft catalog: cannot $what column $col — it appears in the " +
             "partition-spec history")
         require(!m.clusterCols.exists(inList),

@@ -49,6 +49,84 @@ private[v2] object BucketSpec {
   def apply(n: Int, col: String): BucketSpec = BucketSpec(n, Seq(col))
 }
 
+/** Temporal transform `years|months|days|hours(col)` over date/timestamp
+  * columns — the Iceberg temporal partition family, the canonical
+  * lakehouse layout for event streams (`days(ts)` alone, or
+  * `days(ts),bucket(8,key)` for time + key co-location). The derived
+  * value is UNITS SINCE EPOCH (Iceberg's convention): days/hours divide
+  * the internal representation directly, months/years go through
+  * calendar arithmetic. Crucially the transform is MONOTONIC
+  * non-decreasing in the source value, so RANGE predicates on the raw
+  * column project through to ranges on partition values — `ts >= A AND
+  * ts < B` prunes files by day without touching stats. */
+private[v2] case class TemporalSpec(unit: String, col: String) extends PartSpec {
+  require(GraftTransform.Units.contains(unit),
+    s"graft-store: unknown temporal unit '$unit'")
+  override def cols: Seq[String] = Seq(col)
+  override def render: String = s"$unit($col)"
+}
+
+/** `truncate(w, col)` — Iceberg's truncate transform: numeric values
+  * floor to a multiple of `w` (monotonic ⇒ range predicates project),
+  * strings keep their first `w` characters (prefix grouping for id-like
+  * keys). */
+private[v2] case class TruncateSpec(w: Long, col: String) extends PartSpec {
+  require(w >= 1, s"graft-store: truncate width must be >= 1, got $w")
+  override def cols: Seq[String] = Seq(col)
+  override def render: String = s"truncate($w,$col)"
+}
+
+/** Shared transform evaluation — ONE definition for the write-side
+  * router, the scan's partition-value pruning, and (for ranges) the
+  * predicate projection, so every component agrees bit-for-bit. */
+private[v2] object GraftTransform {
+  val Units: Set[String] = Set("years", "months", "days", "hours")
+  val MicrosPerHour = 3600000000L
+  val MicrosPerDay = 86400000000L
+
+  /** Derived units-since-epoch of one NON-NULL internal value
+    * (DateType ⇒ Int epoch days, TimestampType ⇒ Long micros). */
+  def temporal(unit: String, dt: DataType, v: Any): Long = {
+    val days: Long = dt match {
+      case TimestampType =>
+        val micros = v.asInstanceOf[Long]
+        unit match {
+          case "hours" => return Math.floorDiv(micros, MicrosPerHour)
+          case "days" => return Math.floorDiv(micros, MicrosPerDay)
+          case _ => Math.floorDiv(micros, MicrosPerDay)
+        }
+      case DateType =>
+        val d = v.asInstanceOf[Int].toLong
+        unit match {
+          case "days" => return d
+          case _ => d
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft-store: temporal layout unsupported for ${other.simpleString}")
+    }
+    val ld = java.time.LocalDate.ofEpochDay(days)
+    unit match {
+      case "months" => (ld.getYear - 1970) * 12L + (ld.getMonthValue - 1)
+      case "years" => ld.getYear - 1970L
+      case u => throw new IllegalStateException(u) // hours/days returned above
+    }
+  }
+
+  def truncLong(v: Long, w: Long): Long = Math.floorDiv(v, w) * w
+  def truncString(s: UTF8String, w: Long): UTF8String =
+    s.substring(0, math.min(w, Int.MaxValue).toInt)
+
+  def supportsTemporal(unit: String, dt: DataType): Boolean = dt match {
+    case TimestampType => true
+    case DateType => unit != "hours" // sub-day units of a date are meaningless
+    case _ => false
+  }
+  def supportsTruncate(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType => true
+    case _ => false
+  }
+}
+
 private[v2] case class GraftLayout(specs: Seq[PartSpec]) {
   require(specs.nonEmpty, "graft-store: empty partition layout")
   def render: String = specs.map(_.render).mkString(",")
@@ -57,6 +135,8 @@ private[v2] case class GraftLayout(specs: Seq[PartSpec]) {
 
 private[v2] object GraftLayout {
   private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^)]+)\)""".r
+  private val TemporalRe = """(?i)(years|months|days|hours)\s*\(\s*([^\s),]+)\s*\)""".r
+  private val TruncateRe = """(?i)truncate\s*\(\s*(\d+)\s*,\s*([^\s),]+)\s*\)""".r
 
   /** Split on commas NOT inside parentheses (bucket(8,k) is one token). */
   private def splitTop(s: String): Seq[String] = {
@@ -82,6 +162,8 @@ private[v2] object GraftLayout {
         require(cs.nonEmpty && cs.forall(c => c.nonEmpty && !c.exists(_.isWhitespace)),
           s"graft-store: cannot parse bucket column list '$colList'")
         BucketSpec(n.toInt, cs)
+      case TemporalRe(unit, col) => TemporalSpec(unit.toLowerCase, col)
+      case TruncateRe(w, col) => TruncateSpec(w.toLong, col)
       case other if other.toLowerCase.matches("""bucket\s*\(.*""") =>
         // a malformed bucket CALL must not silently become an identity
         // layout on a column literally named "bucket(...)" — bucket(8)
@@ -91,6 +173,13 @@ private[v2] object GraftLayout {
         throw new IllegalArgumentException(
           s"graft-store: cannot parse bucket spec '$other' — expected " +
             "bucket(<n>,<col>[,<col>...])")
+      case other if other.toLowerCase
+          .matches("""(years|months|days|hours|truncate)\s*\(.*""") =>
+        // same discipline for the transform calls: malformed must fail,
+        // a plain column named days_total is identity and falls through
+        throw new IllegalArgumentException(
+          s"graft-store: cannot parse partition transform '$other' — expected " +
+            "years|months|days|hours(<col>) or truncate(<w>,<col>)")
       case col => IdentitySpec(col)
     })
 }

@@ -2117,10 +2117,31 @@ private[v2] case class GraftBloomWriteSpec(colIdx: Array[Int], bits: Int)
 
 private[v2] sealed trait GraftRoute extends Serializable
 private[v2] case object NoRoute extends GraftRoute
-/** Per-spec routing: `idx(j)` = the spec's column indices (identity: one;
-  * bucket: 1+), `buckets(j)` = bucket count (0 = identity). */
-private[v2] case class SpecRoute(idx: Array[Array[Int]], buckets: Array[Int])
-    extends GraftRoute
+/** Per-spec routing: `idx(j)` = the spec's column indices (identity /
+  * transforms: one; bucket: 1+), `kinds(j)` = transform code (0=identity,
+  * 1=bucket, 2=years, 3=months, 4=days, 5=hours, 6=truncate), `args(j)` =
+  * bucket count / truncate width (0 otherwise). */
+private[v2] case class SpecRoute(idx: Array[Array[Int]], kinds: Array[Int],
+    args: Array[Long]) extends GraftRoute
+
+private[v2] object SpecKind {
+  val Identity = 0; val Bucket = 1; val Years = 2; val Months = 3
+  val Days = 4; val Hours = 5; val Truncate = 6
+  def of(s: PartSpec): Int = s match {
+    case _: IdentitySpec => Identity
+    case _: BucketSpec => Bucket
+    case TemporalSpec("years", _) => Years
+    case TemporalSpec("months", _) => Months
+    case TemporalSpec("days", _) => Days
+    case TemporalSpec("hours", _) => Hours
+    case _: TemporalSpec => throw new IllegalArgumentException(s.render)
+    case _: TruncateSpec => Truncate
+  }
+  def unitOf(kind: Int): String = kind match {
+    case Years => "years"; case Months => "months"
+    case Days => "days"; case Hours => "hours"
+  }
+}
 
 private[v2] object GraftRoute {
   /** Writer-side routing spec for a declared partition layout. Shared by
@@ -2130,18 +2151,30 @@ private[v2] object GraftRoute {
       case None => NoRoute
       case Some(l) =>
         val idx = l.specs.map(_.cols.map(schema.fieldIndex).toArray).toArray
-        val buckets = l.specs.map {
-          case IdentitySpec(_) => 0
+        def dtOf(c: String) = schema.fields(schema.fieldIndex(c)).dataType
+        val kinds = l.specs.map(SpecKind.of).toArray
+        val args = l.specs.map {
+          case IdentitySpec(_) => 0L
           case BucketSpec(n, cs) =>
             cs.foreach { c =>
-              val dt = schema.fields(schema.fieldIndex(c)).dataType
-              require(GraftBucket.supports(dt),
+              require(GraftBucket.supports(dtOf(c)),
                 s"graft-store: bucket layout unsupported for " +
-                  s"${dt.simpleString} column $c")
+                  s"${dtOf(c).simpleString} column $c")
             }
-            n
+            n.toLong
+          case TemporalSpec(u, c) =>
+            require(GraftTransform.supportsTemporal(u, dtOf(c)),
+              s"graft-store: $u() layout unsupported for " +
+                s"${dtOf(c).simpleString} column $c (date/timestamp only; " +
+                "hours() needs a timestamp)")
+            0L
+          case TruncateSpec(w, c) =>
+            require(GraftTransform.supportsTruncate(dtOf(c)),
+              s"graft-store: truncate layout unsupported for " +
+                s"${dtOf(c).simpleString} column $c")
+            w
         }.toArray
-        SpecRoute(idx, buckets)
+        SpecRoute(idx, kinds, args)
     }
 }
 
@@ -2348,28 +2381,43 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     }
 
   private def partitionKey(record: InternalRow): Seq[Any] = route match {
-    case SpecRoute(idx, buckets) =>
-      // nulls get a dedicated key element (no value / no bucket) for
-      // identity and single-column buckets: equi-joins never match null,
-      // so a null partition has nothing to co-locate with. Multi-column
-      // buckets hash null elements to a sentinel instead (ofTuple) — a
-      // per-combination null-partition grid would explode, and a composite
-      // equi-join never matches a null element either way
+    case SpecRoute(idx, kinds, args) =>
+      // nulls get a dedicated key element (no value / no bucket / no
+      // derived unit) for every single-column transform: equi-joins never
+      // match null, so a null partition has nothing to co-locate with.
+      // Multi-column buckets hash null elements to a sentinel instead
+      // (ofTuple) — a per-combination null-partition grid would explode,
+      // and a composite equi-join never matches a null element either way
       idx.indices.map { j =>
         val cols = idx(j)
-        if (buckets(j) == 0) {
-          val i = cols(0)
-          if (record.isNullAt(i)) NullKey else typedValue(record, i)
-        } else if (cols.length == 1) {
-          val i = cols(0)
-          if (record.isNullAt(i)) NullKey
-          else GraftBucket.of(typedValue(record, i),
-            schema.fields(i).dataType, buckets(j))
-        } else {
-          GraftBucket.ofTuple(cols.toSeq.map { i =>
-            if (record.isNullAt(i)) None
-            else Some((typedValue(record, i), schema.fields(i).dataType))
-          }, buckets(j))
+        kinds(j) match {
+          case SpecKind.Identity =>
+            val i = cols(0)
+            if (record.isNullAt(i)) NullKey else typedValue(record, i)
+          case SpecKind.Bucket if cols.length == 1 =>
+            val i = cols(0)
+            if (record.isNullAt(i)) NullKey
+            else GraftBucket.of(typedValue(record, i),
+              schema.fields(i).dataType, args(j).toInt)
+          case SpecKind.Bucket =>
+            GraftBucket.ofTuple(cols.toSeq.map { i =>
+              if (record.isNullAt(i)) None
+              else Some((typedValue(record, i), schema.fields(i).dataType))
+            }, args(j).toInt)
+          case SpecKind.Truncate =>
+            val i = cols(0)
+            if (record.isNullAt(i)) NullKey
+            else schema.fields(i).dataType match {
+              case StringType =>
+                GraftTransform.truncString(record.getUTF8String(i), args(j)).clone()
+              case LongType => Long.box(GraftTransform.truncLong(record.getLong(i), args(j)))
+              case _ => Long.box(GraftTransform.truncLong(record.getInt(i).toLong, args(j)))
+            }
+          case temporal =>
+            val i = cols(0)
+            if (record.isNullAt(i)) NullKey
+            else Long.box(GraftTransform.temporal(SpecKind.unitOf(temporal),
+              schema.fields(i).dataType, typedValue(record, i)))
         }
       }
     case NoRoute => Seq.empty
@@ -2734,6 +2782,24 @@ private[v2] object GraftStoreScan {
           ids <- traverse(vs.toSeq)(v =>
             internalOf(dt, v).map(iv => GraftBucket.of(iv, dt, n).toString))
         } yield ids.toSet
+      case TemporalSpec(u, c) =>
+        for {
+          dt <- dtOf(c)
+          vs <- eqs.get(c)
+          units <- traverse(vs.toSeq)(v =>
+            internalOf(dt, v).map(iv => GraftTransform.temporal(u, dt, iv).toString))
+        } yield units.toSet
+      case TruncateSpec(w, c) =>
+        for {
+          dt <- dtOf(c)
+          vs <- eqs.get(c)
+          ts <- traverse(vs.toSeq)(v => internalOf(dt, v).map {
+            case l: java.lang.Long => GraftTransform.truncLong(l, w).toString
+            case i: java.lang.Integer => GraftTransform.truncLong(i.toLong, w).toString
+            case s: UTF8String => GraftTransform.truncString(s, w).toString
+            case other => other.toString // unreachable: internalOf is typed
+          })
+        } yield ts.toSet
       case BucketSpec(n, cs) =>
         // multi-column bucket: per-column eq sets are INDEPENDENT, so the
         // admissible ids come from their cartesian product — a SUPERSET of
@@ -2751,6 +2817,78 @@ private[v2] object GraftStoreScan {
           }.map(tuple =>
             GraftBucket.ofTuple(tuple.map(Some(_)), n).toString).toSet
         }
+    }
+  }
+
+  /** Conjunct RANGE bounds per column in INTEGRAL internal ordering
+    * (long/int/date/timestamp; strings and doubles stay with the stats
+    * skipper): inclusive [lo, hi] from >,>=,<,<= conjuncts. The layout
+    * consumer projects them through MONOTONIC transforms — `ts >= A AND
+    * ts < B` prunes a `days(ts)` table to [days(A), days(B)] by partition
+    * VALUE, exactly Iceberg's predicate projection. */
+  def rangeBounds(schema: StructType,
+      fs: Seq[Filter]): Map[String, (Option[Long], Option[Long])] = {
+    def intOf(c: String, v: Any): Option[Long] = {
+      val i = schema.fieldNames.indexOf(c)
+      if (i < 0) None
+      else schema.fields(i).dataType match {
+        case LongType | IntegerType | DateType | TimestampType =>
+          internalOf(schema.fields(i).dataType, v).map {
+            case l: java.lang.Long => l.longValue
+            case n: java.lang.Integer => n.longValue
+            case other => return None
+          }
+        case _ => None
+      }
+    }
+    val m = scala.collection.mutable.Map.empty[String, (Option[Long], Option[Long])]
+    def tighten(c: String, lo: Option[Long], hi: Option[Long]): Unit = {
+      val (l0, h0) = m.getOrElse(c, (None, None))
+      m(c) = (Seq(l0, lo).flatten.reduceOption(_ max _),
+        Seq(h0, hi).flatten.reduceOption(_ min _))
+    }
+    fs.foreach {
+      case GreaterThan(c, v) => intOf(c, v).foreach(x => tighten(c, Some(x + 1), None))
+      case GreaterThanOrEqual(c, v) => intOf(c, v).foreach(x => tighten(c, Some(x), None))
+      case LessThan(c, v) => intOf(c, v).foreach(x => tighten(c, None, Some(x - 1)))
+      case LessThanOrEqual(c, v) => intOf(c, v).foreach(x => tighten(c, None, Some(x)))
+      case _ => ()
+    }
+    m.toMap
+  }
+
+  /** For one spec under conjunct range bounds: per element, the inclusive
+    * [lo, hi] window the DERIVED partition value must fall in (None =
+    * unconstrained). Only monotonic numeric transforms participate. */
+  def rangeAdmissibleOf(schema: StructType, l: GraftLayout,
+      ranges: Map[String, (Option[Long], Option[Long])])
+      : Seq[Option[(Option[Long], Option[Long])]] = {
+    def dtOf(c: String): Option[DataType] = {
+      val i = schema.fieldNames.indexOf(c)
+      if (i < 0) None else Some(schema.fields(i).dataType)
+    }
+    def proj(c: String)(f: Long => Long): Option[(Option[Long], Option[Long])] =
+      ranges.get(c).filter(r => r._1.isDefined || r._2.isDefined)
+        .map { case (lo, hi) => (lo.map(f), hi.map(f)) }
+    l.specs.map {
+      case IdentitySpec(c) =>
+        dtOf(c).filter {
+          case LongType | IntegerType | DateType | TimestampType => true
+          case _ => false
+        }.flatMap(_ => proj(c)(identity))
+      case TemporalSpec(u, c) =>
+        dtOf(c).filter(GraftTransform.supportsTemporal(u, _))
+          .flatMap(dt => proj(c)(v => GraftTransform.temporal(u, dt,
+            dt match {
+              case DateType => Int.box(v.toInt)
+              case _ => Long.box(v)
+            })))
+      case TruncateSpec(w, c) =>
+        dtOf(c).filter {
+          case LongType | IntegerType => true
+          case _ => false
+        }.flatMap(_ => proj(c)(GraftTransform.truncLong(_, w)))
+      case _: BucketSpec => None // hash transforms never project ranges
     }
   }
 
@@ -2838,10 +2976,7 @@ private[v2] class GraftStoreScan(protected val path: String,
     * hold the dim's keys. Scans with neither layout nor cluster columns
     * declare nothing — Spark never plans a useless subquery against them. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val layoutCols = layout.toSeq.flatMap(_.specs.flatMap {
-      case IdentitySpec(c) => Seq(c)
-      case BucketSpec(_, cs) => cs
-    })
+    val layoutCols = layout.toSeq.flatMap(_.specs.flatMap(_.cols))
     val cluster = manifest.clusterCols.toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     // bloom-indexed columns prune runtime INs too (hash-probe per file)
@@ -2859,26 +2994,41 @@ private[v2] class GraftStoreScan(protected val path: String,
   protected def selected: Seq[GraftFileEntry] = {
     var s = selectedCache
     if (s == null) {
-      // equality sets over layout columns (pushed ∧ runtime conjuncts)
-      // resolve to admissible partVal strings ONCE per selection, keyed by
-      // each file's own spec (partition-spec evolution) — then every file
-      // is one hash probe, independent of IN-list width
+      // equality sets AND range bounds over layout columns (pushed ∧
+      // runtime conjuncts) resolve to admissible partVal windows ONCE per
+      // selection, keyed by each file's own spec (partition-spec
+      // evolution) — then every file is one hash probe + one long
+      // compare, independent of predicate width. Ranges project through
+      // MONOTONIC transforms: `ts >= A AND ts < B` prunes a `days(ts)`
+      // table by partition value, Iceberg's predicate projection.
       val eqs = GraftStoreScan.eqSets(pushed ++ runtimeFilters)
-      val admCache = scala.collection.mutable.Map.empty[String, Option[Seq[Option[Set[String]]]]]
+      val ranges = GraftStoreScan.rangeBounds(manifest.schema, pushed ++ runtimeFilters)
+      val admCache = scala.collection.mutable.Map.empty[String,
+        Option[(Seq[Option[Set[String]]], Seq[Option[(Option[Long], Option[Long])]])]]
       def layoutSurvives(e: GraftFileEntry): Boolean =
-        if (eqs.isEmpty) true
+        if (eqs.isEmpty && ranges.isEmpty) true
         else specStrOf(e) match {
           case Some(spec) =>
             admCache.getOrElseUpdate(spec,
               scala.util.Try(GraftLayout.parse(spec)).toOption
-                .map(l => GraftStoreScan.admissibleOf(manifest.schema, l, eqs))) match {
-              case Some(adm) => e.partVals match {
+                .map(l => (GraftStoreScan.admissibleOf(manifest.schema, l, eqs),
+                  GraftStoreScan.rangeAdmissibleOf(manifest.schema, l, ranges)))) match {
+              case Some((adm, radm)) => e.partVals match {
                 case Some(vs) if vs.length == adm.length =>
-                  vs.lazyZip(adm).forall {
-                    case (_, None) => true
-                    case (Some(v), Some(set)) => set.contains(v)
-                    // a null partition value can never equality-match
-                    case (None, Some(_)) => false
+                  vs.lazyZip(adm).lazyZip(radm).forall { (pv, set, rng) =>
+                    (set, rng) match {
+                      case (None, None) => true
+                      case _ => pv match {
+                        // a null partition value can never match an
+                        // equality OR satisfy a range predicate
+                        case None => false
+                        case Some(v) =>
+                          set.forall(_.contains(v)) && rng.forall { case (lo, hi) =>
+                            scala.util.Try(v.toLong).toOption.forall(d =>
+                              lo.forall(d >= _) && hi.forall(d <= _))
+                          }
+                      }
+                    }
                   }
                 case _ => true
               }
@@ -3030,7 +3180,12 @@ private[v2] class GraftStoreScan(protected val path: String,
     g
   }
   private def computeKeyedGroups: Option[Seq[(Seq[Any], Seq[GraftFileEntry])]] =
-    layout.flatMap { l =>
+    layout.filter(_.specs.forall(s =>
+      // key-grouped reporting covers identity/bucket layouts (their keys
+      // resolve to SPJ-compatible transforms); temporal/truncate layouts
+      // read as UnknownPartitioning — partition-value PRUNING still
+      // applies to them in full
+      s.isInstanceOf[IdentitySpec] || s.isInstanceOf[BucketSpec])).flatMap { l =>
       // partition-spec evolution: grouping files by partition values is
       // only valid for files written under the CURRENT spec — a selected
       // set containing older-spec files degrades to UnknownPartitioning
@@ -3044,7 +3199,7 @@ private[v2] class GraftStoreScan(protected val path: String,
       // bucket elements carry COMPUTED ids in partVals — index unused
       val idxs = l.specs.map {
         case IdentitySpec(c) => manifest.schema.fieldNames.indexOf(c)
-        case _: BucketSpec => Int.MaxValue
+        case _ => Int.MaxValue // bucket: COMPUTED ids ride partVals, index unused
       }
       if (!allCurrentSpec || idxs.exists(_ < 0)) None
       else grouped(selected.map { e =>
@@ -3058,7 +3213,7 @@ private[v2] class GraftStoreScan(protected val path: String,
               ov.map { v =>
                 sp match {
                   case IdentitySpec(_) => typedKey(idx, v)
-                  case BucketSpec(_, _) => Int.box(v.toInt): Any
+                  case _ => Int.box(v.toInt): Any // bucket (guard upstream)
                 }
               }.orNull
             }.toSeq -> e)
@@ -3107,6 +3262,8 @@ private[v2] class GraftStoreScan(protected val path: String,
         val keys: Array[Expression] = l.specs.map {
           case IdentitySpec(c) => Expressions.identity(c): Expression
           case BucketSpec(n, cs) => Expressions.bucket(n, cs: _*): Expression
+          case s => throw new IllegalStateException( // keyedGroups gate
+            s"non-SPJ transform in keyed groups: ${s.render}")
         }.toArray
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           keys, groups.size)
@@ -4711,6 +4868,14 @@ object GraftStoreOps {
               val dt = m.schema(c).dataType
               require(GraftBucket.supports(dt),
                 s"graft-store: bucket layout unsupported for ${dt.simpleString} column $c")
+            case TemporalSpec(u, _) =>
+              val dt = m.schema(c).dataType
+              require(GraftTransform.supportsTemporal(u, dt),
+                s"graft-store: $u() layout unsupported for ${dt.simpleString} column $c")
+            case _: TruncateSpec =>
+              val dt = m.schema(c).dataType
+              require(GraftTransform.supportsTruncate(dt),
+                s"graft-store: truncate layout unsupported for ${dt.simpleString} column $c")
             case _ => ()
           }
         }
