@@ -1729,8 +1729,12 @@ object SystemQueries {
       val rawRows = Tables.orders(s, d).count() // sf-independent history check
       val filesBefore = graft.sources.v2.GraftStoreOps
         .snapshotFiles(s, path, 0).map(_._1).toSet
+      // a MID-FILE key window: partial for every covered file, so the
+      // delete exercises the MASK path (a fully-covered file would take
+      // q184's metadata-drop instead and leave no position debt)
       val (deleted, delFiles) = graft.sources.v2.GraftStoreOps
-        .deleteWhereMor(s, path, col("o_orderkey") < 2000)
+        .deleteWhereMor(s, path,
+          col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
       val filesAfter = graft.sources.v2.GraftStoreOps
         .snapshotFiles(s, path, 1).map(_._1).toSet
       val preDeleteRows = s.read.format("graft-store").option("snapshot", 0)
@@ -1748,7 +1752,7 @@ object SystemQueries {
            |  round(sum(o_totalprice), 2) AS sum_price,
            |  TRUE AS files_untouched, TRUE AS debt_matches,
            |  TRUE AS history_intact
-           |FROM orders WHERE o_orderkey >= 2000
+           |FROM orders WHERE o_orderkey < 1000 OR o_orderkey >= 2000
            |GROUP BY o_orderpriority""".stripMargin))
 
   /** CDC over merge-on-read DML — the change feed needs NO writer-emitted
@@ -2834,6 +2838,207 @@ object SystemQueries {
            |  AND ts < TIMESTAMP '2024-01-17 00:00:00'
            |GROUP BY event_type""".stripMargin))
 
+  /** METADATA-ONLY DELETE ([[graft.sources.v2.GraftStoreOps.deleteWhere]]'s
+    * drop path): on an identity-partitioned table, `DELETE WHERE part = v`
+    * is PROVABLY full-coverage for the partition's files (explicit
+    * partition values / min==max stats + v10 null counts), so they leave
+    * the listing as a manifest edit — nothing read, nothing rewritten,
+    * Iceberg's partition-drop economics. At 100 TB this turns "drop a
+    * day/priority of data" from an I/O job into a metadata commit. Bits:
+    * `zero_read` (the commit wrote no data file and stamped `#dropcdc=`),
+    * `feed_matches` (the change feed reader-side-resolves the dropped
+    * files into exactly the deleted rows — delete pre-images synthesized
+    * from the still-on-disk immutable files). A second, RANGE delete mixes
+    * proof-dropped and partial files in one commit (dropped + rewritten
+    * both nonzero). Oracle = the same two deletes applied in SQL. */
+  val q184MetaDrop = QuerySpec(
+    "q184_meta_drop_delete", "S-dsv2-meta-drop",
+    "metadata-only DELETE: proven-full files drop without read or rewrite",
+    (s, d) => {
+      val path = "/tmp/graft_store_q184"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.format("graft-store").option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(path)
+      def dataFiles = new java.io.File(path).listFiles
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+      val before = dataFiles
+      // partition drop: every '1-URGENT' file is proven fully covered
+      val (touched1, _) = graft.sources.v2.GraftStoreOps.deleteWhere(
+        s, path, col("o_orderpriority") === "1-URGENT")
+      val droppedNames = graft.sources.v2.GraftStoreOps.headDroppedFiles(s, path)
+      val zeroRead = dataFiles == before && droppedNames.nonEmpty &&
+        droppedNames.size == touched1
+      // the feed resolves the dropped files reader-side: delete pre-images
+      // for exactly the partition's rows, synthesized from the immutable
+      // on-disk files (the commit itself read nothing)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT").count()
+      val feed = s.read.format("graft-store").option("readChangeFeed", "true")
+        .option("startSnapshot", "1").load(path)
+      val feedMatches = feed.filter(col("change_type") === "delete").count() == urgent
+      // mixed commit: a range predicate drops some files, rewrites partial
+      graft.sources.v2.GraftStoreOps.deleteWhere(s, path, col("o_orderkey") < 1000)
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("zero_read", lit(zeroRead))
+        .withColumn("feed_matches", lit(feedMatches))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS zero_read, TRUE AS feed_matches
+           |FROM orders
+           |WHERE o_orderpriority <> '1-URGENT' AND o_orderkey >= 1000
+           |GROUP BY o_orderpriority""".stripMargin))
+
+  /** Scoped OVERWRITE — the idempotent partition backfill
+    * (`SupportsOverwrite`): `writeTo.overwrite(part === v)` atomically
+    * replaces the partition's rows with recomputed data in ONE commit.
+    * The removal side is METADATA-ONLY (the same mustMatch full-coverage
+    * proof as q184: files leave the listing unread); the insert side is
+    * the new files; untouched partitions carry byte-identically. At
+    * 100 TB this is THE daily operation — re-materialize one day/segment
+    * as a manifest edit plus its new files, re-runnable safely because
+    * replace-then-insert is a single snapshot, not a delete window.
+    * Bits: `backfill_meta` (replaced files dropped via `#dropcdc=`, other
+    * partitions' files carried under their original names), `atomic`
+    * (exactly ONE snapshot was added). Oracle recomputes the overwrite. */
+  val q185PartitionOverwrite = QuerySpec(
+    "q185_partition_overwrite", "S-dsv2-partition-overwrite",
+    "scoped overwrite: atomic metadata-only partition backfill",
+    (s, d) => {
+      val base = "/tmp/graft_store_q185"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.q185cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.q185cat.base", base)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.format("graft-store").option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(s"$base/t")
+      val others = graft.sources.v2.GraftStoreOps.history(s, s"$base/t").size
+      def headFiles = graft.sources.v2.GraftStoreOps
+        .snapshotFiles(s, s"$base/t",
+          graft.sources.v2.GraftStoreOps.history(s, s"$base/t").size - 1)
+        .map(_._1).toSet
+      val beforeFiles = headFiles
+      // the backfill: re-materialize '2-HIGH' with a 5% price cut
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 0.95).as("o_totalprice"), col("o_orderpriority"))
+        .writeTo("q185cat.t").overwrite(col("o_orderpriority") === "2-HIGH")
+      val dropped = graft.sources.v2.GraftStoreOps.headDroppedFiles(s, s"$base/t")
+      val afterFiles = headFiles
+      val carried = beforeFiles.intersect(afterFiles)
+      val backfillMeta = dropped.nonEmpty &&
+        carried.size == beforeFiles.size - dropped.size
+      val atomic =
+        graft.sources.v2.GraftStoreOps.history(s, s"$base/t").size == others + 1
+      s.read.format("graft-store").load(s"$base/t")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("backfill_meta", lit(backfillMeta))
+        .withColumn("atomic", lit(atomic))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(CASE WHEN o_orderpriority = '2-HIGH'
+           |    THEN o_totalprice * 0.95 ELSE o_totalprice END), 2) AS sum_price,
+           |  TRUE AS backfill_meta, TRUE AS atomic
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  /** SQL DDL lifecycle ([[graft.sources.v2.GraftCatalog]]): CREATE TABLE
+    * with a declared layout + CHECK property as a seq-0 manifest commit,
+    * atomic CTAS through `StagingTableCatalog` (the staged write's commit
+    * IS publication — exactly one snapshot, never an empty-visible
+    * window), REPLACE TABLE AS SELECT as one truncating commit, and
+    * INSERT INTO routing by the table's inherited layout with zero writer
+    * options. Bits: `atomic_ctas` (CTAS produced exactly 1 snapshot with
+    * the declared partitioning), `ddl_roundtrip` (INSERT routed one file
+    * per partition value; RENAME moved the table metadata-only). Oracle
+    * recomputes the surviving table. */
+  val q186SqlDdl = QuerySpec(
+    "q186_sql_ddl_lifecycle", "S-dsv2-sql-ddl",
+    "SQL DDL lifecycle: CREATE/CTAS/RTAS/RENAME with atomic staged commits",
+    (s, d) => {
+      val base = "/tmp/graft_store_q186"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.q186cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.q186cat.base", base)
+      Tables.orders(s, d).createOrReplaceTempView("q186_orders")
+      // atomic CTAS with declared partitioning
+      s.sql("DROP TABLE IF EXISTS q186cat.ord")
+      s.sql("""CREATE TABLE q186cat.ord PARTITIONED BY (o_orderpriority) AS
+              |SELECT o_orderkey, o_totalprice, o_orderpriority
+              |FROM q186_orders""".stripMargin)
+      val snaps = graft.sources.v2.GraftStoreOps.history(s, s"$base/ord").size
+      val parts = graft.sources.v2.GraftStoreOps
+        .headFilePartVals(s, s"$base/ord").flatMap(_.headOption.flatten).distinct.size
+      val atomicCtas = snaps == 1 && parts == 5
+      // CREATE + INSERT INTO: layout + CHECK inherited with no options
+      s.sql("""CREATE TABLE q186cat.pri (o_orderpriority STRING, n BIGINT)
+              |PARTITIONED BY (o_orderpriority)
+              |TBLPROPERTIES ('check' = 'n >= 0')""".stripMargin)
+      s.sql("""INSERT INTO q186cat.pri
+              |SELECT o_orderpriority, count(*) FROM q186_orders
+              |GROUP BY o_orderpriority""".stripMargin)
+      val priFiles = graft.sources.v2.GraftStoreOps
+        .snapshotFiles(s, s"$base/pri",
+          graft.sources.v2.GraftStoreOps.history(s, s"$base/pri").size - 1).size
+      // RENAME: metadata-only move
+      s.sql("ALTER TABLE q186cat.pri RENAME TO pri2") // target catalog-relative
+      val renamed = s.sql("SELECT count(*) FROM q186cat.pri2")
+        .collect()(0).getLong(0) == 5L
+      val ddlRoundtrip = priFiles == 5 && renamed
+      s.sql("""SELECT o.o_orderpriority, count(*) AS n,
+              |  round(sum(o.o_totalprice), 2) AS sum_price
+              |FROM q186cat.ord o GROUP BY o.o_orderpriority""".stripMargin)
+        .withColumn("atomic_ctas", lit(atomicCtas))
+        .withColumn("ddl_roundtrip", lit(ddlRoundtrip))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS atomic_ctas, TRUE AS ddl_roundtrip
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  /** Metadata-only GROUP BY ([[graft.sources.v2.GraftStoreScanBuilder]]'s
+    * aggregate pushdown extended to grouped form): when every group
+    * expression is an IDENTITY partition column of the current spec, the
+    * manifest's explicit per-file partition values partition the file set
+    * EXACTLY by group key — `GROUP BY partition` with count/min/max plans
+    * as a driver-local manifest fold (LocalTableScan), one row per
+    * partition, ZERO data files opened. Beyond Iceberg's global count(*)
+    * trick: the per-partition profile of a 100 TB table for the price of
+    * a manifest read. Bit: `manifest_only` (executed plan has no
+    * BatchScan). Oracle recomputes the aggregate. */
+  val q187GroupByPushdown = QuerySpec(
+    "q187_groupby_pushdown", "S-dsv2-groupby-pushdown",
+    "metadata-only GROUP BY partition: manifest fold, zero files read",
+    (s, d) => {
+      val path = "/tmp/graft_store_q187"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.format("graft-store").option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(path)
+      val g = s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+      g.collect()
+      val plan = g.queryExecution.executedPlan.toString
+      val manifestOnly = plan.contains("LocalTableScan") && !plan.contains("BatchScan")
+      g.withColumn("manifest_only", lit(manifestOnly))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+           |  TRUE AS manifest_only
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -2850,5 +3055,6 @@ object SystemQueries {
     q171TagsWap, q172EqCdcResolve, q173Branches, q174CompactSmall,
     q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip,
     q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
-    q183TemporalLayout)
+    q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
+    q187GroupByPushdown)
 }

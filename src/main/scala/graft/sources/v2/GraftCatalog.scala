@@ -3,8 +3,8 @@ package graft.sources.v2
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, StagedTable, StagingTableCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -43,7 +43,7 @@ import scala.jdk.CollectionConverters._
   * path-loaded relations (`spark.read.format(...)`) have none — so bucket
   * SPJ reads MUST come through `SELECT ... FROM <cat>.<tbl>`. Identity
   * layouts need no function and work either way. */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog with FunctionCatalog {
   private var catName: String = _
   private var base: String = _
 
@@ -116,10 +116,164 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def tableExists(ident: Identifier): Boolean =
     GraftStoreFormat.listManifests(pathOf(ident), conf).nonEmpty
 
+  // ---- SQL DDL lifecycle --------------------------------------------
+  // Earlier rounds rejected catalog-side CREATE ("a second, racing
+  // metadata root"); the racing-root concern dissolves once CREATE is
+  // itself a seq-0 manifest commit through the SAME CAS protocol every
+  // write uses — there is exactly one root, the manifest line, and the
+  // create is one more OCC participant. This completes the SQL story:
+  // CREATE / CTAS / RTAS / DROP / RENAME alongside the existing INSERT,
+  // REPLACE WHERE, DELETE/UPDATE/MERGE, ALTER, and time travel.
+
+  /** SQL partition transforms → the manifest layout string (the same
+    * family the path-based `partitionBy` option parses). */
+  private def layoutOf(partitions: Array[Transform]): Option[String] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => CExpr, Literal => CLit, NamedReference}
+    def col(e: CExpr): String = e match {
+      case r: NamedReference =>
+        require(r.fieldNames.length == 1,
+          s"graft catalog: nested partition column ${r.describe} unsupported")
+        r.fieldNames.head
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unsupported transform argument ${other.describe}")
+    }
+    if (partitions.isEmpty) None
+    else Some(partitions.map { t =>
+      (t.name.toLowerCase(java.util.Locale.ROOT), t.arguments.toSeq) match {
+        case ("identity", Seq(r)) => col(r)
+        case ("bucket", (n: CLit[_]) +: refs) if refs.nonEmpty =>
+          s"bucket(${n.value},${refs.map(col).mkString(",")})"
+        case (u @ ("years" | "months" | "days" | "hours"), Seq(r)) => s"$u(${col(r)})"
+        case ("truncate", Seq(n: CLit[_], r)) => s"truncate(${n.value},${col(r)})"
+        case ("truncate", Seq(r, n: CLit[_])) => s"truncate(${n.value},${col(r)})"
+        case _ => throw new IllegalArgumentException(
+          s"graft catalog: unsupported partition transform ${t.describe} — " +
+            "identity, bucket(n, cols...), years/months/days/hours(col) and " +
+            "truncate(w, col) are supported")
+      }
+    }.mkString(","))
+  }
+
+  /** CREATE/REPLACE TABLE properties → graft table properties. Spark's
+    * reserved keys pass through silently; anything unknown fails loudly
+    * (a typo'd 'bloomCols' that silently did nothing would read as "no
+    * skipping" forever). */
+  private def tablePropsOf(properties: util.Map[String, String])
+      : Map[String, String] = {
+    val reserved = Set("provider", "location", "comment", "owner", "external",
+      "is_managed_location", "path", "transient_lastddltime")
+    val known = Set("check", "dmlmode", "clusterby", "bloomcols")
+    properties.asScala.flatMap { case (k, v) =>
+      val kl = k.toLowerCase(java.util.Locale.ROOT)
+      if (known.contains(kl)) Some(kl -> v)
+      else if (reserved.contains(kl) || kl.startsWith("option.")) None
+      else throw new IllegalArgumentException(
+        s"graft catalog: unsupported table property '$k' — supported: " +
+          "check, dmlMode, clusterBy, bloomCols")
+    }.toMap
+  }
+
+  /** Validate schema/layout/properties and build the empty table manifest. */
+  private def emptyManifestFor(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : GraftManifest = {
+    val codecTypes: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(LongType, TimestampType, IntegerType, DateType, DoubleType,
+        FloatType, BooleanType, StringType)
+    }
+    schema.fields.foreach(f => require(codecTypes.contains(f.dataType),
+      s"graft catalog: column '${f.name}' has codec-unsupported type " +
+        s"${f.dataType.simpleString}"))
+    val layout = layoutOf(partitions).map(s => GraftLayout.parse(s).render)
+    layout.foreach(l => GraftLayout.parse(l).columns.foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"graft catalog: partition column '$c' not in the table schema")))
+    val props = tablePropsOf(properties)
+    props.get("dmlmode").foreach(m => require(m == "cow" || m == "mor",
+      s"graft catalog: dmlMode must be 'cow' or 'mor', got '$m'"))
+    require(layout.isEmpty || !props.contains("clusterby"),
+      "graft catalog: clusterBy and PARTITIONED BY are mutually exclusive layouts")
+    // CHECK must at least compile against the schema — an unparseable
+    // constraint must fail at CREATE, not at the first write
+    props.get("check").foreach(c => GraftCheck.compile(schema, c))
+    GraftManifest(schema, Seq.empty,
+      partitionCol = layout, clusterCols = props.get("clusterby"),
+      check = props.get("check"), dml = props.get("dmlmode"),
+      bloomCols = props.get("bloomcols"))
+  }
+
+  /** `CREATE TABLE cat.t (...) PARTITIONED BY (...)`: a seq-0 empty
+    * manifest commit — the table exists atomically from that CAS on,
+    * with layout and properties declared for every future write. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: tables are created by DataFrame writes to the table path")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val m = emptyManifestFor(ident, schema, partitions, properties)
+    if (!GraftStoreFormat.commitManifest(path, conf, m, 0L))
+      throw new TableAlreadyExistsException(ident) // lost the create race
+    new GraftStoreTable(path, schema)
+  }
+
+  /** Staged CTAS/RTAS ([[StagingTableCatalog]]): the staged table's FIRST
+    * write publishes the seq-0 (create) or truncating (replace) manifest —
+    * which IS the atomic publication point, so the table/new contents only
+    * ever appear fully populated; there is no empty-visible window and no
+    * partial replace. Abort of a staged CREATE removes the debris; abort
+    * of a staged REPLACE leaves the old table untouched (nothing was
+    * committed). */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    staged(ident, schema, partitions, properties, replace = false)
+  }
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, schema, partitions, properties, replace = true)
+  }
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    staged(ident, schema, partitions, properties, replace = tableExists(ident))
+
+  private def staged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean): StagedTable = {
+    // validate schema/layout/properties NOW (stage time), commit nothing
+    val m = emptyManifestFor(ident, schema, partitions, properties)
+    val inject = Map.newBuilder[String, String]
+    m.partitionCol.foreach(inject += "partitionBy" -> _)
+    m.clusterCols.foreach(inject += "clusterBy" -> _)
+    m.check.foreach(inject += "check" -> _)
+    m.dml.foreach(inject += "dmlMode" -> _)
+    m.bloomCols.foreach(inject += "bloomCols" -> _)
+    new GraftStagedTable(pathOf(ident), schema, m, inject.result(), replace, conf)
+  }
+
+  /** `DROP TABLE cat.t`: remove the table directory — manifests, data,
+    * sidecars, history. Managed-table semantics (the catalog owns the
+    * path); time travel does not survive a DROP, by design. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    if (!tableExists(ident)) false
+    else GraftStoreFormat.fs(path, conf)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+
+  /** `ALTER TABLE cat.a RENAME TO cat.b`: a directory rename — atomic on
+    * HDFS-like filesystems, metadata-only always (manifests reference
+    * files by RELATIVE name, so contents need no rewrite). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val oldPath = pathOf(oldIdent)
+    val newPath = pathOf(newIdent)
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val f = GraftStoreFormat.fs(oldPath, conf)
+    require(f.rename(new org.apache.hadoop.fs.Path(oldPath),
+        new org.apache.hadoop.fs.Path(newPath)),
+      s"graft catalog: rename $oldPath -> $newPath failed")
+  }
   /** SQL DDL on the manifest, metadata-only:
     *
     *   - `ALTER TABLE cat.t ADD COLUMNS (c TYPE)` — additive schema
@@ -312,15 +466,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       }
       done = GraftStoreFormat.commitManifest(path, conf,
         m.copy(schema = schema, files = files, check = check, dml = dml,
-          fieldMeta = fieldMeta, txn = None, cdc = None),
+          fieldMeta = fieldMeta, txn = None, cdc = None, dropCdc = Seq.empty),
         GraftStoreFormat.nextSeq(head))
     }
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean = false
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog: rename not supported")
-
   // ---- FunctionCatalog: the `bucket` transform (see GraftBucketFunction)
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket")) else Array.empty
@@ -328,4 +478,48 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
       GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+}
+
+/** A staged CTAS/RTAS table ([[StagingTableCatalog]]): routes the staged
+  * write through the normal table surface with the DECLARED layout and
+  * properties injected as write options (the CTAS query's own options
+  * cannot know them), forcing truncate for REPLACE. The data write's
+  * manifest commit IS the atomic publication point — seq-0 CAS for
+  * create, the truncating commit for replace — so the table never shows
+  * an empty-visible or half-replaced state. */
+private[v2] class GraftStagedTable(path: String, schema0: StructType,
+    emptyManifest: GraftManifest, inject: Map[String, String], replace: Boolean,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends GraftStoreTable(path, schema0) with StagedTable {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = new util.HashMap[String, String](info.options)
+    inject.foreach { case (k, v) => merged.put(k, v) }
+    val wrapped = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = new CaseInsensitiveStringMap(merged)
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = info.schema()
+      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+    }
+    val b = super.newWriteBuilder(wrapped)
+    if (replace)
+      b.asInstanceOf[org.apache.spark.sql.connector.write.SupportsTruncate].truncate()
+    else b
+  }
+  /** The staged write already published through the commit protocol; the
+    * empty-manifest commit here is a backstop so even a pathological
+    * zero-commit stage still materializes the declared table. */
+  override def commitStagedChanges(): Unit =
+    if (GraftStoreFormat.listManifests(path, conf).isEmpty)
+      require(GraftStoreFormat.commitManifest(path, conf, emptyManifest, 0L),
+        s"graft catalog: staged create lost a concurrent-create race at $path")
+  /** Abort of a staged CREATE removes the debris; abort of a staged
+    * REPLACE touches nothing (the truncating commit is all-or-nothing, so
+    * the old table is intact; `_tmp` scraps fall to removeOrphans). */
+  override def abortStagedChanges(): Unit =
+    if (!replace)
+      try GraftStoreFormat.fs(path, conf)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      catch { case _: Throwable => () }
 }

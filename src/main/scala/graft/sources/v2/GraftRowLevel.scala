@@ -367,7 +367,7 @@ private[v2] class GraftDeltaBatchWrite(path: String, schema: StructType,
         GraftStoreFormat.stampNew(headM.partitionSpecs, seq, newEntries))
       done = GraftStoreFormat.commitManifest(path, conf,
         headM.copy(files = headM.files ++ stamped,
-          deletes = headM.deletes ++ delEntries, txn = None, cdc = None),
+          deletes = headM.deletes ++ delEntries, txn = None, cdc = None, dropCdc = Seq.empty),
         seq)
     }
     fs.delete(dataTmp, true); fs.delete(delTmp, true)

@@ -278,7 +278,8 @@ private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEnt
     fieldMeta: Option[GraftFieldMeta] = None,
     refs: Map[String, GraftRef] = Map.empty, wap: Option[String] = None,
     bloomCols: Option[String] = None,
-    blooms: Seq[GraftBloomSidecarEntry] = Seq.empty) {
+    blooms: Seq[GraftBloomSidecarEntry] = Seq.empty,
+    dropCdc: Seq[String] = Seq.empty) {
   def isMor: Boolean = dml.contains("mor")
   def hasDeletes: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty
   /** Physical layout (field ids, positional) of one file's rows; None =
@@ -600,12 +601,22 @@ private[v2] object GraftStoreFormat {
       if (rest4.head.startsWith("#cdc="))
         (Some(rest4.head.stripPrefix("#cdc=")), rest4.tail)
       else (None, rest4)
+    // `#dropcdc=` header (optional, v14): data files this DELETE commit
+    // removed from the listing METADATA-ONLY — the predicate provably
+    // covered every row (stats / partition-value proof), so nothing was
+    // read or rewritten. The files stay on disk for older snapshots; the
+    // CDC feed resolves their live rows as delete pre-images reader-side
+    // (see [[GraftCdc]]). Per-commit metadata like `#cdc=`, never inherited
+    val (dropCdc, rest5z) =
+      if (rest5.head.startsWith("#dropcdc="))
+        (rest5.head.stripPrefix("#dropcdc=").split(",").toSeq, rest5.tail)
+      else (Seq.empty[String], rest5)
     // `#dml=` header (optional): row-level DML storage mode ("mor" =
     // merge-on-read; absent/"cow" = copy-on-write)
     val (dml, rest5b) =
-      if (rest5.head.startsWith("#dml="))
-        (Some(rest5.head.stripPrefix("#dml=")), rest5.tail)
-      else (None, rest5)
+      if (rest5z.head.startsWith("#dml="))
+        (Some(rest5z.head.stripPrefix("#dml=")), rest5z.tail)
+      else (None, rest5z)
     // `#refs=` header (optional, v11): named snapshot refs — TAGS pinning
     // a snapshot SEQ for `VERSION AS OF '<name>'` and expiry retention
     val (refs, rest5c) =
@@ -715,7 +726,8 @@ private[v2] object GraftStoreFormat {
       bloomLines.map { l =>
         val parts = l.split("\t", -1)
         GraftBloomSidecarEntry(parts(1), unescStat(parts(2)), unescStat(parts(3)))
-      })
+      },
+      dropCdc)
   }
 
   /** The table's HEAD: the newest manifest that is NOT a staged
@@ -923,6 +935,7 @@ private[v2] object GraftStoreFormat {
         m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
         m.check.map(c => s"#check=${escStat(c)}\n").getOrElse("") +
         m.cdc.map(c => s"#cdc=$c\n").getOrElse("") +
+        (if (m.dropCdc.isEmpty) "" else s"#dropcdc=${m.dropCdc.mkString(",")}\n") +
         m.dml.map(d => s"#dml=$d\n").getOrElse("") +
         (if (m.refs.isEmpty) "" else
           s"#refs=${m.refs.toSeq.sortBy(_._1).map { case (n2, r) =>
@@ -1497,7 +1510,7 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       val m = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(return false)
       done = GraftStoreFormat.commitManifest(path, conf,
-        m.copy(files = Seq.empty, txn = None, cdc = None, deletes = Seq.empty,
+        m.copy(files = Seq.empty, txn = None, cdc = None, dropCdc = Seq.empty, deletes = Seq.empty,
           eqDeletes = Seq.empty),
         GraftStoreFormat.nextSeq(head))
     }
@@ -1526,8 +1539,32 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
+
+  /** The table's declared partition transforms, translated from the
+    * manifest layout — what makes `INSERT OVERWRITE ... PARTITION (k=v)`
+    * resolve through SQL and DESCRIBE show the layout. Read-lenient like
+    * the scan: an unparseable header reports unpartitioned, never errors. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    GraftStoreFormat.readLatestManifest(path, conf).flatMap(_.partitionCol)
+      .flatMap(c => scala.util.Try(GraftLayout.parse(c)).toOption)
+      .map(_.specs.map {
+        case IdentitySpec(c) => Expressions.identity(c)
+        case BucketSpec(n, cs) => Expressions.bucket(n, cs: _*)
+        case TemporalSpec("years", c) => Expressions.years(c)
+        case TemporalSpec("months", c) => Expressions.months(c)
+        case TemporalSpec("days", c) => Expressions.days(c)
+        case TemporalSpec("hours", c) => Expressions.hours(c)
+        case TemporalSpec(u, c) => Expressions.apply(u, Expressions.column(c))
+        case TruncateSpec(w, c) =>
+          Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+      }.toArray[org.apache.spark.sql.connector.expressions.Transform])
+      .getOrElse(Array.empty)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `pinned` carries snapshot options resolved at catalog loadTable time
@@ -1615,13 +1652,22 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     dmlMode: Option[String] = None, wapId: Option[String] = None,
     branch: Option[String] = None, bloomColsOpt: Option[String] = None,
     bloomBits: Int = GraftBloomFilter.DefaultBits,
-    targetFileBytes: Option[Long] = None)
-    extends WriteBuilder with SupportsTruncate {
+    targetFileBytes: Option[Long] = None,
+    overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
+    dynamicOverwrite: Boolean = false)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   targetFileBytes.foreach(t => require(t >= 1024,
     s"graft-store: targetFileBytes must be >= 1024, got $t"))
-  require(wapId.isEmpty || !truncate,
+  private def replaceMode: Boolean = overwriteFilters.isDefined || dynamicOverwrite
+  require(overwriteFilters.isEmpty || !dynamicOverwrite,
+    "graft-store: filter and dynamic-partition overwrite are mutually exclusive")
+  require(!replaceMode || !truncate,
+    "graft-store: a scoped overwrite cannot also truncate")
+  require(wapId.isEmpty || (!truncate && !replaceMode),
     "graft-store: write-audit-publish stages APPENDS; an overwrite cannot be staged")
-  require(branch.isEmpty || !truncate,
+  require(branch.isEmpty || (!truncate && !replaceMode),
     "graft-store: branch writes are APPENDS; an overwrite cannot target a branch")
   require(branch.isEmpty || wapId.isEmpty,
     "graft-store: branch and wapId are mutually exclusive staging modes")
@@ -1633,6 +1679,19 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   // canonical `render` form is what the manifest header and the append
   // layout guard compare, so `bucket( 8 , k )` and `bucket(8,k)` unify
   private val layout: Option[GraftLayout] = partitionBy.map(GraftLayout.parse)
+
+  /** Non-truncate writes INHERIT the table's layout when no partitionBy
+    * option is given — the Delta/Iceberg discipline (layout is a TABLE
+    * property; writers route by it automatically): `INSERT INTO` a
+    * partitioned catalog table routes correctly with zero options, and a
+    * replace write stays partition-exact (dynamic overwrite could not even
+    * know its written partitions otherwise). Only a truncating overwrite
+    * redeclares layout from its own explicit options. */
+  private lazy val effectiveLayout: Option[GraftLayout] =
+    layout.orElse(
+      if (truncate) None
+      else GraftStoreFormat.readLatestManifest(path, conf).flatMap(_.partitionCol)
+        .flatMap(c => scala.util.Try(GraftLayout.parse(c)).toOption))
 
   /** CHECK constraint in force for this write (Delta constraint
     * semantics): an overwrite (re)declares it from the `check` option; an
@@ -1686,13 +1745,39 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
       clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
       branch, bloomColsOpt, bloomBits, targetFileBytes)
+
+  /** SCOPED OVERWRITE (`INSERT INTO ... REPLACE WHERE` / `INSERT OVERWRITE
+    * ... PARTITION (k=v)` / `writeTo.overwrite(cond)`): atomically replace
+    * the rows matching the filter with the incoming data — ONE commit,
+    * delete and insert visible together. The removal side is METADATA-ONLY
+    * (the [[GraftStoreScan.mustMatch]] full-coverage proof); a filter that
+    * matches only PART of a file fails loudly (Iceberg's overwrite
+    * contract: align to partition boundaries, or use DELETE/MERGE). The
+    * idempotent-backfill economics at 100 TB: re-materialize one day as a
+    * manifest edit plus the new files, nothing read, nothing rewritten. */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder =
+    if (filters.length == 1 && filters.head == org.apache.spark.sql.sources.AlwaysTrue())
+      truncate() // full-table overwrite — the existing truncate path
+    else new GraftStoreWriteBuilder(path, schema, conf, truncate = false, clusterBy,
+      clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
+      branch, bloomColsOpt, bloomBits, targetFileBytes, Some(filters))
+
+  /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic` /
+    * `writeTo.overwritePartitions()`): replace exactly the partitions the
+    * incoming data contains — discovered from the written files' explicit
+    * partition values at commit time, removal again metadata-only. */
+  override def overwriteDynamicPartitions(): WriteBuilder =
+    new GraftStoreWriteBuilder(path, schema, conf, truncate = false, clusterBy,
+      clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
+      branch, bloomColsOpt, bloomBits, targetFileBytes, None, dynamicOverwrite = true)
+
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
     private def orders: Array[SortOrder] =
       clusterBy.map(c => Expressions.sort(
         Expressions.identity(c), SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
-    override def requiredDistribution(): Distribution = layout match {
+    override def requiredDistribution(): Distribution = effectiveLayout match {
       // both layouts demand a CLUSTERED (hash) distribution on the layout
       // COLUMNS: a partition-key value (combination) then never spans two
       // tasks, and the DataWriter splits each task's rows into one file per
@@ -1710,12 +1795,13 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     override def requiredOrdering(): Array[SortOrder] = orders
     override def requiredNumPartitions(): Int = if (clusterBy.isEmpty) 0 else clusterFiles
     override def toBatch: BatchWrite =
-      new GraftStoreBatchWrite(path, schema, conf, truncate, layout, clusterBy,
+      new GraftStoreBatchWrite(path, schema, conf, truncate, effectiveLayout, clusterBy,
         mergeSchema, effectiveCheck, compiledCheck, dmlMode, wapId, branch,
-        effectiveBloomCols, bloomBits, targetFileBytes)
+        effectiveBloomCols, bloomBits, targetFileBytes, overwriteFilters,
+        dynamicOverwrite)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck,
-        effectiveCheck)
+        effectiveCheck, effectiveLayout)
   }
 }
 
@@ -1739,7 +1825,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
 private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
     conf: Configuration, queryId: String,
     check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
-    checkText: Option[String] = None)
+    checkText: Option[String] = None,
+    layout: Option[GraftLayout] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   private val writeId = UUID.randomUUID().toString.take(8)
@@ -1747,7 +1834,12 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStoreStreamingWriterFactory(path, writeId, schema,
-      new SerializableHadoopConf(conf), check)
+      new SerializableHadoopConf(conf), check,
+      // streamed files route by the table's (inherited) layout exactly
+      // like batch appends: per-value files with explicit partVals, so
+      // SPJ and layout-value pruning survive streaming ingest — no
+      // compaction needed to restore them
+      GraftRoute.forLayout(layout, schema))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = GraftStoreFormat.fs(path, conf)
@@ -1781,10 +1873,11 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
         GraftStoreFormat.partValsFromString(m.partVals),
         nullCounts = GraftStoreFormat.nullsFromString(m.nulls)))
       // layout headers CARRY THROUGH a streaming append (dropping them
-      // would silently strip the table's declared layout): streamed files
-      // have no partition values, so scans degrade conservatively to
-      // UnknownPartitioning until compaction re-routes them — declared
-      // layout preserved, correctness never at risk
+      // would silently strip the table's declared layout), and streamed
+      // files ROUTE by it (per-value files, explicit partVals — see
+      // createStreamingWriterFactory), so SPJ and layout pruning survive
+      // streaming ingest; a stream into a legacy unrouted table still
+      // degrades conservatively to UnknownPartitioning
       // declared nullability only ever WIDENS (mirror of the batch path):
       // a stream whose schema marks a column nullable can legally write
       // nulls, so republishing the stored non-null contract unchanged would
@@ -1796,9 +1889,9 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
           })
         case _ => schema
       }
-      // evolved table: streamed files (no partition values — scans already
-      // degrade conservatively on them) still stamp the current spec id so
-      // the "specs defined => every file stamped" invariant holds
+      // evolved table: streamed files stamp the current spec id so the
+      // "specs defined => every file stamped" invariant holds (their
+      // partVals are positional in that spec, like any routed write)
       val specs = prevManifest.flatMap(_.partitionSpecs)
       val seq = GraftStoreFormat.nextSeq(head)
       val stamped0 = GraftStoreFormat.stampNew(specs, seq, newEntries)
@@ -1839,14 +1932,15 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
 
 private[v2] class GraftStoreStreamingWriterFactory(path: String, writeId: String,
     schema: StructType, conf: SerializableHadoopConf,
-    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+    check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+    route: GraftRoute = NoRoute)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     // epoch folded into the attempt id: a replayed epoch's files never
     // collide with the originals' names
     new GraftStoreDataWriter(path, writeId, partitionId,
-      taskId ^ (epochId * 2654435761L), schema, conf.value, NoRoute, check)
+      taskId ^ (epochId * 2654435761L), schema, conf.value, route, check)
 }
 
 /** One finished task file: (name, rows, encoded stats, encoded partition
@@ -1869,7 +1963,9 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     dmlMode: Option[String] = None, wapId: Option[String] = None,
     branch: Option[String] = None, bloomCols: Option[String] = None,
     bloomBits: Int = GraftBloomFilter.DefaultBits,
-    targetFileBytes: Option[Long] = None)
+    targetFileBytes: Option[Long] = None,
+    overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
+    dynamicOverwrite: Boolean = false)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
@@ -1981,9 +2077,58 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
             } ++ schema.fields.drop(m.schema.length).map(_.copy(nullable = true)))
         case _ => schema
       }
+      // REPLACE modes (`INSERT INTO ... REPLACE WHERE` / `INSERT OVERWRITE
+      // PARTITION` / writeTo.overwrite / overwritePartitions): the files
+      // this commit removes from the listing, each PROVEN fully covered —
+      // static filters via the mustMatch proof (a partial match fails
+      // loudly: Iceberg's overwrite contract — align the filter to
+      // partition boundaries or use DELETE/MERGE), dynamic via EXACT
+      // partition-tuple equality with the written files' partVals. Removal
+      // is metadata-only either way; with the new files it is ONE atomic
+      // commit — the idempotent-backfill economics. Recomputed per OCC
+      // retry (overwrite-as-of-commit: a concurrently appended matching
+      // file is replaced too, never silently kept).
+      val removedNames: Set[String] = prevManifest match {
+        case None => Set.empty
+        case Some(m) => overwriteFilters match {
+          case Some(ofs) =>
+            import org.apache.spark.sql.{sources => sf}
+            val fAnd = ofs.map(GraftStoreScan.nnf)
+              .reduceOption(sf.And(_, _)).getOrElse(sf.AlwaysTrue())
+            val layoutOk = GraftStoreScan.layoutPruner(m, GraftStoreScan.conjuncts(fAnd))
+            val may = m.files.filter { e =>
+              val eL = GraftStoreFormat.logicalStatsView(m, e)
+              layoutOk(e) && GraftStoreFormat.mayMatch(m.schema, eL, fAnd)
+            }
+            val (full, partial) = may.partition(e => GraftStoreScan.mustMatch(m, e, fAnd))
+            if (partial.nonEmpty) throw new IllegalArgumentException(
+              s"graft-store: overwrite filter matches some but not all rows of " +
+                s"${partial.size} file(s) (e.g. ${partial.head.name}); align the " +
+                "filter to partition/file boundaries, or use DELETE + append / MERGE")
+            full.map(_.name).toSet
+          case None if dynamicOverwrite =>
+            require(m.partitionCol.isDefined,
+              "graft-store: dynamic partition overwrite requires a partitioned table")
+            // exact tuple comparison needs ONE spec interpretation — a
+            // mixed-spec listing would compare values across different
+            // transforms; re-unify the layout first
+            val curSpec = m.partitionSpecs.map(_.length - 1)
+            require(m.partitionSpecs.isEmpty || m.files.forall(_.specId == curSpec),
+              "graft-store: dynamic overwrite on a mixed-spec table is not exact; " +
+                "rewriteOldSpecFiles first")
+            val written = committed.map(_.partVals).filter(_.nonEmpty).toSet
+            m.files.filter(e => e.partVals.exists(vs =>
+              written.contains(GraftStoreFormat.partValsToString(vs))))
+              .map(_.name).toSet
+          case None => Set.empty
+        }
+      }
       val prev = prevManifest.map { m =>
-        if (!evolving) m.files
-        else m.files.map(e => e.copy(ncols = e.ncols.orElse(Some(m.schema.length))))
+        val live =
+          if (removedNames.isEmpty) m.files
+          else m.files.filterNot(e => removedNames.contains(e.name))
+        if (!evolving) live
+        else live.map(e => e.copy(ncols = e.ncols.orElse(Some(m.schema.length))))
       }.getOrElse(Seq.empty)
       // declared clustering is a TABLE PROPERTY (advisory, Iceberg
       // sort-order style): an overwrite (re)declares it from the writer's
@@ -2019,8 +2164,12 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       // delete); an overwrite starts clean. The DML mode is a table
       // property: overwrite (re)declares it from the `dmlMode` option,
       // append inherits (declaring on a fresh table is fine)
-      val dels = if (truncate) Seq.empty[GraftDeleteEntry]
-                 else prevManifest.map(_.deletes).getOrElse(Seq.empty)
+      val dels0 = if (truncate) Seq.empty[GraftDeleteEntry]
+                  else prevManifest.map(_.deletes).getOrElse(Seq.empty)
+      // replace modes: delete entries left covering ONLY removed files are
+      // dead (fresh names can never be covered by an old entry)
+      val dels = if (removedNames.isEmpty) dels0
+                 else dels0.filter(d => prev.exists(e => d.covers(e.name)))
       val eqDels = if (truncate) Seq.empty[GraftEqDeleteEntry]
                    else prevManifest.map(_.eqDeletes).getOrElse(Seq.empty)
       val dml = if (truncate) dmlMode
@@ -2057,7 +2206,10 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
           clusterCols = cluster, check = effCheck, partitionSpecs = specs,
           deletes = dels, dml = dml, eqDeletes = eqDels, fieldMeta = fieldMeta,
           refs = refs, wap = wapId.orElse(branch.map(b => s"branch:$b")),
-          bloomCols = effBloomCols, blooms = prevBlooms ++ newBlooms),
+          bloomCols = effBloomCols, blooms = prevBlooms ++ newBlooms,
+          // replaced files ride `#dropcdc=`: their live rows are deletes,
+          // the new files inserts — INSERT OVERWRITE is CDC-streamable
+          dropCdc = removedNames.toSeq.sorted),
         seq)
       // branch write landed: MOVE the ref on the main line (its own OCC
       // loop; a concurrent write to the SAME branch loses loudly — branch
@@ -2075,7 +2227,7 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
                 s"(${r.seq} -> ${cur.seq}); re-run this write against the new tip")
           moved = GraftStoreFormat.commitManifest(path, conf,
             mh.copy(refs = mh.refs + (b -> r.copy(seq = seq)),
-              txn = None, cdc = None),
+              txn = None, cdc = None, dropCdc = Seq.empty),
             GraftStoreFormat.nextSeq(ms2))
         }
       }
@@ -2552,11 +2704,18 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
     * files. At 100 TB that turns the most common sanity queries from a
     * full-table scan into a manifest read.
     *
+    * GROUP BY pushes too when every group expression is an IDENTITY
+    * partition column of the current spec (files carry explicit
+    * partVals): the manifest partitions the file set EXACTLY by group
+    * key, so `GROUP BY day` over 100 TB is a driver-local manifest fold —
+    * one row per partition, zero data files opened.
+    *
     * The pushdown is EXACT or declined — never approximate:
     *   - declined when any filter is pushed (our filters are always
     *     returned as residuals, so Spark never plans aggregate pushdown
     *     under a WHERE anyway — this guard is defense in depth), when a
-    *     GROUP BY is present, or on the row-level DML scan;
+    *     GROUP BY is not identity-partition-aligned as above, or on the
+    *     row-level DML scan;
     *   - declined when the snapshot carries live position/equality deletes
     *     (merge-on-read masks falsify manifest row counts and may mask the
     *     extreme value; `purgeDeletes`/compaction restore pushdown);
@@ -2568,17 +2727,17 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
     *     single stats-less file declines the whole pushdown;
     *   - `count(col)` is declined outright (per-file null counts are not
     *     recorded), as is anything DISTINCT. */
-  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var aggResult: Option[(StructType, Array[InternalRow])] = None
   /** The row-level DML scan must keep producing rows for the rewrite plan. */
   protected def aggregatesAllowed: Boolean = true
   /** Spark probes `supportCompletePushDown` and then calls
     * `pushAggregation` with the SAME Aggregation instance; the manifest
     * reduction runs once and the second call reuses it (reference-keyed —
     * a different instance just recomputes, still correct). */
-  private var aggMemo: (AnyRef, Option[(StructType, InternalRow)]) = null
+  private var aggMemo: (AnyRef, Option[(StructType, Array[InternalRow])]) = null
   private def computeAggMemo(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] = {
+      : Option[(StructType, Array[InternalRow])] = {
     val m = aggMemo
     if (m != null && (m._1 eq agg)) m._2
     else { val r = computeAgg(agg); aggMemo = (agg, r); r }
@@ -2594,15 +2753,56 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
 
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] = {
+      : Option[(StructType, Array[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (!aggregatesAllowed || pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
-      manifest.hasDeletes) return None
+    if (!aggregatesAllowed || pushed.nonEmpty || manifest.hasDeletes) return None
+    // GROUP BY pushdown: exact iff every group-by expression is a
+    // single-part reference to an IDENTITY element of the current spec
+    // and every file was written under that spec with explicit partVals
+    // — the manifest then partitions the file set exactly by group key,
+    // and `GROUP BY day` over 100 TB plans as a manifest fold (one row
+    // per partition, zero data files opened; beyond what Iceberg's
+    // count(*) trick covers). Anything else declines.
+    val groupSpecPos: Option[Seq[(Int, Int)]] = // (spec element pos, col idx)
+      if (agg.groupByExpressions.isEmpty) Some(Seq.empty)
+      else manifest.partitionCol
+        .flatMap(c => scala.util.Try(GraftLayout.parse(c)).toOption)
+        .flatMap { l =>
+          val identPos: Map[String, Int] = l.specs.zipWithIndex.collect {
+            case (IdentitySpec(c), i) => c -> i
+          }.toMap
+          val refs = agg.groupByExpressions.toSeq.map {
+            case nr: NamedReference if nr.fieldNames.length == 1 =>
+              val col = nr.fieldNames.head
+              identPos.get(col).map(p => p -> manifest.schema.fieldNames.indexOf(col))
+            case _ => None
+          }
+          val curSpecOk = manifest.partitionSpecs.forall(ss =>
+            manifest.files.forall(_.specId.contains(ss.length - 1)))
+          val pvOk = manifest.files.forall(_.partVals.exists(_.length == l.specs.length))
+          if (refs.exists(r => r.isEmpty || r.exists(_._2 < 0)) || !curSpecOk || !pvOk) None
+          else Some(refs.flatten)
+        }
+    if (groupSpecPos.isEmpty) return None
+    // a partition value string decodes back to the column's internal
+    // value (it was rendered FROM the internal value); None = null
+    // partition → a null group key, like the real aggregation produces
+    def decodeKey(dt: DataType, v: Option[String]): Option[Any] = v match {
+      case None => Some(null)
+      case Some(s) => dt match {
+        case LongType | TimestampType =>
+          scala.util.Try(java.lang.Long.valueOf(s.toLong): Any).toOption
+        case IntegerType | DateType =>
+          scala.util.Try(java.lang.Integer.valueOf(s.toInt): Any).toOption
+        case StringType => Some(UTF8String.fromString(s): Any)
+        case _ => None // undecodable group type → decline
+      }
+    }
     // field-id-evolved tables serve min/max from stats re-keyed to current
     // logical indices; a file whose layout lacks the column (dropped /
     // born later) simply has no stat for it → declined, exact-or-nothing
-    val files = manifest.files.map(e => GraftStoreFormat.logicalStatsView(manifest, e))
+    val allFiles = manifest.files.map(e => GraftStoreFormat.logicalStatsView(manifest, e))
 
     // column index for a single-part reference into the TABLE schema
     // (metadata columns like `_file` have no stats and fall out here)
@@ -2614,78 +2814,120 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
         case _ => None
       }
 
-    // exact file-level bound, decoded to the column's INTERNAL value;
-    // None = file has rows but no stats for the column → decline
-    def bound(idx: Int, wantMin: Boolean): Option[Seq[Any]] = {
-      val dt = manifest.schema.fields(idx).dataType
-      val vs = files.filter(_.rows > 0).map { e =>
-        e.stats.get(idx).map { case (mn, mx) =>
-          val raw = if (wantMin) mn else mx
-          dt match {
-            case LongType | TimestampType => java.lang.Long.valueOf(raw.toLong): Any
-            case IntegerType | DateType => java.lang.Integer.valueOf(raw.toInt): Any
-            case DoubleType => java.lang.Double.valueOf(raw.toDouble): Any
-            case FloatType => java.lang.Float.valueOf(raw.toFloat): Any
-            case StringType => UTF8String.fromString(raw): Any
-            case _ => null // unsupported type → treated as missing stats
-          }
-        }.filter(_ != null)
-      }
-      if (vs.exists(_.isEmpty)) None else Some(vs.flatten)
-    }
-
-    def extreme(idx: Int, wantMin: Boolean): Option[Any] =
-      bound(idx, wantMin).map { vs =>
-        if (vs.isEmpty) null // only empty files → SQL min/max of nothing
-        else vs.reduce { (a, b) =>
-          val c = (a, b) match {
-            case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
-            case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
-            case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
-            case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
-            case (x: UTF8String, y: UTF8String) => x.compareTo(y)
-            case _ => 0
-          }
-          if ((c <= 0) == wantMin) a else b
+    /** The aggregate columns over ONE file set (the whole table, or one
+      * partition group). Exact-or-None, per the class doc. */
+    def aggOver(files: Seq[GraftFileEntry]): Option[Seq[(StructField, Any)]] = {
+      // exact file-level bound, decoded to the column's INTERNAL value;
+      // None = file has rows but no stats for the column → decline
+      def bound(idx: Int, wantMin: Boolean): Option[Seq[Any]] = {
+        val dt = manifest.schema.fields(idx).dataType
+        val vs = files.filter(_.rows > 0).map { e =>
+          e.stats.get(idx).map { case (mn, mx) =>
+            val raw = if (wantMin) mn else mx
+            dt match {
+              case LongType | TimestampType => java.lang.Long.valueOf(raw.toLong): Any
+              case IntegerType | DateType => java.lang.Integer.valueOf(raw.toInt): Any
+              case DoubleType => java.lang.Double.valueOf(raw.toDouble): Any
+              case FloatType => java.lang.Float.valueOf(raw.toFloat): Any
+              case StringType => UTF8String.fromString(raw): Any
+              case _ => null // unsupported type → treated as missing stats
+            }
+          }.filter(_ != null)
         }
+        if (vs.exists(_.isEmpty)) None else Some(vs.flatten)
       }
 
-    val out = agg.aggregateExpressions.map {
-      case _: CountStar =>
-        Some((StructField("count_star", LongType, nullable = false),
-          java.lang.Long.valueOf(files.map(_.rows).sum): Any))
-      // count(col) = Σ (rows − nulls): exact iff EVERY file carries null
-      // counts (v10 writers). The logical view is dense, so a file that
-      // physically lacks the column scores rows − rows = 0 — precisely
-      // the null-extension semantics the real scan would produce.
-      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
-          if !c.isDistinct =>
-        colIdx(c.column).flatMap { i =>
-          val per = files.map { e =>
-            if (e.rows == 0) Some(0L)
-            else e.nullCounts.map(nc => e.rows - nc.getOrElse(i, e.rows))
+      def extreme(idx: Int, wantMin: Boolean): Option[Any] =
+        bound(idx, wantMin).map { vs =>
+          if (vs.isEmpty) null // only empty files → SQL min/max of nothing
+          else vs.reduce { (a, b) =>
+            val c = (a, b) match {
+              case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+              case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+              case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+              case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+              case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+              case _ => 0
+            }
+            if ((c <= 0) == wantMin) a else b
           }
-          if (per.exists(_.isEmpty)) None
-          else Some((StructField(s"count_$i", LongType, nullable = false),
-            java.lang.Long.valueOf(per.flatten.sum): Any))
         }
-      case m: Min =>
-        colIdx(m.column).flatMap(i => extreme(i, wantMin = true).map(v =>
-          (StructField(s"min_$i", manifest.schema.fields(i).dataType), v)))
-      case m: Max =>
-        colIdx(m.column).flatMap(i => extreme(i, wantMin = false).map(v =>
-          (StructField(s"max_$i", manifest.schema.fields(i).dataType), v)))
-      case _ => None
+
+      val out = agg.aggregateExpressions.map {
+        case _: CountStar =>
+          Some((StructField("count_star", LongType, nullable = false),
+            java.lang.Long.valueOf(files.map(_.rows).sum): Any))
+        // count(col) = Σ (rows − nulls): exact iff EVERY file carries null
+        // counts (v10 writers). The logical view is dense, so a file that
+        // physically lacks the column scores rows − rows = 0 — precisely
+        // the null-extension semantics the real scan would produce.
+        case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+            if !c.isDistinct =>
+          colIdx(c.column).flatMap { i =>
+            val per = files.map { e =>
+              if (e.rows == 0) Some(0L)
+              else e.nullCounts.map(nc => e.rows - nc.getOrElse(i, e.rows))
+            }
+            if (per.exists(_.isEmpty)) None
+            else Some((StructField(s"count_$i", LongType, nullable = false),
+              java.lang.Long.valueOf(per.flatten.sum): Any))
+          }
+        case m: Min =>
+          colIdx(m.column).flatMap(i => extreme(i, wantMin = true).map(v =>
+            (StructField(s"min_$i", manifest.schema.fields(i).dataType), v)))
+        case m: Max =>
+          colIdx(m.column).flatMap(i => extreme(i, wantMin = false).map(v =>
+            (StructField(s"max_$i", manifest.schema.fields(i).dataType), v)))
+        case _ => None
+      }
+      if (out.exists(_.isEmpty)) None else Some(out.flatten.toSeq)
     }
-    if (out.exists(_.isEmpty)) None
-    else {
-      val pairs = out.flatten
-      Some((StructType(pairs.map(_._1)), InternalRow.fromSeq(pairs.map(_._2).toSeq)))
+
+    groupSpecPos.get match {
+      case Seq() => // global aggregate: one row over all files
+        aggOver(allFiles).map(pairs =>
+          (StructType(pairs.map(_._1)),
+            Array(InternalRow.fromSeq(pairs.map(_._2)))))
+      case gcols =>
+        // one row per distinct partition-key tuple; the output schema is
+        // group columns FIRST then aggregate columns — the contract
+        // V2ScanRelationPushDown expects of a completely pushed GROUP BY
+        val groupFields = gcols.map { case (_, ci) =>
+          val f = manifest.schema.fields(ci)
+          StructField(f.name, f.dataType, f.nullable)
+        }
+        val grouped = allFiles.zip(manifest.files).groupBy { case (_, orig) =>
+          gcols.map { case (specPos, _) => orig.partVals.get(specPos) }
+        }.toSeq
+        val rows = grouped.map { case (keyVals, fs) =>
+          val key = keyVals.zip(gcols).map { case (v, (_, ci)) =>
+            decodeKey(manifest.schema.fields(ci).dataType, v)
+          }
+          for {
+            k <- if (key.exists(_.isEmpty)) None else Some(key.flatten)
+            pairs <- aggOver(fs.map(_._1))
+          } yield (k, pairs)
+        }
+        if (rows.exists(_.isEmpty)) None
+        else {
+          val rs = rows.flatten
+          val aggFields = rs.headOption.map(_._2.map(_._1))
+            .getOrElse {
+              // zero groups (empty table): derive the agg schema from an
+              // empty fold so the plan still type-checks
+              aggOver(Seq.empty).map(_.map(_._1)).getOrElse(Seq.empty)
+            }
+          if (rs.isEmpty && aggFields.isEmpty) None
+          else Some((StructType(groupFields ++ aggFields),
+            rs.map { case (k, pairs) =>
+              InternalRow.fromSeq(k ++ pairs.map(_._2))
+            }.toArray))
+        }
     }
   }
 
   override def build(): Scan = aggResult match {
-    case Some((aggSchema, row)) => GraftLocalAggScan(aggSchema, Array(row))
+    case Some((aggSchema, rows)) => GraftLocalAggScan(aggSchema, rows)
     case None =>
       val s = newScan(path, manifest, required, pushed, new SerializableHadoopConf(conf))
       s.streamMaxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
@@ -2897,6 +3139,200 @@ private[v2] object GraftStoreScan {
     if (ys.exists(_.isEmpty)) None else Some(ys.flatten)
   }
 
+  /** Dual of [[GraftStoreFormat.mayMatch]]: TRUE only when the manifest
+    * PROVES every physical row of the file satisfies `f` — the currency of
+    * METADATA-ONLY DELETE (Iceberg's partition-drop economics: a predicate
+    * that provably covers a whole file drops it from the listing with zero
+    * reads). Sound by construction, deliberately incomplete:
+    *
+    *   - stats proofs require the column proven NULL-FREE (v10 null
+    *     counts): a null never satisfies an equality/range predicate, so
+    *     one unknown null defeats the proof;
+    *   - string stats are EXACT when present (>64-char values drop the
+    *     stat rather than truncate — a truncated max would fake a proof);
+    *   - identity partition values prove equality and IS [NOT] NULL even
+    *     where stats are capped away (explicit per-file partVals; the null
+    *     partition proves IS NULL);
+    *   - `Not(g)` is proven by `!mayMatch(g)` PLUS null-freedom of every
+    *     column g references (a row where g is NULL makes NOT g NULL, not
+    *     TRUE — three-valued logic would otherwise fake the proof);
+    *   - anything unknown answers false — the file takes the normal
+    *     rewrite path, never a wrong drop.
+    *
+    * Masked rows (position/equality deletes) need no special care: masks
+    * only REMOVE rows, so "every physical row matches" covers every live
+    * row a fortiori, and dropping the file deletes exactly the live ones. */
+  def mustMatch(m: GraftManifest, e0: GraftFileEntry, f: Filter): Boolean = {
+    val schema = m.schema
+    val e = GraftStoreFormat.logicalStatsView(m, e0)
+    def idxOf(c: String): Int = schema.fieldNames.indexOf(c)
+    // v10 DENSE null view: tracked 0 proves null-free; tracked == rows (or
+    // the column physically absent — every row null-extends) proves
+    // all-null. Pre-v10 files (no counts) prove neither.
+    def noNulls(i: Int): Boolean =
+      e.nullCounts.exists(nc => nc.get(i).contains(0L))
+    def allNulls(i: Int): Boolean =
+      e.nullCounts.exists(nc => nc.get(i).fold(true)(_ == e.rows))
+    // identity-layout elements of the file's OWN spec (spec evolution:
+    // partVals are positional in the spec the file was written under) —
+    // column name -> its explicit partition value (None = null partition)
+    lazy val identVals: Map[String, Option[String]] = {
+      val specStr = m.partitionSpecs match {
+        case Some(hist) => e0.specId.flatMap(hist.lift).filter(_.nonEmpty)
+        case None => m.partitionCol
+      }
+      (for {
+        s <- specStr.toSeq
+        l <- scala.util.Try(GraftLayout.parse(s)).toOption.toSeq
+        vs <- e0.partVals.toSeq if vs.length == l.specs.length
+        (sp, v) <- l.specs.zip(vs)
+        c <- sp match { case IdentitySpec(c0) => Seq(c0); case _ => Seq.empty }
+      } yield c -> v).toMap
+    }
+    // identity partVal Some(p) proves all rows have c == p AND non-null
+    // (nulls route to the null partition, partVal None)
+    def identEq(c: String, v: Any): Boolean = {
+      val i = idxOf(c)
+      v != null && i >= 0 && identVals.get(c).exists(_.exists(p =>
+        internalOf(schema.fields(i).dataType, v).exists(_.toString == p)))
+    }
+    def bound(c: String, v: Any)(longOk: (Long, Long, Long) => Boolean): Boolean = {
+      val i = idxOf(c)
+      i >= 0 && noNulls(i) && e.stats.get(i).exists { case (mn, mx) =>
+        (schema.fields(i).dataType, v) match {
+          case (LongType | IntegerType | DateType, n: java.lang.Number) =>
+            longOk(mn.toLong, mx.toLong, n.longValue())
+          case (DoubleType | FloatType, n: java.lang.Number) =>
+            // NaN-poisoned stats are never written (the writer drops them),
+            // so present double stats are exact bounds. Collapse to sign
+            // space like strings so one comparator serves every type.
+            val x = n.doubleValue()
+            longOk(math.signum(mn.toDouble.compareTo(x)).toLong,
+              math.signum(mx.toDouble.compareTo(x)).toLong, 0L)
+          case (StringType, s: String) =>
+            // UTF8 binary order — the stats' own ordering (see mayMatch)
+            val x = UTF8String.fromString(s)
+            longOk(math.signum(UTF8String.fromString(mn).compareTo(x)).toLong,
+              math.signum(UTF8String.fromString(mx).compareTo(x)).toLong, 0L)
+          case _ => false
+        }
+      }
+    }
+    f match {
+      case And(l, r) => mustMatch(m, e0, l) && mustMatch(m, e0, r)
+      // every row satisfies l, or every row satisfies r — either proves
+      // the disjunction (incomplete for per-row mixtures, and sound)
+      case Or(l, r) => mustMatch(m, e0, l) || mustMatch(m, e0, r)
+      case Not(g) =>
+        g.references.forall(c => { val i = idxOf(c); i >= 0 && noNulls(i) }) &&
+          !GraftStoreFormat.mayMatch(schema, e, g)
+      case EqualTo(c, v) =>
+        identEq(c, v) || bound(c, v)((mn, mx, x) => mn == x && mx == x)
+      case GreaterThan(c, v) => bound(c, v)((mn, _, x) => mn > x)
+      case GreaterThanOrEqual(c, v) => bound(c, v)((mn, _, x) => mn >= x)
+      case LessThan(c, v) => bound(c, v)((_, mx, x) => mx < x)
+      case LessThanOrEqual(c, v) => bound(c, v)((_, mx, x) => mx <= x)
+      case In(c, vs) => vs.nonEmpty && vs.exists(v => mustMatch(m, e0, EqualTo(c, v)))
+      case IsNull(c) =>
+        val i = idxOf(c)
+        i >= 0 && (allNulls(i) || identVals.get(c).exists(_.isEmpty))
+      case IsNotNull(c) =>
+        val i = idxOf(c)
+        i >= 0 && (noNulls(i) || identVals.get(c).exists(_.isDefined))
+      case AlwaysTrue() => true
+      case _ => false
+    }
+  }
+
+  /** Split a V1 filter tree into its top-level conjuncts — the shape
+    * [[eqSets]]/[[rangeBounds]] consume (they match conjunct LEAVES, not
+    * And nodes). */
+  def conjuncts(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Push negations to the leaves (negation normal form) preserving the
+    * TRUE-set — the only semantics filter planning needs (a row is kept/
+    * deleted iff the predicate is TRUE; FALSE and NULL act alike). Under
+    * three-valued logic `NOT(a AND b)` is TRUE iff a is FALSE or b is
+    * FALSE, i.e. `NOT a OR NOT b` — De Morgan holds for TRUE-sets — and
+    * `NOT(c > v)` is TRUE iff c is non-null and c <= v, i.e. exactly
+    * `c <= v`'s TRUE-set. Negated comparisons against a NULL constant are
+    * never TRUE (NULL in, NULL out) — they normalize to AlwaysFalse.
+    * Leaves the un-normalizable (`Not(EqualTo)`, `Not(In)`) in place. */
+  def nnf(f: Filter): Filter = f match {
+    case Not(Not(g)) => nnf(g)
+    // null-safe equality (`<=>` — how Spark encodes static PARTITION
+    // values in INSERT OVERWRITE): TRUE-set-identical to plain equality
+    // for a non-null constant, and to IS NULL for a null one
+    case EqualNullSafe(c, v) => if (v == null) IsNull(c) else EqualTo(c, v)
+    case Not(EqualNullSafe(c, v)) if v == null => IsNotNull(c)
+    case Not(And(l, r)) => Or(nnf(Not(l)), nnf(Not(r)))
+    case Not(Or(l, r)) => And(nnf(Not(l)), nnf(Not(r)))
+    case Not(GreaterThan(c, v)) => if (v == null) AlwaysFalse() else LessThanOrEqual(c, v)
+    case Not(GreaterThanOrEqual(c, v)) => if (v == null) AlwaysFalse() else LessThan(c, v)
+    case Not(LessThan(c, v)) => if (v == null) AlwaysFalse() else GreaterThanOrEqual(c, v)
+    case Not(LessThanOrEqual(c, v)) => if (v == null) AlwaysFalse() else GreaterThan(c, v)
+    case Not(IsNull(c)) => IsNotNull(c)
+    case Not(IsNotNull(c)) => IsNull(c)
+    case Not(AlwaysTrue()) => AlwaysFalse()
+    case Not(AlwaysFalse()) => AlwaysTrue()
+    case And(l, r) => And(nnf(l), nnf(r))
+    case Or(l, r) => Or(nnf(l), nnf(r))
+    case other => other
+  }
+
+  /** Layout-value admissibility probe under conjunct filters, factored for
+    * reuse by BOTH the scan's selection and the COW/MOR DML planners: a
+    * DELETE on one identity partition must not rewrite sibling partitions
+    * just because their string stats are capped away — partVals are
+    * explicit and exact where stats are not. Returns a per-file predicate;
+    * admissible-set resolution runs ONCE, each file costs one hash probe +
+    * one long compare (independent of predicate width). */
+  def layoutPruner(m: GraftManifest, fs: Seq[Filter]): GraftFileEntry => Boolean = {
+    val eqs = eqSets(fs)
+    val ranges = rangeBounds(m.schema, fs)
+    if (eqs.isEmpty && ranges.isEmpty) return (_: GraftFileEntry) => true
+    val admCache = scala.collection.mutable.Map.empty[String,
+      Option[(Seq[Option[Set[String]]], Seq[Option[(Option[Long], Option[Long])]])]]
+    // the file's OWN spec (partition-spec evolution: partVals are
+    // positional in the spec the file was written under)
+    def specStrOf(e: GraftFileEntry): Option[String] = m.partitionSpecs match {
+      case Some(hist) => e.specId.flatMap(hist.lift).filter(_.nonEmpty)
+      case None => m.partitionCol
+    }
+    (e: GraftFileEntry) => specStrOf(e) match {
+      case Some(spec) =>
+        admCache.getOrElseUpdate(spec,
+          scala.util.Try(GraftLayout.parse(spec)).toOption
+            .map(l => (admissibleOf(m.schema, l, eqs),
+              rangeAdmissibleOf(m.schema, l, ranges)))) match {
+          case Some((adm, radm)) => e.partVals match {
+            case Some(vs) if vs.length == adm.length =>
+              vs.lazyZip(adm).lazyZip(radm).forall { (pv, set, rng) =>
+                (set, rng) match {
+                  case (None, None) => true
+                  case _ => pv match {
+                    // a null partition value can never match an
+                    // equality OR satisfy a range predicate
+                    case None => false
+                    case Some(v) =>
+                      set.forall(_.contains(v)) && rng.forall { case (lo, hi) =>
+                        scala.util.Try(v.toLong).toOption.forall(d =>
+                          lo.forall(d >= _) && hi.forall(d <= _))
+                      }
+                  }
+                }
+              }
+            case _ => true
+          }
+          case None => true
+        }
+      case None => true
+    }
+  }
+
   /** A runtime IN can carry thousands of build-side join keys; probing
     * every value against every file's min/max is O(files × keys) driver
     * work. For the per-file STATS check a wide IN collapses to its value
@@ -3001,41 +3437,9 @@ private[v2] class GraftStoreScan(protected val path: String,
       // compare, independent of predicate width. Ranges project through
       // MONOTONIC transforms: `ts >= A AND ts < B` prunes a `days(ts)`
       // table by partition value, Iceberg's predicate projection.
+      val layoutSurvives =
+        GraftStoreScan.layoutPruner(manifest, (pushed ++ runtimeFilters).toSeq)
       val eqs = GraftStoreScan.eqSets(pushed ++ runtimeFilters)
-      val ranges = GraftStoreScan.rangeBounds(manifest.schema, pushed ++ runtimeFilters)
-      val admCache = scala.collection.mutable.Map.empty[String,
-        Option[(Seq[Option[Set[String]]], Seq[Option[(Option[Long], Option[Long])]])]]
-      def layoutSurvives(e: GraftFileEntry): Boolean =
-        if (eqs.isEmpty && ranges.isEmpty) true
-        else specStrOf(e) match {
-          case Some(spec) =>
-            admCache.getOrElseUpdate(spec,
-              scala.util.Try(GraftLayout.parse(spec)).toOption
-                .map(l => (GraftStoreScan.admissibleOf(manifest.schema, l, eqs),
-                  GraftStoreScan.rangeAdmissibleOf(manifest.schema, l, ranges)))) match {
-              case Some((adm, radm)) => e.partVals match {
-                case Some(vs) if vs.length == adm.length =>
-                  vs.lazyZip(adm).lazyZip(radm).forall { (pv, set, rng) =>
-                    (set, rng) match {
-                      case (None, None) => true
-                      case _ => pv match {
-                        // a null partition value can never match an
-                        // equality OR satisfy a range predicate
-                        case None => false
-                        case Some(v) =>
-                          set.forall(_.contains(v)) && rng.forall { case (lo, hi) =>
-                            scala.util.Try(v.toLong).toOption.forall(d =>
-                              lo.forall(d >= _) && hi.forall(d <= _))
-                          }
-                      }
-                    }
-                  }
-                case _ => true
-              }
-              case None => true
-            }
-          case None => true
-        }
       s = manifest.files.filter { e =>
         lazy val abs = new Path(path, e.name).toString
         // stats skip against the file's stats RE-KEYED to current logical
@@ -3634,6 +4038,40 @@ private[v2] object GraftCdc {
               s"graft-store: feed start predates retained history (snapshot " +
                 s"$seq's predecessor expired); start the feed at a retained " +
                 "snapshot (startSnapshot) or increase retention")
+        // METADATA-DROPPED files (`#dropcdc=`): the commit deleted every
+        // live row of these files without reading them — but the files are
+        // immutable, still on disk (the PREDECESSOR manifest lists them, so
+        // expiry retains them while it is retained), and "all live rows
+        // deleted" is exactly reconstructable: one partition per dropped
+        // file, the predecessor's masks applied, every surviving row a
+        // delete pre-image. The exact dual of the pure-append insert
+        // synthesis. Cost = the dropped-file bytes, paid by the feed READER
+        // — the commit itself stays zero-read.
+        def emitDrops(mc: GraftManifest): Unit = if (mc.dropCdc.nonEmpty) {
+          val pm = prevM.getOrElse(throw new IllegalStateException(
+            s"graft-store: snapshot $seq's predecessor expired; metadata-" +
+              "dropped files cannot be resolved without the pre-commit state"))
+          mc.dropCdc.sorted.foreach { n =>
+            val e = pm.files.find(_.name == n).getOrElse(
+              throw new IllegalStateException(
+                s"graft-store: snapshot $seq drop-lists $n, which its " +
+                  "predecessor does not list"))
+            GraftStoreFormat.requireOrdinalLayout(pm, e, "dropped file")
+            val w = e.ncols.getOrElse(pm.schema.length)
+            require(w <= pinned.length,
+              s"graft-store: dropped file $n was written under an evolved " +
+                s"schema ($w cols > pinned ${pinned.length}); restart the feed")
+            val priorEq = pm.eqDeletes.filter(_.covers(e)).map(q =>
+              (new Path(path, q.name).toString,
+                q.keyCols.map(pinned.fieldNames.indexOf(_))))
+            require(priorEq.forall(_._2.forall(_ >= 0)),
+              s"graft-store: snapshot $seq's prior equality-delete key columns " +
+                "are not all in the pinned schema; restart the feed")
+            out += GraftCdcDropPartition(
+              new Path(path, n).toString, w,
+              GraftStoreFormat.coveringDeletes(path, pm, n), priorEq, seq)
+          }
+        }
         m.cdc match {
           case Some(id) =>
             requireReconstructable(selfContained = true)
@@ -3650,10 +4088,17 @@ private[v2] object GraftCdc {
               out += GraftCdcPartition(
                 new Path(cdcPath, e.name).toString, w, null, seq)
             }
+            // a MIXED DELETE commit: change store for the rewritten
+            // (partial) files, `#dropcdc=` for the proven-full ones
+            emitDrops(m)
           case None =>
             requireReconstructable(selfContained = false)
             val added = m.files.filterNot(e => prevFiles.contains(e.name)).sortBy(_.name)
+            // `#dropcdc=`-listed removals are reconstructable (emitDrops);
+            // only UNEXPLAINED removals (overwrite/truncate/restore/
+            // compaction) kill the feed
             val removed = prevFiles.diff(m.files.map(_.name).toSet)
+              .diff(m.dropCdc.toSet)
             if (removed.nonEmpty && !skipChangeCommits)
               throw new IllegalStateException(
                 s"graft-store: snapshot $seq removed files without a change log " +
@@ -3708,6 +4153,7 @@ private[v2] object GraftCdc {
               }
             }
             if (removed.isEmpty && (newEq.isEmpty || resolveEqDeletes)) {
+              emitDrops(m)
               added.foreach { e =>
                 val w = e.ncols.getOrElse(m.schema.length)
                 require(w <= pinned.length,
@@ -3784,12 +4230,26 @@ private[v2] case class GraftCdcEqRefPartition(target: String, width: Int,
     keyStores: Seq[(String, Seq[Int])], priorDeletes: Seq[String],
     priorEq: Seq[(String, Seq[Int])], seq: Long) extends InputPartition
 
+/** A METADATA-DROP CDC read unit (`#dropcdc=` commits): one file a DELETE
+  * commit removed from the listing on a full-coverage proof, without
+  * reading it. The file is immutable and still on disk (the PREDECESSOR
+  * manifest lists it, which pins it through expiry); the predecessor's
+  * masks are applied and EVERY surviving row emits as a `delete`
+  * pre-image — the exact dual of the pure-append insert synthesis. The
+  * feed reader pays the file's bytes; the commit itself stayed zero-read. */
+private[v2] case class GraftCdcDropPartition(target: String, width: Int,
+    priorDeletes: Seq[String], priorEq: Seq[(String, Seq[Int])], seq: Long)
+  extends InputPartition
+
 private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GraftCdcRefPartition => refReader(p)
       case p: GraftCdcEqRefPartition => eqRefReader(p)
+      case p: GraftCdcDropPartition => eqRefReader(
+        GraftCdcEqRefPartition(p.target, p.width, Seq.empty,
+          p.priorDeletes, p.priorEq, p.seq), emitAll = true)
       case p: GraftCdcPartition => fileReader(p)
     }
 
@@ -3888,7 +4348,8 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
     * apply its prior masks, key-probe the commit's new stores, emit
     * surviving matches as delete pre-images (see
     * [[GraftCdcEqRefPartition]]). */
-  private def eqRefReader(p: GraftCdcEqRefPartition): PartitionReader[InternalRow] = {
+  private def eqRefReader(p: GraftCdcEqRefPartition,
+      emitAll: Boolean = false): PartitionReader[InternalRow] = {
     val GraftCdcEqRefPartition(target, width, keyStores, priorDeletes, priorEq, seq) = p
     val fileSchema =
       if (width >= table.length) table else StructType(table.fields.take(width))
@@ -3957,8 +4418,10 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
           // prior position mask, then prior equality masks: rows already
           // dead before this commit never re-emit
           if (delIdx < deleted.length && deleted(delIdx) == pos) delIdx += 1
+          // emitAll = metadata-drop synthesis: EVERY row surviving the
+          // prior masks is a delete pre-image (no key probe to pass)
           else if (!oldMasks.exists { case (ks, set) => set.contains(keyOf(ks)) } &&
-            newMasks.exists { case (ks, set) => set.contains(keyOf(ks)) })
+            (emitAll || newMasks.exists { case (ks, set) => set.contains(keyOf(ks)) }))
             return true
         }
         false // unreachable
@@ -4252,11 +4715,16 @@ object GraftStoreOps {
   def deleteWhere(spark: SparkSession, path: String,
       cond: org.apache.spark.sql.Column): (Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    // SQL DELETE: a row is removed iff cond is TRUE — null cond keeps it
+    // SQL DELETE: a row is removed iff cond is TRUE — null cond keeps it.
+    // allowMetaDrop: files the stats/partition values PROVE fully covered
+    // drop from the listing metadata-only, zero reads (partition-drop
+    // economics); only the genuinely partial files pay the rewrite.
     cowRewrite(spark, path, cond, _.filter(not(coalesce(cond, lit(false)))),
-      // change log: exactly the removed rows
+      // change log: exactly the removed rows (of the REWRITTEN files —
+      // dropped files' deletes ride `#dropcdc=` reader-side synthesis)
       changes = Some(sub => sub.filter(coalesce(cond, lit(false)))
-        .withColumn("change_type", lit("delete"))))
+        .withColumn("change_type", lit("delete"))),
+      allowMetaDrop = true)
   }
 
   /** MERGE-ON-READ DELETE: instead of rewriting the files that hold
@@ -4284,48 +4752,88 @@ object GraftStoreOps {
     val m = GraftStoreFormat.readLatestManifest(path, conf)
       .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
     val df = spark.read.format("graft-store").load(path)
-    // matching rows' ids: (file NAME, physical ordinal) via the metadata
-    // columns — the scan prunes to may-match files off the pushed cond,
-    // and already-deleted rows can't match again (the scan masks them)
-    val ids = df.filter(coalesce(cond, lit(false)))
-      .select(
-        substring_index(df.metadataColumn(GraftFileColumn.Name), "/", -1).as("file"),
-        df.metadataColumn(GraftPosColumn.Name).as("pos"))
-    // cluster by target file and sort: each delete file then covers a
-    // narrow name range, so reads of untouched files never open it
-    val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
-    ids.repartition(col("file")).sortWithinPartitions("file", "pos")
-      .write.format("graft-store").mode("overwrite").save(scratch)
-    val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
-      .getOrElse(GraftManifest(GraftStoreFormat.DeleteSchema, Seq.empty))
-    if (sm.files.isEmpty) { f.delete(new Path(scratch), true); return (0L, 0) }
-    val entries = sm.files.map { e =>
-      // file names are short (< the 64-char stat cap), so min/max stats on
-      // the `file` column always exist — they ARE the covering range
-      val (mn, mx) = e.stats.getOrElse(0, throw new IllegalStateException(
-        s"graft-store: delete store file ${e.name} has no target-name stats"))
-      GraftDeleteEntry(e.name, e.rows, mn, mx)
+    // METADATA-ONLY DROP, same proof as the COW path: a file the strict
+    // translation + stats/partition values PROVE fully covered leaves the
+    // listing outright — strictly better than position-deleting its every
+    // row (a delete store the size of the file, plus the merge debt).
+    val resolved = df.filter(cond).queryExecution.analyzed.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt.condition
     }
-    // exact target set (bounded by the table's file count) for the
-    // concurrency guard — read back from the churn-sized store, not by
-    // re-running the match
-    val targets = spark.read.format("graft-store").load(scratch)
-      .select("file").distinct().collect().map(_.getString(0)).toSet
-    val deletedRows = entries.map(_.rows).sum
-    sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
+    val exact = resolved.flatMap(toV1Filter(_, strict = true)).map(GraftStoreScan.nnf)
+    val dropped = exact.map(fe =>
+      m.files.filter(e => GraftStoreScan.mustMatch(m, e, fe))).getOrElse(Seq.empty)
+    val droppedNames = dropped.map(_.name).toSet
+    // position-delete id scan: only the may-match files NOT proven fully
+    // covered (a dropped file must not also collect position deletes)
+    val v1 = resolved.flatMap(toV1Filter(_)).orElse(exact)
+    val layoutOk = GraftStoreScan.layoutPruner(m,
+      v1.toSeq.flatMap(GraftStoreScan.conjuncts))
+    val scanSet = m.files.filter { e =>
+      !droppedNames.contains(e.name) && layoutOk(e) && {
+        val eL = GraftStoreFormat.logicalStatsView(m, e)
+        v1.forall(GraftStoreFormat.mayMatch(m.schema, eL, _))
+      }
+    }
+    // matching rows' ids: (file NAME, physical ordinal) via the metadata
+    // columns — the scan is pinned to the partial-file set, and
+    // already-deleted rows can't match again (the scan masks them)
+    val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
+    val (entries, targets) = if (scanSet.isEmpty) (Seq.empty[GraftDeleteEntry], Set.empty[String]) else {
+      val sdf = spark.read.format("graft-store")
+        .option("files", scanSet.map(_.name).mkString(",")).load(path)
+      val ids = sdf.filter(coalesce(cond, lit(false)))
+        .select(
+          substring_index(sdf.metadataColumn(GraftFileColumn.Name), "/", -1).as("file"),
+          sdf.metadataColumn(GraftPosColumn.Name).as("pos"))
+      // cluster by target file and sort: each delete file then covers a
+      // narrow name range, so reads of untouched files never open it
+      ids.repartition(col("file")).sortWithinPartitions("file", "pos")
+        .write.format("graft-store").mode("overwrite").save(scratch)
+      val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
+        .getOrElse(GraftManifest(GraftStoreFormat.DeleteSchema, Seq.empty))
+      val es = sm.files.map { e =>
+        // file names are short (< the 64-char stat cap), so min/max stats on
+        // the `file` column always exist — they ARE the covering range
+        val (mn, mx) = e.stats.getOrElse(0, throw new IllegalStateException(
+          s"graft-store: delete store file ${e.name} has no target-name stats"))
+        GraftDeleteEntry(e.name, e.rows, mn, mx)
+      }
+      // exact target set (bounded by the table's file count) for the
+      // concurrency guard — read back from the churn-sized store, not by
+      // re-running the match
+      val ts =
+        if (es.isEmpty) Set.empty[String]
+        else spark.read.format("graft-store").load(scratch)
+          .select("file").distinct().collect().map(_.getString(0)).toSet
+      sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
+      (es, ts)
+    }
+    if (entries.isEmpty && dropped.isEmpty) { f.delete(new Path(scratch), true); return (0L, 0) }
+    // dropped files count their PHYSICAL rows: exact unless prior masks
+    // covered some (then an over-count — the honest zero-read trade)
+    val deletedRows = entries.map(_.rows).sum + dropped.map(_.rows).sum
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
       val headM = GraftStoreFormat.readHead(path, conf, head)
         .getOrElse(m)
+      val headNames = headM.files.map(_.name).toSet
       // a concurrent rewrite/overwrite that replaced any TARGET file makes
-      // these positions meaningless — abort loudly (same contract as COW)
-      if (!targets.subsetOf(headM.files.map(_.name).toSet))
+      // these positions meaningless — abort loudly (same contract as COW).
+      // Dropped files too: a concurrent compaction would have carried
+      // their rows into fresh files this commit would not remove.
+      if (!targets.subsetOf(headNames) || !droppedNames.subsetOf(headNames))
         throw new java.util.ConcurrentModificationException(
           "graft-store: a target file was rewritten concurrently with a " +
             "merge-on-read delete; re-run the operation against the new head")
+      val remaining = headM.files.filterNot(e => droppedNames.contains(e.name))
       done = GraftStoreFormat.commitManifest(path, conf,
-        headM.copy(deletes = headM.deletes ++ entries, txn = None, cdc = None),
+        headM.copy(files = remaining,
+          // prune delete entries left covering ONLY dropped files (the new
+          // entries target scanSet files, which all remain listed)
+          deletes = (headM.deletes ++ entries)
+            .filter(d => remaining.exists(e => d.covers(e.name))),
+          txn = None, cdc = None, dropCdc = dropped.map(_.name).sorted),
         GraftStoreFormat.nextSeq(head))
     }
     f.delete(new Path(scratch), true)
@@ -4465,7 +4973,7 @@ object GraftStoreOps {
           dm.map(_.files).getOrElse(Seq.empty)))
       done = GraftStoreFormat.commitManifest(path, conf,
         headM.copy(files = headM.files ++ stamped,
-          eqDeletes = headM.eqDeletes ++ eqEntries, txn = None, cdc = None),
+          eqDeletes = headM.eqDeletes ++ eqEntries, txn = None, cdc = None, dropCdc = Seq.empty),
         seq)
     }
     f.delete(new Path(keyScratch), true)
@@ -4614,7 +5122,8 @@ object GraftStoreOps {
       rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       forceWhenEmpty: Boolean = false,
       changes: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = None,
-      affectedOverride: Option[Seq[GraftFileEntry]] = None)
+      affectedOverride: Option[Seq[GraftFileEntry]] = None,
+      allowMetaDrop: Boolean = false)
       : (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = GraftStoreFormat.fs(path, conf)
@@ -4627,53 +5136,87 @@ object GraftStoreOps {
     val resolved = df.filter(cond).queryExecution.analyzed.collectFirst {
       case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt.condition
     }
-    val v1 = resolved.flatMap(toV1Filter)
-    val affected = affectedOverride.getOrElse(
+    // the STRICT translation (when it exists) is an EXACT TRUE-set
+    // representation of cond, normalized so negations reach the leaves —
+    // valid for BOTH may-planning (it prunes where the partial translation
+    // can't, e.g. NOT predicates) and the must-proofs below
+    val exact =
+      if (!allowMetaDrop) None
+      else resolved.flatMap(toV1Filter(_, strict = true)).map(GraftStoreScan.nnf)
+    val v1 = resolved.flatMap(toV1Filter(_)).orElse(exact)
+    val afAll = affectedOverride.getOrElse {
+      // layout-value pruning participates like it does in the scan: a
+      // DELETE on one identity partition must not rewrite siblings whose
+      // string stats are capped away (explicit partVals are exact)
+      val layoutOk = GraftStoreScan.layoutPruner(m,
+        v1.toSeq.flatMap(GraftStoreScan.conjuncts))
       m.files.filter { e =>
         val eL = GraftStoreFormat.logicalStatsView(m, e)
-        v1.forall(GraftStoreFormat.mayMatch(m.schema, eL, _))
-      })
+        layoutOk(e) && v1.forall(GraftStoreFormat.mayMatch(m.schema, eL, _))
+      }
+    }
+    // METADATA-ONLY DROP (DELETE only — `allowMetaDrop`): a file whose
+    // every row PROVABLY matches the predicate leaves the listing without
+    // being read or rewritten (Iceberg's partition-drop economics — at
+    // 100 TB, `DELETE WHERE day < X` on a day-partitioned table is a
+    // manifest edit, not an I/O job). Requires the EXACT (strict) V1
+    // translation: the may-planning translation drops untranslatable
+    // conjuncts, and a proof against a weakened predicate proves nothing.
+    // The dropped files stay on disk for older snapshots; the commit
+    // stamps them `#dropcdc=` so the change feed can resolve their live
+    // rows as delete pre-images reader-side.
+    val (dropped, affected) = exact match {
+      case Some(fe) => afAll.partition(e => GraftStoreScan.mustMatch(m, e, fe))
+      case None => (Seq.empty[GraftFileEntry], afAll)
+    }
+    val droppedNames = dropped.map(_.name).toSet
     val affectedNames = affected.map(_.name).toSet
-    if (affected.isEmpty && !forceWhenEmpty) return (0, m.files.size)
+    if (affected.isEmpty && dropped.isEmpty && !forceWhenEmpty)
+      return (0, m.files.size)
     // rewrite ONLY the affected files, into a scratch store under the table
     // path (its manifests are invisible to the table's own listing)
     val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
-    val sub = spark.read.format("graft-store")
-      .option("files", affected.map(_.name).mkString(","))
-      .load(path)
-    val kept = rewrite(sub)
-    // the rewrite keeps the table's declared layout: identity/bucket
-    // routing via partitionBy, or the sort clustering re-applied so the
-    // rewritten files stay range-disjoint (clusterFiles pins the rewrite
-    // to the original file granularity instead of one AQE-coalesced file)
-    val keptWriter = kept.write.format("graft-store").mode("overwrite")
-    val withLayout = (m.partitionCol, m.clusterCols) match {
-      case (Some(c), _) => keptWriter.option("partitionBy", c)
-      case (None, Some(cl)) => keptWriter.option("clusterBy", cl)
-        .option("clusterFiles", math.max(1, affected.size).toString)
-      case _ => keptWriter
-    }
-    // the table's CHECK constraint applies to COW rewrites too: an UPDATE
-    // that would set a violating value must fail, like Delta's constraints
-    m.check.fold(withLayout)(c => withLayout.option("check", c)).save(scratch)
-    val sm = GraftStoreFormat.readLatestManifest(scratch, conf)
-      .getOrElse(GraftManifest(m.schema, Seq.empty))
-    // backstop against silent type drift: the rewrite must produce EXACTLY
-    // the table's column types — publishing differently-encoded files under
-    // the table schema would misalign the positional row decode
-    require(sm.files.isEmpty || GraftStoreFormat.sameCols(sm.schema, m.schema),
-      s"graft-store: COW rewrite changed column types " +
-        s"(${sm.schema.simpleString} vs ${m.schema.simpleString}) — " +
-        "cast SET/source expressions to the declared types")
-    sm.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
-    // the change log is durable BEFORE the manifest that points at it: a
-    // reader that can resolve the new snapshot can always read its changes.
-    // A crash here orphans an unreferenced _cdc dir — invisible, reclaimed
-    // by expireSnapshots.
-    val cdcId = changes.map { chg =>
-      val id = UUID.randomUUID().toString.take(12)
-      chg(sub).write.format("graft-store").mode("overwrite").save(s"$path/_cdc/$id")
-      id
+    val doRewrite = affected.nonEmpty || forceWhenEmpty
+    val (sm, cdcId) = if (!doRewrite) (GraftManifest(m.schema, Seq.empty), None) else {
+      val sub = spark.read.format("graft-store")
+        .option("files", affected.map(_.name).mkString(","))
+        .load(path)
+      val kept = rewrite(sub)
+      // the rewrite keeps the table's declared layout: identity/bucket
+      // routing via partitionBy, or the sort clustering re-applied so the
+      // rewritten files stay range-disjoint (clusterFiles pins the rewrite
+      // to the original file granularity instead of one AQE-coalesced file)
+      val keptWriter = kept.write.format("graft-store").mode("overwrite")
+      val withLayout = (m.partitionCol, m.clusterCols) match {
+        case (Some(c), _) => keptWriter.option("partitionBy", c)
+        case (None, Some(cl)) => keptWriter.option("clusterBy", cl)
+          .option("clusterFiles", math.max(1, affected.size).toString)
+        case _ => keptWriter
+      }
+      // the table's CHECK constraint applies to COW rewrites too: an UPDATE
+      // that would set a violating value must fail, like Delta's constraints
+      m.check.fold(withLayout)(c => withLayout.option("check", c)).save(scratch)
+      val sm0 = GraftStoreFormat.readLatestManifest(scratch, conf)
+        .getOrElse(GraftManifest(m.schema, Seq.empty))
+      // backstop against silent type drift: the rewrite must produce EXACTLY
+      // the table's column types — publishing differently-encoded files under
+      // the table schema would misalign the positional row decode
+      require(sm0.files.isEmpty || GraftStoreFormat.sameCols(sm0.schema, m.schema),
+        s"graft-store: COW rewrite changed column types " +
+          s"(${sm0.schema.simpleString} vs ${m.schema.simpleString}) — " +
+          "cast SET/source expressions to the declared types")
+      sm0.files.foreach(e => f.rename(new Path(scratch, e.name), new Path(path, e.name)))
+      // the change log is durable BEFORE the manifest that points at it: a
+      // reader that can resolve the new snapshot can always read its changes.
+      // A crash here orphans an unreferenced _cdc dir — invisible, reclaimed
+      // by expireSnapshots. Dropped files write NO change rows (that would
+      // re-read them): their deletes ride `#dropcdc=` reader-side synthesis.
+      val id0 = changes.map { chg =>
+        val id = UUID.randomUUID().toString.take(12)
+        chg(sub).write.format("graft-store").mode("overwrite").save(s"$path/_cdc/$id")
+        id
+      }
+      (sm0, id0)
     }
     var done = false
     while (!done) {
@@ -4682,9 +5225,12 @@ object GraftStoreOps {
         .getOrElse(m)
       // a concurrent OVERWRITE (or second rewrite) that removed any of the
       // planned files invalidates this rewrite wholesale: committing would
-      // resurrect rows the other writer replaced — abort loudly instead
+      // resurrect rows the other writer replaced — abort loudly instead.
+      // Dropped files are in the check too: a concurrent COMPACTION that
+      // rewrote a to-be-dropped file carried its rows into a fresh file
+      // this commit would NOT remove — the deletion would silently miss.
       val headNames = headM.files.map(_.name).toSet
-      if (!affectedNames.subsetOf(headNames))
+      if (!(affectedNames ++ droppedNames).subsetOf(headNames))
         throw new java.util.ConcurrentModificationException(
           "graft-store: table was overwritten/rewritten concurrently with a " +
             "COW operation; re-run the operation against the new head")
@@ -4722,9 +5268,14 @@ object GraftStoreOps {
       // (and, on field-id tables, written under the entry-time layout)
       val rewritten = GraftStoreFormat.stampLayout(headM.fieldMeta, headM.schema,
         m.schema, GraftStoreFormat.stampNew(headM.partitionSpecs, seq, rewritten0))
-      // carry = head's files minus the rewritten originals (a concurrent
-      // append's new files ride along untouched)
-      val carried = headM.files.filterNot(e => affectedNames.contains(e.name))
+      // carry = head's files minus the rewritten originals and the
+      // metadata-dropped files (a concurrent append's new files ride along
+      // untouched). Concurrent MOR/equality deletes landing on a DROPPED
+      // file need no abort (unlike rewrites above): the masked rows are a
+      // subset of the rows this drop deletes — the end state is identical,
+      // and the feed resolves both against the predecessor's masks.
+      val carried = headM.files.filterNot(e =>
+        affectedNames.contains(e.name) || droppedNames.contains(e.name))
       // rewritten files have their masks APPLIED (the subset scan merges
       // both delete kinds), so entries covering no remaining live file are
       // dead — drop them; kept entries can never touch the new files
@@ -4739,11 +5290,12 @@ object GraftStoreOps {
           partitionSpecs = headM.partitionSpecs,
           deletes = liveDels, dml = headM.dml.orElse(m.dml),
           eqDeletes = liveEq, fieldMeta = headM.fieldMeta, refs = headM.refs,
-          bloomCols = headM.bloomCols, blooms = headM.blooms),
+          bloomCols = headM.bloomCols, blooms = headM.blooms,
+          dropCdc = dropped.map(_.name).sorted),
         seq)
     }
     f.delete(new Path(scratch), true)
-    (affected.size, m.files.size - affected.size)
+    (affected.size + dropped.size, m.files.size - affected.size - dropped.size)
   }
 
   /** Catalyst → V1 filter translation for [[deleteWhere]]'s rewrite-set
@@ -4754,7 +5306,8 @@ object GraftStoreOps {
     * (dropping a disjunct would NARROW the set), so an OR with an unknown
     * side translates to None. This asymmetry is exactly the
     * may-match-planning contract; it would be WRONG for pushdown. */
-  private def toV1Filter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+  private def toV1Filter(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      strict: Boolean = false)
       : Option[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.{sources => sf}
@@ -4770,14 +5323,26 @@ object GraftStoreOps {
         if (expr.foldable) Some(ext(expr.eval(null))) else None
     }
     e match {
-      case And(l, r) => (toV1Filter(l), toV1Filter(r)) match {
+      case And(l, r) => (toV1Filter(l, strict), toV1Filter(r, strict)) match {
         case (Some(a), Some(b)) => Some(sf.And(a, b))
+        // STRICT (exact) mode — the metadata-drop must-proof input: a
+        // dropped conjunct weakens the predicate, and a proof against a
+        // weakened predicate proves nothing about the real one
+        case _ if strict => None
         case (Some(a), None) => Some(a)
         case (None, Some(b)) => Some(b)
         case _ => None
       }
       case Or(l, r) =>
-        for { a <- toV1Filter(l); b <- toV1Filter(r) } yield sf.Or(a, b)
+        for { a <- toV1Filter(l, strict); b <- toV1Filter(r, strict) } yield sf.Or(a, b)
+      // NOT / null tests / literal TRUE participate only in the STRICT
+      // translation: may-planning treats them as always-may anyway, and a
+      // PARTIAL inner translation under NOT would flip conservativeness
+      // (weaker inner ⇒ stronger negation — the wrong direction)
+      case Not(g) if strict => toV1Filter(g, strict).map(sf.Not)
+      case IsNull(a: Attribute) if strict => Some(sf.IsNull(a.name))
+      case IsNotNull(a: Attribute) if strict => Some(sf.IsNotNull(a.name))
+      case Literal(true, BooleanType) if strict => Some(sf.AlwaysTrue())
       case EqualTo(a: Attribute, Const(v)) => Some(sf.EqualTo(a.name, v))
       case EqualTo(Const(v), a: Attribute) => Some(sf.EqualTo(a.name, v))
       case GreaterThan(a: Attribute, Const(v)) => Some(sf.GreaterThan(a.name, v))
@@ -4811,6 +5376,15 @@ object GraftStoreOps {
     GraftStoreFormat.readManifestFile(path, conf, ms(snapshot))
       .files.map(e => (e.name, e.rows, e.ncols))
   }
+
+  /** Metadata inspection: the file names the HEAD commit removed from the
+    * listing METADATA-ONLY (the `#dropcdc=` stamp of [[deleteWhere]] /
+    * [[deleteWhereMor]]'s full-coverage proof); empty when the head commit
+    * was not a proof-dropping DELETE. Driver-side manifest read only. */
+  def headDroppedFiles(spark: SparkSession, path: String): Seq[String] =
+    GraftStoreFormat.readLatestManifest(
+      path, spark.sparkContext.hadoopConfiguration)
+      .map(_.dropCdc).getOrElse(Seq.empty)
 
   /** Metadata inspection: each head file's explicit partition values
     * (positional in the file's spec; None element = null partition value;
@@ -4901,7 +5475,7 @@ object GraftStoreOps {
         m.copy(files = files,
           partitionCol = if (newRender.isEmpty) None else Some(newRender),
           partitionSpecs = Some(oldSpecs :+ newRender),
-          txn = None, cdc = None),
+          txn = None, cdc = None, dropCdc = Seq.empty),
         GraftStoreFormat.nextSeq(head))
     }
     newId
@@ -5067,7 +5641,7 @@ object GraftStoreOps {
           "dropRef first to retag")
       done = GraftStoreFormat.commitManifest(path, conf,
         head.copy(refs = head.refs + (name -> GraftRef(seqOfTarget)),
-          txn = None, cdc = None),
+          txn = None, cdc = None, dropCdc = Seq.empty),
         GraftStoreFormat.nextSeq(ms))
     }
   }
@@ -5099,7 +5673,7 @@ object GraftStoreOps {
       done = GraftStoreFormat.commitManifest(path, conf,
         head.copy(refs = head.refs +
           (name -> GraftRef(seqOfTarget, branch = true, forkSeq = seqOfTarget)),
-          txn = None, cdc = None),
+          txn = None, cdc = None, dropCdc = Seq.empty),
         GraftStoreFormat.nextSeq(ms))
     }
   }
@@ -5151,7 +5725,7 @@ object GraftStoreOps {
       done = GraftStoreFormat.commitManifest(path, conf,
         tip.copy(refs = mainHead.refs +
           (name -> GraftRef(seq, branch = true, forkSeq = seq)),
-          txn = None, cdc = None, wap = None),
+          txn = None, cdc = None, dropCdc = Seq.empty, wap = None),
         seq)
     }
     added
@@ -5167,7 +5741,7 @@ object GraftStoreOps {
         .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
       if (!head.refs.contains(name)) return
       done = GraftStoreFormat.commitManifest(path, conf,
-        head.copy(refs = head.refs - name, txn = None, cdc = None),
+        head.copy(refs = head.refs - name, txn = None, cdc = None, dropCdc = Seq.empty),
         GraftStoreFormat.nextSeq(ms))
     }
   }
@@ -5215,7 +5789,7 @@ object GraftStoreOps {
       val seq = GraftStoreFormat.nextSeq(ms)
       done = GraftStoreFormat.commitManifest(path, conf,
         head.copy(files = head.files ++ adds.map(_.copy(addedSeq = Some(seq))),
-          txn = None, cdc = None),
+          txn = None, cdc = None, dropCdc = Seq.empty),
         seq)
     }
     adds.size
@@ -5259,7 +5833,7 @@ object GraftStoreOps {
       val refs = GraftStoreFormat.readHead(path, conf, ms)
         .map(_.refs).getOrElse(target.refs)
       done = GraftStoreFormat.commitManifest(path, conf,
-        target.copy(txn = None, cdc = None, refs = refs, wap = None), committedSeq)
+        target.copy(txn = None, cdc = None, dropCdc = Seq.empty, refs = refs, wap = None), committedSeq)
     }
     // index of the seq WE committed — re-listing the head here would race
     // a concurrent commit landing right after ours

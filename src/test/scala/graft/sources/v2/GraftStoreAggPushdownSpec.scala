@@ -192,4 +192,71 @@ class GraftStoreAggPushdownSpec extends AnyFunSuite with SparkTestBase {
     assert(t.count() === 3L) // COW delete keeps counts manifest-exact
     assert(pushedToManifest(t.groupBy().count()))
   }
+
+  test("GROUP BY an identity partition column pushes to the manifest") {
+    val dir = tmpDir()
+    spark.range(0, 400)
+      .selectExpr("id", "cast(id % 4 as string) as k", "id * 2 as v")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    val t = spark.read.format("graft-store").load(dir)
+    val g = t.groupBy("k").agg(count(lit(1)).as("n"),
+      min("id").as("mn"), max("v").as("mx"))
+    assert(pushedToManifest(g), g.queryExecution.executedPlan.toString)
+    val got = g.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = (0 until 4).map(i =>
+      (i.toString, 100L, i.toLong, (396L + i) * 2)).toSet
+    assert(got === want)
+  }
+
+  test("GROUP BY pushdown covers null partitions and composite layouts") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, Some("a")), (2L, Some("a")), (3L, None)).toDF("id", "k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    val t = spark.read.format("graft-store").load(dir)
+    val g = t.groupBy("k").agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(pushedToManifest(g))
+    val got = g.collect().map(r =>
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((Some("a"), 2L, 2L), (None, 1L, 3L)))
+    // composite layout: identity + bucket still groups by the identity leg
+    val dir2 = tmpDir()
+    spark.range(0, 100)
+      .selectExpr("id", "cast(id % 2 as string) as k")
+      .write.format("graft-store").option("partitionBy", "k,bucket(4,id)")
+      .mode("overwrite").save(dir2)
+    val t2 = spark.read.format("graft-store").load(dir2)
+    val g2 = t2.groupBy("k").agg(count(lit(1)).as("n"))
+    assert(pushedToManifest(g2), g2.queryExecution.executedPlan.toString)
+    assert(g2.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("0", 50L), ("1", 50L)))
+  }
+
+  test("GROUP BY a non-partition column declines; results still exact") {
+    val dir = tmpDir()
+    spark.range(0, 40)
+      .selectExpr("id", "cast(id % 4 as string) as k", "cast(id % 2 as string) as j")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    val t = spark.read.format("graft-store").load(dir)
+    val g = t.groupBy("j").agg(count(lit(1)).as("n"))
+    assert(!pushedToManifest(g), "a non-partition GROUP BY must scan")
+    assert(g.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("0", 20L), ("1", 20L)))
+    // MOR masks decline the grouped form like the global one
+    val dirm = tmpDir()
+    spark.range(0, 40)
+      .selectExpr("id", "cast(id % 4 as string) as k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .option("dmlMode", "mor").mode("overwrite").save(dirm)
+    GraftStoreOps.deleteWhereMor(spark, dirm, col("id") === 1L)
+    val tm = spark.read.format("graft-store").load(dirm)
+    val gm = tm.groupBy("k").agg(count(lit(1)).as("n"))
+    assert(!pushedToManifest(gm), "live masks must decline GROUP BY pushdown")
+    assert(gm.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("0", 10L), ("1", 9L), ("2", 10L), ("3", 10L)))
+  }
 }

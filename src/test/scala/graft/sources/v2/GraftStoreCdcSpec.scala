@@ -147,6 +147,8 @@ class GraftStoreCdcSpec extends AnyFunSuite with graft.SparkTestBase {
     val dir = tmpDir()
     val conf = spark.sparkContext.hadoopConfiguration
     spark.range(0, 10).selectExpr("id", "id as v")
+      .coalesce(1) // one multi-row file: single-id deletes stay PARTIAL
+      // (change-store path; 1-row files would metadata-drop, no _cdc)
       .write.format("graft-store").mode("append").save(dir) // snap 0
     GraftStoreOps.deleteWhere(spark, dir, col("id") === 0L) // snap 1 (+cdc)
     GraftStoreOps.deleteWhere(spark, dir, col("id") === 1L) // snap 2 (+cdc)

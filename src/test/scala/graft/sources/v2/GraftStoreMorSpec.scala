@@ -31,17 +31,19 @@ class GraftStoreMorSpec extends AnyFunSuite with graft.SparkTestBase {
     val before = manifest(dir)
     assert(before.isMor && before.deletes.isEmpty)
     val dataFiles = before.files.map(_.name).toSet
+    // id < 200 covers only PART of the [0,249] file: the mask path (a
+    // fully-covering predicate would metadata-drop the file instead)
     val (deleted, delFiles) =
-      GraftStoreOps.deleteWhereMor(spark, dir, col("id") < 250)
-    assert(deleted === 250L)
+      GraftStoreOps.deleteWhereMor(spark, dir, col("id") < 200)
+    assert(deleted === 200L)
     assert(delFiles >= 1)
     val after = manifest(dir)
     assert(after.files.map(_.name).toSet === dataFiles,
       "MOR delete must not add, drop, or rewrite data files")
     assert(after.deletes.nonEmpty)
     val back = spark.read.format("graft-store").load(dir)
-    assert(back.count() === 750)
-    assert(back.agg(min("id")).collect()(0).getLong(0) === 250L)
+    assert(back.count() === 800)
+    assert(back.agg(min("id")).collect()(0).getLong(0) === 200L)
     // the pre-delete snapshot still reads unmasked (per-manifest deletes)
     assert(spark.read.format("graft-store").option("snapshot", 0)
       .load(dir).count() === 1000)
@@ -52,6 +54,8 @@ class GraftStoreMorSpec extends AnyFunSuite with graft.SparkTestBase {
     spark.conf.set("spark.sql.catalog.graftmor", "graft.sources.v2.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graftmor.base", base)
     spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      .coalesce(1) // one multi-row file: the DELETE below is PARTIAL (mask
+      // path; a fully-covered file would metadata-drop instead)
       .write.format("graft-store").option("dmlMode", "mor")
       .mode("overwrite").save(s"$base/t")
     val files = manifest(s"$base/t").files.map(_.name).toSet
@@ -97,8 +101,9 @@ class GraftStoreMorSpec extends AnyFunSuite with graft.SparkTestBase {
   test("delete-file covering ranges exclude untouched files") {
     val dir = tmpDir()
     morTable(dir)
-    // disjoint per-file id ranges: id < 250 lives in exactly one file
-    GraftStoreOps.deleteWhereMor(spark, dir, col("id") < 250)
+    // disjoint per-file id ranges: id < 200 lives in exactly one file
+    // (partially — full coverage would metadata-drop it, leaving no mask)
+    GraftStoreOps.deleteWhereMor(spark, dir, col("id") < 200)
     val m = manifest(dir)
     val covered = m.files.map(_.name).filter(n =>
       GraftStoreFormat.coveringDeletes(dir, m, n).nonEmpty)
@@ -148,7 +153,7 @@ class GraftStoreMorSpec extends AnyFunSuite with graft.SparkTestBase {
   test("purgeDeletes rewrites only covered files and clears the masks") {
     val dir = tmpDir()
     morTable(dir)
-    GraftStoreOps.deleteWhereMor(spark, dir, col("id") < 250)
+    GraftStoreOps.deleteWhereMor(spark, dir, col("id") < 200)
     val (rewritten, carried) = GraftStoreOps.purgeDeletes(spark, dir)
     assert(rewritten === 1 && carried === 3,
       "read-debt repayment must cost the COVERED files, not the table")
@@ -156,8 +161,8 @@ class GraftStoreMorSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(m.deletes.isEmpty)
     assert(m.isMor, "maintenance must not drop the declared DML mode")
     val back = spark.read.format("graft-store").load(dir)
-    assert(back.count() === 750)
-    assert(back.agg(min("id")).collect()(0).getLong(0) === 250L)
+    assert(back.count() === 800)
+    assert(back.agg(min("id")).collect()(0).getLong(0) === 200L)
     // idempotent on a clean table
     assert(GraftStoreOps.purgeDeletes(spark, dir) === ((0, m.files.size)))
   }

@@ -42,14 +42,28 @@ class GraftStoreSpjSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(one.count() === 125)
   }
 
-  test("append must keep the table's partition layout") {
+  test("append inherits the table's partition layout (no option needed)") {
     import spark.implicits._
     val dir = tmpDir()
     Seq((1L, 1)).toDF("id", "k").write.format("graft-store")
       .option("partitionBy", "k").mode("overwrite").save(dir)
+    // layout is a TABLE property (Delta/Iceberg discipline): an append
+    // with no options routes by the inherited layout — one-value-per-file
+    // stays intact, SPJ capability survives
+    Seq((2L, 2), (3L, 2)).toDF("id", "k").write.format("graft-store")
+      .mode("append").save(dir)
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.partitionCol === Some("k"))
+    assert(m.files.forall(_.partVals.isDefined),
+      "inherited routing must record explicit partition values")
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 3)
+    assert(back.rdd.getNumPartitions === 2, "two key groups after the append")
+    // an append DECLARING a conflicting layout still fails loudly
     val err = intercept[Exception] {
-      Seq((2L, 2)).toDF("id", "k").write.format("graft-store")
-        .mode("append").save(dir)
+      Seq((4L, 9)).toDF("id", "k").write.format("graft-store")
+        .option("partitionBy", "id").mode("append").save(dir)
     }
     assert(err.getMessage.contains("partition"), err.getMessage)
   }

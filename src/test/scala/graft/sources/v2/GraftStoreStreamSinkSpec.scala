@@ -68,4 +68,32 @@ class GraftStoreStreamSinkSpec extends AnyFunSuite with graft.SparkTestBase {
     sw2.commit(42L, Array(w2.commit()))
     assert(spark.read.format("graft-store").load(dir).count() === 3)
   }
+
+  test("streaming into a partitioned table routes files by the inherited layout") {
+    val src = tmpDir()
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    import spark.implicits._
+    // the table declares its layout; the stream passes NO layout options
+    Seq((-1L, "seed0"), (-2L, "seed1")).toDF("id", "k")
+      .write.format("graft-store").option("partitionBy", "k")
+      .mode("overwrite").save(dir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = spark.readStream.schema("id BIGINT, k STRING").parquet(src)
+      .writeStream.format("graft-store")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    try q.processAllAvailable() finally q.stop()
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.partitionCol === Some("k"), "layout header carries through")
+    assert(m.files.forall(_.partVals.isDefined),
+      "streamed files must route: one value per file, explicit partVals")
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.count() === 5)
+    // SPJ capability survives streaming ingest: reads stay key-grouped
+    assert(back.rdd.getNumPartitions === 4, "4 key groups (seed0, seed1, a, b)")
+    assert(back.filter(col("k") === "a").count() === 2)
+  }
 }
