@@ -3039,6 +3039,58 @@ object SystemQueries {
            |  TRUE AS manifest_only
            |FROM orders GROUP BY o_orderpriority""".stripMargin))
 
+  /** Manifest-derived COLUMN statistics for the cost-based optimizer
+    * (DSv2 `Statistics.columnStats`): per-column min/max and null counts
+    * fold from the per-file manifest stats, and identity partition
+    * columns report an EXACT distinct count (= distinct partition
+    * values). Spark's FilterEstimation / JoinEstimation then reason with
+    * real ranges and cardinalities WITHOUT an ANALYZE pass — the job
+    * nobody runs at 100 TB. Bits: `cbo_stats` (under CBO the optimized
+    * plan's attribute map carries the exact min/max/NDV), `selectivity`
+    * (a narrow range filter estimates fewer rows than a wide one —
+    * range-based selectivity actually engages). Oracle recomputes the
+    * returned aggregate. */
+  val q188CboStats = QuerySpec(
+    "q188_cbo_stats", "S-dsv2-cbo-stats",
+    "manifest column stats feed the CBO: ranges, null counts, partition NDV",
+    (s, d) => {
+      val path = "/tmp/graft_store_q188"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.format("graft-store").option("partitionBy", "o_orderpriority")
+        .mode("overwrite").save(path)
+      val oldCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val (cboStats, selectivity) = try {
+        val df = s.read.format("graft-store").load(path)
+        val trueMin = Tables.orders(s, d).agg(min("o_orderkey")).collect()(0).getLong(0)
+        val trueMax = Tables.orders(s, d).agg(max("o_orderkey")).collect()(0).getLong(0)
+        val byName = df.queryExecution.optimizedPlan.stats
+          .attributeStats.map { case (a, st) => a.name -> st }
+        val ok = byName.get("o_orderkey").exists(st =>
+          st.min.contains(trueMin) && st.max.contains(trueMax) &&
+            st.nullCount.contains(BigInt(0))) &&
+          byName.get("o_orderpriority").exists(_.distinctCount.contains(BigInt(5)))
+        val mid = (trueMin + trueMax) / 2
+        val narrow = df.filter(col("o_orderkey") < lit(trueMin + (mid - trueMin) / 8))
+          .queryExecution.optimizedPlan.stats.rowCount
+        val wide = df.filter(col("o_orderkey") < lit(trueMax))
+          .queryExecution.optimizedPlan.stats.rowCount
+        (ok, narrow.isDefined && wide.isDefined && narrow.get < wide.get)
+      } finally s.conf.set("spark.sql.cbo.enabled", oldCbo)
+      s.read.format("graft-store").load(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .withColumn("cbo_stats", lit(cboStats))
+        .withColumn("selectivity", lit(selectivity))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS cbo_stats, TRUE AS selectivity
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3056,5 +3108,5 @@ object SystemQueries {
     q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip,
     q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
-    q187GroupByPushdown)
+    q187GroupByPushdown, q188CboStats)
 }
