@@ -3091,6 +3091,45 @@ object SystemQueries {
            |  TRUE AS cbo_stats, TRUE AS selectivity
            |FROM orders GROUP BY o_orderpriority""".stripMargin))
 
+  /** Split blocks (manifest v15): writers record row-aligned byte offsets
+    * every ~`splitBlockBytes`, so an OVERSIZED file — a compaction
+    * output, a bulk load — scans as parallel slices instead of one
+    * straggler task (at 100 TB, scan parallelism must track data volume,
+    * not the accident of file boundaries). Slices carry their physical
+    * row start, so `_pos` and merge-on-read masks stay exact across
+    * boundaries; key-grouped (SPJ) scans never split (one partition per
+    * key is the contract). Bit: `split_parallel` (one file planned as
+    * many scan partitions, one per recorded block). Oracle recomputes the
+    * aggregate over the same rows. */
+  val q189SplitScan = QuerySpec(
+    "q189_split_scan", "S-dsv2-split-scan",
+    "oversized files scan as parallel slices via row-aligned block offsets",
+    (s, d) => {
+      val path = "/tmp/graft_store_q189"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      // ONE file (a compaction-output shape) with test-sized blocks
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .coalesce(1)
+        .write.format("graft-store").option("splitBlockBytes", "262144")
+        .mode("overwrite").save(path)
+      val back = s.read.format("graft-store").load(path)
+      val blocks = graft.sources.v2.GraftStoreOps.headFileBlocks(s, path)
+      val parts = back.rdd.getNumPartitions
+      val splitParallel = blocks.nonEmpty &&
+        blocks.head >= 2 && parts == blocks.head + 1
+      back.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .withColumn("split_parallel", lit(splitParallel))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 2) AS sum_price,
+           |  TRUE AS split_parallel
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3108,5 +3147,5 @@ object SystemQueries {
     q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip,
     q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
-    q187GroupByPushdown, q188CboStats)
+    q187GroupByPushdown, q188CboStats, q189SplitScan)
 }

@@ -325,7 +325,8 @@ private[v2] class GraftDeltaBatchWrite(path: String, schema: StructType,
     val newEntries = dataCommitted.map(m =>
       GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
         GraftStoreFormat.partValsFromString(m.partVals),
-        nullCounts = GraftStoreFormat.nullsFromString(m.nulls)))
+        nullCounts = GraftStoreFormat.nullsFromString(m.nulls),
+        blocks = GraftStoreFormat.blocksFromString(m.blocks)))
     val delEntries = delCommitted.map { m =>
       // the delete store's col-0 (target name) min/max stats ARE the
       // covering range; names are short so writer stats always exist
@@ -507,7 +508,8 @@ private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
     val newEntries = committed.map(m =>
       GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
         GraftStoreFormat.partValsFromString(m.partVals),
-        nullCounts = GraftStoreFormat.nullsFromString(m.nulls)))
+        nullCounts = GraftStoreFormat.nullsFromString(m.nulls),
+        blocks = GraftStoreFormat.blocksFromString(m.blocks)))
     val replaced = op.scannedFiles.toSet
     var done = false
     while (!done) {

@@ -131,7 +131,8 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
     stats: Map[Int, (String, String)], partVals: Option[Seq[Option[String]]] = None,
     ncols: Option[Int] = None, specId: Option[Int] = None,
     addedSeq: Option[Long] = None, layoutId: Option[Int] = None,
-    nullCounts: Option[Map[Int, Long]] = None) {
+    nullCounts: Option[Map[Int, Long]] = None,
+    blocks: Option[Seq[(Long, Long)]] = None) {
   def seqOrOld: Long = addedSeq.getOrElse(-1L)
 }
 
@@ -371,6 +372,26 @@ private[v2] object GraftStoreFormat {
     else Some(s.split("\\|", -1).toSeq.map {
       case "~" => None
       case v => Some(unescStat(v.stripPrefix("=")))
+    })
+
+  /** Default split-block granularity: writers record a row-aligned byte
+    * offset every ~32 MiB, so an oversized file (a compaction output, an
+    * external bulk load) scans as PARALLEL slices instead of one
+    * straggler task. Small files record nothing. */
+  val SplitBlockBytes: Long = 32L << 20
+
+  /** Split-block wire format (10th manifest field): `row:byteOffset`
+    * pairs joined by `|` — each a ROW-ALIGNED slice start (`row` rows
+    * precede the offset). Empty = unsplittable listing (small file or
+    * pre-v15 manifest); readers then take the whole file as one slice. */
+  def blocksToString(bs: Seq[(Long, Long)]): String =
+    bs.map { case (r, b) => s"$r:$b" }.mkString("|")
+
+  def blocksFromString(s: String): Option[Seq[(Long, Long)]] =
+    if (s == null || s.isEmpty) None
+    else Some(s.split("\\|", -1).toSeq.map { p =>
+      val i = p.indexOf(':')
+      (p.substring(0, i).toLong, p.substring(i + 1).toLong)
     })
 
   def statsFromString(s: String): Map[Int, (String, String)] =
@@ -709,7 +730,8 @@ private[v2] object GraftStoreFormat {
           if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5).toInt) else None,
           if (parts.length > 6 && parts(6).nonEmpty) Some(parts(6).toLong) else None,
           if (parts.length > 7 && parts(7).nonEmpty) Some(parts(7).toInt) else None,
-          if (parts.length > 8) nullsFromString(parts(8)) else None)
+          if (parts.length > 8) nullsFromString(parts(8)) else None,
+          if (parts.length > 9) blocksFromString(parts(9)) else None)
       },
       millis, partCol, txn, clusterCols, check, cdc, specs,
       delLines.map { l =>
@@ -848,16 +870,17 @@ private[v2] object GraftStoreFormat {
   private[v2] def renderFileLine(e: GraftFileEntry): String = {
     val base = s"${e.name}\t${e.rows}\t${statsToString(e.stats)}"
     // trailing optional fields: partVals (4th), ncols (5th), specId (6th),
-    // addedSeq (7th), layoutId (8th), nullCounts (9th) — written only
-    // through the LAST present one, so pre-evolution manifests stay
-    // byte-stable
+    // addedSeq (7th), layoutId (8th), nullCounts (9th), split blocks
+    // (10th, v15) — written only through the LAST present one, so
+    // pre-evolution manifests stay byte-stable
     val opts = Seq(
       e.partVals.map(partValsToString).getOrElse(""),
       e.ncols.fold("")(_.toString),
       e.specId.fold("")(_.toString),
       e.addedSeq.fold("")(_.toString),
       e.layoutId.fold("")(_.toString),
-      e.nullCounts.fold("")(nullsToString))
+      e.nullCounts.fold("")(nullsToString),
+      e.blocks.fold("")(blocksToString))
     (base +: opts.reverse.dropWhile(_.isEmpty).reverse).mkString("\t")
   }
 
@@ -1600,7 +1623,9 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
       bloomColsOpt = Option(info.options.get("bloomCols")),
       bloomBits = Option(info.options.get("bloomBits")).map(_.toInt)
         .getOrElse(GraftBloomFilter.DefaultBits),
-      targetFileBytes = Option(info.options.get("targetFileBytes")).map(_.toLong))
+      targetFileBytes = Option(info.options.get("targetFileBytes")).map(_.toLong),
+      splitBlockBytes = Option(info.options.get("splitBlockBytes")).map(_.toLong)
+        .getOrElse(GraftStoreFormat.SplitBlockBytes))
 }
 
 // ------------------------------------------------------------------- write
@@ -1654,10 +1679,13 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     bloomBits: Int = GraftBloomFilter.DefaultBits,
     targetFileBytes: Option[Long] = None,
     overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    splitBlockBytes: Long = GraftStoreFormat.SplitBlockBytes)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  require(splitBlockBytes >= 65536,
+    s"graft-store: splitBlockBytes must be >= 65536, got $splitBlockBytes")
   targetFileBytes.foreach(t => require(t >= 1024,
     s"graft-store: targetFileBytes must be >= 1024, got $t"))
   private def replaceMode: Boolean = overwriteFilters.isDefined || dynamicOverwrite
@@ -1744,7 +1772,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   override def truncate(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
       clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
-      branch, bloomColsOpt, bloomBits, targetFileBytes)
+      branch, bloomColsOpt, bloomBits, targetFileBytes,
+      splitBlockBytes = splitBlockBytes)
 
   /** SCOPED OVERWRITE (`INSERT INTO ... REPLACE WHERE` / `INSERT OVERWRITE
     * ... PARTITION (k=v)` / `writeTo.overwrite(cond)`): atomically replace
@@ -1760,7 +1789,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
       truncate() // full-table overwrite — the existing truncate path
     else new GraftStoreWriteBuilder(path, schema, conf, truncate = false, clusterBy,
       clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
-      branch, bloomColsOpt, bloomBits, targetFileBytes, Some(filters))
+      branch, bloomColsOpt, bloomBits, targetFileBytes, Some(filters),
+      splitBlockBytes = splitBlockBytes)
 
   /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic` /
     * `writeTo.overwritePartitions()`): replace exactly the partitions the
@@ -1769,7 +1799,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
   override def overwriteDynamicPartitions(): WriteBuilder =
     new GraftStoreWriteBuilder(path, schema, conf, truncate = false, clusterBy,
       clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
-      branch, bloomColsOpt, bloomBits, targetFileBytes, None, dynamicOverwrite = true)
+      branch, bloomColsOpt, bloomBits, targetFileBytes, None, dynamicOverwrite = true,
+      splitBlockBytes = splitBlockBytes)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1798,7 +1829,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
       new GraftStoreBatchWrite(path, schema, conf, truncate, effectiveLayout, clusterBy,
         mergeSchema, effectiveCheck, compiledCheck, dmlMode, wapId, branch,
         effectiveBloomCols, bloomBits, targetFileBytes, overwriteFilters,
-        dynamicOverwrite)
+        dynamicOverwrite, splitBlockBytes)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck,
         effectiveCheck, effectiveLayout)
@@ -1871,7 +1902,8 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
       val newEntries = committed.map(m =>
         GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
         GraftStoreFormat.partValsFromString(m.partVals),
-        nullCounts = GraftStoreFormat.nullsFromString(m.nulls)))
+        nullCounts = GraftStoreFormat.nullsFromString(m.nulls),
+        blocks = GraftStoreFormat.blocksFromString(m.blocks)))
       // layout headers CARRY THROUGH a streaming append (dropping them
       // would silently strip the table's declared layout), and streamed
       // files ROUTE by it (per-value files, explicit partVals — see
@@ -1948,7 +1980,7 @@ private[v2] class GraftStoreStreamingWriterFactory(path: String, writeId: String
   * PER PARTITION VALUE (identity) / PER BUCKET (bucket) under
   * `partitionBy`. */
 private[v2] case class GraftCommitEntry(file: String, rows: Long, stats: String,
-    partVals: String = "", nulls: String = "")
+    partVals: String = "", nulls: String = "", blocks: String = "")
 /** `bloomSidecar`: (name, minFile, maxFile) of the task's bloom sidecar
   * (one per TASK, not per file — commit metadata stays O(tasks)). */
 private[v2] case class GraftCommitMessage(entries: Seq[GraftCommitEntry],
@@ -1965,7 +1997,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     bloomBits: Int = GraftBloomFilter.DefaultBits,
     targetFileBytes: Option[Long] = None,
     overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    splitBlockBytes: Long = GraftStoreFormat.SplitBlockBytes)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
@@ -1980,7 +2013,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, writeId, schema, new SerializableHadoopConf(conf),
-      GraftRoute.forLayout(layout, schema), check, bloomSpec, targetFileBytes)
+      GraftRoute.forLayout(layout, schema), check, bloomSpec, targetFileBytes,
+      splitBlockBytes)
 
   /** Driver-side, exactly once, only with messages of successful attempts:
     * move the committed attempts' files live, publish the new manifest.
@@ -2014,7 +2048,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     val newEntries = committed.map(m =>
       GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
         GraftStoreFormat.partValsFromString(m.partVals),
-        nullCounts = GraftStoreFormat.nullsFromString(m.nulls)))
+        nullCounts = GraftStoreFormat.nullsFromString(m.nulls),
+        blocks = GraftStoreFormat.blocksFromString(m.blocks)))
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
@@ -2335,11 +2370,12 @@ private[v2] class GraftStoreWriterFactory(path: String, writeId: String,
     route: GraftRoute = NoRoute,
     check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
     bloom: Option[GraftBloomWriteSpec] = None,
-    targetFileBytes: Option[Long] = None)
+    targetFileBytes: Option[Long] = None,
+    splitBlockBytes: Long = GraftStoreFormat.SplitBlockBytes)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftStoreDataWriter(path, writeId, partitionId, taskId, schema, conf.value,
-      route, check, bloom, targetFileBytes)
+      route, check, bloom, targetFileBytes, splitBlockBytes)
 }
 
 /** Task-side writer. Normally one file per task attempt; under `partitionBy`
@@ -2361,7 +2397,8 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     route: GraftRoute = NoRoute,
     check: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
     bloom: Option[GraftBloomWriteSpec] = None,
-    targetFileBytes: Option[Long] = None)
+    targetFileBytes: Option[Long] = None,
+    splitBlockBytes: Long = GraftStoreFormat.SplitBlockBytes)
     extends DataWriter[InternalRow] {
   private val fs = GraftStoreFormat.fs(path, conf)
   private val n = schema.length
@@ -2396,9 +2433,21 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     val bloomWords: Array[Array[Long]] =
       bloom.map(b => Array.fill(b.colIdx.length)(new Array[Long](b.words)))
         .getOrElse(Array.empty)
+    // SPLIT BLOCKS: row-aligned byte offsets every ~splitBlockBytes, so a
+    // scan can read this file as parallel slices if it grows large (a
+    // compaction output, a bulk load). Small files record nothing; the
+    // check is one long compare per row.
+    private val splitEvery: Long = splitBlockBytes
+    private var nextBlockAt: Long = splitEvery
+    private val blockOffsets = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
 
     def write(record: InternalRow): Unit = {
       enc.encode(record); enc.maybeDrain(out); rows += 1
+      if (enc.bytesWritten >= nextBlockAt) {
+        // `rows` rows precede this offset; the NEXT row starts here
+        blockOffsets += ((rows, enc.bytesWritten))
+        nextBlockAt = enc.bytesWritten + splitEvery
+      }
       bloom.foreach { b =>
         var j = 0
         while (j < b.colIdx.length) {
@@ -2468,7 +2517,10 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
         }
       }.toMap
       GraftCommitEntry(file, rows, GraftStoreFormat.statsToString(stats), partVals,
-        GraftStoreFormat.nullsToString((0 until n).map(i => i -> nullCnt(i)).toMap))
+        GraftStoreFormat.nullsToString((0 until n).map(i => i -> nullCnt(i)).toMap),
+        // a boundary recorded exactly at EOF would make an empty slice
+        GraftStoreFormat.blocksToString(
+          blockOffsets.filter(_._2 < enc.bytesWritten).toSeq))
     }
 
     def abort(): Unit = {
@@ -3791,12 +3843,32 @@ private[v2] class GraftStoreScan(protected val path: String,
   override def planInputPartitions(): Array[InputPartition] =
     keyedGroups match {
       case Some(groups) =>
+        // key-grouped (SPJ) scans never split: KeyGroupedPartitioning
+        // promises one partition per key — splitting would break it. The
+        // split lever is for the general scan; keyed tables bound file
+        // sizes with targetFileBytes instead.
         groups.map { case (key, es) =>
           GraftKeyedFilesPartition(es.map(sliceOf),
             InternalRow.fromSeq(key)): InputPartition
         }.toArray
       case None =>
-        selected.map(e => GraftFilePartition(sliceOf(e)): InputPartition).toArray
+        // SPLIT oversized files into per-block slices (v15 block offsets,
+        // recorded row-aligned by the writer every ~32 MiB): a compaction
+        // output or bulk load scans as parallel tasks instead of one
+        // straggler. Files without offsets read whole, as always.
+        selected.flatMap { e =>
+          val base = sliceOf(e)
+          e.blocks match {
+            case Some(bs) if bs.nonEmpty =>
+              val starts = (0L, 0L) +: bs
+              starts.zipWithIndex.map { case ((r, b), i) =>
+                val end = if (i + 1 < starts.length) starts(i + 1)._2 else -1L
+                GraftFilePartition(base.copy(
+                  byteStart = b, byteEnd = end, rowStart = r)): InputPartition
+              }
+            case _ => Seq(GraftFilePartition(base): InputPartition)
+          }
+        }.toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(manifest.schema, required, conf)
@@ -5478,6 +5550,14 @@ object GraftStoreOps {
       path, spark.sparkContext.hadoopConfiguration)
       .map(_.dropCdc).getOrElse(Seq.empty)
 
+  /** Metadata inspection: per head file, the COUNT of recorded split-block
+    * offsets (v15; 0 = unsplittable small file). Driver-side manifest
+    * read only. */
+  def headFileBlocks(spark: SparkSession, path: String): Seq[Int] =
+    GraftStoreFormat.readLatestManifest(
+      path, spark.sparkContext.hadoopConfiguration)
+      .map(_.files.map(_.blocks.map(_.size).getOrElse(0))).getOrElse(Seq.empty)
+
   /** Metadata inspection: each head file's explicit partition values
     * (positional in the file's spec; None element = null partition value;
     * empty seq = no partVals recorded). Driver-side manifest read only —
@@ -6161,9 +6241,14 @@ private[v2] case class GraftColRemap(physTypes: Seq[DataType], physToTable: Seq[
   * equality-delete stores scoping it (merge-on-read; both empty on COW
   * tables — zero overhead), and the field-id remap on rename/drop-evolved
   * tables (overrides `ncols`). */
+/** `byteStart`/`byteEnd`/`rowStart` (v15 split blocks): the slice reads
+  * bytes [byteStart, byteEnd) — byteEnd -1 = EOF — and its first row has
+  * PHYSICAL ordinal rowStart (what keeps `_pos` and position-delete masks
+  * exact across splits). Defaults read the whole file. */
 private[v2] case class GraftFileSlice(file: String, ncols: Int,
     deletes: Seq[String] = Nil, eqDeletes: Seq[GraftEqSlice] = Nil,
-    remap: Option[GraftColRemap] = None)
+    remap: Option[GraftColRemap] = None,
+    byteStart: Long = 0L, byteEnd: Long = -1L, rowStart: Long = 0L)
 
 private[v2] case class GraftFilePartition(slice: GraftFileSlice) extends InputPartition
 
@@ -6247,20 +6332,26 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
         case s +: rest =>
           remaining = rest
           val fs = new Path(s.file).getFileSystem(conf.value)
-          // whole-file buffer (the Parquet row-group buffering discipline:
-          // files are task-sized); a pathological >1 GiB file falls back
+          // whole-SLICE buffer (the Parquet row-group buffering
+          // discipline): split slices are block-bounded (~32 MiB) by
+          // construction; an UNSPLIT pathological >1 GiB file falls back
           // to the stream decoder rather than a 2 GB array
           val fLen = fs.getFileStatus(new Path(s.file)).getLen
-          if (fLen <= (1L << 30)) {
-            val bytes = new Array[Byte](fLen.toInt)
+          val sliceEnd = if (s.byteEnd >= 0) s.byteEnd else fLen
+          val sliceLen = sliceEnd - s.byteStart
+          if (sliceLen <= (1L << 30)) {
+            val bytes = new Array[Byte](sliceLen.toInt)
             val din = fs.open(new Path(s.file))
-            try din.readFully(0L, bytes) finally din.close()
+            try din.readFully(s.byteStart, bytes) finally din.close()
             in = null
             bufr = null // type codes need fileSchema, set below
             vals = null
             // defer reader construction until fileSchema is known
             pendingBuf = bytes
           } else {
+            require(s.byteStart == 0L && s.byteEnd < 0L,
+              s"graft-store: split slice of ${s.file} exceeds the buffer cap " +
+                "(corrupt block offsets?)")
             pendingBuf = null
             in = new DataInputStream(new BufferedInputStream(fs.open(new Path(s.file)), 1 << 16))
           }
@@ -6286,8 +6377,14 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
           }
           curFile = UTF8String.fromString(s.file)
           deleted = loadDeletes(s)
-          delIdx = 0
-          pos = -1L
+          // split slice: physical ordinals start at rowStart — `_pos`
+          // stays a stable row id, and the position-mask cursor advances
+          // past deletions that belong to earlier slices
+          delIdx = {
+            val i = java.util.Arrays.binarySearch(deleted, s.rowStart)
+            if (i >= 0) i else -i - 1
+          }
+          pos = s.rowStart - 1L
           eqMasks = s.eqDeletes.map(q =>
             (q.keyIdxs.toArray, eqCache.getOrElseUpdate(q.store, loadEqKeys(q))))
           // decode set in PHYSICAL positions: projected table columns that
