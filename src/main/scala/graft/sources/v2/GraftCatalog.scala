@@ -43,7 +43,9 @@ import scala.jdk.CollectionConverters._
   * path-loaded relations (`spark.read.format(...)`) have none — so bucket
   * SPJ reads MUST come through `SELECT ... FROM <cat>.<tbl>`. Identity
   * layouts need no function and work either way. */
-class GraftCatalog extends TableCatalog with StagingTableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with FunctionCatalog {
   private var catName: String = _
   private var base: String = _
 
@@ -105,16 +107,96 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with FunctionCa
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     load(ident, Map("asOfMillis" -> (timestamp / 1000L).toString))
 
+  /** A directory is a TABLE iff it holds manifests directly; a directory
+    * without them is a NAMESPACE (it holds table directories). One
+    * discriminator serves listTables, listNamespaces and dropNamespace. */
+  private def isTableDir(p: org.apache.hadoop.fs.Path): Boolean =
+    GraftStoreFormat.listManifests(p.toString, conf).nonEmpty
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new org.apache.hadoop.fs.Path((base +: namespace.toSeq).mkString("/"))
     val f = GraftStoreFormat.fs(base, conf)
     if (!f.exists(dir)) Array.empty
-    else f.listStatus(dir).filter(_.isDirectory)
+    else f.listStatus(dir).filter(s => s.isDirectory && isTableDir(s.getPath))
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean =
     GraftStoreFormat.listManifests(pathOf(ident), conf).nonEmpty
+
+  // ---- SupportsNamespaces: namespaces are directories under `base` ----
+  private def nsPath(ns: Array[String]): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path((base +: ns.toSeq).mkString("/"))
+
+  override def namespaceExists(ns: Array[String]): Boolean = {
+    if (ns.isEmpty) return true // the default namespace always exists
+    val f = GraftStoreFormat.fs(base, conf)
+    val p = nsPath(ns)
+    f.exists(p) && f.getFileStatus(p).isDirectory && !isTableDir(p)
+  }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val f = GraftStoreFormat.fs(base, conf)
+    val root = new org.apache.hadoop.fs.Path(base)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root)
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
+    if (parent.isEmpty) return listNamespaces()
+    if (!namespaceExists(parent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        parent)
+    val f = GraftStoreFormat.fs(base, conf)
+    f.listStatus(nsPath(parent))
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => parent :+ s.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns)
+    val m = new util.HashMap[String, String]()
+    m.put(org.apache.spark.sql.connector.catalog.SupportsNamespaces.PROP_LOCATION,
+      nsPath(ns).toString)
+    m
+  }
+
+  /** `CREATE NAMESPACE cat.ns`: a directory — nothing else to durably
+    * declare (namespace properties beyond location are not retained and
+    * fail loudly rather than silently dropping). */
+  override def createNamespace(ns: Array[String],
+      properties: util.Map[String, String]): Unit = {
+    val meaningful = properties.asScala.keys.filterNot(k =>
+      k == org.apache.spark.sql.connector.catalog.SupportsNamespaces.PROP_LOCATION ||
+        k == org.apache.spark.sql.connector.catalog.SupportsNamespaces.PROP_COMMENT ||
+        k == org.apache.spark.sql.connector.catalog.SupportsNamespaces.PROP_OWNER)
+    require(meaningful.isEmpty,
+      s"graft catalog: unsupported namespace properties ${meaningful.mkString(", ")}")
+    if (namespaceExists(ns) || isTableDir(nsPath(ns)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(ns)
+    GraftStoreFormat.fs(base, conf).mkdirs(nsPath(ns))
+  }
+
+  override def alterNamespace(ns: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no mutable metadata")
+
+  /** `DROP NAMESPACE [CASCADE]`: refuse to drop a non-empty namespace
+    * without CASCADE (the SQL contract); CASCADE removes the directory —
+    * tables, history and all. */
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns)
+    if (!cascade && (listTables(ns).nonEmpty || listNamespaces(ns).nonEmpty))
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        ns, "namespace is not empty")
+    GraftStoreFormat.fs(base, conf).delete(nsPath(ns), true)
+  }
 
   // ---- SQL DDL lifecycle --------------------------------------------
   // Earlier rounds rejected catalog-side CREATE ("a second, racing

@@ -117,6 +117,25 @@ class GraftCatalogLifecycleSpec extends AnyFunSuite with graft.SparkTestBase {
     intercept[Exception] { spark.sql("SELECT * FROM ddl7.u").collect() }
   }
 
+  test("namespaces: CREATE/SHOW/USE-scoped tables/DROP with the SQL contract") {
+    val base = catalogFor("ddl9")
+    spark.sql("CREATE NAMESPACE ddl9.team")
+    assert(new java.io.File(s"$base/team").isDirectory)
+    spark.sql("CREATE TABLE ddl9.team.t AS SELECT id FROM range(6)")
+    assert(spark.sql("SELECT count(*) FROM ddl9.team.t").collect()(0).getLong(0) === 6)
+    // SHOW discriminates tables from namespaces by manifest presence
+    assert(spark.sql("SHOW NAMESPACES IN ddl9").collect()
+      .map(_.getString(0)).toSet === Set("team"))
+    assert(spark.sql("SHOW TABLES IN ddl9.team").collect()
+      .map(_.getString(1)).toSet === Set("t"))
+    assert(spark.sql("SHOW TABLES IN ddl9").collect().isEmpty,
+      "a namespace dir must not list as a table")
+    // non-empty namespace refuses a bare DROP; CASCADE removes everything
+    intercept[Exception] { spark.sql("DROP NAMESPACE ddl9.team") }
+    spark.sql("DROP NAMESPACE ddl9.team CASCADE")
+    assert(!new java.io.File(s"$base/team").exists)
+  }
+
   test("CREATE with dmlMode=mor: SQL DELETE takes the position-delete path") {
     val base = catalogFor("ddl8")
     spark.sql(
