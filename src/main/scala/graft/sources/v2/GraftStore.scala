@@ -3617,6 +3617,12 @@ private[v2] class GraftStoreScan(protected val path: String,
       * value reported is a true bound of the unmasked data. */
     override def columnStats(): java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStatsOnce
+    // computed ONCE per Statistics instance: Spark consults stats during
+    // planning for every query, and the per-column manifest fold should
+    // not repeat on each consultation
+    private lazy val colStatsOnce: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
       val out = new java.util.HashMap[
