@@ -3130,6 +3130,54 @@ object SystemQueries {
            |  TRUE AS split_parallel
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
+  /** SQL maintenance procedures (`CALL cat.system.<proc>(...)` on Spark
+    * 4's ProcedureCatalog — the Iceberg procedure surface): the
+    * operational loop at 100 TB (purge read debt, trim history, binpack)
+    * runs from pure SQL with counted one-row results — schedulable,
+    * auditable, no Scala entry point. The query drives a full cycle:
+    * MOR DELETE → `purge_deletes` (masks repaid, covered file only) →
+    * `expire_snapshots` (history trimmed to the head). Bits:
+    * `purge_counts` (the CALL's returned counts match the churn) and
+    * `history_trimmed` (one retained snapshot after expiry). Oracle
+    * recomputes the surviving rows. */
+  val q190SqlProcedures = QuerySpec(
+    "q190_sql_procedures", "S-dsv2-sql-procedures",
+    "CALL-able maintenance: purge_deletes + expire_snapshots from SQL",
+    (s, d) => {
+      val base = "/tmp/graft_store_q190"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.q190cat", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.q190cat.base", base)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft-store").option("dmlMode", "mor")
+        .mode("overwrite").save(s"$base/t")
+      // churn: a mid-file band lands position masks on ONE file
+      s.sql("DELETE FROM q190cat.t WHERE o_orderkey >= 1000 AND o_orderkey < 2000")
+      val purge = s.sql("CALL q190cat.system.purge_deletes('t')").collect()(0)
+      // the sampled range boundaries make the exact covered count 1-or-2;
+      // the CONTRACT is: some files rewritten, most carried, total = 8
+      val purgeCounts = purge.getInt(0) >= 1 && purge.getInt(0) <= 2 &&
+        purge.getInt(0) + purge.getInt(1) == 8
+      val exp = s.sql(
+        "CALL q190cat.system.expire_snapshots(table => 't', keep_last => 1)")
+        .collect()(0)
+      val historyTrimmed = exp.getInt(0) == 2 &&
+        graft.sources.v2.GraftStoreOps.history(s, s"$base/t").size == 1
+      s.sql("""SELECT o_orderpriority, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS sum_price
+              |FROM q190cat.t GROUP BY o_orderpriority""".stripMargin)
+        .withColumn("purge_counts", lit(purgeCounts))
+        .withColumn("history_trimmed", lit(historyTrimmed))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price,
+           |  TRUE AS purge_counts, TRUE AS history_trimmed
+           |FROM orders WHERE o_orderkey < 1000 OR o_orderkey >= 2000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3147,5 +3195,5 @@ object SystemQueries {
     q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip,
     q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
-    q187GroupByPushdown, q188CboStats, q189SplitScan)
+    q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures)
 }

@@ -45,6 +45,7 @@ import scala.jdk.CollectionConverters._
   * layouts need no function and work either way. */
 class GraftCatalog extends TableCatalog with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with FunctionCatalog {
   private var catName: String = _
   private var base: String = _
@@ -553,6 +554,22 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     }
     loadTable(ident)
   }
+  // ---- ProcedureCatalog: `CALL cat.system.<proc>(...)` maintenance ----
+  private lazy val procedures = new GraftProcedures(base)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.length == 1 && namespace(0).equalsIgnoreCase("system"))
+      procedures.list.map(Identifier.of(namespace, _))
+    else Array.empty
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().length == 1 &&
+      ident.namespace()(0).equalsIgnoreCase("system")
+    (if (ok) procedures.load(ident.name()) else None).getOrElse(
+      throw new RuntimeException(
+        s"graft catalog: no procedure $ident (known: " +
+          s"system.${procedures.list.mkString(", system.")})"))
+  }
+
   // ---- FunctionCatalog: the `bucket` transform (see GraftBucketFunction)
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket")) else Array.empty
