@@ -3178,6 +3178,60 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 1000 OR o_orderkey >= 2000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** Incremental cluster maintenance ([[graft.sources.v2.GraftStoreOps
+    * .resortOverlapping]], CALL-able as `system.resort`): unclustered
+    * appends degrade the disjoint-range pruning a clustered layout exists
+    * for; the resort rewrites ONLY the files whose leading cluster-key
+    * ranges overlap (one min-order sweep over manifest stats) and the
+    * already-disjoint bulk carries with zero I/O — Iceberg's sort-strategy
+    * `rewrite_data_files` economics. Bits: `resort_incremental` (some
+    * files rewritten, some carried, second call a no-op),
+    * `pruning_restored` (a post-resort range query reads a strict subset
+    * of files). Oracle recomputes the content — maintenance must never
+    * change query results. */
+  val q191Resort = QuerySpec(
+    "q191_resort", "S-dsv2-resort",
+    "incremental re-sort: only overlapping cluster ranges rewritten",
+    (s, d) => {
+      val path = "/tmp/graft_store_q191"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      li.write.format("graft-store")
+        .option("clusterBy", "l_orderkey").option("clusterFiles", "4")
+        .mode("overwrite").save(path)
+      val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+      // a NARROW unclustered append: overlaps only the low-range files
+      li.filter(col("l_orderkey") < maxKey / 8).coalesce(1)
+        .write.format("graft-store").mode("append").save(path)
+      val (rewritten, carried) = graft.sources.v2.GraftStoreOps
+        .resortOverlapping(s, path)
+      val (again, _) = graft.sources.v2.GraftStoreOps.resortOverlapping(s, path)
+      val resortIncremental = rewritten >= 2 && carried >= 1 && again == 0
+      val probe = s.read.format("graft-store").load(path)
+        .filter(col("l_orderkey") < maxKey / 16)
+        .groupBy().count()
+      probe.collect()
+      val mfiles = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(probe.queryExecution.executedPlan.toString)
+      val pruningRestored = mfiles.exists(g => g.group(1).toInt < g.group(2).toInt)
+      s.read.format("graft-store").load(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .withColumn("resort_incremental", lit(resortIncremental))
+        .withColumn("pruning_restored", lit(pruningRestored))
+    },
+    Some("""WITH both_sets AS (
+           |  SELECT l_returnflag, l_quantity FROM lineitem
+           |  UNION ALL
+           |  SELECT l_returnflag, l_quantity FROM lineitem
+           |  WHERE l_orderkey < (SELECT max(l_orderkey) FROM lineitem) // 8)
+           |SELECT l_returnflag, count(*) AS n,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  TRUE AS resort_incremental, TRUE AS pruning_restored
+           |FROM both_sets GROUP BY l_returnflag""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3195,5 +3249,6 @@ object SystemQueries {
     q175SegmentedManifest, q176BucketPrune, q177RuntimePrune, q178BloomSkip,
     q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
-    q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures)
+    q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
+    q191Resort)
 }

@@ -113,6 +113,15 @@ private[v2] class GraftProcedures(base: String) {
         oneRow(("rewritten_files", IntegerType, rw),
           ("carried_files", IntegerType, carried))
       }),
+    Proc("resort",
+      "re-sort ONLY the files whose cluster-key ranges overlap (restores range pruning)",
+      Seq(p("table", StringType)),
+      (s, in) => {
+        val (rw, carried) = GraftStoreOps.resortOverlapping(
+          s, pathOf(in.getUTF8String(0).toString))
+        oneRow(("rewritten_files", IntegerType, rw),
+          ("carried_files", IntegerType, carried))
+      }),
     Proc("create_tag",
       "name a retained snapshot (VERSION AS OF 'name'; pins it through expiry)",
       Seq(p("table", StringType), p("name", StringType), p("snapshot", IntegerType)),

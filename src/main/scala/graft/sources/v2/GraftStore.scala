@@ -1560,6 +1560,27 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
   }
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = schema0
+
+  /** Table properties for DESCRIBE EXTENDED / SHOW TBLPROPERTIES: the
+    * manifest-stored table state, read-only through this surface (ALTER
+    * TABLE / write options mutate it). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graft-store")
+    m.put("location", path)
+    GraftStoreFormat.readLatestManifest(
+        path, SparkSession.active.sparkContext.hadoopConfiguration).foreach { mf =>
+      mf.partitionCol.foreach(m.put("partition", _))
+      mf.clusterCols.foreach(m.put("clusterBy", _))
+      mf.check.foreach(m.put("check", _))
+      mf.dml.foreach(m.put("dmlMode", _))
+      mf.bloomCols.foreach(m.put("bloomCols", _))
+      m.put("numFiles", mf.files.size.toString)
+      m.put("numRows", mf.files.map(_.rows).sum.toString)
+      if (mf.refs.nonEmpty) m.put("refs", mf.refs.keys.toSeq.sorted.mkString(","))
+    }
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -4862,6 +4883,58 @@ object GraftStoreOps {
       df => df.coalesce(n),
       forceWhenEmpty = true,
       affectedOverride = Some(small.map(_._1)))
+  }
+
+  /** Incremental CLUSTER maintenance (Iceberg `rewrite_data_files`
+    * sort-strategy economics): rewrite ONLY the files whose leading
+    * cluster-key ranges OVERLAP — unclustered appends gradually degrade
+    * the disjoint-range pruning a clustered layout exists for, and this
+    * repays exactly that debt while the already-disjoint bulk carries
+    * with zero I/O. Overlap is judged on the LEADING cluster column's
+    * [min, max] via a single sweep in min-order; the COW kernel re-applies
+    * the declared clustering, so the rewritten slice comes back
+    * range-disjoint and a second call is a no-op. Files with no stats on
+    * the leading key (>64-char strings) are left alone — rewriting cannot
+    * give them stats; compaction is their maintenance path. Tables whose
+    * leading key is heavily duplicated may legitimately keep one
+    * overlapping boundary (equal keys can span target-sized files).
+    * Returns (files rewritten, files carried). */
+  def resortOverlapping(spark: SparkSession, path: String): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    val cl = m.clusterCols.getOrElse(throw new IllegalArgumentException(
+      s"graft-store: $path declares no clusterBy — nothing to re-sort"))
+    val lead = cl.split(",").map(_.trim).filter(_.nonEmpty).head
+    val idx = m.schema.fieldNames.indexOf(lead)
+    require(idx >= 0, s"graft-store: cluster column '$lead' not in the table schema")
+    val dt = m.schema.fields(idx).dataType
+    def cmp(a: String, b: String): Int = dt match {
+      case LongType | IntegerType | DateType | TimestampType =>
+        java.lang.Long.compare(a.toLong, b.toLong)
+      case DoubleType | FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case StringType =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+      case _ => 0
+    }
+    val statted = m.files.flatMap { e =>
+      GraftStoreFormat.logicalStatsView(m, e).stats.get(idx).map {
+        case (mn, mx) => (e, mn, mx)
+      }
+    }.sortWith((x, y) => cmp(x._2, y._2) < 0)
+    val overlapping = scala.collection.mutable.LinkedHashSet.empty[GraftFileEntry]
+    var curMax: String = null
+    var curOwner: GraftFileEntry = null
+    statted.foreach { case (e, mn, mx) =>
+      if (curMax != null && cmp(mn, curMax) <= 0) {
+        overlapping += e; overlapping += curOwner
+      }
+      if (curMax == null || cmp(mx, curMax) > 0) { curMax = mx; curOwner = e }
+    }
+    if (overlapping.size < 2) return (0, m.files.size)
+    cowRewrite(spark, path, org.apache.spark.sql.functions.lit(true),
+      identity, forceWhenEmpty = true,
+      affectedOverride = Some(overlapping.toSeq))
   }
 
   /** Copy-on-write DELETE (`DELETE WHERE cond`, the Delta/Iceberg COW DML

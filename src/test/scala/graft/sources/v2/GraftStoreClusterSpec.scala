@@ -186,4 +186,46 @@ class GraftStoreClusterSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(fixed.rdd.getNumPartitions === 4, "SPJ grouping restored")
     assert(fixed.count() === 43)
   }
+
+  test("resortOverlapping rewrites only the overlapping slice; idempotent") {
+    val dir = tmpDir()
+    spark.range(0, 4000).selectExpr("id", "id * 2 as v")
+      .write.format("graft-store")
+      .option("clusterBy", "id").option("clusterFiles", "4")
+      .mode("overwrite").save(dir)
+    val disjoint = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get.files.map(_.name).toSet
+    assert(disjoint.size === 4)
+    // an UNCLUSTERED append overlapping only the low half of the key space
+    spark.range(0, 2000).selectExpr("id", "id * 2 as v").coalesce(1)
+      .write.format("graft-store").mode("append").save(dir)
+    val (rewritten, carried) = GraftStoreOps.resortOverlapping(spark, dir)
+    // the append overlaps the low-range files (sampled range boundaries
+    // make it 2-or-3 of the 4); the disjoint high files carry untouched
+    assert(rewritten >= 3 && rewritten <= 4 && rewritten + carried === 5,
+      s"overlapping slice only, got ($rewritten, $carried)")
+    assert(carried >= 1)
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    val highOriginals = m.files.map(_.name).toSet.intersect(disjoint)
+    assert(highOriginals.size === carried,
+      "disjoint files keep their original names")
+    // restored: ranges disjoint again -> a point lookup reads ONE file
+    val one = spark.read.format("graft-store").load(dir).filter(col("id") === 100L)
+    assert(one.rdd.getNumPartitions === 1, "range pruning restored")
+    assert(one.count() === 2, "original + appended duplicate")
+    assert(spark.read.format("graft-store").load(dir).count() === 6000)
+    // second call finds nothing overlapping
+    assert(GraftStoreOps.resortOverlapping(spark, dir)._1 === 0)
+  }
+
+  test("resortOverlapping refuses an uncluster-declared table") {
+    val dir = tmpDir()
+    spark.range(0, 10).selectExpr("id")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      GraftStoreOps.resortOverlapping(spark, dir)
+    }
+    assert(e.getMessage.contains("clusterBy"))
+  }
 }
