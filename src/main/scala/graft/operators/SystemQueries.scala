@@ -3232,6 +3232,54 @@ object SystemQueries {
            |  TRUE AS resort_incremental, TRUE AS pruning_restored
            |FROM both_sets GROUP BY l_returnflag""".stripMargin))
 
+  /** Reported scan ordering (`SupportsReportOrdering`): a clustered
+    * table's files were written SORTED on the cluster keys, each scan
+    * partition is one file (or one split slice — still sorted), and masks
+    * only remove rows — so the scan DECLARES the per-partition sort and
+    * Spark elides SortExecs it would otherwise plan (re-sorting 100 TB
+    * that is already sorted is pure waste). Soundness rides a per-file
+    * `sorted` flag: only files written under the ordered distribution
+    * carry it, a plain unordered append clears the claim for the whole
+    * selection, and resort/compaction restore it. Bits: `sort_elided`
+    * (no SortExec above the ordered scan), `claim_guarded` (after an
+    * unsorted append the sort IS planned again). Oracle recomputes the
+    * aggregate — ordering maintenance never changes results. */
+  val q192SortedScan = QuerySpec(
+    "q192_sorted_scan", "S-dsv2-sorted-scan",
+    "reported scan ordering: pre-sorted files elide per-partition sorts",
+    (s, d) => {
+      val path = "/tmp/graft_store_q192"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      li.write.format("graft-store")
+        .option("clusterBy", "l_orderkey").option("clusterFiles", "4")
+        .mode("overwrite").save(path)
+      def hasSort(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.executedPlan.toString.contains("Sort ")
+      val t = s.read.format("graft-store").load(path)
+      val sortElided = !hasSort(t.sortWithinPartitions("l_orderkey"))
+      li.filter(col("l_orderkey") < 100).coalesce(1) // unsorted append:
+        .write.format("graft-store").mode("append").save(path) // claim clears
+      val t2 = s.read.format("graft-store").load(path)
+      val claimGuarded = hasSort(t2.sortWithinPartitions("l_orderkey"))
+      s.read.format("graft-store").load(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .withColumn("sort_elided", lit(sortElided))
+        .withColumn("claim_guarded", lit(claimGuarded))
+    },
+    Some("""WITH both_sets AS (
+           |  SELECT l_returnflag, l_quantity FROM lineitem
+           |  UNION ALL
+           |  SELECT l_returnflag, l_quantity FROM lineitem
+           |  WHERE l_orderkey < 100)
+           |SELECT l_returnflag, count(*) AS n,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  TRUE AS sort_elided, TRUE AS claim_guarded
+           |FROM both_sets GROUP BY l_returnflag""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3250,5 +3298,5 @@ object SystemQueries {
     q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
-    q191Resort)
+    q191Resort, q192SortedScan)
 }

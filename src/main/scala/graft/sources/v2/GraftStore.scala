@@ -132,7 +132,8 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
     ncols: Option[Int] = None, specId: Option[Int] = None,
     addedSeq: Option[Long] = None, layoutId: Option[Int] = None,
     nullCounts: Option[Map[Int, Long]] = None,
-    blocks: Option[Seq[(Long, Long)]] = None) {
+    blocks: Option[Seq[(Long, Long)]] = None,
+    sorted: Boolean = false) {
   def seqOrOld: Long = addedSeq.getOrElse(-1L)
 }
 
@@ -731,7 +732,8 @@ private[v2] object GraftStoreFormat {
           if (parts.length > 6 && parts(6).nonEmpty) Some(parts(6).toLong) else None,
           if (parts.length > 7 && parts(7).nonEmpty) Some(parts(7).toInt) else None,
           if (parts.length > 8) nullsFromString(parts(8)) else None,
-          if (parts.length > 9) blocksFromString(parts(9)) else None)
+          if (parts.length > 9) blocksFromString(parts(9)) else None,
+          parts.length > 10 && parts(10) == "s")
       },
       millis, partCol, txn, clusterCols, check, cdc, specs,
       delLines.map { l =>
@@ -880,7 +882,8 @@ private[v2] object GraftStoreFormat {
       e.addedSeq.fold("")(_.toString),
       e.layoutId.fold("")(_.toString),
       e.nullCounts.fold("")(nullsToString),
-      e.blocks.fold("")(blocksToString))
+      e.blocks.fold("")(blocksToString),
+      if (e.sorted) "s" else "")
     (base +: opts.reverse.dropWhile(_.isEmpty).reverse).mkString("\t")
   }
 
@@ -2070,7 +2073,11 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
       GraftFileEntry(m.file, m.rows, GraftStoreFormat.statsFromString(m.stats),
         GraftStoreFormat.partValsFromString(m.partVals),
         nullCounts = GraftStoreFormat.nullsFromString(m.nulls),
-        blocks = GraftStoreFormat.blocksFromString(m.blocks)))
+        blocks = GraftStoreFormat.blocksFromString(m.blocks),
+        // the write REQUESTED an ordered distribution on the cluster keys
+        // (RequiresDistributionAndOrdering) — these files are sorted, the
+        // fact SupportsReportOrdering's sort elision stands on
+        sorted = clusterBy.nonEmpty))
     var done = false
     while (!done) {
       val head = GraftStoreFormat.listManifests(path, conf)
@@ -3439,7 +3446,30 @@ private[v2] class GraftStoreScan(protected val path: String,
     protected val conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Per-partition output ordering ([[SupportsReportOrdering]]): a
+    * clustered table's files were written SORTED on the cluster keys
+    * (the write demanded an ordered distribution), each scan partition is
+    * ONE file (or one byte-slice of one — still sorted), and masks only
+    * REMOVE rows — so the scan declares the sort and Spark elides
+    * per-partition SortExecs above it (window/sortWithinPartitions over
+    * the cluster key on a 100 TB table: zero re-sort). Reported ONLY when
+    * every selected file carries the per-file `sorted` flag (a plain
+    * unordered append clears the guarantee until resort/compaction
+    * restores it) and the scan is not key-grouped (a keyed group
+    * CONCATENATES files: sorted pieces, unsorted whole). */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    manifest.clusterCols match {
+      case Some(cl) if keyedGroups.isEmpty && selected.nonEmpty &&
+          selected.forall(_.sorted) =>
+        import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+        cl.split(",").map(_.trim).filter(_.nonEmpty).map(c =>
+          Expressions.sort(Expressions.identity(c),
+            SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+      case _ => Array.empty
+    }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =

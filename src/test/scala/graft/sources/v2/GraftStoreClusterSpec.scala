@@ -219,6 +219,36 @@ class GraftStoreClusterSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(GraftStoreOps.resortOverlapping(spark, dir)._1 === 0)
   }
 
+  test("reported ordering elides per-partition sorts; unsorted appends clear it") {
+    val dir = tmpDir()
+    spark.range(0, 4000).selectExpr("id", "id * 2 as v")
+      .write.format("graft-store")
+      .option("clusterBy", "id").option("clusterFiles", "4")
+      .mode("overwrite").save(dir)
+    def hasSort(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Sort ")
+    val t = spark.read.format("graft-store").load(dir)
+    // files are sorted on id and the scan says so: no SortExec planned
+    val local = t.sortWithinPartitions("id")
+    assert(!hasSort(local), local.queryExecution.executedPlan.toString)
+    assert(local.collect().length === 4000)
+    // an UNSORTED append must clear the guarantee (silent wrong order
+    // from a stale claim would corrupt downstream sort-dependent ops);
+    // its range overlaps the low files so resort below has work to do
+    spark.range(100, 200).selectExpr("id", "id * 2 as v").coalesce(1)
+      .write.format("graft-store").mode("append").save(dir)
+    val t2 = spark.read.format("graft-store").load(dir)
+    assert(hasSort(t2.sortWithinPartitions("id")),
+      "a plain append is unsorted; the sort must be planned again")
+    // resort restores the flag along with the ranges
+    GraftStoreOps.resortOverlapping(spark, dir)
+    val t3 = spark.read.format("graft-store").load(dir)
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.files.forall(_.sorted), "resort rewrites through the clustered writer")
+    assert(!hasSort(t3.sortWithinPartitions("id")))
+  }
+
   test("resortOverlapping refuses an uncluster-declared table") {
     val dir = tmpDir()
     spark.range(0, 10).selectExpr("id")
