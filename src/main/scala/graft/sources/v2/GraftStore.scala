@@ -1921,6 +1921,14 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
         require(GraftStoreFormat.sameCols(m.schema, schema),
           s"graft-store: streaming append schema ${schema.toDDL} does not " +
             s"match table schema ${m.schema.toDDL}")
+        // mixed layouts would break the one-value-per-file invariant: a
+        // stream may inherit (no option — effectiveLayout already matches)
+        // or declare the SAME layout, never a different one
+        m.partitionCol.map(c => GraftLayout.parse(c).render).foreach { tbl =>
+          layout.map(_.render).foreach(l => require(l == tbl,
+            s"graft-store: streaming partitionBy=$l does not match table " +
+              s"partition $tbl; overwrite to change layout"))
+        }
       }
       val prev = prevManifest.map(_.files).getOrElse(Seq.empty)
       val newEntries = committed.map(m =>
@@ -1958,7 +1966,12 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema,
           prev ++ stamped, txn = Some(token),
-          partitionCol = prevManifest.flatMap(_.partitionCol),
+          // a stream CREATING a partitioned table must persist the layout
+          // it routed by (files already carry partVals); on an existing
+          // table the stored header wins — effectiveLayout inherited it,
+          // so option and table can never silently diverge
+          partitionCol = prevManifest.flatMap(_.partitionCol)
+            .orElse(layout.map(_.render)),
           clusterCols = prevManifest.flatMap(_.clusterCols),
           // a stream DECLARING a constraint on a fresh table must persist
           // it, not just enforce it in-memory for this query's lifetime

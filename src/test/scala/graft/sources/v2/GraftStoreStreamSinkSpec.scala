@@ -96,4 +96,27 @@ class GraftStoreStreamSinkSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(back.rdd.getNumPartitions === 4, "4 key groups (seed0, seed1, a, b)")
     assert(back.filter(col("k") === "a").count() === 2)
   }
+
+  test("a stream CREATING a partitioned table persists the layout header") {
+    val src = tmpDir()
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = spark.readStream.schema("id BIGINT, k STRING").parquet(src)
+      .writeStream.format("graft-store")
+      .option("partitionBy", "k")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    try q.processAllAvailable() finally q.stop()
+    val m = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    assert(m.partitionCol === Some("k"),
+      "the declared layout must survive into the created table's manifest")
+    assert(m.files.forall(_.partVals.isDefined))
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.rdd.getNumPartitions === 2, "key-grouped from the first epoch")
+    assert(back.count() === 3)
+  }
 }
