@@ -2569,11 +2569,16 @@ object SystemQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
-      j.collect() // execute: BatchScanExec feeds dim's keys into the scan
+      // Execute ONCE: BatchScanExec feeds dim's keys into the scan. The
+      // result is per-s_name (bounded by one nation's suppliers), so the
+      // materialized rows are returned as a local relation — re-running
+      // the returned frame must not re-run the join.
+      val rows = j.collect()
       val m = "files=(\\d+)/(\\d+)".r
         .findFirstMatchIn(j.queryExecution.executedPlan.toString)
       val pruned = m.exists(g => g.group(1).toInt < g.group(2).toInt)
-      j.withColumn("runtime_pruned", lit(pruned))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+        .withColumn("runtime_pruned", lit(pruned))
     },
     Some("""SELECT s_name, count(*) AS n,
            |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -2776,13 +2781,14 @@ object SystemQueries {
             |FROM gq182.`ord$partitions` GROUP BY 1""".stripMargin)
           .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
         // DuckDB cannot compute murmur3 bucket ids, so the data-side
-        // recomputation runs HERE with the writer's own hash; the oracle
-        // then only needs the invariant bit + an oracle-stable aggregate
-        val bucketOf = udf((k: Long) =>
-          graft.sources.v2.GraftBucket.of(k, org.apache.spark.sql.types.LongType, 8))
-        val data = s.read.format("graft-store").load(s"$base/ord")
-          .groupBy(bucketOf(col("o_orderkey")).as("bucket"))
-          .agg(count(lit(1)).as("n_rows"))
+        // recomputation runs HERE with the writer's own hash — invoked as
+        // the catalog's bound V2 ScalarFunction (codegen'd Invoke), not a
+        // Scala udf; the oracle then only needs the invariant bit + an
+        // oracle-stable aggregate
+        val data = s.sql(
+          """SELECT gq182.bucket(8, o_orderkey) AS bucket,
+            |  count(*) AS n_rows
+            |FROM gq182.ord GROUP BY 1""".stripMargin)
           .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
         val metaMatches = meta.nonEmpty && (meta sameElements data)
         s.read.format("graft-store").load(s"$base/ord")

@@ -516,9 +516,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           // Delta ADD CONSTRAINT semantics: existing rows must already
           // satisfy it — one scan, proportional to the table, explicit;
           // skipped on an OCC retry whose visible data is unchanged
-          val sig = set.value() + " " + m.schema.json + " " +
-            m.files.map(_.name).mkString(",") + " " +
-            m.deletes.map(_.name).mkString(",") + " " +
+          val sig = set.value() + "\u0000" + m.schema.json + "\u0000" +
+            m.files.map(_.name).mkString(",") + "\u0000" +
+            m.deletes.map(_.name).mkString(",") + "\u0000" +
             m.eqDeletes.map(_.name).mkString(",")
           if (checkValidated != sig) {
             val violations = spark.read.format("graft-store").load(path)
