@@ -3286,6 +3286,81 @@ object SystemQueries {
            |  TRUE AS sort_elided, TRUE AS claim_guarded
            |FROM both_sets GROUP BY l_returnflag""".stripMargin))
 
+  /** ALTER COLUMN TYPE widening ([[graft.sources.v2.GraftCatalog]]'s
+    * `UpdateColumnType` + manifest v16 `#layouttypes=` — Iceberg's safe
+    * promotions, int→bigint and float→double, on the field-id layer): the
+    * commit rewrites ZERO data files. Each layout records the TYPE its
+    * era's bytes were written at; readers decode at the written type and
+    * widen values to the logical type. At 100 TB this is the routine
+    * "ids outgrew int" evolution that would otherwise force a full-table
+    * rewrite. The query proves the full lifecycle: narrow-era write →
+    * widening ALTER (`metadata_only` pins the file set unchanged) →
+    * manifest-served min/max across the int-era stats (`stats_pushdown`;
+    * int stats re-parse as long LOSSLESSLY — float stats are stripped
+    * instead, a different number under double re-parse) → append of
+    * genuinely-beyond-int keys → MOR DELETE across BOTH eras → one exact
+    * aggregate over mixed physical widths. */
+  val q193TypeWidening = QuerySpec(
+    "q193_type_widening", "S-dsv2-type-widening",
+    "ALTER COLUMN widening: metadata-only, mixed-width reads, DML across eras",
+    (s, d) => {
+      val base = "/tmp/graft_store_q193"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq193", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq193.base", base)
+      try {
+        // era 1: even keys at the NARROW types (int key, float price)
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .selectExpr("cast(o_orderkey as int) as k",
+            "cast(o_totalprice as float) as price")
+          .write.format("graft-store").option("dmlMode", "mor")
+          .mode("overwrite").save(s"$base/t")
+        def dataFiles(): Set[String] =
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/t"))
+            .map(_.getPath.getName).filter(_.endsWith(".gsf")).toSet
+        val before = dataFiles()
+        s.sql("ALTER TABLE gq193.t ALTER COLUMN k TYPE BIGINT")
+        s.sql("ALTER TABLE gq193.t ALTER COLUMN price TYPE DOUBLE")
+        val metadataOnly = before.nonEmpty && dataFiles() == before
+        // int-era stats re-parse as long exactly, so min/max still serves
+        // from the manifest ACROSS the widening (LocalTableScan, zero reads)
+        val agg = s.sql("SELECT min(k) AS mn, max(k) AS mx FROM gq193.t")
+        val pushed =
+          agg.queryExecution.executedPlan.toString.contains("LocalTableScan") &&
+            agg.collect()(0).getLong(1) % 2 == 0
+        // era 2: odd keys SHIFTED beyond int range — genuinely long storage
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+          .selectExpr("o_orderkey + 5000000000 as k",
+            "cast(o_totalprice as double) as price")
+          .write.format("graft-store").mode("append").save(s"$base/t")
+        // row-level DML across BOTH eras: MOR masks (zero rewrites), and
+        // the eq/read paths compare old int bytes at the widened type
+        s.sql("DELETE FROM gq193.t WHERE k % 7 = 3")
+        s.sql("""SELECT count(*) AS n, sum(k) AS sum_k,
+                |  round(sum(price), 2) AS sum_price
+                |FROM gq193.t""".stripMargin)
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("stats_pushdown", lit(pushed))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq193")
+        s.conf.unset("spark.sql.catalog.gq193.base")
+      }
+    },
+    Some("""WITH t AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price
+           |  FROM orders WHERE o_orderkey % 2 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 5000000000 AS k,
+           |         CAST(o_totalprice AS DOUBLE) AS price
+           |  FROM orders WHERE o_orderkey % 2 = 1)
+           |SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+           |  round(sum(price), 2) AS sum_price,
+           |  TRUE AS metadata_only, TRUE AS stats_pushdown
+           |FROM t WHERE k % 7 <> 3""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3304,5 +3379,5 @@ object SystemQueries {
     q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
-    q191Resort, q192SortedScan)
+    q191Resort, q192SortedScan, q193TypeWidening)
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTa
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, StagedTable, StagingTableCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
@@ -466,8 +466,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           fieldMeta = fieldMeta.map { fm =>
             val id = fm.nextId
             val newIds = fm.ids :+ id
-            GraftFieldMeta(fm.fields :+ ((id, colName, add.dataType())),
-              newIds, fm.layouts :+ newIds)
+            fm.copy(fields = fm.fields :+ ((id, colName, add.dataType())),
+              ids = newIds, layouts = fm.layouts :+ newIds)
           }
         case rn: RenameColumn =>
           require(rn.fieldNames().length == 1,
@@ -511,6 +511,73 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           val newIds = fm.ids.patch(t, Nil, 1)
           fieldMeta = Some(fm.copy(ids = newIds, layouts = fm.layouts :+ newIds))
           schema = StructType(schema.fields.patch(t, Nil, 1))
+        case upd: UpdateColumnType =>
+          require(upd.fieldNames().length == 1,
+            "graft catalog: nested column retypes are unsupported")
+          val colName = upd.fieldNames()(0)
+          val t = schema.fieldNames.indexOf(colName)
+          require(t >= 0, s"graft catalog: no such column $colName")
+          val oldT = schema.fields(t).dataType
+          val newT = upd.newDataType()
+          if (oldT != newT) {
+            val widens = (oldT, newT) match {
+              case (IntegerType, LongType) => true
+              case (FloatType, DoubleType) => true
+              case _ => false
+            }
+            require(widens,
+              s"graft catalog: cannot retype column $colName from " +
+                s"${oldT.simpleString} to ${newT.simpleString} — only the " +
+                "safe promotions int→bigint and float→double alter in " +
+                "place (Iceberg's widening set for this codec); other " +
+                "retypes need an overwrite")
+            // Widening preserves VALUES, but metadata that cached narrow
+            // ENCODINGS does not follow automatically — refuse where a
+            // stale encoding would lie:
+            //  - equality-delete key stores decode at CURRENT table types,
+            //    so a store written at the narrow type would mis-decode;
+            //  - float layout/cluster references: partition values and
+            //    min/max stats are float STRINGS whose double re-parse is
+            //    a different number (0.1f ≠ 0.1d) — pruning, SPJ keys and
+            //    CHECK replays would silently drift. Int strings re-parse
+            //    as long losslessly (and bucket ids hash int-as-long by
+            //    design), so int→bigint stays legal even on layout columns.
+            require(!m.eqDeletes.exists(_.keyCols.contains(colName)),
+              s"graft catalog: cannot retype column $colName — live " +
+                "equality deletes key on it (purgeDeletes first)")
+            if (oldT == FloatType) requireUnreferenced(colName, "retype")
+            val fm = materializedFieldMeta()
+            val id = fm.ids(t)
+            // stamp the OLD type onto every pre-existing layout containing
+            // the field (first record wins — those eras' bytes really are
+            // the narrow encoding), then re-record the current id list as
+            // a fresh override-free layout for post-widening writers
+            val padded = fm.layouts.indices.map(i =>
+              fm.layoutTypes.lift(i).getOrElse(Map.empty[Int, DataType]))
+            val stamped = padded.zip(fm.layouts).map { case (o, lay) =>
+              if (lay.contains(id) && !o.contains(id)) o + (id -> oldT) else o
+            }
+            // float→double additionally STRIPS the column's per-file
+            // min/max stats on pre-widening files: a float stat string
+            // re-parsed as double is a different number, so skipping and
+            // min/max pushdown would be wrong. Losing stats is the honest
+            // cost (skipping declines, pushdown declines — answers stay
+            // exact); compaction restores them at the wide type. Int stats
+            // are exact decimal integers and re-parse losslessly — kept.
+            if (oldT == FloatType) files = files.map { e =>
+              val p = e.layoutId match {
+                case Some(li) => fm.layouts(li).indexOf(id)
+                case None => if (id < e.ncols.getOrElse(0)) id else -1
+              }
+              if (p < 0) e else e.copy(stats = e.stats - p)
+            }
+            fieldMeta = Some(GraftFieldMeta(
+              fm.fields.map { case (fid, n, dt) =>
+                if (fid == id) (fid, n, newT) else (fid, n, dt) },
+              fm.ids, fm.layouts :+ fm.ids, stamped :+ Map.empty))
+            schema = StructType(
+              schema.fields.updated(t, schema.fields(t).copy(dataType = newT)))
+          }
         case set: SetProperty if set.property() == "check" =>
           GraftCheck.compile(schema, set.value()) // analyzable against the schema
           // Delta ADD CONSTRAINT semantics: existing rows must already
@@ -543,9 +610,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: unsupported table change $other — trailing " +
-              "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN (field-id " +
+              "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN, widening " +
+              "ALTER COLUMN TYPE (int→bigint, float→double; field-id " +
               "evolution) and the 'check'/'dmlMode' properties alter in " +
-              "place; retype/reposition needs an overwrite")
+              "place; other retypes/repositions need an overwrite")
       }
       done = GraftStoreFormat.commitManifest(path, conf,
         m.copy(schema = schema, files = files, check = check, dml = dml,

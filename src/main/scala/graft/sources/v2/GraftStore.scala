@@ -177,10 +177,28 @@ private[v2] case class GraftFileEntry(name: String, rows: Long,
 private[v2] case class GraftRef(seq: Long, branch: Boolean = false,
     forkSeq: Long = -1L)
 
+/** `layoutTypes` (manifest v16+, TYPE WIDENING — Iceberg's safe-promotion
+  * set, int→bigint and float→double): per-layout WRITTEN-TYPE overrides,
+  * positionally parallel to `layouts` (sparse both ways: a missing trailing
+  * entry, or a missing id inside one, means "the field's current type in
+  * `fields`"). The `fields` table always carries the CURRENT logical type
+  * (what `schema` declares and new writers encode); a widening ALTER stamps
+  * the OLD type onto every pre-existing layout containing the field —
+  * those eras' bytes really are 4-byte ints/floats — and re-records the
+  * current id list as a fresh layout so post-widening files resolve to an
+  * override-free entry. Readers decode each file at its layout's WRITTEN
+  * types and widen values to the logical type ([[GraftColRemap]]); the
+  * commit touches zero data files. */
 private[v2] case class GraftFieldMeta(fields: Seq[(Int, String, DataType)],
-    ids: Seq[Int], layouts: Seq[Seq[Int]]) {
+    ids: Seq[Int], layouts: Seq[Seq[Int]],
+    layoutTypes: Seq[Map[Int, DataType]] = Seq.empty) {
   def typeOf: Map[Int, DataType] = fields.map(f => f._1 -> f._3).toMap
   def nextId: Int = fields.map(_._1).max + 1
+  /** The PHYSICAL type field `id`'s bytes were encoded at in files of
+    * layout `layoutIdx` — the override if the era predates a widening of
+    * this field, the current logical type otherwise. */
+  def writtenTypeAt(layoutIdx: Int, id: Int): DataType =
+    layoutTypes.lift(layoutIdx).flatMap(_.get(id)).getOrElse(typeOf(id))
 }
 
 /** One POSITION-DELETE file (manifest v7+, merge-on-read): a data file in
@@ -500,7 +518,11 @@ private[v2] object GraftStoreFormat {
               "RENAME/DROP COLUMN?); re-run the write against the new schema")
         fm.ids(t)
       }
-      fm.layouts.indexOf(ids) match {
+      // LAST occurrence: a widening re-records the current id list as a
+      // fresh (override-free) layout, so the same id sequence can appear
+      // twice with different written types — new files must stamp the
+      // newest entry (the one whose types match what they encoded)
+      fm.layouts.lastIndexOf(ids) match {
         case -1 if ids == (0 until ids.length) =>
           entries.map(e => e.copy(ncols = e.ncols.orElse(Some(ids.length))))
         case -1 => throw new IllegalStateException(
@@ -516,14 +538,44 @@ private[v2] object GraftStoreFormat {
     * that way and must fail LOUDLY rather than misalign. Ordinal-prefix
     * layouts — the only kind on never-evolved tables, and everything
     * before the first DROP (RENAME keeps ids ordinal) — pass. */
-  def requireOrdinalLayout(m: GraftManifest, e: GraftFileEntry, what: String): Unit =
-    m.layoutIdsOf(e).foreach { lids =>
-      if (lids != (0 until lids.length))
-        throw new IllegalStateException(
-          s"graft-store: $what ${e.name} was written under a rename/drop-" +
-            "evolved layout; streams/feeds pin a fixed positional schema — " +
-            "restart the feed at a snapshot at or after the evolution")
+  def requireOrdinalLayout(m: GraftManifest, e: GraftFileEntry, what: String,
+      pinned: StructType): Unit = {
+    def widened(): Nothing = throw new IllegalStateException(
+      s"graft-store: $what ${e.name} was written across a column-type " +
+        "widening from this feed's pinned schema; streams/feeds pin a " +
+        "fixed positional schema — restart the feed at a snapshot at " +
+        "or after the widening")
+    m.fieldMeta match {
+      case Some(fm) =>
+        val lids = m.layoutIdsOf(e).get
+        if (lids != (0 until lids.length))
+          throw new IllegalStateException(
+            s"graft-store: $what ${e.name} was written under a rename/drop-" +
+              "evolved layout; streams/feeds pin a fixed positional schema — " +
+              "restart the feed at a snapshot at or after the evolution")
+        // same contract for TYPE WIDENING: the file's WRITTEN types must
+        // match the PINNED schema position-by-position — bytes written on
+        // either side of a widening (narrow file under a post-widening
+        // pin, or wide file under a pre-widening pin) would mis-decode —
+        // fail loudly, don't misalign
+        val li = e.layoutId.getOrElse(0)
+        lids.zipWithIndex.foreach { case (id, p) =>
+          if (p < pinned.length &&
+              fm.writtenTypeAt(li, id) != pinned.fields(p).dataType)
+            widened()
+        }
+      case None =>
+        // pre-evolution era manifest: written types are its own schema's —
+        // a feed pinned AFTER a widening walking this era must also fail
+        // loudly (int bytes cannot decode under a long pin)
+        val w = math.min(e.ncols.getOrElse(m.schema.length),
+          math.min(m.schema.length, pinned.length))
+        (0 until w).foreach { p =>
+          if (m.schema.fields(p).dataType != pinned.fields(p).dataType)
+            widened()
+        }
     }
+  }
 
   /** A file entry's stats re-keyed from PHYSICAL (writer) column indices
     * to CURRENT LOGICAL indices — what manifest-stats skipping and
@@ -598,7 +650,20 @@ private[v2] object GraftStoreFormat {
         val ids = rest2a(1).stripPrefix("#fieldids=").split(",").toSeq.map(_.toInt)
         val layouts = rest2a(2).stripPrefix("#layouts=").split(";", -1).toSeq
           .map(_.split(",").toSeq.map(_.toInt))
-        (Some(GraftFieldMeta(fields, ids, layouts)), rest2a.drop(3))
+        // `#layouttypes=` (v16, optional): per-layout written-type
+        // overrides — `;`-joined parallel to `#layouts=`, each entry a
+        // comma-joined `id:type` list ("" = no overrides, current types)
+        val (layoutTypes, used) =
+          if (rest2a.length > 3 && rest2a(3).startsWith("#layouttypes="))
+            (rest2a(3).stripPrefix("#layouttypes=").split(";", -1).toSeq.map { e =>
+              if (e.isEmpty) Map.empty[Int, DataType]
+              else e.split(",").toSeq.map { p =>
+                val Array(id, t) = p.split(":", 2)
+                id.toInt -> DataType.fromDDL(t)
+              }.toMap
+            }, 4)
+          else (Seq.empty[Map[Int, DataType]], 3)
+        (Some(GraftFieldMeta(fields, ids, layouts, layoutTypes)), rest2a.drop(used))
       } else (None, rest2a)
     // `#cluster=` header (optional, comma-separated): the table's DECLARED
     // sort clustering (range/Z-order layouts) — advisory, like Iceberg's
@@ -957,7 +1022,12 @@ private[v2] object GraftStoreFormat {
           s"#fields=${fm.fields.map { case (id, n, t) =>
             s"$id:${escStat(n)}:${t.catalogString}" }.mkString(",")}\n" +
           s"#fieldids=${fm.ids.mkString(",")}\n" +
-          s"#layouts=${fm.layouts.map(_.mkString(",")).mkString(";")}\n").getOrElse("") +
+          s"#layouts=${fm.layouts.map(_.mkString(",")).mkString(";")}\n" +
+          (if (fm.layoutTypes.forall(_.isEmpty)) "" else
+            s"#layouttypes=${fm.layouts.indices.map(i =>
+              fm.layoutTypes.lift(i).getOrElse(Map.empty[Int, DataType]).toSeq
+                .sortBy(_._1).map { case (id, t) => s"$id:${t.catalogString}" }
+                .mkString(",")).mkString(";")}\n")).getOrElse("") +
         m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
         m.check.map(c => s"#check=${escStat(c)}\n").getOrElse("") +
         m.cdc.map(c => s"#cdc=$c\n").getOrElse("") +
@@ -2265,7 +2335,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
               (fm.nextId + i, f.name, f.dataType)
             }.toSeq
             val newIds = fm.ids ++ newFields.map(_._1)
-            GraftFieldMeta(fm.fields ++ newFields, newIds, fm.layouts :+ newIds)
+            fm.copy(fields = fm.fields ++ newFields, ids = newIds,
+              layouts = fm.layouts :+ newIds)
           }
         }
       val layoutStamped =
@@ -3902,12 +3973,14 @@ private[v2] class GraftStoreScan(protected val path: String,
       manifest.eqDeletes.filter(_.covers(e)).map(q =>
         GraftEqSlice(new Path(path, q.name).toString,
           q.keyCols.map(manifest.schema.fieldIndex))),
-      // field-id-evolved table: ship the file's physical layout (types in
-      // row order) and its physical→current-table index map
+      // field-id-evolved table: ship the file's physical layout (WRITTEN
+      // types in row order — a pre-widening file's int/float, not the
+      // current logical long/double) and its physical→current-table map
       manifest.layoutIdsOf(e).map { lids =>
         val fm = manifest.fieldMeta.get
-        val tmap = fm.typeOf
-        GraftColRemap(lids.map(tmap), lids.map(id => fm.ids.indexOf(id)))
+        val li = e.layoutId.getOrElse(0)
+        GraftColRemap(lids.map(id => fm.writtenTypeAt(li, id)),
+          lids.map(id => fm.ids.indexOf(id)))
       })
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -4057,7 +4130,7 @@ private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
     require(w <= full.length,
       s"graft-store: file ${f.name} was written under an evolved schema " +
         s"($w cols > pinned ${full.length}); restart the stream to adopt it")
-    GraftStoreFormat.requireOrdinalLayout(m, f, "file")
+    GraftStoreFormat.requireOrdinalLayout(m, f, "file", full)
     // append-mode semantics: the snapshot-tail stream emits added files
     // as-is and never retracts — position deletes (merge-on-read DML)
     // are NOT applied here, same contract as overwrites
@@ -4290,7 +4363,7 @@ private[v2] object GraftCdc {
               throw new IllegalStateException(
                 s"graft-store: snapshot $seq drop-lists $n, which its " +
                   "predecessor does not list"))
-            GraftStoreFormat.requireOrdinalLayout(pm, e, "dropped file")
+            GraftStoreFormat.requireOrdinalLayout(pm, e, "dropped file", pinned)
             val w = e.ncols.getOrElse(pm.schema.length)
             require(w <= pinned.length,
               s"graft-store: dropped file $n was written under an evolved " +
@@ -4314,6 +4387,17 @@ private[v2] object GraftCdc {
               .getOrElse(throw new IllegalStateException(
                 s"graft-store: snapshot $seq references missing change store $id " +
                   "(expired past an active feed? increase retention)"))
+            // the change store was written at its era's types: a widening
+            // between that era and this feed's pin would mis-decode — same
+            // loud-failure contract as the data files (positional compare,
+            // name-gated so the trailing change-type column is skipped)
+            cm.schema.fields.zipWithIndex.foreach { case (f, p) =>
+              if (p < pinned.length && f.name == pinned.fields(p).name)
+                require(f.dataType == pinned.fields(p).dataType,
+                  s"graft-store: snapshot $seq's change store was written " +
+                    "across a column-type widening from this feed's pinned " +
+                    "schema; restart the feed")
+            }
             cm.files.sortBy(_.name).foreach { e =>
               val w = e.ncols.getOrElse(cm.schema.length)
               require(w - 1 <= pinned.length,
@@ -4371,7 +4455,7 @@ private[v2] object GraftCdc {
                   s"not all in the pinned schema; restart the feed")
               val covered = pm.files.filter(e => newEqEntries.exists(_.covers(e)))
               covered.foreach { e =>
-                GraftStoreFormat.requireOrdinalLayout(pm, e, "equality-delete target")
+                GraftStoreFormat.requireOrdinalLayout(pm, e, "equality-delete target", pinned)
                 val w = e.ncols.getOrElse(pm.schema.length)
                 require(w <= pinned.length,
                   s"graft-store: equality-delete target ${e.name} was written " +
@@ -4393,7 +4477,7 @@ private[v2] object GraftCdc {
                 require(w <= pinned.length,
                   s"graft-store: file ${e.name} was written under an evolved schema " +
                     s"($w cols > pinned ${pinned.length}); restart the feed")
-                GraftStoreFormat.requireOrdinalLayout(m, e, "file")
+                GraftStoreFormat.requireOrdinalLayout(m, e, "file", pinned)
                 out += GraftCdcPartition(
                   new Path(path, e.name).toString, w, "insert", seq)
               }
@@ -4408,7 +4492,7 @@ private[v2] object GraftCdc {
               if (newDels.nonEmpty) {
                 val covered = m.files.filter(e => newDels.exists(_.covers(e.name)))
                 covered.foreach(e =>
-                  GraftStoreFormat.requireOrdinalLayout(m, e, "delete target"))
+                  GraftStoreFormat.requireOrdinalLayout(m, e, "delete target", pinned))
                 val widths = covered
                   .map(e => e.name -> e.ncols.getOrElse(m.schema.length)).toMap
                 require(widths.values.forall(_ <= pinned.length),
@@ -5343,9 +5427,26 @@ object GraftStoreOps {
     require(source.schema.fieldNames.sorted.sameElements(m.schema.fieldNames.sorted),
       s"graft-store: merge source columns ${source.schema.fieldNames.mkString(",")} " +
         s"must match table columns ${m.schema.fieldNames.mkString(",")}")
-    val src = source.select(m.schema.fieldNames.map(col).toSeq: _*).localCheckpoint(true)
-    // types must match too: a wider source (long into int) would coerce the
-    // merge projection and corrupt the positional row codec on read
+    // a NARROWER source column than the table's widens up-front where the
+    // promotion is safe (int→bigint, float→double — the widening ALTER's
+    // set): a table whose column was widened keeps accepting the sources
+    // that fed it pre-widening. The reverse (long source into int table)
+    // still refuses — it would coerce the merge projection and corrupt the
+    // positional row codec on read.
+    val casted = source.select(m.schema.fields.map { f =>
+      val s = col(f.name)
+      (source.schema(f.name).dataType, f.dataType) match {
+        case (IntegerType, LongType) => s.cast(LongType).as(f.name)
+        case (FloatType, DoubleType) => s.cast(DoubleType).as(f.name)
+        case _ => s
+      }
+    }.toSeq: _*)
+    // nullability-normalize: the change-log's struct <=> compare needs the
+    // source struct to coerce to the (nullable) target struct — a NOT NULL
+    // source field (e.g. a literal-built frame) would fail analysis
+    val src = spark.createDataFrame(casted.rdd,
+      StructType(casted.schema.fields.map(_.copy(nullable = true))))
+      .localCheckpoint(true)
     require(GraftStoreFormat.sameCols(src.schema, m.schema),
       s"graft-store: merge source types ${src.schema.simpleString} must match " +
         s"table types ${m.schema.simpleString}")
@@ -6450,6 +6551,12 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       private var usingUnsafe = false
       private var outOf: Array[Int] = _          // physical col -> output ordinal
       private var missingOrds: Array[Int] = _    // outputs the file never holds
+      // type-widening remaps (pre-widening files): physical positions whose
+      // decoded value must widen to the table's logical type before any
+      // consumer (projection output OR an equality-mask key probe) sees it.
+      // kind 1 = int→long, 2 = float→double
+      private var convPos: Array[Int] = Array.emptyIntArray
+      private var convKind: Array[Byte] = Array.emptyByteArray
       private def openNext(): Boolean = remaining match {
         case s +: rest =>
           remaining = rest
@@ -6490,12 +6597,27 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
               val t2p = Array.fill(full.length)(-1)
               r.physToTable.zipWithIndex.foreach { case (t, p) => if (t >= 0) t2p(t) = p }
               tableToPhys = t2p
+              // pre-widening file: where the written type is narrower than
+              // the table's, widen the decoded value in place (int→long,
+              // float→double) so projections AND eq-mask probes compare at
+              // the logical type
+              val cp = scala.collection.mutable.ArrayBuffer.empty[Int]
+              val ck = scala.collection.mutable.ArrayBuffer.empty[Byte]
+              r.physToTable.zipWithIndex.foreach { case (t, p) =>
+                if (t >= 0) (r.physTypes(p), full.fields(t).dataType) match {
+                  case (IntegerType, LongType) => cp += p; ck += 1
+                  case (FloatType, DoubleType) => cp += p; ck += 2
+                  case _ => ()
+                }
+              }
+              convPos = cp.toArray; convKind = ck.toArray
             case None =>
               fileSchema =
                 if (s.ncols >= full.length) full
                 else StructType(full.fields.take(s.ncols))
               tableToPhys =
                 Array.tabulate(full.length)(t => if (t < s.ncols) t else -1)
+              convPos = Array.emptyIntArray; convKind = Array.emptyByteArray
           }
           curFile = UTF8String.fromString(s.file)
           deleted = loadDeletes(s)
@@ -6531,7 +6653,11 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
             vals = new Array[Any](fileSchema.length)
             pendingBuf = null
           }
-          usingUnsafe = bufr != null && eqMasks.isEmpty
+          // conversions need the boxed generic path (the UnsafeRow decoder
+          // writes fixed-width values straight from the wire); only
+          // pre-widening files pay this — post-widening and compacted
+          // files carry an override-free layout and keep the fast path
+          usingUnsafe = bufr != null && eqMasks.isEmpty && convPos.isEmpty
           if (usingUnsafe) {
             val o = Array.fill(fileSchema.length)(-1)
             val miss = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -6642,6 +6768,19 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
               if (!openNext()) return false
             } else {
               pos += 1
+              // widen pre-widening values IN PLACE before any consumer —
+              // the eq-mask probe below and get()'s projection both read
+              // cur, and both must see the table's logical type
+              var c = 0
+              while (c < convPos.length) {
+                val p = convPos(c)
+                val v = cur(p)
+                if (v != null) cur(p) = convKind(c) match {
+                  case 1 => Long.box(v.asInstanceOf[Int].toLong)
+                  case _ => Double.box(v.asInstanceOf[Float].toDouble)
+                }
+                c += 1
+              }
               // skip rows whose ordinal a covering delete file masks, then
               // rows whose key tuple a scoping equality delete names
               if (delIdx < deleted.length && deleted(delIdx) == pos) delIdx += 1

@@ -169,6 +169,149 @@ class GraftStoreFieldIdSpec extends AnyFunSuite with graft.SparkTestBase {
       s"expected a loud evolved-layout failure, got: ${ex.getMessage}")
   }
 
+  // ---- ALTER COLUMN TYPE widening (int→bigint, float→double) ----
+
+  private def seedW(t: String): Unit =
+    spark.range(0, 40)
+      .selectExpr("cast(id as int) as k", "cast(id as float) as price",
+        "concat('s', id) as tag")
+      .write.format("graft-store").mode("overwrite").save(s"$catBase/$t")
+
+  test("int→bigint widening is metadata-only; mixed widths read exactly") {
+    catBase
+    seedW("w1")
+    val before = manifest("w1")
+    spark.sql("ALTER TABLE fidcat.w1 ALTER COLUMN k TYPE BIGINT")
+    val after = manifest("w1")
+    assert(after.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(after.files.map(_.name) === before.files.map(_.name),
+      "widening must rewrite zero data files")
+    val fm = after.fieldMeta.get
+    assert(fm.typeOf(0) === org.apache.spark.sql.types.LongType)
+    assert(fm.writtenTypeAt(0, 0) === org.apache.spark.sql.types.IntegerType,
+      "the pre-widening layout must record the narrow written type")
+    assert(fm.layouts.last === fm.ids, "current layout re-recorded at the new width")
+    // time travel to the pre-widening snapshot still reads at int
+    assert(spark.sql("SELECT * FROM fidcat.w1 VERSION AS OF 0").schema("k")
+      .dataType === org.apache.spark.sql.types.IntegerType)
+    // append GENUINELY long keys — beyond int range — at the new width
+    spark.range(0, 10).selectExpr("id + 5000000000 as k",
+        "cast(id as float) as price", "concat('b', id) as tag")
+      .write.format("graft-store").mode("append").save(s"$catBase/w1")
+    val got = spark.sql(
+      "SELECT count(*) AS n, sum(k) AS s FROM fidcat.w1").collect()(0)
+    assert(got.getLong(0) === 50)
+    assert(got.getLong(1) === (0L until 40L).sum + (0L until 10L).map(_ + 5000000000L).sum)
+    // min/max pushdown still serves from the manifest: int stats re-parse
+    // as long LOSSLESSLY, so mixed-width stats stay exact
+    val agg = spark.sql("SELECT min(k) AS mn, max(k) AS mx FROM fidcat.w1")
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "min/max across mixed int/long files must still push to the manifest")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) === 0L && r.getLong(1) === 5000000009L)
+    // row-level DML across mixed widths: MOR upsert keyed on the WIDENED
+    // column — the eq-mask probe must compare old files' int bytes at long
+    spark.sql("ALTER TABLE fidcat.w1 SET TBLPROPERTIES ('dmlMode'='mor')")
+    GraftStoreOps.upsertMor(spark, s"$catBase/w1",
+      Seq((5L, 0.5f, "upd")).toDF("k", "price", "tag"), Seq("k"))
+    val vals = spark.sql("SELECT k, tag FROM fidcat.w1")
+      .as[(Long, String)].collect().toMap
+    assert(vals(5L) === "upd" && vals.size === 50,
+      "upsert keyed on a widened column must mask the pre-widening row")
+  }
+
+  test("float→double widening strips pre-widening stats; answers stay exact") {
+    catBase
+    seedW("w2")
+    spark.sql("ALTER TABLE fidcat.w2 ALTER COLUMN price TYPE DOUBLE")
+    val m = manifest("w2")
+    assert(m.schema("price").dataType === org.apache.spark.sql.types.DoubleType)
+    // a float stat string re-parsed as double is a DIFFERENT number — the
+    // widening must strip the column's stats on pre-widening files (and
+    // keep every other column's)
+    assert(m.files.forall(e => !e.stats.contains(1)),
+      "pre-widening float min/max stats must be stripped")
+    assert(m.files.forall(_.stats.contains(0)),
+      "other columns keep their stats")
+    // min/max pushdown DECLINES (a stats-less file) — and the scan still
+    // computes the exact float-precision-widened extremes
+    val agg = spark.sql("SELECT min(price) AS mn, max(price) AS mx FROM fidcat.w2")
+    assert(!agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "stripped stats must decline the manifest-only aggregate")
+    val r = agg.collect()(0)
+    assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 39.0f.toDouble)
+    val s = spark.sql("SELECT sum(price) AS s FROM fidcat.w2").collect()(0)
+      .getDouble(0)
+    assert(s === (0 until 40).map(_.toFloat.toDouble).sum,
+      "old bytes decode at float and widen value-exactly")
+  }
+
+  test("int→bigint widening of a bucket layout column keeps bucket pruning") {
+    catBase
+    spark.range(0, 200).selectExpr("cast(id as int) as k", "id * 2 as v")
+      .write.format("graft-store").option("partitionBy", "bucket(8,k)")
+      .mode("overwrite").save(s"$catBase/w5")
+    spark.sql("ALTER TABLE fidcat.w5 ALTER COLUMN k TYPE BIGINT")
+    spark.range(200, 400).selectExpr("id as k", "id * 2 as v")
+      .write.format("graft-store").mode("append").save(s"$catBase/w5")
+    // bucket ids hash int-as-long by design, so a long probe prunes the
+    // files of BOTH eras structurally
+    val df = spark.sql("SELECT k, v FROM fidcat.w5 WHERE k = 7")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 14L)))
+    val desc = df.queryExecution.executedPlan.toString
+    val fm2 = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(fm2.exists(g => g.group(1).toInt < g.group(2).toInt),
+      s"bucket pruning must survive the widening:\n$desc")
+  }
+
+  test("unsafe retypes and encoding-referenced widenings refuse loudly") {
+    catBase
+    seedW("w3")
+    intercept[Exception](
+      spark.sql("ALTER TABLE fidcat.w3 ALTER COLUMN tag TYPE INT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE fidcat.w3 ALTER COLUMN k TYPE STRING"))
+    // a live equality delete keys on k at the CURRENT (narrow) type — its
+    // store would mis-decode after a widening; refuse until purged
+    spark.sql("ALTER TABLE fidcat.w3 SET TBLPROPERTIES ('dmlMode'='mor')")
+    GraftStoreOps.upsertMor(spark, s"$catBase/w3",
+      Seq((3, 0.25f, "u")).toDF("k", "price", "tag"), Seq("k"))
+    val ex = intercept[Exception](
+      spark.sql("ALTER TABLE fidcat.w3 ALTER COLUMN k TYPE BIGINT"))
+    assert(ex.getMessage.contains("equality deletes"))
+    assert(manifest("w3").schema("k").dataType ===
+      org.apache.spark.sql.types.IntegerType, "rejected retype must not commit")
+  }
+
+  test("feeds pinned before a widening fail loudly on pre-widening files") {
+    catBase
+    seedW("c2")
+    spark.sql("ALTER TABLE fidcat.c2 ALTER COLUMN k TYPE BIGINT")
+    spark.range(40, 50).selectExpr("id as k", "cast(id as float) as price",
+        "concat('s', id) as tag")
+      .write.format("graft-store").mode("append").save(s"$catBase/c2")
+    val ex = intercept[Exception] {
+      spark.read.format("graft-store")
+        .option("readChangeFeed", "true").option("startSnapshot", "0")
+        .load(s"$catBase/c2").count()
+    }
+    assert(ex.getMessage.contains("widening"),
+      s"expected a loud pre-widening-layout failure, got: ${ex.getMessage}")
+  }
+
+  test("mergeInto accepts a source still at the pre-widening width") {
+    catBase
+    seedW("w6")
+    spark.sql("ALTER TABLE fidcat.w6 ALTER COLUMN k TYPE BIGINT")
+    // the source's int key / float price widen up-front — pre-widening
+    // producers keep feeding the widened table
+    GraftStoreOps.mergeInto(spark, s"$catBase/w6",
+      Seq((5, 0.5f, "upd"), (1000, 1.5f, "new")).toDF("k", "price", "tag"), "k")
+    val vals = spark.sql("SELECT k, tag FROM fidcat.w6")
+      .as[(Long, String)].collect().toMap
+    assert(vals(5L) === "upd" && vals(1000L) === "new" && vals.size === 41)
+  }
+
   test("compaction rewrites an evolved table back to plain prefix layouts") {
     catBase
     seed("k1")
