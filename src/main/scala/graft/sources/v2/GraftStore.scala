@@ -614,9 +614,74 @@ private[v2] object GraftStoreFormat {
     e.copy(stats = stats2, nullCounts = nulls2)
   }
 
+  /** Diagnostic counter: manifest + segment bytes actually PARSED in this
+    * JVM (cache misses only — a cache hit adds nothing). Exists so specs
+    * can PROVE the second scan of an unchanged table re-parses zero
+    * metadata, the same discipline as [[prunedBytesSkipped]]. */
+  val manifestParseBytes = new java.util.concurrent.atomic.LongAdder
+
+  /** PARSED-MANIFEST CACHE. Manifest files are write-once per name
+    * (commitManifest's CAS never overwrites), so a parsed [[GraftManifest]]
+    * is reusable for as long as the file exists — the key's (length,
+    * mtime) from one cheap getFileStatus guards the only mutation path
+    * that exists (deleting the whole table directory and recreating it).
+    * Every consumer benefits: repeated/interactive scans, the OCC commit
+    * loop's head re-reads, stream polls, catalog loads. Bounded LRU — at
+    * a million files a parsed manifest is tens of MB, so the bound is
+    * entries-not-bytes by design: the cached tables are the ones being
+    * actively queried. */
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), GraftManifest](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), GraftManifest]): Boolean =
+        size() > 32
+    })
+
+  /** PARSED-SEGMENT CACHE, keyed by (table path, segment name). Segments
+    * are content-addressed (`_seg-<md5>`), so a name can never mean two
+    * different listings — no validation read needed at all. This is what
+    * makes the head-advance case O(churn): the next commit's manifest
+    * re-references mostly the same chunks, and only the new ones parse. */
+  private val segmentCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), Seq[GraftFileEntry]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Seq[GraftFileEntry]]): Boolean =
+        size() > 256
+    })
+
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
-    val in = fs(path, conf).open(p)
+    val fsys = fs(path, conf)
+    val st = fsys.getFileStatus(p)
+    val key = (p.toString, st.getLen, st.getModificationTime)
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
+    val in = fsys.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    manifestParseBytes.add(body.length.toLong)
+    val m = parseManifest(path, conf, p, body)
+    manifestCache.put(key, m)
+    m
+  }
+
+  /** One file line → entry. Third field (stats) and fourth (partition
+    * values) are optional: pre-stats / pre-partition-value manifests stay
+    * readable. */
+  private def parseFileEntry(l: String): GraftFileEntry = {
+    val parts = l.split("\t", -1)
+    GraftFileEntry(parts(0), parts(1).toLong,
+      if (parts.length > 2) statsFromString(parts(2)) else Map.empty,
+      if (parts.length > 3) partValsFromString(parts(3)) else None,
+      if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None,
+      if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5).toInt) else None,
+      if (parts.length > 6 && parts(6).nonEmpty) Some(parts(6).toLong) else None,
+      if (parts.length > 7 && parts(7).nonEmpty) Some(parts(7).toInt) else None,
+      if (parts.length > 8) nullsFromString(parts(8)) else None,
+      if (parts.length > 9) blocksFromString(parts(9)) else None,
+      parts.length > 10 && parts(10) == "s")
+  }
+
+  private def parseManifest(path: String, conf: Configuration, p: Path,
+      body: String): GraftManifest = {
     val all = body.split("\n").filter(_.nonEmpty)
     // `#millis=` header is optional: pre-OCC manifests carried millis in the
     // file NAME instead — fall back to it so old tables stay time-travelable
@@ -745,61 +810,60 @@ private[v2] object GraftStoreFormat {
     // are `part-…`)
     val (tildeLines, fileLines0) = lines.tail.toSeq.partition(_.startsWith("~"))
     // `@seg` refs (v12, segmented manifests): expand each referenced
-    // content-addressed segment file in place — order preserved. Segments
-    // fetch CONCURRENTLY (bounded pool): a manifest listing a large table
-    // references many chunks, and on an object store their latency would
-    // otherwise serialize into the driver's planning time
-    val fileLines =
-      if (!fileLines0.exists(_.startsWith("@seg\t"))) fileLines0
+    // content-addressed segment in place — order preserved. Uncached
+    // segments fetch CONCURRENTLY (bounded pool): a manifest listing a
+    // large table references many chunks, and on an object store their
+    // latency would otherwise serialize into the driver's planning time.
+    // Cached segments (the common case after any prior scan — commits
+    // re-reference unchanged chunks) contribute ZERO reads and ZERO parse:
+    // the cache holds PARSED entries, so a head advance re-parses only the
+    // churned chunks.
+    val entries: Seq[GraftFileEntry] =
+      if (!fileLines0.exists(_.startsWith("@seg\t"))) fileLines0.map(parseFileEntry)
       else {
         val fsys = fs(path, conf)
-        def readSeg(segName: String): Seq[String] = {
+        def readSeg(segName: String): Seq[GraftFileEntry] = {
           val sin = fsys.open(new Path(path, segName))
           val segBody =
             try scala.io.Source.fromInputStream(sin, "UTF-8").mkString
             finally sin.close()
-          segBody.split("\n").filter(_.nonEmpty).toSeq
+          manifestParseBytes.add(segBody.length.toLong)
+          segBody.split("\n").filter(_.nonEmpty).toSeq.map(parseFileEntry)
         }
         val segNames = fileLines0.collect {
           case l if l.startsWith("@seg\t") => l.split("\t")(1)
         }
-        val fetched: Map[String, Seq[String]] =
-          if (segNames.size <= 2) segNames.map(n => n -> readSeg(n)).toMap
+        val toFetch = segNames.filter(n => !segmentCache.containsKey((path, n)))
+        val fetched: Map[String, Seq[GraftFileEntry]] =
+          if (toFetch.size <= 2) toFetch.map(n => n -> readSeg(n)).toMap
           else {
             import scala.concurrent.{Await, ExecutionContext, Future}
             import scala.concurrent.duration.Duration
             val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.min(8, segNames.size))
+              math.min(8, toFetch.size))
             implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
             try Await.result(
-              Future.sequence(segNames.map(n => Future(n -> readSeg(n)))),
+              Future.sequence(toFetch.map(n => Future(n -> readSeg(n)))),
               Duration.Inf).toMap
             finally pool.shutdown()
           }
+        fetched.foreach { case (n, es) => segmentCache.put((path, n), es) }
         fileLines0.flatMap { l =>
-          if (!l.startsWith("@seg\t")) Seq(l)
-          else fetched(l.split("\t")(1))
+          if (!l.startsWith("@seg\t")) Seq(parseFileEntry(l))
+          else {
+            val n = l.split("\t")(1)
+            fetched.getOrElse(n, {
+              val c = segmentCache.get((path, n))
+              if (c != null) c else readSeg(n) // evicted between probe and use
+            })
+          }
         }
       }
     val (bloomLines, tildeRest) = tildeLines.partition(_.startsWith("~bloom\t"))
     val (eqLines, delLines) = tildeRest.partition(_.startsWith("~eqdel\t"))
     GraftManifest(
       StructType.fromDDL(lines.head),
-      fileLines.map { l =>
-        // third field (stats) and fourth (partition values) are optional:
-        // pre-stats / pre-partition-value manifests stay readable
-        val parts = l.split("\t", -1)
-        GraftFileEntry(parts(0), parts(1).toLong,
-          if (parts.length > 2) statsFromString(parts(2)) else Map.empty,
-          if (parts.length > 3) partValsFromString(parts(3)) else None,
-          if (parts.length > 4 && parts(4).nonEmpty) Some(parts(4).toInt) else None,
-          if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5).toInt) else None,
-          if (parts.length > 6 && parts(6).nonEmpty) Some(parts(6).toLong) else None,
-          if (parts.length > 7 && parts(7).nonEmpty) Some(parts(7).toInt) else None,
-          if (parts.length > 8) nullsFromString(parts(8)) else None,
-          if (parts.length > 9) blocksFromString(parts(9)) else None,
-          parts.length > 10 && parts(10) == "s")
-      },
+      entries,
       millis, partCol, txn, clusterCols, check, cdc, specs,
       delLines.map { l =>
         val parts = l.split("\t", -1)

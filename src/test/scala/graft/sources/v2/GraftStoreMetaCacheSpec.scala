@@ -1,0 +1,91 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Head-manifest / segment METADATA CACHE: manifests are write-once per
+  * name and segments are content-addressed, so parsed metadata is reusable
+  * across scans — an interactive/repeated query against a million-file
+  * table must not re-pay the metadata parse per scan, and a commit must
+  * re-parse only its churn. [[GraftStoreFormat.manifestParseBytes]] counts
+  * actual parse work (cache misses only), which is what these tests pin. */
+class GraftStoreMetaCacheSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-metacache").toString
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  test("second scan of an unchanged table parses zero manifest bytes") {
+    val dir = tmpDir()
+    spark.range(0, 2000).repartition(200).selectExpr("id", "id * 2 as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    // warm: the first scan parses the manifest + its 200-file segments
+    assert(spark.read.format("graft-store").load(dir).count() === 2000)
+    val before = GraftStoreFormat.manifestParseBytes.sum()
+    val got = spark.read.format("graft-store").load(dir)
+      .agg(sum("v")).collect()(0).getLong(0)
+    assert(got === (0L until 2000L).map(_ * 2).sum)
+    assert(GraftStoreFormat.manifestParseBytes.sum() === before,
+      "an unchanged table's second scan must re-parse ZERO metadata bytes")
+  }
+
+  test("a head advance re-parses only the churn (segments stay cached)") {
+    val dir = tmpDir()
+    spark.range(0, 2000).repartition(200).selectExpr("id", "id * 2 as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    spark.read.format("graft-store").load(dir).count() // warm the caches
+    val before = GraftStoreFormat.manifestParseBytes.sum()
+    spark.range(2000, 2010).coalesce(1).selectExpr("id", "id * 2 as v")
+      .write.format("graft-store").mode("append").save(dir)
+    assert(spark.read.format("graft-store").load(dir).count() === 2010)
+    val parsed = GraftStoreFormat.manifestParseBytes.sum() - before
+    // total metadata the post-append scan would parse COLD: the new
+    // manifest body plus every segment it references
+    val f = new Path(dir).getFileSystem(conf)
+    val ms = GraftStoreFormat.listManifests(dir, conf)
+    val cold = f.getFileStatus(ms.last).getLen +
+      GraftStoreFormat.manifestSegmentRefs(dir, conf, ms.last)
+        .map(n => f.getFileStatus(new Path(dir, n)).getLen).sum
+    assert(parsed > 0, "the new manifest itself must parse")
+    assert(parsed < cold / 2,
+      s"a 10-row append must re-parse only churned chunks, not the full " +
+        s"listing ($parsed of $cold cold bytes)")
+  }
+
+  test("table delete + recreate is never served stale metadata") {
+    val dir = tmpDir()
+    spark.range(0, 50).selectExpr("id", "id * 3 as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-store").load(dir).count() === 50)
+    val f = new Path(dir).getFileSystem(conf)
+    f.delete(new Path(dir), true)
+    // a fresh table at the same path and manifest NAME: the (length,
+    // mtime) key must miss and the new content must be served
+    spark.range(0, 7).selectExpr("id", "id * 5 as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val got = spark.read.format("graft-store").load(dir)
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    assert(got.getLong(0) === 7 && got.getLong(1) === (0L until 7L).map(_ * 5).sum)
+  }
+
+  test("the OCC loop and concurrent commits stay correct under the cache") {
+    val dir = tmpDir()
+    spark.range(0, 100).selectExpr("id", "id as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    // interleave reads (cache populates) with appends (head advances):
+    // every read must see exactly the committed prefix
+    (1 to 5).foreach { i =>
+      spark.range(i * 1000L, i * 1000L + 10).selectExpr("id", "id as v")
+        .write.format("graft-store").mode("append").save(dir)
+      assert(spark.read.format("graft-store").load(dir).count() === 100 + 10L * i)
+    }
+    val m = GraftStoreFormat.readLatestManifest(dir, conf).get
+    assert(m.files.nonEmpty)
+  }
+}
