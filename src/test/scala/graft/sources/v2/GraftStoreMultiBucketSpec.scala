@@ -15,7 +15,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * scan's KeyGroupedPartitioning never satisfies a clustered distribution
   * — no SPJ for multi-ref buckets. The write/prune/routing side ships
   * anyway: bounded file counts for composite keys, deterministic
-  * co-location across tables, explicit partition values. */
+  * co-location across tables, explicit partition values. Runtime pruning
+  * DOES work for composite keys: DPP plants one subquery per join key
+  * (independent single-column INs, not a struct-IN), and the cartesian
+  * tuple-bucket pruner consumes them — see
+  * GraftStoreMultiAttrRuntimeSpec. */
 class GraftStoreMultiBucketSpec extends AnyFunSuite with graft.SparkTestBase {
 
   private def tmpDir(): String =
