@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL views over graft catalogs: Spark 4.1's analyzer never consumes
+    // the V2 ViewCatalog API, so the DDL and read path are rewritten at
+    // the parser boundary (the Iceberg-extensions pattern) — see
+    // [[graft.sources.v2.GraftViewParser]]
+    e.injectParser((session, delegate) =>
+      new graft.sources.v2.GraftViewParser(session, delegate))
     // custom-operator stack: auto-rewrite window row_number<=k into the
     // bounded-heap TopK operator, and the strategy that plans it
     e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)

@@ -3408,6 +3408,61 @@ object SystemQueries {
            |WHERE s_nationkey = 3 AND l_returnflag = 'R'
            |GROUP BY s_name""".stripMargin))
 
+  /** SQL VIEWS over graft-store tables ([[graft.sources.v2
+    * .GraftViewParser]] + the catalog's ViewCatalog face, VERDICT r7
+    * missing #4): `CREATE VIEW` persists the query text + defining
+    * context as a file under the catalog base's `_views/`; reads expand
+    * the stored text in place at the parser boundary (Spark 4.1's
+    * analyzer never consumes the V2 ViewCatalog API — the
+    * Iceberg-extensions pattern). The `view_persisted` bit is structural:
+    * the SELECT runs through a SECOND catalog instance over the same
+    * base — a fresh object with no shared state, which is exactly what a
+    * session restart replays. The curation-pipeline surface at 100 TB:
+    * stable named queries over evolving tables, zero data copies. */
+  val q195SqlView = QuerySpec(
+    "q195_sql_view", "S-dsv2-sql-view",
+    "SQL views: create, query through, persist across catalog instances",
+    (s, d) => {
+      val base = "/tmp/graft_store_q195"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq195", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq195.base", base)
+      s.conf.set("spark.sql.catalog.gq195b", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq195b.base", base)
+      try {
+        Tables.orders(s, d).select("o_orderpriority", "o_totalprice")
+          .write.format("graft-store").mode("overwrite").save(s"$base/ord")
+        s.sql(
+          """CREATE OR REPLACE VIEW gq195.rev (priority, n, revenue) AS
+            |SELECT o_orderpriority, count(*),
+            |  round(sum(o_totalprice), 2)
+            |FROM gq195.ord GROUP BY o_orderpriority""".stripMargin)
+        // read through the OTHER catalog instance: only the persisted view
+        // file connects them — a session restart replays exactly this
+        val rows = s.sql("SELECT priority, n, revenue FROM gq195b.rev").collect()
+        val persisted = rows.nonEmpty &&
+          s.sql("SHOW VIEWS IN gq195b").collect().exists(_.getString(1) == "rev")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("priority",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("revenue",
+            org.apache.spark.sql.types.DoubleType)))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .withColumn("view_persisted", lit(persisted))
+      } finally {
+        Seq("gq195", "gq195b").foreach { c =>
+          s.conf.unset(s"spark.sql.catalog.$c")
+          s.conf.unset(s"spark.sql.catalog.$c.base")
+        }
+      }
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS revenue, TRUE AS view_persisted
+           |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3426,5 +3481,6 @@ object SystemQueries {
     q179StreamRateLimit, q180RollingWrite, q181RemoveOrphans, q182PartitionsMeta,
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
-    q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune)
+    q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
+    q195SqlView)
 }

@@ -3,8 +3,8 @@ package graft.sources.v2
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, StagedTable, StagingTableCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, StagedTable, StagingTableCatalog, Table, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
@@ -30,10 +30,11 @@ import scala.jdk.CollectionConverters._
   *
   * The snapshot pin resolved here is PINNED into the table (wins over any
   * reader option), so an optimizer re-plan cannot re-point a time-travel
-  * relation at the head. DDL is intentionally unsupported: graft-store
-  * tables are created/replaced by DataFrame writes to the path (the
-  * format's commit protocol is the transaction layer; catalog-side CREATE
-  * would add a second, racing metadata root).
+  * relation at the head. DDL rides the format's own commit protocol — the
+  * manifest CAS is the transaction layer (CREATE = seq-0 commit, CTAS/RTAS
+  * stage through [[StagingTableCatalog]], ALTER loops OCC) — so there is
+  * no second, racing metadata root. SQL views persist as files under
+  * `<base>/_views` ([[ViewCatalog]]).
   *
   * The catalog is ALSO a [[FunctionCatalog]] exposing the `bucket`
   * transform function — the missing piece for BUCKETED storage-partitioned
@@ -46,7 +47,7 @@ import scala.jdk.CollectionConverters._
 class GraftCatalog extends TableCatalog with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with ViewCatalog {
   private var catName: String = _
   private var base: String = _
 
@@ -141,7 +142,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val root = new org.apache.hadoop.fs.Path(base)
     if (!f.exists(root)) Array.empty
     else f.listStatus(root)
-      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .filter(s => s.isDirectory && !isTableDir(s.getPath) &&
+        !s.getPath.getName.startsWith("_")) // `_views` etc. are reserved
       .map(s => Array(s.getPath.getName))
   }
 
@@ -293,6 +295,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val path = pathOf(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident))
+      throw new ViewAlreadyExistsException(ident) // one name, one object
     val m = emptyManifestFor(ident, schema, partitions, properties)
     if (!GraftStoreFormat.commitManifest(path, conf, m, 0L))
       throw new TableAlreadyExistsException(ident) // lost the create race
@@ -638,6 +642,129 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           s"system.${procedures.list.mkString(", system.")})"))
   }
 
+  // ---- ViewCatalog: CREATE/DROP/SHOW VIEW persisted under <base>/_views ----
+  // A view is one TEXT FILE at `<base>/_views/<ns...>/<name>` (same
+  // ident→path convention as tables, under a reserved root the namespace
+  // listing hides): header lines carry the resolution context Spark's
+  // analyzer needs (defining catalog+namespace, declared schema, query
+  // column names/aliases), the remainder is the query SQL verbatim.
+  // Creation is tmp-write + rename — the same atomic-publish discipline
+  // as manifests, so two racing CREATE VIEWs cannot interleave — and the
+  // files survive any session: a fresh catalog instance re-reads them.
+  private def viewPath(ident: Identifier): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      (s"$base/_views" +: (ident.namespace() :+ ident.name()).toSeq).mkString("/"))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val f = GraftStoreFormat.fs(base, conf)
+    val dir = new org.apache.hadoop.fs.Path((s"$base/_views" +: namespace).mkString("/"))
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).filter(_.isFile)
+      .map(s => Identifier.of(namespace.toArray, s.getPath.getName))
+  }
+
+  override def viewExists(ident: Identifier): Boolean = {
+    val f = GraftStoreFormat.fs(base, conf)
+    val p = viewPath(ident)
+    f.exists(p) && f.getFileStatus(p).isFile
+  }
+
+  // list fields: each element escStat'd (escapes the ',' joiner), "" = empty
+  private def encList(xs: Seq[String]): String =
+    xs.map(x => GraftStoreFormat.escStat(if (x == null) "" else x)).mkString(",")
+  private def decList(s: String): Array[String] =
+    if (s.isEmpty) Array.empty
+    else s.split(",", -1).map(GraftStoreFormat.unescStat)
+
+  override def loadView(ident: Identifier): View = {
+    val f = GraftStoreFormat.fs(base, conf)
+    val p = viewPath(ident)
+    if (!f.exists(p) || !f.getFileStatus(p).isFile) throw new NoSuchViewException(ident)
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = body.split("\n", -1)
+    def hdr(k: String): String = lines.find(_.startsWith(s"#$k="))
+      .map(_.stripPrefix(s"#$k=")).getOrElse("")
+    val queryStart = lines.indexWhere(!_.startsWith("#"))
+    GraftView(ident,
+      query = lines.drop(queryStart).mkString("\n"),
+      viewCatalog = GraftStoreFormat.unescStat(hdr("catalog")),
+      viewNamespace = decList(hdr("namespace")),
+      viewSchema = org.apache.spark.sql.types.DataType
+        .fromJson(GraftStoreFormat.unescStat(hdr("schema"))).asInstanceOf[StructType],
+      queryCols = decList(hdr("querycols")),
+      aliases = decList(hdr("aliases")),
+      comments = decList(hdr("comments")),
+      props = decList(hdr("props")).map { kv =>
+        val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap)
+  }
+
+  private def writeView(p: org.apache.hadoop.fs.Path, info: ViewInfo): Unit = {
+    val f = GraftStoreFormat.fs(base, conf)
+    f.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/_views/_tmp",
+      java.util.UUID.randomUUID().toString.take(12))
+    val out = f.create(tmp, true)
+    try out.write(
+      (s"#catalog=${GraftStoreFormat.escStat(info.currentCatalog())}\n" +
+        s"#namespace=${encList(info.currentNamespace().toSeq)}\n" +
+        s"#schema=${GraftStoreFormat.escStat(info.schema().json)}\n" +
+        s"#querycols=${encList(info.queryColumnNames().toSeq)}\n" +
+        s"#aliases=${encList(info.columnAliases().toSeq)}\n" +
+        s"#comments=${encList(info.columnComments().toSeq)}\n" +
+        s"#props=${encList(info.properties().asScala.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" })}\n" +
+        info.sql()).getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new ViewAlreadyExistsException(
+        Identifier.of(p.getParent.toString.split("/").dropWhile(_ != "_views").drop(1),
+          p.getName))
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    if (viewExists(info.ident())) throw new ViewAlreadyExistsException(info.ident())
+    if (tableExists(info.ident()))
+      throw new TableAlreadyExistsException(info.ident())
+    writeView(viewPath(info.ident()), info)
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident).asInstanceOf[GraftView]
+    var props = v.props
+    changes.foreach {
+      case set: ViewChange.SetProperty => props = props + (set.property() -> set.value())
+      case rm: ViewChange.RemoveProperty => props = props - rm.property()
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported view change $other")
+    }
+    val f = GraftStoreFormat.fs(base, conf)
+    val p = viewPath(ident)
+    f.delete(p, false)
+    writeView(p, new ViewInfo(ident, v.query, v.viewCatalog, v.viewNamespace,
+      v.viewSchema, v.queryCols, v.aliases, v.comments, props.asJava))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val f = GraftStoreFormat.fs(base, conf)
+    val p = viewPath(ident)
+    f.exists(p) && f.getFileStatus(p).isFile && f.delete(p, false)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    val f = GraftStoreFormat.fs(base, conf)
+    f.mkdirs(viewPath(newIdent).getParent)
+    if (!f.rename(viewPath(oldIdent), viewPath(newIdent)))
+      throw new ViewAlreadyExistsException(newIdent)
+  }
+
   // ---- FunctionCatalog: the `bucket` transform (see GraftBucketFunction)
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket")) else Array.empty
@@ -689,4 +816,27 @@ private[v2] class GraftStagedTable(path: String, schema0: StructType,
       try GraftStoreFormat.fs(path, conf)
         .delete(new org.apache.hadoop.fs.Path(path), true)
       catch { case _: Throwable => () }
+}
+
+/** A persisted SQL view ([[org.apache.spark.sql.connector.catalog.View]]):
+  * the query text plus the resolution context Spark's analyzer replays it
+  * under — the DEFINING catalog and namespace (a view over `t` must keep
+  * meaning the `t` its author saw, regardless of the reader's current
+  * catalog), the declared output schema, and the query/alias column
+  * names. Pure data; analysis happens in Spark's ViewResolution. */
+private[v2] case class GraftView(ident: Identifier, query: String,
+    viewCatalog: String, viewNamespace: Array[String], viewSchema: StructType,
+    queryCols: Array[String], aliases: Array[String], comments: Array[String],
+    props: Map[String, String]) extends View {
+  override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
+  override def currentCatalog(): String = viewCatalog
+  override def currentNamespace(): Array[String] = viewNamespace
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = queryCols
+  override def columnAliases(): Array[String] = aliases
+  override def columnComments(): Array[String] = comments
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.asJava
+  }
 }

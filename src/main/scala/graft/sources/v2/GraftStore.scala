@@ -358,11 +358,11 @@ private[v2] object GraftStoreFormat {
     * so pre-string manifests decode unchanged (decoding a plain number is
     * the identity); widening the escaped set only changes what NEW
     * manifests emit — unescStat decodes any %XX regardless of vintage. */
-  private def escStat(v: String): String = v.flatMap {
+  private[v2] def escStat(v: String): String = v.flatMap {
     case c @ ('%' | ':' | '|' | '\t' | '\n' | '\r' | ',' | ';') => f"%%${c.toInt}%02X"
     case c => c.toString
   }
-  private def unescStat(v: String): String = {
+  private[v2] def unescStat(v: String): String = {
     if (!v.contains('%')) return v
     val sb = new StringBuilder(v.length)
     var i = 0

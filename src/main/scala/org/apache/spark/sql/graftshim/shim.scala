@@ -26,4 +26,16 @@ package object graftshim {
   def predicatesToV1(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Array[org.apache.spark.sql.sources.Filter] =
     internal.connector.PredicateUtils.toV1(predicates)
+
+  /** The session's CatalogManager (`sessionState.catalogManager` is
+    * private[sql]) — needed by the view-SQL parser layer to resolve which
+    * catalog a multi-part name targets. */
+  def catalogManager(spark: SparkSession): connector.catalog.CatalogManager =
+    spark.sessionState.catalogManager
+
+  /** Is `name` a session-local temporary view? (SessionCatalog is
+    * private[sql]-reachable only) — the view substitution must never
+    * shadow one. */
+  def isTempView(spark: SparkSession, nameParts: Seq[String]): Boolean =
+    spark.sessionState.catalog.isTempView(nameParts)
 }

@@ -21,29 +21,50 @@ class GraftStoreMetaCacheSpec extends AnyFunSuite with graft.SparkTestBase {
 
   private def conf = spark.sparkContext.hadoopConfiguration
 
+  /** The JVM-global parse counter can tick from UNRELATED background work
+    * (a prior suite's draining stream poll) between two samples — retry
+    * absorbs that; a genuine cache regression fails every attempt. */
+  private def eventually[A](attempts: Int)(body: => A): A = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException if left > 1 =>
+          left -= 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   test("second scan of an unchanged table parses zero manifest bytes") {
     val dir = tmpDir()
     spark.range(0, 2000).repartition(200).selectExpr("id", "id * 2 as v")
       .write.format("graft-store").mode("overwrite").save(dir)
     // warm: the first scan parses the manifest + its 200-file segments
     assert(spark.read.format("graft-store").load(dir).count() === 2000)
-    val before = GraftStoreFormat.manifestParseBytes.sum()
-    val got = spark.read.format("graft-store").load(dir)
-      .agg(sum("v")).collect()(0).getLong(0)
-    assert(got === (0L until 2000L).map(_ * 2).sum)
-    assert(GraftStoreFormat.manifestParseBytes.sum() === before,
-      "an unchanged table's second scan must re-parse ZERO metadata bytes")
+    eventually(3) {
+      val before = GraftStoreFormat.manifestParseBytes.sum()
+      val got = spark.read.format("graft-store").load(dir)
+        .agg(sum("v")).collect()(0).getLong(0)
+      assert(got === (0L until 2000L).map(_ * 2).sum)
+      assert(GraftStoreFormat.manifestParseBytes.sum() === before,
+        "an unchanged table's second scan must re-parse ZERO metadata bytes")
+    }
   }
 
   test("a head advance re-parses only the churn (segments stay cached)") {
+    eventually(3) {
     val dir = tmpDir()
-    spark.range(0, 2000).repartition(200).selectExpr("id", "id * 2 as v")
+    // 1000 files: content-defined chunking (boundary p = 1/64 per name)
+    // yields ~16 chunks with near-certainty — a 200-file table can land in
+    // ONE chunk (p ≈ 4%), where an append legitimately churns everything
+    spark.range(0, 4000).repartition(1000).selectExpr("id", "id * 2 as v")
       .write.format("graft-store").mode("overwrite").save(dir)
     spark.read.format("graft-store").load(dir).count() // warm the caches
     val before = GraftStoreFormat.manifestParseBytes.sum()
-    spark.range(2000, 2010).coalesce(1).selectExpr("id", "id * 2 as v")
+    spark.range(4000, 4010).coalesce(1).selectExpr("id", "id * 2 as v")
       .write.format("graft-store").mode("append").save(dir)
-    assert(spark.read.format("graft-store").load(dir).count() === 2010)
+    assert(spark.read.format("graft-store").load(dir).count() === 4010)
     val parsed = GraftStoreFormat.manifestParseBytes.sum() - before
     // total metadata the post-append scan would parse COLD: the new
     // manifest body plus every segment it references
@@ -56,6 +77,11 @@ class GraftStoreMetaCacheSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(parsed < cold / 2,
       s"a 10-row append must re-parse only churned chunks, not the full " +
         s"listing ($parsed of $cold cold bytes)")
+    val before0 = GraftStoreFormat.manifestSegmentRefs(dir, conf, ms.init.last).toSet
+    val after0 = GraftStoreFormat.manifestSegmentRefs(dir, conf, ms.last).toSet
+    assert((before0 intersect after0).nonEmpty,
+      "the appended manifest must re-reference (and cache-hit) prior chunks")
+    }
   }
 
   test("table delete + recreate is never served stale metadata") {
