@@ -3463,6 +3463,54 @@ object SystemQueries {
            |  round(sum(o_totalprice), 2) AS revenue, TRUE AS view_persisted
            |FROM orders GROUP BY o_orderpriority""".stripMargin))
 
+  /** `ADD COLUMN ... DEFAULT` ([[graft.sources.v2.GraftCatalog]] +
+    * manifest v17 `#fielddefaults=`, VERDICT r7 missing #5): the evaluated
+    * literal lives in field metadata and readers substitute it wherever
+    * the column is physically ABSENT from a file — null-extension
+    * generalized, Iceberg's initial-default semantics. The DDL rewrites
+    * ZERO data files (`metadata_only` pins the file set unchanged), which
+    * at 100 TB is the difference between a catalog edit and a full
+    * backfill. Pre-add rows aggregate under the default, post-add rows
+    * under their written values — one exact group-by across both eras. */
+  val q196ColumnDefault = QuerySpec(
+    "q196_column_default", "S-dsv2-column-default",
+    "ADD COLUMN DEFAULT: backfill-free, old rows read the default",
+    (s, d) => {
+      val base = "/tmp/graft_store_q196"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq196", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq196.base", base)
+      try {
+        // era 1: even keys, BEFORE the column exists
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.format("graft-store").mode("overwrite").save(s"$base/t")
+        def dataFiles(): Set[String] =
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/t"))
+            .map(_.getPath.getName).filter(_.endsWith(".gsf")).toSet
+        val before = dataFiles()
+        s.sql("ALTER TABLE gq196.t ADD COLUMNS (channel STRING DEFAULT 'web')")
+        val metadataOnly = before.nonEmpty && dataFiles() == before
+        // era 2: odd keys, written WITH explicit channel values
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+          .selectExpr("o_orderkey", "o_totalprice", "'store' as channel")
+          .write.format("graft-store").mode("append").save(s"$base/t")
+        s.sql("""SELECT channel, count(*) AS n,
+                |  round(sum(o_totalprice), 2) AS revenue
+                |FROM gq196.t GROUP BY channel""".stripMargin)
+          .withColumn("metadata_only", lit(metadataOnly))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq196")
+        s.conf.unset("spark.sql.catalog.gq196.base")
+      }
+    },
+    Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+           |  AS channel, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS revenue, TRUE AS metadata_only
+           |FROM orders GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3482,5 +3530,5 @@ object SystemQueries {
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
-    q195SqlView)
+    q195SqlView, q196ColumnDefault)
 }

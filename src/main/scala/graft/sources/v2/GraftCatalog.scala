@@ -69,8 +69,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       .selectManifest(path, conf, new CaseInsensitiveStringMap(pinned.asJava))
       .getOrElse(throw new NoSuchTableException(ident))
     // schema comes from the PINNED snapshot's manifest: an old snapshot may
-    // predate a schema-changing overwrite and must read with its own schema
-    new GraftStoreTable(path, m.schema, pinned)
+    // predate a schema-changing overwrite and must read with its own schema.
+    // Column DEFAULTS surface as field metadata so Spark's own
+    // ResolveDefaultColumns fills them into INSERTs that omit the column —
+    // the manifest stays the durable home, the metadata is a projection.
+    val schema = m.fieldMeta.filter(_.defaults.nonEmpty).map { fm =>
+      StructType(m.schema.fields.zipWithIndex.map { case (f, i) =>
+        fm.defaults.get(fm.ids(i)) match {
+          case Some(enc) =>
+            val sql = org.apache.spark.sql.catalyst.expressions.Literal(
+              GraftStoreFormat.defaultFromString(f.dataType, enc), f.dataType).sql
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("CURRENT_DEFAULT", sql)
+              .putString("EXISTS_DEFAULT", sql).build())
+          case None => f
+        }
+      })
+    }.getOrElse(m.schema)
+    new GraftStoreTable(path, schema, pinned)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -282,11 +299,56 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // CHECK must at least compile against the schema — an unparseable
     // constraint must fail at CREATE, not at the first write
     props.get("check").foreach(c => GraftCheck.compile(schema, c))
-    GraftManifest(schema, Seq.empty,
+    // `CREATE TABLE (c INT DEFAULT 5)`: Spark encodes the default's SQL
+    // text into field metadata — evaluate it to a literal, record it in
+    // field metadata (the durable home, same as ALTER ADD ... DEFAULT),
+    // and persist a CLEAN schema (the DDL line carries no metadata)
+    val defaulted = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (!f.metadata.contains("EXISTS_DEFAULT")) None
+      else Some(i -> evalDefaultSql(f.metadata.getString("EXISTS_DEFAULT"), f.dataType))
+    }.collect { case (i, Some(enc)) => i -> enc }.toMap
+    val cleanSchema = StructType(schema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val fm =
+      if (defaulted.isEmpty) None
+      else {
+        val ids = schema.indices.toSeq
+        Some(GraftFieldMeta(
+          cleanSchema.fields.toSeq.zipWithIndex.map { case (f, i) => (i, f.name, f.dataType) },
+          ids, Seq(ids), defaults = defaulted))
+      }
+    GraftManifest(cleanSchema, Seq.empty,
       partitionCol = layout, clusterCols = props.get("clusterby"),
       check = props.get("check"), dml = props.get("dmlmode"),
-      bloomCols = props.get("bloomcols"))
+      bloomCols = props.get("bloomcols"), fieldMeta = fm)
   }
+
+  /** Evaluate a default's SQL text to its value at `dt`, encoded for the
+    * manifest; None = the default is literally NULL (same as no default).
+    * Only constant literals are supported — a non-foldable default fails
+    * loudly at DDL time, never silently at read time. */
+  private def evalDefaultSql(sql: String, dt: org.apache.spark.sql.types.DataType)
+      : Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val parsed = SparkSession.active.sessionState.sqlParser.parseExpression(sql)
+    val lit = parsed match {
+      case l: Literal => l
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: only constant literal DEFAULTs are supported, got '$sql'")
+    }
+    if (lit.value == null) return None
+    val casted = Cast(lit, dt, Some("UTC"), evalMode =
+      org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI).eval(null)
+    require(casted != null, s"graft catalog: DEFAULT '$sql' does not fit ${dt.simpleString}")
+    Some(GraftStoreFormat.defaultToString(dt, casted))
+  }
+
+  /** Column DEFAULT values are a declared capability: without it Spark
+    * rejects `DEFAULT` clauses in DDL before they ever reach the catalog. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `CREATE TABLE cat.t (...) PARTITIONED BY (...)`: a seq-0 empty
     * manifest commit — the table exists atomically from that CAS on,
@@ -461,6 +523,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               "positional; new columns append)")
           require(GraftStoreFormat.codecSupports(add.dataType()),
             s"graft catalog: unsupported column type ${add.dataType().simpleString}")
+          // `ADD COLUMN ... DEFAULT <lit>`: Spark ships the EVALUATED V2
+          // literal; existing rows will READ the default (backfill-free —
+          // readers substitute it where the column is physically absent),
+          // so the default must live in durable field metadata
+          val defEnc: Option[String] = Option(add.defaultValue()).flatMap { d =>
+            val lit = d.getValue
+            require(lit != null,
+              "graft catalog: only constant-foldable literal DEFAULTs are supported")
+            if (lit.value == null) None // DEFAULT NULL == plain nullable add
+            else {
+              require(lit.dataType == add.dataType(),
+                s"graft catalog: DEFAULT type ${lit.dataType.simpleString} does " +
+                  s"not match column type ${add.dataType().simpleString}")
+              Some(GraftStoreFormat.defaultToString(add.dataType(), lit.value))
+            }
+          }
+          // a DEFAULT needs the field-id layer (its durable home) — plain
+          // adds stay lazy, preserving prefix semantics until first needed
+          if (defEnc.isDefined) materializedFieldMeta()
           // existing files keep their PRE-widening width (first record wins
           // through repeated evolutions)
           files = files.map(e => e.copy(ncols = e.ncols.orElse(Some(origWidth))))
@@ -471,7 +552,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             val id = fm.nextId
             val newIds = fm.ids :+ id
             fm.copy(fields = fm.fields :+ ((id, colName, add.dataType())),
-              ids = newIds, layouts = fm.layouts :+ newIds)
+              ids = newIds, layouts = fm.layouts :+ newIds,
+              defaults = fm.defaults ++ defEnc.map(id -> _))
           }
         case rn: RenameColumn =>
           require(rn.fieldNames().length == 1,
@@ -575,10 +657,23 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               }
               if (p < 0) e else e.copy(stats = e.stats - p)
             }
+            // a defaulted column widens its DEFAULT too: re-encode the
+            // stored value at the wide type (exact for both promotions —
+            // the VALUE widens, not its decimal string re-parse)
+            val reDefaults = fm.defaults.get(id) match {
+              case Some(enc) =>
+                val wide: Any = GraftStoreFormat.defaultFromString(oldT, enc) match {
+                  case i: Int => i.toLong
+                  case f: Float => f.toDouble
+                  case other => other
+                }
+                fm.defaults + (id -> GraftStoreFormat.defaultToString(newT, wide))
+              case None => fm.defaults
+            }
             fieldMeta = Some(GraftFieldMeta(
               fm.fields.map { case (fid, n, dt) =>
                 if (fid == id) (fid, n, newT) else (fid, n, dt) },
-              fm.ids, fm.layouts :+ fm.ids, stamped :+ Map.empty))
+              fm.ids, fm.layouts :+ fm.ids, stamped :+ Map.empty, reDefaults))
             schema = StructType(
               schema.fields.updated(t, schema.fields(t).copy(dataType = newT)))
           }

@@ -189,9 +189,21 @@ private[v2] case class GraftRef(seq: Long, branch: Boolean = false,
   * override-free entry. Readers decode each file at its layout's WRITTEN
   * types and widen values to the logical type ([[GraftColRemap]]); the
   * commit touches zero data files. */
+/** `defaults` (manifest v17+, `ADD COLUMN ... DEFAULT`): per-field-id
+  * DEFAULT VALUE, stored as the manifest string of the evaluated LITERAL
+  * at the field's current type ([[GraftStoreFormat.defaultToString]]).
+  * Readers substitute it where the column is physically ABSENT from a
+  * file (null-extension generalized — Iceberg's initial-default /
+  * SQL EXISTS_DEFAULT semantics), so a defaulted add is backfill-free:
+  * zero files rewritten, old rows read the default. Null-count skipping
+  * and count(col) pushdown DECLINE for files missing a defaulted column
+  * ("absent" no longer means "all null" — see [[GraftStoreFormat
+  * .logicalStatsView]]). A widening ALTER re-encodes the default at the
+  * wide type. */
 private[v2] case class GraftFieldMeta(fields: Seq[(Int, String, DataType)],
     ids: Seq[Int], layouts: Seq[Seq[Int]],
-    layoutTypes: Seq[Map[Int, DataType]] = Seq.empty) {
+    layoutTypes: Seq[Map[Int, DataType]] = Seq.empty,
+    defaults: Map[Int, String] = Map.empty) {
   def typeOf: Map[Int, DataType] = fields.map(f => f._1 -> f._3).toMap
   def nextId: Int = fields.map(_._1).max + 1
   /** The PHYSICAL type field `id`'s bytes were encoded at in files of
@@ -450,6 +462,33 @@ private[v2] object GraftStoreFormat {
       x.name == y.name && x.dataType == y.dataType
     }
 
+  /** DEFAULT-VALUE wire codec: a column default's INTERNAL value ↔ its
+    * manifest string at the column type (same discipline as partition
+    * values — rendered from the internal value, parsed back to it;
+    * numeric toString/parse round-trips exactly, incl. doubles). */
+  def defaultToString(dt: DataType, v: Any): String = dt match {
+    case StringType => v.asInstanceOf[UTF8String].toString
+    case _ => v.toString
+  }
+  def defaultFromString(dt: DataType, s: String): Any = dt match {
+    case LongType | TimestampType => s.toLong
+    case IntegerType | DateType   => s.toInt
+    case DoubleType               => s.toDouble
+    case FloatType                => s.toFloat
+    case BooleanType              => s.toBoolean
+    case StringType               => UTF8String.fromString(s)
+    case other => throw new UnsupportedOperationException(
+      s"graft-store: unsupported default type $other")
+  }
+
+  /** The manifest's column defaults re-keyed to CURRENT LOGICAL indices —
+    * what readers substitute where a file physically lacks the column. */
+  def logicalDefaults(m: GraftManifest): Map[Int, String] =
+    m.fieldMeta.map(fm => fm.defaults.flatMap { case (id, s) =>
+      val l = fm.ids.indexOf(id)
+      if (l >= 0) Some(l -> s) else None
+    }).getOrElse(Map.empty)
+
   /** Types the file writer tracks min/max stats for — the columns runtime
     * group filtering can usefully collect values of. */
   def statsCapable(dt: DataType): Boolean = dt match {
@@ -611,7 +650,21 @@ private[v2] object GraftStoreFormat {
         if (logical < 0) None else Some(logical -> nc.getOrElse(p, 0L))
       }.toMap
     }
-    e.copy(stats = stats2, nullCounts = nulls2)
+    // DEFAULTED columns break the dense view's contract: "no entry" is
+    // read as "column not in this file — every row null-extends", but a
+    // file missing a column with a (non-null) DEFAULT serves the default
+    // instead. Declare the null counts UNKNOWN for such files — IS [NOT]
+    // NULL skipping and count(col) pushdown decline rather than lie.
+    val nulls3 = m.fieldMeta match {
+      case Some(fm) if fm.defaults.nonEmpty =>
+        val present = (0 until physWidth).map(physToLogical).filter(_ >= 0).toSet
+        val missingDefaulted = fm.defaults.keys.exists { id =>
+          val l = fm.ids.indexOf(id); l >= 0 && !present.contains(l)
+        }
+        if (missingDefaulted) None else nulls2
+      case _ => nulls2
+    }
+    e.copy(stats = stats2, nullCounts = nulls3)
   }
 
   /** Diagnostic counter: manifest + segment bytes actually PARSED in this
@@ -728,7 +781,18 @@ private[v2] object GraftStoreFormat {
               }.toMap
             }, 4)
           else (Seq.empty[Map[Int, DataType]], 3)
-        (Some(GraftFieldMeta(fields, ids, layouts, layoutTypes)), rest2a.drop(used))
+        // `#fielddefaults=` (v17, optional): per-field-id default values —
+        // comma-joined `id:esc(value)` at the field's current type
+        val (defaults, used2) =
+          if (rest2a.length > used && rest2a(used).startsWith("#fielddefaults="))
+            (rest2a(used).stripPrefix("#fielddefaults=").split(",", -1).toSeq
+              .map { p =>
+                val Array(id, v) = p.split(":", 2)
+                id.toInt -> unescStat(v)
+              }.toMap, used + 1)
+          else (Map.empty[Int, String], used)
+        (Some(GraftFieldMeta(fields, ids, layouts, layoutTypes, defaults)),
+          rest2a.drop(used2))
       } else (None, rest2a)
     // `#cluster=` header (optional, comma-separated): the table's DECLARED
     // sort clustering (range/Z-order layouts) — advisory, like Iceberg's
@@ -1091,7 +1155,11 @@ private[v2] object GraftStoreFormat {
             s"#layouttypes=${fm.layouts.indices.map(i =>
               fm.layoutTypes.lift(i).getOrElse(Map.empty[Int, DataType]).toSeq
                 .sortBy(_._1).map { case (id, t) => s"$id:${t.catalogString}" }
-                .mkString(",")).mkString(";")}\n")).getOrElse("") +
+                .mkString(",")).mkString(";")}\n") +
+          (if (fm.defaults.isEmpty) "" else
+            s"#fielddefaults=${fm.defaults.toSeq.sortBy(_._1)
+              .map { case (id, v) => s"$id:${escStat(v)}" }
+              .mkString(",")}\n")).getOrElse("") +
         m.clusterCols.map(c => s"#cluster=$c\n").getOrElse("") +
         m.check.map(c => s"#check=${escStat(c)}\n").getOrElse("") +
         m.cdc.map(c => s"#cdc=$c\n").getOrElse("") +
@@ -4078,7 +4146,8 @@ private[v2] class GraftStoreScan(protected val path: String,
         }.toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStoreReaderFactory(manifest.schema, required, conf)
+    new GraftStoreReaderFactory(manifest.schema, required, conf,
+      GraftStoreFormat.logicalDefaults(manifest))
 
   // streaming admission-control knobs (read options), injected by the
   // scan builder — plumbing only, the stream owns the semantics
@@ -4087,7 +4156,7 @@ private[v2] class GraftStoreScan(protected val path: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftStoreMicroBatchStream(path, manifest.schema, required, conf,
-      streamMaxFiles, streamMaxRows)
+      streamMaxFiles, streamMaxRows, GraftStoreFormat.logicalDefaults(manifest))
 }
 
 /** Streaming offset = snapshot SEQUENCE NUMBER (-1 = before the first
@@ -4140,7 +4209,8 @@ private[v2] case class GraftReadLimit(maxFiles: Option[Int], maxRows: Option[Lon
   *     than stream lag). */
 private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
     required: StructType, conf: SerializableHadoopConf,
-    maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None)
+    maxFilesPerTrigger: Option[Int] = None, maxRowsPerTrigger: Option[Long] = None,
+    defaults: Map[Int, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit,
@@ -4317,7 +4387,7 @@ private[v2] class GraftStoreMicroBatchStream(path: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStoreReaderFactory(full, required, conf)
+    new GraftStoreReaderFactory(full, required, conf, defaults)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -4624,7 +4694,20 @@ private[v2] case class GraftCdcDropPartition(target: String, width: Int,
   extends InputPartition
 
 private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf,
+    defaults: Map[Int, String] = Map.empty) extends PartitionReaderFactory {
+  /** Decoded column defaults at the pinned-table types — CDC readers
+    * substitute them exactly where the data reader does (a column
+    * physically absent from the file), so a feed and a batch read agree
+    * on a defaulted add. Decoded lazily executor-side. */
+  private def decodedDefaults(): Array[Any] = {
+    val a = new Array[Any](table.length)
+    defaults.foreach { case (i, s) =>
+      if (i < table.length)
+        a(i) = GraftStoreFormat.defaultFromString(table.fields(i).dataType, s)
+    }
+    a
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GraftCdcRefPartition => refReader(p)
@@ -4668,6 +4751,7 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
       }
       w
     }
+    val defaultVals = decodedDefaults()
     new PartitionReader[InternalRow] {
       private var remaining = byTarget
       private var in: DataInputStream = _
@@ -4720,7 +4804,7 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
           case GraftFileColumn.Name => curFile
           case name =>
             val i = table.fieldIndex(name)
-            if (i < fileWidth) cur(i) else null
+            if (i < fileWidth) cur(i) else defaultVals(i)
         })
       override def close(): Unit = if (in != null) in.close()
     }
@@ -4733,6 +4817,7 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
   private def eqRefReader(p: GraftCdcEqRefPartition,
       emitAll: Boolean = false): PartitionReader[InternalRow] = {
     val GraftCdcEqRefPartition(target, width, keyStores, priorDeletes, priorEq, seq) = p
+    val defaultVals = decodedDefaults()
     val fileSchema =
       if (width >= table.length) table else StructType(table.fields.take(width))
     // decode set: projected columns plus every key column any store probes
@@ -4791,7 +4876,9 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
       private var pos = -1L
       private var cur: Array[Any] = _
       private def keyOf(idxs: Array[Int]): Seq[Any] =
-        idxs.map(i => if (i < fileSchema.length) cur(i) else null).toSeq
+        idxs.map(i =>
+          if (i < fileSchema.length) cur(i)
+          else if (i < defaultVals.length) defaultVals(i) else null).toSeq
       override def next(): Boolean = {
         while (true) {
           cur = GraftStoreFormat.readRowPruned(in, fileSchema, wanted)
@@ -4816,7 +4903,7 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
           case GraftFileColumn.Name => curFile
           case name =>
             val i = table.fieldIndex(name)
-            if (i < fileSchema.length) cur(i) else null
+            if (i < fileSchema.length) cur(i) else defaultVals(i)
         })
       override def close(): Unit = in.close()
     }
@@ -4842,7 +4929,7 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
       case name =>
         val i = table.fieldIndex(name)
         if (i < dataWidth) (cur: Array[Any]) => cur(i)
-        else (_: Array[Any]) => null
+        else { val d = decodedDefaults()(i); (_: Array[Any]) => d }
     }
     // decode only what a getter reads: projected data columns, plus the
     // trailing change_type field of change-store files
@@ -4879,19 +4966,21 @@ private[v2] class GraftCdcReaderFactory(table: StructType, required: StructType,
 private[v2] class GraftStoreCdcScanBuilder(path: String, conf: Configuration,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private val table: StructType = GraftStoreFormat.selectManifest(path, conf, options)
+  private val pinnedM = GraftStoreFormat.selectManifest(path, conf, options)
     .getOrElse(throw new IllegalArgumentException(
       s"graft-store: no manifest at $path"))
-    .schema
+  private val table: StructType = pinnedM.schema
   private var required: StructType = GraftCdc.cdcSchema(table)
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = new GraftStoreCdcScan(path, table, required,
-    new SerializableHadoopConf(conf), options)
+    new SerializableHadoopConf(conf), options,
+    GraftStoreFormat.logicalDefaults(pinnedM))
 }
 
 private[v2] class GraftStoreCdcScan(path: String, table: StructType,
     required: StructType, conf: SerializableHadoopConf,
-    options: CaseInsensitiveStringMap) extends Scan with Batch {
+    options: CaseInsensitiveStringMap,
+    defaults: Map[Int, String] = Map.empty) extends Scan with Batch {
   private def skipChangeCommits: Boolean =
     Option(options.get("skipChangeCommits")).exists(_.toBoolean)
   private def resolveEqDeletes: Boolean =
@@ -4918,12 +5007,12 @@ private[v2] class GraftStoreCdcScan(path: String, table: StructType,
       resolveEqDeletes)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCdcReaderFactory(table, required, conf)
+    new GraftCdcReaderFactory(table, required, conf, defaults)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftStoreCdcMicroBatchStream(path, table, required, conf, skipChangeCommits,
-      resolveEqDeletes)
+      resolveEqDeletes, defaults)
 }
 
 /** The CDC STREAM: offsets are snapshot seqs (exactly like the plain
@@ -4933,7 +5022,7 @@ private[v2] class GraftStoreCdcScan(path: String, table: StructType,
   * stores are immutable, so batch (s, e] always plans the same files. */
 private[v2] class GraftStoreCdcMicroBatchStream(path: String, table: StructType,
     required: StructType, conf: SerializableHadoopConf, skipChangeCommits: Boolean,
-    resolveEqDeletes: Boolean = false)
+    resolveEqDeletes: Boolean = false, defaults: Map[Int, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -4952,7 +5041,7 @@ private[v2] class GraftStoreCdcMicroBatchStream(path: String, table: StructType,
       resolveEqDeletes)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCdcReaderFactory(table, required, conf)
+    new GraftCdcReaderFactory(table, required, conf, defaults)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -6556,8 +6645,20 @@ private[v2] case class GraftKeyedFilesPartition(files: Seq[GraftFileSlice], key:
   * decode benefits that make Parquet's vectorized reader win. If the
   * format ever gains a columnar page layout, revisit. */
 private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf,
+    defaults: Map[Int, String] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // column DEFAULTS decoded executor-side at the table types: where a
+    // file physically lacks column i, readers serve defaultVals(i) —
+    // null when no default, i.e. the classic null-extension
+    val defaultVals: Array[Any] = {
+      val a = new Array[Any](full.length)
+      defaults.foreach { case (i, s) =>
+        if (i < full.length)
+          a(i) = GraftStoreFormat.defaultFromString(full.fields(i).dataType, s)
+      }
+      a
+    }
     val files: Seq[GraftFileSlice] = partition match {
       case GraftFilePartition(s) => Seq(s)
       case GraftKeyedFilesPartition(fs, _) => fs
@@ -6766,7 +6867,8 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
         case (idxs, set) =>
           set.contains(idxs.map { i =>
             val p = if (i < tableToPhys.length) tableToPhys(i) else -1
-            if (p >= 0) cur(p) else null
+            if (p >= 0) cur(p)
+            else if (i < defaultVals.length) defaultVals(i) else null
           }.toSeq)
       }
       /** Positions of this file's rows masked by its covering delete files:
@@ -6810,7 +6912,22 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
                 pos += 1
                 var k = 0
                 while (k < missingOrds.length) {
-                  unsafeWriter.setNullAt(missingOrds(k)); k += 1
+                  val ord = missingOrds(k)
+                  val dv = defaultVals(keep(ord))
+                  if (dv == null) unsafeWriter.setNullAt(ord)
+                  else full.fields(keep(ord)).dataType match {
+                    case LongType | TimestampType =>
+                      unsafeWriter.write(ord, dv.asInstanceOf[Long])
+                    case IntegerType | DateType =>
+                      unsafeWriter.write(ord, dv.asInstanceOf[Int])
+                    case DoubleType => unsafeWriter.write(ord, dv.asInstanceOf[Double])
+                    case FloatType => unsafeWriter.write(ord, dv.asInstanceOf[Float])
+                    case BooleanType => unsafeWriter.write(ord, dv.asInstanceOf[Boolean])
+                    case StringType =>
+                      unsafeWriter.write(ord, dv.asInstanceOf[UTF8String])
+                    case _ => unsafeWriter.setNullAt(ord)
+                  }
+                  k += 1
                 }
                 if (metaFileOrd >= 0) unsafeWriter.write(metaFileOrd, curFile)
                 if (metaPosOrd >= 0) unsafeWriter.write(metaPosOrd, pos)
@@ -6870,7 +6987,7 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
             else if (i == -2) pos
             else {
               val p = tableToPhys(i)
-              if (p >= 0) cur(p) else null
+              if (p >= 0) cur(p) else defaultVals(i)
             }
           j += 1
         }
