@@ -1883,14 +1883,17 @@ object ExtQueries {
           .as("p"))
         .select(col("p.i"), col("p.j"), col("p.xi"), col("p.xj"))
         .groupBy("i", "j")
-        .agg(count(lit(1)).as("n"), round(covar_pop(col("xi"), col("xj")), 4).as("cov"))
+        .agg(count(lit(1)).as("n"),
+          // + 0.0 normalizes -0.0 (both engines round a tiny negative
+          // covariance to signed zero inconsistently)
+          (round(covar_pop(col("xi"), col("xj")), 4) + lit(0.0)).as("cov"))
     },
     Some("""WITH p AS (SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j
            |  FROM generate_series(0, 7) a(i) CROSS JOIN generate_series(0, 7) b(j)
            |  WHERE b.j >= a.i)
            |SELECT p.i, p.j, count(*) AS n,
            |  round(covar_pop(CAST(embedding[p.i + 1] AS DOUBLE),
-           |                  CAST(embedding[p.j + 1] AS DOUBLE)), 4) AS cov
+           |                  CAST(embedding[p.j + 1] AS DOUBLE)), 4) + 0.0 AS cov
            |FROM embeddings CROSS JOIN p
            |GROUP BY p.i, p.j""".stripMargin))
 

@@ -371,7 +371,7 @@ object PipelineQueries {
     },
     Some("""WITH ev AS (SELECT user_id, value, date_trunc('second', ts) AS ts FROM events),
            |g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-           |        OR CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) >= 1800
+           |        OR CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) > 1800
            |        THEN 1 ELSE 0 END AS is_start
            |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
            |sess AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
@@ -605,14 +605,15 @@ object PipelineQueries {
         col("vec_id"),
         graft.functions.roundStable(
           sqrt(graft.functions.DotProduct(col("e"), col("e"))), 4).as("l2"),
-        graft.functions.roundStable(
-          expr("aggregate(e, 0D, (a, x) -> a + x)") / size(col("e")), 4).as("mean_c"),
+        (graft.functions.roundStable(
+          expr("aggregate(e, 0D, (a, x) -> a + x)") / size(col("e")), 4)
+          + lit(0.0)).as("mean_c"), // + 0.0 normalizes -0.0 (both engines)
         graft.functions.roundStable(array_min(col("e")), 4).as("min_c"),
         graft.functions.roundStable(array_max(col("e")), 4).as("max_c"))
     },
     Some("""SELECT vec_id,
            |  round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*x), 'sum')) + 1e-9, 4) AS l2,
-           |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / len(embedding) + 1e-9, 4) AS mean_c,
+           |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / len(embedding) + 1e-9, 4) + 0.0 AS mean_c,
            |  round(CAST(list_aggregate(embedding, 'min') AS DOUBLE) + 1e-9, 4) AS min_c,
            |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE) + 1e-9, 4) AS max_c
            |FROM embeddings""".stripMargin))
