@@ -256,23 +256,30 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     }.mkString(","))
   }
 
-  /** CREATE/REPLACE TABLE properties → graft table properties. Spark's
-    * reserved keys pass through silently; anything unknown fails loudly
-    * (a typo'd 'bloomCols' that silently did nothing would read as "no
-    * skipping" forever). */
+  /** CREATE/REPLACE TABLE properties → (graft-known properties, user
+    * properties). Spark's reserved keys pass through silently; known keys
+    * (check/dmlMode/clusterBy/bloomCols) configure the table; anything
+    * else persists as a USER property in the manifest (`#props=`) —
+    * Iceberg/Delta's arbitrary-TBLPROPERTIES contract — except keys that
+    * would shadow the derived read-only surface, which fail loudly. */
   private def tablePropsOf(properties: util.Map[String, String])
-      : Map[String, String] = {
+      : (Map[String, String], Map[String, String]) = {
     val reserved = Set("provider", "location", "comment", "owner", "external",
       "is_managed_location", "path", "transient_lastddltime")
     val known = Set("check", "dmlmode", "clusterby", "bloomcols")
-    properties.asScala.flatMap { case (k, v) =>
+    val knownOut = Map.newBuilder[String, String]
+    val userOut = Map.newBuilder[String, String]
+    properties.asScala.foreach { case (k, v) =>
       val kl = k.toLowerCase(java.util.Locale.ROOT)
-      if (known.contains(kl)) Some(kl -> v)
-      else if (reserved.contains(kl) || kl.startsWith("option.")) None
-      else throw new IllegalArgumentException(
-        s"graft catalog: unsupported table property '$k' — supported: " +
-          "check, dmlMode, clusterBy, bloomCols")
-    }.toMap
+      if (known.contains(kl)) knownOut += kl -> v
+      else if (reserved.contains(kl) || kl.startsWith("option.")) ()
+      else {
+        require(!GraftCatalog.derivedPropKeys.contains(kl),
+          s"graft catalog: table property '$k' is derived read-only state")
+        userOut += k -> v
+      }
+    }
+    (knownOut.result(), userOut.result())
   }
 
   /** Validate schema/layout/properties and build the empty table manifest. */
@@ -291,7 +298,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     layout.foreach(l => GraftLayout.parse(l).columns.foreach(c =>
       require(schema.fieldNames.contains(c),
         s"graft catalog: partition column '$c' not in the table schema")))
-    val props = tablePropsOf(properties)
+    val (props, userProps) = tablePropsOf(properties)
     props.get("dmlmode").foreach(m => require(m == "cow" || m == "mor",
       s"graft catalog: dmlMode must be 'cow' or 'mor', got '$m'"))
     require(layout.isEmpty || !props.contains("clusterby"),
@@ -320,7 +327,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     GraftManifest(cleanSchema, Seq.empty,
       partitionCol = layout, clusterCols = props.get("clusterby"),
       check = props.get("check"), dml = props.get("dmlmode"),
-      bloomCols = props.get("bloomcols"), fieldMeta = fm)
+      bloomCols = props.get("bloomcols"), fieldMeta = fm, props = userProps)
   }
 
   /** Evaluate a default's SQL text to its value at `dt`, encoded for the
@@ -462,6 +469,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       var check = m.check
       var dml = m.dml
       var fieldMeta = m.fieldMeta
+      var uprops = m.props
       // materialize field-id metadata (first RENAME/DROP): ids become the
       // ordinals of the schema as it stands, the lone recorded layout.
       // Every existing file is an ordinal prefix by construction (history
@@ -706,6 +714,20 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           dml = Some(set.value())
         case rm: RemoveProperty if rm.property() == "dmlMode" =>
           dml = None
+        // anything else is a USER property: persisted in the manifest
+        // (`#props=`), inherited by every commit, surfaced by SHOW
+        // TBLPROPERTIES — Iceberg/Delta's arbitrary-properties contract.
+        // Keys shadowing the read-only derived surface are refused so a
+        // stored value can never contradict the real table state.
+        case set: SetProperty =>
+          require(!GraftCatalog.derivedPropKeys.contains(
+            set.property().toLowerCase(java.util.Locale.ROOT)),
+            s"graft catalog: property '${set.property()}' is derived table " +
+              "state, not settable (check/dmlMode alter in place; layout " +
+              "is fixed at CREATE)")
+          uprops = uprops + (set.property() -> set.value())
+        case rm: RemoveProperty =>
+          uprops = uprops - rm.property()
         case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: unsupported table change $other — trailing " +
@@ -716,7 +738,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       }
       done = GraftStoreFormat.commitManifest(path, conf,
         m.copy(schema = schema, files = files, check = check, dml = dml,
-          fieldMeta = fieldMeta, txn = None, cdc = None, dropCdc = Seq.empty),
+          fieldMeta = fieldMeta, props = uprops,
+          txn = None, cdc = None, dropCdc = Seq.empty),
         GraftStoreFormat.nextSeq(head))
     }
     loadTable(ident)
@@ -919,6 +942,13 @@ private[v2] class GraftStagedTable(path: String, schema0: StructType,
   * meaning the `t` its author saw, regardless of the reader's current
   * catalog), the declared output schema, and the query/alias column
   * names. Pure data; analysis happens in Spark's ViewResolution. */
+private[v2] object GraftCatalog {
+  /** Property keys whose values are DERIVED read-only table state on the
+    * `properties()` surface — a user property may not shadow them. */
+  val derivedPropKeys: Set[String] = Set("provider", "location", "partition",
+    "clusterby", "bloomcols", "numfiles", "numrows", "refs")
+}
+
 private[v2] case class GraftView(ident: Identifier, query: String,
     viewCatalog: String, viewNamespace: Array[String], viewSchema: StructType,
     queryCols: Array[String], aliases: Array[String], comments: Array[String],

@@ -560,7 +560,8 @@ private[v2] class GraftRowLevelBatchWrite(path: String, schema: StructType,
           check = headM.check, partitionSpecs = headM.partitionSpecs,
           deletes = liveDels, dml = headM.dml, eqDeletes = liveEq,
           fieldMeta = headM.fieldMeta, refs = headM.refs,
-          bloomCols = headM.bloomCols, blooms = headM.blooms),
+          bloomCols = headM.bloomCols, blooms = headM.blooms,
+          props = headM.props),
         seq)
     }
     fs.delete(tmpDir, true)

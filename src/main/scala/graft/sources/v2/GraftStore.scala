@@ -311,7 +311,13 @@ private[v2] case class GraftManifest(schema: StructType, files: Seq[GraftFileEnt
     refs: Map[String, GraftRef] = Map.empty, wap: Option[String] = None,
     bloomCols: Option[String] = None,
     blooms: Seq[GraftBloomSidecarEntry] = Seq.empty,
-    dropCdc: Seq[String] = Seq.empty) {
+    dropCdc: Seq[String] = Seq.empty,
+    // user-defined table properties (`#props=`, v18): arbitrary key/value
+    // state persisted WITH the table and stamped atomically inside any
+    // commit — `ALTER TABLE SET TBLPROPERTIES` durability, and the slot
+    // refresh watermarks (materialized views) ride so data + watermark
+    // publish as ONE snapshot
+    props: Map[String, String] = Map.empty) {
   def isMor: Boolean = dml.contains("mor")
   def hasDeletes: Boolean = deletes.nonEmpty || eqDeletes.nonEmpty
   /** Physical layout (field ids, positional) of one file's rows; None =
@@ -858,10 +864,19 @@ private[v2] object GraftStoreFormat {
       else (None, rest5c)
     // `#bloomcols=` header (optional, v13): the table's declared bloom-
     // index columns (a property inherited by appends, like #cluster)
-    val (bloomCols, rest5e) =
+    val (bloomCols, rest5e0) =
       if (rest5d.head.startsWith("#bloomcols="))
         (Some(rest5d.head.stripPrefix("#bloomcols=")), rest5d.tail)
       else (None, rest5d)
+    // `#props=` header (optional, v18): user table properties —
+    // comma-joined `esc(k):esc(v)` pairs, inherited by every commit
+    val (uprops, rest5e) =
+      if (rest5e0.head.startsWith("#props="))
+        (rest5e0.head.stripPrefix("#props=").split(",", -1).toSeq.map { p =>
+          val Array(k, v) = p.split(":", 2)
+          unescStat(k) -> unescStat(v)
+        }.toMap, rest5e0.tail)
+      else (Map.empty[String, String], rest5e0)
     // `#txn=` header (optional): the streaming-epoch token of the commit
     // that published this snapshot — the idempotency check a replayed
     // epoch commit is deduplicated against
@@ -944,7 +959,7 @@ private[v2] object GraftStoreFormat {
         val parts = l.split("\t", -1)
         GraftBloomSidecarEntry(parts(1), unescStat(parts(2)), unescStat(parts(3)))
       },
-      dropCdc)
+      dropCdc, uprops)
   }
 
   /** The table's HEAD: the newest manifest that is NOT a staged
@@ -1171,6 +1186,9 @@ private[v2] object GraftStoreFormat {
             else s"${escStat(n2)}:${r.seq}" }.mkString(",")}\n") +
         m.wap.map(w => s"#wap=$w\n").getOrElse("") +
         m.bloomCols.map(b => s"#bloomcols=$b\n").getOrElse("") +
+        (if (m.props.isEmpty) "" else
+          s"#props=${m.props.toSeq.sortBy(_._1).map { case (k, v) =>
+            s"${escStat(k)}:${escStat(v)}" }.mkString(",")}\n") +
         m.txn.map(t => s"#txn=$t\n").getOrElse("") +
         m.schema.toDDL + "\n" +
         m.blooms.map(b =>
@@ -1775,6 +1793,9 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
     m.put("location", path)
     GraftStoreFormat.readLatestManifest(
         path, SparkSession.active.sparkContext.hadoopConfiguration).foreach { mf =>
+      // user properties first: derived state below wins a (refused-at-set,
+      // but defense-in-depth) key collision
+      mf.props.foreach { case (k, v) => m.put(k, v) }
       mf.partitionCol.foreach(m.put("partition", _))
       mf.clusterCols.foreach(m.put("clusterBy", _))
       mf.check.foreach(m.put("check", _))
@@ -1851,7 +1872,16 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
         .getOrElse(GraftBloomFilter.DefaultBits),
       targetFileBytes = Option(info.options.get("targetFileBytes")).map(_.toLong),
       splitBlockBytes = Option(info.options.get("splitBlockBytes")).map(_.toLong)
-        .getOrElse(GraftStoreFormat.SplitBlockBytes))
+        .getOrElse(GraftStoreFormat.SplitBlockBytes),
+      // `setProps` (write option, `esc(k):esc(v),...`): user properties
+      // stamped INSIDE this write's commit — data + property state publish
+      // as one snapshot (the materialized-view refresh watermark rides
+      // here; a separate property commit could be torn from its data)
+      setProps = Option(info.options.get("setProps"))
+        .map(_.split(",").toSeq.map { p =>
+          val Array(k, v) = p.split(":", 2)
+          GraftStoreFormat.unescStat(k) -> GraftStoreFormat.unescStat(v)
+        }.toMap).getOrElse(Map.empty))
 }
 
 // ------------------------------------------------------------------- write
@@ -1906,7 +1936,8 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     targetFileBytes: Option[Long] = None,
     overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
     dynamicOverwrite: Boolean = false,
-    splitBlockBytes: Long = GraftStoreFormat.SplitBlockBytes)
+    splitBlockBytes: Long = GraftStoreFormat.SplitBlockBytes,
+    setProps: Map[String, String] = Map.empty)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1999,7 +2030,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     new GraftStoreWriteBuilder(path, schema, conf, truncate = true, clusterBy,
       clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
       branch, bloomColsOpt, bloomBits, targetFileBytes,
-      splitBlockBytes = splitBlockBytes)
+      splitBlockBytes = splitBlockBytes, setProps = setProps)
 
   /** SCOPED OVERWRITE (`INSERT INTO ... REPLACE WHERE` / `INSERT OVERWRITE
     * ... PARTITION (k=v)` / `writeTo.overwrite(cond)`): atomically replace
@@ -2016,7 +2047,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     else new GraftStoreWriteBuilder(path, schema, conf, truncate = false, clusterBy,
       clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
       branch, bloomColsOpt, bloomBits, targetFileBytes, Some(filters),
-      splitBlockBytes = splitBlockBytes)
+      splitBlockBytes = splitBlockBytes, setProps = setProps)
 
   /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic` /
     * `writeTo.overwritePartitions()`): replace exactly the partitions the
@@ -2026,7 +2057,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
     new GraftStoreWriteBuilder(path, schema, conf, truncate = false, clusterBy,
       clusterFiles, partitionBy, queryId, mergeSchema, checkOption, dmlMode, wapId,
       branch, bloomColsOpt, bloomBits, targetFileBytes, None, dynamicOverwrite = true,
-      splitBlockBytes = splitBlockBytes)
+      splitBlockBytes = splitBlockBytes, setProps = setProps)
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2055,7 +2086,7 @@ private[v2] class GraftStoreWriteBuilder(path: String, schema: StructType,
       new GraftStoreBatchWrite(path, schema, conf, truncate, effectiveLayout, clusterBy,
         mergeSchema, effectiveCheck, compiledCheck, dmlMode, wapId, branch,
         effectiveBloomCols, bloomBits, targetFileBytes, overwriteFilters,
-        dynamicOverwrite, splitBlockBytes)
+        dynamicOverwrite, splitBlockBytes, setProps)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStoreStreamingWrite(path, schema, conf, queryId, compiledCheck,
         effectiveCheck, effectiveLayout)
@@ -2189,7 +2220,8 @@ private[v2] class GraftStoreStreamingWrite(path: String, schema: StructType,
           // bloom sidecars carry like deletes (streamed files simply are
           // not indexed — they never skip, never lie)
           bloomCols = prevManifest.flatMap(_.bloomCols),
-          blooms = prevManifest.map(_.blooms).getOrElse(Seq.empty)),
+          blooms = prevManifest.map(_.blooms).getOrElse(Seq.empty),
+          props = prevManifest.map(_.props).getOrElse(Map.empty)),
         seq)
     }
     fs.delete(tmpDir, true)
@@ -2237,7 +2269,8 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
     targetFileBytes: Option[Long] = None,
     overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
     dynamicOverwrite: Boolean = false,
-    splitBlockBytes: Long = GraftStoreFormat.SplitBlockBytes)
+    splitBlockBytes: Long = GraftStoreFormat.SplitBlockBytes,
+    setProps: Map[String, String] = Map.empty)
     extends BatchWrite {
   private val writeId = UUID.randomUUID().toString.take(8)
   private def tmpDir = new Path(path, s"_tmp/$writeId")
@@ -2480,12 +2513,19 @@ private[v2] class GraftStoreBatchWrite(path: String, schema: StructType,
         if (truncate)
           GraftStoreFormat.readHead(path, conf, head).map(_.refs).getOrElse(Map.empty)
         else prevManifest.map(_.refs).getOrElse(Map.empty)
+      // user properties are table-level metadata like refs: they survive
+      // every commit, including an overwrite replacing all data
+      val uprops: Map[String, String] =
+        (if (truncate)
+          GraftStoreFormat.readHead(path, conf, head).map(_.props).getOrElse(Map.empty)
+        else prevManifest.map(_.props).getOrElse(Map.empty)) ++ setProps
       done = GraftStoreFormat.commitManifest(path, conf,
         GraftManifest(tableSchema, prev ++ layoutStamped, partitionCol = partitionBy,
           clusterCols = cluster, check = effCheck, partitionSpecs = specs,
           deletes = dels, dml = dml, eqDeletes = eqDels, fieldMeta = fieldMeta,
           refs = refs, wap = wapId.orElse(branch.map(b => s"branch:$b")),
           bloomCols = effBloomCols, blooms = prevBlooms ++ newBlooms,
+          props = uprops,
           // replaced files ride `#dropcdc=`: their live rows are deletes,
           // the new files inserts — INSERT OVERWRITE is CDC-streamable
           dropCdc = removedNames.toSeq.sorted),
@@ -5457,7 +5497,8 @@ object GraftStoreOps {
     * atomic (the equality probe decodes them positionally). */
   private def eqDeltaCommit(spark: SparkSession, path: String, m: GraftManifest,
       keyCols: Seq[String], keyRows: org.apache.spark.sql.DataFrame,
-      dataScratch: Option[String]): Unit = {
+      dataScratch: Option[String],
+      setProps: Map[String, String] = Map.empty): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = GraftStoreFormat.fs(path, conf)
     keyCols.foreach { k =>
@@ -5496,11 +5537,85 @@ object GraftStoreOps {
           dm.map(_.files).getOrElse(Seq.empty)))
       done = GraftStoreFormat.commitManifest(path, conf,
         headM.copy(files = headM.files ++ stamped,
-          eqDeletes = headM.eqDeletes ++ eqEntries, txn = None, cdc = None, dropCdc = Seq.empty),
+          eqDeletes = headM.eqDeletes ++ eqEntries,
+          props = headM.props ++ setProps,
+          txn = None, cdc = None, dropCdc = Seq.empty),
         seq)
     }
     f.delete(new Path(keyScratch), true)
     dataScratch.foreach(s => f.delete(new Path(s), true))
+  }
+
+  /** REPLACE-BY-KEY (merge-on-read): one OCC commit that (a) masks every
+    * live row whose key tuple appears in `keys` — a SUPERSET of `source`'s
+    * keys is allowed, so groups with no surviving row are deleted in the
+    * same stroke — (b) appends `source` as the keys' new row versions, and
+    * (c) stamps `setProps` into the table properties. The materialized-
+    * view refresh kernel: changed-group rows, vanished-group deletes, and
+    * the refresh watermark publish as ONE snapshot (a torn refresh cannot
+    * exist), at O(batch) cost — no table scan. `source` may be empty
+    * (pure keyed delete + property stamp); empty `keys` degrades to a
+    * metadata-only property commit. */
+  def replaceByKeyMor(spark: SparkSession, path: String,
+      source: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      keys: org.apache.spark.sql.DataFrame,
+      setProps: Map[String, String] = Map.empty): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    require(source.schema.fieldNames.sorted.sameElements(m.schema.fieldNames.sorted),
+      s"graft-store: replace source columns ${source.schema.fieldNames.mkString(",")} " +
+        s"must match table columns ${m.schema.fieldNames.mkString(",")}")
+    val src = source.select(m.schema.fieldNames.map(col).toSeq: _*).localCheckpoint(true)
+    require(GraftStoreFormat.sameCols(src.schema, m.schema),
+      s"graft-store: replace source types ${src.schema.simpleString} must match " +
+        s"table types ${m.schema.simpleString}")
+    val distinctKeys = keys.select(keyCols.map(col).toSeq: _*)
+      .distinct().localCheckpoint(true)
+    val n = src.count()
+    val nk = distinctKeys.count()
+    if (nk == 0L) {
+      require(n == 0L,
+        "graft-store: replaceByKeyMor rows without key coverage would duplicate")
+      if (setProps.nonEmpty) setTableProps(spark, path, setProps)
+      return (0L, 0L)
+    }
+    val dataScratch =
+      if (n == 0L) None
+      else {
+        val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
+        val w0 = src.write.format("graft-store").mode("overwrite")
+        val w1 = m.check.fold(w0)(c => w0.option("check", c))
+        ((m.partitionCol, m.clusterCols) match {
+          case (Some(c), _) => w1.option("partitionBy", c)
+          case (None, Some(cc)) =>
+            w1.option("clusterBy", cc).option("clusterFiles",
+              math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
+          case _ => w1
+        }).save(scratch)
+        Some(scratch)
+      }
+    eqDeltaCommit(spark, path, m, keyCols, distinctKeys, dataScratch, setProps)
+    (n, nk)
+  }
+
+  /** Metadata-only user-property commit (the programmatic `ALTER TABLE
+    * SET TBLPROPERTIES`): one OCC commit updating `#props=`, data
+    * untouched. */
+  def setTableProps(spark: SparkSession, path: String,
+      setProps: Map[String, String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var done = false
+    while (!done) {
+      val ms = GraftStoreFormat.listManifests(path, conf)
+      val head = GraftStoreFormat.readHead(path, conf, ms)
+        .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+      done = GraftStoreFormat.commitManifest(path, conf,
+        head.copy(props = head.props ++ setProps,
+          txn = None, cdc = None, dropCdc = Seq.empty),
+        GraftStoreFormat.nextSeq(ms))
+    }
   }
 
   /** The head snapshot's live EQUALITY-DELETE stores as `(name, key
@@ -5831,7 +5946,7 @@ object GraftStoreOps {
           deletes = liveDels, dml = headM.dml.orElse(m.dml),
           eqDeletes = liveEq, fieldMeta = headM.fieldMeta, refs = headM.refs,
           bloomCols = headM.bloomCols, blooms = headM.blooms,
-          dropCdc = dropped.map(_.name).sorted),
+          dropCdc = dropped.map(_.name).sorted, props = headM.props),
         seq)
     }
     f.delete(new Path(scratch), true)
@@ -6093,7 +6208,8 @@ object GraftStoreOps {
           check = headM.check, partitionSpecs = headM.partitionSpecs,
           deletes = liveDels, dml = headM.dml, eqDeletes = liveEq,
           fieldMeta = headM.fieldMeta, refs = headM.refs,
-          bloomCols = headM.bloomCols, blooms = headM.blooms),
+          bloomCols = headM.bloomCols, blooms = headM.blooms,
+          props = headM.props),
         seq)
     }
     f.delete(new Path(scratch), true)
@@ -6161,6 +6277,12 @@ object GraftStoreOps {
     * loop re-reads the head but intentionally OVERRIDES it with the
     * restored listing (restore wins; that is the command's contract).
     * Returns the new head's snapshot index. */
+  /** The table's persisted USER properties (`#props=`) at the head
+    * snapshot — the programmatic face of SHOW TBLPROPERTIES. */
+  def tableProps(spark: SparkSession, path: String): Map[String, String] =
+    GraftStoreFormat.readLatestManifest(
+      path, spark.sparkContext.hadoopConfiguration).map(_.props).getOrElse(Map.empty)
+
   /** TAG a retained snapshot with a name (Iceberg tags): a metadata-only
     * commit adding `name -> seq` to the table's ref table. Tags resolve in
     * SQL via `VERSION AS OF '<name>'` (through [[GraftCatalog]]) or the
@@ -6461,6 +6583,46 @@ object GraftStoreOps {
         col("pre").isNotNull && col("post").isNotNull, "update_preimage"))
       .unionByName(tagged("post",
         col("pre").isNotNull && col("post").isNotNull, "update_postimage"))
+  }
+
+  /** SIGNED row deltas between two snapshots: every row leaving the table
+    * with `_sign = -1`, every row arriving with `_sign = +1` — the
+    * multiset difference [[changesBetween]] classifies, WITHOUT the keyed
+    * full-outer join (no key column required, no shuffle): for
+    * DISTRIBUTIVE aggregation (count/sum — incremental view maintenance)
+    * the algebra cancels carried-identical rows by itself, so classifying
+    * them is pure cost. Churn-proportional like the change feed: only
+    * files whose membership or delete coverage changed are read. */
+  def signedChanges(spark: SparkSession, path: String, fromSnap: Int,
+      toSnap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    require(fromSnap >= 0 && toSnap < ms.size && fromSnap <= toSnap,
+      s"graft-store: snapshot range [$fromSnap, $toSnap] outside [0, ${ms.size})")
+    val mFrom = GraftStoreFormat.readManifestFile(path, conf, ms(fromSnap))
+    val mTo = GraftStoreFormat.readManifestFile(path, conf, ms(toSnap))
+    require(mFrom.schema.toDDL == mTo.schema.toDDL,
+      "graft-store: change feed across a schema change is not defined")
+    val fromNames = mFrom.files.map(_.name).toSet
+    val toNames = mTo.files.map(_.name).toSet
+    def delSig(mf: GraftManifest, e: GraftFileEntry): Seq[String] =
+      (mf.deletes.filter(_.covers(e.name)).map(_.name) ++
+        mf.eqDeletes.filter(_.covers(e)).map(_.name)).sorted
+    val toEntries = mTo.files.map(e => e.name -> e).toMap
+    val masked = mFrom.files.filter(e => toNames.contains(e.name))
+      .filter(e => delSig(mFrom, e) != delSig(mTo, toEntries(e.name)))
+      .map(_.name)
+    val removed = mFrom.files.map(_.name).filterNot(toNames) ++ masked
+    val added = mTo.files.map(_.name).filterNot(fromNames) ++ masked
+    def readSubset(names: Seq[String], snap: Int) =
+      if (names.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mFrom.schema)
+      else spark.read.format("graft-store").option("snapshot", snap)
+        .option("files", names.mkString(",")).load(path)
+    readSubset(removed, fromSnap).withColumn("_sign", lit(-1L))
+      .unionByName(readSubset(added, toSnap).withColumn("_sign", lit(1L)))
   }
 
   /** Drop all but the newest `keepLast` snapshots, then delete data files no
