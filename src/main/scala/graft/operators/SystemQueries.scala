@@ -3584,6 +3584,67 @@ object SystemQueries {
            |  round(sum(o_totalprice), 2) AS revenue, TRUE AS metadata_only
            |FROM orders GROUP BY 1""".stripMargin))
 
+  /** MATERIALIZED VIEW with INCREMENTAL refresh
+    * ([[graft.sources.v2.GraftMview]] via `CALL cat.system.create_mview /
+    * refresh_mview`): the MV is a real graft-store table whose manifest
+    * props carry the definition + refresh watermark; refresh reads ONLY
+    * the churn ([[graft.sources.v2.GraftStoreOps.signedChanges]] — +/-1
+    * row deltas, no keyed join), merges the changed groups against their
+    * stored values, and publishes new rows + vanished-group deletes + the
+    * advanced watermark as ONE merge-on-read commit. The churn here is
+    * the q151 fixture sequence (delete / append / update), so the oracle
+    * is the same recompute — but the ENGINE path is the maintained view:
+    * create at snapshot 0, three DML commits, one incremental refresh.
+    * At 100 TB: refresh cost tracks ingest churn, not table size. */
+  val q197Mview = QuerySpec(
+    "q197_mview", "S-dsv2-mview",
+    "materialized view: incremental CDC refresh equals recompute",
+    (s, d) => {
+      val base = "/tmp/graft_store_q197"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq197", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq197.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        baseDf.filter(col("o_orderkey") < 4000)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src) // snapshot 0
+        s.sql("CALL gq197.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS priority, count(*) AS n, " +
+          "sum(o_totalprice) AS sp FROM gq197.src GROUP BY o_orderpriority')")
+        // the q151 churn trio, AFTER materialization
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        baseDf.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 6000)
+          .write.format("graft-store").mode("append").save(src)
+        graft.sources.v2.GraftStoreOps.updateWhere(s, src,
+          col("o_orderkey") >= 2000 && col("o_orderkey") < 3000,
+          Map("o_totalprice" -> (col("o_totalprice") + 10)))
+        val r = s.sql("CALL gq197.system.refresh_mview('mv')").collect()(0)
+        val incremental = r.getString(0) == "incremental"
+        // the refreshed view IS the answer — read through the catalog
+        s.sql("""SELECT priority, n, round(sp, 2) AS sp FROM gq197.mv""")
+          .withColumn("incremental", lit(incremental))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq197")
+        s.conf.unset("spark.sql.catalog.gq197.base")
+      }
+    },
+    Some("""WITH final AS (
+           |  SELECT o_orderkey, o_totalprice, o_orderpriority
+           |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 6000),
+           |adjusted AS (
+           |  SELECT o_orderpriority,
+           |    CASE WHEN o_orderkey >= 2000 AND o_orderkey < 3000
+           |      THEN o_totalprice + 10 ELSE o_totalprice END AS price
+           |  FROM final)
+           |SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(sum(price), 2) AS sp, TRUE AS incremental
+           |FROM adjusted GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3603,5 +3664,5 @@ object SystemQueries {
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
-    q195SqlView, q196ColumnDefault)
+    q195SqlView, q196ColumnDefault, q197Mview)
 }

@@ -139,6 +139,27 @@ private[v2] class GraftProcedures(base: String) {
         val added = GraftStoreOps.fastForward(
           s, pathOf(in.getUTF8String(0).toString), in.getUTF8String(1).toString)
         oneRow(("added_files", IntegerType, added))
+      }),
+    Proc("create_mview",
+      "materialize a GROUP BY count/sum view as a table with a refresh watermark",
+      Seq(p("name", StringType), p("query", StringType)),
+      (s, in) => {
+        val (n, wm) = GraftMview.create(s,
+          pathOf(in.getUTF8String(0).toString), in.getUTF8String(1).toString)
+        oneRow(("rows_materialized", LongType, n),
+          ("watermark", IntegerType, wm))
+      }),
+    Proc("refresh_mview",
+      "advance a materialized view to the source head (incremental: O(churn) " +
+        "signed deltas; one atomic commit carries rows + watermark)",
+      Seq(p("name", StringType), pd("force_full", BooleanType, "false")),
+      (s, in) => {
+        val (mode, changed, deleted, wm) = GraftMview.refresh(s,
+          pathOf(in.getUTF8String(0).toString), in.getBoolean(1))
+        oneRow(("mode", StringType, UTF8String.fromString(mode)),
+          ("groups_changed", LongType, changed),
+          ("groups_deleted", LongType, deleted),
+          ("watermark", IntegerType, wm))
       })
   ).map(pr => pr.procName -> pr).toMap
 

@@ -1359,6 +1359,13 @@ private[v2] object GraftStoreFormat {
     * row, so the hot loop touches the adder at most once per row. */
   val prunedBytesSkipped = new java.util.concurrent.atomic.LongAdder
 
+  /** Diagnostic counter: data-file SLICES opened by scan readers in this
+    * JVM (one add per planned slice at reader creation — zero hot-path
+    * cost). Same spec-proof role as [[prunedBytesSkipped]]: lets a test
+    * assert a plan's file footprint (churn-proportional refresh, pruning)
+    * instead of trusting the narrative. */
+  val scannedFileSlices = new java.util.concurrent.atomic.LongAdder
+
   /** `skipBytes` contract-safe full skip (it may skip fewer — loop, and a
     * short skip at stream end is a truncated row, not a clean EOF). */
   private def skipFully(in: DataInputStream, n: Int): Unit = {
@@ -6825,6 +6832,10 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       case GraftFilePartition(s) => Seq(s)
       case GraftKeyedFilesPartition(fs, _) => fs
     }
+    // diagnostic, once per planned slice (never in the row loop): lets
+    // specs PROVE a scan's file footprint — e.g. that an incremental MV
+    // refresh opens churn + view files, not the base table
+    GraftStoreFormat.scannedFileSlices.add(files.size.toLong)
     // -1 = the `_file` metadata column, -2 = `_pos` (both served from the
     // reader's position, no decode); anything else indexes the decoded row
     val keep: Array[Int] = required.fieldNames.map {

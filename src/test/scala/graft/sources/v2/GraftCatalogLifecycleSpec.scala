@@ -66,12 +66,16 @@ class GraftCatalogLifecycleSpec extends AnyFunSuite with graft.SparkTestBase {
     spark.sql("CREATE TABLE IF NOT EXISTS ddl3.t (id BIGINT)") // no-op
   }
 
-  test("unknown property and codec-unsupported type fail loudly at CREATE") {
-    catalogFor("ddl4")
-    val e1 = intercept[Exception] {
-      spark.sql("CREATE TABLE ddl4.a (id BIGINT) TBLPROPERTIES ('bloomColz'='id')")
+  test("unknown CREATE property persists as a user property (v18); bad type fails") {
+    val base = catalogFor("ddl4")
+    // since #props= (manifest v18), non-reserved keys are USER properties
+    // — the Iceberg/Delta arbitrary-TBLPROPERTIES contract (the old
+    // loud-typo refusal survives only for derived read-only keys)
+    spark.sql("CREATE TABLE ddl4.a (id BIGINT) TBLPROPERTIES ('bloomColz'='id')")
+    assert(GraftStoreOps.tableProps(spark, s"$base/a")("bloomColz") === "id")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE ddl4.c (id BIGINT) TBLPROPERTIES ('numRows'='1')")
     }
-    assert(e1.getMessage.contains("unsupported table property"))
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE ddl4.b (id DECIMAL(10,2))")
     }

@@ -1,0 +1,150 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized views with CDC-driven incremental refresh
+  * ([[GraftMview]]): an MV is a real graft-store table carrying its
+  * definition + refresh watermark in `#props=`; refresh reads ONLY the
+  * churn (signed deltas), merges changed groups, and publishes rows +
+  * watermark as one commit. */
+class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val catBase: String = {
+    val base = Files.createTempDirectory("graft-mv").toString
+    spark.conf.set("spark.sql.catalog.mvcat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mvcat.base", base)
+    base
+  }
+
+  private def recompute(srcDir: String): Map[String, (Long, Long)] =
+    spark.read.format("graft-store").load(srcDir).filter($"v" >= 0)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def mvRows(dir: String): Map[String, (Long, Long)] =
+    spark.read.format("graft-store").load(dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("create + incremental refresh tracks churn; vanished groups leave") {
+    catBase
+    val srcDir = s"$catBase/src1"
+    val mvDir = s"$catBase/mv1"
+    Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 5L), ("x", -1L))
+      .toDF("g", "v").write.format("graft-store").mode("overwrite").save(srcDir)
+    val res = spark.sql(
+      "CALL mvcat.system.create_mview('mv1', " +
+        "'SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.src1 WHERE v >= 0 GROUP BY g')")
+      .collect()(0)
+    assert(res.getLong(0) === 3) // a, b, c (x filtered out)
+    assert(mvRows(mvDir) === recompute(srcDir))
+    // reads are the materialized fast path: a plain catalog table read
+    assert(spark.sql("SELECT * FROM mvcat.mv1").count() === 3)
+
+    // churn: append into a and a NEW group d; delete ALL of b (vanishes)
+    Seq(("a", 100L), ("d", 7L)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    spark.sql("DELETE FROM mvcat.src1 WHERE g = 'b'")
+    val r2 = spark.sql("CALL mvcat.system.refresh_mview('mv1')").collect()(0)
+    assert(r2.getString(0) === "incremental")
+    assert(r2.getLong(2) === 1L, "b vanished")
+    assert(mvRows(mvDir) === recompute(srcDir))
+    assert(!mvRows(mvDir).contains("b"))
+    assert(mvRows(mvDir)("a") === ((3L, 103L)))
+
+    // idempotent: at the head, refresh is a no-op
+    val r3 = spark.sql("CALL mvcat.system.refresh_mview('mv1')").collect()(0)
+    assert(r3.getString(0) === "noop")
+  }
+
+  test("refresh is O(churn): delta scan reads only changed files") {
+    catBase
+    val srcDir = s"$catBase/src2"
+    val mvDir = s"$catBase/mv2"
+    // 8 base files via repartition, then one small churn commit
+    spark.range(0, 8000)
+      .select((col("id") % 16).cast("string").as("g"), col("id").as("v"))
+      .repartition(8).write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.src2 GROUP BY g")
+    Seq(("0", 1L)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    val before = GraftStoreFormat.scannedFileSlices.sum()
+    val (mode, _, _, _) = GraftMview.refresh(spark, mvDir)
+    val opened = GraftStoreFormat.scannedFileSlices.sum() - before
+    assert(mode === "incremental")
+    // the delta pass opens the ONE churned file + the small MV's files —
+    // a full recompute would open all 8 base files and fail this bound
+    assert(opened < 8, s"refresh opened $opened file slices — not churn-proportional")
+    val full = spark.read.format("graft-store").load(srcDir)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spark.read.format("graft-store").load(mvDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap === full)
+  }
+
+  test("refresh commit is atomic: rows + watermark in ONE snapshot") {
+    catBase
+    val srcDir = s"$catBase/src3"
+    val mvDir = s"$catBase/mv3"
+    Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.src3 GROUP BY g")
+    Seq(("a", 5L)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    val snapsBefore = GraftStoreOps.history(spark, mvDir).size
+    GraftMview.refresh(spark, mvDir)
+    assert(GraftStoreOps.history(spark, mvDir).size === snapsBefore + 1,
+      "incremental refresh must be exactly one commit")
+    assert(GraftStoreOps.tableProps(spark, mvDir)("graft.mv.watermark").toInt === 1)
+  }
+
+  test("watermark expiry falls back to full recompute; MOR source churn works") {
+    catBase
+    val srcDir = s"$catBase/src4"
+    val mvDir = s"$catBase/mv4"
+    Seq(("a", 1L), ("b", 2L), ("b", 4L)).toDF("g", "v")
+      .write.format("graft-store").option("dmlMode", "mor")
+      .mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.src4 GROUP BY g")
+    // MOR churn: upsert-style eq-delta ingest on the source
+    GraftStoreOps.upsertMor(spark, srcDir,
+      Seq(("c", 9L)).toDF("g", "v"), Seq("g", "v"))
+    spark.sql("DELETE FROM mvcat.src4 WHERE v = 4")
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(mvRows(mvDir) === Map("a" -> ((1L, 1L)), "b" -> ((1L, 2L)), "c" -> ((1L, 9L))))
+    // expire history past the watermark -> refresh detects and recomputes
+    Seq(("d", 3L)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    GraftStoreOps.expireSnapshots(spark, srcDir, keepLast = 1)
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "full")
+    assert(mvRows(mvDir) === Map("a" -> ((1L, 1L)), "b" -> ((1L, 2L)),
+      "c" -> ((1L, 9L)), "d" -> ((1L, 3L))))
+  }
+
+  test("unmaintainable shapes are refused with guidance") {
+    catBase
+    val srcDir = s"$catBase/src5"
+    Seq(("a", 1L)).toDF("g", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](GraftMview.create(spark, s"$catBase/mvx", sql))
+      assert(e.getMessage.contains(frag), s"message '${e.getMessage}' lacks '$frag'")
+    }
+    refuse("SELECT g, count(*) AS n, avg(v) AS a FROM mvcat.src5 GROUP BY g", "avg")
+    refuse("SELECT g, count(*) AS n, min(v) AS m FROM mvcat.src5 GROUP BY g", "min")
+    refuse("SELECT g, sum(v) AS s FROM mvcat.src5 GROUP BY g", "count(*)")
+    refuse("SELECT g, count(DISTINCT v) AS n FROM mvcat.src5 GROUP BY g", "DISTINCT")
+    refuse("SELECT upper(g) AS g2, count(*) AS n FROM mvcat.src5 GROUP BY upper(g)",
+      "plain columns")
+    refuse("SELECT count(*) AS n FROM mvcat.src5", "group")
+  }
+}
