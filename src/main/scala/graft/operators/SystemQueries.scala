@@ -3645,6 +3645,61 @@ object SystemQueries {
            |  round(sum(price), 2) AS sp, TRUE AS incremental
            |FROM adjusted GROUP BY o_orderpriority""".stripMargin))
 
+  /** `MERGE WITH SCHEMA EVOLUTION INTO` (Spark 4 DSv2, gated on
+    * `TableCapability.AUTOMATIC_SCHEMA_EVOLUTION` — the analyzer derives
+    * AddColumn changes from the merge SOURCE and applies them through
+    * catalog.alterTable before the row-level write plans). On the
+    * field-ID evolution layer the addition is metadata-only: zero data
+    * files rewritten for the DDL half, pre-evolution rows null-extend.
+    * The 100 TB shape: ingest pipelines whose upstream grows columns
+    * keep merging without a coordinated migration window. */
+  val q198MergeEvolve = QuerySpec(
+    "q198_merge_evolve", "S-dsv2-merge-evolve",
+    "MERGE WITH SCHEMA EVOLUTION: source-driven column add + upsert in one statement",
+    (s, d) => {
+      val base = "/tmp/graft_store_q198"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq198", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq198.base", base)
+      try {
+        val orders = Tables.orders(s, d)
+        orders.filter(col("o_orderkey") < 6000)
+          .select("o_orderkey", "o_totalprice")
+          .write.format("graft-store").mode("overwrite").save(s"$base/t")
+        orders.filter((col("o_orderkey") >= 2000 && col("o_orderkey") < 4000)
+            || (col("o_orderkey") >= 6000 && col("o_orderkey") < 8000))
+          .select(col("o_orderkey"), (col("o_totalprice") + 5).as("o_totalprice"),
+            when(col("o_orderkey") < 4000, "adj").otherwise("new").as("channel"))
+          .createOrReplaceTempView("q198_src")
+        s.sql(
+          """MERGE WITH SCHEMA EVOLUTION INTO gq198.t t USING q198_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("""SELECT coalesce(channel, 'base') AS channel, count(*) AS n,
+                |  round(sum(o_totalprice), 2) AS rev
+                |FROM gq198.t GROUP BY 1""".stripMargin)
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq198")
+        s.conf.unset("spark.sql.catalog.gq198.base")
+      }
+    },
+    Some("""WITH t AS (
+           |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 6000),
+           |s AS (
+           |  SELECT o_orderkey, o_totalprice + 5 AS o_totalprice,
+           |    CASE WHEN o_orderkey < 4000 THEN 'adj' ELSE 'new' END AS channel
+           |  FROM orders
+           |  WHERE (o_orderkey >= 2000 AND o_orderkey < 4000)
+           |     OR (o_orderkey >= 6000 AND o_orderkey < 8000)),
+           |merged AS (
+           |  SELECT coalesce(s.o_totalprice, t.o_totalprice) AS price, s.channel
+           |  FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+           |SELECT coalesce(channel, 'base') AS channel, count(*) AS n,
+           |  round(sum(price), 2) AS rev
+           |FROM merged GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3664,5 +3719,5 @@ object SystemQueries {
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
-    q195SqlView, q196ColumnDefault, q197Mview)
+    q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve)
 }

@@ -1818,7 +1818,15 @@ private[v2] class GraftStoreTable(path: String, schema0: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // `MERGE WITH SCHEMA EVOLUTION INTO ...`: the analyzer
+      // (ResolveMergeIntoSchemaEvolution, gated on THIS capability via
+      // DataSourceV2Relation.autoSchemaEvolution — probed in the 4.1.2
+      // jars) derives AddColumn/UpdateColumnType changes from the merge
+      // SOURCE and applies them through catalog.alterTable before
+      // planning the row-level write; the field-ID evolution layer makes
+      // both additions and safe widenings metadata-only
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The table's declared partition transforms, translated from the
     * manifest layout — what makes `INSERT OVERWRITE ... PARTITION (k=v)`
