@@ -3700,6 +3700,42 @@ object SystemQueries {
            |  round(sum(price), 2) AS rev
            |FROM merged GROUP BY 1""".stripMargin))
 
+  /** DECIMAL(p<=18, s) as a first-class graft-store codec type (money
+    * columns — TPC-H's native types): 8-byte UNSCALED long on the wire
+    * (one shared scale per column makes unscaled-long order decimal
+    * order — Iceberg's representation), exact min/max stats + file
+    * skipping on decimal predicates, decimal DML/CHECK/defaults/eq-keys.
+    * The aggregate here is EXACT decimal math end-to-end (no double
+    * drift); only the final presentation casts. */
+  val q199Decimal = QuerySpec(
+    "q199_decimal", "S-dsv2-decimal",
+    "decimal codec: exact money aggregates with stats-skipped scans",
+    (s, d) => {
+      val path = "/tmp/graft_store_q199"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("decimal(12,2)").as("qty"),
+          col("l_extendedprice").cast("decimal(14,2)").as("price"),
+          col("l_returnflag"))
+        .repartitionByRange(4, col("price"))
+        .write.format("graft-store").mode("overwrite").save(path)
+      s.read.format("graft-store").load(path)
+        .filter(col("price") < lit(new java.math.BigDecimal("20000.00")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("qty").cast("double").as("sum_qty"),
+          round(sum("price").cast("double"), 2).as("sum_price"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+           |    AS sum_price
+           |FROM lineitem
+           |WHERE CAST(l_extendedprice AS DECIMAL(14,2)) < CAST('20000.00' AS DECIMAL(14,2))
+           |GROUP BY l_returnflag""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3719,5 +3755,5 @@ object SystemQueries {
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
-    q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve)
+    q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal)
 }

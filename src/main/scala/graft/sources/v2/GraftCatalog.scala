@@ -286,14 +286,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   private def emptyManifestFor(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : GraftManifest = {
-    val codecTypes: Set[org.apache.spark.sql.types.DataType] = {
-      import org.apache.spark.sql.types._
-      Set(LongType, TimestampType, IntegerType, DateType, DoubleType,
-        FloatType, BooleanType, StringType)
-    }
-    schema.fields.foreach(f => require(codecTypes.contains(f.dataType),
+    schema.fields.foreach(f => require(GraftStoreFormat.codecSupports(f.dataType),
       s"graft catalog: column '${f.name}' has codec-unsupported type " +
-        s"${f.dataType.simpleString}"))
+        s"${f.dataType.simpleString}" + (f.dataType match {
+          case d: org.apache.spark.sql.types.DecimalType if d.precision > 18 =>
+            " (decimal precision > 18: use decimal(<=18,s) or double)"
+          case _ => ""
+        })))
     val layout = layoutOf(partitions).map(s => GraftLayout.parse(s).render)
     layout.foreach(l => GraftLayout.parse(l).columns.foreach(c =>
       require(schema.fieldNames.contains(c),

@@ -483,6 +483,8 @@ private[v2] object GraftStoreFormat {
     case FloatType                => s.toFloat
     case BooleanType              => s.toBoolean
     case StringType               => UTF8String.fromString(s)
+    case dt: DecimalType if dt.precision <= 18 =>
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s), dt.precision, dt.scale)
     case other => throw new UnsupportedOperationException(
       s"graft-store: unsupported default type $other")
   }
@@ -500,6 +502,10 @@ private[v2] object GraftStoreFormat {
   def statsCapable(dt: DataType): Boolean = dt match {
     case LongType | TimestampType | IntegerType | DateType |
          DoubleType | FloatType | StringType => true
+    // decimal rides the integral machinery: p <= 18 fits the UNSCALED
+    // value in a long, and all values of a column share one scale, so
+    // unscaled-long min/max ARE decimal min/max (Iceberg's representation)
+    case dt: DecimalType if dt.precision <= 18 => true
     case _ => false
   }
 
@@ -769,7 +775,9 @@ private[v2] object GraftStoreFormat {
       if (rest2a.head.startsWith("#fields=")) {
         val fields = rest2a.head.stripPrefix("#fields=").split(",", -1).toSeq.map { p =>
           val Array(id, n, t) = p.split(":", 3)
-          (id.toInt, unescStat(n), DataType.fromDDL(t))
+          // type strings are escStat'd since v18 (decimal(p,s) carries a
+          // comma and parens); unescStat is identity on pre-v18 plain types
+          (id.toInt, unescStat(n), DataType.fromDDL(unescStat(t)))
         }
         val ids = rest2a(1).stripPrefix("#fieldids=").split(",").toSeq.map(_.toInt)
         val layouts = rest2a(2).stripPrefix("#layouts=").split(";", -1).toSeq
@@ -783,7 +791,7 @@ private[v2] object GraftStoreFormat {
               if (e.isEmpty) Map.empty[Int, DataType]
               else e.split(",").toSeq.map { p =>
                 val Array(id, t) = p.split(":", 2)
-                id.toInt -> DataType.fromDDL(t)
+                id.toInt -> DataType.fromDDL(unescStat(t))
               }.toMap
             }, 4)
           else (Seq.empty[Map[Int, DataType]], 3)
@@ -1163,13 +1171,13 @@ private[v2] object GraftStoreFormat {
         m.partitionSpecs.map(ss => s"#specs=${ss.mkString(";")}\n").getOrElse("") +
         m.fieldMeta.map(fm =>
           s"#fields=${fm.fields.map { case (id, n, t) =>
-            s"$id:${escStat(n)}:${t.catalogString}" }.mkString(",")}\n" +
+            s"$id:${escStat(n)}:${escStat(t.catalogString)}" }.mkString(",")}\n" +
           s"#fieldids=${fm.ids.mkString(",")}\n" +
           s"#layouts=${fm.layouts.map(_.mkString(",")).mkString(";")}\n" +
           (if (fm.layoutTypes.forall(_.isEmpty)) "" else
             s"#layouttypes=${fm.layouts.indices.map(i =>
               fm.layoutTypes.lift(i).getOrElse(Map.empty[Int, DataType]).toSeq
-                .sortBy(_._1).map { case (id, t) => s"$id:${t.catalogString}" }
+                .sortBy(_._1).map { case (id, t) => s"$id:${escStat(t.catalogString)}" }
                 .mkString(",")).mkString(";")}\n") +
           (if (fm.defaults.isEmpty) "" else
             s"#fielddefaults=${fm.defaults.toSeq.sortBy(_._1)
@@ -1254,6 +1262,24 @@ private[v2] object GraftStoreFormat {
           case num: java.lang.Number => dblOk(mn.toDouble, mx.toDouble, num.doubleValue())
           case _ => true
         }
+        // decimal stats are UNSCALED longs at the column's scale; the
+        // filter value compares in exact BigDecimal math, collapsed to
+        // sign space like strings (one comparator serves every order)
+        case Some((mn, mx, dt: DecimalType)) =>
+          val x: java.math.BigDecimal = v match {
+            case bd: java.math.BigDecimal => bd
+            case bd: scala.math.BigDecimal => bd.bigDecimal
+            case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+            case num: java.lang.Number => new java.math.BigDecimal(num.toString)
+            case _ => null
+          }
+          if (x == null) true
+          else {
+            def dec(uns: String) = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(uns.toLong), dt.scale)
+            longOk(math.signum(dec(mn).compareTo(x)).toLong,
+              math.signum(dec(mx).compareTo(x)).toLong, 0L)
+          }
         case Some((mn, mx, StringType)) => v match {
           // compare in UTF8 BINARY order — the exact order the writer
           // tracked min/max in (UTF8String.compareTo), NOT Java's UTF-16
@@ -1317,6 +1343,8 @@ private[v2] object GraftStoreFormat {
           case StringType =>
             val b = row.getUTF8String(i).getBytes
             out.writeInt(b.length); out.write(b)
+          case dt: DecimalType if dt.precision <= 18 =>
+            out.writeLong(row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong)
           case other => throw new UnsupportedOperationException(
             s"graft-store: unsupported type $other")
         }
@@ -1343,6 +1371,9 @@ private[v2] object GraftStoreFormat {
         case StringType =>
           val b = new Array[Byte](in.readInt()); in.readFully(b)
           UTF8String.fromBytes(b)
+        case dt: DecimalType if dt.precision <= 18 =>
+          org.apache.spark.sql.types.Decimal.createUnsafe(
+            in.readLong(), dt.precision, dt.scale)
         case other => throw new UnsupportedOperationException(
           s"graft-store: unsupported type $other")
       }
@@ -1408,11 +1439,15 @@ private[v2] object GraftStoreFormat {
         case StringType =>
           val b = new Array[Byte](in.readInt()); in.readFully(b)
           UTF8String.fromBytes(b)
+        case dt: DecimalType if dt.precision <= 18 =>
+          org.apache.spark.sql.types.Decimal.createUnsafe(
+            in.readLong(), dt.precision, dt.scale)
         case other => throw new UnsupportedOperationException(
           s"graft-store: unsupported type $other")
       } else {
         schema.fields(i).dataType match {
           case LongType | TimestampType | DoubleType => skipFully(in, 8); skipped += 8
+          case dt: DecimalType if dt.precision <= 18 => skipFully(in, 8); skipped += 8
           case IntegerType | DateType | FloatType    => skipFully(in, 4); skipped += 4
           case BooleanType                           => skipFully(in, 1); skipped += 1
           case StringType =>
@@ -1437,8 +1472,13 @@ private[v2] object GraftStoreFormat {
     case FloatType                => 3: Byte
     case BooleanType              => 4: Byte
     case StringType               => 5: Byte
+    case dt: DecimalType if dt.precision <= 18 => 6: Byte
     case other => throw new UnsupportedOperationException(
-      s"graft-store: unsupported type $other")
+      s"graft-store: unsupported type $other" + (other match {
+        case d: DecimalType => s" (decimal precision ${d.precision} > 18: " +
+          "store as decimal(<=18,s) or double)"
+        case _ => ""
+      }))
   })
 }
 
@@ -1452,6 +1492,11 @@ private[v2] object GraftStoreFormat {
   * length-prefixed UTF-8 strings) — the reader cannot tell them apart. */
 private[v2] final class GraftRowEncoder(schema: StructType) {
   private val codes = GraftStoreFormat.typeCodes(schema)
+  // per-field (precision, scale) for decimal columns (code 6)
+  private val precs = schema.fields.map {
+    case StructField(_, d: DecimalType, _, _) => d.precision; case _ => 0 }
+  private val scales = schema.fields.map {
+    case StructField(_, d: DecimalType, _, _) => d.scale; case _ => 0 }
   private val n = schema.length
   private var buf = new Array[Byte](1 << 16)
   private var len = 0
@@ -1497,6 +1542,7 @@ private[v2] final class GraftRowEncoder(schema: StructType) {
           case 2 => putLong(java.lang.Double.doubleToLongBits(row.getDouble(i)))
           case 3 => putInt(java.lang.Float.floatToIntBits(row.getFloat(i)))
           case 4 => buf(len) = if (row.getBoolean(i)) 1 else 0; len += 1
+          case 6 => putLong(row.getDecimal(i, precs(i), scales(i)).toUnscaledLong)
           case _ =>
             val b = row.getUTF8String(i).getBytes
             ensure(4 + b.length)
@@ -1528,7 +1574,8 @@ private[v2] final class GraftRowEncoder(schema: StructType) {
   * copies rows on materialization), and pruned fields advance by pure
   * cursor arithmetic. Contract matches the stream decoder: clean EOF
   * exactly at buffer end, loud failure mid-row. */
-private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[Byte]) {
+private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[Byte],
+    precs: Array[Int] = Array.empty, scales: Array[Int] = Array.empty) {
   private val bb = java.nio.ByteBuffer.wrap(buf)
   private var pos = 0
   private var skipped = 0L
@@ -1551,13 +1598,16 @@ private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[By
           case 2 => vals(i) = bb.getDouble(pos); pos += 8
           case 3 => vals(i) = bb.getFloat(pos); pos += 4
           case 4 => vals(i) = buf(pos) != 0; pos += 1
+          case 6 =>
+            vals(i) = org.apache.spark.sql.types.Decimal.createUnsafe(
+              bb.getLong(pos), precs(i), scales(i)); pos += 8
           case _ =>
             val len = bb.getInt(pos); pos += 4
             vals(i) = UTF8String.fromBytes(buf, pos, len); pos += len
         } else {
           vals(i) = null
           codes(i) match {
-            case 0 | 2 => pos += 8; skipped += 8
+            case 0 | 2 | 6 => pos += 8; skipped += 8
             case 1 | 3 => pos += 4; skipped += 4
             case 4 => pos += 1; skipped += 1
             case _ => val len = bb.getInt(pos); pos += 4 + len; skipped += len
@@ -1604,11 +1654,15 @@ private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[By
           case 2 => w.write(out, bb.getDouble(pos)); pos += 8
           case 3 => w.write(out, bb.getFloat(pos)); pos += 4
           case 4 => w.write(out, buf(pos) != 0); pos += 1
+          case 6 =>
+            w.write(out, org.apache.spark.sql.types.Decimal.createUnsafe(
+              bb.getLong(pos), precs(i), scales(i)), precs(i), scales(i))
+            pos += 8
           case _ =>
             val len = bb.getInt(pos); pos += 4
             w.write(out, UTF8String.fromBytes(buf, pos, len)); pos += len
         } else codes(i) match {
-          case 0 | 2 => pos += 8; skipped += 8
+          case 0 | 2 | 6 => pos += 8; skipped += 8
           case 1 | 3 => pos += 4; skipped += 4
           case 4 => pos += 1; skipped += 1
           case _ => val len = bb.getInt(pos); pos += 4 + len; skipped += len
@@ -1632,7 +1686,7 @@ private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[By
       else {
         pos += 1
         codes(i) match {
-          case 0 | 2 => pos += 8
+          case 0 | 2 | 6 => pos += 8
           case 1 | 3 => pos += 4
           case 4 => pos += 1
           case _ => pos += 4 + bb.getInt(pos)
@@ -2775,6 +2829,9 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
           case IntegerType | DateType =>
             val v = record.getInt(i).toLong
             if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
+          case dt: DecimalType =>
+            val v = record.getDecimal(i, dt.precision, dt.scale).toUnscaledLong
+            if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
           case DoubleType | FloatType =>
             val v = if (schema.fields(i).dataType == FloatType) record.getFloat(i).toDouble
                     else record.getDouble(i)
@@ -2801,6 +2858,8 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
         if (!seen(i) || sawNaN(i)) None
         else schema.fields(i).dataType match {
           case LongType | TimestampType | IntegerType | DateType =>
+            Some(i -> (lMin(i).toString, lMax(i).toString))
+          case _: DecimalType =>
             Some(i -> (lMin(i).toString, lMax(i).toString))
           case DoubleType | FloatType =>
             Some(i -> (dMin(i).toString, dMax(i).toString))
@@ -2957,6 +3016,7 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
       case FloatType => record.getFloat(i)
       case BooleanType => record.getBoolean(i)
       case StringType => record.getUTF8String(i)
+      case dt: DecimalType => record.getDecimal(i, dt.precision, dt.scale)
       case _ => "?"
     } catch { case _: Throwable => "?" }
 
@@ -5247,6 +5307,9 @@ object GraftStoreOps {
     def cmp(a: String, b: String): Int = dt match {
       case LongType | IntegerType | DateType | TimestampType =>
         java.lang.Long.compare(a.toLong, b.toLong)
+      // decimal stats are unscaled longs at one shared scale: long order
+      // IS decimal order
+      case _: DecimalType => java.lang.Long.compare(a.toLong, b.toLong)
       case DoubleType | FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
       case StringType =>
         UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
@@ -6995,7 +7058,11 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
           }
           if (pendingBuf != null) {
             bufr = new GraftBufferedRowReader(pendingBuf,
-              GraftStoreFormat.typeCodes(fileSchema))
+              GraftStoreFormat.typeCodes(fileSchema),
+              fileSchema.fields.map {
+                case StructField(_, d: DecimalType, _, _) => d.precision; case _ => 0 },
+              fileSchema.fields.map {
+                case StructField(_, d: DecimalType, _, _) => d.scale; case _ => 0 })
             vals = new Array[Any](fileSchema.length)
             pendingBuf = null
           }
@@ -7106,6 +7173,9 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
                     case BooleanType => unsafeWriter.write(ord, dv.asInstanceOf[Boolean])
                     case StringType =>
                       unsafeWriter.write(ord, dv.asInstanceOf[UTF8String])
+                    case d: DecimalType => unsafeWriter.write(ord,
+                      dv.asInstanceOf[org.apache.spark.sql.types.Decimal],
+                      d.precision, d.scale)
                     case _ => unsafeWriter.setNullAt(ord)
                   }
                   k += 1

@@ -76,10 +76,12 @@ class GraftCatalogLifecycleSpec extends AnyFunSuite with graft.SparkTestBase {
     intercept[Exception] {
       spark.sql("CREATE TABLE ddl4.c (id BIGINT) TBLPROPERTIES ('numRows'='1')")
     }
+    // decimal(<=18,s) is codec-supported since r8; precision > 18 refuses
     val e2 = intercept[Exception] {
-      spark.sql("CREATE TABLE ddl4.b (id DECIMAL(10,2))")
+      spark.sql("CREATE TABLE ddl4.b (id DECIMAL(25,3))")
     }
     assert(e2.getMessage.contains("codec-unsupported"))
+    spark.sql("CREATE TABLE ddl4.d (id DECIMAL(12,2))") // fine
   }
 
   test("CTAS is atomic and carries declared layout") {

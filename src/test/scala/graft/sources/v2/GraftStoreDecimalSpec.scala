@@ -1,0 +1,114 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DECIMAL(p<=18, s) as a first-class codec type: 8-byte UNSCALED long on
+  * the wire (all values of a column share one scale, so unscaled-long
+  * order IS decimal order — Iceberg's representation), exact min/max
+  * stats + file skipping, DML, CHECK, defaults, and equality-delete keys.
+  * Precision > 18 refuses loudly (store as decimal(<=18,s) or double). */
+class GraftStoreDecimalSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val catBase: String = {
+    val base = Files.createTempDirectory("graft-dec").toString
+    spark.conf.set("spark.sql.catalog.deccat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.deccat.base", base)
+    base
+  }
+
+  private def tmp(): String = Files.createTempDirectory("graft-dec-t").toString
+
+  test("round-trip: exact values, nulls, pruned projection") {
+    val dir = tmp()
+    spark.range(0, 1000)
+      .select(col("id"),
+        when(col("id") % 100 === 0, lit(null))
+          .otherwise((col("id") * 7).cast("decimal(12,2)") / 4).as("amt"),
+        concat(lit("r"), col("id")).as("tag"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.schema("amt").dataType.sql === "DECIMAL(16,6)"
+      || back.schema("amt").dataType.sql.startsWith("DECIMAL"))
+    assert(back.filter(col("amt").isNull).count() === 10)
+    // exact sum in decimal math, matching the in-memory frame
+    val expect = spark.range(0, 1000)
+      .select(when(col("id") % 100 === 0, lit(null))
+        .otherwise((col("id") * 7).cast("decimal(12,2)") / 4).as("amt"))
+      .agg(sum("amt")).collect()(0).getDecimal(0)
+    assert(back.agg(sum("amt")).collect()(0).getDecimal(0) === expect)
+    // pruned projection excludes the decimal column (skip path: 8 bytes)
+    assert(back.select("id").filter(col("id") < 10).count() === 10)
+  }
+
+  test("min/max stats skip files on decimal predicates, exactly") {
+    val dir = tmp()
+    spark.range(0, 8000)
+      .select(col("id"), (col("id").cast("decimal(14,2)") / 100).as("price"))
+      .repartitionByRange(8, col("price"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val before = GraftStoreFormat.scannedFileSlices.sum()
+    val n = spark.read.format("graft-store").load(dir)
+      .filter(col("price") < lit(new java.math.BigDecimal("1.00"))).count()
+    val opened = GraftStoreFormat.scannedFileSlices.sum() - before
+    assert(n === 100) // prices 0.00 .. 0.99
+    assert(opened <= 2, s"decimal range predicate opened $opened of 8 files")
+    // boundary exactness: no off-by-scale in the unscaled comparison
+    assert(spark.read.format("graft-store").load(dir)
+      .filter(col("price") === lit(new java.math.BigDecimal("79.99"))).count() === 1)
+  }
+
+  test("SQL DML + CHECK + MOR eq-delete keys on decimal columns") {
+    catBase
+    spark.sql("CREATE TABLE deccat.pay (id BIGINT, amt DECIMAL(12,2)) " +
+      "USING `graft-store` TBLPROPERTIES ('check'='amt >= 0', 'dmlMode'='mor')")
+    Seq((1L, "10.50"), (2L, "20.25"), (3L, "0.75"))
+      .toDF("id", "s").select(col("id"), col("s").cast("decimal(12,2)").as("amt"))
+      .write.format("graft-store").mode("append").save(s"$catBase/pay")
+    // CHECK enforces decimal comparison
+    intercept[Exception] {
+      Seq((9L, "-1.00")).toDF("id", "s")
+        .select(col("id"), col("s").cast("decimal(12,2)").as("amt"))
+        .write.format("graft-store").mode("append").save(s"$catBase/pay")
+    }
+    spark.sql("UPDATE deccat.pay SET amt = amt + 1.00 WHERE id = 2")
+    assert(spark.sql("SELECT amt FROM deccat.pay WHERE id = 2")
+      .collect()(0).getDecimal(0).toString === "21.25")
+    spark.sql("DELETE FROM deccat.pay WHERE amt < 1.00")
+    assert(spark.sql("SELECT count(*) FROM deccat.pay").collect()(0).getLong(0) === 2)
+    // upsert keyed on the decimal column (equality-delete key)
+    GraftStoreOps.upsertMor(spark, s"$catBase/pay",
+      Seq((10L, "10.50")).toDF("id", "s")
+        .select(col("id"), col("s").cast("decimal(12,2)").as("amt")),
+      Seq("amt"))
+    val rows = spark.sql("SELECT id, amt FROM deccat.pay ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toString))
+    assert(rows.toSeq === Seq((2L, "21.25"), (10L, "10.50")))
+  }
+
+  test("ADD COLUMN DECIMAL DEFAULT: old rows read the default exactly") {
+    catBase
+    spark.sql("CREATE TABLE deccat.fee (id BIGINT) USING `graft-store`")
+    spark.range(0, 5).toDF("id").write.format("graft-store")
+      .mode("append").save(s"$catBase/fee")
+    spark.sql("ALTER TABLE deccat.fee ADD COLUMNS (rate DECIMAL(6,3) DEFAULT 1.250)")
+    spark.sql("INSERT INTO deccat.fee VALUES (100, 9.875)")
+    val got = spark.sql("SELECT rate, count(*) AS n FROM deccat.fee GROUP BY rate")
+      .collect().map(r => r.getDecimal(0).toString -> r.getLong(1)).toMap
+    assert(got === Map("1.250" -> 5L, "9.875" -> 1L))
+  }
+
+  test("precision > 18 refuses loudly everywhere") {
+    val dir = tmp()
+    val e = intercept[Exception] {
+      spark.range(0, 3).select(col("id").cast("decimal(25,3)").as("big"))
+        .write.format("graft-store").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("18") ||
+      Option(e.getCause).exists(_.getMessage.contains("18")))
+  }
+}
