@@ -616,14 +616,22 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             val widens = (oldT, newT) match {
               case (IntegerType, LongType) => true
               case (FloatType, DoubleType) => true
+              // decimal PRECISION widening at the SAME scale (Iceberg's
+              // decimal promotion): the wire stays the 8-byte unscaled
+              // long, stats strings re-parse losslessly, values identical
+              case (d1: org.apache.spark.sql.types.DecimalType,
+                    d2: org.apache.spark.sql.types.DecimalType) =>
+                d1.scale == d2.scale && d2.precision > d1.precision &&
+                  d2.precision <= 18
               case _ => false
             }
             require(widens,
               s"graft catalog: cannot retype column $colName from " +
                 s"${oldT.simpleString} to ${newT.simpleString} — only the " +
-                "safe promotions int→bigint and float→double alter in " +
-                "place (Iceberg's widening set for this codec); other " +
-                "retypes need an overwrite")
+                "safe promotions int→bigint, float→double and " +
+                "decimal(p,s)→decimal(p2<=18,s) alter in place (Iceberg's " +
+                "widening set for this codec); other retypes need an " +
+                "overwrite")
             // Widening preserves VALUES, but metadata that cached narrow
             // ENCODINGS does not follow automatically — refuse where a
             // stale encoding would lie:

@@ -5784,6 +5784,9 @@ object GraftStoreOps {
       (source.schema(f.name).dataType, f.dataType) match {
         case (IntegerType, LongType) => s.cast(LongType).as(f.name)
         case (FloatType, DoubleType) => s.cast(DoubleType).as(f.name)
+        case (d1: DecimalType, d2: DecimalType)
+            if d1.scale == d2.scale && d2.precision > d1.precision =>
+          s.cast(d2).as(f.name)
         case _ => s
       }
     }.toSeq: _*)
@@ -6966,6 +6969,7 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
       // kind 1 = int→long, 2 = float→double
       private var convPos: Array[Int] = Array.emptyIntArray
       private var convKind: Array[Byte] = Array.emptyByteArray
+      private var convDec: Array[DecimalType] = Array.empty
       private def openNext(): Boolean = remaining match {
         case s +: rest =>
           remaining = rest
@@ -7012,14 +7016,22 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
               // the logical type
               val cp = scala.collection.mutable.ArrayBuffer.empty[Int]
               val ck = scala.collection.mutable.ArrayBuffer.empty[Byte]
+              val cd = scala.collection.mutable.ArrayBuffer.empty[DecimalType]
               r.physToTable.zipWithIndex.foreach { case (t, p) =>
                 if (t >= 0) (r.physTypes(p), full.fields(t).dataType) match {
                   case (IntegerType, LongType) => cp += p; ck += 1
                   case (FloatType, DoubleType) => cp += p; ck += 2
+                  // decimal precision widening: same scale, same unscaled
+                  // bytes — re-wrap at the table's declared precision so
+                  // every consumer sees the logical type
+                  case (d1: DecimalType, d2: DecimalType) if d1 != d2 =>
+                    cp += p; ck += 3; cd += d2
                   case _ => ()
                 }
               }
               convPos = cp.toArray; convKind = ck.toArray
+              convDec = { val it = cd.iterator
+                ck.map(k => if (k == 3) it.next() else null).toArray }
             case None =>
               fileSchema =
                 if (s.ncols >= full.length) full
@@ -7027,6 +7039,7 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
               tableToPhys =
                 Array.tabulate(full.length)(t => if (t < s.ncols) t else -1)
               convPos = Array.emptyIntArray; convKind = Array.emptyByteArray
+              convDec = Array.empty
           }
           curFile = UTF8String.fromString(s.file)
           deleted = loadDeletes(s)
@@ -7209,6 +7222,11 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
                 val v = cur(p)
                 if (v != null) cur(p) = convKind(c) match {
                   case 1 => Long.box(v.asInstanceOf[Int].toLong)
+                  case 3 =>
+                    val d = convDec(c)
+                    org.apache.spark.sql.types.Decimal.createUnsafe(
+                      v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                        .toUnscaledLong, d.precision, d.scale)
                   case _ => Double.box(v.asInstanceOf[Float].toDouble)
                 }
                 c += 1

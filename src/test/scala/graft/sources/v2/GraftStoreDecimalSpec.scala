@@ -102,6 +102,38 @@ class GraftStoreDecimalSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(got === Map("1.250" -> 5L, "9.875" -> 1L))
   }
 
+  test("decimal precision widening is metadata-only; mixed widths read exactly") {
+    catBase
+    spark.sql("CREATE TABLE deccat.w (id BIGINT, amt DECIMAL(8,2)) USING `graft-store`")
+    Seq((1L, "12.34"), (2L, "56.78")).toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(8,2)").as("amt"))
+      .write.format("graft-store").mode("append").save(s"$catBase/w")
+    val fs = new org.apache.hadoop.fs.Path(s"$catBase/w")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$catBase/w"))
+        .map(_.getPath.getName).filter(_.endsWith(".gsf")).toSet
+    val before = dataFiles()
+    spark.sql("ALTER TABLE deccat.w ALTER COLUMN amt TYPE DECIMAL(14,2)")
+    assert(dataFiles() === before, "widening must rewrite zero data files")
+    assert(spark.table("deccat.w").schema("amt").dataType.sql === "DECIMAL(14,2)")
+    // post-widening rows need the wider precision; pre-widening files
+    // read exactly through their recorded written type
+    spark.sql("INSERT INTO deccat.w VALUES (3, 123456789012.99)")
+    val total = spark.sql("SELECT sum(amt) AS t FROM deccat.w")
+      .collect()(0).getDecimal(0)
+    assert(total.toString === "123456789082.11")
+    // stats survive (unscaled strings re-parse losslessly): a range
+    // predicate still prunes pre-widening files
+    assert(spark.sql("SELECT count(*) FROM deccat.w WHERE amt < 100.00")
+      .collect()(0).getLong(0) === 2)
+    // scale changes and narrowing still refuse
+    intercept[Exception](spark.sql(
+      "ALTER TABLE deccat.w ALTER COLUMN amt TYPE DECIMAL(14,4)"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE deccat.w ALTER COLUMN amt TYPE DECIMAL(8,2)"))
+  }
+
   test("precision > 18 refuses loudly everywhere") {
     val dir = tmp()
     val e = intercept[Exception] {
