@@ -3241,6 +3241,9 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
               case DoubleType => java.lang.Double.valueOf(raw.toDouble): Any
               case FloatType => java.lang.Float.valueOf(raw.toFloat): Any
               case StringType => UTF8String.fromString(raw): Any
+              // decimal stats are unscaled longs at the column's scale
+              case d: DecimalType => org.apache.spark.sql.types.Decimal
+                .createUnsafe(raw.toLong, d.precision, d.scale): Any
               case _ => null // unsupported type → treated as missing stats
             }
           }.filter(_ != null)
@@ -3258,6 +3261,8 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
               case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
               case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
               case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+              case (x: org.apache.spark.sql.types.Decimal,
+                    y: org.apache.spark.sql.types.Decimal) => x.compareTo(y)
               case _ => 0
             }
             if ((c <= 0) == wantMin) a else b
@@ -4022,6 +4027,8 @@ private[v2] class GraftStoreScan(protected val path: String,
           case DoubleType => java.lang.Double.valueOf(raw.toDouble)
           case FloatType => java.lang.Float.valueOf(raw.toFloat)
           case StringType => UTF8String.fromString(raw)
+          case d: DecimalType => org.apache.spark.sql.types.Decimal
+            .createUnsafe(raw.toLong, d.precision, d.scale)
           case _ => null
         }
         val perFile = files.filter(_.rows > 0).map(_.stats.get(i))
@@ -4036,6 +4043,8 @@ private[v2] class GraftStoreScan(protected val path: String,
               case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
               case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
               case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+              case (x: org.apache.spark.sql.types.Decimal,
+                    y: org.apache.spark.sql.types.Decimal) => x.compareTo(y)
               case _ => 0
             }
             if ((c <= 0) == wantMin) a else b

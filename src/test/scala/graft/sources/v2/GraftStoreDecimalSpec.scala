@@ -134,6 +134,22 @@ class GraftStoreDecimalSpec extends AnyFunSuite with graft.SparkTestBase {
       "ALTER TABLE deccat.w ALTER COLUMN amt TYPE DECIMAL(8,2)"))
   }
 
+  test("min/max aggregate pushdown serves decimal from the manifest") {
+    val dir = tmp()
+    spark.range(0, 1000)
+      .select(col("id"), (col("id").cast("decimal(12,2)") / 8).as("amt"))
+      .repartition(4).write.format("graft-store").mode("overwrite").save(dir)
+    val agg = spark.read.format("graft-store").load(dir)
+      .agg(min("amt").as("mn"), max("amt").as("mx"), count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"decimal min/max should serve from the manifest:\n$plan")
+    val r = agg.collect()(0)
+    assert(r.getDecimal(0).toString === "0.000000")
+    assert(r.getDecimal(1).toString === "124.875000")
+    assert(r.getLong(2) === 1000L)
+  }
+
   test("precision > 18 refuses loudly everywhere") {
     val dir = tmp()
     val e = intercept[Exception] {
