@@ -67,13 +67,22 @@ private[v2] class GraftProcedures(base: String) {
           ("removed_files", IntegerType, fs))
       }),
     Proc("compact",
-      "rewrite the whole snapshot into target-sized files (masks applied, layout kept)",
+      "rewrite into target-sized files (masks applied, layout kept); " +
+        "`where` scopes the rewrite to matching files (one partition, " +
+        "one key range) — the rest of the table carries with zero I/O",
       Seq(p("table", StringType),
-        pd("target_bytes", LongType, s"${64L << 20}")),
+        pd("target_bytes", LongType, s"${64L << 20}"),
+        pd("where", StringType, "''")),
       (s, in) => {
-        val n = GraftStoreOps.compactSnapshot(
-          s, pathOf(in.getUTF8String(0).toString), in.getLong(1))
-        oneRow(("compacted_files", IntegerType, n))
+        val path = pathOf(in.getUTF8String(0).toString)
+        val where = in.getUTF8String(2).toString
+        val (rw, carried) =
+          if (where.isEmpty)
+            (GraftStoreOps.compactSnapshot(s, path, in.getLong(1)), 0)
+          else GraftStoreOps.compactWhere(
+            s, path, org.apache.spark.sql.functions.expr(where), in.getLong(1))
+        oneRow(("compacted_files", IntegerType, rw),
+          ("carried_files", IntegerType, carried))
       }),
     Proc("compact_small_files",
       "binpack ONLY under-threshold files; right-sized files carry zero-I/O",

@@ -5289,6 +5289,50 @@ object GraftStoreOps {
       affectedOverride = Some(small.map(_._1)))
   }
 
+  /** SCOPED compaction (Iceberg `rewrite_data_files(where => ...)`): merge
+    * into ~targetBytes files ONLY where the predicate points — layout-value
+    * pruning and min/max stats select the file set exactly like a scan
+    * would, so `where = "day = '2026-08-14'"` on a day-partitioned table
+    * touches ONE partition and the rest of the 100 TB carries with zero
+    * I/O. May-match selection is conservative (a boundary file compacts
+    * along — harmless); rows are preserved exactly, masks repaid for the
+    * slice, the declared layout re-applied by the COW kernel. Returns
+    * (files rewritten, files carried). */
+  def compactWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column, targetBytes: Long): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = GraftStoreFormat.fs(path, conf)
+    val m = GraftStoreFormat.readLatestManifest(path, conf)
+      .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
+    val df = spark.read.format("graft-store").load(path)
+    val resolved = df.filter(cond).queryExecution.analyzed.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt.condition
+    }
+    val v1 = resolved.flatMap(toV1Filter(_))
+    val layoutOk = GraftStoreScan.layoutPruner(m,
+      v1.toSeq.flatMap(GraftStoreScan.conjuncts))
+    val affected = m.files.filter { e =>
+      val eL = GraftStoreFormat.logicalStatsView(m, e)
+      layoutOk(e) && v1.forall(GraftStoreFormat.mayMatch(m.schema, eL, _))
+    }
+    // one in-scope file merges with nothing — unless a mask covers it
+    // (the rewrite then repays its read debt), same economics as
+    // compactSmallFiles
+    val worthIt = affected.size >= 2 || affected.exists { e =>
+      GraftStoreFormat.coveringDeletes(path, m, e.name).nonEmpty ||
+        m.eqDeletes.exists(_.covers(e))
+    }
+    if (!worthIt) return (0, m.files.size)
+    val bytes = affected.map { e =>
+      try f.getFileStatus(new Path(path, e.name)).getLen
+      catch { case _: Throwable => 0L }
+    }.sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    cowRewrite(spark, path, org.apache.spark.sql.functions.lit(true),
+      dfr => dfr.coalesce(n),
+      affectedOverride = Some(affected))
+  }
+
   /** Incremental CLUSTER maintenance (Iceberg `rewrite_data_files`
     * sort-strategy economics): rewrite ONLY the files whose leading
     * cluster-key ranges OVERLAP — unclustered appends gradually degrade

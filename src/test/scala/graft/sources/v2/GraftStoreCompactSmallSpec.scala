@@ -19,6 +19,34 @@ class GraftStoreCompactSmallSpec extends AnyFunSuite with graft.SparkTestBase {
     GraftStoreFormat.readLatestManifest(
       dir, spark.sparkContext.hadoopConfiguration).get.files.map(_.name).toSet
 
+  test("compactWhere scopes the rewrite to the matching partition only") {
+    val dir = tmpDir()
+    // day-partitioned table, 3 small epoch appends per day
+    (0 until 3).foreach { i =>
+      Seq.tabulate(40)(j => (s"d${j % 2}", i * 100L + j)).toDF("day", "v")
+        .coalesce(1).write.format("graft-store")
+        .option("partitionBy", "day").mode(if (i == 0) "overwrite" else "append")
+        .save(dir)
+    }
+    val before = fileNames(dir)
+    assert(before.size === 6, s"3 appends x 2 day values: $before")
+    val d1Before = spark.read.format("graft-store").load(dir)
+      .filter(col("day") === "d1").as[(String, Long)].collect().toSet
+    val (rw, carried) = GraftStoreOps.compactWhere(spark, dir,
+      col("day") === "d1", targetBytes = 64L << 20)
+    assert(rw === 3 && carried === 3, s"only d1's files rewrite: ($rw, $carried)")
+    val after = fileNames(dir)
+    assert(after.size === 4, s"d1 binpacks to one file, d0 carries: $after")
+    assert((before -- after).size === 3 && (after -- before).size === 1)
+    // rows preserved exactly; the untouched partition is byte-identical
+    assert(spark.read.format("graft-store").load(dir)
+      .filter(col("day") === "d1").as[(String, Long)].collect().toSet === d1Before)
+    assert(spark.read.format("graft-store").load(dir).count() === 120)
+    // an out-of-scope predicate is a cheap no-op
+    assert(GraftStoreOps.compactWhere(spark, dir,
+      col("day") === "nope", 64L << 20) === ((0, 4)))
+  }
+
   test("small files merge; the big file carries untouched") {
     val dir = tmpDir()
     // one big file (5000 rows) ...
