@@ -3736,6 +3736,57 @@ object SystemQueries {
            |WHERE CAST(l_extendedprice AS DECIMAL(14,2)) < CAST('20000.00' AS DECIMAL(14,2))
            |GROUP BY l_returnflag""".stripMargin))
 
+  /** CONTINUOUS materialized-view maintenance
+    * ([[graft.sources.v2.GraftMview.streamRefresh]]): a Structured
+    * Streaming trigger runs an incremental refresh after every
+    * micro-batch of source commits. The stream holds NO state — each
+    * refresh reads churn from the DURABLE watermark and publishes
+    * atomically, so restarts/replays are no-ops by construction; the
+    * batch DataFrame is never executed (pure commit notification). The
+    * ingest-tier shape at 100 TB: the dashboard aggregate lags ingest by
+    * one trigger, at per-batch churn cost. */
+  val q200MviewStream = QuerySpec(
+    "q200_mview_stream", "S-dsv2-mview-stream",
+    "streaming MV maintenance: per-batch incremental refresh equals recompute",
+    (s, d) => {
+      val base = "/tmp/graft_store_q200"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq200", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq200.base", base)
+      try {
+        val src = s"$base/src"
+        val mv = s"$base/mv"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        baseDf.filter(col("o_orderkey") < 3000)
+          .write.format("graft-store").mode("overwrite").save(src)
+        graft.sources.v2.GraftMview.create(s, mv,
+          "SELECT o_orderpriority AS priority, count(*) AS n, " +
+            "sum(o_totalprice) AS sp FROM gq200.src GROUP BY o_orderpriority")
+        val q = graft.sources.v2.GraftMview.streamRefresh(s, mv,
+          s"$base/_ckpt")
+        try {
+          q.processAllAvailable()
+          baseDf.filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 5000)
+            .write.format("graft-store").mode("append").save(src)
+          q.processAllAvailable()
+          baseDf.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 7000)
+            .write.format("graft-store").mode("append").save(src)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.format("graft-store").load(mv)
+          .select(col("priority"), col("n"), round(col("sp"), 2).as("sp"))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq200")
+        s.conf.unset("spark.sql.catalog.gq200.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sp
+           |FROM orders WHERE o_orderkey < 7000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3755,5 +3806,6 @@ object SystemQueries {
     q183TemporalLayout, q184MetaDrop, q185PartitionOverwrite, q186SqlDdl,
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
-    q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal)
+    q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
+    q200MviewStream)
 }

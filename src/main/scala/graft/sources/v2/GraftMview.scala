@@ -44,7 +44,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * At 100 TB this is the difference between re-running a full aggregation
   * pipeline per refresh and paying for the day's churn: the refresh cost
   * tracks ingest volume, not table size. */
-private[v2] object GraftMview {
+object GraftMview {
 
   /** One output column of the view: a group key or an aggregate. */
   private[v2] sealed trait ColSpec { def out: String }
@@ -189,6 +189,29 @@ private[v2] object GraftMview {
           .map { case (k, v) => s"${enc(k)}:${enc(v)}" }.mkString(","))
       .mode("overwrite").save(mvPath)
     (n, headIdx)
+  }
+
+  /** CONTINUOUS maintenance: a Structured Streaming TRIGGER that runs an
+    * incremental [[refresh]] after every micro-batch of new source
+    * commits. The stream carries no state of its own — each refresh
+    * reads the churn between the DURABLE watermark and the source head
+    * and publishes atomically, so a replayed batch (restart, crash) is a
+    * no-op by construction: exactly-once effect without touching the
+    * checkpoint's semantics. The batch DataFrame itself is never
+    * executed — the stream is pure commit-notification plumbing; the
+    * refresh does its own (churn-proportional) reads. */
+  def streamRefresh(spark: SparkSession, mvPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val props = GraftStoreOps.tableProps(spark, mvPath)
+    require(props.get("graft.mv").contains("true"),
+      s"graft mview: $mvPath is not a materialized view")
+    val srcPath = props("graft.mv.source")
+    spark.readStream.format("graft-store").load(srcPath)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, mvPath); ()
+      }
+      .start()
   }
 
   /** REFRESH: no-op if the watermark is the head; INCREMENTAL (signed

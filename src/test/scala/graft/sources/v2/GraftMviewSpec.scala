@@ -130,6 +130,36 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       "c" -> ((1L, 9L)), "d" -> ((1L, 3L))))
   }
 
+  test("streamRefresh maintains the view continuously; restart replays nothing") {
+    catBase
+    val srcDir = s"$catBase/src6"
+    val mvDir = s"$catBase/mv6"
+    val ckpt = Files.createTempDirectory("graft-mv-ck").toString
+    Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.src6 GROUP BY g")
+    def run(appends: Seq[Seq[(String, Long)]]): Unit = {
+      val q = GraftMview.streamRefresh(spark, mvDir, ckpt)
+      try {
+        q.processAllAvailable()
+        appends.foreach { batch =>
+          batch.toDF("g", "v").write.format("graft-store")
+            .mode("append").save(srcDir)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    run(Seq(Seq(("a", 10L)), Seq(("c", 5L), ("a", 100L))))
+    assert(mvRows(mvDir) === Map("a" -> ((3L, 111L)), "b" -> ((1L, 2L)),
+      "c" -> ((1L, 5L))))
+    assert(GraftStoreOps.tableProps(spark, mvDir)("graft.mv.watermark").toInt === 2)
+    // restart with the same checkpoint: no replay, no double-count
+    run(Seq(Seq(("b", 8L))))
+    assert(mvRows(mvDir) === Map("a" -> ((3L, 111L)), "b" -> ((2L, 10L)),
+      "c" -> ((1L, 5L))))
+  }
+
   test("unmaintainable shapes are refused with guidance") {
     catBase
     val srcDir = s"$catBase/src5"
