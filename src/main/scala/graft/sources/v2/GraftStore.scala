@@ -3625,6 +3625,22 @@ private[v2] object GraftStoreScan {
             val x = n.doubleValue()
             longOk(math.signum(mn.toDouble.compareTo(x)).toLong,
               math.signum(mx.toDouble.compareTo(x)).toLong, 0L)
+          case (d: DecimalType, v2) =>
+            // decimal stats are unscaled longs; EXACT BigDecimal compare
+            // collapsed to sign space — must-proofs cannot round
+            val x: java.math.BigDecimal = v2 match {
+              case bd: java.math.BigDecimal => bd
+              case bd: scala.math.BigDecimal => bd.bigDecimal
+              case dd: org.apache.spark.sql.types.Decimal => dd.toJavaBigDecimal
+              case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+              case _ => null
+            }
+            x != null && {
+              def dec(uns: String) = new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(uns.toLong), d.scale)
+              longOk(math.signum(dec(mn).compareTo(x)).toLong,
+                math.signum(dec(mx).compareTo(x)).toLong, 0L)
+            }
           case (StringType, s: String) =>
             // UTF8 binary order — the stats' own ordering (see mayMatch)
             val x = UTF8String.fromString(s)

@@ -150,6 +150,31 @@ class GraftStoreDecimalSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(r.getLong(2) === 1000L)
   }
 
+  test("metadata-only DELETE proves full coverage on a decimal predicate") {
+    val dir = tmp()
+    // four files with EXACT disjoint price ranges [0,10) [10,20) ...
+    (0 until 4).foreach { i =>
+      spark.range(i * 1000, (i + 1) * 1000)
+        .select(col("id"), (col("id").cast("decimal(14,2)") / 100).as("price"))
+        .coalesce(1).write.format("graft-store")
+        .mode(if (i == 0) "overwrite" else "append").save(dir)
+    }
+    val filesBefore = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get.files.map(_.name).toSet
+    // prices 0.00..39.99: [0,10) covers exactly the first range file
+    GraftStoreOps.deleteWhere(spark, dir,
+      col("price") < lit(new java.math.BigDecimal("10.00")))
+    val after = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get
+    val afterNames = after.files.map(_.name).toSet
+    // metadata-only: the covered file LEFT the listing, nothing rewrote
+    // (no new file names — the decimal must-proof carried the drop)
+    assert(after.files.size === 3 && afterNames.subsetOf(filesBefore)
+      && (afterNames -- filesBefore).isEmpty,
+      s"expected a pure metadata drop; before=$filesBefore after=$afterNames")
+    assert(spark.read.format("graft-store").load(dir).count() === 3000)
+  }
+
   test("precision > 18 refuses loudly everywhere") {
     val dir = tmp()
     val e = intercept[Exception] {
