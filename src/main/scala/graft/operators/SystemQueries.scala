@@ -3787,6 +3787,64 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 7000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** MV MIN/MAX maintenance ([[graft.sources.v2.GraftMview]]): extremes
+    * are not sign-maintainable under removals, so refresh splits the
+    * changed groups — insert-only groups take the least/greatest fast
+    * path against their stored value; removal-touched groups RESCAN from
+    * the pinned source scoped to exactly those group keys (churn-groups
+    * cost, never table cost). The q151/q197 churn trio exercises both:
+    * the delete and the update remove rows (rescan), the append inserts
+    * (fast path) — and the result must equal the recompute. */
+  val q201MviewMinmax = QuerySpec(
+    "q201_mview_minmax", "S-dsv2-mview-minmax",
+    "MV min/max: insert fast path + removal-group rescan equals recompute",
+    (s, d) => {
+      val base = "/tmp/graft_store_q201"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq201", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq201.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        baseDf.filter(col("o_orderkey") < 4000)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        s.sql("CALL gq201.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS priority, count(*) AS n, " +
+          "min(o_totalprice) AS mn, max(o_totalprice) AS mx " +
+          "FROM gq201.src GROUP BY o_orderpriority')")
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        baseDf.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 6000)
+          .write.format("graft-store").mode("append").save(src)
+        graft.sources.v2.GraftStoreOps.updateWhere(s, src,
+          col("o_orderkey") >= 2000 && col("o_orderkey") < 3000,
+          Map("o_totalprice" -> (col("o_totalprice") + 10)))
+        val r = s.sql("CALL gq201.system.refresh_mview('mv')").collect()(0)
+        val incremental = r.getString(0) == "incremental"
+        s.sql("""SELECT priority, n, round(mn, 2) AS mn, round(mx, 2) AS mx
+                |FROM gq201.mv""".stripMargin)
+          .withColumn("incremental", lit(incremental))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq201")
+        s.conf.unset("spark.sql.catalog.gq201.base")
+      }
+    },
+    Some("""WITH final AS (
+           |  SELECT o_orderkey, o_totalprice, o_orderpriority
+           |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 6000),
+           |adjusted AS (
+           |  SELECT o_orderpriority,
+           |    CASE WHEN o_orderkey >= 2000 AND o_orderkey < 3000
+           |      THEN o_totalprice + 10 ELSE o_totalprice END AS price
+           |  FROM final)
+           |SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(min(price), 2) AS mn, round(max(price), 2) AS mx,
+           |  TRUE AS incremental
+           |FROM adjusted GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3807,5 +3865,5 @@ object SystemQueries {
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
-    q200MviewStream)
+    q200MviewStream, q201MviewMinmax)
 }

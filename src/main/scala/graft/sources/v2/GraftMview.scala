@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
@@ -23,9 +23,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * columns, DISTRIBUTIVE aggregates only (count/sum). One `count(*)` is
   * REQUIRED: it is the group-liveness column (a group whose count reaches
   * zero leaves the view — the standard IVM device; without it, deletions
-  * could strand empty groups). avg/min/max are refused with guidance
-  * (avg = sum/count downstream; min/max are not self-maintainable under
-  * deletes — they would need a per-group recompute).
+  * could strand empty groups). min/max ARE supported: groups that saw
+  * only inserts since the watermark maintain via least/greatest against
+  * the stored value; groups touched by any removal RESCAN from the
+  * (pinned) source scoped to just those group keys — churn-groups cost,
+  * never table cost. avg is refused with guidance (= sum/count
+  * downstream); distinct aggregates are refused.
   *
   * Refresh is O(churn), not O(table): [[GraftStoreOps.signedChanges]]
   * yields +1/-1 row deltas reading only files whose membership or delete
@@ -51,6 +54,8 @@ object GraftMview {
   private[v2] case class GroupCol(src: String, out: String) extends ColSpec
   private[v2] case class CountCol(out: String) extends ColSpec
   private[v2] case class SumCol(src: String, out: String) extends ColSpec
+  private[v2] case class MinCol(src: String, out: String) extends ColSpec
+  private[v2] case class MaxCol(src: String, out: String) extends ColSpec
 
   private def enc(s: String): String = GraftStoreFormat.escStat(s)
   private def dec(s: String): String = GraftStoreFormat.unescStat(s)
@@ -59,6 +64,8 @@ object GraftMview {
     case GroupCol(s, o) => s"g:${enc(s)}:${enc(o)}"
     case CountCol(o) => s"c::${enc(o)}"
     case SumCol(s, o) => s"s:${enc(s)}:${enc(o)}"
+    case MinCol(s, o) => s"m:${enc(s)}:${enc(o)}"
+    case MaxCol(s, o) => s"x:${enc(s)}:${enc(o)}"
   }.mkString(";")
 
   private[v2] def decodeCols(s: String): Seq[ColSpec] =
@@ -68,6 +75,8 @@ object GraftMview {
         case "g" => GroupCol(dec(a), dec(b))
         case "c" => CountCol(dec(b))
         case "s" => SumCol(dec(a), dec(b))
+        case "m" => MinCol(dec(a), dec(b))
+        case "x" => MaxCol(dec(a), dec(b))
       }
     }
 
@@ -77,9 +86,8 @@ object GraftMview {
   private def recognize(plan: LogicalPlan): (String, Option[String], Seq[ColSpec]) = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"graft mview: $why — the maintainable shape is SELECT <group cols>, " +
-        "count(*) AS n [, sum(col) AS s ...] FROM <graft table> [WHERE p] " +
-        "GROUP BY <group cols> (avg = sum/count downstream; min/max need " +
-        "recompute and are not supported)")
+        "count(*) AS n [, sum/min/max(col) ...] FROM <graft table> " +
+        "[WHERE p] GROUP BY <group cols> (avg = sum/count downstream)")
     val agg = plan match {
       case a: Aggregate => a
       case _ => fail("the definition must be a single GROUP BY aggregate")
@@ -130,6 +138,18 @@ object GraftMview {
             case other => fail(s"sum over expression '${other.sql}' in '$nm' " +
               "(plain column sums only)")
           }
+          // min/max are NOT sign-maintainable under removals, but they ARE
+          // under pure inserts (least/greatest against the stored value);
+          // refresh takes the fast path when a group saw only inserts and
+          // RESCANS just the removal-touched groups otherwise
+          case m: Min => stripCast(m.child) match {
+            case a: AttributeReference => MinCol(a.name, nm)
+            case other => fail(s"min over expression '${other.sql}' in '$nm'")
+          }
+          case m: Max => stripCast(m.child) match {
+            case a: AttributeReference => MaxCol(a.name, nm)
+            case other => fail(s"max over expression '${other.sql}' in '$nm'")
+          }
           case other => fail(s"aggregate ${other.prettyName} in '$nm'")
         }
       case other => fail(s"unsupported select item '${other.sql}' (every " +
@@ -154,6 +174,8 @@ object GraftMview {
     val aggs = cols.collect {
       case CountCol(o) => count(lit(1)).as(o)
       case SumCol(s, o) => sum(col(s)).as(o)
+      case MinCol(s, o) => min(col(s)).as(o)
+      case MaxCol(s, o) => max(col(s)).as(o)
     }
     filtered.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
       .select(cols.map(c => col(c.out)): _*)
@@ -256,24 +278,53 @@ object GraftMview {
     val d = filterSql.fold(signed)(f => signed.filter(expr(f)))
     val groupOuts = cols.collect { case g: GroupCol => g }
     val liveOut = cols.collectFirst { case CountCol(o) => o }.get
+    val hasMinMax =
+      cols.exists(c => c.isInstanceOf[MinCol] || c.isInstanceOf[MaxCol])
+    val deltaAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
+      case CountCol(o) => sum(col("_sign")).as(s"${o}_d")
+      case SumCol(c2, o) => sum(col(c2) * col("_sign")).as(s"${o}_d")
+      // extremes over the INSERTED rows only: the fast least/greatest
+      // path's input (removal-touched groups rescan instead)
+      case MinCol(c2, o) => min(when(col("_sign") > 0, col(c2))).as(s"${o}_i")
+      case MaxCol(c2, o) => max(when(col("_sign") > 0, col(c2))).as(s"${o}_i")
+    } ++ (if (!hasMinMax) Seq.empty else Seq(
+      // did ANY row leave this group? (carried-identical rows in rewritten
+      // files appear as -1/+1 pairs and flag conservatively — correct,
+      // just a wider rescan on mask-churned files)
+      max(when(col("_sign") < 0, 1).otherwise(0)).as("_rm")))
     val deltas = d
       .groupBy(groupOuts.map(g => col(g.src).as(g.out)): _*)
-      .agg(
-        cols.collect {
-          case CountCol(o) => sum(col("_sign")).as(s"${o}_d")
-          case SumCol(s, o) => sum(col(s) * col("_sign")).as(s"${o}_d")
-        }.head,
-        cols.collect {
-          case CountCol(o) => sum(col("_sign")).as(s"${o}_d")
-          case SumCol(s, o) => sum(col(s) * col("_sign")).as(s"${o}_d")
-        }.tail: _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
       .localCheckpoint(true)
+    // RESCAN the removal-touched groups from the PINNED head: the only
+    // exact source of a post-removal extreme. Scoped by a semi join on
+    // the group keys — churn-groups cost, with layout/stats/bloom pruning
+    // participating like any keyed scan.
+    val rescanned: Option[DataFrame] =
+      if (!hasMinMax) None
+      else {
+        val keys = deltas.filter(col("_rm") === 1)
+          .select(groupOuts.map(g => col(g.out).as(g.src)): _*)
+        val pinned = spark.read.format("graft-store")
+          .option("snapshot", headIdx).load(srcPath)
+        val mmAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
+          case MinCol(c2, o) => min(col(c2)).as(s"${o}_r")
+          case MaxCol(c2, o) => max(col(c2)).as(s"${o}_r")
+        }
+        Some(filterSql.fold(pinned)(f => pinned.filter(expr(f)))
+          .join(keys, groupOuts.map(_.src), "left_semi")
+          .groupBy(groupOuts.map(g => col(g.src).as(g.out)): _*)
+          .agg(mmAggs.head, mmAggs.tail: _*))
+      }
     val mvSchema = spark.read.format("graft-store").load(mvPath).schema
     def zero(dt: DataType) = lit(0).cast(dt)
     val base = spark.read.format("graft-store").load(mvPath)
     // right-outer on the delta side: only CHANGED groups participate —
     // the merge is O(changed groups), the rest of the view is untouched
-    val merged = base.join(deltas, groupOuts.map(_.out), "right_outer")
+    val joined0 = base.join(deltas, groupOuts.map(_.out), "right_outer")
+    val joined = rescanned.fold(joined0)(r =>
+      joined0.join(r, groupOuts.map(_.out), "left_outer"))
+    val merged = joined
       .select(groupOuts.map(g => col(g.out)) ++ cols.collect {
         case CountCol(o) =>
           (coalesce(col(o), lit(0L)) + coalesce(col(s"${o}_d"), lit(0L)))
@@ -281,6 +332,17 @@ object GraftMview {
         case SumCol(_, o) =>
           (coalesce(col(o), zero(mvSchema(o).dataType))
             + coalesce(col(s"${o}_d"), zero(mvSchema(o).dataType)))
+            .cast(mvSchema(o).dataType).as(o)
+        // removal-touched group: the rescanned exact extreme; otherwise
+        // least/greatest(stored, inserted) — both skip nulls, so new
+        // groups (no stored) and no-insert groups fall out right
+        case MinCol(_, o) =>
+          when(col("_rm") === 1, col(s"${o}_r"))
+            .otherwise(least(col(o), col(s"${o}_i")))
+            .cast(mvSchema(o).dataType).as(o)
+        case MaxCol(_, o) =>
+          when(col("_rm") === 1, col(s"${o}_r"))
+            .otherwise(greatest(col(o), col(s"${o}_i")))
             .cast(mvSchema(o).dataType).as(o)
       }: _*)
       .localCheckpoint(true)

@@ -160,6 +160,41 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       "c" -> ((1L, 5L))))
   }
 
+  test("min/max maintain: insert fast path; removals rescan only their groups") {
+    catBase
+    val srcDir = s"$catBase/src7"
+    val mvDir = s"$catBase/mv7"
+    Seq(("a", 1L), ("a", 9L), ("b", 5L), ("b", 7L)).toDF("g", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, min(v) AS mn, max(v) AS mx FROM mvcat.src7 GROUP BY g")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows() === Map("a" -> ((2L, 1L, 9L)), "b" -> ((2L, 5L, 7L))))
+    // pure inserts: the fast least/greatest path (new extreme + new group)
+    Seq(("a", 100L), ("c", 3L)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(rows() === Map("a" -> ((3L, 1L, 100L)), "b" -> ((2L, 5L, 7L)),
+      "c" -> ((1L, 3L, 3L))))
+    // removal of a's MAX: only a rescans; b/c keep their stored values
+    spark.sql("DELETE FROM mvcat.src7 WHERE v = 100")
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(rows() === Map("a" -> ((2L, 1L, 9L)), "b" -> ((2L, 5L, 7L)),
+      "c" -> ((1L, 3L, 3L))))
+    // removal that empties a group drops it despite min/max columns
+    spark.sql("DELETE FROM mvcat.src7 WHERE g = 'c'")
+    GraftMview.refresh(spark, mvDir)
+    assert(rows() === Map("a" -> ((2L, 1L, 9L)), "b" -> ((2L, 5L, 7L))))
+    // and it all still equals a recompute
+    val full = spark.read.format("graft-store").load(srcDir)
+      .groupBy("g").agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows() === full)
+  }
+
   test("unmaintainable shapes are refused with guidance") {
     catBase
     val srcDir = s"$catBase/src5"
@@ -170,7 +205,6 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       assert(e.getMessage.contains(frag), s"message '${e.getMessage}' lacks '$frag'")
     }
     refuse("SELECT g, count(*) AS n, avg(v) AS a FROM mvcat.src5 GROUP BY g", "avg")
-    refuse("SELECT g, count(*) AS n, min(v) AS m FROM mvcat.src5 GROUP BY g", "min")
     refuse("SELECT g, sum(v) AS s FROM mvcat.src5 GROUP BY g", "count(*)")
     refuse("SELECT g, count(DISTINCT v) AS n FROM mvcat.src5 GROUP BY g", "DISTINCT")
     refuse("SELECT upper(g) AS g2, count(*) AS n FROM mvcat.src5 GROUP BY upper(g)",
