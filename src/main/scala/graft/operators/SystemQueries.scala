@@ -3845,6 +3845,59 @@ object SystemQueries {
            |  TRUE AS incremental
            |FROM adjusted GROUP BY o_orderpriority""".stripMargin))
 
+  /** PERSISTED USER TABLE PROPERTIES (manifest v18 `#props=`): arbitrary
+    * TBLPROPERTIES persist in the manifest and inherit through EVERY
+    * commit — append, row-level DELETE, compaction — and the `setProps`
+    * write option stamps a property INSIDE a data commit (data + state
+    * publish as ONE snapshot; the MV watermark rides exactly this slot).
+    * The result row is the property surface after a churn sequence, plus
+    * proof bits for survival and the atomic commit count. */
+  val q202TblProperties = QuerySpec(
+    "q202_tbl_properties", "S-dsv2-tbl-properties",
+    "user table properties: persist, inherit through commits, stamp atomically",
+    (s, d) => {
+      val base = "/tmp/graft_store_q202"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq202", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq202.base", base)
+      try {
+        val t = s"$base/t"
+        s.sql("CREATE TABLE gq202.t (o_orderkey BIGINT, o_totalprice DOUBLE) " +
+          "USING `graft-store` TBLPROPERTIES ('owner.team'='curation')")
+        s.sql("ALTER TABLE gq202.t SET TBLPROPERTIES ('quality.tier'='gold')")
+        Tables.orders(s, d).filter(col("o_orderkey") < 5000)
+          .select("o_orderkey", "o_totalprice")
+          .write.format("graft-store").mode("append").save(t)
+        s.sql("DELETE FROM gq202.t WHERE o_orderkey < 1000")
+        graft.sources.v2.GraftStoreOps.compactSnapshot(s, t, 64L << 20)
+        // atomic stamp: ONE commit carries both the appended rows and the
+        // property (the MV-watermark slot)
+        val snapsBefore = graft.sources.v2.GraftStoreOps.history(s, t).size
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 6000)
+          .select("o_orderkey", "o_totalprice")
+          .write.format("graft-store")
+          .option("setProps", "ingest.batch:42").mode("append").save(t)
+        val atomic =
+          graft.sources.v2.GraftStoreOps.history(s, t).size == snapsBefore + 1
+        val props = graft.sources.v2.GraftStoreOps.tableProps(s, t)
+        val surviving = props.get("owner.team").contains("curation") &&
+          props.get("quality.tier").contains("gold") &&
+          props.get("ingest.batch").contains("42")
+        s.sql("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS rev
+                |FROM gq202.t""".stripMargin)
+          .withColumn("props_survive_commits", lit(surviving))
+          .withColumn("props_stamp_atomic", lit(atomic))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq202")
+        s.conf.unset("spark.sql.catalog.gq202.base")
+      }
+    },
+    Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS props_survive_commits, TRUE AS props_stamp_atomic
+           |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 6000""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3865,5 +3918,5 @@ object SystemQueries {
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
-    q200MviewStream, q201MviewMinmax)
+    q200MviewStream, q201MviewMinmax, q202TblProperties)
 }
