@@ -3898,6 +3898,70 @@ object SystemQueries {
            |  TRUE AS props_survive_commits, TRUE AS props_stamp_atomic
            |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 6000""".stripMargin))
 
+  /** SCOPED COMPACTION (`CALL system.compact(table, where => ...)` →
+    * [[graft.sources.v2.GraftStoreOps.compactWhere]]): layout-value
+    * pruning + min/max stats select the rewrite slice exactly like a
+    * scan plans one, so compacting one partition of a partitioned table
+    * touches ONLY that partition — the rest carries with ZERO I/O
+    * (Iceberg rewrite_data_files(where) economics; at 100 TB, "compact
+    * yesterday" is a one-partition job). Proof bits: the out-of-scope
+    * partitions' files are BYTE-IDENTICAL (same names carried), the
+    * in-scope small files binpacked, and the data is unchanged. */
+  val q203CompactWhere = QuerySpec(
+    "q203_compact_where", "S-dsv2-compact-where",
+    "scoped compaction: one partition binpacks, the rest carries zero-I/O",
+    (s, d) => {
+      val base = "/tmp/graft_store_q203"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq203", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq203.base", base)
+      try {
+        val t = s"$base/t"
+        val orders = Tables.orders(s, d)
+          .filter(col("o_orderkey") < 6000)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("o_orderkey") % 3).cast("string").as("bucket3"))
+        // 3 epoch appends x 3 partition values = 9 files
+        (0 until 3).foreach { i =>
+          orders.filter(col("o_orderkey") % 7 === i).coalesce(1)
+            .write.format("graft-store").option("partitionBy", "bucket3")
+            .mode(if (i == 0) "overwrite" else "append").save(t)
+        }
+        // file names per partition value via the `t$files` metadata table
+        // (thresholds DERIVED from the fixture — scale-proof)
+        def byPart(): Map[String, Set[String]] =
+          s.sql("SELECT file, part_vals FROM gq203.`t$files`")
+            .collect()
+            .groupBy(r => Option(r.getString(1)).getOrElse("?").stripPrefix("="))
+            .map { case (k, rs) => k -> rs.map(_.getString(0)).toSet }
+        val before = byPart()
+        s.sql("CALL gq203.system.compact('t', where => 'bucket3 = \"1\"')")
+        val after = byPart()
+        // out-of-scope partitions carry BYTE-IDENTICAL (same file names);
+        // the in-scope partition binpacked to one file (when it had >= 2)
+        val carriedIdentical = (before - "1") == (after - "1")
+        val scoped =
+          if (before.getOrElse("1", Set.empty).size >= 2)
+            after.getOrElse("1", Set.empty).size == 1
+          else before.getOrElse("1", Set.empty) == after.getOrElse("1", Set.empty)
+        s.sql("""SELECT bucket3, count(*) AS n,
+                |  round(sum(o_totalprice), 2) AS rev
+                |FROM gq203.t GROUP BY bucket3""".stripMargin)
+          .withColumn("carried_zero_io", lit(carriedIdentical))
+          .withColumn("rewrite_scoped", lit(scoped))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq203")
+        s.conf.unset("spark.sql.catalog.gq203.base")
+      }
+    },
+    Some("""SELECT CAST(o_orderkey % 3 AS VARCHAR) AS bucket3, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS carried_zero_io, TRUE AS rewrite_scoped
+           |FROM orders
+           |WHERE o_orderkey < 6000 AND o_orderkey % 7 < 3
+           |GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3918,5 +3982,5 @@ object SystemQueries {
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
-    q200MviewStream, q201MviewMinmax, q202TblProperties)
+    q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere)
 }
