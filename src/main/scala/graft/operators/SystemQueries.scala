@@ -3962,6 +3962,60 @@ object SystemQueries {
            |WHERE o_orderkey < 6000 AND o_orderkey % 7 < 3
            |GROUP BY 1""".stripMargin))
 
+  /** DECIMAL PRECISION WIDENING (decimal(8,2) → decimal(14,2), the q193
+    * machinery on the decimal codec): same scale means the 8-byte
+    * unscaled wire value and the stats strings are IDENTICAL across the
+    * widening, so the ALTER rewrites ZERO files (metadata_only bit pins
+    * it); pre-widening files decode through their recorded written type
+    * and re-wrap at the declared precision; post-widening rows use the
+    * full width. One exact decimal aggregate spans both eras. */
+  val q204DecimalWidening = QuerySpec(
+    "q204_decimal_widening", "S-dsv2-decimal-widening",
+    "decimal widening: metadata-only ALTER, mixed-width decimal aggregate exact",
+    (s, d) => {
+      val base = "/tmp/graft_store_q204"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq204", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq204.base", base)
+      try {
+        val t = s"$base/t"
+        val orders = Tables.orders(s, d).filter(col("o_orderkey") < 4000)
+        // era 1: even keys at the NARROW precision
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(8,2)").as("amt"))
+          .write.format("graft-store").mode("overwrite").save(t)
+        def dataFiles(): Set[String] =
+          fs.listStatus(new org.apache.hadoop.fs.Path(t))
+            .map(_.getPath.getName).filter(_.endsWith(".gsf")).toSet
+        val before = dataFiles()
+        s.sql("ALTER TABLE gq204.t ALTER COLUMN amt TYPE DECIMAL(14,2)")
+        val metadataOnly = before.nonEmpty && dataFiles() == before
+        // era 2: odd keys at the WIDE precision (x1000 needs the width)
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 1000).cast("decimal(14,2)").as("amt"))
+          .write.format("graft-store").mode("append").save(t)
+        s.sql("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'old' ELSE 'new' END
+                |    AS era, count(*) AS n,
+                |  round(CAST(sum(amt) AS DOUBLE), 2) AS total
+                |FROM gq204.t GROUP BY 1""".stripMargin)
+          .withColumn("metadata_only", lit(metadataOnly))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq204")
+        s.conf.unset("spark.sql.catalog.gq204.base")
+      }
+    },
+    Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'old' ELSE 'new' END
+           |    AS era, count(*) AS n,
+           |  round(CAST(sum(CASE WHEN o_orderkey % 2 = 0
+           |    THEN CAST(CAST(o_totalprice AS DECIMAL(8,2)) AS DECIMAL(14,2))
+           |    ELSE CAST(o_totalprice * 1000 AS DECIMAL(14,2)) END) AS DOUBLE), 2)
+           |    AS total, TRUE AS metadata_only
+           |FROM orders WHERE o_orderkey < 4000 GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -3982,5 +4036,6 @@ object SystemQueries {
     q187GroupByPushdown, q188CboStats, q189SplitScan, q190SqlProcedures,
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
-    q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere)
+    q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere,
+    q204DecimalWidening)
 }
