@@ -71,7 +71,11 @@ object Decontamination {
     * word_length → low_stopwords → repetitious → pass. */
   def curateBatch(batch: DataFrame, benchShingles: DataFrame, bloom: DataFrame): DataFrame = {
     graft.functions.Registry.register(batch.sparkSession)
-    val b = batch
+    // a micro-batch arrives partitioned by FILE (one small file = ONE
+    // task): spread the tokenize+shingle kernel across the cluster before
+    // paying it — per-doc work is embarrassingly parallel, and verdicts
+    // are per-doc, so the spread cannot change any count
+    val b = ensureParallelism(batch)
       .withColumn("toks", tokens(normText(col("text"))))
       .withColumn("sh", shingleSql("toks", 5))
       .withColumn("sh2", shingleSql("toks", 2))

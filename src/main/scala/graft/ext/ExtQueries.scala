@@ -1319,6 +1319,12 @@ object ExtQueries {
         .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
         .format("parquet")
         .option("pathGlobFilter", "documents.parquet")
+        // BYTE-targeted admission, not file-count: per-trigger work is
+        // bounded by bytes (constant per batch at any corpus size) while
+        // curateBatch spreads each batch cluster-wide; at a real ingest
+        // tier arrival rate bounds it instead. Verdicts are per-doc, so
+        // totals stay batching-independent whatever the slicing does.
+        .option("maxBytesPerTrigger", (64L << 20).toString)
         .load(d)
         .filter(col("doc_id") % 50 =!= 0)
       val q = stream.writeStream.foreachBatch {

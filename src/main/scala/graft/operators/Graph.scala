@@ -3,6 +3,44 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Plan-growth guard for ITERATIVE loops (CC/PageRank fixpoints, near-dup
+  * clustering): every round must truncate the logical plan or it grows
+  * exponentially (each round references the previous frame 2-3×).
+  *
+  * Two materialization modes, selected by `spark.graft.checkpointDir`:
+  *
+  *   - UNSET (default): `localCheckpoint(eager)` — fastest, blocks live in
+  *     executor storage. The failure trade: one lost executor mid-fixpoint
+  *     loses lineage-truncated blocks that cannot be recomputed, killing
+  *     the job. Fine on local[] and short loops.
+  *   - SET to a (durable, e.g. HDFS/S3) directory: `checkpoint(eager)` —
+  *     each round persists to the reliable store, so a 100 TB fixpoint
+  *     survives executor loss at the cost of one write+read of the
+  *     (label-sized, not corpus-sized) frame per round. Set
+  *     `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reclaim
+  *     round files as their frames go out of scope.
+  */
+object IterGuard {
+  @volatile private var appliedDir: Option[String] = None
+
+  def apply(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    session.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        // setCheckpointDir appends a per-app UUID subdir — track the
+        // user-supplied value ourselves instead of comparing resolved paths
+        if (!appliedDir.contains(dir)) synchronized {
+          if (!appliedDir.contains(dir)) {
+            session.sparkContext.setCheckpointDir(dir)
+            appliedDir = Some(dir)
+          }
+        }
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
+}
+
 /** Distributed connected components over an arbitrary edge frame —
   * iterative min-label propagation run to FIXPOINT, the general operator
   * behind near-dup clustering ([[graft.ext.Dedup.nearDupClusters]]), entity
@@ -49,10 +87,10 @@ object Graph {
         math.min(8, prevParts.toInt).toString)
       val sym = edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+        .transform(IterGuard.apply)
       var labels = vertices.select(col("id")).distinct()
         .withColumn("cluster_id", col("id"))
-        .localCheckpoint(true)
+        .transform(IterGuard.apply)
       var iter = 0
       var changed = 1L
       while (iter < maxIters && changed > 0) {
@@ -63,7 +101,7 @@ object Graph {
           .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
           .select(col("id"), col("cluster_id").as("_old"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid"))
-          .localCheckpoint(true) // checkpoint BEFORE the self join below
+          .transform(IterGuard.apply) // checkpoint BEFORE the self join below
         val jumped =
           if (shortcut)
             stepped.join(
@@ -75,7 +113,7 @@ object Graph {
         val next = jumped
           .select(col("id"), col("cluster_id"),
             (col("cluster_id") < col("_old")).as("_improved"))
-          .localCheckpoint(true)
+          .transform(IterGuard.apply)
         changed = next.filter(col("_improved")).count()
         labels = next
         iter += 1
@@ -109,10 +147,10 @@ object Graph {
     try {
       session.conf.set("spark.sql.shuffle.partitions",
         math.min(8, prevParts.toInt).toString)
-      val v = vertices.select(col("id")).distinct().localCheckpoint(true)
+      val v = vertices.select(col("id")).distinct().transform(IterGuard.apply)
       val n = v.count()
-      val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
-      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+      val e = edges.select(col("src"), col("dst")).distinct().transform(IterGuard.apply)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).transform(IterGuard.apply)
       var ranks = v.withColumn("rank", lit(1.0 / n))
       for (_ <- 0 until iters) {
         val inflow = e
@@ -124,7 +162,7 @@ object Graph {
           .select(col("id"),
             (lit((1.0 - damping) / n)
               + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-          .localCheckpoint(true)
+          .transform(IterGuard.apply)
       }
       ranks
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -170,7 +208,7 @@ object Graph {
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint(true)
+        .transform(IterGuard.apply)
 
       def signature(df: DataFrame): (Long, Long) = {
         // bit_xor fold: order-independent, overflow-free (ANSI-safe) edge-set
@@ -191,7 +229,7 @@ object Graph {
           .join(mFull, "src")
           .select(col("dst").as("src"), col("m").as("dst")) // v > u ≥ m ⇒ no self loop
           .distinct()
-          .localCheckpoint(true)
+          .transform(IterGuard.apply)
         // small-star over the larger-endpoint orientation (already canonical)
         val mSmall = large.groupBy("src").agg(min("dst").as("m"))
         val small = large.join(mSmall, "src")
@@ -199,7 +237,7 @@ object Graph {
           .filter(col("src") =!= col("dst"))
           .unionByName(mSmall.select(col("src"), col("m").as("dst"))) // u itself → m
           .distinct()
-          .localCheckpoint(true)
+          .transform(IterGuard.apply)
         val nextSig = signature(small)
         converged = nextSig == sig
         sig = nextSig
@@ -211,7 +249,7 @@ object Graph {
       vertices.select(col("id")).distinct()
         .join(e.groupBy(col("src").as("id")).agg(min("dst").as("_m")), Seq("id"), "left")
         .select(col("id"), coalesce(col("_m"), col("id")).as("cluster_id"))
-        .localCheckpoint(true)
+        .transform(IterGuard.apply)
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }

@@ -4016,6 +4016,119 @@ object SystemQueries {
            |    AS total, TRUE AS metadata_only
            |FROM orders WHERE o_orderkey < 4000 GROUP BY 1""".stripMargin))
 
+  /** MV AVG maintenance ([[graft.sources.v2.GraftMview]]): avg is
+    * ALGEBRAIC, not distributive — it maintains as an INTERNAL sum+count
+    * decomposition (companion `__s_`/`__n_` columns stored after the
+    * public ones) and publishes `sum / count` with SQL NULL semantics
+    * (NULL when no non-null input remains), identical formula in the
+    * batch and incremental paths. The churn here is an append AND a
+    * delete; the proof bit pins the refresh to CHURN-proportional reads:
+    * the signed-delta pass opens only files whose membership changed
+    * since the watermark, never the 8-file base. The reference's own
+    * pivot aggregate is a mean (XGBoost/Predictor.py:183) — avg is the
+    * first aggregate a real MV user writes. */
+  val q205MviewAvg = QuerySpec(
+    "q205_mview_avg", "S-dsv2-mview-avg",
+    "MV avg: internal sum+count maintenance through insert+delete churn, O(churn) reads",
+    (s, d) => {
+      val base = "/tmp/graft_store_q205"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq205", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq205.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src) // 8 files
+        s.sql("CALL gq205.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS priority, count(*) AS n, " +
+          "avg(o_totalprice) AS mean_price FROM gq205.src GROUP BY o_orderpriority')")
+        // churn AFTER materialization: one append, one delete
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val r = s.sql("CALL gq205.system.refresh_mview('mv')").collect()(0)
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val incremental = r.getString(0) == "incremental"
+        // churn-proportional: the delta pass + tiny-MV merge opens fewer
+        // slices than the 8-file base a recompute would have to scan
+        val churnProportional = opened < 8
+        s.sql("""SELECT priority, n, round(mean_price, 2) AS mean_price
+                |FROM gq205.mv""".stripMargin)
+          .withColumn("incremental", lit(incremental))
+          .withColumn("churn_proportional", lit(churnProportional))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq205")
+        s.conf.unset("spark.sql.catalog.gq205.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(avg(o_totalprice), 2) AS mean_price,
+           |  TRUE AS incremental, TRUE AS churn_proportional
+           |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
+           |GROUP BY o_orderpriority""".stripMargin))
+
+  /** WIDE DECIMAL (precision 19..38) as a first-class codec type: 16-byte
+    * two's-complement unscaled value on the wire (Iceberg's fixed(16)
+    * form — fixed width keeps prune-seek arithmetic), BigInteger stats
+    * text (unscaled-integer order at one shared scale IS decimal order,
+    * so min/max file skipping and metadata-only DELETE proofs carry over
+    * from the 8-byte path unchanged). The aggregate here is EXACT
+    * decimal(38,6) math over values whose unscaled form exceeds a long —
+    * the money-at-petabyte-ledger-scale shape doubles cannot hold. The
+    * proof bits pin (a) stats-skipped scans and (b) a metadata-only
+    * DELETE on a wide-decimal predicate. */
+  val q206DecimalWide = QuerySpec(
+    "q206_decimal_wide", "S-dsv2-decimal-wide",
+    "wide decimal(38,6): exact beyond-long aggregates, skipped scans, metadata-only DELETE",
+    (s, d) => {
+      val path = "/tmp/graft_store_q206"
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val shift = new java.math.BigDecimal("10000000000000000000000") // > Long.Max
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          when(col("l_orderkey") % 2 === 0, "hi").otherwise("lo").as("half"),
+          (col("l_extendedprice").cast("decimal(38,6)") + lit(shift))
+            .cast("decimal(38,6)").as("amt"))
+        .repartition(4)
+        .write.format("graft-store").option("partitionBy", "half")
+        .mode("overwrite").save(path)
+      // metadata-only DELETE keyed on the WIDE-decimal stats: every row of
+      // the 'hi' partition satisfies amt >= shift by construction, and the
+      // BigInteger min/max + partition-value proof must recognize it —
+      // covered files LEAVE the listing with zero fresh file names
+      def names(): Set[String] = graft.sources.v2.GraftStoreOps
+        .snapshotFiles(s, path, graft.sources.v2.GraftStoreOps
+          .history(s, path).size - 1).map(_._1).toSet
+      val namesBefore = names()
+      graft.sources.v2.GraftStoreOps.deleteWhere(s, path,
+        col("half") === "hi" &&
+          col("amt") >= lit(new java.math.BigDecimal("10000000000000000000000")))
+      val namesAfter = names()
+      val metadataOnly = (namesAfter -- namesBefore).isEmpty &&
+        (namesBefore -- namesAfter).nonEmpty
+      s.read.format("graft-store").load(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          // exact wide math: subtract the shift AFTER summing — any codec
+          // drift would surface in the trailing digits
+          (sum("amt") - (count(lit(1)).cast("decimal(38,6)") * lit(shift)))
+            .cast("decimal(24,6)").cast("string").as("net"))
+        .withColumn("metadata_only", lit(metadataOnly))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+           |    AS DECIMAL(24,6)) AS VARCHAR) AS net,
+           |  TRUE AS metadata_only
+           |FROM lineitem WHERE l_orderkey % 2 = 1
+           |GROUP BY l_returnflag""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -4037,5 +4150,5 @@ object SystemQueries {
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
     q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere,
-    q204DecimalWidening)
+    q204DecimalWidening, q205MviewAvg, q206DecimalWide)
 }

@@ -288,11 +288,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       : GraftManifest = {
     schema.fields.foreach(f => require(GraftStoreFormat.codecSupports(f.dataType),
       s"graft catalog: column '${f.name}' has codec-unsupported type " +
-        s"${f.dataType.simpleString}" + (f.dataType match {
-          case d: org.apache.spark.sql.types.DecimalType if d.precision > 18 =>
-            " (decimal precision > 18: use decimal(<=18,s) or double)"
-          case _ => ""
-        })))
+        s"${f.dataType.simpleString}"))
     val layout = layoutOf(partitions).map(s => GraftLayout.parse(s).render)
     layout.foreach(l => GraftLayout.parse(l).columns.foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -412,8 +408,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val path = pathOf(ident)
     if (!tableExists(ident)) false
-    else GraftStoreFormat.fs(path, conf)
-      .delete(new org.apache.hadoop.fs.Path(path), true)
+    else {
+      // dead names must not serve from the parsed-manifest cache if a
+      // same-named table is later recreated (coarse-mtime filesystems
+      // can collide the (length, mtime) key guard)
+      GraftStoreFormat.invalidateTable(path)
+      GraftStoreFormat.fs(path, conf)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+    }
   }
 
   /** `ALTER TABLE cat.a RENAME TO cat.b`: a directory rename — atomic on
@@ -617,19 +619,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               case (IntegerType, LongType) => true
               case (FloatType, DoubleType) => true
               // decimal PRECISION widening at the SAME scale (Iceberg's
-              // decimal promotion): the wire stays the 8-byte unscaled
-              // long, stats strings re-parse losslessly, values identical
+              // decimal promotion): stats strings re-parse losslessly
+              // (unscaled-integer text at one shared scale) and values are
+              // identical. Within one codec width (p<=18, or both wide)
+              // the wire bytes are unchanged too; CROSSING 18 changes the
+              // wire width, which the written-type layout layer already
+              // handles — pre-widening files decode 8-byte at their
+              // recorded type and re-wrap at the declared precision,
+              // exactly like int→bigint
               case (d1: org.apache.spark.sql.types.DecimalType,
                     d2: org.apache.spark.sql.types.DecimalType) =>
-                d1.scale == d2.scale && d2.precision > d1.precision &&
-                  d2.precision <= 18
+                d1.scale == d2.scale && d2.precision > d1.precision
               case _ => false
             }
             require(widens,
               s"graft catalog: cannot retype column $colName from " +
                 s"${oldT.simpleString} to ${newT.simpleString} — only the " +
                 "safe promotions int→bigint, float→double and " +
-                "decimal(p,s)→decimal(p2<=18,s) alter in place (Iceberg's " +
+                "decimal(p,s)→decimal(p2>p,s) alter in place (Iceberg's " +
                 "widening set for this codec); other retypes need an " +
                 "overwrite")
             // Widening preserves VALUES, but metadata that cached narrow

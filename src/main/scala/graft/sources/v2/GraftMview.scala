@@ -1,8 +1,8 @@
 package graft.sources.v2
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
@@ -18,17 +18,36 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * are exactly as-of.
   *
   * The definition must be the canonical maintainable shape
-  * `SELECT g..., count(*)/count(1) AS n [, sum(x) AS s ...] FROM t
-  * [WHERE p] GROUP BY g...` — single source table, grouping on plain
-  * columns, DISTRIBUTIVE aggregates only (count/sum). One `count(*)` is
-  * REQUIRED: it is the group-liveness column (a group whose count reaches
-  * zero leaves the view — the standard IVM device; without it, deletions
-  * could strand empty groups). min/max ARE supported: groups that saw
-  * only inserts since the watermark maintain via least/greatest against
-  * the stored value; groups touched by any removal RESCAN from the
-  * (pinned) source scoped to just those group keys — churn-groups cost,
-  * never table cost. avg is refused with guidance (= sum/count
-  * downstream); distinct aggregates are refused.
+  * `SELECT g..., count(*)/count(1) AS n [, sum(x)/count(x)/avg(x)/
+  * min(x)/max(x) ...] FROM t [WHERE p] GROUP BY g...` — single source
+  * table, grouping on plain columns, DISTRIBUTIVE or
+  * ALGEBRAIC-over-distributive aggregates. One `count(*)` is REQUIRED: it
+  * is the group-liveness column (a group whose count reaches zero leaves
+  * the view — the standard IVM device; without it, deletions could strand
+  * empty groups). `avg` maintains as INTERNAL sum+count companion columns
+  * (`__s_<out>`, `__n_<out>` — stored in the table, after the public
+  * columns) and publishes `sum / count` with SQL semantics (NULL when no
+  * non-null input survives). `sum` and `count(col)` carry a non-null
+  * input count so an all-NULL group publishes NULL, exactly like a
+  * recompute — never a fabricated 0. min/max: groups that saw only
+  * inserts since the watermark maintain via least/greatest against the
+  * stored value; groups touched by any removal RESCAN from the (pinned)
+  * source scoped to just those group keys — churn-groups cost, never
+  * table cost. Distinct aggregates are refused with guidance.
+  *
+  * GROUP BY over a NULLable column is ordinary SQL: every group-key
+  * equation in the maintenance joins (delta merge, rescan scoping,
+  * replace-by-key) is NULL-SAFE (`<=>`), so the NULL group merges with
+  * its stored row like any other group instead of silently resetting.
+  *
+  * TWO-TABLE views: the definition may be an INNER equi-join of two
+  * graft tables (`FROM r JOIN s ON r.fk = s.pk`) with distributive
+  * aggregates (count/sum/count(col)/avg — min/max refused). Refresh uses
+  * the classic IVM delta rule Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS with signs
+  * multiplying through: each churn side joins ONE pinned snapshot of the
+  * other side, so the refresh is churn⋈dim-sized, never a recompute.
+  * Both sources carry their own watermark; either expiring falls back to
+  * a full (pinned, atomic) recompute.
   *
   * Refresh is O(churn), not O(table): [[GraftStoreOps.signedChanges]]
   * yields +1/-1 row deltas reading only files whose membership or delete
@@ -53,9 +72,23 @@ object GraftMview {
   private[v2] sealed trait ColSpec { def out: String }
   private[v2] case class GroupCol(src: String, out: String) extends ColSpec
   private[v2] case class CountCol(out: String) extends ColSpec
+  private[v2] case class CountNNCol(src: String, out: String) extends ColSpec
   private[v2] case class SumCol(src: String, out: String) extends ColSpec
+  private[v2] case class AvgCol(src: String, out: String) extends ColSpec
   private[v2] case class MinCol(src: String, out: String) extends ColSpec
   private[v2] case class MaxCol(src: String, out: String) extends ColSpec
+
+  /** INTERNAL companion columns stored after the public ones: the
+    * non-null input count that makes sum's NULL semantics exact, and
+    * avg's sum+count decomposition. Deterministic names derived from the
+    * public output name — part of the MV table's schema on disk. */
+  private[v2] def internalsOf(c: ColSpec): Seq[String] = c match {
+    case SumCol(_, o) => Seq(s"__nn_$o")
+    case AvgCol(_, o) => Seq(s"__s_$o", s"__n_$o")
+    case _ => Seq.empty
+  }
+  private[v2] def internals(cols: Seq[ColSpec]): Seq[String] =
+    cols.flatMap(internalsOf)
 
   private def enc(s: String): String = GraftStoreFormat.escStat(s)
   private def dec(s: String): String = GraftStoreFormat.unescStat(s)
@@ -63,7 +96,9 @@ object GraftMview {
   private[v2] def encodeCols(cols: Seq[ColSpec]): String = cols.map {
     case GroupCol(s, o) => s"g:${enc(s)}:${enc(o)}"
     case CountCol(o) => s"c::${enc(o)}"
+    case CountNNCol(s, o) => s"k:${enc(s)}:${enc(o)}"
     case SumCol(s, o) => s"s:${enc(s)}:${enc(o)}"
+    case AvgCol(s, o) => s"a:${enc(s)}:${enc(o)}"
     case MinCol(s, o) => s"m:${enc(s)}:${enc(o)}"
     case MaxCol(s, o) => s"x:${enc(s)}:${enc(o)}"
   }.mkString(";")
@@ -74,44 +109,90 @@ object GraftMview {
       k match {
         case "g" => GroupCol(dec(a), dec(b))
         case "c" => CountCol(dec(b))
+        case "k" => CountNNCol(dec(a), dec(b))
         case "s" => SumCol(dec(a), dec(b))
+        case "a" => AvgCol(dec(a), dec(b))
         case "m" => MinCol(dec(a), dec(b))
         case "x" => MaxCol(dec(a), dec(b))
       }
     }
 
+  /** The recognized definition: a single table, or an INNER equi-join of
+    * two tables (the key-FK IVM shape — delta rule
+    * Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS, signs multiplying through). */
+  private[v2] sealed trait MvSource
+  private[v2] case class SingleSrc(path: String) extends MvSource
+  private[v2] case class JoinSrc(path1: String, path2: String,
+      keys: Seq[(String, String)]) extends MvSource
+
   /** Recognize the maintainable shape on the ANALYZED plan; loud,
-    * actionable errors otherwise. Returns (source path, filter SQL,
+    * actionable errors otherwise. Returns (source, filter SQL,
     * ordered column specs). */
-  private def recognize(plan: LogicalPlan): (String, Option[String], Seq[ColSpec]) = {
+  private def recognize(plan: LogicalPlan): (MvSource, Option[String], Seq[ColSpec]) = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"graft mview: $why — the maintainable shape is SELECT <group cols>, " +
-        "count(*) AS n [, sum/min/max(col) ...] FROM <graft table> " +
-        "[WHERE p] GROUP BY <group cols> (avg = sum/count downstream)")
+        "count(*) AS n [, sum/count/avg/min/max(col) ...] FROM <graft table> " +
+        "[INNER JOIN <graft table> ON <plain equi-keys>] " +
+        "[WHERE p] GROUP BY <group cols>")
     val agg = plan match {
       case a: Aggregate => a
       case _ => fail("the definition must be a single GROUP BY aggregate")
     }
-    // child chain: Filter? over the (aliased) source relation
+    def relOf(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+      case SubqueryAlias(_, c) => relOf(c)
+      case r: DataSourceV2Relation => Some(r)
+      case _ => None
+    }
+    def pathOf(rel: DataSourceV2Relation): String = rel.table match {
+      case _: GraftStoreTable => rel.table.properties().get("location")
+      case t => fail(s"source ${t.name()} is not a graft-store table")
+    }
+    // child chain: Filter? over a relation, or Filter? over Join(rel, rel)
     def source(p: LogicalPlan, cond: Option[Expression])
-        : (Option[Expression], DataSourceV2Relation) = p match {
+        : (Option[Expression], MvSource, Seq[AttributeReference]) = p match {
       case SubqueryAlias(_, c) => source(c, cond)
       case Filter(c2, c) =>
         if (cond.isDefined) fail("more than one WHERE layer")
         source(c, Some(c2))
-      case r: DataSourceV2Relation => (cond, r)
-      case other => fail(s"unsupported input ${other.nodeName} (single graft " +
-        "table, optional WHERE only — no joins/subqueries)")
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+          fail(s"${j.joinType} join (INNER equi-joins only)")
+        val (l, r) = (relOf(j.left), relOf(j.right))
+        if (l.isEmpty || r.isEmpty) fail("join inputs must be plain graft tables")
+        val (lp, rp) = (pathOf(l.get), pathOf(r.get))
+        if (lp == rp) fail("self-join of one table")
+        val lIds = l.get.output.map(_.exprId).toSet
+        val rIds = r.get.output.map(_.exprId).toSet
+        // both sides' column NAMES must be disjoint: the delta frame is
+        // the physical join of both schemas, resolved by name
+        val dup = l.get.output.map(_.name).toSet
+          .intersect(r.get.output.map(_.name).toSet)
+        if (dup.nonEmpty) fail(s"column name(s) ${dup.mkString(", ")} exist " +
+          "on both sides (rename via the table schemas; the maintained view " +
+          "resolves columns by name)")
+        def eqKeys(e: Expression): Seq[(String, String)] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+            eqKeys(a) ++ eqKeys(b)
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              a: AttributeReference, b: AttributeReference) =>
+            if (lIds.contains(a.exprId) && rIds.contains(b.exprId)) Seq(a.name -> b.name)
+            else if (rIds.contains(a.exprId) && lIds.contains(b.exprId)) Seq(b.name -> a.name)
+            else fail("join keys must pair one column from each side")
+          case other => fail(s"join condition '${other.sql}' (plain column " +
+            "equality conjunctions only)")
+        }
+        val keys = j.condition.map(eqKeys).getOrElse(fail("join without an ON condition"))
+        (cond, JoinSrc(lp, rp, keys),
+          (l.get.output ++ r.get.output).toSeq)
+      case r: DataSourceV2Relation => (cond, SingleSrc(pathOf(r)), r.output.toSeq)
+      case other => fail(s"unsupported input ${other.nodeName} (one graft " +
+        "table or one inner equi-join of two, optional WHERE only)")
     }
-    val (cond, rel) = source(agg.child, None)
-    val path = rel.table match {
-      case _: GraftStoreTable => rel.table.properties().get("location")
-      case t => fail(s"source ${t.name()} is not a graft-store table")
-    }
+    val (cond, src, outAttrs) = source(agg.child, None)
     cond.foreach { c =>
       if (!c.deterministic) fail("non-deterministic WHERE predicate")
-      if (c.references.exists(a => !rel.output.exists(_.exprId == a.exprId)))
-        fail("WHERE references columns outside the source table")
+      if (c.references.exists(a => !outAttrs.exists(_.exprId == a.exprId)))
+        fail("WHERE references columns outside the source tables")
     }
     val groupIds = agg.groupingExpressions.map {
       case a: AttributeReference => a.exprId
@@ -129,27 +210,25 @@ object GraftMview {
       case Alias(ae: AggregateExpression, nm) =>
         if (ae.isDistinct) fail(s"DISTINCT aggregate in '$nm'")
         if (ae.filter.isDefined) fail(s"FILTER clause in aggregate '$nm'")
+        def plainCol(child: Expression, what: String): String =
+          stripCast(child) match {
+            case a: AttributeReference => a.name
+            case other => fail(s"$what over expression '${other.sql}' in '$nm' " +
+              "(plain columns only)")
+          }
         ae.aggregateFunction match {
           case c: Count if c.children.forall(_.foldable) => CountCol(nm)
-          case c: Count => fail(s"count(col) in '$nm' (use count(*); " +
-            "count(col) skips nulls and is not sign-maintainable as stored)")
-          case s: Sum => stripCast(s.child) match {
-            case a: AttributeReference => SumCol(a.name, nm)
-            case other => fail(s"sum over expression '${other.sql}' in '$nm' " +
-              "(plain column sums only)")
-          }
+          case c: Count if c.children.size == 1 =>
+            CountNNCol(plainCol(c.children.head, "count"), nm)
+          case c: Count => fail(s"multi-argument count in '$nm'")
+          case s: Sum => SumCol(plainCol(s.child, "sum"), nm)
+          case a: Average => AvgCol(plainCol(a.child, "avg"), nm)
           // min/max are NOT sign-maintainable under removals, but they ARE
           // under pure inserts (least/greatest against the stored value);
           // refresh takes the fast path when a group saw only inserts and
           // RESCANS just the removal-touched groups otherwise
-          case m: Min => stripCast(m.child) match {
-            case a: AttributeReference => MinCol(a.name, nm)
-            case other => fail(s"min over expression '${other.sql}' in '$nm'")
-          }
-          case m: Max => stripCast(m.child) match {
-            case a: AttributeReference => MaxCol(a.name, nm)
-            case other => fail(s"max over expression '${other.sql}' in '$nm'")
-          }
+          case m: Min => MinCol(plainCol(m.child, "min"), nm)
+          case m: Max => MaxCol(plainCol(m.child, "max"), nm)
           case other => fail(s"aggregate ${other.prettyName} in '$nm'")
         }
       case other => fail(s"unsupported select item '${other.sql}' (every " +
@@ -158,59 +237,126 @@ object GraftMview {
     if (!cols.exists(_.isInstanceOf[GroupCol])) fail("at least one group column required")
     if (!cols.exists(_.isInstanceOf[CountCol]))
       fail("a count(*) column is required (the group-liveness column)")
+    val reserved = cols.filter(c => c.out.startsWith("__"))
+    if (reserved.nonEmpty) fail(s"output name '${reserved.head.out}' uses the " +
+      "reserved internal-column prefix '__'")
+    // join MVs maintain DISTRIBUTIVE aggregates only: min/max's removal
+    // rescan is a keyed re-join — correct but no longer churn-proportional
+    // on the probe side, so it is refused rather than silently expensive
+    if (src.isInstanceOf[JoinSrc] &&
+        cols.exists(c => c.isInstanceOf[MinCol] || c.isInstanceOf[MaxCol]))
+      fail("min/max over a join view (distributive count/sum/avg only)")
     // serialize the predicate UNQUALIFIED: it re-applies by name to the
     // delta frame, where the defining catalog.table qualifier means nothing
-    (path, cond.map(_.transform {
+    (src, cond.map(_.transform {
       case a: AttributeReference => a.withQualifier(Seq.empty)
     }.sql), cols)
   }
 
   /** The view's aggregation, built from the RECOGNIZED specs (never by
-    * re-executing user SQL — the recognized form IS the definition). */
+    * re-executing user SQL — the recognized form IS the definition).
+    * Emits the public columns in definition order, then the internal
+    * companions — exactly the MV table's stored schema. avg publishes as
+    * `sum / count` (NULL when count is 0) so the batch form and the
+    * incremental merge are the SAME formula — bit-identical results. */
   private def aggregate(src: DataFrame, filterSql: Option[String],
       cols: Seq[ColSpec]): DataFrame = {
     val filtered = filterSql.fold(src)(f => src.filter(expr(f)))
     val groups = cols.collect { case GroupCol(s, o) => col(s).as(o) }
-    val aggs = cols.collect {
-      case CountCol(o) => count(lit(1)).as(o)
-      case SumCol(s, o) => sum(col(s)).as(o)
-      case MinCol(s, o) => min(col(s)).as(o)
-      case MaxCol(s, o) => max(col(s)).as(o)
+    val aggs: Seq[Column] = cols.flatMap {
+      case _: GroupCol => Seq.empty[Column]
+      case CountCol(o) => Seq(count(lit(1)).as(o))
+      case CountNNCol(s, o) => Seq(count(col(s)).as(o))
+      case SumCol(s, o) => Seq(sum(col(s)).as(o), count(col(s)).as(s"__nn_$o"))
+      case AvgCol(s, o) =>
+        Seq(sum(col(s)).as(s"__s_$o"), count(col(s)).as(s"__n_$o"))
+      case MinCol(s, o) => Seq(min(col(s)).as(o))
+      case MaxCol(s, o) => Seq(max(col(s)).as(o))
     }
-    filtered.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
-      .select(cols.map(c => col(c.out)): _*)
+    val agged = filtered.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
+    val publics = cols.map {
+      case AvgCol(_, o) =>
+        when(col(s"__n_$o") > 0L, col(s"__s_$o") / col(s"__n_$o")).as(o)
+      case c => col(c.out)
+    }
+    agged.select(publics ++ internals(cols).map(col): _*)
   }
 
-  private def wmProps(src: String, filterSql: Option[String], cols: Seq[ColSpec],
-      sql: String, idx: Int, name: String): Map[String, String] =
-    Map("graft.mv" -> "true", "graft.mv.source" -> src,
+  private def wmProps(src: MvSource, filterSql: Option[String], cols: Seq[ColSpec],
+      sql: String, wms: Seq[(Int, String)]): Map[String, String] = {
+    val base = Map("graft.mv" -> "true",
       "graft.mv.cols" -> encodeCols(cols), "graft.mv.query" -> sql,
-      "graft.mv.watermark" -> idx.toString, "graft.mv.wmname" -> name) ++
+      "graft.mv.watermark" -> wms.head._1.toString,
+      "graft.mv.wmname" -> wms.head._2) ++
       filterSql.map("graft.mv.filter" -> _)
+    src match {
+      case SingleSrc(p) => base + ("graft.mv.source" -> p)
+      case JoinSrc(p1, p2, keys) => base ++ Map(
+        "graft.mv.source" -> p1, "graft.mv.source2" -> p2,
+        "graft.mv.keys" -> keys.map { case (a, b) => s"${enc(a)}:${enc(b)}" }
+          .mkString(";"),
+        "graft.mv.watermark2" -> wms(1)._1.toString,
+        "graft.mv.wmname2" -> wms(1)._2)
+    }
+  }
 
-  /** CREATE: recognize, pin the source head, materialize at that
-    * snapshot, and publish table + metadata + watermark as the creating
-    * commit. Returns (rows materialized, watermark snapshot). */
+  private def decodeSource(props: Map[String, String]): MvSource =
+    props.get("graft.mv.source2") match {
+      case Some(p2) => JoinSrc(props("graft.mv.source"), p2,
+        props("graft.mv.keys").split(";", -1).toSeq.map { kv =>
+          val Array(a, b) = kv.split(":", 2); dec(a) -> dec(b)
+        })
+      case None => SingleSrc(props("graft.mv.source"))
+    }
+
+  /** The maintained relation pinned at the given snapshot(s): the table
+    * itself, or the inner equi-join of both tables. */
+  private def pinnedFrame(spark: SparkSession, src: MvSource,
+      heads: Seq[Int]): DataFrame = src match {
+    case SingleSrc(p) =>
+      spark.read.format("graft-store").option("snapshot", heads.head).load(p)
+    case JoinSrc(p1, p2, keys) =>
+      val l = spark.read.format("graft-store").option("snapshot", heads.head).load(p1)
+      val r = spark.read.format("graft-store").option("snapshot", heads(1)).load(p2)
+      l.join(r, keys.map { case (a, b) => l(a) === r(b) }.reduce(_ && _), "inner")
+  }
+
+  private def writeFull(spark: SparkSession, mvPath: String, src: MvSource,
+      filterSql: Option[String], cols: Seq[ColSpec], heads: Seq[Int],
+      props: Map[String, String]): Long = {
+    val df = aggregate(pinnedFrame(spark, src, heads), filterSql, cols)
+      .localCheckpoint(true)
+    val n = df.count()
+    df.write.format("graft-store").option("dmlMode", "mor")
+      .option("setProps", props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}:${enc(v)}" }.mkString(","))
+      .mode("overwrite").save(mvPath)
+    n
+  }
+
+  private def srcPaths(src: MvSource): Seq[String] = src match {
+    case SingleSrc(p) => Seq(p)
+    case JoinSrc(p1, p2, _) => Seq(p1, p2)
+  }
+
+  /** CREATE: recognize, pin the source head(s), materialize at those
+    * snapshots, and publish table + metadata + watermark(s) as the
+    * creating commit. Returns (rows materialized, watermark snapshot of
+    * the first source). */
   def create(spark: SparkSession, mvPath: String, sql: String): (Long, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     require(GraftStoreFormat.readLatestManifest(mvPath, conf).isEmpty,
       s"graft mview: a table already exists at $mvPath")
-    val (srcPath, filterSql, cols) =
+    val (src, filterSql, cols) =
       recognize(spark.sql(sql).queryExecution.analyzed)
-    val ms = GraftStoreFormat.listManifests(srcPath, conf)
-    require(ms.nonEmpty, s"graft mview: source $srcPath has no snapshots")
-    val headIdx = ms.size - 1
-    val pinned = spark.read.format("graft-store")
-      .option("snapshot", headIdx).load(srcPath)
-    val df = aggregate(pinned, filterSql, cols).localCheckpoint(true)
-    val n = df.count()
-    df.write.format("graft-store").option("dmlMode", "mor")
-      .option("setProps",
-        wmProps(srcPath, filterSql, cols, sql, headIdx, ms(headIdx).getName)
-          .toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${enc(k)}:${enc(v)}" }.mkString(","))
-      .mode("overwrite").save(mvPath)
-    (n, headIdx)
+    val wms = srcPaths(src).map { p =>
+      val ms = GraftStoreFormat.listManifests(p, conf)
+      require(ms.nonEmpty, s"graft mview: source $p has no snapshots")
+      (ms.size - 1, ms.last.getName)
+    }
+    val n = writeFull(spark, mvPath, src, filterSql, cols, wms.map(_._1),
+      wmProps(src, filterSql, cols, sql, wms))
+    (n, wms.head._1)
   }
 
   /** CONTINUOUS maintenance: a Structured Streaming TRIGGER that runs an
@@ -227,6 +373,9 @@ object GraftMview {
     val props = GraftStoreOps.tableProps(spark, mvPath)
     require(props.get("graft.mv").contains("true"),
       s"graft mview: $mvPath is not a materialized view")
+    require(!props.contains("graft.mv.source2"),
+      "graft mview: streamRefresh maintains single-table views; a join view " +
+        "refreshes on demand (CALL refresh_mview / GraftMview.refresh)")
     val srcPath = props("graft.mv.source")
     spark.readStream.format("graft-store").load(srcPath)
       .writeStream.option("checkpointLocation", checkpoint)
@@ -248,112 +397,181 @@ object GraftMview {
     val props = GraftStoreOps.tableProps(spark, mvPath)
     require(props.get("graft.mv").contains("true"),
       s"graft mview: $mvPath is not a materialized view")
-    val srcPath = props("graft.mv.source")
+    val src = decodeSource(props)
     val filterSql = props.get("graft.mv.filter")
     val cols = decodeCols(props("graft.mv.cols"))
-    val wm = props("graft.mv.watermark").toInt
-    val ms = GraftStoreFormat.listManifests(srcPath, conf)
-    require(ms.nonEmpty, s"graft mview: source $srcPath has no snapshots")
-    val headIdx = ms.size - 1
-    // the stored watermark is valid iff the manifest it indexed is STILL
+    val paths = srcPaths(src)
+    val wms = paths.zipWithIndex.map { case (_, i) =>
+      val sfx = if (i == 0) "" else "2"
+      (props(s"graft.mv.watermark$sfx").toInt, props(s"graft.mv.wmname$sfx"))
+    }
+    val msAll = paths.map { p =>
+      val ms = GraftStoreFormat.listManifests(p, conf)
+      require(ms.nonEmpty, s"graft mview: source $p has no snapshots")
+      ms
+    }
+    val heads = msAll.map(_.size - 1)
+    // a stored watermark is valid iff the manifest it indexed is STILL
     // the same file (expiry renumbers nothing, it deletes — a vanished or
     // shifted name means the delta base is gone)
-    val wmValid = wm < ms.size && ms(wm).getName == props("graft.mv.wmname")
-    if (wmValid && wm == headIdx && !forceFull) return ("noop", 0L, 0L, wm)
-    val newProps = wmProps(srcPath, filterSql, cols,
-      props("graft.mv.query"), headIdx, ms(headIdx).getName)
-    if (forceFull || !wmValid) {
-      val pinned = spark.read.format("graft-store")
-        .option("snapshot", headIdx).load(srcPath)
-      val df = aggregate(pinned, filterSql, cols).localCheckpoint(true)
-      val n = df.count()
-      df.write.format("graft-store").option("dmlMode", "mor")
-        .option("setProps", newProps.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${enc(k)}:${enc(v)}" }.mkString(","))
-        .mode("overwrite").save(mvPath)
-      return ("full", n, 0L, headIdx)
+    val wmValid = wms.zip(msAll).forall { case ((w, nm), ms) =>
+      w < ms.size && ms(w).getName == nm
+    }
+    val atHead = wms.map(_._1) == heads
+    if (wmValid && atHead && !forceFull) return ("noop", 0L, 0L, wms.head._1)
+    val newProps = wmProps(src, filterSql, cols, props("graft.mv.query"),
+      heads.zip(msAll).map { case (h, ms) => (h, ms(h).getName) })
+    val mvSchema = spark.read.format("graft-store").load(mvPath).schema
+    // an MV stored before the companion-column format self-heals here: a
+    // full recompute rewrites it in the current shape
+    val legacy = !internals(cols).forall(mvSchema.fieldNames.contains)
+    if (forceFull || !wmValid || legacy) {
+      val n = writeFull(spark, mvPath, src, filterSql, cols, heads, newProps)
+      return ("full", n, 0L, heads.head)
     }
     // ---- incremental ----
-    val signed = GraftStoreOps.signedChanges(spark, srcPath, wm, headIdx)
+    // the signed churn of the MAINTAINED RELATION. Single table: the
+    // source's own +1/-1 deltas. Join: the delta rule
+    //   Δ(R⋈S) = ΔR ⋈ S_new  ∪  R_old ⋈ ΔS
+    // (exact by telescoping: ΔR⋈S_new covers ΔR⋈S_old + ΔR⋈ΔS), each term
+    // carrying its delta side's sign — churn-side volume joins against
+    // ONE pinned snapshot of the other side, never corpus × corpus.
+    val signed = src match {
+      case SingleSrc(p) => GraftStoreOps.signedChanges(spark, p, wms.head._1, heads.head)
+      case JoinSrc(p1, p2, keys) =>
+        val d1 = GraftStoreOps.signedChanges(spark, p1, wms.head._1, heads.head)
+        val sNew = spark.read.format("graft-store")
+          .option("snapshot", heads(1)).load(p2)
+        val rOld = spark.read.format("graft-store")
+          .option("snapshot", wms.head._1).load(p1)
+        val d2 = GraftStoreOps.signedChanges(spark, p2, wms(1)._1, heads(1))
+        val c1 = d1.columns.filterNot(_ == "_sign")
+        val t1 = d1.join(sNew,
+            keys.map { case (a, b) => d1(a) === sNew(b) }.reduce(_ && _), "inner")
+          .select(c1.map(d1(_)) ++ sNew.columns.map(sNew(_))
+            :+ d1("_sign").as("_sign"): _*)
+        val c2 = d2.columns.filterNot(_ == "_sign")
+        val t2 = rOld.join(d2,
+            keys.map { case (a, b) => rOld(a) === d2(b) }.reduce(_ && _), "inner")
+          .select(rOld.columns.map(rOld(_)) ++ c2.map(d2(_))
+            :+ d2("_sign").as("_sign"): _*)
+        t1.unionByName(t2)
+    }
     val d = filterSql.fold(signed)(f => signed.filter(expr(f)))
     val groupOuts = cols.collect { case g: GroupCol => g }
     val liveOut = cols.collectFirst { case CountCol(o) => o }.get
     val hasMinMax =
       cols.exists(c => c.isInstanceOf[MinCol] || c.isInstanceOf[MaxCol])
-    val deltaAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
-      case CountCol(o) => sum(col("_sign")).as(s"${o}_d")
-      case SumCol(c2, o) => sum(col(c2) * col("_sign")).as(s"${o}_d")
+    // signed non-null input count: +1/-1 per non-null value of the column
+    def nnSigned(c2: String): Column =
+      sum(when(col(c2).isNotNull, col("_sign")).otherwise(lit(0L)))
+    val deltaAggs: Seq[Column] = cols.flatMap {
+      case _: GroupCol => Seq.empty[Column]
+      case CountCol(o) => Seq(sum(col("_sign")).as(s"${o}_d"))
+      case CountNNCol(c2, o) => Seq(nnSigned(c2).as(s"${o}_d"))
+      case SumCol(c2, o) => Seq(sum(col(c2) * col("_sign")).as(s"${o}_d"),
+        nnSigned(c2).as(s"${o}_nnd"))
+      case AvgCol(c2, o) => Seq(sum(col(c2) * col("_sign")).as(s"${o}_sd"),
+        nnSigned(c2).as(s"${o}_nd"))
       // extremes over the INSERTED rows only: the fast least/greatest
       // path's input (removal-touched groups rescan instead)
-      case MinCol(c2, o) => min(when(col("_sign") > 0, col(c2))).as(s"${o}_i")
-      case MaxCol(c2, o) => max(when(col("_sign") > 0, col(c2))).as(s"${o}_i")
+      case MinCol(c2, o) => Seq(min(when(col("_sign") > 0, col(c2))).as(s"${o}_i"))
+      case MaxCol(c2, o) => Seq(max(when(col("_sign") > 0, col(c2))).as(s"${o}_i"))
     } ++ (if (!hasMinMax) Seq.empty else Seq(
       // did ANY row leave this group? (carried-identical rows in rewritten
       // files appear as -1/+1 pairs and flag conservatively — correct,
       // just a wider rescan on mask-churned files)
       max(when(col("_sign") < 0, 1).otherwise(0)).as("_rm")))
+    // delta group keys carry a reserved prefix so every downstream join is
+    // an EXPLICIT null-safe condition, never a by-name equality that drops
+    // the NULL group
     val deltas = d
-      .groupBy(groupOuts.map(g => col(g.src).as(g.out)): _*)
+      .groupBy(groupOuts.map(g => col(g.src).as(s"__dk_${g.out}")): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .localCheckpoint(true)
     // RESCAN the removal-touched groups from the PINNED head: the only
-    // exact source of a post-removal extreme. Scoped by a semi join on
-    // the group keys — churn-groups cost, with layout/stats/bloom pruning
-    // participating like any keyed scan.
+    // exact source of a post-removal extreme. Scoped by a NULL-SAFE semi
+    // join on the group keys — churn-groups cost, with layout/stats/bloom
+    // pruning participating like any keyed scan. (min/max is single-source
+    // only — recognize() refuses it over a join.)
     val rescanned: Option[DataFrame] =
       if (!hasMinMax) None
       else {
         val keys = deltas.filter(col("_rm") === 1)
-          .select(groupOuts.map(g => col(g.out).as(g.src)): _*)
+          .select(groupOuts.map(g => col(s"__dk_${g.out}").as(s"__k_${g.out}")): _*)
         val pinned = spark.read.format("graft-store")
-          .option("snapshot", headIdx).load(srcPath)
-        val mmAggs: Seq[org.apache.spark.sql.Column] = cols.collect {
+          .option("snapshot", heads.head).load(srcPaths(src).head)
+        val mmAggs: Seq[Column] = cols.collect {
           case MinCol(c2, o) => min(col(c2)).as(s"${o}_r")
           case MaxCol(c2, o) => max(col(c2)).as(s"${o}_r")
         }
-        Some(filterSql.fold(pinned)(f => pinned.filter(expr(f)))
-          .join(keys, groupOuts.map(_.src), "left_semi")
-          .groupBy(groupOuts.map(g => col(g.src).as(g.out)): _*)
+        val scoped = filterSql.fold(pinned)(f => pinned.filter(expr(f)))
+        val semiCond = groupOuts.map(g => scoped(g.src) <=> keys(s"__k_${g.out}"))
+          .reduce(_ && _)
+        Some(scoped.join(keys, semiCond, "left_semi")
+          .groupBy(groupOuts.map(g => col(g.src).as(s"__rk_${g.out}")): _*)
           .agg(mmAggs.head, mmAggs.tail: _*))
       }
-    val mvSchema = spark.read.format("graft-store").load(mvPath).schema
     def zero(dt: DataType) = lit(0).cast(dt)
     val base = spark.read.format("graft-store").load(mvPath)
     // right-outer on the delta side: only CHANGED groups participate —
-    // the merge is O(changed groups), the rest of the view is untouched
-    val joined0 = base.join(deltas, groupOuts.map(_.out), "right_outer")
-    val joined = rescanned.fold(joined0)(r =>
-      joined0.join(r, groupOuts.map(_.out), "left_outer"))
+    // the merge is O(changed groups), the rest of the view is untouched.
+    // Null-safe key equations: the NULL group is a group like any other.
+    val joinCond = groupOuts.map(g => base(g.out) <=> deltas(s"__dk_${g.out}"))
+      .reduce(_ && _)
+    val joined0 = base.join(deltas, joinCond, "right_outer")
+    val joined = rescanned.fold(joined0) { r =>
+      val c = groupOuts.map(g => joined0(s"__dk_${g.out}") <=> r(s"__rk_${g.out}"))
+        .reduce(_ && _)
+      joined0.join(r, c, "left_outer")
+    }
+    // merged non-null input count for a sum/avg column: stored + signed
+    def mergedNN(stored: String, delta: String): Column =
+      (coalesce(col(stored), lit(0L)) + coalesce(col(delta), lit(0L))).cast(LongType)
+    // sum with SQL NULL semantics: NULL unless some non-null input remains
+    def mergedSum(nn: Column, stored: String, delta: String, dt: DataType): Column =
+      when(nn > 0L,
+        coalesce(col(stored), zero(dt)) + coalesce(col(delta).cast(dt), zero(dt)))
     val merged = joined
-      .select(groupOuts.map(g => col(g.out)) ++ cols.collect {
+      .select(groupOuts.map(g => col(s"__dk_${g.out}").as(g.out)) ++ cols.flatMap {
+        case _: GroupCol => Seq.empty[Column]
         case CountCol(o) =>
-          (coalesce(col(o), lit(0L)) + coalesce(col(s"${o}_d"), lit(0L)))
-            .cast(LongType).as(o)
+          Seq((coalesce(col(o), lit(0L)) + coalesce(col(s"${o}_d"), lit(0L)))
+            .cast(LongType).as(o))
+        case CountNNCol(_, o) =>
+          Seq(mergedNN(o, s"${o}_d").as(o))
         case SumCol(_, o) =>
-          (coalesce(col(o), zero(mvSchema(o).dataType))
-            + coalesce(col(s"${o}_d"), zero(mvSchema(o).dataType)))
-            .cast(mvSchema(o).dataType).as(o)
+          val nn = mergedNN(s"__nn_$o", s"${o}_nnd")
+          Seq(mergedSum(nn, o, s"${o}_d", mvSchema(o).dataType)
+            .cast(mvSchema(o).dataType).as(o), nn.as(s"__nn_$o"))
+        case AvgCol(_, o) =>
+          val st = mvSchema(s"__s_$o").dataType
+          val n = mergedNN(s"__n_$o", s"${o}_nd")
+          val s = mergedSum(n, s"__s_$o", s"${o}_sd", st).cast(st)
+          Seq(when(n > 0L, s / n).cast(mvSchema(o).dataType).as(o),
+            s.as(s"__s_$o"), n.as(s"__n_$o"))
         // removal-touched group: the rescanned exact extreme; otherwise
         // least/greatest(stored, inserted) — both skip nulls, so new
         // groups (no stored) and no-insert groups fall out right
         case MinCol(_, o) =>
-          when(col("_rm") === 1, col(s"${o}_r"))
+          Seq(when(col("_rm") === 1, col(s"${o}_r"))
             .otherwise(least(col(o), col(s"${o}_i")))
-            .cast(mvSchema(o).dataType).as(o)
+            .cast(mvSchema(o).dataType).as(o))
         case MaxCol(_, o) =>
-          when(col("_rm") === 1, col(s"${o}_r"))
+          Seq(when(col("_rm") === 1, col(s"${o}_r"))
             .otherwise(greatest(col(o), col(s"${o}_i")))
-            .cast(mvSchema(o).dataType).as(o)
+            .cast(mvSchema(o).dataType).as(o))
       }: _*)
       .localCheckpoint(true)
+    val storedCols = cols.map(_.out) ++ internals(cols)
     val survivors = merged.filter(col(liveOut) > 0L)
-      .select(cols.map(c => col(c.out)): _*)
+      .select(storedCols.map(col): _*)
     val vanished = merged.filter(col(liveOut) <= 0L).count()
     val keys = merged.select(groupOuts.map(g => col(g.out)): _*)
     val (nUp, nKeys) = GraftStoreOps.replaceByKeyMor(
       spark, mvPath, survivors, groupOuts.map(_.out), keys, newProps)
     // nKeys == 0 (no effective churn): replaceByKeyMor still stamped the
     // advanced watermark as a metadata-only commit
-    ("incremental", nUp, vanished, headIdx)
+    ("incremental", nUp, vanished, heads.head)
   }
 }

@@ -483,11 +483,41 @@ private[v2] object GraftStoreFormat {
     case FloatType                => s.toFloat
     case BooleanType              => s.toBoolean
     case StringType               => UTF8String.fromString(s)
-    case dt: DecimalType if dt.precision <= 18 =>
+    case dt: DecimalType =>
       org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s), dt.precision, dt.scale)
     case other => throw new UnsupportedOperationException(
       s"graft-store: unsupported default type $other")
   }
+
+  /** WIDE-DECIMAL wire codec (precision 19..38): 16-byte two's-complement
+    * big-endian UNSCALED value, sign-extended — Iceberg's fixed(16)
+    * decimal form. Fixed width keeps the prune-skip/seek arithmetic of
+    * the 8-byte path; one shared scale per column keeps unscaled-integer
+    * order == decimal order, so BigInteger stats text compares exactly
+    * like the narrow path's longs. */
+  def wideDecimalBytes(d: org.apache.spark.sql.types.Decimal): Array[Byte] = {
+    val bi = d.toJavaBigDecimal.unscaledValue()
+    val raw = bi.toByteArray
+    require(raw.length <= 16,
+      s"graft-store: decimal unscaled value $bi exceeds the 16-byte codec")
+    val out = new Array[Byte](16)
+    if (bi.signum() < 0) java.util.Arrays.fill(out, 0, 16 - raw.length, -1: Byte)
+    System.arraycopy(raw, 0, out, 16 - raw.length, raw.length)
+    out
+  }
+  def wideDecimalOf(b: Array[Byte], off: Int, p: Int,
+      s: Int): org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(new java.math.BigInteger(b, off, 16), s), p, s)
+
+  /** One parse for decimal STATS text (the unscaled integer at the
+    * column's scale): long-backed for p<=18, BigInteger for wide. */
+  def statDecimal(uns: String, dt: DecimalType): org.apache.spark.sql.types.Decimal =
+    if (dt.precision <= 18)
+      org.apache.spark.sql.types.Decimal.createUnsafe(uns.toLong, dt.precision, dt.scale)
+    else org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(new java.math.BigInteger(uns), dt.scale),
+      dt.precision, dt.scale)
 
   /** The manifest's column defaults re-keyed to CURRENT LOGICAL indices —
     * what readers substitute where a file physically lacks the column. */
@@ -502,10 +532,11 @@ private[v2] object GraftStoreFormat {
   def statsCapable(dt: DataType): Boolean = dt match {
     case LongType | TimestampType | IntegerType | DateType |
          DoubleType | FloatType | StringType => true
-    // decimal rides the integral machinery: p <= 18 fits the UNSCALED
-    // value in a long, and all values of a column share one scale, so
-    // unscaled-long min/max ARE decimal min/max (Iceberg's representation)
-    case dt: DecimalType if dt.precision <= 18 => true
+    // decimal rides the integral machinery: all values of a column share
+    // one scale, so unscaled-integer min/max ARE decimal min/max
+    // (Iceberg's representation) — an 8-byte long for p <= 18, a 16-byte
+    // two's complement + BigInteger stats text for wide decimals
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -713,6 +744,28 @@ private[v2] object GraftStoreFormat {
           e: java.util.Map.Entry[(String, String), Seq[GraftFileEntry]]): Boolean =
         size() > 256
     })
+
+  /** Drop every cached parsed manifest of `path`. The (length, mtime) key
+    * guard has a hole on coarse-mtime filesystems (seconds on some object
+    * stores): delete the table directory, recreate a same-named manifest
+    * of the same length within the granularity window, and the key
+    * collides. Manifest names are otherwise write-once (CAS rename), so
+    * the ONLY births of a reusable name are table creation (seq-0 commit)
+    * and catalog DROP — both call this, closing the hole for every
+    * same-JVM drop+recreate regardless of filesystem timestamp
+    * resolution. (Parsed segments stay: `_seg-<md5>` names are
+    * content-addressed — a recreated same name IS the same listing.) */
+  def invalidateTable(path: String): Unit = {
+    val dir = new Path(path).toUri.getPath
+    manifestCache.synchronized {
+      val it = manifestCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        val kp = new Path(k._1).getParent
+        if (kp != null && kp.toUri.getPath == dir) it.remove()
+      }
+    }
+  }
 
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
     val fsys = fs(path, conf)
@@ -1211,11 +1264,13 @@ private[v2] object GraftStoreFormat {
         renderFileSection(path, f, m.files.map(renderFileLine)))
         .getBytes("UTF-8"))
     finally out.close()
-    // atomic publication: rename(tmp -> seq name) without overwrite
+    // atomic publication: rename(tmp -> seq name) without overwrite.
+    // A seq-0 commit is a table BIRTH: purge any cached manifests a
+    // previous same-path incarnation left behind (see invalidateTable).
     try {
       if (f.exists(target) || !f.rename(tmp, target)) {
         f.delete(tmp, false); false
-      } else true
+      } else { if (expectedSeq == 0) invalidateTable(path); true }
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         f.delete(tmp, false); false
@@ -1276,7 +1331,7 @@ private[v2] object GraftStoreFormat {
           if (x == null) true
           else {
             def dec(uns: String) = new java.math.BigDecimal(
-              java.math.BigInteger.valueOf(uns.toLong), dt.scale)
+              new java.math.BigInteger(uns), dt.scale)
             longOk(math.signum(dec(mn).compareTo(x)).toLong,
               math.signum(dec(mx).compareTo(x)).toLong, 0L)
           }
@@ -1345,6 +1400,8 @@ private[v2] object GraftStoreFormat {
             out.writeInt(b.length); out.write(b)
           case dt: DecimalType if dt.precision <= 18 =>
             out.writeLong(row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong)
+          case dt: DecimalType =>
+            out.write(wideDecimalBytes(row.getDecimal(i, dt.precision, dt.scale)))
           case other => throw new UnsupportedOperationException(
             s"graft-store: unsupported type $other")
         }
@@ -1374,6 +1431,9 @@ private[v2] object GraftStoreFormat {
         case dt: DecimalType if dt.precision <= 18 =>
           org.apache.spark.sql.types.Decimal.createUnsafe(
             in.readLong(), dt.precision, dt.scale)
+        case dt: DecimalType =>
+          val b = new Array[Byte](16); in.readFully(b)
+          wideDecimalOf(b, 0, dt.precision, dt.scale)
         case other => throw new UnsupportedOperationException(
           s"graft-store: unsupported type $other")
       }
@@ -1442,12 +1502,16 @@ private[v2] object GraftStoreFormat {
         case dt: DecimalType if dt.precision <= 18 =>
           org.apache.spark.sql.types.Decimal.createUnsafe(
             in.readLong(), dt.precision, dt.scale)
+        case dt: DecimalType =>
+          val b = new Array[Byte](16); in.readFully(b)
+          wideDecimalOf(b, 0, dt.precision, dt.scale)
         case other => throw new UnsupportedOperationException(
           s"graft-store: unsupported type $other")
       } else {
         schema.fields(i).dataType match {
           case LongType | TimestampType | DoubleType => skipFully(in, 8); skipped += 8
           case dt: DecimalType if dt.precision <= 18 => skipFully(in, 8); skipped += 8
+          case _: DecimalType                        => skipFully(in, 16); skipped += 16
           case IntegerType | DateType | FloatType    => skipFully(in, 4); skipped += 4
           case BooleanType                           => skipFully(in, 1); skipped += 1
           case StringType =>
@@ -1464,7 +1528,8 @@ private[v2] object GraftStoreFormat {
 
   /** Compact per-column type codes for the hot decode loop — collapses the
     * per-field DataType pattern match into a byte switch:
-    * 0=long 1=int 2=double 3=float 4=bool 5=string. */
+    * 0=long 1=int 2=double 3=float 4=bool 5=string 6=decimal(p<=18)
+    * 7=wide decimal (16-byte two's complement). */
   def typeCodes(schema: StructType): Array[Byte] = schema.fields.map(_.dataType match {
     case LongType | TimestampType => 0: Byte
     case IntegerType | DateType   => 1: Byte
@@ -1473,12 +1538,9 @@ private[v2] object GraftStoreFormat {
     case BooleanType              => 4: Byte
     case StringType               => 5: Byte
     case dt: DecimalType if dt.precision <= 18 => 6: Byte
+    case _: DecimalType           => 7: Byte
     case other => throw new UnsupportedOperationException(
-      s"graft-store: unsupported type $other" + (other match {
-        case d: DecimalType => s" (decimal precision ${d.precision} > 18: " +
-          "store as decimal(<=18,s) or double)"
-        case _ => ""
-      }))
+      s"graft-store: unsupported type $other")
   })
 }
 
@@ -1543,6 +1605,12 @@ private[v2] final class GraftRowEncoder(schema: StructType) {
           case 3 => putInt(java.lang.Float.floatToIntBits(row.getFloat(i)))
           case 4 => buf(len) = if (row.getBoolean(i)) 1 else 0; len += 1
           case 6 => putLong(row.getDecimal(i, precs(i), scales(i)).toUnscaledLong)
+          case 7 =>
+            val b = GraftStoreFormat.wideDecimalBytes(
+              row.getDecimal(i, precs(i), scales(i)))
+            ensure(16)
+            System.arraycopy(b, 0, buf, len, 16)
+            len += 16
           case _ =>
             val b = row.getUTF8String(i).getBytes
             ensure(4 + b.length)
@@ -1601,6 +1669,9 @@ private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[By
           case 6 =>
             vals(i) = org.apache.spark.sql.types.Decimal.createUnsafe(
               bb.getLong(pos), precs(i), scales(i)); pos += 8
+          case 7 =>
+            vals(i) = GraftStoreFormat.wideDecimalOf(
+              buf, pos, precs(i), scales(i)); pos += 16
           case _ =>
             val len = bb.getInt(pos); pos += 4
             vals(i) = UTF8String.fromBytes(buf, pos, len); pos += len
@@ -1608,6 +1679,7 @@ private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[By
           vals(i) = null
           codes(i) match {
             case 0 | 2 | 6 => pos += 8; skipped += 8
+            case 7 => pos += 16; skipped += 16
             case 1 | 3 => pos += 4; skipped += 4
             case 4 => pos += 1; skipped += 1
             case _ => val len = bb.getInt(pos); pos += 4 + len; skipped += len
@@ -1658,11 +1730,16 @@ private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[By
             w.write(out, org.apache.spark.sql.types.Decimal.createUnsafe(
               bb.getLong(pos), precs(i), scales(i)), precs(i), scales(i))
             pos += 8
+          case 7 =>
+            w.write(out, GraftStoreFormat.wideDecimalOf(
+              buf, pos, precs(i), scales(i)), precs(i), scales(i))
+            pos += 16
           case _ =>
             val len = bb.getInt(pos); pos += 4
             w.write(out, UTF8String.fromBytes(buf, pos, len)); pos += len
         } else codes(i) match {
           case 0 | 2 | 6 => pos += 8; skipped += 8
+          case 7 => pos += 16; skipped += 16
           case 1 | 3 => pos += 4; skipped += 4
           case 4 => pos += 1; skipped += 1
           case _ => val len = bb.getInt(pos); pos += 4 + len; skipped += len
@@ -1687,6 +1764,7 @@ private[v2] final class GraftBufferedRowReader(buf: Array[Byte], codes: Array[By
         pos += 1
         codes(i) match {
           case 0 | 2 | 6 => pos += 8
+          case 7 => pos += 16
           case 1 | 3 => pos += 4
           case 4 => pos += 1
           case _ => pos += 4 + bb.getInt(pos)
@@ -2777,6 +2855,10 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
     val dMax = Array.fill(n)(Double.NegativeInfinity)
     val sMin = new Array[UTF8String](n)
     val sMax = new Array[UTF8String](n)
+    // wide decimals (p > 18): unscaled BigInteger extremes — integer order
+    // at the shared scale IS decimal order, same as the long-backed path
+    val wMin = new Array[java.math.BigInteger](n)
+    val wMax = new Array[java.math.BigInteger](n)
     val seen = new Array[Boolean](n)
     val sawNaN = new Array[Boolean](n)
     // exact per-column null counts (one increment per null cell) — the
@@ -2829,9 +2911,15 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
           case IntegerType | DateType =>
             val v = record.getInt(i).toLong
             if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
-          case dt: DecimalType =>
+          case dt: DecimalType if dt.precision <= 18 =>
             val v = record.getDecimal(i, dt.precision, dt.scale).toUnscaledLong
             if (v < lMin(i)) lMin(i) = v; if (v > lMax(i)) lMax(i) = v; seen(i) = true
+          case dt: DecimalType =>
+            val v = record.getDecimal(i, dt.precision, dt.scale)
+              .toJavaBigDecimal.unscaledValue()
+            if (wMin(i) == null || v.compareTo(wMin(i)) < 0) wMin(i) = v
+            if (wMax(i) == null || v.compareTo(wMax(i)) > 0) wMax(i) = v
+            seen(i) = true
           case DoubleType | FloatType =>
             val v = if (schema.fields(i).dataType == FloatType) record.getFloat(i).toDouble
                     else record.getDouble(i)
@@ -2859,8 +2947,10 @@ private[v2] class GraftStoreDataWriter(path: String, writeId: String,
         else schema.fields(i).dataType match {
           case LongType | TimestampType | IntegerType | DateType =>
             Some(i -> (lMin(i).toString, lMax(i).toString))
-          case _: DecimalType =>
+          case d: DecimalType if d.precision <= 18 =>
             Some(i -> (lMin(i).toString, lMax(i).toString))
+          case _: DecimalType =>
+            Some(i -> (wMin(i).toString, wMax(i).toString))
           case DoubleType | FloatType =>
             Some(i -> (dMin(i).toString, dMax(i).toString))
           case StringType =>
@@ -3241,9 +3331,8 @@ private[v2] class GraftStoreScanBuilder(path: String, conf: Configuration,
               case DoubleType => java.lang.Double.valueOf(raw.toDouble): Any
               case FloatType => java.lang.Float.valueOf(raw.toFloat): Any
               case StringType => UTF8String.fromString(raw): Any
-              // decimal stats are unscaled longs at the column's scale
-              case d: DecimalType => org.apache.spark.sql.types.Decimal
-                .createUnsafe(raw.toLong, d.precision, d.scale): Any
+              // decimal stats are unscaled integers at the column's scale
+              case d: DecimalType => GraftStoreFormat.statDecimal(raw, d): Any
               case _ => null // unsupported type → treated as missing stats
             }
           }.filter(_ != null)
@@ -3637,7 +3726,7 @@ private[v2] object GraftStoreScan {
             }
             x != null && {
               def dec(uns: String) = new java.math.BigDecimal(
-                java.math.BigInteger.valueOf(uns.toLong), d.scale)
+                new java.math.BigInteger(uns), d.scale)
               longOk(math.signum(dec(mn).compareTo(x)).toLong,
                 math.signum(dec(mx).compareTo(x)).toLong, 0L)
             }
@@ -4043,8 +4132,7 @@ private[v2] class GraftStoreScan(protected val path: String,
           case DoubleType => java.lang.Double.valueOf(raw.toDouble)
           case FloatType => java.lang.Float.valueOf(raw.toFloat)
           case StringType => UTF8String.fromString(raw)
-          case d: DecimalType => org.apache.spark.sql.types.Decimal
-            .createUnsafe(raw.toLong, d.precision, d.scale)
+          case d: DecimalType => GraftStoreFormat.statDecimal(raw, d)
           case _ => null
         }
         val perFile = files.filter(_.rows > 0).map(_.stats.get(i))
@@ -5198,6 +5286,11 @@ private[v2] class GraftStoreCdcMicroBatchStream(path: String, table: StructType,
   * because old snapshots' files are subsets of new ones. */
 object GraftStoreOps {
 
+  /** Monotone count of data-file slices opened by graft-store scans since
+    * JVM start — the I/O-proportionality probe queries and specs diff
+    * around an operation to prove churn-proportional reads. */
+  def scannedFileSlices: Long = GraftStoreFormat.scannedFileSlices.sum()
+
   /** Snapshot history, oldest first: (snapshot index, publication millis,
     * file count, total rows). Driver-side metadata only — the listing is
     * O(#snapshots), never touches data files. */
@@ -5324,7 +5417,16 @@ object GraftStoreOps {
     val resolved = df.filter(cond).queryExecution.analyzed.collectFirst {
       case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt.condition
     }
+    // the predicate's ONLY job here is to scope the file set — if no
+    // conjunct translates to a skippable filter, "scoped" would silently
+    // mean "everything". Refuse loudly instead of rewriting 100 TB: the
+    // full-table form is compactSnapshot, by name.
     val v1 = resolved.flatMap(toV1Filter(_))
+      .orElse(resolved.flatMap(toV1Filter(_, strict = true)).map(GraftStoreScan.nnf))
+    require(v1.isDefined, "graft-store: compactWhere predicate " +
+      s"'${resolved.map(_.sql).getOrElse(cond.toString)}' has no file-skippable " +
+      "form — it cannot scope the rewrite; use compactSnapshot for full-table " +
+      "compaction or a predicate over stats/layout columns")
     val layoutOk = GraftStoreScan.layoutPruner(m,
       v1.toSeq.flatMap(GraftStoreScan.conjuncts))
     val affected = m.files.filter { e =>
@@ -5376,9 +5478,10 @@ object GraftStoreOps {
     def cmp(a: String, b: String): Int = dt match {
       case LongType | IntegerType | DateType | TimestampType =>
         java.lang.Long.compare(a.toLong, b.toLong)
-      // decimal stats are unscaled longs at one shared scale: long order
-      // IS decimal order
-      case _: DecimalType => java.lang.Long.compare(a.toLong, b.toLong)
+      // decimal stats are unscaled integers at one shared scale: integer
+      // order IS decimal order (BigInteger parse covers both codec widths)
+      case _: DecimalType =>
+        new java.math.BigInteger(a).compareTo(new java.math.BigInteger(b))
       case DoubleType | FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
       case StringType =>
         UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
@@ -7293,9 +7396,14 @@ private[v2] class GraftStoreReaderFactory(full: StructType, required: StructType
                   case 1 => Long.box(v.asInstanceOf[Int].toLong)
                   case 3 =>
                     val d = convDec(c)
-                    org.apache.spark.sql.types.Decimal.createUnsafe(
-                      v.asInstanceOf[org.apache.spark.sql.types.Decimal]
-                        .toUnscaledLong, d.precision, d.scale)
+                    val dec = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                    // long-backed re-wrap when the WRITTEN type was narrow;
+                    // wide-to-wider goes through BigDecimal
+                    if (dec.precision <= 18)
+                      org.apache.spark.sql.types.Decimal.createUnsafe(
+                        dec.toUnscaledLong, d.precision, d.scale)
+                    else org.apache.spark.sql.types.Decimal(
+                      dec.toJavaBigDecimal, d.precision, d.scale)
                   case _ => Double.box(v.asInstanceOf[Float].toDouble)
                 }
                 c += 1

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnresolvedWith}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DeleteFromTable, DropView, InsertIntoStatement, LogicalPlan, MergeIntoTable, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnresolvedWith, UpdateTable}
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.apache.spark.sql.graftshim
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType}
@@ -136,18 +136,57 @@ private[v2] object GraftViewSql {
     ddl.getOrElse(substitute(spark, parser, plan, Set.empty))
   }
 
-  /** Expand every relation reference that names a stored graft view. CTE
-    * names and temp views shadow views; `seen` breaks definition cycles. */
+  /** Expand every relation reference that names a stored graft view.
+    *
+    * Scoping is EXPLICIT recursion, not a whole-tree transform, for two
+    * reasons: (1) a CTE name shadows a view only INSIDE the `WITH` that
+    * declares it (scope-aware — a subquery's CTE must not hide a
+    * same-named view in a sibling arm), and (2) `UnresolvedWith` keeps
+    * its CTE definitions as innerChildren, which `transformUp` never
+    * visits — views referenced inside a CTE body only expand because the
+    * walk descends into `cteRelations` by hand. Write-statement TARGETS
+    * are never substituted: writing to a view fails with a clean error
+    * instead of a bewildering expansion. `seen` breaks definition
+    * cycles. */
   private def substitute(spark: SparkSession, parser: ParserInterface,
       plan: LogicalPlan, seen: Set[String]): LogicalPlan = {
-    val cteNames: Set[String] = plan.collect {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
-    plan.transformUp {
+    def failWrite(target: LogicalPlan, op: String): Unit = target match {
+      case SubqueryAlias(_, c) => failWrite(c, op) // "MERGE INTO v AS t"
+      case u: UnresolvedRelation =>
+        graftIdent(spark, u.multipartIdentifier) match {
+          case Some((_, g, ident)) if g.viewExists(ident) =>
+            throw new UnsupportedOperationException(
+              s"graft views: cannot $op view " +
+                s"'${u.multipartIdentifier.mkString(".")}' — views are read-only")
+          case _ => ()
+        }
+      case _ => ()
+    }
+    def go(p: LogicalPlan, ctes: Set[String]): LogicalPlan = p match {
+      case w: UnresolvedWith =>
+        // every name declared here is in scope for the main body AND the
+        // definitions (recursive CTEs reference themselves; conservatively
+        // shadowing forward references matches "never expand a declared
+        // name" — the analyzer owns ordering errors)
+        val inScope = ctes ++ w.cteRelations.map(_._1.toLowerCase)
+        w.copy(child = go(w.child, inScope),
+          cteRelations = w.cteRelations.map { case (n, sq, o) =>
+            (n, go(sq, inScope).asInstanceOf[SubqueryAlias], o)
+          })
+      case i: InsertIntoStatement =>
+        failWrite(i.table, "INSERT into")
+        i.copy(query = go(i.query, ctes))
+      case dml: DeleteFromTable =>
+        failWrite(dml.table, "DELETE from"); dml
+      case dml: UpdateTable =>
+        failWrite(dml.table, "UPDATE"); dml
+      case m: MergeIntoTable =>
+        failWrite(m.targetTable, "MERGE into")
+        m.withNewChildren(Seq(m.targetTable, go(m.sourceTable, ctes)))
       case u: UnresolvedRelation if !u.isStreaming =>
         val parts = u.multipartIdentifier
         val shadowed =
-          (parts.length == 1 && cteNames.contains(parts.head.toLowerCase)) ||
+          (parts.length == 1 && ctes.contains(parts.head.toLowerCase)) ||
             (try graftshim.isTempView(spark, parts) catch { case _: Exception => false })
         if (shadowed) u
         else graftIdent(spark, parts) match {
@@ -157,32 +196,40 @@ private[v2] object GraftViewSql {
               s"graft views: recursive view definition through $key")
             val v = g.loadView(ident).asInstanceOf[GraftView]
             val body = parser.parsePlan(v.query)
-            val bodyCtes: Set[String] = body.collect {
-              case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-            }.flatten.toSet
             // the stored text resolves under its DEFINING context: bare
             // names qualify with the view's catalog+namespace, explicit
-            // catalog-led names stay as written
+            // catalog-led names stay as written. Same scope-aware walk —
+            // only the body's own in-scope CTE names stay unqualified.
             val cm = graftshim.catalogManager(spark)
-            val qualified = body.transformUp {
+            def qualify(q: LogicalPlan, bctes: Set[String]): LogicalPlan = q match {
+              case w: UnresolvedWith =>
+                val inScope = bctes ++ w.cteRelations.map(_._1.toLowerCase)
+                w.copy(child = qualify(w.child, inScope),
+                  cteRelations = w.cteRelations.map { case (n, sq, o) =>
+                    (n, qualify(sq, inScope).asInstanceOf[SubqueryAlias], o)
+                  })
               case r: UnresolvedRelation
                   if r.multipartIdentifier.length == 1 &&
-                    !bodyCtes.contains(r.multipartIdentifier.head.toLowerCase) =>
+                    !bctes.contains(r.multipartIdentifier.head.toLowerCase) =>
                 r.copy(multipartIdentifier =
                   (v.viewCatalog +: v.viewNamespace.toSeq) :+ r.multipartIdentifier.head)
               case r: UnresolvedRelation
                   if r.multipartIdentifier.length > 1 &&
                     !cm.isCatalogRegistered(r.multipartIdentifier.head) =>
                 r.copy(multipartIdentifier = v.viewCatalog +: r.multipartIdentifier)
+              case other => other.mapChildren(qualify(_, bctes))
             }
-            val expanded = substitute(spark, parser, qualified, seen + key)
+            val expanded =
+              substitute(spark, parser, qualify(body, Set.empty), seen + key)
             val aliased =
               if (v.aliases.isEmpty) expanded
               else UnresolvedSubqueryColumnAliases(v.aliases.toSeq, expanded)
             SubqueryAlias(ident.name(), aliased)
           case _ => u
         }
+      case other => other.mapChildren(go(_, ctes))
     }
+    go(plan, Set.empty)
   }
 }
 

@@ -135,4 +135,34 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(cr.forall(r => math.abs(r - 1.0 / n) < 1e-12))
     assert(math.abs(cr.sum - 1.0) < 1e-9)
   }
+
+  test("reliable-checkpoint mode (spark.graft.checkpointDir) yields identical results") {
+    import spark.implicits._
+    // a 100 TB fixpoint must survive executor loss: with a durable
+    // checkpoint dir configured, every round materializes via
+    // checkpoint(eager) instead of executor-storage localCheckpoint.
+    // Same inputs, both modes, identical labels and ranks.
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 9L)).toDF("src", "dst")
+    val vertices = (1L to 9L).toDF("id")
+    val localCc = labelsOf(Graph.connectedComponents(vertices, edges))
+    val localStars = labelsOf(Graph.connectedComponentsStars(vertices, edges))
+    val localPr = Graph.pageRank(vertices, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      assert(labelsOf(Graph.connectedComponents(vertices, edges)) === localCc)
+      assert(labelsOf(Graph.connectedComponentsStars(vertices, edges)) === localStars)
+      val pr = Graph.pageRank(vertices, edges, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pr === localPr)
+      // the rounds really went through the reliable dir
+      def rddFiles(d: java.io.File): Int =
+        if (!d.isDirectory) 0
+        else d.listFiles.map(f => if (f.isDirectory) rddFiles(f)
+          else if (f.getName.startsWith("part-")) 1 else 0).sum
+      assert(rddFiles(new java.io.File(dir)) > 0,
+        "no checkpoint files written under the configured dir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }

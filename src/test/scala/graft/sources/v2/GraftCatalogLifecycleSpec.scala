@@ -76,11 +76,12 @@ class GraftCatalogLifecycleSpec extends AnyFunSuite with graft.SparkTestBase {
     intercept[Exception] {
       spark.sql("CREATE TABLE ddl4.c (id BIGINT) TBLPROPERTIES ('numRows'='1')")
     }
-    // decimal(<=18,s) is codec-supported since r8; precision > 18 refuses
-    val e2 = intercept[Exception] {
-      spark.sql("CREATE TABLE ddl4.b (id DECIMAL(25,3))")
-    }
-    assert(e2.getMessage.contains("codec-unsupported"))
+    // decimal is codec-supported at EVERY precision since r9: 8-byte
+    // unscaled long to p<=18, 16-byte two's complement beyond
+    spark.sql("CREATE TABLE ddl4.b (id DECIMAL(25,3))")
+    spark.sql("INSERT INTO ddl4.b VALUES (1234567890123456789012.345)")
+    assert(spark.sql("SELECT id FROM ddl4.b").collect()(0)
+      .getDecimal(0).toString === "1234567890123456789012.345")
     spark.sql("CREATE TABLE ddl4.d (id DECIMAL(12,2))") // fine
   }
 

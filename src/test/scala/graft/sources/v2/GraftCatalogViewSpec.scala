@@ -102,4 +102,56 @@ class GraftCatalogViewSpec extends AnyFunSuite with graft.SparkTestBase {
     intercept[Exception](
       spark.sql("CREATE TABLE vcat.reports.daily (x INT)"))
   }
+
+  test("CTE shadowing is scope-aware: a subquery's CTE must not hide the view outside it") {
+    catBase
+    seed("t6")
+    spark.sql("CREATE VIEW vcat.v6 AS SELECT g, count(*) AS n FROM vcat.t6 GROUP BY g")
+    try {
+      // the derived-table arm declares its OWN cte named v6; the outer arm
+      // still means the graft view — a global shadow pre-collect would
+      // leave the outer v6 unexpanded and the query unresolvable
+      val rows = spark.sql(
+        """SELECT q.k, v.n FROM
+          |  (WITH v6 AS (SELECT 3 AS k) SELECT k FROM v6) q
+          |  JOIN vcat.v6 v ON v.g = q.k""".stripMargin).collect()
+      assert(rows.length === 1 && rows(0).getLong(1) === 20L)
+      // inside the WITH, the cte wins (SQL scoping): one row, not 5 groups
+      assert(spark.sql(
+        "WITH v6 AS (SELECT 1 AS one) SELECT count(*) AS c FROM v6")
+        .collect()(0).getLong(0) === 1L)
+      // a view referenced INSIDE a cte definition expands there too
+      assert(spark.sql(
+        "WITH w AS (SELECT n FROM vcat.v6 WHERE g = 0) SELECT sum(n) AS s FROM w")
+        .collect()(0).getLong(0) === 20L)
+    } finally spark.sql("DROP VIEW vcat.v6")
+  }
+
+  test("write statements refuse a view target with a clean error") {
+    catBase
+    seed("t7")
+    spark.sql("CREATE VIEW vcat.v7 AS SELECT g, v FROM vcat.t7")
+    try {
+      val e1 = intercept[Exception](
+        spark.sql("INSERT INTO vcat.v7 VALUES (1, 2)"))
+      assert(e1.getMessage.contains("read-only"), e1.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("DELETE FROM vcat.v7 WHERE g = 1"))
+      assert(e2.getMessage.contains("read-only"), e2.getMessage)
+      val e3 = intercept[Exception](
+        spark.sql("UPDATE vcat.v7 SET v = 0 WHERE g = 1"))
+      assert(e3.getMessage.contains("read-only"), e3.getMessage)
+      val e4 = intercept[Exception](
+        spark.sql("""MERGE INTO vcat.v7 t USING vcat.t7 s ON t.g = s.g
+                    |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+      assert(e4.getMessage.contains("read-only"), e4.getMessage)
+      // and a MERGE whose SOURCE is a view still expands + runs
+      spark.range(0, 5).selectExpr("id", "id % 5 as g", "id * 2 as v")
+        .write.format("graft-store").mode("overwrite").save(s"$catBase/t7b")
+      spark.sql("""MERGE INTO vcat.t7b t USING (SELECT g, max(v) AS v
+                  |  FROM vcat.v7 GROUP BY g) s ON t.g = s.g
+                  |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+      assert(spark.sql("SELECT sum(v) FROM vcat.t7b").collect()(0).getLong(0) > 0L)
+    } finally spark.sql("DROP VIEW vcat.v7")
+  }
 }

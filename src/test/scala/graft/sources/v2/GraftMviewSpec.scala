@@ -204,11 +204,99 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       val e = intercept[Exception](GraftMview.create(spark, s"$catBase/mvx", sql))
       assert(e.getMessage.contains(frag), s"message '${e.getMessage}' lacks '$frag'")
     }
-    refuse("SELECT g, count(*) AS n, avg(v) AS a FROM mvcat.src5 GROUP BY g", "avg")
     refuse("SELECT g, sum(v) AS s FROM mvcat.src5 GROUP BY g", "count(*)")
     refuse("SELECT g, count(DISTINCT v) AS n FROM mvcat.src5 GROUP BY g", "DISTINCT")
     refuse("SELECT upper(g) AS g2, count(*) AS n FROM mvcat.src5 GROUP BY upper(g)",
       "plain columns")
     refuse("SELECT count(*) AS n FROM mvcat.src5", "group")
+    refuse("SELECT g, count(*) AS __n_x FROM mvcat.src5 GROUP BY g", "reserved")
+  }
+
+  test("NULL group key merges with its stored row (null-safe maintenance joins)") {
+    catBase
+    val srcDir = s"$catBase/src8"
+    val mvDir = s"$catBase/mv8"
+    Seq(Some("a") -> 1L, None -> 10L, None -> 20L, Some("b") -> 5L)
+      .map { case (g, v) => (g.orNull, v) }.toDF("g", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, sum(v) AS s, min(v) AS mn FROM mvcat.src8 GROUP BY g")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("g", "n", "s", "mn").collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows()(None) === ((2L, 30L, 10L)))
+    // churn the NULL group: insert + remove its stored min
+    Seq((null.asInstanceOf[String], 7L)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    spark.sql("DELETE FROM mvcat.src8 WHERE v = 10")
+    val (m, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m === "incremental")
+    // stored count/sum MERGE with the delta (2+1-1, 30+7-10) and the
+    // removal-touched NULL group rescans its exact min — never a reset
+    assert(rows() === Map(Option("a") -> ((1L, 1L, 1L)),
+      Option("b") -> ((1L, 5L, 5L)), None -> ((2L, 27L, 7L))))
+  }
+
+  test("sum over all-NULL inputs publishes NULL, through churn (SQL semantics)") {
+    catBase
+    val srcDir = s"$catBase/src9"
+    val mvDir = s"$catBase/mv9"
+    Seq(("a", Some(1L)), ("a", Some(2L)), ("n", None), ("one", Some(4L)))
+      .map { case (g, v) => (g, v.map(Long.box).orNull) }.toDF("g", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, sum(v) AS s, count(v) AS nn FROM mvcat.src9 GROUP BY g")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("g", "n", "s", "nn").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+    assert(rows()("n") === ((1L, None, 0L)), "all-NULL group sums to NULL at create")
+    // churn: the all-NULL group gains another NULL (stays NULL — the old
+    // coalesce-to-zero bug published 0 here); 'one' loses its only
+    // non-null value but keeps a NULL row (sum must BECOME NULL)
+    Seq(("n", None), ("one", None)).map { case (g, v: Option[Long]) =>
+      (g, v.map(Long.box).orNull) }.toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    spark.sql("DELETE FROM mvcat.src9 WHERE v = 4")
+    val (m, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m === "incremental")
+    assert(rows() === Map("a" -> ((2L, Some(3L), 2L)),
+      "n" -> ((2L, None, 0L)), "one" -> ((1L, None, 0L))))
+    // and it all equals a recompute
+    val full = spark.read.format("graft-store").load(srcDir)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"), count("v").as("nn"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+    assert(rows() === full)
+  }
+
+  test("avg maintains as internal sum+count; NULL when no non-null input") {
+    catBase
+    val srcDir = s"$catBase/src10"
+    val mvDir = s"$catBase/mv10"
+    Seq(("a", Some(2.0)), ("a", Some(4.0)), ("b", Some(10.0)), ("z", None))
+      .map { case (g, v) => (g, v.map(Double.box).orNull) }.toDF("g", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, avg(v) AS a FROM mvcat.src10 GROUP BY g")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("g", "n", "a").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows() === Map("a" -> ((2L, Some(3.0))), "b" -> ((1L, Some(10.0))),
+      "z" -> ((1L, None))))
+    // the stored table carries the decomposition: __s_a / __n_a
+    val sch = spark.read.format("graft-store").load(mvDir).schema.fieldNames
+    assert(sch.contains("__s_a") && sch.contains("__n_a"))
+    // churn: inserts shift a's mean; delete b's only row (group vanishes);
+    // z gains a value (NULL avg -> defined)
+    Seq(("a", Some(9.0)), ("z", Some(7.0))).map { case (g, v) =>
+      (g, v.map(Double.box).orNull) }.toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    spark.sql("DELETE FROM mvcat.src10 WHERE g = 'b'")
+    val (m, _, vanished, _) = GraftMview.refresh(spark, mvDir)
+    assert(m === "incremental")
+    assert(vanished === 1L)
+    assert(rows() === Map("a" -> ((3L, Some(5.0))), "z" -> ((2L, Some(7.0)))))
   }
 }

@@ -45,6 +45,12 @@ class GraftStoreCompactSmallSpec extends AnyFunSuite with graft.SparkTestBase {
     // an out-of-scope predicate is a cheap no-op
     assert(GraftStoreOps.compactWhere(spark, dir,
       col("day") === "nope", 64L << 20) === ((0, 4)))
+    // a predicate with NO file-skippable form cannot scope anything —
+    // refusing loudly beats silently rewriting the whole table
+    val e = intercept[IllegalArgumentException](GraftStoreOps.compactWhere(
+      spark, dir, length(col("day")) % 2 === 0, 64L << 20))
+    assert(e.getMessage.contains("compactSnapshot"), e.getMessage)
+    assert(fileNames(dir) === after, "refused compaction must not commit")
   }
 
   test("small files merge; the big file carries untouched") {

@@ -5,11 +5,13 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** DECIMAL(p<=18, s) as a first-class codec type: 8-byte UNSCALED long on
-  * the wire (all values of a column share one scale, so unscaled-long
-  * order IS decimal order — Iceberg's representation), exact min/max
-  * stats + file skipping, DML, CHECK, defaults, and equality-delete keys.
-  * Precision > 18 refuses loudly (store as decimal(<=18,s) or double). */
+/** DECIMAL as a first-class codec type: UNSCALED integer on the wire at
+  * one shared scale per column, so unscaled order IS decimal order —
+  * Iceberg's representation. p <= 18 rides an 8-byte long; WIDE decimals
+  * (19..38) ride a 16-byte two's-complement fixed width with BigInteger
+  * stats text. Exact min/max stats + file skipping, DML, CHECK, defaults,
+  * equality-delete keys, and precision widening across the width
+  * boundary. */
 class GraftStoreDecimalSpec extends AnyFunSuite with graft.SparkTestBase {
 
   import spark.implicits._
@@ -175,13 +177,103 @@ class GraftStoreDecimalSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(spark.read.format("graft-store").load(dir).count() === 3000)
   }
 
-  test("precision > 18 refuses loudly everywhere") {
+  test("WIDE decimal (p>18): 16-byte codec round-trips beyond-long values exactly") {
     val dir = tmp()
-    val e = intercept[Exception] {
-      spark.range(0, 3).select(col("id").cast("decimal(25,3)").as("big"))
-        .write.format("graft-store").mode("overwrite").save(dir)
-    }
-    assert(e.getMessage.contains("18") ||
-      Option(e.getCause).exists(_.getMessage.contains("18")))
+    // values whose unscaled form exceeds Long.MaxValue in both signs
+    val big = Seq(
+      (1L, "12345678901234567890.123456"),
+      (2L, "-99999999999999999999999999999999.999999"),
+      (3L, "0.000001"),
+      (4L, null))
+    big.toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(38,6)").as("amt"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-store").load(dir)
+    assert(back.schema("amt").dataType.sql === "DECIMAL(38,6)")
+    val got = back.collect()
+      .map(r => r.getLong(0) -> Option(r.getDecimal(1)).map(_.toString)).toMap
+    assert(got === big.map { case (i, s) => i -> Option(s) }.toMap)
+    // exact wide arithmetic end-to-end (sum of decimal(38,6) — no drift)
+    assert(spark.read.format("graft-store").load(dir)
+      .agg(sum("amt")).collect()(0).getDecimal(0).toPlainString
+      === "-99999999999987654321098765432109.876542")
+    // pruned projection still seeks fixed-width past the wide column
+    assert(back.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("WIDE decimal stats: BigInteger min/max skip files; metadata-only DELETE") {
+    val dir = tmp()
+    // shift well beyond long range so stats text exercises BigInteger
+    spark.range(0, 8000)
+      .select(col("id"),
+        (col("id").cast("decimal(38,6)") + lit(new java.math.BigDecimal(
+          "10000000000000000000000")))
+          .cast("decimal(38,6)").as("amt"))
+      .repartitionByRange(8, col("amt"))
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val before = GraftStoreFormat.scannedFileSlices.sum()
+    val n = spark.read.format("graft-store").load(dir)
+      .filter(col("amt") < lit(new java.math.BigDecimal("10000000000000000000100")))
+      .count()
+    val opened = GraftStoreFormat.scannedFileSlices.sum() - before
+    assert(n === 100)
+    assert(opened <= 2, s"wide-decimal range predicate opened $opened of 8 files")
+    // metadata-only DELETE: the BigInteger must-proof drops every FULLY
+    // covered file from the listing without rewriting it — only the one
+    // boundary file (range straddles the threshold) may rewrite
+    val namesBefore = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get.files.map(_.name).toSet
+    GraftStoreOps.deleteWhere(spark, dir,
+      col("amt") >= lit(new java.math.BigDecimal("10000000000000000004000")))
+    val namesAfter = GraftStoreFormat.readLatestManifest(
+      dir, spark.sparkContext.hadoopConfiguration).get.files.map(_.name).toSet
+    val fresh = namesAfter -- namesBefore
+    assert(fresh.size <= 1,
+      s"only the boundary file may rewrite; fresh files: $fresh")
+    assert((namesBefore -- namesAfter).size >= 3,
+      "fully covered files must leave the listing (metadata-only drop)")
+    assert(spark.read.format("graft-store").load(dir).count() === 4000)
+  }
+
+  test("WIDE decimal DML + MOR eq-delete keys; widening ACROSS the 18 boundary") {
+    catBase
+    spark.sql("CREATE TABLE deccat.wide (id BIGINT, amt DECIMAL(30,2)) " +
+      "USING `graft-store` TBLPROPERTIES ('dmlMode'='mor')")
+    Seq((1L, "123456789012345678901234567.89"), (2L, "20.25"), (3L, "0.75"))
+      .toDF("id", "s").select(col("id"), col("s").cast("decimal(30,2)").as("amt"))
+      .write.format("graft-store").mode("append").save(s"$catBase/wide")
+    spark.sql("UPDATE deccat.wide SET amt = amt + 1.00 WHERE id = 2")
+    spark.sql("DELETE FROM deccat.wide WHERE amt < 1.00")
+    GraftStoreOps.upsertMor(spark, s"$catBase/wide",
+      Seq((10L, "123456789012345678901234567.89")).toDF("id", "s")
+        .select(col("id"), col("s").cast("decimal(30,2)").as("amt")),
+      Seq("amt")) // equality-delete KEY on the wide decimal column
+    val rows = spark.sql("SELECT id, amt FROM deccat.wide ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toString))
+    assert(rows.toSeq === Seq((2L, "21.25"),
+      (10L, "123456789012345678901234567.89")))
+
+    // widening decimal(12,2) -> decimal(20,2) CROSSES the 8->16 byte wire
+    // boundary: metadata-only, pre-widening files decode through their
+    // recorded written type and re-wrap at the declared precision
+    spark.sql("CREATE TABLE deccat.xw (id BIGINT, amt DECIMAL(12,2)) USING `graft-store`")
+    Seq((1L, "12.34"), (2L, "56.78")).toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(12,2)").as("amt"))
+      .write.format("graft-store").mode("append").save(s"$catBase/xw")
+    val fs = new org.apache.hadoop.fs.Path(s"$catBase/xw")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$catBase/xw"))
+        .map(_.getPath.getName).filter(_.endsWith(".gsf")).toSet
+    val before = dataFiles()
+    spark.sql("ALTER TABLE deccat.xw ALTER COLUMN amt TYPE DECIMAL(20,2)")
+    assert(dataFiles() === before, "cross-width widening must rewrite zero files")
+    spark.sql("INSERT INTO deccat.xw VALUES (3, 123456789012345678.99)")
+    assert(spark.sql("SELECT sum(amt) AS t FROM deccat.xw")
+      .collect()(0).getDecimal(0).toString === "123456789012345748.11")
+    // mixed-era predicate: narrow files prune via re-parsed stats
+    assert(spark.sql("SELECT count(*) FROM deccat.xw WHERE amt < 100.00")
+      .collect()(0).getLong(0) === 2)
   }
 }

@@ -104,6 +104,35 @@ class GraftStoreMetaCacheSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(got.getLong(0) === 7 && got.getLong(1) === (0L until 7L).map(_ * 5).sum)
   }
 
+  test("recreate under a COLLIDING (length, mtime) key still serves fresh metadata") {
+    // coarse-mtime filesystems (1s granularity on some object stores) can
+    // recreate a same-named manifest with the SAME length inside the
+    // granularity window — the key guard alone cannot tell them apart.
+    // The seq-0 commit purges the path's cache entries (invalidateTable),
+    // so even a forced exact key collision serves the new table.
+    val dir = tmpDir()
+    val f = new Path(dir).getFileSystem(conf)
+    spark.range(10, 15).selectExpr("id", "id * 2 as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-store").load(dir) // cache the manifest
+      .agg(sum("v")).collect()(0).getLong(0) === (10L until 15L).map(_ * 2).sum)
+    val oldSt = f.getFileStatus(
+      GraftStoreFormat.listManifests(dir, conf).head)
+    f.delete(new Path(dir), true)
+    // same schema/row count, 2-digit values both eras: byte-length-equal
+    spark.range(10, 15).selectExpr("id", "id * 3 as v")
+      .write.format("graft-store").mode("overwrite").save(dir)
+    val p2 = GraftStoreFormat.listManifests(dir, conf).head
+    f.setTimes(p2, oldSt.getModificationTime, -1) // force the collision
+    val newSt = f.getFileStatus(p2)
+    assert(newSt.getLen === oldSt.getLen &&
+      newSt.getModificationTime === oldSt.getModificationTime,
+      "fixture must produce an exact (length, mtime) key collision")
+    assert(spark.read.format("graft-store").load(dir)
+      .agg(sum("v")).collect()(0).getLong(0) === (10L until 15L).map(_ * 3).sum,
+      "stale cached manifest served after delete + recreate")
+  }
+
   test("the OCC loop and concurrent commits stay correct under the cache") {
     val dir = tmpDir()
     spark.range(0, 100).selectExpr("id", "id as v")
