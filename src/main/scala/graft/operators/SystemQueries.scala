@@ -4129,6 +4129,78 @@ object SystemQueries {
            |FROM lineitem WHERE l_orderkey % 2 = 1
            |GROUP BY l_returnflag""".stripMargin))
 
+  /** JOIN MATERIALIZED VIEW ([[graft.sources.v2.GraftMview]]): the
+    * definition is an INNER equi-join of fact and dimension with
+    * distributive aggregates; refresh applies the classic IVM delta rule
+    * Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS with signs multiplying through, each
+    * source carrying its own watermark. An unchurned side contributes NO
+    * term — the common fact-only refresh reads the fact churn joined
+    * against one pinned dim snapshot (proof bit: file slices opened < the
+    * 8-file fact base). Dim churn (an UPDATE that MOVES group mass
+    * between segments) maintains exactly: the -1/+1 dim deltas join the
+    * pinned fact and cancel through the signed aggregation. At 100 TB
+    * this is the rollup-over-star-schema shape: refresh cost tracks
+    * churn⋈dim, never fact×dim. */
+  val q207MviewJoin = QuerySpec(
+    "q207_mview_join", "S-dsv2-mview-join",
+    "join MV: delta-rule refresh through fact append + dim update + fact delete",
+    (s, d) => {
+      val base = "/tmp/graft_store_q207"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq207", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq207.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact) // 8 files
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.format("graft-store").mode("overwrite").save(dim)
+        s.sql("CALL gq207.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, count(*) AS n, " +
+          "sum(o_totalprice) AS rev, avg(o_totalprice) AS avg_price " +
+          "FROM gq207.fact JOIN gq207.dim ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment')")
+        // FACT-only churn: refresh must stay churn-proportional
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val r1 = s.sql("CALL gq207.system.refresh_mview('mv')").collect()(0)
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val churnProportional = opened < 8 // never the 8-file fact base
+        // BOTH sides churn: dim UPDATE moves group mass; fact DELETE
+        s.sql("UPDATE gq207.dim SET c_mktsegment = 'MOVED' WHERE c_custkey % 10 = 0")
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, fact,
+          col("o_orderkey") < 1000)
+        val r2 = s.sql("CALL gq207.system.refresh_mview('mv')").collect()(0)
+        val incremental =
+          r1.getString(0) == "incremental" && r2.getString(0) == "incremental"
+        s.sql("""SELECT seg, n, round(rev, 2) AS rev,
+                |  round(avg_price, 2) AS avg_price FROM gq207.mv""".stripMargin)
+          .withColumn("incremental", lit(incremental))
+          .withColumn("churn_proportional", lit(churnProportional))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq207")
+        s.conf.unset("spark.sql.catalog.gq207.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders
+           |  WHERE o_orderkey >= 1000 AND o_orderkey < 10000),
+           |dm AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+           |  FROM customer)
+           |SELECT seg, count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+           |  round(avg(o_totalprice), 2) AS avg_price,
+           |  TRUE AS incremental, TRUE AS churn_proportional
+           |FROM f JOIN dm ON o_custkey = c_custkey
+           |GROUP BY seg""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -4150,5 +4222,5 @@ object SystemQueries {
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
     q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere,
-    q204DecimalWidening, q205MviewAvg, q206DecimalWide)
+    q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin)
 }

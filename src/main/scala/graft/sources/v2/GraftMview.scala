@@ -439,23 +439,39 @@ object GraftMview {
     val signed = src match {
       case SingleSrc(p) => GraftStoreOps.signedChanges(spark, p, wms.head._1, heads.head)
       case JoinSrc(p1, p2, keys) =>
-        val d1 = GraftStoreOps.signedChanges(spark, p1, wms.head._1, heads.head)
-        val sNew = spark.read.format("graft-store")
-          .option("snapshot", heads(1)).load(p2)
-        val rOld = spark.read.format("graft-store")
-          .option("snapshot", wms.head._1).load(p1)
-        val d2 = GraftStoreOps.signedChanges(spark, p2, wms(1)._1, heads(1))
-        val c1 = d1.columns.filterNot(_ == "_sign")
-        val t1 = d1.join(sNew,
-            keys.map { case (a, b) => d1(a) === sNew(b) }.reduce(_ && _), "inner")
-          .select(c1.map(d1(_)) ++ sNew.columns.map(sNew(_))
-            :+ d1("_sign").as("_sign"): _*)
-        val c2 = d2.columns.filterNot(_ == "_sign")
-        val t2 = rOld.join(d2,
-            keys.map { case (a, b) => rOld(a) === d2(b) }.reduce(_ && _), "inner")
-          .select(rOld.columns.map(rOld(_)) ++ c2.map(d2(_))
-            :+ d2("_sign").as("_sign"): _*)
-        t1.unionByName(t2)
+        // an UNCHURNED side contributes no delta term at all — the common
+        // fact-only refresh never touches R_old, staying churn⋈dim-sized
+        val t1: Option[DataFrame] =
+          if (wms.head._1 == heads.head) None
+          else {
+            val d1 = GraftStoreOps.signedChanges(spark, p1, wms.head._1, heads.head)
+            val sNew = spark.read.format("graft-store")
+              .option("snapshot", heads(1)).load(p2)
+            val c1 = d1.columns.filterNot(_ == "_sign")
+            Some(d1.join(sNew,
+                keys.map { case (a, b) => d1(a) === sNew(b) }.reduce(_ && _), "inner")
+              .select(c1.map(d1(_)) ++ sNew.columns.map(sNew(_))
+                :+ d1("_sign").as("_sign"): _*))
+          }
+        val t2: Option[DataFrame] =
+          if (wms(1)._1 == heads(1)) None
+          else {
+            val rOld = spark.read.format("graft-store")
+              .option("snapshot", wms.head._1).load(p1)
+            val d2 = GraftStoreOps.signedChanges(spark, p2, wms(1)._1, heads(1))
+            val c2 = d2.columns.filterNot(_ == "_sign")
+            Some(rOld.join(d2,
+                keys.map { case (a, b) => rOld(a) === d2(b) }.reduce(_ && _), "inner")
+              .select(rOld.columns.map(rOld(_)) ++ c2.map(d2(_))
+                :+ d2("_sign").as("_sign"): _*))
+          }
+        (t1, t2) match {
+          case (Some(a), Some(b)) => a.unionByName(b)
+          case (Some(a), None) => a
+          case (None, Some(b)) => b
+          case (None, None) => throw new IllegalStateException(
+            "graft mview: unreachable — noop returned above when both at head")
+        }
     }
     val d = filterSql.fold(signed)(f => signed.filter(expr(f)))
     val groupOuts = cols.collect { case g: GroupCol => g }

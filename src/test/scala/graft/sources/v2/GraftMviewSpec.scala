@@ -270,6 +270,121 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(rows() === full)
   }
 
+  test("JOIN view: delta rule maintains fact-churn AND dim-churn incrementally") {
+    catBase
+    val fact = s"$catBase/jf"
+    val dim = s"$catBase/jd"
+    val mvDir = s"$catBase/jmv"
+    // fact(fk, v), dim(pk, region): classic key-FK rollup by region
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (9L, 99L)) // 9 has no dim row
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(fact)
+    Seq((1L, "east"), (2L, "west"), (3L, "east"))
+      .toDF("pk", "region").write.format("graft-store").mode("overwrite").save(dim)
+    val (n0, _) = GraftMview.create(spark, mvDir,
+      "SELECT region, count(*) AS n, sum(v) AS s, avg(v) AS a FROM mvcat.jf " +
+        "JOIN mvcat.jd ON fk = pk GROUP BY region")
+    assert(n0 === 2)
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("region", "n", "s", "a").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def recompute() = {
+      val f = spark.read.format("graft-store").load(fact)
+      val dm = spark.read.format("graft-store").load(dim)
+      f.join(dm, f("fk") === dm("pk")).groupBy("region")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    }
+    assert(rows() === Map("east" -> ((3L, 37L, 37.0 / 3)), "west" -> ((1L, 5L, 5.0))))
+    // FACT churn: append rows (incl. one joining the dim row added below
+    // AFTER this watermark — must NOT appear until the dim side commits)
+    Seq((2L, 100L), (4L, 50L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(rows() === recompute())
+    assert(!rows().contains("north") && rows()("west") === ((2L, 105L, 52.5)))
+    // DIM churn: key 4 gains a region (its waiting fact row joins in);
+    // key 3 changes region east->west (group mass MOVES between groups)
+    Seq((4L, "north")).toDF("pk", "region")
+      .write.format("graft-store").mode("append").save(dim)
+    spark.sql("UPDATE mvcat.jd SET region = 'west' WHERE pk = 3")
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()("north") === ((1L, 50L, 50.0)))
+    // BOTH sides churn between refreshes; a dim delete vanishes a group
+    spark.sql("DELETE FROM mvcat.jd WHERE region = 'north'")
+    Seq((1L, 3L)).toDF("fk", "v").write.format("graft-store").mode("append").save(fact)
+    val (m3, _, vanished, _) = GraftMview.refresh(spark, mvDir)
+    assert(m3 === "incremental" && vanished === 1L)
+    assert(rows() === recompute())
+    // no churn: noop; dim watermark expiry falls back to full
+    assert(GraftMview.refresh(spark, mvDir)._1 === "noop")
+    Seq((5L, "south")).toDF("pk", "region")
+      .write.format("graft-store").mode("append").save(dim)
+    GraftStoreOps.expireSnapshots(spark, dim, keepLast = 1)
+    val (m4, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m4 === "full")
+    assert(rows() === recompute())
+  }
+
+  test("JOIN view refresh is churn-proportional on the fact side") {
+    catBase
+    val fact = s"$catBase/jf2"
+    val dim = s"$catBase/jd2"
+    val mvDir = s"$catBase/jmv2"
+    spark.range(0, 8000)
+      .select((col("id") % 100).as("fk"), col("id").as("v"))
+      .repartition(8).write.format("graft-store").mode("overwrite").save(fact)
+    spark.range(0, 100).select(col("id").as("pk"),
+        concat(lit("g"), col("id") % 8).as("grp"))
+      .write.format("graft-store").mode("overwrite").save(dim)
+    GraftMview.create(spark, mvDir,
+      "SELECT grp, count(*) AS n, sum(v) AS s FROM mvcat.jf2 " +
+        "JOIN mvcat.jd2 ON fk = pk GROUP BY grp")
+    Seq((0L, 1L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    val before = GraftStoreFormat.scannedFileSlices.sum()
+    val (mode, _, _, _) = GraftMview.refresh(spark, mvDir)
+    val opened = GraftStoreFormat.scannedFileSlices.sum() - before
+    assert(mode === "incremental")
+    // the fact side reads ONLY its churn file: 1 churned + 1 dim + MV
+    // files — a recompute would open all 8 fact files and fail the bound
+    assert(opened < 8, s"join refresh opened $opened slices — not churn-proportional")
+    val full = {
+      val f = spark.read.format("graft-store").load(fact)
+      val dm = spark.read.format("graft-store").load(dim)
+      f.join(dm, f("fk") === dm("pk")).groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(spark.read.format("graft-store").load(mvDir)
+      .select("grp", "n", "s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap === full)
+  }
+
+  test("JOIN view refusals: outer joins, min/max, duplicate names, self-join") {
+    catBase
+    Seq((1L, 1L)).toDF("fk", "v")
+      .write.format("graft-store").mode("overwrite").save(s"$catBase/jr1")
+    Seq((1L, "x")).toDF("pk", "grp")
+      .write.format("graft-store").mode("overwrite").save(s"$catBase/jr2")
+    Seq((1L, 2L, "x")).toDF("pk", "v", "grp") // 'v' collides with jr1
+      .write.format("graft-store").mode("overwrite").save(s"$catBase/jr3")
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](GraftMview.create(spark, s"$catBase/jmvx", sql))
+      assert(e.getMessage.contains(frag), s"message '${e.getMessage}' lacks '$frag'")
+    }
+    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 LEFT JOIN mvcat.jr2 " +
+      "ON fk = pk GROUP BY grp", "INNER")
+    refuse("SELECT grp, count(*) AS n, min(v) AS mn FROM mvcat.jr1 JOIN mvcat.jr2 " +
+      "ON fk = pk GROUP BY grp", "min/max")
+    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 JOIN mvcat.jr3 " +
+      "ON fk = pk GROUP BY grp", "both sides")
+    refuse("SELECT a.fk AS k, count(*) AS n FROM mvcat.jr1 a JOIN mvcat.jr1 b " +
+      "ON a.fk = b.fk GROUP BY a.fk", "self-join")
+  }
+
   test("avg maintains as internal sum+count; NULL when no non-null input") {
     catBase
     val srcDir = s"$catBase/src10"
