@@ -133,6 +133,40 @@ class GraftStoreMetaCacheSpec extends AnyFunSuite with graft.SparkTestBase {
       "stale cached manifest served after delete + recreate")
   }
 
+  test("CALL procedures and CDC reads re-parse zero metadata on a warm cache") {
+    val dir = tmpDir()
+    spark.conf.set("spark.sql.catalog.mcproc", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mcproc.base", new Path(dir).getParent.toString)
+    try {
+      val name = new Path(dir).getName
+      spark.range(0, 100).selectExpr("id", "id as v")
+        .write.format("graft-store").mode("overwrite").save(dir)
+      spark.range(100, 120).selectExpr("id", "id as v")
+        .write.format("graft-store").mode("append").save(dir)
+      spark.sql(s"DELETE FROM mcproc.`$name` WHERE id < 10")
+      // warm every consumer once: scan, history metadata table, CDC read
+      spark.read.format("graft-store").load(dir).count()
+      spark.sql(s"SELECT * FROM mcproc.`$name$$history`").count()
+      spark.read.format("graft-store").option("readChangeFeed", "true")
+        .option("startSnapshot", "0").load(dir).count()
+      GraftStoreOps.history(spark, dir)
+      eventually(3) {
+        val before = GraftStoreFormat.manifestParseBytes.sum()
+        // metadata-table path, procedure-style driver metadata reads, and
+        // the CDC reader must all serve from the parsed-manifest cache
+        spark.sql(s"SELECT * FROM mcproc.`$name$$history`").count()
+        GraftStoreOps.history(spark, dir)
+        assert(spark.read.format("graft-store").option("readChangeFeed", "true")
+          .option("startSnapshot", "0").load(dir).count() === 130)
+        assert(GraftStoreFormat.manifestParseBytes.sum() === before,
+          "warm-cache procedure/CDC statements must re-parse ZERO metadata bytes")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mcproc")
+      spark.conf.unset("spark.sql.catalog.mcproc.base")
+    }
+  }
+
   test("the OCC loop and concurrent commits stay correct under the cache") {
     val dir = tmpDir()
     spark.range(0, 100).selectExpr("id", "id as v")
