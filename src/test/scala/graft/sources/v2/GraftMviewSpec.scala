@@ -363,6 +363,32 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap === full)
   }
 
+  test("JOIN view with WHERE: the predicate gates both batch and delta paths") {
+    catBase
+    val fact = s"$catBase/jw1"
+    val dim = s"$catBase/jw2"
+    val mvDir = s"$catBase/jwmv"
+    Seq((1L, 10L), (1L, -5L), (2L, 20L), (3L, 30L)).toDF("fk", "v")
+      .write.format("graft-store").mode("overwrite").save(fact)
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("pk", "grp")
+      .write.format("graft-store").mode("overwrite").save(dim)
+    GraftMview.create(spark, mvDir,
+      "SELECT grp, count(*) AS n, sum(v) AS s FROM mvcat.jw1 JOIN mvcat.jw2 " +
+        "ON fk = pk WHERE v > 0 GROUP BY grp")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("grp", "n", "s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows() === Map("a" -> ((2L, 40L)), "b" -> ((1L, 20L))))
+    // churn both sides: a negative row (filtered), a positive one, and a
+    // dim flip that moves ONLY the rows passing the predicate
+    Seq((2L, -100L), (2L, 7L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    spark.sql("UPDATE mvcat.jw2 SET grp = 'b' WHERE pk = 3")
+    val (m, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m === "incremental")
+    assert(rows() === Map("a" -> ((1L, 10L)), "b" -> ((3L, 57L))))
+  }
+
   test("JOIN view refusals: outer joins, min/max, duplicate names, self-join") {
     catBase
     Seq((1L, 1L)).toDF("fk", "v")
