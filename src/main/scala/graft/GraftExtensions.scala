@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounded-heap TopK operator, and the strategy that plans it
     e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // transparent materialized-view rewrite: serve bare aggregates over a
+    // graft table from a registered FRESH MV of the same shape (exactness
+    // gated on watermark == source head; spark.graft.mv.rewrite=false
+    // opts out) — see [[graft.sources.v2.GraftMviewRewriteRule]]
+    e.injectOptimizerRule(session =>
+      new graft.sources.v2.GraftMviewRewriteRule(session))
     e.injectFunction((FunctionIdentifier("parse_odds"),
       info("parse_odds", "parse_odds(str) - fractional-odds mean: 'a/b' -> (a+b)/2"),
       (exprs: Seq[Expression]) => ParseFractionalOdds(exprs.head)))

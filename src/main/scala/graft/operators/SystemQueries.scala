@@ -4201,6 +4201,79 @@ object SystemQueries {
            |FROM f JOIN dm ON o_custkey = c_custkey
            |GROUP BY seg""".stripMargin))
 
+  /** TRANSPARENT MV REWRITE ([[graft.sources.v2.GraftMviewRewriteRule]],
+    * injected via SparkSessionExtensions): the user aggregates the BASE
+    * table; the optimizer serves a registered, FRESH materialized view of
+    * the same shape instead — discovery through the source's `_mvdeps`
+    * sidecar, exactness gated on the MV watermark naming the source's
+    * CURRENT head. The probe here exercises the full lifecycle: a STALE
+    * view never serves (the query reads base data and sees fresh rows), a
+    * refreshed view serves again, and the served plan's scan opens the
+    * tiny MV instead of the 8-file fact base (slice-count proof bit). At
+    * 100 TB: the standing dashboard aggregate costs churn at refresh time
+    * plus O(groups) at query time — no fact scan, no user rewrite. */
+  val q208MviewRewrite = QuerySpec(
+    "q208_mview_rewrite", "S-dsv2-mview-rewrite",
+    "transparent MV rewrite: fresh view serves base-table aggregates, staleness opts out",
+    (s, d) => {
+      val base = "/tmp/graft_store_q208"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq208", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq208.base", base)
+      try {
+        val src = s"$base/src"
+        val mv = s"$base/mv"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src) // 8 files
+        s.sql("CALL gq208.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS priority, count(*) AS n, " +
+          "sum(o_totalprice) AS rev, avg(o_totalprice) AS ap " +
+          "FROM gq208.src GROUP BY o_orderpriority')")
+        def agg() = s.sql(
+          """SELECT o_orderpriority AS priority, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev,
+            |  round(avg(o_totalprice), 2) AS ap
+            |FROM gq208.src GROUP BY o_orderpriority""".stripMargin)
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(mv)
+        // fresh at create: served from the view
+        val servedAtCreate = served(agg())
+        // churn WITHOUT refresh: the stale view must NOT serve, and the
+        // base-table answer must include the fresh rows
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        val staleDf = agg()
+        val staleNotServed = !served(staleDf)
+        val staleSawChurn =
+          staleDf.agg(sum("n")).collect()(0).getLong(0) > 8000 / 2
+        // refresh restores freshness; the served plan reads the TINY view
+        s.sql("CALL gq208.system.refresh_mview('mv')")
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val finalDf = agg()
+        val rows = finalDf.collect()
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val servedAfterRefresh = served(finalDf)
+        val readTheView = opened < 8 // the 8-file fact base never opens
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), finalDf.schema)
+          .withColumn("lifecycle_exact", lit(
+            servedAtCreate && staleNotServed && staleSawChurn))
+          .withColumn("served_from_view", lit(servedAfterRefresh && readTheView))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq208")
+        s.conf.unset("spark.sql.catalog.gq208.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  round(avg(o_totalprice), 2) AS ap,
+           |  TRUE AS lifecycle_exact, TRUE AS served_from_view
+           |FROM orders WHERE o_orderkey < 10000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -4222,5 +4295,5 @@ object SystemQueries {
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
     q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere,
-    q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin)
+    q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite)
 }

@@ -356,6 +356,16 @@ object GraftMview {
     }
     val n = writeFull(spark, mvPath, src, filterSql, cols, wms.map(_._1),
       wmProps(src, filterSql, cols, sql, wms))
+    // register the dependent on its SOURCE (the `_mvdeps` sidecar — NOT a
+    // commit: registering must not advance the source's history, which
+    // would stale the view it just created): the transparent-rewrite rule
+    // ([[GraftMviewRewriteRule]]) follows this pointer instead of
+    // enumerating any catalog. Single-table MVs only — join MVs are not
+    // rewrite candidates in this phase.
+    src match {
+      case SingleSrc(p) => GraftStoreFormat.addMvDep(p, conf, mvPath)
+      case _ => ()
+    }
     (n, wms.head._1)
   }
 

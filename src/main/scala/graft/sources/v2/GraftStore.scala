@@ -767,6 +767,36 @@ private[v2] object GraftStoreFormat {
     }
   }
 
+  /** MV-dependents REGISTRY sidecar (`_mvdeps`, one escStat'd MV path per
+    * line): how the transparent-rewrite rule finds candidate views for a
+    * source table without enumerating any catalog. Deliberately NOT a
+    * manifest commit — registering a view must not advance the source's
+    * snapshot history (that would stale the view it just created). The
+    * file is advisory: a lost update under concurrent creates or a stale
+    * entry after an MV drop costs a missed optimization, never a wrong
+    * result (the rule re-validates every candidate's own metadata). */
+  def readMvDeps(path: String, conf: Configuration): Seq[String] = {
+    val f = fs(path, conf)
+    val p = new Path(path, "_mvdeps")
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    body.split("\n").toSeq.filter(_.nonEmpty).map(unescStat)
+  }
+
+  def addMvDep(path: String, conf: Configuration, mvPath: String): Unit = {
+    val cur = readMvDeps(path, conf)
+    if (cur.contains(mvPath)) return
+    val f = fs(path, conf)
+    val tmp = new Path(path, s"_tmp/mvdeps-${UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, true)
+    try out.write((cur :+ mvPath).sorted.map(escStat).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(path, "_mvdeps")
+    f.delete(target, false)
+    if (!f.rename(tmp, target)) f.delete(tmp, false)
+  }
+
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
     val fsys = fs(path, conf)
     val st = fsys.getFileStatus(p)

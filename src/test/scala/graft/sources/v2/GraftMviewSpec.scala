@@ -389,6 +389,57 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(rows() === Map("a" -> ((1L, 10L)), "b" -> ((3L, 57L))))
   }
 
+  test("transparent rewrite: fresh MV serves the base-table aggregate; staleness opts out") {
+    catBase
+    val srcDir = s"$catBase/rwsrc"
+    val mvDir = s"$catBase/rwmv"
+    Seq(("a", 1L), ("a", 2L), ("b", 10L), (null.asInstanceOf[String], 5L))
+      .toDF("g", "v").write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, sum(v) AS s, avg(v) AS a FROM mvcat.rwsrc GROUP BY g")
+    def q() = spark.read.format("graft-store").load(srcDir)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("am"))
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val expect0 = Map(Option("a") -> ((2L, 3L, 1.5)),
+      Option("b") -> ((1L, 10L, 10.0)), None -> ((1L, 5L, 5.0)))
+    // FRESH: the aggregate over the BASE table reads the MV
+    assert(servedFromMv(q()), "fresh MV must serve the base-table aggregate")
+    assert(rows(q()) === expect0)
+    // the proof is physical too: the query opens the MV's files, and a
+    // row-shape check — counts are exact, avg = internal sum/count
+    // STALE: churn the source without refreshing — NO rewrite, and the
+    // answer reflects the new data (never the stale view)
+    Seq(("b", 90L)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    assert(!servedFromMv(q()), "a stale MV must never serve the query")
+    assert(rows(q())(Option("b")) === ((2L, 100L, 50.0)))
+    // refresh restores freshness — rewrite resumes with the new numbers
+    GraftMview.refresh(spark, mvDir)
+    assert(servedFromMv(q()))
+    assert(rows(q())(Option("b")) === ((2L, 100L, 50.0)))
+    // a shape the MV cannot answer is untouched (different grouping;
+    // an aggregate the MV lacks; a filtered query)
+    assert(!servedFromMv(spark.read.format("graft-store").load(srcDir)
+      .groupBy("v").agg(count(lit(1)).as("n"))))
+    assert(!servedFromMv(spark.read.format("graft-store").load(srcDir)
+      .groupBy("g").agg(min("v").as("mn"))))
+    assert(!servedFromMv(spark.read.format("graft-store").load(srcDir)
+      .filter(col("v") > 1).groupBy("g").agg(count(lit(1)).as("n"))))
+    // the conf gate opts out
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(!servedFromMv(q()))
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+    // SQL path through the catalog rewrites too
+    val sqlDf = spark.sql(
+      "SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.rwsrc GROUP BY g")
+    assert(sqlDf.queryExecution.optimizedPlan.toString.contains(mvDir))
+    assert(sqlDf.collect().map(_.getLong(1)).sum === 5L)
+  }
+
   test("JOIN view refusals: outer joins, min/max, duplicate names, self-join") {
     catBase
     Seq((1L, 1L)).toDF("fk", "v")
