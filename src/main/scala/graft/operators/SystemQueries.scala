@@ -4274,6 +4274,56 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 10000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** MV VARIANCE family ([[graft.sources.v2.GraftMview]]): stddev/var are
+    * ALGEBRAIC over (n, Σx, Σx²) — three internal companion columns,
+    * sign-maintained exactly like sum, published through ONE shared
+    * formula (Σ(x−μ)² = Σx² − (Σx)²/n, zero-clamped) in both the batch
+    * and incremental paths. The churn here includes deletes, so the
+    * sum-of-squares really runs BACKWARD and must land on the recompute;
+    * the presentation rounds stddev (not variance — stddev's sqrt
+    * contracts the cancellation error far below the rounding grain, the
+    * numerically honest column to hash-compare across engines). */
+  val q209MviewStddev = QuerySpec(
+    "q209_mview_stddev", "S-dsv2-mview-stddev",
+    "MV stddev/variance: signed (n, sum, sumsq) maintenance through insert+delete churn",
+    (s, d) => {
+      val base = "/tmp/graft_store_q209"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq209", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq209.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        s.sql("CALL gq209.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS priority, count(*) AS n, " +
+          "stddev_samp(o_totalprice) AS sd, stddev_pop(o_totalprice) AS sp " +
+          "FROM gq209.src GROUP BY o_orderpriority')")
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        val r = s.sql("CALL gq209.system.refresh_mview('mv')").collect()(0)
+        val incremental = r.getString(0) == "incremental"
+        s.sql("""SELECT priority, n, round(sd, 2) AS sd, round(sp, 2) AS sp
+                |FROM gq209.mv""".stripMargin)
+          .withColumn("incremental", lit(incremental))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq209")
+        s.conf.unset("spark.sql.catalog.gq209.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(stddev_samp(o_totalprice), 2) AS sd,
+           |  round(stddev_pop(o_totalprice), 2) AS sp,
+           |  TRUE AS incremental
+           |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -4295,5 +4345,5 @@ object SystemQueries {
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
     q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere,
-    q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite)
+    q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev)
 }

@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
@@ -29,7 +29,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * columns) and publishes `sum / count` with SQL semantics (NULL when no
   * non-null input survives). `sum` and `count(col)` carry a non-null
   * input count so an all-NULL group publishes NULL, exactly like a
-  * recompute — never a fabricated 0. min/max: groups that saw only
+  * recompute — never a fabricated 0. The VARIANCE family
+  * (var_samp/var_pop/stddev_samp/stddev_pop) maintains as (n, sum x,
+  * sum x^2) companions, sign-maintained like sum, published through one
+  * shared zero-clamped formula. min/max: groups that saw only
   * inserts since the watermark maintain via least/greatest against the
   * stored value; groups touched by any removal RESCAN from the (pinned)
   * source scoped to just those group keys — churn-groups cost, never
@@ -75,6 +78,8 @@ object GraftMview {
   private[v2] case class CountNNCol(src: String, out: String) extends ColSpec
   private[v2] case class SumCol(src: String, out: String) extends ColSpec
   private[v2] case class AvgCol(src: String, out: String) extends ColSpec
+  /** kind: vs=var_samp vp=var_pop ds=stddev_samp dp=stddev_pop. */
+  private[v2] case class VarCol(src: String, out: String, kind: String) extends ColSpec
   private[v2] case class MinCol(src: String, out: String) extends ColSpec
   private[v2] case class MaxCol(src: String, out: String) extends ColSpec
 
@@ -85,6 +90,7 @@ object GraftMview {
   private[v2] def internalsOf(c: ColSpec): Seq[String] = c match {
     case SumCol(_, o) => Seq(s"__nn_$o")
     case AvgCol(_, o) => Seq(s"__s_$o", s"__n_$o")
+    case VarCol(_, o, _) => Seq(s"__s_$o", s"__q_$o", s"__n_$o")
     case _ => Seq.empty
   }
   private[v2] def internals(cols: Seq[ColSpec]): Seq[String] =
@@ -99,6 +105,7 @@ object GraftMview {
     case CountNNCol(s, o) => s"k:${enc(s)}:${enc(o)}"
     case SumCol(s, o) => s"s:${enc(s)}:${enc(o)}"
     case AvgCol(s, o) => s"a:${enc(s)}:${enc(o)}"
+    case VarCol(s, o, k) => s"$k:${enc(s)}:${enc(o)}"
     case MinCol(s, o) => s"m:${enc(s)}:${enc(o)}"
     case MaxCol(s, o) => s"x:${enc(s)}:${enc(o)}"
   }.mkString(";")
@@ -112,6 +119,7 @@ object GraftMview {
         case "k" => CountNNCol(dec(a), dec(b))
         case "s" => SumCol(dec(a), dec(b))
         case "a" => AvgCol(dec(a), dec(b))
+        case vk @ ("vs" | "vp" | "ds" | "dp") => VarCol(dec(a), dec(b), vk)
         case "m" => MinCol(dec(a), dec(b))
         case "x" => MaxCol(dec(a), dec(b))
       }
@@ -223,6 +231,13 @@ object GraftMview {
           case c: Count => fail(s"multi-argument count in '$nm'")
           case s: Sum => SumCol(plainCol(s.child, "sum"), nm)
           case a: Average => AvgCol(plainCol(a.child, "avg"), nm)
+          // the variance family is ALGEBRAIC over (n, sum x, sum x**2):
+          // sign-maintainable like sum, published through one shared
+          // formula in both batch and incremental paths
+          case v: VarianceSamp => VarCol(plainCol(v.child, "var_samp"), nm, "vs")
+          case v: VariancePop => VarCol(plainCol(v.child, "var_pop"), nm, "vp")
+          case v: StddevSamp => VarCol(plainCol(v.child, "stddev_samp"), nm, "ds")
+          case v: StddevPop => VarCol(plainCol(v.child, "stddev_pop"), nm, "dp")
           // min/max are NOT sign-maintainable under removals, but they ARE
           // under pure inserts (least/greatest against the stored value);
           // refresh takes the fast path when a group saw only inserts and
@@ -253,6 +268,22 @@ object GraftMview {
     }.sql), cols)
   }
 
+  /** The variance family from its algebraic decomposition (n, Σx, Σx²):
+    * Σ(x−μ)² = Σx² − (Σx)²/n, clamped at zero (floating-point cancellation
+    * on near-constant groups must not surface as sqrt(−ε) = NaN). ONE
+    * formula serves batch materialization and the incremental merge, so
+    * both paths publish bit-comparable values; SQL NULL semantics:
+    * var_samp/stddev_samp need n ≥ 2, the _pop forms n ≥ 1. */
+  private def varPublish(kind: String, s: Column, q: Column, n: Column): Column = {
+    val m2 = greatest(q - (s * s) / n, lit(0.0))
+    kind match {
+      case "vs" => when(n > 1L, m2 / (n - lit(1L)))
+      case "vp" => when(n > 0L, m2 / n)
+      case "ds" => when(n > 1L, sqrt(m2 / (n - lit(1L))))
+      case "dp" => when(n > 0L, sqrt(m2 / n))
+    }
+  }
+
   /** The view's aggregation, built from the RECOGNIZED specs (never by
     * re-executing user SQL — the recognized form IS the definition).
     * Emits the public columns in definition order, then the internal
@@ -270,6 +301,10 @@ object GraftMview {
       case SumCol(s, o) => Seq(sum(col(s)).as(o), count(col(s)).as(s"__nn_$o"))
       case AvgCol(s, o) =>
         Seq(sum(col(s)).as(s"__s_$o"), count(col(s)).as(s"__n_$o"))
+      case VarCol(s, o, _) =>
+        val x = col(s).cast("double")
+        Seq(sum(x).as(s"__s_$o"), sum(x * x).as(s"__q_$o"),
+          count(col(s)).as(s"__n_$o"))
       case MinCol(s, o) => Seq(min(col(s)).as(o))
       case MaxCol(s, o) => Seq(max(col(s)).as(o))
     }
@@ -277,6 +312,8 @@ object GraftMview {
     val publics = cols.map {
       case AvgCol(_, o) =>
         when(col(s"__n_$o") > 0L, col(s"__s_$o") / col(s"__n_$o")).as(o)
+      case VarCol(_, o, kind) =>
+        varPublish(kind, col(s"__s_$o"), col(s"__q_$o"), col(s"__n_$o")).as(o)
       case c => col(c.out)
     }
     agged.select(publics ++ internals(cols).map(col): _*)
@@ -499,6 +536,11 @@ object GraftMview {
         nnSigned(c2).as(s"${o}_nnd"))
       case AvgCol(c2, o) => Seq(sum(col(c2) * col("_sign")).as(s"${o}_sd"),
         nnSigned(c2).as(s"${o}_nd"))
+      case VarCol(c2, o, _) =>
+        val x = col(c2).cast("double")
+        Seq(sum(x * col("_sign")).as(s"${o}_sd"),
+          sum(x * x * col("_sign")).as(s"${o}_qd"),
+          nnSigned(c2).as(s"${o}_nd"))
       // extremes over the INSERTED rows only: the fast least/greatest
       // path's input (removal-touched groups rescan instead)
       case MinCol(c2, o) => Seq(min(when(col("_sign") > 0, col(c2))).as(s"${o}_i"))
@@ -576,6 +618,13 @@ object GraftMview {
           val s = mergedSum(n, s"__s_$o", s"${o}_sd", st).cast(st)
           Seq(when(n > 0L, s / n).cast(mvSchema(o).dataType).as(o),
             s.as(s"__s_$o"), n.as(s"__n_$o"))
+        case VarCol(_, o, kind) =>
+          val dbl = org.apache.spark.sql.types.DoubleType
+          val n = mergedNN(s"__n_$o", s"${o}_nd")
+          val s = mergedSum(n, s"__s_$o", s"${o}_sd", dbl).cast(dbl)
+          val q = mergedSum(n, s"__q_$o", s"${o}_qd", dbl).cast(dbl)
+          Seq(varPublish(kind, s, q, n).as(o),
+            s.as(s"__s_$o"), q.as(s"__q_$o"), n.as(s"__n_$o"))
         // removal-touched group: the rescanned exact extreme; otherwise
         // least/greatest(stored, inserted) — both skip nulls, so new
         // groups (no stored) and no-insert groups fall out right

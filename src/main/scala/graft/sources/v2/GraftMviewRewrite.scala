@@ -146,6 +146,21 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             cols.collectFirst { case MaxCol(s2, o) if s2 == a.name => mvAttr(o) }
           case _ => None
         }
+        case v: org.apache.spark.sql.catalyst.expressions.aggregate.CentralMomentAgg =>
+          val kind = v match {
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.VarianceSamp => "vs"
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.VariancePop => "vp"
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevSamp => "ds"
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevPop => "dp"
+            case _ => ""
+          }
+          if (kind.isEmpty) None
+          else stripCast(v.child) match {
+            case a: AttributeReference => cols.collectFirst {
+              case VarCol(s2, o, k) if s2 == a.name && k == kind => mvAttr(o)
+            }
+            case _ => None
+          }
         case _ => None
       }
       mapped.filter(_.dataType == ae.dataType)

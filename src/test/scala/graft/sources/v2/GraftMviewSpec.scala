@@ -462,6 +462,60 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       "ON a.fk = b.fk GROUP BY a.fk", "self-join")
   }
 
+  test("variance family maintains as (n, sum, sumsq); matches recompute through churn") {
+    catBase
+    val srcDir = s"$catBase/vsrc"
+    val mvDir = s"$catBase/vmv"
+    Seq(("a", 2.0), ("a", 4.0), ("a", 9.0), ("b", 5.0), ("b", 5.0), ("c", 7.0))
+      .toDF("g", "v").write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, var_samp(v) AS vs, var_pop(v) AS vp, " +
+        "stddev_samp(v) AS ds, stddev_pop(v) AS dp FROM mvcat.vsrc GROUP BY g")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("g", "n", "vs", "vp", "ds", "dp").collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        (2 to 5).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))).toMap
+    def recompute() = {
+      val f = spark.read.format("graft-store").load(srcDir)
+      f.groupBy("g").agg(count(lit(1)).as("n"), var_samp("v").as("vs"),
+          var_pop("v").as("vp"), stddev_samp("v").as("ds"), stddev_pop("v").as("dp"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1),
+          (2 to 5).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))).toMap
+    }
+    def close(a: Map[String, (Long, Seq[Option[Double]])],
+        b: Map[String, (Long, Seq[Option[Double]])]): Unit = {
+      assert(a.keySet === b.keySet)
+      a.foreach { case (k, (n, vs)) =>
+        assert(n === b(k)._1)
+        vs.zip(b(k)._2).foreach {
+          case (Some(x), Some(y)) =>
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+              s"$k: $x vs $y")
+          case (x, y) => assert(x === y, s"$k: $x vs $y")
+        }
+      }
+    }
+    close(rows(), recompute())
+    // single-value group: samp forms NULL, pop forms 0
+    assert(rows()("c")._2 === Seq(None, Some(0.0), None, Some(0.0)))
+    // churn: insert into a, delete b's duplicate (b becomes single-value),
+    // new group d — all maintained from signed (n, sum, sumsq) deltas
+    Seq(("a", 1.0), ("d", 3.0), ("d", 8.0)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    spark.sql("DELETE FROM mvcat.vsrc WHERE g = 'b' AND v = 5.0")
+    val (m, _, vanished, _) = GraftMview.refresh(spark, mvDir)
+    assert(m === "incremental" && vanished === 1L, "b vanished (both rows matched)")
+    close(rows(), recompute())
+    // the transparent rewrite serves stddev from the stored column
+    val q = spark.read.format("graft-store").load(srcDir)
+      .groupBy("g").agg(count(lit(1)).as("n"), stddev_samp("v").as("ds"))
+    assert(q.queryExecution.optimizedPlan.toString.contains(mvDir),
+      "fresh variance MV must serve the base-table stddev aggregate")
+    close(q.collect().map(r => r.getString(0) ->
+        (r.getLong(1), Seq(if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap,
+      recompute().map { case (k, (n, vs)) => k -> (n, Seq(vs(2))) })
+  }
+
   test("avg maintains as internal sum+count; NULL when no non-null input") {
     catBase
     val srcDir = s"$catBase/src10"
