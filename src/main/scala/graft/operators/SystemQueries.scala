@@ -4324,6 +4324,75 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** ROLLUP REWRITE ([[graft.sources.v2.GraftMviewRewriteRule]]): a query
+    * grouping COARSER than a registered fresh view — or not grouping at
+    * all — re-aggregates the view's stored columns instead of scanning
+    * the base: counts sum, sums sum, min/max nest, and avg/stddev
+    * recombine EXACTLY from their internal moment companions (Σx, Σx², n
+    * summed across the finer groups — algebra, not approximation). The
+    * probe creates a (priority, status)-grained view, churns, refreshes,
+    * then asks the priority-only rollup AND a global aggregate; the
+    * slice-count bit pins that neither touched the 8-file fact base. At
+    * 100 TB one finer MV serves the whole dashboard drill-down family. */
+  val q210MviewRollup = QuerySpec(
+    "q210_mview_rollup", "S-dsv2-mview-rollup",
+    "rollup rewrite: coarser + global aggregates served from one finer view",
+    (s, d) => {
+      val base = "/tmp/graft_store_q210"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq210", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq210.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        s.sql("CALL gq210.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS priority, o_orderstatus AS status, " +
+          "count(*) AS n, sum(o_totalprice) AS rev, avg(o_totalprice) AS ap, " +
+          "stddev_samp(o_totalprice) AS sd " +
+          "FROM gq210.src GROUP BY o_orderpriority, o_orderstatus')")
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        s.sql("CALL gq210.system.refresh_mview('mv')")
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        // COARSER than the view's (priority, status) grain
+        val coarse = s.sql(
+          """SELECT o_orderpriority AS priority, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev,
+            |  round(avg(o_totalprice), 2) AS ap,
+            |  round(stddev_samp(o_totalprice), 2) AS sd
+            |FROM gq210.src GROUP BY o_orderpriority""".stripMargin)
+        val rows = coarse.collect()
+        // GLOBAL: the empty grouping also rolls up
+        val globalDf = s.sql(
+          "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS rev FROM gq210.src")
+        val g = globalDf.collect()(0)
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val rolledUp = served(coarse) && served(globalDf) && opened < 8
+        val globalMatches =
+          g.getLong(0) == rows.map(_.getLong(1)).sum
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), coarse.schema)
+          .withColumn("rolled_up", lit(rolledUp))
+          .withColumn("global_matches", lit(globalMatches))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq210")
+        s.conf.unset("spark.sql.catalog.gq210.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  round(avg(o_totalprice), 2) AS ap,
+           |  round(stddev_samp(o_totalprice), 2) AS sd,
+           |  TRUE AS rolled_up, TRUE AS global_matches
+           |FROM orders WHERE o_orderkey < 10000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -4345,5 +4414,5 @@ object SystemQueries {
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
     q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere,
-    q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev)
+    q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev, q210MviewRollup)
 }

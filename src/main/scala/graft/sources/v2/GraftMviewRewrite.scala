@@ -101,10 +101,18 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (p.contains("graft.mv.filter")) return None // filtered MVs: not in this phase
     if (p.get("graft.mv.wmname") != Some(srcHead)) return None // STALE: refresh first
     val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
-    // exact group-set match (rollups from coarser MVs are a later phase)
+    // group-set containment: an EXACT match projects stored rows; a
+    // PROPER SUBSET (including the empty set — a global aggregate)
+    // re-aggregates the finer view's stored columns, the classic rollup
+    // rewrite — count sums counts, avg/variance recombine from their
+    // internal moment columns, min/max nest
     val mvGroups = cols.collect { case g: GroupCol => g }
-    if (groupAttrs.map(_.name).toSet != mvGroups.map(_.src).toSet ||
-        groupAttrs.size != mvGroups.size) return None
+    val qNames = groupAttrs.map(_.name)
+    if (qNames.distinct.size != qNames.size) return None
+    val exact = qNames.toSet == mvGroups.map(_.src).toSet &&
+      qNames.size == mvGroups.size
+    val rollup = !exact && qNames.toSet.subsetOf(mvGroups.map(_.src).toSet)
+    if (!exact && !rollup) return None
     // the MV relation: its DSv2 table, full stored schema
     val mvRel = DataSourceV2Relation.create(
       new GraftStoreTable(mvPath, mvManifest.schema), None, None)
@@ -165,12 +173,78 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       mapped.filter(_.dataType == ae.dataType)
     }
+    // rollup form: one aggregate call over the BASE -> a re-aggregation
+    // over the finer view's stored columns. All arithmetic is typed by
+    // hand (this runs post-analysis); anything that cannot reproduce the
+    // original result type exactly falls through to "no rewrite".
+    def mapAggRollup(ae: AggregateExpression): Option[Expression] = {
+      import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Coalesce, Divide, GreaterThan, Greatest, Literal, Multiply, Sqrt, Subtract, Cast => CCast}
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      def sumOf(out: String): Expression = Sum(mvAttr(out)).toAggregateExpression()
+      def srcOf(child: Expression): Option[String] = stripCast(child) match {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+      def momentExpr(o: String, kind: String): Expression = {
+        val sS = sumOf(s"__s_$o")
+        val qS = sumOf(s"__q_$o")
+        val nS = sumOf(s"__n_$o")
+        val nD = CCast(nS, DoubleType)
+        val m2 = Greatest(Seq(
+          Subtract(qS, Divide(Multiply(sS, sS), nD)), Literal(0.0)))
+        val inner = kind match {
+          case "vs" | "ds" => CaseWhen(Seq((GreaterThan(nS, Literal(1L)),
+            Divide(m2, Subtract(nD, Literal(1.0))))), None)
+          case _ => CaseWhen(Seq((GreaterThan(nS, Literal(0L)),
+            Divide(m2, nD))), None)
+        }
+        if (kind == "ds" || kind == "dp") Sqrt(inner) else inner
+      }
+      val mapped: Option[Expression] = ae.aggregateFunction match {
+        case c: Count if c.children.forall(_.foldable) =>
+          cols.collectFirst { case CountCol(o) =>
+            Coalesce(Seq(sumOf(o), Literal(0L))) } // count of nothing is 0
+        case c: Count if c.children.size == 1 =>
+          srcOf(c.children.head).flatMap(nm => cols.collectFirst {
+            case CountNNCol(s2, o) if s2 == nm =>
+              Coalesce(Seq(sumOf(o), Literal(0L))) })
+        case s: Sum => srcOf(s.child).flatMap(nm => cols.collectFirst {
+          case SumCol(s2, o) if s2 == nm => sumOf(o) })
+        case v: Average => srcOf(v.child).flatMap(nm => cols.collectFirst {
+          case AvgCol(s2, o) if s2 == nm =>
+            val nS = sumOf(s"__n_$o")
+            CaseWhen(Seq((GreaterThan(nS, Literal(0L)),
+              Divide(CCast(sumOf(s"__s_$o"), DoubleType),
+                CCast(nS, DoubleType)))), None) })
+        case m: Min => srcOf(m.child).flatMap(nm => cols.collectFirst {
+          case MinCol(s2, o) if s2 == nm =>
+            Min(mvAttr(o)).toAggregateExpression() })
+        case m: Max => srcOf(m.child).flatMap(nm => cols.collectFirst {
+          case MaxCol(s2, o) if s2 == nm =>
+            Max(mvAttr(o)).toAggregateExpression() })
+        case v: org.apache.spark.sql.catalyst.expressions.aggregate.CentralMomentAgg =>
+          val kind = v match {
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.VarianceSamp => "vs"
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.VariancePop => "vp"
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevSamp => "ds"
+            case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevPop => "dp"
+            case _ => ""
+          }
+          if (kind.isEmpty) None
+          else srcOf(v.child).flatMap(nm => cols.collectFirst {
+            case VarCol(s2, o, k) if s2 == nm && k == kind => momentExpr(o, kind) })
+        case _ => None
+      }
+      mapped.filter(_.dataType == ae.dataType)
+    }
     // convert an output expression TREE: aggregate calls and group columns
     // become stored MV columns; any other reference to the source makes
     // the expression unservable. Handles post-aggregation arithmetic like
     // `round(sum(x), 2)` — the MV column slots in where the call was.
     def conv(e: Expression): Option[Expression] = e match {
-      case ae: AggregateExpression => mapAgg(ae)
+      case ae: AggregateExpression =>
+        if (exact) mapAgg(ae) else mapAggRollup(ae)
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
         mvGroups.find(_.src == a.name).map(g => mvAttr(g.out))
       case _: AttributeReference => None // bare source column: unservable
@@ -193,7 +267,12 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     logInfo(s"graft mview rewrite: serving aggregate over $srcPath " +
-      s"from fresh MV $mvPath")
-    Some(Project(projected, mvRel))
+      (if (exact) "" else "(ROLLED UP) ") + s"from fresh MV $mvPath")
+    if (exact) Some(Project(projected, mvRel))
+    else {
+      val groupingOut = groupAttrs.map(a =>
+        mvAttr(mvGroups.find(_.src == a.name).get.out))
+      Some(Aggregate(groupingOut, projected, mvRel))
+    }
   }
 }

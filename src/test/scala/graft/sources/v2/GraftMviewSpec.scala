@@ -440,6 +440,48 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(sqlDf.collect().map(_.getLong(1)).sum === 5L)
   }
 
+  test("rollup rewrite: coarser and GLOBAL aggregates re-aggregate the finer view") {
+    catBase
+    val srcDir = s"$catBase/rusrc"
+    val mvDir = s"$catBase/rumv"
+    Seq(("a", "x", 2.0), ("a", "x", 4.0), ("a", "y", 9.0),
+      ("b", "x", 5.0), ("b", "y", 7.0), ("b", "y", 11.0))
+      .toDF("g", "h", "v").write.format("graft-store").mode("overwrite").save(srcDir)
+    // FINER view: grouped by (g, h) with every recombinable aggregate
+    GraftMview.create(spark, mvDir,
+      "SELECT g, h, count(*) AS n, sum(v) AS s, avg(v) AS a, min(v) AS mn, " +
+        "max(v) AS mx, stddev_samp(v) AS sd FROM mvcat.rusrc GROUP BY g, h")
+    def base() = spark.read.format("graft-store").load(srcDir)
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    // COARSER grouping (g only): counts sum, sums sum, avg and stddev
+    // recombine from the stored moment columns, min/max nest
+    val coarse = base().groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"),
+      avg("v").as("a"), min("v").as("mn"), max("v").as("mx"),
+      stddev_samp("v").as("sd"))
+    assert(servedFromMv(coarse), "coarser grouping must roll up from the view")
+    val want = Map(
+      "a" -> ((3L, 15.0, 5.0, 2.0, 9.0), math.sqrt((4+16+81 - 15.0*15/3) / 2)),
+      "b" -> ((3L, 23.0, 23.0 / 3, 5.0, 11.0), math.sqrt((25+49+121 - 23.0*23/3) / 2)))
+    coarse.collect().foreach { r =>
+      val (t, sd) = want(r.getString(0))
+      assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)) === t)
+      assert(math.abs(r.getDouble(6) - sd) < 1e-9)
+    }
+    // GLOBAL aggregate (no GROUP BY): the empty subset rolls up too
+    val global = base().agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"))
+    assert(servedFromMv(global), "a global aggregate must roll up from the view")
+    val gr = global.collect()(0)
+    assert(gr.getLong(0) === 6L && gr.getDouble(1) === 38.0 &&
+      math.abs(gr.getDouble(2) - 38.0 / 6) < 1e-12)
+    // staleness still gates rollups
+    Seq(("c", "z", 1.0)).toDF("g", "h", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    assert(!servedFromMv(base().groupBy("g").agg(count(lit(1)).as("n"))))
+    assert(base().groupBy("g").agg(count(lit(1)).as("n")).collect().length === 3)
+  }
+
   test("JOIN view refusals: outer joins, min/max, duplicate names, self-join") {
     catBase
     Seq((1L, 1L)).toDF("fk", "v")
