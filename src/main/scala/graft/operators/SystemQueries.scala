@@ -4393,6 +4393,165 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 10000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** FILTERED MV REWRITE ([[graft.sources.v2.GraftMviewRewriteRule]]):
+    * the query's WHERE decomposes into [the view's own WHERE] AND
+    * [residual conjuncts over view GROUP columns]. Two shapes probed:
+    * (a) an UNFILTERED (priority, status)-grained view serves
+    * `WHERE o_orderstatus='O' GROUP BY priority` — the status predicate
+    * applies to stored rows, then the rollup re-aggregates; (b) a view
+    * built WITH `WHERE o_totalprice > 100000` serves the query carrying
+    * the semantically-identical predicate (matched post-coercion, so
+    * int-literal vs folded-double-cast text differences don't matter).
+    * The slice-count bit pins that neither probe touched the 8-file
+    * base. At 100 TB: the WHERE'd dashboard variants — by far the most
+    * common shape — stop scanning the fact table too. */
+  val q211MviewFilterRewrite = QuerySpec(
+    "q211_mview_filter_rewrite", "S-dsv2-mview-filter-rewrite",
+    "filtered rewrite: residual WHERE on group cols + a filtered view's exact WHERE",
+    (s, d) => {
+      val base = "/tmp/graft_store_q211"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq211", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq211.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src) // 8 files
+        s.sql("CALL gq211.system.create_mview('mva', " +
+          "'SELECT o_orderpriority AS priority, o_orderstatus AS status, " +
+          "count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq211.src GROUP BY o_orderpriority, o_orderstatus')")
+        s.sql("CALL gq211.system.create_mview('mvb', " +
+          "'SELECT o_orderpriority AS priority, count(*) AS n, " +
+          "sum(o_totalprice) AS rev FROM gq211.src " +
+          "WHERE o_totalprice > 100000 GROUP BY o_orderpriority')")
+        // churn, then refresh both views — the serves below are post-churn
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        s.sql("CALL gq211.system.refresh_mview('mva')")
+        s.sql("CALL gq211.system.refresh_mview('mvb')")
+        def served(df: org.apache.spark.sql.DataFrame, mv: String): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/$mv")
+        // (a) residual WHERE on a group column + rollup from mva
+        val qa = s.sql(
+          """SELECT o_orderpriority AS priority, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM gq211.src WHERE o_orderstatus = 'O'
+            |GROUP BY o_orderpriority""".stripMargin)
+        // (b) the filtered view's own WHERE, matched semantically
+        val qb = s.sql(
+          """SELECT o_orderpriority AS priority, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM gq211.src WHERE o_totalprice > 100000
+            |GROUP BY o_orderpriority""".stripMargin)
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val ra = qa.collect()
+        val rb = qb.collect()
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val servedA = served(qa, "mva")
+        val servedB = served(qb, "mvb")
+        val sliceProof = opened < 8 // never the 8-file base
+        val tagged =
+          s.createDataFrame(s.sparkContext.parallelize(ra.toIndexedSeq), qa.schema)
+            .withColumn("part", lit("grp_where"))
+            .unionByName(s.createDataFrame(
+              s.sparkContext.parallelize(rb.toIndexedSeq), qb.schema)
+              .withColumn("part", lit("mv_where")))
+        tagged.withColumn("served_a", lit(servedA))
+          .withColumn("served_b", lit(servedB))
+          .withColumn("slice_proof", lit(sliceProof))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq211")
+        s.conf.unset("spark.sql.catalog.gq211.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev, 'grp_where' AS part,
+           |  TRUE AS served_a, TRUE AS served_b, TRUE AS slice_proof
+           |FROM orders WHERE o_orderkey < 10000 AND o_orderstatus = 'O'
+           |GROUP BY o_orderpriority
+           |UNION ALL
+           |SELECT o_orderpriority, count(*), round(sum(o_totalprice), 2),
+           |  'mv_where', TRUE, TRUE, TRUE
+           |FROM orders WHERE o_orderkey < 10000 AND o_totalprice > 100000
+           |GROUP BY o_orderpriority""".stripMargin))
+
+  /** JOIN-MV REWRITE ([[graft.sources.v2.GraftMviewRewriteRule]]): the
+    * same INNER equi-join aggregate the view was defined over — same two
+    * tables, same key pairs, either order — is served from the fresh
+    * view; a GLOBAL aggregate over the join rolls up from it. Freshness
+    * requires BOTH source watermarks at their heads, so fact churn
+    * without refresh reads the real join (stale bit), and the refreshed
+    * view serves again with the slice-count proof pinning that no fact
+    * file was opened. At 100 TB this closes the loop on q207: the
+    * star-schema dashboard query — fact ⋈ dim, group by dim attribute —
+    * costs O(groups) at query time with churn-proportional refresh. */
+  val q212MviewJoinRewrite = QuerySpec(
+    "q212_mview_join_rewrite", "S-dsv2-mview-join-rewrite",
+    "join rewrite: fresh two-table view serves the join aggregate + global rollup",
+    (s, d) => {
+      val base = "/tmp/graft_store_q212"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq212", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq212.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact) // 8 files
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.format("graft-store").mode("overwrite").save(dim)
+        s.sql("CALL gq212.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq212.fact JOIN gq212.dim ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment')")
+        def joinAgg() = s.sql(
+          """SELECT c_mktsegment AS seg, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM gq212.fact JOIN gq212.dim ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        // fact churn WITHOUT refresh: the view must NOT serve, and the
+        // join answer must include the fresh rows
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        val staleDf = joinAgg()
+        val staleNotServed = !served(staleDf)
+        val staleN = staleDf.agg(sum("n")).collect()(0).getLong(0)
+        s.sql("CALL gq212.system.refresh_mview('mv')")
+        val q = joinAgg()
+        val globalDf = s.sql(
+          """SELECT count(*) AS n FROM gq212.fact
+            |JOIN gq212.dim ON o_custkey = c_custkey""".stripMargin)
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val rows = q.collect()
+        val globalN = globalDf.collect()(0).getLong(0)
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val bits = served(q) && served(globalDf) && staleNotServed &&
+          staleN == globalN && globalN == rows.map(_.getLong(1)).sum &&
+          opened < 8 // never the 8-file fact base
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q.schema)
+          .withColumn("join_rewrite_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq212")
+        s.conf.unset("spark.sql.catalog.gq212.base")
+      }
+    },
+    Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev, TRUE AS join_rewrite_proof
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE o_orderkey < 10000
+           |GROUP BY c_mktsegment""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -4414,5 +4573,6 @@ object SystemQueries {
     q191Resort, q192SortedScan, q193TypeWidening, q194CompositeRuntimePrune,
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
     q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere,
-    q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev, q210MviewRollup)
+    q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev, q210MviewRollup,
+    q211MviewFilterRewrite, q212MviewJoinRewrite)
 }

@@ -393,16 +393,14 @@ object GraftMview {
     }
     val n = writeFull(spark, mvPath, src, filterSql, cols, wms.map(_._1),
       wmProps(src, filterSql, cols, sql, wms))
-    // register the dependent on its SOURCE (the `_mvdeps` sidecar — NOT a
-    // commit: registering must not advance the source's history, which
-    // would stale the view it just created): the transparent-rewrite rule
-    // ([[GraftMviewRewriteRule]]) follows this pointer instead of
-    // enumerating any catalog. Single-table MVs only — join MVs are not
-    // rewrite candidates in this phase.
-    src match {
-      case SingleSrc(p) => GraftStoreFormat.addMvDep(p, conf, mvPath)
-      case _ => ()
-    }
+    // register the dependent on its SOURCE(s) (the `_mvdeps.d` sidecar —
+    // NOT a commit: registering must not advance the source's history,
+    // which would stale the view it just created): the
+    // transparent-rewrite rule ([[GraftMviewRewriteRule]]) follows these
+    // pointers instead of enumerating any catalog. Join views register
+    // on BOTH sides — the rule validates the full join shape from the
+    // view's own metadata whichever side it discovers it through.
+    srcPaths(src).foreach(p => GraftStoreFormat.addMvDep(p, conf, mvPath))
     (n, wms.head._1)
   }
 

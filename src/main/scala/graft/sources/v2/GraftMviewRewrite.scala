@@ -1,11 +1,14 @@
 package graft.sources.v2
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, KnownNotNull, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BinaryComparison, Cast, Expression, In, InSet, IsNotNull, KnownNotNull, NamedExpression, PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import scala.jdk.CollectionConverters._
 
 /** TRANSPARENT MATERIALIZED-VIEW REWRITE (the classic warehouse
   * optimization, Oracle/Calcite "materialized view rewrite"): a query
@@ -14,35 +17,52 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * against the base table and silently reads precomputed rows.
   *
   * Discovery is O(1) per aggregate: [[GraftMview.create]] stamps the
-  * SOURCE table's user properties with a `graft.mv.dependents` pointer
-  * list (a metadata-only commit), so the rule never enumerates a catalog
-  * — it reads the source relation's (cached) manifest, follows the
-  * pointers, and inspects each candidate's own metadata. A stale pointer
+  * SOURCE table with `_mvdeps.d/` pointer files (metadata-only, NOT a
+  * commit), so the rule never enumerates a catalog — it follows the
+  * pointers and inspects each candidate's own metadata. A stale pointer
   * (dropped MV directory) just fails the lookup and is skipped.
   *
   * The rewrite fires ONLY when it is provably exact:
   *
-  *   - the MV is FRESH: its stored watermark names the source's CURRENT
-  *     head manifest — same snapshot-isolation guarantee as reading the
-  *     base table directly;
-  *   - the query is a bare single-table aggregate (no WHERE — a filtered
-  *     MV or query never matches in this phase), grouping on exactly the
-  *     MV's group columns, each output deriving from a stored MV column
-  *     (count(*) → liveness count, sum/min/max/avg/count(col) → their
-  *     specs) with IDENTICAL result types;
-  *   - aggregates carry no DISTINCT/FILTER.
+  *   - the MV is FRESH: its stored watermark(s) name the source's (or
+  *     both join sources') CURRENT head manifest — same
+  *     snapshot-isolation guarantee as reading the base directly;
+  *   - the query aggregates the MV's source shape: the single source
+  *     table, or the same INNER equi-join (same two tables, same key
+  *     pairs, either order) for a join view;
+  *   - grouping is the MV's group set (stored rows project straight
+  *     through) or a PROPER SUBSET of it including the empty set (the
+  *     ROLLUP rewrite: stored finer groups re-aggregate — counts sum,
+  *     min/max nest, avg and the variance family recombine EXACTLY from
+  *     their internal moment columns);
+  *   - the query's WHERE decomposes into [the MV's own WHERE] AND
+  *     [residual conjuncts over MV GROUP columns]: every MV-filter
+  *     conjunct must appear (semantically) in the query — so the MV is
+  *     never missing rows the query needs — and what remains applies to
+  *     the stored rows BEFORE any re-aggregation. Join-key IsNotNull
+  *     conjuncts (inferred by the optimizer) are implied by the inner
+  *     equi-join itself and ignored;
+  *   - every output derives from a stored MV column with IDENTICAL
+  *     result types; aggregates carry no DISTINCT/FILTER.
   *
-  * The replacement is a Project over the MV's DSv2 relation that
-  * re-aliases stored columns to the original output's exprIds (names,
-  * types, and — via [[KnownNotNull]] where the original was non-nullable
-  * — nullability all preserved, the optimizer-rule contract).
+  * The MV's stored filter text re-analyzes against the query's own
+  * relation attributes (parse → analyze → constant-fold), so both sides
+  * compare post-coercion — `o_orderkey < 8000` matches whether the 8000
+  * arrived as an int literal or a folded bigint cast.
   *
-  * At 100 TB this turns the dashboard aggregate from a full fact-table
-  * scan into a read of a few thousand precomputed rows — combined with
-  * the CDC-driven incremental refresh, the end-to-end cost of a standing
-  * aggregate is churn at refresh time plus O(groups) at query time.
-  * Opt out with `spark.graft.mv.rewrite=false`. */
-class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  * The replacement re-aliases stored columns to the original output's
+  * exprIds (names, types, and — via [[KnownNotNull]] where the original
+  * was non-nullable — nullability all preserved, the optimizer-rule
+  * contract).
+  *
+  * At 100 TB this turns the dashboard aggregate — and its WHERE'd and
+  * drilled-down variants — from full fact-table scans into reads of a
+  * few thousand precomputed rows: combined with CDC-driven incremental
+  * refresh, the end-to-end cost of a standing aggregate family is churn
+  * at refresh time plus O(groups) at query time. Opt out with
+  * `spark.graft.mv.rewrite=false`. */
+class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   private def enabled: Boolean =
     spark.conf.getOption("spark.graft.mv.rewrite").forall(_.toBoolean)
@@ -50,15 +70,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case agg @ Aggregate(_, _, rel: DataSourceV2Relation, _)
-          if rel.table.isInstanceOf[GraftStoreTable] =>
-        rewrite(agg, rel).getOrElse(agg)
-      // column pruning may already have inserted a pure attribute
-      // projection between the aggregate and the relation — transparent
-      case agg @ Aggregate(_, _, Project(projList, rel: DataSourceV2Relation), _)
-          if rel.table.isInstanceOf[GraftStoreTable] &&
-            projList.forall(_.isInstanceOf[AttributeReference]) =>
-        rewrite(agg, rel).getOrElse(agg)
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
   }
 
@@ -67,39 +79,136 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => e
   }
 
-  private def rewrite(agg: Aggregate, rel: DataSourceV2Relation)
-      : Option[LogicalPlan] = {
-    val srcPath = rel.table.properties().get("location")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val deps = GraftStoreFormat.readMvDeps(srcPath, conf)
-    if (deps.isEmpty) return None
-    // the source's CURRENT head: freshness is name-exact (expiry deletes,
-    // never renumbers — a matching name IS the same committed snapshot)
-    val srcHead = GraftStoreFormat.listManifests(srcPath, conf).lastOption
-      .map(_.getName).getOrElse(return None)
+  /** What the query aggregates: graft relation(s), every filter conjunct
+    * between the aggregate and the scan(s) (WHEREs pushed below the join
+    * included — for an inner join they commute with it), and the
+    * equi-join key pairs (empty for a single table). */
+  private case class QuerySource(rels: Seq[DataSourceV2Relation],
+      paths: Seq[String], conjs: Seq[Expression], joinKeys: Seq[(String, String)])
 
+  /** Peel attribute-only Projects and Filters, accumulating conjuncts. */
+  private def peel(p: LogicalPlan): (Seq[Expression], LogicalPlan) = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => peel(c)
+    case Filter(cond, c) =>
+      val (cs, base) = peel(c)
+      (splitConjunctivePredicates(cond) ++ cs, base)
+    case other => (Nil, other)
+  }
+
+  /** Only a PLAIN read of the table head is servable: a relation carrying
+    * any read option beyond `path` (snapshot/time-travel pins, CDC
+    * ranges) asks for something other than the current head — the MV's
+    * freshness gate speaks only for the head, so serving a pinned read
+    * from it would silently time-travel the answer (the MV machinery's
+    * own pinned recomputes flow through this same optimizer). */
+  private def graftRel(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftStoreTable] &&
+        r.options.keySet().asScala.forall(_.equalsIgnoreCase("path")) =>
+      Some(r)
+    case _ => None
+  }
+
+  private def pathOf(rel: DataSourceV2Relation): String =
+    rel.table.properties().get("location")
+
+  private def extractSource(child: LogicalPlan): Option[QuerySource] =
+    peel(child) match {
+      case (conjs, r: DataSourceV2Relation) if graftRel(r).isDefined =>
+        Some(QuerySource(Seq(r), Seq(pathOf(r)), conjs, Nil))
+      case (conjs, j: Join) if j.joinType == Inner && j.condition.isDefined =>
+        val (lc, lbase) = peel(j.left)
+        val (rc, rbase) = peel(j.right)
+        for {
+          lrel <- graftRel(lbase)
+          rrel <- graftRel(rbase)
+          keys <- eqKeyPairs(j.condition.get, lrel, rrel)
+        } yield QuerySource(Seq(lrel, rrel), Seq(pathOf(lrel), pathOf(rrel)),
+          conjs ++ lc ++ rc, keys)
+      case _ => None
+    }
+
+  /** Plain equi-key conjunction → (leftName, rightName) pairs; anything
+    * else in the ON condition makes the join unservable. */
+  private def eqKeyPairs(cond: Expression, l: DataSourceV2Relation,
+      r: DataSourceV2Relation): Option[Seq[(String, String)]] = {
+    val lIds = l.output.map(_.exprId).toSet
+    val rIds = r.output.map(_.exprId).toSet
+    val pairs = splitConjunctivePredicates(cond).map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, b: AttributeReference) =>
+        if (lIds.contains(a.exprId) && rIds.contains(b.exprId)) a.name -> b.name
+        else if (rIds.contains(a.exprId) && lIds.contains(b.exprId)) b.name -> a.name
+        else return None
+      case _ => return None
+    }
+    Some(pairs)
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val qs = extractSource(agg.child).getOrElse(return None)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val deps = qs.paths.flatMap(p => GraftStoreFormat.readMvDeps(p, conf)).distinct
+    if (deps.isEmpty) return None
+    // the sources' CURRENT heads: freshness is name-exact (expiry
+    // deletes, never renumbers — a matching name IS the same snapshot)
+    val heads = qs.paths.map { p =>
+      GraftStoreFormat.listManifests(p, conf).lastOption
+        .map(_.getName).getOrElse(return None)
+    }
     val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
       case a: AttributeReference => a
       case _ => return None
     }
-
     deps.view.flatMap { mvPath =>
-      tryOne(agg, groupAttrs, mvPath, srcPath, srcHead)
+      tryOne(agg, groupAttrs, qs, heads, mvPath)
     }.headOption
   }
 
+  /** The MV's stored filter text, re-analyzed against the query's own
+    * relation attributes and constant-folded — the same coercion path
+    * the query's WHERE went through, so conjuncts compare semantically. */
+  private def analyzedFilter(txt: String, out: Seq[Attribute])
+      : Option[Seq[Expression]] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(txt)
+      val folded = org.apache.spark.sql.catalyst.optimizer.ConstantFolding(
+        spark.sessionState.analyzer.execute(Filter(parsed, LocalRelation(out))))
+      folded match {
+        case Filter(c, _) => Some(splitConjunctivePredicates(c))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def tryOne(agg: Aggregate, groupAttrs: Seq[AttributeReference],
-      mvPath: String, srcPath: String, srcHead: String): Option[LogicalPlan] = {
+      qs: QuerySource, heads: Seq[String], mvPath: String): Option[LogicalPlan] = {
     import GraftMview._
     val conf = spark.sparkContext.hadoopConfiguration
     val mvManifest = GraftStoreFormat.readLatestManifest(mvPath, conf)
       .getOrElse(return None) // stale pointer: MV dropped
     val p = mvManifest.props
     if (!p.get("graft.mv").contains("true")) return None
-    if (p.get("graft.mv.source") != Some(srcPath)) return None
-    if (p.contains("graft.mv.source2")) return None // join MVs: not in this phase
-    if (p.contains("graft.mv.filter")) return None // filtered MVs: not in this phase
-    if (p.get("graft.mv.wmname") != Some(srcHead)) return None // STALE: refresh first
+    // source-shape match: single table, or the same join in either order
+    (qs.paths, p.get("graft.mv.source2")) match {
+      case (Seq(s1), None) =>
+        if (p.get("graft.mv.source") != Some(s1)) return None
+        if (p.get("graft.mv.wmname") != Some(heads.head)) return None // STALE
+      case (Seq(q1, q2), Some(m2)) =>
+        val m1 = p("graft.mv.source")
+        val sw = if (q1 == m1 && q2 == m2) false
+          else if (q1 == m2 && q2 == m1) true
+          else return None
+        val (h1, h2) = if (sw) (heads(1), heads.head) else (heads.head, heads(1))
+        if (p.get("graft.mv.wmname") != Some(h1)) return None // STALE
+        if (p.get("graft.mv.wmname2") != Some(h2)) return None // STALE
+        // key pairs must match as a set, normalized to (source, source2)
+        val mvKeys = p("graft.mv.keys").split(";", -1).toSeq.map { kv =>
+          val Array(a, b) = kv.split(":", 2)
+          GraftStoreFormat.unescStat(a) -> GraftStoreFormat.unescStat(b)
+        }.toSet
+        val qKeys = (if (sw) qs.joinKeys.map(_.swap) else qs.joinKeys).toSet
+        if (qKeys != mvKeys) return None
+      case _ => return None
+    }
     val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
     // group-set containment: an EXACT match projects stored rows; a
     // PROPER SUBSET (including the empty set — a global aggregate)
@@ -113,6 +222,36 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       qNames.size == mvGroups.size
     val rollup = !exact && qNames.toSet.subsetOf(mvGroups.map(_.src).toSet)
     if (!exact && !rollup) return None
+    // ---- filter containment ----------------------------------------
+    // join-key IsNotNull conjuncts (inferred by the optimizer) are
+    // implied by the inner equi-join itself
+    val keyNames: Set[String] =
+      qs.joinKeys.flatMap(k => Seq(k._1, k._2)).toSet
+    val qConjs = qs.conjs.filterNot {
+      case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+      case _ => false
+    }
+    if (qConjs.exists(c => !c.deterministic ||
+        c.exists(_.isInstanceOf[PlanExpression[_]]))) return None
+    val allOut: Seq[Attribute] = qs.rels.flatMap(_.output)
+    val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
+      case None => Nil
+      case Some(txt) => analyzedFilter(txt, allOut).getOrElse(return None)
+    }
+    // every MV-filter conjunct must appear in the query, or the MV may
+    // be missing rows the query needs
+    if (!mvConjs.forall(m => qConjs.exists(_.semanticEquals(m))))
+      return None
+    val residual0 = qConjs.filterNot(q => mvConjs.exists(_.semanticEquals(q)))
+    // IsNotNull(a) is implied when a matched MV conjunct is a
+    // null-intolerant predicate over a — the stored rows already exclude
+    // NULL a
+    val residual = residual0.filterNot {
+      case IsNotNull(a: AttributeReference) => mvConjs.exists(m =>
+        m.references.contains(a) && (m.isInstanceOf[BinaryComparison] ||
+          m.isInstanceOf[In] || m.isInstanceOf[InSet]))
+      case _ => false
+    }
     // the MV relation: its DSv2 table, full stored schema
     val mvRel = DataSourceV2Relation.create(
       new GraftStoreTable(mvPath, mvManifest.schema), None, None)
@@ -120,6 +259,20 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       mvRel.output.collectFirst {
         case a: AttributeReference if a.name == out => a
       }.get
+    // residual conjuncts apply to stored rows BEFORE re-aggregation, so
+    // they may only touch MV GROUP columns (any group column of the
+    // finer view — not just the query's grouping)
+    def convFilter(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference =>
+        mvGroups.find(_.src == a.name).map(g => mvAttr(g.out))
+      case other =>
+        val kids = other.children.map(convFilter)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val residualMapped: Seq[Expression] =
+      residual.map(c => convFilter(c).getOrElse(return None))
+    // ---- output mapping --------------------------------------------
     // one aggregate call -> its stored MV column, result-type-IDENTICAL
     // (e.g. decimal avg's internal division type can differ from Average's
     // declared type — then no rewrite)
@@ -179,7 +332,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // original result type exactly falls through to "no rewrite".
     def mapAggRollup(ae: AggregateExpression): Option[Expression] = {
       import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Coalesce, Divide, GreaterThan, Greatest, Literal, Multiply, Sqrt, Subtract, Cast => CCast}
-      import org.apache.spark.sql.types.{DoubleType, LongType}
+      import org.apache.spark.sql.types.DoubleType
       if (ae.isDistinct || ae.filter.isDefined) return None
       def sumOf(out: String): Expression = Sum(mvAttr(out)).toAggregateExpression()
       def srcOf(child: Expression): Option[String] = stripCast(child) match {
@@ -266,13 +419,20 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => return None
       }
     }
-    logInfo(s"graft mview rewrite: serving aggregate over $srcPath " +
-      (if (exact) "" else "(ROLLED UP) ") + s"from fresh MV $mvPath")
-    if (exact) Some(Project(projected, mvRel))
+    val mvChild: LogicalPlan =
+      if (residualMapped.isEmpty) mvRel
+      else Filter(residualMapped.reduce(
+        org.apache.spark.sql.catalyst.expressions.And(_, _)), mvRel)
+    logInfo(s"graft mview rewrite: serving aggregate over " +
+      qs.paths.mkString(" JOIN ") +
+      (if (exact) " " else " (ROLLED UP) ") +
+      (if (residualMapped.nonEmpty) "(residual WHERE) " else "") +
+      s"from fresh MV $mvPath")
+    if (exact) Some(Project(projected, mvChild))
     else {
       val groupingOut = groupAttrs.map(a =>
         mvAttr(mvGroups.find(_.src == a.name).get.out))
-      Some(Aggregate(groupingOut, projected, mvRel))
+      Some(Aggregate(groupingOut, projected, mvChild))
     }
   }
 }

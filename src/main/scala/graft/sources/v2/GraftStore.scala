@@ -767,33 +767,52 @@ private[v2] object GraftStoreFormat {
     }
   }
 
-  /** MV-dependents REGISTRY sidecar (`_mvdeps`, one escStat'd MV path per
-    * line): how the transparent-rewrite rule finds candidate views for a
-    * source table without enumerating any catalog. Deliberately NOT a
-    * manifest commit — registering a view must not advance the source's
-    * snapshot history (that would stale the view it just created). The
-    * file is advisory: a lost update under concurrent creates or a stale
-    * entry after an MV drop costs a missed optimization, never a wrong
-    * result (the rule re-validates every candidate's own metadata). */
+  /** MV-dependents REGISTRY sidecar (`_mvdeps.d/dep-<md5(mvPath)>`, ONE
+    * FILE PER DEPENDENT, each holding its escStat'd MV path): how the
+    * transparent-rewrite rule finds candidate views for a source table
+    * without enumerating any catalog. Deliberately NOT a manifest
+    * commit — registering a view must not advance the source's snapshot
+    * history (that would stale the view it just created). One file per
+    * dependent makes registration a single create with NO
+    * read-modify-write, so concurrent CREATE MATERIALIZED VIEWs on the
+    * same source can never lose each other's registration (the flaw of a
+    * single appended file). The registry is advisory: a stale entry
+    * after an MV drop costs a failed lookup, never a wrong result (the
+    * rule re-validates every candidate's own metadata). A legacy
+    * single-file `_mvdeps` (pre-round-9 layout) still reads. */
   def readMvDeps(path: String, conf: Configuration): Seq[String] = {
     val f = fs(path, conf)
-    val p = new Path(path, "_mvdeps")
-    if (!f.exists(p)) return Seq.empty
-    val in = f.open(p)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    body.split("\n").toSeq.filter(_.nonEmpty).map(unescStat)
+    val legacy = new Path(path, "_mvdeps")
+    val legacyDeps = if (!f.exists(legacy)) Seq.empty[String] else {
+      val in = f.open(legacy)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      body.split("\n").toSeq.filter(_.nonEmpty).map(unescStat)
+    }
+    val dir = new Path(path, "_mvdeps.d")
+    val perDep = if (!f.exists(dir)) Seq.empty[String] else {
+      f.listStatus(dir).toSeq.filter(st => st.isFile &&
+        st.getPath.getName.startsWith("dep-")).map { st =>
+        val in = f.open(st.getPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        unescStat(body.trim)
+      }
+    }
+    (legacyDeps ++ perDep).distinct.sorted
   }
 
   def addMvDep(path: String, conf: Configuration, mvPath: String): Unit = {
-    val cur = readMvDeps(path, conf)
-    if (cur.contains(mvPath)) return
     val f = fs(path, conf)
+    val name = java.security.MessageDigest.getInstance("MD5")
+      .digest(mvPath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = new Path(path, "_mvdeps.d")
+    f.mkdirs(dir)
+    val target = new Path(dir, s"dep-$name")
+    if (f.exists(target)) return // idempotent: same name = same content
     val tmp = new Path(path, s"_tmp/mvdeps-${UUID.randomUUID().toString.take(12)}")
     val out = f.create(tmp, true)
-    try out.write((cur :+ mvPath).sorted.map(escStat).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val target = new Path(path, "_mvdeps")
-    f.delete(target, false)
+    try out.write(escStat(mvPath).getBytes("UTF-8")) finally out.close()
+    // losing this rename race is fine: the winner wrote identical content
     if (!f.rename(tmp, target)) f.delete(tmp, false)
   }
 

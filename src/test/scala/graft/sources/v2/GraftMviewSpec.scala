@@ -482,6 +482,149 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(base().groupBy("g").agg(count(lit(1)).as("n")).collect().length === 3)
   }
 
+  test("filtered rewrite: WHERE over group columns serves; non-group WHERE opts out") {
+    catBase
+    val srcDir = s"$catBase/fgsrc"
+    val mvDir = s"$catBase/fgmv"
+    Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 10L), ("c", "x", 5L))
+      .toDF("g", "h", "v").write.format("graft-store").mode("overwrite").save(srcDir)
+    // UNFILTERED view at (g, h) grain
+    GraftMview.create(spark, mvDir,
+      "SELECT g, h, count(*) AS n, sum(v) AS s FROM mvcat.fgsrc GROUP BY g, h")
+    def base() = spark.read.format("graft-store").load(srcDir)
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    // residual WHERE on a group column + ROLLUP to (g): stored rows
+    // filter to h='x' then re-aggregate
+    val q1 = base().filter($"h" === "x").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(servedFromMv(q1), "WHERE on a group column must serve from the view")
+    assert(q1.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("a" -> ((1L, 1L)), "b" -> ((1L, 10L)), "c" -> ((1L, 5L))))
+    // residual WHERE + EXACT grain
+    val q2 = base().filter($"g" === "a").groupBy("g", "h")
+      .agg(count(lit(1)).as("n"))
+    assert(servedFromMv(q2))
+    assert(q2.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet === Set(("a", "x", 1L), ("a", "y", 1L)))
+    // WHERE over a NON-group column cannot apply to stored rows
+    assert(!servedFromMv(base().filter($"v" > 1).groupBy("g")
+      .agg(count(lit(1)).as("n"))))
+    // a PINNED (time-travel) read must never be served from the view:
+    // freshness speaks only for the head
+    assert(!servedFromMv(spark.read.format("graft-store")
+      .option("snapshot", 0).load(srcDir)
+      .groupBy("g", "h").agg(count(lit(1)).as("n"))))
+  }
+
+  test("filtered rewrite: a filtered view serves its exact WHERE; mismatches opt out") {
+    catBase
+    val srcDir = s"$catBase/fvsrc"
+    val mvDir = s"$catBase/fvmv"
+    Seq(("a", 1L), ("a", 7L), ("b", 10L), ("b", 2L), ("c", 9L))
+      .toDF("g", "v").write.format("graft-store").mode("overwrite").save(srcDir)
+    // FILTERED view: WHERE over a non-group column
+    GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.fvsrc WHERE v > 5 GROUP BY g")
+    def base() = spark.read.format("graft-store").load(srcDir)
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    // the query's WHERE matches the view's WHERE (post-coercion: the int
+    // literal 5 folds to the bigint the stored text carries)
+    val q1 = base().filter($"v" > 5).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(servedFromMv(q1), "the view's own WHERE must match the query's")
+    assert(q1.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("a" -> ((1L, 7L)), "b" -> ((1L, 10L)), "c" -> ((1L, 9L))))
+    // matching WHERE plus a residual group-column conjunct
+    val q2 = base().filter($"v" > 5 && $"g" === "b").groupBy("g")
+      .agg(sum("v").as("s"))
+    assert(servedFromMv(q2))
+    assert(q2.collect().map(_.getLong(1)).toSeq === Seq(10L))
+    // a DIFFERENT constant is not this view's WHERE; a query with NO
+    // WHERE needs rows the view filtered away
+    assert(!servedFromMv(base().filter($"v" > 4).groupBy("g")
+      .agg(count(lit(1)).as("n"))))
+    assert(!servedFromMv(base().groupBy("g").agg(count(lit(1)).as("n"))))
+    // staleness still gates filtered serves
+    Seq(("d", 100L)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    assert(!servedFromMv(base().filter($"v" > 5).groupBy("g")
+      .agg(count(lit(1)).as("n"))))
+  }
+
+  test("join rewrite: a fresh two-table view serves the same join aggregate") {
+    catBase
+    val factDir = s"$catBase/jrfact"
+    val dimDir = s"$catBase/jrdim"
+    val mvDir = s"$catBase/jrmv"
+    Seq((1L, 2L), (1L, 4L), (2L, 10L), (3L, 7L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("pk", "seg").write.format("graft-store").mode("overwrite").save(dimDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT seg, count(*) AS n, sum(v) AS s " +
+        "FROM mvcat.jrfact JOIN mvcat.jrdim ON fk = pk GROUP BY seg")
+    def fact() = spark.read.format("graft-store").load(factDir)
+    def dim() = spark.read.format("graft-store").load(dimDir)
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def joinAgg(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+        cond: org.apache.spark.sql.Column) =
+      l.join(r, cond, "inner").groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    // the same join, served from the view
+    val q1 = joinAgg(fact(), dim(), $"fk" === $"pk")
+    assert(servedFromMv(q1), "a fresh join view must serve the same join aggregate")
+    assert(q1.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("a" -> ((3L, 13L)), "b" -> ((1L, 10L))))
+    // either join order serves
+    assert(servedFromMv(joinAgg(dim(), fact(), $"pk" === $"fk")))
+    // a GLOBAL rollup over the join serves from the view too
+    val g = fact().join(dim(), $"fk" === $"pk", "inner")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(servedFromMv(g))
+    assert(g.collect()(0).getLong(0) === 4L)
+    // different join keys are a different join
+    assert(!servedFromMv(joinAgg(fact(), dim(), $"v" === $"pk")))
+    // churn on ONE side stales the view for serving; refresh restores
+    Seq((2L, 20L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(factDir)
+    val stale = joinAgg(fact(), dim(), $"fk" === $"pk")
+    assert(!servedFromMv(stale), "a stale join view must never serve")
+    assert(stale.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ===
+      Map("a" -> 13L, "b" -> 30L))
+    GraftMview.refresh(spark, mvDir)
+    val fresh = joinAgg(fact(), dim(), $"fk" === $"pk")
+    assert(servedFromMv(fresh))
+    assert(fresh.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ===
+      Map("a" -> 13L, "b" -> 30L))
+  }
+
+  test("concurrent MV registration is lossless (one sidecar file per dependent)") {
+    catBase
+    val srcDir = s"$catBase/regsrc"
+    Seq((1L, 1L)).toDF("k", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // 8 registrations race: one file per dependent means no
+    // read-modify-write, so none can be lost
+    val threads = (0 until 8).map { i =>
+      new Thread(() => GraftStoreFormat.addMvDep(srcDir, conf, s"/mv/path-$i"))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val deps = GraftStoreFormat.readMvDeps(srcDir, conf)
+    assert(deps.toSet === (0 until 8).map(i => s"/mv/path-$i").toSet)
+    // re-registering is idempotent
+    GraftStoreFormat.addMvDep(srcDir, conf, "/mv/path-3")
+    assert(GraftStoreFormat.readMvDeps(srcDir, conf).size === 8)
+    // a legacy single-file `_mvdeps` still reads, merged with the dir
+    val legacy = new org.apache.hadoop.fs.Path(srcDir, "_mvdeps")
+    val out = legacy.getFileSystem(conf).create(legacy, true)
+    out.write(GraftStoreFormat.escStat("/mv/legacy").getBytes("UTF-8")); out.close()
+    assert(GraftStoreFormat.readMvDeps(srcDir, conf).contains("/mv/legacy"))
+  }
+
   test("JOIN view refusals: outer joins, min/max, duplicate names, self-join") {
     catBase
     Seq((1L, 1L)).toDF("fk", "v")
