@@ -327,6 +327,47 @@ object RelationalDepthQueries {
            | AND a.p_partkey < b.p_partkey
            |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin))
 
+  // ---------------------------------------------------------------- output-bound closest pairs
+  /** OUTPUT-BOUND closest-pair search — the q76 follow-through for
+    * pipelines that only need the K most-similar pairs (entity-resolution
+    * review queues, near-dup triage), never the full pair set. The
+    * blocked candidate generator is unchanged (pairs exist only inside
+    * (brand, noun) blocks), but the consumer is `ORDER BY dist LIMIT K`,
+    * which Spark plans as TakeOrderedAndProject: each partition keeps a
+    * K-row bounded heap while SCORING its candidates, and the driver
+    * merges K-sized partials. The pair set — quadratic in block size,
+    * 101× the corpus on a cloned shard (q76's answer-bound blowup at the
+    * sf1 probe) — is never sorted, shuffled, or materialized; memory is
+    * O(K) per partition and the result is O(K) regardless of corpus
+    * size. The deterministic (dist, key_a, key_b) tie-break makes top-K
+    * a total order, so the answer is reproducible run-to-run.
+    * PlanAuditSpec pins the TakeOrdered shape (no rangepartitioning). */
+  val q213TopkPairs = QuerySpec(
+    "q213_topk_pairs", "§2.7-topk-pairs",
+    "closest-pair top-K: blocked candidates feed a bounded heap, output O(K)",
+    (s, d) => {
+      val p = Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"), col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("noun"))
+      val a = p.select(col("p_brand"), col("noun"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("noun"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "noun"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .orderBy(col("dist"), col("key_a"), col("key_b"))
+        .limit(50)
+    },
+    Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+           |FROM part a JOIN part b
+           |  ON a.p_brand = b.p_brand
+           | AND (string_split(a.p_name, ' '))[-1] = (string_split(b.p_name, ' '))[-1]
+           | AND a.p_partkey < b.p_partkey
+           |ORDER BY dist, key_a, key_b LIMIT 50""".stripMargin))
+
   // ---------------------------------------------------------------- null handling (fill / replace)
   /** The DataFrameNaFunctions surface: synthesize NULLs, fill them with
     * typed defaults, value-replace a category — row-local, scan-speed. */
@@ -353,5 +394,6 @@ object RelationalDepthQueries {
   def all: Seq[QuerySpec] = Seq(
     q53FullOuter, q54NullSafeJoin, q55Exists, q56ConditionalAgg, q57StatsAgg,
     q58MinByMaxBy, q59LeadLag, q60CollectSorted, q61Struct,
-    q73Posexplode, q74Unpivot, q75WindowValues, q76FuzzyMatch, q82FillReplace)
+    q73Posexplode, q74Unpivot, q75WindowValues, q76FuzzyMatch, q82FillReplace,
+    q213TopkPairs)
 }

@@ -4552,6 +4552,375 @@ object SystemQueries {
            |WHERE o_orderkey < 10000
            |GROUP BY c_mktsegment""".stripMargin))
 
+  /** STREAMING JOIN-MV MAINTENANCE: [[graft.sources.v2.GraftMview
+    * .streamRefresh]] on a TWO-TABLE view — the trigger is the UNION of
+    * both sources' commit streams (normalized to 1-column tick frames),
+    * so a commit on EITHER side runs the delta-rule incremental refresh.
+    * The probe appends fact churn, then moves group mass with a dim
+    * UPDATE, letting the stream absorb each; the final view must equal
+    * the oracle's recompute over the joined end state. Same replay-safety
+    * as q200: the refresh reads churn between the DURABLE per-source
+    * watermarks and the heads, so a restarted batch is a no-op. At
+    * 100 TB: the star-schema standing aggregate follows BOTH fact ingest
+    * and dimension corrections with churn-proportional work. */
+  val q214MviewJoinStream = QuerySpec(
+    "q214_mview_join_stream", "S-dsv2-mview-join-stream",
+    "streaming join-MV: either side's commits trigger delta-rule refresh",
+    (s, d) => {
+      val base = "/tmp/graft_store_q214"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq214", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq214.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val mv = s"$base/mv"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 5000)
+          .write.format("graft-store").mode("overwrite").save(fact)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.format("graft-store").mode("overwrite").save(dim)
+        graft.sources.v2.GraftMview.create(s, mv,
+          "SELECT c_mktsegment AS seg, count(*) AS n, " +
+            "sum(o_totalprice) AS rev FROM gq214.fact " +
+            "JOIN gq214.dim ON o_custkey = c_custkey GROUP BY c_mktsegment")
+        val q = graft.sources.v2.GraftMview.streamRefresh(s, mv, s"$base/_ckpt")
+        try {
+          q.processAllAvailable()
+          // fact-side churn
+          ordersDf.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 8000)
+            .write.format("graft-store").mode("append").save(fact)
+          q.processAllAvailable()
+          // dim-side churn: group mass moves
+          s.sql("UPDATE gq214.dim SET c_mktsegment = 'MOVED' WHERE c_custkey % 7 = 0")
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.format("graft-store").load(mv)
+          .select(col("seg"), col("n"), round(col("rev"), 2).as("rev"))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq214")
+        s.conf.unset("spark.sql.catalog.gq214.base")
+      }
+    },
+    Some("""SELECT CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+           |    ELSE c_mktsegment END AS seg,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE o_orderkey < 8000
+           |GROUP BY 1""".stripMargin))
+
+  /** RANGE-IMPLICATION REWRITE ([[graft.sources.v2.GraftMviewRewriteRule]]
+    * litImplies): a query whose WHERE is a strictly TIGHTER literal range
+    * on a view GROUP column than the view's own WHERE is still served —
+    * `c_nationkey >= 10` implies the view's `c_nationkey >= 5`, so the
+    * view is missing nothing, and the tighter bound applies to stored
+    * rows as a residual. The global-rollup probe stacks all three
+    * mechanisms: implication + residual + empty-grouping re-aggregation.
+    * At 100 TB: one range-filtered view (last-90-days) serves every
+    * narrower dashboard window without a fact scan. */
+  val q215MviewRangeRewrite = QuerySpec(
+    "q215_mview_range_rewrite", "S-dsv2-mview-range-rewrite",
+    "range implication: a tighter WHERE on a group column serves from a wider view",
+    (s, d) => {
+      val base = "/tmp/graft_store_q215"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq215", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq215.base", base)
+      try {
+        val src = s"$base/src"
+        Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+          .repartitionByRange(8, col("c_custkey"))
+          .write.format("graft-store").mode("overwrite").save(src) // 8 files
+        s.sql("CALL gq215.system.create_mview('mv', " +
+          "'SELECT c_nationkey AS nation, count(*) AS n, " +
+          "sum(c_acctbal) AS bal FROM gq215.src " +
+          "WHERE c_nationkey >= 5 GROUP BY c_nationkey')")
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        // TIGHTER range than the view's WHERE: implied, residual applies
+        val q1 = s.sql(
+          """SELECT c_nationkey AS nation, count(*) AS n,
+            |  round(sum(c_acctbal), 2) AS bal
+            |FROM gq215.src WHERE c_nationkey >= 10
+            |GROUP BY c_nationkey""".stripMargin)
+        // tighter range + GLOBAL rollup: implication + residual + empty
+        // grouping, all at once
+        val q2 = s.sql(
+          "SELECT count(*) AS n FROM gq215.src WHERE c_nationkey >= 20")
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val rows = q1.collect()
+        val g = q2.collect()(0).getLong(0)
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        // a WIDER range than the view's must NOT serve (rows are missing)
+        val widerNotServed = !served(s.sql(
+          "SELECT count(*) AS n FROM gq215.src WHERE c_nationkey >= 3"))
+        val bits = served(q1) && served(q2) && widerNotServed &&
+          opened < 8 && // never the 8-file base
+          g == rows.filter(_.getInt(0) >= 20).map(_.getLong(1)).sum
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
+          .withColumn("range_rewrite_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq215")
+        s.conf.unset("spark.sql.catalog.gq215.base")
+      }
+    },
+    Some("""SELECT c_nationkey AS nation, count(*) AS n,
+           |  round(sum(c_acctbal), 2) AS bal, TRUE AS range_rewrite_proof
+           |FROM customer WHERE c_nationkey >= 10
+           |GROUP BY c_nationkey""".stripMargin))
+
+  /** IN-LIST IMPLICATION ([[graft.sources.v2.GraftMviewRewriteRule]]
+    * litImplies, the q215 widening): a query IN-list that is a SUBSET of
+    * the view's IN-list implies it (`ln IN (1,2)` ⟹ `ln IN (1,2,3)`), a
+    * point equality inside the list implies it (`ln = 3`), and an
+    * IN-list whose every element satisfies the view's RANGE implies that
+    * range (`ln IN (2,4)` ⟹ `ln <= 5`). The implied view conjunct needs
+    * no textual match; the tighter predicate lands in the residual,
+    * which filters stored rows (so the column must be a view GROUP
+    * column). A superset IN-list is refused — the view is missing rows.
+    * At 100 TB: one IN-filtered view (the "active statuses" aggregate)
+    * serves every narrower status slice without a fact scan. */
+  val q216MviewInRewrite = QuerySpec(
+    "q216_mview_in_rewrite", "S-dsv2-mview-in-rewrite",
+    "IN-list implication: subset/member/range-covered IN predicates serve from a view",
+    (s, d) => {
+      val base = "/tmp/graft_store_q216"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq216", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq216.base", base)
+      try {
+        val src = s"$base/src"
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_linenumber", "l_quantity")
+          .repartitionByRange(8, col("l_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        // an IN-filtered view grouped by (rf, ln) and a range-filtered
+        // view grouped by ln — between them, all three implication forms
+        s.sql("CALL gq216.system.create_mview('mva', " +
+          "'SELECT l_returnflag AS rf, l_linenumber AS ln, count(*) AS n, " +
+          "sum(l_quantity) AS qty FROM gq216.src " +
+          "WHERE l_linenumber IN (1, 2, 3) GROUP BY l_returnflag, l_linenumber')")
+        s.sql("CALL gq216.system.create_mview('mvr', " +
+          "'SELECT l_linenumber AS ln, count(*) AS n FROM gq216.src " +
+          "WHERE l_linenumber <= 5 GROUP BY l_linenumber')")
+        def served(df: org.apache.spark.sql.DataFrame, mv: String): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/$mv")
+        def off[T](body: => T): T = {
+          s.conf.set("spark.graft.mv.rewrite", "false")
+          try body finally s.conf.set("spark.graft.mv.rewrite", "true")
+        }
+        // IN-subset + rollup + residual-IN over the group column
+        val q1 = s.sql(
+          """SELECT l_returnflag AS rf, count(*) AS n,
+            |  round(sum(l_quantity), 2) AS qty
+            |FROM gq216.src WHERE l_linenumber IN (1, 2)
+            |GROUP BY l_returnflag""".stripMargin)
+        // point equality inside the view's IN-list, global rollup
+        val q2 = s.sql(
+          "SELECT count(*) AS n FROM gq216.src WHERE l_linenumber = 3")
+        // IN-list covered by the range view's bound
+        val q3 = s.sql(
+          "SELECT count(*) AS n FROM gq216.src WHERE l_linenumber IN (2, 4)")
+        val rows = q1.collect()
+        val n2 = q2.collect()(0).getLong(0)
+        val n3 = q3.collect()(0).getLong(0)
+        val sameOff = off {
+          val r1 = s.sql("SELECT l_returnflag AS rf, count(*) AS n, " +
+            "round(sum(l_quantity), 2) AS qty FROM gq216.src " +
+            "WHERE l_linenumber IN (1, 2) GROUP BY l_returnflag").collect()
+          val o2 = s.sql("SELECT count(*) AS n FROM gq216.src " +
+            "WHERE l_linenumber = 3").collect()(0).getLong(0)
+          val o3 = s.sql("SELECT count(*) AS n FROM gq216.src " +
+            "WHERE l_linenumber IN (2, 4)").collect()(0).getLong(0)
+          rows.sortBy(_.getString(0)).sameElements(r1.sortBy(_.getString(0))) &&
+            n2 == o2 && n3 == o3
+        }
+        // a SUPERSET IN-list needs rows the views filtered away — refused
+        // by BOTH (6 is outside mva's list AND above mvr's range; note
+        // IN (1,2,3,4) would legitimately serve from mvr, whose <= 5
+        // range covers it)
+        val wider = s.sql("SELECT count(*) AS n FROM gq216.src " +
+          "WHERE l_linenumber IN (1, 2, 6)")
+        // q2 is servable by EITHER view (member-of-IN on mva, point-in-
+        // range on mvr) — registration order decides which wins
+        val bits = served(q1, "mva") && (served(q2, "mva") || served(q2, "mvr")) &&
+          served(q3, "mvr") && sameOff &&
+          !served(wider, "mva") && !served(wider, "mvr")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
+          .withColumn("in_rewrite_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq216")
+        s.conf.unset("spark.sql.catalog.gq216.base")
+      }
+    },
+    Some("""SELECT l_returnflag AS rf, count(*) AS n,
+           |  round(sum(l_quantity), 2) AS qty, TRUE AS in_rewrite_proof
+           |FROM lineitem WHERE l_linenumber IN (1, 2)
+           |GROUP BY l_returnflag""".stripMargin))
+
+  /** DISTINCT-AGGREGATE ROLLUP ([[graft.sources.v2.GraftMviewRewriteRule]]):
+    * `count/sum/avg(DISTINCT g)` over the base table serves from a finer
+    * MV that GROUPS BY g — the view stores every surviving (groups…)
+    * combination exactly once, and the same DISTINCT aggregate over the
+    * stored key column dedupes across stored rows, so the rewrite is
+    * exact even when g repeats across the view's other group columns.
+    * Distinct over a NON-group column is refused (the view collapsed
+    * those values away). Mixed with plain count(*) in one query: the
+    * distinct calls re-aggregate stored keys, the plain count sums the
+    * stored counts. At 100 TB: cardinality dashboards (distinct users
+    * per segment) come from O(groups) stored rows, never a fact scan. */
+  val q217MviewDistinctRollup = QuerySpec(
+    "q217_mview_distinct_rollup", "S-dsv2-mview-distinct-rollup",
+    "count/sum/avg(DISTINCT group-col) roll up from a finer MV",
+    (s, d) => {
+      val base = "/tmp/graft_store_q217"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq217", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq217.base", base)
+      try {
+        val src = s"$base/src"
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_linenumber", "l_suppkey")
+          .repartitionByRange(8, col("l_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        s.sql("CALL gq217.system.create_mview('mv', " +
+          "'SELECT l_returnflag AS rf, l_linenumber AS ln, count(*) AS n " +
+          "FROM gq217.src GROUP BY l_returnflag, l_linenumber')")
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val q1 = s.sql(
+          """SELECT l_returnflag AS rf, count(DISTINCT l_linenumber) AS dln,
+            |  sum(DISTINCT l_linenumber) AS sln,
+            |  avg(DISTINCT l_linenumber) AS aln, count(*) AS n
+            |FROM gq217.src GROUP BY l_returnflag""".stripMargin)
+        val g = s.sql(
+          "SELECT count(DISTINCT l_linenumber) AS d FROM gq217.src")
+        val rows = q1.collect()
+        val gd = g.collect()(0).getLong(0)
+        s.conf.set("spark.graft.mv.rewrite", "false")
+        val sameOff = try {
+          val r1 = s.sql("SELECT l_returnflag AS rf, " +
+            "count(DISTINCT l_linenumber) AS dln, " +
+            "sum(DISTINCT l_linenumber) AS sln, " +
+            "avg(DISTINCT l_linenumber) AS aln, count(*) AS n " +
+            "FROM gq217.src GROUP BY l_returnflag").collect()
+          rows.sortBy(_.getString(0)).sameElements(r1.sortBy(_.getString(0))) &&
+            gd == s.sql("SELECT count(DISTINCT l_linenumber) AS d " +
+              "FROM gq217.src").collect()(0).getLong(0)
+        } finally s.conf.set("spark.graft.mv.rewrite", "true")
+        // distinct over a NON-group column: those values were collapsed
+        // away — must NOT serve
+        val nonGroup = s.sql("SELECT l_returnflag AS rf, " +
+          "count(DISTINCT l_suppkey) AS ds FROM gq217.src GROUP BY l_returnflag")
+        val bits = served(q1) && served(g) && sameOff && !served(nonGroup)
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
+          .withColumn("distinct_rollup_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq217")
+        s.conf.unset("spark.sql.catalog.gq217.base")
+      }
+    },
+    Some("""SELECT l_returnflag AS rf, count(DISTINCT l_linenumber) AS dln,
+           |  CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sln,
+           |  avg(DISTINCT l_linenumber) AS aln, count(*) AS n,
+           |  TRUE AS distinct_rollup_proof
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  /** EAGER-AGGREGATION JOIN-BACK ([[graft.sources.v2.GraftMviewRewriteRule]]
+    * tryJoinBack — Yan & Larson, VLDB'95, through a materialized view): a
+    * SINGLE-table MV on the FACT side whose group set covers the join
+    * keys serves a fact⋈dim aggregate as MV⋈dim, re-aggregated with the
+    * rollup algebra — counts and sums re-sum, min/max nest. Fact-side
+    * WHERE follows the containment/residual rules; dim-side WHERE stays
+    * on the dim scan; a dim-side AGGREGATE refuses (checked by exprId —
+    * a name-colliding dim column must never silently serve). The proof
+    * bits: served + fewer slices opened than the direct join + staleness
+    * after fact churn + restored after refresh. At 100 TB this is the
+    * star-schema payoff: ONE fact MV serves segment/region/calendar
+    * rollups — each a join of O(groups) stored rows to the dim, never a
+    * fact scan. */
+  val q218MviewJoinBack = QuerySpec(
+    "q218_mview_joinback", "S-dsv2-mview-joinback",
+    "eager-aggregation join-back: a fact-side MV serves the fact-dim join aggregate",
+    (s, d) => {
+      val base = "/tmp/graft_store_q218"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq218", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq218.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .repartitionByRange(48, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact) // 48 files
+        Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+          .repartitionByRange(4, col("c_custkey"))
+          .write.format("graft-store").mode("overwrite").save(dim)
+        s.sql("CALL gq218.system.create_mview('mv', " +
+          "'SELECT o_custkey AS ck, o_orderstatus AS st, count(*) AS n, " +
+          "sum(o_totalprice) AS rev, min(o_totalprice) AS lo " +
+          "FROM gq218.fact GROUP BY o_custkey, o_orderstatus')")
+        val sql1 =
+          """SELECT c_mktsegment AS seg, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev,
+            |  round(min(o_totalprice), 2) AS lo
+            |FROM gq218.fact JOIN gq218.dim ON o_custkey = c_custkey
+            |WHERE o_orderstatus = 'F' AND c_nationkey < 15
+            |GROUP BY c_mktsegment""".stripMargin
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val ops = graft.sources.v2.GraftStoreOps
+        // direct (rewrite off) answer + slice count: the fact scan
+        s.conf.set("spark.graft.mv.rewrite", "false")
+        val (offRows, offSlices) = try {
+          val b = ops.scannedFileSlices
+          val r = s.sql(sql1).collect()
+          (r, ops.scannedFileSlices - b)
+        } finally s.conf.set("spark.graft.mv.rewrite", "true")
+        val q1 = s.sql(sql1)
+        val b1 = ops.scannedFileSlices
+        val rows = q1.collect()
+        val onSlices = ops.scannedFileSlices - b1
+        // a dim-side aggregate cannot come from fact partials — refused
+        val dimAgg = s.sql(
+          "SELECT c_mktsegment AS seg, sum(c_acctbal) AS bal " +
+            "FROM gq218.fact JOIN gq218.dim ON o_custkey = c_custkey " +
+            "GROUP BY c_mktsegment")
+        // fact churn stales the MV (the appended row matches no dim key,
+        // so the ANSWER is unchanged — only freshness is at stake)
+        s.sql("INSERT INTO gq218.fact VALUES (99999999, -1, 'F', 1.0)")
+        val stale = s.sql(sql1)
+        val staleServed = served(stale)
+        s.sql("CALL gq218.system.refresh_mview('mv')")
+        val fresh = s.sql(sql1)
+        val sameRows = rows.sortBy(_.getString(0))
+          .sameElements(offRows.sortBy(_.getString(0))) &&
+          rows.sortBy(_.getString(0))
+            .sameElements(fresh.collect().sortBy(_.getString(0)))
+        val bits = served(q1) && sameRows && onSlices < offSlices &&
+          !served(dimAgg) && !staleServed && served(fresh)
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
+          .withColumn("joinback_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq218")
+        s.conf.unset("spark.sql.catalog.gq218.base")
+      }
+    },
+    Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  round(min(o_totalprice), 2) AS lo, TRUE AS joinback_proof
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE o_orderstatus = 'F' AND c_nationkey < 15
+           |GROUP BY c_mktsegment""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -4574,5 +4943,6 @@ object SystemQueries {
     q195SqlView, q196ColumnDefault, q197Mview, q198MergeEvolve, q199Decimal,
     q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere,
     q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev, q210MviewRollup,
-    q211MviewFilterRewrite, q212MviewJoinRewrite)
+    q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
+    q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack)
 }

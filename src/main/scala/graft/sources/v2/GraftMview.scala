@@ -418,12 +418,15 @@ object GraftMview {
     val props = GraftStoreOps.tableProps(spark, mvPath)
     require(props.get("graft.mv").contains("true"),
       s"graft mview: $mvPath is not a materialized view")
-    require(!props.contains("graft.mv.source2"),
-      "graft mview: streamRefresh maintains single-table views; a join view " +
-        "refreshes on demand (CALL refresh_mview / GraftMview.refresh)")
-    val srcPath = props("graft.mv.source")
-    spark.readStream.format("graft-store").load(srcPath)
-      .writeStream.option("checkpointLocation", checkpoint)
+    // the trigger stream: the source's commits — or, for a JOIN view,
+    // the UNION of BOTH sides' commit streams (each normalized to a
+    // 1-column tick frame: the schemas differ and the rows are never
+    // read anyway), so a commit on EITHER side runs the delta-rule
+    // refresh. Dim corrections reach the view as fast as fact ingest.
+    val ticks = srcPaths(decodeSource(props)).map { p =>
+      spark.readStream.format("graft-store").load(p).select(lit(1).as("tick"))
+    }.reduce(_ union _)
+    ticks.writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (_: DataFrame, _: Long) =>
         refresh(spark, mvPath); ()
       }

@@ -1,10 +1,10 @@
 package graft.sources.v2
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BinaryComparison, Cast, Expression, In, InSet, IsNotNull, KnownNotNull, NamedExpression, PlanExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, Cast, EqualTo, Expression, In, InSet, IsNotNull, KnownNotNull, NamedExpression, PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -29,21 +29,30 @@ import scala.jdk.CollectionConverters._
   *     snapshot-isolation guarantee as reading the base directly;
   *   - the query aggregates the MV's source shape: the single source
   *     table, or the same INNER equi-join (same two tables, same key
-  *     pairs, either order) for a join view;
+  *     pairs, either order) for a join view — or, the EAGER-AGGREGATION
+  *     JOIN-BACK (Yan & Larson, VLDB'95): a single-table MV whose group
+  *     set covers the fact side's join keys serves a fact⋈dim aggregate
+  *     as MV⋈dim, re-aggregated (see [[tryJoinBack]]);
   *   - grouping is the MV's group set (stored rows project straight
   *     through) or a PROPER SUBSET of it including the empty set (the
   *     ROLLUP rewrite: stored finer groups re-aggregate — counts sum,
   *     min/max nest, avg and the variance family recombine EXACTLY from
-  *     their internal moment columns);
+  *     their internal moment columns). DISTINCT aggregates over a view
+  *     GROUP column roll up as the same distinct aggregate over the
+  *     stored key column (the view holds each combination once, and
+  *     DISTINCT dedupes across stored rows anyway);
   *   - the query's WHERE decomposes into [the MV's own WHERE] AND
   *     [residual conjuncts over MV GROUP columns]: every MV-filter
-  *     conjunct must appear (semantically) in the query — so the MV is
-  *     never missing rows the query needs — and what remains applies to
-  *     the stored rows BEFORE any re-aggregation. Join-key IsNotNull
-  *     conjuncts (inferred by the optimizer) are implied by the inner
-  *     equi-join itself and ignored;
+  *     conjunct must appear (semantically) in the query or be IMPLIED
+  *     by a strictly tighter predicate on the same column — a tighter
+  *     literal range, an IN-list subset, `= v` with v in the view's
+  *     IN-list, or an IN-list whose every element satisfies the view's
+  *     range — so the MV is never missing rows the query needs — and
+  *     what remains applies to the stored rows BEFORE any
+  *     re-aggregation. Join-key IsNotNull conjuncts (inferred by the
+  *     optimizer) are implied by the inner equi-join itself and ignored;
   *   - every output derives from a stored MV column with IDENTICAL
-  *     result types; aggregates carry no DISTINCT/FILTER.
+  *     result types; aggregates carry no FILTER clause.
   *
   * The MV's stored filter text re-analyzes against the query's own
   * relation attributes (parse → analyze → constant-fold), so both sides
@@ -55,12 +64,12 @@ import scala.jdk.CollectionConverters._
   * was non-nullable — nullability all preserved, the optimizer-rule
   * contract).
   *
-  * At 100 TB this turns the dashboard aggregate — and its WHERE'd and
-  * drilled-down variants — from full fact-table scans into reads of a
-  * few thousand precomputed rows: combined with CDC-driven incremental
-  * refresh, the end-to-end cost of a standing aggregate family is churn
-  * at refresh time plus O(groups) at query time. Opt out with
-  * `spark.graft.mv.rewrite=false`. */
+  * At 100 TB this turns the dashboard aggregate — and its WHERE'd,
+  * drilled-down, and dimension-joined variants — from full fact-table
+  * scans into reads of a few thousand precomputed rows: combined with
+  * CDC-driven incremental refresh, the end-to-end cost of a standing
+  * aggregate family is churn at refresh time plus O(groups) at query
+  * time. Opt out with `spark.graft.mv.rewrite=false`. */
 class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
@@ -134,8 +143,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val lIds = l.output.map(_.exprId).toSet
     val rIds = r.output.map(_.exprId).toSet
     val pairs = splitConjunctivePredicates(cond).map {
-      case org.apache.spark.sql.catalyst.expressions.EqualTo(
-          a: AttributeReference, b: AttributeReference) =>
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
         if (lIds.contains(a.exprId) && rIds.contains(b.exprId)) a.name -> b.name
         else if (rIds.contains(a.exprId) && lIds.contains(b.exprId)) b.name -> a.name
         else return None
@@ -179,103 +187,128 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def tryOne(agg: Aggregate, groupAttrs: Seq[AttributeReference],
-      qs: QuerySource, heads: Seq[String], mvPath: String): Option[LogicalPlan] = {
+  /** Does query conjunct `q` IMPLY view conjunct `m`? Decided only for
+    * single-column predicates against foldable literals on the SAME
+    * attribute and type — `a >= 15` implies `a >= 10`, `a = 7` implies
+    * `a > 5`, `a IN (1, 2)` implies `a IN (1, 2, 3)`, `a = 2` implies
+    * `a IN (1, 2)`, `a IN (2, 4)` implies `a <= 5`. Anything undecidable
+    * is a conservative false (no rewrite). All recognized predicate forms
+    * are null-intolerant over `a`, so the implication carries SQL
+    * three-valued semantics for free: rows where `a` is NULL satisfy
+    * neither side (NULL literals in an IN list keep no extra rows and
+    * drop out of the value sets). */
+  private def litImplies(q: Expression, m: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampType}
+    // normalize to (attr, op, literal) with the attr on the left
+    def bound(e: Expression): Option[(AttributeReference, String, Any)] = e match {
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => Some((a, ">", v))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => Some((a, ">=", v))
+      case LessThan(a: AttributeReference, Literal(v, _)) => Some((a, "<", v))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => Some((a, "<=", v))
+      case EqualTo(a: AttributeReference, Literal(v, _)) => Some((a, "=", v))
+      case GreaterThan(Literal(v, _), a: AttributeReference) => Some((a, "<", v))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => Some((a, "<=", v))
+      case LessThan(Literal(v, _), a: AttributeReference) => Some((a, ">", v))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => Some((a, ">=", v))
+      case EqualTo(Literal(v, _), a: AttributeReference) => Some((a, "=", v))
+      case _ => None
+    }
+    // the attribute's non-null IN-list values (In pre-optimization,
+    // InSet after OptimizeIn — the query side may arrive as either)
+    def inVals(e: Expression): Option[(AttributeReference, Seq[Any])] = e match {
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some((a, vs.map(_.asInstanceOf[Literal].value).filter(_ != null)))
+      case InSet(a: AttributeReference, hs) =>
+        Some((a, hs.toSeq.filter(_ != null)))
+      case _ => None
+    }
+    def cmp(t: DataType, x: Any, y: Any): Option[Int] =
+      (t, x, y) match {
+        case (ByteType | ShortType | IntegerType | LongType | DateType |
+              TimestampType, a: Number, b: Number) =>
+          Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+        case (FloatType | DoubleType, a: Number, b: Number) =>
+          Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+        case (_: org.apache.spark.sql.types.DecimalType,
+              a: org.apache.spark.sql.types.Decimal,
+              b: org.apache.spark.sql.types.Decimal) =>
+          Some(a.toJavaBigDecimal.compareTo(b.toJavaBigDecimal))
+        case (StringType, a: org.apache.spark.unsafe.types.UTF8String,
+              b: org.apache.spark.unsafe.types.UTF8String) =>
+          Some(a.compareTo(b))
+        case _ => None
+      }
+    def satisfies(t: DataType, v: Any, op: String, w: Any): Boolean =
+      v != null && cmp(t, v, w).exists(c => op match {
+        case ">" => c > 0
+        case ">=" => c >= 0
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case "=" => c == 0
+      })
+    def sameCol(a: AttributeReference, b: AttributeReference): Boolean =
+      a.exprId == b.exprId && a.dataType == b.dataType
+    (bound(q), inVals(q), bound(m), inVals(m)) match {
+      // range ⟹ range (with = as the degenerate point range)
+      case (Some((qa, qo, qv)), _, Some((ma, mo, mvv)), _) if sameCol(qa, ma) =>
+        cmp(qa.dataType, qv, mvv).exists(c => (qo, mo) match {
+          case (">", ">") | (">=", ">=") | (">", ">=") => c >= 0
+          case (">=", ">") | ("=", ">") => c > 0
+          case ("=", ">=") => c >= 0
+          case ("<", "<") | ("<=", "<=") | ("<", "<=") => c <= 0
+          case ("<=", "<") | ("=", "<") => c < 0
+          case ("=", "<=") => c <= 0
+          case _ => false
+        })
+      // = v ⟹ IN (…) when v is in the view's list
+      case (Some((qa, "=", qv)), _, _, Some((ma, ms))) if sameCol(qa, ma) =>
+        ms.exists(w => satisfies(qa.dataType, qv, "=", w))
+      // IN ⟹ IN when the query's value set ⊆ the view's (an empty
+      // post-NULL-drop query list keeps nothing — trivially implied)
+      case (_, Some((qa, qset)), _, Some((ma, ms))) if sameCol(qa, ma) =>
+        qset.forall(v => ms.exists(w => satisfies(qa.dataType, v, "=", w)))
+      // IN ⟹ range when every listed value satisfies the bound
+      case (_, Some((qa, qset)), Some((ma, mo, mvv)), _) if sameCol(qa, ma) =>
+        qset.forall(v => satisfies(qa.dataType, v, mo, mvv))
+      case _ => false
+    }
+  }
+
+  /** Column-mapping helpers bound to ONE candidate MV: its decoded column
+    * specs and its relation. Shared by the exact-shape, rollup, and
+    * join-back paths — the re-aggregation algebra is identical whether
+    * the stored partials are coarsened (rollup) or replicated by a
+    * dimension join (join-back). */
+  private class MvMapping(val cols: Seq[GraftMview.ColSpec],
+      val mvRel: DataSourceV2Relation) {
     import GraftMview._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val mvManifest = GraftStoreFormat.readLatestManifest(mvPath, conf)
-      .getOrElse(return None) // stale pointer: MV dropped
-    val p = mvManifest.props
-    if (!p.get("graft.mv").contains("true")) return None
-    // source-shape match: single table, or the same join in either order
-    (qs.paths, p.get("graft.mv.source2")) match {
-      case (Seq(s1), None) =>
-        if (p.get("graft.mv.source") != Some(s1)) return None
-        if (p.get("graft.mv.wmname") != Some(heads.head)) return None // STALE
-      case (Seq(q1, q2), Some(m2)) =>
-        val m1 = p("graft.mv.source")
-        val sw = if (q1 == m1 && q2 == m2) false
-          else if (q1 == m2 && q2 == m1) true
-          else return None
-        val (h1, h2) = if (sw) (heads(1), heads.head) else (heads.head, heads(1))
-        if (p.get("graft.mv.wmname") != Some(h1)) return None // STALE
-        if (p.get("graft.mv.wmname2") != Some(h2)) return None // STALE
-        // key pairs must match as a set, normalized to (source, source2)
-        val mvKeys = p("graft.mv.keys").split(";", -1).toSeq.map { kv =>
-          val Array(a, b) = kv.split(":", 2)
-          GraftStoreFormat.unescStat(a) -> GraftStoreFormat.unescStat(b)
-        }.toSet
-        val qKeys = (if (sw) qs.joinKeys.map(_.swap) else qs.joinKeys).toSet
-        if (qKeys != mvKeys) return None
-      case _ => return None
-    }
-    val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
-    // group-set containment: an EXACT match projects stored rows; a
-    // PROPER SUBSET (including the empty set — a global aggregate)
-    // re-aggregates the finer view's stored columns, the classic rollup
-    // rewrite — count sums counts, avg/variance recombine from their
-    // internal moment columns, min/max nest
-    val mvGroups = cols.collect { case g: GroupCol => g }
-    val qNames = groupAttrs.map(_.name)
-    if (qNames.distinct.size != qNames.size) return None
-    val exact = qNames.toSet == mvGroups.map(_.src).toSet &&
-      qNames.size == mvGroups.size
-    val rollup = !exact && qNames.toSet.subsetOf(mvGroups.map(_.src).toSet)
-    if (!exact && !rollup) return None
-    // ---- filter containment ----------------------------------------
-    // join-key IsNotNull conjuncts (inferred by the optimizer) are
-    // implied by the inner equi-join itself
-    val keyNames: Set[String] =
-      qs.joinKeys.flatMap(k => Seq(k._1, k._2)).toSet
-    val qConjs = qs.conjs.filterNot {
-      case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
-      case _ => false
-    }
-    if (qConjs.exists(c => !c.deterministic ||
-        c.exists(_.isInstanceOf[PlanExpression[_]]))) return None
-    val allOut: Seq[Attribute] = qs.rels.flatMap(_.output)
-    val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
-      case None => Nil
-      case Some(txt) => analyzedFilter(txt, allOut).getOrElse(return None)
-    }
-    // every MV-filter conjunct must appear in the query, or the MV may
-    // be missing rows the query needs
-    if (!mvConjs.forall(m => qConjs.exists(_.semanticEquals(m))))
-      return None
-    val residual0 = qConjs.filterNot(q => mvConjs.exists(_.semanticEquals(q)))
-    // IsNotNull(a) is implied when a matched MV conjunct is a
-    // null-intolerant predicate over a — the stored rows already exclude
-    // NULL a
-    val residual = residual0.filterNot {
-      case IsNotNull(a: AttributeReference) => mvConjs.exists(m =>
-        m.references.contains(a) && (m.isInstanceOf[BinaryComparison] ||
-          m.isInstanceOf[In] || m.isInstanceOf[InSet]))
-      case _ => false
-    }
-    // the MV relation: its DSv2 table, full stored schema
-    val mvRel = DataSourceV2Relation.create(
-      new GraftStoreTable(mvPath, mvManifest.schema), None, None)
+
+    val mvGroups: Seq[GroupCol] = cols.collect { case g: GroupCol => g }
+
     def mvAttr(out: String): AttributeReference =
       mvRel.output.collectFirst {
         case a: AttributeReference if a.name == out => a
       }.get
-    // residual conjuncts apply to stored rows BEFORE re-aggregation, so
-    // they may only touch MV GROUP columns (any group column of the
-    // finer view — not just the query's grouping)
+
+    /** The stored attribute for a SOURCE group column name, if grouped. */
+    def groupAttrFor(srcName: String): Option[AttributeReference] =
+      mvGroups.find(_.src == srcName).map(g => mvAttr(g.out))
+
+    /** Filter conversion: residual conjuncts apply to stored rows BEFORE
+      * re-aggregation, so they may only touch MV GROUP columns (any group
+      * column of the finer view — not just the query's grouping). */
     def convFilter(e: Expression): Option[Expression] = e match {
-      case a: AttributeReference =>
-        mvGroups.find(_.src == a.name).map(g => mvAttr(g.out))
+      case a: AttributeReference => groupAttrFor(a.name)
       case other =>
         val kids = other.children.map(convFilter)
         if (kids.exists(_.isEmpty)) None
         else Some(other.withNewChildren(kids.map(_.get)))
     }
-    val residualMapped: Seq[Expression] =
-      residual.map(c => convFilter(c).getOrElse(return None))
-    // ---- output mapping --------------------------------------------
-    // one aggregate call -> its stored MV column, result-type-IDENTICAL
-    // (e.g. decimal avg's internal division type can differ from Average's
-    // declared type — then no rewrite)
+
+    /** EXACT-group form: one aggregate call -> its stored MV column,
+      * result-type-IDENTICAL (e.g. decimal avg's internal division type
+      * can differ from Average's declared type — then no rewrite). */
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
       val mapped = ae.aggregateFunction match {
@@ -308,13 +341,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           case _ => None
         }
         case v: org.apache.spark.sql.catalyst.expressions.aggregate.CentralMomentAgg =>
-          val kind = v match {
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.VarianceSamp => "vs"
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.VariancePop => "vp"
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevSamp => "ds"
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevPop => "dp"
-            case _ => ""
-          }
+          val kind = varKind(v)
           if (kind.isEmpty) None
           else stripCast(v.child) match {
             case a: AttributeReference => cols.collectFirst {
@@ -326,19 +353,58 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
       mapped.filter(_.dataType == ae.dataType)
     }
-    // rollup form: one aggregate call over the BASE -> a re-aggregation
-    // over the finer view's stored columns. All arithmetic is typed by
-    // hand (this runs post-analysis); anything that cannot reproduce the
-    // original result type exactly falls through to "no rewrite".
+
+    private def varKind(
+        v: org.apache.spark.sql.catalyst.expressions.aggregate.CentralMomentAgg): String =
+      v match {
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate.VarianceSamp => "vs"
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate.VariancePop => "vp"
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevSamp => "ds"
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevPop => "dp"
+        case _ => ""
+      }
+
+    /** RE-AGGREGATION form: one aggregate call over the BASE -> a
+      * re-aggregation over the finer view's stored columns. All
+      * arithmetic is typed by hand (this runs post-analysis); anything
+      * that cannot reproduce the original result type exactly falls
+      * through to "no rewrite". Serves both the rollup rewrite (coarser
+      * grouping over stored rows) and the join-back rewrite (stored rows
+      * replicated by a dimension join) — the algebra is the same. */
     def mapAggRollup(ae: AggregateExpression): Option[Expression] = {
       import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Coalesce, Divide, GreaterThan, Greatest, Literal, Multiply, Sqrt, Subtract, Cast => CCast}
       import org.apache.spark.sql.types.DoubleType
-      if (ae.isDistinct || ae.filter.isDefined) return None
-      def sumOf(out: String): Expression = Sum(mvAttr(out)).toAggregateExpression()
+      if (ae.filter.isDefined) return None
       def srcOf(child: Expression): Option[String] = stripCast(child) match {
         case a: AttributeReference => Some(a.name)
         case _ => None
       }
+      if (ae.isDistinct) {
+        // DISTINCT over a view GROUP column: the finer view stores every
+        // surviving (group…) combination exactly once, and DISTINCT
+        // dedupes across the re-aggregated rows anyway — so the same
+        // distinct aggregate over the stored key column is exact. This is
+        // how count(DISTINCT dim) rolls up from a dim-including MV.
+        def storedKey(child: Expression): Option[AttributeReference] =
+          child match {
+            case a: AttributeReference => groupAttrFor(a.name)
+            case _ => None
+          }
+        val mappedD: Option[Expression] = ae.aggregateFunction match {
+          case c: Count if c.children.size == 1 =>
+            storedKey(c.children.head)
+              .map(x => Count(x).toAggregateExpression(isDistinct = true))
+          case s: Sum =>
+            storedKey(s.child)
+              .map(x => Sum(x).toAggregateExpression(isDistinct = true))
+          case v: Average =>
+            storedKey(v.child)
+              .map(x => Average(x).toAggregateExpression(isDistinct = true))
+          case _ => None
+        }
+        return mappedD.filter(_.dataType == ae.dataType)
+      }
+      def sumOf(out: String): Expression = Sum(mvAttr(out)).toAggregateExpression()
       def momentExpr(o: String, kind: String): Expression = {
         val sS = sumOf(s"__s_$o")
         val qS = sumOf(s"__q_$o")
@@ -377,13 +443,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           case MaxCol(s2, o) if s2 == nm =>
             Max(mvAttr(o)).toAggregateExpression() })
         case v: org.apache.spark.sql.catalyst.expressions.aggregate.CentralMomentAgg =>
-          val kind = v match {
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.VarianceSamp => "vs"
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.VariancePop => "vp"
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevSamp => "ds"
-            case _: org.apache.spark.sql.catalyst.expressions.aggregate.StddevPop => "dp"
-            case _ => ""
-          }
+          val kind = varKind(v)
           if (kind.isEmpty) None
           else srcOf(v.child).flatMap(nm => cols.collectFirst {
             case VarCol(s2, o, k) if s2 == nm && k == kind => momentExpr(o, kind) })
@@ -391,15 +451,113 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
       mapped.filter(_.dataType == ae.dataType)
     }
+  }
+
+  /** Drop join-key IsNotNull conjuncts (inferred by the optimizer — the
+    * inner equi-join itself implies them) and refuse non-deterministic or
+    * subquery-bearing predicates. */
+  private def usableConjs(conjs: Seq[Expression],
+      joinKeys: Seq[(String, String)]): Option[Seq[Expression]] = {
+    val keyNames: Set[String] = joinKeys.flatMap(k => Seq(k._1, k._2)).toSet
+    val kept = conjs.filterNot {
+      case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+      case _ => false
+    }
+    if (kept.exists(c => !c.deterministic ||
+        c.exists(_.isInstanceOf[PlanExpression[_]]))) None
+    else Some(kept)
+  }
+
+  /** Filter containment: every MV conjunct appears in (or is implied by)
+    * the query's; returns the residual query conjuncts, with inferred
+    * IsNotNull conjuncts dropped when a matched null-intolerant MV
+    * conjunct already excludes NULLs of that column. */
+  private def containFilters(qConjs: Seq[Expression], mvConjs: Seq[Expression])
+      : Option[Seq[Expression]] = {
+    if (!mvConjs.forall(m => qConjs.exists(q =>
+        q.semanticEquals(m) || litImplies(q, m))))
+      return None
+    val residual0 = qConjs.filterNot(q => mvConjs.exists(_.semanticEquals(q)))
+    Some(residual0.filterNot {
+      case IsNotNull(a: AttributeReference) => mvConjs.exists(m =>
+        m.references.contains(a) && (m.isInstanceOf[BinaryComparison] ||
+          m.isInstanceOf[In] || m.isInstanceOf[InSet]))
+      case _ => false
+    })
+  }
+
+  private def tryOne(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+      qs: QuerySource, heads: Seq[String], mvPath: String): Option[LogicalPlan] = {
+    import GraftMview._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mvManifest = GraftStoreFormat.readLatestManifest(mvPath, conf)
+      .getOrElse(return None) // stale pointer: MV dropped
+    val p = mvManifest.props
+    if (!p.get("graft.mv").contains("true")) return None
+    // source-shape match: single table, or the same join in either order —
+    // a JOIN query over a SINGLE-table MV goes to the join-back path
+    (qs.paths, p.get("graft.mv.source2")) match {
+      case (Seq(s1), None) =>
+        if (p.get("graft.mv.source") != Some(s1)) return None
+        if (p.get("graft.mv.wmname") != Some(heads.head)) return None // STALE
+      case (Seq(_, _), None) =>
+        return tryJoinBack(agg, groupAttrs, qs, heads, mvPath, mvManifest)
+      case (Seq(q1, q2), Some(m2)) =>
+        val m1 = p("graft.mv.source")
+        val sw = if (q1 == m1 && q2 == m2) false
+          else if (q1 == m2 && q2 == m1) true
+          else return None
+        val (h1, h2) = if (sw) (heads(1), heads.head) else (heads.head, heads(1))
+        if (p.get("graft.mv.wmname") != Some(h1)) return None // STALE
+        if (p.get("graft.mv.wmname2") != Some(h2)) return None // STALE
+        // key pairs must match as a set, normalized to (source, source2)
+        val mvKeys = p("graft.mv.keys").split(";", -1).toSeq.map { kv =>
+          val Array(a, b) = kv.split(":", 2)
+          GraftStoreFormat.unescStat(a) -> GraftStoreFormat.unescStat(b)
+        }.toSet
+        val qKeys = (if (sw) qs.joinKeys.map(_.swap) else qs.joinKeys).toSet
+        if (qKeys != mvKeys) return None
+      case _ => return None
+    }
+    val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
+    val mm = new MvMapping(cols, DataSourceV2Relation.create(
+      new GraftStoreTable(mvPath, mvManifest.schema), None, None))
+    // group-set containment: an EXACT match projects stored rows; a
+    // PROPER SUBSET (including the empty set — a global aggregate)
+    // re-aggregates the finer view's stored columns, the classic rollup
+    // rewrite — count sums counts, avg/variance recombine from their
+    // internal moment columns, min/max nest
+    val qNames = groupAttrs.map(_.name)
+    if (qNames.distinct.size != qNames.size) return None
+    val exact = qNames.toSet == mm.mvGroups.map(_.src).toSet &&
+      qNames.size == mm.mvGroups.size
+    val rollup = !exact && qNames.toSet.subsetOf(mm.mvGroups.map(_.src).toSet)
+    if (!exact && !rollup) return None
+    // ---- filter containment ----------------------------------------
+    val qConjs = usableConjs(qs.conjs, qs.joinKeys).getOrElse(return None)
+    val allOut: Seq[Attribute] = qs.rels.flatMap(_.output)
+    val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
+      case None => Nil
+      case Some(txt) => analyzedFilter(txt, allOut).getOrElse(return None)
+    }
+    // every MV-filter conjunct must appear in the query — or be IMPLIED
+    // by one (a strictly tighter predicate on the same column: the
+    // query's `day >= 15` implies the view's `day >= 10`, so the view is
+    // not missing any row the query needs and the tighter bound simply
+    // becomes a residual). Otherwise the MV may lack needed rows.
+    val residual = containFilters(qConjs, mvConjs).getOrElse(return None)
+    val residualMapped: Seq[Expression] =
+      residual.map(c => mm.convFilter(c).getOrElse(return None))
+    // ---- output mapping --------------------------------------------
     // convert an output expression TREE: aggregate calls and group columns
     // become stored MV columns; any other reference to the source makes
     // the expression unservable. Handles post-aggregation arithmetic like
     // `round(sum(x), 2)` — the MV column slots in where the call was.
     def conv(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression =>
-        if (exact) mapAgg(ae) else mapAggRollup(ae)
+        if (exact) mm.mapAgg(ae) else mm.mapAggRollup(ae)
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
-        mvGroups.find(_.src == a.name).map(g => mvAttr(g.out))
+        mm.groupAttrFor(a.name)
       case _: AttributeReference => None // bare source column: unservable
       case other =>
         val kids = other.children.map(conv)
@@ -420,9 +578,8 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
     }
     val mvChild: LogicalPlan =
-      if (residualMapped.isEmpty) mvRel
-      else Filter(residualMapped.reduce(
-        org.apache.spark.sql.catalyst.expressions.And(_, _)), mvRel)
+      if (residualMapped.isEmpty) mm.mvRel
+      else Filter(residualMapped.reduce(And(_, _)), mm.mvRel)
     logInfo(s"graft mview rewrite: serving aggregate over " +
       qs.paths.mkString(" JOIN ") +
       (if (exact) " " else " (ROLLED UP) ") +
@@ -430,9 +587,134 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       s"from fresh MV $mvPath")
     if (exact) Some(Project(projected, mvChild))
     else {
-      val groupingOut = groupAttrs.map(a =>
-        mvAttr(mvGroups.find(_.src == a.name).get.out))
+      val groupingOut = groupAttrs.map(a => mm.groupAttrFor(a.name).get)
       Some(Aggregate(groupingOut, projected, mvChild))
     }
+  }
+
+  /** EAGER-AGGREGATION JOIN-BACK (Yan & Larson, "Eager Aggregation and
+    * Lazy Aggregation", VLDB 1995 — here through a materialized view): a
+    * SINGLE-table MV whose group set covers the fact side's join keys
+    * serves a `fact ⋈ dim` aggregate as `MV ⋈ dim`, re-aggregated.
+    *
+    * Soundness: the MV partitions the fact table exactly by its group
+    * set, which includes every join key — so the equi-join replicates
+    * whole stored groups per matching dim row, exactly as it replicates
+    * the underlying fact rows. Re-aggregating replicated partials is the
+    * SAME algebra as the rollup rewrite (counts and sums re-sum, min/max
+    * nest, avg and the variance family recombine from their moments,
+    * DISTINCT-over-group-key dedupes), so [[MvMapping.mapAggRollup]] is
+    * reused unchanged. NULL join keys agree by construction: the MV
+    * stores the NULL-key group, and the rewritten inner equi-join drops
+    * it — just as the original join drops the NULL-key fact rows.
+    *
+    * Gates beyond the single-table path: fact-side conjuncts follow the
+    * usual containment/residual rules against the MV's WHERE; dim-side
+    * conjuncts pass through onto the dim scan (they commute with the
+    * inner join); a conjunct or aggregate mixing both sides refuses.
+    * Aggregates must reference ONLY fact columns (checked by exprId, not
+    * name — a dim column that happens to share a tracked fact column's
+    * name must not silently serve). Only the MV's own source needs the
+    * freshness gate: the dim side is read through the query's own
+    * relation node, untouched.
+    *
+    * At 100 TB this is the star-schema payoff: ONE fact-side MV serves
+    * the whole family of dimension-joined aggregates — segment, region,
+    * calendar rollups — each as a join of O(groups) stored rows to the
+    * dim, never a fact scan. */
+  private def tryJoinBack(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+      qs: QuerySource, heads: Seq[String], mvPath: String,
+      mvManifest: GraftManifest): Option[LogicalPlan] = {
+    import GraftMview._
+    val p = mvManifest.props
+    val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
+    val mvSrc = p.getOrElse("graft.mv.source", return None)
+    // which query side the MV covers (the "fact" side R; the other is T)
+    val rIdx = if (mvSrc == qs.paths.head) 0
+      else if (mvSrc == qs.paths(1)) 1 else return None
+    val tIdx = 1 - rIdx
+    if (p.get("graft.mv.wmname") != Some(heads(rIdx))) return None // STALE
+    val rRel = qs.rels(rIdx)
+    val tRel = qs.rels(tIdx)
+    val rIds = rRel.outputSet
+    val tIds = tRel.outputSet
+    // key pairs normalized to (factName, dimName)
+    val keys = if (rIdx == 0) qs.joinKeys else qs.joinKeys.map(_.swap)
+    val mm = new MvMapping(cols, DataSourceV2Relation.create(
+      new GraftStoreTable(mvPath, mvManifest.schema), None, None))
+    // every fact-side join key must be an MV GROUP column: the view then
+    // partitions the fact exactly by join key and the join replicates
+    // whole groups
+    val keyAttrs: Seq[(AttributeReference, AttributeReference)] =
+      keys.map { case (rk, tk) =>
+        val stored = mm.groupAttrFor(rk).getOrElse(return None)
+        val dim = tRel.output.collectFirst {
+          case a: AttributeReference if a.name == tk => a
+        }.getOrElse(return None)
+        stored -> dim
+      }
+    // ---- conjunct split: fact side vs dim side ----------------------
+    val qConjs = usableConjs(qs.conjs, qs.joinKeys).getOrElse(return None)
+    val (rConjs, rest) = qConjs.partition(_.references.subsetOf(rIds))
+    val (tConjs, mixed) = rest.partition(_.references.subsetOf(tIds))
+    if (mixed.nonEmpty) return None // a cross-side predicate: unservable
+    val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
+      case None => Nil
+      case Some(txt) => analyzedFilter(txt, rRel.output).getOrElse(return None)
+    }
+    val residual = containFilters(rConjs, mvConjs).getOrElse(return None)
+    val residualMapped: Seq[Expression] =
+      residual.map(c => mm.convFilter(c).getOrElse(return None))
+    // ---- grouping: fact-side keys map to stored columns, dim-side pass --
+    val groupingOut: Seq[Expression] = groupAttrs.map { a =>
+      if (rIds.contains(a)) mm.groupAttrFor(a.name).getOrElse(return None)
+      else if (tIds.contains(a)) a
+      else return None
+    }
+    // ---- output mapping: the rollup algebra over MV ⋈ dim ------------
+    def conv(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression =>
+        // fact-only aggregates (count(*) included: no references) — a dim
+        // or mixed aggregate cannot come from the fact-side partials
+        if (ae.references.subsetOf(rIds)) mm.mapAggRollup(ae) else None
+      case a: AttributeReference if rIds.contains(a) =>
+        if (groupAttrs.exists(_.exprId == a.exprId)) mm.groupAttrFor(a.name)
+        else None
+      case a: AttributeReference if tIds.contains(a) =>
+        if (groupAttrs.exists(_.exprId == a.exprId)) Some(a) else None
+      case other =>
+        val kids = other.children.map(conv)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val projected: Seq[NamedExpression] = agg.aggregateExpressions.map { orig =>
+      val replacement = orig match {
+        case a: AttributeReference => conv(a)
+        case Alias(child, _) => conv(child)
+        case _ => None
+      }
+      replacement match {
+        case Some(r) if r.fastEquals(orig) => orig // untouched dim column
+        case Some(r) if r.dataType == orig.dataType =>
+          val guarded = if (!orig.nullable && r.nullable) KnownNotNull(r) else r
+          Alias(guarded, orig.name)(exprId = orig.exprId)
+        case _ => return None
+      }
+    }
+    val mvChild: LogicalPlan =
+      if (residualMapped.isEmpty) mm.mvRel
+      else Filter(residualMapped.reduce(And(_, _)), mm.mvRel)
+    val tChild: LogicalPlan =
+      if (tConjs.isEmpty) tRel
+      else Filter(tConjs.reduce(And(_, _)), tRel)
+    val cond = keyAttrs.map { case (stored, dim) =>
+      EqualTo(stored, dim): Expression
+    }.reduce(And(_, _))
+    logInfo(s"graft mview rewrite: serving ${qs.paths(rIdx)} JOIN " +
+      s"${qs.paths(tIdx)} aggregate from fresh MV $mvPath JOIN-BACK to " +
+      s"the dim side" +
+      (if (residualMapped.nonEmpty) " (residual WHERE)" else ""))
+    Some(Aggregate(groupingOut, projected,
+      Join(mvChild, tChild, Inner, Some(cond), JoinHint.NONE)))
   }
 }

@@ -150,6 +150,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q213: closest-pair top-K is output-bound (TakeOrdered, no full-pair sort)") {
+    val p = executed("q213_topk_pairs")
+    // per-partition heaps of K then a driver merge of K-sized partials —
+    // the quadratic candidate set is scored but NEVER sorted or shuffled
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("rangepartitioning"),
+      "a global sort of the pair set must not appear\n" + p.take(2000))
+  }
+
   test("q87: manual bloom probe lands as a fact-side filter before the semi join") {
     val p = executed("q87_bloom_prune")
     assert(p.contains("might_contain"), p.take(2000))

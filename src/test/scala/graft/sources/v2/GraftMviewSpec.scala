@@ -160,6 +160,34 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       "c" -> ((1L, 5L))))
   }
 
+  test("streamRefresh maintains a JOIN view: either side's commits trigger refresh") {
+    catBase
+    val factDir = s"$catBase/sjfact"
+    val dimDir = s"$catBase/sjdim"
+    val mvDir = s"$catBase/sjmv"
+    val ckpt = Files.createTempDirectory("graft-mv-jck").toString
+    Seq((1L, 2L), (2L, 10L)).toDF("fk", "v")
+      .write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("pk", "seg")
+      .write.format("graft-store").mode("overwrite").save(dimDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT seg, count(*) AS n, sum(v) AS s " +
+        "FROM mvcat.sjfact JOIN mvcat.sjdim ON fk = pk GROUP BY seg")
+    val q = GraftMview.streamRefresh(spark, mvDir, ckpt)
+    try {
+      q.processAllAvailable()
+      // FACT-side commit triggers a refresh
+      Seq((3L, 7L)).toDF("fk", "v")
+        .write.format("graft-store").mode("append").save(factDir)
+      q.processAllAvailable()
+      assert(mvRows(mvDir) === Map("a" -> ((2L, 9L)), "b" -> ((1L, 10L))))
+      // DIM-side commit (group mass moves) triggers a refresh too
+      spark.sql(s"UPDATE mvcat.sjdim SET seg = 'c' WHERE pk = 2")
+      q.processAllAvailable()
+      assert(mvRows(mvDir) === Map("a" -> ((2L, 9L)), "c" -> ((1L, 10L))))
+    } finally q.stop()
+  }
+
   test("min/max maintain: insert fast path; removals rescan only their groups") {
     catBase
     val srcDir = s"$catBase/src7"
@@ -553,6 +581,44 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       .agg(count(lit(1)).as("n"))))
   }
 
+  test("range implication: a tighter WHERE on a group column serves from a wider view") {
+    catBase
+    val srcDir = s"$catBase/risrc"
+    val mvDir = s"$catBase/rimv"
+    Seq((5, 1L), (10, 2L), (15, 4L), (20, 8L), (3, 99L))
+      .toDF("day", "v").write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT day, count(*) AS n, sum(v) AS s FROM mvcat.risrc " +
+        "WHERE day >= 5 GROUP BY day")
+    def base() = spark.read.format("graft-store").load(srcDir)
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    // day >= 15 implies the view's day >= 5; the tighter bound applies
+    // to stored rows as a residual (day is a group column)
+    val q1 = base().filter($"day" >= 15).groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(servedFromMv(q1), "a tighter range on a group column must serve")
+    assert(q1.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap ===
+      Map(15 -> 4L, 20 -> 8L))
+    // strict > with an equal bound implies >=; an equality point inside
+    // the range implies it too
+    assert(servedFromMv(base().filter($"day" > 5).groupBy("day")
+      .agg(count(lit(1)).as("n"))))
+    val qe = base().filter($"day" === 20).groupBy("day").agg(sum("v").as("s"))
+    assert(servedFromMv(qe))
+    assert(qe.collect().map(_.getLong(1)).toSeq === Seq(8L))
+    // a WIDER range needs rows the view filtered away — refused, and the
+    // base answer includes day=3
+    val wide = base().filter($"day" >= 3).groupBy("day").agg(sum("v").as("s"))
+    assert(!servedFromMv(wide), "a wider range must never serve")
+    assert(wide.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .contains(3))
+    // integer successor arithmetic is NOT assumed: day > 4 (≡ day >= 5
+    // over ints) is conservatively refused
+    assert(!servedFromMv(base().filter($"day" > 4).groupBy("day")
+      .agg(count(lit(1)).as("n"))))
+  }
+
   test("join rewrite: a fresh two-table view serves the same join aggregate") {
     catBase
     val factDir = s"$catBase/jrfact"
@@ -599,6 +665,110 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(servedFromMv(fresh))
     assert(fresh.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ===
       Map("a" -> 13L, "b" -> 30L))
+  }
+
+  test("join-back rewrite: a fact-side MV serves the fact-dim join aggregate") {
+    catBase
+    val factDir = s"$catBase/jbfact"
+    val dimDir = s"$catBase/jbdim"
+    val mvDir = s"$catBase/jbmv"
+    Seq((Option(1L), 2L), (Option(1L), 4L), (Option(2L), 10L), (Option(3L), 7L),
+      (Option.empty[Long], 100L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(factDir)
+    // the dim deliberately carries a column NAMED like the fact measure:
+    // aggregate mapping must go by exprId, never by name
+    Seq((1L, "a", 500L), (2L, "b", 600L), (3L, "a", 700L))
+      .toDF("pk", "seg", "v").write.format("graft-store").mode("overwrite").save(dimDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT fk, count(*) AS n, sum(v) AS s FROM mvcat.jbfact GROUP BY fk")
+    def fact() = spark.read.format("graft-store").load(factDir)
+    def dim() = spark.read.format("graft-store").load(dimDir)
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def q() = {
+      val f = fact(); val dd = dim()
+      f.join(dd, f("fk") === dd("pk"), "inner").groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(f("v")).as("s"))
+    }
+    // fact⋈dim served as MV⋈dim; the NULL-fk fact row drops on both paths
+    val q1 = q()
+    assert(servedFromMv(q1), "a fresh fact-side MV must serve the join aggregate")
+    assert(q1.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("a" -> ((3L, 13L)), "b" -> ((1L, 10L))))
+    // mixed grouping: dim column + fact group column
+    val f2 = fact(); val d2 = dim()
+    val q2 = f2.join(d2, f2("fk") === d2("pk"), "inner").groupBy("seg", "fk")
+      .agg(sum(f2("v")).as("s"))
+    assert(servedFromMv(q2))
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap === Map(("a", 1L) -> 6L, ("b", 2L) -> 10L, ("a", 3L) -> 7L))
+    // a dim-side aggregate cannot come from fact partials — even when the
+    // dim column's NAME collides with the tracked fact measure
+    val f3 = fact(); val d3 = dim()
+    val qd = f3.join(d3, f3("fk") === d3("pk"), "inner").groupBy("seg")
+      .agg(sum(d3("v")).as("s"))
+    assert(!servedFromMv(qd), "a name-colliding dim measure must never serve")
+    assert(qd.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 1700L, "b" -> 600L))
+    // a join key outside the MV's group set refuses
+    val f4 = fact(); val d4 = dim()
+    assert(!servedFromMv(f4.join(d4, f4("v") === d4("pk"), "inner")
+      .groupBy("seg").agg(count(lit(1)).as("n"))))
+    // DIM churn does NOT stale: the dim side is read live through the
+    // query's own relation — a segment correction shows up immediately
+    spark.sql("UPDATE mvcat.jbdim SET seg = 'c' WHERE pk = 2")
+    val q3 = q()
+    assert(servedFromMv(q3), "dim churn must not stale a fact-side MV")
+    assert(q3.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ===
+      Map("a" -> 13L, "c" -> 10L))
+    // FACT churn stales; refresh restores
+    Seq((Option(2L), 20L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(factDir)
+    val q4 = q()
+    assert(!servedFromMv(q4), "a stale fact-side MV must never serve")
+    assert(q4.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ===
+      Map("a" -> 13L, "c" -> 30L))
+    GraftMview.refresh(spark, mvDir)
+    val q5 = q()
+    assert(servedFromMv(q5))
+    assert(q5.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ===
+      Map("a" -> 13L, "c" -> 30L))
+  }
+
+  test("IN implication + DISTINCT rollup: subset/member serve, superset/non-group refuse") {
+    catBase
+    val srcDir = s"$catBase/indsrc"
+    val mvDir = s"$catBase/indmv"
+    Seq((1, "x", 10L), (2, "x", 20L), (3, "y", 30L), (4, "y", 40L), (6, "z", 60L))
+      .toDF("k", "g", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, k, count(*) AS n, sum(v) AS s FROM mvcat.indsrc " +
+        "WHERE k IN (1, 2, 3, 4) GROUP BY g, k")
+    def base() = spark.read.format("graft-store").load(srcDir)
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    // IN-subset implies the view's IN; the subset filters stored rows
+    val q1 = base().filter($"k".isin(1, 2)).groupBy("g").agg(sum("v").as("s"))
+    assert(servedFromMv(q1), "a subset IN-list must serve")
+    assert(q1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 30L))
+    // point equality inside the list implies it
+    assert(servedFromMv(base().filter($"k" === 3).groupBy("g")
+      .agg(count(lit(1)).as("n"))))
+    // a SUPERSET needs rows the view filtered away — refused
+    assert(!servedFromMv(base().filter($"k".isin(1, 2, 3, 4, 6)).groupBy("g")
+      .agg(count(lit(1)).as("n"))))
+    // DISTINCT over a view GROUP column rolls up (stored combinations
+    // are unique; DISTINCT dedupes anyway); over a collapsed column
+    // it refuses
+    val qd = base().filter($"k".isin(1, 2, 3, 4)).groupBy("g")
+      .agg(countDistinct($"k").as("d"))
+    assert(servedFromMv(qd), "count(DISTINCT group-col) must roll up")
+    assert(qd.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 2L, "y" -> 2L))
+    assert(!servedFromMv(base().filter($"k".isin(1, 2, 3, 4)).groupBy("g")
+      .agg(countDistinct($"v").as("d"))))
   }
 
   test("concurrent MV registration is lossless (one sidecar file per dependent)") {
