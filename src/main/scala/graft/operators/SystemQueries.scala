@@ -4921,6 +4921,168 @@ object SystemQueries {
            |WHERE o_orderstatus = 'F' AND c_nationkey < 15
            |GROUP BY c_mktsegment""".stripMargin))
 
+  /** MULTI-DIM JOIN-BACK ([[graft.sources.v2.GraftMviewRewriteRule]]):
+    * the eager-aggregation rewrite generalized past one dimension — a
+    * single-table fact MV grouped by the outbound join key serves a
+    * SNOWFLAKED `fact ⋈ customer ⋈ nation` aggregate as
+    * `MV ⋈ customer ⋈ nation`, re-aggregated. The join graph is rebuilt
+    * greedily by connectivity (customer attaches to the MV's stored key,
+    * nation attaches to customer), dim-only WHEREs stay on their own dim
+    * scan, and a dim-side aggregate still refuses. The slice-count bit
+    * pins that the served plan reads stored groups + two small dims,
+    * never the 48-file fact base. At 100 TB: the whole snowflake family
+    * of rollups — nation, region, calendar chains — runs off ONE
+    * fact-grain MV. */
+  val q219MviewJoinBack2 = QuerySpec(
+    "q219_mview_joinback2", "S-dsv2-mview-joinback2",
+    "multi-dim join-back: one fact MV serves a snowflaked 3-table aggregate",
+    (s, d) => {
+      val base = "/tmp/graft_store_q219"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq219", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq219.base", base)
+      try {
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .repartitionByRange(48, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(s"$base/fact")
+        Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment", "c_nationkey")
+          .repartitionByRange(4, col("c_custkey"))
+          .write.format("graft-store").mode("overwrite").save(s"$base/cust")
+        Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+          .write.format("graft-store").mode("overwrite").save(s"$base/nat")
+        s.sql("CALL gq219.system.create_mview('mv', " +
+          "'SELECT o_custkey AS ck, count(*) AS n, " +
+          "sum(o_totalprice) AS rev, avg(o_totalprice) AS ap " +
+          "FROM gq219.fact GROUP BY o_custkey')")
+        val sql1 =
+          """SELECT n_name AS nat, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev,
+            |  round(avg(o_totalprice), 2) AS ap
+            |FROM gq219.fact
+            |JOIN gq219.cust ON o_custkey = c_custkey
+            |JOIN gq219.nat ON c_nationkey = n_nationkey
+            |WHERE c_mktsegment = 'BUILDING' AND n_regionkey < 3
+            |GROUP BY n_name""".stripMargin
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val ops = graft.sources.v2.GraftStoreOps
+        s.conf.set("spark.graft.mv.rewrite", "false")
+        val (offRows, offSlices) = try {
+          val b = ops.scannedFileSlices
+          val r = s.sql(sql1).collect()
+          (r, ops.scannedFileSlices - b)
+        } finally s.conf.set("spark.graft.mv.rewrite", "true")
+        val q1 = s.sql(sql1)
+        val b1 = ops.scannedFileSlices
+        val rows = q1.collect()
+        val onSlices = ops.scannedFileSlices - b1
+        // a nation-side aggregate cannot come from fact partials
+        val dimAgg = s.sql(
+          "SELECT n_name AS nat, sum(n_regionkey) AS rk FROM gq219.fact " +
+            "JOIN gq219.cust ON o_custkey = c_custkey " +
+            "JOIN gq219.nat ON c_nationkey = n_nationkey GROUP BY n_name")
+        val sameRows = rows.sortBy(_.getString(0))
+          .sameElements(offRows.sortBy(_.getString(0)))
+        val bits = served(q1) && sameRows && onSlices < offSlices &&
+          !served(dimAgg)
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
+          .withColumn("joinback2_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq219")
+        s.conf.unset("spark.sql.catalog.gq219.base")
+      }
+    },
+    Some("""SELECT n_name AS nat, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  round(avg(o_totalprice), 2) AS ap, TRUE AS joinback2_proof
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE c_mktsegment = 'BUILDING' AND n_regionkey < 3
+           |GROUP BY n_name""".stripMargin))
+
+  /** PARTIAL-JOIN MV REWRITE ([[graft.sources.v2.GraftMviewRewriteRule]]):
+    * a TWO-TABLE join MV covering two of the query's three relations
+    * serves the wider join — `orders ⋈ customer` materialized by
+    * c_nationkey, query joins nation on top. The query's key pairs
+    * BETWEEN the covered tables must equal the MV's own key set, both MV
+    * watermarks must be fresh, and the outbound key (c_nationkey) must
+    * be a stored GROUP column; then the rewrite is the same join-back
+    * replication argument applied to the covered JOIN's rows. Covered
+    * churn (a fact insert) stales the view; refresh re-serves. At
+    * 100 TB: one fact⋈dim MV serves every drill-up through further
+    * dimension chains without re-joining the fact. */
+  val q220MviewPartialJoin = QuerySpec(
+    "q220_mview_partial_join", "S-dsv2-mview-partial-join",
+    "partial-join rewrite: a 2-table join MV serves the 3-table query",
+    (s, d) => {
+      val base = "/tmp/graft_store_q220"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq220", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq220.base", base)
+      try {
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(48, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(s"$base/fact")
+        Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .repartitionByRange(4, col("c_custkey"))
+          .write.format("graft-store").mode("overwrite").save(s"$base/cust")
+        Tables.nation(s, d).select("n_nationkey", "n_name")
+          .write.format("graft-store").mode("overwrite").save(s"$base/nat")
+        s.sql("CALL gq220.system.create_mview('mv', " +
+          "'SELECT c_nationkey AS nk, count(*) AS n, " +
+          "sum(o_totalprice) AS rev " +
+          "FROM gq220.fact JOIN gq220.cust ON o_custkey = c_custkey " +
+          "GROUP BY c_nationkey')")
+        val sql1 =
+          """SELECT n_name AS nat, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM gq220.fact
+            |JOIN gq220.cust ON o_custkey = c_custkey
+            |JOIN gq220.nat ON c_nationkey = n_nationkey
+            |GROUP BY n_name""".stripMargin
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val ops = graft.sources.v2.GraftStoreOps
+        s.conf.set("spark.graft.mv.rewrite", "false")
+        val (offRows, offSlices) = try {
+          val b = ops.scannedFileSlices
+          val r = s.sql(sql1).collect()
+          (r, ops.scannedFileSlices - b)
+        } finally s.conf.set("spark.graft.mv.rewrite", "true")
+        val q1 = s.sql(sql1)
+        val b1 = ops.scannedFileSlices
+        val rows = q1.collect()
+        val onSlices = ops.scannedFileSlices - b1
+        // covered churn stales the MV (the appended row matches no
+        // customer, so the ANSWER is unchanged — freshness is at stake)
+        s.sql("INSERT INTO gq220.fact VALUES (99999999, -1, 1.0)")
+        val staleServed = served(s.sql(sql1))
+        s.sql("CALL gq220.system.refresh_mview('mv')")
+        val fresh = s.sql(sql1)
+        val sameRows = rows.sortBy(_.getString(0))
+          .sameElements(offRows.sortBy(_.getString(0))) &&
+          rows.sortBy(_.getString(0))
+            .sameElements(fresh.collect().sortBy(_.getString(0)))
+        val bits = served(q1) && sameRows && onSlices < offSlices &&
+          !staleServed && served(fresh)
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
+          .withColumn("partial_join_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq220")
+        s.conf.unset("spark.sql.catalog.gq220.base")
+      }
+    },
+    Some("""SELECT n_name AS nat, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev, TRUE AS partial_join_proof
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -4944,5 +5106,6 @@ object SystemQueries {
     q200MviewStream, q201MviewMinmax, q202TblProperties, q203CompactWhere,
     q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev, q210MviewRollup,
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
-    q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack)
+    q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
+    q219MviewJoinBack2, q220MviewPartialJoin)
 }

@@ -89,11 +89,28 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** What the query aggregates: graft relation(s), every filter conjunct
-    * between the aggregate and the scan(s) (WHEREs pushed below the join
-    * included — for an inner join they commute with it), and the
-    * equi-join key pairs (empty for a single table). */
+    * between the aggregate and the scan(s) (WHEREs pushed below the joins
+    * included — for inner joins they commute), and the cross-relation
+    * equi-join attribute pairs (empty for a single table). Any number of
+    * relations: a flattened INNER-join tree. */
   private case class QuerySource(rels: Seq[DataSourceV2Relation],
-      paths: Seq[String], conjs: Seq[Expression], joinKeys: Seq[(String, String)])
+      paths: Seq[String], conjs: Seq[Expression],
+      pairs: Seq[(AttributeReference, AttributeReference)]) {
+    /** Key pairs as names normalized to (rels(0), rels(1)) — the
+      * two-relation exact-join-view match. */
+    def joinKeys: Seq[(String, String)] = {
+      val lIds = rels.head.outputSet
+      pairs.map { case (a, b) =>
+        if (lIds.contains(a)) a.name -> b.name else b.name -> a.name
+      }
+    }
+    /** Which relation owns this attribute, if any. */
+    def sideOf(a: Attribute): Option[Int] =
+      rels.indexWhere(_.outputSet.contains(a)) match {
+        case -1 => None
+        case i => Some(i)
+      }
+  }
 
   /** Peel attribute-only Projects and Filters, accumulating conjuncts. */
   private def peel(p: LogicalPlan): (Seq[Expression], LogicalPlan) = p match {
@@ -120,32 +137,46 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def pathOf(rel: DataSourceV2Relation): String =
     rel.table.properties().get("location")
 
-  private def extractSource(child: LogicalPlan): Option[QuerySource] =
-    peel(child) match {
-      case (conjs, r: DataSourceV2Relation) if graftRel(r).isDefined =>
-        Some(QuerySource(Seq(r), Seq(pathOf(r)), conjs, Nil))
-      case (conjs, j: Join) if j.joinType == Inner && j.condition.isDefined =>
-        val (lc, lbase) = peel(j.left)
-        val (rc, rbase) = peel(j.right)
+  /** Flatten an arbitrary INNER-equi-join tree of graft relations,
+    * accumulating every filter conjunct and every cross-relation key
+    * pair. Anything non-inner, non-equi, or non-graft refuses. */
+  private def flatten(p: LogicalPlan): Option[(Seq[DataSourceV2Relation],
+      Seq[Expression], Seq[(AttributeReference, AttributeReference)])] = {
+    val (conjs, base) = peel(p)
+    base match {
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
         for {
-          lrel <- graftRel(lbase)
-          rrel <- graftRel(rbase)
-          keys <- eqKeyPairs(j.condition.get, lrel, rrel)
-        } yield QuerySource(Seq(lrel, rrel), Seq(pathOf(lrel), pathOf(rrel)),
-          conjs ++ lc ++ rc, keys)
+          (lr, lc, lp) <- flatten(j.left)
+          (rr, rc, rp) <- flatten(j.right)
+          ps <- eqAttrPairs(j.condition.get,
+            lr.flatMap(_.output).map(_.exprId).toSet,
+            rr.flatMap(_.output).map(_.exprId).toSet)
+        } yield (lr ++ rr, conjs ++ lc ++ rc, lp ++ rp ++ ps)
+      case r: DataSourceV2Relation if graftRel(r).isDefined =>
+        Some((Seq(r), conjs, Nil))
       case _ => None
     }
+  }
 
-  /** Plain equi-key conjunction → (leftName, rightName) pairs; anything
-    * else in the ON condition makes the join unservable. */
-  private def eqKeyPairs(cond: Expression, l: DataSourceV2Relation,
-      r: DataSourceV2Relation): Option[Seq[(String, String)]] = {
-    val lIds = l.output.map(_.exprId).toSet
-    val rIds = r.output.map(_.exprId).toSet
+  private def extractSource(child: LogicalPlan): Option[QuerySource] =
+    flatten(child).flatMap { case (rels, conjs, pairs) =>
+      val paths = rels.map(pathOf)
+      // a self-join makes path-based MV matching ambiguous: refuse
+      if (paths.distinct.size != paths.size) None
+      else Some(QuerySource(rels, paths, conjs, pairs))
+    }
+
+  /** Plain equi-key conjunction → attribute pairs with the left-subtree
+    * attribute first; anything else in the ON condition makes the join
+    * unservable. */
+  private def eqAttrPairs(cond: Expression, lIds: Set[
+      org.apache.spark.sql.catalyst.expressions.ExprId], rIds: Set[
+      org.apache.spark.sql.catalyst.expressions.ExprId])
+      : Option[Seq[(AttributeReference, AttributeReference)]] = {
     val pairs = splitConjunctivePredicates(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (lIds.contains(a.exprId) && rIds.contains(b.exprId)) a.name -> b.name
-        else if (rIds.contains(a.exprId) && lIds.contains(b.exprId)) b.name -> a.name
+        if (lIds.contains(a.exprId) && rIds.contains(b.exprId)) (a, b)
+        else if (rIds.contains(a.exprId) && lIds.contains(b.exprId)) (b, a)
         else return None
       case _ => return None
     }
@@ -457,8 +488,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     * inner equi-join itself implies them) and refuse non-deterministic or
     * subquery-bearing predicates. */
   private def usableConjs(conjs: Seq[Expression],
-      joinKeys: Seq[(String, String)]): Option[Seq[Expression]] = {
-    val keyNames: Set[String] = joinKeys.flatMap(k => Seq(k._1, k._2)).toSet
+      keyNames: Set[String]): Option[Seq[Expression]] = {
     val kept = conjs.filterNot {
       case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
       case _ => false
@@ -494,19 +524,21 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       .getOrElse(return None) // stale pointer: MV dropped
     val p = mvManifest.props
     if (!p.get("graft.mv").contains("true")) return None
-    // source-shape match: single table, or the same join in either order —
-    // a JOIN query over a SINGLE-table MV goes to the join-back path
+    // source-shape match: single table, or the same join in either order.
+    // A query joining MORE relations than the MV covers — a join query
+    // over a single-table MV, or a query whose join SUPERSET includes a
+    // join MV's two tables — goes to the (eager-aggregation) join-back
+    // path: MV ⋈ uncovered dims, re-aggregated.
     (qs.paths, p.get("graft.mv.source2")) match {
       case (Seq(s1), None) =>
         if (p.get("graft.mv.source") != Some(s1)) return None
         if (p.get("graft.mv.wmname") != Some(heads.head)) return None // STALE
-      case (Seq(_, _), None) =>
+      case (ps, None) if ps.size >= 2 =>
         return tryJoinBack(agg, groupAttrs, qs, heads, mvPath, mvManifest)
-      case (Seq(q1, q2), Some(m2)) =>
+      case (Seq(q1, q2), Some(m2)) if Set(q1, q2) ==
+          Set(p("graft.mv.source"), m2) =>
         val m1 = p("graft.mv.source")
-        val sw = if (q1 == m1 && q2 == m2) false
-          else if (q1 == m2 && q2 == m1) true
-          else return None
+        val sw = q1 == m2 && q2 == m1 && m1 != m2
         val (h1, h2) = if (sw) (heads(1), heads.head) else (heads.head, heads(1))
         if (p.get("graft.mv.wmname") != Some(h1)) return None // STALE
         if (p.get("graft.mv.wmname2") != Some(h2)) return None // STALE
@@ -517,6 +549,9 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         }.toSet
         val qKeys = (if (sw) qs.joinKeys.map(_.swap) else qs.joinKeys).toSet
         if (qKeys != mvKeys) return None
+      case (ps, Some(m2)) if ps.size > 2 &&
+          Set(p("graft.mv.source"), m2).subsetOf(ps.toSet) =>
+        return tryJoinBack(agg, groupAttrs, qs, heads, mvPath, mvManifest)
       case _ => return None
     }
     val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
@@ -534,7 +569,9 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val rollup = !exact && qNames.toSet.subsetOf(mm.mvGroups.map(_.src).toSet)
     if (!exact && !rollup) return None
     // ---- filter containment ----------------------------------------
-    val qConjs = usableConjs(qs.conjs, qs.joinKeys).getOrElse(return None)
+    val qConjs = usableConjs(qs.conjs,
+      qs.pairs.flatMap(pr => Seq(pr._1.name, pr._2.name)).toSet)
+      .getOrElse(return None)
     val allOut: Seq[Attribute] = qs.rels.flatMap(_.output)
     val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
       case None => Nil
@@ -593,35 +630,44 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** EAGER-AGGREGATION JOIN-BACK (Yan & Larson, "Eager Aggregation and
-    * Lazy Aggregation", VLDB 1995 — here through a materialized view): a
-    * SINGLE-table MV whose group set covers the fact side's join keys
-    * serves a `fact ⋈ dim` aggregate as `MV ⋈ dim`, re-aggregated.
+    * Lazy Aggregation", VLDB 1995 — here through a materialized view): an
+    * MV covering a SUBSET of the query's joined relations — a
+    * single-table fact MV, or a two-table join MV inside a wider join —
+    * serves the aggregate as `MV ⋈ <uncovered dims>`, re-aggregated,
+    * provided every covered-side join key OUT of the covered set is an
+    * MV GROUP column.
     *
-    * Soundness: the MV partitions the fact table exactly by its group
-    * set, which includes every join key — so the equi-join replicates
-    * whole stored groups per matching dim row, exactly as it replicates
-    * the underlying fact rows. Re-aggregating replicated partials is the
-    * SAME algebra as the rollup rewrite (counts and sums re-sum, min/max
-    * nest, avg and the variance family recombine from their moments,
-    * DISTINCT-over-group-key dedupes), so [[MvMapping.mapAggRollup]] is
-    * reused unchanged. NULL join keys agree by construction: the MV
-    * stores the NULL-key group, and the rewritten inner equi-join drops
-    * it — just as the original join drops the NULL-key fact rows.
+    * Soundness: the MV partitions the covered relation (or covered join)
+    * exactly by its group set, which includes every outbound join key —
+    * so the equi-joins to the uncovered dims replicate whole stored
+    * groups per matching dim-combination row, exactly as they replicate
+    * the underlying covered rows. Re-aggregating replicated partials is
+    * the SAME algebra as the rollup rewrite (counts and sums re-sum,
+    * min/max nest, avg and the variance family recombine from their
+    * moments, DISTINCT-over-group-key dedupes), so
+    * [[MvMapping.mapAggRollup]] is reused unchanged. NULL join keys agree
+    * by construction: the MV stores the NULL-key group, and the rewritten
+    * inner equi-joins drop it — just as the original joins drop the
+    * NULL-key covered rows. For a join MV inside a wider join, the
+    * query's key pairs BETWEEN the covered tables must equal the MV's
+    * own key set (and both its watermarks must be fresh).
     *
-    * Gates beyond the single-table path: fact-side conjuncts follow the
-    * usual containment/residual rules against the MV's WHERE; dim-side
-    * conjuncts pass through onto the dim scan (they commute with the
-    * inner join); a conjunct or aggregate mixing both sides refuses.
-    * Aggregates must reference ONLY fact columns (checked by exprId, not
-    * name — a dim column that happens to share a tracked fact column's
-    * name must not silently serve). Only the MV's own source needs the
-    * freshness gate: the dim side is read through the query's own
-    * relation node, untouched.
+    * Gates beyond the single-table path: covered-side conjuncts follow
+    * the usual containment/residual rules against the MV's WHERE;
+    * dim-only conjuncts stay on their dim scan; dim-dim conjuncts (and
+    * any redundant cycle key pair) land in a filter above the rebuilt
+    * join (they commute with inner joins); a conjunct or aggregate
+    * mixing covered and uncovered sides refuses. Aggregates must
+    * reference ONLY covered columns (checked by exprId, not name — a dim
+    * column that happens to share a tracked column's name must not
+    * silently serve). Only the MV's own source(s) need the freshness
+    * gate: the dims are read through the query's own relation nodes,
+    * untouched.
     *
     * At 100 TB this is the star-schema payoff: ONE fact-side MV serves
     * the whole family of dimension-joined aggregates — segment, region,
-    * calendar rollups — each as a join of O(groups) stored rows to the
-    * dim, never a fact scan. */
+    * calendar rollups, snowflaked dim chains — each as a join of
+    * O(groups) stored rows to the dims, never a fact scan. */
   private def tryJoinBack(agg: Aggregate, groupAttrs: Seq[AttributeReference],
       qs: QuerySource, heads: Seq[String], mvPath: String,
       mvManifest: GraftManifest): Option[LogicalPlan] = {
@@ -629,58 +675,94 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val p = mvManifest.props
     val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
     val mvSrc = p.getOrElse("graft.mv.source", return None)
-    // which query side the MV covers (the "fact" side R; the other is T)
-    val rIdx = if (mvSrc == qs.paths.head) 0
-      else if (mvSrc == qs.paths(1)) 1 else return None
-    val tIdx = 1 - rIdx
-    if (p.get("graft.mv.wmname") != Some(heads(rIdx))) return None // STALE
-    val rRel = qs.rels(rIdx)
-    val tRel = qs.rels(tIdx)
-    val rIds = rRel.outputSet
-    val tIds = tRel.outputSet
-    // key pairs normalized to (factName, dimName)
-    val keys = if (rIdx == 0) qs.joinKeys else qs.joinKeys.map(_.swap)
+    // which query relations the MV covers, in MV source order
+    val covered: Seq[Int] = p.get("graft.mv.source2") match {
+      case None =>
+        val i = qs.paths.indexOf(mvSrc)
+        if (i < 0) return None else Seq(i)
+      case Some(s2) =>
+        val i1 = qs.paths.indexOf(mvSrc)
+        val i2 = qs.paths.indexOf(s2)
+        if (i1 < 0 || i2 < 0) return None else Seq(i1, i2)
+    }
+    if (covered.size == qs.rels.size) return None // nothing to join back
+    // freshness of every covered source
+    if (p.get("graft.mv.wmname") != Some(heads(covered.head))) return None
+    if (covered.size > 1 &&
+        p.get("graft.mv.wmname2") != Some(heads(covered(1)))) return None
+    val coveredSet = covered.toSet
+    val coveredIds = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      covered.flatMap(i => qs.rels(i).output))
     val mm = new MvMapping(cols, DataSourceV2Relation.create(
       new GraftStoreTable(mvPath, mvManifest.schema), None, None))
-    // every fact-side join key must be an MV GROUP column: the view then
-    // partitions the fact exactly by join key and the join replicates
-    // whole groups
-    val keyAttrs: Seq[(AttributeReference, AttributeReference)] =
-      keys.map { case (rk, tk) =>
-        val stored = mm.groupAttrFor(rk).getOrElse(return None)
-        val dim = tRel.output.collectFirst {
-          case a: AttributeReference if a.name == tk => a
-        }.getOrElse(return None)
-        stored -> dim
+    // ---- key-pair classification -------------------------------------
+    // internal (both ends covered): must equal the join MV's own key set;
+    // outbound (one end covered): the covered end must be an MV GROUP
+    // column — the replication-soundness condition; external (dim-dim):
+    // pass through to the rebuilt join.
+    // every pair end is owned by some relation (eqAttrPairs checked)
+    val classified: Seq[((AttributeReference, AttributeReference),
+        Boolean, Boolean, Int)] = qs.pairs.map { pr =>
+      val sa = qs.sideOf(pr._1).getOrElse(return None)
+      val sb = qs.sideOf(pr._2).getOrElse(return None)
+      (pr, coveredSet.contains(sa), coveredSet.contains(sb), sa)
+    }
+    val internal = classified.collect { case (pr, true, true, sa) => (pr, sa) }
+    if (covered.size == 1 && internal.nonEmpty) return None
+    if (covered.size > 1) {
+      val mvKeys = p("graft.mv.keys").split(";", -1).toSeq.map { kv =>
+        val Array(a, b) = kv.split(":", 2)
+        GraftStoreFormat.unescStat(a) -> GraftStoreFormat.unescStat(b)
+      }.toSet
+      // normalize each internal pair to (source, source2) column names
+      val qKeys = internal.map { case ((a, b), sa) =>
+        if (sa == covered.head) a.name -> b.name else b.name -> a.name
+      }.toSet
+      if (qKeys != mvKeys) return None
+    }
+    // outbound pairs normalized to (coveredAttr, dimAttr); each covered
+    // end must map to a stored group column
+    val outbound: Seq[(AttributeReference, AttributeReference)] =
+      classified.collect {
+        case (pr, true, false, _) => pr
+        case ((a, b), false, true, _) => (b, a)
       }
-    // ---- conjunct split: fact side vs dim side ----------------------
-    val qConjs = usableConjs(qs.conjs, qs.joinKeys).getOrElse(return None)
-    val (rConjs, rest) = qConjs.partition(_.references.subsetOf(rIds))
-    val (tConjs, mixed) = rest.partition(_.references.subsetOf(tIds))
+    outbound.foreach { case (cv, _) =>
+      if (mm.groupAttrFor(cv.name).isEmpty) return None
+    }
+    val external = classified.collect { case (pr, false, false, _) => pr }
+    // ---- conjunct split: covered side vs dims -------------------------
+    val qConjs = usableConjs(qs.conjs,
+      qs.pairs.flatMap(pr => Seq(pr._1.name, pr._2.name)).toSet)
+      .getOrElse(return None)
+    val (rConjs, rest) = qConjs.partition(_.references.subsetOf(coveredIds))
+    val (mixed, dimConjs) =
+      rest.partition(_.references.exists(coveredIds.contains))
     if (mixed.nonEmpty) return None // a cross-side predicate: unservable
+    val factOut: Seq[Attribute] = covered.flatMap(i => qs.rels(i).output)
     val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
       case None => Nil
-      case Some(txt) => analyzedFilter(txt, rRel.output).getOrElse(return None)
+      case Some(txt) => analyzedFilter(txt, factOut).getOrElse(return None)
     }
     val residual = containFilters(rConjs, mvConjs).getOrElse(return None)
     val residualMapped: Seq[Expression] =
       residual.map(c => mm.convFilter(c).getOrElse(return None))
-    // ---- grouping: fact-side keys map to stored columns, dim-side pass --
+    // ---- grouping: covered keys map to stored columns, dim-side pass --
     val groupingOut: Seq[Expression] = groupAttrs.map { a =>
-      if (rIds.contains(a)) mm.groupAttrFor(a.name).getOrElse(return None)
-      else if (tIds.contains(a)) a
+      if (coveredIds.contains(a)) mm.groupAttrFor(a.name).getOrElse(return None)
+      else if (qs.rels.exists(_.outputSet.contains(a))) a
       else return None
     }
-    // ---- output mapping: the rollup algebra over MV ⋈ dim ------------
+    // ---- output mapping: the rollup algebra over MV ⋈ dims ------------
     def conv(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression =>
-        // fact-only aggregates (count(*) included: no references) — a dim
-        // or mixed aggregate cannot come from the fact-side partials
-        if (ae.references.subsetOf(rIds)) mm.mapAggRollup(ae) else None
-      case a: AttributeReference if rIds.contains(a) =>
+        // covered-only aggregates (count(*) included: no references) — a
+        // dim or mixed aggregate cannot come from the stored partials
+        if (ae.references.subsetOf(coveredIds)) mm.mapAggRollup(ae) else None
+      case a: AttributeReference if coveredIds.contains(a) =>
         if (groupAttrs.exists(_.exprId == a.exprId)) mm.groupAttrFor(a.name)
         else None
-      case a: AttributeReference if tIds.contains(a) =>
+      case a: AttributeReference =>
         if (groupAttrs.exists(_.exprId == a.exprId)) Some(a) else None
       case other =>
         val kids = other.children.map(conv)
@@ -701,20 +783,58 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         case _ => return None
       }
     }
+    // ---- rebuild the join: MV, then each dim greedily by connectivity --
     val mvChild: LogicalPlan =
       if (residualMapped.isEmpty) mm.mvRel
       else Filter(residualMapped.reduce(And(_, _)), mm.mvRel)
-    val tChild: LogicalPlan =
-      if (tConjs.isEmpty) tRel
-      else Filter(tConjs.reduce(And(_, _)), tRel)
-    val cond = keyAttrs.map { case (stored, dim) =>
-      EqualTo(stored, dim): Expression
-    }.reduce(And(_, _))
-    logInfo(s"graft mview rewrite: serving ${qs.paths(rIdx)} JOIN " +
-      s"${qs.paths(tIdx)} aggregate from fresh MV $mvPath JOIN-BACK to " +
-      s"the dim side" +
+    // a covered attribute in a join condition reads from its stored column
+    def mapAttr(a: AttributeReference): AttributeReference =
+      if (coveredIds.contains(a)) mm.groupAttrFor(a.name).get else a
+    val dimIdxs = qs.rels.indices.filterNot(coveredSet.contains)
+    val dimLeaf: Map[Int, LogicalPlan] = dimIdxs.map { i =>
+      val rel = qs.rels(i)
+      val cs = dimConjs.filter(_.references.subsetOf(rel.outputSet))
+      i -> (if (cs.isEmpty) rel else Filter(cs.reduce(And(_, _)), rel))
+    }.toMap
+    // dim-dim conjuncts spanning relations go above the rebuilt join
+    val crossDim = dimConjs.filterNot(c =>
+      dimIdxs.exists(i => c.references.subsetOf(qs.rels(i).outputSet)))
+    val joinable = outbound ++ external // internal pairs are baked into the MV
+    var current: LogicalPlan = mvChild
+    var inIds = coveredIds
+    var remaining = dimIdxs.toList
+    var pending = joinable.toList
+    while (remaining.nonEmpty) {
+      val next = remaining.find(i => pending.exists { case (a, b) =>
+        val dIds = qs.rels(i).outputSet
+        (inIds.contains(a) && dIds.contains(b)) ||
+          (inIds.contains(b) && dIds.contains(a))
+      }).getOrElse(return None) // disconnected join graph: unservable
+      val dIds = qs.rels(next).outputSet
+      val (here, later) = pending.partition { case (a, b) =>
+        (inIds.contains(a) && dIds.contains(b)) ||
+          (inIds.contains(b) && dIds.contains(a))
+      }
+      val cond = here.map { case (a, b) =>
+        EqualTo(mapAttr(a), mapAttr(b)): Expression
+      }.reduce(And(_, _))
+      current = Join(current, dimLeaf(next), Inner, Some(cond), JoinHint.NONE)
+      inIds = inIds ++ qs.rels(next).outputSet
+      remaining = remaining.filterNot(_ == next)
+      pending = later
+    }
+    // a cycle's redundant key pair (both ends joined through other dims)
+    // survives as an equality filter — same semantics under an inner join
+    val topConjs = crossDim ++ pending.map { case (a, b) =>
+      EqualTo(mapAttr(a), mapAttr(b)): Expression
+    }
+    val joined: LogicalPlan =
+      if (topConjs.isEmpty) current
+      else Filter(topConjs.reduce(And(_, _)), current)
+    logInfo(s"graft mview rewrite: serving the " +
+      s"${qs.paths.mkString(" JOIN ")} aggregate from fresh MV $mvPath " +
+      s"JOIN-BACK to ${dimIdxs.size} dim(s)" +
       (if (residualMapped.nonEmpty) " (residual WHERE)" else ""))
-    Some(Aggregate(groupingOut, projected,
-      Join(mvChild, tChild, Inner, Some(cond), JoinHint.NONE)))
+    Some(Aggregate(groupingOut, projected, joined))
   }
 }

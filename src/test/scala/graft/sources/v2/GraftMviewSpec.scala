@@ -735,6 +735,104 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       Map("a" -> 13L, "c" -> 30L))
   }
 
+  test("multi-dim join-back: snowflake chain serves; cross-dim conjunct lands above the join") {
+    catBase
+    val factDir = s"$catBase/jb2fact"
+    val d1Dir = s"$catBase/jb2d1"
+    val d2Dir = s"$catBase/jb2d2"
+    val mvDir = s"$catBase/jb2mv"
+    Seq((1L, 2L), (1L, 4L), (2L, 10L), (3L, 7L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(factDir)
+    // d1 snowflakes to d2: fact.fk -> d1.pk, d1.nk -> d2.nk2
+    Seq((1L, 10L, 5L), (2L, 20L, 6L), (3L, 10L, 7L))
+      .toDF("pk", "nk", "w").write.format("graft-store").mode("overwrite").save(d1Dir)
+    Seq((10L, "north", 5L), (20L, "south", 99L))
+      .toDF("nk2", "region", "w2").write.format("graft-store").mode("overwrite").save(d2Dir)
+    GraftMview.create(spark, mvDir,
+      "SELECT fk, count(*) AS n, sum(v) AS s FROM mvcat.jb2fact GROUP BY fk")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def fact() = spark.read.format("graft-store").load(factDir)
+    def d1() = spark.read.format("graft-store").load(d1Dir)
+    def d2() = spark.read.format("graft-store").load(d2Dir)
+    // the snowflaked 3-table aggregate serves from the fact MV
+    val (f1, a1, b1) = (fact(), d1(), d2())
+    val q1 = f1.join(a1, f1("fk") === a1("pk"), "inner")
+      .join(b1, a1("nk") === b1("nk2"), "inner")
+      .groupBy("region").agg(count(lit(1)).as("n"), sum(f1("v")).as("s"))
+    assert(servedFromMv(q1), "the fact MV must serve the snowflaked join")
+    assert(q1.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("north" -> ((3L, 13L)), "south" -> ((1L, 10L))))
+    // a cross-dim conjunct (d1.w = d2.w2) commutes with the inner joins
+    // and lands above the rebuilt join: north keeps only d1.pk=1 (w=5)
+    val (f2, a2, b2) = (fact(), d1(), d2())
+    val q2 = f2.join(a2, f2("fk") === a2("pk"), "inner")
+      .join(b2, a2("nk") === b2("nk2"), "inner")
+      .filter(a2("w") === b2("w2"))
+      .groupBy("region").agg(sum(f2("v")).as("s"))
+    assert(servedFromMv(q2), "a cross-dim conjunct must not refuse")
+    assert(q2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("north" -> 6L))
+    // a conjunct mixing fact and dim sides refuses
+    val (f3, a3, b3) = (fact(), d1(), d2())
+    assert(!servedFromMv(f3.join(a3, f3("fk") === a3("pk"), "inner")
+      .join(b3, a3("nk") === b3("nk2"), "inner")
+      .filter(f3("v") > a3("w"))
+      .groupBy("region").agg(sum(f3("v")).as("s"))))
+  }
+
+  test("partial-join rewrite: join MV inside a wider join; key mismatch and non-group outbound refuse") {
+    catBase
+    val factDir = s"$catBase/pjfact"
+    val custDir = s"$catBase/pjcust"
+    val natDir = s"$catBase/pjnat"
+    val mvDir = s"$catBase/pjmv"
+    Seq((1L, 2L), (1L, 4L), (2L, 10L), (3L, 7L))
+      .toDF("ck", "v").write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 10L, 3L))
+      .toDF("pk", "nk", "alt").write.format("graft-store").mode("overwrite").save(custDir)
+    Seq((10L, "north"), (20L, "south"))
+      .toDF("nk2", "region").write.format("graft-store").mode("overwrite").save(natDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT nk, count(*) AS n, sum(v) AS s FROM mvcat.pjfact " +
+        "JOIN mvcat.pjcust ON ck = pk GROUP BY nk")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def fact() = spark.read.format("graft-store").load(factDir)
+    def cust() = spark.read.format("graft-store").load(custDir)
+    def nat() = spark.read.format("graft-store").load(natDir)
+    def q() = {
+      val (f, c, n) = (fact(), cust(), nat())
+      f.join(c, f("ck") === c("pk"), "inner")
+        .join(n, c("nk") === n("nk2"), "inner")
+        .groupBy("region").agg(count(lit(1)).as("n"), sum(f("v")).as("s"))
+    }
+    val q1 = q()
+    assert(servedFromMv(q1), "the covered join must serve inside the wider join")
+    assert(q1.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("north" -> ((3L, 13L)), "south" -> ((1L, 10L))))
+    // the query joins the covered tables on a DIFFERENT key: refused
+    val (f2, c2, n2) = (fact(), cust(), nat())
+    assert(!servedFromMv(f2.join(c2, f2("ck") === c2("alt"), "inner")
+      .join(n2, c2("nk") === n2("nk2"), "inner")
+      .groupBy("region").agg(sum(f2("v")).as("s"))),
+      "an internal key mismatch must refuse")
+    // the outbound key is NOT a stored group column: refused
+    val (f3, c3, n3) = (fact(), cust(), nat())
+    assert(!servedFromMv(f3.join(c3, f3("ck") === c3("pk"), "inner")
+      .join(n3, c3("alt") === n3("nk2"), "inner")
+      .groupBy("region").agg(sum(f3("v")).as("s"))),
+      "an outbound key outside the group set must refuse")
+    // churn on the covered DIM side stales (both watermarks gate)
+    spark.sql(s"UPDATE mvcat.pjcust SET nk = 20 WHERE pk = 3")
+    assert(!servedFromMv(q()), "covered-dim churn must stale the join MV")
+    GraftMview.refresh(spark, mvDir)
+    val q4 = q()
+    assert(servedFromMv(q4))
+    assert(q4.collect().map(r => r.getString(0) -> r.getLong(2)).toMap ===
+      Map("north" -> 6L, "south" -> 17L))
+  }
+
   test("IN implication + DISTINCT rollup: subset/member serve, superset/non-group refuse") {
     catBase
     val srcDir = s"$catBase/indsrc"
