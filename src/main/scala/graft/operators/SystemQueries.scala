@@ -5083,6 +5083,87 @@ object SystemQueries {
            |JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY n_name""".stripMargin))
 
+  /** CALENDAR MATERIALIZED VIEWS ([[graft.sources.v2.GraftMview]] +
+    * rewrite): the view groups by a deterministic EXPRESSION —
+    * `date_trunc('month', ts)` — stored as unqualified SQL text that
+    * re-parses against every maintenance frame (delta aggregation,
+    * rescan scoping), exactly like the stored WHERE; incremental refresh
+    * stays O(churn) because signed deltas aggregate under the same
+    * bucket expression. The transparent rewrite matches group keys
+    * SEMANTICALLY (the stored text re-analyzes against the query's own
+    * attributes), so `GROUP BY date_trunc('month', o_orderdate)` — and
+    * any expression tree over it, like the date_format presentation
+    * here — serves from the stored bucket column; a coarser-by-FD bucket
+    * (year from month) correctly refuses (no functional-dependency
+    * reasoning — conservative). At 100 TB this is the time-series
+    * dashboard primitive: per-bucket rollups maintained for the day's
+    * churn, never a fact scan at query time. */
+  val q221MviewCalendar = QuerySpec(
+    "q221_mview_calendar", "S-dsv2-mview-calendar",
+    "calendar MV: expression group keys maintain incrementally and serve the rewrite",
+    (s, d) => {
+      val base = "/tmp/graft_store_q221"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq221", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq221.base", base)
+      try {
+        val src = s"$base/src"
+        // parquet may carry o_orderdate as TIMESTAMP_NTZ; the store codec
+        // speaks TimestampType — cast under the UTC session (value-exact)
+        val baseDf = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate").cast("timestamp").as("o_orderdate"),
+            col("o_orderstatus"))
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src) // 8 files
+        s.sql("CALL gq221.system.create_mview('mv', " +
+          "'SELECT date_trunc(''month'', o_orderdate) AS mon, " +
+          "o_orderstatus AS st, count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq221.src " +
+          "GROUP BY date_trunc(''month'', o_orderdate), o_orderstatus')")
+        // churn both ways, then refresh incrementally
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        val r = s.sql("CALL gq221.system.refresh_mview('mv')").collect()(0)
+        val incremental = r.getString(0) == "incremental"
+        // the month rollup (coarser than the view's (mon, st) grain),
+        // presented through an expression tree over the bucket
+        val sql1 =
+          """SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd')
+            |    AS mon,
+            |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+            |FROM gq221.src
+            |GROUP BY date_trunc('month', o_orderdate)""".stripMargin
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val ops = graft.sources.v2.GraftStoreOps
+        val q1 = s.sql(sql1)
+        val b1 = ops.scannedFileSlices
+        val rows = q1.collect()
+        val onSlices = ops.scannedFileSlices - b1
+        // a YEAR bucket is coarser by functional dependency, not by group
+        // subset — conservatively refused
+        val qYear = s.sql(
+          """SELECT count(*) AS n FROM gq221.src
+            |GROUP BY date_trunc('year', o_orderdate)""".stripMargin)
+        val bits = served(q1) && onSlices < 8 && !served(qYear) && incremental
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
+          .withColumn("calendar_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq221")
+        s.conf.unset("spark.sql.catalog.gq221.base")
+      }
+    },
+    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS calendar_proof
+           |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
+           |GROUP BY date_trunc('month', o_orderdate)""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5107,5 +5188,5 @@ object SystemQueries {
     q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev, q210MviewRollup,
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
-    q219MviewJoinBack2, q220MviewPartialJoin)
+    q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar)
 }

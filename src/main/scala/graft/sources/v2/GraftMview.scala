@@ -20,8 +20,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * The definition must be the canonical maintainable shape
   * `SELECT g..., count(*)/count(1) AS n [, sum(x)/count(x)/avg(x)/
   * min(x)/max(x) ...] FROM t [WHERE p] GROUP BY g...` — single source
-  * table, grouping on plain columns, DISTRIBUTIVE or
-  * ALGEBRAIC-over-distributive aggregates. One `count(*)` is REQUIRED: it
+  * table, grouping on plain columns or deterministic scalar EXPRESSIONS
+  * over them (calendar buckets: `GROUP BY date_trunc('month', ts)`),
+  * DISTRIBUTIVE or ALGEBRAIC-over-distributive aggregates. One `count(*)` is REQUIRED: it
   * is the group-liveness column (a group whose count reaches zero leaves
   * the view — the standard IVM device; without it, deletions could strand
   * empty groups). `avg` maintains as INTERNAL sum+count companion columns
@@ -73,7 +74,18 @@ object GraftMview {
 
   /** One output column of the view: a group key or an aggregate. */
   private[v2] sealed trait ColSpec { def out: String }
-  private[v2] case class GroupCol(src: String, out: String) extends ColSpec
+
+  /** A group
+    * key is a plain source column, or — `isExpr` — a deterministic scalar
+    * EXPRESSION over source columns stored as unqualified SQL text (the
+    * calendar-MV shape: `GROUP BY date_trunc('month', ts)`). Expression
+    * keys re-parse by name against the maintenance frames, the same
+    * device as the stored WHERE text; timezone-sensitive functions
+    * evaluate under the session timezone at each refresh, so keep the
+    * session timezone stable across refreshes (document-level contract,
+    * as for any externally-parsed SQL). */
+  private[v2] case class GroupCol(src: String, out: String,
+      isExpr: Boolean = false) extends ColSpec
   private[v2] case class CountCol(out: String) extends ColSpec
   private[v2] case class CountNNCol(src: String, out: String) extends ColSpec
   private[v2] case class SumCol(src: String, out: String) extends ColSpec
@@ -96,11 +108,17 @@ object GraftMview {
   private[v2] def internals(cols: Seq[ColSpec]): Seq[String] =
     cols.flatMap(internalsOf)
 
+  /** The group key as a Column against a maintenance frame: the plain
+    * column, or the stored expression text re-parsed (resolving by name
+    * against the frame, exactly like the stored WHERE text). */
+  private def groupKey(g: GroupCol): Column =
+    if (g.isExpr) expr(g.src) else col(g.src)
+
   private def enc(s: String): String = GraftStoreFormat.escStat(s)
   private def dec(s: String): String = GraftStoreFormat.unescStat(s)
 
   private[v2] def encodeCols(cols: Seq[ColSpec]): String = cols.map {
-    case GroupCol(s, o) => s"g:${enc(s)}:${enc(o)}"
+    case GroupCol(s, o, ie) => s"${if (ie) "ge" else "g"}:${enc(s)}:${enc(o)}"
     case CountCol(o) => s"c::${enc(o)}"
     case CountNNCol(s, o) => s"k:${enc(s)}:${enc(o)}"
     case SumCol(s, o) => s"s:${enc(s)}:${enc(o)}"
@@ -115,6 +133,7 @@ object GraftMview {
       val Array(k, a, b) = p.split(":", 3)
       k match {
         case "g" => GroupCol(dec(a), dec(b))
+        case "ge" => GroupCol(dec(a), dec(b), isExpr = true)
         case "c" => CountCol(dec(b))
         case "k" => CountNNCol(dec(a), dec(b))
         case "s" => SumCol(dec(a), dec(b))
@@ -133,6 +152,38 @@ object GraftMview {
   private[v2] case class JoinSrc(path1: String, path2: String,
       keys: Seq[(String, String)]) extends MvSource
 
+  /** The analyzer (PullOutNondeterministic) and optimizer
+    * (PullOutGroupingExpressions) pull complex grouping expressions into
+    * an alias-bearing Project under the Aggregate; inline those aliases
+    * back so grouping/output expressions show their real shape. */
+  private[v2] def inlineGroupingProjects(agg0: Aggregate): Aggregate = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    var child = agg0.child
+    var gs: Seq[Expression] = agg0.groupingExpressions
+    var as: Seq[NamedExpression] = agg0.aggregateExpressions
+    var done = false
+    while (!done) child match {
+      case Project(pl, c) if pl.exists(_.isInstanceOf[Alias]) &&
+          pl.forall(x => x.isInstanceOf[AttributeReference] ||
+            x.isInstanceOf[Alias]) =>
+        val m = pl.collect { case al @ Alias(e, _) => al.exprId -> e }.toMap
+        def sub(e: Expression): Expression = e.transformUp {
+          case a: Attribute if m.contains(a.exprId) => m(a.exprId)
+        }
+        gs = gs.map(sub)
+        as = as.map { x =>
+          sub(x) match {
+            case ne: NamedExpression => ne
+            case other => Alias(other, x.name)(exprId = x.exprId)
+          }
+        }
+        child = c
+      case _ => done = true
+    }
+    Aggregate(gs, as, child)
+  }
+
   /** Recognize the maintainable shape on the ANALYZED plan; loud,
     * actionable errors otherwise. Returns (source, filter SQL,
     * ordered column specs). */
@@ -143,7 +194,7 @@ object GraftMview {
         "[INNER JOIN <graft table> ON <plain equi-keys>] " +
         "[WHERE p] GROUP BY <group cols>")
     val agg = plan match {
-      case a: Aggregate => a
+      case a: Aggregate => inlineGroupingProjects(a)
       case _ => fail("the definition must be a single GROUP BY aggregate")
     }
     def relOf(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
@@ -202,10 +253,25 @@ object GraftMview {
       if (c.references.exists(a => !outAttrs.exists(_.exprId == a.exprId)))
         fail("WHERE references columns outside the source tables")
     }
-    val groupIds = agg.groupingExpressions.map {
+    // group keys: plain columns, or deterministic scalar EXPRESSIONS over
+    // source columns (the calendar-MV shape — date_trunc, year, bucket
+    // arithmetic); expressions serialize as unqualified SQL text and
+    // re-parse by name against the maintenance frames, like the WHERE
+    val groupIds = agg.groupingExpressions.collect {
       case a: AttributeReference => a.exprId
-      case other => fail(s"GROUP BY on expression '${other.sql}' (plain columns only)")
     }.toSet
+    val groupExprKeys: Seq[Expression] = agg.groupingExpressions.filterNot(
+        _.isInstanceOf[AttributeReference]).map { e =>
+      if (!e.deterministic) fail(s"non-deterministic GROUP BY expression '${e.sql}'")
+      if (e.exists(_.isInstanceOf[AggregateExpression]))
+        fail(s"aggregate inside GROUP BY expression '${e.sql}'")
+      if (e.references.exists(a => !outAttrs.exists(_.exprId == a.exprId)))
+        fail(s"GROUP BY expression '${e.sql}' references columns outside the source")
+      e
+    }
+    def unqSql(e: Expression): String = e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql
     def stripCast(e: Expression): Expression = e match {
       case Cast(c, _, _, _) => stripCast(c)
       case _ => e
@@ -215,6 +281,8 @@ object GraftMview {
         GroupCol(a.name, a.name)
       case Alias(a: AttributeReference, nm) if groupIds.contains(a.exprId) =>
         GroupCol(a.name, nm)
+      case Alias(e, nm) if groupExprKeys.exists(_.semanticEquals(e)) =>
+        GroupCol(unqSql(e), nm, isExpr = true)
       case Alias(ae: AggregateExpression, nm) =>
         if (ae.isDistinct) fail(s"DISTINCT aggregate in '$nm'")
         if (ae.filter.isDefined) fail(s"FILTER clause in aggregate '$nm'")
@@ -249,6 +317,18 @@ object GraftMview {
       case other => fail(s"unsupported select item '${other.sql}' (every " +
         "aggregate needs an alias; group columns may be renamed)")
     }
+    // every group key must be STORED: a grouping column or expression
+    // missing from the SELECT would make the maintained view silently
+    // coarser than the definition
+    val selectedAttrIds = agg.aggregateExpressions.collect {
+      case a: AttributeReference => a.exprId
+      case Alias(a: AttributeReference, _) => a.exprId
+    }.toSet
+    if (!groupIds.subsetOf(selectedAttrIds))
+      fail("every GROUP BY column must appear in the SELECT (the view stores its keys)")
+    val selectedAliased = agg.aggregateExpressions.collect { case Alias(e, _) => e }
+    if (!groupExprKeys.forall(k => selectedAliased.exists(_.semanticEquals(k))))
+      fail("every GROUP BY expression must appear in the SELECT (the view stores its keys)")
     if (!cols.exists(_.isInstanceOf[GroupCol])) fail("at least one group column required")
     if (!cols.exists(_.isInstanceOf[CountCol]))
       fail("a count(*) column is required (the group-liveness column)")
@@ -293,7 +373,7 @@ object GraftMview {
   private def aggregate(src: DataFrame, filterSql: Option[String],
       cols: Seq[ColSpec]): DataFrame = {
     val filtered = filterSql.fold(src)(f => src.filter(expr(f)))
-    val groups = cols.collect { case GroupCol(s, o) => col(s).as(o) }
+    val groups = cols.collect { case g: GroupCol => groupKey(g).as(g.out) }
     val aggs: Seq[Column] = cols.flatMap {
       case _: GroupCol => Seq.empty[Column]
       case CountCol(o) => Seq(count(lit(1)).as(o))
@@ -555,7 +635,7 @@ object GraftMview {
     // an EXPLICIT null-safe condition, never a by-name equality that drops
     // the NULL group
     val deltas = d
-      .groupBy(groupOuts.map(g => col(g.src).as(s"__dk_${g.out}")): _*)
+      .groupBy(groupOuts.map(g => groupKey(g).as(s"__dk_${g.out}")): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .localCheckpoint(true)
     // RESCAN the removal-touched groups from the PINNED head: the only
@@ -575,10 +655,10 @@ object GraftMview {
           case MaxCol(c2, o) => max(col(c2)).as(s"${o}_r")
         }
         val scoped = filterSql.fold(pinned)(f => pinned.filter(expr(f)))
-        val semiCond = groupOuts.map(g => scoped(g.src) <=> keys(s"__k_${g.out}"))
+        val semiCond = groupOuts.map(g => groupKey(g) <=> keys(s"__k_${g.out}"))
           .reduce(_ && _)
         Some(scoped.join(keys, semiCond, "left_semi")
-          .groupBy(groupOuts.map(g => col(g.src).as(s"__rk_${g.out}")): _*)
+          .groupBy(groupOuts.map(g => groupKey(g).as(s"__rk_${g.out}")): _*)
           .agg(mmAggs.head, mmAggs.tail: _*))
       }
     def zero(dt: DataType) = lit(0).cast(dt)

@@ -184,7 +184,8 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val qs = extractSource(agg.child).getOrElse(return None)
+    val (groupExprs, aggExprs, aggChild) = inlineGroupingProjects(agg)
+    val qs = extractSource(aggChild).getOrElse(return None)
     val conf = spark.sparkContext.hadoopConfiguration
     val deps = qs.paths.flatMap(p => GraftStoreFormat.readMvDeps(p, conf)).distinct
     if (deps.isEmpty) return None
@@ -194,14 +195,39 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       GraftStoreFormat.listManifests(p, conf).lastOption
         .map(_.getName).getOrElse(return None)
     }
-    val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _ => return None
-    }
+    // grouping may be plain columns OR deterministic expressions (the
+    // calendar-MV shape): matching is semantic, per candidate view
+    if (groupExprs.exists(!_.deterministic)) return None
     deps.view.flatMap { mvPath =>
-      tryOne(agg, groupAttrs, qs, heads, mvPath)
+      tryOne(agg, groupExprs, aggExprs, qs, heads, mvPath)
     }.headOption
   }
+
+  /** The optimizer (PullOutGroupingExpressions) pulls complex grouping
+    * expressions into a `Project(... AS _groupingexpression)` under the
+    * Aggregate; inline those back ([[GraftMview.inlineGroupingProjects]])
+    * so the calendar-bucket shape is visible for semantic matching. */
+  private def inlineGroupingProjects(agg: Aggregate)
+      : (Seq[Expression], Seq[NamedExpression], LogicalPlan) = {
+    val a = GraftMview.inlineGroupingProjects(agg)
+    (a.groupingExpressions, a.aggregateExpressions, a.child)
+  }
+
+  /** An expression-key's stored SQL text, re-analyzed against the query's
+    * own relation attributes and constant-folded — the group-key analogue
+    * of [[analyzedFilter]], so both sides compare post-coercion. */
+  private def analyzedExpr(txt: String, out: Seq[Attribute])
+      : Option[Expression] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(txt)
+      val folded = org.apache.spark.sql.catalyst.optimizer.ConstantFolding(
+        spark.sessionState.analyzer.execute(
+          Project(Seq(Alias(parsed, "__k")()), LocalRelation(out))))
+      folded match {
+        case Project(Seq(Alias(e, _)), _) => Some(e)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The MV's stored filter text, re-analyzed against the query's own
     * relation attributes and constant-folded — the same coercion path
@@ -322,19 +348,44 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         case a: AttributeReference if a.name == out => a
       }.get
 
-    /** The stored attribute for a SOURCE group column name, if grouped. */
+    /** The stored attribute for a PLAIN source group column name, if
+      * grouped (expression keys match semantically via [[keyExprFor]]). */
     def groupAttrFor(srcName: String): Option[AttributeReference] =
-      mvGroups.find(_.src == srcName).map(g => mvAttr(g.out))
+      mvGroups.find(g => !g.isExpr && g.src == srcName).map(g => mvAttr(g.out))
+
+    /** The source-side expression a group column stores, resolved against
+      * the given source attributes: the attribute itself for a plain
+      * column, the re-parsed+analyzed expression for an expression key. */
+    def keyExprFor(g: GroupCol, srcOut: Seq[Attribute]): Option[Expression] =
+      if (!g.isExpr) srcOut.collectFirst {
+        case a: AttributeReference if a.name == g.src => a
+      } else analyzedExpr(g.src, srcOut)
+
+    /** The stored attribute whose key expression semantically equals `e`,
+      * if any — the device that lets outputs and residual filters name a
+      * calendar bucket (`date_trunc('month', ts)`) and read the stored
+      * key column instead. */
+    def matchedKey(e: Expression, keyOf: Map[GroupCol, Expression])
+        : Option[AttributeReference] =
+      mvGroups.collectFirst {
+        case g if keyOf.get(g).exists(_.semanticEquals(e)) => mvAttr(g.out)
+      }
 
     /** Filter conversion: residual conjuncts apply to stored rows BEFORE
       * re-aggregation, so they may only touch MV GROUP columns (any group
-      * column of the finer view — not just the query's grouping). */
-    def convFilter(e: Expression): Option[Expression] = e match {
-      case a: AttributeReference => groupAttrFor(a.name)
-      case other =>
-        val kids = other.children.map(convFilter)
-        if (kids.exists(_.isEmpty)) None
-        else Some(other.withNewChildren(kids.map(_.get)))
+      * column of the finer view — not just the query's grouping), by name
+      * or as a semantically-matched key expression subtree. */
+    def convFilter(e: Expression,
+        keyOf: Map[GroupCol, Expression]): Option[Expression] = {
+      val hit = matchedKey(e, keyOf)
+      if (hit.isDefined) hit
+      else e match {
+        case a: AttributeReference => groupAttrFor(a.name)
+        case other =>
+          val kids = other.children.map(convFilter(_, keyOf))
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+      }
     }
 
     /** EXACT-group form: one aggregate call -> its stored MV column,
@@ -516,7 +567,8 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     })
   }
 
-  private def tryOne(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+  private def tryOne(agg: Aggregate, groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
       qs: QuerySource, heads: Seq[String], mvPath: String): Option[LogicalPlan] = {
     import GraftMview._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -534,7 +586,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         if (p.get("graft.mv.source") != Some(s1)) return None
         if (p.get("graft.mv.wmname") != Some(heads.head)) return None // STALE
       case (ps, None) if ps.size >= 2 =>
-        return tryJoinBack(agg, groupAttrs, qs, heads, mvPath, mvManifest)
+        return tryJoinBack(groupExprs, aggExprs, qs, heads, mvPath, mvManifest)
       case (Seq(q1, q2), Some(m2)) if Set(q1, q2) ==
           Set(p("graft.mv.source"), m2) =>
         val m1 = p("graft.mv.source")
@@ -551,28 +603,34 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         if (qKeys != mvKeys) return None
       case (ps, Some(m2)) if ps.size > 2 &&
           Set(p("graft.mv.source"), m2).subsetOf(ps.toSet) =>
-        return tryJoinBack(agg, groupAttrs, qs, heads, mvPath, mvManifest)
+        return tryJoinBack(groupExprs, aggExprs, qs, heads, mvPath, mvManifest)
       case _ => return None
     }
     val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
     val mm = new MvMapping(cols, DataSourceV2Relation.create(
       new GraftStoreTable(mvPath, mvManifest.schema), None, None))
-    // group-set containment: an EXACT match projects stored rows; a
-    // PROPER SUBSET (including the empty set — a global aggregate)
+    // group-set containment, decided SEMANTICALLY: each query grouping
+    // expression (a plain column or a calendar-style expression) must
+    // match a DISTINCT view group key — the stored attribute for a plain
+    // column, the re-parsed+analyzed text for an expression key. An EXACT
+    // match (every view key matched) projects stored rows; a PROPER
+    // SUBSET (including the empty set — a global aggregate)
     // re-aggregates the finer view's stored columns, the classic rollup
     // rewrite — count sums counts, avg/variance recombine from their
     // internal moment columns, min/max nest
-    val qNames = groupAttrs.map(_.name)
-    if (qNames.distinct.size != qNames.size) return None
-    val exact = qNames.toSet == mm.mvGroups.map(_.src).toSet &&
-      qNames.size == mm.mvGroups.size
-    val rollup = !exact && qNames.toSet.subsetOf(mm.mvGroups.map(_.src).toSet)
-    if (!exact && !rollup) return None
+    val allOut: Seq[Attribute] = qs.rels.flatMap(_.output)
+    val keyOf: Map[GraftMview.GroupCol, Expression] = mm.mvGroups.flatMap(g =>
+      mm.keyExprFor(g, allOut).map(g -> _)).toMap
+    val matchedGroups: Seq[GraftMview.GroupCol] = groupExprs.map { qe =>
+      mm.mvGroups.find(g => keyOf.get(g).exists(_.semanticEquals(qe)))
+        .getOrElse(return None)
+    }
+    if (matchedGroups.distinct.size != matchedGroups.size) return None
+    val exact = matchedGroups.size == mm.mvGroups.size
     // ---- filter containment ----------------------------------------
     val qConjs = usableConjs(qs.conjs,
       qs.pairs.flatMap(pr => Seq(pr._1.name, pr._2.name)).toSet)
       .getOrElse(return None)
-    val allOut: Seq[Attribute] = qs.rels.flatMap(_.output)
     val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
       case None => Nil
       case Some(txt) => analyzedFilter(txt, allOut).getOrElse(return None)
@@ -584,24 +642,24 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // becomes a residual). Otherwise the MV may lack needed rows.
     val residual = containFilters(qConjs, mvConjs).getOrElse(return None)
     val residualMapped: Seq[Expression] =
-      residual.map(c => mm.convFilter(c).getOrElse(return None))
+      residual.map(c => mm.convFilter(c, keyOf).getOrElse(return None))
     // ---- output mapping --------------------------------------------
-    // convert an output expression TREE: aggregate calls and group columns
-    // become stored MV columns; any other reference to the source makes
-    // the expression unservable. Handles post-aggregation arithmetic like
+    // convert an output expression TREE: aggregate calls and group keys
+    // (plain columns or semantically-matched key expressions) become
+    // stored MV columns; any other reference to the source makes the
+    // expression unservable. Handles post-aggregation arithmetic like
     // `round(sum(x), 2)` — the MV column slots in where the call was.
     def conv(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression =>
         if (exact) mm.mapAgg(ae) else mm.mapAggRollup(ae)
-      case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
-        mm.groupAttrFor(a.name)
+      case e2 if mm.matchedKey(e2, keyOf).isDefined => mm.matchedKey(e2, keyOf)
       case _: AttributeReference => None // bare source column: unservable
       case other =>
         val kids = other.children.map(conv)
         if (kids.exists(_.isEmpty)) None
         else Some(other.withNewChildren(kids.map(_.get)))
     }
-    val projected: Seq[NamedExpression] = agg.aggregateExpressions.map { orig =>
+    val projected: Seq[NamedExpression] = aggExprs.map { orig =>
       val replacement = orig match {
         case a: AttributeReference => conv(a)
         case Alias(child, _) => conv(child)
@@ -624,7 +682,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       s"from fresh MV $mvPath")
     if (exact) Some(Project(projected, mvChild))
     else {
-      val groupingOut = groupAttrs.map(a => mm.groupAttrFor(a.name).get)
+      val groupingOut: Seq[Expression] = matchedGroups.map(g => mm.mvAttr(g.out))
       Some(Aggregate(groupingOut, projected, mvChild))
     }
   }
@@ -668,10 +726,17 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     * the whole family of dimension-joined aggregates — segment, region,
     * calendar rollups, snowflaked dim chains — each as a join of
     * O(groups) stored rows to the dims, never a fact scan. */
-  private def tryJoinBack(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+  private def tryJoinBack(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
       qs: QuerySource, heads: Seq[String], mvPath: String,
       mvManifest: GraftManifest): Option[LogicalPlan] = {
     import GraftMview._
+    // join-back grouping stays on plain attributes (an expression over a
+    // covered column cannot ride the stored key through the dim joins)
+    val groupAttrs: Seq[AttributeReference] = groupExprs.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
     val p = mvManifest.props
     val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
     val mvSrc = p.getOrElse("graft.mv.source", return None)
@@ -745,8 +810,12 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       case Some(txt) => analyzedFilter(txt, factOut).getOrElse(return None)
     }
     val residual = containFilters(rConjs, mvConjs).getOrElse(return None)
+    // residuals may also name an expression key (a calendar bucket the
+    // covered-side MV grouped by): resolve keys against the covered outputs
+    val keyOf: Map[GraftMview.GroupCol, Expression] = mm.mvGroups.flatMap(g =>
+      mm.keyExprFor(g, factOut).map(g -> _)).toMap
     val residualMapped: Seq[Expression] =
-      residual.map(c => mm.convFilter(c).getOrElse(return None))
+      residual.map(c => mm.convFilter(c, keyOf).getOrElse(return None))
     // ---- grouping: covered keys map to stored columns, dim-side pass --
     val groupingOut: Seq[Expression] = groupAttrs.map { a =>
       if (coveredIds.contains(a)) mm.groupAttrFor(a.name).getOrElse(return None)
@@ -769,7 +838,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         if (kids.exists(_.isEmpty)) None
         else Some(other.withNewChildren(kids.map(_.get)))
     }
-    val projected: Seq[NamedExpression] = agg.aggregateExpressions.map { orig =>
+    val projected: Seq[NamedExpression] = aggExprs.map { orig =>
       val replacement = orig match {
         case a: AttributeReference => conv(a)
         case Alias(child, _) => conv(child)

@@ -234,7 +234,9 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     }
     refuse("SELECT g, sum(v) AS s FROM mvcat.src5 GROUP BY g", "count(*)")
     refuse("SELECT g, count(DISTINCT v) AS n FROM mvcat.src5 GROUP BY g", "DISTINCT")
-    refuse("SELECT upper(g) AS g2, count(*) AS n FROM mvcat.src5 GROUP BY upper(g)",
+    // (GROUP BY upper(g) is now a supported expression key — see the
+    // calendar tests; aggregates over expressions still refuse)
+    refuse("SELECT g, sum(v + 1) AS s, count(*) AS n FROM mvcat.src5 GROUP BY g",
       "plain columns")
     refuse("SELECT count(*) AS n FROM mvcat.src5", "group")
     refuse("SELECT g, count(*) AS __n_x FROM mvcat.src5 GROUP BY g", "reserved")
@@ -867,6 +869,93 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       Map("x" -> 2L, "y" -> 2L))
     assert(!servedFromMv(base().filter($"k".isin(1, 2, 3, 4)).groupBy("g")
       .agg(countDistinct($"v").as("d"))))
+  }
+
+  test("expression group keys: calendar MV maintains through churn; matches recompute") {
+    catBase
+    val srcDir = s"$catBase/calsrc"
+    val mvDir = s"$catBase/calmv"
+    def writeRows(rows: Seq[(String, Long)], mode: String): Unit =
+      rows.toDF("d", "v").select(to_timestamp($"d").as("ts"), $"v")
+        .write.format("graft-store").mode(mode).save(srcDir)
+    writeRows(Seq(("2024-01-03", 1L), ("2024-01-17", 2L), ("2024-02-05", 10L),
+      ("2024-02-20", 20L), ("2024-03-09", 7L)), "overwrite")
+    GraftMview.create(spark, mvDir,
+      "SELECT date_trunc('month', ts) AS mon, count(*) AS n, sum(v) AS s, " +
+        "min(v) AS lo FROM mvcat.calsrc GROUP BY date_trunc('month', ts)")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select(date_format($"mon", "yyyy-MM").as("m"), $"n", $"s", $"lo")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows() === Map("2024-01" -> ((2L, 3L, 1L)), "2024-02" -> ((2L, 30L, 10L)),
+      "2024-03" -> ((1L, 7L, 7L))))
+    // churn: inserts into two buckets, a delete that moves Feb's min
+    writeRows(Seq(("2024-01-25", 4L), ("2024-04-01", 100L)), "append")
+    GraftStoreOps.deleteWhere(spark, srcDir, $"v" === 10L)
+    val (mode, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(mode === "incremental")
+    assert(rows() === Map("2024-01" -> ((3L, 7L, 1L)), "2024-02" -> ((1L, 20L, 20L)),
+      "2024-03" -> ((1L, 7L, 7L)), "2024-04" -> ((1L, 100L, 100L))))
+    // a bucket whose count reaches zero leaves the view
+    GraftStoreOps.deleteWhere(spark, srcDir, $"v" === 7L)
+    GraftMview.refresh(spark, mvDir)
+    assert(!rows().contains("2024-03"))
+  }
+
+  test("expression group keys: refusals (non-deterministic, key not selected)") {
+    catBase
+    val srcDir = s"$catBase/calrefsrc"
+    Seq(("2024-01-03", 1L)).toDF("d", "v")
+      .select(to_timestamp($"d").as("ts"), $"v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        GraftMview.create(spark, s"$catBase/calrefmv", sql)
+      }
+      assert(e.getMessage.contains(frag), s"got: ${e.getMessage}")
+    }
+    refuse("SELECT count(*) AS n FROM mvcat.calrefsrc GROUP BY rand()",
+      "non-deterministic GROUP BY expression")
+    refuse("SELECT count(*) AS n FROM mvcat.calrefsrc " +
+      "GROUP BY date_trunc('month', ts)",
+      "must appear in the SELECT")
+  }
+
+  test("calendar rewrite: bucket expression serves exact + residual; different bucket refuses") {
+    catBase
+    val srcDir = s"$catBase/calrwsrc"
+    val mvDir = s"$catBase/calrwmv"
+    Seq(("2024-01-03", "a", 1L), ("2024-01-17", "b", 2L), ("2024-02-05", "a", 10L),
+      ("2024-02-20", "b", 20L), ("2024-03-09", "a", 7L))
+      .toDF("d", "g", "v")
+      .select(to_timestamp($"d").as("ts"), $"g", $"v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT date_trunc('month', ts) AS mon, g, count(*) AS n, sum(v) AS s " +
+        "FROM mvcat.calrwsrc GROUP BY date_trunc('month', ts), g")
+    def base() = spark.read.format("graft-store").load(srcDir)
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    // EXACT group set (bucket + g)
+    val q1b = base().groupBy(date_trunc("month", $"ts").as("mon"), $"g")
+      .agg(sum($"v").as("s"))
+    assert(servedFromMv(q1b), "exact expression group set must serve")
+    // ROLLUP to the bucket alone
+    val q2 = base().groupBy(date_trunc("month", $"ts").as("mon"))
+      .agg(count(lit(1)).as("n"))
+    assert(servedFromMv(q2), "bucket-only rollup must serve")
+    assert(q2.collect().map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 2L))
+    // residual WHERE naming the bucket expression filters stored rows
+    val q3 = base()
+      .filter(date_trunc("month", $"ts") === to_timestamp(lit("2024-02-01")))
+      .groupBy($"g").agg(sum($"v").as("s"))
+    assert(servedFromMv(q3), "a residual WHERE on the bucket must serve")
+    assert(q3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 10L, "b" -> 20L))
+    // a DIFFERENT bucket function (year) is not a group subset — refused
+    val q4 = base().groupBy(date_trunc("year", $"ts").as("y"))
+      .agg(count(lit(1)).as("n"))
+    assert(!servedFromMv(q4), "a coarser-by-FD bucket must refuse")
   }
 
   test("concurrent MV registration is lossless (one sidecar file per dependent)") {
