@@ -5164,6 +5164,96 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
            |GROUP BY date_trunc('month', o_orderdate)""".stripMargin))
 
+  /** APPROX-DISTINCT MVs ([[graft.sources.v2.GraftMview]] HllCol): the
+    * view publishes `hll_sketch_estimate(hll_sketch_agg(col, lgk))` and
+    * stores the DataSketches HLL sketch itself as an internal binary
+    * companion. Sketch registers are a max-structure — union is
+    * idempotent, commutative, replication-insensitive — so insert churn
+    * maintains by `hll_union(stored, delta-sketch)`, removal-touched
+    * groups rescan (registers cannot retract — the min/max device), and
+    * the published estimate is IDENTICAL to a full rebuild. The rewrite
+    * serves the same sketch call from the stored binary (exact grain)
+    * and re-unions stored sketches for rollups (`hll_union_agg`) — the
+    * global estimate equals the direct build bit-for-bit. DuckDB has no
+    * DataSketches, so the oracle checks exact counterparts plus proof
+    * bits: estimate==recompute after both churn kinds, served plans,
+    * and a 5% accuracy envelope vs exact distinct counts. At 100 TB
+    * "distinct users per segment per day" stops being a shuffle of the
+    * fact table and becomes a union of O(groups) 4 KB sketches. */
+  val q222MviewHll = QuerySpec(
+    "q222_mview_hll", "S-dsv2-mview-hll",
+    "approx-distinct MV: HLL sketch column maintains incrementally and serves the rewrite",
+    (s, d) => {
+      val base = "/tmp/graft_store_q222"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq222", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq222.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        s.sql("CALL gq222.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS pr, count(*) AS n, " +
+          "hll_sketch_estimate(hll_sketch_agg(o_custkey, 12)) AS du " +
+          "FROM gq222.src GROUP BY o_orderpriority')")
+        def mvRows() = s.sql("SELECT pr, du FROM gq222.mv").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        def recompute() = s.sql(
+          "SELECT o_orderpriority AS pr, " +
+            "hll_sketch_estimate(hll_sketch_agg(o_custkey, 12)) AS du " +
+            "FROM (SELECT * FROM gq222.src) GROUP BY o_orderpriority")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // insert churn: the union fast path
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        val r1 = s.sql("CALL gq222.system.refresh_mview('mv')").collect()(0)
+        val insOk = r1.getString(0) == "incremental" && mvRows() == recompute()
+        // removal churn: the rescan path
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        val r2 = s.sql("CALL gq222.system.refresh_mview('mv')").collect()(0)
+        val delOk = r2.getString(0) == "incremental" && mvRows() == recompute()
+        // the rewrite serves the same sketch call — exact grain + global
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val qe = s.sql(
+          "SELECT o_orderpriority AS pr, " +
+            "hll_sketch_estimate(hll_sketch_agg(o_custkey, 12)) AS du " +
+            "FROM gq222.src GROUP BY o_orderpriority")
+        val qg = s.sql(
+          "SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey, 12)) AS du " +
+            "FROM gq222.src")
+        val gDirect = s.sql(
+          "SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey, 12)) AS du " +
+            "FROM (SELECT * FROM gq222.src)").collect()(0).getLong(0)
+        val rewriteOk = served(qe) && served(qg) &&
+          qe.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == mvRows() &&
+          qg.collect()(0).getLong(0) == gDirect
+        // the exact frame DuckDB can also compute, with the 5% envelope
+        val exact = s.sql(
+          """SELECT o_orderpriority AS pr, count(*) AS n,
+            |  count(DISTINCT o_custkey) AS dv
+            |FROM gq222.src GROUP BY o_orderpriority""".stripMargin)
+        val est = mvRows()
+        val close = exact.collect().forall { r =>
+          val e = est(r.getString(0)).toDouble
+          math.abs(e - r.getLong(2)) / r.getLong(2) < 0.05
+        }
+        exact.withColumn("hll_proof", lit(insOk && delOk && rewriteOk && close))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq222")
+        s.conf.unset("spark.sql.catalog.gq222.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS pr, count(*) AS n,
+           |  count(DISTINCT o_custkey) AS dv, TRUE AS hll_proof
+           |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5188,5 +5278,5 @@ object SystemQueries {
     q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev, q210MviewRollup,
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
-    q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar)
+    q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll)
 }

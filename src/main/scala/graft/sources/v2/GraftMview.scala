@@ -94,6 +94,17 @@ object GraftMview {
   private[v2] case class VarCol(src: String, out: String, kind: String) extends ColSpec
   private[v2] case class MinCol(src: String, out: String) extends ColSpec
   private[v2] case class MaxCol(src: String, out: String) extends ColSpec
+  /** APPROX-DISTINCT via a DataSketches HLL sketch: the view publishes
+    * `hll_sketch_estimate(hll_sketch_agg(src, lgk))` and stores the
+    * SKETCH ITSELF as an internal binary companion (`__h_<out>`). The
+    * sketch is a register-max structure: union is idempotent,
+    * commutative, and replication-insensitive, so insert-only churn
+    * maintains by `hll_union(stored, delta)`, rollups and join-back
+    * re-aggregate by `hll_union_agg` over stored sketches, and the
+    * published estimate is IDENTICAL to a full rebuild (same registers).
+    * Removals cannot retract registers — removal-touched groups RESCAN
+    * from the pinned head, exactly the min/max device. */
+  private[v2] case class HllCol(src: String, out: String, lgk: Int) extends ColSpec
 
   /** INTERNAL companion columns stored after the public ones: the
     * non-null input count that makes sum's NULL semantics exact, and
@@ -103,6 +114,7 @@ object GraftMview {
     case SumCol(_, o) => Seq(s"__nn_$o")
     case AvgCol(_, o) => Seq(s"__s_$o", s"__n_$o")
     case VarCol(_, o, _) => Seq(s"__s_$o", s"__q_$o", s"__n_$o")
+    case HllCol(_, o, _) => Seq(s"__h_$o")
     case _ => Seq.empty
   }
   private[v2] def internals(cols: Seq[ColSpec]): Seq[String] =
@@ -126,6 +138,8 @@ object GraftMview {
     case VarCol(s, o, k) => s"$k:${enc(s)}:${enc(o)}"
     case MinCol(s, o) => s"m:${enc(s)}:${enc(o)}"
     case MaxCol(s, o) => s"x:${enc(s)}:${enc(o)}"
+    // lgk rides after the escaped name ('|' is escaped by enc)
+    case HllCol(s, o, lgk) => s"hl:${enc(s)}:${enc(o)}|$lgk"
   }.mkString(";")
 
   private[v2] def decodeCols(s: String): Seq[ColSpec] =
@@ -141,6 +155,9 @@ object GraftMview {
         case vk @ ("vs" | "vp" | "ds" | "dp") => VarCol(dec(a), dec(b), vk)
         case "m" => MinCol(dec(a), dec(b))
         case "x" => MaxCol(dec(a), dec(b))
+        case "hl" =>
+          val i = b.lastIndexOf('|')
+          HllCol(dec(a), dec(b.substring(0, i)), b.substring(i + 1).toInt)
       }
     }
 
@@ -283,6 +300,20 @@ object GraftMview {
         GroupCol(a.name, nm)
       case Alias(e, nm) if groupExprKeys.exists(_.semanticEquals(e)) =>
         GroupCol(unqSql(e), nm, isExpr = true)
+      case Alias(org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
+          ae: AggregateExpression), nm) =>
+        if (ae.isDistinct) fail(s"DISTINCT aggregate in '$nm'")
+        if (ae.filter.isDefined) fail(s"FILTER clause in aggregate '$nm'")
+        ae.aggregateFunction match {
+          case h: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
+            stripCast(h.left) match {
+              case a: AttributeReference => HllCol(a.name, nm, h.lgConfigK)
+              case other => fail(s"hll_sketch_agg over expression " +
+                s"'${other.sql}' in '$nm' (plain columns only)")
+            }
+          case other => fail(s"hll_sketch_estimate over ${other.prettyName} " +
+            s"in '$nm' (hll_sketch_agg only)")
+        }
       case Alias(ae: AggregateExpression, nm) =>
         if (ae.isDistinct) fail(s"DISTINCT aggregate in '$nm'")
         if (ae.filter.isDefined) fail(s"FILTER clause in aggregate '$nm'")
@@ -312,6 +343,10 @@ object GraftMview {
           // RESCANS just the removal-touched groups otherwise
           case m: Min => MinCol(plainCol(m.child, "min"), nm)
           case m: Max => MaxCol(plainCol(m.child, "max"), nm)
+          case _: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
+            fail(s"bare hll_sketch_agg in '$nm' (wrap it: " +
+              "hll_sketch_estimate(hll_sketch_agg(col)) — the view " +
+              "publishes the estimate and keeps the sketch internally)")
           case other => fail(s"aggregate ${other.prettyName} in '$nm'")
         }
       case other => fail(s"unsupported select item '${other.sql}' (every " +
@@ -339,8 +374,9 @@ object GraftMview {
     // rescan is a keyed re-join — correct but no longer churn-proportional
     // on the probe side, so it is refused rather than silently expensive
     if (src.isInstanceOf[JoinSrc] &&
-        cols.exists(c => c.isInstanceOf[MinCol] || c.isInstanceOf[MaxCol]))
-      fail("min/max over a join view (distributive count/sum/avg only)")
+        cols.exists(c => c.isInstanceOf[MinCol] || c.isInstanceOf[MaxCol] ||
+          c.isInstanceOf[HllCol]))
+      fail("min/max/hll over a join view (distributive count/sum/avg only)")
     // serialize the predicate UNQUALIFIED: it re-applies by name to the
     // delta frame, where the defining catalog.table qualifier means nothing
     (src, cond.map(_.transform {
@@ -387,6 +423,10 @@ object GraftMview {
           count(col(s)).as(s"__n_$o"))
       case MinCol(s, o) => Seq(min(col(s)).as(o))
       case MaxCol(s, o) => Seq(max(col(s)).as(o))
+      // the sketch stores BASE64-encoded (the store codec speaks strings;
+      // sketches are <= a few KB, so the 4/3 overhead is noise)
+      case HllCol(s, o, lgk) =>
+        Seq(base64(hll_sketch_agg(col(s), lgk)).as(s"__h_$o"))
     }
     val agged = filtered.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
     val publics = cols.map {
@@ -394,6 +434,9 @@ object GraftMview {
         when(col(s"__n_$o") > 0L, col(s"__s_$o") / col(s"__n_$o")).as(o)
       case VarCol(_, o, kind) =>
         varPublish(kind, col(s"__s_$o"), col(s"__q_$o"), col(s"__n_$o")).as(o)
+      case HllCol(_, o, _) =>
+        when(col(s"__h_$o").isNotNull,
+          hll_sketch_estimate(unbase64(col(s"__h_$o")))).as(o)
       case c => col(c.out)
     }
     agged.select(publics ++ internals(cols).map(col): _*)
@@ -604,8 +647,10 @@ object GraftMview {
     val d = filterSql.fold(signed)(f => signed.filter(expr(f)))
     val groupOuts = cols.collect { case g: GroupCol => g }
     val liveOut = cols.collectFirst { case CountCol(o) => o }.get
-    val hasMinMax =
-      cols.exists(c => c.isInstanceOf[MinCol] || c.isInstanceOf[MaxCol])
+    // min/max/hll share the rescan device: not sign-maintainable under
+    // removals, maintained fast under pure inserts
+    val hasRescan = cols.exists(c => c.isInstanceOf[MinCol] ||
+      c.isInstanceOf[MaxCol] || c.isInstanceOf[HllCol])
     // signed non-null input count: +1/-1 per non-null value of the column
     def nnSigned(c2: String): Column =
       sum(when(col(c2).isNotNull, col("_sign")).otherwise(lit(0L)))
@@ -626,7 +671,10 @@ object GraftMview {
       // path's input (removal-touched groups rescan instead)
       case MinCol(c2, o) => Seq(min(when(col("_sign") > 0, col(c2))).as(s"${o}_i"))
       case MaxCol(c2, o) => Seq(max(when(col("_sign") > 0, col(c2))).as(s"${o}_i"))
-    } ++ (if (!hasMinMax) Seq.empty else Seq(
+      // the inserted rows' sketch — union fast path input
+      case HllCol(c2, o, lgk) =>
+        Seq(hll_sketch_agg(when(col("_sign") > 0, col(c2)), lgk).as(s"${o}_i"))
+    } ++ (if (!hasRescan) Seq.empty else Seq(
       // did ANY row leave this group? (carried-identical rows in rewritten
       // files appear as -1/+1 pairs and flag conservatively — correct,
       // just a wider rescan on mask-churned files)
@@ -644,7 +692,7 @@ object GraftMview {
     // pruning participating like any keyed scan. (min/max is single-source
     // only — recognize() refuses it over a join.)
     val rescanned: Option[DataFrame] =
-      if (!hasMinMax) None
+      if (!hasRescan) None
       else {
         val keys = deltas.filter(col("_rm") === 1)
           .select(groupOuts.map(g => col(s"__dk_${g.out}").as(s"__k_${g.out}")): _*)
@@ -653,6 +701,7 @@ object GraftMview {
         val mmAggs: Seq[Column] = cols.collect {
           case MinCol(c2, o) => min(col(c2)).as(s"${o}_r")
           case MaxCol(c2, o) => max(col(c2)).as(s"${o}_r")
+          case HllCol(c2, o, lgk) => hll_sketch_agg(col(c2), lgk).as(s"${o}_r")
         }
         val scoped = filterSql.fold(pinned)(f => pinned.filter(expr(f)))
         val semiCond = groupOuts.map(g => groupKey(g) <=> keys(s"__k_${g.out}"))
@@ -717,6 +766,18 @@ object GraftMview {
           Seq(when(col("_rm") === 1, col(s"${o}_r"))
             .otherwise(greatest(col(o), col(s"${o}_i")))
             .cast(mvSchema(o).dataType).as(o))
+        // removal-touched group: the rescanned sketch; otherwise the
+        // register-max union of stored and inserted (either side NULL
+        // passes the other through — new groups, no-insert groups)
+        case HllCol(_, o, _) =>
+          val stored = unbase64(col(s"__h_$o"))
+          val ins = col(s"${o}_i")
+          val sk = when(col("_rm") === 1, col(s"${o}_r"))
+            .otherwise(when(col(s"__h_$o").isNull, ins)
+              .when(ins.isNull, stored)
+              .otherwise(hll_union(stored, ins)))
+          Seq(when(sk.isNotNull, hll_sketch_estimate(sk))
+            .cast(mvSchema(o).dataType).as(o), base64(sk).as(s"__h_$o"))
       }: _*)
       .localCheckpoint(true)
     val storedCols = cols.map(_.out) ++ internals(cols)

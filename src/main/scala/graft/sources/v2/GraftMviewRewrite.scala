@@ -431,6 +431,18 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             }
             case _ => None
           }
+        // the query's sketch build reads the STORED sketch (base64 text
+        // on disk — the codec speaks strings — decoded in place):
+        // hll_sketch_estimate around it then reproduces the estimate
+        case h: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
+          stripCast(h.left) match {
+            case a: AttributeReference => cols.collectFirst {
+              case HllCol(s2, o, lgk) if s2 == a.name && lgk == h.lgConfigK =>
+                org.apache.spark.sql.catalyst.expressions.UnBase64(
+                  mvAttr(s"__h_$o"))
+            }
+            case _ => None
+          }
         case _ => None
       }
       mapped.filter(_.dataType == ae.dataType)
@@ -529,6 +541,17 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
           if (kind.isEmpty) None
           else srcOf(v.child).flatMap(nm => cols.collectFirst {
             case VarCol(s2, o, k) if s2 == nm && k == kind => momentExpr(o, kind) })
+        // stored sketches re-union (register max): idempotent and
+        // replication-insensitive, so the SAME mapping is exact for
+        // rollups AND the join-back replication — the estimate equals a
+        // full rebuild's bit-for-bit
+        case h: org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg =>
+          srcOf(h.left).flatMap(nm => cols.collectFirst {
+            case HllCol(s2, o, lgk) if s2 == nm && lgk == h.lgConfigK =>
+              new org.apache.spark.sql.catalyst.expressions.aggregate
+                .HllUnionAgg(org.apache.spark.sql.catalyst.expressions
+                  .UnBase64(mvAttr(s"__h_$o"))).toAggregateExpression()
+          })
         case _ => None
       }
       mapped.filter(_.dataType == ae.dataType)

@@ -958,6 +958,90 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(!servedFromMv(q4), "a coarser-by-FD bucket must refuse")
   }
 
+  test("hll approx-distinct: union fast path, removal rescan, rollup + join-back re-union") {
+    catBase
+    val srcDir = s"$catBase/hllsrc"
+    val dimDir = s"$catBase/hlldim"
+    val mvDir = s"$catBase/hllmv"
+    def write(rows: Seq[(String, java.lang.Long, Long)], mode: String): Unit =
+      rows.toDF("g", "u", "k")
+        .write.format("graft-store").mode(mode).save(srcDir)
+    write(Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 1L, 3L), ("b", 5L, 4L),
+      ("b", null, 5L)), "overwrite")
+    Seq((1L, "x"), (2L, "y")).toDF("pk", "seg")
+      .write.format("graft-store").mode("overwrite").save(dimDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, u, count(*) AS n, " +
+        "hll_sketch_estimate(hll_sketch_agg(k, 12)) AS dk " +
+        "FROM mvcat.hllsrc GROUP BY g, u")
+    def mv() = spark.read.format("graft-store").load(mvDir)
+      .select($"g", $"u", $"dk").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    def recompute() = spark.read.format("graft-store").load(srcDir)
+      .groupBy($"g", $"u")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("dk"))
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(mv() === recompute())
+    // insert churn (NULL group key included): the union fast path
+    write(Seq(("a", 1L, 10L), ("b", null, 11L), ("c", 7L, 12L)), "append")
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(mv() === recompute())
+    // removal churn: the rescan path (and a vanished group leaves)
+    GraftStoreOps.deleteWhere(spark, srcDir, $"k" === 2L || $"k" === 12L)
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(mv() === recompute())
+    assert(!mv().contains(("c", 7L)))
+    // rollup: the g-grain estimate re-unions stored sketches EXACTLY
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def base() = spark.read.format("graft-store").load(srcDir)
+    val roll = base().groupBy($"g")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("dk"))
+    assert(servedFromMv(roll), "the sketch rollup must re-union stored sketches")
+    // compare served values against a rewrite-off run
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val off = try base().groupBy($"g")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("dk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    assert(roll.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === off)
+    // join-back: replication cannot inflate a register-max structure
+    val f = base(); val dd = spark.read.format("graft-store").load(dimDir)
+    val jb = f.join(dd, f("u") === dd("pk"), "inner").groupBy("seg")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("dk"))
+    assert(servedFromMv(jb), "join-back must serve the sketch re-union")
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    val jbOff = try {
+      val f2 = base(); val d2 = spark.read.format("graft-store").load(dimDir)
+      f2.join(d2, f2("u") === d2("pk"), "inner").groupBy("seg")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("dk"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    assert(jb.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === jbOff)
+    // a different lgConfigK must refuse (different registers)
+    assert(!servedFromMv(base().groupBy($"g")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 13))").as("dk"))))
+    // refusals: bare sketch output, hll over a join view
+    val e1 = intercept[IllegalArgumentException] {
+      GraftMview.create(spark, s"$catBase/hllbad1",
+        "SELECT g, count(*) AS n, hll_sketch_agg(k) AS sk " +
+          "FROM mvcat.hllsrc GROUP BY g")
+    }
+    assert(e1.getMessage.contains("wrap it"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftMview.create(spark, s"$catBase/hllbad2",
+        "SELECT seg, count(*) AS n, " +
+          "hll_sketch_estimate(hll_sketch_agg(k)) AS dk " +
+          "FROM mvcat.hllsrc JOIN mvcat.hlldim ON u = pk GROUP BY seg")
+    }
+    assert(e2.getMessage.contains("join view"))
+  }
+
   test("concurrent MV registration is lossless (one sidecar file per dependent)") {
     catBase
     val srcDir = s"$catBase/regsrc"
