@@ -26,7 +26,12 @@ object Bench {
       spark.catalog.clearCache()
     }
     val errors = scala.collection.mutable.ListBuffer[String]()
+    // per entry: (total_s, setup_s, query_s). Lifecycle fixtures declare
+    // their setup/query boundary via BenchSetup.mark(); entries that never
+    // mark report setup 0 (all query). Drift tracking should compare
+    // query_s — setup_s is fixture I/O, the noisy component.
     val results = selected.map { case (name, fn) =>
+      BenchSetup.begin()
       val t0 = System.nanoTime()
       // noop sink forces full computation of every column (a bare count()
       // lets Spark prune the projections being measured)
@@ -39,14 +44,20 @@ object Bench {
         }
       // a failed query reports -1, never a bogus partial time
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val setup = if (ok) math.min(BenchSetup.setupSeconds(), elapsed) else 0.0
       spark.catalog.clearCache() // untimed: hygiene between measurements
-      name -> elapsed
+      name -> ((elapsed, setup, if (ok) elapsed - setup else -1.0))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val setups = results.map { case (k, (_, s, _)) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val queryS = results.map { case (k, (_, _, q)) => s"\"" + k + "\":" + q }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    val queryTotal = results.values.map(_._3).filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_s":$setups,"query_s":$queryS,"query_total":$queryTotal,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Persist the full-precision JSON where the driver / a human can always
     // recover it (stdout has proven lossy three rounds running). A SUBSET
@@ -70,11 +81,11 @@ object Bench {
     def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val prefixes = results.keys.map(_.takeWhile(_ != '_')).toSeq
     val shortKeys = prefixes.distinct.size == prefixes.size
-    val qsCompact = results.map { case (k, v) =>
+    val qsCompact = results.map { case (k, (v, _, _)) =>
       val key = if (shortKeys) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + (if (v < 0) "-1" else s3(v))
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qsCompact,"errors":$errs,"sf":"$sfDir","note":"full query names in BENCH_LOCAL.json"}"""
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","query_total":${s3(queryTotal)},"queries":$qsCompact,"errors":$errs,"sf":"$sfDir","note":"full names + setup_s/query_s split in BENCH_LOCAL.json"}"""
     println(compact)
     spark.stop()
   }

@@ -3624,6 +3624,7 @@ object SystemQueries {
           col("o_orderkey") >= 2000 && col("o_orderkey") < 3000,
           Map("o_totalprice" -> (col("o_totalprice") + 10)))
         val r = s.sql("CALL gq197.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val incremental = r.getString(0) == "incremental"
         // the refreshed view IS the answer — read through the catalog
         s.sql("""SELECT priority, n, round(sp, 2) AS sp FROM gq197.mv""")
@@ -3775,6 +3776,7 @@ object SystemQueries {
             .write.format("graft-store").mode("append").save(src)
           q.processAllAvailable()
         } finally q.stop()
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         s.read.format("graft-store").load(mv)
           .select(col("priority"), col("n"), round(col("sp"), 2).as("sp"))
       } finally {
@@ -3823,6 +3825,7 @@ object SystemQueries {
           col("o_orderkey") >= 2000 && col("o_orderkey") < 3000,
           Map("o_totalprice" -> (col("o_totalprice") + 10)))
         val r = s.sql("CALL gq201.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val incremental = r.getString(0) == "incremental"
         s.sql("""SELECT priority, n, round(mn, 2) AS mn, round(mx, 2) AS mx
                 |FROM gq201.mv""".stripMargin)
@@ -4053,6 +4056,7 @@ object SystemQueries {
           col("o_orderkey") < 1000)
         val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
         val r = s.sql("CALL gq205.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
         val incremental = r.getString(0) == "incremental"
         // churn-proportional: the delta pass + tiny-MV merge opens fewer
@@ -4177,6 +4181,7 @@ object SystemQueries {
         graft.sources.v2.GraftStoreOps.deleteWhere(s, fact,
           col("o_orderkey") < 1000)
         val r2 = s.sql("CALL gq207.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val incremental =
           r1.getString(0) == "incremental" && r2.getString(0) == "incremental"
         s.sql("""SELECT seg, n, round(rev, 2) AS rev,
@@ -4252,6 +4257,7 @@ object SystemQueries {
           staleDf.agg(sum("n")).collect()(0).getLong(0) > 8000 / 2
         // refresh restores freshness; the served plan reads the TINY view
         s.sql("CALL gq208.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
         val finalDf = agg()
         val rows = finalDf.collect()
@@ -4308,6 +4314,7 @@ object SystemQueries {
         graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
           col("o_orderkey") < 1000)
         val r = s.sql("CALL gq209.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val incremental = r.getString(0) == "incremental"
         s.sql("""SELECT priority, n, round(sd, 2) AS sd, round(sp, 2) AS sp
                 |FROM gq209.mv""".stripMargin)
@@ -4358,6 +4365,7 @@ object SystemQueries {
         baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
           .write.format("graft-store").mode("append").save(src)
         s.sql("CALL gq210.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         def served(df: org.apache.spark.sql.DataFrame): Boolean =
           df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
         val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
@@ -4434,6 +4442,7 @@ object SystemQueries {
           .write.format("graft-store").mode("append").save(src)
         s.sql("CALL gq211.system.refresh_mview('mva')")
         s.sql("CALL gq211.system.refresh_mview('mvb')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         def served(df: org.apache.spark.sql.DataFrame, mv: String): Boolean =
           df.queryExecution.optimizedPlan.toString.contains(s"$base/$mv")
         // (a) residual WHERE on a group column + rollup from mva
@@ -4528,6 +4537,7 @@ object SystemQueries {
         val staleNotServed = !served(staleDf)
         val staleN = staleDf.agg(sum("n")).collect()(0).getLong(0)
         s.sql("CALL gq212.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val q = joinAgg()
         val globalDf = s.sql(
           """SELECT count(*) AS n FROM gq212.fact
@@ -4597,6 +4607,7 @@ object SystemQueries {
           s.sql("UPDATE gq214.dim SET c_mktsegment = 'MOVED' WHERE c_custkey % 7 = 0")
           q.processAllAvailable()
         } finally q.stop()
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         s.read.format("graft-store").load(mv)
           .select(col("seg"), col("n"), round(col("rev"), 2).as("rev"))
       } finally {
@@ -4638,6 +4649,7 @@ object SystemQueries {
           "'SELECT c_nationkey AS nation, count(*) AS n, " +
           "sum(c_acctbal) AS bal FROM gq215.src " +
           "WHERE c_nationkey >= 5 GROUP BY c_nationkey')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         def served(df: org.apache.spark.sql.DataFrame): Boolean =
           df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
         // TIGHTER range than the view's WHERE: implied, residual applies
@@ -4707,6 +4719,7 @@ object SystemQueries {
         s.sql("CALL gq216.system.create_mview('mvr', " +
           "'SELECT l_linenumber AS ln, count(*) AS n FROM gq216.src " +
           "WHERE l_linenumber <= 5 GROUP BY l_linenumber')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         def served(df: org.apache.spark.sql.DataFrame, mv: String): Boolean =
           df.queryExecution.optimizedPlan.toString.contains(s"$base/$mv")
         def off[T](body: => T): T = {
@@ -4791,6 +4804,7 @@ object SystemQueries {
         s.sql("CALL gq217.system.create_mview('mv', " +
           "'SELECT l_returnflag AS rf, l_linenumber AS ln, count(*) AS n " +
           "FROM gq217.src GROUP BY l_returnflag, l_linenumber')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         def served(df: org.apache.spark.sql.DataFrame): Boolean =
           df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
         val q1 = s.sql(
@@ -4900,6 +4914,7 @@ object SystemQueries {
         val stale = s.sql(sql1)
         val staleServed = served(stale)
         s.sql("CALL gq218.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val fresh = s.sql(sql1)
         val sameRows = rows.sortBy(_.getString(0))
           .sameElements(offRows.sortBy(_.getString(0))) &&
@@ -4957,6 +4972,7 @@ object SystemQueries {
           "'SELECT o_custkey AS ck, count(*) AS n, " +
           "sum(o_totalprice) AS rev, avg(o_totalprice) AS ap " +
           "FROM gq219.fact GROUP BY o_custkey')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val sql1 =
           """SELECT n_name AS nat, count(*) AS n,
             |  round(sum(o_totalprice), 2) AS rev,
@@ -5063,6 +5079,7 @@ object SystemQueries {
         s.sql("INSERT INTO gq220.fact VALUES (99999999, -1, 1.0)")
         val staleServed = served(s.sql(sql1))
         s.sql("CALL gq220.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val fresh = s.sql(sql1)
         val sameRows = rows.sortBy(_.getString(0))
           .sameElements(offRows.sortBy(_.getString(0))) &&
@@ -5129,6 +5146,7 @@ object SystemQueries {
         graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
           col("o_orderkey") < 1000)
         val r = s.sql("CALL gq221.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val incremental = r.getString(0) == "incremental"
         // the month rollup (coarser than the view's (mon, st) grain),
         // presented through an expression tree over the bucket
@@ -5216,6 +5234,7 @@ object SystemQueries {
         graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
           col("o_orderkey") < 1000)
         val r2 = s.sql("CALL gq222.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
         val delOk = r2.getString(0) == "incremental" && mvRows() == recompute()
         // the rewrite serves the same sketch call — exact grain + global
         def served(df: org.apache.spark.sql.DataFrame): Boolean =

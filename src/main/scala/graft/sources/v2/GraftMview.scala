@@ -44,14 +44,27 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * replace-by-key) is NULL-SAFE (`<=>`), so the NULL group merges with
   * its stored row like any other group instead of silently resetting.
   *
-  * TWO-TABLE views: the definition may be an INNER equi-join of two
-  * graft tables (`FROM r JOIN s ON r.fk = s.pk`) with distributive
-  * aggregates (count/sum/count(col)/avg — min/max refused). Refresh uses
-  * the classic IVM delta rule Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS with signs
-  * multiplying through: each churn side joins ONE pinned snapshot of the
-  * other side, so the refresh is churn⋈dim-sized, never a recompute.
-  * Both sources carry their own watermark; either expiring falls back to
-  * a full (pinned, atomic) recompute.
+  * JOIN views: the definition may be an INNER equi-join of N graft
+  * tables (`FROM f JOIN d1 ON … JOIN d2 ON …` — any connected equi-key
+  * graph) with distributive aggregates (count/sum/count(col)/avg —
+  * min/max refused). Refresh uses the classic N-way IVM delta rule: one
+  * term per CHURNED side, Δi = R1_old ⋈ … ⋈ ΔRi ⋈ … ⋈ Rn_new (sides
+  * before the churn pinned OLD, after it pinned NEW — telescoping makes
+  * the sum exact), so each term is churn⋈dims-sized, an unchurned side
+  * contributes nothing, and a fact-only refresh never rescans the fact
+  * corpus. Every source carries its own watermark; any expiring falls
+  * back to a full (pinned, atomic) recompute.
+  *
+  * LEFT OUTER views (`FROM r LEFT JOIN s ON r.fk = s.pk`, two tables —
+  * the reference's own pandas-merge feature joins,
+  * `XGBoost/Predictor.py:47,74`): probe-side churn maintains linearly
+  * (ΔR ⟕ S_new — a left join is row-local in its left argument); dim
+  * churn exploits PER-KEY LOCALITY — only fact rows whose key is among
+  * the churned dim keys K can flip between matched and null-extended, so
+  * their contribution is recomputed as + R_old|K ⟕ S_new|K −
+  * R_old|K ⟕ S_old|K, all three scans key-scoped. Null-extension
+  * transitions (a dim insert matching previously-unmatched fact rows, a
+  * dim delete orphaning matched ones) fall out of the ± pair.
   *
   * Refresh is O(churn), not O(table): [[GraftStoreOps.signedChanges]]
   * yields +1/-1 row deltas reading only files whose membership or delete
@@ -161,13 +174,20 @@ object GraftMview {
       }
     }
 
-  /** The recognized definition: a single table, or an INNER equi-join of
-    * two tables (the key-FK IVM shape — delta rule
-    * Δ(R⋈S) = ΔR⋈S_new ∪ R_old⋈ΔS, signs multiplying through). */
+  /** The recognized definition: a single table; an INNER equi-join of N
+    * tables (the key-FK IVM shape — one delta term per churned side,
+    * telescoping across pinned snapshots of the others); or a 2-table
+    * LEFT OUTER equi-join (the pandas-merge shape the reference's own
+    * feature joins use — `XGBoost/Predictor.py:47,74`), maintained with
+    * null-extension transitions (see [[refresh]]). */
   private[v2] sealed trait MvSource
   private[v2] case class SingleSrc(path: String) extends MvSource
-  private[v2] case class JoinSrc(path1: String, path2: String,
-      keys: Seq[(String, String)]) extends MvSource
+  /** `keys`: (sideA, colA, sideB, colB) equi-pairs with sideA < sideB,
+    * sides indexing `paths`. `leftOuter` marks the 2-table LEFT OUTER
+    * shape (N-way views stay INNER-only). */
+  private[v2] case class JoinSrc(paths: Seq[String],
+      keys: Seq[(Int, String, Int, String)],
+      leftOuter: Boolean = false) extends MvSource
 
   /** The analyzer (PullOutNondeterministic) and optimizer
     * (PullOutGroupingExpressions) pull complex grouping expressions into
@@ -231,35 +251,75 @@ object GraftMview {
         if (cond.isDefined) fail("more than one WHERE layer")
         source(c, Some(c2))
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
-        if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
-          fail(s"${j.joinType} join (INNER equi-joins only)")
-        val (l, r) = (relOf(j.left), relOf(j.right))
-        if (l.isEmpty || r.isEmpty) fail("join inputs must be plain graft tables")
-        val (lp, rp) = (pathOf(l.get), pathOf(r.get))
-        if (lp == rp) fail("self-join of one table")
-        val lIds = l.get.output.map(_.exprId).toSet
-        val rIds = r.get.output.map(_.exprId).toSet
-        // both sides' column NAMES must be disjoint: the delta frame is
-        // the physical join of both schemas, resolved by name
-        val dup = l.get.output.map(_.name).toSet
-          .intersect(r.get.output.map(_.name).toSet)
+        val leftOuter =
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter
+        if (!leftOuter && j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+          fail(s"${j.joinType} join (INNER or LEFT OUTER equi-joins only)")
+        // flatten an N-way INNER tree; a LEFT OUTER view is exactly two
+        // plain tables (the null-extension delta rule is 2-table)
+        def flat(p2: LogicalPlan): (Seq[DataSourceV2Relation], Seq[Expression]) =
+          p2 match {
+            case SubqueryAlias(_, c) => flat(c)
+            case jj: org.apache.spark.sql.catalyst.plans.logical.Join =>
+              if (leftOuter) fail("a LEFT OUTER join view takes exactly two " +
+                "plain tables (no nested joins)")
+              if (jj.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+                fail(s"nested ${jj.joinType} join (INNER only below the top level)")
+              if (jj.condition.isEmpty) fail("join without an ON condition")
+              val (lr, lc) = flat(jj.left)
+              val (rr, rc) = flat(jj.right)
+              (lr ++ rr, lc ++ rc ++ jj.condition.toSeq)
+            case r: DataSourceV2Relation => (Seq(r), Nil)
+            case other => fail(s"join input ${other.nodeName} (plain graft " +
+              "tables only)")
+          }
+        if (j.condition.isEmpty) fail("join without an ON condition")
+        val (lrels, lconds) = flat(j.left)
+        val (rrels, rconds) = flat(j.right)
+        val rels = lrels ++ rrels
+        val conds = lconds ++ rconds ++ j.condition.toSeq
+        val paths = rels.map(pathOf)
+        if (paths.distinct.size != paths.size) fail("self-join of one table")
+        // ALL column names must be globally disjoint: every maintenance
+        // frame is the physical join of the schemas, resolved by name
+        val dup = rels.flatMap(_.output.map(_.name))
+          .groupBy(identity).collect { case (n2, vs) if vs.size > 1 => n2 }
         if (dup.nonEmpty) fail(s"column name(s) ${dup.mkString(", ")} exist " +
-          "on both sides (rename via the table schemas; the maintained view " +
-          "resolves columns by name)")
-        def eqKeys(e: Expression): Seq[(String, String)] = e match {
+          "on more than one side (rename via the table schemas; the " +
+          "maintained view resolves columns by name)")
+        val sideOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int] =
+          rels.zipWithIndex.flatMap { case (r, i) =>
+            r.output.map(_.exprId -> i) }.toMap
+        def eqKeys(e: Expression): Seq[(Int, String, Int, String)] = e match {
           case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
             eqKeys(a) ++ eqKeys(b)
           case org.apache.spark.sql.catalyst.expressions.EqualTo(
               a: AttributeReference, b: AttributeReference) =>
-            if (lIds.contains(a.exprId) && rIds.contains(b.exprId)) Seq(a.name -> b.name)
-            else if (rIds.contains(a.exprId) && lIds.contains(b.exprId)) Seq(b.name -> a.name)
-            else fail("join keys must pair one column from each side")
+            (sideOf.get(a.exprId), sideOf.get(b.exprId)) match {
+              case (Some(i), Some(j2)) if i != j2 =>
+                if (i < j2) Seq((i, a.name, j2, b.name))
+                else Seq((j2, b.name, i, a.name))
+              case _ => fail("join keys must pair columns from two " +
+                "different tables")
+            }
           case other => fail(s"join condition '${other.sql}' (plain column " +
             "equality conjunctions only)")
         }
-        val keys = j.condition.map(eqKeys).getOrElse(fail("join without an ON condition"))
-        (cond, JoinSrc(lp, rp, keys),
-          (l.get.output ++ r.get.output).toSeq)
+        val keys = conds.flatMap(eqKeys)
+        // the key graph must CONNECT every table, or some delta term would
+        // be a cartesian product — refuse at creation, not at refresh
+        var reach = Set(0)
+        var grew = true
+        while (grew) {
+          grew = false
+          keys.foreach { case (i, _, j2, _) =>
+            if (reach(i) != reach(j2)) { reach = reach + i + j2; grew = true }
+          }
+        }
+        if (reach.size != rels.size)
+          fail("the join graph is disconnected (every table needs an " +
+            "equi-key path to the others)")
+        (cond, JoinSrc(paths, keys, leftOuter), rels.flatMap(_.output))
       case r: DataSourceV2Relation => (cond, SingleSrc(pathOf(r)), r.output.toSeq)
       case other => fail(s"unsupported input ${other.nodeName} (one graft " +
         "table or one inner equi-join of two, optional WHERE only)")
@@ -442,6 +502,11 @@ object GraftMview {
     agged.select(publics ++ internals(cols).map(col): _*)
   }
 
+  /** Watermark property suffix for source index i: "" / "2" / "3" / … —
+    * the 2-table layout is byte-identical to the pre-N-way format, so
+    * existing views keep refreshing without migration. */
+  private def sfx(i: Int): String = if (i == 0) "" else (i + 1).toString
+
   private def wmProps(src: MvSource, filterSql: Option[String], cols: Seq[ColSpec],
       sql: String, wms: Seq[(Int, String)]): Map[String, String] = {
     val base = Map("graft.mv" -> "true",
@@ -451,34 +516,90 @@ object GraftMview {
       filterSql.map("graft.mv.filter" -> _)
     src match {
       case SingleSrc(p) => base + ("graft.mv.source" -> p)
-      case JoinSrc(p1, p2, keys) => base ++ Map(
-        "graft.mv.source" -> p1, "graft.mv.source2" -> p2,
-        "graft.mv.keys" -> keys.map { case (a, b) => s"${enc(a)}:${enc(b)}" }
-          .mkString(";"),
-        "graft.mv.watermark2" -> wms(1)._1.toString,
-        "graft.mv.wmname2" -> wms(1)._2)
+      case JoinSrc(paths, keys, leftOuter) =>
+        val srcs = paths.zipWithIndex.map { case (p, i) =>
+          s"graft.mv.source${sfx(i)}" -> p
+        }
+        val wmRest = wms.zipWithIndex.drop(1).flatMap { case ((w, nm), i) =>
+          Seq(s"graft.mv.watermark${sfx(i)}" -> w.toString,
+            s"graft.mv.wmname${sfx(i)}" -> nm)
+        }
+        // the classic 2-table chain keeps the legacy "a:b" key format;
+        // anything else records explicit side indices
+        val keyProp =
+          if (paths.size == 2 && keys.forall(k => k._1 == 0 && k._3 == 1))
+            "graft.mv.keys" -> keys.map { case (_, a, _, b) =>
+              s"${enc(a)}:${enc(b)}" }.mkString(";")
+          else
+            "graft.mv.keysn" -> keys.map { case (i, a, j, b) =>
+              s"$i:${enc(a)}:$j:${enc(b)}" }.mkString(";")
+        base ++ srcs ++ wmRest + keyProp ++
+          (if (leftOuter) Seq("graft.mv.jointype" -> "left") else Seq.empty)
     }
   }
 
-  private def decodeSource(props: Map[String, String]): MvSource =
-    props.get("graft.mv.source2") match {
-      case Some(p2) => JoinSrc(props("graft.mv.source"), p2,
-        props("graft.mv.keys").split(";", -1).toSeq.map { kv =>
-          val Array(a, b) = kv.split(":", 2); dec(a) -> dec(b)
-        })
-      case None => SingleSrc(props("graft.mv.source"))
+  private[v2] def decodeSource(props: Map[String, String]): MvSource = {
+    if (!props.contains("graft.mv.source2"))
+      return SingleSrc(props("graft.mv.source"))
+    val paths = Seq(props("graft.mv.source")) ++
+      Iterator.from(2).map(i => props.get(s"graft.mv.source$i"))
+        .takeWhile(_.isDefined).map(_.get)
+    val keys = props.get("graft.mv.keysn") match {
+      case Some(kn) => kn.split(";", -1).toSeq.map { kv =>
+        val Array(i, a, j, b) = kv.split(":", 4)
+        (i.toInt, dec(a), j.toInt, dec(b))
+      }
+      case None => props("graft.mv.keys").split(";", -1).toSeq.map { kv =>
+        val Array(a, b) = kv.split(":", 2); (0, dec(a), 1, dec(b))
+      }
     }
+    JoinSrc(paths, keys, props.get("graft.mv.jointype").contains("left"))
+  }
+
+  /** Join per-source frames along the recognized equi-key graph: greedy
+    * by connectivity from side 0 (recognize() proved the graph connected);
+    * a redundant cycle pair becomes a post-join equality filter. Names are
+    * globally disjoint, so conditions resolve unambiguously by name. */
+  private def joinFrames(frames: Seq[DataFrame],
+      keys: Seq[(Int, String, Int, String)], leftOuter: Boolean): DataFrame = {
+    if (leftOuter) {
+      val (l, r) = (frames(0), frames(1))
+      return l.join(r, keys.map { case (_, a, _, b) => l(a) === r(b) }
+        .reduce(_ && _), "left_outer")
+    }
+    var included = Set(0)
+    var cur = frames(0)
+    var pending = keys.toList
+    while (included.size < frames.size) {
+      val next = frames.indices.find(i => !included(i) && pending.exists {
+        case (x, _, y, _) => (included(x) && y == i) || (included(y) && x == i)
+      }).getOrElse(throw new IllegalStateException(
+        "graft mview: disconnected join graph (recognize should have refused)"))
+      val (here, later) = pending.partition { case (x, _, y, _) =>
+        (included(x) && y == next) || (included(y) && x == next)
+      }
+      val nf = frames(next)
+      val cond = here.map { case (x, a, _, b) =>
+        if (x == next) nf(a) === cur(b) else cur(a) === nf(b)
+      }.reduce(_ && _)
+      cur = cur.join(nf, cond, "inner")
+      included += next
+      pending = later
+    }
+    if (pending.isEmpty) cur
+    else cur.filter(pending.map { case (_, a, _, b) => col(a) === col(b) }
+      .reduce(_ && _))
+  }
 
   /** The maintained relation pinned at the given snapshot(s): the table
-    * itself, or the inner equi-join of both tables. */
+    * itself, or the recognized join of all sources. */
   private def pinnedFrame(spark: SparkSession, src: MvSource,
       heads: Seq[Int]): DataFrame = src match {
     case SingleSrc(p) =>
       spark.read.format("graft-store").option("snapshot", heads.head).load(p)
-    case JoinSrc(p1, p2, keys) =>
-      val l = spark.read.format("graft-store").option("snapshot", heads.head).load(p1)
-      val r = spark.read.format("graft-store").option("snapshot", heads(1)).load(p2)
-      l.join(r, keys.map { case (a, b) => l(a) === r(b) }.reduce(_ && _), "inner")
+    case JoinSrc(paths, keys, leftOuter) =>
+      joinFrames(paths.indices.map(i => spark.read.format("graft-store")
+        .option("snapshot", heads(i)).load(paths(i))), keys, leftOuter)
   }
 
   private def writeFull(spark: SparkSession, mvPath: String, src: MvSource,
@@ -496,7 +617,7 @@ object GraftMview {
 
   private def srcPaths(src: MvSource): Seq[String] = src match {
     case SingleSrc(p) => Seq(p)
-    case JoinSrc(p1, p2, _) => Seq(p1, p2)
+    case JoinSrc(ps, _, _) => ps
   }
 
   /** CREATE: recognize, pin the source head(s), materialize at those
@@ -572,9 +693,9 @@ object GraftMview {
     val filterSql = props.get("graft.mv.filter")
     val cols = decodeCols(props("graft.mv.cols"))
     val paths = srcPaths(src)
-    val wms = paths.zipWithIndex.map { case (_, i) =>
-      val sfx = if (i == 0) "" else "2"
-      (props(s"graft.mv.watermark$sfx").toInt, props(s"graft.mv.wmname$sfx"))
+    val wms = paths.indices.map { i =>
+      (props(s"graft.mv.watermark${sfx(i)}").toInt,
+        props(s"graft.mv.wmname${sfx(i)}"))
     }
     val msAll = paths.map { p =>
       val ms = GraftStoreFormat.listManifests(p, conf)
@@ -607,34 +728,86 @@ object GraftMview {
     // (exact by telescoping: ΔR⋈S_new covers ΔR⋈S_old + ΔR⋈ΔS), each term
     // carrying its delta side's sign — churn-side volume joins against
     // ONE pinned snapshot of the other side, never corpus × corpus.
+    def pinnedAt(i: Int, snap: Int): DataFrame =
+      spark.read.format("graft-store").option("snapshot", snap).load(paths(i))
     val signed = src match {
       case SingleSrc(p) => GraftStoreOps.signedChanges(spark, p, wms.head._1, heads.head)
-      case JoinSrc(p1, p2, keys) =>
-        // an UNCHURNED side contributes no delta term at all — the common
-        // fact-only refresh never touches R_old, staying churn⋈dim-sized
+      case JoinSrc(paths2, keys, false) =>
+        // N-WAY delta rule, one term per CHURNED side i:
+        //   Δi = R1_old ⋈ … ⋈ R(i-1)_old ⋈ ΔRi ⋈ R(i+1)_new ⋈ … ⋈ Rn_new
+        // Telescoping makes the sum exactly new-join − old-join, and an
+        // UNCHURNED side contributes no term at all — the common
+        // fact-only refresh stays churn⋈dims-sized. Each term joins the
+        // churn against PINNED snapshots, so a concurrent commit cannot
+        // skew any term.
+        val terms = paths2.indices.flatMap { i =>
+          if (wms(i)._1 == heads(i)) None
+          else {
+            val di = GraftStoreOps.signedChanges(
+              spark, paths2(i), wms(i)._1, heads(i))
+            val frames = paths2.indices.map { j =>
+              if (j == i) di
+              else if (j < i) pinnedAt(j, wms(j)._1)
+              else pinnedAt(j, heads(j))
+            }
+            Some(joinFrames(frames, keys, leftOuter = false))
+          }
+        }
+        if (terms.isEmpty) throw new IllegalStateException(
+          "graft mview: unreachable — noop returned above when all at head")
+        terms.reduce(_.unionByName(_))
+      case JoinSrc(paths2, keys, true) =>
+        // LEFT OUTER 2-table delta rule. The probe-side term is linear
+        // exactly like the inner case (a left join is row-local in its
+        // LEFT argument):  ΔR ⟕ S_new, null-extending where no match.
+        // The dim side is where outer-join IVM differs: an S churn can
+        // flip fact rows between matched and null-extended. Left joins
+        // are PER-KEY LOCAL — an R row's output depends only on S rows
+        // sharing its key — so only fact rows whose fk is among the
+        // CHURNED dim keys K change at all, and their contribution is
+        // recomputed exactly:  + R_old|K ⟕ S_new|K  −  R_old|K ⟕ S_old|K.
+        // (Classic outer-join view maintenance à la Larson & Zhou,
+        // ICDE'07, specialized to the aggregate-over-join case: the ±
+        // pair carries the null-extension transitions — a key gaining
+        // its first match retracts the null-extended rows, a key losing
+        // its last match re-creates them — without maintaining a
+        // persistent match-count companion.) All three scans are scoped
+        // to K by semi-joins, so stats/bloom/runtime pruning keeps the
+        // refresh churn-key-proportional, never corpus-sized.
+        val rCols = keys.map(_._2)
+        val sCols = keys.map(_._4)
         val t1: Option[DataFrame] =
           if (wms.head._1 == heads.head) None
           else {
-            val d1 = GraftStoreOps.signedChanges(spark, p1, wms.head._1, heads.head)
-            val sNew = spark.read.format("graft-store")
-              .option("snapshot", heads(1)).load(p2)
-            val c1 = d1.columns.filterNot(_ == "_sign")
-            Some(d1.join(sNew,
-                keys.map { case (a, b) => d1(a) === sNew(b) }.reduce(_ && _), "inner")
-              .select(c1.map(d1(_)) ++ sNew.columns.map(sNew(_))
-                :+ d1("_sign").as("_sign"): _*))
+            val d1 = GraftStoreOps.signedChanges(
+              spark, paths2.head, wms.head._1, heads.head)
+            val sNew = pinnedAt(1, heads(1))
+            Some(d1.join(sNew, keys.map { case (_, a, _, b) =>
+              d1(a) === sNew(b) }.reduce(_ && _), "left_outer"))
           }
         val t2: Option[DataFrame] =
           if (wms(1)._1 == heads(1)) None
           else {
-            val rOld = spark.read.format("graft-store")
-              .option("snapshot", wms.head._1).load(p1)
-            val d2 = GraftStoreOps.signedChanges(spark, p2, wms(1)._1, heads(1))
-            val c2 = d2.columns.filterNot(_ == "_sign")
-            Some(rOld.join(d2,
-                keys.map { case (a, b) => rOld(a) === d2(b) }.reduce(_ && _), "inner")
-              .select(rOld.columns.map(rOld(_)) ++ c2.map(d2(_))
-                :+ d2("_sign").as("_sign"): _*))
+            val d2 = GraftStoreOps.signedChanges(
+              spark, paths2(1), wms(1)._1, heads(1))
+            // churned dim-key combinations; a NULL component can never
+            // equi-match, so such rows affect no fact row
+            val kf = d2.select(sCols.zipWithIndex.map { case (c, i2) =>
+                col(c).as(s"__jk_$i2") }: _*)
+              .na.drop("any").distinct().localCheckpoint(true)
+            val rOld = pinnedAt(0, wms.head._1)
+            val rK = rOld.join(kf, rCols.zipWithIndex.map { case (a, i2) =>
+                rOld(a) === kf(s"__jk_$i2") }.reduce(_ && _), "left_semi")
+              .localCheckpoint(true) // reused by both signs below
+            def scoped(s0: DataFrame): DataFrame =
+              s0.join(kf, sCols.zipWithIndex.map { case (b, i2) =>
+                s0(b) === kf(s"__jk_$i2") }.reduce(_ && _), "left_semi")
+            def half(sK: DataFrame, sign: Long): DataFrame =
+              rK.join(sK, keys.map { case (_, a, _, b) =>
+                  rK(a) === sK(b) }.reduce(_ && _), "left_outer")
+                .withColumn("_sign", lit(sign))
+            Some(half(scoped(pinnedAt(1, heads(1))), 1L)
+              .unionByName(half(scoped(pinnedAt(1, wms(1)._1)), -1L)))
           }
         (t1, t2) match {
           case (Some(a), Some(b)) => a.unionByName(b)

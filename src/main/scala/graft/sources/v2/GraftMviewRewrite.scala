@@ -76,6 +76,14 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def enabled: Boolean =
     spark.conf.getOption("spark.graft.mv.rewrite").forall(_.toBoolean)
 
+  /** Probe-cache TTL ([[GraftStoreFormat.probeMv]]): same-JVM commits
+    * invalidate instantly regardless; the TTL only bounds how long a
+    * CROSS-PROCESS commit can keep serving the pre-commit snapshot.
+    * 0 disables caching (every plan re-lists the filesystem). */
+  private def probeTtlMs: Long =
+    spark.conf.getOption("spark.graft.mv.probeCacheMs").map(_.toLong)
+      .getOrElse(2000L)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
@@ -187,14 +195,14 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val (groupExprs, aggExprs, aggChild) = inlineGroupingProjects(agg)
     val qs = extractSource(aggChild).getOrElse(return None)
     val conf = spark.sparkContext.hadoopConfiguration
-    val deps = qs.paths.flatMap(p => GraftStoreFormat.readMvDeps(p, conf)).distinct
+    // one cached probe per source path: (dependent views, current head).
+    // Freshness stays name-exact (expiry deletes, never renumbers — a
+    // matching name IS the same snapshot); the cache only elides the
+    // filesystem listing, not the comparison
+    val probes = qs.paths.map(p => GraftStoreFormat.probeMv(p, conf, probeTtlMs))
+    val deps = probes.flatMap(_._1).distinct
     if (deps.isEmpty) return None
-    // the sources' CURRENT heads: freshness is name-exact (expiry
-    // deletes, never renumbers — a matching name IS the same snapshot)
-    val heads = qs.paths.map { p =>
-      GraftStoreFormat.listManifests(p, conf).lastOption
-        .map(_.getName).getOrElse(return None)
-    }
+    val heads = probes.map(_._2.getOrElse(return None))
     // grouping may be plain columns OR deterministic expressions (the
     // calendar-MV shape): matching is semantic, per candidate view
     if (groupExprs.exists(!_.deterministic)) return None
@@ -595,40 +603,58 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       qs: QuerySource, heads: Seq[String], mvPath: String): Option[LogicalPlan] = {
     import GraftMview._
     val conf = spark.sparkContext.hadoopConfiguration
-    val mvManifest = GraftStoreFormat.readLatestManifest(mvPath, conf)
+    val mvManifest = GraftStoreFormat.probeLatestManifest(mvPath, conf, probeTtlMs)
       .getOrElse(return None) // stale pointer: MV dropped
     val p = mvManifest.props
     if (!p.get("graft.mv").contains("true")) return None
-    // source-shape match: single table, or the same join in either order.
-    // A query joining MORE relations than the MV covers — a join query
-    // over a single-table MV, or a query whose join SUPERSET includes a
-    // join MV's two tables — goes to the (eager-aggregation) join-back
-    // path: MV ⋈ uncovered dims, re-aggregated.
-    (qs.paths, p.get("graft.mv.source2")) match {
-      case (Seq(s1), None) =>
-        if (p.get("graft.mv.source") != Some(s1)) return None
-        if (p.get("graft.mv.wmname") != Some(heads.head)) return None // STALE
-      case (ps, None) if ps.size >= 2 =>
-        return tryJoinBack(groupExprs, aggExprs, qs, heads, mvPath, mvManifest)
-      case (Seq(q1, q2), Some(m2)) if Set(q1, q2) ==
-          Set(p("graft.mv.source"), m2) =>
-        val m1 = p("graft.mv.source")
-        val sw = q1 == m2 && q2 == m1 && m1 != m2
-        val (h1, h2) = if (sw) (heads(1), heads.head) else (heads.head, heads(1))
-        if (p.get("graft.mv.wmname") != Some(h1)) return None // STALE
-        if (p.get("graft.mv.wmname2") != Some(h2)) return None // STALE
-        // key pairs must match as a set, normalized to (source, source2)
-        val mvKeys = p("graft.mv.keys").split(";", -1).toSeq.map { kv =>
-          val Array(a, b) = kv.split(":", 2)
-          GraftStoreFormat.unescStat(a) -> GraftStoreFormat.unescStat(b)
-        }.toSet
-        val qKeys = (if (sw) qs.joinKeys.map(_.swap) else qs.joinKeys).toSet
-        if (qKeys != mvKeys) return None
-      case (ps, Some(m2)) if ps.size > 2 &&
-          Set(p("graft.mv.source"), m2).subsetOf(ps.toSet) =>
-        return tryJoinBack(groupExprs, aggExprs, qs, heads, mvPath, mvManifest)
-      case _ => return None
+    // a LEFT OUTER view carries null-extended rows the inner-join query
+    // (the only shape flatten() admits) must never see — conservative gate
+    // until left-shape query matching lands
+    if (p.get("graft.mv.jointype").contains("left")) return None
+    // source-shape match: single table, or the same N-way join (any
+    // order). A query joining MORE relations than the MV covers — a join
+    // query over a single-table MV, or a query whose join SUPERSET
+    // includes a 2-table join MV — goes to the (eager-aggregation)
+    // join-back path: MV ⋈ uncovered dims, re-aggregated.
+    val mvSrcPaths: Seq[String] = GraftMview.decodeSource(p) match {
+      case GraftMview.SingleSrc(s1) => Seq(s1)
+      case GraftMview.JoinSrc(ps, _, _) => ps
     }
+    // per-MV-side freshness: wmname<i> must equal the CURRENT head of the
+    // same path on the query side (heads is parallel to qs.paths)
+    def fresh(i: Int, path: String): Boolean = {
+      val sfx = if (i == 0) "" else (i + 1).toString
+      val qi = qs.paths.indexOf(path)
+      qi >= 0 && p.get(s"graft.mv.wmname$sfx").contains(heads(qi))
+    }
+    if (mvSrcPaths.size == 1) {
+      if (qs.paths.size >= 2) {
+        if (!qs.paths.contains(mvSrcPaths.head)) return None
+        return tryJoinBack(groupExprs, aggExprs, qs, heads, mvPath, mvManifest)
+      }
+      if (qs.paths != mvSrcPaths) return None
+      if (!fresh(0, mvSrcPaths.head)) return None // STALE
+    } else if (qs.paths.toSet == mvSrcPaths.toSet &&
+        qs.paths.size == mvSrcPaths.size) {
+      // exact join-shape match, N-way: every side fresh, and the query's
+      // key-pair set must equal the MV's, normalized to MV side indices
+      if (!mvSrcPaths.zipWithIndex.forall { case (path, i) => fresh(i, path) })
+        return None // STALE
+      val mvKeys: Set[(Int, String, Int, String)] =
+        (GraftMview.decodeSource(p): @unchecked) match {
+          case GraftMview.JoinSrc(_, ks, _) => ks.toSet
+        }
+      val mvPos: Map[String, Int] = mvSrcPaths.zipWithIndex.toMap
+      val qKeys: Set[(Int, String, Int, String)] = qs.pairs.map { case (a, b) =>
+        val ia = mvPos(qs.paths(qs.sideOf(a).getOrElse(return None)))
+        val ib = mvPos(qs.paths(qs.sideOf(b).getOrElse(return None)))
+        if (ia < ib) (ia, a.name, ib, b.name) else (ib, b.name, ia, a.name)
+      }.toSet
+      if (qKeys != mvKeys) return None
+    } else if (mvSrcPaths.size == 2 && qs.paths.size > 2 &&
+        mvSrcPaths.toSet.subsetOf(qs.paths.toSet)) {
+      return tryJoinBack(groupExprs, aggExprs, qs, heads, mvPath, mvManifest)
+    } else return None
     val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
     val mm = new MvMapping(cols, DataSourceV2Relation.create(
       new GraftStoreTable(mvPath, mvManifest.schema), None, None))

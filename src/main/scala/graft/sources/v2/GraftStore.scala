@@ -756,6 +756,7 @@ private[v2] object GraftStoreFormat {
     * resolution. (Parsed segments stay: `_seg-<md5>` names are
     * content-addressed — a recreated same name IS the same listing.) */
   def invalidateTable(path: String): Unit = {
+    invalidateMvProbe(path)
     val dir = new Path(path).toUri.getPath
     manifestCache.synchronized {
       val it = manifestCache.keySet().iterator()
@@ -765,6 +766,90 @@ private[v2] object GraftStoreFormat {
         if (kp != null && kp.toUri.getPath == dir) it.remove()
       }
     }
+  }
+
+  /** REWRITE-PROBE CACHE: the MV-rewrite rule must decide, per Aggregate
+    * node AT PLANNING TIME, "does this table have dependent views, and
+    * what is its current head?" — a readMvDeps (exists + listStatus + one
+    * open per dep file) plus a listManifests (exists + listStatus) per
+    * probe. Locally that is microseconds; on an object store a hot
+    * dashboard issuing hundreds of aggregates per second pays 2+ metadata
+    * round-trips per query for an answer that almost never changes. This
+    * cache keys the probe result (dep list, head-manifest name, and the
+    * head's parsed manifest, filled lazily) on the table path with two
+    * complementary invalidation devices:
+    *
+    *   - SAME-JVM writes invalidate IMMEDIATELY: every successful
+    *     [[commitManifest]] (the single choke point all writes go
+    *     through), every [[addMvDep]] registration, and every
+    *     [[invalidateTable]] (table birth / catalog DROP) purge the
+    *     path's entry — a local commit flips rewrite freshness on the
+    *     very next query, no window at all;
+    *   - CROSS-PROCESS writes are seen within the TTL
+    *     (`spark.graft.mv.probeCacheMs`, default 2000 ms; 0 disables the
+    *     cache): within it, a remote commit may be served from the MV's
+    *     pre-commit snapshot — the same bounded-staleness contract as any
+    *     snapshot-isolated read that began just before the commit, and
+    *     the same device as catalog metadata caching in Iceberg/HMS
+    *     deployments. The dep list needs no TTL for CORRECTNESS (a stale
+    *     dep fails candidate validation and is skipped; a missing new dep
+    *     only forgoes an optimization), but it rides the same entry.
+    *
+    * [[mvProbeFsOps]] counts actual filesystem probe work (misses only),
+    * so specs can PIN that N repeated aggregates over an MV'd table issue
+    * zero metadata reads after the first — the manifest-cache discipline
+    * extended to the rewrite probe. */
+  private case class MvProbe(at: Long, deps: Seq[String], head: Option[String]) {
+    @volatile var manifest: Option[GraftManifest] = null // lazily filled
+  }
+  private val mvProbeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, MvProbe](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, MvProbe]): Boolean = size() > 64
+    })
+
+  /** Diagnostic counter: rewrite-probe FILESYSTEM reads actually issued
+    * (cache misses only — a hit adds nothing). */
+  val mvProbeFsOps = new java.util.concurrent.atomic.LongAdder
+
+  def invalidateMvProbe(path: String): Unit = mvProbeCache.remove(path)
+
+  /** The rewrite rule's per-table probe: (registered dependent MV paths,
+    * current head-manifest name). Served from [[mvProbeCache]] within
+    * `ttlMs`; `ttlMs <= 0` bypasses the cache entirely. */
+  def probeMv(path: String, conf: Configuration, ttlMs: Long)
+      : (Seq[String], Option[String]) = {
+    val now = System.currentTimeMillis()
+    if (ttlMs > 0) {
+      val hit = mvProbeCache.get(path)
+      if (hit != null && now - hit.at <= ttlMs) return (hit.deps, hit.head)
+    }
+    mvProbeFsOps.increment()
+    val deps = readMvDeps(path, conf)
+    val head = listManifests(path, conf).lastOption.map(_.getName)
+    if (ttlMs > 0) mvProbeCache.put(path, MvProbe(now, deps, head))
+    (deps, head)
+  }
+
+  /** The head manifest of `path` through the probe cache: zero filesystem
+    * calls on a warm entry (the parsed manifest rides the probe entry —
+    * not even the manifest cache's validating getFileStatus). Falls back
+    * to [[readLatestManifest]] when the cache is off. */
+  def probeLatestManifest(path: String, conf: Configuration, ttlMs: Long)
+      : Option[GraftManifest] = {
+    if (ttlMs <= 0) return readLatestManifest(path, conf)
+    probeMv(path, conf, ttlMs) // ensure a live entry
+    val e = mvProbeCache.get(path)
+    if (e == null) return readLatestManifest(path, conf) // concurrent evict
+    if (e.manifest == null) {
+      // a vanished head (dropped MV behind a stale dep) caches as None —
+      // repeated probes of a dangling pointer stay free too
+      e.manifest = e.head.flatMap { h =>
+        try Some(readManifestFile(path, conf, new Path(path, h)))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+    }
+    e.manifest
   }
 
   /** MV-dependents REGISTRY sidecar (`_mvdeps.d/dep-<md5(mvPath)>`, ONE
@@ -814,6 +899,7 @@ private[v2] object GraftStoreFormat {
     try out.write(escStat(mvPath).getBytes("UTF-8")) finally out.close()
     // losing this rename race is fine: the winner wrote identical content
     if (!f.rename(tmp, target)) f.delete(tmp, false)
+    invalidateMvProbe(path) // a new dependent must be probe-visible at once
   }
 
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
@@ -1319,7 +1405,14 @@ private[v2] object GraftStoreFormat {
     try {
       if (f.exists(target) || !f.rename(tmp, target)) {
         f.delete(tmp, false); false
-      } else { if (expectedSeq == 0) invalidateTable(path); true }
+      } else {
+        if (expectedSeq == 0) invalidateTable(path)
+        // the head advanced: the rewrite probe's cached head name for this
+        // table is stale NOW — purge it so a same-JVM commit flips MV
+        // freshness on the very next planned query
+        invalidateMvProbe(path)
+        true
+      }
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         f.delete(tmp, false); false

@@ -167,6 +167,59 @@ class GraftStoreMetaCacheSpec extends AnyFunSuite with graft.SparkTestBase {
     }
   }
 
+  test("rewrite probe: warm aggregates issue zero FS probes; a same-JVM " +
+      "commit flips MV freshness immediately") {
+    val base = tmpDir()
+    spark.conf.set("spark.sql.catalog.mcprobe", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mcprobe.base", base)
+    // a large TTL makes the zero-FS-reads pin deterministic AND proves the
+    // freshness flip below comes from commit-time INVALIDATION, not expiry
+    spark.conf.set("spark.graft.mv.probeCacheMs", "600000")
+    try {
+      val src = s"$base/src"
+      spark.range(0, 1000).selectExpr("cast(id % 7 as string) as k", "id as v")
+        .write.format("graft-store").mode("overwrite").save(src)
+      spark.sql("CALL mcprobe.system.create_mview('mv', " +
+        "'SELECT k, count(*) AS n, sum(v) AS sv FROM mcprobe.src GROUP BY k')")
+      def q() = spark.sql(
+        "SELECT k, count(*) AS n, sum(v) AS sv FROM mcprobe.src GROUP BY k")
+      def served(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+      assert(served(q())) // warm: this probe pays the FS reads
+      q().collect()
+      eventually(3) {
+        val ops0 = GraftStoreFormat.mvProbeFsOps.sum()
+        val bytes0 = GraftStoreFormat.manifestParseBytes.sum()
+        (1 to 5).foreach { _ =>
+          val df = q()
+          assert(served(df))
+          assert(df.count() === 7)
+        }
+        assert(GraftStoreFormat.mvProbeFsOps.sum() === ops0,
+          "N repeated aggregates over an MV'd table must issue ZERO " +
+            "probe filesystem reads after the first")
+        assert(GraftStoreFormat.manifestParseBytes.sum() === bytes0,
+          "warm rewrite probes must re-parse ZERO dep/manifest bytes")
+      }
+      // a same-JVM commit purges the probe entry through commitManifest —
+      // the very next query must see the MV as stale (well inside the TTL)
+      spark.range(1000, 1010).selectExpr("cast(id % 7 as string) as k", "id as v")
+        .write.format("graft-store").mode("append").save(src)
+      val afterCommit = q()
+      assert(!served(afterCommit),
+        "a base-table commit must flip rewrite freshness IMMEDIATELY")
+      assert(afterCommit.agg(sum("n")).collect()(0).getLong(0) === 1010)
+      // refresh re-arms the rewrite (the MV-side probe entry was purged by
+      // the refresh commit itself)
+      spark.sql("CALL mcprobe.system.refresh_mview('mv')")
+      assert(served(q()))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mcprobe")
+      spark.conf.unset("spark.sql.catalog.mcprobe.base")
+      spark.conf.unset("spark.graft.mv.probeCacheMs")
+    }
+  }
+
   test("the OCC loop and concurrent commits stay correct under the cache") {
     val dir = tmpDir()
     spark.range(0, 100).selectExpr("id", "id as v")
