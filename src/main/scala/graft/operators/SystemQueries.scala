@@ -5273,6 +5273,159 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** LEFT OUTER MATERIALIZED VIEW ([[graft.sources.v2.GraftMview]]): the
+    * view aggregates `fact LEFT JOIN dim` — fact rows without a dim match
+    * live in the NULL-extended group — and is maintained INCREMENTALLY
+    * through the null-extension transitions that make outer-join IVM
+    * harder than inner: (a) a fact append whose refresh stays
+    * churn-proportional (slice-count proof against the 8-file fact base),
+    * (b) a dim insert that CONVERTS standing null-extended fact rows to
+    * matched (the +new/−old per-key recompute retracts their NULL-group
+    * contribution), (c) a dim delete converting matched rows BACK to
+    * null-extended. Classic Larson & Zhou ICDE'07 outer-join maintenance
+    * specialized to aggregates; scans are scoped to the churned dim keys
+    * by bounded IN-pushdown + semi-joins. At 100 TB: a left-join rollup
+    * (every fact row kept, matched or not) refreshes at churn cost. */
+  val q223MviewLeftOuter = QuerySpec(
+    "q223_mview_left_outer", "S-dsv2-mview-left-outer",
+    "LEFT OUTER MV: incremental refresh through fact append + dim insert/delete null transitions",
+    (s, d) => {
+      val base = "/tmp/graft_store_q223"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq223", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq223.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact) // 8 files
+        val custDf = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        // only keys ≤ 750 exist at first: higher custkeys are NULL-extended
+        custDf.filter(col("c_custkey") <= 750)
+          .write.format("graft-store").mode("overwrite").save(dim)
+        s.sql("CALL gq223.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, count(*) AS n, " +
+          "sum(o_totalprice) AS rev FROM gq223.fact " +
+          "LEFT JOIN gq223.dim ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment')")
+        // (a) FACT append: refresh stays churn-proportional
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val r1 = s.sql("CALL gq223.system.refresh_mview('mv')").collect()(0)
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val churnProportional = opened < 8 // never the 8-file fact base
+        // (b) DIM insert: null-extended rows with 750 < custkey ≤ 1100
+        // CONVERT to matched (their NULL-group mass must retract)
+        custDf.filter(col("c_custkey") > 750 && col("c_custkey") <= 1100)
+          .write.format("graft-store").mode("append").save(dim)
+        val r2 = s.sql("CALL gq223.system.refresh_mview('mv')").collect()(0)
+        // (c) DIM delete: matched rows convert BACK to null-extended
+        s.sql("DELETE FROM gq223.dim WHERE c_custkey % 10 = 0")
+        val r3 = s.sql("CALL gq223.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = Seq(r1, r2, r3)
+          .forall(_.getString(0) == "incremental")
+        s.sql("""SELECT coalesce(seg, '(none)') AS seg, n,
+                |  round(rev, 2) AS rev FROM gq223.mv""".stripMargin)
+          .withColumn("incremental", lit(incremental))
+          .withColumn("churn_proportional", lit(churnProportional))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq223")
+        s.conf.unset("spark.sql.catalog.gq223.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 10000),
+           |dm AS (
+           |  SELECT c_custkey, c_mktsegment FROM customer
+           |  WHERE c_custkey <= 1100 AND c_custkey % 10 <> 0)
+           |SELECT coalesce(c_mktsegment, '(none)') AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS incremental, TRUE AS churn_proportional
+           |FROM f LEFT JOIN dm ON o_custkey = c_custkey
+           |GROUP BY 1""".stripMargin))
+
+  /** N-WAY JOIN MATERIALIZED VIEW ([[graft.sources.v2.GraftMview]]): a
+    * 3-table snowflake view (orders → customer → nation) maintained by the
+    * telescoped delta rule — ONE term per CHURNED side, each joining that
+    * side's signed churn against pinned snapshots of the others, so an
+    * unchurned side contributes nothing (slice-count proof: a fact-only
+    * refresh never reopens the 8-file fact base). Exercised through churn
+    * on EVERY side in turn: fact append, middle-dim UPDATE that moves
+    * group mass between nations, leaf-dim DELETE that vanishes groups.
+    * At 100 TB: the standing nation rollup refreshes at churn ⋈ dims
+    * cost per side, never corpus × corpus. */
+  val q224MviewNway = QuerySpec(
+    "q224_mview_nway", "S-dsv2-mview-nway",
+    "3-table join MV: per-side delta terms through fact/middle/leaf churn",
+    (s, d) => {
+      val base = "/tmp/graft_store_q224"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq224", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq224.base", base)
+      try {
+        val fact = s"$base/fact"
+        val cust = s"$base/cust"
+        val nat = s"$base/nat"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact) // 8 files
+        Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .write.format("graft-store").mode("overwrite").save(cust)
+        Tables.nation(s, d).select("n_nationkey", "n_name")
+          .write.format("graft-store").mode("overwrite").save(nat)
+        s.sql("CALL gq224.system.create_mview('mv', " +
+          "'SELECT n_name, count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq224.fact JOIN gq224.cust ON o_custkey = c_custkey " +
+          "JOIN gq224.nat ON c_nationkey = n_nationkey GROUP BY n_name')")
+        // FACT churn: unchurned dims contribute no term — churn-prop proof
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val r1 = s.sql("CALL gq224.system.refresh_mview('mv')").collect()(0)
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val churnProportional = opened < 8 // never the 8-file fact base
+        // MIDDLE-dim churn: customers change nation → mass moves groups
+        s.sql("UPDATE gq224.cust SET c_nationkey = (c_nationkey + 1) % 25 " +
+          "WHERE c_custkey % 7 = 0")
+        val r2 = s.sql("CALL gq224.system.refresh_mview('mv')").collect()(0)
+        // LEAF-dim churn: nations vanish (their groups leave the view)
+        s.sql("DELETE FROM gq224.nat WHERE n_nationkey >= 20")
+        val r3 = s.sql("CALL gq224.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = Seq(r1, r2, r3)
+          .forall(_.getString(0) == "incremental")
+        s.sql("""SELECT n_name, n, round(rev, 2) AS rev FROM gq224.mv""")
+          .withColumn("incremental", lit(incremental))
+          .withColumn("churn_proportional", lit(churnProportional))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq224")
+        s.conf.unset("spark.sql.catalog.gq224.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 10000),
+           |c AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+           |         ELSE c_nationkey END AS nk
+           |  FROM customer),
+           |nt AS (
+           |  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20)
+           |SELECT n_name, count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS incremental, TRUE AS churn_proportional
+           |FROM f JOIN c ON o_custkey = c_custkey
+           |JOIN nt ON nk = n_nationkey
+           |GROUP BY n_name""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5297,5 +5450,6 @@ object SystemQueries {
     q204DecimalWidening, q205MviewAvg, q206DecimalWide, q207MviewJoin, q208MviewRewrite, q209MviewStddev, q210MviewRollup,
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
-    q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll)
+    q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
+    q223MviewLeftOuter, q224MviewNway)
 }

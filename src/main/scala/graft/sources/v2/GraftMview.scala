@@ -794,14 +794,33 @@ object GraftMview {
             // equi-match, so such rows affect no fact row
             val kf = d2.select(sCols.zipWithIndex.map { case (c, i2) =>
                 col(c).as(s"__jk_$i2") }: _*)
-              .na.drop("any").distinct().localCheckpoint(true)
-            val rOld = pinnedAt(0, wms.head._1)
+              .na.drop("any").distinct()
+              .transform(graft.operators.IterGuard(_))
+            // bounded IN-pushdown: when the churned key set is small (the
+            // common fixed-churn case) push it as a COMPILE-TIME In filter
+            // too, so min/max file skipping prunes the fact/dim scans at
+            // plan time — a checkpointed semi-join build side carries no
+            // selective predicate, so DPP alone never skips a file. The
+            // driver transfer is capped; over the cap the semi-joins
+            // (kept below for exactness either way) do all the scoping.
+            val comboCap = 1000
+            val combos = kf.limit(comboCap + 1).collect()
+            val inSets: Option[Seq[Array[Any]]] =
+              if (combos.length > comboCap) None
+              else Some(sCols.indices.map(i2 =>
+                combos.map(_.get(i2)).distinct))
+            def keyPruned(df: DataFrame, names: Seq[String]): DataFrame =
+              inSets.fold(df)(sets => names.zip(sets).foldLeft(df) {
+                case (d0, (nm, vs)) => d0.filter(col(nm).isin(vs.toSeq: _*)) })
+            val rOld = keyPruned(pinnedAt(0, wms.head._1), rCols)
             val rK = rOld.join(kf, rCols.zipWithIndex.map { case (a, i2) =>
                 rOld(a) === kf(s"__jk_$i2") }.reduce(_ && _), "left_semi")
-              .localCheckpoint(true) // reused by both signs below
-            def scoped(s0: DataFrame): DataFrame =
-              s0.join(kf, sCols.zipWithIndex.map { case (b, i2) =>
-                s0(b) === kf(s"__jk_$i2") }.reduce(_ && _), "left_semi")
+              .transform(graft.operators.IterGuard(_)) // reused by both signs
+            def scoped(s0: DataFrame): DataFrame = {
+              val s1 = keyPruned(s0, sCols)
+              s1.join(kf, sCols.zipWithIndex.map { case (b, i2) =>
+                s1(b) === kf(s"__jk_$i2") }.reduce(_ && _), "left_semi")
+            }
             def half(sK: DataFrame, sign: Long): DataFrame =
               rK.join(sK, keys.map { case (_, a, _, b) =>
                   rK(a) === sK(b) }.reduce(_ && _), "left_outer")

@@ -393,6 +393,203 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap === full)
   }
 
+  test("N-way (3-table) view: per-side delta terms maintain through churn") {
+    catBase
+    val fact = s"$catBase/n3f"
+    val d1 = s"$catBase/n3c"
+    val d2 = s"$catBase/n3n"
+    val mvDir = s"$catBase/n3mv"
+    // snowflake: fact(fk,v) → cust(pk,nk) → nat(nk2,nname)
+    spark.range(0, 8000)
+      .select(col("id").as("rid"), (col("id") % 100).as("fk"), col("id").as("v"))
+      .repartitionByRange(16, col("rid")).drop("rid")
+      .write.format("graft-store").mode("overwrite").save(fact)
+    spark.range(0, 100).select(col("id").as("pk"), (col("id") % 10).as("nk"))
+      .write.format("graft-store").mode("overwrite").save(d1)
+    spark.range(0, 10).select(col("id").as("nk2"),
+        concat(lit("n"), col("id")).as("nname"))
+      .write.format("graft-store").mode("overwrite").save(d2)
+    val (n0, _) = GraftMview.create(spark, mvDir,
+      "SELECT nname, count(*) AS n, sum(v) AS s FROM mvcat.n3f " +
+        "JOIN mvcat.n3c ON fk = pk JOIN mvcat.n3n ON nk = nk2 GROUP BY nname")
+    assert(n0 === 10)
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("nname", "n", "s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def recompute() = {
+      val f = spark.read.format("graft-store").load(fact)
+      val c = spark.read.format("graft-store").load(d1)
+      val nt = spark.read.format("graft-store").load(d2)
+      f.join(c, f("fk") === c("pk")).join(nt, c("nk") === nt("nk2"))
+        .groupBy("nname").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rows() === recompute())
+    // FACT-only churn: the unchurned dims contribute NO delta term, so
+    // the 8-file fact base is never rescanned — slice-count proof
+    Seq((0L, 1L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    val before = GraftStoreFormat.scannedFileSlices.sum()
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    val opened = GraftStoreFormat.scannedFileSlices.sum() - before
+    assert(m1 === "incremental")
+    assert(opened < 16, s"3-way fact refresh opened $opened slices — an " +
+      "unchurned side must contribute no pinned-fact term (fact base is 16 files)")
+    assert(rows() === recompute())
+    // MIDDLE-dim churn: UPDATE moves group mass across nations
+    spark.sql("UPDATE mvcat.n3c SET nk = (nk + 1) % 10 WHERE pk % 7 = 0")
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(rows() === recompute())
+    // LEAF-dim churn: a nation vanishes (its group leaves the view)
+    spark.sql("DELETE FROM mvcat.n3n WHERE nk2 = 9")
+    val (m3, _, vanished, _) = GraftMview.refresh(spark, mvDir)
+    assert(m3 === "incremental" && vanished >= 1L)
+    assert(rows() === recompute() && !rows().contains("n9"))
+    // TWO sides churn between refreshes: one term per churned side
+    Seq((5L, 1000L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    Seq((100L, 3L)).toDF("pk", "nk")
+      .write.format("graft-store").mode("append").save(d1)
+    val (m4, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m4 === "incremental")
+    assert(rows() === recompute())
+    assert(GraftMview.refresh(spark, mvDir)._1 === "noop")
+  }
+
+  test("N-way refusals: disconnected join graph; legacy 2-table key format decodes") {
+    catBase
+    Seq((1L, 1L)).toDF("ak", "av")
+      .write.format("graft-store").mode("overwrite").save(s"$catBase/dga")
+    Seq((1L, "x")).toDF("bk", "bg")
+      .write.format("graft-store").mode("overwrite").save(s"$catBase/dgb")
+    Seq((1L, 2L)).toDF("ck", "cv")
+      .write.format("graft-store").mode("overwrite").save(s"$catBase/dgc")
+    // c's ON re-pairs a and b: every key is a valid cross-table pair but
+    // no key path reaches c — some delta term would be a cartesian, so
+    // creation refuses rather than refresh exploding later
+    val e = intercept[Exception](GraftMview.create(spark, s"$catBase/dgmv",
+      "SELECT bg, count(*) AS n, sum(cv) AS s FROM mvcat.dga " +
+        "JOIN mvcat.dgb ON ak = bk JOIN mvcat.dgc ON ak = bk GROUP BY bg"))
+    assert(e.getMessage.contains("disconnected"), e.getMessage)
+    // a same-table "pair" is refused at the key level
+    val e2 = intercept[Exception](GraftMview.create(spark, s"$catBase/dgmv",
+      "SELECT bg, count(*) AS n, sum(cv) AS s FROM mvcat.dga " +
+        "JOIN mvcat.dgb ON ak = bk JOIN mvcat.dgc ON bk = bk GROUP BY bg"))
+    assert(e2.getMessage.contains("two different tables"), e2.getMessage)
+    // legacy 2-table "a:b" key property decodes to side indices (0,1) —
+    // views stored before the N-way format keep refreshing unmigrated
+    val legacy = GraftMview.decodeSource(Map(
+      "graft.mv.source" -> "/p/fact", "graft.mv.source2" -> "/p/dim",
+      "graft.mv.keys" -> "fk:pk"))
+    assert(legacy === GraftMview.JoinSrc(Seq("/p/fact", "/p/dim"),
+      Seq((0, "fk", 1, "pk")), false))
+  }
+
+  test("LEFT OUTER view: null-extension transitions maintain through churn") {
+    catBase
+    val fact = s"$catBase/lof"
+    val dim = s"$catBase/lod"
+    val mvDir = s"$catBase/lomv"
+    // fk=9 has no dim row: it lives in the NULL-region group of the view
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (9L, 99L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(fact)
+    Seq((1L, "east"), (2L, "west"))
+      .toDF("pk", "region").write.format("graft-store").mode("overwrite").save(dim)
+    val (n0, _) = GraftMview.create(spark, mvDir,
+      "SELECT region, count(*) AS n, sum(v) AS s FROM mvcat.lof " +
+        "LEFT JOIN mvcat.lod ON fk = pk GROUP BY region")
+    assert(n0 === 3) // east, west, NULL
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("region", "n", "s").collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    def recompute() = {
+      val f = spark.read.format("graft-store").load(fact)
+      val dm = spark.read.format("graft-store").load(dim)
+      f.join(dm, f("fk") === dm("pk"), "left_outer").groupBy("region")
+        .agg(count(lit(1)).as("n"), sum("v").as("s")).collect()
+        .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rows() === Map(Some("east") -> ((2L, 30L)), Some("west") -> ((1L, 5L)),
+      None -> ((1L, 99L))))
+    // (a) FACT append: one matched row, one null-extended row
+    Seq((2L, 100L), (8L, 50L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(rows() === recompute() && rows()(None) === ((2L, 149L)))
+    // (b) DIM insert: key 9 gains a row — its null-extended fact rows
+    // must CONVERT to matched (the +new/−old pair retracts the NULL rows)
+    Seq((9L, "north")).toDF("pk", "region")
+      .write.format("graft-store").mode("append").save(dim)
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()(Some("north")) === ((1L, 99L)) && rows()(None) === ((1L, 50L)))
+    // (c) DIM delete: key 1 loses its LAST match — east's rows convert
+    // BACK to null-extended and the east group vanishes entirely. Run
+    // this leg under a configured RELIABLE checkpoint dir (the dim-side
+    // refresh materializes its key/fact frames through IterGuard).
+    val ckpt = Files.createTempDirectory("graft-mv-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckpt)
+    try {
+      spark.sql("DELETE FROM mvcat.lod WHERE pk = 1")
+      val (m3, _, vanished, _) = GraftMview.refresh(spark, mvDir)
+      assert(m3 === "incremental" && vanished === 1L)
+      assert(rows() === recompute())
+      assert(!rows().contains(Some("east")) && rows()(None) === ((3L, 80L)))
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+    // (d) dim UPDATE moves mass between groups; fact DELETE in same round
+    spark.sql("UPDATE mvcat.lod SET region = 'south' WHERE pk = 2")
+    spark.sql("DELETE FROM mvcat.lof WHERE fk = 8")
+    val (m4, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m4 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()(Some("south")) === ((2L, 105L)) && rows()(None) === ((2L, 30L)))
+    assert(GraftMview.refresh(spark, mvDir)._1 === "noop")
+  }
+
+  test("LEFT OUTER view refresh is churn-proportional on dim-side churn") {
+    catBase
+    val fact = s"$catBase/lof2"
+    val dim = s"$catBase/lod2"
+    val mvDir = s"$catBase/lomv2"
+    spark.range(0, 8000)
+      .select((col("id") % 200).as("fk"), col("id").as("v"))
+      .repartitionByRange(8, col("fk"))
+      .write.format("graft-store").mode("overwrite").save(fact)
+    // keys 100..199 have no dim row: a standing null-extended population
+    spark.range(0, 100).select(col("id").as("pk"),
+        concat(lit("g"), col("id") % 8).as("grp"))
+      .write.format("graft-store").mode("overwrite").save(dim)
+    GraftMview.create(spark, mvDir,
+      "SELECT grp, count(*) AS n, sum(v) AS s FROM mvcat.lof2 " +
+        "LEFT JOIN mvcat.lod2 ON fk = pk GROUP BY grp")
+    // dim churn: ONE key converts from null-extended to matched. The
+    // refresh must scope its fact rescans to that key, not the corpus —
+    // stats pruning keeps opened slices below the 8-file fact base.
+    Seq((150L, "gNEW")).toDF("pk", "grp")
+      .write.format("graft-store").mode("append").save(dim)
+    val before = GraftStoreFormat.scannedFileSlices.sum()
+    val (mode, _, _, _) = GraftMview.refresh(spark, mvDir)
+    val opened = GraftStoreFormat.scannedFileSlices.sum() - before
+    assert(mode === "incremental")
+    // the fact side is range-laid-out on fk: the churned key's rescans
+    // prune to its one file via min/max stats — never the 8-file base
+    assert(opened < 8, s"left-outer dim refresh opened $opened slices")
+    val full = {
+      val f = spark.read.format("graft-store").load(fact)
+      val dm = spark.read.format("graft-store").load(dim)
+      f.join(dm, f("fk") === dm("pk"), "left_outer").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(spark.read.format("graft-store").load(mvDir)
+      .select("grp", "n", "s").collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap === full)
+    assert(full(Some("gNEW")) === ((40L, 162000L)))
+  }
+
   test("JOIN view with WHERE: the predicate gates both batch and delta paths") {
     catBase
     val fact = s"$catBase/jw1"
@@ -1078,12 +1275,21 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       val e = intercept[Exception](GraftMview.create(spark, s"$catBase/jmvx", sql))
       assert(e.getMessage.contains(frag), s"message '${e.getMessage}' lacks '$frag'")
     }
-    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 LEFT JOIN mvcat.jr2 " +
-      "ON fk = pk GROUP BY grp", "INNER")
+    // LEFT OUTER (2 plain tables) is a FEATURE now — the refusals are
+    // RIGHT/FULL OUTER and any left-outer shape with a nested join
+    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 RIGHT JOIN mvcat.jr2 " +
+      "ON fk = pk GROUP BY grp", "INNER or LEFT OUTER")
+    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 FULL OUTER JOIN mvcat.jr2 " +
+      "ON fk = pk GROUP BY grp", "INNER or LEFT OUTER")
+    Seq((1L, 5L)).toDF("pk2", "w")
+      .write.format("graft-store").mode("overwrite").save(s"$catBase/jr4")
+    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
+      "LEFT JOIN mvcat.jr2 ON fk = pk " +
+      "LEFT JOIN mvcat.jr4 ON pk = pk2 GROUP BY grp", "exactly two")
     refuse("SELECT grp, count(*) AS n, min(v) AS mn FROM mvcat.jr1 JOIN mvcat.jr2 " +
       "ON fk = pk GROUP BY grp", "min/max")
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 JOIN mvcat.jr3 " +
-      "ON fk = pk GROUP BY grp", "both sides")
+      "ON fk = pk GROUP BY grp", "more than one side")
     refuse("SELECT a.fk AS k, count(*) AS n FROM mvcat.jr1 a JOIN mvcat.jr1 b " +
       "ON a.fk = b.fk GROUP BY a.fk", "self-join")
   }
