@@ -5426,6 +5426,81 @@ object SystemQueries {
            |JOIN nt ON nk = n_nationkey
            |GROUP BY n_name""".stripMargin))
 
+  /** LEFT-SHAPE MV REWRITE ([[graft.sources.v2.GraftMviewRewriteRule]]):
+    * a LEFT JOIN aggregate is served from the registered LEFT OUTER view
+    * — and ONLY from it: join-type matching is exact in both directions,
+    * since the left view carries null-extended rows an inner query must
+    * never see and an inner view lacks the NULL group a left query
+    * needs. Slice-count bit proves the served query never touched the
+    * 8-file fact base; the inner probe over the same tables proves the
+    * cross-shape refusal. At 100 TB: the keep-every-fact-row rollup (the
+    * reference's own J1/J2 left-join shape) stops scanning the fact
+    * table like its inner siblings did in q208/q212. */
+  val q225MviewLeftRewrite = QuerySpec(
+    "q225_mview_left_rewrite", "S-dsv2-mview-left-rewrite",
+    "left-shape rewrite: LEFT JOIN aggregate served from the left view; inner refuses",
+    (s, d) => {
+      val base = "/tmp/graft_store_q225"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq225", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq225.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact) // 8 files
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .filter(col("c_custkey") <= 750) // higher keys null-extend
+          .write.format("graft-store").mode("overwrite").save(dim)
+        s.sql("CALL gq225.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, count(*) AS n, " +
+          "sum(o_totalprice) AS rev FROM gq225.fact " +
+          "LEFT JOIN gq225.dim ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment')")
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        s.sql("CALL gq225.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val leftQ = s.sql(
+          """SELECT coalesce(c_mktsegment, '(none)') AS seg, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM gq225.fact LEFT JOIN gq225.dim ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        val rows = leftQ.collect()
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val leftServed = served(leftQ) && opened < 8
+        // the INNER shape over the same tables must NOT read the left view
+        val innerQ = s.sql(
+          """SELECT c_mktsegment AS seg, count(*) AS n
+            |FROM gq225.fact JOIN gq225.dim ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        val innerRefused = !served(innerQ) &&
+          innerQ.collect().forall(_.getString(0) != null)
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), leftQ.schema)
+          .withColumn("left_served", lit(leftServed))
+          .withColumn("inner_refused", lit(innerRefused))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq225")
+        s.conf.unset("spark.sql.catalog.gq225.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 10000),
+           |dm AS (
+           |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 750)
+           |SELECT coalesce(c_mktsegment, '(none)') AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS left_served, TRUE AS inner_refused
+           |FROM f LEFT JOIN dm ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5451,5 +5526,5 @@ object SystemQueries {
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
     q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
-    q223MviewLeftOuter, q224MviewNway)
+    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite)
 }

@@ -103,7 +103,8 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     * relations: a flattened INNER-join tree. */
   private case class QuerySource(rels: Seq[DataSourceV2Relation],
       paths: Seq[String], conjs: Seq[Expression],
-      pairs: Seq[(AttributeReference, AttributeReference)]) {
+      pairs: Seq[(AttributeReference, AttributeReference)],
+      leftOuter: Boolean = false) {
     /** Key pairs as names normalized to (rels(0), rels(1)) — the
       * two-relation exact-join-view match. */
     def joinKeys: Seq[(String, String)] = {
@@ -166,13 +167,41 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  private def extractSource(child: LogicalPlan): Option[QuerySource] =
-    flatten(child).flatMap { case (rels, conjs, pairs) =>
-      val paths = rels.map(pathOf)
-      // a self-join makes path-based MV matching ambiguous: refuse
-      if (paths.distinct.size != paths.size) None
-      else Some(QuerySource(rels, paths, conjs, pairs))
+  private def extractSource(child: LogicalPlan): Option[QuerySource] = {
+    val (topConjs, base) = peel(child)
+    base match {
+      // LEFT OUTER shape: exactly two bare graft relations (the shape
+      // [[GraftMview]] maintains). Filters peeled from BELOW the RIGHT
+      // side do NOT commute with the view's above-join WHERE (they change
+      // which left rows null-extend) — refuse; left-side filters commute
+      // (a left join is row-local in its left argument) and pool with the
+      // above-join conjuncts for ordinary containment.
+      case j: Join if j.joinType ==
+          org.apache.spark.sql.catalyst.plans.LeftOuter &&
+          j.condition.isDefined =>
+        val (lc, lbase) = peel(j.left)
+        val (rc, rbase) = peel(j.right)
+        (graftRel(lbase), graftRel(rbase)) match {
+          case (Some(lr), Some(rr)) if rc.isEmpty =>
+            eqAttrPairs(j.condition.get, lr.output.map(_.exprId).toSet,
+                rr.output.map(_.exprId).toSet).flatMap { ps =>
+              val rels = Seq(lr, rr)
+              val paths = rels.map(pathOf)
+              if (paths.distinct.size != paths.size) None
+              else Some(QuerySource(rels, paths, topConjs ++ lc, ps,
+                leftOuter = true))
+            }
+          case _ => None
+        }
+      case _ =>
+        flatten(child).flatMap { case (rels, conjs, pairs) =>
+          val paths = rels.map(pathOf)
+          // a self-join makes path-based MV matching ambiguous: refuse
+          if (paths.distinct.size != paths.size) None
+          else Some(QuerySource(rels, paths, conjs, pairs))
+        }
     }
+  }
 
   /** Plain equi-key conjunction → attribute pairs with the left-subtree
     * attribute first; anything else in the ON condition makes the join
@@ -607,10 +636,14 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       .getOrElse(return None) // stale pointer: MV dropped
     val p = mvManifest.props
     if (!p.get("graft.mv").contains("true")) return None
-    // a LEFT OUTER view carries null-extended rows the inner-join query
-    // (the only shape flatten() admits) must never see — conservative gate
-    // until left-shape query matching lands
-    if (p.get("graft.mv.jointype").contains("left")) return None
+    // join-TYPE matching: a LEFT OUTER view carries null-extended rows an
+    // inner-join query must never see, and an inner view LACKS the
+    // null-extended rows a left-join query needs — the shapes serve only
+    // their own kind. A left match is additionally ORIENTED: left joins
+    // are not symmetric, so the query's (left, right) table order must
+    // equal the view's (checked below once paths resolve).
+    val mvLeft = p.get("graft.mv.jointype").contains("left")
+    if (mvLeft != qs.leftOuter) return None
     // source-shape match: single table, or the same N-way join (any
     // order). A query joining MORE relations than the MV covers — a join
     // query over a single-table MV, or a query whose join SUPERSET
@@ -636,6 +669,8 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       if (!fresh(0, mvSrcPaths.head)) return None // STALE
     } else if (qs.paths.toSet == mvSrcPaths.toSet &&
         qs.paths.size == mvSrcPaths.size) {
+      // left-outer orientation: fact and dim must sit on the same sides
+      if (mvLeft && qs.paths != mvSrcPaths) return None
       // exact join-shape match, N-way: every side fresh, and the query's
       // key-pair set must equal the MV's, normalized to MV side indices
       if (!mvSrcPaths.zipWithIndex.forall { case (path, i) => fresh(i, path) })
@@ -677,8 +712,13 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (matchedGroups.distinct.size != matchedGroups.size) return None
     val exact = matchedGroups.size == mm.mvGroups.size
     // ---- filter containment ----------------------------------------
+    // inferred join-key IsNotNull conjuncts are implied by an INNER
+    // equi-join and droppable; a LEFT OUTER join implies neither side
+    // (left rows with NULL keys survive, null-extended), so for a left
+    // shape every IsNotNull is a real predicate and stays residual
     val qConjs = usableConjs(qs.conjs,
-      qs.pairs.flatMap(pr => Seq(pr._1.name, pr._2.name)).toSet)
+      if (qs.leftOuter) Set.empty
+      else qs.pairs.flatMap(pr => Seq(pr._1.name, pr._2.name)).toSet)
       .getOrElse(return None)
     val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
       case None => Nil

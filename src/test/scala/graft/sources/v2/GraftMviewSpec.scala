@@ -667,6 +667,78 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(sqlDf.collect().map(_.getLong(1)).sum === 5L)
   }
 
+  test("left-shape rewrite: a left view serves left queries, inner serves inner, never crossed") {
+    catBase
+    val fact = s"$catBase/lrf"
+    val dim = s"$catBase/lrd"
+    val leftMv = s"$catBase/lrmvL"
+    val innerMv = s"$catBase/lrmvI"
+    // fk=9 unmatched: the left shape has a NULL-region group the inner lacks
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (9L, 99L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(fact)
+    Seq((1L, "east"), (2L, "west"))
+      .toDF("pk", "region").write.format("graft-store").mode("overwrite").save(dim)
+    GraftMview.create(spark, leftMv,
+      "SELECT region, count(*) AS n, sum(v) AS s FROM mvcat.lrf " +
+        "LEFT JOIN mvcat.lrd ON fk = pk GROUP BY region")
+    GraftMview.create(spark, innerMv,
+      "SELECT region, count(*) AS n, sum(v) AS s FROM mvcat.lrf " +
+        "JOIN mvcat.lrd ON fk = pk GROUP BY region")
+    def f() = spark.read.format("graft-store").load(fact)
+    def dm() = spark.read.format("graft-store").load(dim)
+    def qLeft() = { val a = f(); val b = dm()
+      a.join(b, a("fk") === b("pk"), "left_outer")
+        .groupBy("region").agg(count(lit(1)).as("n"), sum("v").as("s")) }
+    def qInner() = { val a = f(); val b = dm()
+      a.join(b, a("fk") === b("pk"))
+        .groupBy("region").agg(count(lit(1)).as("n"), sum("v").as("s")) }
+    def servedFrom(df: org.apache.spark.sql.DataFrame, dir: String): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    // each shape serves from ITS OWN view — never the other (the left
+    // view carries null-extended rows an inner query must not see; the
+    // inner view lacks the NULL group a left query needs)
+    assert(servedFrom(qLeft(), leftMv) && !servedFrom(qLeft(), innerMv))
+    assert(servedFrom(qInner(), innerMv) && !servedFrom(qInner(), leftMv))
+    assert(rows(qLeft()) === Map(Option("east") -> ((2L, 30L)),
+      Option("west") -> ((1L, 5L)), None -> ((1L, 99L))))
+    assert(rows(qInner()) === Map(Option("east") -> ((2L, 30L)),
+      Option("west") -> ((1L, 5L))))
+    // ROLLUP from the left view: the global aggregate re-aggregates the
+    // stored groups (the NULL group's mass included)
+    val gl = { val a = f(); val b = dm()
+      a.join(b, a("fk") === b("pk"), "left_outer")
+        .agg(count(lit(1)).as("n"), sum("v").as("s")) }
+    assert(servedFrom(gl, leftMv))
+    assert(gl.collect()(0).getLong(0) === 4L)
+    // ORIENTATION: dim LEFT JOIN fact is a different relation — refuses
+    val flipped = { val a = f(); val b = dm()
+      b.join(a, a("fk") === b("pk"), "left_outer")
+        .groupBy("region").agg(count(lit(1)).as("n")) }
+    assert(!servedFrom(flipped, leftMv) && !servedFrom(flipped, innerMv))
+    // a filter UNDER the right side changes null-extension — refuses
+    val rightFiltered = { val a = f()
+      val b = dm().filter(col("region") =!= "west")
+      a.join(b, a("fk") === b("pk"), "left_outer")
+        .groupBy("region").agg(count(lit(1)).as("n")) }
+    assert(!servedFrom(rightFiltered, leftMv))
+    // STALE left view never serves; refresh restores
+    Seq((2L, 100L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    assert(!servedFrom(qLeft(), leftMv))
+    assert(rows(qLeft())(Option("west")) === ((2L, 105L)))
+    GraftMview.refresh(spark, leftMv)
+    assert(servedFrom(qLeft(), leftMv))
+    assert(rows(qLeft())(Option("west")) === ((2L, 105L)))
+    // SQL path serves the left shape too
+    GraftMview.refresh(spark, innerMv)
+    val sqlDf = spark.sql("SELECT region, count(*) AS n, sum(v) AS s " +
+      "FROM mvcat.lrf LEFT JOIN mvcat.lrd ON fk = pk GROUP BY region")
+    assert(sqlDf.queryExecution.optimizedPlan.toString.contains(leftMv))
+    assert(rows(sqlDf)(None) === ((1L, 99L)))
+  }
+
   test("rollup rewrite: coarser and GLOBAL aggregates re-aggregate the finer view") {
     catBase
     val srcDir = s"$catBase/rusrc"
