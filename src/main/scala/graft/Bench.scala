@@ -48,6 +48,35 @@ object Bench {
       spark.catalog.clearCache() // untimed: hygiene between measurements
       name -> ((elapsed, setup, if (ok) elapsed - setup else -1.0))
     }
+    // REPEAT PROBE: the top-K slowest query_s entries re-run (R−1) more
+    // times so a large swing on untouched code can be CLASSIFIED instead
+    // of eyeballed — per-run times that stay high are algorithmic
+    // (e.g. KMeans iteration-count variance), a one-off spike is host
+    // jitter. Reported as repeat_query_s (all runs, first = the timed
+    // pass) and summarized as best-of in the compact line.
+    val repeatTop = sys.env.getOrElse("SPARK_GRAFT_REPEAT_TOP", "5").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val topNames = results.toSeq.filter(_._2._3 >= 0)
+      .sortBy(-_._2._3).take(repeatTop).map(_._1)
+    val repeatS: Seq[(String, Seq[Double])] = topNames.map { name =>
+      val fn = selected(name)
+      val more = (2 to repeats).map { _ =>
+        BenchSetup.begin()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        val el = (System.nanoTime() - t0) / 1e9
+        val st = if (ok) math.min(BenchSetup.setupSeconds(), el) else 0.0
+        spark.catalog.clearCache()
+        if (ok) el - st else -1.0
+      }
+      name -> (results(name)._3 +: more)
+    }
+    def s3r(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val repeatJson = repeatS.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(s3r).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val setups = results.map { case (k, (_, s, _)) => s"\"" + k + "\":" + s }
@@ -57,7 +86,7 @@ object Bench {
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val queryTotal = results.values.map(_._3).filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_s":$setups,"query_s":$queryS,"query_total":$queryTotal,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup_s":$setups,"query_s":$queryS,"query_total":$queryTotal,"repeat_query_s":$repeatJson,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Persist the full-precision JSON where the driver / a human can always
     // recover it (stdout has proven lossy three rounds running). A SUBSET
@@ -85,7 +114,12 @@ object Bench {
       val key = if (shortKeys) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + (if (v < 0) "-1" else s3(v))
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","query_total":${s3(queryTotal)},"queries":$qsCompact,"errors":$errs,"sf":"$sfDir","note":"full names + setup_s/query_s split in BENCH_LOCAL.json"}"""
+    val repeatBest = repeatS.map { case (k, vs) =>
+      val key = if (shortKeys) k.takeWhile(_ != '_') else k
+      "\"" + key + "\":" + s3(vs.filter(_ >= 0) match {
+        case Seq() => -1.0; case ok => ok.min })
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${s3(total)},"unit":"sec","query_total":${s3(queryTotal)},"queries":$qsCompact,"repeat_best_s":$repeatBest,"errors":$errs,"sf":"$sfDir","note":"full names + setup_s/query_s split + repeat_query_s runs in BENCH_LOCAL.json"}"""
     println(compact)
     spark.stop()
   }
