@@ -5501,6 +5501,78 @@ object SystemQueries {
            |FROM f LEFT JOIN dm ON o_custkey = c_custkey
            |GROUP BY c_mktsegment""".stripMargin))
 
+  /** HAVING + AGGREGATE-FILTER REWRITE
+    * ([[graft.sources.v2.GraftMviewRewriteRule]]): HAVING is a Filter the
+    * analyzer plants ABOVE the aggregate, so once the rollup serves from
+    * the view the predicate simply applies to served rows — including a
+    * HAVING over an aggregate absent from the select list (a hidden
+    * output). An aggregate's FILTER (WHERE p) serves when p maps onto
+    * view GROUP columns: the predicate attaches to the internal
+    * re-aggregation calls (the view partitions the source by its group
+    * set, so filtering stored rows IS filtering source rows); FILTER
+    * over a collapsed column keeps refusing. Slice-count bit pins that
+    * both served probes never touched the 8-file base. */
+  val q226MviewHavingFilter = QuerySpec(
+    "q226_mview_having_filter", "S-dsv2-mview-having-filter",
+    "HAVING + aggregate FILTER served from the view; collapsed-column FILTER refuses",
+    (s, d) => {
+      val base = "/tmp/graft_store_q226"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq226", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq226.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src) // 8 files
+        s.sql("CALL gq226.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS priority, o_orderstatus AS status, " +
+          "count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq226.src GROUP BY o_orderpriority, o_orderstatus')")
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        s.sql("CALL gq226.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val havingQ = s.sql(
+          """SELECT o_orderpriority AS priority, count(*) AS n
+            |FROM gq226.src GROUP BY o_orderpriority
+            |HAVING sum(o_totalprice) > 100000""".stripMargin)
+        val havingOk = served(havingQ) && havingQ.collect().nonEmpty
+        val filterQ = s.sql(
+          """SELECT o_orderpriority AS priority, count(*) AS n,
+            |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+            |    AS rev_open
+            |FROM gq226.src GROUP BY o_orderpriority""".stripMargin)
+        val rows = filterQ.collect()
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val filterOk = served(filterQ) && opened < 8
+        val refusal = s.sql(
+          """SELECT o_orderpriority AS priority,
+            |  sum(o_totalprice) FILTER (WHERE o_totalprice > 1000) AS rv
+            |FROM gq226.src GROUP BY o_orderpriority""".stripMargin)
+        val refusalKept = !served(refusal)
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), filterQ.schema)
+          .withColumn("having_served", lit(havingOk))
+          .withColumn("filter_served", lit(filterOk))
+          .withColumn("refusal_kept", lit(refusalKept))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq226")
+        s.conf.unset("spark.sql.catalog.gq226.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+           |    AS rev_open,
+           |  TRUE AS having_served, TRUE AS filter_served, TRUE AS refusal_kept
+           |FROM orders WHERE o_orderkey < 10000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5526,5 +5598,5 @@ object SystemQueries {
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
     q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
-    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite)
+    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter)
 }

@@ -52,7 +52,14 @@ import scala.jdk.CollectionConverters._
   *     re-aggregation. Join-key IsNotNull conjuncts (inferred by the
   *     optimizer) are implied by the inner equi-join itself and ignored;
   *   - every output derives from a stored MV column with IDENTICAL
-  *     result types; aggregates carry no FILTER clause.
+  *     result types. An aggregate's FILTER (WHERE p) is served when p
+  *     maps onto view GROUP columns: the predicate attaches to the
+  *     internal re-aggregation calls (forcing the re-aggregation form
+  *     even at the exact group set) — the view partitions the source by
+  *     its group set, so filtering whole stored rows IS filtering the
+  *     source rows. HAVING needs no machinery at all: the analyzer
+  *     plants it as a Filter ABOVE the aggregate, which simply applies
+  *     to the served rows.
   *
   * The MV's stored filter text re-analyzes against the query's own
   * relation attributes (parse → analyze → constant-fold), so both sides
@@ -502,10 +509,24 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       * through to "no rewrite". Serves both the rollup rewrite (coarser
       * grouping over stored rows) and the join-back rewrite (stored rows
       * replicated by a dimension join) — the algebra is the same. */
-    def mapAggRollup(ae: AggregateExpression): Option[Expression] = {
+    def mapAggRollup(ae: AggregateExpression,
+        keyOf: Map[GroupCol, Expression]): Option[Expression] = {
       import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Coalesce, Divide, GreaterThan, Greatest, Literal, Multiply, Sqrt, Subtract, Cast => CCast}
       import org.apache.spark.sql.types.DoubleType
-      if (ae.filter.isDefined) return None
+      // FILTER (WHERE p) decomposes like the residual WHERE: p must map
+      // onto view GROUP columns, and then the SAME predicate attaches to
+      // every internal re-aggregation call — the view partitions the
+      // source exactly by its group set, so filtering whole stored rows
+      // before re-summing IS filtering the underlying source rows. A
+      // predicate over a collapsed (non-group) column cannot be expressed
+      // against stored rows and refuses the rewrite.
+      val reFilter: Option[Expression] = ae.filter match {
+        case None => None
+        case Some(f) =>
+          if (!f.deterministic ||
+              f.exists(_.isInstanceOf[PlanExpression[_]])) return None
+          Some(convFilter(f, keyOf).getOrElse(return None))
+      }
       def srcOf(child: Expression): Option[String] = stripCast(child) match {
         case a: AttributeReference => Some(a.name)
         case _ => None
@@ -524,18 +545,19 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         val mappedD: Option[Expression] = ae.aggregateFunction match {
           case c: Count if c.children.size == 1 =>
             storedKey(c.children.head)
-              .map(x => Count(x).toAggregateExpression(isDistinct = true))
+              .map(x => Count(x).toAggregateExpression(true, reFilter))
           case s: Sum =>
             storedKey(s.child)
-              .map(x => Sum(x).toAggregateExpression(isDistinct = true))
+              .map(x => Sum(x).toAggregateExpression(true, reFilter))
           case v: Average =>
             storedKey(v.child)
-              .map(x => Average(x).toAggregateExpression(isDistinct = true))
+              .map(x => Average(x).toAggregateExpression(true, reFilter))
           case _ => None
         }
         return mappedD.filter(_.dataType == ae.dataType)
       }
-      def sumOf(out: String): Expression = Sum(mvAttr(out)).toAggregateExpression()
+      def sumOf(out: String): Expression =
+        Sum(mvAttr(out)).toAggregateExpression(false, reFilter)
       def momentExpr(o: String, kind: String): Expression = {
         val sS = sumOf(s"__s_$o")
         val qS = sumOf(s"__q_$o")
@@ -569,10 +591,10 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
                 CCast(nS, DoubleType)))), None) })
         case m: Min => srcOf(m.child).flatMap(nm => cols.collectFirst {
           case MinCol(s2, o) if s2 == nm =>
-            Min(mvAttr(o)).toAggregateExpression() })
+            Min(mvAttr(o)).toAggregateExpression(false, reFilter) })
         case m: Max => srcOf(m.child).flatMap(nm => cols.collectFirst {
           case MaxCol(s2, o) if s2 == nm =>
-            Max(mvAttr(o)).toAggregateExpression() })
+            Max(mvAttr(o)).toAggregateExpression(false, reFilter) })
         case v: org.apache.spark.sql.catalyst.expressions.aggregate.CentralMomentAgg =>
           val kind = varKind(v)
           if (kind.isEmpty) None
@@ -587,7 +609,8 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
             case HllCol(s2, o, lgk) if s2 == nm && lgk == h.lgConfigK =>
               new org.apache.spark.sql.catalyst.expressions.aggregate
                 .HllUnionAgg(org.apache.spark.sql.catalyst.expressions
-                  .UnBase64(mvAttr(s"__h_$o"))).toAggregateExpression()
+                  .UnBase64(mvAttr(s"__h_$o")))
+                .toAggregateExpression(false, reFilter)
           })
         case _ => None
       }
@@ -710,7 +733,14 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         .getOrElse(return None)
     }
     if (matchedGroups.distinct.size != matchedGroups.size) return None
-    val exact = matchedGroups.size == mm.mvGroups.size
+    // an aggregate carrying FILTER (WHERE …) needs the re-aggregation
+    // form even at the exact group set — the predicate applies per
+    // stored row, which a straight projection cannot express; the
+    // re-aggregation over the full key set is value-identical
+    val hasAggFilter = aggExprs.exists(_.exists {
+      case ae: AggregateExpression => ae.filter.isDefined
+      case _ => false })
+    val exact = matchedGroups.size == mm.mvGroups.size && !hasAggFilter
     // ---- filter containment ----------------------------------------
     // inferred join-key IsNotNull conjuncts are implied by an INNER
     // equi-join and droppable; a LEFT OUTER join implies neither side
@@ -740,7 +770,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // `round(sum(x), 2)` — the MV column slots in where the call was.
     def conv(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression =>
-        if (exact) mm.mapAgg(ae) else mm.mapAggRollup(ae)
+        if (exact) mm.mapAgg(ae) else mm.mapAggRollup(ae, keyOf)
       case e2 if mm.matchedKey(e2, keyOf).isDefined => mm.matchedKey(e2, keyOf)
       case _: AttributeReference => None // bare source column: unservable
       case other =>
@@ -916,7 +946,8 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       case ae: AggregateExpression =>
         // covered-only aggregates (count(*) included: no references) — a
         // dim or mixed aggregate cannot come from the stored partials
-        if (ae.references.subsetOf(coveredIds)) mm.mapAggRollup(ae) else None
+        if (ae.references.subsetOf(coveredIds)) mm.mapAggRollup(ae, keyOf)
+        else None
       case a: AttributeReference if coveredIds.contains(a) =>
         if (groupAttrs.exists(_.exprId == a.exprId)) mm.groupAttrFor(a.name)
         else None

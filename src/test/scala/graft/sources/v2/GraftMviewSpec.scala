@@ -739,6 +739,60 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(rows(sqlDf)(None) === ((1L, 99L)))
   }
 
+  test("HAVING and aggregate FILTER serve from the view; collapsed-column FILTER refuses") {
+    catBase
+    val srcDir = s"$catBase/hfsrc"
+    val mvDir = s"$catBase/hfmv"
+    Seq(("a", "x", 1L), ("a", "x", 2L), ("a", "y", 10L),
+        ("b", "x", 5L), ("b", "y", 7L), ("c", "y", 20L))
+      .toDF("g1", "g2", "v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g1, g2, count(*) AS n, sum(v) AS s FROM mvcat.hfsrc GROUP BY g1, g2")
+    def served(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    // HAVING is a Filter ABOVE the aggregate: the rollup serves, the
+    // predicate applies to served rows — no extra machinery
+    val having = spark.sql("SELECT g1, sum(v) AS s FROM mvcat.hfsrc " +
+      "GROUP BY g1 HAVING sum(v) > 10")
+    assert(served(having), "HAVING rollup must serve from the view")
+    assert(having.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("a" -> 13L, "b" -> 12L, "c" -> 20L))
+    // HAVING over an aggregate NOT in the select list (analyzer plants a
+    // hidden output) serves too
+    val having2 = spark.sql("SELECT g1, sum(v) AS s FROM mvcat.hfsrc " +
+      "GROUP BY g1 HAVING count(*) > 1")
+    assert(served(having2))
+    assert(having2.collect().map(_.getString(0)).toSet === Set("a", "b"))
+    // FILTER over a view GROUP column, rolled up: the predicate attaches
+    // to the internal re-aggregations over stored rows
+    val filtered = spark.sql(
+      "SELECT g1, count(*) AS n, sum(v) FILTER (WHERE g2 = 'x') AS sx " +
+        "FROM mvcat.hfsrc GROUP BY g1")
+    assert(served(filtered), "group-column FILTER must serve")
+    assert(filtered.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      === Map("a" -> ((3L, 3L)), "b" -> ((2L, 5L)), "c" -> ((1L, -1L))))
+    // FILTER at the EXACT group set forces the re-aggregation form
+    val exactF = spark.sql(
+      "SELECT g1, g2, count(*) FILTER (WHERE g2 = 'x') AS nx " +
+        "FROM mvcat.hfsrc GROUP BY g1, g2")
+    assert(served(exactF))
+    assert(exactF.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      === Map(("a", "x") -> 2L, ("a", "y") -> 0L, ("b", "x") -> 1L,
+        ("b", "y") -> 0L, ("c", "y") -> 0L))
+    // FILTER over a COLLAPSED (non-group) column cannot be expressed
+    // against stored rows — refuses, and the base-table answer is right
+    val collapsed = spark.sql(
+      "SELECT g1, sum(v) FILTER (WHERE v > 2) AS sv " +
+        "FROM mvcat.hfsrc GROUP BY g1")
+    assert(!served(collapsed), "collapsed-column FILTER must refuse")
+    assert(collapsed.collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      === Map("a" -> 10L, "b" -> 12L, "c" -> 20L))
+  }
+
   test("rollup rewrite: coarser and GLOBAL aggregates re-aggregate the finer view") {
     catBase
     val srcDir = s"$catBase/rusrc"
