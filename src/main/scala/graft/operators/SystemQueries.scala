@@ -5573,6 +5573,122 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 10000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** EXACT COUNT(DISTINCT) MAINTENANCE ([[graft.sources.v2.GraftMview]],
+    * `DCountCol`): the view stores an exact per-group distinct count,
+    * maintained through a per-(group, value) DUP-COUNT COMPANION table
+    * that absorbs the same signed churn — duplicate inserts don't inflate
+    * the count, removing one copy of a duplicated value doesn't deflate
+    * it, and a value deleted out of one group while surviving in another
+    * (the classic IVM trap) resolves per pair. The q217/q222 distinct
+    * story was rollup-only/approximate; this is the exact maintained
+    * form, verified against DuckDB's count(DISTINCT) after fact append +
+    * a 1000-row delete. At 100 TB: refresh cost tracks churn pairs, and
+    * the companion is distinct-pairs-sized, not corpus-sized. */
+  val q227MviewDcount = QuerySpec(
+    "q227_mview_count_distinct", "S-dsv2-mview-count-distinct",
+    "exact count(DISTINCT) MV: dup-count companion through insert + delete churn",
+    (s, d) => {
+      val base = "/tmp/graft_store_q227"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq227", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq227.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        s.sql("CALL gq227.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS pr, count(*) AS n, " +
+          "count(DISTINCT o_custkey) AS dc " +
+          "FROM gq227.src GROUP BY o_orderpriority')")
+        // inserts re-reference existing custkeys (dups) and add new ones
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        val r1 = s.sql("CALL gq227.system.refresh_mview('mv')").collect()(0)
+        // the delete removes many (priority, custkey) pairs whose custkey
+        // survives in other priorities — per-pair resolution required
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        val r2 = s.sql("CALL gq227.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = Seq(r1, r2).forall(_.getString(0) == "incremental")
+        s.sql("SELECT pr, n, dc FROM gq227.mv")
+          .withColumn("incremental", lit(incremental))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq227")
+        s.conf.unset("spark.sql.catalog.gq227.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS pr, count(*) AS n,
+           |  count(DISTINCT o_custkey) AS dc, TRUE AS incremental
+           |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
+           |GROUP BY o_orderpriority""".stripMargin))
+
+  /** MATERIALIZED VIEW DDL ([[graft.sources.v2.GraftViewParser]]): the
+    * whole lifecycle through standard SQL text — `CREATE MATERIALIZED
+    * VIEW … AS SELECT`, `REFRESH MATERIALIZED VIEW` (incremental),
+    * `REFRESH … FULL`, `DROP MATERIALIZED VIEW` — no SQL-string-in-a-CALL
+    * nesting. The OSS grammar parses but refuses MATERIALIZED views, so
+    * the graft parser intercepts the text for graft-catalog names and
+    * hands the query verbatim to the same [[graft.sources.v2.GraftMview]]
+    * engine the procedures use; non-graft names fall through to Spark's
+    * own error. The probe creates via DDL, churns, refreshes via DDL,
+    * proves the transparent rewrite serves the DDL-created view, and
+    * drops a scratch view via DDL. */
+  val q228MviewDdl = QuerySpec(
+    "q228_mview_ddl", "S-dsv2-mview-ddl",
+    "CREATE/REFRESH/DROP MATERIALIZED VIEW as standard DDL text",
+    (s, d) => {
+      val base = "/tmp/graft_store_q228"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq228", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq228.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        s.sql("CREATE MATERIALIZED VIEW gq228.mv AS " +
+          "SELECT o_orderpriority AS priority, count(*) AS n, " +
+          "sum(o_totalprice) AS rev FROM gq228.src GROUP BY o_orderpriority")
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        val r1 = s.sql("REFRESH MATERIALIZED VIEW gq228.mv").collect()(0)
+        // a scratch view exercises IF NOT EXISTS + DROP through DDL too
+        s.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS gq228.scratch AS " +
+          "SELECT o_orderpriority AS p2, count(*) AS n2 " +
+          "FROM gq228.src GROUP BY o_orderpriority")
+        s.sql("DROP MATERIALIZED VIEW gq228.scratch")
+        val dropped =
+          try { s.sql("SELECT * FROM gq228.scratch").collect(); false }
+          catch { case _: Exception => true }
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = r1.getString(0) == "incremental"
+        val servedQ = s.sql("SELECT o_orderpriority AS priority, count(*) AS n " +
+          "FROM gq228.src GROUP BY o_orderpriority")
+        val served = servedQ.queryExecution.optimizedPlan.toString
+          .contains(s"$base/mv")
+        s.sql("""SELECT priority, n, round(rev, 2) AS rev FROM gq228.mv""")
+          .withColumn("incremental", lit(incremental))
+          .withColumn("rewrite_served", lit(served))
+          .withColumn("drop_effective", lit(dropped))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq228")
+        s.conf.unset("spark.sql.catalog.gq228.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev, TRUE AS incremental,
+           |  TRUE AS rewrite_served, TRUE AS drop_effective
+           |FROM orders WHERE o_orderkey < 10000
+           |GROUP BY o_orderpriority""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5598,5 +5714,5 @@ object SystemQueries {
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
     q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
-    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter)
+    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl)
 }

@@ -63,6 +63,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   private def pathOf(ident: Identifier): String =
     (base +: (ident.namespace() :+ ident.name())).mkString("/")
 
+  /** The storage directory an identifier resolves to — the parser-level
+    * MATERIALIZED VIEW DDL needs the path for [[GraftMview]] calls. */
+  private[v2] def tablePath(ident: Identifier): String = pathOf(ident)
+
   private def load(ident: Identifier, pinned: Map[String, String]): Table = {
     val path = pathOf(ident)
     val m = GraftStoreFormat

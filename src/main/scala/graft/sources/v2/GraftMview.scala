@@ -37,7 +37,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * inserts since the watermark maintain via least/greatest against the
   * stored value; groups touched by any removal RESCAN from the (pinned)
   * source scoped to just those group keys — churn-groups cost, never
-  * table cost. Distinct aggregates are refused with guidance.
+  * table cost. `count(DISTINCT col)` is EXACT, maintained through a
+  * per-(group, value) dup-count companion table (see [[DCountCol]]);
+  * other distinct aggregates are refused with guidance.
   *
   * GROUP BY over a NULLable column is ordinary SQL: every group-key
   * equation in the maintenance joins (delta merge, rescan scoping,
@@ -107,6 +109,18 @@ object GraftMview {
   private[v2] case class VarCol(src: String, out: String, kind: String) extends ColSpec
   private[v2] case class MinCol(src: String, out: String) extends ColSpec
   private[v2] case class MaxCol(src: String, out: String) extends ColSpec
+  /** EXACT COUNT(DISTINCT src): maintained through a PER-(GROUP, VALUE)
+    * DUP-COUNT COMPANION table (`<mv>/_dck_<out>`, schema group outs +
+    * `__dv` value + `__dc` count). The companion absorbs the same signed
+    * churn the view does — per-pair counts add the churn's ±1s, pairs
+    * hitting zero DELETE — and the published distinct count is the
+    * companion's surviving-pair count per group, read back scoped to the
+    * churned groups. Exact under inserts AND deletes (a value vanishing
+    * from one group while surviving another is just two pair rows), at
+    * churn-proportional refresh cost; the companion commits its own
+    * watermark atomically with its rows, so a crash between companion
+    * and view commits cannot double-apply churn. */
+  private[v2] case class DCountCol(src: String, out: String) extends ColSpec
   /** APPROX-DISTINCT via a DataSketches HLL sketch: the view publishes
     * `hll_sketch_estimate(hll_sketch_agg(src, lgk))` and stores the
     * SKETCH ITSELF as an internal binary companion (`__h_<out>`). The
@@ -151,6 +165,7 @@ object GraftMview {
     case VarCol(s, o, k) => s"$k:${enc(s)}:${enc(o)}"
     case MinCol(s, o) => s"m:${enc(s)}:${enc(o)}"
     case MaxCol(s, o) => s"x:${enc(s)}:${enc(o)}"
+    case DCountCol(s, o) => s"d:${enc(s)}:${enc(o)}"
     // lgk rides after the escaped name ('|' is escaped by enc)
     case HllCol(s, o, lgk) => s"hl:${enc(s)}:${enc(o)}|$lgk"
   }.mkString(";")
@@ -168,6 +183,7 @@ object GraftMview {
         case vk @ ("vs" | "vp" | "ds" | "dp") => VarCol(dec(a), dec(b), vk)
         case "m" => MinCol(dec(a), dec(b))
         case "x" => MaxCol(dec(a), dec(b))
+        case "d" => DCountCol(dec(a), dec(b))
         case "hl" =>
           val i = b.lastIndexOf('|')
           HllCol(dec(a), dec(b.substring(0, i)), b.substring(i + 1).toInt)
@@ -375,7 +391,6 @@ object GraftMview {
             s"in '$nm' (hll_sketch_agg only)")
         }
       case Alias(ae: AggregateExpression, nm) =>
-        if (ae.isDistinct) fail(s"DISTINCT aggregate in '$nm'")
         if (ae.filter.isDefined) fail(s"FILTER clause in aggregate '$nm'")
         def plainCol(child: Expression, what: String): String =
           stripCast(child) match {
@@ -383,7 +398,15 @@ object GraftMview {
             case other => fail(s"$what over expression '${other.sql}' in '$nm' " +
               "(plain columns only)")
           }
-        ae.aggregateFunction match {
+        if (ae.isDistinct) ae.aggregateFunction match {
+          // exact count(DISTINCT col): maintained via the dup-count
+          // companion relation — see [[DCountCol]]
+          case c: Count if c.children.size == 1 =>
+            DCountCol(plainCol(c.children.head, "count(DISTINCT)"), nm)
+          case other => fail(s"DISTINCT ${other.prettyName} in '$nm' " +
+            "(count(DISTINCT col) is the maintainable distinct form; " +
+            "approximate alternatives: hll_sketch_estimate(hll_sketch_agg(col)))")
+        } else ae.aggregateFunction match {
           case c: Count if c.children.forall(_.foldable) => CountCol(nm)
           case c: Count if c.children.size == 1 =>
             CountNNCol(plainCol(c.children.head, "count"), nm)
@@ -483,6 +506,7 @@ object GraftMview {
           count(col(s)).as(s"__n_$o"))
       case MinCol(s, o) => Seq(min(col(s)).as(o))
       case MaxCol(s, o) => Seq(max(col(s)).as(o))
+      case DCountCol(s, o) => Seq(countDistinct(col(s)).as(o))
       // the sketch stores BASE64-encoded (the store codec speaks strings;
       // sketches are <= a few KB, so the 4/3 overhead is noise)
       case HllCol(s, o, lgk) =>
@@ -602,16 +626,54 @@ object GraftMview {
         .option("snapshot", heads(i)).load(paths(i))), keys, leftOuter)
   }
 
+  /** Dup-count companion table location for a [[DCountCol]] output. A
+    * SUBDIRECTORY of the view: scans are manifest-driven and orphan
+    * removal is name-anchored, so the nested table is invisible to the
+    * view's own lifecycle and dies with it on drop. */
+  private def dckPath(mvPath: String, out: String): String =
+    s"$mvPath/_dck_$out"
+
+  /** The companion's own watermark property value: the same (snapshot,
+    * manifest-name) pairs the view stamps, so the companion can tell
+    * "already absorbed this churn" from "behind by one refresh" from
+    * "unrecognizable — rebuild". */
+  private def dckWm(wms: Seq[(Int, String)]): String =
+    wms.map { case (w, nm) => s"$w:${enc(nm)}" }.mkString(",")
+
+  /** Full (re)build of one dup-count companion from the pinned source
+    * frame: one row per surviving (group…, value) pair. */
+  private def writeCompanion(spark: SparkSession, cp: String, pf: DataFrame,
+      filterSql: Option[String], cols: Seq[ColSpec], src0: String,
+      wmProp: String): Unit = {
+    val groupOuts = cols.collect { case g: GroupCol => g }
+    val filtered = filterSql.fold(pf)(f => pf.filter(expr(f)))
+    filtered.filter(col(src0).isNotNull)
+      .groupBy(groupOuts.map(g => groupKey(g).as(g.out)) :+
+        col(src0).as("__dv"): _*)
+      .agg(count(lit(1)).cast(LongType).as("__dc"))
+      .write.format("graft-store").option("dmlMode", "mor")
+      .option("setProps", s"${enc("graft.dck.wms")}:${enc(wmProp)}")
+      .mode("overwrite").save(cp)
+  }
+
   private def writeFull(spark: SparkSession, mvPath: String, src: MvSource,
-      filterSql: Option[String], cols: Seq[ColSpec], heads: Seq[Int],
+      filterSql: Option[String], cols: Seq[ColSpec], wms2: Seq[(Int, String)],
       props: Map[String, String]): Long = {
-    val df = aggregate(pinnedFrame(spark, src, heads), filterSql, cols)
+    val heads = wms2.map(_._1)
+    val pf = pinnedFrame(spark, src, heads)
+    val df = aggregate(pf, filterSql, cols)
       .localCheckpoint(true)
     val n = df.count()
     df.write.format("graft-store").option("dmlMode", "mor")
       .option("setProps", props.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${enc(k)}:${enc(v)}" }.mkString(","))
       .mode("overwrite").save(mvPath)
+    cols.foreach {
+      case DCountCol(s0, o) =>
+        writeCompanion(spark, dckPath(mvPath, o), pf, filterSql, cols, s0,
+          dckWm(wms2))
+      case _ => ()
+    }
     n
   }
 
@@ -635,7 +697,7 @@ object GraftMview {
       require(ms.nonEmpty, s"graft mview: source $p has no snapshots")
       (ms.size - 1, ms.last.getName)
     }
-    val n = writeFull(spark, mvPath, src, filterSql, cols, wms.map(_._1),
+    val n = writeFull(spark, mvPath, src, filterSql, cols, wms,
       wmProps(src, filterSql, cols, sql, wms))
     // register the dependent on its SOURCE(s) (the `_mvdeps.d` sidecar —
     // NOT a commit: registering must not advance the source's history,
@@ -718,7 +780,8 @@ object GraftMview {
     // full recompute rewrites it in the current shape
     val legacy = !internals(cols).forall(mvSchema.fieldNames.contains)
     if (forceFull || !wmValid || legacy) {
-      val n = writeFull(spark, mvPath, src, filterSql, cols, heads, newProps)
+      val n = writeFull(spark, mvPath, src, filterSql, cols,
+        heads.zip(msAll).map { case (h, ms) => (h, ms(h).getName) }, newProps)
       return ("full", n, 0L, heads.head)
     }
     // ---- incremental ----
@@ -848,6 +911,8 @@ object GraftMview {
       sum(when(col(c2).isNotNull, col("_sign")).otherwise(lit(0L)))
     val deltaAggs: Seq[Column] = cols.flatMap {
       case _: GroupCol => Seq.empty[Column]
+      // exact distinct maintains through its companion, not a delta agg
+      case _: DCountCol => Seq.empty[Column]
       case CountCol(o) => Seq(sum(col("_sign")).as(s"${o}_d"))
       case CountNNCol(c2, o) => Seq(nnSigned(c2).as(s"${o}_d"))
       case SumCol(c2, o) => Seq(sum(col(c2) * col("_sign")).as(s"${o}_d"),
@@ -878,6 +943,61 @@ object GraftMview {
       .groupBy(groupOuts.map(g => groupKey(g).as(s"__dk_${g.out}")): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .localCheckpoint(true)
+    // EXACT COUNT(DISTINCT): route the same signed churn through each
+    // per-(group, value) dup-count companion, then read the new per-group
+    // surviving-pair counts back, scoped to the churned groups. The
+    // companion publishes rows + its OWN watermark in one commit
+    // (replaceByKeyMor), so a crash between the companion commit and the
+    // view commit cannot double-apply: an already-at-head companion skips
+    // straight to the read-back.
+    val dcNew: Seq[(String, DataFrame)] = cols.collect { case DCountCol(s0, o) =>
+      val cp = dckPath(mvPath, o)
+      val expectBefore = dckWm(wms)
+      val expectAfter = dckWm(heads.zip(msAll).map { case (h, ms) =>
+        (h, ms(h).getName) })
+      val at = GraftStoreOps.tableProps(spark, cp).getOrElse("graft.dck.wms", "")
+      if (at != expectAfter) {
+        if (at == expectBefore) {
+          // signed (group…, value) churn; NULL values never count
+          val vd = d.filter(col(s0).isNotNull)
+            .groupBy(groupOuts.map(g => groupKey(g).as(s"__dk_${g.out}")) :+
+              col(s0).as("__dv"): _*)
+            .agg(sum(col("_sign")).cast(LongType).as("__cd"))
+            .filter(col("__cd") =!= 0L)
+            .transform(graft.operators.IterGuard(_))
+          val stored = spark.read.format("graft-store").load(cp)
+          val cond = (groupOuts.map(g =>
+            stored(g.out) <=> vd(s"__dk_${g.out}")) :+
+            (stored("__dv") <=> vd("__dv"))).reduce(_ && _)
+          // right-outer on the churn: only churned PAIRS participate
+          val mergedC = stored.join(vd, cond, "right_outer")
+            .select(groupOuts.map(g => col(s"__dk_${g.out}").as(g.out)) ++ Seq(
+              vd("__dv"),
+              (coalesce(stored("__dc"), lit(0L)) + col("__cd"))
+                .cast(LongType).as("__dc")): _*)
+            .transform(graft.operators.IterGuard(_))
+          val keyCols = groupOuts.map(_.out) :+ "__dv"
+          // pairs reaching zero are in keys but not survivors: deleted
+          GraftStoreOps.replaceByKeyMor(spark, cp,
+            mergedC.filter(col("__dc") > 0L)
+              .select((keyCols :+ "__dc").map(col): _*),
+            keyCols, mergedC.select(keyCols.map(col): _*),
+            Map("graft.dck.wms" -> expectAfter))
+        } else {
+          // unrecognized companion state (e.g. a view stored before this
+          // feature, or an interrupted migration): rebuild from the heads
+          writeCompanion(spark, cp, pinnedFrame(spark, src, heads),
+            filterSql, cols, s0, expectAfter)
+        }
+      }
+      val gk = deltas.select(groupOuts.map(g => col(s"__dk_${g.out}")): _*)
+      val fresh = spark.read.format("graft-store").load(cp)
+      val semi = groupOuts.map(g =>
+        fresh(g.out) <=> gk(s"__dk_${g.out}")).reduce(_ && _)
+      o -> fresh.join(gk, semi, "left_semi")
+        .groupBy(groupOuts.map(g => col(g.out).as(s"__nk_${o}_${g.out}")): _*)
+        .agg(count(lit(1)).as(s"${o}_dn"))
+    }
     // RESCAN the removal-touched groups from the PINNED head: the only
     // exact source of a post-removal extreme. Scoped by a NULL-SAFE semi
     // join on the group keys — churn-groups cost, with layout/stats/bloom
@@ -910,10 +1030,16 @@ object GraftMview {
     val joinCond = groupOuts.map(g => base(g.out) <=> deltas(s"__dk_${g.out}"))
       .reduce(_ && _)
     val joined0 = base.join(deltas, joinCond, "right_outer")
-    val joined = rescanned.fold(joined0) { r =>
+    val joined1 = rescanned.fold(joined0) { r =>
       val c = groupOuts.map(g => joined0(s"__dk_${g.out}") <=> r(s"__rk_${g.out}"))
         .reduce(_ && _)
       joined0.join(r, c, "left_outer")
+    }
+    // churned groups with no surviving pair get no dn row: count is 0
+    val joined = dcNew.foldLeft(joined1) { case (j, (o, dn)) =>
+      val c = groupOuts.map(g => j(s"__dk_${g.out}") <=> dn(s"__nk_${o}_${g.out}"))
+        .reduce(_ && _)
+      j.join(dn, c, "left_outer")
     }
     // merged non-null input count for a sum/avg column: stored + signed
     def mergedNN(stored: String, delta: String): Column =
@@ -950,6 +1076,9 @@ object GraftMview {
         // removal-touched group: the rescanned exact extreme; otherwise
         // least/greatest(stored, inserted) — both skip nulls, so new
         // groups (no stored) and no-insert groups fall out right
+        case DCountCol(_, o) =>
+          Seq(coalesce(col(s"${o}_dn"), lit(0L))
+            .cast(mvSchema(o).dataType).as(o))
         case MinCol(_, o) =>
           Seq(when(col("_rm") === 1, col(s"${o}_r"))
             .otherwise(least(col(o), col(s"${o}_i")))

@@ -436,7 +436,23 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       * result-type-IDENTICAL (e.g. decimal avg's internal division type
       * can differ from Average's declared type — then no rewrite). */
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      if (ae.filter.isDefined) return None
+      if (ae.isDistinct) {
+        // a STORED exact distinct count serves the same call verbatim at
+        // the exact group set (distinct counts never roll up — coarser
+        // groupings go through mapAggRollup's distinct-over-key path)
+        val mappedD = ae.aggregateFunction match {
+          case c: Count if c.children.size == 1 =>
+            stripCast(c.children.head) match {
+              case a: AttributeReference =>
+                cols.collectFirst { case DCountCol(s2, o) if s2 == a.name =>
+                  mvAttr(o) }
+              case _ => None
+            }
+          case _ => None
+        }
+        return mappedD.filter(_.dataType == ae.dataType)
+      }
       val mapped = ae.aggregateFunction match {
         case c: Count if c.children.forall(_.foldable) =>
           cols.collectFirst { case CountCol(o) => mvAttr(o) }

@@ -36,7 +36,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType
 class GraftViewParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftViewSql.rewrite(spark, delegate, delegate.parsePlan(sqlText))
+    // MATERIALIZED VIEW DDL is not in the OSS grammar at all — intercept
+    // the TEXT before the delegate can throw a ParseException; anything
+    // not matching (or not naming a graft catalog) falls through verbatim
+    GraftViewSql.parseMaterializedDdl(spark, delegate, sqlText).getOrElse(
+      GraftViewSql.rewrite(spark, delegate, delegate.parsePlan(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -56,6 +60,43 @@ class GraftViewParser(spark: SparkSession, delegate: ParserInterface)
 }
 
 private[v2] object GraftViewSql {
+
+  // ---- MATERIALIZED VIEW DDL (parser-level: the OSS grammar has no
+  // MATERIALIZED rule, so these arrive as raw text) -------------------
+  //   CREATE MATERIALIZED VIEW [IF NOT EXISTS] cat.mv AS <query>
+  //   DROP MATERIALIZED VIEW [IF EXISTS] cat.mv
+  //   REFRESH MATERIALIZED VIEW cat.mv [FULL]
+  // The name must resolve to a graft catalog; the query text is handed
+  // to [[GraftMview.create]] verbatim (same contract as the
+  // `system.create_mview` procedure it supersedes).
+  private val createMvRe =
+    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val dropMvRe =
+    ("(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+EXISTS\\s+)?([\\w.`]+)\\s*;?\\s*$").r
+  private val refreshMvRe =
+    ("(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "([\\w.`]+)(\\s+FULL)?\\s*;?\\s*$").r
+
+  def parseMaterializedDdl(spark: SparkSession, parser: ParserInterface,
+      sqlText: String): Option[LogicalPlan] = {
+    def resolve(name: String): Option[(GraftCatalog, Identifier)] =
+      graftIdent(spark, parser.parseMultipartIdentifier(name))
+        .map { case (_, g, ident) => (g, ident) }
+    sqlText match {
+      case createMvRe(ifNot, name, query) => resolve(name).map { case (g, id) =>
+        GraftCreateMviewCommand(g, id, query, ifNot != null)
+      }
+      case dropMvRe(ifEx, name) => resolve(name).map { case (g, id) =>
+        GraftDropMviewCommand(g, id, ifEx != null)
+      }
+      case refreshMvRe(name, full) => resolve(name).map { case (g, id) =>
+        GraftRefreshMviewCommand(g, id, full != null)
+      }
+      case _ => None
+    }
+  }
 
   /** Resolve `parts` to (catalog name, GraftCatalog, ident) iff the name
     * targets a registered graft catalog — explicitly (`cat.ns.v`) or via
@@ -310,5 +351,65 @@ private[v2] case class GraftSetViewPropertiesCommand(catalog: GraftCatalog,
     catalog.alterView(ident,
       properties.toSeq.map { case (k, v2) => ViewChange.setProperty(k, v2) }: _*)
     Seq.empty
+  }
+}
+
+private[v2] case class GraftCreateMviewCommand(catalog: GraftCatalog,
+    ident: Identifier, query: String, ifNotExists: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rows_materialized",
+      org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("watermark",
+      org.apache.spark.sql.types.IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = catalog.tablePath(ident)
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (GraftStoreFormat.readLatestManifest(path, conf).isDefined) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"graft mview: a table already exists at $path (IF NOT EXISTS to skip)")
+    }
+    val (n, wm) = GraftMview.create(spark, path, query)
+    Seq(Row(n, wm))
+  }
+}
+
+private[v2] case class GraftDropMviewCommand(catalog: GraftCatalog,
+    ident: Identifier, ifExists: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = catalog.tablePath(ident)
+    val conf = spark.sparkContext.hadoopConfiguration
+    GraftStoreFormat.readLatestManifest(path, conf) match {
+      case None =>
+        if (!ifExists) throw new IllegalArgumentException(
+          s"graft mview: no materialized view at $path (IF EXISTS to skip)")
+      case Some(m) =>
+        require(m.props.get("graft.mv").contains("true"),
+          s"graft mview: $path is a plain table, not a materialized view " +
+            "(DROP TABLE instead)")
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, true)
+    }
+    Seq.empty
+  }
+}
+
+private[v2] case class GraftRefreshMviewCommand(catalog: GraftCatalog,
+    ident: Identifier, forceFull: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("groups_changed",
+      org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("groups_deleted",
+      org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("watermark",
+      org.apache.spark.sql.types.IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (mode, changed, deleted, wm) =
+      GraftMview.refresh(spark, catalog.tablePath(ident), forceFull)
+    Seq(Row(mode, changed, deleted, wm))
   }
 }

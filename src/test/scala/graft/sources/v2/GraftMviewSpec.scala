@@ -233,7 +233,10 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       assert(e.getMessage.contains(frag), s"message '${e.getMessage}' lacks '$frag'")
     }
     refuse("SELECT g, sum(v) AS s FROM mvcat.src5 GROUP BY g", "count(*)")
-    refuse("SELECT g, count(DISTINCT v) AS n FROM mvcat.src5 GROUP BY g", "DISTINCT")
+    // count(DISTINCT col) is a FEATURE now (dup-count companion); other
+    // distinct aggregates still refuse with guidance
+    refuse("SELECT g, sum(DISTINCT v) AS s, count(*) AS n " +
+      "FROM mvcat.src5 GROUP BY g", "count(DISTINCT col)")
     // (GROUP BY upper(g) is now a supported expression key — see the
     // calendar tests; aggregates over expressions still refuse)
     refuse("SELECT g, sum(v + 1) AS s, count(*) AS n FROM mvcat.src5 GROUP BY g",
@@ -1418,6 +1421,162 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       "ON fk = pk GROUP BY grp", "more than one side")
     refuse("SELECT a.fk AS k, count(*) AS n FROM mvcat.jr1 a JOIN mvcat.jr1 b " +
       "ON a.fk = b.fk GROUP BY a.fk", "self-join")
+  }
+
+  test("exact count(DISTINCT) maintains via dup-count companion through churn") {
+    catBase
+    val srcDir = s"$catBase/ddsrc"
+    val mvDir = s"$catBase/ddmv"
+    Seq((1L, "a", 1L), (2L, "a", 1L), (3L, "a", 2L), (4L, "b", 1L),
+        (5L, "b", -1L), (6L, "c", 3L))
+      .toDF("id", "g", "u").withColumn("u",
+        when(col("u") >= 0, col("u"))) // -1 → NULL (never counts)
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    val (n0, _) = GraftMview.create(spark, mvDir,
+      "SELECT g, count(*) AS n, count(DISTINCT u) AS d FROM mvcat.ddsrc GROUP BY g")
+    assert(n0 === 3)
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("g", "n", "d").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def recompute() = spark.read.format("graft-store").load(srcDir)
+      .groupBy("g").agg(count(lit(1)).as("n"), countDistinct(col("u")).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows() === Map("a" -> ((3L, 2L)), "b" -> ((2L, 1L)), "c" -> ((1L, 1L))))
+    // INSERTS: a dup (no d change), a new value, a new group
+    Seq((7L, "a", 2L), (8L, "a", 9L), (9L, "d", 5L)).toDF("id", "g", "u")
+      .write.format("graft-store").mode("append").save(srcDir)
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(rows() === recompute() && rows()("a") === ((5L, 3L)))
+    // DELETES: one of a's two u=1 rows (a keeps the value — dup-count);
+    // b's only u=1 row (the value VANISHES from b while SURVIVING in a);
+    // all of c (the whole group leaves)
+    spark.sql("DELETE FROM mvcat.ddsrc WHERE id IN (2, 4, 6)")
+    val (m2, _, vanished, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental" && vanished === 1L)
+    assert(rows() === recompute())
+    assert(rows()("a") === ((4L, 3L)), "dup removal must not drop the value")
+    assert(rows()("b") === ((1L, 0L)), "last-copy removal must drop b's value")
+    assert(!rows().contains("c"))
+    // MIXED round: update moves a value between groups; noop at head
+    spark.sql("UPDATE mvcat.ddsrc SET g = 'd' WHERE id = 8")
+    Seq((10L, "b", 5L)).toDF("id", "g", "u")
+      .write.format("graft-store").mode("append").save(srcDir)
+    val (m3, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m3 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()("d") === ((2L, 2L)) && rows()("b") === ((2L, 1L)))
+    assert(GraftMview.refresh(spark, mvDir)._1 === "noop")
+    // REWRITE: the stored exact distinct serves the same call at the
+    // exact group set; stale never serves
+    def q() = spark.sql(
+      "SELECT g, count(*) AS n, count(DISTINCT u) AS d FROM mvcat.ddsrc GROUP BY g")
+    assert(q().queryExecution.optimizedPlan.toString.contains(mvDir))
+    assert(q().collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      === recompute().map { case (k, (_, dd)) => k -> dd })
+    Seq((11L, "b", 6L)).toDF("id", "g", "u")
+      .write.format("graft-store").mode("append").save(srcDir)
+    assert(!q().queryExecution.optimizedPlan.toString.contains(mvDir))
+    // watermark EXPIRY falls back to a full rebuild — companion included
+    GraftStoreOps.expireSnapshots(spark, srcDir, keepLast = 1)
+    val (m4, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m4 === "full")
+    assert(rows() === recompute())
+    Seq((12L, "b", 7L)).toDF("id", "g", "u")
+      .write.format("graft-store").mode("append").save(srcDir)
+    val (m5, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m5 === "incremental", "companion must resume incrementally after rebuild")
+    assert(rows() === recompute())
+  }
+
+  test("exact count(DISTINCT) over a JOIN view maintains through both-side churn") {
+    catBase
+    val fact = s"$catBase/djf"
+    val dim = s"$catBase/djd"
+    val mvDir = s"$catBase/djmv"
+    Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 30L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(fact)
+    Seq((1L, "east"), (2L, "west"), (3L, "east"))
+      .toDF("pk", "region").write.format("graft-store").mode("overwrite").save(dim)
+    GraftMview.create(spark, mvDir,
+      "SELECT region, count(*) AS n, count(DISTINCT v) AS dv FROM mvcat.djf " +
+        "JOIN mvcat.djd ON fk = pk GROUP BY region")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("region", "n", "dv").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def recompute() = {
+      val f = spark.read.format("graft-store").load(fact)
+      val dm = spark.read.format("graft-store").load(dim)
+      f.join(dm, f("fk") === dm("pk")).groupBy("region")
+        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("dv"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rows() === Map("east" -> ((3L, 3L)), "west" -> ((1L, 1L))))
+    // fact churn: a dup of 10 in east (via fk=3? no — fk=3 is east, v=10 dup)
+    Seq((3L, 10L), (2L, 99L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(rows() === recompute() && rows()("east") === ((4L, 3L)))
+    // dim churn: pk=3 moves east→west (v=30 and the dup'd 10 move with it)
+    spark.sql("UPDATE mvcat.djd SET region = 'west' WHERE pk = 3")
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()("east") === ((2L, 2L)) && rows()("west") === ((4L, 3L)))
+  }
+
+  test("CREATE/REFRESH/DROP MATERIALIZED VIEW DDL drives the full lifecycle") {
+    catBase
+    val srcDir = s"$catBase/ddlsrc"
+    val mvDir = s"$catBase/ddlmv"
+    Seq(("a", 1L), ("a", 2L), ("b", 10L))
+      .toDF("g", "v").write.format("graft-store").mode("overwrite").save(srcDir)
+    // CREATE: standard DDL text, no CALL-procedure string nesting
+    val created = spark.sql("CREATE MATERIALIZED VIEW mvcat.ddlmv AS " +
+      "SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.ddlsrc GROUP BY g")
+      .collect()(0)
+    assert(created.getLong(0) === 2) // rows_materialized
+    assert(spark.sql("SELECT * FROM mvcat.ddlmv").count() === 2)
+    // IF NOT EXISTS is a no-op; a bare re-CREATE refuses
+    assert(spark.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mvcat.ddlmv AS " +
+      "SELECT g, count(*) AS n FROM mvcat.ddlsrc GROUP BY g").collect().isEmpty)
+    val dup = intercept[Exception](spark.sql(
+      "CREATE MATERIALIZED VIEW mvcat.ddlmv AS " +
+        "SELECT g, count(*) AS n FROM mvcat.ddlsrc GROUP BY g"))
+    assert(dup.getMessage.contains("already exists"))
+    // REFRESH: incremental through churn; FULL forces a rebuild
+    Seq(("a", 100L), ("c", 5L)).toDF("g", "v")
+      .write.format("graft-store").mode("append").save(srcDir)
+    val r1 = spark.sql("REFRESH MATERIALIZED VIEW mvcat.ddlmv").collect()(0)
+    assert(r1.getString(0) === "incremental")
+    assert(spark.read.format("graft-store").load(mvDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      === Map("a" -> ((3L, 103L)), "b" -> ((1L, 10L)), "c" -> ((1L, 5L))))
+    val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvcat.ddlmv FULL").collect()(0)
+    assert(r2.getString(0) === "full")
+    // the DDL-created view serves the transparent rewrite like any other
+    val q = spark.sql(
+      "SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.ddlsrc GROUP BY g")
+    assert(q.queryExecution.optimizedPlan.toString.contains(mvDir))
+    // DROP: the view dies; IF EXISTS tolerates the gap, a bare DROP not
+    spark.sql("DROP MATERIALIZED VIEW mvcat.ddlmv")
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM mvcat.ddlmv").collect()) != null)
+    assert(spark.sql("DROP MATERIALIZED VIEW IF EXISTS mvcat.ddlmv")
+      .collect().isEmpty)
+    val gone = intercept[Exception](
+      spark.sql("DROP MATERIALIZED VIEW mvcat.ddlmv"))
+    assert(gone.getMessage.contains("no materialized view"))
+    // a non-graft name falls through to the stock parser, which parses
+    // the MATERIALIZED grammar but refuses to execute it — Spark's own
+    // error, never our command
+    intercept[Exception](
+      spark.sql("CREATE MATERIALIZED VIEW spark_catalog.default.x AS SELECT 1"))
+    // and DROP TABLE-style misuse on a plain table refuses with guidance
+    val plain = intercept[Exception](
+      spark.sql("DROP MATERIALIZED VIEW mvcat.ddlsrc"))
+    assert(plain.getMessage.contains("plain table"))
   }
 
   test("variance family maintains as (n, sum, sumsq); matches recompute through churn") {
