@@ -580,6 +580,71 @@ object GraftMview {
     JoinSrc(paths, keys, props.get("graft.mv.jointype").contains("left"))
   }
 
+  /** Collapse carried-identical ± pairs down to NET row churn: a
+    * rewritten file re-emits its unchanged rows as -1/+1 pairs (a 1-row
+    * MOR update of a 250-row file yields 500 signed rows), which the
+    * aggregation algebra cancels — but only AFTER the pairs have inflated
+    * every delta term, join, and churn-key set to file size. Grouping by
+    * the full row and summing signs is exact for every consumer here
+    * (the refresh treats deltas as a signed multiset; magnitudes ±k ride
+    * in _sign) and shrinks delta volume and the pushed-down key sets to
+    * TRUE churn size. Frames with unorderable (map) columns skip the
+    * collapse — grouping would refuse — and just stay conservative. */
+  private def netChurn(df: DataFrame): DataFrame = {
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case st: org.apache.spark.sql.types.StructType => st.exists(f => hasMap(f.dataType))
+      case at: org.apache.spark.sql.types.ArrayType => hasMap(at.elementType)
+      case _ => false
+    }
+    if (df.schema.exists(f => hasMap(f.dataType))) return df
+    val cols0 = df.columns.filterNot(_ == "_sign").toSeq
+    df.groupBy(cols0.map(col): _*)
+      .agg(sum(col("_sign")).cast(LongType).as("_sign"))
+      .filter(col("_sign") =!= 0L)
+  }
+
+  /** Bounded key-pushdown along the join graph OUTWARD from the churned
+    * side: every frame adjacent to an already-pruned frame gains a
+    * COMPILE-TIME In filter on its join column when the pruned side's
+    * distinct key set is small (cap 1000). DPP cannot prune these scans —
+    * the build side is a computed delta with no selective predicate — so
+    * without this every dim-churn delta term rescans the pinned fact
+    * corpus; with it the term's scans are churn-key-scoped and min/max
+    * file skipping participates (lay the fact out by join key to cash
+    * this in). The cascade is transitive (Δnation prunes customer, the
+    * pruned customer's keys prune the fact); an over-cap side stops the
+    * cascade along its branch — the join itself stays exact either way,
+    * and the driver transfer is always ≤ cap+1 rows per hop. */
+  private def pruneByChurnKeys(frames0: Seq[DataFrame],
+      keys: Seq[(Int, String, Int, String)], churned: Int): Seq[DataFrame] = {
+    val cap = 1000
+    val frames = frames0.toArray
+    val visited = scala.collection.mutable.Set(churned)
+    val queue = scala.collection.mutable.Queue(churned)
+    while (queue.nonEmpty) {
+      val cur = queue.dequeue()
+      keys.foreach { case (sa, ca, sb, cb) =>
+        val hop =
+          if (sa == cur && !visited(sb)) Some((ca, sb, cb))
+          else if (sb == cur && !visited(sa)) Some((cb, sa, ca))
+          else None
+        hop.foreach { case (curCol, other, otherCol) =>
+          // NULL keys never equi-match: dropping them keeps the IN exact
+          val vals = frames(cur).select(col(curCol)).na.drop()
+            .distinct().limit(cap + 1).collect().map(_.get(0))
+          visited += other
+          if (vals.length <= cap) {
+            frames(other) = frames(other)
+              .filter(col(otherCol).isin(vals.toIndexedSeq: _*))
+            queue += other // the pruned frame cascades further out
+          }
+        }
+      }
+    }
+    frames.toIndexedSeq
+  }
+
   /** Join per-source frames along the recognized equi-key graph: greedy
     * by connectivity from side 0 (recognize() proved the graph connected);
     * a redundant cycle pair becomes a post-join equality filter. Names are
@@ -794,7 +859,8 @@ object GraftMview {
     def pinnedAt(i: Int, snap: Int): DataFrame =
       spark.read.format("graft-store").option("snapshot", snap).load(paths(i))
     val signed = src match {
-      case SingleSrc(p) => GraftStoreOps.signedChanges(spark, p, wms.head._1, heads.head)
+      case SingleSrc(p) =>
+        netChurn(GraftStoreOps.signedChanges(spark, p, wms.head._1, heads.head))
       case JoinSrc(paths2, keys, false) =>
         // N-WAY delta rule, one term per CHURNED side i:
         //   Δi = R1_old ⋈ … ⋈ R(i-1)_old ⋈ ΔRi ⋈ R(i+1)_new ⋈ … ⋈ Rn_new
@@ -806,14 +872,18 @@ object GraftMview {
         val terms = paths2.indices.flatMap { i =>
           if (wms(i)._1 == heads(i)) None
           else {
-            val di = GraftStoreOps.signedChanges(
-              spark, paths2(i), wms(i)._1, heads(i))
+            val di = netChurn(GraftStoreOps.signedChanges(
+              spark, paths2(i), wms(i)._1, heads(i)))
             val frames = paths2.indices.map { j =>
               if (j == i) di
               else if (j < i) pinnedAt(j, wms(j)._1)
               else pinnedAt(j, heads(j))
             }
-            Some(joinFrames(frames, keys, leftOuter = false))
+            // scope the pinned sides to the churn's keys (see
+            // [[pruneByChurnKeys]]) — a dim-churn term must never rescan
+            // the fact corpus
+            Some(joinFrames(pruneByChurnKeys(frames, keys, i), keys,
+              leftOuter = false))
           }
         }
         if (terms.isEmpty) throw new IllegalStateException(
@@ -842,8 +912,8 @@ object GraftMview {
         val t1: Option[DataFrame] =
           if (wms.head._1 == heads.head) None
           else {
-            val d1 = GraftStoreOps.signedChanges(
-              spark, paths2.head, wms.head._1, heads.head)
+            val d1 = netChurn(GraftStoreOps.signedChanges(
+              spark, paths2.head, wms.head._1, heads.head))
             val sNew = pinnedAt(1, heads(1))
             Some(d1.join(sNew, keys.map { case (_, a, _, b) =>
               d1(a) === sNew(b) }.reduce(_ && _), "left_outer"))
@@ -851,8 +921,8 @@ object GraftMview {
         val t2: Option[DataFrame] =
           if (wms(1)._1 == heads(1)) None
           else {
-            val d2 = GraftStoreOps.signedChanges(
-              spark, paths2(1), wms(1)._1, heads(1))
+            val d2 = netChurn(GraftStoreOps.signedChanges(
+              spark, paths2(1), wms(1)._1, heads(1)))
             // churned dim-key combinations; a NULL component can never
             // equi-match, so such rows affect no fact row
             val kf = d2.select(sCols.zipWithIndex.map { case (c, i2) =>
