@@ -1085,7 +1085,29 @@ object GraftMview {
           case MaxCol(c2, o) => max(col(c2)).as(s"${o}_r")
           case HllCol(c2, o, lgk) => hll_sketch_agg(col(c2), lgk).as(s"${o}_r")
         }
-        val scoped = filterSql.fold(pinned)(f => pinned.filter(expr(f)))
+        // bounded IN-pushdown for PLAIN-COLUMN group keys (the same
+        // device as pruneByChurnKeys): the semi-join alone never prunes
+        // files, so a small removal-touched key set is also pushed as a
+        // compile-time predicate — In over the non-null values, OR'd
+        // with IsNull when the NULL group itself was touched. Expression
+        // keys stay semi-join-only (no storable stats to skip on).
+        val plainKeys = groupOuts.filter(!_.isExpr)
+        val keyRows =
+          if (plainKeys.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else keys.select(plainKeys.map(g => col(s"__k_${g.out}")): _*)
+            .distinct().limit(1001).collect()
+        val pinned2 =
+          if (keyRows.isEmpty || keyRows.length > 1000) pinned
+          else plainKeys.zipWithIndex.foldLeft(pinned) { case (df, (g, i)) =>
+            val vs = keyRows.map(_.get(i)).distinct
+            val nonNull = vs.filter(_ != null)
+            val pred0 =
+              if (nonNull.isEmpty) lit(false)
+              else col(g.src).isin(nonNull.toIndexedSeq: _*)
+            df.filter(if (vs.contains(null)) pred0 || col(g.src).isNull
+              else pred0)
+          }
+        val scoped = filterSql.fold(pinned2)(f => pinned2.filter(expr(f)))
         val semiCond = groupOuts.map(g => groupKey(g) <=> keys(s"__k_${g.out}"))
           .reduce(_ && _)
         Some(scoped.join(keys, semiCond, "left_semi")

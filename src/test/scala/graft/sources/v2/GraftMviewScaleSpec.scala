@@ -55,6 +55,9 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
       case "single" =>
         s"SELECT fk, count(*) AS n, sum(v) AS s, count(DISTINCT v) AS dv " +
           s"FROM mvscale.f_$tag GROUP BY fk"
+      case "minmax" =>
+        s"SELECT fk, count(*) AS n, min(v) AS mn, max(v) AS mx " +
+          s"FROM mvscale.f_$tag GROUP BY fk"
       case "join" =>
         s"SELECT nk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
           s"JOIN mvscale.c_$tag ON fk = pk GROUP BY nk"
@@ -72,7 +75,9 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
     spark.range(0, 100)
       .select((col("id") % 1000).as("fk"), (col("id") % 97).as("v"))
       .write.format("graft-store").mode("append").save(fact)
-    if (shape != "single")
+    if (shape == "minmax") // removals: the rescan device must stay scoped
+      spark.sql(s"DELETE FROM mvscale.f_$tag WHERE fk = 7 AND v > 50")
+    if (shape != "single" && shape != "minmax")
       spark.sql(s"UPDATE mvscale.c_$tag SET nk = (nk + 1) % 25 WHERE pk = 7")
     val slicesBefore = GraftStoreFormat.scannedFileSlices.sum()
     val t0 = System.nanoTime()
@@ -101,6 +106,9 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
 
   test("single-table refresh (incl. count DISTINCT companion) is corpus-size-independent") {
     catBase; probe("single")
+  }
+  test("min/max removal rescan is corpus-size-independent") {
+    catBase; probe("minmax")
   }
   test("2-table inner join refresh is corpus-size-independent") {
     catBase; probe("join")
