@@ -5689,6 +5689,65 @@ object SystemQueries {
            |FROM orders WHERE o_orderkey < 10000
            |GROUP BY o_orderpriority""".stripMargin))
 
+  /** DIM-CHURN REFRESH PRUNING ([[graft.sources.v2.GraftMview]],
+    * `pruneByChurnKeys` + `netChurn`): the classic IVM weak spot — a
+    * tiny dim update forcing a corpus-sized fact rescan in the delta
+    * term — closed by collapsing carried ± pairs to net churn and
+    * pushing the churned keys as a bounded compile-time IN down the join
+    * graph. The probe clusters the fact BY JOIN KEY (the 100 TB layout),
+    * updates ONE dim row, and pins with a slice count that the refresh
+    * read a handful of slices, not the 16-file fact base; DuckDB
+    * hash-match proves the pruned refresh is still exact. */
+  val q229MviewChurnPrune = QuerySpec(
+    "q229_mview_churn_prune", "S-dsv2-mview-churn-prune",
+    "dim-churn refresh prunes the key-clustered fact via net-churn IN pushdown",
+    (s, d) => {
+      val base = "/tmp/graft_store_q229"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq229", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq229.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // fact clustered on the JOIN KEY: key-scoped scans can skip files
+        ordersDf.filter(col("o_orderkey") < 10000)
+          .repartitionByRange(16, col("o_custkey"))
+          .write.format("graft-store").mode("overwrite").save(fact) // 16 files
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.format("graft-store").mode("overwrite").save(dim)
+        s.sql("CALL gq229.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, count(*) AS n, " +
+          "sum(o_totalprice) AS rev FROM gq229.fact " +
+          "JOIN gq229.dim ON o_custkey = c_custkey GROUP BY c_mktsegment')")
+        // ONE dim row churns: the delta term must read the churn, the
+        // dim, and the fact slices covering custkey 77 — never 16 files
+        s.sql("UPDATE gq229.dim SET c_mktsegment = 'MOVED' WHERE c_custkey = 77")
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val r1 = s.sql("CALL gq229.system.refresh_mview('mv')").collect()(0)
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val pruned = opened < 16 && r1.getString(0) == "incremental"
+        s.sql("""SELECT seg, n, round(rev, 2) AS rev FROM gq229.mv""")
+          .withColumn("churn_pruned", lit(pruned))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq229")
+        s.conf.unset("spark.sql.catalog.gq229.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 10000),
+           |dm AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey = 77 THEN 'MOVED' ELSE c_mktsegment END AS seg
+           |  FROM customer)
+           |SELECT seg, count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS churn_pruned
+           |FROM f JOIN dm ON o_custkey = c_custkey
+           |GROUP BY seg""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5714,5 +5773,5 @@ object SystemQueries {
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
     q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
-    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl)
+    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune)
 }

@@ -580,6 +580,27 @@ object GraftMview {
     JoinSrc(paths, keys, props.get("graft.mv.jointype").contains("left"))
   }
 
+  /** Bounded compile-time key predicate — the [[pruneByChurnKeys]] device
+    * for non-join scans: when the key frame's distinct rows number ≤ cap
+    * (1000), build a pushable per-column predicate over the target
+    * columns — In over the non-null values, OR'd with IsNull where NULL
+    * appears in the key set. None when over cap; callers keep their exact
+    * (null-safe) semi-join either way, this only prunes files. */
+  private def boundedKeyPred(keys: DataFrame, keyCols: Seq[String],
+      targetCols: Seq[String]): Option[Column] = {
+    val rows = keys.select(keyCols.map(col): _*).distinct()
+      .limit(1001).collect()
+    if (rows.isEmpty || rows.length > 1000) return None
+    Some(targetCols.zipWithIndex.map { case (tc, i) =>
+      val vs = rows.map(_.get(i)).distinct
+      val nonNull = vs.filter(_ != null)
+      val base =
+        if (nonNull.isEmpty) lit(false)
+        else col(tc).isin(nonNull.toIndexedSeq: _*)
+      if (vs.contains(null)) base || col(tc).isNull else base
+    }.reduce(_ && _))
+  }
+
   /** Collapse carried-identical ± pairs down to NET row churn: a
     * rewritten file re-emits its unchanged rows as -1/+1 pairs (a 1-row
     * MOR update of a 250-row file yields 500 signed rows), which the
@@ -716,6 +737,9 @@ object GraftMview {
       .groupBy(groupOuts.map(g => groupKey(g).as(g.out)) :+
         col(src0).as("__dv"): _*)
       .agg(count(lit(1)).cast(LongType).as("__dc"))
+      // range-cluster on the group keys: refresh-time key-scoped reads
+      // of the (distinct-pairs-sized) companion skip files via stats
+      .repartitionByRange(groupOuts.map(g => col(g.out)) :+ col("__dv"): _*)
       .write.format("graft-store").option("dmlMode", "mor")
       .option("setProps", s"${enc("graft.dck.wms")}:${enc(wmProp)}")
       .mode("overwrite").save(cp)
@@ -1035,7 +1059,11 @@ object GraftMview {
             .agg(sum(col("_sign")).cast(LongType).as("__cd"))
             .filter(col("__cd") =!= 0L)
             .transform(graft.operators.IterGuard(_))
-          val stored = spark.read.format("graft-store").load(cp)
+          val stored0 = spark.read.format("graft-store").load(cp)
+          // churned pairs are bounded: push them into the companion scan
+          val stored = boundedKeyPred(vd,
+            groupOuts.map(g => s"__dk_${g.out}") :+ "__dv",
+            groupOuts.map(_.out) :+ "__dv").fold(stored0)(stored0.filter)
           val cond = (groupOuts.map(g =>
             stored(g.out) <=> vd(s"__dk_${g.out}")) :+
             (stored("__dv") <=> vd("__dv"))).reduce(_ && _)
@@ -1061,7 +1089,9 @@ object GraftMview {
         }
       }
       val gk = deltas.select(groupOuts.map(g => col(s"__dk_${g.out}")): _*)
-      val fresh = spark.read.format("graft-store").load(cp)
+      val fresh0 = spark.read.format("graft-store").load(cp)
+      val fresh = boundedKeyPred(gk, groupOuts.map(g => s"__dk_${g.out}"),
+        groupOuts.map(_.out)).fold(fresh0)(fresh0.filter)
       val semi = groupOuts.map(g =>
         fresh(g.out) <=> gk(s"__dk_${g.out}")).reduce(_ && _)
       o -> fresh.join(gk, semi, "left_semi")
@@ -1085,28 +1115,15 @@ object GraftMview {
           case MaxCol(c2, o) => max(col(c2)).as(s"${o}_r")
           case HllCol(c2, o, lgk) => hll_sketch_agg(col(c2), lgk).as(s"${o}_r")
         }
-        // bounded IN-pushdown for PLAIN-COLUMN group keys (the same
-        // device as pruneByChurnKeys): the semi-join alone never prunes
-        // files, so a small removal-touched key set is also pushed as a
-        // compile-time predicate — In over the non-null values, OR'd
-        // with IsNull when the NULL group itself was touched. Expression
-        // keys stay semi-join-only (no storable stats to skip on).
+        // bounded IN-pushdown for PLAIN-COLUMN group keys: the semi-join
+        // alone never prunes files, so a small removal-touched key set is
+        // also pushed compile-time; expression keys stay semi-join-only
+        // (no storable stats to skip on)
         val plainKeys = groupOuts.filter(!_.isExpr)
-        val keyRows =
-          if (plainKeys.isEmpty) Array.empty[org.apache.spark.sql.Row]
-          else keys.select(plainKeys.map(g => col(s"__k_${g.out}")): _*)
-            .distinct().limit(1001).collect()
         val pinned2 =
-          if (keyRows.isEmpty || keyRows.length > 1000) pinned
-          else plainKeys.zipWithIndex.foldLeft(pinned) { case (df, (g, i)) =>
-            val vs = keyRows.map(_.get(i)).distinct
-            val nonNull = vs.filter(_ != null)
-            val pred0 =
-              if (nonNull.isEmpty) lit(false)
-              else col(g.src).isin(nonNull.toIndexedSeq: _*)
-            df.filter(if (vs.contains(null)) pred0 || col(g.src).isNull
-              else pred0)
-          }
+          if (plainKeys.isEmpty) pinned
+          else boundedKeyPred(keys, plainKeys.map(g => s"__k_${g.out}"),
+            plainKeys.map(_.src)).fold(pinned)(pinned.filter)
         val scoped = filterSql.fold(pinned2)(f => pinned2.filter(expr(f)))
         val semiCond = groupOuts.map(g => groupKey(g) <=> keys(s"__k_${g.out}"))
           .reduce(_ && _)
