@@ -5748,6 +5748,85 @@ object SystemQueries {
            |FROM f JOIN dm ON o_custkey = c_custkey
            |GROUP BY seg""".stripMargin))
 
+  /** LEFT OUTER CHAIN MV ([[graft.sources.v2.GraftMview]]): the
+    * reference's own J2 shape — chained pandas left-merges
+    * (`XGBoost/Predictor.py:47,74`) — as a 3-table maintained view:
+    * orders ⟕ customer ⟕ nation (snowflake). The telescoped ± delta rule
+    * handles churn on EVERY side, including both LEVELS of
+    * null-extension transition: a customer insert matches waiting
+    * orders (level 1), a nation delete null-extends matched customers'
+    * orders (level 2). All scans churn-key-scoped via the value-based
+    * semi restriction + bounded IN; verified against DuckDB's chained
+    * LEFT JOINs after churn on all three sides. */
+  val q230MviewLeftChain = QuerySpec(
+    "q230_mview_left_chain", "S-dsv2-mview-left-chain",
+    "3-table LEFT OUTER chain MV: per-side churn with 2-level null transitions",
+    (s, d) => {
+      val base = "/tmp/graft_store_q230"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq230", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq230.base", base)
+      try {
+        val fact = s"$base/fact"
+        val cust = s"$base/cust"
+        val nat = s"$base/nat"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact)
+        // customers ≤ 1200 only: higher custkeys null-extend at level 1
+        Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .filter(col("c_custkey") <= 1200)
+          .write.format("graft-store").mode("overwrite").save(cust)
+        Tables.nation(s, d).select("n_nationkey", "n_name")
+          .write.format("graft-store").mode("overwrite").save(nat)
+        s.sql("CALL gq230.system.create_mview('mv', " +
+          "'SELECT n_name, count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq230.fact " +
+          "LEFT JOIN gq230.cust ON o_custkey = c_custkey " +
+          "LEFT JOIN gq230.nat ON c_nationkey = n_nationkey " +
+          "GROUP BY n_name')")
+        // fact churn
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        val r1 = s.sql("CALL gq230.system.refresh_mview('mv')").collect()(0)
+        // middle churn: customers 1200<k≤1350 appear (level-1 null →
+        // matched), customers k%10=0 leave (matched → level-1 null)
+        Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .filter(col("c_custkey") > 1200 && col("c_custkey") <= 1350)
+          .write.format("graft-store").mode("append").save(cust)
+        s.sql("DELETE FROM gq230.cust WHERE c_custkey % 10 = 0")
+        val r2 = s.sql("CALL gq230.system.refresh_mview('mv')").collect()(0)
+        // leaf churn: nations < 5 vanish — their customers' orders
+        // convert from matched to level-2 null-extended
+        s.sql("DELETE FROM gq230.nat WHERE n_nationkey < 5")
+        val r3 = s.sql("CALL gq230.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = Seq(r1, r2, r3)
+          .forall(_.getString(0) == "incremental")
+        s.sql("""SELECT coalesce(n_name, '(none)') AS n_name, n,
+                |  round(rev, 2) AS rev FROM gq230.mv""".stripMargin)
+          .withColumn("incremental", lit(incremental))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq230")
+        s.conf.unset("spark.sql.catalog.gq230.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 10000),
+           |c AS (
+           |  SELECT c_custkey, c_nationkey FROM customer
+           |  WHERE c_custkey <= 1350 AND c_custkey % 10 <> 0),
+           |nt AS (
+           |  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 5)
+           |SELECT coalesce(n_name, '(none)') AS n_name, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev, TRUE AS incremental
+           |FROM f LEFT JOIN c ON o_custkey = c_custkey
+           |LEFT JOIN nt ON c_nationkey = n_nationkey
+           |GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5773,5 +5852,5 @@ object SystemQueries {
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
     q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
-    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune)
+    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune, q230MviewLeftChain)
 }

@@ -57,16 +57,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * corpus. Every source carries its own watermark; any expiring falls
   * back to a full (pinned, atomic) recompute.
   *
-  * LEFT OUTER views (`FROM r LEFT JOIN s ON r.fk = s.pk`, two tables —
-  * the reference's own pandas-merge feature joins,
-  * `XGBoost/Predictor.py:47,74`): probe-side churn maintains linearly
-  * (ΔR ⟕ S_new — a left join is row-local in its left argument); dim
-  * churn exploits PER-KEY LOCALITY — only fact rows whose key is among
-  * the churned dim keys K can flip between matched and null-extended, so
-  * their contribution is recomputed as + R_old|K ⟕ S_new|K −
-  * R_old|K ⟕ S_old|K, all three scans key-scoped. Null-extension
-  * transitions (a dim insert matching previously-unmatched fact rows, a
-  * dim delete orphaning matched ones) fall out of the ± pair.
+  * LEFT OUTER views (`FROM f LEFT JOIN d1 ON … LEFT JOIN d2 ON …` — a
+  * LEFT-DEEP CHAIN of any length, the reference's chained pandas-merge
+  * feature joins, `XGBoost/Predictor.py:47,74`; each ON keys the new
+  * table to exactly ONE earlier side): fact churn maintains linearly
+  * (ΔF ⟕ dims_new — a left join is row-local in its left argument); dim
+  * churn exploits PER-KEY LOCALITY — only chain rows whose key for the
+  * churned side is among its churned keys K can flip between matched
+  * and null-extended, so their contribution is recomputed as a ± pair
+  * of the full chain with that side at new vs old, every scan scoped to
+  * K by value-based semi-joins propagated down the parent path (plus
+  * the bounded compile-time IN for file skipping). Null-extension
+  * transitions at EVERY level (a dim insert matching waiting rows, a
+  * leaf-dim delete null-extending a middle dim's matches) fall out of
+  * the ± pair.
   *
   * Refresh is O(churn), not O(table): [[GraftStoreOps.signedChanges]]
   * yields +1/-1 row deltas reading only files whose membership or delete
@@ -199,8 +203,9 @@ object GraftMview {
   private[v2] sealed trait MvSource
   private[v2] case class SingleSrc(path: String) extends MvSource
   /** `keys`: (sideA, colA, sideB, colB) equi-pairs with sideA < sideB,
-    * sides indexing `paths`. `leftOuter` marks the 2-table LEFT OUTER
-    * shape (N-way views stay INNER-only). */
+    * sides indexing `paths`. `leftOuter` marks a left-deep LEFT OUTER
+    * chain (each side keyed to exactly one earlier side); inner N-way
+    * views use arbitrary connected key graphs. */
   private[v2] case class JoinSrc(paths: Seq[String],
       keys: Seq[(Int, String, Int, String)],
       leftOuter: Boolean = false) extends MvSource
@@ -271,14 +276,15 @@ object GraftMview {
           j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter
         if (!leftOuter && j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
           fail(s"${j.joinType} join (INNER or LEFT OUTER equi-joins only)")
-        // flatten an N-way INNER tree; a LEFT OUTER view is exactly two
-        // plain tables (the null-extension delta rule is 2-table)
+        // flatten an N-way INNER tree — or, for LEFT OUTER, a LEFT-DEEP
+        // CHAIN (fact ⟕ d1 ⟕ d2 ⟕ …, the pandas-merge shape chained):
+        // every join in the chain LEFT OUTER, every right side a plain
+        // table, each ON keying the NEW table to exactly ONE earlier side
+        // (the per-key locality the delta rule scopes by — see refresh)
         def flat(p2: LogicalPlan): (Seq[DataSourceV2Relation], Seq[Expression]) =
           p2 match {
             case SubqueryAlias(_, c) => flat(c)
             case jj: org.apache.spark.sql.catalyst.plans.logical.Join =>
-              if (leftOuter) fail("a LEFT OUTER join view takes exactly two " +
-                "plain tables (no nested joins)")
               if (jj.joinType != org.apache.spark.sql.catalyst.plans.Inner)
                 fail(s"nested ${jj.joinType} join (INNER only below the top level)")
               if (jj.condition.isEmpty) fail("join without an ON condition")
@@ -289,11 +295,33 @@ object GraftMview {
             case other => fail(s"join input ${other.nodeName} (plain graft " +
               "tables only)")
           }
+        // left-deep chain walk: collects rels in chain order plus the ON
+        // of each step (step x introduces side x+1)
+        def chainWalk(p2: LogicalPlan): (Seq[DataSourceV2Relation], Seq[Expression]) =
+          p2 match {
+            case SubqueryAlias(_, c) => chainWalk(c)
+            case jj: org.apache.spark.sql.catalyst.plans.logical.Join =>
+              if (jj.joinType != org.apache.spark.sql.catalyst.plans.LeftOuter)
+                fail(s"${jj.joinType} join inside a LEFT OUTER chain (every " +
+                  "join in the chain must be LEFT OUTER)")
+              if (jj.condition.isEmpty) fail("join without an ON condition")
+              val (lr, lc) = chainWalk(jj.left)
+              val rr = relOf(jj.right).getOrElse(fail(
+                "a LEFT OUTER chain joins a plain table on each right side " +
+                  "(no nested joins on the right)"))
+              (lr :+ rr, lc :+ jj.condition.get)
+            case r: DataSourceV2Relation => (Seq(r), Nil)
+            case other => fail(s"join input ${other.nodeName} (plain graft " +
+              "tables only)")
+          }
         if (j.condition.isEmpty) fail("join without an ON condition")
-        val (lrels, lconds) = flat(j.left)
-        val (rrels, rconds) = flat(j.right)
-        val rels = lrels ++ rrels
-        val conds = lconds ++ rconds ++ j.condition.toSeq
+        val (rels, conds) =
+          if (leftOuter) chainWalk(j)
+          else {
+            val (lrels, lconds) = flat(j.left)
+            val (rrels, rconds) = flat(j.right)
+            (lrels ++ rrels, lconds ++ rconds ++ j.condition.toSeq)
+          }
         val paths = rels.map(pathOf)
         if (paths.distinct.size != paths.size) fail("self-join of one table")
         // ALL column names must be globally disjoint: every maintenance
@@ -322,6 +350,21 @@ object GraftMview {
             "equality conjunctions only)")
         }
         val keys = conds.flatMap(eqKeys)
+        if (leftOuter) {
+          // per-step discipline: step x's ON must key the side it
+          // introduces (x) to exactly ONE earlier side — the delta rule
+          // propagates churn keys parent-by-parent along this tree
+          conds.zipWithIndex.foreach { case (c, x) =>
+            val ks = eqKeys(c)
+            ks.foreach { case (a2, _, b2, _) =>
+              if (b2 != x + 1 || a2 > x) fail("the ON of each LEFT JOIN " +
+                "must key the table it introduces to earlier tables")
+            }
+            if (ks.map(_._1).distinct.size != 1)
+              fail("each LEFT JOIN must key its new table to exactly ONE " +
+                "earlier table")
+          }
+        }
         // the key graph must CONNECT every table, or some delta term would
         // be a cartesian product — refuse at creation, not at refresh
         var reach = Set(0)
@@ -673,9 +716,18 @@ object GraftMview {
   private def joinFrames(frames: Seq[DataFrame],
       keys: Seq[(Int, String, Int, String)], leftOuter: Boolean): DataFrame = {
     if (leftOuter) {
-      val (l, r) = (frames(0), frames(1))
-      return l.join(r, keys.map { case (_, a, _, b) => l(a) === r(b) }
-        .reduce(_ && _), "left_outer")
+      // left-deep chain in declaration order: side i left-joins the
+      // accumulated prefix on every key pairing it with an earlier side
+      // (keys are normalized parent-first, so k._3 == i selects them;
+      // names are globally disjoint, so prefix resolution is by name)
+      var cur = frames.head
+      for (i <- 1 until frames.size) {
+        val nf = frames(i)
+        val cond = keys.collect { case (_, pa, b, cb) if b == i =>
+          cur(pa) === nf(cb) }.reduce(_ && _)
+        cur = cur.join(nf, cond, "left_outer")
+      }
+      return cur
     }
     var included = Set(0)
     var cur = frames(0)
@@ -914,83 +966,104 @@ object GraftMview {
           "graft mview: unreachable — noop returned above when all at head")
         terms.reduce(_.unionByName(_))
       case JoinSrc(paths2, keys, true) =>
-        // LEFT OUTER 2-table delta rule. The probe-side term is linear
-        // exactly like the inner case (a left join is row-local in its
-        // LEFT argument):  ΔR ⟕ S_new, null-extending where no match.
-        // The dim side is where outer-join IVM differs: an S churn can
-        // flip fact rows between matched and null-extended. Left joins
-        // are PER-KEY LOCAL — an R row's output depends only on S rows
-        // sharing its key — so only fact rows whose fk is among the
-        // CHURNED dim keys K change at all, and their contribution is
-        // recomputed exactly:  + R_old|K ⟕ S_new|K  −  R_old|K ⟕ S_old|K.
-        // (Classic outer-join view maintenance à la Larson & Zhou,
-        // ICDE'07, specialized to the aggregate-over-join case: the ±
-        // pair carries the null-extension transitions — a key gaining
-        // its first match retracts the null-extended rows, a key losing
-        // its last match re-creates them — without maintaining a
-        // persistent match-count companion.) All three scans are scoped
-        // to K by semi-joins, so stats/bloom/runtime pruning keeps the
-        // refresh churn-key-proportional, never corpus-sized.
-        val rCols = keys.map(_._2)
-        val sCols = keys.map(_._4)
-        val t1: Option[DataFrame] =
+        // LEFT-DEEP LEFT OUTER CHAIN delta rule (n ≥ 2 sides; n = 2 is
+        // the classic Larson & Zhou ICDE'07 outer-join IVM shape).
+        // Telescope the states old→new flipping ONE side per term — dims
+        // in chain order first, the fact LAST:
+        //   fact term: ΔF ⟕ d1_new ⟕ … ⟕ dn_new — linear, because a
+        //   left join is row-local in its LEFT argument;
+        //   dim term i: ± pair of the FULL chain with side i at new vs
+        //   old, every other side pinned at this telescoping step's
+        //   state (dims j<i NEW, dims j>i OLD, fact OLD).
+        // Left joins are PER-KEY LOCAL: a chain row's side-i columns
+        // depend only on the side-i rows sharing its key, so the ± pair
+        // cancels identically for every prefix row whose side-i key is
+        // unchurned — and the null-extension transitions (a key gaining
+        // its first match retracts its null-extended rows; a key losing
+        // its last match re-creates them) fall out of the pair without
+        // any persistent match-count companion. Both variants restrict
+        // IDENTICALLY to the churned keys: side i by key ∈ K_i, and
+        // every side on the parent path down to the fact by the key
+        // VALUES that can reach K_i — value-based semi-joins (plus the
+        // bounded compile-time IN for file skipping), so a currently
+        // unmatched row with a churned key still participates, and every
+        // scan in a dim term is churn-key-scoped, never corpus-sized.
+        // Cancellation stays exact under the restriction because rows
+        // excluded on one side are excluded on both.
+        val n = paths2.size
+        val parentOf: Map[Int, Int] = (1 until n).map { i =>
+          i -> keys.filter(_._3 == i).map(_._1).head }.toMap
+        val t0: Option[DataFrame] =
           if (wms.head._1 == heads.head) None
           else {
-            val d1 = netChurn(GraftStoreOps.signedChanges(
+            val d0 = netChurn(GraftStoreOps.signedChanges(
               spark, paths2.head, wms.head._1, heads.head))
-            val sNew = pinnedAt(1, heads(1))
-            Some(d1.join(sNew, keys.map { case (_, a, _, b) =>
-              d1(a) === sNew(b) }.reduce(_ && _), "left_outer"))
+            Some(joinFrames(
+              d0 +: (1 until n).map(j => pinnedAt(j, heads(j))),
+              keys, leftOuter = true))
           }
-        val t2: Option[DataFrame] =
-          if (wms(1)._1 == heads(1)) None
+        val dimTerms: Seq[DataFrame] = (1 until n).flatMap { i =>
+          if (wms(i)._1 == heads(i)) None
           else {
-            val d2 = netChurn(GraftStoreOps.signedChanges(
-              spark, paths2(1), wms(1)._1, heads(1)))
-            // churned dim-key combinations; a NULL component can never
-            // equi-match, so such rows affect no fact row
-            val kf = d2.select(sCols.zipWithIndex.map { case (c, i2) =>
-                col(c).as(s"__jk_$i2") }: _*)
+            val di = netChurn(GraftStoreOps.signedChanges(
+              spark, paths2(i), wms(i)._1, heads(i)))
+            val myKeys = keys.filter(_._3 == i) // (parent, pcol, i, icol)
+            // K_i: churned key combos (NULL components never equi-match)
+            val kf0 = di.select(myKeys.zipWithIndex.map { case (k, x) =>
+                col(k._4).as(s"__jk_$x") }: _*)
               .na.drop("any").distinct()
               .transform(graft.operators.IterGuard(_))
-            // bounded IN-pushdown: when the churned key set is small (the
-            // common fixed-churn case) push it as a COMPILE-TIME In filter
-            // too, so min/max file skipping prunes the fact/dim scans at
-            // plan time — a checkpointed semi-join build side carries no
-            // selective predicate, so DPP alone never skips a file. The
-            // driver transfer is capped; over the cap the semi-joins
-            // (kept below for exactness either way) do all the scoping.
-            val comboCap = 1000
-            val combos = kf.limit(comboCap + 1).collect()
-            val inSets: Option[Seq[Array[Any]]] =
-              if (combos.length > comboCap) None
-              else Some(sCols.indices.map(i2 =>
-                combos.map(_.get(i2)).distinct))
-            def keyPruned(df: DataFrame, names: Seq[String]): DataFrame =
-              inSets.fold(df)(sets => names.zip(sets).foldLeft(df) {
-                case (d0, (nm, vs)) => d0.filter(col(nm).isin(vs.toSeq: _*)) })
-            val rOld = keyPruned(pinnedAt(0, wms.head._1), rCols)
-            val rK = rOld.join(kf, rCols.zipWithIndex.map { case (a, i2) =>
-                rOld(a) === kf(s"__jk_$i2") }.reduce(_ && _), "left_semi")
-              .transform(graft.operators.IterGuard(_)) // reused by both signs
-            def scoped(s0: DataFrame): DataFrame = {
-              val s1 = keyPruned(s0, sCols)
-              s1.join(kf, sCols.zipWithIndex.map { case (b, i2) =>
-                s1(b) === kf(s"__jk_$i2") }.reduce(_ && _), "left_semi")
+            // the state each OTHER side is pinned at in THIS term
+            def pin(j: Int): DataFrame = pinnedAt(j,
+              if (j > 0 && j < i) heads(j) else wms(j)._1)
+            // value-based restriction: bounded compile-time IN (file
+            // skipping) + exact semi-join against the key frame
+            def restrict(f0: DataFrame, cols2: Seq[String],
+                kf: DataFrame): DataFrame = {
+              val pre = boundedKeyPred(kf,
+                cols2.indices.map(x => s"__jk_$x"), cols2)
+                .fold(f0)(f0.filter)
+              pre.join(kf, cols2.zipWithIndex.map { case (c2, x) =>
+                  pre(c2) === kf(s"__jk_$x") }.reduce(_ && _), "left_semi")
+                .transform(graft.operators.IterGuard(_))
             }
-            def half(sK: DataFrame, sign: Long): DataFrame =
-              rK.join(sK, keys.map { case (_, a, _, b) =>
-                  rK(a) === sK(b) }.reduce(_ && _), "left_outer")
+            // walk the parent path i → … → 0, restricting each side to
+            // the key values that can reach K_i
+            val restricted = scala.collection.mutable.Map.empty[Int, DataFrame]
+            var kf = kf0
+            var child = i
+            while (child != 0) {
+              val par = parentOf(child)
+              val childKeys = keys.filter(_._3 == child)
+              val fj = restrict(pin(par), childKeys.map(_._2), kf)
+              restricted(par) = fj
+              if (par != 0) {
+                val parKeys = keys.filter(_._3 == par)
+                kf = fj.select(parKeys.zipWithIndex.map { case (k, x) =>
+                    col(k._4).as(s"__jk_$x") }: _*)
+                  .na.drop("any").distinct()
+                  .transform(graft.operators.IterGuard(_))
+              }
+              child = par
+            }
+            def variant(newSide: Boolean, sign: Long): DataFrame = {
+              val fi = restrict(
+                pinnedAt(i, if (newSide) heads(i) else wms(i)._1),
+                myKeys.map(_._4), kf0)
+              val frames = (0 until n).map { j =>
+                if (j == i) fi else restricted.getOrElse(j, pin(j))
+              }
+              joinFrames(frames, keys, leftOuter = true)
                 .withColumn("_sign", lit(sign))
-            Some(half(scoped(pinnedAt(1, heads(1))), 1L)
-              .unionByName(half(scoped(pinnedAt(1, wms(1)._1)), -1L)))
+            }
+            Some(variant(newSide = true, 1L)
+              .unionByName(variant(newSide = false, -1L)))
           }
-        (t1, t2) match {
-          case (Some(a), Some(b)) => a.unionByName(b)
-          case (Some(a), None) => a
-          case (None, Some(b)) => b
-          case (None, None) => throw new IllegalStateException(
-            "graft mview: unreachable — noop returned above when both at head")
+        }
+        (t0.toSeq ++ dimTerms) match {
+          case Seq() => throw new IllegalStateException(
+            "graft mview: unreachable — noop returned above when all at head")
+          case ts => ts.reduce(_.unionByName(_))
         }
     }
     val d = filterSql.fold(signed)(f => signed.filter(expr(f)))

@@ -177,28 +177,43 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def extractSource(child: LogicalPlan): Option[QuerySource] = {
     val (topConjs, base) = peel(child)
     base match {
-      // LEFT OUTER shape: exactly two bare graft relations (the shape
-      // [[GraftMview]] maintains). Filters peeled from BELOW the RIGHT
-      // side do NOT commute with the view's above-join WHERE (they change
-      // which left rows null-extend) — refuse; left-side filters commute
-      // (a left join is row-local in its left argument) and pool with the
-      // above-join conjuncts for ordinary containment.
+      // LEFT OUTER shape: a LEFT-DEEP chain of bare graft relations
+      // (fact ⟕ d1 ⟕ d2 ⟕ … — the shape [[GraftMview]] maintains).
+      // Filters peeled from below any RIGHT side, or between chain
+      // levels, do NOT commute with the view's above-join WHERE (they
+      // change which rows null-extend) — refuse; filters at the chain's
+      // bottom-left (the fact) commute (a left join is row-local in its
+      // left argument) and pool with the above-join conjuncts.
       case j: Join if j.joinType ==
           org.apache.spark.sql.catalyst.plans.LeftOuter &&
           j.condition.isDefined =>
-        val (lc, lbase) = peel(j.left)
-        val (rc, rbase) = peel(j.right)
-        (graftRel(lbase), graftRel(rbase)) match {
-          case (Some(lr), Some(rr)) if rc.isEmpty =>
-            eqAttrPairs(j.condition.get, lr.output.map(_.exprId).toSet,
-                rr.output.map(_.exprId).toSet).flatMap { ps =>
-              val rels = Seq(lr, rr)
-              val paths = rels.map(pathOf)
-              if (paths.distinct.size != paths.size) None
-              else Some(QuerySource(rels, paths, topConjs ++ lc, ps,
-                leftOuter = true))
-            }
-          case _ => None
+        def walk(p: LogicalPlan): Option[(Seq[DataSourceV2Relation],
+            Seq[Expression], Seq[(AttributeReference, AttributeReference)])] =
+          p match {
+            case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+              walk(c)
+            case jj: Join if jj.joinType ==
+                org.apache.spark.sql.catalyst.plans.LeftOuter &&
+                jj.condition.isDefined =>
+              val (rc, rbase) = peel(jj.right)
+              if (rc.nonEmpty) None
+              else for {
+                lwr <- walk(jj.left)
+                rr <- graftRel(rbase)
+                ps <- eqAttrPairs(jj.condition.get,
+                  lwr._1.flatMap(_.output).map(_.exprId).toSet,
+                  rr.output.map(_.exprId).toSet)
+              } yield (lwr._1 :+ rr, lwr._2, lwr._3 ++ ps)
+            case other =>
+              val (bc, base) = peel(other)
+              graftRel(base).map(r => (Seq(r), bc,
+                Seq.empty[(AttributeReference, AttributeReference)]))
+          }
+        walk(j).flatMap { case (rels, factConjs, ps) =>
+          val paths = rels.map(pathOf)
+          if (paths.distinct.size != paths.size) None
+          else Some(QuerySource(rels, paths, topConjs ++ factConjs, ps,
+            leftOuter = true))
         }
       case _ =>
         flatten(child).flatMap { case (rels, conjs, pairs) =>

@@ -43,10 +43,10 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
       .select((col("id") % 1000).as("fk"), (col("id") % 97).as("v"))
       .repartitionByRange(files, col("fk"))
       .write.format("graft-store").mode("overwrite").save(fact)
-    if (shape != "single") {
+    if (shape != "single" && shape != "minmax") {
       spark.range(0, 1000).select(col("id").as("pk"), (col("id") % 25).as("nk"))
         .write.format("graft-store").mode("overwrite").save(d1)
-      if (shape == "nway")
+      if (shape == "nway" || shape == "leftchain")
         spark.range(0, 25).select(col("id").as("nk2"),
             concat(lit("g"), col("id")).as("gname"))
           .write.format("graft-store").mode("overwrite").save(d2)
@@ -68,6 +68,10 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
       case "leftouter" =>
         s"SELECT nk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
           s"LEFT JOIN mvscale.c_$tag ON fk = pk GROUP BY nk"
+      case "leftchain" =>
+        s"SELECT gname, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
+          s"LEFT JOIN mvscale.c_$tag ON fk = pk " +
+          s"LEFT JOIN mvscale.n_$tag ON nk = nk2 GROUP BY gname"
     }
     GraftMview.create(spark, mvDir, sql)
     // FIXED-SIZE churn regardless of corpus scale: 100 fact rows, and
@@ -118,5 +122,8 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
   }
   test("LEFT OUTER refresh is corpus-size-independent") {
     catBase; probe("leftouter")
+  }
+  test("LEFT OUTER 3-chain refresh is corpus-size-independent") {
+    catBase; probe("leftchain")
   }
 }

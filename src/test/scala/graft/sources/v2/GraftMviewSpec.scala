@@ -552,6 +552,140 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(GraftMview.refresh(spark, mvDir)._1 === "noop")
   }
 
+  test("LEFT OUTER chain (3-way snowflake): every side's churn maintains incl. null transitions") {
+    catBase
+    val fact = s"$catBase/lc3f"
+    val d1 = s"$catBase/lc3c"
+    val d2 = s"$catBase/lc3n"
+    val mvDir = s"$catBase/lc3mv"
+    // snowflake chain: fact(fk,v) ⟕ cust(pk,nk) ⟕ nat(nk2,nname) —
+    // the reference's chained pandas-merge shape. fk=9 has no cust row;
+    // cust pk=3 has nk=77 with no nation row (null-extends at level 2)
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (9L, 99L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(fact)
+    Seq((1L, 0L), (2L, 1L), (3L, 77L))
+      .toDF("pk", "nk").write.format("graft-store").mode("overwrite").save(d1)
+    Seq((0L, "east"), (1L, "west"))
+      .toDF("nk2", "nname").write.format("graft-store").mode("overwrite").save(d2)
+    val (n0, _) = GraftMview.create(spark, mvDir,
+      "SELECT nname, count(*) AS n, sum(v) AS s FROM mvcat.lc3f " +
+        "LEFT JOIN mvcat.lc3c ON fk = pk LEFT JOIN mvcat.lc3n ON nk = nk2 " +
+        "GROUP BY nname")
+    assert(n0 === 3) // east, west, NULL (fk=9 + pk=3's dangling nk)
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("nname", "n", "s").collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    def recompute() = {
+      val f = spark.read.format("graft-store").load(fact)
+      val c = spark.read.format("graft-store").load(d1)
+      val nt = spark.read.format("graft-store").load(d2)
+      f.join(c, f("fk") === c("pk"), "left_outer")
+        .join(nt, c("nk") === nt("nk2"), "left_outer")
+        .groupBy("nname").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rows() === Map(Some("east") -> ((2L, 30L)), Some("west") -> ((1L, 5L)),
+      None -> ((2L, 106L))))
+    // FACT churn: matched + unmatched rows appended
+    Seq((2L, 100L), (8L, 50L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(rows() === recompute())
+    // MIDDLE (cust) churn: fk=9 gains its cust row (level-1 null
+    // transition), and pk=1 moves nation east→west (mass moves)
+    Seq((9L, 1L)).toDF("pk", "nk")
+      .write.format("graft-store").mode("append").save(d1)
+    spark.sql("UPDATE mvcat.lc3c SET nk = 1 WHERE pk = 1")
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()(Some("west")) === ((5L, 234L)))
+    // LEAF (nation) churn: nk=77 gains its nation row — pk=3's fact
+    // rows convert from level-2 null-extended to matched; then west
+    // vanishes when its nation row is deleted (matched → null-extended;
+    // east already left at m2 when its last cust row moved away)
+    Seq((77L, "north")).toDF("nk2", "nname")
+      .write.format("graft-store").mode("append").save(d2)
+    val (m3, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m3 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()(Some("north")) === ((1L, 7L)))
+    assert(!rows().contains(Some("east")))
+    spark.sql("DELETE FROM mvcat.lc3n WHERE nname = 'west'")
+    val (m4, _, vanished, _) = GraftMview.refresh(spark, mvDir)
+    assert(m4 === "incremental" && vanished >= 1L)
+    assert(rows() === recompute() && !rows().contains(Some("west")))
+    // TWO sides churn between refreshes; then noop at head
+    Seq((3L, 1000L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    spark.sql("DELETE FROM mvcat.lc3c WHERE pk = 2")
+    val (m5, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m5 === "incremental")
+    assert(rows() === recompute())
+    assert(GraftMview.refresh(spark, mvDir)._1 === "noop")
+    // the REWRITE serves the same chain shape — and only when fresh
+    def q() = spark.sql(
+      "SELECT nname, count(*) AS n, sum(v) AS s FROM mvcat.lc3f " +
+        "LEFT JOIN mvcat.lc3c ON fk = pk LEFT JOIN mvcat.lc3n ON nk = nk2 " +
+        "GROUP BY nname")
+    assert(q().queryExecution.optimizedPlan.toString.contains(mvDir))
+    assert(q().collect().map(r => Option(r.getString(0)) ->
+      (r.getLong(1), r.getLong(2))).toMap === recompute())
+    Seq((12L, 1L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    assert(!q().queryExecution.optimizedPlan.toString.contains(mvDir))
+  }
+
+  test("LEFT OUTER chain (3-way star): both dims key off the fact") {
+    catBase
+    val fact = s"$catBase/ls3f"
+    val d1 = s"$catBase/ls3a"
+    val d2 = s"$catBase/ls3b"
+    val mvDir = s"$catBase/ls3mv"
+    Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L), (1L, 40L, 100L))
+      .toDF("k1", "v", "k2")
+      .withColumn("k2", when(col("k2") =!= 300L, col("k2"))) // fk 3: NULL k2
+      .write.format("graft-store").mode("overwrite").save(fact)
+    Seq((1L, "a1"), (2L, "a2")).toDF("ak", "alab")
+      .write.format("graft-store").mode("overwrite").save(d1)
+    Seq((100L, "b1")).toDF("bk", "blab")
+      .write.format("graft-store").mode("overwrite").save(d2)
+    GraftMview.create(spark, mvDir,
+      "SELECT alab, blab, count(*) AS n, sum(v) AS s FROM mvcat.ls3f " +
+        "LEFT JOIN mvcat.ls3a ON k1 = ak LEFT JOIN mvcat.ls3b ON k2 = bk " +
+        "GROUP BY alab, blab")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("alab", "blab", "n", "s").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    def recompute() = {
+      val f = spark.read.format("graft-store").load(fact)
+      val a = spark.read.format("graft-store").load(d1)
+      val b = spark.read.format("graft-store").load(d2)
+      f.join(a, f("k1") === a("ak"), "left_outer")
+        .join(b, f("k2") === b("bk"), "left_outer")
+        .groupBy("alab", "blab").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+          (r.getLong(2), r.getLong(3))).toMap
+    }
+    assert(rows() === recompute())
+    assert(rows()((Some("a1"), Some("b1"))) === ((2L, 50L)))
+    // churn EACH side: fact append; d2 gains 200 (conversion); d1 loses a2
+    Seq((2L, 7L, 200L)).toDF("k1", "v", "k2")
+      .write.format("graft-store").mode("append").save(fact)
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental" && rows() === recompute())
+    Seq((200L, "b2")).toDF("bk", "blab")
+      .write.format("graft-store").mode("append").save(d2)
+    spark.sql("DELETE FROM mvcat.ls3a WHERE alab = 'a2'")
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()((None, Some("b2"))) === ((2L, 27L)))
+    assert(GraftMview.refresh(spark, mvDir)._1 === "noop")
+  }
+
   test("LEFT OUTER view refresh is churn-proportional on dim-side churn") {
     catBase
     val fact = s"$catBase/lof2"
@@ -1412,9 +1546,19 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       "ON fk = pk GROUP BY grp", "INNER or LEFT OUTER")
     Seq((1L, 5L)).toDF("pk2", "w")
       .write.format("graft-store").mode("overwrite").save(s"$catBase/jr4")
+    // left-deep LEFT chains are a FEATURE; the refusals are a nested
+    // join on a RIGHT side, an INNER join inside the chain, and an ON
+    // keying the new table to more than one earlier table
+    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
+      "LEFT JOIN (SELECT pk, grp FROM mvcat.jr2 JOIN mvcat.jr4 ON pk = pk2) " +
+      "ON fk = pk GROUP BY grp", "right side")
+    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
+      "JOIN mvcat.jr2 ON fk = pk " +
+      "LEFT JOIN mvcat.jr4 ON pk = pk2 GROUP BY grp", "must be LEFT OUTER")
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
       "LEFT JOIN mvcat.jr2 ON fk = pk " +
-      "LEFT JOIN mvcat.jr4 ON pk = pk2 GROUP BY grp", "exactly two")
+      "LEFT JOIN mvcat.jr4 ON pk = pk2 AND fk = pk2 GROUP BY grp",
+      "exactly ONE earlier table")
     refuse("SELECT grp, count(*) AS n, min(v) AS mn FROM mvcat.jr1 JOIN mvcat.jr2 " +
       "ON fk = pk GROUP BY grp", "min/max")
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 JOIN mvcat.jr3 " +
