@@ -5827,6 +5827,83 @@ object SystemQueries {
            |LEFT JOIN nt ON c_nationkey = n_nationkey
            |GROUP BY 1""".stripMargin))
 
+  /** MIXED INNER+LEFT CHAIN MV ([[graft.sources.v2.GraftMview]]):
+    * `orders ⋈ customer ⟕ nation` — the required-dim + optional-dim
+    * shape. INNER-entered sides stay (bi)linear in the chain even under
+    * downstream LEFT steps (a left join is row-local in its left
+    * argument and the signed multiset distributes), so their churn uses
+    * plain Δ terms; LEFT-entered sides keep the ± pair with its
+    * null-extension transitions. The probe churns all three sides —
+    * fact append, customer delete (INNER gate closes), nation delete
+    * (matched → null-extended) — and DuckDB replays the mixed chain. */
+  val q231MviewMixedChain = QuerySpec(
+    "q231_mview_mixed_chain", "S-dsv2-mview-mixed-chain",
+    "mixed INNER+LEFT chain MV: per-side churn with gate and null transitions",
+    (s, d) => {
+      val base = "/tmp/graft_store_q231"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq231", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq231.base", base)
+      try {
+        val fact = s"$base/fact"
+        val cust = s"$base/cust"
+        val nat = s"$base/nat"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact)
+        Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .write.format("graft-store").mode("overwrite").save(cust)
+        // nations < 15 only: higher nationkeys null-extend
+        Tables.nation(s, d).select("n_nationkey", "n_name")
+          .filter(col("n_nationkey") < 15)
+          .write.format("graft-store").mode("overwrite").save(nat)
+        s.sql("CALL gq231.system.create_mview('mv', " +
+          "'SELECT n_name, count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq231.fact " +
+          "JOIN gq231.cust ON o_custkey = c_custkey " +
+          "LEFT JOIN gq231.nat ON c_nationkey = n_nationkey " +
+          "GROUP BY n_name')")
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        val r1 = s.sql("CALL gq231.system.refresh_mview('mv')").collect()(0)
+        // INNER-side churn: customers leave — their orders drop out
+        s.sql("DELETE FROM gq231.cust WHERE c_custkey % 10 = 0")
+        val r2 = s.sql("CALL gq231.system.refresh_mview('mv')").collect()(0)
+        // LEFT-side churn: nations < 5 vanish (matched → null-extended)
+        // and 15..19 appear (null-extended → matched)
+        s.sql("DELETE FROM gq231.nat WHERE n_nationkey < 5")
+        Tables.nation(s, d).select("n_nationkey", "n_name")
+          .filter(col("n_nationkey") >= 15 && col("n_nationkey") < 20)
+          .write.format("graft-store").mode("append").save(nat)
+        val r3 = s.sql("CALL gq231.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = Seq(r1, r2, r3)
+          .forall(_.getString(0) == "incremental")
+        s.sql("""SELECT coalesce(n_name, '(none)') AS n_name, n,
+                |  round(rev, 2) AS rev FROM gq231.mv""".stripMargin)
+          .withColumn("incremental", lit(incremental))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq231")
+        s.conf.unset("spark.sql.catalog.gq231.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 10000),
+           |c AS (
+           |  SELECT c_custkey, c_nationkey FROM customer
+           |  WHERE c_custkey % 10 <> 0),
+           |nt AS (
+           |  SELECT n_nationkey, n_name FROM nation
+           |  WHERE n_nationkey >= 5 AND n_nationkey < 20)
+           |SELECT coalesce(n_name, '(none)') AS n_name, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev, TRUE AS incremental
+           |FROM f JOIN c ON o_custkey = c_custkey
+           |LEFT JOIN nt ON c_nationkey = n_nationkey
+           |GROUP BY 1""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5852,5 +5929,5 @@ object SystemQueries {
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
     q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
-    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune, q230MviewLeftChain)
+    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune, q230MviewLeftChain, q231MviewMixedChain)
 }

@@ -70,7 +70,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * the bounded compile-time IN for file skipping). Null-extension
   * transitions at EVERY level (a dim insert matching waiting rows, a
   * leaf-dim delete null-extending a middle dim's matches) fall out of
-  * the ± pair.
+  * the ± pair. Chains MIX freely with INNER steps (`F ⋈ D1 ⟕ D2` — a
+  * required dim then an optional one): an INNER-entered side stays
+  * (bi)linear in the chain even under downstream LEFT steps, so its
+  * churn uses a plain Δ term; LEFT-entered sides keep the ± pair.
   *
   * Refresh is O(churn), not O(table): [[GraftStoreOps.signedChanges]]
   * yields +1/-1 row deltas reading only files whose membership or delete
@@ -203,12 +206,14 @@ object GraftMview {
   private[v2] sealed trait MvSource
   private[v2] case class SingleSrc(path: String) extends MvSource
   /** `keys`: (sideA, colA, sideB, colB) equi-pairs with sideA < sideB,
-    * sides indexing `paths`. `leftOuter` marks a left-deep LEFT OUTER
-    * chain (each side keyed to exactly one earlier side); inner N-way
-    * views use arbitrary connected key graphs. */
+    * sides indexing `paths`. `leftSides` lists the sides that enter the
+    * left-deep chain via LEFT OUTER (empty = a pure INNER view, which
+    * may use an arbitrary connected key graph; nonempty = a chain where
+    * each side keys to exactly one earlier side and sides NOT listed
+    * enter via INNER — the mixed `F ⋈ D1 ⟕ D2` family included). */
   private[v2] case class JoinSrc(paths: Seq[String],
       keys: Seq[(Int, String, Int, String)],
-      leftOuter: Boolean = false) extends MvSource
+      leftSides: Set[Int] = Set.empty) extends MvSource
 
   /** The analyzer (PullOutNondeterministic) and optimizer
     * (PullOutGroupingExpressions) pull complex grouping expressions into
@@ -295,32 +300,46 @@ object GraftMview {
             case other => fail(s"join input ${other.nodeName} (plain graft " +
               "tables only)")
           }
-        // left-deep chain walk: collects rels in chain order plus the ON
-        // of each step (step x introduces side x+1)
-        def chainWalk(p2: LogicalPlan): (Seq[DataSourceV2Relation], Seq[Expression]) =
+        // left-deep chain walk (used when the tree contains ANY LEFT
+        // OUTER): collects rels in chain order, the ON of each step
+        // (step x introduces side x+1), and each step's entry type —
+        // INNER and LEFT OUTER steps mix freely (F ⋈ D1 ⟕ D2 etc.)
+        def chainWalk(p2: LogicalPlan)
+            : (Seq[DataSourceV2Relation], Seq[Expression], Seq[Boolean]) =
           p2 match {
             case SubqueryAlias(_, c) => chainWalk(c)
             case jj: org.apache.spark.sql.catalyst.plans.logical.Join =>
-              if (jj.joinType != org.apache.spark.sql.catalyst.plans.LeftOuter)
-                fail(s"${jj.joinType} join inside a LEFT OUTER chain (every " +
-                  "join in the chain must be LEFT OUTER)")
+              val lo =
+                jj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter
+              if (!lo && jj.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+                fail(s"${jj.joinType} join inside a LEFT OUTER chain " +
+                  "(INNER or LEFT OUTER steps only)")
               if (jj.condition.isEmpty) fail("join without an ON condition")
-              val (lr, lc) = chainWalk(jj.left)
+              val (lr, lc, lt) = chainWalk(jj.left)
               val rr = relOf(jj.right).getOrElse(fail(
                 "a LEFT OUTER chain joins a plain table on each right side " +
                   "(no nested joins on the right)"))
-              (lr :+ rr, lc :+ jj.condition.get)
-            case r: DataSourceV2Relation => (Seq(r), Nil)
+              (lr :+ rr, lc :+ jj.condition.get, lt :+ lo)
+            case r: DataSourceV2Relation => (Seq(r), Nil, Nil)
             case other => fail(s"join input ${other.nodeName} (plain graft " +
               "tables only)")
           }
+        def containsLeft(p2: LogicalPlan): Boolean = p2 match {
+          case SubqueryAlias(_, c) => containsLeft(c)
+          case jj: org.apache.spark.sql.catalyst.plans.logical.Join =>
+            jj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter ||
+              containsLeft(jj.left) || containsLeft(jj.right)
+          case _ => false
+        }
         if (j.condition.isEmpty) fail("join without an ON condition")
-        val (rels, conds) =
-          if (leftOuter) chainWalk(j)
+        val chainMode = containsLeft(j)
+        val (rels, conds, stepTypes) =
+          if (chainMode) chainWalk(j)
           else {
             val (lrels, lconds) = flat(j.left)
             val (rrels, rconds) = flat(j.right)
-            (lrels ++ rrels, lconds ++ rconds ++ j.condition.toSeq)
+            (lrels ++ rrels, lconds ++ rconds ++ j.condition.toSeq,
+              Seq.empty[Boolean])
           }
         val paths = rels.map(pathOf)
         if (paths.distinct.size != paths.size) fail("self-join of one table")
@@ -350,7 +369,7 @@ object GraftMview {
             "equality conjunctions only)")
         }
         val keys = conds.flatMap(eqKeys)
-        if (leftOuter) {
+        if (chainMode) {
           // per-step discipline: step x's ON must key the side it
           // introduces (x) to exactly ONE earlier side — the delta rule
           // propagates churn keys parent-by-parent along this tree
@@ -378,7 +397,9 @@ object GraftMview {
         if (reach.size != rels.size)
           fail("the join graph is disconnected (every table needs an " +
             "equi-key path to the others)")
-        (cond, JoinSrc(paths, keys, leftOuter), rels.flatMap(_.output))
+        val leftSides = stepTypes.zipWithIndex
+          .collect { case (true, x) => x + 1 }.toSet
+        (cond, JoinSrc(paths, keys, leftSides), rels.flatMap(_.output))
       case r: DataSourceV2Relation => (cond, SingleSrc(pathOf(r)), r.output.toSeq)
       case other => fail(s"unsupported input ${other.nodeName} (one graft " +
         "table or one inner equi-join of two, optional WHERE only)")
@@ -583,7 +604,7 @@ object GraftMview {
       filterSql.map("graft.mv.filter" -> _)
     src match {
       case SingleSrc(p) => base + ("graft.mv.source" -> p)
-      case JoinSrc(paths, keys, leftOuter) =>
+      case JoinSrc(paths, keys, leftSides) =>
         val srcs = paths.zipWithIndex.map { case (p, i) =>
           s"graft.mv.source${sfx(i)}" -> p
         }
@@ -601,7 +622,11 @@ object GraftMview {
             "graft.mv.keysn" -> keys.map { case (i, a, j, b) =>
               s"$i:${enc(a)}:$j:${enc(b)}" }.mkString(";")
         base ++ srcs ++ wmRest + keyProp ++
-          (if (leftOuter) Seq("graft.mv.jointype" -> "left") else Seq.empty)
+          (if (leftSides.isEmpty) Seq.empty
+          else if (leftSides == (1 until paths.size).toSet)
+            Seq("graft.mv.jointype" -> "left") // legacy all-left format
+          else Seq("graft.mv.jointype" -> "mixed",
+            "graft.mv.lefts" -> leftSides.toSeq.sorted.mkString(",")))
     }
   }
 
@@ -620,7 +645,13 @@ object GraftMview {
         val Array(a, b) = kv.split(":", 2); (0, dec(a), 1, dec(b))
       }
     }
-    JoinSrc(paths, keys, props.get("graft.mv.jointype").contains("left"))
+    val lefts = props.get("graft.mv.jointype") match {
+      case Some("left") => (1 until paths.size).toSet
+      case Some("mixed") => props("graft.mv.lefts")
+        .split(",").map(_.toInt).toSet
+      case _ => Set.empty[Int]
+    }
+    JoinSrc(paths, keys, lefts)
   }
 
   /** Bounded compile-time key predicate — the [[pruneByChurnKeys]] device
@@ -714,18 +745,21 @@ object GraftMview {
     * a redundant cycle pair becomes a post-join equality filter. Names are
     * globally disjoint, so conditions resolve unambiguously by name. */
   private def joinFrames(frames: Seq[DataFrame],
-      keys: Seq[(Int, String, Int, String)], leftOuter: Boolean): DataFrame = {
-    if (leftOuter) {
-      // left-deep chain in declaration order: side i left-joins the
-      // accumulated prefix on every key pairing it with an earlier side
-      // (keys are normalized parent-first, so k._3 == i selects them;
-      // names are globally disjoint, so prefix resolution is by name)
+      keys: Seq[(Int, String, Int, String)],
+      leftSides: Set[Int]): DataFrame = {
+    if (leftSides.nonEmpty) {
+      // left-deep chain in declaration order: side i joins the
+      // accumulated prefix — LEFT OUTER or INNER per its entry type —
+      // on every key pairing it with an earlier side (keys are
+      // normalized parent-first, so k._3 == i selects them; names are
+      // globally disjoint, so prefix resolution is by name)
       var cur = frames.head
       for (i <- 1 until frames.size) {
         val nf = frames(i)
         val cond = keys.collect { case (_, pa, b, cb) if b == i =>
           cur(pa) === nf(cb) }.reduce(_ && _)
-        cur = cur.join(nf, cond, "left_outer")
+        cur = cur.join(nf, cond,
+          if (leftSides(i)) "left_outer" else "inner")
       }
       return cur
     }
@@ -759,9 +793,9 @@ object GraftMview {
       heads: Seq[Int]): DataFrame = src match {
     case SingleSrc(p) =>
       spark.read.format("graft-store").option("snapshot", heads.head).load(p)
-    case JoinSrc(paths, keys, leftOuter) =>
+    case JoinSrc(paths, keys, leftSides) =>
       joinFrames(paths.indices.map(i => spark.read.format("graft-store")
-        .option("snapshot", heads(i)).load(paths(i))), keys, leftOuter)
+        .option("snapshot", heads(i)).load(paths(i))), keys, leftSides)
   }
 
   /** Dup-count companion table location for a [[DCountCol]] output. A
@@ -937,7 +971,7 @@ object GraftMview {
     val signed = src match {
       case SingleSrc(p) =>
         netChurn(GraftStoreOps.signedChanges(spark, p, wms.head._1, heads.head))
-      case JoinSrc(paths2, keys, false) =>
+      case JoinSrc(paths2, keys, ls) if ls.isEmpty =>
         // N-WAY delta rule, one term per CHURNED side i:
         //   Δi = R1_old ⋈ … ⋈ R(i-1)_old ⋈ ΔRi ⋈ R(i+1)_new ⋈ … ⋈ Rn_new
         // Telescoping makes the sum exactly new-join − old-join, and an
@@ -959,13 +993,13 @@ object GraftMview {
             // [[pruneByChurnKeys]]) — a dim-churn term must never rescan
             // the fact corpus
             Some(joinFrames(pruneByChurnKeys(frames, keys, i), keys,
-              leftOuter = false))
+              Set.empty))
           }
         }
         if (terms.isEmpty) throw new IllegalStateException(
           "graft mview: unreachable — noop returned above when all at head")
         terms.reduce(_.unionByName(_))
-      case JoinSrc(paths2, keys, true) =>
+      case JoinSrc(paths2, keys, leftSides) =>
         // LEFT-DEEP LEFT OUTER CHAIN delta rule (n ≥ 2 sides; n = 2 is
         // the classic Larson & Zhou ICDE'07 outer-join IVM shape).
         // Telescope the states old→new flipping ONE side per term — dims
@@ -1000,7 +1034,7 @@ object GraftMview {
               spark, paths2.head, wms.head._1, heads.head))
             Some(joinFrames(
               d0 +: (1 until n).map(j => pinnedAt(j, heads(j))),
-              keys, leftOuter = true))
+              keys, leftSides))
           }
         val dimTerms: Seq[DataFrame] = (1 until n).flatMap { i =>
           if (wms(i)._1 == heads(i)) None
@@ -1008,14 +1042,24 @@ object GraftMview {
             val di = netChurn(GraftStoreOps.signedChanges(
               spark, paths2(i), wms(i)._1, heads(i)))
             val myKeys = keys.filter(_._3 == i) // (parent, pcol, i, icol)
+            // the state each OTHER side is pinned at in THIS term
+            def pin(j: Int): DataFrame = pinnedAt(j,
+              if (j > 0 && j < i) heads(j) else wms(j)._1)
+            if (!leftSides(i)) {
+              // an INNER-entered side is (bi)linear in the chain even
+              // under downstream LEFT steps (a left join is row-local in
+              // its LEFT argument, and the signed multiset distributes):
+              // the term is simply the chain with Δi at position i,
+              // scans scoped by the bounded key cascade
+              val frames = (0 until n).map(j => if (j == i) di else pin(j))
+              Some(joinFrames(pruneByChurnKeys(frames, keys, i),
+                keys, leftSides))
+            } else {
             // K_i: churned key combos (NULL components never equi-match)
             val kf0 = di.select(myKeys.zipWithIndex.map { case (k, x) =>
                 col(k._4).as(s"__jk_$x") }: _*)
               .na.drop("any").distinct()
               .transform(graft.operators.IterGuard(_))
-            // the state each OTHER side is pinned at in THIS term
-            def pin(j: Int): DataFrame = pinnedAt(j,
-              if (j > 0 && j < i) heads(j) else wms(j)._1)
             // value-based restriction: bounded compile-time IN (file
             // skipping) + exact semi-join against the key frame
             def restrict(f0: DataFrame, cols2: Seq[String],
@@ -1053,11 +1097,12 @@ object GraftMview {
               val frames = (0 until n).map { j =>
                 if (j == i) fi else restricted.getOrElse(j, pin(j))
               }
-              joinFrames(frames, keys, leftOuter = true)
+              joinFrames(frames, keys, leftSides)
                 .withColumn("_sign", lit(sign))
             }
             Some(variant(newSide = true, 1L)
               .unionByName(variant(newSide = false, -1L)))
+            }
           }
         }
         (t0.toSeq ++ dimTerms) match {

@@ -111,7 +111,9 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   private case class QuerySource(rels: Seq[DataSourceV2Relation],
       paths: Seq[String], conjs: Seq[Expression],
       pairs: Seq[(AttributeReference, AttributeReference)],
-      leftOuter: Boolean = false) {
+      leftSides: Set[Int] = Set.empty) {
+    /** Any LEFT OUTER step → chain semantics. */
+    def leftOuter: Boolean = leftSides.nonEmpty
     /** Key pairs as names normalized to (rels(0), rels(1)) — the
       * two-relation exact-join-view match. */
     def joinKeys: Seq[(String, String)] = {
@@ -177,24 +179,35 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   private def extractSource(child: LogicalPlan): Option[QuerySource] = {
     val (topConjs, base) = peel(child)
     base match {
-      // LEFT OUTER shape: a LEFT-DEEP chain of bare graft relations
-      // (fact ⟕ d1 ⟕ d2 ⟕ … — the shape [[GraftMview]] maintains).
-      // Filters peeled from below any RIGHT side, or between chain
-      // levels, do NOT commute with the view's above-join WHERE (they
-      // change which rows null-extend) — refuse; filters at the chain's
-      // bottom-left (the fact) commute (a left join is row-local in its
-      // left argument) and pool with the above-join conjuncts.
-      case j: Join if j.joinType ==
-          org.apache.spark.sql.catalyst.plans.LeftOuter &&
-          j.condition.isDefined =>
+      // CHAIN shape (the tree contains a LEFT OUTER anywhere): a
+      // LEFT-DEEP chain of bare graft relations with INNER and LEFT
+      // OUTER steps mixed (fact ⟕ d1 ⋈ d2 ⟕ … — the shapes
+      // [[GraftMview]] maintains). Filters peeled from below any RIGHT
+      // side, or between chain levels, do NOT commute with the view's
+      // above-join WHERE (they change which rows null-extend) — refuse;
+      // filters at the chain's bottom-left (the fact) commute (a left
+      // join is row-local in its left argument) and pool with the
+      // above-join conjuncts.
+      case j: Join if j.condition.isDefined && {
+          def hasLeft(p0: LogicalPlan): Boolean = p0 match {
+            case jj: Join => jj.joinType ==
+              org.apache.spark.sql.catalyst.plans.LeftOuter ||
+              hasLeft(jj.left) || hasLeft(jj.right)
+            case Project(_, c) => hasLeft(c)
+            case Filter(_, c) => hasLeft(c)
+            case _ => false
+          }
+          hasLeft(j)
+        } =>
         def walk(p: LogicalPlan): Option[(Seq[DataSourceV2Relation],
-            Seq[Expression], Seq[(AttributeReference, AttributeReference)])] =
+            Seq[Expression], Seq[(AttributeReference, AttributeReference)],
+            Seq[Boolean])] =
           p match {
             case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
               walk(c)
-            case jj: Join if jj.joinType ==
-                org.apache.spark.sql.catalyst.plans.LeftOuter &&
-                jj.condition.isDefined =>
+            case jj: Join if (jj.joinType ==
+                org.apache.spark.sql.catalyst.plans.LeftOuter ||
+                jj.joinType == Inner) && jj.condition.isDefined =>
               val (rc, rbase) = peel(jj.right)
               if (rc.nonEmpty) None
               else for {
@@ -203,17 +216,19 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
                 ps <- eqAttrPairs(jj.condition.get,
                   lwr._1.flatMap(_.output).map(_.exprId).toSet,
                   rr.output.map(_.exprId).toSet)
-              } yield (lwr._1 :+ rr, lwr._2, lwr._3 ++ ps)
+              } yield (lwr._1 :+ rr, lwr._2, lwr._3 ++ ps, lwr._4 :+
+                (jj.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter))
             case other =>
               val (bc, base) = peel(other)
               graftRel(base).map(r => (Seq(r), bc,
-                Seq.empty[(AttributeReference, AttributeReference)]))
+                Seq.empty[(AttributeReference, AttributeReference)],
+                Seq.empty[Boolean]))
           }
-        walk(j).flatMap { case (rels, factConjs, ps) =>
+        walk(j).flatMap { case (rels, factConjs, ps, types) =>
           val paths = rels.map(pathOf)
           if (paths.distinct.size != paths.size) None
           else Some(QuerySource(rels, paths, topConjs ++ factConjs, ps,
-            leftOuter = true))
+            types.zipWithIndex.collect { case (true, x) => x + 1 }.toSet))
         }
       case _ =>
         flatten(child).flatMap { case (rels, conjs, pairs) =>
@@ -696,8 +711,12 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // their own kind. A left match is additionally ORIENTED: left joins
     // are not symmetric, so the query's (left, right) table order must
     // equal the view's (checked below once paths resolve).
-    val mvLeft = p.get("graft.mv.jointype").contains("left")
-    if (mvLeft != qs.leftOuter) return None
+    val mvLefts: Set[Int] = GraftMview.decodeSource(p) match {
+      case GraftMview.JoinSrc(_, _, ls) => ls
+      case _ => Set.empty
+    }
+    val mvLeft = mvLefts.nonEmpty
+    if (mvLefts != qs.leftSides) return None
     // source-shape match: single table, or the same N-way join (any
     // order). A query joining MORE relations than the MV covers — a join
     // query over a single-table MV, or a query whose join SUPERSET

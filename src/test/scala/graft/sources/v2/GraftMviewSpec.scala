@@ -486,7 +486,13 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       "graft.mv.source" -> "/p/fact", "graft.mv.source2" -> "/p/dim",
       "graft.mv.keys" -> "fk:pk"))
     assert(legacy === GraftMview.JoinSrc(Seq("/p/fact", "/p/dim"),
-      Seq((0, "fk", 1, "pk")), false))
+      Seq((0, "fk", 1, "pk")), Set.empty))
+    // the legacy all-left marker decodes to every dim side
+    assert(GraftMview.decodeSource(Map(
+      "graft.mv.source" -> "/p/f", "graft.mv.source2" -> "/p/d",
+      "graft.mv.keys" -> "fk:pk", "graft.mv.jointype" -> "left"))
+      === GraftMview.JoinSrc(Seq("/p/f", "/p/d"),
+        Seq((0, "fk", 1, "pk")), Set(1)))
   }
 
   test("LEFT OUTER view: null-extension transitions maintain through churn") {
@@ -684,6 +690,109 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(rows() === recompute())
     assert(rows()((None, Some("b2"))) === ((2L, 27L)))
     assert(GraftMview.refresh(spark, mvDir)._1 === "noop")
+  }
+
+  test("MIXED chain (INNER + LEFT OUTER steps): both orders maintain through churn") {
+    catBase
+    // shape A: F ⋈ D1 ⟕ D2 — required dim then optional dim
+    val fa = s"$catBase/mxaf"
+    val da1 = s"$catBase/mxa1"
+    val da2 = s"$catBase/mxa2"
+    val mvA = s"$catBase/mxamv"
+    Seq((1L, 10L), (1L, 20L), (2L, 5L), (9L, 99L)) // fk=9: no D1 → dropped
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(fa)
+    Seq((1L, 100L), (2L, 200L)) // ek=200 has no D2 row → null-extends
+      .toDF("pk", "ek").write.format("graft-store").mode("overwrite").save(da1)
+    Seq((100L, "x")).toDF("ek2", "lab")
+      .write.format("graft-store").mode("overwrite").save(da2)
+    GraftMview.create(spark, mvA,
+      "SELECT lab, count(*) AS n, sum(v) AS s FROM mvcat.mxaf " +
+        "JOIN mvcat.mxa1 ON fk = pk LEFT JOIN mvcat.mxa2 ON ek = ek2 " +
+        "GROUP BY lab")
+    def rowsA() = spark.read.format("graft-store").load(mvA)
+      .select("lab", "n", "s").collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    def recomputeA() = {
+      val f = spark.read.format("graft-store").load(fa)
+      val d1 = spark.read.format("graft-store").load(da1)
+      val d2 = spark.read.format("graft-store").load(da2)
+      f.join(d1, f("fk") === d1("pk"))
+        .join(d2, d1("ek") === d2("ek2"), "left_outer")
+        .groupBy("lab").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rowsA() === Map(Option("x") -> ((2L, 30L)), None -> ((1L, 5L))))
+    // churn every side: fact append; D1 gains fk=9's row (INNER gate
+    // opens); D2 gains ek=200 (null-extended → matched)
+    Seq((2L, 50L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fa)
+    assert(GraftMview.refresh(spark, mvA)._1 === "incremental")
+    assert(rowsA() === recomputeA())
+    Seq((9L, 200L)).toDF("pk", "ek")
+      .write.format("graft-store").mode("append").save(da1)
+    assert(GraftMview.refresh(spark, mvA)._1 === "incremental")
+    assert(rowsA() === recomputeA() && rowsA()(None) === ((3L, 154L)))
+    Seq((200L, "y")).toDF("ek2", "lab")
+      .write.format("graft-store").mode("append").save(da2)
+    assert(GraftMview.refresh(spark, mvA)._1 === "incremental")
+    assert(rowsA() === recomputeA())
+    assert(rowsA()(Option("y")) === ((3L, 154L)) && !rowsA().contains(None))
+    // REWRITE: the mixed shape serves only its exact type sequence
+    def qMixed() = spark.sql(
+      "SELECT lab, count(*) AS n, sum(v) AS s FROM mvcat.mxaf " +
+        "JOIN mvcat.mxa1 ON fk = pk LEFT JOIN mvcat.mxa2 ON ek = ek2 " +
+        "GROUP BY lab")
+    assert(qMixed().queryExecution.optimizedPlan.toString.contains(mvA))
+    assert(qMixed().collect().map(r => Option(r.getString(0)) ->
+      (r.getLong(1), r.getLong(2))).toMap === recomputeA())
+    val qAllLeft = spark.sql(
+      "SELECT lab, count(*) AS n, sum(v) AS s FROM mvcat.mxaf " +
+        "LEFT JOIN mvcat.mxa1 ON fk = pk LEFT JOIN mvcat.mxa2 ON ek = ek2 " +
+        "GROUP BY lab")
+    assert(!qAllLeft.queryExecution.optimizedPlan.toString.contains(mvA),
+      "an all-left query must not read the mixed view")
+
+    // shape B: F ⟕ D1 ⋈ D2 — the INNER after the LEFT drops fact rows
+    // whose D1 is null-extended (NULL key never inner-matches)
+    val fb = s"$catBase/mxbf"
+    val db1 = s"$catBase/mxb1"
+    val db2 = s"$catBase/mxb2"
+    val mvB = s"$catBase/mxbmv"
+    Seq((1L, 10L), (2L, 5L), (9L, 99L))
+      .toDF("bk", "w").write.format("graft-store").mode("overwrite").save(fb)
+    Seq((1L, 100L), (2L, 200L))
+      .toDF("bpk", "bek").write.format("graft-store").mode("overwrite").save(db1)
+    Seq((100L, "p"), (200L, "q")).toDF("bek2", "blab")
+      .write.format("graft-store").mode("overwrite").save(db2)
+    GraftMview.create(spark, mvB,
+      "SELECT blab, count(*) AS n, sum(w) AS s FROM mvcat.mxbf " +
+        "LEFT JOIN mvcat.mxb1 ON bk = bpk JOIN mvcat.mxb2 ON bek = bek2 " +
+        "GROUP BY blab")
+    def rowsB() = spark.read.format("graft-store").load(mvB)
+      .select("blab", "n", "s").collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    def recomputeB() = {
+      val f = spark.read.format("graft-store").load(fb)
+      val d1 = spark.read.format("graft-store").load(db1)
+      val d2 = spark.read.format("graft-store").load(db2)
+      f.join(d1, f("bk") === d1("bpk"), "left_outer")
+        .join(d2, d1("bek") === d2("bek2"))
+        .groupBy("blab").agg(count(lit(1)).as("n"), sum("w").as("s"))
+        .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rowsB() === Map(Option("p") -> ((1L, 10L)), Option("q") -> ((1L, 5L))))
+    // churn: D1 delete makes bk=2 null-extended → the INNER D2 step then
+    // DROPS it; D2 delete kills a lab group
+    spark.sql("DELETE FROM mvcat.mxb1 WHERE bpk = 2")
+    assert(GraftMview.refresh(spark, mvB)._1 === "incremental")
+    assert(rowsB() === recomputeB() && !rowsB().contains(Option("q")))
+    Seq((9L, 100L)).toDF("bpk", "bek")
+      .write.format("graft-store").mode("append").save(db1)
+    spark.sql("DELETE FROM mvcat.mxb2 WHERE blab = 'p'")
+    assert(GraftMview.refresh(spark, mvB)._1 === "incremental")
+    assert(rowsB() === recomputeB())
+    assert(rowsB().isEmpty) // no D2 rows survive for any matched bek
+    assert(GraftMview.refresh(spark, mvB)._1 === "noop")
   }
 
   test("LEFT OUTER view refresh is churn-proportional on dim-side churn") {
@@ -1552,9 +1661,12 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
       "LEFT JOIN (SELECT pk, grp FROM mvcat.jr2 JOIN mvcat.jr4 ON pk = pk2) " +
       "ON fk = pk GROUP BY grp", "right side")
+    // INNER steps inside a chain are a FEATURE now (mixed chains);
+    // RIGHT/FULL steps inside a chain still refuse
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
-      "JOIN mvcat.jr2 ON fk = pk " +
-      "LEFT JOIN mvcat.jr4 ON pk = pk2 GROUP BY grp", "must be LEFT OUTER")
+      "RIGHT JOIN mvcat.jr2 ON fk = pk " +
+      "LEFT JOIN mvcat.jr4 ON pk = pk2 GROUP BY grp",
+      "INNER or LEFT OUTER steps")
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
       "LEFT JOIN mvcat.jr2 ON fk = pk " +
       "LEFT JOIN mvcat.jr4 ON pk = pk2 AND fk = pk2 GROUP BY grp",
