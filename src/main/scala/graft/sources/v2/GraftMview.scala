@@ -254,7 +254,7 @@ object GraftMview {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"graft mview: $why — the maintainable shape is SELECT <group cols>, " +
         "count(*) AS n [, sum/count/avg/min/max(col) ...] FROM <graft table> " +
-        "[INNER JOIN <graft table> ON <plain equi-keys>] " +
+        "[INNER|LEFT JOIN <graft table> ON <plain equi-keys> ...] " +
         "[WHERE p] GROUP BY <group cols>")
     val agg = plan match {
       case a: Aggregate => inlineGroupingProjects(a)
