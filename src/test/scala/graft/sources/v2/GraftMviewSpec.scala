@@ -1835,6 +1835,52 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(plain.getMessage.contains("plain table"))
   }
 
+  test("count(DISTINCT) over a LEFT OUTER view: companion tracks null transitions") {
+    catBase
+    val fact = s"$catBase/dlf"
+    val dim = s"$catBase/dld"
+    val mvDir = s"$catBase/dlmv"
+    Seq((1L, 10L), (1L, 10L), (2L, 20L), (9L, 10L)) // fk=9 null-extends
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(fact)
+    Seq((1L, "east"), (2L, "west"))
+      .toDF("pk", "region").write.format("graft-store").mode("overwrite").save(dim)
+    GraftMview.create(spark, mvDir,
+      "SELECT region, count(*) AS n, count(DISTINCT v) AS dv FROM mvcat.dlf " +
+        "LEFT JOIN mvcat.dld ON fk = pk GROUP BY region")
+    def rows() = spark.read.format("graft-store").load(mvDir)
+      .select("region", "n", "dv").collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    def recompute() = {
+      val f = spark.read.format("graft-store").load(fact)
+      val dm = spark.read.format("graft-store").load(dim)
+      f.join(dm, f("fk") === dm("pk"), "left_outer").groupBy("region")
+        .agg(count(lit(1)).as("n"), countDistinct(col("v")).as("dv"))
+        .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(rows() === Map(Option("east") -> ((2L, 1L)), Option("west") -> ((1L, 1L)),
+      None -> ((1L, 1L))))
+    // dim insert: fk=9's v=10 MOVES from the NULL group's value set to
+    // north's — the companion retracts the (NULL, 10) pair and adds
+    // (north, 10); east keeps its own 10 (same value, different group)
+    Seq((9L, "north")).toDF("pk", "region")
+      .write.format("graft-store").mode("append").save(dim)
+    assert(GraftMview.refresh(spark, mvDir)._1 === "incremental")
+    assert(rows() === recompute() && !rows().contains(None))
+    // dim delete: east's rows fall back to NULL — value 10 re-enters the
+    // NULL group's set (already counted there? no: north holds 10, NULL
+    // group is fresh) and east vanishes
+    spark.sql("DELETE FROM mvcat.dld WHERE pk = 1")
+    assert(GraftMview.refresh(spark, mvDir)._1 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()(None) === ((2L, 1L)) && !rows().contains(Option("east")))
+    // fact churn: dup of 20 in west (dv unchanged) + a fresh value
+    Seq((2L, 20L), (2L, 30L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(fact)
+    assert(GraftMview.refresh(spark, mvDir)._1 === "incremental")
+    assert(rows() === recompute())
+    assert(rows()(Option("west")) === ((3L, 2L)))
+  }
+
   test("variance family maintains as (n, sum, sumsq); matches recompute through churn") {
     catBase
     val srcDir = s"$catBase/vsrc"
