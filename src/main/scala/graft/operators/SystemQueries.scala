@@ -5904,6 +5904,82 @@ object SystemQueries {
            |LEFT JOIN nt ON c_nationkey = n_nationkey
            |GROUP BY 1""".stripMargin))
 
+  /** LEFT-SHAPE JOIN-BACK ([[graft.sources.v2.GraftMviewRewriteRule]],
+    * Yan & Larson eager aggregation extended to preserved-side left
+    * joins): ONE inner-grain fact MV (grouped by the join key) serves
+    * the LEFT JOIN dim aggregate family — the rebuild replays the chain
+    * with each step's own join type, so a stored group either
+    * replicates per matching dim row or passes through ONCE
+    * null-extended, exactly like the underlying fact rows. The probe
+    * pins (a) the left query served from the MV without touching the
+    * 8-file fact base (slice count), and (b) the refusal when the
+    * covered side sits on the null-PRODUCING side (dim ⟕ fact), where
+    * the MV lacks the null-extended fact rows. */
+  val q232MviewLeftJoinBack = QuerySpec(
+    "q232_mview_left_joinback", "S-dsv2-mview-left-joinback",
+    "LEFT JOIN dim aggregate served from an inner-grain fact MV via join-back",
+    (s, d) => {
+      val base = "/tmp/graft_store_q232"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq232", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq232.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact) // 8 files
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .filter(col("c_custkey") <= 750) // higher keys null-extend
+          .write.format("graft-store").mode("overwrite").save(dim)
+        // INNER-grain MV: plain per-custkey partials, no join in the view
+        s.sql("CALL gq232.system.create_mview('mv', " +
+          "'SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq232.fact GROUP BY o_custkey')")
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        s.sql("CALL gq232.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val leftQ = s.sql(
+          """SELECT coalesce(c_mktsegment, '(none)') AS seg, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM gq232.fact LEFT JOIN gq232.dim ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        val rows = leftQ.collect()
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        val leftServed = served(leftQ) && opened < 8
+        // preserved-side dim (dim ⟕ fact): the MV lacks the
+        // null-extended fact rows — must refuse and read the base
+        val preservedQ = s.sql(
+          """SELECT c_mktsegment AS seg, sum(o_totalprice) AS rev
+            |FROM gq232.dim LEFT JOIN gq232.fact ON c_custkey = o_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        val preservedRefused = !served(preservedQ) &&
+          preservedQ.collect().length > 0
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), leftQ.schema)
+          .withColumn("left_jb_served", lit(leftServed))
+          .withColumn("preserved_refused", lit(preservedRefused))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq232")
+        s.conf.unset("spark.sql.catalog.gq232.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 10000),
+           |dm AS (
+           |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 750)
+           |SELECT coalesce(c_mktsegment, '(none)') AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS left_jb_served, TRUE AS preserved_refused
+           |FROM f LEFT JOIN dm ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -5929,5 +6005,6 @@ object SystemQueries {
     q211MviewFilterRewrite, q212MviewJoinRewrite, q214MviewJoinStream, q215MviewRangeRewrite,
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
     q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
-    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune, q230MviewLeftChain, q231MviewMixedChain)
+    q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune, q230MviewLeftChain, q231MviewMixedChain,
+    q232MviewLeftJoinBack)
 }

@@ -707,16 +707,20 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (!p.get("graft.mv").contains("true")) return None
     // join-TYPE matching: a LEFT OUTER view carries null-extended rows an
     // inner-join query must never see, and an inner view LACKS the
-    // null-extended rows a left-join query needs — the shapes serve only
-    // their own kind. A left match is additionally ORIENTED: left joins
-    // are not symmetric, so the query's (left, right) table order must
-    // equal the view's (checked below once paths resolve).
+    // null-extended rows an exact-shape left-join query needs — the
+    // EXACT-shape paths serve only their own kind (per-branch checks
+    // below; a left match is additionally ORIENTED: left joins are not
+    // symmetric, so the query's (left, right) table order must equal the
+    // view's). The JOIN-BACK path is different: an INNER-grain MV *can*
+    // serve a left-shape SUPERSET query (the left steps rebuild around
+    // the stored groups — see [[tryJoinBack]]), while a LEFT view must
+    // never join-back at all (its null-extended groups would be rebuilt
+    // under the wrong join types/orientation).
     val mvLefts: Set[Int] = GraftMview.decodeSource(p) match {
       case GraftMview.JoinSrc(_, _, ls) => ls
       case _ => Set.empty
     }
     val mvLeft = mvLefts.nonEmpty
-    if (mvLefts != qs.leftSides) return None
     // source-shape match: single table, or the same N-way join (any
     // order). A query joining MORE relations than the MV covers — a join
     // query over a single-table MV, or a query whose join SUPERSET
@@ -739,9 +743,12 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         return tryJoinBack(groupExprs, aggExprs, qs, heads, mvPath, mvManifest)
       }
       if (qs.paths != mvSrcPaths) return None
+      if (qs.leftSides.nonEmpty) return None // unreachable: 1 table, no joins
       if (!fresh(0, mvSrcPaths.head)) return None // STALE
     } else if (qs.paths.toSet == mvSrcPaths.toSet &&
         qs.paths.size == mvSrcPaths.size) {
+      // exact shape: the join-type sets must match side-for-side
+      if (mvLefts != qs.leftSides) return None
       // left-outer orientation: fact and dim must sit on the same sides
       if (mvLeft && qs.paths != mvSrcPaths) return None
       // exact join-shape match, N-way: every side fresh, and the query's
@@ -761,6 +768,12 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       if (qKeys != mvKeys) return None
     } else if (mvSrcPaths.size == 2 && qs.paths.size > 2 &&
         mvSrcPaths.toSet.subsetOf(qs.paths.toSet)) {
+      // a LEFT OUTER view never join-backs: its stored groups carry
+      // null-extended rows whose join types/orientation the superset
+      // query need not share — comparing positional left-index SETS
+      // across different table orderings proves nothing. Inner views
+      // only (tryJoinBack re-checks — belt and braces).
+      if (mvLeft) return None
       return tryJoinBack(groupExprs, aggExprs, qs, heads, mvPath, mvManifest)
     } else return None
     val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
@@ -891,10 +904,24 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     * gate: the dims are read through the query's own relation nodes,
     * untouched.
     *
+    * LEFT-shape queries (fact ⟕ dim chains, INNER steps mixed in —
+    * `XGBoost/Predictor.py:47,74` is this shape) serve from the same
+    * INNER-grain MV: the rebuild replays the chain in its original
+    * (index) order with each step's own join type, so a stored group
+    * either replicates per matching dim row or passes through ONCE
+    * null-extended — exactly how the underlying covered rows behave,
+    * because the outbound key is a group column (uniform per group).
+    * Gates: the covered side must never sit on a null-PRODUCING side;
+    * conjuncts on a LEFT-joined dim stay ABOVE the rebuilt join (they do
+    * not commute below it); IsNotNull conjuncts are kept (under a left
+    * join they are real predicates). A LEFT OUTER *view* never
+    * join-backs at all.
+    *
     * At 100 TB this is the star-schema payoff: ONE fact-side MV serves
     * the whole family of dimension-joined aggregates — segment, region,
-    * calendar rollups, snowflaked dim chains — each as a join of
-    * O(groups) stored rows to the dims, never a fact scan. */
+    * calendar rollups, snowflaked dim chains, and their left-outer
+    * variants — each as a join of O(groups) stored rows to the dims,
+    * never a fact scan. */
   private def tryJoinBack(groupExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       qs: QuerySource, heads: Seq[String], mvPath: String,
@@ -920,6 +947,24 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         if (i1 < 0 || i2 < 0) return None else Seq(i1, i2)
     }
     if (covered.size == qs.rels.size) return None // nothing to join back
+    // a LEFT OUTER view never join-backs (the caller gates this too —
+    // belt and braces): its stored groups carry null-extended rows whose
+    // join types/orientation the superset query need not share
+    GraftMview.decodeSource(p) match {
+      case GraftMview.JoinSrc(_, _, ls) if ls.nonEmpty => return None
+      case _ => ()
+    }
+    // LEFT-shape queries (fact ⟕ dim chains, possibly mixed with INNER
+    // steps): servable from an INNER-grain MV PROVIDED the covered side
+    // is never on a null-PRODUCING side — a covered rel entering the
+    // chain via LEFT OUTER (or the covered pair's internal step being
+    // LEFT) would null-extend rows the stored groups lack. The covered
+    // side being the chain's preserved prefix is exactly the Yan-Larson
+    // algebra with left-extension: each stored group either replicates
+    // per matching dim row or passes through ONCE null-extended —
+    // identical to how the underlying covered rows behave, because the
+    // outbound join key is a group column (uniform per group).
+    if (covered.exists(qs.leftSides.contains)) return None
     // freshness of every covered source
     if (p.get("graft.mv.wmname") != Some(heads(covered.head))) return None
     if (covered.size > 1 &&
@@ -966,8 +1011,13 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     val external = classified.collect { case (pr, false, false, _) => pr }
     // ---- conjunct split: covered side vs dims -------------------------
+    // inferred join-key IsNotNull conjuncts are inner-implied and
+    // droppable for pure-inner queries; under a LEFT step an IsNotNull
+    // is a REAL predicate (it can convert the left join to inner), so
+    // left shapes keep every conjunct — same rule as the exact path
     val qConjs = usableConjs(qs.conjs,
-      qs.pairs.flatMap(pr => Seq(pr._1.name, pr._2.name)).toSet)
+      if (qs.leftOuter) Set.empty
+      else qs.pairs.flatMap(pr => Seq(pr._1.name, pr._2.name)).toSet)
       .getOrElse(return None)
     val (rConjs, rest) = qConjs.partition(_.references.subsetOf(coveredIds))
     val (mixed, dimConjs) =
@@ -1030,40 +1080,67 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     def mapAttr(a: AttributeReference): AttributeReference =
       if (coveredIds.contains(a)) mm.groupAttrFor(a.name).get else a
     val dimIdxs = qs.rels.indices.filterNot(coveredSet.contains)
+    // a conjunct on a LEFT-joined dim does NOT commute below the join
+    // (filtering the dim leaf changes which rows null-extend): hold it
+    // ABOVE the rebuilt join — exactly where the original query's WHERE
+    // sat. Inner-dim conjuncts push into their dim leaf as always.
+    val leftDimIds = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      qs.leftSides.toSeq.flatMap(i => qs.rels(i).output))
+    val (pushDim, heldDim) = dimConjs.partition(
+      c => !c.references.exists(leftDimIds.contains))
     val dimLeaf: Map[Int, LogicalPlan] = dimIdxs.map { i =>
       val rel = qs.rels(i)
-      val cs = dimConjs.filter(_.references.subsetOf(rel.outputSet))
+      val cs = pushDim.filter(_.references.subsetOf(rel.outputSet))
       i -> (if (cs.isEmpty) rel else Filter(cs.reduce(And(_, _)), rel))
     }.toMap
-    // dim-dim conjuncts spanning relations go above the rebuilt join
-    val crossDim = dimConjs.filterNot(c =>
-      dimIdxs.exists(i => c.references.subsetOf(qs.rels(i).outputSet)))
+    // dim-dim conjuncts spanning relations go above the rebuilt join,
+    // as do the held left-dim conjuncts
+    val crossDim = pushDim.filterNot(c =>
+      dimIdxs.exists(i => c.references.subsetOf(qs.rels(i).outputSet))) ++
+      heldDim
     val joinable = outbound ++ external // internal pairs are baked into the MV
     var current: LogicalPlan = mvChild
     var inIds = coveredIds
     var remaining = dimIdxs.toList
     var pending = joinable.toList
     while (remaining.nonEmpty) {
-      val next = remaining.find(i => pending.exists { case (a, b) =>
-        val dIds = qs.rels(i).outputSet
-        (inIds.contains(a) && dIds.contains(b)) ||
-          (inIds.contains(b) && dIds.contains(a))
-      }).getOrElse(return None) // disconnected join graph: unservable
+      // left-shape queries rebuild in CHAIN (index) order: left joins do
+      // not commute freely, and the original is a left-deep chain whose
+      // step i references only earlier rels — so index order always has
+      // every ON operand in scope and preserves the original
+      // associativity. Pure-inner queries keep the greedy connectivity
+      // order (inner joins commute).
+      val next =
+        if (qs.leftOuter) remaining.head
+        else remaining.find(i => pending.exists { case (a, b) =>
+          val dIds = qs.rels(i).outputSet
+          (inIds.contains(a) && dIds.contains(b)) ||
+            (inIds.contains(b) && dIds.contains(a))
+        }).getOrElse(return None) // disconnected join graph: unservable
       val dIds = qs.rels(next).outputSet
       val (here, later) = pending.partition { case (a, b) =>
         (inIds.contains(a) && dIds.contains(b)) ||
           (inIds.contains(b) && dIds.contains(a))
       }
+      if (here.isEmpty) return None // disconnected join graph: unservable
       val cond = here.map { case (a, b) =>
         EqualTo(mapAttr(a), mapAttr(b)): Expression
       }.reduce(And(_, _))
-      current = Join(current, dimLeaf(next), Inner, Some(cond), JoinHint.NONE)
+      val jt: org.apache.spark.sql.catalyst.plans.JoinType =
+        if (qs.leftSides.contains(next))
+          org.apache.spark.sql.catalyst.plans.LeftOuter
+        else Inner
+      current = Join(current, dimLeaf(next), jt, Some(cond), JoinHint.NONE)
       inIds = inIds ++ qs.rels(next).outputSet
       remaining = remaining.filterNot(_ == next)
       pending = later
     }
     // a cycle's redundant key pair (both ends joined through other dims)
-    // survives as an equality filter — same semantics under an inner join
+    // survives as an equality filter — same semantics under an inner
+    // join. Above a LEFT step that filter would drop null-extended rows;
+    // chain pairs are all consumed at their own step, so a leftover here
+    // means a shape we did not model: refuse.
+    if (qs.leftOuter && pending.nonEmpty) return None
     val topConjs = crossDim ++ pending.map { case (a, b) =>
       EqualTo(mapAttr(a), mapAttr(b)): Expression
     }

@@ -1964,4 +1964,118 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(vanished === 1L)
     assert(rows() === Map("a" -> ((3L, Some(5.0))), "z" -> ((2L, Some(7.0)))))
   }
+
+  test("left-shape join-back: inner-grain fact MV serves LEFT JOIN dim queries") {
+    catBase
+    val factDir = s"$catBase/ljfact"
+    val dimDir = s"$catBase/ljdim"
+    val d1Dir = s"$catBase/ljd1"
+    val d2Dir = s"$catBase/ljd2"
+    val mvDir = s"$catBase/ljmv"
+    // fk=3 has no dim match; the NULL fk never matches — both null-extend
+    Seq((Option(1L), 2L), (Option(1L), 4L), (Option(2L), 10L), (Option(3L), 7L),
+      (Option.empty[Long], 100L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, "a", 500L), (2L, "b", 600L))
+      .toDF("pk", "seg", "w").write.format("graft-store").mode("overwrite").save(dimDir)
+    Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("pk1", "nk").write.format("graft-store").mode("overwrite").save(d1Dir)
+    Seq((10L, "north"), (20L, "south"))
+      .toDF("nk2", "region").write.format("graft-store").mode("overwrite").save(d2Dir)
+    GraftMview.create(spark, mvDir,
+      "SELECT fk, count(*) AS n, sum(v) AS s FROM mvcat.ljfact GROUP BY fk")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def fact() = spark.read.format("graft-store").load(factDir)
+    def dim() = spark.read.format("graft-store").load(dimDir)
+    def d1() = spark.read.format("graft-store").load(d1Dir)
+    def d2() = spark.read.format("graft-store").load(d2Dir)
+    def segKey(r: org.apache.spark.sql.Row): String =
+      if (r.isNullAt(0)) "(null)" else r.getString(0)
+    // fact ⟕ dim: unmatched and NULL-key fact rows land in the NULL group
+    val f1 = fact(); val dd1 = dim()
+    val q1 = f1.join(dd1, f1("fk") === dd1("pk"), "left_outer")
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum(f1("v")).as("s"))
+    assert(servedFromMv(q1), "an inner-grain fact MV must serve the left join")
+    assert(q1.collect().map(r => segKey(r) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("a" -> ((2L, 6L)), "b" -> ((1L, 10L)),
+        "(null)" -> ((2L, 107L))))
+    // a WHERE on the LEFT dim stays ABOVE the join: seg='a' keeps only
+    // matched-a rows (pushing it into the dim leaf would null-extend
+    // fk=2 into the survivors — wrong by two groups)
+    val f2 = fact(); val dd2 = dim()
+    val q2 = f2.join(dd2, f2("fk") === dd2("pk"), "left_outer")
+      .filter(dd2("seg") === "a")
+      .groupBy("seg").agg(sum(f2("v")).as("s"))
+    assert(servedFromMv(q2), "a held left-dim conjunct must not refuse")
+    assert(q2.collect().map(r => segKey(r) -> r.getLong(1)).toMap ===
+      Map("a" -> 6L))
+    // a user-written IS NOT NULL on the dim key is a REAL predicate under
+    // a left join (it converts the join to inner): kept, held above
+    val f3 = fact(); val dd3 = dim()
+    val q3 = f3.join(dd3, f3("fk") === dd3("pk"), "left_outer")
+      .filter(dd3("pk").isNotNull)
+      .groupBy("seg").agg(sum(f3("v")).as("s"))
+    assert(servedFromMv(q3))
+    assert(q3.collect().map(r => segKey(r) -> r.getLong(1)).toMap ===
+      Map("a" -> 6L, "b" -> 10L))
+    // mixed chain fact ⋈ d1 ⟕ d2: the inner step gates, the left step
+    // null-extends (nk=30 has no region)
+    val f4 = fact(); val a4 = d1(); val b4 = d2()
+    val q4 = f4.join(a4, f4("fk") === a4("pk1"), "inner")
+      .join(b4, a4("nk") === b4("nk2"), "left_outer")
+      .groupBy("region").agg(sum(f4("v")).as("s"))
+    assert(servedFromMv(q4), "the mixed chain must serve from the fact MV")
+    assert(q4.collect().map(r => segKey(r) -> r.getLong(1)).toMap ===
+      Map("north" -> 6L, "south" -> 10L, "(null)" -> 7L))
+    // REFUSAL: the covered side on the null-PRODUCING side (dim ⟕ fact)
+    // would need null-extended fact rows the MV lacks
+    val f5 = fact(); val dd5 = dim()
+    val q5 = dd5.join(f5, dd5("pk") === f5("fk"), "left_outer")
+      .groupBy("seg").agg(sum(f5("v")).as("s"))
+    assert(!servedFromMv(q5), "a preserved-side dim must refuse")
+    assert(q5.collect().map(r => segKey(r) -> r.getLong(1)).toMap ===
+      Map("a" -> 6L, "b" -> 10L))
+  }
+
+  test("a LEFT OUTER view never join-backs (superset query with matching left sets)") {
+    catBase
+    val factDir = s"$catBase/lvfact"
+    val xDir = s"$catBase/lvx"
+    val dimDir = s"$catBase/lvdim"
+    val mvDir = s"$catBase/lvmv"
+    Seq((Option(1L), 2L), (Option(1L), 4L), (Option(2L), 10L), (Option(3L), 7L),
+      (Option.empty[Long], 100L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, 111L)).toDF("xk", "xv")
+      .write.format("graft-store").mode("overwrite").save(xDir)
+    Seq((1L, "a"), (2L, "b"))
+      .toDF("pk", "seg").write.format("graft-store").mode("overwrite").save(dimDir)
+    // the VIEW is fact ⟕ dim (left, null-extended groups stored)
+    GraftMview.create(spark, mvDir,
+      "SELECT fk, count(*) AS n, sum(v) AS s FROM mvcat.lvfact " +
+        "LEFT JOIN mvcat.lvdim ON fk = pk GROUP BY fk")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    // the QUERY is fact ⟕ x ⋈ dim: its positional left-index SET ({1})
+    // equals the view's, but the left step is a DIFFERENT pair and the
+    // covered (fact, dim) pair is INNER in the query — serving from the
+    // left view's null-extended groups under inner rebuild would be
+    // wrong. Must refuse.
+    val f = spark.read.format("graft-store").load(factDir)
+    val x = spark.read.format("graft-store").load(xDir)
+    val d = spark.read.format("graft-store").load(dimDir)
+    val q = f.join(x, f("fk") === x("xk"), "left_outer")
+      .join(d, f("fk") === d("pk"), "inner")
+      .groupBy("seg").agg(sum(f("v")).as("s"))
+    assert(!servedFromMv(q), "a left view must never serve through join-back")
+    assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 6L, "b" -> 10L))
+    // the view still serves its OWN exact left shape
+    val f2 = spark.read.format("graft-store").load(factDir)
+    val d2 = spark.read.format("graft-store").load(dimDir)
+    val q2 = f2.join(d2, f2("fk") === d2("pk"), "left_outer")
+      .groupBy("fk").agg(count(lit(1)).as("n"), sum(f2("v")).as("s"))
+    assert(servedFromMv(q2), "the exact left shape must still serve")
+  }
 }
