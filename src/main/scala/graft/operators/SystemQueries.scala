@@ -4666,10 +4666,19 @@ object SystemQueries {
         val rows = q1.collect()
         val g = q2.collect()(0).getLong(0)
         val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
-        // a WIDER range than the view's must NOT serve (rows are missing)
-        val widerNotServed = !served(s.sql(
-          "SELECT count(*) AS n FROM gq215.src WHERE c_nationkey >= 3"))
-        val bits = served(q1) && served(q2) && widerNotServed &&
+        // a WIDER range than the view's serves as the MIXED plan (r13):
+        // view slice ∪ complement scan of only nationkey ∈ [3, 5)
+        val wider = s.sql(
+          "SELECT count(*) AS n FROM gq215.src WHERE c_nationkey >= 3")
+        val widerN = wider.collect()(0).getLong(0)
+        val widerOff = {
+          s.conf.set("spark.graft.mv.rewrite", "false")
+          try s.sql("SELECT count(*) AS n FROM gq215.src " +
+            "WHERE c_nationkey >= 3").collect()(0).getLong(0)
+          finally s.conf.set("spark.graft.mv.rewrite", "true")
+        }
+        val widerMixed = served(wider) && widerN == widerOff
+        val bits = served(q1) && served(q2) && widerMixed &&
           opened < 8 && // never the 8-file base
           g == rows.filter(_.getInt(0) >= 20).map(_.getLong(1)).sum
         s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
@@ -4692,9 +4701,10 @@ object SystemQueries {
     * range (`ln IN (2,4)` ⟹ `ln <= 5`). The implied view conjunct needs
     * no textual match; the tighter predicate lands in the residual,
     * which filters stored rows (so the column must be a view GROUP
-    * column). A superset IN-list is refused — the view is missing rows.
-    * At 100 TB: one IN-filtered view (the "active statuses" aggregate)
-    * serves every narrower status slice without a fact scan. */
+    * column). A superset IN-list serves as the MIXED plan (view slice ∪
+    * complement scan — r13). At 100 TB: one IN-filtered view (the
+    * "active statuses" aggregate) serves every narrower status slice
+    * without a fact scan. */
   val q216MviewInRewrite = QuerySpec(
     "q216_mview_in_rewrite", "S-dsv2-mview-in-rewrite",
     "IN-list implication: subset/member/range-covered IN predicates serve from a view",
@@ -4752,17 +4762,20 @@ object SystemQueries {
           rows.sortBy(_.getString(0)).sameElements(r1.sortBy(_.getString(0))) &&
             n2 == o2 && n3 == o3
         }
-        // a SUPERSET IN-list needs rows the views filtered away — refused
-        // by BOTH (6 is outside mva's list AND above mvr's range; note
-        // IN (1,2,3,4) would legitimately serve from mvr, whose <= 5
-        // range covers it)
+        // a SUPERSET IN-list (6 is outside mva's list AND above mvr's
+        // range) serves as the MIXED plan (r13): one view's slice plus a
+        // complement scan bringing in ln = 6
         val wider = s.sql("SELECT count(*) AS n FROM gq216.src " +
           "WHERE l_linenumber IN (1, 2, 6)")
+        val widerN = wider.collect()(0).getLong(0)
+        val widerOff = off(s.sql("SELECT count(*) AS n FROM gq216.src " +
+          "WHERE l_linenumber IN (1, 2, 6)").collect()(0).getLong(0))
+        val widerMixed =
+          (served(wider, "mva") || served(wider, "mvr")) && widerN == widerOff
         // q2 is servable by EITHER view (member-of-IN on mva, point-in-
         // range on mvr) — registration order decides which wins
         val bits = served(q1, "mva") && (served(q2, "mva") || served(q2, "mvr")) &&
-          served(q3, "mvr") && sameOff &&
-          !served(wider, "mva") && !served(wider, "mvr")
+          served(q3, "mvr") && sameOff && widerMixed
         s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
           .withColumn("in_rewrite_proof", lit(bits))
       } finally {
@@ -5980,6 +5993,272 @@ object SystemQueries {
            |FROM f LEFT JOIN dm ON o_custkey = c_custkey
            |GROUP BY c_mktsegment""".stripMargin))
 
+  /** RIGHT OUTER VIEW via FLIP NORMALIZATION
+    * ([[graft.sources.v2.GraftMview]]): `A RIGHT JOIN B` IS
+    * `B LEFT JOIN A`, so right-join definitions normalize into the
+    * existing left-chain maintenance machinery at recognize time — same
+    * telescoped ± delta rule, same churn-key scoping — and right-join
+    * QUERIES flip inside the rewrite rule to serve from the maintained
+    * view. The probe churns BOTH directions (fact append; dim insert
+    * matching waiting rows, dim delete null-extending matched rows),
+    * refreshes incrementally, and pins the flipped-query serve. */
+  val q233MviewRightOuter = QuerySpec(
+    "q233_mview_right_outer", "S-dsv2-mview-right-outer",
+    "RIGHT JOIN view maintained via flip normalization; right query served",
+    (s, d) => {
+      val base = "/tmp/graft_store_q233"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq233", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq233.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .filter(col("c_custkey") <= 750) // higher keys null-extend
+          .write.format("graft-store").mode("overwrite").save(dim)
+        // the definition is written RIGHT JOIN (fact preserved): the
+        // recognizer flips it into the left-chain machinery
+        s.sql("CALL gq233.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, count(*) AS n, " +
+          "sum(o_totalprice) AS rev FROM gq233.dim " +
+          "RIGHT JOIN gq233.fact ON c_custkey = o_custkey " +
+          "GROUP BY c_mktsegment')")
+        // fact-direction churn
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        val r1 = s.sql("CALL gq233.system.refresh_mview('mv')").collect()(0)
+        // dim-direction churn: inserts match waiting rows (null →
+        // matched), deletes null-extend matched rows (matched → null)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .filter(col("c_custkey") > 750 && col("c_custkey") <= 900)
+          .write.format("graft-store").mode("append").save(dim)
+        s.sql("DELETE FROM gq233.dim WHERE c_custkey % 10 = 0")
+        val r2 = s.sql("CALL gq233.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = Seq(r1, r2).forall(_.getString(0) == "incremental")
+        // a RIGHT JOIN query over the base tables serves from the view
+        val rq = s.sql(
+          """SELECT c_mktsegment AS seg, count(*) AS n
+            |FROM gq233.dim RIGHT JOIN gq233.fact ON c_custkey = o_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        val served = rq.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        s.sql("""SELECT coalesce(seg, '(none)') AS seg, n,
+                |  round(rev, 2) AS rev FROM gq233.mv""".stripMargin)
+          .withColumn("incremental", lit(incremental))
+          .withColumn("right_served", lit(served))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq233")
+        s.conf.unset("spark.sql.catalog.gq233.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 10000),
+           |dm AS (
+           |  SELECT c_custkey, c_mktsegment FROM customer
+           |  WHERE c_custkey <= 900 AND c_custkey % 10 <> 0)
+           |SELECT coalesce(c_mktsegment, '(none)') AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev, TRUE AS incremental,
+           |  TRUE AS right_served
+           |FROM dm RIGHT JOIN f ON c_custkey = o_custkey
+           |GROUP BY c_mktsegment""".stripMargin))
+
+  /** COUNT(DISTINCT) ROLLUP VIA THE DUP-COUNT COMPANION
+    * ([[graft.sources.v2.GraftMviewRewriteRule]]): re-summing stored
+    * per-group distinct counts is WRONG for a coarser grouping (a
+    * custkey living under many priorities double-counts), but
+    * re-distincting the per-(group, value) companion pairs is exact —
+    * served as view ⟕ companion so all-NULL groups still publish 0,
+    * with the companion's own watermark gating freshness. The probe
+    * churns (inserts re-referencing keys + a delete), refreshes, and
+    * pins the coarse AND global rollups serving from the companion. */
+  val q234MviewDcountRollup = QuerySpec(
+    "q234_mview_dcount_rollup", "S-dsv2-mview-dcount-rollup",
+    "coarse + global count(DISTINCT) served from the dup-count companion",
+    (s, d) => {
+      val base = "/tmp/graft_store_q234"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq234", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq234.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        // FINE grain (priority, status); the served queries group coarser
+        s.sql("CALL gq234.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS pr, o_orderstatus AS st, " +
+          "count(*) AS n, count(DISTINCT o_custkey) AS dc " +
+          "FROM gq234.src GROUP BY o_orderpriority, o_orderstatus')")
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        val r1 = s.sql("CALL gq234.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val coarse = s.sql(
+          """SELECT o_orderpriority AS pr, count(DISTINCT o_custkey) AS dc
+            |FROM gq234.src GROUP BY o_orderpriority""".stripMargin)
+        val globalQ = s.sql(
+          "SELECT count(DISTINCT o_custkey) AS gdc FROM gq234.src")
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains("_dck_")
+        val ok = served(coarse) && served(globalQ) &&
+          r1.getString(0) == "incremental"
+        val gdc = globalQ.collect()(0).getLong(0)
+        coarse.withColumn("companion_served", lit(ok))
+          .withColumn("global_dc", lit(gdc))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq234")
+        s.conf.unset("spark.sql.catalog.gq234.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_orderpriority FROM orders
+           |  WHERE o_orderkey >= 1000 AND o_orderkey < 10000)
+           |SELECT o_orderpriority AS pr, count(DISTINCT o_custkey) AS dc,
+           |  TRUE AS companion_served,
+           |  (SELECT count(DISTINCT o_custkey) FROM f) AS global_dc
+           |FROM f GROUP BY o_orderpriority""".stripMargin))
+
+  /** MIXED-ROLLUP REWRITE ([[graft.sources.v2.GraftMviewRewriteRule]]):
+    * the query's WHERE is WIDER than the view's — the classic rolling
+    * window: the view covers the archived key range, the query wants
+    * archive + fresh tail. Served as [view rollup slice] ∪ [partial
+    * aggregate of the complement scan], with the complement predicate
+    * built PUSHABLE (`key >= bound OR key IS NULL`) so the base side
+    * file-skips the entire covered range — pinned by the slice count on
+    * the key-clustered fact. avg recombines from its stored moments
+    * across the union; DuckDB hash-match proves exactness. */
+  val q235MviewMixedRollup = QuerySpec(
+    "q235_mview_mixed_rollup", "S-dsv2-mview-mixed-rollup",
+    "wider-WHERE aggregate served as MV slice ∪ pruned complement base scan",
+    (s, d) => {
+      val base = "/tmp/graft_store_q235"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq235", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq235.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        // the covered (archived) range: 6 files clustered on the key
+        baseDf.filter(col("o_orderkey") < 6000)
+          .repartitionByRange(6, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src)
+        s.sql("CALL gq235.system.create_mview('mv', " +
+          "'SELECT o_orderpriority AS pr, count(*) AS n, " +
+          "sum(o_totalprice) AS rev, avg(o_totalprice) AS av " +
+          "FROM gq235.src WHERE o_orderkey < 6000 GROUP BY o_orderpriority')")
+        // the fresh tail lands AFTER the view's range
+        baseDf.filter(col("o_orderkey") >= 6000 && col("o_orderkey") < 10000)
+          .repartitionByRange(2, col("o_orderkey"))
+          .write.format("graft-store").mode("append").save(src)
+        s.sql("CALL gq235.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val q = s.sql(
+          """SELECT o_orderpriority AS pr, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev,
+            |  round(avg(o_totalprice), 2) AS av
+            |FROM gq235.src WHERE o_orderkey < 9000
+            |GROUP BY o_orderpriority""".stripMargin)
+        val rows = q.collect()
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        // MV slice + ≤2 tail files — never the 6 covered files
+        val mixedServed =
+          q.queryExecution.optimizedPlan.toString.contains(s"$base/mv") &&
+            opened < 6
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q.schema)
+          .withColumn("mixed_served", lit(mixedServed))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq235")
+        s.conf.unset("spark.sql.catalog.gq235.base")
+      }
+    },
+    Some("""SELECT o_orderpriority AS pr, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  round(avg(o_totalprice), 2) AS av, TRUE AS mixed_served
+           |FROM orders WHERE o_orderkey < 9000
+           |GROUP BY o_orderpriority""".stripMargin))
+
+  /** STREAMING LEFT OUTER MV ([[graft.sources.v2.GraftMview
+    * .streamRefresh]] over an outer-join view): the trigger stream is
+    * the union of BOTH sides' commit streams, and each micro-batch runs
+    * the telescoped ± left-outer delta rule — so dim corrections drive
+    * NULL-EXTENSION TRANSITIONS continuously: an insert matching
+    * waiting fact rows retracts their null group, a delete re-creates
+    * it. Replay-safe by construction (the refresh is watermark-gated,
+    * the batch frame is never executed). */
+  val q236MviewLeftStream = QuerySpec(
+    "q236_mview_left_stream", "S-dsv2-mview-left-stream",
+    "streaming LEFT OUTER MV: dim churn null transitions under continuous refresh",
+    (s, d) => {
+      val base = "/tmp/graft_store_q236"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq236", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq236.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val mv = s"$base/mv"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 5000)
+          .write.format("graft-store").mode("overwrite").save(fact)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .filter(col("c_custkey") <= 750) // higher keys null-extend
+          .write.format("graft-store").mode("overwrite").save(dim)
+        graft.sources.v2.GraftMview.create(s, mv,
+          "SELECT c_mktsegment AS seg, count(*) AS n, " +
+            "sum(o_totalprice) AS rev FROM gq236.fact " +
+            "LEFT JOIN gq236.dim ON o_custkey = c_custkey " +
+            "GROUP BY c_mktsegment")
+        val q = graft.sources.v2.GraftMview.streamRefresh(s, mv, s"$base/_ckpt")
+        try {
+          q.processAllAvailable()
+          // fact-side commit
+          ordersDf.filter(col("o_orderkey") >= 5000 && col("o_orderkey") < 8000)
+            .write.format("graft-store").mode("append").save(fact)
+          q.processAllAvailable()
+          // dim insert: waiting fact rows transition null → matched
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+            .filter(col("c_custkey") > 750 && col("c_custkey") <= 900)
+            .write.format("graft-store").mode("append").save(dim)
+          q.processAllAvailable()
+          // dim delete: matched rows transition → null-extended
+          s.sql("DELETE FROM gq236.dim WHERE c_custkey % 10 = 0")
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        s.read.format("graft-store").load(mv)
+          .select(coalesce(col("seg"), lit("(none)")).as("seg"), col("n"),
+            round(col("rev"), 2).as("rev"))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq236")
+        s.conf.unset("spark.sql.catalog.gq236.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 8000),
+           |dm AS (
+           |  SELECT c_custkey, c_mktsegment FROM customer
+           |  WHERE c_custkey <= 900 AND c_custkey % 10 <> 0)
+           |SELECT coalesce(c_mktsegment, '(none)') AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev
+           |FROM f LEFT JOIN dm ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -6006,5 +6285,6 @@ object SystemQueries {
     q216MviewInRewrite, q217MviewDistinctRollup, q218MviewJoinBack,
     q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
     q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune, q230MviewLeftChain, q231MviewMixedChain,
-    q232MviewLeftJoinBack)
+    q232MviewLeftJoinBack, q233MviewRightOuter, q234MviewDcountRollup,
+    q235MviewMixedRollup, q236MviewLeftStream)
 }

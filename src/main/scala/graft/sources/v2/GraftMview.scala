@@ -249,8 +249,20 @@ object GraftMview {
 
   /** Recognize the maintainable shape on the ANALYZED plan; loud,
     * actionable errors otherwise. Returns (source, filter SQL,
-    * ordered column specs). */
-  private def recognize(plan: LogicalPlan): (MvSource, Option[String], Seq[ColSpec]) = {
+    * ordered column specs).
+    *
+    * RIGHT OUTER normalizes by FLIP before recognition: `A RIGHT JOIN B`
+    * IS `B LEFT JOIN A` (the equi-ON is symmetric; all column resolution
+    * here is by name/exprId, so operand order is irrelevant) — right-join
+    * definitions ride the existing left-chain maintenance machinery.
+    * FULL OUTER keeps refusing. */
+  private def recognize(plan0: LogicalPlan): (MvSource, Option[String], Seq[ColSpec]) = {
+    val plan = plan0.transformUp {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.RightOuter =>
+        j.copy(left = j.right, right = j.left,
+          joinType = org.apache.spark.sql.catalyst.plans.LeftOuter)
+    }
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"graft mview: $why — the maintainable shape is SELECT <group cols>, " +
         "count(*) AS n [, sum/count/avg/min/max(col) ...] FROM <graft table> " +
@@ -664,7 +676,11 @@ object GraftMview {
       targetCols: Seq[String]): Option[Column] = {
     val rows = keys.select(keyCols.map(col): _*).distinct()
       .limit(1001).collect()
-    if (rows.isEmpty || rows.length > 1000) return None
+    if (rows.isEmpty) return None
+    // over-cap churn: degrade GRACEFULLY to a per-column [min, max]
+    // range instead of abandoning pruning — min/max file skipping still
+    // participates, and the caller's exact join keeps semantics
+    if (rows.length > 1000) return rangeKeyPred(keys, keyCols, targetCols)
     Some(targetCols.zipWithIndex.map { case (tc, i) =>
       val vs = rows.map(_.get(i)).distinct
       val nonNull = vs.filter(_ != null)
@@ -674,6 +690,32 @@ object GraftMview {
       if (vs.contains(null)) base || col(tc).isNull else base
     }.reduce(_ && _))
   }
+
+  /** OVER-CAP fallback for [[boundedKeyPred]]/[[pruneByChurnKeys]]: a
+    * per-column `[min, max]` range over the key frame (OR IS NULL where
+    * NULL appears) — a SUPERSET of the exact key set, so every caller's
+    * exact (null-safe) join keeps semantics while min/max file-stat
+    * skipping still prunes the scan. Costs ONE bounded aggregation of
+    * the (churn-sized) key frame and transfers one driver row — the
+    * graceful half of the pruning cliff: churn past 1000 distinct keys
+    * loses IN precision, never all pruning. None for unorderable key
+    * types (the caller stays conservative, exactly as before). */
+  private def rangeKeyPred(keys: DataFrame, keyCols: Seq[String],
+      targetCols: Seq[String]): Option[Column] =
+    try {
+      val aggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k)),
+        max(when(col(k).isNull, 1).otherwise(0))))
+      val r = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
+      Some(targetCols.zipWithIndex.map { case (tc, i) =>
+        val lo = r.get(3 * i)
+        val hi = r.get(3 * i + 1)
+        val hasNull = !r.isNullAt(3 * i + 2) && r.getInt(3 * i + 2) == 1
+        val base =
+          if (lo == null) lit(false) // all-NULL key column: no equi-match
+          else col(tc) >= lit(lo) && col(tc) <= lit(hi)
+        if (hasNull) base || col(tc).isNull else base
+      }.reduce(_ && _))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Collapse carried-identical ± pairs down to NET row churn: a
     * rewritten file re-emits its unchanged rows as -1/+1 pairs (a 1-row
@@ -733,6 +775,14 @@ object GraftMview {
             frames(other) = frames(other)
               .filter(col(otherCol).isin(vals.toIndexedSeq: _*))
             queue += other // the pruned frame cascades further out
+          } else {
+            // over-cap churn: fall back to a [min, max] range — still a
+            // superset of the key set (join stays exact) and still
+            // file-stat-skippable, instead of rescanning the corpus.
+            // The cascade stops here: deriving further key sets would
+            // mean a distinct-scan of the range-pruned corpus frame.
+            rangeKeyPred(frames(cur), Seq(curCol), Seq(otherCol))
+              .foreach(p => frames(other) = frames(other).filter(p))
           }
         }
       }
@@ -836,8 +886,10 @@ object GraftMview {
       props: Map[String, String]): Long = {
     val heads = wms2.map(_._1)
     val pf = pinnedFrame(spark, src, heads)
-    val df = aggregate(pf, filterSql, cols)
-      .localCheckpoint(true)
+    // IterGuard: localCheckpoint on local[], RELIABLE checkpoint under
+    // spark.graft.checkpointDir — a lost executor mid-refresh recomputes
+    // from the durable store instead of failing the job
+    val df = graft.operators.IterGuard(aggregate(pf, filterSql, cols))
     val n = df.count()
     df.write.format("graft-store").option("dmlMode", "mor")
       .option("setProps", props.toSeq.sortBy(_._1)
@@ -982,8 +1034,12 @@ object GraftMview {
         val terms = paths2.indices.flatMap { i =>
           if (wms(i)._1 == heads(i)) None
           else {
-            val di = netChurn(GraftStoreOps.signedChanges(
-              spark, paths2(i), wms(i)._1, heads(i)))
+            // materialize the netted churn BEFORE pruneByChurnKeys: its
+            // per-edge driver collects (and the delta term itself) would
+            // otherwise re-execute the signedChanges scan per hop
+            val di = graft.operators.IterGuard(netChurn(
+              GraftStoreOps.signedChanges(
+                spark, paths2(i), wms(i)._1, heads(i))))
             val frames = paths2.indices.map { j =>
               if (j == i) di
               else if (j < i) pinnedAt(j, wms(j)._1)
@@ -1039,8 +1095,11 @@ object GraftMview {
         val dimTerms: Seq[DataFrame] = (1 until n).flatMap { i =>
           if (wms(i)._1 == heads(i)) None
           else {
-            val di = netChurn(GraftStoreOps.signedChanges(
-              spark, paths2(i), wms(i)._1, heads(i)))
+            // materialized once: both the ± key frames and (for an
+            // INNER-entered side) pruneByChurnKeys re-read this churn
+            val di = graft.operators.IterGuard(netChurn(
+              GraftStoreOps.signedChanges(
+                spark, paths2(i), wms(i)._1, heads(i))))
             val myKeys = keys.filter(_._3 == i) // (parent, pcol, i, icol)
             // the state each OTHER side is pinned at in THIS term
             def pin(j: Int): DataFrame = pinnedAt(j,
@@ -1151,10 +1210,9 @@ object GraftMview {
     // delta group keys carry a reserved prefix so every downstream join is
     // an EXPLICIT null-safe condition, never a by-name equality that drops
     // the NULL group
-    val deltas = d
+    val deltas = graft.operators.IterGuard(d
       .groupBy(groupOuts.map(g => groupKey(g).as(s"__dk_${g.out}")): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
-      .localCheckpoint(true)
+      .agg(deltaAggs.head, deltaAggs.tail: _*))
     // EXACT COUNT(DISTINCT): route the same signed churn through each
     // per-(group, value) dup-count companion, then read the new per-group
     // surviving-pair counts back, scoped to the churned groups. The
@@ -1327,7 +1385,7 @@ object GraftMview {
           Seq(when(sk.isNotNull, hll_sketch_estimate(sk))
             .cast(mvSchema(o).dataType).as(o), base64(sk).as(s"__h_$o"))
       }: _*)
-      .localCheckpoint(true)
+      .transform(graft.operators.IterGuard(_))
     val storedCols = cols.map(_.out) ++ internals(cols)
     val survivors = merged.filter(col(liveOut) > 0L)
       .select(storedCols.map(col): _*)

@@ -176,7 +176,16 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  private def extractSource(child: LogicalPlan): Option[QuerySource] = {
+  private def extractSource(child0: LogicalPlan): Option[QuerySource] = {
+    // A RIGHT JOIN B IS B LEFT JOIN A (symmetric equi-ON; resolution is
+    // by exprId): flip right-outer queries into the left-chain machinery
+    // so they serve from the (flip-normalized) maintained views
+    val child = child0.transformUp {
+      case j: Join if j.joinType ==
+          org.apache.spark.sql.catalyst.plans.RightOuter =>
+        j.copy(left = j.right, right = j.left,
+          joinType = org.apache.spark.sql.catalyst.plans.LeftOuter)
+    }
     val (topConjs, base) = peel(child)
     base match {
       // CHAIN shape (the tree contains a LEFT OUTER anywhere): a
@@ -273,8 +282,138 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // calendar-MV shape): matching is semantic, per candidate view
     if (groupExprs.exists(!_.deterministic)) return None
     deps.view.flatMap { mvPath =>
-      tryOne(agg, groupExprs, aggExprs, qs, heads, mvPath)
+      tryOne(agg, groupExprs, aggExprs, qs, heads, mvPath).orElse(
+        tryDcountRollup(groupExprs, aggExprs, qs, heads, mvPath))
     }.headOption
+  }
+
+  /** COUNT(DISTINCT) ROLLUP through the dup-count companion: a query
+    * grouping COARSER than the view (including the global aggregate)
+    * cannot re-sum the stored per-group distinct counts (a value living
+    * in many fine groups would double-count), but RE-DISTINCTING the
+    * per-(group, value) companion pairs is exact — the companion holds
+    * each surviving (group…, value) exactly once. Served as
+    * `view ⟕ companion` on the group keys (null-safe), so a group whose
+    * values are all NULL — zero companion pairs — still publishes its 0,
+    * then `Aggregate(coarse keys, count(DISTINCT __dv))` on top.
+    *
+    * Gates: single-table view, fresh (view watermark AND the companion's
+    * own stamped watermark — a companion mid-migration never serves);
+    * every aggregate output is a distinct count over the SAME tracked
+    * column (any other aggregate would be inflated by the per-value
+    * replication); grouping is a subset of the view's keys; the usual
+    * WHERE containment with residuals on group columns. At scale this
+    * turns `count(DISTINCT user) BY region` over a (region, day)-grained
+    * view into a join of two O(groups·values) stored tables — never a
+    * fact scan. */
+  private def tryDcountRollup(groupExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], qs: QuerySource, heads: Seq[String],
+      mvPath: String): Option[LogicalPlan] = {
+    import GraftMview._
+    if (qs.paths.size != 1 || qs.leftSides.nonEmpty) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mvManifest = GraftStoreFormat.probeLatestManifest(mvPath, conf, probeTtlMs)
+      .getOrElse(return None)
+    val p = mvManifest.props
+    if (!p.get("graft.mv").contains("true")) return None
+    GraftMview.decodeSource(p) match {
+      case GraftMview.SingleSrc(s1) if qs.paths == Seq(s1) => ()
+      case _ => return None
+    }
+    if (!p.get("graft.mv.wmname").contains(heads.head)) return None // STALE
+    val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
+    val mm = new MvMapping(cols, DataSourceV2Relation.create(
+      new GraftStoreTable(mvPath, mvManifest.schema), None, None))
+    val allOut: Seq[Attribute] = qs.rels.flatMap(_.output)
+    val keyOf: Map[GraftMview.GroupCol, Expression] = mm.mvGroups.flatMap(g =>
+      mm.keyExprFor(g, allOut).map(g -> _)).toMap
+    val matchedGroups: Seq[GraftMview.GroupCol] = groupExprs.map { qe =>
+      mm.mvGroups.find(g => keyOf.get(g).exists(_.semanticEquals(qe)))
+        .getOrElse(return None)
+    }
+    if (matchedGroups.distinct.size != matchedGroups.size) return None
+    def dcOf(ae: AggregateExpression): Option[DCountCol] =
+      if (!ae.isDistinct || ae.filter.isDefined) None
+      else ae.aggregateFunction match {
+        case c: Count if c.children.size == 1 =>
+          stripCast(c.children.head) match {
+            case a: AttributeReference =>
+              cols.collectFirst { case d @ DCountCol(s2, _) if s2 == a.name => d }
+            case _ => None
+          }
+        case _ => None
+      }
+    // every aggregate call in the output must be a distinct count over
+    // ONE tracked column (its companion is the only relation joined in)
+    var dcUsed = Set.empty[DCountCol]
+    aggExprs.foreach(_.foreach {
+      case ae: AggregateExpression => dcOf(ae) match {
+        case Some(d) => dcUsed += d
+        case None => return None
+      }
+      case _ => ()
+    })
+    if (dcUsed.size != 1) return None
+    val dcol = dcUsed.head
+    val cp = s"$mvPath/_dck_${dcol.out}"
+    val cpManifest = GraftStoreFormat.probeLatestManifest(cp, conf, probeTtlMs)
+      .getOrElse(return None)
+    val expectedWm = s"${p.getOrElse("graft.mv.watermark", return None)}:" +
+      GraftStoreFormat.escStat(p("graft.mv.wmname"))
+    if (!cpManifest.props.get("graft.dck.wms").contains(expectedWm))
+      return None // companion behind or mid-migration: never serve
+    val cpRel = DataSourceV2Relation.create(
+      new GraftStoreTable(cp, cpManifest.schema), None, None)
+    def cAttr(n: String): Option[AttributeReference] = cpRel.output.collectFirst {
+      case a: AttributeReference if a.name == n => a }
+    val dvAttr = cAttr("__dv").getOrElse(return None)
+    // WHERE containment: residuals apply to view group columns
+    val qConjs = usableConjs(qs.conjs, Set.empty).getOrElse(return None)
+    val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
+      case None => Nil
+      case Some(txt) => analyzedFilter(txt, allOut).getOrElse(return None)
+    }
+    val residual = containFilters(qConjs, mvConjs).getOrElse(return None)
+    val residualMapped: Seq[Expression] =
+      residual.map(c => mm.convFilter(c, keyOf).getOrElse(return None))
+    val viewChild: LogicalPlan =
+      if (residualMapped.isEmpty) mm.mvRel
+      else Filter(residualMapped.reduce(And(_, _)), mm.mvRel)
+    val joinCond: Expression = mm.mvGroups.map(g =>
+      org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+        mm.mvAttr(g.out), cAttr(g.out).getOrElse(return None)): Expression)
+      .reduce(And(_, _))
+    val joined: LogicalPlan = Join(viewChild, cpRel,
+      org.apache.spark.sql.catalyst.plans.LeftOuter, Some(joinCond),
+      JoinHint.NONE)
+    def conv(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression =>
+        dcOf(ae).map(_ =>
+          Count(dvAttr).toAggregateExpression(isDistinct = true))
+      case e2 if mm.matchedKey(e2, keyOf).isDefined => mm.matchedKey(e2, keyOf)
+      case _: AttributeReference => None
+      case other =>
+        val kids = other.children.map(conv)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val projected: Seq[NamedExpression] = aggExprs.map { orig =>
+      val replacement = orig match {
+        case a: AttributeReference => conv(a)
+        case Alias(child, _) => conv(child)
+        case _ => None
+      }
+      replacement match {
+        case Some(r) if r.dataType == orig.dataType =>
+          val guarded = if (!orig.nullable && r.nullable) KnownNotNull(r) else r
+          Alias(guarded, orig.name)(exprId = orig.exprId)
+        case _ => return None
+      }
+    }
+    val groupingOut: Seq[Expression] = matchedGroups.map(g => mm.mvAttr(g.out))
+    logInfo(s"graft mview rewrite: serving count(DISTINCT ${dcol.src}) " +
+      s"rollup from fresh MV $mvPath dup-count companion")
+    Some(Aggregate(groupingOut, projected, joined))
   }
 
   /** The optimizer (PullOutGroupingExpressions) pulls complex grouping
@@ -318,6 +457,29 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Typed literal comparator shared by [[litImplies]] and
+    * [[excludesDisjunct]]: None when the (type, value) shapes are not
+    * comparable — the callers stay conservative. */
+  private def litCmp(t: org.apache.spark.sql.types.DataType, x: Any, y: Any)
+      : Option[Int] = {
+    import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampType}
+    (t, x, y) match {
+      case (ByteType | ShortType | IntegerType | LongType | DateType |
+            TimestampType, a: Number, b: Number) =>
+        Some(java.lang.Long.compare(a.longValue(), b.longValue()))
+      case (FloatType | DoubleType, a: Number, b: Number) =>
+        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      case (_: org.apache.spark.sql.types.DecimalType,
+            a: org.apache.spark.sql.types.Decimal,
+            b: org.apache.spark.sql.types.Decimal) =>
+        Some(a.toJavaBigDecimal.compareTo(b.toJavaBigDecimal))
+      case (StringType, a: org.apache.spark.unsafe.types.UTF8String,
+            b: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(a.compareTo(b))
+      case _ => None
+    }
+  }
+
   /** Does query conjunct `q` IMPLY view conjunct `m`? Decided only for
     * single-column predicates against foldable literals on the SAME
     * attribute and type — `a >= 15` implies `a >= 10`, `a = 7` implies
@@ -354,22 +516,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         Some((a, hs.toSeq.filter(_ != null)))
       case _ => None
     }
-    def cmp(t: DataType, x: Any, y: Any): Option[Int] =
-      (t, x, y) match {
-        case (ByteType | ShortType | IntegerType | LongType | DateType |
-              TimestampType, a: Number, b: Number) =>
-          Some(java.lang.Long.compare(a.longValue(), b.longValue()))
-        case (FloatType | DoubleType, a: Number, b: Number) =>
-          Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-        case (_: org.apache.spark.sql.types.DecimalType,
-              a: org.apache.spark.sql.types.Decimal,
-              b: org.apache.spark.sql.types.Decimal) =>
-          Some(a.toJavaBigDecimal.compareTo(b.toJavaBigDecimal))
-        case (StringType, a: org.apache.spark.unsafe.types.UTF8String,
-              b: org.apache.spark.unsafe.types.UTF8String) =>
-          Some(a.compareTo(b))
-        case _ => None
-      }
+    def cmp(t: DataType, x: Any, y: Any): Option[Int] = litCmp(t, x, y)
     def satisfies(t: DataType, v: Any, op: String, w: Any): Boolean =
       v != null && cmp(t, v, w).exists(c => op match {
         case ">" => c > 0
@@ -821,8 +968,17 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // by one (a strictly tighter predicate on the same column: the
     // query's `day >= 15` implies the view's `day >= 10`, so the view is
     // not missing any row the query needs and the tighter bound simply
-    // becomes a residual). Otherwise the MV may lack needed rows.
-    val residual = containFilters(qConjs, mvConjs).getOrElse(return None)
+    // becomes a residual). Otherwise the MV alone lacks needed rows —
+    // the MIXED-ROLLUP path then tries serving as [MV slice] ∪ [partial
+    // aggregate of the complement base rows] (single-table views only).
+    val residual = containFilters(qConjs, mvConjs) match {
+      case Some(r) => r
+      case None =>
+        return if (mvSrcPaths.size == 1 && qs.paths.size == 1)
+          tryMixedRollup(aggExprs, qs, mm, keyOf, matchedGroups, qConjs,
+            mvConjs, mvPath)
+        else None
+    }
     val residualMapped: Seq[Expression] =
       residual.map(c => mm.convFilter(c, keyOf).getOrElse(return None))
     // ---- output mapping --------------------------------------------
@@ -867,6 +1023,284 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       val groupingOut: Seq[Expression] = matchedGroups.map(g => mm.mvAttr(g.out))
       Some(Aggregate(groupingOut, projected, mvChild))
     }
+  }
+
+  /** ¬coalesce(m, false) for ONE null-intolerant view conjunct, built
+    * PUSHABLE: the flipped bound OR IsNull(col) — both translate to DSv2
+    * source filters, so the residual base scan of a mixed-rollup plan
+    * file-skips the view-covered range. (The naive `NOT(coalesce(p,
+    * false))` is correct but opaque to pushdown — the complement scan
+    * would read every file.) None for shapes we can't flip — the caller
+    * falls back to the opaque form, correct but unpruned. */
+  private def complementConj(m: Expression): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+    m match {
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        Some(Or(LessThanOrEqual(a, l), IsNull(a)))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        Some(Or(LessThan(a, l), IsNull(a)))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        Some(Or(GreaterThanOrEqual(a, l), IsNull(a)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        Some(Or(GreaterThan(a, l), IsNull(a)))
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        Some(Or(Not(EqualTo(a, l)), IsNull(a)))
+      case GreaterThan(l: Literal, a: AttributeReference) => // l > a ⇔ a < l
+        Some(Or(GreaterThanOrEqual(a, l), IsNull(a)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        Some(Or(GreaterThan(a, l), IsNull(a)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        Some(Or(LessThanOrEqual(a, l), IsNull(a)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        Some(Or(LessThan(a, l), IsNull(a)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        Some(Or(Not(EqualTo(a, l)), IsNull(a)))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(Or(Not(In(a, vs)), IsNull(a)))
+      case InSet(a: AttributeReference, hs) =>
+        Some(Or(Not(InSet(a, hs)), IsNull(a)))
+      case _ => None
+    }
+  }
+
+  /** Does single disjunct `d` EXCLUDE every row satisfying view conjunct
+    * `m`? (I.e., d ∧ m is unsatisfiable.) Decided for the shapes the
+    * mixed-rollup complement generates — IsNull on m's column, a negated
+    * copy/superset of m, disjoint literal bounds/IN-lists — plus
+    * whatever the optimizer folds them into (In↔InSet, dropped IsNull on
+    * non-nullable columns). Conservative false when undecidable. */
+  private def excludesDisjunct(d: Expression, m: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, IsNull, LessThan, LessThanOrEqual, Literal, Not}
+    def vals(e: Expression): Option[(AttributeReference, Set[Any])] = e match {
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some((a, vs.map(_.asInstanceOf[Literal].value).filter(_ != null).toSet))
+      case InSet(a: AttributeReference, hs) => Some((a, hs.filter(_ != null)))
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        Some((a, Set(v)))
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+        Some((a, Set(v)))
+      case _ => None
+    }
+    def bnd(e: Expression): Option[(AttributeReference, String, Any)] = e match {
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => Some((a, ">", v))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => Some((a, ">=", v))
+      case LessThan(a: AttributeReference, Literal(v, _)) => Some((a, "<", v))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => Some((a, "<=", v))
+      case GreaterThan(Literal(v, _), a: AttributeReference) => Some((a, "<", v))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => Some((a, "<=", v))
+      case LessThan(Literal(v, _), a: AttributeReference) => Some((a, ">", v))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => Some((a, ">=", v))
+      case _ => None
+    }
+    def meets(t: org.apache.spark.sql.types.DataType, v: Any, op: String,
+        w: Any): Boolean =
+      v != null && litCmp(t, v, w).exists(c => op match {
+        case ">" => c > 0
+        case ">=" => c >= 0
+        case "<" => c < 0
+        case "<=" => c <= 0
+      })
+    d match {
+      // NULL rows never satisfy a null-intolerant single-column m
+      case IsNull(a: AttributeReference)
+          if m.references.toSeq.map(_.exprId) == Seq(a.exprId) &&
+            (bnd(m).isDefined || vals(m).isDefined) => true
+      // a negated copy — or a negated SUPERSET IN-list — of m
+      case Not(x) if x.semanticEquals(m) => true
+      case Not(x) =>
+        (vals(x), vals(m)) match {
+          case (Some((a, s)), Some((b, s2))) =>
+            a.exprId == b.exprId && a.dataType == b.dataType && s2.subsetOf(s)
+          case _ => false
+        }
+      case _ =>
+        (vals(d), bnd(d), vals(m), bnd(m)) match {
+          // disjoint value sets on the same column
+          case (Some((a, s)), _, Some((b, s2)), _)
+              if a.exprId == b.exprId && a.dataType == b.dataType =>
+            s.intersect(s2).isEmpty
+          // every d-value fails m's bound
+          case (Some((a, s)), _, _, Some((b, op, w)))
+              if a.exprId == b.exprId && a.dataType == b.dataType =>
+            s.forall(v => !meets(a.dataType, v, op, w))
+          // every m-value fails d's bound
+          case (_, Some((a, op, w)), Some((b, s2)), _)
+              if a.exprId == b.exprId && a.dataType == b.dataType =>
+            s2.forall(v => !meets(a.dataType, v, op, w))
+          // disjoint ranges on the same column
+          case (_, Some((a, qo, qv)), _, Some((b, mo, mvv)))
+              if a.exprId == b.exprId && a.dataType == b.dataType =>
+            litCmp(a.dataType, qv, mvv).exists { c =>
+              (qo, mo) match {
+                case (">", "<") | (">", "<=") | (">=", "<") => c >= 0
+                case (">=", "<=") => c > 0
+                case ("<", ">") | ("<", ">=") | ("<=", ">") => c <= 0
+                case ("<=", ">=") => c < 0
+                case _ => false
+              }
+            }
+          case _ => false
+        }
+    }
+  }
+
+  private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+      splitDisjuncts(a) ++ splitDisjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** MIXED-ROLLUP plan: the query's WHERE is WIDER than the view's — the
+    * view alone lacks rows — but the covered slice still serves from
+    * stored groups, and only the COMPLEMENT comes from the base:
+    *
+    *   Aggregate(query groups, rollup algebra,
+    *     Union(
+    *       Project(needed stored cols, Filter(residual, view)),
+    *       Aggregate(view group keys∩needed, partials in the stored
+    *         shape, Filter(q ∧ ¬coalesce(view WHERE, false), base))))
+    *
+    * Exactness: {p_q} = {p_q ∧ p_mv} ⊎ {p_q ∧ ¬coalesce(p_mv, false)}
+    * (three-valued: a NULL p_mv row is not in the view and lands in the
+    * complement). The view side keeps a query conjunct as a group-column
+    * residual or DROPS it when the view's own WHERE implies it (reverse
+    * [[litImplies]]); the base side computes partials with the SAME
+    * functions the view stores (types must match exactly — schema drift
+    * refuses), so the top-level rollup algebra cannot tell the sides
+    * apart. Distinct-over-group-key works too: the base side then groups
+    * by that key, so the union carries real key values to dedupe.
+    *
+    * At 100 TB this is the rolling-window payoff: a view pinned to the
+    * archived range serves the archive from O(groups) rows while the
+    * query's fresh tail scans ONLY the complement files — the pushable
+    * complement (see [[complementConj]]) keeps the covered range
+    * entirely unread on the base side. */
+  private def tryMixedRollup(aggExprs: Seq[NamedExpression], qs: QuerySource,
+      mm: MvMapping, keyOf: Map[GraftMview.GroupCol, Expression],
+      matchedGroups: Seq[GraftMview.GroupCol], qConjs: Seq[Expression],
+      mvConjs: Seq[Expression], mvPath: String): Option[LogicalPlan] = {
+    import GraftMview._
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal, Multiply, Not, Or}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count => ACount, Max => AMax, Min => AMin, Sum => ASum}
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    import org.apache.spark.sql.types.DoubleType
+    if (mvConjs.isEmpty) return None // no WHERE to complement
+    val baseRel = qs.rels.head
+    val baseOut = baseRel.output
+    // IDEMPOTENCE + DEGENERACY: this rule runs in a fixed-point batch,
+    // and the plan it emits contains a base-side Aggregate over the
+    // source with exactly this wider-than-view shape — its WHERE carries
+    // the view's complement. Detect that SEMANTICALLY (the complement
+    // mutates under later rules: In→InSet, IsNull folded on non-nullable
+    // columns): a query conjunct all of whose disjuncts provably exclude
+    // some view conjunct makes the view slice EMPTY — refusing is both
+    // the loop-breaker and the right answer (such a query wants only
+    // non-covered rows).
+    if (qConjs.exists { q =>
+      splitDisjuncts(q).forall(dd => mvConjs.exists(m => excludesDisjunct(dd, m)))
+    }) return None
+    val complement: Expression = {
+      val per = mvConjs.map(complementConj)
+      if (per.forall(_.isDefined))
+        per.flatten.reduce(org.apache.spark.sql.catalyst.expressions.Or(_, _))
+      else Not(Coalesce(Seq(mvConjs.reduce(And(_, _)), Literal(false))))
+    }
+    // view side: each query conjunct is either implied by the view's
+    // WHERE (every stored row already satisfies it — drop) or maps onto
+    // group columns (residual on stored rows)
+    val mvResidual: Seq[Expression] = qConjs.flatMap { q =>
+      if (mvConjs.exists(m => m.semanticEquals(q) || litImplies(m, q))) None
+      else Some(mm.convFilter(q, keyOf).getOrElse(return None))
+    }
+    // output mapping: rollup algebra ONLY — a straight projection cannot
+    // mix with base-side partials
+    def conv(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mm.mapAggRollup(ae, keyOf)
+      case e2 if mm.matchedKey(e2, keyOf).isDefined => mm.matchedKey(e2, keyOf)
+      case _: AttributeReference => None
+      case other =>
+        val kids = other.children.map(conv)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+    val projected: Seq[NamedExpression] = aggExprs.map { orig =>
+      val replacement = orig match {
+        case a: AttributeReference => conv(a)
+        case Alias(child, _) => conv(child)
+        case _ => None
+      }
+      replacement match {
+        case Some(r) if r.dataType == orig.dataType =>
+          val guarded = if (!orig.nullable && r.nullable) KnownNotNull(r) else r
+          Alias(guarded, orig.name)(exprId = orig.exprId)
+        case _ => return None
+      }
+    }
+    val groupingOut: Seq[AttributeReference] =
+      matchedGroups.map(g => mm.mvAttr(g.out))
+    // the union carries exactly the stored columns the rollup reads
+    val refs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      projected.flatMap(_.references) ++ groupingOut)
+    val needed: Seq[AttributeReference] = mm.mvRel.output.collect {
+      case a: AttributeReference if refs.contains(a) => a
+    }
+    // base side: the same partial functions the view stores, grouped by
+    // every VIEW group key the union carries (so distinct-over-key sees
+    // real values); types must match the stored columns exactly
+    def src(name: String): Option[AttributeReference] = baseOut.collectFirst {
+      case a: AttributeReference if a.name == name => a }
+    def partial(n: String): Option[Expression] = mm.cols.flatMap {
+      case CountCol(o) if o == n =>
+        Some(ACount(Literal(1)).toAggregateExpression())
+      case CountNNCol(s, o) if o == n =>
+        src(s).map(a => ACount(a).toAggregateExpression())
+      case SumCol(s, o) if o == n =>
+        src(s).map(a => ASum(a).toAggregateExpression())
+      case SumCol(s, o) if s"__nn_$o" == n =>
+        src(s).map(a => ACount(a).toAggregateExpression())
+      case AvgCol(s, o) if s"__s_$o" == n =>
+        src(s).map(a => ASum(a).toAggregateExpression())
+      case AvgCol(s, o) if s"__n_$o" == n =>
+        src(s).map(a => ACount(a).toAggregateExpression())
+      case VarCol(s, o, _) if s"__s_$o" == n =>
+        src(s).map(a => ASum(Cast(a, DoubleType)).toAggregateExpression())
+      case VarCol(s, o, _) if s"__q_$o" == n =>
+        src(s).map(a => ASum(Multiply(
+          Cast(a, DoubleType), Cast(a, DoubleType))).toAggregateExpression())
+      case VarCol(s, o, _) if s"__n_$o" == n =>
+        src(s).map(a => ACount(a).toAggregateExpression())
+      case MinCol(s, o) if o == n =>
+        src(s).map(a => AMin(a).toAggregateExpression())
+      case MaxCol(s, o) if o == n =>
+        src(s).map(a => AMax(a).toAggregateExpression())
+      case _ => None
+    }.headOption
+    val keyForOut: Map[String, Expression] = mm.mvGroups.flatMap { g =>
+      (if (!g.isExpr) src(g.src): Option[Expression]
+       else analyzedExpr(g.src, baseOut)).map(g.out -> _)
+    }.toMap
+    val baseCols: Seq[(NamedExpression, Boolean)] = needed.map { a =>
+      keyForOut.get(a.name) match {
+        case Some(k) =>
+          if (k.dataType != a.dataType) return None
+          (Alias(k, a.name)(), true)
+        case None =>
+          val e = partial(a.name).getOrElse(return None)
+          if (e.dataType != a.dataType) return None // schema drift: refuse
+          (Alias(e, a.name)(), false)
+      }
+    }
+    val baseKeys = baseCols.collect { case (Alias(k, _), true) => k }
+    val baseCond = (qConjs :+ complement).reduce(And(_, _))
+    val baseSide = Aggregate(baseKeys, baseCols.map(_._1),
+      Filter(baseCond, baseRel))
+    val mvChild: LogicalPlan =
+      if (mvResidual.isEmpty) mm.mvRel
+      else Filter(mvResidual.reduce(And(_, _)), mm.mvRel)
+    val union = Union(Project(needed, mvChild), baseSide)
+    logInfo(s"graft mview rewrite: serving aggregate over ${qs.paths.head} " +
+      s"as MIXED plan — fresh MV $mvPath slice ∪ complement base scan")
+    Some(Aggregate(groupingOut, projected, union))
   }
 
   /** EAGER-AGGREGATION JOIN-BACK (Yan & Larson, "Eager Aggregation and

@@ -902,6 +902,20 @@ private[v2] object GraftStoreFormat {
     invalidateMvProbe(path) // a new dependent must be probe-visible at once
   }
 
+  /** Deregister a dependent's pointer file from a source table (DROP
+    * MATERIALIZED VIEW). A stale pointer is always TOLERATED (the rewrite
+    * rule's probe just fails the lookup), so this is pure hygiene: it
+    * stops every future query on the source paying one wasted manifest
+    * probe per dropped view. */
+  def removeMvDep(path: String, conf: Configuration, mvPath: String): Unit = {
+    val f = fs(path, conf)
+    val name = java.security.MessageDigest.getInstance("MD5")
+      .digest(mvPath.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val target = new Path(new Path(path, "_mvdeps.d"), s"dep-$name")
+    if (f.exists(target)) f.delete(target, false)
+    invalidateMvProbe(path)
+  }
+
   def readManifestFile(path: String, conf: Configuration, p: Path): GraftManifest = {
     val fsys = fs(path, conf)
     val st = fsys.getFileStatus(p)

@@ -389,6 +389,16 @@ private[v2] case class GraftDropMviewCommand(catalog: GraftCatalog,
         require(m.props.get("graft.mv").contains("true"),
           s"graft mview: $path is a plain table, not a materialized view " +
             "(DROP TABLE instead)")
+        // deregister the dep pointer from every source FIRST: stale
+        // pointers are tolerated, but each would cost every future query
+        // on the source one wasted manifest probe
+        val srcs = GraftMview.decodeSource(m.props) match {
+          case GraftMview.SingleSrc(p0) => Seq(p0)
+          case GraftMview.JoinSrc(ps, _, _) => ps
+        }
+        srcs.foreach(p0 =>
+          try GraftStoreFormat.removeMvDep(p0, conf, path)
+          catch { case scala.util.control.NonFatal(_) => () })
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(conf).delete(p, true)
     }

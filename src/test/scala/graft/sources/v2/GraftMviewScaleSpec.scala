@@ -126,4 +126,63 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
   test("LEFT OUTER 3-chain refresh is corpus-size-independent") {
     catBase; probe("leftchain")
   }
+
+  /** OVER-CAP churn: a dim update touching MORE than the 1000-key
+    * compile-time-IN cap. The cascade degrades to a per-column
+    * `[min, max]` range predicate (still file-stat-skippable on the
+    * key-clustered fact) instead of abandoning pruning — the previously
+    * untested cliff. Asserts EXACTNESS (the semi-join/delta algebra is
+    * unaffected) and that the 10× refresh still skips the fact files
+    * outside the churned key range. */
+  test("over-cap dim churn degrades to range pruning and stays exact") {
+    catBase
+    def run2(mult: Int): (Long, Int) = {
+      val tag = s"overcap_$mult"
+      val fact = s"$catBase/f_$tag"
+      val d1 = s"$catBase/c_$tag"
+      val mvDir = s"$catBase/mv_$tag"
+      val rows = 100000L * mult
+      val files = 8 * mult
+      // 5000 join keys so a 1500-key churn is over-cap but range-local
+      spark.range(0, rows)
+        .select((col("id") % 5000).as("fk"), (col("id") % 97).as("v"))
+        .repartitionByRange(files, col("fk"))
+        .write.format("graft-store").mode("overwrite").save(fact)
+      spark.range(0, 5000).select(col("id").as("pk"), (col("id") % 25).as("nk"))
+        .write.format("graft-store").mode("overwrite").save(d1)
+      GraftMview.create(spark, mvDir,
+        s"SELECT nk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
+          s"JOIN mvscale.c_$tag ON fk = pk GROUP BY nk")
+      // 1500 distinct churned keys — over the 1000-key IN cap, but
+      // contiguous: the [min, max] fallback can still skip fact files
+      spark.sql(s"UPDATE mvscale.c_$tag SET nk = (nk + 1) % 25 WHERE pk < 1500")
+      val slicesBefore = GraftStoreFormat.scannedFileSlices.sum()
+      val (mode, _, _, _) = GraftMview.refresh(spark, mvDir)
+      val opened = GraftStoreFormat.scannedFileSlices.sum() - slicesBefore
+      assert(mode === "incremental", s"$tag must refresh incrementally")
+      // EXACTNESS under the degraded pruning: the refreshed view equals
+      // a from-scratch recompute over the live tables
+      val expect = spark.read.format("graft-store").load(fact)
+        .join(spark.read.format("graft-store").load(d1), $"fk" === $"pk")
+        .groupBy("nk").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val got = spark.read.format("graft-store").load(mvDir)
+        .select("nk", "n", "s")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === expect, s"$tag over-cap refresh diverged from recompute")
+      (opened, files)
+    }
+    val (s1, _) = run2(1)
+    val (s10, files10) = run2(10)
+    info(f"overcap     1x: $s1%3d slices   10x: $s10%3d slices " +
+      f"(fact base $files10%3d files)")
+    println(f"[mv-scale] overcap    1x: $s1%3d slices   10x: $s10%3d slices " +
+      f"(fact base $files10%3d files)")
+    // churned keys cover 30% of the clustered key span: the range
+    // fallback must skip most of the 10x fact base (a no-pruning
+    // regression reads all 80 fact files and blows past this bound)
+    assert(s10 < files10 * 2 / 3,
+      s"over-cap churn opened $s10 slices of a $files10-file fact base — " +
+        "the range fallback is not pruning")
+  }
 }

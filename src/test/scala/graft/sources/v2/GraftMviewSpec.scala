@@ -188,6 +188,49 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamRefresh maintains a LEFT OUTER view through dim null transitions") {
+    catBase
+    val factDir = s"$catBase/slfact"
+    val dimDir = s"$catBase/sldim"
+    val mvDir = s"$catBase/slmv"
+    val ckpt = Files.createTempDirectory("graft-mv-lck").toString
+    // fk=3 starts UNMATCHED (null-extended)
+    Seq((1L, 2L), (2L, 10L), (3L, 7L)).toDF("fk", "v")
+      .write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, "a"), (2L, "b")).toDF("pk", "seg")
+      .write.format("graft-store").mode("overwrite").save(dimDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT seg, count(*) AS n, sum(v) AS s " +
+        "FROM mvcat.slfact LEFT JOIN mvcat.sldim ON fk = pk GROUP BY seg")
+    def rows(): Map[String, (Long, Long)] =
+      spark.read.format("graft-store").load(mvDir).collect()
+        .map(r => (if (r.isNullAt(0)) "(null)" else r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    val q = GraftMview.streamRefresh(spark, mvDir, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(rows() === Map("a" -> ((1L, 2L)), "b" -> ((1L, 10L)),
+        "(null)" -> ((1L, 7L))))
+      // dim INSERT: fk=3 transitions null-extended → matched, and the
+      // commit alone (dim side) must trigger the continuous refresh
+      Seq((3L, "a")).toDF("pk", "seg")
+        .write.format("graft-store").mode("append").save(dimDir)
+      q.processAllAvailable()
+      assert(rows() === Map("a" -> ((2L, 9L)), "b" -> ((1L, 10L))),
+        "a dim insert under continuous refresh must retract the null group")
+      // dim DELETE: fk=2 transitions matched → null-extended
+      spark.sql("DELETE FROM mvcat.sldim WHERE pk = 2")
+      q.processAllAvailable()
+      assert(rows() === Map("a" -> ((2L, 9L)), "(null)" -> ((1L, 10L))),
+        "a dim delete under continuous refresh must re-create the null group")
+      // fact-side commit still triggers too
+      Seq((9L, 100L)).toDF("fk", "v")
+        .write.format("graft-store").mode("append").save(factDir)
+      q.processAllAvailable()
+      assert(rows() === Map("a" -> ((2L, 9L)), "(null)" -> ((2L, 110L))))
+    } finally q.stop()
+  }
+
   test("min/max maintain: insert fast path; removals rescan only their groups") {
     catBase
     val srcDir = s"$catBase/src7"
@@ -1140,11 +1183,21 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       .agg(sum("v").as("s"))
     assert(servedFromMv(q2))
     assert(q2.collect().map(_.getLong(1)).toSeq === Seq(10L))
-    // a DIFFERENT constant is not this view's WHERE; a query with NO
-    // WHERE needs rows the view filtered away
-    assert(!servedFromMv(base().filter($"v" > 4).groupBy("g")
+    // a LOOSER bound — and even NO WHERE at all — now serves as the
+    // MIXED plan: the view's slice plus a complement base scan of only
+    // the rows the view filtered away (r13; previously refused)
+    val q3 = base().filter($"v" > 4).groupBy("g").agg(count(lit(1)).as("n"))
+    assert(servedFromMv(q3), "a looser bound must serve as the mixed plan")
+    assert(q3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    val q4 = base().groupBy("g").agg(count(lit(1)).as("n"))
+    assert(servedFromMv(q4), "the unfiltered aggregate must serve as the mixed plan")
+    assert(q4.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    // a query wanting ONLY the complement gets nothing from the view —
+    // refused (also the mixed plan's own idempotence guard)
+    assert(!servedFromMv(base().filter($"v" <= 5).groupBy("g")
       .agg(count(lit(1)).as("n"))))
-    assert(!servedFromMv(base().groupBy("g").agg(count(lit(1)).as("n"))))
     // staleness still gates filtered serves
     Seq(("d", 100L)).toDF("g", "v")
       .write.format("graft-store").mode("append").save(srcDir)
@@ -1178,15 +1231,22 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     val qe = base().filter($"day" === 20).groupBy("day").agg(sum("v").as("s"))
     assert(servedFromMv(qe))
     assert(qe.collect().map(_.getLong(1)).toSeq === Seq(8L))
-    // a WIDER range needs rows the view filtered away — refused, and the
-    // base answer includes day=3
+    // a WIDER range serves as the MIXED plan (r13; previously refused):
+    // the view's slice plus a complement scan that brings in day=3
     val wide = base().filter($"day" >= 3).groupBy("day").agg(sum("v").as("s"))
-    assert(!servedFromMv(wide), "a wider range must never serve")
-    assert(wide.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      .contains(3))
-    // integer successor arithmetic is NOT assumed: day > 4 (≡ day >= 5
-    // over ints) is conservatively refused
-    assert(!servedFromMv(base().filter($"day" > 4).groupBy("day")
+    assert(servedFromMv(wide), "a wider range must serve as the mixed plan")
+    assert(wide.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(3 -> 99L, 5 -> 1L, 10 -> 2L, 15 -> 4L, 20 -> 8L))
+    // integer successor arithmetic is still NOT assumed: day > 4
+    // (≡ day >= 5 over ints) serves through the mixed plan with an
+    // empty complement slice instead of a semantic gamble
+    val succ = base().filter($"day" > 4).groupBy("day")
+      .agg(count(lit(1)).as("n"))
+    assert(servedFromMv(succ))
+    assert(succ.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(5 -> 1L, 10 -> 1L, 15 -> 1L, 20 -> 1L))
+    // the pure complement is refused (nothing to serve from the view)
+    assert(!servedFromMv(base().filter($"day" < 5).groupBy("day")
       .agg(count(lit(1)).as("n"))))
   }
 
@@ -1425,8 +1485,15 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     // point equality inside the list implies it
     assert(servedFromMv(base().filter($"k" === 3).groupBy("g")
       .agg(count(lit(1)).as("n"))))
-    // a SUPERSET needs rows the view filtered away — refused
-    assert(!servedFromMv(base().filter($"k".isin(1, 2, 3, 4, 6)).groupBy("g")
+    // a SUPERSET serves as the MIXED plan (r13; previously refused): the
+    // view's slice plus a complement scan bringing in k=6
+    val sup = base().filter($"k".isin(1, 2, 3, 4, 6)).groupBy("g")
+      .agg(count(lit(1)).as("n"))
+    assert(servedFromMv(sup), "a superset IN must serve as the mixed plan")
+    assert(sup.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
+    // the pure complement is refused (nothing to serve from the view)
+    assert(!servedFromMv(base().filter(!$"k".isin(1, 2, 3, 4)).groupBy("g")
       .agg(count(lit(1)).as("n"))))
     // DISTINCT over a view GROUP column rolls up (stored combinations
     // are unique; DISTINCT dedupes anyway); over a collapsed column
@@ -1647,10 +1714,9 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       val e = intercept[Exception](GraftMview.create(spark, s"$catBase/jmvx", sql))
       assert(e.getMessage.contains(frag), s"message '${e.getMessage}' lacks '$frag'")
     }
-    // LEFT OUTER (2 plain tables) is a FEATURE now — the refusals are
-    // RIGHT/FULL OUTER and any left-outer shape with a nested join
-    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 RIGHT JOIN mvcat.jr2 " +
-      "ON fk = pk GROUP BY grp", "INNER or LEFT OUTER")
+    // LEFT OUTER (2 plain tables) is a FEATURE, and RIGHT OUTER
+    // flip-normalizes into it — the remaining join-type refusal is FULL
+    // OUTER, plus any left-outer shape with a nested join
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 FULL OUTER JOIN mvcat.jr2 " +
       "ON fk = pk GROUP BY grp", "INNER or LEFT OUTER")
     Seq((1L, 5L)).toDF("pk2", "w")
@@ -1661,10 +1727,10 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
       "LEFT JOIN (SELECT pk, grp FROM mvcat.jr2 JOIN mvcat.jr4 ON pk = pk2) " +
       "ON fk = pk GROUP BY grp", "right side")
-    // INNER steps inside a chain are a FEATURE now (mixed chains);
-    // RIGHT/FULL steps inside a chain still refuse
+    // INNER steps inside a chain are a FEATURE (mixed chains), and a
+    // RIGHT step flips into one; FULL steps inside a chain still refuse
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
-      "RIGHT JOIN mvcat.jr2 ON fk = pk " +
+      "FULL JOIN mvcat.jr2 ON fk = pk " +
       "LEFT JOIN mvcat.jr4 ON pk = pk2 GROUP BY grp",
       "INNER or LEFT OUTER steps")
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 " +
@@ -1815,10 +1881,15 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     val q = spark.sql(
       "SELECT g, count(*) AS n, sum(v) AS s FROM mvcat.ddlsrc GROUP BY g")
     assert(q.queryExecution.optimizedPlan.toString.contains(mvDir))
-    // DROP: the view dies; IF EXISTS tolerates the gap, a bare DROP not
+    // DROP: the view dies AND its dep pointer leaves the source (no
+    // stale-probe tax on future queries); IF EXISTS tolerates the gap,
+    // a bare DROP not
     spark.sql("DROP MATERIALIZED VIEW mvcat.ddlmv")
     assert(intercept[Exception](
       spark.sql("SELECT * FROM mvcat.ddlmv").collect()) != null)
+    assert(!GraftStoreFormat.readMvDeps(srcDir,
+      spark.sparkContext.hadoopConfiguration).contains(mvDir),
+      "DROP must deregister the dep pointer from the source")
     assert(spark.sql("DROP MATERIALIZED VIEW IF EXISTS mvcat.ddlmv")
       .collect().isEmpty)
     val gone = intercept[Exception](
@@ -2077,5 +2148,171 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     val q2 = f2.join(d2, f2("fk") === d2("pk"), "left_outer")
       .groupBy("fk").agg(count(lit(1)).as("n"), sum(f2("v")).as("s"))
     assert(servedFromMv(q2), "the exact left shape must still serve")
+  }
+
+  test("RIGHT OUTER view flips into the left chain; maintains both churn directions") {
+    catBase
+    val factDir = s"$catBase/rofact"
+    val dimDir = s"$catBase/rodim"
+    val mvDir = s"$catBase/romv"
+    Seq((Option(1L), 2L), (Option(1L), 4L), (Option(2L), 10L), (Option(3L), 7L),
+      (Option.empty[Long], 100L))
+      .toDF("fk", "v").write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, "a"), (2L, "b"))
+      .toDF("pk", "seg").write.format("graft-store").mode("overwrite").save(dimDir)
+    // written RIGHT JOIN (fact preserved) — recognized as fact ⟕ dim
+    GraftMview.create(spark, mvDir,
+      "SELECT seg, count(*) AS n, sum(v) AS s FROM mvcat.rodim " +
+        "RIGHT JOIN mvcat.rofact ON pk = fk GROUP BY seg")
+    def expect(): Map[String, (Long, Long)] = {
+      val f = spark.read.format("graft-store").load(factDir)
+      val dd = spark.read.format("graft-store").load(dimDir)
+      f.join(dd, f("fk") === dd("pk"), "left_outer")
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum(f("v")).as("s"))
+        .collect().map(r => (if (r.isNullAt(0)) "(null)" else r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    def got(): Map[String, (Long, Long)] =
+      spark.read.format("graft-store").load(mvDir).select("seg", "n", "s")
+        .collect().map(r => (if (r.isNullAt(0)) "(null)" else r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got() === expect())
+    // fact-direction churn (preserved side)
+    Seq((Option(2L), 20L), (Option(9L), 1L)).toDF("fk", "v")
+      .write.format("graft-store").mode("append").save(factDir)
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(got() === expect())
+    // dim-direction churn: insert matches waiting rows (fk=3 null →
+    // matched), delete null-extends matched rows (fk=2 matched → null)
+    Seq((3L, "c")).toDF("pk", "seg")
+      .write.format("graft-store").mode("append").save(dimDir)
+    spark.sql("DELETE FROM mvcat.rodim WHERE pk = 2")
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(got() === expect())
+    // a RIGHT JOIN query flips inside the rewrite rule and serves
+    val f3 = spark.read.format("graft-store").load(factDir)
+    val d3 = spark.read.format("graft-store").load(dimDir)
+    val q3 = d3.join(f3, d3("pk") === f3("fk"), "right_outer")
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum(f3("v")).as("s"))
+    assert(q3.queryExecution.optimizedPlan.toString.contains(mvDir),
+      "a right-join query must serve from the flip-normalized view")
+  }
+
+  test("count(DISTINCT) rolls up through the dup-count companion") {
+    catBase
+    val srcDir = s"$catBase/dcrsrc"
+    val mvDir = s"$catBase/dcrmv"
+    // z's only value is NULL: its coarse row must still publish 0
+    Seq(("a", "x", Option(1L)), ("a", "x", Option(2L)), ("a", "y", Option(2L)),
+      ("b", "x", Option(5L)), ("z", "x", Option.empty[Long]))
+      .map { case (g, h, u) => (g, h, u.map(Long.box).orNull) }
+      .toDF("g", "h", "u")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, h, count(*) AS n, count(DISTINCT u) AS dc " +
+        "FROM mvcat.dcrsrc GROUP BY g, h")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def src() = spark.read.format("graft-store").load(srcDir)
+    // coarser grouping: re-summing stored dc would double-count a's 2
+    // (it lives in both (a,x) and (a,y)); the companion re-distinct is 2
+    val q1 = src().groupBy("g").agg(countDistinct(col("u")).as("dc"))
+    assert(servedFromMv(q1), "the coarse distinct must serve from the companion")
+    assert(q1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 2L, "b" -> 1L, "z" -> 0L))
+    // the GLOBAL distinct serves too
+    val q2 = src().agg(countDistinct(col("u")).as("dc"))
+    assert(servedFromMv(q2), "the global distinct must serve from the companion")
+    assert(q2.collect()(0).getLong(0) === 3L)
+    // a residual WHERE on a group column scopes the companion join
+    val q3 = src().filter(col("h") === "x")
+      .groupBy("g").agg(countDistinct(col("u")).as("dc"))
+    assert(servedFromMv(q3))
+    assert(q3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 2L, "b" -> 1L, "z" -> 0L))
+    // MIXED aggregates refuse (count(*) would inflate per companion pair)
+    val qm = src().groupBy("g")
+      .agg(count(lit(1)).as("n"), countDistinct(col("u")).as("dc"))
+    assert(!servedFromMv(qm), "mixed aggregates must not serve from the companion")
+    assert(qm.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("a" -> ((3L, 2L)), "b" -> ((1L, 1L)), "z" -> ((1L, 0L))))
+    // churn: value moves between groups, a group vanishes; the refreshed
+    // companion keeps serving the rollup exactly
+    Seq(("z", "x", 9L), ("c", "y", 1L)).toDF("g", "h", "u")
+      .write.format("graft-store").mode("append").save(srcDir)
+    spark.sql("DELETE FROM mvcat.dcrsrc WHERE g = 'b'")
+    val (m, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m === "incremental")
+    val q4 = src().groupBy("g").agg(countDistinct(col("u")).as("dc"))
+    assert(servedFromMv(q4), "the refreshed companion must keep serving")
+    assert(q4.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 2L, "c" -> 1L, "z" -> 1L))
+  }
+
+  test("mixed rollup: MV slice ∪ complement base scan serves a wider WHERE") {
+    catBase
+    val srcDir = s"$catBase/mxsrc"
+    val mvDir = s"$catBase/mxmv"
+    // covered range (day < 10) in FOUR files; the complement in one more
+    Seq(("a", Option(1L), 2L), ("a", Option(2L), 4L), ("b", Option(3L), 10L),
+      ("b", Option(5L), 20L))
+      .map { case (g, d, v) => (g, d.map(Long.box).orNull, v) }
+      .toDF("g", "day", "v").repartition(4)
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT g, day, count(*) AS n, sum(v) AS s, avg(v) AS av " +
+        "FROM mvcat.mxsrc WHERE day < 10 GROUP BY g, day")
+    // complement rows: day in [10, 20), one beyond the query range, one
+    // NULL day (in neither the view nor a day < 20 query — 3-valued)
+    Seq(("a", Option(15L), 7L), ("c", Option(12L), 5L), ("b", Option(25L), 99L),
+      ("d", Option.empty[Long], 8L))
+      .map { case (g, d, v) => (g, d.map(Long.box).orNull, v) }
+      .toDF("g", "day", "v").coalesce(1)
+      .write.format("graft-store").mode("append").save(srcDir)
+    GraftMview.refresh(spark, mvDir) // absorb the append (day<10: no-op rows)
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def src() = spark.read.format("graft-store").load(srcDir)
+    // the wider WHERE: view covers day<10, query wants day<20
+    val before = GraftStoreFormat.scannedFileSlices.sum()
+    val q1 = src().filter(col("day") < 20)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"),
+        avg("v").as("av"))
+    assert(servedFromMv(q1), "the mixed plan must serve the wider WHERE")
+    val got = q1.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val opened = GraftStoreFormat.scannedFileSlices.sum() - before
+    assert(got === Map("a" -> ((3L, 13L, 13.0 / 3)), "b" -> ((2L, 30L, 15.0)),
+      "c" -> ((1L, 5L, 5.0))))
+    // the PUSHABLE complement (day >= 10 OR day IS NULL) must skip the
+    // four covered-range base files: MV slice + 1 complement file
+    assert(opened < 4,
+      s"mixed plan opened $opened slices — the complement scan is not " +
+        "skipping the covered files")
+    // distinct over a view group key: the base side groups by that key,
+    // so the union dedupes real values
+    val q2 = src().filter(col("day") < 20)
+      .groupBy("g").agg(countDistinct(col("day")).as("dd"))
+    assert(servedFromMv(q2))
+    assert(q2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    // the GLOBAL rollup over the mixed union
+    val q3 = src().filter(col("day") < 20).agg(count(lit(1)).as("n"))
+    assert(servedFromMv(q3))
+    assert(q3.collect()(0).getLong(0) === 6L)
+    // a residual on a group column rides the view side AND the base side
+    val q4 = src().filter(col("day") < 20 && col("g") =!= "b")
+      .groupBy("g").agg(sum("v").as("s"))
+    assert(servedFromMv(q4))
+    assert(q4.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 13L, "c" -> 5L))
+    // a non-group, non-implied conjunct refuses (cannot slice the view)
+    val q5 = src().filter(col("day") < 20 && col("v") > 3)
+      .groupBy("g").agg(sum("v").as("s"))
+    assert(!servedFromMv(q5), "a collapsed-column conjunct must refuse")
+    assert(q5.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> ((4L + 7L)), "b" -> 30L, "c" -> 5L))
   }
 }
