@@ -6259,6 +6259,216 @@ object SystemQueries {
            |FROM f LEFT JOIN dm ON o_custkey = c_custkey
            |GROUP BY c_mktsegment""".stripMargin))
 
+  /** JOIN-SHAPE MIXED ROLLUP ([[graft.sources.v2.GraftMviewRewriteRule]]
+    * tryMixedRollup over a join view): the rolling-window pattern on a
+    * STAR join — the view covers the archived key range of fact ⋈ dim,
+    * the query wants archive + fresh tail over the same join. Served as
+    * [view slice] ∪ [partial aggregate of the complement join], the
+    * complement predicate pushable into the key-clustered fact scan —
+    * pinned by the slice count. */
+  val q237MviewJoinMixed = QuerySpec(
+    "q237_mview_join_mixed", "S-dsv2-mview-join-mixed",
+    "wider WHERE over a join view: view slice ∪ pruned complement join",
+    (s, d) => {
+      val base = "/tmp/graft_store_q237"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq237", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq237.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 10000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact) // 8 files
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.format("graft-store").mode("overwrite").save(dim)
+        s.sql("CALL gq237.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, count(*) AS n, " +
+          "sum(o_totalprice) AS rev FROM gq237.fact " +
+          "JOIN gq237.dim ON o_custkey = c_custkey " +
+          "WHERE o_orderkey < 6000 GROUP BY c_mktsegment')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val q = s.sql(
+          """SELECT c_mktsegment AS seg, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM gq237.fact JOIN gq237.dim ON o_custkey = c_custkey
+            |WHERE o_orderkey < 9000
+            |GROUP BY c_mktsegment""".stripMargin)
+        val rows = q.collect()
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        // MV slice + dim + the [6000, 9000) tail files — never all 8
+        // covered-range fact files
+        val mixedServed =
+          q.queryExecution.optimizedPlan.toString.contains(s"$base/mv") &&
+            opened < 8
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q.schema)
+          .withColumn("join_mixed_served", lit(mixedServed))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq237")
+        s.conf.unset("spark.sql.catalog.gq237.base")
+      }
+    },
+    Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev, TRUE AS join_mixed_served
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE o_orderkey < 9000
+           |GROUP BY c_mktsegment""".stripMargin))
+
+  /** JOIN-VIEW COUNT(DISTINCT) ROLLUP
+    * ([[graft.sources.v2.GraftMviewRewriteRule]] tryDcountRollup over a
+    * join source): the dup-count companion of a JOIN view absorbs the
+    * same delta-rule churn the view does, so a coarser (or global)
+    * distinct over the SAME join re-distincts companion pairs — exact
+    * where re-summing per-group counts double-counts values living
+    * under many fine groups. Gated on the exact join shape, every
+    * side's watermark, and the companion's own stamp. */
+  val q238MviewJoinDcount = QuerySpec(
+    "q238_mview_join_dcount", "S-dsv2-mview-join-dcount",
+    "coarse + global count(DISTINCT) over a join served from the join view's companion",
+    (s, d) => {
+      val base = "/tmp/graft_store_q238"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq238", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq238.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.format("graft-store").mode("overwrite").save(dim)
+        // FINE grain (segment, priority) tracking distinct custkeys
+        s.sql("CALL gq238.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, o_orderpriority AS pr, " +
+          "count(*) AS n, count(DISTINCT o_custkey) AS dc " +
+          "FROM gq238.fact JOIN gq238.dim ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment, o_orderpriority')")
+        // churn BOTH sides, then refresh (companion re-stamps)
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        s.sql("UPDATE gq238.dim SET c_mktsegment = 'MOVED' " +
+          "WHERE c_custkey % 9 = 0")
+        val r1 = s.sql("CALL gq238.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val coarse = s.sql(
+          """SELECT c_mktsegment AS seg, count(DISTINCT o_custkey) AS dc
+            |FROM gq238.fact JOIN gq238.dim ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        val globalQ = s.sql(
+          """SELECT count(DISTINCT o_custkey) AS gdc
+            |FROM gq238.fact JOIN gq238.dim ON o_custkey = c_custkey""".stripMargin)
+        def viaCompanion(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains("_dck_")
+        val ok = viaCompanion(coarse) && viaCompanion(globalQ) &&
+          r1.getString(0) == "incremental"
+        val gdc = globalQ.collect()(0).getLong(0)
+        coarse.withColumn("companion_served", lit(ok))
+          .withColumn("global_dc", lit(gdc))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq238")
+        s.conf.unset("spark.sql.catalog.gq238.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey FROM orders WHERE o_orderkey < 10000),
+           |dm AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 9 = 0 THEN 'MOVED'
+           |      ELSE c_mktsegment END AS seg
+           |  FROM customer),
+           |j AS (
+           |  SELECT seg, o_custkey FROM f JOIN dm ON o_custkey = c_custkey)
+           |SELECT seg, count(DISTINCT o_custkey) AS dc,
+           |  TRUE AS companion_served,
+           |  (SELECT count(DISTINCT o_custkey) FROM j) AS global_dc
+           |FROM j GROUP BY seg""".stripMargin))
+
+  /** FULL OUTER VIEW ([[graft.sources.v2.GraftMview]] FullSrc): the last
+    * join type joins the maintained family — BOTH sides null-extend, so
+    * churn on either side can flip the OTHER side's rows between matched
+    * and null-extended. Maintained with symmetric telescoped ± pairs
+    * (each restricted to the churned side's key combos) plus linear
+    * NULL-key terms (a NULL-key row never matches: it IS one
+    * null-extended output row). The probe churns both directions —
+    * fact append (new keys null-extend), dim insert (waiting facts
+    * null → matched; keyless customers arrive null-extended), dim
+    * delete (matched → null) — and serves the full-outer query from the
+    * view. */
+  val q239MviewFullOuter = QuerySpec(
+    "q239_mview_full_outer", "S-dsv2-mview-full-outer",
+    "FULL OUTER view maintained through symmetric churn; exact-shape serve",
+    (s, d) => {
+      val base = "/tmp/graft_store_q239"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq239", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq239.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment", "c_acctbal")
+          .filter(col("c_custkey") <= 750)
+          .write.format("graft-store").mode("overwrite").save(dim)
+        s.sql("CALL gq239.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, count(*) AS n, " +
+          "sum(o_totalprice) AS rev, sum(c_acctbal) AS bal " +
+          "FROM gq239.fact FULL OUTER JOIN gq239.dim " +
+          "ON o_custkey = c_custkey GROUP BY c_mktsegment')")
+        // fact-direction churn: new custkeys beyond the dim null-extend
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        val r1 = s.sql("CALL gq239.system.refresh_mview('mv')").collect()(0)
+        // dim-direction churn: inserts flip waiting facts null → matched
+        // (and keyless customers arrive null-extended); deletes flip
+        // matched facts → null-extended
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment", "c_acctbal")
+          .filter(col("c_custkey") > 750 && col("c_custkey") <= 900)
+          .write.format("graft-store").mode("append").save(dim)
+        s.sql("DELETE FROM gq239.dim WHERE c_custkey % 10 = 0")
+        val r2 = s.sql("CALL gq239.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = Seq(r1, r2).forall(_.getString(0) == "incremental")
+        val fq = s.sql(
+          """SELECT c_mktsegment AS seg, count(*) AS n
+            |FROM gq239.fact FULL OUTER JOIN gq239.dim
+            |ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        val served = fq.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        s.sql("""SELECT coalesce(seg, '(none)') AS seg, n,
+                |  round(rev, 2) AS rev, round(bal, 2) AS bal
+                |FROM gq239.mv""".stripMargin)
+          .withColumn("incremental", lit(incremental))
+          .withColumn("full_served", lit(served))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq239")
+        s.conf.unset("spark.sql.catalog.gq239.base")
+      }
+    },
+    Some("""WITH f AS (
+           |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 10000),
+           |dm AS (
+           |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+           |  WHERE c_custkey <= 900 AND c_custkey % 10 <> 0)
+           |SELECT coalesce(c_mktsegment, '(none)') AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev,
+           |  round(sum(c_acctbal), 2) AS bal, TRUE AS incremental,
+           |  TRUE AS full_served
+           |FROM f FULL OUTER JOIN dm ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -6286,5 +6496,6 @@ object SystemQueries {
     q219MviewJoinBack2, q220MviewPartialJoin, q221MviewCalendar, q222MviewHll,
     q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune, q230MviewLeftChain, q231MviewMixedChain,
     q232MviewLeftJoinBack, q233MviewRightOuter, q234MviewDcountRollup,
-    q235MviewMixedRollup, q236MviewLeftStream)
+    q235MviewMixedRollup, q236MviewLeftStream, q237MviewJoinMixed,
+    q238MviewJoinDcount, q239MviewFullOuter)
 }

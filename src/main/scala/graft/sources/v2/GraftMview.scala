@@ -214,6 +214,12 @@ object GraftMview {
   private[v2] case class JoinSrc(paths: Seq[String],
       keys: Seq[(Int, String, Int, String)],
       leftSides: Set[Int] = Set.empty) extends MvSource
+  /** 2-table FULL OUTER equi-join (`A FULL JOIN B ON …`): BOTH sides
+    * null-extend, so churn on either side can flip the OTHER side's rows
+    * between matched and null-extended — maintained with symmetric ±
+    * pairs (see [[refresh]]). Symmetric by nature: no orientation. */
+  private[v2] case class FullSrc(paths: Seq[String],
+      keys: Seq[(Int, String, Int, String)]) extends MvSource
 
   /** The analyzer (PullOutNondeterministic) and optimizer
     * (PullOutGroupingExpressions) pull complex grouping expressions into
@@ -291,8 +297,12 @@ object GraftMview {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
         val leftOuter =
           j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter
-        if (!leftOuter && j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
-          fail(s"${j.joinType} join (INNER or LEFT OUTER equi-joins only)")
+        val fullOuter =
+          j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter
+        if (!leftOuter && !fullOuter &&
+            j.joinType != org.apache.spark.sql.catalyst.plans.Inner)
+          fail(s"${j.joinType} join (INNER, LEFT OUTER, or 2-table FULL " +
+            "OUTER equi-joins only)")
         // flatten an N-way INNER tree — or, for LEFT OUTER, a LEFT-DEEP
         // CHAIN (fact ⟕ d1 ⟕ d2 ⟕ …, the pandas-merge shape chained):
         // every join in the chain LEFT OUTER, every right side a plain
@@ -344,9 +354,17 @@ object GraftMview {
           case _ => false
         }
         if (j.condition.isEmpty) fail("join without an ON condition")
-        val chainMode = containsLeft(j)
+        val chainMode = !fullOuter && containsLeft(j)
         val (rels, conds, stepTypes) =
-          if (chainMode) chainWalk(j)
+          if (fullOuter) {
+            // FULL OUTER: exactly two plain tables (both sides
+            // null-extend — there is no sound chain discipline to nest)
+            val ra = relOf(j.left).getOrElse(fail(
+              "FULL OUTER joins two plain graft tables (no nesting)"))
+            val rb = relOf(j.right).getOrElse(fail(
+              "FULL OUTER joins two plain graft tables (no nesting)"))
+            (Seq(ra, rb), Seq(j.condition.get), Seq.empty[Boolean])
+          } else if (chainMode) chainWalk(j)
           else {
             val (lrels, lconds) = flat(j.left)
             val (rrels, rconds) = flat(j.right)
@@ -411,7 +429,10 @@ object GraftMview {
             "equi-key path to the others)")
         val leftSides = stepTypes.zipWithIndex
           .collect { case (true, x) => x + 1 }.toSet
-        (cond, JoinSrc(paths, keys, leftSides), rels.flatMap(_.output))
+        val msrc =
+          if (fullOuter) FullSrc(paths, keys)
+          else JoinSrc(paths, keys, leftSides)
+        (cond, msrc, rels.flatMap(_.output))
       case r: DataSourceV2Relation => (cond, SingleSrc(pathOf(r)), r.output.toSeq)
       case other => fail(s"unsupported input ${other.nodeName} (one graft " +
         "table or one inner equi-join of two, optional WHERE only)")
@@ -532,7 +553,7 @@ object GraftMview {
     // join MVs maintain DISTRIBUTIVE aggregates only: min/max's removal
     // rescan is a keyed re-join — correct but no longer churn-proportional
     // on the probe side, so it is refused rather than silently expensive
-    if (src.isInstanceOf[JoinSrc] &&
+    if (!src.isInstanceOf[SingleSrc] &&
         cols.exists(c => c.isInstanceOf[MinCol] || c.isInstanceOf[MaxCol] ||
           c.isInstanceOf[HllCol]))
       fail("min/max/hll over a join view (distributive count/sum/avg only)")
@@ -614,31 +635,37 @@ object GraftMview {
       "graft.mv.watermark" -> wms.head._1.toString,
       "graft.mv.wmname" -> wms.head._2) ++
       filterSql.map("graft.mv.filter" -> _)
+    def joinProps(paths: Seq[String], keys: Seq[(Int, String, Int, String)],
+        typeProps: Seq[(String, String)]): Map[String, String] = {
+      val srcs = paths.zipWithIndex.map { case (p, i) =>
+        s"graft.mv.source${sfx(i)}" -> p
+      }
+      val wmRest = wms.zipWithIndex.drop(1).flatMap { case ((w, nm), i) =>
+        Seq(s"graft.mv.watermark${sfx(i)}" -> w.toString,
+          s"graft.mv.wmname${sfx(i)}" -> nm)
+      }
+      // the classic 2-table chain keeps the legacy "a:b" key format;
+      // anything else records explicit side indices
+      val keyProp =
+        if (paths.size == 2 && keys.forall(k => k._1 == 0 && k._3 == 1))
+          "graft.mv.keys" -> keys.map { case (_, a, _, b) =>
+            s"${enc(a)}:${enc(b)}" }.mkString(";")
+        else
+          "graft.mv.keysn" -> keys.map { case (i, a, j, b) =>
+            s"$i:${enc(a)}:$j:${enc(b)}" }.mkString(";")
+      base ++ srcs ++ wmRest + keyProp ++ typeProps
+    }
     src match {
       case SingleSrc(p) => base + ("graft.mv.source" -> p)
       case JoinSrc(paths, keys, leftSides) =>
-        val srcs = paths.zipWithIndex.map { case (p, i) =>
-          s"graft.mv.source${sfx(i)}" -> p
-        }
-        val wmRest = wms.zipWithIndex.drop(1).flatMap { case ((w, nm), i) =>
-          Seq(s"graft.mv.watermark${sfx(i)}" -> w.toString,
-            s"graft.mv.wmname${sfx(i)}" -> nm)
-        }
-        // the classic 2-table chain keeps the legacy "a:b" key format;
-        // anything else records explicit side indices
-        val keyProp =
-          if (paths.size == 2 && keys.forall(k => k._1 == 0 && k._3 == 1))
-            "graft.mv.keys" -> keys.map { case (_, a, _, b) =>
-              s"${enc(a)}:${enc(b)}" }.mkString(";")
-          else
-            "graft.mv.keysn" -> keys.map { case (i, a, j, b) =>
-              s"$i:${enc(a)}:$j:${enc(b)}" }.mkString(";")
-        base ++ srcs ++ wmRest + keyProp ++
-          (if (leftSides.isEmpty) Seq.empty
+        joinProps(paths, keys,
+          if (leftSides.isEmpty) Seq.empty
           else if (leftSides == (1 until paths.size).toSet)
             Seq("graft.mv.jointype" -> "left") // legacy all-left format
           else Seq("graft.mv.jointype" -> "mixed",
             "graft.mv.lefts" -> leftSides.toSeq.sorted.mkString(",")))
+      case FullSrc(paths, keys) =>
+        joinProps(paths, keys, Seq("graft.mv.jointype" -> "full"))
     }
   }
 
@@ -657,13 +684,13 @@ object GraftMview {
         val Array(a, b) = kv.split(":", 2); (0, dec(a), 1, dec(b))
       }
     }
-    val lefts = props.get("graft.mv.jointype") match {
-      case Some("left") => (1 until paths.size).toSet
-      case Some("mixed") => props("graft.mv.lefts")
-        .split(",").map(_.toInt).toSet
-      case _ => Set.empty[Int]
+    props.get("graft.mv.jointype") match {
+      case Some("full") => FullSrc(paths, keys)
+      case Some("left") => JoinSrc(paths, keys, (1 until paths.size).toSet)
+      case Some("mixed") => JoinSrc(paths, keys,
+        props("graft.mv.lefts").split(",").map(_.toInt).toSet)
+      case _ => JoinSrc(paths, keys)
     }
-    JoinSrc(paths, keys, lefts)
   }
 
   /** Bounded compile-time key predicate — the [[pruneByChurnKeys]] device
@@ -846,6 +873,13 @@ object GraftMview {
     case JoinSrc(paths, keys, leftSides) =>
       joinFrames(paths.indices.map(i => spark.read.format("graft-store")
         .option("snapshot", heads(i)).load(paths(i))), keys, leftSides)
+    case FullSrc(paths, keys) =>
+      val fa = spark.read.format("graft-store")
+        .option("snapshot", heads(0)).load(paths(0))
+      val fb = spark.read.format("graft-store")
+        .option("snapshot", heads(1)).load(paths(1))
+      fa.join(fb, keys.map { case (_, a, _, b) => fa(a) === fb(b) }
+        .reduce(_ && _), "full_outer")
   }
 
   /** Dup-count companion table location for a [[DCountCol]] output. A
@@ -907,6 +941,7 @@ object GraftMview {
   private def srcPaths(src: MvSource): Seq[String] = src match {
     case SingleSrc(p) => Seq(p)
     case JoinSrc(ps, _, _) => ps
+    case FullSrc(ps, _) => ps
   }
 
   /** CREATE: recognize, pin the source head(s), materialize at those
@@ -1055,6 +1090,71 @@ object GraftMview {
         if (terms.isEmpty) throw new IllegalStateException(
           "graft mview: unreachable — noop returned above when all at head")
         terms.reduce(_.unionByName(_))
+      case FullSrc(paths2, keys) =>
+        // 2-TABLE FULL OUTER delta rule (the symmetric completion of the
+        // Larson & Zhou ICDE'07 outer-join IVM): BOTH sides null-extend,
+        // so churn on either side can flip the OTHER side's rows between
+        // matched and null-extended. Telescope old→new one side at a
+        // time — side 0 flips against side-1 OLD, side 1 against side-0
+        // NEW — and each churned side contributes:
+        //   ± pair: the full join with that side at new vs old, BOTH
+        //   sides restricted to the side's churned (non-NULL) key
+        //   combos K — per-key locality holds exactly as for left
+        //   chains, and unchurned/NULL-key rows cancel identically in
+        //   the two variants, so excluding them from both is exact;
+        //   linear NULL-key term: a churned row with any NULL key
+        //   component never equi-matches — in a FULL join it is exactly
+        //   ONE null-extended output row, added with its own sign (the
+        //   one term a left-style K restriction would miss, because on
+        //   the null-PRODUCING side such rows still contribute).
+        val myKeys2 = keys.map(k => (k._2, k._4)) // (colA, colB)
+        def fullTerm(i: Int): Option[DataFrame] =
+          if (wms(i)._1 == heads(i)) None
+          else {
+            val di = graft.operators.IterGuard(netChurn(
+              GraftStoreOps.signedChanges(
+                spark, paths2(i), wms(i)._1, heads(i))))
+            val ownKeyCols =
+              if (i == 0) myKeys2.map(_._1) else myKeys2.map(_._2)
+            val othKeyCols =
+              if (i == 0) myKeys2.map(_._2) else myKeys2.map(_._1)
+            val kf = di.select(ownKeyCols.zipWithIndex.map { case (c, x) =>
+                col(c).as(s"__jk_$x") }: _*)
+              .na.drop("any").distinct()
+              .transform(graft.operators.IterGuard(_))
+            def restrictTo(f0: DataFrame, cols2: Seq[String]): DataFrame = {
+              val pre = boundedKeyPred(kf,
+                cols2.indices.map(x => s"__jk_$x"), cols2).fold(f0)(f0.filter)
+              pre.join(kf, cols2.zipWithIndex.map { case (c2, x) =>
+                  pre(c2) === kf(s"__jk_$x") }.reduce(_ && _), "left_semi")
+                .transform(graft.operators.IterGuard(_))
+            }
+            // telescoping state of the OTHER side in THIS term
+            val otherSnap = if (i == 0) wms(1)._1 else heads(0)
+            val other = restrictTo(pinnedAt(1 - i, otherSnap), othKeyCols)
+            def variant(snap: Int, sign: Long): DataFrame = {
+              val own = restrictTo(pinnedAt(i, snap), ownKeyCols)
+              val (fa, fb) = if (i == 0) (own, other) else (other, own)
+              fa.join(fb, myKeys2.map { case (ca, cb) =>
+                  fa(ca) === fb(cb) }.reduce(_ && _), "full_outer")
+                .withColumn("_sign", lit(sign))
+            }
+            val pair = variant(heads(i), 1L)
+              .unionByName(variant(wms(i)._1, -1L))
+            // NULL-key churn: pad the other side's columns with NULLs
+            val nullRows = di.filter(
+              ownKeyCols.map(c => col(c).isNull).reduce(_ || _))
+            val otherSchema = pinnedAt(1 - i, otherSnap).schema
+            val padded = otherSchema.fields.foldLeft(nullRows) { (df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType))
+            }
+            Some(pair.unionByName(padded))
+          }
+        Seq(fullTerm(0), fullTerm(1)).flatten match {
+          case Seq() => throw new IllegalStateException(
+            "graft mview: unreachable — noop returned above when all at head")
+          case ts => ts.reduce(_.unionByName(_))
+        }
       case JoinSrc(paths2, keys, leftSides) =>
         // LEFT-DEEP LEFT OUTER CHAIN delta rule (n ≥ 2 sides; n = 2 is
         // the classic Larson & Zhou ICDE'07 outer-join IVM shape).

@@ -111,7 +111,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   private case class QuerySource(rels: Seq[DataSourceV2Relation],
       paths: Seq[String], conjs: Seq[Expression],
       pairs: Seq[(AttributeReference, AttributeReference)],
-      leftSides: Set[Int] = Set.empty) {
+      leftSides: Set[Int] = Set.empty, full: Boolean = false) {
     /** Any LEFT OUTER step → chain semantics. */
     def leftOuter: Boolean = leftSides.nonEmpty
     /** Key pairs as names normalized to (rels(0), rels(1)) — the
@@ -188,6 +188,23 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     val (topConjs, base) = peel(child)
     base match {
+      // FULL OUTER shape: exactly two bare graft relations (filters
+      // peeled from BELOW either side do not commute — both sides
+      // null-extend — so any sub-join conjunct refuses)
+      case j: Join if j.joinType ==
+          org.apache.spark.sql.catalyst.plans.FullOuter &&
+          j.condition.isDefined =>
+        val (lc, lbase) = peel(j.left)
+        val (rc, rbase) = peel(j.right)
+        if (lc.nonEmpty || rc.nonEmpty) return None
+        for {
+          lr <- graftRel(lbase)
+          rr <- graftRel(rbase)
+          ps <- eqAttrPairs(j.condition.get,
+            lr.output.map(_.exprId).toSet, rr.output.map(_.exprId).toSet)
+          paths = Seq(pathOf(lr), pathOf(rr))
+          if paths.distinct.size == 2
+        } yield QuerySource(Seq(lr, rr), paths, topConjs, ps, full = true)
       // CHAIN shape (the tree contains a LEFT OUTER anywhere): a
       // LEFT-DEEP chain of bare graft relations with INNER and LEFT
       // OUTER steps mixed (fact ⟕ d1 ⋈ d2 ⟕ … — the shapes
@@ -297,8 +314,10 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     * values are all NULL — zero companion pairs — still publishes its 0,
     * then `Aggregate(coarse keys, count(DISTINCT __dv))` on top.
     *
-    * Gates: single-table view, fresh (view watermark AND the companion's
-    * own stamped watermark — a companion mid-migration never serves);
+    * Gates: the query matches the view's source shape EXACTLY (the
+    * single table, or the same join — tables, key pairs, per-side join
+    * types), fresh (every side's watermark AND the companion's own
+    * stamped watermark — a companion mid-migration never serves);
     * every aggregate output is a distinct count over the SAME tracked
     * column (any other aggregate would be inflated by the per-value
     * replication); grouping is a subset of the view's keys; the usual
@@ -310,17 +329,47 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       aggExprs: Seq[NamedExpression], qs: QuerySource, heads: Seq[String],
       mvPath: String): Option[LogicalPlan] = {
     import GraftMview._
-    if (qs.paths.size != 1 || qs.leftSides.nonEmpty) return None
     val conf = spark.sparkContext.hadoopConfiguration
     val mvManifest = GraftStoreFormat.probeLatestManifest(mvPath, conf, probeTtlMs)
       .getOrElse(return None)
     val p = mvManifest.props
     if (!p.get("graft.mv").contains("true")) return None
-    GraftMview.decodeSource(p) match {
-      case GraftMview.SingleSrc(s1) if qs.paths == Seq(s1) => ()
-      case _ => return None
+    // EXACT source-shape match (the companion partitions the view's own
+    // joined relation): the single table, or the same N-way join — same
+    // tables, same key-pair set, same per-side join types (ordered, for
+    // left chains) — with every side fresh
+    def fresh(i: Int, path: String): Boolean = {
+      val sfx = if (i == 0) "" else (i + 1).toString
+      val qi = qs.paths.indexOf(path)
+      qi >= 0 && p.get(s"graft.mv.wmname$sfx").contains(heads(qi))
     }
-    if (!p.get("graft.mv.wmname").contains(heads.head)) return None // STALE
+    def joinShapeOk(paths: Seq[String], keys: Seq[(Int, String, Int, String)],
+        lefts: Set[Int], mvFull: Boolean): Boolean = {
+      if (qs.full != mvFull) return false
+      if (qs.paths.toSet != paths.toSet || qs.paths.size != paths.size)
+        return false
+      if (lefts != qs.leftSides) return false
+      if (lefts.nonEmpty && qs.paths != paths) return false // orientation
+      if (!paths.zipWithIndex.forall { case (path, i) => fresh(i, path) })
+        return false // STALE
+      val mvPos: Map[String, Int] = paths.zipWithIndex.toMap
+      val qKeys: Set[(Int, String, Int, String)] = qs.pairs.map { case (a, b) =>
+        val ia = mvPos(qs.paths(qs.sideOf(a).getOrElse(return false)))
+        val ib = mvPos(qs.paths(qs.sideOf(b).getOrElse(return false)))
+        if (ia < ib) (ia, a.name, ib, b.name) else (ib, b.name, ia, a.name)
+      }.toSet
+      qKeys == keys.toSet
+    }
+    GraftMview.decodeSource(p) match {
+      case GraftMview.SingleSrc(s1) =>
+        if (qs.paths != Seq(s1) || qs.leftSides.nonEmpty || qs.full)
+          return None
+        if (!fresh(0, s1)) return None // STALE
+      case GraftMview.JoinSrc(paths, keys, lefts) =>
+        if (!joinShapeOk(paths, keys, lefts, mvFull = false)) return None
+      case GraftMview.FullSrc(paths, keys) =>
+        if (!joinShapeOk(paths, keys, Set.empty, mvFull = true)) return None
+    }
     val cols = decodeCols(p.getOrElse("graft.mv.cols", return None))
     val mm = new MvMapping(cols, DataSourceV2Relation.create(
       new GraftStoreTable(mvPath, mvManifest.schema), None, None))
@@ -358,8 +407,20 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val cp = s"$mvPath/_dck_${dcol.out}"
     val cpManifest = GraftStoreFormat.probeLatestManifest(cp, conf, probeTtlMs)
       .getOrElse(return None)
-    val expectedWm = s"${p.getOrElse("graft.mv.watermark", return None)}:" +
-      GraftStoreFormat.escStat(p("graft.mv.wmname"))
+    // the companion stamps (snapshot, manifest-name) for EVERY source
+    val expectedWm = {
+      val nSrc = GraftMview.decodeSource(p) match {
+        case GraftMview.SingleSrc(_) => 1
+        case GraftMview.JoinSrc(ps, _, _) => ps.size
+        case GraftMview.FullSrc(ps, _) => ps.size
+      }
+      (0 until nSrc).map { i =>
+        val sfx = if (i == 0) "" else (i + 1).toString
+        s"${p.getOrElse(s"graft.mv.watermark$sfx", return None)}:" +
+          GraftStoreFormat.escStat(
+            p.getOrElse(s"graft.mv.wmname$sfx", return None))
+      }.mkString(",")
+    }
     if (!cpManifest.props.get("graft.dck.wms").contains(expectedWm))
       return None // companion behind or mid-migration: never serve
     val cpRel = DataSourceV2Relation.create(
@@ -367,8 +428,13 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     def cAttr(n: String): Option[AttributeReference] = cpRel.output.collectFirst {
       case a: AttributeReference if a.name == n => a }
     val dvAttr = cAttr("__dv").getOrElse(return None)
-    // WHERE containment: residuals apply to view group columns
-    val qConjs = usableConjs(qs.conjs, Set.empty).getOrElse(return None)
+    // WHERE containment: residuals apply to view group columns.
+    // Inner-implied join-key IsNotNull conjuncts drop for pure-inner
+    // shapes; left shapes keep every conjunct (same rule as tryOne)
+    val qConjs = usableConjs(qs.conjs,
+      if (qs.leftOuter) Set.empty
+      else qs.pairs.flatMap(pr => Seq(pr._1.name, pr._2.name)).toSet)
+      .getOrElse(return None)
     val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
       case None => Nil
       case Some(txt) => analyzedFilter(txt, allOut).getOrElse(return None)
@@ -868,6 +934,11 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => Set.empty
     }
     val mvLeft = mvLefts.nonEmpty
+    val mvFull = GraftMview.decodeSource(p).isInstanceOf[GraftMview.FullSrc]
+    // FULL OUTER serves FULL OUTER only (both sides carry null-extended
+    // rows no other shape shares); it is symmetric, so table order is
+    // free — the key-pair normalization below covers both orders
+    if (mvFull != qs.full) return None
     // source-shape match: single table, or the same N-way join (any
     // order). A query joining MORE relations than the MV covers — a join
     // query over a single-table MV, or a query whose join SUPERSET
@@ -876,6 +947,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val mvSrcPaths: Seq[String] = GraftMview.decodeSource(p) match {
       case GraftMview.SingleSrc(s1) => Seq(s1)
       case GraftMview.JoinSrc(ps, _, _) => ps
+      case GraftMview.FullSrc(ps, _) => ps
     }
     // per-MV-side freshness: wmname<i> must equal the CURRENT head of the
     // same path on the query side (heads is parallel to qs.paths)
@@ -905,6 +977,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       val mvKeys: Set[(Int, String, Int, String)] =
         (GraftMview.decodeSource(p): @unchecked) match {
           case GraftMview.JoinSrc(_, ks, _) => ks.toSet
+          case GraftMview.FullSrc(_, ks) => ks.toSet
         }
       val mvPos: Map[String, Int] = mvSrcPaths.zipWithIndex.toMap
       val qKeys: Set[(Int, String, Int, String)] = qs.pairs.map { case (a, b) =>
@@ -953,11 +1026,11 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val exact = matchedGroups.size == mm.mvGroups.size && !hasAggFilter
     // ---- filter containment ----------------------------------------
     // inferred join-key IsNotNull conjuncts are implied by an INNER
-    // equi-join and droppable; a LEFT OUTER join implies neither side
-    // (left rows with NULL keys survive, null-extended), so for a left
-    // shape every IsNotNull is a real predicate and stays residual
+    // equi-join and droppable; a LEFT or FULL OUTER join implies neither
+    // side (rows with NULL keys survive, null-extended), so for outer
+    // shapes every IsNotNull is a real predicate and stays residual
     val qConjs = usableConjs(qs.conjs,
-      if (qs.leftOuter) Set.empty
+      if (qs.leftOuter || qs.full) Set.empty
       else qs.pairs.flatMap(pr => Seq(pr._1.name, pr._2.name)).toSet)
       .getOrElse(return None)
     val mvConjs: Seq[Expression] = p.get("graft.mv.filter") match {
@@ -970,14 +1043,15 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // not missing any row the query needs and the tighter bound simply
     // becomes a residual). Otherwise the MV alone lacks needed rows —
     // the MIXED-ROLLUP path then tries serving as [MV slice] ∪ [partial
-    // aggregate of the complement base rows] (single-table views only).
+    // aggregate of the complement rows of the view's own relation].
     val residual = containFilters(qConjs, mvConjs) match {
       case Some(r) => r
       case None =>
-        return if (mvSrcPaths.size == 1 && qs.paths.size == 1)
-          tryMixedRollup(aggExprs, qs, mm, keyOf, matchedGroups, qConjs,
-            mvConjs, mvPath)
-        else None
+        // only the EXACT-shape branches reach here (join-back returned
+        // earlier), so the mixed plan's complement partitions the very
+        // relation the view aggregates — single table or the same join
+        return tryMixedRollup(aggExprs, qs, mm, keyOf, matchedGroups,
+          qConjs, mvConjs, mvPath)
     }
     val residualMapped: Seq[Expression] =
       residual.map(c => mm.convFilter(c, keyOf).getOrElse(return None))
@@ -1144,6 +1218,56 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** Rebuild the query's own join from its flattened pieces — left-deep
+    * in index order for left chains (each step's ON references earlier
+    * rels only, and left joins do not commute), greedy by connectivity
+    * for pure-inner shapes; a redundant inner cycle pair survives as an
+    * equality filter. Single relation passes through. */
+  private def rebuildQueryJoin(qs: QuerySource): Option[LogicalPlan] = {
+    if (qs.rels.size == 1) return Some(qs.rels.head)
+    if (qs.full) {
+      val cond = qs.pairs.map { case (a, b) => EqualTo(a, b): Expression }
+        .reduce(And(_, _))
+      return Some(Join(qs.rels(0), qs.rels(1),
+        org.apache.spark.sql.catalyst.plans.FullOuter, Some(cond),
+        JoinHint.NONE))
+    }
+    var current: LogicalPlan = qs.rels.head
+    var inIds = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      qs.rels.head.output)
+    var remaining = (1 until qs.rels.size).toList
+    var pending = qs.pairs.toList
+    while (remaining.nonEmpty) {
+      val next =
+        if (qs.leftOuter) remaining.head
+        else remaining.find(i => pending.exists { case (a, b) =>
+          val dIds = qs.rels(i).outputSet
+          (inIds.contains(a) && dIds.contains(b)) ||
+            (inIds.contains(b) && dIds.contains(a))
+        }).getOrElse(return None)
+      val dIds = qs.rels(next).outputSet
+      val (here, later) = pending.partition { case (a, b) =>
+        (inIds.contains(a) && dIds.contains(b)) ||
+          (inIds.contains(b) && dIds.contains(a))
+      }
+      if (here.isEmpty) return None
+      val cond = here.map { case (a, b) => EqualTo(a, b): Expression }
+        .reduce(And(_, _))
+      val jt: org.apache.spark.sql.catalyst.plans.JoinType =
+        if (qs.leftSides.contains(next))
+          org.apache.spark.sql.catalyst.plans.LeftOuter
+        else Inner
+      current = Join(current, qs.rels(next), jt, Some(cond), JoinHint.NONE)
+      inIds = inIds ++ qs.rels(next).outputSet
+      remaining = remaining.filterNot(_ == next)
+      pending = later
+    }
+    if (pending.isEmpty) Some(current)
+    else if (qs.leftOuter) None // chain pairs are all consumed in-step
+    else Some(Filter(pending.map { case (a, b) => EqualTo(a, b): Expression }
+      .reduce(And(_, _)), current))
+  }
+
   private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
       splitDisjuncts(a) ++ splitDisjuncts(b)
@@ -1185,8 +1309,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     import org.apache.spark.sql.catalyst.plans.logical.Union
     import org.apache.spark.sql.types.DoubleType
     if (mvConjs.isEmpty) return None // no WHERE to complement
-    val baseRel = qs.rels.head
-    val baseOut = baseRel.output
+    val baseOut: Seq[Attribute] = qs.rels.flatMap(_.output)
     // IDEMPOTENCE + DEGENERACY: this rule runs in a fixed-point batch,
     // and the plan it emits contains a base-side Aggregate over the
     // source with exactly this wider-than-view shape — its WHERE carries
@@ -1292,6 +1415,11 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     val baseKeys = baseCols.collect { case (Alias(k, _), true) => k }
     val baseCond = (qConjs :+ complement).reduce(And(_, _))
+    // the complement partitions the view's OWN relation: the single
+    // table, or the query's join rebuilt with its own per-step types
+    // (the exact-shape gate upstream guarantees they coincide). The
+    // filter sits ABOVE the join, exactly where the view's WHERE sits.
+    val baseRel = rebuildQueryJoin(qs).getOrElse(return None)
     val baseSide = Aggregate(baseKeys, baseCols.map(_._1),
       Filter(baseCond, baseRel))
     val mvChild: LogicalPlan =
@@ -1381,11 +1509,14 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         if (i1 < 0 || i2 < 0) return None else Seq(i1, i2)
     }
     if (covered.size == qs.rels.size) return None // nothing to join back
-    // a LEFT OUTER view never join-backs (the caller gates this too —
-    // belt and braces): its stored groups carry null-extended rows whose
-    // join types/orientation the superset query need not share
+    // a LEFT or FULL OUTER view never join-backs (the caller gates this
+    // too — belt and braces): its stored groups carry null-extended rows
+    // whose join types/orientation the superset query need not share.
+    // Full-outer QUERIES never join-back either: both sides null-produce.
+    if (qs.full) return None
     GraftMview.decodeSource(p) match {
       case GraftMview.JoinSrc(_, _, ls) if ls.nonEmpty => return None
+      case _: GraftMview.FullSrc => return None
       case _ => ()
     }
     // LEFT-shape queries (fact ⟕ dim chains, possibly mixed with INNER

@@ -395,6 +395,7 @@ private[v2] case class GraftDropMviewCommand(catalog: GraftCatalog,
         val srcs = GraftMview.decodeSource(m.props) match {
           case GraftMview.SingleSrc(p0) => Seq(p0)
           case GraftMview.JoinSrc(ps, _, _) => ps
+          case GraftMview.FullSrc(ps, _) => ps
         }
         srcs.foreach(p0 =>
           try GraftStoreFormat.removeMvDep(p0, conf, path)

@@ -68,6 +68,9 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
       case "leftouter" =>
         s"SELECT nk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
           s"LEFT JOIN mvscale.c_$tag ON fk = pk GROUP BY nk"
+      case "fullouter" =>
+        s"SELECT nk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
+          s"FULL OUTER JOIN mvscale.c_$tag ON fk = pk GROUP BY nk"
       case "leftchain" =>
         s"SELECT gname, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
           s"LEFT JOIN mvscale.c_$tag ON fk = pk " +
@@ -122,6 +125,9 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
   }
   test("LEFT OUTER refresh is corpus-size-independent") {
     catBase; probe("leftouter")
+  }
+  test("FULL OUTER refresh is corpus-size-independent") {
+    catBase; probe("fullouter")
   }
   test("LEFT OUTER 3-chain refresh is corpus-size-independent") {
     catBase; probe("leftchain")

@@ -231,6 +231,44 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamRefresh maintains a FULL OUTER view through both-side flips") {
+    catBase
+    val faDir = s"$catBase/sffa"
+    val fbDir = s"$catBase/sffb"
+    val mvDir = s"$catBase/sfmv"
+    val ckpt = Files.createTempDirectory("graft-mv-fck").toString
+    Seq((1L, 2L), (2L, 10L)).toDF("ka", "va")
+      .write.format("graft-store").mode("overwrite").save(faDir)
+    Seq((1L, "p"), (3L, "q")).toDF("kb", "h")
+      .write.format("graft-store").mode("overwrite").save(fbDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT h, count(*) AS n, sum(va) AS s " +
+        "FROM mvcat.sffa FULL OUTER JOIN mvcat.sffb ON ka = kb GROUP BY h")
+    def rows(): Map[String, (Long, Option[Long])] =
+      spark.read.format("graft-store").load(mvDir).collect()
+        .map(r => (if (r.isNullAt(0)) "(null)" else r.getString(0)) ->
+          ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val q = GraftMview.streamRefresh(spark, mvDir, ckpt)
+    try {
+      q.processAllAvailable()
+      // ka=1⋈kb=1 → p; ka=2 unmatched → (null); kb=3 unmatched → q
+      assert(rows() === Map("p" -> ((1L, Some(2L))), "(null)" -> ((1L, Some(10L))),
+        "q" -> ((1L, None))))
+      // A-side commit flips B's waiting row: ka=3 arrives → q matches
+      Seq((3L, 7L)).toDF("ka", "va")
+        .write.format("graft-store").mode("append").save(faDir)
+      q.processAllAvailable()
+      assert(rows() === Map("p" -> ((1L, Some(2L))), "(null)" -> ((1L, Some(10L))),
+        "q" -> ((1L, Some(7L)))))
+      // B-side commit flips A's matched row back: kb=1 leaves
+      spark.sql("DELETE FROM mvcat.sffb WHERE kb = 1")
+      q.processAllAvailable()
+      assert(rows() === Map("(null)" -> ((2L, Some(12L))),
+        "q" -> ((1L, Some(7L)))))
+    } finally q.stop()
+  }
+
   test("min/max maintain: insert fast path; removals rescan only their groups") {
     catBase
     val srcDir = s"$catBase/src7"
@@ -1714,11 +1752,12 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       val e = intercept[Exception](GraftMview.create(spark, s"$catBase/jmvx", sql))
       assert(e.getMessage.contains(frag), s"message '${e.getMessage}' lacks '$frag'")
     }
-    // LEFT OUTER (2 plain tables) is a FEATURE, and RIGHT OUTER
-    // flip-normalizes into it — the remaining join-type refusal is FULL
-    // OUTER, plus any left-outer shape with a nested join
-    refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 FULL OUTER JOIN mvcat.jr2 " +
-      "ON fk = pk GROUP BY grp", "INNER or LEFT OUTER")
+    // LEFT OUTER (2 plain tables) and 2-table FULL OUTER are FEATURES,
+    // and RIGHT OUTER flip-normalizes — the remaining join-type refusals
+    // are NESTED full-outer shapes and outer shapes with nested joins
+    refuse("SELECT a.grp, count(*) AS n FROM mvcat.jr1 FULL OUTER JOIN " +
+      "(SELECT b.pk, b.grp FROM mvcat.jr2 b JOIN mvcat.jr3 c ON b.pk = c.pk) a " +
+      "ON fk = a.pk GROUP BY a.grp", "two plain graft tables")
     Seq((1L, 5L)).toDF("pk2", "w")
       .write.format("graft-store").mode("overwrite").save(s"$catBase/jr4")
     // left-deep LEFT chains are a FEATURE; the refusals are a nested
@@ -2251,6 +2290,48 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       Map("a" -> 2L, "c" -> 1L, "z" -> 1L))
   }
 
+  test("count(DISTINCT) rolls up through a JOIN view's companion") {
+    catBase
+    val factDir = s"$catBase/dcjfact"
+    val dimDir = s"$catBase/dcjdim"
+    val mvDir = s"$catBase/dcjmv"
+    // u=2 lives under both segs of dim — re-summing stored dc would
+    // double-count it at the coarser (seg-less) grain
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 5L), (3L, 7L))
+      .toDF("fk", "u").write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("pk", "seg").write.format("graft-store").mode("overwrite").save(dimDir)
+    GraftMview.create(spark, mvDir,
+      "SELECT seg, fk, count(*) AS n, count(DISTINCT u) AS dc " +
+        "FROM mvcat.dcjfact JOIN mvcat.dcjdim ON fk = pk GROUP BY seg, fk")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def q(groupSeg: Boolean) = {
+      val f = spark.read.format("graft-store").load(factDir)
+      val dd = spark.read.format("graft-store").load(dimDir)
+      val j = f.join(dd, f("fk") === dd("pk"), "inner")
+      if (groupSeg) j.groupBy("seg").agg(countDistinct(col("u")).as("dc"))
+      else j.agg(countDistinct(col("u")).as("dc"))
+    }
+    // coarser grouping over the SAME join shape serves from the companion
+    val q1 = q(groupSeg = true)
+    assert(servedFromMv(q1), "the join-view companion must serve the rollup")
+    assert(q1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 3L, "b" -> 2L)) // a: {1,2,7}; b: {2,5}
+    val q2 = q(groupSeg = false)
+    assert(servedFromMv(q2))
+    assert(q2.collect()(0).getLong(0) === 4L) // {1,2,5,7}
+    // churn on EITHER side stales until refresh re-stamps the companion
+    Seq((3L, 5L)).toDF("fk", "u")
+      .write.format("graft-store").mode("append").save(factDir)
+    assert(!servedFromMv(q(groupSeg = true)), "fact churn must stale")
+    GraftMview.refresh(spark, mvDir)
+    val q3 = q(groupSeg = true)
+    assert(servedFromMv(q3), "the refreshed companion must serve again")
+    assert(q3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 4L, "b" -> 2L)) // a: {1,2,7,5}
+  }
+
   test("mixed rollup: MV slice ∪ complement base scan serves a wider WHERE") {
     catBase
     val srcDir = s"$catBase/mxsrc"
@@ -2314,5 +2395,131 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(!servedFromMv(q5), "a collapsed-column conjunct must refuse")
     assert(q5.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       Map("a" -> ((4L + 7L)), "b" -> 30L, "c" -> 5L))
+  }
+
+  test("mixed rollup over a JOIN view: wider WHERE unions the complement join") {
+    catBase
+    val factDir = s"$catBase/mjfact"
+    val dimDir = s"$catBase/mjdim"
+    val mvDir = s"$catBase/mjmv"
+    Seq((1L, 3L, 2L), (1L, 8L, 4L), (2L, 12L, 10L), (3L, 3L, 7L), (3L, 25L, 1L))
+      .toDF("fk", "day", "v")
+      .write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("pk", "seg").write.format("graft-store").mode("overwrite").save(dimDir)
+    // join view covering day < 10 only
+    GraftMview.create(spark, mvDir,
+      "SELECT seg, day, count(*) AS n, sum(v) AS s FROM mvcat.mjfact " +
+        "JOIN mvcat.mjdim ON fk = pk WHERE day < 10 GROUP BY seg, day")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def q() = {
+      val f = spark.read.format("graft-store").load(factDir)
+      val dd = spark.read.format("graft-store").load(dimDir)
+      f.join(dd, f("fk") === dd("pk"), "inner").filter(col("day") < 20)
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum(f("v")).as("s"))
+    }
+    // the wider WHERE over the SAME join shape: view slice ∪ complement
+    // join of only day ∈ [10, 20)
+    val q1 = q()
+    assert(servedFromMv(q1), "the join-shape mixed plan must serve")
+    assert(q1.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("a" -> ((3L, 13L)), "b" -> ((1L, 10L))))
+    // fact churn stales; refresh restores the mixed serve
+    Seq((2L, 15L, 100L)).toDF("fk", "day", "v")
+      .write.format("graft-store").mode("append").save(factDir)
+    assert(!servedFromMv(q()), "a stale view must not serve the mixed plan")
+    GraftMview.refresh(spark, mvDir)
+    val q2 = q()
+    assert(servedFromMv(q2))
+    assert(q2.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("a" -> ((3L, 13L)), "b" -> ((2L, 110L))))
+  }
+
+  test("FULL OUTER view: symmetric ± maintenance through all null transitions") {
+    catBase
+    val faDir = s"$catBase/fofa"
+    val fbDir = s"$catBase/fofb"
+    val mvDir = s"$catBase/fomv"
+    def writeA(rows: Seq[(Option[Long], String, Long)], mode: String): Unit =
+      rows.map { case (k, g, v) => (k.map(Long.box).orNull, g, v) }
+        .toDF("ka", "g", "va")
+        .write.format("graft-store").mode(mode).save(faDir)
+    def writeB(rows: Seq[(Option[Long], String, Long)], mode: String): Unit =
+      rows.map { case (k, h, w) => (k.map(Long.box).orNull, h, w) }
+        .toDF("kb", "h", "wb")
+        .write.format("graft-store").mode(mode).save(fbDir)
+    writeA(Seq((Some(1L), "x", 10L), (Some(2L), "x", 20L), (Some(5L), "y", 50L),
+      (None, "y", 99L)), "overwrite")
+    writeB(Seq((Some(1L), "p", 1L), (Some(3L), "q", 3L), (None, "q", 7L)),
+      "overwrite")
+    GraftMview.create(spark, mvDir,
+      "SELECT g, h, count(*) AS n, sum(va) AS sa, sum(wb) AS sb " +
+        "FROM mvcat.fofa FULL OUTER JOIN mvcat.fofb ON ka = kb GROUP BY g, h")
+    def expect(): Set[(String, String, Long, Option[Long], Option[Long])] = {
+      val fa = spark.read.format("graft-store").load(faDir)
+      val fb = spark.read.format("graft-store").load(fbDir)
+      fa.join(fb, fa("ka") === fb("kb"), "full_outer")
+        .groupBy("g", "h")
+        .agg(count(lit(1)).as("n"), sum("va").as("sa"), sum("wb").as("sb"))
+        .collect().map(r => (
+          if (r.isNullAt(0)) "(null)" else r.getString(0),
+          if (r.isNullAt(1)) "(null)" else r.getString(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    }
+    def got(): Set[(String, String, Long, Option[Long], Option[Long])] =
+      spark.read.format("graft-store").load(mvDir)
+        .select("g", "h", "n", "sa", "sb")
+        .collect().map(r => (
+          if (r.isNullAt(0)) "(null)" else r.getString(0),
+          if (r.isNullAt(1)) "(null)" else r.getString(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got() === expect())
+    // side-A churn that flips a B row: ka=3 arrives — fb's kb=3 row
+    // transitions null-extended → matched (the OTHER side flips)
+    writeA(Seq((Some(3L), "x", 30L)), "append")
+    val (m1, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m1 === "incremental")
+    assert(got() === expect(), "B-side flip via A churn diverged")
+    // side-B churn that flips an A row: kb=1 leaves — fa's ka=1 row
+    // transitions matched → null-extended
+    spark.sql("DELETE FROM mvcat.fofb WHERE kb = 1")
+    val (m2, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m2 === "incremental")
+    assert(got() === expect(), "A-side flip via B churn diverged")
+    // NULL-key churn on BOTH sides: pure null-extended linear terms
+    writeA(Seq((None, "x", 7L)), "append")
+    writeB(Seq((Some(9L), "z", 4L), (None, "z", 5L)), "append")
+    val (m3, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m3 === "incremental")
+    assert(got() === expect(), "NULL-key churn diverged")
+    // delete a NULL-key row (removal through the linear term)
+    spark.sql("DELETE FROM mvcat.fofa WHERE ka IS NULL AND va = 99")
+    val (m4, _, _, _) = GraftMview.refresh(spark, mvDir)
+    assert(m4 === "incremental")
+    assert(got() === expect(), "NULL-key removal diverged")
+    // rewrite: the full-outer query serves — in either table order —
+    // and the rollup re-aggregates; the INNER shape must not serve
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    val fa2 = spark.read.format("graft-store").load(faDir)
+    val fb2 = spark.read.format("graft-store").load(fbDir)
+    val qf = fa2.join(fb2, fa2("ka") === fb2("kb"), "full_outer")
+      .groupBy("g", "h").agg(count(lit(1)).as("n"), sum("va").as("sa"))
+    assert(servedFromMv(qf), "the exact full-outer shape must serve")
+    val fa3 = spark.read.format("graft-store").load(faDir)
+    val fb3 = spark.read.format("graft-store").load(fbDir)
+    val qr = fb3.join(fa3, fb3("kb") === fa3("ka"), "full_outer")
+      .groupBy("g").agg(sum("wb").as("sb"))
+    assert(servedFromMv(qr), "full outer is symmetric: reversed order serves")
+    val fa4 = spark.read.format("graft-store").load(faDir)
+    val fb4 = spark.read.format("graft-store").load(fbDir)
+    assert(!servedFromMv(fa4.join(fb4, fa4("ka") === fb4("kb"), "inner")
+      .groupBy("g").agg(count(lit(1)).as("n"))),
+      "an inner query must never read the full-outer view")
   }
 }
