@@ -4772,10 +4772,11 @@ object SystemQueries {
           "WHERE l_linenumber IN (1, 2, 6)").collect()(0).getLong(0))
         val widerMixed =
           (served(wider, "mva") || served(wider, "mvr")) && widerN == widerOff
-        // q2 is servable by EITHER view (member-of-IN on mva, point-in-
-        // range on mvr) — registration order decides which wins
+        // q2 and q3 are each servable by EITHER view (q2: member-of-IN
+        // on mva / point-in-range on mvr; q3: range-covered IN on mvr /
+        // MIXED plan on mva since r13) — probe order decides which wins
         val bits = served(q1, "mva") && (served(q2, "mva") || served(q2, "mvr")) &&
-          served(q3, "mvr") && sameOff && widerMixed
+          (served(q3, "mva") || served(q3, "mvr")) && sameOff && widerMixed
         s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
           .withColumn("in_rewrite_proof", lit(bits))
       } finally {
@@ -6469,6 +6470,70 @@ object SystemQueries {
            |FROM f FULL OUTER JOIN dm ON o_custkey = c_custkey
            |GROUP BY c_mktsegment""".stripMargin))
 
+  /** MIXED JOIN-BACK ([[graft.sources.v2.GraftMviewRewriteRule]]): the
+    * star-schema rolling window — a fact-grain MV pinned to the archived
+    * key range serves a WIDER-WHERE dimension-joined aggregate as
+    * `[MV slice ∪ complement fact partials] ⋈ dim`, re-aggregated. The
+    * complement predicate is pushable, so the covered fact files stay
+    * unread (slice proof); the archive comes from O(groups) stored rows
+    * and only the fresh tail is scanned. Composes the two r13 rewrites:
+    * eager-aggregation join-back × mixed rollup. */
+  val q240MviewMixedJoinback = QuerySpec(
+    "q240_mview_mixed_joinback", "S-dsv2-mview-mixed-joinback",
+    "wider WHERE + dim join served as [MV slice ∪ complement partials] ⋈ dim",
+    (s, d) => {
+      val base = "/tmp/graft_store_q240"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq240", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq240.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // covered (archived) range in 6 key-clustered files
+        ordersDf.filter(col("o_orderkey") < 6000)
+          .repartitionByRange(6, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.format("graft-store").mode("overwrite").save(dim)
+        // SINGLE-TABLE fact MV: per-custkey partials for the archive
+        s.sql("CALL gq240.system.create_mview('mv', " +
+          "'SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq240.fact WHERE o_orderkey < 6000 GROUP BY o_custkey')")
+        // the fresh tail lands after the view's range
+        ordersDf.filter(col("o_orderkey") >= 6000 && col("o_orderkey") < 10000)
+          .repartitionByRange(2, col("o_orderkey"))
+          .write.format("graft-store").mode("append").save(fact)
+        s.sql("CALL gq240.system.refresh_mview('mv')")
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val before = graft.sources.v2.GraftStoreOps.scannedFileSlices
+        val q = s.sql(
+          """SELECT c_mktsegment AS seg, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS rev
+            |FROM gq240.fact JOIN gq240.dim ON o_custkey = c_custkey
+            |WHERE o_orderkey < 9000
+            |GROUP BY c_mktsegment""".stripMargin)
+        val rows = q.collect()
+        val opened = graft.sources.v2.GraftStoreOps.scannedFileSlices - before
+        // MV slice + dim + the tail files — never the 6 covered files
+        val mixedJb =
+          q.queryExecution.optimizedPlan.toString.contains(s"$base/mv") &&
+            opened < 6
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q.schema)
+          .withColumn("mixed_joinback_served", lit(mixedJb))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq240")
+        s.conf.unset("spark.sql.catalog.gq240.base")
+      }
+    },
+    Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS rev, TRUE AS mixed_joinback_served
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE o_orderkey < 9000
+           |GROUP BY c_mktsegment""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -6497,5 +6562,5 @@ object SystemQueries {
     q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune, q230MviewLeftChain, q231MviewMixedChain,
     q232MviewLeftJoinBack, q233MviewRightOuter, q234MviewDcountRollup,
     q235MviewMixedRollup, q236MviewLeftStream, q237MviewJoinMixed,
-    q238MviewJoinDcount, q239MviewFullOuter)
+    q238MviewJoinDcount, q239MviewFullOuter, q240MviewMixedJoinback)
 }

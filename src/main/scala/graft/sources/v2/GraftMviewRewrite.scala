@@ -1218,6 +1218,21 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** A copy of a query relation carrying a MARKER OPTION: the complement
+    * side of a mixed plan must never itself be served from a view.
+    * Without this, two views with OVERLAPPING WHEREs ping-pong: view A's
+    * complement scan is re-served from view B (with B's complement
+    * appended), whose complement re-serves from A, … — each optimizer
+    * iteration wraps another Union until max-iterations (and a plan too
+    * deep to execute). [[graftRel]] admits only path-only reads, so the
+    * extra key permanently opts the scan out of rewrite matching; the
+    * scan builder ignores unknown options. */
+  private def complementRel(r: DataSourceV2Relation): DataSourceV2Relation = {
+    val m = new java.util.HashMap[String, String](r.options)
+    m.put("graft.mv.complement", "true")
+    r.copy(options = new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+  }
+
   /** Rebuild the query's own join from its flattened pieces — left-deep
     * in index order for left chains (each step's ON references earlier
     * rels only, and left joins do not commute), greedy by connectivity
@@ -1303,11 +1318,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       mm: MvMapping, keyOf: Map[GraftMview.GroupCol, Expression],
       matchedGroups: Seq[GraftMview.GroupCol], qConjs: Seq[Expression],
       mvConjs: Seq[Expression], mvPath: String): Option[LogicalPlan] = {
-    import GraftMview._
-    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal, Multiply, Not, Or}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count => ACount, Max => AMax, Min => AMin, Sum => ASum}
     import org.apache.spark.sql.catalyst.plans.logical.Union
-    import org.apache.spark.sql.types.DoubleType
     if (mvConjs.isEmpty) return None // no WHERE to complement
     val baseOut: Seq[Attribute] = qs.rels.flatMap(_.output)
     // IDEMPOTENCE + DEGENERACY: this rule runs in a fixed-point batch,
@@ -1322,12 +1333,6 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (qConjs.exists { q =>
       splitDisjuncts(q).forall(dd => mvConjs.exists(m => excludesDisjunct(dd, m)))
     }) return None
-    val complement: Expression = {
-      val per = mvConjs.map(complementConj)
-      if (per.forall(_.isDefined))
-        per.flatten.reduce(org.apache.spark.sql.catalyst.expressions.Or(_, _))
-      else Not(Coalesce(Seq(mvConjs.reduce(And(_, _)), Literal(false))))
-    }
     // view side: each query conjunct is either implied by the view's
     // WHERE (every stored row already satisfies it — drop) or maps onto
     // group columns (residual on stored rows)
@@ -1367,9 +1372,40 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val needed: Seq[AttributeReference] = mm.mvRel.output.collect {
       case a: AttributeReference if refs.contains(a) => a
     }
-    // base side: the same partial functions the view stores, grouped by
-    // every VIEW group key the union carries (so distinct-over-key sees
-    // real values); types must match the stored columns exactly
+    // the complement partitions the view's OWN relation: the single
+    // table, or the query's join rebuilt with its own per-step types
+    // (the exact-shape gate upstream guarantees they coincide). The
+    // filter sits ABOVE the join, exactly where the view's WHERE sits.
+    // Relations carry the complement marker (see [[complementRel]]).
+    val baseRel = rebuildQueryJoin(
+      qs.copy(rels = qs.rels.map(complementRel))).getOrElse(return None)
+    val baseSide = complementPartialAgg(mm, needed, baseOut, baseRel,
+      qConjs, mvConjs).getOrElse(return None)
+    val mvChild: LogicalPlan =
+      if (mvResidual.isEmpty) mm.mvRel
+      else Filter(mvResidual.reduce(And(_, _)), mm.mvRel)
+    val union = Union(Project(needed, mvChild), baseSide)
+    logInfo(s"graft mview rewrite: serving aggregate over ${qs.paths.head} " +
+      s"as MIXED plan — fresh MV $mvPath slice ∪ complement base scan")
+    Some(Aggregate(groupingOut, projected, union))
+  }
+
+  /** The COMPLEMENT side of a mixed plan: partial aggregates in the
+    * stored-column shape over `Filter(conjs ∧ ¬coalesce(view WHERE,
+    * false), baseRel)`, grouped by every view group key present in
+    * `needed` — the same functions the view itself stores, so the
+    * re-aggregation above the Union cannot tell stored rows from
+    * complement partials. Distinct-over-key works because the base side
+    * groups by (and carries) the real key values. None when a needed
+    * column cannot be rebuilt from base rows or its type drifted. */
+  private def complementPartialAgg(mm: MvMapping,
+      needed: Seq[AttributeReference], baseOut: Seq[Attribute],
+      baseRel: LogicalPlan, conjs: Seq[Expression],
+      mvConjs: Seq[Expression]): Option[LogicalPlan] = {
+    import GraftMview._
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal, Multiply, Not, Or}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count => ACount, Max => AMax, Min => AMin, Sum => ASum}
+    import org.apache.spark.sql.types.DoubleType
     def src(name: String): Option[AttributeReference] = baseOut.collectFirst {
       case a: AttributeReference if a.name == name => a }
     def partial(n: String): Option[Expression] = mm.cols.flatMap {
@@ -1414,21 +1450,13 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
     }
     val baseKeys = baseCols.collect { case (Alias(k, _), true) => k }
-    val baseCond = (qConjs :+ complement).reduce(And(_, _))
-    // the complement partitions the view's OWN relation: the single
-    // table, or the query's join rebuilt with its own per-step types
-    // (the exact-shape gate upstream guarantees they coincide). The
-    // filter sits ABOVE the join, exactly where the view's WHERE sits.
-    val baseRel = rebuildQueryJoin(qs).getOrElse(return None)
-    val baseSide = Aggregate(baseKeys, baseCols.map(_._1),
-      Filter(baseCond, baseRel))
-    val mvChild: LogicalPlan =
-      if (mvResidual.isEmpty) mm.mvRel
-      else Filter(mvResidual.reduce(And(_, _)), mm.mvRel)
-    val union = Union(Project(needed, mvChild), baseSide)
-    logInfo(s"graft mview rewrite: serving aggregate over ${qs.paths.head} " +
-      s"as MIXED plan — fresh MV $mvPath slice ∪ complement base scan")
-    Some(Aggregate(groupingOut, projected, union))
+    val complement: Expression = {
+      val per = mvConjs.map(complementConj)
+      if (per.forall(_.isDefined)) per.flatten.reduce(Or(_, _))
+      else Not(Coalesce(Seq(mvConjs.reduce(And(_, _)), Literal(false))))
+    }
+    val baseCond = (conjs :+ complement).reduce(And(_, _))
+    Some(Aggregate(baseKeys, baseCols.map(_._1), Filter(baseCond, baseRel)))
   }
 
   /** EAGER-AGGREGATION JOIN-BACK (Yan & Larson, "Eager Aggregation and
@@ -1593,7 +1621,23 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       case None => Nil
       case Some(txt) => analyzedFilter(txt, factOut).getOrElse(return None)
     }
-    val residual = containFilters(rConjs, mvConjs).getOrElse(return None)
+    val (residual, needsComplement) = containFilters(rConjs, mvConjs) match {
+      case Some(r) => (r, false)
+      case None =>
+        // MIXED JOIN-BACK: the covered-side WHERE is WIDER than the
+        // view's — serve [MV slice ∪ complement covered-side partials]
+        // ⋈ dims, the rolling-window pattern on a star join. Same
+        // partition + idempotence discipline as [[tryMixedRollup]]:
+        // implied conjuncts drop from the view slice, the complement
+        // scan takes q ∧ ¬coalesce(p_mv, false), and a query already
+        // carrying the complement refuses (degenerate AND the
+        // fixed-point loop-breaker).
+        if (mvConjs.isEmpty) return None
+        if (rConjs.exists(q2 => splitDisjuncts(q2).forall(dd =>
+          mvConjs.exists(m => excludesDisjunct(dd, m))))) return None
+        (rConjs.filterNot(q2 => mvConjs.exists(m =>
+          m.semanticEquals(q2) || litImplies(m, q2))), true)
+    }
     // residuals may also name an expression key (a calendar bucket the
     // covered-side MV grouped by): resolve keys against the covered outputs
     val keyOf: Map[GraftMview.GroupCol, Expression] = mm.mvGroups.flatMap(g =>
@@ -1638,12 +1682,37 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       }
     }
     // ---- rebuild the join: MV, then each dim greedily by connectivity --
-    val mvChild: LogicalPlan =
-      if (residualMapped.isEmpty) mm.mvRel
-      else Filter(residualMapped.reduce(And(_, _)), mm.mvRel)
     // a covered attribute in a join condition reads from its stored column
     def mapAttr(a: AttributeReference): AttributeReference =
       if (coveredIds.contains(a)) mm.groupAttrFor(a.name).get else a
+    val mvChild0: LogicalPlan =
+      if (residualMapped.isEmpty) mm.mvRel
+      else Filter(residualMapped.reduce(And(_, _)), mm.mvRel)
+    val mvChild: LogicalPlan =
+      if (!needsComplement) mvChild0
+      else {
+        // the union carries the stored columns the rebuilt plan reads:
+        // outputs, grouping keys, and the mapped join-condition attrs
+        val refs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          projected.flatMap(_.references) ++
+            groupingOut.flatMap(_.references) ++
+            (outbound ++ external).flatMap { case (x, y) =>
+              Seq(mapAttr(x), mapAttr(y)) })
+        val needed = mm.mvRel.output.collect {
+          case a: AttributeReference if refs.contains(a) => a }
+        // the covered relation, rebuilt from the query's own rel nodes
+        // (marked: a complement scan never re-serves — see complementRel)
+        val coveredRel: LogicalPlan =
+          if (covered.size == 1) complementRel(qs.rels(covered.head))
+          else Join(complementRel(qs.rels(covered.head)),
+            complementRel(qs.rels(covered(1))), Inner,
+            Some(internal.map { case ((a2, b2), _) =>
+              EqualTo(a2, b2): Expression }.reduce(And(_, _))), JoinHint.NONE)
+        val part = complementPartialAgg(mm, needed, factOut, coveredRel,
+          rConjs, mvConjs).getOrElse(return None)
+        org.apache.spark.sql.catalyst.plans.logical.Union(
+          Project(needed, mvChild0), part)
+      }
     val dimIdxs = qs.rels.indices.filterNot(coveredSet.contains)
     // a conjunct on a LEFT-joined dim does NOT commute below the join
     // (filtering the dim leaf changes which rows null-extend): hold it

@@ -2436,6 +2436,50 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       .toMap === Map("a" -> ((3L, 13L)), "b" -> ((2L, 110L))))
   }
 
+  test("mixed join-back: wider covered-side WHERE unions complement partials below the dim join") {
+    catBase
+    val factDir = s"$catBase/mbfact"
+    val dimDir = s"$catBase/mbdim"
+    val mvDir = s"$catBase/mbmv"
+    Seq((1L, 1L, 2L), (1L, 15L, 4L), (2L, 3L, 10L), (3L, 12L, 7L),
+      (2L, 25L, 99L), (4L, 5L, 6L))
+      .toDF("fk", "day", "v")
+      .write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("pk", "seg").write.format("graft-store").mode("overwrite").save(dimDir)
+    // fact-grain MV covering day < 10 only (fk is the outbound group key)
+    GraftMview.create(spark, mvDir,
+      "SELECT fk, day, count(*) AS n, sum(v) AS s FROM mvcat.mbfact " +
+        "WHERE day < 10 GROUP BY fk, day")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    def fact() = spark.read.format("graft-store").load(factDir)
+    def dim() = spark.read.format("graft-store").load(dimDir)
+    // wider WHERE + dim join: [MV slice ∪ complement fact partials] ⋈ dim
+    val f1 = fact(); val d1 = dim()
+    val q1 = f1.join(d1, f1("fk") === d1("pk"), "inner")
+      .filter(col("day") < 20)
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum(f1("v")).as("s"))
+    assert(servedFromMv(q1), "the mixed join-back must serve the wider WHERE")
+    assert(q1.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap === Map("a" -> ((3L, 13L)), "b" -> ((1L, 10L))))
+    // the LEFT-shape variant composes: unmatched fk=4 lands in NULL seg
+    val f2 = fact(); val d2 = dim()
+    val q2 = f2.join(d2, f2("fk") === d2("pk"), "left_outer")
+      .filter(col("day") < 20)
+      .groupBy("seg").agg(sum(f2("v")).as("s"))
+    assert(servedFromMv(q2), "the left-shape mixed join-back must serve")
+    assert(q2.collect().map(r =>
+      (if (r.isNullAt(0)) "(null)" else r.getString(0)) -> r.getLong(1))
+      .toMap === Map("a" -> 13L, "b" -> 10L, "(null)" -> 6L))
+    // a pure-complement query gets nothing from the view: refused
+    val f3 = fact(); val d3 = dim()
+    assert(!servedFromMv(f3.join(d3, f3("fk") === d3("pk"), "inner")
+      .filter(col("day") >= 10)
+      .groupBy("seg").agg(sum(f3("v")).as("s"))),
+      "a complement-only query must refuse")
+  }
+
   test("FULL OUTER view: symmetric ± maintenance through all null transitions") {
     catBase
     val faDir = s"$catBase/fofa"
