@@ -2436,6 +2436,38 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       .toMap === Map("a" -> ((3L, 13L)), "b" -> ((2L, 110L))))
   }
 
+  test("mixed rollup over a LEFT OUTER view: complement rebuilds the chain") {
+    catBase
+    val factDir = s"$catBase/mlfact"
+    val dimDir = s"$catBase/mldim"
+    val mvDir = s"$catBase/mlmv"
+    // fk=3 never matches; fk=2's day-25 row sits beyond every WHERE
+    Seq((1L, 3L, 2L), (1L, 15L, 4L), (2L, 12L, 10L), (3L, 3L, 7L),
+      (2L, 25L, 99L))
+      .toDF("fk", "day", "v")
+      .write.format("graft-store").mode("overwrite").save(factDir)
+    Seq((1L, "a"), (2L, "b"))
+      .toDF("pk", "seg").write.format("graft-store").mode("overwrite").save(dimDir)
+    // LEFT OUTER view covering day < 10 only
+    GraftMview.create(spark, mvDir,
+      "SELECT seg, day, count(*) AS n, sum(v) AS s FROM mvcat.mlfact " +
+        "LEFT JOIN mvcat.mldim ON fk = pk WHERE day < 10 GROUP BY seg, day")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    val f = spark.read.format("graft-store").load(factDir)
+    val dd = spark.read.format("graft-store").load(dimDir)
+    // the wider WHERE over the SAME left shape: the complement side
+    // rebuilds fact ⟕ dim in chain order (null-extension preserved)
+    val q1 = f.join(dd, f("fk") === dd("pk"), "left_outer")
+      .filter(col("day") < 20)
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum(f("v")).as("s"))
+    assert(servedFromMv(q1), "the left-shape mixed plan must serve")
+    assert(q1.collect().map(r =>
+      (if (r.isNullAt(0)) "(null)" else r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap ===
+      Map("a" -> ((2L, 6L)), "b" -> ((1L, 10L)), "(null)" -> ((1L, 7L))))
+  }
+
   test("mixed join-back: wider covered-side WHERE unions complement partials below the dim join") {
     catBase
     val factDir = s"$catBase/mbfact"
