@@ -107,4 +107,74 @@ class GraftMviewRewritePropertySpec extends AnyFunSuite with graft.SparkTestBase
       }
     }
   }
+
+  test("rewrite on == rewrite off across join shapes with ADVERSARIAL view overlap") {
+    catBase
+    val rnd = new scala.util.Random(13L)
+    val factDir = s"$catBase/jfact"
+    val dimDir = s"$catBase/jdim"
+    // fk 40..49 never match; pk 30..39 never matched — both outer
+    // directions exercised; 10% NULL keys and measures
+    (0 until 300).map { _ =>
+      val fk: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else Long.box(rnd.nextInt(50).toLong)
+      val day: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else Long.box(rnd.nextInt(30).toLong)
+      val v: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else Long.box(rnd.nextInt(100).toLong - 50)
+      (fk, day, v)
+    }.toDF("fk", "day", "v")
+      .write.format("graft-store").mode("overwrite").save(factDir)
+    (0L until 40L).map(pk => (pk, ('a' + (pk % 5).toInt).toChar.toString))
+      .toDF("pk", "seg")
+      .write.format("graft-store").mode("overwrite").save(dimDir)
+    // FOUR views on the SAME sources, deliberately overlapping: an inner
+    // join view, a left view, a full view, and a fact-only MV (the
+    // join-back candidate) — the rule must pick correctly (or refuse)
+    // for every query shape, and complement scans must never ping-pong
+    GraftMview.create(spark, s"$catBase/jmv_inner",
+      "SELECT seg, fk, count(*) AS n, sum(v) AS s, count(DISTINCT v) AS dv " +
+        "FROM mvprop.jfact JOIN mvprop.jdim ON fk = pk " +
+        "WHERE day < 15 GROUP BY seg, fk")
+    GraftMview.create(spark, s"$catBase/jmv_left",
+      "SELECT seg, fk, count(*) AS n, sum(v) AS s " +
+        "FROM mvprop.jfact LEFT JOIN mvprop.jdim ON fk = pk " +
+        "WHERE day < 15 GROUP BY seg, fk")
+    GraftMview.create(spark, s"$catBase/jmv_full",
+      "SELECT seg, fk, count(*) AS n, sum(v) AS s " +
+        "FROM mvprop.jfact FULL OUTER JOIN mvprop.jdim ON fk = pk " +
+        "GROUP BY seg, fk")
+    GraftMview.create(spark, s"$catBase/jmv_fact",
+      "SELECT fk, day, count(*) AS n, sum(v) AS s " +
+        "FROM mvprop.jfact WHERE day < 15 GROUP BY fk, day")
+    def fact() = spark.read.format("graft-store").load(factDir)
+    def dim() = spark.read.format("graft-store").load(dimDir)
+    val joinTypes = Seq("inner", "left_outer", "full_outer")
+    val wheres: Seq[Option[org.apache.spark.sql.Column]] = Seq(
+      None, Some(col("day") < 15), Some(col("day") < 10),
+      Some(col("day") < 20), Some(col("day") >= 15), Some(col("v") > 0))
+    joinTypes.foreach { jt =>
+      wheres.zipWithIndex.foreach { case (qw, qi) =>
+        val shapes: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+          df => df.groupBy("seg").agg(count(lit(1)).as("n"),
+            sum(col("v")).as("s")),
+          df => df.groupBy("seg", "fk").agg(count(lit(1)).as("n")),
+          df => df.agg(count(lit(1)).as("n")))
+        shapes.zipWithIndex.foreach { case (shape, si) =>
+          def q() = {
+            val f = fact(); val dd = dim()
+            val j = f.join(dd, f("fk") === dd("pk"), jt)
+            shape(qw.fold(j)(c => j.filter(c)))
+          }
+          val on = canon(q())
+          spark.conf.set("spark.graft.mv.rewrite", "false")
+          val off = try canon(q())
+            finally spark.conf.set("spark.graft.mv.rewrite", "true")
+          assert(on === off,
+            s"join $jt × where[$qi] ${qw.map(_.toString)} × shape[$si]: " +
+              "rewrite ON diverged from OFF")
+        }
+      }
+    }
+  }
 }
