@@ -2436,6 +2436,34 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       .toMap === Map("a" -> ((3L, 13L)), "b" -> ((2L, 110L))))
   }
 
+  test("mixed rollup with a calendar expression key: complement recomputes the bucket") {
+    catBase
+    val srcDir = s"$catBase/cmxsrc"
+    val mvDir = s"$catBase/cmxmv"
+    Seq(("2024-01-03", 10L), ("2024-01-17", 150L), ("2024-02-05", 20L),
+      ("2024-02-20", 250L), ("2024-03-09", 30L))
+      .toDF("d", "v").select(to_timestamp($"d").as("ts"), $"v")
+      .write.format("graft-store").mode("overwrite").save(srcDir)
+    // calendar-keyed view covering v < 100 only
+    GraftMview.create(spark, mvDir,
+      "SELECT date_trunc('month', ts) AS mon, count(*) AS n, sum(v) AS s " +
+        "FROM mvcat.cmxsrc WHERE v < 100 GROUP BY date_trunc('month', ts)")
+    def servedFromMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(mvDir)
+    // wider WHERE: the complement side must group by the re-parsed
+    // EXPRESSION key (date_trunc over the base ts) — keyForOut's isExpr
+    // path — and union with the stored buckets
+    val q1 = spark.read.format("graft-store").load(srcDir)
+      .filter($"v" < 200)
+      .groupBy(date_trunc("month", $"ts").as("mon"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .select(date_format($"mon", "yyyy-MM").as("m"), $"n", $"s")
+    assert(servedFromMv(q1), "the calendar mixed plan must serve")
+    assert(q1.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap === Map("2024-01" -> ((2L, 160L)), "2024-02" -> ((1L, 20L)),
+        "2024-03" -> ((1L, 30L))))
+  }
+
   test("mixed rollup over a LEFT OUTER view: complement rebuilds the chain") {
     catBase
     val factDir = s"$catBase/mlfact"
