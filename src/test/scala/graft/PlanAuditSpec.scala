@@ -198,4 +198,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges <= 2, s"expected <=2 Exchange (agg + AQE read), got $exchanges:\n${p.take(2000)}")
     assert(p.contains("pmod"), p.take(2000))
   }
+
+  test("mixed MV plan: the complement predicate reaches the base scan pushed") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val base = java.nio.file.Files.createTempDirectory("graft-audit-mx").toString
+    spark.conf.set("spark.sql.catalog.auditmx", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.auditmx.base", base)
+    try {
+      Tables.orders(spark, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.format("graft-store").mode("overwrite").save(s"$base/src")
+      graft.sources.v2.GraftMview.create(spark, s"$base/mv",
+        "SELECT o_orderpriority AS pr, count(*) AS n, " +
+          "sum(o_totalprice) AS rev FROM auditmx.src " +
+          "WHERE o_orderkey < 3000 GROUP BY o_orderpriority")
+      val q = spark.read.format("graft-store").load(s"$base/src")
+        .filter(col("o_orderkey") < 5000)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains(s"$base/mv"),
+        s"the wider WHERE must serve as the mixed plan:\n${opt.take(1500)}")
+      // the complement bound (o_orderkey >= 3000 OR IS NULL) must reach
+      // the base scan as a PUSHED skip predicate (the graft scan renders
+      // pushdowns as skipBy=[...]) — the covered range file-skips
+      val p = q.queryExecution.executedPlan.toString
+      val pushedWithBound = p.linesIterator.exists(l =>
+        l.contains("skipBy=") &&
+          l.contains("GreaterThanOrEqual(o_orderkey,3000)"))
+      assert(pushedWithBound,
+        s"complement bound not pushed into the base scan:\n${p.take(3000)}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.auditmx")
+      spark.conf.unset("spark.sql.catalog.auditmx.base")
+    }
+  }
 }
