@@ -5177,12 +5177,14 @@ object SystemQueries {
         val b1 = ops.scannedFileSlices
         val rows = q1.collect()
         val onSlices = ops.scannedFileSlices - b1
-        // a YEAR bucket is coarser by functional dependency, not by group
-        // subset — conservatively refused
+        // a YEAR bucket is coarser by FUNCTIONAL DEPENDENCY, not by group
+        // subset — served since round 14 by re-bucketing the stored month
+        // key (date_trunc('year', mon) — see coarsenOf); q243 hash-checks
+        // the values, this bit pins the serve
         val qYear = s.sql(
           """SELECT count(*) AS n FROM gq221.src
             |GROUP BY date_trunc('year', o_orderdate)""".stripMargin)
-        val bits = served(q1) && onSlices < 8 && !served(qYear) && incremental
+        val bits = served(q1) && onSlices < 8 && served(qYear) && incremental
         s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
           .withColumn("calendar_proof", lit(bits))
       } finally {
@@ -6534,6 +6536,229 @@ object SystemQueries {
            |WHERE o_orderkey < 9000
            |GROUP BY c_mktsegment""".stripMargin))
 
+  /** MIN/MAX OVER A JOIN VIEW ([[graft.sources.v2.GraftMview]] rescan
+    * device, join-generalized): extremes are not sign-maintainable under
+    * removals, so removal-touched groups rescan — and for a JOIN view the
+    * rescan target is the maintained relation itself, the join REBUILT at
+    * the new heads, scoped to the touched groups by the null-safe
+    * semi-join + bounded key pushdown. Pure-insert churn keeps the linear
+    * least/greatest fast path. The probe deletes every fact row above a
+    * price threshold — evicting the stored max of every group that held
+    * one — refreshes incrementally, and proves both the merged extremes
+    * (hash-matched against the oracle) and the transparent rewrite
+    * serving the join aggregate from the view. At 100 TB: "latest/largest
+    * price per segment" maintains at churn cost, never a fact⋈dim
+    * recompute. */
+  val q241MviewJoinMinmax = QuerySpec(
+    "q241_mview_join_minmax", "S-dsv2-mview-join-minmax",
+    "join-view min/max: delete evicts group maxes, rescan merges exactly",
+    (s, d) => {
+      val base = "/tmp/graft_store_q241"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq241", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq241.base", base)
+      try {
+        val fact = s"$base/fact"
+        val dim = s"$base/dim"
+        val ordersDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        ordersDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(fact)
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.format("graft-store").mode("overwrite").save(dim)
+        s.sql("CALL gq241.system.create_mview('mv', " +
+          "'SELECT c_mktsegment AS seg, count(*) AS n, " +
+          "min(o_totalprice) AS lo, max(o_totalprice) AS hi " +
+          "FROM gq241.fact JOIN gq241.dim ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment')")
+        def globalHi(): Double = s.sql("SELECT max(hi) FROM gq241.mv")
+          .collect()(0).getDouble(0)
+        // pure-insert churn first (least/greatest fast path)…
+        ordersDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(fact)
+        val r1 = s.sql("CALL gq241.system.refresh_mview('mv')").collect()(0)
+        val hiBefore = globalHi()
+        // …then DELETE every row above the threshold: the stored max of
+        // every group holding one is evicted — only a rescan of the
+        // rebuilt join can find the runner-up
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, fact,
+          col("o_totalprice") > 250000.0)
+        val r2 = s.sql("CALL gq241.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental =
+          r1.getString(0) == "incremental" && r2.getString(0) == "incremental"
+        val evicted = hiBefore > 250000.0 && globalHi() <= 250000.0
+        // transparent rewrite: the base join aggregate serves from the view
+        val q = s.sql(
+          """SELECT c_mktsegment AS seg, count(*) AS n,
+            |  round(min(o_totalprice), 2) AS lo,
+            |  round(max(o_totalprice), 2) AS hi
+            |FROM gq241.fact JOIN gq241.dim ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment""".stripMargin)
+        val served =
+          q.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        q.withColumn("minmax_proof", lit(incremental && evicted && served))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq241")
+        s.conf.unset("spark.sql.catalog.gq241.base")
+      }
+    },
+    Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+           |  round(min(o_totalprice), 2) AS lo,
+           |  round(max(o_totalprice), 2) AS hi, TRUE AS minmax_proof
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE o_orderkey < 10000 AND o_totalprice <= 250000
+           |GROUP BY c_mktsegment""".stripMargin))
+
+  /** GROUPING SETS / CUBE / ROLLUP SERVED FROM MVs
+    * ([[graft.sources.v2.GraftMviewRewriteRule.tryGroupingSets]]): the
+    * analyzer lowers `GROUP BY GROUPING SETS(…)` to an Expand that
+    * replicates EVERY source row once per member — a BI drill-down over
+    * a fact table pays one full scan multiplied by the member count. The
+    * rewrite decomposes the Expand back into its member aggregates and
+    * serves EACH from the (a, b)-grain view through the ordinary rollup
+    * algebra (subtotals and the grand total re-aggregate stored groups),
+    * unioning the members — servable only when ALL members serve. Slice
+    * proof: the whole 3-member grouping set reads the view's file(s),
+    * never the 8-file base. At 100 TB: the dashboard cube costs
+    * O(members × groups) stored rows, not members × fact-scan. */
+  val q242MviewGroupingSets = QuerySpec(
+    "q242_mview_grouping_sets", "S-dsv2-mview-grouping-sets",
+    "GROUPING SETS / CUBE / ROLLUP served from the (a,b)-grain MV",
+    (s, d) => {
+      val base = "/tmp/graft_store_q242"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq242", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq242.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src) // 8 files
+        s.sql("CALL gq242.system.create_mview('mv', " +
+          "'SELECT o_orderstatus AS st, o_orderpriority AS pri, " +
+          "count(*) AS n, sum(o_totalprice) AS rev, " +
+          "avg(o_totalprice) AS ap " +
+          "FROM gq242.src GROUP BY o_orderstatus, o_orderpriority')")
+        // churn both ways, refresh incrementally, then drill down
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        val r = s.sql("CALL gq242.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = r.getString(0) == "incremental"
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val ops = graft.sources.v2.GraftStoreOps
+        val q = s.sql(
+          """SELECT o_orderstatus AS st, o_orderpriority AS pri,
+            |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+            |FROM gq242.src
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+            |  (o_orderstatus), ())""".stripMargin)
+        val b1 = ops.scannedFileSlices
+        val rows = q.collect()
+        val opened = ops.scannedFileSlices - b1
+        // the sugar forms lower to the same Expand and serve too
+        val cube = s.sql(
+          """SELECT o_orderstatus AS st, o_orderpriority AS pri,
+            |  count(*) AS n
+            |FROM gq242.src GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
+        val rollup = s.sql(
+          """SELECT o_orderstatus AS st, o_orderpriority AS pri,
+            |  avg(o_totalprice) AS ap
+            |FROM gq242.src GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)
+        val bits = served(q) && opened < 8 && served(cube) &&
+          served(rollup) && incremental
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q.schema)
+          .withColumn("grouping_sets_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq242")
+        s.conf.unset("spark.sql.catalog.gq242.base")
+      }
+    },
+    Some("""SELECT o_orderstatus AS st, o_orderpriority AS pri,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS grouping_sets_proof
+           |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           |  (o_orderstatus), ())""".stripMargin))
+
+  /** FUNCTIONAL-DEPENDENCY CALENDAR COARSENING
+    * ([[graft.sources.v2.GraftMviewRewriteRule.coarsenOf]]): a YEAR-grain
+    * query is not a group SUBSET of a month-grain expression-key view —
+    * it is a deterministic re-bucketing of the stored key
+    * (`date_trunc('year', date_trunc('month', x)) = date_trunc('year',
+    * x)`), so the rewrite serves it by grouping the stored rows by
+    * `date_trunc('year', mon)` and re-aggregating — the ordinary rollup
+    * algebra with one scalar applied to the key. Both the `date_trunc`
+    * and the `year()` surface forms serve. At 100 TB: ONE month-grain
+    * calendar view answers the whole drill-up family (month, quarter,
+    * year) from O(months) stored rows. */
+  val q243MviewYearRollup = QuerySpec(
+    "q243_mview_year_rollup", "S-dsv2-mview-year-rollup",
+    "year-grain queries served from the month-grain calendar MV",
+    (s, d) => {
+      val base = "/tmp/graft_store_q243"
+      val fsPath = new org.apache.hadoop.fs.Path(base)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      s.conf.set("spark.sql.catalog.gq243", "graft.sources.v2.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq243.base", base)
+      try {
+        val src = s"$base/src"
+        val baseDf = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        baseDf.filter(col("o_orderkey") < 8000)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft-store").mode("overwrite").save(src) // 8 files
+        s.sql("CALL gq243.system.create_mview('mv', " +
+          "'SELECT date_trunc(''month'', o_orderdate) AS mon, " +
+          "count(*) AS n, sum(o_totalprice) AS rev " +
+          "FROM gq243.src GROUP BY date_trunc(''month'', o_orderdate)')")
+        baseDf.filter(col("o_orderkey") >= 8000 && col("o_orderkey") < 10000)
+          .write.format("graft-store").mode("append").save(src)
+        graft.sources.v2.GraftStoreOps.deleteWhere(s, src,
+          col("o_orderkey") < 1000)
+        val r = s.sql("CALL gq243.system.refresh_mview('mv')").collect()(0)
+        graft.BenchSetup.mark() // fixture setup ends; queries follow
+        val incremental = r.getString(0) == "incremental"
+        def served(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.toString.contains(s"$base/mv")
+        val ops = graft.sources.v2.GraftStoreOps
+        val q1 = s.sql(
+          """SELECT date_format(date_trunc('year', o_orderdate), 'yyyy-MM-dd')
+            |    AS yr,
+            |  count(*) AS n, round(sum(o_totalprice), 2) AS rev
+            |FROM gq243.src
+            |GROUP BY date_trunc('year', o_orderdate)""".stripMargin)
+        val b1 = ops.scannedFileSlices
+        val rows = q1.collect()
+        val onSlices = ops.scannedFileSlices - b1
+        // the year() surface form coarsens through the same device
+        val q2 = s.sql(
+          """SELECT year(o_orderdate) AS y, count(*) AS n FROM gq243.src
+            |GROUP BY year(o_orderdate)""".stripMargin)
+        val bits = served(q1) && onSlices < 8 && served(q2) && incremental
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), q1.schema)
+          .withColumn("year_rollup_proof", lit(bits))
+      } finally {
+        s.conf.unset("spark.sql.catalog.gq243")
+        s.conf.unset("spark.sql.catalog.gq243.base")
+      }
+    },
+    Some("""SELECT strftime(date_trunc('year', o_orderdate), '%Y-%m-%d') AS yr,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS rev,
+           |  TRUE AS year_rollup_proof
+           |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 10000
+           |GROUP BY date_trunc('year', o_orderdate)""".stripMargin))
+
   def all: Seq[QuerySpec] = Seq(
     q34StreamWindow, q35Upsert, q36MlGbt, q62Dsv2Synth, q63StreamNearDup,
     q81StreamStreamJoin, q83Dsv2Store, q84StreamIvf, q88TimeTravel,
@@ -6562,5 +6787,6 @@ object SystemQueries {
     q223MviewLeftOuter, q224MviewNway, q225MviewLeftRewrite, q226MviewHavingFilter, q227MviewDcount, q228MviewDdl, q229MviewChurnPrune, q230MviewLeftChain, q231MviewMixedChain,
     q232MviewLeftJoinBack, q233MviewRightOuter, q234MviewDcountRollup,
     q235MviewMixedRollup, q236MviewLeftStream, q237MviewJoinMixed,
-    q238MviewJoinDcount, q239MviewFullOuter, q240MviewMixedJoinback)
+    q238MviewJoinDcount, q239MviewFullOuter, q240MviewMixedJoinback,
+    q241MviewJoinMinmax, q242MviewGroupingSets, q243MviewYearRollup)
 }

@@ -550,13 +550,15 @@ object GraftMview {
     val reserved = cols.filter(c => c.out.startsWith("__"))
     if (reserved.nonEmpty) fail(s"output name '${reserved.head.out}' uses the " +
       "reserved internal-column prefix '__'")
-    // join MVs maintain DISTRIBUTIVE aggregates only: min/max's removal
-    // rescan is a keyed re-join — correct but no longer churn-proportional
-    // on the probe side, so it is refused rather than silently expensive
-    if (!src.isInstanceOf[SingleSrc] &&
-        cols.exists(c => c.isInstanceOf[MinCol] || c.isInstanceOf[MaxCol] ||
-          c.isInstanceOf[HllCol]))
-      fail("min/max/hll over a join view (distributive count/sum/avg only)")
+    // min/max/hll over a JOIN view maintain through the same removal-
+    // rescan device as a single table, with the rescan target being the
+    // REBUILT join pinned at the new heads ([[pinnedFrame]]) — the scan
+    // is still scoped to removal-touched groups (null-safe semi-join +
+    // bounded compile-time key pushdown), but each touched group pays a
+    // keyed re-JOIN rather than a keyed re-scan. That is the honest cost
+    // of an exact post-removal extreme over a join ("latest price per
+    // key" shapes); pure-insert churn keeps the linear least/greatest
+    // fast path on every shape.
     // serialize the predicate UNQUALIFIED: it re-applies by name to the
     // delta frame, where the defining catalog.table qualifier means nothing
     (src, cond.map(_.transform {
@@ -1374,18 +1376,20 @@ object GraftMview {
         .groupBy(groupOuts.map(g => col(g.out).as(s"__nk_${o}_${g.out}")): _*)
         .agg(count(lit(1)).as(s"${o}_dn"))
     }
-    // RESCAN the removal-touched groups from the PINNED head: the only
+    // RESCAN the removal-touched groups from the PINNED head(s): the only
     // exact source of a post-removal extreme. Scoped by a NULL-SAFE semi
     // join on the group keys — churn-groups cost, with layout/stats/bloom
-    // pruning participating like any keyed scan. (min/max is single-source
-    // only — recognize() refuses it over a join.)
+    // pruning participating like any keyed scan. For a JOIN view the
+    // rescan target is the maintained relation itself — the join rebuilt
+    // at the new heads — and the bounded key predicate below filters the
+    // JOINED frame, which Catalyst pushes into whichever side owns each
+    // plain key column (a removal-touched group pays a keyed re-join).
     val rescanned: Option[DataFrame] =
       if (!hasRescan) None
       else {
         val keys = deltas.filter(col("_rm") === 1)
           .select(groupOuts.map(g => col(s"__dk_${g.out}").as(s"__k_${g.out}")): _*)
-        val pinned = spark.read.format("graft-store")
-          .option("snapshot", heads.head).load(srcPaths(src).head)
+        val pinned = pinnedFrame(spark, src, heads)
         val mmAggs: Seq[Column] = cols.collect {
           case MinCol(c2, o) => min(col(c2)).as(s"${o}_r")
           case MaxCol(c2, o) => max(col(c2)).as(s"${o}_r")

@@ -98,6 +98,119 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** GROUPING SETS / CUBE / ROLLUP served from MVs: the analyzer lowers
+    * `GROUP BY GROUPING SETS(…)` into `Aggregate(keys :+ gid,
+    * Expand(one projection per member, Project(child.output ++ key
+    * aliases, source)))` — the Expand replicates every source row once
+    * per member with the member's absent keys NULLed and a literal
+    * grouping id. Semantically that aggregate IS the UNION of the
+    * members' individual aggregates (each a plain GROUP BY over the same
+    * source, with absent keys published as typed NULLs and the gid as a
+    * constant), so each member re-enters the ordinary [[rewrite]] path —
+    * exact, rollup, mixed, join-back, calendar coarsening, whatever
+    * serves — and the whole query is replaced ONLY when EVERY member
+    * serves (an un-servable member would re-scan the source anyway, and
+    * splitting one Expand scan into k scans is a pessimization unless all
+    * k avoid the source).
+    *
+    * Aggregate arguments follow Spark's grouping-sets semantics
+    * unchanged: the analyzer substitutes grouping keys INSIDE aggregate
+    * calls with the (per-member nulled) expand attributes, so a member
+    * where that key is absent computes `count(NULL) = 0` / `sum(NULL) =
+    * NULL` — folded here to the same constants before the member is
+    * served (a null argument must never map onto a stored column:
+    * `count(NULL)` is NOT `count(*)`).
+    *
+    * At 100 TB this is the BI drill-down payoff: the cube over (a, b)
+    * reads the (a, b)-grain view's O(groups) rows once per member —
+    * never one fact scan per grouping-set member. */
+  private def tryGroupingSets(agg: Aggregate,
+      expand: org.apache.spark.sql.catalyst.plans.logical.Expand)
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val out = expand.output
+    val gidIdx = out.indexWhere(
+      _.name == org.apache.spark.sql.catalyst.expressions.VirtualColumn.groupingIdName)
+    if (gidIdx < 0) return None
+    val gidAttr = out(gidIdx)
+    val posOf: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Int] =
+      out.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    // the aggregate's grouping must be exactly expand-output attributes
+    // with the gid among them (the grouping-sets lowering); anything else
+    // is some other Expand consumer — leave it alone
+    val groupAttrs: Seq[Attribute] = agg.groupingExpressions.map {
+      case a: AttributeReference if posOf.contains(a.exprId) => a
+      case _ => return None
+    }
+    if (!groupAttrs.exists(_.exprId == gidAttr.exprId)) return None
+    val keyAttrs = groupAttrs.filterNot(_.exprId == gidAttr.exprId)
+    val keyIdx: Set[Int] = keyAttrs.map(a => posOf(a.exprId)).toSet
+    // pass-through sanity: every NON-key, non-gid output position must
+    // carry the identical pass-through attribute in EVERY projection —
+    // the grouping-sets shape; anything else (a distinct-agg Expand, a
+    // future exotic consumer) refuses
+    if (expand.projections.isEmpty) return None
+    val passOk = out.indices.forall { i =>
+      keyIdx.contains(i) || i == gidIdx ||
+        expand.projections.forall(p => p(i).semanticEquals(out(i)))
+    }
+    if (!passOk) return None
+    val members: Seq[Aggregate] = expand.projections.map { p =>
+      p(gidIdx) match { case _: Literal => () case _ => return None }
+      val subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+          Expression] =
+        (keyAttrs.map(a => a.exprId -> p(posOf(a.exprId))) :+
+          (gidAttr.exprId -> p(gidIdx))).toMap
+      val mGroups: Seq[Expression] = keyAttrs.flatMap { a =>
+        p(posOf(a.exprId)) match {
+          case Literal(null, _) => None // absent from this member
+          case e => Some(e)
+        }
+      }
+      def foldNullAgg(ae: AggregateExpression): Option[Expression] = {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Max, Min, Sum}
+        val argsNull = ae.aggregateFunction.children.exists {
+          case Literal(null, _) => true
+          case Cast(Literal(null, _), _, _, _) => true
+          case _ => false
+        }
+        if (!argsNull) return Some(ae)
+        ae.aggregateFunction match {
+          case _: Count => Some(Literal(0L))
+          case _: Sum | _: Average | _: Min | _: Max |
+              _: org.apache.spark.sql.catalyst.expressions.aggregate
+                .CentralMomentAgg =>
+            Some(Literal(null, ae.dataType))
+          case _ => None // unmodeled null-argument aggregate: refuse
+        }
+      }
+      val mAggs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+        val t0 = ne.transformUp {
+          case a: AttributeReference if subst.contains(a.exprId) =>
+            subst(a.exprId)
+        }
+        val t = t0.transformUp {
+          case ae: AggregateExpression =>
+            foldNullAgg(ae).getOrElse(return None)
+        }
+        t match {
+          case n: NamedExpression => n
+          case e => Alias(e, ne.name)(exprId = ne.exprId)
+        }
+      }
+      Aggregate(mGroups, mAggs, expand.child)
+    }
+    val served: Seq[LogicalPlan] =
+      members.map(m => rewrite(m).getOrElse(return None))
+    // Union takes its output (the original exprIds) from the FIRST child;
+    // later children re-alias fresh so no two branches share an exprId
+    val branches = served.head +: served.tail.map(p =>
+      Project(p.output.map(a => Alias(a, a.name)()), p))
+    logInfo(s"graft mview rewrite: serving GROUPING SETS " +
+      s"(${members.size} members) as a union of MV-served aggregates")
+    Some(org.apache.spark.sql.catalyst.plans.logical.Union(branches))
+  }
+
   private def stripCast(e: Expression): Expression = e match {
     case Cast(c, _, _, _) => stripCast(c)
     case _ => e
@@ -284,6 +397,21 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    // GROUPING SETS / CUBE / ROLLUP arrive as Aggregate over Expand
+    // (possibly behind a column-pruning Project): decompose into members
+    // and serve each through this same entry — see [[tryGroupingSets]]
+    def expandOf(p: LogicalPlan)
+        : Option[org.apache.spark.sql.catalyst.plans.logical.Expand] =
+      p match {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => Some(e)
+        case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          expandOf(c)
+        case _ => None
+      }
+    expandOf(agg.child) match {
+      case Some(e) => return tryGroupingSets(agg, e)
+      case None => ()
+    }
     val (groupExprs, aggExprs, aggChild) = inlineGroupingProjects(agg)
     val qs = extractSource(aggChild).getOrElse(return None)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -619,6 +747,83 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** Calendar-unit nesting rank for `date_trunc` formats: unit A nests
+    * inside unit B (truncating to B after truncating to A equals
+    * truncating to B directly) iff rank(A) < rank(B) and neither is WEEK.
+    * WEEK is the one non-nesting unit — a week straddles month/quarter/
+    * year boundaries — so it only COARSENS (query side) from day-or-finer
+    * stored keys and never serves as the finer (view) unit of a
+    * coarsening. None for unrecognized formats (conservative). */
+  private def truncRank(fmt: Expression): Option[Int] = fmt match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String, _) =>
+      s.toString.toLowerCase(java.util.Locale.ROOT) match {
+        case "microsecond" => Some(0)
+        case "millisecond" => Some(1)
+        case "second" => Some(2)
+        case "minute" => Some(3)
+        case "hour" => Some(4)
+        case "day" | "dd" => Some(5)
+        case "week" => Some(weekRank)
+        case "month" | "mon" | "mm" => Some(6)
+        case "quarter" => Some(7)
+        case "year" | "yyyy" | "yy" => Some(8)
+        case _ => None
+      }
+    case _ => None
+  }
+  private val weekRank = 100 // off the nesting chain — see truncRank
+
+  /** FUNCTIONAL-DEPENDENCY CALENDAR COARSENING: the query groups by a
+    * DETERMINISTIC MONOTONE RE-BUCKETING of a stored expression key — a
+    * YEAR bucket over a month-grain `date_trunc` key, `year(d)` /
+    * `quarter(d)` / `month(d)` over the same — which is not a group
+    * SUBSET (the classic rollup gate) but a functional dependency: every
+    * stored fine bucket maps to exactly one coarse bucket, so grouping
+    * the stored rows by `f(stored key)` and re-aggregating is the
+    * ordinary rollup algebra with one extra scalar applied to the key.
+    * Returns the served grouping expression over the stored key column,
+    * or None when `qe` is not a recognized re-bucketing of `viewKey`.
+    *
+    * Soundness of each recognized pair rests on unit NESTING:
+    * `date_trunc(U, date_trunc(V, x)) = date_trunc(U, x)` whenever V
+    * nests in U (both interpreted in the SAME session zone — the stored
+    * key text re-analyzes under the query session, so both sides carry
+    * the query session's zone), and `year/quarter/month(cast(x AS date))`
+    * are invariant under any finer-than-their-unit truncation of x. */
+  private def coarsenOf(qe: Expression, viewKey: Expression,
+      storedAttr: AttributeReference): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{Month, Quarter, TruncTimestamp, Year}
+    import org.apache.spark.sql.types.DateType
+    val (vFmt, vChild, vTz) = viewKey match {
+      case TruncTimestamp(f, c, tz) => (f, c, tz)
+      case _ => return None
+    }
+    val vRank = truncRank(vFmt).getOrElse(return None)
+    if (vRank == weekRank) return None // week nests in nothing coarser
+    // the date-typed view of the stored key for year/quarter/month —
+    // the cast zone is the key's own zone (consistent bucketing)
+    def asDate: Expression = Cast(storedAttr, DateType, vTz)
+    // compare the date-typed child the analyzer wrapped (year(ts) arrives
+    // as Year(Cast(ts, date))) against the view key's truncated column
+    def sameCol(c: Expression): Boolean =
+      stripCast(c).semanticEquals(stripCast(vChild))
+    qe match {
+      case TruncTimestamp(qFmt, qChild, qTz)
+          if qTz == vTz && sameCol(qChild) =>
+        val qRank = truncRank(qFmt).getOrElse(return None)
+        // week coarsens day-or-finer keys; otherwise strict chain nesting
+        if (qRank == weekRank) {
+          if (vRank <= 5) Some(TruncTimestamp(qFmt, storedAttr, vTz)) else None
+        } else if (qRank > vRank) Some(TruncTimestamp(qFmt, storedAttr, vTz))
+        else None
+      case Year(c) if sameCol(c) && vRank <= 7 => Some(Year(asDate))
+      case Quarter(c) if sameCol(c) && vRank <= 7 => Some(Quarter(asDate))
+      case Month(c) if sameCol(c) && vRank <= 6 => Some(Month(asDate))
+      case _ => None
+    }
+  }
+
   /** Column-mapping helpers bound to ONE candidate MV: its decoded column
     * specs and its relation. Shared by the exact-shape, rollup, and
     * join-back paths — the re-aggregation algebra is identical whether
@@ -648,15 +853,31 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         case a: AttributeReference if a.name == g.src => a
       } else analyzedExpr(g.src, srcOut)
 
-    /** The stored attribute whose key expression semantically equals `e`,
-      * if any — the device that lets outputs and residual filters name a
-      * calendar bucket (`date_trunc('month', ts)`) and read the stored
-      * key column instead. */
+    /** The stored-column expression serving `e`: the stored attribute
+      * whose key expression semantically equals `e` (the device that lets
+      * outputs and residual filters name a calendar bucket
+      * (`date_trunc('month', ts)`) and read the stored key column
+      * instead), or — the coarsening extension — a recognized calendar
+      * re-bucketing applied to a stored key ([[coarsenOf]]:
+      * `date_trunc('year', ts)` over a month-grain key). */
     def matchedKey(e: Expression, keyOf: Map[GroupCol, Expression])
-        : Option[AttributeReference] =
-      mvGroups.collectFirst {
-        case g if keyOf.get(g).exists(_.semanticEquals(e)) => mvAttr(g.out)
+        : Option[Expression] =
+      matchedGroup(e, keyOf).map(_._2)
+
+    /** [[matchedKey]] with the matched view group attached — the group
+      * matcher proper. Exact matches win over coarsenings (an exact match
+      * projects the stored column; a coarsening always re-aggregates). */
+    def matchedGroup(e: Expression, keyOf: Map[GroupCol, Expression])
+        : Option[(GroupCol, Expression)] = {
+      val exact = mvGroups.collectFirst {
+        case g if keyOf.get(g).exists(_.semanticEquals(e)) =>
+          g -> (mvAttr(g.out): Expression)
       }
+      exact.orElse(mvGroups.flatMap { g =>
+        keyOf.get(g).flatMap(k => coarsenOf(e, k, mvAttr(g.out)))
+          .map(g -> _)
+      }.headOption)
+    }
 
     /** Filter conversion: residual conjuncts apply to stored rows BEFORE
       * re-aggregation, so they may only touch MV GROUP columns (any group
@@ -1011,19 +1232,28 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val allOut: Seq[Attribute] = qs.rels.flatMap(_.output)
     val keyOf: Map[GraftMview.GroupCol, Expression] = mm.mvGroups.flatMap(g =>
       mm.keyExprFor(g, allOut).map(g -> _)).toMap
-    val matchedGroups: Seq[GraftMview.GroupCol] = groupExprs.map { qe =>
-      mm.mvGroups.find(g => keyOf.get(g).exists(_.semanticEquals(qe)))
-        .getOrElse(return None)
-    }
-    if (matchedGroups.distinct.size != matchedGroups.size) return None
+    // each query grouping expression matches a view key exactly (stored
+    // attribute) or as a recognized calendar COARSENING of one (served
+    // expression over the stored key — see [[coarsenOf]]); two query keys
+    // may legitimately coarsen the SAME view key to different grains
+    // (year + quarter over a month key), so distinctness is decided on
+    // the served expressions, not the matched view groups
+    val matchedPairs: Seq[(GraftMview.GroupCol, Expression)] =
+      groupExprs.map(qe => mm.matchedGroup(qe, keyOf).getOrElse(return None))
+    if (matchedPairs.map(_._2.canonicalized).distinct.size
+        != matchedPairs.size) return None
+    val matchedGroups: Seq[GraftMview.GroupCol] = matchedPairs.map(_._1)
     // an aggregate carrying FILTER (WHERE …) needs the re-aggregation
     // form even at the exact group set — the predicate applies per
     // stored row, which a straight projection cannot express; the
-    // re-aggregation over the full key set is value-identical
+    // re-aggregation over the full key set is value-identical. A
+    // coarsened key match is never exact (it re-buckets stored rows).
     val hasAggFilter = aggExprs.exists(_.exists {
       case ae: AggregateExpression => ae.filter.isDefined
       case _ => false })
-    val exact = matchedGroups.size == mm.mvGroups.size && !hasAggFilter
+    val exact = matchedGroups.distinct.size == mm.mvGroups.size &&
+      matchedPairs.forall(_._2.isInstanceOf[AttributeReference]) &&
+      !hasAggFilter
     // ---- filter containment ----------------------------------------
     // inferred join-key IsNotNull conjuncts are implied by an INNER
     // equi-join and droppable; a LEFT or FULL OUTER join implies neither
@@ -1050,7 +1280,7 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         // only the EXACT-shape branches reach here (join-back returned
         // earlier), so the mixed plan's complement partitions the very
         // relation the view aggregates — single table or the same join
-        return tryMixedRollup(aggExprs, qs, mm, keyOf, matchedGroups,
+        return tryMixedRollup(aggExprs, qs, mm, keyOf, matchedPairs,
           qConjs, mvConjs, mvPath)
     }
     val residualMapped: Seq[Expression] =
@@ -1094,7 +1324,9 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       s"from fresh MV $mvPath")
     if (exact) Some(Project(projected, mvChild))
     else {
-      val groupingOut: Seq[Expression] = matchedGroups.map(g => mm.mvAttr(g.out))
+      // rollup grouping: the served key expressions — stored attributes
+      // for exact key matches, re-bucketing expressions for coarsenings
+      val groupingOut: Seq[Expression] = matchedPairs.map(_._2)
       Some(Aggregate(groupingOut, projected, mvChild))
     }
   }
@@ -1316,7 +1548,8 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     * entirely unread on the base side. */
   private def tryMixedRollup(aggExprs: Seq[NamedExpression], qs: QuerySource,
       mm: MvMapping, keyOf: Map[GraftMview.GroupCol, Expression],
-      matchedGroups: Seq[GraftMview.GroupCol], qConjs: Seq[Expression],
+      matchedPairs: Seq[(GraftMview.GroupCol, Expression)],
+      qConjs: Seq[Expression],
       mvConjs: Seq[Expression], mvPath: String): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.plans.logical.Union
     if (mvConjs.isEmpty) return None // no WHERE to complement
@@ -1364,8 +1597,11 @@ class GraftMviewRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         case _ => return None
       }
     }
-    val groupingOut: Seq[AttributeReference] =
-      matchedGroups.map(g => mm.mvAttr(g.out))
+    // served key expressions: stored attributes, or calendar coarsenings
+    // OVER stored attributes — the complement side below still groups at
+    // VIEW grain (the stored key columns), and this top-level Aggregate
+    // re-buckets both sides identically
+    val groupingOut: Seq[Expression] = matchedPairs.map(_._2)
     // the union carries exactly the stored columns the rollup reads
     val refs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
       projected.flatMap(_.references) ++ groupingOut)

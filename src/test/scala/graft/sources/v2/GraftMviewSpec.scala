@@ -1626,10 +1626,17 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(servedFromMv(q3), "a residual WHERE on the bucket must serve")
     assert(q3.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       Map("a" -> 10L, "b" -> 20L))
-    // a DIFFERENT bucket function (year) is not a group subset — refused
+    // a coarser-by-FD bucket (year over the month key) SERVES since
+    // round 14 — the coarsening rollup (see GraftMviewServeExtSpec for
+    // the full differential family); value-pinned here
     val q4 = base().groupBy(date_trunc("year", $"ts").as("y"))
       .agg(count(lit(1)).as("n"))
-    assert(!servedFromMv(q4), "a coarser-by-FD bucket must refuse")
+    assert(servedFromMv(q4), "a coarser-by-FD bucket must serve (coarsening)")
+    assert(q4.collect().map(_.getLong(1)).toSeq === Seq(5L))
+    // an UNRELATED bucket column (no stored key derives it) still refuses
+    val q5 = base().groupBy(date_trunc("year", $"v".cast("timestamp")).as("y"))
+      .agg(count(lit(1)).as("n"))
+    assert(!servedFromMv(q5), "a bucket over a non-key column must refuse")
   }
 
   test("hll approx-distinct: union fast path, removal rescan, rollup + join-back re-union") {
@@ -1700,20 +1707,36 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     // a different lgConfigK must refuse (different registers)
     assert(!servedFromMv(base().groupBy($"g")
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 13))").as("dk"))))
-    // refusals: bare sketch output, hll over a join view
+    // refusal: bare sketch output
     val e1 = intercept[IllegalArgumentException] {
       GraftMview.create(spark, s"$catBase/hllbad1",
         "SELECT g, count(*) AS n, hll_sketch_agg(k) AS sk " +
           "FROM mvcat.hllsrc GROUP BY g")
     }
     assert(e1.getMessage.contains("wrap it"))
-    val e2 = intercept[IllegalArgumentException] {
-      GraftMview.create(spark, s"$catBase/hllbad2",
-        "SELECT seg, count(*) AS n, " +
-          "hll_sketch_estimate(hll_sketch_agg(k)) AS dk " +
-          "FROM mvcat.hllsrc JOIN mvcat.hlldim ON u = pk GROUP BY seg")
+    // hll over a JOIN view is a FEATURE since round 14 (the removal
+    // rescan rebuilds the join): create, churn both sides, stay exact
+    val jmv = s"$catBase/hlljmv"
+    GraftMview.create(spark, jmv,
+      "SELECT seg, count(*) AS n, " +
+        "hll_sketch_estimate(hll_sketch_agg(k, 12)) AS dk " +
+        "FROM mvcat.hllsrc JOIN mvcat.hlldim ON u = pk GROUP BY seg")
+    def jmvRows() = spark.read.format("graft-store").load(jmv)
+      .select($"seg", $"dk").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def jmvRecompute() = {
+      val f2 = base(); val d2 = spark.read.format("graft-store").load(dimDir)
+      f2.join(d2, f2("u") === d2("pk"), "inner").groupBy("seg")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))").as("dk"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
-    assert(e2.getMessage.contains("join view"))
+    assert(jmvRows() === jmvRecompute())
+    write(Seq(("d", 2L, 30L), ("d", 1L, 31L)), "append") // insert fast path
+    assert(GraftMview.refresh(spark, jmv)._1 === "incremental")
+    assert(jmvRows() === jmvRecompute())
+    GraftStoreOps.deleteWhere(spark, srcDir, $"k" === 31L) // rescan path
+    assert(GraftMview.refresh(spark, jmv)._1 === "incremental")
+    assert(jmvRows() === jmvRecompute())
   }
 
   test("concurrent MV registration is lossless (one sidecar file per dependent)") {
@@ -1740,7 +1763,7 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(GraftStoreFormat.readMvDeps(srcDir, conf).contains("/mv/legacy"))
   }
 
-  test("JOIN view refusals: outer joins, min/max, duplicate names, self-join") {
+  test("JOIN view refusals: nested outer joins, duplicate names, self-join") {
     catBase
     Seq((1L, 1L)).toDF("fk", "v")
       .write.format("graft-store").mode("overwrite").save(s"$catBase/jr1")
@@ -1776,8 +1799,9 @@ class GraftMviewSpec extends AnyFunSuite with graft.SparkTestBase {
       "LEFT JOIN mvcat.jr2 ON fk = pk " +
       "LEFT JOIN mvcat.jr4 ON pk = pk2 AND fk = pk2 GROUP BY grp",
       "exactly ONE earlier table")
-    refuse("SELECT grp, count(*) AS n, min(v) AS mn FROM mvcat.jr1 JOIN mvcat.jr2 " +
-      "ON fk = pk GROUP BY grp", "min/max")
+    // min/max over a join view is a FEATURE since round 14 (the removal
+    // rescan rebuilds the join for touched groups) — see
+    // GraftMviewServeExtSpec; no refusal here anymore
     refuse("SELECT grp, count(*) AS n FROM mvcat.jr1 JOIN mvcat.jr3 " +
       "ON fk = pk GROUP BY grp", "more than one side")
     refuse("SELECT a.fk AS k, count(*) AS n FROM mvcat.jr1 a JOIN mvcat.jr1 b " +
