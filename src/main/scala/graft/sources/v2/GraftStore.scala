@@ -5461,6 +5461,16 @@ object GraftStoreOps {
     * around an operation to prove churn-proportional reads. */
   def scannedFileSlices: Long = GraftStoreFormat.scannedFileSlices.sum()
 
+  /** Monotone count of MV-rewrite probe FILESYSTEM reads (cache misses
+    * only) — the planning-cost budget specs diff around planning to prove
+    * a warm plan issues zero metadata work. */
+  def mvProbeFsOps: Long = GraftStoreFormat.mvProbeFsOps.sum()
+
+  /** Monotone count of manifest bytes parsed — the companion budget
+    * counter (a probe hit that still re-parsed metadata would hide
+    * planning cost from [[mvProbeFsOps]] alone). */
+  def manifestParseBytes: Long = GraftStoreFormat.manifestParseBytes.sum()
+
   /** Snapshot history, oldest first: (snapshot index, publication millis,
     * file count, total rows). Driver-side metadata only — the listing is
     * O(#snapshots), never touches data files. */

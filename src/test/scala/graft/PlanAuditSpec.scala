@@ -232,4 +232,63 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset("spark.sql.catalog.auditmx.base")
     }
   }
+
+  test("MV rewrite planning budget: warm probes are free; k candidates cost ≤ 1+k cold") {
+    // the 100×-scale guard for "every query pays the MV tax": PLANNING an
+    // aggregate must issue ZERO probe filesystem work on a warm cache —
+    // for tables with no `_mvdeps.d` sidecar at all (the overwhelmingly
+    // common case on a real cluster) AND for tables with k registered
+    // views; a cold probe is bounded by 1 (source) + k (candidate
+    // manifests). Counter-backed via mvProbeFsOps (probe events) and
+    // manifestParseBytes (actual metadata bytes parsed).
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.sources.v2.GraftStoreOps
+    val base = java.nio.file.Files.createTempDirectory("graft-audit-pb").toString
+    spark.conf.set("spark.sql.catalog.auditpb", "graft.sources.v2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.auditpb.base", base)
+    spark.conf.set("spark.graft.mv.probeCacheMs", "600000")
+    try {
+      // ---- table with NO dependent views (no sidecar) ----------------
+      spark.range(0, 500).selectExpr("id % 9 AS k", "id AS v")
+        .write.format("graft-store").mode("overwrite").save(s"$base/plain")
+      def qPlain() = spark.read.format("graft-store").load(s"$base/plain")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      qPlain().queryExecution.optimizedPlan // cold: pays the one probe
+      val p0 = GraftStoreOps.mvProbeFsOps
+      val b0 = GraftStoreOps.manifestParseBytes
+      (1 to 10).foreach(_ => qPlain().queryExecution.optimizedPlan)
+      assert(GraftStoreOps.mvProbeFsOps === p0,
+        "planning 10 aggregates over a no-sidecar table must issue ZERO probe FS ops")
+      assert(GraftStoreOps.manifestParseBytes === b0,
+        "warm planning must re-parse zero metadata bytes")
+      // ---- table with k = 4 registered (non-matching) views ----------
+      // non-matching on purpose: the lazy candidate scan stops at the
+      // first HIT, so refusing candidates is the worst case — every one
+      // of the k manifests is probed
+      spark.range(0, 500)
+        .selectExpr("id % 7 AS a", "id % 5 AS b", "id % 3 AS c2", "id AS v")
+        .write.format("graft-store").mode("overwrite").save(s"$base/fanned")
+      Seq("a", "b", "c2", "v").zipWithIndex.foreach { case (g, i) =>
+        graft.sources.v2.GraftMview.create(spark, s"$base/fmv$i",
+          s"SELECT $g, count(*) AS n FROM auditpb.fanned GROUP BY $g")
+      }
+      def qMiss() = spark.read.format("graft-store").load(s"$base/fanned")
+        .groupBy(col("a"), col("b")) // (a, b) matches NO single-key view
+        .agg(count(lit(1)).as("n"))
+      val c0 = GraftStoreOps.mvProbeFsOps
+      qMiss().queryExecution.optimizedPlan // cold
+      val cold = GraftStoreOps.mvProbeFsOps - c0
+      assert(cold <= 1 + 4, s"cold probe issued $cold FS probes for k=4 views")
+      val w0 = GraftStoreOps.mvProbeFsOps
+      val wb0 = GraftStoreOps.manifestParseBytes
+      (1 to 10).foreach(_ => qMiss().queryExecution.optimizedPlan)
+      assert(GraftStoreOps.mvProbeFsOps === w0,
+        "warm planning with 4 refusing candidates must issue ZERO probe FS ops")
+      assert(GraftStoreOps.manifestParseBytes === wb0)
+    } finally {
+      spark.conf.unset("spark.graft.mv.probeCacheMs")
+      spark.conf.unset("spark.sql.catalog.auditpb")
+      spark.conf.unset("spark.sql.catalog.auditpb.base")
+    }
+  }
 }

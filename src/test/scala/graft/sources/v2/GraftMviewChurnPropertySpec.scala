@@ -64,15 +64,30 @@ class GraftMviewChurnPropertySpec extends AnyFunSuite with graft.SparkTestBase {
           () => spark.read.format("graft-store").load(fact)
             .groupBy("fk").agg(count(lit(1)).as("n"), sum("v").as("s"),
               countDistinct(col("v")).as("dv")))
-      case "inner" | "left" | "full" =>
-        val jt = shape match {
+      case "inner" | "left" | "full" | "inner_mm" | "left_mm" | "full_mm" =>
+        val jt = shape.takeWhile(_ != '_') match {
           case "inner" => "JOIN"; case "left" => "LEFT JOIN"
           case _ => "FULL OUTER JOIN"
         }
-        val sjt = shape match {
+        val sjt = shape.takeWhile(_ != '_') match {
           case "inner" => "inner"; case "left" => "left_outer"
           case _ => "full_outer"
         }
+        if (shape.endsWith("_mm"))
+          // min/max over a join view: the removal rescan rebuilds the
+          // join for touched groups — swept under the same adversarial
+          // churn (NULL keys, dim flips, both-side deletes) as the
+          // distributive columns
+          (s"SELECT nk, count(*) AS n, min(v) AS mn, max(v) AS mx " +
+            s"FROM mvchurn.f_$shape $jt mvchurn.c_$shape ON fk = pk GROUP BY nk",
+            () => {
+              val f = spark.read.format("graft-store").load(fact)
+              val c = spark.read.format("graft-store").load(d1)
+              f.join(c, f("fk") === c("pk"), sjt)
+                .groupBy("nk").agg(count(lit(1)).as("n"), min("v").as("mn"),
+                  max("v").as("mx"))
+            })
+        else
         (s"SELECT nk, count(*) AS n, sum(v) AS s, count(DISTINCT v) AS dv " +
           s"FROM mvchurn.f_$shape $jt mvchurn.c_$shape ON fk = pk GROUP BY nk",
           () => {
@@ -155,5 +170,14 @@ class GraftMviewChurnPropertySpec extends AnyFunSuite with graft.SparkTestBase {
   }
   test("mixed left chain view: 10 random churn rounds match recompute") {
     catBase; runShape("chain")
+  }
+  test("inner join min/max view: 10 random churn rounds match recompute") {
+    catBase; runShape("inner_mm")
+  }
+  test("left outer min/max view: 10 random churn rounds match recompute") {
+    catBase; runShape("left_mm")
+  }
+  test("full outer min/max view: 10 random churn rounds match recompute") {
+    catBase; runShape("full_mm")
   }
 }

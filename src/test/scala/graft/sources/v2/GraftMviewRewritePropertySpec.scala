@@ -82,7 +82,13 @@ class GraftMviewRewritePropertySpec extends AnyFunSuite with graft.SparkTestBase
             round(avg("v"), 6).as("av"), min("v").as("mn"), max("v").as("mx")),
           df => df.groupBy("g").agg(countDistinct(col("day")).as("dd")),
           df => df.groupBy("g").agg(countDistinct(col("v")).as("dv")),
-          df => df.agg(count(lit(1)).as("n"), sum("v").as("s")))
+          df => df.agg(count(lit(1)).as("n"), sum("v").as("s")),
+          // grouping-set sugar: every member must serve (or the whole
+          // query refuse) through the SAME lattice — rollup/cube sweep
+          // the union-of-members path against every WHERE combination
+          df => df.rollup("g", "day").agg(count(lit(1)).as("n"),
+            sum("v").as("s")),
+          df => df.cube("g", "day").agg(count(lit(1)).as("n")))
         shapes.zipWithIndex.foreach { case (shape, si) =>
           val q = () => shape(qw.fold(base())(c => base().filter(c)))
           val on = canon(q())

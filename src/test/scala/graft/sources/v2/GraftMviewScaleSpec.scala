@@ -191,4 +191,78 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
       s"over-cap churn opened $s10 slices of a $files10-file fact base — " +
         "the range fallback is not pruning")
   }
+
+  /** SERVE-PATH scale probes (the round-13 rewrite family, q232/q240/
+    * q234 shapes): corpus 10×, SERVED QUERY work must stay view-sized —
+    * a LEFT-shape join-back, a mixed join-back (view slice ∪ complement
+    * fact partials ⋈ dim), and a COUNT(DISTINCT) rollup through the
+    * companion. The invariant is query-time slices: the fact corpus is
+    * 8→80 files, and the served plan must never read corpus-shaped —
+    * only the view/companion/dim (flat) plus, for the mixed plan, the
+    * complement key range's own files (data-proportional to the
+    * complement, never to the covered corpus). */
+  private def serveRun(shape: String, mult: Int): (Long, Int) = {
+    val tag = s"sv_${shape}_$mult"
+    val fact = s"$catBase/f_$tag"
+    val dim = s"$catBase/d_$tag"
+    val mvDir = s"$catBase/mv_$tag"
+    val rows = 100000L * mult
+    val files = 8 * mult
+    spark.range(0, rows)
+      .select((col("id") % 1000).as("fk"), (col("id") % 97).as("v"))
+      .repartitionByRange(files, col("fk"))
+      .write.format("graft-store").mode("overwrite").save(fact)
+    spark.range(0, 1000).select(col("id").as("pk"), (col("id") % 25).as("nk"))
+      .write.format("graft-store").mode("overwrite").save(dim)
+    val mvSql = shape match {
+      case "leftjb" | "dcrollup" =>
+        val dv = if (shape == "dcrollup") ", count(DISTINCT v) AS dv" else ""
+        s"SELECT fk, count(*) AS n, sum(v) AS s$dv " +
+          s"FROM mvscale.f_$tag GROUP BY fk"
+      case "mixedjb" =>
+        s"SELECT fk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
+          s"WHERE fk < 800 GROUP BY fk"
+    }
+    GraftMview.create(spark, mvDir, mvSql)
+    val df = shape match {
+      case "leftjb" => spark.sql(
+        s"SELECT nk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
+          s"LEFT JOIN mvscale.d_$tag ON fk = pk GROUP BY nk")
+      case "mixedjb" => spark.sql(
+        s"SELECT nk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
+          s"JOIN mvscale.d_$tag ON fk = pk WHERE fk < 900 GROUP BY nk")
+      case "dcrollup" => spark.sql(
+        s"SELECT count(DISTINCT v) AS dv FROM mvscale.f_$tag")
+    }
+    assert(df.queryExecution.optimizedPlan.toString.contains(mvDir),
+      s"$tag: the query must serve from the MV")
+    val before = GraftStoreFormat.scannedFileSlices.sum()
+    df.collect()
+    (GraftStoreFormat.scannedFileSlices.sum() - before, files)
+  }
+
+  private def serveProbe(shape: String): Unit = {
+    val (s1, _) = serveRun(shape, 1)
+    val (s10, files10) = serveRun(shape, 10)
+    info(f"serve/$shape%-9s 1x: $s1%3d slices   10x: $s10%3d slices " +
+      f"(fact base $files10%3d files)")
+    println(f"[mv-scale] serve/$shape%-9s 1x: $s1%3d slices   " +
+      f"10x: $s10%3d slices (fact base $files10%3d files)")
+    assert(s10 < files10 / 2,
+      s"serve/$shape opened $s10 slices of a $files10-file fact base — " +
+        "the served plan is reading corpus-shaped")
+    assert(s10 <= s1 + 16,
+      s"serve/$shape slices grew $s1 -> $s10 at 10x — query work is " +
+        "tracking corpus size, not the view")
+  }
+
+  test("LEFT-shape join-back serve is corpus-size-independent") {
+    catBase; serveProbe("leftjb")
+  }
+  test("mixed join-back serve reads only the complement range, never the covered corpus") {
+    catBase; serveProbe("mixedjb")
+  }
+  test("COUNT(DISTINCT) rollup serve through the companion is corpus-size-independent") {
+    catBase; serveProbe("dcrollup")
+  }
 }

@@ -229,6 +229,55 @@ class GraftMviewServeExtSpec extends AnyFunSuite with graft.SparkTestBase {
   }
 
   // ---------------------------------------------------------------- //
+  // mixed join-back beyond the exact shape                            //
+  // ---------------------------------------------------------------- //
+
+  test("covered-PAIR mixed join-back: 2-table view + wider WHERE + uncovered dim") {
+    catBase
+    val fact = s"$catBase/mjp_fact"
+    val d1 = s"$catBase/mjp_d1"
+    val d2 = s"$catBase/mjp_d2"
+    val mv = s"$catBase/mjp_mv"
+    (0 until 4000).map(i => (i.toLong, i.toLong % 50, (i % 97).toLong))
+      .toDF("ok", "ck", "v")
+      .repartitionByRange(16, col("ok"))
+      .write.format("graft-store").mode("overwrite").save(fact) // 16 files
+    (0 until 50).map(i => (i.toLong, i.toLong % 7)).toDF("pk", "nk")
+      .repartition(1)
+      .write.format("graft-store").mode("overwrite").save(d1)
+    (0 until 7).map(i => (i.toLong, s"r$i")).toDF("nk2", "rname")
+      .repartition(1)
+      .write.format("graft-store").mode("overwrite").save(d2)
+    // 2-table COVERED PAIR view, WHERE'd to the archived range, grouped
+    // by the OUTBOUND key (nk) so the join-back to d2 is sound
+    spark.sql("CALL sxcat.system.create_mview('mjp_mv', " +
+      "'SELECT nk, count(*) AS n, sum(v) AS sv " +
+      "FROM sxcat.mjp_fact JOIN sxcat.mjp_d1 ON ck = pk " +
+      "WHERE ok < 3000 GROUP BY nk')")
+    // wider WHERE + a THIRD (uncovered) dim at coarser grain: must serve
+    // as [view slice ∪ complement pair partials] ⋈ d2, re-aggregated
+    val sql =
+      """SELECT rname, count(*) AS n, sum(v) AS sv
+        |FROM sxcat.mjp_fact JOIN sxcat.mjp_d1 ON ck = pk
+        |  JOIN sxcat.mjp_d2 ON nk = nk2
+        |WHERE ok < 3500
+        |GROUP BY rname""".stripMargin
+    val q = spark.sql(sql)
+    assert(served(q, mv),
+      "wider-WHERE 3-table query must mixed-join-back through the covered pair:\n" +
+        q.queryExecution.optimizedPlan.toString.take(2000))
+    val before = GraftStoreOps.scannedFileSlices
+    val rows = q.collect()
+    val opened = GraftStoreOps.scannedFileSlices - before
+    // view (≤4 files) + single-file d1/d2 + the complement range's ~2
+    // fact files — never the 12 covered files of the 16-file fact base
+    assert(opened < 12,
+      s"mixed join-back opened $opened slices (16-file fact, 12 covered)")
+    assert(rows.nonEmpty)
+    differential(sql)
+  }
+
+  // ---------------------------------------------------------------- //
   // min/max over join views                                           //
   // ---------------------------------------------------------------- //
 
