@@ -14,8 +14,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema cache, keyed by file path. Every bare
+    * `spark.read.parquet` pays a footer-reading schema-inference job (a
+    * 1-task Spark job + its driver gap, ~50-100 ms on local[]) per call;
+    * the testdata is immutable, so the schema is inferred once and passed
+    * explicitly afterwards (optimization guide §1: per-action overhead is
+    * pure waste at 243 queries × 2 passes × 1-3 loads each). Plans and
+    * results are identical — the schema IS the inferred one. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

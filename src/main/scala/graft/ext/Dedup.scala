@@ -97,10 +97,17 @@ object Dedup {
     * per verified near-dup pair) compared to the signature frame. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleN: Int, minJaccard: Double): DataFrame = {
-    val sig = withMinHash(df.select(col(idCol), col(textCol)), textCol, numHashes, shingleN)
+    // ONE normalize→tokenize→shingle pass: the signature is derived from
+    // the SAME shingle column the verify step keeps. (The previous
+    // withMinHash composition recomputed toks+shingles for the verify
+    // column — the normalize/tokenize/shingle chain is the dominant
+    // per-row CPU of the whole pipeline and was paid twice; q110's
+    // profile showed it as a single 16.7 s-of-task-time job. Same
+    // expressions, same inputs ⇒ identical sig and sh values.)
+    val sig = ensureParallelism(df.select(col(idCol), col(textCol)))
       .withColumn("toks", tokens(normText(col(textCol))))
       .withColumn("sh", shingleSql("toks", shingleN))
-      .select(col(idCol), col("sig"), col("sh"))
+      .select(col(idCol), MinHashSignature(col("sh"), numHashes).as("sig"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val banded = bandHashes(sig.select(col(idCol), col("sig")), numHashes, rowsPerBand)

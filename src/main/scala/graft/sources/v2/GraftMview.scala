@@ -922,15 +922,19 @@ object GraftMview {
       props: Map[String, String]): Long = {
     val heads = wms2.map(_._1)
     val pf = pinnedFrame(spark, src, heads)
-    // IterGuard: localCheckpoint on local[], RELIABLE checkpoint under
-    // spark.graft.checkpointDir — a lost executor mid-refresh recomputes
-    // from the durable store instead of failing the job
-    val df = graft.operators.IterGuard(aggregate(pf, filterSql, cols))
-    val n = df.count()
-    df.write.format("graft-store").option("dmlMode", "mor")
+    // the aggregate executes exactly once (this write); the row count
+    // comes from the committed manifest. The former IterGuard + count()
+    // pair cost two extra Spark jobs per full (re)build for a number the
+    // write already knows — and a plain write recomputes from the pinned
+    // source on task retry, so no checkpoint is needed for reliability.
+    aggregate(pf, filterSql, cols)
+      .write.format("graft-store").option("dmlMode", "mor")
       .option("setProps", props.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${enc(k)}:${enc(v)}" }.mkString(","))
       .mode("overwrite").save(mvPath)
+    val n = GraftStoreFormat
+      .readLatestManifest(mvPath, spark.sparkContext.hadoopConfiguration)
+      .map(_.files.map(_.rows).sum).getOrElse(0L)
     cols.foreach {
       case DCountCol(s0, o) =>
         writeCompanion(spark, dckPath(mvPath, o), pf, filterSql, cols, s0,
@@ -1493,12 +1497,14 @@ object GraftMview {
     val storedCols = cols.map(_.out) ++ internals(cols)
     val survivors = merged.filter(col(liveOut) > 0L)
       .select(storedCols.map(col): _*)
-    val vanished = merged.filter(col(liveOut) <= 0L).count()
     val keys = merged.select(groupOuts.map(g => col(g.out)): _*)
     val (nUp, nKeys) = GraftStoreOps.replaceByKeyMor(
       spark, mvPath, survivors, groupOuts.map(_.out), keys, newProps)
     // nKeys == 0 (no effective churn): replaceByKeyMor still stamped the
-    // advanced watermark as a metadata-only commit
-    ("incremental", nUp, vanished, heads.head)
+    // advanced watermark as a metadata-only commit. merged is one row per
+    // churned group (every input to it is per-group), so the vanished
+    // count (live <= 0) is exactly nKeys − nUp — the former separate
+    // count() job re-derived a number the commit already knows.
+    ("incremental", nUp, nKeys - nUp, heads.head)
   }
 }

@@ -5876,17 +5876,16 @@ object GraftStoreOps {
     require(source.schema.fieldNames.sorted.sameElements(m.schema.fieldNames.sorted),
       s"graft-store: upsert source columns ${source.schema.fieldNames.mkString(",")} " +
         s"must match table columns ${m.schema.fieldNames.mkString(",")}")
-    val src = source.select(m.schema.fieldNames.map(col).toSeq: _*).localCheckpoint(true)
+    val src = source.select(m.schema.fieldNames.map(col).toSeq: _*)
     require(GraftStoreFormat.sameCols(src.schema, m.schema),
       s"graft-store: upsert source types ${src.schema.simpleString} must match " +
         s"table types ${m.schema.simpleString}")
-    val n = src.count()
-    val nk = src.select(keyCols.map(col).toSeq: _*).distinct().count()
-    require(n == nk,
-      "graft-store: upsert source has duplicate keys — ambiguous, rejected")
-    if (n == 0L) return (0L, 0L)
     // new row versions: written through the table's layout with CHECK
-    // enforced — an upsert must not degrade the layout or dodge the gate
+    // enforced — an upsert must not degrade the layout or dodge the gate.
+    // The source executes exactly ONCE (this write); the key rows are read
+    // BACK from the written scratch files and the row counts come from the
+    // scratch manifests, so the former localCheckpoint + two count() jobs
+    // (three extra Spark jobs per upsert batch) are gone.
     val dataScratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
     val w0 = src.write.format("graft-store").mode("overwrite")
     val w1 = m.check.fold(w0)(c => w0.option("check", c))
@@ -5897,9 +5896,12 @@ object GraftStoreOps {
           math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
       case _ => w1
     }).save(dataScratch)
-    eqDeltaCommit(spark, path, m, keyCols,
-      src.select(keyCols.map(col).toSeq: _*), Some(dataScratch))
-    (n, nk)
+    val keysBack = spark.read.format("graft-store").load(dataScratch)
+      .select(keyCols.map(col).toSeq: _*).distinct()
+    // nk counts DISTINCT keys; n == nk rejects in-batch duplicates exactly
+    // as the former count() pair did
+    eqDeltaCommit(spark, path, m, keyCols, keysBack, Some(dataScratch),
+      requireUniqueKeys = true)
   }
 
   /** DELETE-BY-KEY without scanning (equality deletes, no new rows): the
@@ -5914,21 +5916,24 @@ object GraftStoreOps {
     val m = GraftStoreFormat.readLatestManifest(path, conf)
       .getOrElse(throw new IllegalArgumentException(s"graft-store: no manifest at $path"))
     val keyCols = keys.schema.fieldNames.toSeq
-    val distinctKeys = keys.distinct().localCheckpoint(true)
-    val nk = distinctKeys.count()
-    if (nk == 0L) return 0L
-    eqDeltaCommit(spark, path, m, keyCols, distinctKeys, None)
-    nk
+    // the distinct executes once (the key-store write inside the commit);
+    // nk comes from the key scratch manifest — no checkpoint/count jobs
+    eqDeltaCommit(spark, path, m, keyCols, keys.distinct(), None)._2
   }
 
   /** Shared equality-delta commit: write the key store (and rename any
     * pre-written data scratch in), then OCC-publish files+masks at one
-    * sequence. Key columns must exist at matching types and be codec-
-    * atomic (the equality probe decodes them positionally). */
+    * sequence. Returns (data rows added, key tuples recorded), both read
+    * from the scratch manifests — no count() jobs. Empty keys degrades to
+    * a metadata-only property commit (or a no-op without `setProps`);
+    * `requireUniqueKeys` rejects n != nk before anything publishes. Key
+    * columns must exist at matching types and be codec-atomic (the
+    * equality probe decodes them positionally). */
   private def eqDeltaCommit(spark: SparkSession, path: String, m: GraftManifest,
       keyCols: Seq[String], keyRows: org.apache.spark.sql.DataFrame,
       dataScratch: Option[String],
-      setProps: Map[String, String] = Map.empty): Unit = {
+      setProps: Map[String, String] = Map.empty,
+      requireUniqueKeys: Boolean = false): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = GraftStoreFormat.fs(path, conf)
     keyCols.foreach { k =>
@@ -5949,6 +5954,21 @@ object GraftStoreOps {
       .getOrElse(GraftManifest(new StructType(), Seq.empty))
     val dm = dataScratch.map(s => GraftStoreFormat.readLatestManifest(s, conf)
       .getOrElse(GraftManifest(new StructType(), Seq.empty)))
+    // row counts from the scratch MANIFESTS (each file entry carries its
+    // row count): the callers' former localCheckpoint + count() pairs were
+    // two extra Spark jobs per frame for numbers the write already knows
+    val nk = km.files.map(_.rows).sum
+    val n = dm.map(_.files.map(_.rows).sum).getOrElse(0L)
+    if (requireUniqueKeys) require(n == nk,
+      "graft-store: upsert source has duplicate keys — ambiguous, rejected")
+    if (nk == 0L) {
+      require(n == 0L,
+        "graft-store: replace/upsert rows without key coverage would duplicate")
+      f.delete(new Path(keyScratch), true)
+      dataScratch.foreach(s => f.delete(new Path(s), true))
+      if (setProps.nonEmpty) setTableProps(spark, path, setProps)
+      return (0L, 0L)
+    }
     km.files.foreach(e => f.rename(new Path(keyScratch, e.name), new Path(path, e.name)))
     dataScratch.foreach { s =>
       dm.get.files.foreach(e => f.rename(new Path(s, e.name), new Path(path, e.name)))
@@ -5974,6 +5994,7 @@ object GraftStoreOps {
     }
     f.delete(new Path(keyScratch), true)
     dataScratch.foreach(s => f.delete(new Path(s), true))
+    (n, nk)
   }
 
   /** REPLACE-BY-KEY (merge-on-read): one OCC commit that (a) masks every
@@ -5997,37 +6018,28 @@ object GraftStoreOps {
     require(source.schema.fieldNames.sorted.sameElements(m.schema.fieldNames.sorted),
       s"graft-store: replace source columns ${source.schema.fieldNames.mkString(",")} " +
         s"must match table columns ${m.schema.fieldNames.mkString(",")}")
-    val src = source.select(m.schema.fieldNames.map(col).toSeq: _*).localCheckpoint(true)
+    val src = source.select(m.schema.fieldNames.map(col).toSeq: _*)
     require(GraftStoreFormat.sameCols(src.schema, m.schema),
       s"graft-store: replace source types ${src.schema.simpleString} must match " +
         s"table types ${m.schema.simpleString}")
-    val distinctKeys = keys.select(keyCols.map(col).toSeq: _*)
-      .distinct().localCheckpoint(true)
-    val n = src.count()
-    val nk = distinctKeys.count()
-    if (nk == 0L) {
-      require(n == 0L,
-        "graft-store: replaceByKeyMor rows without key coverage would duplicate")
-      if (setProps.nonEmpty) setTableProps(spark, path, setProps)
-      return (0L, 0L)
-    }
-    val dataScratch =
-      if (n == 0L) None
-      else {
-        val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
-        val w0 = src.write.format("graft-store").mode("overwrite")
-        val w1 = m.check.fold(w0)(c => w0.option("check", c))
-        ((m.partitionCol, m.clusterCols) match {
-          case (Some(c), _) => w1.option("partitionBy", c)
-          case (None, Some(cc)) =>
-            w1.option("clusterBy", cc).option("clusterFiles",
-              math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
-          case _ => w1
-        }).save(scratch)
-        Some(scratch)
-      }
-    eqDeltaCommit(spark, path, m, keyCols, distinctKeys, dataScratch, setProps)
-    (n, nk)
+    // source and keys each execute exactly once (their scratch writes);
+    // row counts come from the scratch manifests. The former pattern —
+    // localCheckpoint + count() on both frames — cost four extra Spark
+    // jobs per refresh commit for numbers the writes already produce.
+    // (Both call sites pass frames derived from an already-materialized
+    // merge frame, so the two executions share no recomputed lineage.)
+    val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
+    val w0 = src.write.format("graft-store").mode("overwrite")
+    val w1 = m.check.fold(w0)(c => w0.option("check", c))
+    ((m.partitionCol, m.clusterCols) match {
+      case (Some(c), _) => w1.option("partitionBy", c)
+      case (None, Some(cc)) =>
+        w1.option("clusterBy", cc).option("clusterFiles",
+          math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
+      case _ => w1
+    }).save(scratch)
+    val distinctKeys = keys.select(keyCols.map(col).toSeq: _*).distinct()
+    eqDeltaCommit(spark, path, m, keyCols, distinctKeys, Some(scratch), setProps)
   }
 
   /** Metadata-only user-property commit (the programmatic `ALTER TABLE

@@ -33,7 +33,10 @@ object EventsPipeline {
     * mirroring [[graft.Tables.events]]. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // through Tables.load so the footer-inference job is paid once per
+    // session, not once per stream start (the cache returns the physical
+    // schema: load() does no ts normalization)
+    val physTs = graft.Tables.load(spark, dir, "events").schema("ts").dataType
     val raw = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructType.fromDDL(

@@ -32,8 +32,8 @@ object JobProfile {
     override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
       val desc = Option(e.properties)
         .flatMap(p => Option(p.getProperty("spark.job.description")))
-        .orElse(Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))))
+        .filter(_.nonEmpty)
+        .orElse(e.stageInfos.lastOption.map(_.name)) // "count at Foo.scala:12"
         .getOrElse("")
       jobs(e.jobId) = JobRow(e.jobId, desc, System.nanoTime())
       e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
@@ -87,12 +87,18 @@ object JobProfile {
       val jobNs = rows.map(r => math.max(0L, r.endNs - r.startNs)).sum
       println(f"%n===== $name  wall=${wallNs / 1e9}%.3f s  jobs=${rows.size}  " +
         f"job-wall-sum=${jobNs / 1e9}%.3f s  driver-gap=${(wallNs - jobNs) / 1e9}%.3f s")
-      println(f"${"job"}%4s ${"wall_s"}%8s ${"tasks"}%6s ${"taskTime_s"}%11s " +
-        f"${"shufR_MB"}%9s ${"shufW_MB"}%9s  desc")
-      rows.sortBy(r => -(r.endNs - r.startNs)).take(40).foreach { r =>
-        println(f"${r.id}%4d ${(r.endNs - r.startNs) / 1e9}%8.3f ${r.tasks}%6d " +
-          f"${r.taskTimeMs / 1e3}%11.3f ${r.shuffleReadB / 1e6}%9.2f " +
-          f"${r.shuffleWriteB / 1e6}%9.2f  ${r.desc.take(110)}")
+      println(f"${"job"}%4s ${"gap_s"}%7s ${"wall_s"}%8s ${"tasks"}%6s " +
+        f"${"taskTime_s"}%11s ${"shufR_MB"}%9s ${"shufW_MB"}%9s  desc")
+      // chronological with the DRIVER GAP before each job (planning, FS,
+      // commit work between actions) — gap attribution is the point
+      var prevEnd = t0
+      rows.sortBy(_.startNs).foreach { r =>
+        val gap = (r.startNs - prevEnd) / 1e9
+        prevEnd = math.max(prevEnd, r.endNs)
+        println(f"${r.id}%4d $gap%7.3f ${(r.endNs - r.startNs) / 1e9}%8.3f " +
+          f"${r.tasks}%6d ${r.taskTimeMs / 1e3}%11.3f " +
+          f"${r.shuffleReadB / 1e6}%9.2f ${r.shuffleWriteB / 1e6}%9.2f  " +
+          f"${r.desc.take(90)}")
       }
     }
     spark.stop()
