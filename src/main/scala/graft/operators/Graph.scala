@@ -110,11 +110,17 @@ object Graph {
               .select(col("id"), col("_old"),
                 least(col("mid"), coalesce(col("_jump"), col("mid"))).as("cluster_id"))
           else stepped.withColumnRenamed("mid", "cluster_id")
+        // the changed count rides the checkpoint job as an OBSERVED metric
+        // (CollectMetricsExec accumulator) instead of a separate count()
+        // job over the materialized frame — one action per iteration
+        val obs = new org.apache.spark.sql.Observation(s"cc_changed_$iter")
         val next = jumped
           .select(col("id"), col("cluster_id"),
             (col("cluster_id") < col("_old")).as("_improved"))
+          .observe(obs, sum(when(col("_improved"), 1L).otherwise(0L)).as("changed"))
           .transform(IterGuard.apply)
-        changed = next.filter(col("_improved")).count()
+        changed = obs.get.get("changed").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         labels = next
         iter += 1
       }
@@ -203,21 +209,30 @@ object Graph {
     try {
       session.conf.set("spark.sql.shuffle.partitions",
         math.min(8, prevParts.toInt).toString)
-      // canonical orientation (bigger, smaller); self loops dropped
-      var e = edges
-        .select(greatest(col("src"), col("dst")).as("src"),
-          least(col("src"), col("dst")).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
-        .transform(IterGuard.apply)
-
-      def signature(df: DataFrame): (Long, Long) = {
-        // bit_xor fold: order-independent, overflow-free (ANSI-safe) edge-set
-        // fingerprint; distinct() upstream guarantees multiset == set
-        val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).collect()(0)
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      // the (count, xxhash64-xor) edge-set fingerprint rides each round's
+      // checkpoint job as OBSERVED metrics (bit_xor fold: order-independent,
+      // overflow-free ANSI-safe; distinct() upstream guarantees multiset ==
+      // set) instead of a separate aggregate-collect job per round
+      var obsId = 0
+      def observedSig(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+        obsId += 1
+        val obs = new org.apache.spark.sql.Observation(s"stars_sig_$obsId")
+        (df.observe(obs, count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("src"), col("dst"))).as("h")), obs)
+      }
+      def sigOf(obs: org.apache.spark.sql.Observation): (Long, Long) = {
+        val m = obs.get
+        (m.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          m.get("h").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L))
       }
 
-      var sig = signature(e)
+      // canonical orientation (bigger, smaller); self loops dropped
+      val (e0, obs0) = observedSig(edges
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+      var e = IterGuard(e0)
+      var sig = sigOf(obs0)
       var iter = 0
       var converged = false
       while (iter < maxIters && !converged) {
@@ -232,13 +247,13 @@ object Graph {
           .transform(IterGuard.apply)
         // small-star over the larger-endpoint orientation (already canonical)
         val mSmall = large.groupBy("src").agg(min("dst").as("m"))
-        val small = large.join(mSmall, "src")
+        val (small0, obsI) = observedSig(large.join(mSmall, "src")
           .select(col("dst").as("src"), col("m").as("dst")) // smaller nbr → m
           .filter(col("src") =!= col("dst"))
           .unionByName(mSmall.select(col("src"), col("m").as("dst"))) // u itself → m
-          .distinct()
-          .transform(IterGuard.apply)
-        val nextSig = signature(small)
+          .distinct())
+        val small = IterGuard(small0)
+        val nextSig = sigOf(obsI)
         converged = nextSig == sig
         sig = nextSig
         e = small

@@ -746,6 +746,24 @@ object GraftMview {
       }.reduce(_ && _))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Materialize a bounded churn KEY FRAME for reuse. The frame is always
+    * collected once here (≤ cap+1 rows — it derives from an
+    * already-materialized netted-churn frame, so the collect is a cheap
+    * cached-read job): within the cap it is re-issued as a LOCAL relation,
+    * so the downstream [[boundedKeyPred]] collect becomes driver-local (no
+    * job), the exact semi-joins broadcast it without a scan job, and the
+    * former eager-checkpoint job disappears — three fewer Spark jobs per
+    * key frame on the refresh path. Over the cap it degrades to the usual
+    * [[graft.operators.IterGuard]] checkpoint: identical frames, identical
+    * semantics, churn-proportional exactly as before. */
+  private def materializeKeys(df: DataFrame): DataFrame = {
+    val rows = df.limit(1001).collect()
+    if (rows.length <= 1000)
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    else graft.operators.IterGuard(df)
+  }
+
   /** Collapse carried-identical ± pairs down to NET row churn: a
     * rewritten file re-emits its unchanged rows as -1/+1 pairs (a 1-row
     * MOR update of a 250-row file yields 500 signed rows), which the
@@ -1127,7 +1145,7 @@ object GraftMview {
             val kf = di.select(ownKeyCols.zipWithIndex.map { case (c, x) =>
                 col(c).as(s"__jk_$x") }: _*)
               .na.drop("any").distinct()
-              .transform(graft.operators.IterGuard(_))
+              .transform(materializeKeys)
             def restrictTo(f0: DataFrame, cols2: Seq[String]): DataFrame = {
               val pre = boundedKeyPred(kf,
                 cols2.indices.map(x => s"__jk_$x"), cols2).fold(f0)(f0.filter)
@@ -1224,7 +1242,7 @@ object GraftMview {
             val kf0 = di.select(myKeys.zipWithIndex.map { case (k, x) =>
                 col(k._4).as(s"__jk_$x") }: _*)
               .na.drop("any").distinct()
-              .transform(graft.operators.IterGuard(_))
+              .transform(materializeKeys)
             // value-based restriction: bounded compile-time IN (file
             // skipping) + exact semi-join against the key frame
             def restrict(f0: DataFrame, cols2: Seq[String],
@@ -1251,7 +1269,7 @@ object GraftMview {
                 kf = fj.select(parKeys.zipWithIndex.map { case (k, x) =>
                     col(k._4).as(s"__jk_$x") }: _*)
                   .na.drop("any").distinct()
-                  .transform(graft.operators.IterGuard(_))
+                  .transform(materializeKeys)
               }
               child = par
             }
