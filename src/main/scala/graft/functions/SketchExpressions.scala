@@ -33,7 +33,27 @@ object SketchSupport {
     h >>> 4
   }
 
+  /** Same value as [[hash60]] but the digest lands in a caller-owned
+    * buffer — `MessageDigest.digest()` otherwise allocates a fresh 16-byte
+    * array per call, and the minhash kernel makes K×|shingles| calls per
+    * row (the hottest allocation site of the whole dedup pipeline). */
+  @inline private def hash60Into(md: MessageDigest, d: Array[Byte]): Long = {
+    md.digest(d, 0, 16)
+    val h = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    h >>> 4
+  }
+
   private val localMd = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  private val localDigestBuf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](16))
+  // the "k:" hash-prefix byte tables, built once per K (they were built per
+  // ROW before — numHashes small byte arrays + string formats per document)
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixesFor(numHashes: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(numHashes,
+      k => Array.tabulate(k)(i => s"$i:".getBytes("UTF-8")))
 
   /** MinHash signature over a shingle array: sig[k] = min over shingles of
     * hash60(md5(k + ":" + shingle)); null entries when the array is empty. */
@@ -41,8 +61,9 @@ object SketchSupport {
     val n = shingles.numElements()
     if (n == 0) return new GenericArrayData(new Array[java.lang.Long](numHashes))
     val md = localMd.get()
+    val buf = localDigestBuf.get()
     val mins = Array.fill(numHashes)(java.lang.Long.MAX_VALUE)
-    val prefixes = Array.tabulate(numHashes)(k => s"$k:".getBytes("UTF-8"))
+    val prefixes = prefixesFor(numHashes)
     var i = 0
     while (i < n) {
       val s = shingles.getUTF8String(i).getBytes
@@ -51,7 +72,7 @@ object SketchSupport {
         md.reset()
         md.update(prefixes(k))
         md.update(s)
-        val h = hash60(md)
+        val h = hash60Into(md, buf)
         if (h < mins(k)) mins(k) = h
         k += 1
       }
@@ -64,13 +85,14 @@ object SketchSupport {
     * '1' iff sum over tokens of ±1 (by bit j of hash60(md5(token))) > 0. */
   def simHashBits(toks: ArrayData, bits: Int): UTF8String = {
     val md = localMd.get()
+    val buf = localDigestBuf.get()
     val acc = new Array[Int](bits)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
       md.reset()
       md.update(toks.getUTF8String(i).getBytes)
-      val h = hash60(md)
+      val h = hash60Into(md, buf)
       var j = 0
       while (j < bits) {
         acc(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
