@@ -24,8 +24,20 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Test hook: the cache assumes the files under a path never change
+    * (the driver's testdata is generated once per SF and immutable); a
+    * test that rewrites a table in place must drop the frozen schema. */
+  def clearSchemaCache(): Unit = schemaCache.clear()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    // inference-affecting conf is pinned HERE, not at call sites: the
+    // cache is process-global and keyed by path only, so the first
+    // caller's session conf freezes the inferred schema for the JVM
+    // lifetime — events.parquet may carry TIMESTAMP(NANOS), which Spark 4
+    // only reads (as long) under the legacy conf
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = schemaCache.computeIfAbsent(path,
       p => spark.read.parquet(p).schema)
     spark.read.schema(schema).parquet(path)

@@ -1126,15 +1126,17 @@ object ExtQueries {
     "q123_winnowing", "EXT-fingerprint-winnowing",
     "winnowing fingerprints: window-min of 3-gram hashes (w=4), xor-checked set",
     (s, d) =>
+      // hash + window-min run as COMPILED kernels (Hash60Array /
+      // WinnowMins — bit-identical to the former HOF chain, see their
+      // docs); the coalesce preserves the old `IF(size(null) >= 4)` →
+      // empty-array behavior for a null text
       ensureParallelism(docs(s, d))
         .withColumn("toks", tokens(normText(col("text"))))
         .withColumn("sh3", shingleSql("toks", 3))
-        .withColumn("h", expr(
-          "transform(sh3, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
-        .withColumn("fps", expr(
-          """array_distinct(IF(size(h) >= 4,
-            |  transform(sequence(0, size(h) - 4), i -> array_min(slice(h, i + 1, 4))),
-            |  array()))""".stripMargin))
+        .withColumn("h", graft.functions.Hash60Array(col("sh3")))
+        .withColumn("fps", array_distinct(coalesce(
+          graft.functions.WinnowMins(col("h"), 4),
+          expr("cast(array() as array<bigint>)"))))
         .select(col("doc_id"),
           size(col("h")).as("n_grams"),
           size(col("fps")).as("n_fps"),
@@ -1259,12 +1261,10 @@ object ExtQueries {
       val fps = ensureParallelism(docs(s, d))
         .withColumn("toks", tokens(normText(col("text"))))
         .withColumn("sh3", shingleSql("toks", 3))
-        .withColumn("h", expr(
-          "transform(sh3, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
-        .withColumn("fps", expr(
-          """array_distinct(IF(size(h) >= 4,
-            |  transform(sequence(0, size(h) - 4), i -> array_min(slice(h, i + 1, 4))),
-            |  array()))""".stripMargin))
+        .withColumn("h", graft.functions.Hash60Array(col("sh3")))
+        .withColumn("fps", array_distinct(coalesce(
+          graft.functions.WinnowMins(col("h"), 4),
+          expr("cast(array() as array<bigint>)"))))
         .select("doc_id", "fps")
         .localCheckpoint(true)
       val ex = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
@@ -1391,17 +1391,16 @@ object ExtQueries {
     "q130_winnowing_extents", "EXT-dedup-winnowing-extents",
     "overlap extents: token spans of shared winnowing fingerprints per doc pair",
     (s, d) => {
+      // the 3-slice + 2×array_min + array_position window chain runs as
+      // ONE compiled pass (WinnowExtents): pos = leftmost window-min
+      // position, fp = the min — value-identical, see the kernel doc
       val fps = ensureParallelism(docs(s, d))
         .withColumn("toks", tokens(normText(col("text"))))
         .withColumn("sh3", shingleSql("toks", 3))
-        .withColumn("h", expr(
-          "transform(sh3, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
-        .withColumn("w", expr(
-          """IF(size(h) >= 4,
-            |  transform(sequence(0, size(h) - 4), i -> struct(
-            |    i + array_position(slice(h, i + 1, 4), array_min(slice(h, i + 1, 4))) AS pos,
-            |    array_min(slice(h, i + 1, 4)) AS fp)),
-            |  array())""".stripMargin))
+        .withColumn("h", graft.functions.Hash60Array(col("sh3")))
+        .withColumn("w", coalesce(
+          graft.functions.WinnowExtents(col("h"), 4),
+          expr("cast(array() as array<struct<pos:bigint,fp:bigint>>)")))
         .select("doc_id", "w")
         .localCheckpoint(true)
       val ex = fps.select(col("doc_id"), explode(col("w")).as("s"))

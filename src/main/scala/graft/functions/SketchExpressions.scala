@@ -116,6 +116,92 @@ object SketchSupport {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     java.lang.Double.valueOf(acc)
   }
+
+  /** Per-element 60-bit hash of a string array — the compiled form of
+    * `transform(arr, x -> cast(conv(substring(md5(x),1,15),16,10) as bigint))`
+    * (see [[hash60]] for the bit-equality argument): one digest into a
+    * thread-local buffer per element, no hex-string materialization, no
+    * per-element lambda interpretation. Null elements map to null. */
+  def hash60Array(arr: ArrayData): ArrayData = {
+    val md = localMd.get()
+    val buf = localDigestBuf.get()
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        out(i) = java.lang.Long.valueOf(hash60Into(md, buf))
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-window minima of a bigint array — winnowing's inner loop
+    * (Schleimer et al., SIGMOD '03), the compiled single pass equal to
+    * `IF(size(h) >= w, transform(sequence(0, size(h)-w),
+    *    i -> array_min(slice(h, i+1, w))), array())`:
+    * no per-window slice allocation, no lambda interpretation. Minima
+    * skip null elements exactly as `array_min` does (an all-null window
+    * yields a null entry); fewer than w elements yields the empty array. */
+  def winnowMins(h: ArrayData, w: Int): ArrayData = {
+    val n = h.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - w + 1)
+    var i = 0
+    while (i <= n - w) {
+      var best = Long.MaxValue
+      var seen = false
+      var j = i
+      while (j < i + w) {
+        if (!h.isNullAt(j)) {
+          val v = h.getLong(j)
+          if (!seen || v < best) { best = v; seen = true }
+        }
+        j += 1
+      }
+      out(i) = if (seen) java.lang.Long.valueOf(best) else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** POSITIONAL winnowing window pass: per window, the struct
+    * `(pos = i + array_position(slice(h,i+1,w), min), fp = min)` with the
+    * LEFTMOST occurrence of the window minimum — the compiled form of the
+    * 3-slice + 2×array_min + array_position HOF chain, one pass total.
+    * `pos` is 1-based absolute (bestIndex + 1), matching the SQL identity
+    * i + (bestIndex - i + 1). An all-null window yields (null, null)
+    * exactly as the HOF chain does. */
+  def winnowExtents(h: ArrayData, w: Int): ArrayData = {
+    val n = h.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - w + 1)
+    var i = 0
+    while (i <= n - w) {
+      var best = Long.MaxValue
+      var bestAt = -1
+      var j = i
+      while (j < i + w) {
+        if (!h.isNullAt(j)) {
+          val v = h.getLong(j)
+          if (bestAt < 0 || v < best) { best = v; bestAt = j }
+        }
+        j += 1
+      }
+      out(i) =
+        if (bestAt < 0)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](null, null))
+        else
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any]((bestAt + 1).toLong, java.lang.Long.valueOf(best)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `minhash_sig(shingles, K)` → array<bigint> of K minima. */
@@ -189,4 +275,74 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object DotProduct {
   def apply(a: Column, b: Column): Column =
     graftshim.toColumn(DotProduct(graftshim.toExpression(a), graftshim.toExpression(b)))
+}
+
+/** `hash60_array(array<string>)` → array<bigint>: per-element
+  * `cast(conv(substring(md5(x),1,15),16,10) as bigint)`, compiled. */
+case class Hash60Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hash60_array"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchSupport.hash60Array(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SketchSupport.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.hash60Array($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Hash60Array =
+    copy(child = newChild)
+}
+
+object Hash60Array {
+  def apply(c: Column): Column =
+    graftshim.toColumn(Hash60Array(graftshim.toExpression(c)))
+}
+
+/** `winnow_mins(array<bigint>, w)` → array<bigint> of per-window minima. */
+case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_mins"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchSupport.winnowMins(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SketchSupport.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.winnowMins($c, $w);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+  def apply(c: Column, w: Int): Column =
+    graftshim.toColumn(WinnowMins(graftshim.toExpression(c), w))
+}
+
+/** `winnow_extents(array<bigint>, w)` → array<struct<pos:bigint,fp:bigint>>
+  * of per-window (leftmost-min position, min) pairs. */
+case class WinnowExtents(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = true),
+    StructField("fp", LongType, nullable = true))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_extents"
+
+  override def nullSafeEval(v: Any): Any =
+    SketchSupport.winnowExtents(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SketchSupport.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.winnowExtents($c, $w);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WinnowExtents =
+    copy(child = newChild)
+}
+
+object WinnowExtents {
+  def apply(c: Column, w: Int): Column =
+    graftshim.toColumn(WinnowExtents(graftshim.toExpression(c), w))
 }

@@ -705,7 +705,11 @@ object GraftMview {
       targetCols: Seq[String]): Option[Column] = {
     val rows = keys.select(keyCols.map(col): _*).distinct()
       .limit(1001).collect()
-    if (rows.isEmpty) return None
+    // an EMPTY key set is the strongest predicate, not the weakest: every
+    // caller pairs this with an exact (semi-)join on the same keys, whose
+    // output is empty for empty keys — `false` skips the scan entirely
+    // instead of falling back to a full one
+    if (rows.isEmpty) return Some(lit(false))
     // over-cap churn: degrade GRACEFULLY to a per-column [min, max]
     // range instead of abandoning pruning — min/max file skipping still
     // participates, and the caller's exact join keeps semantics
@@ -1071,6 +1075,25 @@ object GraftMview {
       return ("full", n, 0L, heads.head)
     }
     // ---- incremental ----
+    // CHURN-ADAPTIVE parallelism (guide §2.2/§2.6): every maintenance
+    // frame below is churn-sized, not corpus-sized, so the shuffle
+    // partition count follows the manifest-level churn row estimate (a
+    // driver-side metadata read, no job) at ~256k rows/partition —
+    // capped at the session default, so 100 TB churn keeps the
+    // configured cluster parallelism while a small batch stops paying
+    // 32-way fan-out tax per tiny shuffle (the measured symptom: the
+    // 8-core bench BEATING the 32-core one on refresh fixtures). Scans
+    // of pinned sides parallelize by file split as before — only
+    // post-shuffle partitioning changes, which no result depends on.
+    val churnEstimate = paths.indices.iterator
+      .filter(i => wms(i)._1 != heads(i))
+      .map(i => GraftStoreOps.signedChangeRowEstimate(
+        spark, paths(i), wms(i)._1, heads(i))).sum
+    val prevShuffleParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", math.max(1L,
+      math.min(prevShuffleParts.toInt.toLong,
+        churnEstimate / 262144L + 1L)).toString)
+    try {
     // the signed churn of the MAINTAINED RELATION. Single table: the
     // source's own +1/-1 deltas. Join: the delta rule
     //   Δ(R⋈S) = ΔR ⋈ S_new  ∪  R_old ⋈ ΔS
@@ -1079,6 +1102,25 @@ object GraftMview {
     // ONE pinned snapshot of the other side, never corpus × corpus.
     def pinnedAt(i: Int, snap: Int): DataFrame =
       spark.read.format("graft-store").option("snapshot", snap).load(paths(i))
+    // materialize the requested sides' netted churn ONCE each, submitting
+    // the independent eager-checkpoint jobs CONCURRENTLY (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially): each job is churn-sized and tiny, so overlapping
+    // them hides the per-action driver gap (planning + scheduling —
+    // scheduler latency on a real cluster) that dominates refresh cost.
+    // Identical frames to the sequential form; order-independent.
+    def churnedDeltasAt(paths2: Seq[String], idx: Seq[Int]): Map[Int, DataFrame] = {
+      def one(i: Int) = graft.operators.IterGuard(netChurn(
+        GraftStoreOps.signedChanges(spark, paths2(i), wms(i)._1, heads(i))))
+      if (idx.size <= 1) idx.map(i => i -> one(i)).toMap
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        idx.map(i => i -> Future(one(i)))
+          .map { case (i, f) => i -> Await.result(f, Duration.Inf) }.toMap
+      }
+    }
     val signed = src match {
       case SingleSrc(p) =>
         netChurn(GraftStoreOps.signedChanges(spark, p, wms.head._1, heads.head))
@@ -1090,15 +1132,16 @@ object GraftMview {
         // fact-only refresh stays churn⋈dims-sized. Each term joins the
         // churn against PINNED snapshots, so a concurrent commit cannot
         // skew any term.
+        // netted churn is materialized BEFORE pruneByChurnKeys (its
+        // per-edge driver collects and the delta term itself would
+        // otherwise re-execute the signedChanges scan per hop) — all
+        // churned sides' checkpoint jobs submitted concurrently
+        val diAt = churnedDeltasAt(paths2,
+          paths2.indices.filter(i => wms(i)._1 != heads(i)))
         val terms = paths2.indices.flatMap { i =>
           if (wms(i)._1 == heads(i)) None
           else {
-            // materialize the netted churn BEFORE pruneByChurnKeys: its
-            // per-edge driver collects (and the delta term itself) would
-            // otherwise re-execute the signedChanges scan per hop
-            val di = graft.operators.IterGuard(netChurn(
-              GraftStoreOps.signedChanges(
-                spark, paths2(i), wms(i)._1, heads(i))))
+            val di = diAt(i)
             val frames = paths2.indices.map { j =>
               if (j == i) di
               else if (j < i) pinnedAt(j, wms(j)._1)
@@ -1132,12 +1175,12 @@ object GraftMview {
         //   one term a left-style K restriction would miss, because on
         //   the null-PRODUCING side such rows still contribute).
         val myKeys2 = keys.map(k => (k._2, k._4)) // (colA, colB)
+        val diAt = churnedDeltasAt(paths2,
+          paths2.indices.filter(i => wms(i)._1 != heads(i)))
         def fullTerm(i: Int): Option[DataFrame] =
           if (wms(i)._1 == heads(i)) None
           else {
-            val di = graft.operators.IterGuard(netChurn(
-              GraftStoreOps.signedChanges(
-                spark, paths2(i), wms(i)._1, heads(i))))
+            val di = diAt(i)
             val ownKeyCols =
               if (i == 0) myKeys2.map(_._1) else myKeys2.map(_._2)
             val othKeyCols =
@@ -1146,12 +1189,17 @@ object GraftMview {
                 col(c).as(s"__jk_$x") }: _*)
               .na.drop("any").distinct()
               .transform(materializeKeys)
+            // NOT eagerly checkpointed: the restricted frame is a
+            // churn-key-scoped scan (bounded IN for file skipping +
+            // broadcast semi-join against the bounded key frame) — cheap
+            // enough that re-executing it inside the single signed-delta
+            // job beats paying a separate materialization action per side
+            // (the per-action driver gap was the measured refresh floor)
             def restrictTo(f0: DataFrame, cols2: Seq[String]): DataFrame = {
               val pre = boundedKeyPred(kf,
                 cols2.indices.map(x => s"__jk_$x"), cols2).fold(f0)(f0.filter)
               pre.join(kf, cols2.zipWithIndex.map { case (c2, x) =>
                   pre(c2) === kf(s"__jk_$x") }.reduce(_ && _), "left_semi")
-                .transform(graft.operators.IterGuard(_))
             }
             // telescoping state of the OTHER side in THIS term
             val otherSnap = if (i == 0) wms(1)._1 else heads(0)
@@ -1216,14 +1264,19 @@ object GraftMview {
               d0 +: (1 until n).map(j => pinnedAt(j, heads(j))),
               keys, leftSides))
           }
+        // INNER-entered churned dims are materialized (pruneByChurnKeys'
+        // per-edge collects and the term itself re-read the churn),
+        // concurrently across sides; a LEFT-entered dim's churn feeds
+        // ONLY its bounded key collect, so materializing it was one pure
+        // waste action per churned left dim — the collect now executes
+        // the netted-churn plan directly
+        val diAt = churnedDeltasAt(paths2, (1 until n)
+          .filter(i => wms(i)._1 != heads(i) && !leftSides(i)))
         val dimTerms: Seq[DataFrame] = (1 until n).flatMap { i =>
           if (wms(i)._1 == heads(i)) None
           else {
-            // materialized once: both the ± key frames and (for an
-            // INNER-entered side) pruneByChurnKeys re-read this churn
-            val di = graft.operators.IterGuard(netChurn(
-              GraftStoreOps.signedChanges(
-                spark, paths2(i), wms(i)._1, heads(i))))
+            val di = if (leftSides(i)) netChurn(GraftStoreOps.signedChanges(
+              spark, paths2(i), wms(i)._1, heads(i))) else diAt(i)
             val myKeys = keys.filter(_._3 == i) // (parent, pcol, i, icol)
             // the state each OTHER side is pinned at in THIS term
             def pin(j: Int): DataFrame = pinnedAt(j,
@@ -1252,17 +1305,25 @@ object GraftMview {
                 .fold(f0)(f0.filter)
               pre.join(kf, cols2.zipWithIndex.map { case (c2, x) =>
                   pre(c2) === kf(s"__jk_$x") }.reduce(_ && _), "left_semi")
-                .transform(graft.operators.IterGuard(_))
             }
             // walk the parent path i → … → 0, restricting each side to
-            // the key values that can reach K_i
+            // the key values that can reach K_i. Walk frames stay
+            // eagerly checkpointed: each is consumed up to 3× (the next
+            // hop's key collect + both ± variants' broadcasts — every
+            // broadcast exchange is its own job that would re-execute
+            // an uncheckpointed scan; measured as a 1.18× regression on
+            // the left-chain fixture when dropped). The single-use
+            // per-variant side-i frames below are NOT checkpointed —
+            // their one broadcast job executes the scan directly,
+            // saving the materialization action.
             val restricted = scala.collection.mutable.Map.empty[Int, DataFrame]
             var kf = kf0
             var child = i
             while (child != 0) {
               val par = parentOf(child)
               val childKeys = keys.filter(_._3 == child)
-              val fj = restrict(pin(par), childKeys.map(_._2), kf)
+              val fj = graft.operators.IterGuard(
+                restrict(pin(par), childKeys.map(_._2), kf))
               restricted(par) = fj
               if (par != 0) {
                 val parKeys = keys.filter(_._3 == par)
@@ -1337,6 +1398,15 @@ object GraftMview {
     val deltas = graft.operators.IterGuard(d
       .groupBy(groupOuts.map(g => groupKey(g).as(s"__dk_${g.out}")): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*))
+    // the CHURNED GROUP-KEY frame, collected once (bounded, from the
+    // already-materialized deltas — one cheap cached-read job) and
+    // re-issued as a LocalRelation: every consumer below — the dup-count
+    // companion reads, the MV-side merge scan — gets driver-local file
+    // pruning (boundedKeyPred without a collect job) and broadcast
+    // semi-joins without a scan job. Over the cap it degrades to the
+    // checkpointed frame, same semantics.
+    val gkAll = materializeKeys(
+      deltas.select(groupOuts.map(g => col(s"__dk_${g.out}")): _*))
     // EXACT COUNT(DISTINCT): route the same signed churn through each
     // per-(group, value) dup-count companion, then read the new per-group
     // surviving-pair counts back, scoped to the churned groups. The
@@ -1388,7 +1458,7 @@ object GraftMview {
             filterSql, cols, s0, expectAfter)
         }
       }
-      val gk = deltas.select(groupOuts.map(g => col(s"__dk_${g.out}")): _*)
+      val gk = gkAll
       val fresh0 = spark.read.format("graft-store").load(cp)
       val fresh = boundedKeyPred(gk, groupOuts.map(g => s"__dk_${g.out}"),
         groupOuts.map(_.out)).fold(fresh0)(fresh0.filter)
@@ -1409,8 +1479,12 @@ object GraftMview {
     val rescanned: Option[DataFrame] =
       if (!hasRescan) None
       else {
-        val keys = deltas.filter(col("_rm") === 1)
-          .select(groupOuts.map(g => col(s"__dk_${g.out}").as(s"__k_${g.out}")): _*)
+        // bounded + re-issued local (deltas is one row per churned group,
+        // so the frame is already distinct): boundedKeyPred below becomes
+        // driver-local and the semi-join broadcasts without a scan job
+        val keys = materializeKeys(deltas.filter(col("_rm") === 1)
+          .select(groupOuts.map(g =>
+            col(s"__dk_${g.out}").as(s"__k_${g.out}")): _*))
         val pinned = pinnedFrame(spark, src, heads)
         val mmAggs: Seq[Column] = cols.collect {
           case MinCol(c2, o) => min(col(c2)).as(s"${o}_r")
@@ -1434,7 +1508,17 @@ object GraftMview {
           .agg(mmAggs.head, mmAggs.tail: _*))
       }
     def zero(dt: DataType) = lit(0).cast(dt)
-    val base = spark.read.format("graft-store").load(mvPath)
+    // churn-scope the MERGE's view-side scan: the right-outer join below
+    // keeps only churned groups anyway, so restricting the stored view to
+    // the churned key set (a per-column superset predicate — IN/range +
+    // IS NULL where the key set holds NULL; the exact null-safe join
+    // keeps semantics) turns the O(view) base scan into O(churn) with
+    // min/max file skipping — the same device the companion read uses.
+    // At 100 TB the view itself can be corpus-sized; without this the
+    // merge rescans it every refresh.
+    val base0 = spark.read.format("graft-store").load(mvPath)
+    val base = boundedKeyPred(gkAll, groupOuts.map(g => s"__dk_${g.out}"),
+      groupOuts.map(_.out)).fold(base0)(base0.filter)
     // right-outer on the delta side: only CHANGED groups participate —
     // the merge is O(changed groups), the rest of the view is untouched.
     // Null-safe key equations: the NULL group is a group like any other.
@@ -1524,5 +1608,6 @@ object GraftMview {
     // count (live <= 0) is exactly nKeys − nUp — the former separate
     // count() job re-derived a number the commit already knows.
     ("incremental", nUp, nKeys - nUp, heads.head)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffleParts)
   }
 }

@@ -5921,6 +5921,16 @@ object GraftStoreOps {
     eqDeltaCommit(spark, path, m, keyCols, keys.distinct(), None)._2
   }
 
+  /** True when the frame's OPTIMIZED plan is a provably empty local
+    * relation — decidable on the driver, no Spark job. Conservative:
+    * anything non-local reports false. */
+  private def provablyEmpty(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
   /** Shared equality-delta commit: write the key store (and rename any
     * pre-written data scratch in), then OCC-publish files+masks at one
     * sequence. Returns (data rows added, key tuples recorded), both read
@@ -5936,42 +5946,64 @@ object GraftStoreOps {
       requireUniqueKeys: Boolean = false): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val f = GraftStoreFormat.fs(path, conf)
-    keyCols.foreach { k =>
-      require(m.schema.fieldNames.contains(k),
-        s"graft-store: equality-delete key column $k is not a table column")
-      val dt = m.schema(k).dataType
-      require(GraftStoreFormat.codecSupports(dt),
-        s"graft-store: equality-delete key $k has unsupported type ${dt.simpleString}")
-      require(GraftStoreFormat.sameCols(
-          StructType(Seq(keyRows.schema(k))), StructType(Seq(m.schema(k)))),
-        s"graft-store: equality-delete key $k type ${keyRows.schema(k).dataType.simpleString} " +
-          s"must match table type ${dt.simpleString}")
-    }
     val keyScratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}k"
-    keyRows.select(keyCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
-      .write.format("graft-store").mode("overwrite").save(keyScratch)
-    val km = GraftStoreFormat.readLatestManifest(keyScratch, conf)
-      .getOrElse(GraftManifest(new StructType(), Seq.empty))
-    val dm = dataScratch.map(s => GraftStoreFormat.readLatestManifest(s, conf)
-      .getOrElse(GraftManifest(new StructType(), Seq.empty)))
-    // row counts from the scratch MANIFESTS (each file entry carries its
-    // row count): the callers' former localCheckpoint + count() pairs were
-    // two extra Spark jobs per frame for numbers the write already knows
-    val nk = km.files.map(_.rows).sum
-    val n = dm.map(_.files.map(_.rows).sum).getOrElse(0L)
-    if (requireUniqueKeys) require(n == nk,
-      "graft-store: upsert source has duplicate keys — ambiguous, rejected")
-    if (nk == 0L) {
-      require(n == 0L,
+    // nothing below publishes until the renames: any validation failure
+    // (bad key column, duplicate keys, rows without key coverage, a
+    // failed scratch write) must delete BOTH scratch dirs before
+    // rethrowing, or every rejected upsert litters _rewrite-* dirs
+    // inside the table — a caller may have pre-written `dataScratch`
+    def dropScratch(): Unit = {
+      try f.delete(new Path(keyScratch), true) catch { case _: Throwable => () }
+      dataScratch.foreach(s =>
+        try f.delete(new Path(s), true) catch { case _: Throwable => () })
+    }
+    val (km, dm, n, nk) = try {
+      keyCols.foreach { k =>
+        require(m.schema.fieldNames.contains(k),
+          s"graft-store: equality-delete key column $k is not a table column")
+        val dt = m.schema(k).dataType
+        require(GraftStoreFormat.codecSupports(dt),
+          s"graft-store: equality-delete key $k has unsupported type ${dt.simpleString}")
+        require(GraftStoreFormat.sameCols(
+            StructType(Seq(keyRows.schema(k))), StructType(Seq(m.schema(k)))),
+          s"graft-store: equality-delete key $k type ${keyRows.schema(k).dataType.simpleString} " +
+            s"must match table type ${dt.simpleString}")
+      }
+      keyRows.select(keyCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .write.format("graft-store").mode("overwrite").save(keyScratch)
+      val km = GraftStoreFormat.readLatestManifest(keyScratch, conf)
+        .getOrElse(GraftManifest(new StructType(), Seq.empty))
+      val dm = dataScratch.map(s => GraftStoreFormat.readLatestManifest(s, conf)
+        .getOrElse(GraftManifest(new StructType(), Seq.empty)))
+      // row counts from the scratch MANIFESTS (each file entry carries its
+      // row count): the callers' former localCheckpoint + count() pairs were
+      // two extra Spark jobs per frame for numbers the write already knows
+      val nk = km.files.map(_.rows).sum
+      val n = dm.map(_.files.map(_.rows).sum).getOrElse(0L)
+      // NOTE: with counts taken post-write, key round-trip fidelity is
+      // load-bearing here — the store codec is required to round-trip key
+      // values exactly (codec-atomic keys, checked above), so source-
+      // distinct keys stay distinct in the scratch read-back
+      if (requireUniqueKeys) require(n == nk,
+        "graft-store: upsert source has duplicate keys — ambiguous, rejected")
+      if (nk == 0L) require(n == 0L,
         "graft-store: replace/upsert rows without key coverage would duplicate")
-      f.delete(new Path(keyScratch), true)
-      dataScratch.foreach(s => f.delete(new Path(s), true))
+      (km, dm, n, nk)
+    } catch { case t: Throwable => dropScratch(); throw t }
+    if (nk == 0L) {
+      dropScratch()
       if (setProps.nonEmpty) setTableProps(spark, path, setProps)
       return (0L, 0L)
     }
-    km.files.foreach(e => f.rename(new Path(keyScratch, e.name), new Path(path, e.name)))
+    // zero-row scratch files (empty write partitions) carry no key tuples
+    // and no data: renaming them in would add dead manifest entries that
+    // every later scan/probe pays for — leave them behind for the scratch
+    // cleanup below
+    val liveKeyFiles = km.files.filter(_.rows > 0L)
+    val liveDataFiles = dm.map(_.files.filter(_.rows > 0L)).getOrElse(Seq.empty)
+    liveKeyFiles.foreach(e => f.rename(new Path(keyScratch, e.name), new Path(path, e.name)))
     dataScratch.foreach { s =>
-      dm.get.files.foreach(e => f.rename(new Path(s, e.name), new Path(path, e.name)))
+      liveDataFiles.foreach(e => f.rename(new Path(s, e.name), new Path(path, e.name)))
     }
     var done = false
     while (!done) {
@@ -5981,10 +6013,9 @@ object GraftStoreOps {
       require(GraftStoreFormat.sameCols(headM.schema, m.schema),
         "graft-store: concurrent schema change during an equality-delete commit")
       val seq = GraftStoreFormat.nextSeq(head)
-      val eqEntries = km.files.map(e => GraftEqDeleteEntry(e.name, e.rows, seq, keyCols))
+      val eqEntries = liveKeyFiles.map(e => GraftEqDeleteEntry(e.name, e.rows, seq, keyCols))
       val stamped = GraftStoreFormat.stampLayout(headM.fieldMeta, headM.schema, m.schema,
-        GraftStoreFormat.stampNew(headM.partitionSpecs, seq,
-          dm.map(_.files).getOrElse(Seq.empty)))
+        GraftStoreFormat.stampNew(headM.partitionSpecs, seq, liveDataFiles))
       done = GraftStoreFormat.commitManifest(path, conf,
         headM.copy(files = headM.files ++ stamped,
           eqDeletes = headM.eqDeletes ++ eqEntries,
@@ -6028,17 +6059,29 @@ object GraftStoreOps {
     // jobs per refresh commit for numbers the writes already produce.
     // (Both call sites pass frames derived from an already-materialized
     // merge frame, so the two executions share no recomputed lineage.)
+    val distinctKeys = keys.select(keyCols.map(col).toSeq: _*).distinct()
+    // a DRIVER-provably-empty source (empty LocalRelation after
+    // optimization — e.g. a no-op refresh built from collected churn)
+    // skips the data-scratch write job entirely: pure keyed delete +
+    // property stamp, one job fewer per no-op refresh
+    if (provablyEmpty(src))
+      return eqDeltaCommit(spark, path, m, keyCols, distinctKeys, None, setProps)
     val scratch = s"$path/_rewrite-${UUID.randomUUID().toString.take(12)}"
     val w0 = src.write.format("graft-store").mode("overwrite")
     val w1 = m.check.fold(w0)(c => w0.option("check", c))
-    ((m.partitionCol, m.clusterCols) match {
-      case (Some(c), _) => w1.option("partitionBy", c)
-      case (None, Some(cc)) =>
-        w1.option("clusterBy", cc).option("clusterFiles",
-          math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
-      case _ => w1
-    }).save(scratch)
-    val distinctKeys = keys.select(keyCols.map(col).toSeq: _*).distinct()
+    try {
+      ((m.partitionCol, m.clusterCols) match {
+        case (Some(c), _) => w1.option("partitionBy", c)
+        case (None, Some(cc)) =>
+          w1.option("clusterBy", cc).option("clusterFiles",
+            math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
+        case _ => w1
+      }).save(scratch)
+    } catch { case t: Throwable =>
+      try GraftStoreFormat.fs(path, spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(scratch), true) catch { case _: Throwable => () }
+      throw t
+    }
     eqDeltaCommit(spark, path, m, keyCols, distinctKeys, Some(scratch), setProps)
   }
 
@@ -7068,6 +7111,36 @@ object GraftStoreOps {
         .option("files", names.mkString(",")).load(path)
     readSubset(removed, fromSnap).withColumn("_sign", lit(-1L))
       .unionByName(readSubset(added, toSnap).withColumn("_sign", lit(1L)))
+  }
+
+  /** DRIVER-SIDE churn-volume estimate between two snapshots: the summed
+    * row count of the files [[signedChanges]] would read (departed +
+    * arrived + mask-churned), from manifest metadata alone — no Spark
+    * job. An upper bound on signed-delta rows (carried-identical rows
+    * net out later); used to size maintenance-frame parallelism to the
+    * churn instead of the cluster (guide §2.2: partition count should
+    * follow data volume). Returns 0 for an invalid range. */
+  def signedChangeRowEstimate(spark: SparkSession, path: String,
+      fromSnap: Int, toSnap: Int): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ms = GraftStoreFormat.listManifests(path, conf)
+    if (fromSnap < 0 || toSnap >= ms.size || fromSnap > toSnap) return 0L
+    val mFrom = GraftStoreFormat.readManifestFile(path, conf, ms(fromSnap))
+    val mTo = GraftStoreFormat.readManifestFile(path, conf, ms(toSnap))
+    if (mFrom.schema.toDDL != mTo.schema.toDDL) return 0L
+    val fromNames = mFrom.files.map(_.name).toSet
+    val toNames = mTo.files.map(_.name).toSet
+    def delSig(mf: GraftManifest, e: GraftFileEntry): Seq[String] =
+      (mf.deletes.filter(_.covers(e.name)).map(_.name) ++
+        mf.eqDeletes.filter(_.covers(e)).map(_.name)).sorted
+    val toEntries = mTo.files.map(e => e.name -> e).toMap
+    val masked = mFrom.files.filter(e => toNames.contains(e.name))
+      .filter(e => delSig(mFrom, e) != delSig(mTo, toEntries(e.name)))
+      .map(_.name).toSet
+    mFrom.files.filter(e => !toNames.contains(e.name) || masked(e.name))
+      .map(_.rows).sum +
+      mTo.files.filter(e => !fromNames.contains(e.name) || masked(e.name))
+        .map(_.rows).sum
   }
 
   /** Drop all but the newest `keepLast` snapshots, then delete data files no

@@ -105,4 +105,57 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(viaSql.toSeq === viaJvm)
   }
+
+  test("Hash60Array equals the per-element transform(md5 conv) HOF chain") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "", "x")),
+      (2L, Seq.empty[String])).toDF("id", "sh")
+    val got = df.select(col("id"),
+        graft.functions.Hash60Array(col("sh")).as("h"),
+        expr("transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+      s"row ${r.getLong(0)} diverged"))
+  }
+
+  test("WinnowMins/WinnowExtents equal the slice+array_min HOF windows") {
+    // ties (leftmost-min), short arrays (< w -> empty), strictly
+    // decreasing and increasing runs
+    val arrays = Seq(
+      Seq(5L, 3L, 3L, 7L, 1L, 9L, 2L, 2L),
+      Seq(1L, 2L, 3L),                      // shorter than the window
+      Seq(4L, 4L, 4L, 4L),                  // all ties
+      Seq(9L, 8L, 7L, 6L, 5L, 4L),
+      Seq.empty[Long])
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "h")
+    val mins = df.select(col("id"),
+        graft.functions.WinnowMins(col("h"), 4).as("got"),
+        expr("""IF(size(h) >= 4,
+          | transform(sequence(0, size(h) - 4), i -> array_min(slice(h, i + 1, 4))),
+          | array())""".stripMargin).as("ref"))
+      .collect()
+    mins.foreach(r => assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+      s"winnow_mins diverged on id ${r.getLong(0)}"))
+    val ext = df.select(col("id"),
+        graft.functions.WinnowExtents(col("h"), 4).as("got"),
+        expr("""IF(size(h) >= 4,
+          | transform(sequence(0, size(h) - 4), i -> struct(
+          |   i + array_position(slice(h, i + 1, 4), array_min(slice(h, i + 1, 4))) AS pos,
+          |   array_min(slice(h, i + 1, 4)) AS fp)),
+          | array())""".stripMargin).as("ref"))
+      .selectExpr("id",
+        "transform(got, s -> concat(s.pos, ':', s.fp)) AS g",
+        "transform(ref, s -> concat(s.pos, ':', s.fp)) AS r")
+      .collect()
+    ext.foreach(r => assert(r.getSeq[String](1) === r.getSeq[String](2),
+      s"winnow_extents diverged on id ${r.getLong(0)}"))
+  }
+
+  test("winnow kernels stay inside whole-stage codegen") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.functions.WinnowMins(
+        graft.functions.Hash60Array(split(col("text"), " ")), 4).as("m"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected WholeStageCodegen span:\n$plan")
+  }
 }

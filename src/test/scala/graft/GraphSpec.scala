@@ -165,4 +165,27 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
         "no checkpoint files written under the configured dir")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
+
+  test("reliable-mode stars convergence is content-sensitive (path graph)") {
+    import spark.implicits._
+    // A path graph contracts over several star rounds whose edge COUNT
+    // stays constant while the edge SET changes (round 1 of 1-2-…-8
+    // rewrites 7 chain edges into 7 different star edges). Convergence
+    // must therefore compare edge-set CONTENT, not just size.
+    // Regression guard: reliable checkpoint(eager) executes the plan
+    // twice, so an Observation riding the checkpoint merges both
+    // executions — the xxhash64 bit_xor fingerprint XOR-cancelled to 0
+    // every round, convergence degraded to count-only equality, and this
+    // graph silently stopped after round 1 with wrong components.
+    val n = 8L
+    val path = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val vs = (1L to n).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-path").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val got = labelsOf(Graph.connectedComponentsStars(vs, path))
+      assert(got === (1L to n).map(_ -> 1L).toMap,
+        "path graph must contract to a single component rooted at 1")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }

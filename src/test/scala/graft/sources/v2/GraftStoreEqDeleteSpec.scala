@@ -246,4 +246,71 @@ class GraftStoreEqDeleteSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(got.size === 50)
     assert(got(10L) === 1L && got(20L) === 2L && got(30L) === 300L)
   }
+
+  test("rejected duplicate-key upsert leaves no scratch dirs behind") {
+    val dir = tmpDir()
+    morTable(dir, 10)
+    val snapsBefore = GraftStoreOps.snapshotCount(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      GraftStoreOps.upsertMor(spark, dir,
+        Seq((3L, 1L), (3L, 2L)).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // nothing published — and the failed attempt cleaned up after itself
+    // (regression: validation moved post-write and the throw used to leak
+    // the _rewrite-* data and key scratch dirs inside the table)
+    assert(GraftStoreOps.snapshotCount(spark, dir) === snapsBefore)
+    val leftovers = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("_rewrite-"))
+    assert(leftovers.isEmpty, s"scratch leaked: ${leftovers.mkString(",")}")
+    assert(rows(dir).size === 10)
+  }
+
+  test("provably-empty replace source skips the data-scratch write job") {
+    val dir = tmpDir()
+    morTable(dir, 10)
+    val filesBefore = manifest(dir).files.map(_.name).toSet
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val (n, nk) =
+      try GraftStoreOps.replaceByKeyMor(spark, dir,
+        Seq.empty[(Long, Long)].toDF("id", "v"), Seq("id"),
+        Seq(4L).toDF("id"), Map("probe" -> "1"))
+      finally {
+        Thread.sleep(300) // listener bus drains asynchronously
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(n === 0L && nk === 1L)
+    // pure keyed delete + property stamp: the ONLY Spark job is the key
+    // scratch write (a driver-provably-empty source never writes data)
+    assert(jobs.get <= 1, s"empty-source replace ran ${jobs.get} jobs")
+    val m = manifest(dir)
+    assert(m.files.map(_.name).toSet === filesBefore,
+      "no data file may be added by an empty-source replace")
+    assert(m.props.get("probe").contains("1"))
+    val got = rows(dir)
+    assert(!got.contains(4L) && got.size === 9)
+  }
+
+  test("zero-row scratch files are never committed into the table") {
+    val dir = tmpDir()
+    morTable(dir, 10)
+    // a COMPUTED source (not provably empty on the driver) whose write
+    // leaves most partitions empty: any zero-row scratch file must stay
+    // out of the manifest — dead entries cost every later scan/probe
+    val sparse = spark.range(0, 10, 1, 4).filter(col("id") === 3L)
+      .selectExpr("id", "id * 1000 as v")
+    val (n, nk) = GraftStoreOps.replaceByKeyMor(spark, dir, sparse, Seq("id"),
+      sparse.select("id"))
+    assert(n === 1L && nk === 1L)
+    val m = manifest(dir)
+    assert(m.files.forall(_.rows > 0L), "zero-row data file committed")
+    assert(m.eqDeletes.forall(_.rows > 0L), "zero-row key store committed")
+    assert(rows(dir)(3L) === 3000L)
+  }
 }
