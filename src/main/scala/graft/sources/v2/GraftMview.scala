@@ -1485,7 +1485,6 @@ object GraftMview {
         val keys = materializeKeys(deltas.filter(col("_rm") === 1)
           .select(groupOuts.map(g =>
             col(s"__dk_${g.out}").as(s"__k_${g.out}")): _*))
-        val pinned = pinnedFrame(spark, src, heads)
         val mmAggs: Seq[Column] = cols.collect {
           case MinCol(c2, o) => min(col(c2)).as(s"${o}_r")
           case MaxCol(c2, o) => max(col(c2)).as(s"${o}_r")
@@ -1496,10 +1495,55 @@ object GraftMview {
         // also pushed compile-time; expression keys stay semi-join-only
         // (no storable stats to skip on)
         val plainKeys = groupOuts.filter(!_.isExpr)
-        val pinned2 =
-          if (plainKeys.isEmpty) pinned
-          else boundedKeyPred(keys, plainKeys.map(g => s"__k_${g.out}"),
-            plainKeys.map(_.src)).fold(pinned)(pinned.filter)
+        val pinned2 = src match {
+          // INNER-join source with plain group keys: the post-join filter
+          // alone prunes only the side(s) OWNING the group columns — the
+          // other sides' rescan scans stayed corpus-shaped (at 100 TB the
+          // pinned fact re-read every min/max refresh). Restrict each
+          // owning side at its scan, then cascade the restriction OUTWARD
+          // along the join graph (pruneByChurnKeys: bounded IN per hop,
+          // range fallback over cap) — exact for inner joins, because a
+          // row whose join key cannot reach a rescan group contributes
+          // nothing to the semi-joined aggregate below.
+          case JoinSrc(paths2, keys2, ls)
+              if ls.isEmpty && plainKeys.nonEmpty =>
+            val frames0 = paths2.indices.map(i =>
+              spark.read.format("graft-store")
+                .option("snapshot", heads(i)).load(paths2(i)))
+            val bySide = plainKeys.groupBy(g =>
+              frames0.indexWhere(_.columns.contains(g.src)))
+            var frames: Seq[DataFrame] = frames0
+            val restrictedSides = scala.collection.mutable.Set.empty[Int]
+            bySide.foreach { case (side, gs) =>
+              if (side >= 0)
+                boundedKeyPred(keys, gs.map(g => s"__k_${g.out}"),
+                    gs.map(_.src))
+                  .foreach { p =>
+                    frames = frames.updated(side, frames(side).filter(p))
+                    restrictedSides += side
+                  }
+            }
+            restrictedSides.foreach { side =>
+              frames = pruneByChurnKeys(frames, keys2, side)
+            }
+            // a group key living on NO single side (shouldn't happen for
+            // plain columns) keeps the post-join filter for safety
+            val joinedP = joinFrames(frames, keys2, ls)
+            if (bySide.contains(-1))
+              boundedKeyPred(keys, plainKeys.map(g => s"__k_${g.out}"),
+                plainKeys.map(_.src)).fold(joinedP)(joinedP.filter)
+            else joinedP
+          case _ =>
+            // single table: the pred prunes the only scan directly.
+            // LEFT/FULL-outer sources: a value-based cascade is NOT
+            // row-exact for null-extended rows, so only the post-join
+            // filter applies (Catalyst still pushes it to the side
+            // owning the column where that is semantics-preserving).
+            val pinned = pinnedFrame(spark, src, heads)
+            if (plainKeys.isEmpty) pinned
+            else boundedKeyPred(keys, plainKeys.map(g => s"__k_${g.out}"),
+              plainKeys.map(_.src)).fold(pinned)(pinned.filter)
+        }
         val scoped = filterSql.fold(pinned2)(f => pinned2.filter(expr(f)))
         val semiCond = groupOuts.map(g => groupKey(g) <=> keys(s"__k_${g.out}"))
           .reduce(_ && _)

@@ -44,7 +44,12 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
       .repartitionByRange(files, col("fk"))
       .write.format("graft-store").mode("overwrite").save(fact)
     if (shape != "single" && shape != "minmax") {
-      spark.range(0, 1000).select(col("id").as("pk"), (col("id") % 25).as("nk"))
+      // joinminmax: CONTIGUOUS nk blocks aligned with the fact's fk
+      // clustering, so a rescan scoped to one group maps to a contiguous
+      // fk range — the layout a 100 TB design would choose on purpose
+      val nkCol = if (shape == "joinminmax")
+        (col("id") / 40).cast("long") else col("id") % 25
+      spark.range(0, 1000).select(col("id").as("pk"), nkCol.as("nk"))
         .write.format("graft-store").mode("overwrite").save(d1)
       if (shape == "nway" || shape == "leftchain")
         spark.range(0, 25).select(col("id").as("nk2"),
@@ -61,6 +66,9 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
       case "join" =>
         s"SELECT nk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
           s"JOIN mvscale.c_$tag ON fk = pk GROUP BY nk"
+      case "joinminmax" =>
+        s"SELECT nk, count(*) AS n, min(v) AS mn, max(v) AS mx " +
+          s"FROM mvscale.f_$tag JOIN mvscale.c_$tag ON fk = pk GROUP BY nk"
       case "nway" =>
         s"SELECT gname, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
           s"JOIN mvscale.c_$tag ON fk = pk " +
@@ -82,9 +90,12 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
     spark.range(0, 100)
       .select((col("id") % 1000).as("fk"), (col("id") % 97).as("v"))
       .write.format("graft-store").mode("append").save(fact)
-    if (shape == "minmax") // removals: the rescan device must stay scoped
+    // removals: the rescan device must stay scoped — for the JOINED
+    // min/max shape the rescan rebuilds the join, so this probes the
+    // group-key cascade (restriction pushed dim → fact along fk = pk)
+    if (shape == "minmax" || shape == "joinminmax")
       spark.sql(s"DELETE FROM mvscale.f_$tag WHERE fk = 7 AND v > 50")
-    if (shape != "single" && shape != "minmax")
+    if (shape != "single" && shape != "minmax" && shape != "joinminmax")
       spark.sql(s"UPDATE mvscale.c_$tag SET nk = (nk + 1) % 25 WHERE pk = 7")
     val slicesBefore = GraftStoreFormat.scannedFileSlices.sum()
     val t0 = System.nanoTime()
@@ -131,6 +142,9 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
   }
   test("LEFT OUTER 3-chain refresh is corpus-size-independent") {
     catBase; probe("leftchain")
+  }
+  test("join-view min/max removal rescan is corpus-size-independent (q241 shape)") {
+    catBase; probe("joinminmax")
   }
 
   /** OVER-CAP churn: a dim update touching MORE than the 1000-key
@@ -208,9 +222,17 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
     val mvDir = s"$catBase/mv_$tag"
     val rows = 100000L * mult
     val files = 8 * mult
-    spark.range(0, rows)
-      .select((col("id") % 1000).as("fk"), (col("id") % 97).as("v"))
-      .repartitionByRange(files, col("fk"))
+    val factDf = shape match {
+      // yearroll: a 400-day event-time span so the month-grain view has
+      // O(months) rows regardless of corpus scale
+      case "yearroll" => spark.range(0, rows).select(
+        (col("id") % 1000).as("fk"), (col("id") % 97).as("v"),
+        to_timestamp(date_add(lit("2020-01-01").cast("date"),
+          (col("id") % 400).cast("int"))).as("ts"))
+      case _ => spark.range(0, rows)
+        .select((col("id") % 1000).as("fk"), (col("id") % 97).as("v"))
+    }
+    factDf.repartitionByRange(files, col("fk"))
       .write.format("graft-store").mode("overwrite").save(fact)
     spark.range(0, 1000).select(col("id").as("pk"), (col("id") % 25).as("nk"))
       .write.format("graft-store").mode("overwrite").save(dim)
@@ -222,6 +244,12 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
       case "mixedjb" =>
         s"SELECT fk, count(*) AS n, sum(v) AS s FROM mvscale.f_$tag " +
           s"WHERE fk < 800 GROUP BY fk"
+      case "gsets" => // (a, b)-grain view answering the whole drill-down
+        s"SELECT fk, v, count(*) AS n, sum(v) AS s " +
+          s"FROM mvscale.f_$tag GROUP BY fk, v"
+      case "yearroll" => // month-grain calendar view, year-grain queries
+        s"SELECT date_trunc('month', ts) AS mon, count(*) AS n, " +
+          s"sum(v) AS s FROM mvscale.f_$tag GROUP BY date_trunc('month', ts)"
     }
     GraftMview.create(spark, mvDir, mvSql)
     val df = shape match {
@@ -233,6 +261,13 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
           s"JOIN mvscale.d_$tag ON fk = pk WHERE fk < 900 GROUP BY nk")
       case "dcrollup" => spark.sql(
         s"SELECT count(DISTINCT v) AS dv FROM mvscale.f_$tag")
+      case "gsets" => spark.sql( // Expand decomposed, every member served
+        s"""SELECT fk, v, count(*) AS n FROM mvscale.f_$tag
+           |GROUP BY GROUPING SETS ((fk, v), (fk), ())""".stripMargin)
+      case "yearroll" => spark.sql( // re-bucketed through the stored key
+        s"""SELECT date_trunc('year', ts) AS yr, count(*) AS n,
+           |  sum(v) AS s FROM mvscale.f_$tag
+           |GROUP BY date_trunc('year', ts)""".stripMargin)
     }
     assert(df.queryExecution.optimizedPlan.toString.contains(mvDir),
       s"$tag: the query must serve from the MV")
@@ -264,5 +299,11 @@ class GraftMviewScaleSpec extends AnyFunSuite with graft.SparkTestBase {
   }
   test("COUNT(DISTINCT) rollup serve through the companion is corpus-size-independent") {
     catBase; serveProbe("dcrollup")
+  }
+  test("GROUPING SETS serve from the (a,b)-grain view is corpus-size-independent (q242 shape)") {
+    catBase; serveProbe("gsets")
+  }
+  test("year-grain coarsening serve from the month-grain view is corpus-size-independent (q243 shape)") {
+    catBase; serveProbe("yearroll")
   }
 }
